@@ -1,24 +1,39 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Headline bench (B1–B15) vs BASELINE.md. One warmed shared session,
+  * 1 warm-up + median of 5 timed runs per query (the baseline was measured
+  * the same way), results fully materialized via collect().
+  * Prints exactly one JSON line.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val suite = queries.BenchQueries.headline
+    // Warm-up: JIT, codegen cache, file-footer cache.
+    suite.foreach(q => q.build(spark, sfDir).collect())
+
+    val timed = suite.map { q =>
+      val runs = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        q.build(spark, sfDir).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      q.name -> runs(runs.size / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = timed.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+    val total = timed.map(_._2).sum
+    println(f"""{"metric":"suite_total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+
+/** Table loading over the driver-generated parquet dirs (TESTDATA.md).
+  * Each table is a single parquet file `<sfDir>/<name>.parquet`.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+    // natively: read it as a long and truncate ns→µs ourselves. Integer
+    // `div` is mandatory — double division would lose precision at ~1.7e18.
+    // DuckDB oracles CAST(ts AS TIMESTAMP) to apply the same truncation.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.foldLeft(df) {
+      case (d, f) if f.dataType == org.apache.spark.sql.types.LongType && f.name == "ts" =>
+        d.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case (d, _) => d
+    }
+  }
+
+  /** Register every table as a temp view so SQL-shaped queries can run. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+}
+
+/** A named, oracle-checked query.
+  *
+  * @param name   stable query id (key in SparkEntry.queries / oracleSql)
+  * @param build  Spark-side DataFrame builder; receives (session, sfDir)
+  * @param oracle equivalent DuckDB SQL over views named like the tables;
+  *               None → the driver records a weaker rows-only check.
+  *
+  * Determinism contract (SURVEY.md §0): every query ends in a total order,
+  * rounds floating-point aggregates, pins NULL ordering, and aliases every
+  * computed column identically on both sides.
+  */
+final case class GQuery(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+/** Assembles the full declared inventory (SURVEY.md §2). */
+object Registry {
+  def all: Seq[GQuery] =
+    queries.BenchQueries.all ++
+      queries.RelationalQueries.all ++
+      queries.FunctionQueries.all ++
+      queries.LlmQueries.all ++
+      queries.StreamingQueries.all ++
+      queries.IoQueries.all
+
+  lazy val byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join (SURVEY.md §2.3 J9): for each left row, attach the latest right
+  * row with the same key and `right.ts <= left.ts` (inner semantics — left
+  * rows with no prior right row are dropped).
+  *
+  * Spark has no built-in ASOF join. A naive range-join + per-left-row argmax
+  * explodes row counts quadratically in skewed keys. This implementation uses
+  * the union + running-`last` pattern instead: one shuffle on the key, one
+  * sort per partition, zero row amplification — it scales linearly at 100 TB
+  * because it is a single window over `(key ORDER BY ts, side)`.
+  *
+  * Tie rules (pinned so the DuckDB `ASOF JOIN` / max_by oracle agrees):
+  *  - `right.ts == left.ts` matches (inclusive), because right rows sort
+  *    before left rows at equal ts.
+  *  - duplicate right timestamps: the one greatest by `rightTieBreak` wins
+  *    (it sorts last, and the running `last` picks it up).
+  */
+object AsOfJoin {
+
+  /** @param keys          equi-join key column names (present on both sides)
+    * @param leftTs        event-time column on `left`
+    * @param rightTs       event-time column on `right`
+    * @param rightPayload  right columns to carry onto matched left rows
+    *                      (emitted with their own names; must not collide
+    *                      with left column names)
+    * @param rightTieBreak column ordering duplicate right timestamps;
+    *                      greatest value wins
+    */
+  def asof(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      rightTieBreak: Seq[String] = Nil): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val payloadStruct = struct((rightTs +: rightPayload).distinct.map(col): _*)
+
+    val taggedRight = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("__ts"),
+        lit(0).as("__side"),
+        payloadStruct.as("__rpay")) ++
+        rightTieBreak.zipWithIndex.map { case (c, i) => col(c).as(s"__tie$i") }: _*)
+
+    val tieNulls =
+      rightTieBreak.indices.map(i => lit(null).cast(taggedRight.schema(s"__tie$i").dataType).as(s"__tie$i"))
+    val taggedLeft = left.select(
+      leftCols.map(col) ++ Seq(
+        col(leftTs).as("__ts"),
+        lit(1).as("__side"),
+        lit(null).cast(taggedRight.schema("__rpay").dataType).as("__rpay")) ++ tieNulls: _*)
+
+    // unionByName aligns the two shapes; missing left columns on the right
+    // side become NULL (never read back for right rows).
+    val unioned = taggedRight.unionByName(taggedLeft, allowMissingColumns = true)
+
+    // Right rows (side=0) sort before left rows (side=1) at equal ts →
+    // inclusive `<=`; among equal right ts the greatest tie-break sorts last.
+    val ord: Seq[Column] =
+      col("__ts").asc +: col("__side").asc +: rightTieBreak.indices.map(i => col(s"__tie$i").asc)
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = unioned
+      .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1 && col("__match").isNotNull)
+
+    val out = leftCols.map(col) ++
+      (rightTs +: rightPayload).distinct.map(c => col(s"__match.$c").as(c))
+    matched.select(out: _*)
+  }
+}
