@@ -1,8 +1,154 @@
 package graft.queries
 
-import graft.GQuery
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GQuery, Tables}
+import graft.functions.VectorOps
 
-/** T26–T29 (SURVEY.md §2.7): scalar function families vs the oracle. */
+/** T26–T29 (SURVEY.md §2.7): scalar function families (string / date / math /
+  * array) hash-matched vs the DuckDB oracle, with the documented name/arg
+  * rewrites (instr⇄strpos, datediff⇄date_diff reversed args, ln, pmod). */
 object FunctionQueries {
-  def all: Seq[GQuery] = Seq.empty
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  val t26 = GQuery(
+    "t26_strings",
+    (s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          split(col("p_name"), " ").getItem(0).as("first_token"),
+          upper(col("p_name")).as("upper_name"),
+          length(col("p_name")).as("name_len"),
+          regexp_extract(col("p_name"), "(\\w+)$", 1).as("last_word"),
+          lpad(col("p_brand"), 12, "#").as("padded_brand"),
+          expr("replace(p_type, ' ', '_')").as("type_snake"),
+          instr(col("p_type"), "a").as("a_pos"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+          substring(col("p_name"), 1, 5).as("name5"),
+          col("p_name").startsWith("a").as("starts_a"),
+          col("p_name").endsWith("e").as("ends_e"))
+        .orderBy(col("p_partkey"))
+        .limit(200),
+    Some("""SELECT p_partkey,
+      string_split(p_name, ' ')[1] AS first_token,
+      upper(p_name) AS upper_name,
+      CAST(length(p_name) AS INTEGER) AS name_len,
+      regexp_extract(p_name, '(\w+)$', 1) AS last_word,
+      lpad(p_brand, 12, '#') AS padded_brand,
+      replace(p_type, ' ', '_') AS type_snake,
+      CAST(strpos(p_type, 'a') AS INTEGER) AS a_pos,
+      concat_ws('-', p_brand, p_type) AS brand_type,
+      substring(p_name, 1, 5) AS name5,
+      (p_name LIKE 'a%') AS starts_a,
+      (p_name LIKE '%e') AS ends_e
+      FROM part ORDER BY p_partkey LIMIT 200"""))
+
+  val t27 = GQuery(
+    "t27_dates",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.select(
+          year(col("o_orderdate")).as("yr"),
+          quarter(col("o_orderdate")).as("qtr"),
+          month(col("o_orderdate")).as("mo"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          date_add(col("o_orderdate").cast("date"), 30).as("plus30"))
+        .groupBy(col("yr"), col("qtr"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          countDistinct(col("mo")).as("n_months"),
+          min(col("days_since")).as("min_days"),
+          max(col("days_since")).as("max_days"),
+          min(col("epoch_s")).as("min_epoch"),
+          min(col("plus30")).as("min_plus30"))
+        .orderBy(col("yr"), col("qtr"))
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+      count(*) AS cnt,
+      count(DISTINCT month(o_orderdate)) AS n_months,
+      CAST(min(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS INTEGER) AS min_days,
+      CAST(max(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS INTEGER) AS max_days,
+      CAST(min(epoch(o_orderdate)) AS BIGINT) AS min_epoch,
+      min(CAST(o_orderdate AS DATE) + 30) AS min_plus30
+      FROM orders GROUP BY 1, 2 ORDER BY yr, qtr"""))
+
+  val t28 = GQuery(
+    "t28_math",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(sqrt(col("l_extendedprice")), 4).as("sqrt_price"),
+          round(pow(lit(1) + col("l_discount"), 3), 6).as("pow_disc"),
+          round(log(col("l_extendedprice")), 6).as("ln_price"),
+          round(exp(col("l_discount")), 6).as("exp_disc"),
+          abs(col("l_quantity") - 25).as("abs_qty"),
+          ceil(col("l_extendedprice") / 1000).as("ceil_k"),
+          floor(col("l_extendedprice") / 1000).as("floor_k"),
+          signum(col("l_quantity") - lit(25.0)).as("sgn"),
+          greatest(col("l_quantity"), col("l_discount") * 100).as("gr"),
+          least(col("l_quantity"), col("l_tax") * 100).as("le"),
+          pmod(col("l_orderkey"), lit(7)).as("pm7"),
+          col("l_quantity").cast("int").as("qty_int"),
+          col("l_orderkey").cast("string").as("key_str"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(100),
+    Some("""SELECT l_orderkey, l_linenumber,
+      round(sqrt(l_extendedprice), 4) AS sqrt_price,
+      round(pow(1 + l_discount, 3), 6) AS pow_disc,
+      round(ln(l_extendedprice), 6) AS ln_price,
+      round(exp(l_discount), 6) AS exp_disc,
+      abs(l_quantity - 25) AS abs_qty,
+      CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS ceil_k,
+      CAST(floor(l_extendedprice / 1000) AS BIGINT) AS floor_k,
+      CAST(sign(l_quantity - 25.0) AS DOUBLE) AS sgn,
+      greatest(l_quantity, l_discount * 100) AS gr,
+      least(l_quantity, l_tax * 100) AS le,
+      CAST(((l_orderkey % 7) + 7) % 7 AS BIGINT) AS pm7,
+      CAST(l_quantity AS INTEGER) AS qty_int,
+      CAST(l_orderkey AS VARCHAR) AS key_str
+      FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100"""))
+
+  val t29 = GQuery(
+    "t29_arrays",
+    (s, dir) => {
+      val v = VectorOps.asDouble(col("embedding"))
+      t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(sqrt(VectorOps.norm2(v)), 4).as("l2"),
+          size(filter(v, x => x > 0)).as("n_pos"),
+          round(element_at(v, 1), 6).as("first_val"),
+          round(aggregate(slice(v, 1, 8), lit(0.0), (a, x) => a + x), 6).as("sum8"),
+          round(array_min(v), 6).as("mn"),
+          round(array_max(v), 6).as("mx"))
+        .orderBy(col("vec_id"))
+        .limit(100)
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      SELECT vec_id, CAST(len(v) AS INTEGER) AS dim,
+      round(sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)), 4) AS l2,
+      CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_pos,
+      round(v[1], 6) AS first_val,
+      round(list_reduce(v[1:8], (a, b) -> a + b), 6) AS sum8,
+      round(list_min(v), 6) AS mn,
+      round(list_max(v), 6) AS mx
+      FROM e ORDER BY vec_id LIMIT 100"""))
+
+  val t29explode = GQuery(
+    "t29_explode",
+    (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(explode(VectorOps.asDouble(col("embedding"))).as("x"))
+        .where(col("x") > 0.5)
+        .agg(count(lit(1)).as("n")),
+    Some("""SELECT count(*) AS n FROM
+      (SELECT unnest(embedding::DOUBLE[]) AS x FROM embeddings) WHERE x > 0.5"""))
+
+  def all: Seq[GQuery] = Seq(t26, t27, t28, t29, t29explode)
 }

@@ -1,9 +1,341 @@
 package graft.queries
 
-import graft.GQuery
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GQuery, Tables}
 
-/** T4–T25 (SURVEY.md §2.2–2.6): predicates, joins, aggregation, windows,
-  * sort/limit/set ops. Filled in incrementally. */
+/** T4–T25 (SURVEY.md §2.2–2.6): predicates, join semantics, aggregation,
+  * window functions, sort/limit/set ops — each hash-matched vs DuckDB. */
 object RelationalQueries {
-  def all: Seq[GQuery] = Seq.empty
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  val t4 = GQuery(
+    "t4_predicates",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+          col("o_totalprice").between(1000, 50000) &&
+          col("o_orderstatus") =!= "P")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+        .limit(50),
+    Some("""SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders
+      WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+        AND o_totalprice BETWEEN 1000 AND 50000
+        AND o_orderstatus <> 'P'
+      ORDER BY o_orderkey LIMIT 50"""))
+
+  private val bandExpr =
+    when(col("c_acctbal") < 0, "neg")
+      .when(col("c_acctbal") < 2500, "low")
+      .when(col("c_acctbal") < 5000, "mid")
+      .when(col("c_acctbal") < 7500, "high")
+      .otherwise("top")
+
+  val t5 = GQuery(
+    "t5_case_bands",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(bandExpr.as("band"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .orderBy(col("band")),
+    Some("""SELECT CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 2500 THEN 'low'
+        WHEN c_acctbal < 5000 THEN 'mid' WHEN c_acctbal < 7500 THEN 'high' ELSE 'top' END AS band,
+      count(*) AS cnt, round(sum(c_acctbal), 2) AS total_bal
+      FROM customer GROUP BY 1 ORDER BY band"""))
+
+  val t6 = GQuery(
+    "t6_outer_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val lj = c.join(o, col("o_custkey") === col("c_custkey"), "left")
+        .where(col("o_orderkey").isNull)
+        .agg(count(lit(1)).as("left_join_no_orders"))
+      val rj = o.join(c, col("o_custkey") === col("c_custkey"), "right")
+        .where(col("o_orderkey").isNull)
+        .agg(count(lit(1)).as("right_join_no_orders"))
+      lj.crossJoin(rj)
+    },
+    Some("""SELECT
+      (SELECT count(*) FROM customer LEFT JOIN orders ON o_custkey = c_custkey WHERE o_orderkey IS NULL) AS left_join_no_orders,
+      (SELECT count(*) FROM orders RIGHT JOIN customer ON o_custkey = c_custkey WHERE o_orderkey IS NULL) AS right_join_no_orders"""))
+
+  val t7 = GQuery(
+    "t7_full_outer",
+    (s, dir) => {
+      val ck = t(s, dir, "customer").select(col("c_custkey").as("ck")).distinct()
+      val ok = t(s, dir, "orders").select(col("o_custkey").as("ok")).distinct()
+      ck.join(ok, col("ck") === col("ok"), "full")
+        .agg(
+          sum(when(col("ck").isNotNull && col("ok").isNotNull, 1).otherwise(0)).as("matched"),
+          sum(when(col("ok").isNull, 1).otherwise(0)).as("customer_only"),
+          sum(when(col("ck").isNull, 1).otherwise(0)).as("order_only"))
+    },
+    Some("""SELECT
+      CAST(sum(CASE WHEN ck IS NOT NULL AND ok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+      CAST(sum(CASE WHEN ok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS customer_only,
+      CAST(sum(CASE WHEN ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS order_only
+      FROM (SELECT DISTINCT c_custkey AS ck FROM customer) c
+      FULL JOIN (SELECT DISTINCT o_custkey AS ok FROM orders) o ON ck = ok"""))
+
+  val t8 = GQuery(
+    "t8_theta_join",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"),
+          col("l_partkey") === col("p_partkey") && col("l_quantity") > col("p_size"))
+        .agg(count(lit(1)).as("pairs")),
+    Some("""SELECT count(*) AS pairs FROM lineitem JOIN part
+      ON l_partkey = p_partkey AND l_quantity > p_size"""))
+
+  val t9 = GQuery(
+    "t9_broadcast_join",
+    (s, dir) => {
+      val revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(revenue), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    // Must hash-match B2 (same semantics, explicit broadcast hints).
+    BenchQueries.b2.oracle)
+
+  val t10 = GQuery(
+    "t10_interval_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val e1 = ev.select(col("user_id").as("u1"), col("us").as("us1"))
+      val e2 = ev.select(col("user_id").as("u2"), col("us").as("us2"))
+      e1.join(e2, col("u1") === col("u2") && col("us2") > col("us1") &&
+          col("us2") <= col("us1") + lit(300000000L))
+        .agg(count(lit(1)).as("pairs"))
+    },
+    Some("""SELECT count(*) AS pairs FROM
+      (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us1 FROM events) e1
+      JOIN (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us2 FROM events) e2
+      ON e1.user_id = e2.user_id AND us2 > us1 AND us2 <= us1 + 300000000"""))
+
+  val t11 = GQuery(
+    "t11_cube",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  val t12 = GQuery(
+    "t12_grouping_sets",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, CAST(grouping_id() AS BIGINT) AS gid, count(*) AS cnt
+        FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority,
+      CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid, count(*) AS cnt
+      FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
+  val t13 = GQuery(
+    "t13_having",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") > 100)
+        .orderBy(col("c_mktsegment")),
+    Some("""SELECT c_mktsegment, count(*) AS cnt FROM customer
+      GROUP BY c_mktsegment HAVING count(*) > 100 ORDER BY c_mktsegment"""))
+
+  val t14 = GQuery(
+    "t14_distinct",
+    (s, dir) =>
+      t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  val t15 = GQuery(
+    "t15_max_by",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(max_by(col("c_name"), struct(col("c_acctbal"), -col("c_custkey"))).as("top_name"),
+          round(max(col("c_acctbal")), 2).as("top_bal"))
+        .orderBy(col("c_mktsegment")),
+    Some("""SELECT c_mktsegment, top_name, round(top_bal, 2) AS top_bal FROM (
+      SELECT c_mktsegment, c_name AS top_name,
+             max(c_acctbal) OVER (PARTITION BY c_mktsegment) AS top_bal,
+             row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer) WHERE rn = 1 ORDER BY c_mktsegment"""))
+
+  val t16 = GQuery(
+    "t16_percentiles",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price"))
+        .orderBy(col("o_orderstatus")),
+    Some("""SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+      round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  val t17 = GQuery(
+    "t17_collect_set",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(concat_ws(",", array_sort(collect_set(col("event_type")))).as("types"))
+        .orderBy(col("user_id"))
+        .limit(50),
+    Some("""SELECT user_id, array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types
+      FROM events GROUP BY user_id ORDER BY user_id LIMIT 50"""))
+
+  val t18 = GQuery(
+    "t18_rank",
+    (s, dir) => {
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc)
+      t(s, dir, "part")
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+        .orderBy(col("p_brand"), col("rnk"), col("p_partkey"))
+        .limit(100)
+    },
+    Some("""SELECT p_brand, p_partkey, p_retailprice,
+      rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk,
+      dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS drnk
+      FROM part ORDER BY p_brand, rnk, p_partkey LIMIT 100"""))
+
+  val t19 = GQuery(
+    "t19_ntile",
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_acctbal"), ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 4).as("pr"))
+        .groupBy(col("c_mktsegment"), col("quartile"))
+        .agg(count(lit(1)).as("cnt"), round(min(col("c_acctbal")), 2).as("min_bal"),
+          round(max(col("c_acctbal")), 2).as("max_bal"), round(max(col("pr")), 4).as("max_pr"))
+        .orderBy(col("c_mktsegment"), col("quartile"))
+    },
+    Some("""SELECT c_mktsegment, quartile, count(*) AS cnt,
+      round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal,
+      round(max(pr), 4) AS max_pr
+      FROM (SELECT c_mktsegment, c_acctbal,
+              ntile(4) OVER w AS quartile, round(percent_rank() OVER w, 4) AS pr
+            FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey))
+      GROUP BY c_mktsegment, quartile ORDER BY c_mktsegment, quartile"""))
+
+  val t20 = GQuery(
+    "t20_first_last",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .select(col("user_id"),
+          first(col("event_type")).over(w).as("first_type"),
+          last(col("event_type")).over(w).as("last_type"))
+        .distinct()
+        .orderBy(col("user_id"))
+        .limit(100)
+    },
+    Some("""SELECT DISTINCT user_id,
+      first_value(event_type) OVER w AS first_type,
+      last_value(event_type) OVER w AS last_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY user_id LIMIT 100"""))
+
+  val t21 = GQuery(
+    "t21_moving_avg",
+    (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(round(sum(col("o_totalprice")), 2).as("day_total"))
+      val w = Window.orderBy(col("day")).rowsBetween(-2, 0)
+      daily.select(col("day"), col("day_total"),
+          round(avg(col("day_total")).over(w), 2).as("ma3"))
+        .orderBy(col("day"))
+        .limit(200)
+    },
+    Some("""SELECT day, day_total,
+      round(avg(day_total) OVER (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS ma3
+      FROM (SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+                   round(sum(o_totalprice), 2) AS day_total
+            FROM orders GROUP BY 1)
+      ORDER BY day LIMIT 200"""))
+
+  val t22 = GQuery(
+    "t22_range_frame",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .select(col("user_id"), col("event_id"), count(lit(1)).over(w).as("events_last_hour"))
+        .orderBy(col("user_id"), col("event_id"))
+        .limit(200)
+    },
+    Some("""SELECT user_id, event_id,
+      count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS events_last_hour
+      FROM events ORDER BY user_id, event_id LIMIT 200"""))
+
+  val t23 = GQuery(
+    "t23_offset",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+        .offset(100)
+        .limit(50),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_orderkey LIMIT 50 OFFSET 100"""))
+
+  val t24 = GQuery(
+    "t24_union",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.where(col("o_totalprice") < 150000).select(col("o_orderkey"))
+      val b = o.where(col("o_totalprice") > 50000).select(col("o_orderkey"))
+      val ua = a.unionAll(b).agg(count(lit(1)).as("union_all_cnt"))
+      val ud = a.union(b).distinct().agg(count(lit(1)).as("union_distinct_cnt"))
+      ua.crossJoin(ud)
+    },
+    Some("""SELECT
+      (SELECT count(*) FROM (SELECT o_orderkey FROM orders WHERE o_totalprice < 150000
+        UNION ALL SELECT o_orderkey FROM orders WHERE o_totalprice > 50000) t) AS union_all_cnt,
+      (SELECT count(*) FROM (SELECT o_orderkey FROM orders WHERE o_totalprice < 150000
+        UNION SELECT o_orderkey FROM orders WHERE o_totalprice > 50000) t) AS union_distinct_cnt"""))
+
+  val t25 = GQuery(
+    "t25_except",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.where(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .except(o.where(col("o_orderstatus") === "F").select(col("o_custkey")))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""SELECT count(*) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t"""))
+
+  def all: Seq[GQuery] = Seq(t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14,
+    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25)
 }
