@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for LLM-data pipelines (SURVEY.md §2.10):
+  * tokenization, shingling, quality scoring, language-ID heuristic,
+  * fingerprinting. All pure Column expressions (codegen-friendly, no UDFs)
+  * so they stay inside whole-stage codegen at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (matches DuckDB `string_split(text, ' ')`). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish regex token count: word runs, digit runs, or single
+    * non-space punctuation — the standard pre-tokenizer shape. */
+  val bpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def regexTokenCount(text: Column): Column = regexp_count(text, lit(bpeishPattern))
+
+  /** Distinct word n-gram shingles of `text` tokens; empty array when the
+    * document has fewer than n tokens (guards `sequence`'s descending-range
+    * behavior on negative spans). */
+  def shingles(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    val make = transform(
+      sequence(lit(0), size(w) - n),
+      i => concat_ws(" ", (1 to n).map(o => element_at(w, i + o)): _*))
+    when(size(w) >= n, array_distinct(make)).otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact word-shingle Jaccard similarity between two shingle arrays
+    * (double division, mirrored by the DuckDB oracle). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  /** Content fingerprint: minimum md5 over 3-gram shingles (1-permutation
+    * MinHash / winnowing-lite). Identical and near-identical prefixed docs
+    * collide; cross-engine checkable because md5 is common. */
+  def fingerprint(text: Column): Column = {
+    val sh = shingles(text, 3)
+    when(size(sh) > 0, array_min(transform(sh, s => md5(s)))).otherwise(md5(text))
+  }
+
+  /** Stopword hit count: tokens ∈ `words` (with multiplicity). */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit): _*)))
+
+  /** Quality score in [0,1]: blend of length band, mean token length band,
+    * and stopword ratio — the standard heuristic pre-filter shape for
+    * training-data pipelines. Pure arithmetic; mirrored in the oracle. */
+  def qualityScore(text: Column, nChars: Column, stopwords: Seq[String]): Column = {
+    val nTok = size(tokens(text)).cast("double")
+    val meanLen = (nChars.cast("double") - (nTok - 1)) / nTok // chars sans separators
+    val stopRatio = stopwordHits(text, stopwords).cast("double") / nTok
+    val lenOk = when(nTok.between(20, 2000), 1.0).otherwise(0.0)
+    val meanOk = when(meanLen.between(2.0, 12.0), 1.0).otherwise(0.0)
+    (lenOk * lit(0.4)) + (meanOk * lit(0.3)) + (stopRatio * lit(0.3))
+  }
+
+  /** Language-ID heuristic: argmax of per-language marker-word hit counts,
+    * ties broken by language code order. 'und' when nothing matches. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "that"),
+    "es" -> Seq("el", "la", "de", "y", "es", "que", "en", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "que", "dans", "un"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5", "zai4", "you3", "he2", "wo3"))
+
+  def langGuess(text: Column): Column = {
+    val scored = langMarkers.map { case (code, words) => (lit(code), stopwordHits(text, words)) }
+    // strictly-greater comparison on a fixed scan order = argmax with ties
+    // broken by language-code order; the oracle mirrors the CASE chain.
+    val (bestCode, _) = scored.reduceLeft[(Column, Column)] { case ((bc, bs), (c, sc)) =>
+      (when(sc > bs, c).otherwise(bc), when(sc > bs, sc).otherwise(bs))
+    }
+    val anyHit = scored.map(_._2).reduce(_ + _) > 0
+    when(anyHit, bestCode).otherwise(lit("und"))
+  }
+}

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2.10).
+  *
+  * Scale design (100 TB): every path below is a groupBy/join on a hash-
+  * derived key — shuffle-partitioned, spill-safe, no driver-side state.
+  * The MinHash path is the sub-quadratic alternative to the O(n²)
+  * brute-force pair join: candidate generation touches only documents that
+  * share an LSH band bucket.
+  */
+object Dedup {
+
+  /** Exact dedup: one representative row per distinct `textCol` content
+    * (hash-groupBy; at 100 TB use the md5 variant below to dedupe on a
+    * 16-byte key instead of shuffling full documents). */
+  def dropExactDuplicates(df: DataFrame, textCol: String): DataFrame =
+    df.dropDuplicates(textCol)
+
+  /** Exact-dup statistics on the content hash. */
+  def exactDupStats(df: DataFrame, textCol: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("total_docs"),
+      countDistinct(md5(col(textCol))).as("distinct_docs"))
+
+  /** MinHash signature: `numHashes` permutations simulated by seeded
+    * xxhash64 over distinct n-gram shingles (deterministic across runs). */
+  def minhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 128): DataFrame = {
+    val withSh = df.select(col(idCol), TextFunctions.shingles(col(textCol), shingleN).as("__sh"))
+    val exploded = withSh.where(size(col("__sh")) > 0)
+      .select(col(idCol), explode(col("__sh")).as("__s"))
+    val minExprs = (0 until numHashes).map(i => min(xxhash64(col("__s"), lit(i))).as(s"h$i"))
+    exploded.groupBy(col(idCol))
+      .agg(minExprs.head, minExprs.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("minhash"))
+  }
+
+  /** LSH banding: emit (id, band index, band hash) — docs sharing any band
+    * bucket are candidate pairs. bands*rowsPerBand must equal the signature
+    * length. With rowsPerBand=2, bands=64 a Jaccard-0.8 pair is missed with
+    * probability (1-0.8²)^64 ≈ 5e-14 — effectively total recall. */
+  def lshBands(sig: DataFrame, idCol: String, rowsPerBand: Int, bands: Int): DataFrame =
+    sig.select(
+      col(idCol),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          j => {
+            val parts = (0 until rowsPerBand).map(r => element_at(col("minhash"), j * rowsPerBand + r + 1))
+            xxhash64(parts :+ (j: Column): _*)
+          })))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+
+  /** Candidate pairs (a < b) from shared LSH buckets, then exact-Jaccard
+    * verified against `threshold`. Returns (id_a, id_b, jaccard). */
+  def minhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleN: Int = 3,
+      numHashes: Int = 128,
+      rowsPerBand: Int = 2): DataFrame = {
+    val bands = numHashes / rowsPerBand
+    val sig = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
+    val bd = lshBands(sig, idCol, rowsPerBand, bands)
+    val a = bd.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
+    val b = bd.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
+    val cand = a.join(b, Seq("band", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val sh = df.select(col(idCol), TextFunctions.shingles(col(textCol), shingleN).as("__sh"))
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"), TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Brute-force n-gram Jaccard pairs ≥ threshold (the oracle-shaped O(n²)
+    * path; block-partitioned at scale, superseded by MinHash above). */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double, shingleN: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol), TextFunctions.shingles(col(textCol), shingleN).as("__sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a"))
+    val b = sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** 48-bit SimHash over tokens (with multiplicity), built from md5 hex
+    * digits so the DuckDB oracle can reproduce it bit-for-bit (no common
+    * 64-bit hash exists across the engines; 48 bits stay exact in doubles).
+    *
+    * bit j of token t = bit (3 - j%4) of hex digit j/4 of md5(t);
+    * simhash bit j = 1 iff Σ_tokens (2·bit−1) > 0.
+    */
+  def simhash48(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .withColumn("__h", md5(col("__t")))
+    val bits = toks.select(
+      col(idCol), col("__h"),
+      explode(sequence(lit(0), lit(47))).as("j"))
+    val hexVal = expr("instr('0123456789abcdef', substring(__h, CAST(j / 4 AS INT) + 1, 1)) - 1")
+    val bit = floor(hexVal / pow(lit(2.0), lit(3) - pmod(col("j"), lit(4)))).cast("long") % 2
+    bits
+      .withColumn("__vote", bit * 2 - 1)
+      .groupBy(col(idCol), col("j"))
+      .agg(sum(col("__vote")).as("__v"))
+      .withColumn("__bit", when(col("__v") > 0, 1.0).otherwise(0.0))
+      .groupBy(col(idCol))
+      .agg(sum(col("__bit") * pow(lit(2.0), col("j"))).cast("long").as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: hamming distance ≤ maxHamming on the 48-bit
+    * fingerprint. At 100 TB: pre-bucket on 4 × 12-bit chunks (any pair
+    * within hamming 3 shares a chunk) instead of the full O(n²) join. */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
+    val sh = simhash48(df, idCol, textCol)
+    val a = sh.select(col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val b = sh.select(col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup: pairs with cosine ≥ threshold (brute force with
+    * precomputed norms; LSH/IVF variants in [[Similarity]] are the scale
+    * path). */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    import graft.functions.VectorOps
+    val e = df.select(col(idCol), VectorOps.asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", VectorOps.norm(col("__v")))
+    val a = e.select(col(idCol).as("id_a"), col("__v").as("va"), col("__n").as("na"))
+    val b = e.select(col(idCol).as("id_b"), col("__v").as("vb"), col("__n").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

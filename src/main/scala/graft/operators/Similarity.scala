@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §2.10 L3).
+  *
+  * Three tiers:
+  *  - [[bruteForceTopK]]: exact, O(n·m) pairs — the correctness baseline and
+  *    oracle shape. At scale: broadcast the smaller side, block-partition.
+  *  - [[lshTopK]]: random-hyperplane LSH — candidates limited to the query's
+  *    bucket, sub-linear probe cost, recall < 1 (measured in tests).
+  *  - [[ivfTopK]]: inverted-file with coarse centroids — probe the nProbe
+  *    nearest cells only; the standard billion-scale layout.
+  */
+object Similarity {
+
+  private def prepared(df: DataFrame, idCol: String, vecCol: String, prefix: String): DataFrame =
+    df.select(col(idCol).as(s"${prefix}_id"), VectorOps.asDouble(col(vecCol)).as(s"${prefix}v"))
+      .withColumn(s"${prefix}n", VectorOps.norm(col(s"${prefix}v")))
+
+  /** Exact top-k cosine neighbors for each row of `queries` against `corpus`
+    * (self-search when `queries eq corpus`; self-matches excluded). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = prepared(queries, idCol, vecCol, "q")
+    val c = prepared(corpus, idCol, vecCol, "c")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id").asc)
+    q.join(broadcast(c), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id").as("vec_id"), col("rank"), col("c_id").as("nn_id"), col("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane weight in [-1, 1): seeded by
+    * (plane, dim) through xxhash64 — reproducible across runs/cluster sizes. */
+  private def planeWeight(p: Column, d: Column): Column =
+    (pmod(xxhash64(lit("graft-lsh-plane"), p, d), lit(2000000)).cast("double") / 1000000.0) - 1.0
+
+  /** Bucket id = sign bits of the vector against `nPlanes` hyperplanes. */
+  def lshBucket(vec: Column, nPlanes: Int): Column = {
+    val bitVals = transform(
+      sequence(lit(0), lit(nPlanes - 1)),
+      p => {
+        val dotP = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) => x * planeWeight(p, d)),
+          lit(0.0), (acc, x) => acc + x)
+        when(dotP >= 0, pow(lit(2.0), p)).otherwise(lit(0.0))
+      })
+    aggregate(bitVals, lit(0.0), (acc, x) => acc + x).cast("long")
+  }
+
+  /** ANN via hyperplane LSH: exact cosine re-rank within the query's bucket.
+    * Sub-quadratic: the pair join is equi on bucket id. Recall measured vs
+    * [[bruteForceTopK]] in the test suite (not oracle-checked — approximate
+    * by design). */
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
+    val e = prepared(corpus, idCol, vecCol, "q")
+      .withColumn("bucket", lshBucket(col("qv"), nPlanes))
+    val a = e.select(col("q_id"), col("qv"), col("qn"), col("bucket"))
+    val b = e.select(col("q_id").as("c_id"), col("qv").as("cv"), col("qn").as("cn"), col("bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id").asc)
+    a.join(b, Seq("bucket"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id").as("vec_id"), col("rank"), col("c_id").as("nn_id"), col("cosine"))
+  }
+
+  /** Elementwise mean vector per cell key (posexplode → avg → re-assemble;
+    * one shuffle on (key, pos), one on key). */
+  def centroids(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
+    df.select(col(keyCol), posexplode(VectorOps.asDouble(col(vecCol))))
+      .groupBy(col(keyCol), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col(keyCol), transform(col("pm"), x => x.getField("m")).as("centroid"))
+
+  /** IVF-style ANN: assign vectors to cells (here: the `cellCol` key), probe
+    * the `nProbe` cells whose centroids are nearest the query, exact re-rank
+    * within probed cells. */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String, cellCol: String,
+      k: Int, nProbe: Int = 2): DataFrame = {
+    val cents = centroids(corpus, cellCol, vecCol)
+      .select(col(cellCol).as("cell"), col("centroid"))
+      .withColumn("cent_n", VectorOps.norm(col("centroid")))
+    val q = prepared(corpus, idCol, vecCol, "q")
+    val wCell = Window.partitionBy(col("q_id")).orderBy(col("cell_cos").desc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qv"), col("qn"), col("cell"),
+        (VectorOps.dot(col("qv"), col("centroid")) / (col("qn") * col("cent_n"))).as("cell_cos"))
+      .withColumn("cr", row_number().over(wCell))
+      .where(col("cr") <= nProbe)
+      .select(col("q_id"), col("qv"), col("qn"), col("cell"))
+    val members = prepared(corpus, idCol, vecCol, "c")
+      .join(corpus.select(col(idCol).as("c_id"), col(cellCol).as("cell")), "c_id")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id").asc)
+    probes.join(members, Seq("cell"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id").as("vec_id"), col("rank"), col("c_id").as("nn_id"), col("cosine"))
+  }
+}

@@ -1,10 +1,264 @@
 package graft.queries
 
-import graft.GQuery
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GQuery, Tables}
+import graft.functions.{TextFunctions, VectorOps}
+import graft.operators.{Dedup, Similarity}
 
 /** L1–L7 + extended LLM-pipeline ops (SURVEY.md §2.10): dedup (exact,
-  * MinHash, SimHash, n-gram Jaccard, embedding), similarity search, text
-  * analysis (lang-id, quality, tokens, fingerprints), multimodal. */
+  * MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine), similarity
+  * search (brute force / LSH / IVF), text analysis (lang-id, quality,
+  * token counting, fingerprints), multimodal join. */
 object LlmQueries {
-  def all: Seq[GQuery] = Seq.empty
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  // Shared oracle CTE: distinct 3-gram shingles per document.
+  private val shingleCte =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (SELECT doc_id,
+        CASE WHEN len(w) >= 3
+          THEN list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+          ELSE [] END AS s
+        FROM d)"""
+
+  val l1 = GQuery(
+    "l1_exact_dedup",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val kept = Dedup.dropExactDuplicates(d, "text").agg(count(lit(1)).as("kept_docs"))
+      d.agg(count(lit(1)).as("total_docs")).crossJoin(kept)
+    },
+    Some("""SELECT (SELECT count(*) FROM documents) AS total_docs,
+      (SELECT count(DISTINCT text) FROM documents) AS kept_docs"""))
+
+  val l2 = GQuery(
+    "l2_minhash_pairs",
+    (s, dir) =>
+      Dedup.minhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b")),
+    Some(s"""$shingleCte
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+      ORDER BY id_a, id_b"""))
+
+  val l2brute = GQuery(
+    "l2_jaccard_brute",
+    (s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b")),
+    l2.oracle)
+
+  private val simhashCte =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+      h AS (SELECT doc_id, md5(tk) AS hx FROM toks),
+      bits AS (SELECT doc_id, j,
+          CAST(floor((strpos('0123456789abcdef', substring(hx, CAST(floor(j / 4) AS INT) + 1, 1)) - 1)
+               / pow(2, 3 - (j % 4))) AS BIGINT) % 2 AS bit
+        FROM h CROSS JOIN (SELECT unnest(range(0, 48)) AS j) js),
+      votes AS (SELECT doc_id, j, sum(bit * 2 - 1) AS v FROM bits GROUP BY doc_id, j),
+      simh AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN pow(2, j) ELSE 0 END) AS BIGINT) AS simhash
+               FROM votes GROUP BY doc_id)"""
+
+  val l2simhash = GQuery(
+    "l2_simhash",
+    (s, dir) =>
+      Dedup.simhash48(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+        .limit(50),
+    Some(s"$simhashCte SELECT doc_id, simhash FROM simh ORDER BY doc_id LIMIT 50"))
+
+  val l2simhashPairs = GQuery(
+    "l2_simhash_pairs",
+    (s, dir) =>
+      Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+        .agg(count(lit(1)).as("n_pairs")),
+    Some(s"""$simhashCte
+      SELECT count(*) AS n_pairs FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 8"""))
+
+  val l2embedding = GQuery(
+    "l2_embedding_neardup",
+    (s, dir) =>
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.9)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.9
+      ORDER BY id_a, id_b"""))
+
+  val l3 = GQuery(
+    "l3_ann_brute_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .select(col("vec_id"), col("rank"), col("nn_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("vec_id"), col("rank"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      pairs AS (SELECT q.vec_id, c.vec_id AS nn_id,
+          list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+        FROM n q JOIN n c ON q.vec_id <> c.vec_id WHERE q.vec_id < 10),
+      ranked AS (SELECT vec_id, nn_id, cosine,
+          row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nn_id) AS rank
+        FROM pairs)
+      SELECT vec_id, rank, nn_id, round(cosine, 4) AS cosine
+      FROM ranked WHERE rank <= 5 ORDER BY vec_id, rank"""))
+
+  // Approximate by design → rows-only check; recall vs brute force is
+  // asserted in the ScalaTest suite.
+  val l3lsh = GQuery(
+    "l3_ann_lsh_topk",
+    (s, dir) =>
+      Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 3)
+        .select(col("vec_id"), col("rank"), col("nn_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("vec_id"), col("rank")),
+    None)
+
+  val l3ivf = GQuery(
+    "l3_ann_ivf_topk",
+    (s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", "label", k = 3)
+        .select(col("vec_id"), col("rank"), col("nn_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("vec_id"), col("rank")),
+    None)
+
+  val l5 = GQuery(
+    "l5_tfidf",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val toks = d.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tk"))
+      val tf = toks.groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
+      val dfreq = toks.select(col("doc_id"), col("tk")).distinct()
+        .groupBy(col("tk")).agg(count(lit(1)).as("dfreq"))
+      val n = d.agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tk").asc)
+      tf.join(dfreq, "tk").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("tk"),
+          (col("tf") * (log((col("n") + 1.0) / (col("dfreq") + 1.0)) + 1.0)).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3 && col("doc_id") < 20)
+        .select(col("doc_id"), col("rank"), col("tk"), round(col("score"), 6).as("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+      tf AS (SELECT doc_id, tk, count(*) AS tf FROM toks GROUP BY doc_id, tk),
+      dfq AS (SELECT tk, count(DISTINCT doc_id) AS dfreq FROM toks GROUP BY tk),
+      n AS (SELECT count(*) AS n FROM documents),
+      scored AS (SELECT doc_id, tf.tk AS tk, tf * (ln((n + 1.0) / (dfreq + 1.0)) + 1.0) AS score
+        FROM tf JOIN dfq ON tf.tk = dfq.tk CROSS JOIN n),
+      ranked AS (SELECT doc_id, tk, score,
+          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tk) AS rank
+        FROM scored)
+      SELECT doc_id, rank, tk, round(score, 6) AS score
+      FROM ranked WHERE rank <= 3 AND doc_id < 20 ORDER BY doc_id, rank"""))
+
+  private val enStop = Seq("the", "a", "of", "and", "is", "to", "in", "that")
+  private val enStopSql = enStop.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val l6 = GQuery(
+    "l6_quality",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(TextFunctions.tokens(col("text"))).as("n_tokens"),
+          round(TextFunctions.qualityScore(col("text"), col("n_chars"), enStop), 4).as("quality"))
+        .where(col("quality") >= 0.4 && col("lang").isin("en", "es"))
+        .orderBy(col("doc_id"))
+        .limit(100),
+    Some(s"""WITH q AS (SELECT doc_id, lang,
+        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        round(
+          (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END) * 0.4 +
+          (CASE WHEN (n_chars::DOUBLE - (len(string_split(text, ' ')) - 1)) / len(string_split(text, ' '))
+                BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.3 +
+          (len(list_filter(string_split(text, ' '), tk -> list_contains($enStopSql, tk)))::DOUBLE
+           / len(string_split(text, ' '))) * 0.3, 4) AS quality
+      FROM documents)
+      SELECT doc_id, lang, n_tokens, quality FROM q
+      WHERE quality >= 0.4 AND lang IN ('en', 'es') ORDER BY doc_id LIMIT 100"""))
+
+  private def markerSql(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val l4langid = GQuery(
+    "l4_langid",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), TextFunctions.langGuess(col("text")).as("lang_guess"))
+        .groupBy(col("lang"), col("lang_guess"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang"), col("lang_guess")),
+    Some {
+      val scores = TextFunctions.langMarkers.map { case (code, words) =>
+        s"len(list_filter(string_split(text, ' '), tk -> list_contains(${markerSql(words)}, tk))) AS s_$code"
+      }.mkString(",\n        ")
+      s"""WITH s AS (SELECT doc_id, lang,
+        $scores
+      FROM documents)
+      SELECT lang,
+        CASE WHEN s_de + s_en + s_es + s_fr + s_zh = 0 THEN 'und' ELSE
+          CASE WHEN s_zh > greatest(s_de, s_en, s_es, s_fr) THEN 'zh' ELSE
+            CASE WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr' ELSE
+              CASE WHEN s_es > greatest(s_de, s_en) THEN 'es' ELSE
+                CASE WHEN s_en > s_de THEN 'en' ELSE 'de' END END END END END AS lang_guess,
+        count(*) AS cnt
+      FROM s GROUP BY 1, 2 ORDER BY lang, lang_guess"""
+    })
+
+  val l7 = GQuery(
+    "l7_multimodal_join",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .join(t(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          round(avg(col("n_chars")), 2).as("avg_chars"),
+          countDistinct(col("label")).as("n_labels"))
+        .orderBy(col("lang")),
+    Some("""SELECT lang, count(*) AS cnt, round(avg(n_chars), 2) AS avg_chars,
+      count(DISTINCT label) AS n_labels
+      FROM documents JOIN embeddings ON doc_id = vec_id
+      GROUP BY lang ORDER BY lang"""))
+
+  val l8 = GQuery(
+    "l8_fingerprint",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+        .limit(50),
+    Some(s"""$shingleCte,
+      fp AS (SELECT sh.doc_id AS doc_id,
+          CASE WHEN len(s) > 0 THEN list_min(list_transform(s, x -> md5(x))) ELSE md5(text) END AS fp
+        FROM sh JOIN documents ON sh.doc_id = documents.doc_id)
+      SELECT doc_id, fp FROM fp ORDER BY doc_id LIMIT 50"""))
+
+  val l9 = GQuery(
+    "l9_token_count",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          sum(size(TextFunctions.tokens(col("text")))).as("ws_tokens"),
+          sum(TextFunctions.regexTokenCount(col("text"))).as("bpeish_tokens"))
+        .orderBy(col("lang")),
+    Some(s"""SELECT lang,
+      CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+      CAST(sum(len(regexp_extract_all(text, '${TextFunctions.bpeishPattern}'))) AS BIGINT) AS bpeish_tokens
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
+  def all: Seq[GQuery] = Seq(l1, l2, l2brute, l2simhash, l2simhashPairs, l2embedding,
+    l3, l3lsh, l3ivf, l4langid, l5, l6, l7, l8, l9)
 }
