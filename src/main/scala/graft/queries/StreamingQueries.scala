@@ -1,10 +1,53 @@
 package graft.queries
 
 import graft.GQuery
+import graft.streaming.StreamOps
 
-/** ST1–ST6 (SURVEY.md §2.8): Structured Streaming run with
-  * Trigger.AvailableNow over the static events table; final output is
-  * hash-matched against the declared batch-SQL oracle. */
+/** ST1–ST6 (SURVEY.md §2.8): Structured Streaming queries run with
+  * Trigger.AvailableNow over the static events table; the FINAL output is
+  * hash-matched against the declared batch-SQL oracle (the survey's oracle
+  * strategy for streams). ST4 (watermark/late data) is fixture-driven and
+  * lives in the ScalaTest suite. */
 object StreamingQueries {
-  def all: Seq[GQuery] = Seq.empty
+
+  val st1 = GQuery(
+    "st1_tumbling",
+    (s, dir) => StreamOps.tumblingCounts(s, dir),
+    // identical semantics to the batch tumbling query
+    BenchQueries.b10.oracle)
+
+  val st2 = GQuery(
+    "st2_sliding",
+    (s, dir) => StreamOps.slidingCounts(s, dir),
+    // every event falls in exactly 4 sliding windows: starts at
+    // bucket15(ts) - k*15min for k=0..3
+    Some("""WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      x AS (SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS wstart, event_type
+            FROM ev CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks)
+      SELECT wstart, event_type, count(*) AS cnt FROM x
+      GROUP BY 1, 2 ORDER BY wstart, event_type LIMIT 200"""))
+
+  val st3 = GQuery(
+    "st3_session_window",
+    (s, dir) => StreamOps.sessionCount(s, dir),
+    // session_window opens a new session at gap >= 30 min (strict end-exclusive
+    // session extent), hence >= in the lag oracle — vs B9's > convention.
+    Some("""SELECT CAST(count(*) AS BIGINT) AS sessions FROM (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+      FROM events) WHERE prev_us IS NULL OR us - prev_us >= 1800000000"""))
+
+  val st5 = GQuery(
+    "st5_stream_dedup",
+    (s, dir) => StreamOps.streamingDedupCounts(s, dir),
+    // doubled input deduped on event_id == single-copy batch counts
+    Some("SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type"))
+
+  val st6 = GQuery(
+    "st6_stateful_totals",
+    (s, dir) => StreamOps.statefulPurchaseTotals(s, dir),
+    Some("""SELECT user_id, round(sum(value), 2) AS total FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id ORDER BY user_id LIMIT 100"""))
+
+  def all: Seq[GQuery] = Seq(st1, st2, st3, st5, st6)
 }

@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+
+// Top-level (not nested/private) so Catalyst's encoder codegen can reach them.
+case class PurchaseEvent(user_id: Long, value: Double)
+case class UserTotal(user_id: Long, total: Double)
+
+/** Structured Streaming surface (SURVEY.md §2.8).
+  *
+  * Each ST query reads the static events parquet through the streaming file
+  * source (the reference's S3-event-per-file trigger re-expressed), runs with
+  * `Trigger.AvailableNow`, and materializes its FINAL result to a memory
+  * sink — which makes every streaming query hash-checkable against a batch
+  * SQL oracle. At scale the same plans run continuously with watermark-based
+  * state eviction; nothing here is AvailableNow-specific.
+  */
+object StreamOps {
+
+  /** Streaming view of the events table: file source + ns→µs conversion
+    * (same truncation as the batch path in [[graft.Tables]]). */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    // The streaming file source requires a directory; stage the single
+    // parquet file into a fresh temp dir (symlink — no data copy).
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
+    java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"), src)
+    val schema = spark.read.parquet(src.toString).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Drive a streaming DataFrame to completion (AvailableNow) into a memory
+    * sink and return the final table. */
+  def runToTable(spark: SparkSession, df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** ST1: tumbling 1h windows per event type. */
+  def tumblingCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+    runToTable(spark, agg, "st1_tumbling_sink", OutputMode.Complete())
+      .select(col("window.start").as("hour"), col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+      .limit(100)
+  }
+
+  /** ST2: sliding 1h windows every 15m. */
+  def slidingCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    runToTable(spark, agg, "st2_sliding_sink", OutputMode.Complete())
+      .select(col("window.start").as("wstart"), col("event_type"), col("cnt"))
+      .orderBy(col("wstart"), col("event_type"))
+      .limit(200)
+  }
+
+  /** ST3: session windows (30-min gap) per user → total session count.
+    * Note `session_window` opens a NEW session when the gap is exactly the
+    * configured 30 min (event joins only while t < sessionEnd), so the
+    * batch/lag oracle uses `>=`. */
+  def sessionCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    runToTable(spark, agg, "st3_session_sink", OutputMode.Complete())
+      .agg(count(lit(1)).cast("long").as("sessions"))
+  }
+
+  /** ST5: streaming dedup on event_id within the watermark, fed a doubled
+    * input (every file delivered twice) — final counts must equal the
+    * single-copy batch counts. */
+  def streamingDedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = new java.io.File(s"$sfDir/events.parquet")
+    val dup = java.nio.file.Files.createTempDirectory("graft_dup_events")
+    Seq("copy_a.parquet", "copy_b.parquet").foreach { n =>
+      java.nio.file.Files.copy(src.toPath, dup.resolve(n))
+    }
+    val schema = spark.read.parquet(src.getPath).schema
+    val stream = spark.readStream.schema(schema).parquet(dup.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "30 days")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    runToTable(spark, stream, "st5_dedup_sink", OutputMode.Complete())
+      .orderBy(col("event_type"))
+  }
+
+  /** ST6: custom stateful operator — running per-user purchase totals via
+    * flatMapGroupsWithState (explicit GroupState, the §2.8 ST6 contract). */
+  def statefulPurchaseTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    val purchases = eventsStream(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("value"))
+      .as[PurchaseEvent]
+    val updated = purchases
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (user: Long, rows: Iterator[PurchaseEvent], state: GroupState[Double]) => {
+          val total = state.getOption.getOrElse(0.0) + rows.map(_.value).sum
+          state.update(total)
+          Iterator(UserTotal(user, total))
+        })
+    // AvailableNow may emit several micro-batches; the running total is
+    // monotone, so the final state per user is the max emitted value.
+    runToTable(spark, updated.toDF(), "st6_state_sink", OutputMode.Update())
+      .groupBy(col("user_id"))
+      .agg(round(max(col("total")), 2).as("total"))
+      .orderBy(col("user_id"))
+      .limit(100)
+  }
+}
