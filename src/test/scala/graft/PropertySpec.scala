@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+
+/** Algebraic-law property tests (SURVEY.md §5.2 #3), driven by ScalaCheck
+  * generators sampled under fixed seeds (deterministic, no scalatestplus
+  * bridge needed offline). */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def forSamples[T](gen: Gen[T], n: Int = 10)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong))
+        .foreach(body)
+    }
+
+  private val smallInts = Gen.listOfN(30, Gen.chooseNum(-50, 50))
+
+  test("union-all count additivity") {
+    forSamples(Gen.zip(smallInts, smallInts)) { case (a, b) =>
+      assert(a.toDF("x").unionAll(b.toDF("x")).count() === a.size + b.size)
+    }
+  }
+
+  test("filter split partitions rows: |P| + |not P| = n") {
+    forSamples(smallInts) { a =>
+      val df = a.toDF("x")
+      val p = col("x") > 0
+      assert(df.where(p).count() + df.where(!p).count() === a.size.toLong)
+    }
+  }
+
+  test("manual predicate placement is plan-invariant (pushdown equivalence)") {
+    forSamples(smallInts) { a =>
+      val df = a.zipWithIndex.toDF("x", "id")
+      val viaProject = df.select(col("id"), (col("x") * 2).as("y")).where(col("y") > 10)
+      val viaFilter = df.where(col("x") * 2 > 10).select(col("id"), (col("x") * 2).as("y"))
+      assert(viaProject.orderBy("id").collect().toSeq === viaFilter.orderBy("id").collect().toSeq)
+    }
+  }
+
+  test("sort is total under unique key ordering") {
+    forSamples(smallInts) { a =>
+      val sorted = a.zipWithIndex.toDF("x", "id").orderBy(col("x"), col("id"))
+        .as[(Int, Int)].collect().toSeq
+      assert(sorted === a.zipWithIndex.sortBy(t => (t._1, t._2)))
+    }
+  }
+
+  test("xxhash64 is deterministic across evaluations") {
+    forSamples(Gen.listOfN(10, Gen.alphaNumStr)) { ss =>
+      val df = ss.toDF("s")
+      val h1 = df.select(xxhash64(col("s"))).as[Long].collect().toSeq
+      val h2 = df.select(xxhash64(col("s"))).as[Long].collect().toSeq
+      assert(h1 === h2)
+    }
+  }
+
+  test("as-of join output is contained in the range-join relation, one row per left match") {
+    import graft.operators.AsOfJoin
+    val tsGen = Gen.listOfN(8, Gen.chooseNum(0L, 100L))
+    forSamples(Gen.zip(tsGen, tsGen), n = 5) { case (lts, rts) =>
+      val l = lts.zipWithIndex.map { case (t, i) => (1L, new java.sql.Timestamp(t * 1000), i.toLong) }
+        .toDF("k", "ts", "lid")
+      val r = rts.zipWithIndex.map { case (t, i) => (1L, new java.sql.Timestamp(t * 1000), i.toLong) }
+        .toDF("k", "rts", "rid")
+      val asof = AsOfJoin.asof(l, r, Seq("k"), "ts", "rts", Seq("rid"), Seq("rid"))
+        .select("lid", "rid").as[(Long, Long)].collect()
+      val range = l.join(r, Seq("k")).where(col("rts") <= col("ts"))
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      assert(asof.toSet.subsetOf(range))
+      assert(asof.map(_._1).distinct.length === asof.length)
+    }
+  }
+}

@@ -1,0 +1,63 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot, norm and cosine match hand computation") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    val row = df.select(
+      VectorOps.dot(col("a"), col("b")).as("d"),
+      VectorOps.norm(col("a")).as("na"),
+      VectorOps.cosine(col("a"), col("b")).as("c")).head()
+    assert(row.getDouble(0) === 32.0)
+    assert(math.abs(row.getDouble(1) - math.sqrt(14.0)) < 1e-12)
+    assert(math.abs(row.getDouble(2) - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-12)
+  }
+
+  test("approx_count_distinct is within 5% of exact (B6 accuracy assertion)") {
+    val ev = Tables(spark, sf001, "events")
+    val exact = ev.agg(countDistinct(col("user_id"))).as[Long].head()
+    val approx = ev.agg(approx_count_distinct(col("user_id"), 0.02)).as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+}
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: n-grams, distinct, empty under n tokens") {
+    val df = Seq(Tuple1("a b c d"), Tuple1("a b")).toDF("text")
+    val sh = df.select(TextFunctions.shingles(col("text"), 3).as("s")).as[Seq[String]].collect()
+    assert(sh(0) === Seq("a b c", "b c d"))
+    assert(sh(1) === Seq.empty)
+  }
+
+  test("jaccard of identical shingle sets is 1, disjoint is 0") {
+    val df = Seq(("a b c d", "a b c d"), ("a b c d", "x y z w")).toDF("t1", "t2")
+    val j = df.select(TextFunctions.jaccard(
+      TextFunctions.shingles(col("t1"), 3), TextFunctions.shingles(col("t2"), 3)).as("j"))
+      .as[Double].collect()
+    assert(j(0) === 1.0)
+    assert(j(1) === 0.0)
+  }
+
+  test("langGuess picks the language with most marker hits, 'und' on none") {
+    val df = Seq(
+      Tuple1("the cat is on the mat and it is fine"),
+      Tuple1("el gato es de la casa y es que si"),
+      Tuple1("qqq www eee")).toDF("text")
+    val g = df.select(TextFunctions.langGuess(col("text")).as("g")).as[String].collect().toSeq
+    assert(g === Seq("en", "es", "und"))
+  }
+
+  test("fingerprint is stable and equal for identical content") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "z y x w v")).toDF("id", "text")
+    val fps = df.select(col("id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ingest
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import java.nio.file.{Files, Paths}
+
+/** C1–C9 golden-flow tests (SURVEY.md §2.9/§5): landing dir with a valid
+  * file, an invalid file, and a duplicate-content file driven through the
+  * full pipeline; catalog/lineage/notification/retention assertions. */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkLanding(): String = {
+    val dir = Files.createTempDirectory("graft_landing")
+    Files.writeString(dir.resolve("a.csv"), "id,name,grp\n1,alpha,x\n2,beta,y\n")
+    Files.writeString(dir.resolve("b.csv"), "id,name,grp\n1,alpha,x\n2,beta,y\n") // dup content of a
+    Files.writeString(dir.resolve("c.csv"), "id,name,grp\n,broken,x\n3,gamma,z\n") // null id row
+    dir.toString
+  }
+
+  private val cfg = SourceConfig(
+    name = "testsrc", format = "csv",
+    requiredColumns = Seq("id", "name"),
+    schemaDdl = "id INT, name STRING, grp STRING",
+    partitionBy = Seq("grp"), retentionDays = 30)
+
+  test("C1 manifest captures size and content hash per file") {
+    val landing = mkLanding()
+    val m = Manifest.capture(spark, landing).collect()
+    assert(m.length === 3)
+    val byName = m.map(f => f.name -> f).toMap
+    assert(byName("a.csv").content_hash === byName("b.csv").content_hash)
+    assert(byName("a.csv").content_hash !== byName("c.csv").content_hash)
+    assert(byName("a.csv").size > 0)
+  }
+
+  test("C2 required-column validation splits valid and rejected rows with reasons") {
+    val df = Seq((Some(1), "x"), (None, "y")).toDF("id", "name")
+    val (valid, rejected) = Validate.requiredColumns(df, cfg.copy(requiredColumns = Seq("id")))
+    assert(valid.count() === 1)
+    val r = rejected.select("reason").as[String].collect()
+    assert(r.toSeq === Seq("null id"))
+  }
+
+  test("C3 schema conformance casts conformable frames and rejects drift") {
+    val ok = Validate.conformSchema(Seq(("1", "x")).toDF("id", "name"),
+      StructType.fromDDL("id INT, name STRING"))
+    assert(ok.isRight)
+    assert(ok.toOption.get.schema("id").dataType.typeName === "integer")
+    val drift = Validate.conformSchema(Seq((1, "x")).toDF("id", "other"),
+      StructType.fromDDL("id INT, name STRING"))
+    assert(drift.isLeft)
+  }
+
+  test("E1' pipeline: validate, dedupe, stage partitioned, catalog, notify, idempotent rerun") {
+    val landing = mkLanding()
+    val warehouse = Files.createTempDirectory("graft_wh").toString
+    val catalog = IngestPipeline.runOnce(spark, landing, cfg, warehouse)
+
+    val entries = catalog.table().orderBy("raw_path").collect()
+    // b.csv deduped away by content hash → 2 catalog entries
+    assert(entries.length === 2)
+    val statuses = catalog.table().select("status").as[String].collect().sorted.toSeq
+    assert(statuses === Seq("failed", "success"))
+
+    // staged data is partitioned by grp and readable
+    val staged = spark.read.parquet(s"$warehouse/staging/${cfg.name}")
+    assert(staged.count() === 2) // only a.csv's rows
+    assert(Files.isDirectory(Paths.get(s"$warehouse/staging/${cfg.name}/grp=x")))
+
+    // notifications recorded for both outcomes
+    val notes = new Notifier(spark, warehouse).all()
+    assert(notes.count() === 2)
+
+    // rerun: every content hash already cataloged → no new entries (C4)
+    IngestPipeline.runOnce(spark, landing, cfg, warehouse)
+    assert(catalog.table().count() === 2)
+
+    // C7 search over the catalog is plain SQL
+    assert(catalog.search("status = 'success'").count() === 1)
+
+    // C9 retention: cutoff in the future expires the staged success entry
+    val later = new java.sql.Timestamp(System.currentTimeMillis() + 90L * 86400000L)
+    val expired = new Catalog(spark, s"$warehouse/catalog").expire(cfg, later)
+    assert(expired.count() === 1)
+    assert(catalog.table().where(col("status") === "expired").count() === 1)
+  }
+
+  test("C6 txn log: appends are atomic versions and readers see the union") {
+    val root = Files.createTempDirectory("graft_cat").toString
+    val cat = new Catalog(spark, root)
+    val now = new java.sql.Timestamp(0L)
+    cat.append(spark.createDataset(Seq(
+      CatalogEntry("s", "p1", "h1", "success", "", now, "st1", 10))))
+    cat.append(spark.createDataset(Seq(
+      CatalogEntry("s", "p2", "h2", "success", "", now, "st2", 20))))
+    assert(cat.liveParts().size === 2)
+    assert(cat.table().count() === 2)
+    assert(Files.list(Paths.get(root, "_txn_log")).count() === 2)
+  }
+}

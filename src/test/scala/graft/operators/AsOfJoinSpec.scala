@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq(
+    (1L, ts("2024-01-01 10:00:00"), "p1"),
+    (1L, ts("2024-01-01 12:00:00"), "p2"),
+    (2L, ts("2024-01-01 09:00:00"), "p3"), // before any signup for user 2
+    (3L, ts("2024-01-01 10:00:00"), "p4")  // ts equal to signup ts
+  ).toDF("user_id", "ts", "pid")
+
+  private def right = Seq(
+    (1L, ts("2024-01-01 09:00:00"), 100L),
+    (1L, ts("2024-01-01 11:00:00"), 101L),
+    (1L, ts("2024-01-01 11:00:00"), 102L), // duplicate ts — greater tiebreak wins
+    (2L, ts("2024-01-01 10:00:00"), 103L),
+    (3L, ts("2024-01-01 10:00:00"), 104L)
+  ).toDF("user_id", "rts", "sid")
+
+  private def result = AsOfJoin.asof(left, right, Seq("user_id"), "ts", "rts",
+    rightPayload = Seq("sid"), rightTieBreak = Seq("sid"))
+    .select("pid", "sid").as[(String, Long)].collect().toMap
+
+  test("latest right row at or before left ts is matched") {
+    assert(result("p1") === 100L)
+  }
+  test("duplicate right timestamps resolved by greatest tie-break") {
+    assert(result("p2") === 102L)
+  }
+  test("left rows with no prior right row are dropped (inner semantics)") {
+    assert(!result.contains("p3"))
+  }
+  test("equal timestamps match (inclusive <=)") {
+    assert(result("p4") === 104L)
+  }
+  test("multi-key as-of join keeps keys separate") {
+    val l = Seq((1L, "a", ts("2024-01-01 10:00:00"), "x")).toDF("k1", "k2", "ts", "pid")
+    val r = Seq(
+      (1L, "a", ts("2024-01-01 09:00:00"), 1L),
+      (1L, "b", ts("2024-01-01 09:30:00"), 2L)).toDF("k1", "k2", "rts", "sid")
+    val m = AsOfJoin.asof(l, r, Seq("k1", "k2"), "ts", "rts", Seq("sid"))
+      .select("pid", "sid").as[(String, Long)].collect().toMap
+    assert(m("x") === 1L) // (1,b) row must not leak into key (1,a)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 0
+    (2L, "completely different words about spark shuffles and partitions everywhere"),
+    (3L, "the quick brown fox jumps over the lazy dog again and again today") // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps one row per distinct text") {
+    assert(Dedup.dropExactDuplicates(docs, "text").count() === 3L)
+  }
+
+  test("minhash LSH finds the planted near-dup pairs and nothing across topics") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 3L))) // exact dup: jaccard 1.0
+    assert(!pairs.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("minhash pairs equal brute-force jaccard pairs on this corpus") {
+    val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = Dedup.jaccardPairs(docs, "doc_id", "text", 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh === brute)
+  }
+
+  test("simhash is deterministic and identical texts collide at hamming 0") {
+    val h1 = Dedup.simhash48(docs, "doc_id", "text").orderBy("doc_id").as[(Long, Long)].collect()
+    val h2 = Dedup.simhash48(docs, "doc_id", "text").orderBy("doc_id").as[(Long, Long)].collect()
+    assert(h1.toSeq === h2.toSeq)
+    val byId = h1.toMap
+    assert(byId(0L) === byId(3L)) // exact dup
+    assert(java.lang.Long.bitCount(byId(0L) ^ byId(1L)) <= 8) // near dup: low hamming
+    assert(byId(0L) !== byId(2L))
+  }
+
+  test("embedding near-dup finds only the near-identical pair") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.01f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+}

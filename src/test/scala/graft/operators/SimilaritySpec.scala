@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val toy = Seq(
+    (0L, Array(1.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f)),
+    (2L, Array(0.0f, 1.0f)),
+    (3L, Array(-1.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by cosine with id tie-break") {
+    val nn = Similarity.bruteForceTopK(toy, toy, "vec_id", "embedding", k = 2)
+      .where(col("vec_id") === 0L).orderBy("rank")
+      .select("nn_id").as[Long].collect().toSeq
+    assert(nn === Seq(1L, 2L)) // 1 (cos≈0.994) then 2 (cos 0) then never -1
+  }
+
+  test("LSH ANN returns same-bucket exact-cosine neighbors with useful recall") {
+    val emb = Tables(spark, sf001, "embeddings")
+    val brute = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 1)
+      .select(col("vec_id"), col("nn_id")).as[(Long, Long)].collect().toMap
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", k = 1, nPlanes = 4, nTables = 4)
+      .select(col("vec_id"), col("nn_id")).as[(Long, Long)].collect().toMap
+    val hits = brute.count { case (q, nn) => lsh.get(q).contains(nn) }
+    val recall = hits.toDouble / brute.size
+    // deterministic seeded planes → stable; 4 tables × 4 planes over 500 vecs
+    assert(recall > 0.3, s"recall=$recall")
+    assert(lsh.nonEmpty)
+  }
+
+  test("IVF ANN with label cells achieves recall over brute force") {
+    val emb = Tables(spark, sf001, "embeddings")
+    val brute = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 1)
+      .select(col("vec_id"), col("nn_id")).as[(Long, Long)].collect().toMap
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", "label", k = 1, nProbe = 2)
+      .select(col("vec_id"), col("nn_id")).as[(Long, Long)].collect().toMap
+    val hits = brute.count { case (q, nn) => ivf.get(q).contains(nn) }
+    val recall = hits.toDouble / brute.size
+    assert(recall > 0.15, s"recall=$recall")
+  }
+
+  test("centroids are the elementwise mean") {
+    val df = Seq((0, Array(1.0f, 3.0f)), (0, Array(3.0f, 5.0f))).toDF("label", "embedding")
+    val c = Similarity.centroids(df, "label", "embedding")
+      .select("centroid").as[Seq[Double]].head()
+    assert(c === Seq(2.0, 4.0))
+  }
+}
