@@ -15,6 +15,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Let AQE size post-shuffle partitions by bytes instead of pinning the
+      // full parallelism — at bench scale that collapses tiny shuffles to a
+      // single task; at 100 TB the same setting yields right-sized tasks.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -11,13 +11,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Schema cache: without an explicit schema every spark.read.parquet runs a
+  // footer-inference job at PLAN time — ~50-100 ms burned per query. Schemas
+  // here are fixed per table (FIXTURES.md), so infer once per path.
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
     // natively: read it as a long and truncate ns→µs ourselves. Integer
     // `div` is mandatory — double division would lose precision at ~1.7e18.
     // DuckDB oracles CAST(ts AS TIMESTAMP) to apply the same truncation.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
+    val df = spark.read.schema(schema).parquet(path)
     df.schema.fields.foldLeft(df) {
       case (d, f) if f.dataType == org.apache.spark.sql.types.LongType && f.name == "ts" =>
         d.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -18,11 +18,16 @@ object VectorOps {
     * `::DOUBLE[]`), so both engines do identical double arithmetic. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
+  /** Native codegen dot product ([[VectorExpressions.dot]]); bit-for-bit
+    * equal to [[dotHof]] (same sequential accumulation order). */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
+
+  /** Reference HOF implementation (interpreted lambdas; kept for the
+    * equality test and as the no-custom-expression fallback). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def norm2(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+  def norm2(a: Column): Column = dot(a, a)
 
   def norm(a: Column): Column = sqrt(norm2(a))
 

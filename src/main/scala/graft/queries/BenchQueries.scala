@@ -188,20 +188,25 @@ object BenchQueries {
   val b12 = GQuery(
     "b12_cosine_topk",
     (s, dir) => {
-      // Pre-compute per-vector norms once (tiny), broadcast one side, and
-      // leave only the dot product on the 4M-pair hot path.
+      // Scale shape: per-vector norms precomputed once (tiny); probe side
+      // repartitioned so the O(n²) pair loop parallelizes (the single-row-
+      // group scan would otherwise pin the whole nested loop to ONE task);
+      // corpus side broadcast; top-1 via partial-aggregating max(struct) —
+      // no 4M-row window shuffle. Equivalent to row_number()=1 over
+      // (sim DESC, b_id ASC): max struct picks max sim, then max(-b_id)
+      // = min b_id.
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
         .withColumn("nrm", VectorOps.norm(col("v")))
       val a = e.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
+        .repartition(32)
       val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
-      val pairs = a.join(broadcast(b), col("a_id") =!= col("b_id"))
+      a.join(broadcast(b), col("a_id") =!= col("b_id"))
         .select(col("a_id"), col("b_id"),
           (VectorOps.dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("sim"))
-      val w = Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("b_id").asc)
-      pairs.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("a_id").as("vec_id"), col("b_id").as("nn_id"), round(col("sim"), 4).as("cosine"))
+        .groupBy(col("a_id"))
+        .agg(max(struct(col("sim"), (-col("b_id")).as("neg"), col("b_id").as("bid"))).as("s"))
+        .select(col("a_id").as("vec_id"), col("s.bid").as("nn_id"), round(col("s.sim"), 4).as("cosine"))
         .orderBy(col("vec_id"))
         .limit(20)
     },

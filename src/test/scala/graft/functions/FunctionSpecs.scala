@@ -17,6 +17,22 @@ class VectorOpsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(2) - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-12)
   }
 
+  test("native codegen dot product is bit-for-bit equal to the HOF path") {
+    val emb = Tables(spark, sf001, "embeddings")
+      .select(VectorOps.asDouble(col("embedding")).as("v"))
+    val both = emb.select(
+      VectorOps.dot(col("v"), col("v")).as("native"),
+      VectorOps.dotHof(col("v"), col("v")).as("hof"))
+    assert(both.where(col("native") =!= col("hof")).count() === 0L)
+  }
+
+  test("vec_dot is SQL-callable after registration") {
+    VectorExpressions.register(spark)
+    val r = spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .as[Double].head()
+    assert(r === 11.0)
+  }
+
   test("approx_count_distinct is within 5% of exact (B6 accuracy assertion)") {
     val ev = Tables(spark, sf001, "events")
     val exact = ev.agg(countDistinct(col("user_id"))).as[Long].head()
