@@ -150,5 +150,34 @@ object FunctionQueries {
     Some("""SELECT count(*) AS n FROM
       (SELECT unnest(embedding::DOUBLE[]) AS x FROM embeddings) WHERE x > 0.5"""))
 
-  def all: Seq[GQuery] = Seq(t26, t27, t28, t29, t29explode)
+  /** Custom typed UDAF (Aggregator) through the SQL surface — quantity-
+    * weighted mean price per return flag. */
+  val tUdaf = GQuery(
+    "t_udaf_weighted_mean",
+    (s, dir) => {
+      graft.functions.Aggregators.register(s)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("weighted_mean(l_extendedprice, l_quantity)"), 2).as("wmean_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+      round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2) AS wmean_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Multimodal pipeline plumbing (stubbed decode — deterministic fake
+    * features; rows-only check, full assertions in MultimodalSpec). */
+  val tMultimodal = GQuery(
+    "t_multimodal_features",
+    (s, dir) => {
+      import graft.multimodal.Multimodal
+      val recs = Multimodal.fromDocuments(s, t(s, dir, "documents"))
+      Multimodal.extractFeatures(recs, dim = 16).toDF()
+        .groupBy(col("modality"))
+        .agg(count(lit(1)).as("cnt"), round(avg(element_at(col("feature"), 1)), 4).as("avg_f0"))
+        .orderBy(col("modality"))
+    },
+    None)
+
+  def all: Seq[GQuery] = Seq(t26, t27, t28, t29, t29explode, tUdaf, tMultimodal)
 }

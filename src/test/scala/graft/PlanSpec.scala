@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.BenchQueries
+
+/** Plan-quality assertions (SURVEY.md §4.2): the Catalyst behaviors the
+  * engine relies on at 100 TB — predicate pushdown to parquet, column
+  * pruning, broadcast join selection, partition pruning, whole-stage
+  * codegen — verified via the physical plan, not assumed. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("B1: shipdate predicate is pushed to the parquet scan") {
+    val plan = planOf(BenchQueries.b1.build(spark, sf001))
+    assert(plan.contains("PushedFilters"), plan.take(500))
+    assert(plan.contains("LessThanOrEqual(l_shipdate"), plan.take(2000))
+  }
+
+  test("B1: scan reads only referenced columns (column pruning)") {
+    val plan = planOf(BenchQueries.b1.build(spark, sf001))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_quantity") && !readSchema.contains("l_partkey"), readSchema)
+  }
+
+  test("B2: dimension joins select broadcast hash join") {
+    val plan = planOf(BenchQueries.b2.build(spark, sf001))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1000))
+  }
+
+  test("B12: native vec_dot runs inside whole-stage codegen") {
+    val df = BenchQueries.b12.build(spark, sf001)
+    df.collect() // AQE: codegen stages only visible in the FINAL plan
+    val plan = planOf(df)
+    assert(plan.contains("vec_dot"), plan.take(2000))
+    // whole-stage codegen renders as "*(n)" stage markers in plan strings
+    assert(plan.contains("*("), plan.take(2000))
+  }
+
+  test("partitioned layout enables partition pruning") {
+    val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    Tables(spark, sf001, "events").write.mode("overwrite")
+      .partitionBy("event_type").parquet(out)
+    val plan = planOf(spark.read.parquet(out).where(col("event_type") === "click"))
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"), plan.take(2000))
+    // pruned scan must not read the partition column from data files —
+    // check the ReadSchema struct itself (the FileScan line also mentions
+    // event_type inside PartitionFilters)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema"))
+      .map(_.split("ReadSchema: ").last).getOrElse("")
+    assert(!readSchema.contains("event_type"), readSchema)
+  }
+
+  test("aggregation uses partial (map-side) aggregation before the shuffle") {
+    val plan = planOf(Tables(spark, sf001, "lineitem")
+      .groupBy(col("l_returnflag")).agg(sum(col("l_quantity"))))
+    assert(plan.contains("partial_sum") || plan.contains("Partial"), plan.take(2000))
+  }
+}
