@@ -50,5 +50,18 @@ object IoQueries {
     Some("""SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  def all: Seq[GQuery] = Seq(t1, t2, t3)
+  /** ORC round-trip (BASELINE.json names Parquet/ORC as the storage pair;
+    * DuckDB reads the oracle from the original parquet — content identical). */
+  val t1orc = GQuery(
+    "t1_orc_roundtrip",
+    (s, dir) => {
+      val nation = Tables(s, dir, "nation")
+      val out = tmp("graft_t1_orc")
+      nation.write.mode("overwrite").orc(out)
+      s.read.schema(nation.schema).orc(out)
+        .orderBy(col("n_nationkey"))
+    },
+    Some("SELECT * FROM nation ORDER BY n_nationkey"))
+
+  def all: Seq[GQuery] = Seq(t1, t1orc, t2, t3)
 }
