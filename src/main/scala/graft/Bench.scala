@@ -24,10 +24,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val suite = queries.BenchQueries.headline
-    // Warm-up: JIT, codegen cache, file-footer cache.
-    suite.foreach(q => q.build(spark, sfDir).collect())
+    // Warm-up ×2: JIT, codegen cache, file-footer cache.
+    (1 to 2).foreach(_ => suite.foreach(q => q.build(spark, sfDir).collect()))
 
     val timed = suite.map { q =>
+      System.gc() // keep collector pauses out of the timed window
       val runs = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
         q.build(spark, sfDir).collect()

@@ -79,4 +79,27 @@ object AsOfJoin {
       (rightTs +: rightPayload).distinct.map(c => col(s"__match.$c").as(c))
     matched.select(out: _*)
   }
+
+  /** Single-scan variant: when both sides come from the SAME table (e.g.
+    * purchases as-of signups within one events table), pre-union scanning
+    * reads the source twice; this overload takes the already-tagged frame
+    * and runs the same running-`last` window over it — one scan, one
+    * shuffle. `sideCol` must be 0 for right rows, 1 for left rows.
+    */
+  def asofTagged(
+      tagged: DataFrame,
+      keys: Seq[String],
+      ts: String,
+      sideCol: String,
+      tieBreak: String,
+      matchedTs: String): DataFrame = {
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).asc, col(sideCol).asc, col(tieBreak).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn(matchedTs,
+        last(when(col(sideCol) === 0, col(ts)), ignoreNulls = true).over(w))
+      .where(col(sideCol) === 1 && col(matchedTs).isNotNull)
+  }
 }

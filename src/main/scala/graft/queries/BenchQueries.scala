@@ -205,7 +205,10 @@ object BenchQueries {
         .select(col("a_id"), col("b_id"),
           (VectorOps.dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("sim"))
         .groupBy(col("a_id"))
-        .agg(max(struct(col("sim"), (-col("b_id")).as("neg"), col("b_id").as("bid"))).as("s"))
+        // max_by → ObjectHashAggregate (hash, partial) — no sort of the 4M-pair
+        // stream; ordering key (sim, -b_id) = row_number over (sim DESC, b_id ASC)
+        .agg(max_by(struct(col("b_id").as("bid"), col("sim").as("sim")),
+          struct(col("sim"), (-col("b_id")).as("neg"))).as("s"))
         .select(col("a_id").as("vec_id"), col("s.bid").as("nn_id"), round(col("s.sim"), 4).as("cosine"))
         .orderBy(col("vec_id"))
         .limit(20)
@@ -225,13 +228,13 @@ object BenchQueries {
   val b13 = GQuery(
     "b13_asof",
     (s, dir) => {
-      val ev = t(s, dir, "events")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-      val signups = ev.filter(col("event_type") === "signup")
-        .select(col("user_id"), col("ts").as("signup_ts"), col("event_id").as("signup_event_id"))
-      AsOfJoin.asof(purchases, signups, Seq("user_id"), "ts", "signup_ts",
-          rightPayload = Seq.empty, rightTieBreak = Seq("signup_event_id"))
+      // Both as-of sides come from the same events table → single-scan
+      // tagged form (one scan + one shuffle instead of two scans).
+      val tagged = t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "signup"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("side"))
+      AsOfJoin.asofTagged(tagged, Seq("user_id"), "ts", "side", "event_id", "signup_ts")
         .agg(
           count(lit(1)).as("matched"),
           round(sum(col("value")), 2).as("total_value"),
