@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory — the engine's recommended configuration in one place.
+  * The same settings serve bench (local[32]) and a 1000-executor cluster:
+  * UTC semantics, AQE with byte-sized post-shuffle partitions (not pinned
+  * parallelism), and the engine's native functions registered. */
+object GraftSession {
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      : SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.extensions", classOf[functions.GraftExtensions].getName)
+      .config("spark.ui.enabled", "false")
+
+  def create(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      : SparkSession = {
+    val spark = builder(master).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    functions.VectorExpressions.register(spark)
+    functions.Aggregators.register(spark)
+    spark
+  }
+}

@@ -168,6 +168,26 @@ class Catalog(spark: SparkSession, root: String) {
   /** C7: catalog search is plain SQL/DataFrame over the table. */
   def search(predicate: String): DataFrame = table().where(predicate)
 
+  /** Compaction (Delta-paper maintenance): rewrite all live parts into one
+    * and commit a version that removes the old parts — readers before the
+    * commit still see the old parts (snapshot isolation via the log); the
+    * log itself stays append-only. At 100 TB this bounds the
+    * many-small-parts listing cost that per-batch appends accumulate. */
+  def compact(): Unit = synchronized {
+    import java.nio.file.{Files, StandardCopyOption}
+    val parts = liveParts()
+    if (parts.size > 1) {
+      val merged = dataDir.resolve(s"compact-${java.util.UUID.randomUUID()}")
+      spark.read.parquet(parts: _*).coalesce(1)
+        .write.mode("overwrite").parquet(merged.toString)
+      val next = versions.size
+      val tmp = Files.createTempFile(logDir, "commit", ".tmp")
+      Files.writeString(tmp,
+        (parts.map(p => s"remove:$p") :+ s"add:$merged").mkString("", "\n", "\n"))
+      Files.move(tmp, logDir.resolve(f"$next%08d.json"), StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
   /** C9: retention — mark entries older than the source's retention as
     * expired (tombstone append; data-dir deletion is the caller's move,
     * keeping the log the source of truth). */

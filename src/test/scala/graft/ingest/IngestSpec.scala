@@ -98,5 +98,11 @@ class IngestSpec extends SparkSpec {
     assert(cat.liveParts().size === 2)
     assert(cat.table().count() === 2)
     assert(Files.list(Paths.get(root, "_txn_log")).count() === 2)
+
+    // compaction merges live parts under a new log version; content unchanged
+    cat.compact()
+    assert(cat.liveParts().size === 1)
+    assert(cat.table().count() === 2)
+    assert(Files.list(Paths.get(root, "_txn_log")).count() === 3)
   }
 }

@@ -1,0 +1,40 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.operators.Sessionize
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** ST3↔batch parity and ST7 file-sink coverage (SURVEY.md §2.8). */
+class StreamParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("session_window count equals the gaps-and-islands count under >= gap semantics") {
+    val streamed = StreamOps.sessionCount(spark, sf001).as[Long].head()
+    val batch = Sessionize
+      .withSessionId(Tables(spark, sf001, "events"), "user_id", "ts", "event_id",
+        1800000000L, strictGreater = false)
+      .agg(sum(col("__is_start")).cast("long")).as[Long].head()
+    assert(streamed === batch)
+  }
+
+  test("ST7: parquet file sink writes exactly-once output readable as a table") {
+    val out = java.nio.file.Files.createTempDirectory("graft_filesink").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_filesink_cp").toString
+    val q = StreamOps.eventsStream(spark, sf001)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", cp)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val written = spark.read.parquet(out)
+    val expected = Tables(spark, sf001, "events").count()
+    assert(written.count() === expected)
+    // the sink's _spark_metadata commit log marks the batch committed
+    assert(new java.io.File(s"$out/_spark_metadata").exists())
+  }
+}
