@@ -83,6 +83,27 @@ object Similarity {
       .select(col("q_id").as("vec_id"), col("rank"), col("c_id").as("nn_id"), col("cosine"))
   }
 
+  /** Exact top-k with the cluster-scale plan shape: broadcast the (small)
+    * query side, stream the partitioned corpus, and aggregate per query with
+    * the bounded [[graft.functions.TopKAggregator]] — partitions emit at
+    * most k candidates per query, so the shuffle carries O(queries × k)
+    * rows instead of every scored pair. Results identical to
+    * [[bruteForceTopK]] (same ordering and tie-break). */
+  def scalableTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    import graft.functions.{ScoredId, TopKAggregator}
+    val q = prepared(queries, idCol, vecCol, "q")
+    val c = prepared(corpus, idCol, vecCol, "c").repartition(32)
+    val topk = udaf(new TopKAggregator(k), TopKAggregator.inputEncoder)
+    c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("c_id"), col("cosine")).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")))
+      .select(col("q_id").as("vec_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("nn_id"), col("col.score").as("cosine"))
+  }
+
   /** Elementwise mean vector per cell key (posexplode → avg → re-assemble;
     * one shuffle on (key, pos), one on key). */
   def centroids(df: DataFrame, keyCol: String, vecCol: String): DataFrame =

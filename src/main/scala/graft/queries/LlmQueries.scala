@@ -116,6 +116,19 @@ object LlmQueries {
       SELECT vec_id, rank, nn_id, round(cosine, 4) AS cosine
       FROM ranked WHERE rank <= 5 ORDER BY vec_id, rank"""))
 
+  // Same exact semantics as l3 through the cluster-scale plan (broadcast
+  // queries + bounded TopK aggregator; shuffle carries only k per query) —
+  // must hash-match the SAME oracle as the brute-force window plan.
+  val l3scalable = GQuery(
+    "l3_ann_scalable_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.scalableTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .select(col("vec_id"), col("rank"), col("nn_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("vec_id"), col("rank"))
+    },
+    l3.oracle)
+
   // Approximate by design → rows-only check; recall vs brute force is
   // asserted in the ScalaTest suite.
   val l3lsh = GQuery(
@@ -260,5 +273,5 @@ object LlmQueries {
       FROM documents GROUP BY lang ORDER BY lang"""))
 
   def all: Seq[GQuery] = Seq(l1, l2, l2brute, l2simhash, l2simhashPairs, l2embedding,
-    l3, l3lsh, l3ivf, l4langid, l5, l6, l7, l8, l9)
+    l3, l3scalable, l3lsh, l3ivf, l4langid, l5, l6, l7, l8, l9)
 }
