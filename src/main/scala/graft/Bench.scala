@@ -10,15 +10,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // Let AQE size post-shuffle partitions by bytes instead of pinning the
-      // full parallelism — at bench scale that collapses tiny shuffles to a
-      // single task; at 100 TB the same setting yields right-sized tasks.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    val spark = GraftSession.builder(s"local[$cpus]")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -7,11 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val spark = GraftSession.builder(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      // NOTE: keep the INT96 default for written timestamps — DuckDB reads
+      // INT96 as naive (session-local) TIMESTAMP, matching the oracle's
+      // TIMESTAMP type; TIMESTAMP_MICROS is flagged UTC-adjusted and would
+      // surface as TIMESTAMPTZ ("+00:00") in the compare.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
