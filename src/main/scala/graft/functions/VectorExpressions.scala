@@ -75,10 +75,14 @@ object VectorExpressions {
     Bridge.registerFunction(spark, "vec_dot", classOf[DotProduct], dotBuilder)
 }
 
-/** `spark.sql.extensions`-injectable registration (the extension-point path;
-  * equivalent to [[VectorExpressions.register]] for pre-built sessions). */
+/** `spark.sql.extensions` entry point: registers the native function AND the
+  * optimizer rule that rewrites the equivalent HOF idiom onto it
+  * ([[graft.plans.RewriteHofDotProduct]]) — the full Expression + Rule +
+  * extensions stack. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(Bridge.functionDescription("vec_dot", classOf[DotProduct],
       children => DotProduct(children(0), children(1))))
+    ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
+  }
 }

@@ -52,6 +52,16 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("event_type"), readSchema)
   }
 
+  test("optimizer rule rewrites the HOF dot-product idiom to native vec_dot") {
+    import graft.functions.VectorOps
+    val df = Tables(spark, sf001, "embeddings")
+      .select(VectorOps.asDouble(col("embedding")).as("v"))
+      .select(VectorOps.dotHof(col("v"), col("v")).as("d"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("vec_dot"), optimized.take(1500))
+    assert(!optimized.contains("aggregate("), optimized.take(1500))
+  }
+
   test("aggregation uses partial (map-side) aggregation before the shuffle") {
     val plan = planOf(Tables(spark, sf001, "lineitem")
       .groupBy(col("l_returnflag")).agg(sum(col("l_quantity"))))

@@ -18,12 +18,17 @@ class VectorOpsSpec extends SparkSpec {
   }
 
   test("native codegen dot product is bit-for-bit equal to the HOF path") {
-    val emb = Tables(spark, sf001, "embeddings")
-      .select(VectorOps.asDouble(col("embedding")).as("v"))
-    val both = emb.select(
-      VectorOps.dot(col("v"), col("v")).as("native"),
-      VectorOps.dotHof(col("v"), col("v")).as("hof"))
-    assert(both.where(col("native") =!= col("hof")).count() === 0L)
+    // exclude the rewrite rule so the HOF side really runs interpreted
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      graft.plans.RewriteHofDotProduct.ruleName)
+    try {
+      val emb = Tables(spark, sf001, "embeddings")
+        .select(VectorOps.asDouble(col("embedding")).as("v"))
+      val both = emb.select(
+        VectorOps.dot(col("v"), col("v")).as("native"),
+        VectorOps.dotHof(col("v"), col("v")).as("hof"))
+      assert(both.where(col("native") =!= col("hof")).count() === 0L)
+    } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
   }
 
   test("vec_dot is SQL-callable after registration") {
