@@ -15,6 +15,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // Broadcast dims, stream facts: the 10 MB default happily broadcasts a
+      // whole fact table at bench scale (a 600k-row hash build per query) and
+      // is the wrong bet at 100 TB; 4 MB keeps genuine dimensions broadcast.
+      .config("spark.sql.autoBroadcastJoinThreshold", "4m")
       .config("spark.sql.extensions", classOf[functions.GraftExtensions].getName)
       .config("spark.ui.enabled", "false")
 

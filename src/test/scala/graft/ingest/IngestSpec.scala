@@ -87,6 +87,20 @@ class IngestSpec extends SparkSpec {
     assert(catalog.table().where(col("status") === "expired").count() === 1)
   }
 
+  test("E1' streaming variant: foreachBatch stages and catalogs micro-batches") {
+    val landing = Files.createTempDirectory("graft_stream_landing")
+    Files.writeString(landing.resolve("a.csv"), "id,name,grp\n1,alpha,x\n2,beta,y\n")
+    val warehouse = Files.createTempDirectory("graft_stream_wh").toString
+    IngestPipeline.stream(spark, landing.toString, cfg, warehouse)
+    val cat = new Catalog(spark, s"$warehouse/catalog")
+    assert(cat.table().where(col("status") === "success").count() === 1)
+    assert(spark.read.parquet(s"$warehouse/staging/${cfg.name}").count() === 2)
+    // second run with a NEW file: checkpoint skips the already-ingested one
+    Files.writeString(landing.resolve("b.csv"), "id,name,grp\n3,gamma,z\n")
+    IngestPipeline.stream(spark, landing.toString, cfg, warehouse)
+    assert(spark.read.parquet(s"$warehouse/staging/${cfg.name}").count() === 3)
+  }
+
   test("C6 txn log: appends are atomic versions and readers see the union") {
     val root = Files.createTempDirectory("graft_cat").toString
     val cat = new Catalog(spark, root)
