@@ -58,6 +58,25 @@ object TextFunctions {
     (lenOk * lit(0.4)) + (meanOk * lit(0.3)) + (stopRatio * lit(0.3))
   }
 
+  /** PII scrubbing for training corpora: replace email addresses, long digit
+    * runs (phone/account numbers), and IPv4 addresses with typed tags.
+    * Same RE2/Java-compatible patterns run in the oracle. */
+  val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val longDigitPattern = "[0-9][0-9 ()+.-]{6,}[0-9]"
+  val ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, emailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, ipv4Pattern, "<IP>")
+    regexp_replace(noIp, longDigitPattern, "<NUMBER>")
+  }
+
+  /** Deterministic hash-bucket assignment in [0, buckets): stable across
+    * runs and cluster layouts (content-derived, never rand()). md5-based so
+    * the DuckDB oracle reproduces it: bucket = first 4 hex digits mod n. */
+  def hashBucket(key: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long"), lit(buckets))
+
   /** Language-ID heuristic: argmax of per-language marker-word hit counts,
     * ties broken by language code order. 'und' when nothing matches. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(

@@ -272,6 +272,56 @@ object LlmQueries {
       CAST(sum(len(regexp_extract_all(text, '${TextFunctions.bpeishPattern}'))) AS BIGINT) AS bpeish_tokens
       FROM documents GROUP BY lang ORDER BY lang"""))
 
+  val l10 = GQuery(
+    "l10_pii_redact",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .where(col("doc_id") < 30)
+        .select(col("doc_id"),
+          TextFunctions.redactPii(concat(
+            substring(col("text"), 1, 40),
+            lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+            lit(" ip 10.0.0."), pmod(col("doc_id"), lit(255)).cast("string"),
+            lit(" phone 555-0100-"), col("doc_id").cast("string"))).as("redacted"))
+        .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(
+        concat(substring(text, 1, 40),
+               ' contact user', CAST(doc_id AS VARCHAR), '@example.com',
+               ' ip 10.0.0.', CAST(doc_id % 255 AS VARCHAR),
+               ' phone 555-0100-', CAST(doc_id AS VARCHAR)),
+        '${TextFunctions.emailPattern}', '<EMAIL>', 'g'),
+        '${TextFunctions.ipv4Pattern}', '<IP>', 'g'),
+        '${TextFunctions.longDigitPattern}', '<NUMBER>', 'g') AS redacted
+      FROM documents WHERE doc_id < 30 ORDER BY doc_id"""))
+
+  val l11 = GQuery(
+    "l11_deterministic_sample",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Sampling.deterministicSample(d, "doc_id", keepBuckets = 20)
+        .agg(count(lit(1)).as("sampled"), min(col("doc_id")).as("first_id"))
+    },
+    Some("""SELECT count(*) AS sampled, min(doc_id) AS first_id FROM documents
+      WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100) < 20"""))
+
+  val l12 = GQuery(
+    "l12_train_test_split",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val (train, test) = graft.operators.Sampling.trainTestSplit(d, "doc_id", testBuckets = 10)
+      train.agg(count(lit(1)).as("train_cnt"))
+        .crossJoin(test.agg(count(lit(1)).as("test_cnt")))
+        .crossJoin(train.select("doc_id").intersect(test.select("doc_id"))
+          .agg(count(lit(1)).as("overlap")))
+    },
+    Some("""WITH b AS (SELECT doc_id,
+        ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 AS bucket
+      FROM documents)
+      SELECT (SELECT count(*) FROM b WHERE bucket >= 10) AS train_cnt,
+             (SELECT count(*) FROM b WHERE bucket < 10) AS test_cnt,
+             0::BIGINT AS overlap"""))
+
   def all: Seq[GQuery] = Seq(l1, l2, l2brute, l2simhash, l2simhashPairs, l2embedding,
-    l3, l3scalable, l3lsh, l3ivf, l4langid, l5, l6, l7, l8, l9)
+    l3, l3scalable, l3lsh, l3ivf, l4langid, l5, l6, l7, l8, l9, l10, l11, l12)
 }
