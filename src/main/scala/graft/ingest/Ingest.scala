@@ -131,16 +131,28 @@ class Catalog(spark: SparkSession, root: String) {
         .filter(_.getFileName.toString.endsWith(".json")).sortBy(_.getFileName.toString)
     }
 
-  /** Live parquet part paths from the log (add entries minus remove entries). */
-  def liveParts(): Seq[String] = {
+  /** Live parquet part paths from the log (add entries minus remove
+    * entries), replayed up to `atVersion` inclusive (-1 = latest). */
+  def liveParts(atVersion: Int = -1): Seq[String] = {
     val adds = scala.collection.mutable.LinkedHashSet[String]()
-    versions.foreach { v =>
+    val upTo = if (atVersion < 0) versions else versions.take(atVersion + 1)
+    upTo.foreach { v =>
       Files.readAllLines(v).forEach { line =>
         if (line.startsWith("add:")) adds += line.stripPrefix("add:")
         else if (line.startsWith("remove:")) adds -= line.stripPrefix("remove:")
       }
     }
     adds.toSeq
+  }
+
+  /** Time travel: the catalog as of log version `v` (0-based). Snapshot
+    * isolation falls out of the append-only log — old parts are never
+    * rewritten, only de-referenced. */
+  def tableAt(v: Int): DataFrame = {
+    import spark.implicits._
+    val parts = liveParts(v)
+    if (parts.isEmpty) spark.emptyDataset[CatalogEntry].toDF()
+    else spark.read.parquet(parts: _*)
   }
 
   /** C6: append entries as a new parquet part + atomically commit a new log

@@ -113,10 +113,17 @@ class IngestSpec extends SparkSpec {
     assert(cat.table().count() === 2)
     assert(Files.list(Paths.get(root, "_txn_log")).count() === 2)
 
+    // time travel: version 0 sees only the first append
+    assert(cat.tableAt(0).count() === 1)
+    assert(cat.tableAt(0).select("raw_path").as[String].head() === "p1")
+
     // compaction merges live parts under a new log version; content unchanged
     cat.compact()
     assert(cat.liveParts().size === 1)
     assert(cat.table().count() === 2)
     assert(Files.list(Paths.get(root, "_txn_log")).count() === 3)
+    // snapshots before the compaction still read the original parts
+    assert(cat.tableAt(1).count() === 2)
+    assert(cat.tableAt(0).count() === 1)
   }
 }
