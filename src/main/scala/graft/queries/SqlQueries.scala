@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import graft.functions.VectorExpressions
+
+/** SURVEY.md §7.1: the headline queries as Spark SQL TEXT — the second query
+  * surface. Each must produce exactly the rows of its DataFrame twin in
+  * [[BenchQueries]] (asserted in SqlParitySpec). Dialect differences from
+  * the DuckDB oracles: unix_micros/epoch_us, split/string_split, and the
+  * engine's own `vec_dot` (registered via GraftExtensions / register()).
+  */
+object SqlQueries {
+
+  def run(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    VectorExpressions.register(spark)
+    spark.sql(sql(name))
+  }
+
+  def sql(name: String): String = texts(name)
+
+  val texts: Map[String, String] = Map(
+    "b1_pricing" -> """SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity), 2) AS sum_qty,
+      round(sum(l_extendedprice), 2) AS sum_base_price,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      round(avg(l_quantity), 2) AS avg_qty,
+      round(avg(l_extendedprice), 2) AS avg_price,
+      round(avg(l_discount), 4) AS avg_disc,
+      count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    "b2_join_revenue" -> """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM region JOIN nation ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      JOIN orders ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+      GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    "b3_topk_window" -> """SELECT c_mktsegment, rn, c_custkey, c_name, c_acctbal FROM (
+      SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer) WHERE rn <= 3 ORDER BY c_mktsegment, rn""",
+
+    "b4_running_sum" -> """SELECT o_custkey, o_orderkey, o_orderdate,
+      round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+      FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey LIMIT 100""",
+
+    "b5_rollup" -> """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+      round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+
+    "b6_distinct" -> "SELECT count(DISTINCT user_id) AS exact_users FROM events",
+
+    "b7_semi_anti" -> """SELECT
+      (SELECT count(*) FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS with_orders,
+      (SELECT count(*) FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS without_orders""",
+
+    "b8_json" -> """SELECT event_type,
+      sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS sum_k,
+      count(*) AS cnt
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "b9_sessionize" -> """SELECT count(*) AS sessions FROM (
+      SELECT unix_micros(ts) AS us,
+             lag(unix_micros(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events) WHERE prev_us IS NULL OR us - prev_us > 1800000000""",
+
+    "b10_tumbling" -> """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt,
+      round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY hour, event_type LIMIT 100""",
+
+    "b11_tokens" -> """SELECT lang, count(*) AS docs,
+      sum(size(split(text, ' '))) AS tokens
+      FROM documents GROUP BY lang ORDER BY lang""",
+
+    "b12_cosine_topk" -> """WITH e AS (
+        SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(vec_dot(v, v)) AS nrm FROM e),
+      pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          vec_dot(a.v, b.v) / (a.nrm * b.nrm) AS sim
+        FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+      ranked AS (SELECT a_id, b_id, sim,
+          row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn FROM pairs)
+      SELECT a_id AS vec_id, b_id AS nn_id, round(sim, 4) AS cosine
+      FROM ranked WHERE rn = 1 ORDER BY vec_id LIMIT 20""",
+
+    "b13_asof" -> """WITH tagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side
+        FROM events WHERE event_type IN ('purchase', 'signup')),
+      matched AS (
+        SELECT side, value, ts,
+               last(CASE WHEN side = 0 THEN ts END, true)
+                 OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_ts
+        FROM tagged)
+      SELECT count(*) AS matched, round(sum(value), 2) AS total_value,
+             round(sum((unix_micros(ts) - unix_micros(signup_ts)) / 1000000.0D), 2) AS total_lag_s
+      FROM matched WHERE side = 1 AND signup_ts IS NOT NULL""",
+
+    "b14_intersect" -> """SELECT count(*) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t""",
+
+    "b15_dedup_hash" ->
+      "SELECT count(*) AS total_docs, count(DISTINCT md5(text)) AS distinct_docs FROM documents")
+}

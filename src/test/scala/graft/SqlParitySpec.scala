@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.queries.{BenchQueries, SqlQueries}
+
+/** SURVEY.md §7.1: the DataFrame builders and the SQL texts are the same
+  * queries — row-for-row. */
+class SqlParitySpec extends SparkSpec {
+
+  private def rows(df: DataFrame): Seq[Seq[String]] =
+    df.collect().toSeq.map(r => (0 until r.length).map(i => String.valueOf(r.get(i))))
+
+  BenchQueries.headline.foreach { q =>
+    test(s"${q.name}: SQL text matches the DataFrame builder") {
+      val viaDf = rows(q.build(spark, sf001))
+      val viaSql = rows(SqlQueries.run(spark, sf001, q.name))
+      assert(viaSql === viaDf, q.name)
+    }
+  }
+}
