@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, Dedup, Sessionize}
+
+/** NULL-key and empty-input semantics (FIXTURES.md fixture 1 / SURVEY.md
+  * §5.2 #2): the cases 100 TB pipelines hit constantly — null join keys,
+  * NOT IN vs NOT EXISTS null-hostility, null ordering, empty partitions. */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq((Some(1), "a"), (None, "b"), (Some(3), "c"))
+    .toDF("k", "lv")
+  private def right = Seq((Some(1), "x"), (None, "y"))
+    .toDF("rk", "rv")
+
+  test("equi-join never matches NULL keys (3-valued logic)") {
+    val joined = left.join(right, col("k") === col("rk"))
+    assert(joined.count() === 1L) // only k=1; the two NULLs do NOT pair up
+  }
+
+  test("left outer join keeps NULL-key rows unmatched") {
+    val lj = left.join(right, col("k") === col("rk"), "left")
+    assert(lj.count() === 3L)
+    assert(lj.where(col("rv").isNull).count() === 2L) // NULL-k and k=3
+  }
+
+  test("left_anti matches NOT EXISTS, not the NULL-hostile NOT IN") {
+    val anti = left.join(right.select(col("rk").as("k")), Seq("k"), "left_anti")
+    // NOT EXISTS semantics: NULL-key and k=3 survive
+    assert(anti.count() === 2L)
+    // NOT IN over a set containing NULL returns zero rows — the trap the
+    // oracle rewrite in SURVEY §2.3 J5 exists to avoid:
+    left.createOrReplaceTempView("edge_l")
+    right.createOrReplaceTempView("edge_r")
+    val notIn = spark.sql("SELECT * FROM edge_l WHERE k NOT IN (SELECT rk FROM edge_r)")
+    assert(notIn.count() === 0L)
+  }
+
+  test("NULLS FIRST / NULLS LAST ordering is explicit and stable") {
+    val first = left.orderBy(col("k").asc_nulls_first).select("lv").as[String].collect()
+    val last = left.orderBy(col("k").asc_nulls_last).select("lv").as[String].collect()
+    assert(first.head === "b")
+    assert(last.last === "b")
+  }
+
+  test("as-of join on an empty right side returns no rows (inner)") {
+    val l = Seq((1L, ts("2024-01-01 10:00:00"), "p")).toDF("k", "ts", "pid")
+    val r = Seq.empty[(Long, java.sql.Timestamp, Long)].toDF("k", "rts", "sid")
+    assert(AsOfJoin.asof(l, r, Seq("k"), "ts", "rts", Seq("sid")).count() === 0L)
+  }
+
+  test("sessionize on empty input yields zero sessions") {
+    val e = Seq.empty[(Long, java.sql.Timestamp, Long)].toDF("user_id", "ts", "event_id")
+    val n = Sessionize.sessionCount(e, "user_id", "ts", "event_id", 1L).as[Option[Long]].head()
+    assert(n.getOrElse(0L) === 0L) // sum over empty is NULL → zero sessions
+  }
+
+  test("minhash near-dup on empty and sub-shingle corpora is empty, not an error") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.minhashNearDupPairs(empty, "doc_id", "text", 0.5).count() === 0L)
+    val tiny = Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text") // < 3 tokens
+    assert(Dedup.minhashNearDupPairs(tiny, "doc_id", "text", 0.5).count() === 0L)
+  }
+}
