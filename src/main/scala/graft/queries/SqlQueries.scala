@@ -111,5 +111,70 @@ object SqlQueries {
       SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t""",
 
     "b15_dedup_hash" ->
-      "SELECT count(*) AS total_docs, count(DISTINCT md5(text)) AS distinct_docs FROM documents")
+      "SELECT count(*) AS total_docs, count(DISTINCT md5(text)) AS distinct_docs FROM documents",
+
+    // ---- T-suite as SQL text (Spark dialect) ----
+    "t4_predicates" -> """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders
+      WHERE o_orderpriority IN ('1-URGENT','2-HIGH') AND o_totalprice BETWEEN 1000 AND 50000
+        AND o_orderstatus <> 'P' ORDER BY o_orderkey LIMIT 50""",
+    "t5_case_bands" -> """SELECT CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 2500 THEN 'low'
+        WHEN c_acctbal < 5000 THEN 'mid' WHEN c_acctbal < 7500 THEN 'high' ELSE 'top' END AS band,
+      count(*) AS cnt, round(sum(c_acctbal), 2) AS total_bal
+      FROM customer GROUP BY 1 ORDER BY band""",
+    "t6_outer_join" -> """SELECT
+      (SELECT count(*) FROM customer LEFT JOIN orders ON o_custkey = c_custkey WHERE o_orderkey IS NULL) AS left_join_no_orders,
+      (SELECT count(*) FROM orders RIGHT JOIN customer ON o_custkey = c_custkey WHERE o_orderkey IS NULL) AS right_join_no_orders""",
+    "t7_full_outer" -> """SELECT
+      CAST(sum(CASE WHEN ck IS NOT NULL AND ok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+      CAST(sum(CASE WHEN ok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS customer_only,
+      CAST(sum(CASE WHEN ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS order_only
+      FROM (SELECT DISTINCT c_custkey AS ck FROM customer) c
+      FULL JOIN (SELECT DISTINCT o_custkey AS ok FROM orders) o ON ck = ok""",
+    "t8_theta_join" -> """SELECT count(*) AS pairs FROM lineitem JOIN part
+      ON l_partkey = p_partkey AND l_quantity > p_size""",
+    "t10_interval_join" -> """SELECT count(*) AS pairs FROM
+      (SELECT user_id, unix_micros(ts) AS us1 FROM events) e1
+      JOIN (SELECT user_id, unix_micros(ts) AS us2 FROM events) e2
+      ON e1.user_id = e2.user_id AND us2 > us1 AND us2 <= us1 + 300000000""",
+    "t11_cube" -> """SELECT l_returnflag, l_linestatus, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "t13_having" -> """SELECT c_mktsegment, count(*) AS cnt FROM customer
+      GROUP BY c_mktsegment HAVING count(*) > 100 ORDER BY c_mktsegment""",
+    "t14_distinct" -> """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      ORDER BY l_returnflag, l_linestatus""",
+    "t15_max_by" -> """SELECT c_mktsegment,
+      max_by(c_name, struct(c_acctbal, -c_custkey)) AS top_name,
+      round(max(c_acctbal), 2) AS top_bal
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "t16_percentiles" -> """SELECT o_orderstatus, round(percentile(o_totalprice, 0.5), 2) AS median_price,
+      round(percentile(o_totalprice, 0.9), 2) AS p90_price
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "t17_collect_set" -> """SELECT user_id, concat_ws(',', array_sort(collect_set(event_type))) AS types
+      FROM events GROUP BY user_id ORDER BY user_id LIMIT 50""",
+    "t18_rank" -> """SELECT p_brand, p_partkey, p_retailprice,
+      rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk,
+      dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS drnk
+      FROM part ORDER BY p_brand, rnk, p_partkey LIMIT 100""",
+    "t20_first_last" -> """SELECT DISTINCT user_id,
+      first_value(event_type) OVER w AS first_type,
+      last_value(event_type) OVER w AS last_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY user_id LIMIT 100""",
+    "t22_range_frame" -> """SELECT user_id, event_id,
+      count(*) OVER (PARTITION BY user_id ORDER BY unix_micros(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS events_last_hour
+      FROM events ORDER BY user_id, event_id LIMIT 200""",
+    "t23_offset" -> """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_orderkey LIMIT 50 OFFSET 100""",
+    "t24_union" -> """SELECT
+      (SELECT count(*) FROM (SELECT o_orderkey FROM orders WHERE o_totalprice < 150000
+        UNION ALL SELECT o_orderkey FROM orders WHERE o_totalprice > 50000) t) AS union_all_cnt,
+      (SELECT count(*) FROM (SELECT o_orderkey FROM orders WHERE o_totalprice < 150000
+        UNION SELECT o_orderkey FROM orders WHERE o_totalprice > 50000) t) AS union_distinct_cnt""",
+    "t25_except" -> """SELECT count(*) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t""")
 }

@@ -35,17 +35,21 @@ object StreamOps {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicLong()
+
   /** Drive a streaming DataFrame to completion (AvailableNow) into a memory
-    * sink and return the final table. */
+    * sink and return the final table. Sink names are uniquified so the same
+    * query can run repeatedly within one session. */
   def runToTable(spark: SparkSession, df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val unique = s"${name}_${sinkCounter.incrementAndGet()}"
     val q = df.writeStream
       .format("memory")
-      .queryName(name)
+      .queryName(unique)
       .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    spark.table(unique)
   }
 
   /** ST1: tumbling 1h windows per event type. */

@@ -10,7 +10,11 @@ class SqlParitySpec extends SparkSpec {
   private def rows(df: DataFrame): Seq[Seq[String]] =
     df.collect().toSeq.map(r => (0 until r.length).map(i => String.valueOf(r.get(i))))
 
-  BenchQueries.headline.foreach { q =>
+  private val covered =
+    (BenchQueries.headline ++ queries.RelationalQueries.all)
+      .filter(q => SqlQueries.texts.contains(q.name))
+
+  covered.foreach { q =>
     test(s"${q.name}: SQL text matches the DataFrame builder") {
       val viaDf = rows(q.build(spark, sf001))
       val viaSql = rows(SqlQueries.run(spark, sf001, q.name))
