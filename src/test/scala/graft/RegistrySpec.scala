@@ -16,6 +16,10 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("entry() smoke: flagship query returns rows on sf0.001") {
+    assert(SparkEntry.entry(TestSession.spark).count() > 0)
+  }
+
   test("SparkEntry maps mirror the registry") {
     assert(SparkEntry.queries.keySet === Registry.all.map(_.name).toSet)
     assert(SparkEntry.oracleSql.keySet ===
