@@ -10,9 +10,16 @@ class BucketingSpec extends SparkSpec {
 
   test("joins between co-bucketed tables run shuffle-free") {
     // default warehouse dir (./spark-warehouse, gitignored) — the conf is
-    // static and cannot be set on a live session
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_customer")
+    // static and cannot be set on a live session. DROP only clears the
+    // in-memory catalog; stale locations from previous JVMs must go too.
+    Seq("b_orders", "b_customer").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
 
     Tables(spark, sf001, "orders")
       .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
