@@ -176,5 +176,76 @@ object SqlQueries {
         UNION SELECT o_orderkey FROM orders WHERE o_totalprice > 50000) t) AS union_distinct_cnt""",
     "t25_except" -> """SELECT count(*) AS n FROM (
       SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-      EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t""")
+      EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t""",
+    "t9_broadcast_join" -> """SELECT /*+ BROADCAST(region), BROADCAST(nation), BROADCAST(customer) */
+      n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey AND o_orderdate >= TIMESTAMP '1996-01-01'
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+      GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "t12_grouping_sets" -> """SELECT o_orderstatus, o_orderpriority,
+      CAST(grouping_id() AS BIGINT) AS gid, count(*) AS cnt
+      FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "t19_ntile" -> """SELECT c_mktsegment, quartile, count(*) AS cnt,
+      round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal,
+      round(max(pr), 4) AS max_pr
+      FROM (SELECT c_mktsegment, c_acctbal,
+              ntile(4) OVER w AS quartile, round(percent_rank() OVER w, 4) AS pr
+            FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey))
+      GROUP BY c_mktsegment, quartile ORDER BY c_mktsegment, quartile""",
+    "t21_moving_avg" -> """SELECT day, day_total,
+      round(avg(day_total) OVER (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS ma3
+      FROM (SELECT date_trunc('day', o_orderdate) AS day, round(sum(o_totalprice), 2) AS day_total
+            FROM orders GROUP BY 1)
+      ORDER BY day LIMIT 200""",
+    "t26_strings" -> """SELECT p_partkey,
+      split(p_name, ' ')[0] AS first_token,
+      upper(p_name) AS upper_name,
+      length(p_name) AS name_len,
+      regexp_extract(p_name, '(\\w+)$', 1) AS last_word,
+      lpad(p_brand, 12, '#') AS padded_brand,
+      replace(p_type, ' ', '_') AS type_snake,
+      instr(p_type, 'a') AS a_pos,
+      concat_ws('-', p_brand, p_type) AS brand_type,
+      substring(p_name, 1, 5) AS name5,
+      startswith(p_name, 'a') AS starts_a,
+      endswith(p_name, 'e') AS ends_e
+      FROM part ORDER BY p_partkey LIMIT 200""",
+    "t27_dates" -> """SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+      count(*) AS cnt,
+      count(DISTINCT month(o_orderdate)) AS n_months,
+      min(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01')) AS min_days,
+      max(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01')) AS max_days,
+      min(unix_timestamp(o_orderdate)) AS min_epoch,
+      min(date_add(CAST(o_orderdate AS DATE), 30)) AS min_plus30
+      FROM orders GROUP BY 1, 2 ORDER BY yr, qtr""",
+    "t28_math" -> """SELECT l_orderkey, l_linenumber,
+      round(sqrt(l_extendedprice), 4) AS sqrt_price,
+      round(pow(1 + l_discount, 3), 6) AS pow_disc,
+      round(ln(l_extendedprice), 6) AS ln_price,
+      round(exp(l_discount), 6) AS exp_disc,
+      abs(l_quantity - 25) AS abs_qty,
+      ceil(l_extendedprice / 1000) AS ceil_k,
+      floor(l_extendedprice / 1000) AS floor_k,
+      signum(l_quantity - 25.0D) AS sgn,
+      greatest(l_quantity, l_discount * 100) AS gr,
+      least(l_quantity, l_tax * 100) AS le,
+      pmod(l_orderkey, 7) AS pm7,
+      CAST(l_quantity AS INT) AS qty_int,
+      CAST(l_orderkey AS STRING) AS key_str
+      FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+    "t29_arrays" -> """WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings)
+      SELECT vec_id, size(v) AS dim,
+      round(sqrt(vec_dot(v, v)), 4) AS l2,
+      size(filter(v, x -> x > 0)) AS n_pos,
+      round(element_at(v, 1), 6) AS first_val,
+      round(aggregate(slice(v, 1, 8), 0.0D, (a, x) -> a + x), 6) AS sum8,
+      round(array_min(v), 6) AS mn,
+      round(array_max(v), 6) AS mx
+      FROM e ORDER BY vec_id LIMIT 100""",
+    "t29_explode" -> """SELECT count(*) AS n FROM
+      (SELECT explode(CAST(embedding AS ARRAY<DOUBLE>)) AS x FROM embeddings) WHERE x > 0.5""")
 }

@@ -11,7 +11,7 @@ class SqlParitySpec extends SparkSpec {
     df.collect().toSeq.map(r => (0 until r.length).map(i => String.valueOf(r.get(i))))
 
   private val covered =
-    (BenchQueries.headline ++ queries.RelationalQueries.all)
+    (BenchQueries.headline ++ queries.RelationalQueries.all ++ queries.FunctionQueries.all)
       .filter(q => SqlQueries.texts.contains(q.name))
 
   covered.foreach { q =>
