@@ -322,6 +322,21 @@ object LlmQueries {
              (SELECT count(*) FROM b WHERE bucket < 10) AS test_cnt,
              0::BIGINT AS overlap"""))
 
+  val l13 = GQuery(
+    "l13_sequence_packing",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Packing.packSummary(d, "doc_id",
+        size(TextFunctions.tokens(col("text"))), budget = 2048)
+        .limit(100)
+    },
+    Some("""WITH toks AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+      c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM toks)
+      SELECT CAST(floor((cum - n) / 2048) AS BIGINT) AS bin,
+             count(*) AS docs, CAST(sum(n) AS BIGINT) AS tokens
+      FROM c GROUP BY 1 ORDER BY bin LIMIT 100"""))
+
   def all: Seq[GQuery] = Seq(l1, l2, l2brute, l2simhash, l2simhashPairs, l2embedding,
-    l3, l3scalable, l3lsh, l3ivf, l4langid, l5, l6, l7, l8, l9, l10, l11, l12)
+    l3, l3scalable, l3lsh, l3ivf, l4langid, l5, l6, l7, l8, l9, l10, l11, l12, l13)
 }
