@@ -179,5 +179,19 @@ object FunctionQueries {
     },
     None)
 
-  def all: Seq[GQuery] = Seq(t26, t27, t28, t29, t29explode, tUdaf, tMultimodal)
+  /** F7 second form: declared-schema JSON extraction (`from_json` into a
+    * struct) — same values as the path-based `get_json_object` (B8). */
+  val tFromJson = GQuery(
+    "t_from_json",
+    (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k").cast("long")).as("sum_k"), count(lit(1)).as("cnt"))
+        .orderBy(col("event_type")),
+    BenchQueries.b8.oracle)
+
+  def all: Seq[GQuery] = Seq(t26, t27, t28, t29, t29explode, tUdaf, tMultimodal, tFromJson)
 }
