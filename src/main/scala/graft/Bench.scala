@@ -16,12 +16,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val suite = queries.BenchQueries.headline
-    // Warm-up ×2: JIT, codegen cache, file-footer cache.
+    // Warm-up ×2: JIT, codegen cache, file-footer cache; one GC to clear
+    // the warm-up debt before any timed window.
     (1 to 2).foreach(_ => suite.foreach(q => q.build(spark, sfDir).collect()))
+    System.gc()
 
     val timed = suite.map { q =>
-      System.gc() // keep collector pauses out of the timed window
-      val runs = (1 to 5).map { _ =>
+      val runs = (1 to 7).map { _ =>
         val t0 = System.nanoTime()
         q.build(spark, sfDir).collect()
         (System.nanoTime() - t0) / 1e9
