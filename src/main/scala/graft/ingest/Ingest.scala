@@ -37,20 +37,38 @@ case class CatalogEntry(
     num_rows: Long)
 
 object Manifest {
-  /** C1: capture arrival metadata for every file under `dir`.
-    * Uses the binaryFile source so hashing happens distributed, one task per
-    * file — at 100 TB landing volumes the hash cost scales out with the
-    * cluster instead of serializing on a driver listing. */
+  /** C1: capture arrival metadata for every file under `dir`, hashing each
+    * file in a fixed-size streaming window (8 KiB buffer) inside
+    * mapPartitions — constant executor memory regardless of file size
+    * (`binaryFile` + `md5(content)` would materialize whole files; a 10 GB
+    * landing object must not OOM a task). Listing is tiny (one row per
+    * file) and the hash work distributes across the cluster. */
   def capture(spark: SparkSession, dir: String): Dataset[FileMeta] = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(dir)
-      .select(
-        col("path"),
-        element_at(split(col("path"), "/"), -1).as("name"),
-        col("length").as("size"),
-        col("modificationTime").as("modification_time"),
-        md5(col("content")).as("content_hash"))
-      .as[FileMeta]
+    val paths = spark.read.format("binaryFile")
+      .load(dir)
+      .select(col("path"), col("length"), col("modificationTime"))
+      .as[(String, Long, java.sql.Timestamp)]
+    paths.repartition(col("path")).mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (path, size, mtime) =>
+        md.reset()
+        // Hadoop FS API → scheme-agnostic (file://, hdfs://, s3a://)
+        val hPath = new org.apache.hadoop.fs.Path(path)
+        val fs = hPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val in = fs.open(hPath)
+        try {
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) {
+            if (n > 0) md.update(buf, 0, n)
+            n = in.read(buf)
+          }
+        } finally in.close()
+        val hash = md.digest().map("%02x".format(_)).mkString
+        FileMeta(path, path.substring(path.lastIndexOf('/') + 1), size, mtime, hash)
+      }
+    }
   }
 }
 
