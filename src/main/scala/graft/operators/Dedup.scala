@@ -123,8 +123,8 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: hamming distance ≤ maxHamming on the 48-bit
-    * fingerprint. At 100 TB: pre-bucket on 4 × 12-bit chunks (any pair
-    * within hamming 3 shares a chunk) instead of the full O(n²) join. */
+    * fingerprint — brute-force O(n²) pair join (the oracle shape; see
+    * [[simhashNearDupPairsBanded]] for the scale path). */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
     val sh = simhash48(df, idCol, textCol)
     val a = sh.select(col(idCol).as("id_a"), col("simhash").as("sh_a"))
@@ -133,6 +133,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
+  }
+
+  /** Sub-quadratic SimHash near-dup: split the 48-bit fingerprint into
+    * maxHamming+1 chunks — by pigeonhole, any pair within the hamming bound
+    * has at least one chunk bit-identical — equi-join on (chunk index,
+    * chunk value) to generate candidates, then verify exact hamming.
+    * EXACTLY equal to the brute-force join (total recall, it is a
+    * pigeonhole guarantee, not a probabilistic one), but the join is equi
+    * on a 1-in-2^chunkBits key instead of an O(n²) theta join. */
+  def simhashNearDupPairsBanded(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
+    val nChunks = maxHamming + 1
+    val chunkBits = 48 / nChunks
+    val sh = simhash48(df, idCol, textCol)
+    val chunks = sh.select(
+      col(idCol), col("simhash"),
+      // chunk c = bits [c*chunkBits, (c+1)*chunkBits); 48-bit values are
+      // exact in doubles, so pow/floor arithmetic is lossless here
+      posexplode(transform(sequence(lit(0), lit(nChunks - 1)), c =>
+        pmod(floor(col("simhash") / pow(lit(2.0), c * chunkBits)).cast("long"),
+          lit(1L << chunkBits)))))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_val")
+    val a = chunks.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      col("chunk"), col("chunk_val"))
+    val b = chunks.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      col("chunk"), col("chunk_val"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding near-dup: pairs with cosine ≥ threshold (brute force with

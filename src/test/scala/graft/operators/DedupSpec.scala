@@ -43,6 +43,16 @@ class DedupSpec extends SparkSpec {
     assert(byId(0L) !== byId(2L))
   }
 
+  test("banded simhash pairs equal the brute-force pair join (pigeonhole recall)") {
+    val d = graft.Tables(spark, sf001, "documents")
+    val brute = Dedup.simhashNearDupPairs(d, "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val banded = Dedup.simhashNearDupPairsBanded(d, "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty) // the corpus has planted near-dups
+  }
+
   test("embedding near-dup finds only the near-identical pair") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
