@@ -247,5 +247,25 @@ object SqlQueries {
       round(array_max(v), 6) AS mx
       FROM e ORDER BY vec_id LIMIT 100""",
     "t29_explode" -> """SELECT count(*) AS n FROM
-      (SELECT explode(CAST(embedding AS ARRAY<DOUBLE>)) AS x FROM embeddings) WHERE x > 0.5""")
+      (SELECT explode(CAST(embedding AS ARRAY<DOUBLE>)) AS x FROM embeddings) WHERE x > 0.5""",
+
+    // ---- LLM-pipeline queries as SQL (where library ops are SQL-expressible) ----
+    "l7_multimodal_join" -> """SELECT lang, count(*) AS cnt, round(avg(n_chars), 2) AS avg_chars,
+      count(DISTINCT label) AS n_labels
+      FROM documents JOIN embeddings ON doc_id = vec_id
+      GROUP BY lang ORDER BY lang""",
+    "l9_token_count" -> """SELECT lang,
+      sum(size(split(text, ' '))) AS ws_tokens,
+      sum(regexp_count(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpeish_tokens
+      FROM documents GROUP BY lang ORDER BY lang""",
+    "l11_deterministic_sample" -> """SELECT count(*) AS sampled, min(doc_id) AS first_id
+      FROM documents
+      WHERE pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT), 100) < 20""",
+    "l13_sequence_packing" -> """WITH toks AS (
+        SELECT doc_id, size(split(text, ' ')) AS n FROM documents),
+      c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM toks)
+      SELECT CAST(floor((cum - n) / 2048) AS BIGINT) AS bin,
+             count(*) AS docs, sum(n) AS tokens
+      FROM c GROUP BY 1 ORDER BY bin LIMIT 100""")
 }

@@ -11,7 +11,8 @@ class SqlParitySpec extends SparkSpec {
     df.collect().toSeq.map(r => (0 until r.length).map(i => String.valueOf(r.get(i))))
 
   private val covered =
-    (BenchQueries.headline ++ queries.RelationalQueries.all ++ queries.FunctionQueries.all)
+    (BenchQueries.headline ++ queries.RelationalQueries.all ++
+      queries.FunctionQueries.all ++ queries.LlmQueries.all)
       .filter(q => SqlQueries.texts.contains(q.name))
 
   covered.foreach { q =>

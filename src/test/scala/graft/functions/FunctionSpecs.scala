@@ -101,6 +101,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(g === Seq("en", "es", "und"))
   }
 
+  test("hashBucket is deterministic and roughly uniform") {
+    val b1 = spark.range(0, 10000)
+      .select(TextFunctions.hashBucket(col("id"), 10).as("b"))
+    val counts = b1.groupBy("b").count().orderBy("b").as[(Long, Long)].collect()
+    assert(counts.length === 10)
+    // uniformity: each of 10 buckets within ±30% of the expected 1000
+    counts.foreach { case (b, n) => assert(n > 700 && n < 1300, s"bucket $b: $n") }
+    val again = spark.range(0, 10000)
+      .select(TextFunctions.hashBucket(col("id"), 10).as("b"))
+      .groupBy("b").count().orderBy("b").as[(Long, Long)].collect()
+    assert(counts.toSeq === again.toSeq)
+  }
+
   test("fingerprint is stable and equal for identical content") {
     val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "z y x w v")).toDF("id", "text")
     val fps = df.select(col("id"), TextFunctions.fingerprint(col("text")).as("fp"))
