@@ -193,5 +193,27 @@ object FunctionQueries {
         .orderBy(col("event_type")),
     BenchQueries.b8.oracle)
 
-  def all: Seq[GQuery] = Seq(t26, t27, t28, t29, t29explode, tUdaf, tMultimodal, tFromJson)
+  /** F1/F2 completion: rpad, trim, plain concat, make_date. */
+  val t26b = GQuery(
+    "t26b_more_strings",
+    (s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          rpad(col("p_brand"), 12, "#").as("rpadded"),
+          trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+          concat(col("p_brand"), lit("/"), col("p_type")).as("joined"),
+          make_date(lit(1995) + (col("p_partkey") % 5).cast("int"),
+            (col("p_partkey") % 12 + 1).cast("int"), lit(1)).as("md"))
+        .orderBy(col("p_partkey"))
+        .limit(100),
+    Some("""SELECT p_partkey,
+      rpad(p_brand, 12, '#') AS rpadded,
+      trim(concat('  ', p_name, '  ')) AS trimmed,
+      concat(p_brand, '/', p_type) AS joined,
+      make_date(CAST(1995 + p_partkey % 5 AS INTEGER),
+                CAST(p_partkey % 12 + 1 AS INTEGER), 1) AS md
+      FROM part ORDER BY p_partkey LIMIT 100"""))
+
+  def all: Seq[GQuery] = Seq(t26, t26b, t27, t28, t29, t29explode, tUdaf, tMultimodal, tFromJson)
 }

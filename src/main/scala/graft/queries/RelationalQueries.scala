@@ -336,6 +336,21 @@ object RelationalQueries {
       EXCEPT
       SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t"""))
 
+  /** W3 completion: cume_dist alongside percent_rank/ntile. */
+  val t19b = GQuery(
+    "t19b_cume_dist",
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").asc)
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+        .limit(100)
+    },
+    Some("""SELECT c_mktsegment, c_custkey, c_acctbal,
+      round(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS cd
+      FROM customer ORDER BY c_mktsegment, c_acctbal, c_custkey LIMIT 100"""))
+
   def all: Seq[GQuery] = Seq(t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25)
+    t15, t16, t17, t18, t19, t19b, t20, t21, t22, t23, t24, t25)
 }
