@@ -48,12 +48,25 @@ object BenchQueries {
     "b2_join_revenue",
     (s, dir) => {
       val revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
-      t(s, dir, "region").filter(col("r_name") === "ASIA")
+      // Build-side choice, made explicit: reduce the dimensional side first
+      // (one region → 5 nations → their customers → their in-window orders)
+      // to a narrow (o_orderkey, n_name) mapping, then stream lineitem past
+      // it. Left to static size estimates Catalyst broadcasts *lineitem*
+      // (its pruned 3-column scan looks small) — a 600k-row hash build on
+      // the probe side, measured 1.8× slower. The broadcast hint asserts
+      // the query's selectivity contract: the mapping is bounded by the
+      // single-region, date-windowed orders subset. Where that bound can't
+      // be asserted, swap the hint for `.hint("shuffle_hash")` (spillable
+      // per-partition build, same side) — the 100 TB-safe form — or leave
+      // it to AQE's runtime size-based join selection (engine default).
+      val small = t(s, dir, "region").filter(col("r_name") === "ASIA")
         .join(t(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
         .join(t(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
         .join(t(s, dir, "orders").filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")),
           col("o_custkey") === col("c_custkey"))
-        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("n_name"), col("o_orderkey"))
+      t(s, dir, "lineitem")
+        .join(broadcast(small), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name"))
         .agg(round(sum(revenue), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
@@ -141,13 +154,24 @@ object BenchQueries {
 
   val b8 = GQuery(
     "b8_json",
-    (s, dir) =>
-      t(s, dir, "events")
+    (s, dir) => {
+      // JSON parsing is the per-row cost here, and it runs in the SCAN stage
+      // (partial agg pulls the parse below the shuffle). A single-row-group
+      // file scans as one task, serializing all parsing on one core — so if
+      // the scan has fewer splits than the session's parallelism, spread the
+      // raw rows first (cheap: one narrow shuffle of the tiny local file).
+      // At production scale the scan has thousands of splits and this branch
+      // is a no-op — no extra shuffle of the fact table.
+      val ev = t(s, dir, "events")
+      val cores = s.sparkContext.defaultParallelism
+      val spread = if (ev.rdd.getNumPartitions < math.min(8, cores)) ev.repartition(cores) else ev
+      spread
         .groupBy(col("event_type"))
         .agg(
           sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
           count(lit(1)).as("cnt"))
-        .orderBy(col("event_type")),
+        .orderBy(col("event_type"))
+    },
     Some("""SELECT event_type,
       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
       count(*) AS cnt
