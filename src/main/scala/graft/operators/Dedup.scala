@@ -167,6 +167,95 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected edge list, by alternating
+    * large-star / small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — O(log n) rounds
+    * independent of graph diameter, each round a pair of shuffles. This is
+    * the 100 TB path: plain min-label propagation needs diameter-many
+    * rounds, and a duplicate *chain* (a~b~c~…) can make the diameter grow
+    * with the corpus.
+    *
+    * Rounds (over the symmetrized neighborhood N(u), m = min(N(u) ∪ u)):
+    *   large-star: emit (v, m) for every neighbor v > u
+    *   small-star: emit (v, m) for every neighbor v ≤ u, plus (u, m)
+    * The fixpoint is a depth-1 forest: every node linked to its component's
+    * minimum. Returns (`id`, `component`) — one row per node that appears
+    * in an edge; component = smallest node id in the component.
+    *
+    * Each round materializes via `localCheckpoint` — lineage would otherwise
+    * double per iteration; on a cluster use `checkpoint` to survive executor
+    * loss during long chains.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      sym.join(m, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient each edge larger→smaller, so every neighbor here is ≤ u
+      val dir = e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .where(col("u") =!= col("v"))
+      val m = dir.groupBy("u").agg(min(col("v")).as("m"))
+      dir.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    var cur = edges.select(col(idA).as("u"), col(idB).as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+    var curCnt = cur.count()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val nextCnt = next.count()
+      // fixpoint test: equal multisets (both are distinct sets, so equal
+      // counts + empty difference suffices; one extra job per round)
+      converged = nextCnt == curCnt && next.except(cur).isEmpty
+      cur = next
+      curCnt = nextCnt
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // depth-1 forest: children point at the root; add the roots themselves
+    cur.select(col("u").as("id"), col("v").as("component"))
+      .union(cur.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+  }
+
+  /** Near-duplicate clusters of `df` at the given Jaccard threshold:
+    * MinHash-LSH candidate pairs → exact-Jaccard filter → connected
+    * components. Returns (id, component) for every document in a cluster
+    * of size ≥ 2 (singletons are implicitly their own component). */
+  def nearDupComponents(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame =
+    connectedComponents(minhashNearDupPairs(df, idCol, textCol, threshold))
+
+  /** The end-to-end near-dedup: keep one canonical document per cluster
+    * (the smallest id — deterministic) plus all unclustered documents.
+    * This is `dropDuplicates` semantics lifted from exact to fuzzy. */
+  def dropNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    val comp = nearDupComponents(df, idCol, textCol, threshold)
+    val losers = comp.where(col("id") =!= col("component")).select(col("id"))
+    df.join(losers, df(idCol) === losers("id"), "left_anti")
+  }
+
   /** Embedding near-dup: pairs with cosine ≥ threshold (brute force with
     * precomputed norms; LSH/IVF variants in [[Similarity]] are the scale
     * path). */

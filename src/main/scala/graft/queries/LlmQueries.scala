@@ -83,6 +83,44 @@ object LlmQueries {
       SELECT count(*) AS n_pairs FROM simh a JOIN simh b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 8"""))
 
+  // End-to-end fuzzy dedup: MinHash-LSH pairs → connected components →
+  // keep the min-id document per cluster. The oracle recomputes the
+  // clusters from the brute-force Jaccard pairs via a recursive-CTE
+  // transitive closure (tractable at sf0.01; the Spark side is the
+  // O(log n)-round star-contraction that scales).
+  val l2cluster = GQuery(
+    "l2_cluster_dedup",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val comp = Dedup.nearDupComponents(d, "doc_id", "text", threshold = 0.8)
+      val clusters = comp.groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      val kept = Dedup.dropNearDuplicates(d, "doc_id", "text", threshold = 0.8)
+        .agg(count(lit(1)).as("kept_docs"))
+      clusters.agg(
+        count(lit(1)).as("dup_clusters"),
+        sum(col("sz")).as("clustered_docs"),
+        max(col("sz")).as("largest_cluster"))
+        .crossJoin(kept)
+    },
+    Some(s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+      edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE r.a <> e.b
+      ),
+      comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+      cl AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+      SELECT
+        (SELECT count(*) FROM cl) AS dup_clusters,
+        (SELECT CAST(sum(sz) AS BIGINT) FROM cl) AS clustered_docs,
+        (SELECT CAST(max(sz) AS BIGINT) FROM cl) AS largest_cluster,
+        (SELECT count(*) FROM documents) -
+          (SELECT count(*) FROM comp WHERE id <> component) AS kept_docs"""))
+
   val l2embedding = GQuery(
     "l2_embedding_neardup",
     (s, dir) =>
@@ -337,6 +375,6 @@ object LlmQueries {
              count(*) AS docs, CAST(sum(n) AS BIGINT) AS tokens
       FROM c GROUP BY 1 ORDER BY bin LIMIT 100"""))
 
-  def all: Seq[GQuery] = Seq(l1, l2, l2brute, l2simhash, l2simhashPairs, l2embedding,
+  def all: Seq[GQuery] = Seq(l1, l2, l2brute, l2simhash, l2simhashPairs, l2cluster, l2embedding,
     l3, l3scalable, l3lsh, l3ivf, l4langid, l5, l6, l7, l8, l9, l10, l11, l12, l13)
 }

@@ -53,6 +53,38 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty) // the corpus has planted near-dups
   }
 
+  test("connected components: chain, separate component, high-degree star") {
+    // chain 1-2-3-4 (tests propagation past direct neighbors), pair 10-11,
+    // star 20-{21,22,23}; min id of each component is the label
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (20L, 22L), (20L, 23L)
+    ).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comp === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
+  test("connected components handles a long chain (diameter >> round count)") {
+    // path 0-1-2-…-40: label propagation would need 40 rounds; star
+    // contraction must converge within the iteration cap
+    val edges = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(edges).as[(Long, Long)].collect()
+    assert(comp.length === 41)
+    assert(comp.forall(_._2 == 0L))
+  }
+
+  test("dropNearDuplicates keeps one canonical doc per cluster plus singletons") {
+    // docs 0,1,3 form one near-dup cluster; 2 is unrelated → keep {0, 2}
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text", threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(0L, 2L))
+  }
+
   test("embedding near-dup finds only the near-identical pair") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
