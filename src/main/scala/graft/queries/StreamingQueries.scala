@@ -49,5 +49,22 @@ object StreamingQueries {
     Some("""SELECT user_id, round(sum(value), 2) AS total FROM events
       WHERE event_type = 'purchase' GROUP BY user_id ORDER BY user_id LIMIT 100"""))
 
-  def all: Seq[GQuery] = Seq(st1, st2, st3, st5, st6)
+  val st7 = GQuery(
+    "st7_stream_join",
+    (s, dir) => StreamOps.purchaseSignupJoin(s, dir),
+    // every (purchase, signup) pair of the same user with the signup in the
+    // 7 days up to the purchase — plain join semantics, not as-of
+    Some("""WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events WHERE event_type = 'purchase'),
+      s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'signup')
+      SELECT count(*) AS matched, round(sum(p.value), 2) AS total_value
+      FROM p JOIN s ON s.user_id = p.user_id
+        AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY"""))
+
+  val st8 = GQuery(
+    "st8_dedup_within_watermark",
+    (s, dir) => StreamOps.streamingDedupWithinWatermark(s, dir),
+    // doubled input deduped on event_id == single-copy batch counts
+    st5.oracle)
+
+  def all: Seq[GQuery] = Seq(st1, st2, st3, st5, st6, st7, st8)
 }

@@ -107,6 +107,54 @@ object StreamOps {
       .orderBy(col("event_type"))
   }
 
+  /** ST7: stream-stream interval join — purchases joined to signups of the
+    * same user within the preceding 7 days. Both sides are real streams
+    * (two independent file sources); the time-range predicate plus the
+    * watermarks is what lets Spark evict join state at scale (a signup
+    * older than 7 days + watermark delay can never match again and is
+    * dropped from the state store). Final rows are aggregated after the
+    * sink, so the append-mode join output itself is what's exercised. */
+  def purchaseSignupJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val purchases = eventsStream(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val signups = eventsStream(spark, sfDir)
+      .where(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val joined = purchases.join(
+      signups,
+      col("p_user") === col("s_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS"))
+    runToTable(spark, joined, "st7_join_sink", OutputMode.Append())
+      .agg(count(lit(1)).as("matched"), round(sum(col("value")), 2).as("total_value"))
+  }
+
+  /** ST8: `dropDuplicatesWithinWatermark` — dedup where duplicate events
+    * may arrive up to the watermark delay apart, without keeping unbounded
+    * key state (unlike plain `dropDuplicates`, state for a key is dropped
+    * once the watermark passes it — the production-shaped dedup). Fed the
+    * same doubled input as ST5; final counts must equal single-copy batch. */
+  def streamingDedupWithinWatermark(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = new java.io.File(s"$sfDir/events.parquet")
+    val dup = java.nio.file.Files.createTempDirectory("graft_dupw_events")
+    Seq("copy_a.parquet", "copy_b.parquet").foreach { n =>
+      java.nio.file.Files.copy(src.toPath, dup.resolve(n))
+    }
+    val schema = spark.read.parquet(src.getPath).schema
+    val stream = spark.readStream.schema(schema).parquet(dup.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "30 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    runToTable(spark, stream, "st8_dedupw_sink", OutputMode.Complete())
+      .orderBy(col("event_type"))
+  }
+
   /** ST6: custom stateful operator — running per-user purchase totals via
     * flatMapGroupsWithState (explicit GroupState, the §2.8 ST6 contract). */
   def statefulPurchaseTotals(spark: SparkSession, sfDir: String): DataFrame = {

@@ -18,6 +18,32 @@ class StreamParitySpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream-stream interval join equals the batch join on the same predicate") {
+    val streamed = StreamOps.purchaseSignupJoin(spark, sf001)
+      .as[(Long, Double)].head()
+    val ev = Tables(spark, sf001, "events")
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+    val s = ev.where(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    val batch = p.join(s,
+      col("p_user") === col("s_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS"))
+      .agg(count(lit(1)), round(sum(col("value")), 2))
+      .as[(Long, Double)].head()
+    assert(streamed === batch)
+  }
+
+  test("dropDuplicatesWithinWatermark on doubled input equals single-copy counts") {
+    val deduped = StreamOps.streamingDedupWithinWatermark(spark, sf001)
+      .as[(String, Long)].collect().toMap
+    val batch = Tables(spark, sf001, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toMap
+    assert(deduped === batch)
+  }
+
   test("ST7: parquet file sink writes exactly-once output readable as a table") {
     val out = java.nio.file.Files.createTempDirectory("graft_filesink").toString
     val cp = java.nio.file.Files.createTempDirectory("graft_filesink_cp").toString
