@@ -114,6 +114,60 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col(keyCol), transform(col("pm"), x => x.getField("m")).as("centroid"))
 
+  /** Lloyd's k-means over the vector column — pure DataFrame ops, so it
+    * scales like any aggregation: per iteration one broadcast of k
+    * centroids, one argmin pass over the data (min_by, no shuffle of
+    * vectors), one elementwise-mean shuffle keyed by (cell, dim).
+    *
+    * Deterministic: initial centroids are the k vectors with the smallest
+    * seeded xxhash64 of their id (a content-independent pseudo-random but
+    * reproducible draw); ties in assignment break toward the lower cell id.
+    * A cell that loses all members drops out (k shrinks) — acceptable for
+    * IVF coarse quantizers. Returns (cell, centroid). */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5): DataFrame = {
+    val e = df.select(col(idCol).as("__kid"), VectorOps.asDouble(col(vecCol)).as("__kv"))
+    // init = k lowest seeded hashes: orderBy().limit(k) is TakeOrdered —
+    // partial top-k per partition, k rows to the driver side — not a
+    // global sort, so the draw stays cheap at any corpus size
+    val drawn = e.orderBy(xxhash64(lit("graft-kmeans-init"), col("__kid")), col("__kid"))
+      .limit(k)
+    val initW = Window.orderBy(col("__kid"))
+    var cents = drawn
+      .withColumn("cell", (row_number().over(initW) - 1).cast("int"))
+      .select(col("cell"), col("__kv").as("centroid"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val assigned = assignCells(e, "__kv", cents)
+      cents = centroids(assigned.withColumnRenamed("__cell", "cell"), "cell", "__kv")
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment: adds `__cell` to `df`. Centroids are
+    * broadcast; the argmin is a map-side min_by over squared L2 distance
+    * (ties toward the lower cell id) — no shuffle of the vectors. */
+  def assignCells(df: DataFrame, vecCol: String, cents: DataFrame): DataFrame = {
+    val withCand = df.crossJoin(broadcast(cents.select(col("cell"), col("centroid"))))
+    val d2 = aggregate(
+      zip_with(VectorOps.asDouble(col(vecCol)), col("centroid"), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, x) => acc + x)
+    withCand
+      .groupBy(df.columns.map(col): _*)
+      .agg(min_by(col("cell"), struct(d2.as("d2"), col("cell"))).as("__cell"))
+  }
+
+  /** IVF with a TRAINED coarse quantizer: k-means cells instead of a
+    * pre-existing label column — the standard billion-scale layout
+    * (train on a sample, assign all, probe nProbe cells). */
+  def ivfTopKTrained(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4, iters: Int = 5): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, iters)
+    val assigned = assignCells(corpus, vecCol, cents).localCheckpoint()
+    ivfTopK(assigned, idCol, vecCol, "__cell", k, nProbe)
+  }
+
   /** IVF-style ANN: assign vectors to cells (here: the `cellCol` key), probe
     * the `nProbe` cells whose centroids are nearest the query, exact re-rank
     * within probed cells. */

@@ -243,6 +243,17 @@ object LlmQueries {
   private def markerSql(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  // k-means-trained coarse quantizer (vs l3ivf's pre-assigned label cells);
+  // approximate by design → rows-only; recall asserted in SimilaritySpec.
+  val l3kmeans = GQuery(
+    "l3_ann_kmeans_topk",
+    (s, dir) =>
+      Similarity.ivfTopKTrained(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, nCells = 16, nProbe = 4)
+        .select(col("vec_id"), col("rank"), col("nn_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("vec_id"), col("rank")),
+    None)
+
   val l4langid = GQuery(
     "l4_langid",
     (s, dir) =>
@@ -376,5 +387,5 @@ object LlmQueries {
       FROM c GROUP BY 1 ORDER BY bin LIMIT 100"""))
 
   def all: Seq[GQuery] = Seq(l1, l2, l2brute, l2simhash, l2simhashPairs, l2cluster, l2embedding,
-    l3, l3scalable, l3lsh, l3ivf, l4langid, l5, l6, l7, l8, l9, l10, l11, l12, l13)
+    l3, l3scalable, l3lsh, l3ivf, l3kmeans, l4langid, l5, l6, l7, l8, l9, l10, l11, l12, l13)
 }

@@ -109,6 +109,27 @@ object RelationalQueries {
     // Must hash-match B2 (same semantics, explicit broadcast hints).
     BenchQueries.b2.oracle)
 
+  // Bloom-pruned join: fact rows are filtered through a bloom filter of
+  // the dim keys BEFORE any shuffle (operators.BloomOps). False positives
+  // are removed by the real join, so this must hash-match the plain-join
+  // oracle exactly.
+  val t9b = GQuery(
+    "t9b_bloom_join",
+    (s, dir) => {
+      val highBal = t(s, dir, "customer").where(col("c_acctbal") > 7000)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.operators.BloomOps
+        .bloomPrunedJoin(t(s, dir, "orders"), highBal, "o_custkey", "c_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_orders,
+      round(sum(o_totalprice), 2) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_acctbal > 7000
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   val t10 = GQuery(
     "t10_interval_join",
     (s, dir) => {
@@ -351,6 +372,6 @@ object RelationalQueries {
       round(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS cd
       FROM customer ORDER BY c_mktsegment, c_acctbal, c_custkey LIMIT 100"""))
 
-  def all: Seq[GQuery] = Seq(t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14,
+  def all: Seq[GQuery] = Seq(t4, t5, t6, t7, t8, t9, t9b, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t19b, t20, t21, t22, t23, t24, t25)
 }

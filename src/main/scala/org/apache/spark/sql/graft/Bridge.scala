@@ -12,6 +12,13 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Uncorrelated scalar subquery over a one-row/one-column DataFrame —
+    * the form expressions like `BloomFilterMightContain` require for their
+    * non-literal inputs (executed once, value shipped to every task). */
+  def scalarSubquery(df: org.apache.spark.sql.DataFrame): Expression =
+    org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      df.queryExecution.analyzed)
+
   def registerFunction(spark: SparkSession, name: String,
       clazz: Class[_], builder: Seq[Expression] => Expression): Unit = {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -44,6 +44,38 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.15, s"recall=$recall")
   }
 
+  test("k-means separates two well-separated toy clusters") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(df, "vec_id", "embedding", k = 2, iters = 4)
+    val assigned = Similarity.assignCells(df, "embedding", cents)
+      .select(col("vec_id"), col("__cell")).as[(Long, Int)].collect().toMap
+    assert(assigned(0L) === assigned(1L))
+    assert(assigned(2L) === assigned(3L))
+    assert(assigned(0L) !== assigned(2L))
+    assert(cents.count() === 2L)
+  }
+
+  test("k-means training is deterministic across runs") {
+    val emb = Tables(spark, sf001, "embeddings")
+    def run() = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 3)
+      .orderBy("cell").select("centroid").as[Seq[Double]].collect().toSeq
+    assert(run() === run())
+  }
+
+  test("trained-IVF ANN achieves recall over brute force") {
+    val emb = Tables(spark, sf001, "embeddings")
+    val brute = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 1)
+      .select(col("vec_id"), col("nn_id")).as[(Long, Long)].collect().toMap
+    val ivf = Similarity.ivfTopKTrained(emb, "vec_id", "embedding", k = 1, nCells = 16, nProbe = 4)
+      .select(col("vec_id"), col("nn_id")).as[(Long, Long)].collect().toMap
+    val hits = brute.count { case (q, nn) => ivf.get(q).contains(nn) }
+    val recall = hits.toDouble / brute.size
+    assert(recall > 0.3, s"recall=$recall")
+  }
+
   test("centroids are the elementwise mean") {
     val df = Seq((0, Array(1.0f, 3.0f)), (0, Array(3.0f, 5.0f))).toDF("label", "embedding")
     val c = Similarity.centroids(df, "label", "embedding")
