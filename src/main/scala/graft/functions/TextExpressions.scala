@@ -1,0 +1,70 @@
+package graft.functions
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode text normalization for training-data pipelines: the same logical
+  * document arrives as precomposed (é) or combining (e + U+0301) codepoints
+  * — hash-based dedup misses the equivalence unless text is canonicalized
+  * first. Modes: NFC (canonical compose), NFKC (compatibility — also folds
+  * ligatures/width), STRIP (NFD then drop combining marks — "strip
+  * accents"). Implemented as a Catalyst expression so it runs inside
+  * whole-stage codegen like any built-in string function. */
+object TextNormUtil {
+  val NFC = 0
+  val NFKC = 1
+  val STRIP = 2
+
+  private val marks = java.util.regex.Pattern.compile("\\p{M}+")
+
+  def normalize(s: UTF8String, mode: Int): UTF8String = {
+    val str = s.toString
+    val out = mode match {
+      case NFC  => Normalizer.normalize(str, Normalizer.Form.NFC)
+      case NFKC => Normalizer.normalize(str, Normalizer.Form.NFKC)
+      case _    => marks.matcher(Normalizer.normalize(str, Normalizer.Form.NFD)).replaceAll("")
+    }
+    UTF8String.fromString(out)
+  }
+
+  def modeOf(name: String): Int = name.toLowerCase match {
+    case "nfc"   => NFC
+    case "nfkc"  => NFKC
+    case "strip" => STRIP
+    case other   => throw new IllegalArgumentException(
+      s"text_normalize mode must be nfc|nfkc|strip, got '$other'")
+  }
+}
+
+case class NormalizeText(child: Expression, mode: Int) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "text_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"text_normalize requires string, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextNormUtil.normalize(input.asInstanceOf[UTF8String], mode)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextNormUtil.normalize($c, $mode)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextExpressions {
+  /** NFC-normalize (default) or 'nfkc' / 'strip' a string column. */
+  def normalizeText(c: Column, mode: String = "nfc"): Column =
+    Bridge.column(NormalizeText(Bridge.expression(c), TextNormUtil.modeOf(mode)))
+}

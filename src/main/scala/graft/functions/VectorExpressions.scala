@@ -66,13 +66,24 @@ object VectorExpressions {
   private val dotBuilder: Seq[Expression] => Expression =
     children => DotProduct(children(0), children(1))
 
+  private[functions] val normBuilder: Seq[Expression] => Expression = {
+    case Seq(c) => NormalizeText(c, TextNormUtil.NFC)
+    case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(m, _)) =>
+      NormalizeText(c, TextNormUtil.modeOf(String.valueOf(m)))
+    case other => throw new IllegalArgumentException(
+      s"text_normalize expects (str[, mode-literal]), got ${other.size} args")
+  }
+
   /** Column-level native dot product (no registry needed). */
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 
-  /** Register `vec_dot` for SQL use in an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Register `vec_dot` and `text_normalize` for SQL use in an existing
+    * session. */
+  def register(spark: SparkSession): Unit = {
     Bridge.registerFunction(spark, "vec_dot", classOf[DotProduct], dotBuilder)
+    Bridge.registerFunction(spark, "text_normalize", classOf[NormalizeText], normBuilder)
+  }
 }
 
 /** `spark.sql.extensions` entry point: registers the native function AND the
@@ -83,6 +94,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(Bridge.functionDescription("vec_dot", classOf[DotProduct],
       children => DotProduct(children(0), children(1))))
+    ext.injectFunction(Bridge.functionDescription("text_normalize",
+      classOf[NormalizeText], VectorExpressions.normBuilder))
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
   }
 }

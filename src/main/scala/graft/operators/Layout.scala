@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators for write-time clustering (the Delta/Iceberg
+  * OPTIMIZE ZORDER idea, re-expressed over plain parquet).
+  *
+  * Why it matters at 100 TB: parquet scans skip files/row-groups via
+  * min/max statistics. A linear sort clusters ONE column — filters on any
+  * other column still touch every file. Z-ordering interleaves the bits of
+  * several columns so files cover small hyper-rectangles of the combined
+  * key space: a selective filter on ANY of the z-columns prunes most files.
+  */
+object Layout {
+
+  /** Map a numeric column to an integer rank in [0, 2^bits) by linear
+    * min/max scaling (one stats pass, computed by the caller). */
+  private def scaled(c: Column, cmin: Column, cmax: Column, bits: Int): Column = {
+    val span = cmax.cast("double") - cmin.cast("double")
+    val unit = (c.cast("double") - cmin.cast("double")) /
+      when(span === 0, lit(1.0)).otherwise(span)
+    least(greatest(round(unit * ((1L << bits) - 1)).cast("long"), lit(0L)),
+      lit((1L << bits) - 1))
+  }
+
+  /** Z-value (Morton code) of the given numeric columns: per-column linear
+    * scale to `bits` bits, then bit interleave — column j contributes bit i
+    * to z-bit `i * n + j`. Pure codegen'd bit arithmetic (an expression
+    * tree of shifts/ors, no UDF). `n * bits` must be ≤ 63. */
+  def zvalue(cols: Seq[Column], mins: Seq[Column], maxs: Seq[Column], bits: Int = 12): Column = {
+    val n = cols.size
+    require(n * bits <= 63, s"z-value needs $n*$bits bits; must fit a long")
+    val ranks = cols.lazyZip(mins).lazyZip(maxs).map((c, lo, hi) => scaled(c, lo, hi, bits))
+    ranks.zipWithIndex.flatMap { case (r, j) =>
+      (0 until bits).map(i => shiftleft(shiftright(r, i).bitwiseAND(lit(1L)), i * n + j))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Rewrite `df` into `targetFiles` files clustered by the z-order of
+    * `zCols`: one stats pass for min/max, range-partition by z-value (equal
+    * row counts per file via range partitioning on the 1-D z key), sort
+    * within partitions, write. At scale this is the compaction-time layout
+    * job; the stats pass and the shuffle are both single linear passes. */
+  def zorderWrite(df: DataFrame, zCols: Seq[String], path: String, targetFiles: Int,
+      bits: Int = 12): Unit = {
+    val aggs = zCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    val mins = zCols.indices.map(i => lit(stats.get(2 * i)))
+    val maxs = zCols.indices.map(i => lit(stats.get(2 * i + 1)))
+    df.withColumn("__z", zvalue(zCols.map(col), mins, maxs, bits))
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

@@ -215,5 +215,29 @@ object FunctionQueries {
                 CAST(p_partkey % 12 + 1 AS INTEGER), 1) AS md
       FROM part ORDER BY p_partkey LIMIT 100"""))
 
-  def all: Seq[GQuery] = Seq(t26, t26b, t27, t28, t29, t29explode, tUdaf, tMultimodal, tFromJson)
+  /** Unicode normalization (custom codegen'd Catalyst expression): the same
+    * text planted in both composed (é) and combining (e+U+0301) forms must
+    * canonicalize identically; STRIP removes the diacritics entirely.
+    * Oracle: DuckDB nfc_normalize / strip_accents. */
+  val t26c = GQuery(
+    "t26c_normalize",
+    (s, dir) => {
+      import graft.functions.TextExpressions.normalizeText
+      val decorated = concat(lit("Café vs Café: "), substring(col("text"), 1, 30))
+      t(s, dir, "documents")
+        .where(col("doc_id") < 50)
+        .select(
+          col("doc_id"),
+          normalizeText(decorated).as("nfc"),
+          normalizeText(decorated, "strip").as("stripped"),
+          (normalizeText(lit("Café")) === normalizeText(lit("Café"))).as("forms_equal"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      nfc_normalize(concat('Café vs Café: ', substring(text, 1, 30))) AS nfc,
+      strip_accents(nfc_normalize(concat('Café vs Café: ', substring(text, 1, 30)))) AS stripped,
+      nfc_normalize('Café') = nfc_normalize('Café') AS forms_equal
+      FROM documents WHERE doc_id < 50 ORDER BY doc_id"""))
+
+  def all: Seq[GQuery] = Seq(t26, t26b, t26c, t27, t28, t29, t29explode, tUdaf, tMultimodal, tFromJson)
 }
