@@ -198,6 +198,41 @@ class Catalog(spark: SparkSession, root: String) {
   /** C7: catalog search is plain SQL/DataFrame over the table. */
   def search(predicate: String): DataFrame = table().where(predicate)
 
+  /** Upsert (MERGE): update-or-insert whole entries by key, last-writer-wins
+    * — the Delta-paper copy-on-write move. One pass tags every live row with
+    * its physical file (`input_file_name`); only parts that actually contain
+    * a matched key are rewritten (matched rows replaced, the rest of the
+    * part copied); untouched parts keep their files byte-identical, and the
+    * commit atomically swaps removed/added parts in the log. Readers of the
+    * previous version are unaffected (snapshot isolation). At 100 TB the
+    * rewrite cost is proportional to TOUCHED data, not table size. */
+  def upsert(updates: Dataset[CatalogEntry],
+      keyCols: Seq[String] = Seq("source", "raw_path")): Unit = synchronized {
+    import spark.implicits._
+    val parts = liveParts()
+    if (parts.isEmpty) { append(updates); return }
+    val keyed = updates.toDF()
+    val cur = spark.read.parquet(parts: _*).withColumn("__file", input_file_name())
+    val touchedFiles = cur
+      .join(broadcast(keyed.select(keyCols.map(col): _*).distinct()), keyCols)
+      .select("__file").distinct().as[String].collect()
+      .map(f => java.nio.file.Paths.get(new java.net.URI(f).getPath))
+    val touchedParts = parts.filter(p =>
+      touchedFiles.exists(_.startsWith(Paths.get(p).toAbsolutePath)))
+    val survivors =
+      if (touchedParts.isEmpty) spark.emptyDataset[CatalogEntry].toDF()
+      else spark.read.parquet(touchedParts: _*)
+        .join(broadcast(keyed.select(keyCols.map(col): _*).distinct()), keyCols, "left_anti")
+    val rewritten = survivors.unionByName(keyed)
+    val part = dataDir.resolve(s"merge-${java.util.UUID.randomUUID()}")
+    rewritten.coalesce(1).write.mode("overwrite").parquet(part.toString)
+    val next = versions.size
+    val tmp = Files.createTempFile(logDir, "commit", ".tmp")
+    Files.writeString(tmp,
+      (touchedParts.map(p => s"remove:$p") :+ s"add:$part").mkString("", "\n", "\n"))
+    Files.move(tmp, logDir.resolve(f"$next%08d.json"), StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Compaction (Delta-paper maintenance): rewrite all live parts into one
     * and commit a version that removes the old parts — readers before the
     * commit still see the old parts (snapshot isolation via the log); the

@@ -126,4 +126,36 @@ class IngestSpec extends SparkSpec {
     assert(cat.tableAt(1).count() === 2)
     assert(cat.tableAt(0).count() === 1)
   }
+
+  test("C6 upsert: copy-on-write merge rewrites only touched parts") {
+    val root = Files.createTempDirectory("graft_cat_merge").toString
+    val cat = new Catalog(spark, root)
+    val now = new java.sql.Timestamp(0L)
+    cat.append(spark.createDataset(Seq(
+      CatalogEntry("s", "p1", "h1", "success", "", now, "st1", 10))))
+    cat.append(spark.createDataset(Seq(
+      CatalogEntry("s", "p2", "h2", "success", "", now, "st2", 20))))
+    val untouched = cat.liveParts().head // holds p1 only
+
+    // update p2's status, insert p3 — one merge
+    cat.upsert(spark.createDataset(Seq(
+      CatalogEntry("s", "p2", "h2", "expired", "retention", now, "st2", 20),
+      CatalogEntry("s", "p3", "h3", "success", "", now, "st3", 30))))
+
+    val t = cat.table()
+    assert(t.count() === 3) // update did not duplicate, insert landed
+    assert(t.where(col("raw_path") === "p2").select("status").as[String].head() === "expired")
+    assert(t.where(col("raw_path") === "p3").count() === 1)
+    // the part without matching keys survives un-rewritten
+    assert(cat.liveParts().contains(untouched))
+    // pre-merge snapshot still sees the old p2
+    assert(cat.tableAt(1).where(col("raw_path") === "p2")
+      .select("status").as[String].head() === "success")
+
+    // upsert into an empty catalog is a plain insert
+    val empty = new Catalog(spark, Files.createTempDirectory("graft_cat_e").toString)
+    empty.upsert(spark.createDataset(Seq(
+      CatalogEntry("s", "p9", "h9", "success", "", now, "st9", 1))))
+    assert(empty.table().count() === 1)
+  }
 }
