@@ -27,4 +27,17 @@ object Sampling {
     val b = bucketOf(col(keyCol), totalBuckets)
     (df.where(b >= testBuckets), df.where(b < testBuckets))
   }
+
+  /** Stratified sample: a different keep-fraction per stratum (e.g. balance
+    * languages in a training mix), still hash-deterministic — the
+    * `df.stat.sampleBy` idea without its seed/partition-layout dependence.
+    * Strata absent from `keepBucketsByStratum` are dropped. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+      keepBucketsByStratum: Map[String, Int], totalBuckets: Int = 100): DataFrame = {
+    val b = bucketOf(col(keyCol), totalBuckets)
+    val keep = keepBucketsByStratum.foldLeft(lit(-1)) { case (acc, (s, k)) =>
+      when(col(stratumCol) === s, lit(k)).otherwise(acc)
+    }
+    df.where(b < keep)
+  }
 }

@@ -239,5 +239,21 @@ object FunctionQueries {
       nfc_normalize('Café') = nfc_normalize('Café') AS forms_equal
       FROM documents WHERE doc_id < 50 ORDER BY doc_id"""))
 
-  def all: Seq[GQuery] = Seq(t26, t26b, t26c, t27, t28, t29, t29explode, tUdaf, tMultimodal, tFromJson)
+  /** Edit distance (F1 completion) — fuzzy matching for entity resolution. */
+  val t26d = GQuery(
+    "t26d_levenshtein",
+    (s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          levenshtein(col("p_brand"), col("p_type")).as("lev_brand_type"),
+          levenshtein(substring(col("p_name"), 1, 10), col("p_brand")).as("lev_name_brand"))
+        .orderBy(col("p_partkey"))
+        .limit(200),
+    Some("""SELECT p_partkey,
+      CAST(levenshtein(p_brand, p_type) AS INTEGER) AS lev_brand_type,
+      CAST(levenshtein(substring(p_name, 1, 10), p_brand) AS INTEGER) AS lev_name_brand
+      FROM part ORDER BY p_partkey LIMIT 200"""))
+
+  def all: Seq[GQuery] = Seq(t26, t26b, t26c, t26d, t27, t28, t29, t29explode, tUdaf, tMultimodal, tFromJson)
 }

@@ -354,6 +354,24 @@ object LlmQueries {
     Some("""SELECT count(*) AS sampled, min(doc_id) AS first_id FROM documents
       WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100) < 20"""))
 
+  // Per-stratum keep fractions (training-mix balancing), hash-deterministic.
+  val l11b = GQuery(
+    "l11b_stratified_sample",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Sampling.stratifiedSample(d, "lang", "doc_id",
+        Map("en" -> 50, "es" -> 20, "zh" -> 10))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("sampled"), min(col("doc_id")).as("first_id"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH b AS (SELECT doc_id, lang,
+        ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 AS bucket
+      FROM documents)
+      SELECT lang, count(*) AS sampled, min(doc_id) AS first_id FROM b
+      WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 20 WHEN 'zh' THEN 10 ELSE -1 END
+      GROUP BY lang ORDER BY lang"""))
+
   val l12 = GQuery(
     "l12_train_test_split",
     (s, dir) => {
@@ -387,5 +405,6 @@ object LlmQueries {
       FROM c GROUP BY 1 ORDER BY bin LIMIT 100"""))
 
   def all: Seq[GQuery] = Seq(l1, l2, l2brute, l2simhash, l2simhashPairs, l2cluster, l2embedding,
-    l3, l3scalable, l3lsh, l3ivf, l3kmeans, l4langid, l5, l6, l7, l8, l9, l10, l11, l12, l13)
+    l3, l3scalable, l3lsh, l3ivf, l3kmeans, l4langid, l5, l6, l7, l8, l9, l10,
+    l11, l11b, l12, l13)
 }

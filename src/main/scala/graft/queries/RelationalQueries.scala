@@ -372,6 +372,50 @@ object RelationalQueries {
       round(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS cd
       FROM customer ORDER BY c_mktsegment, c_acctbal, c_custkey LIMIT 100"""))
 
+  /** Pivot: long→wide with an explicit value list (deterministic column
+    * set; Catalyst turns it into one aggregation pass, no per-value scans).
+    * Empty cells surface as NULL in Spark's pivot — coalesced to 0 to match
+    * the FILTER-count oracle. */
+  val t30 = GQuery(
+    "t30_pivot",
+    (s, dir) => {
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val wide = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", prios)
+        .agg(count(lit(1)))
+      wide.select(
+        col("o_orderstatus") +:
+          prios.zipWithIndex.map { case (p, i) =>
+            coalesce(col(s"`$p`"), lit(0L)).as(s"p${i + 1}") }: _*)
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus,
+      count(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+      count(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+      count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+      count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+      count(*) FILTER (o_orderpriority = '5-LOW') AS p5
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** Unpivot: wide→long (Dataset.unpivot, Spark's UNPIVOT plan — one scan,
+    * no self-union). */
+  val t31 = GQuery(
+    "t31_unpivot",
+    (s, dir) =>
+      t(s, dir, "part")
+        .unpivot(
+          Array(col("p_partkey")),
+          Array(col("p_size").cast("double").as("p_size"), col("p_retailprice")),
+          "metric", "value")
+        .orderBy(col("p_partkey"), col("metric"))
+        .limit(200),
+    Some("""SELECT p_partkey, metric, value FROM (
+      SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+      UNION ALL
+      SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part)
+      ORDER BY p_partkey, metric LIMIT 200"""))
+
   def all: Seq[GQuery] = Seq(t4, t5, t6, t7, t8, t9, t9b, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t19b, t20, t21, t22, t23, t24, t25)
+    t15, t16, t17, t18, t19, t19b, t20, t21, t22, t23, t24, t25, t30, t31)
 }
