@@ -76,4 +76,58 @@ class PropertySpec extends AnyFunSuite {
       assert(asof.map(_._1).distinct.length === asof.length)
     }
   }
+
+  test("connected components equal a reference union-find on random edge sets") {
+    import graft.operators.Dedup
+    val edgeGen = Gen.listOfN(12, Gen.zip(Gen.chooseNum(0L, 14L), Gen.chooseNum(0L, 14L)))
+    forSamples(edgeGen, n = 5) { edges0 =>
+      val edges = edges0.filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // driver-side union-find as the oracle
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = parent.keys.map(x => x -> find(x)).toMap
+        val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got === expected)
+      }
+    }
+  }
+
+  test("bloom probe never yields a false negative on random key sets") {
+    import graft.operators.BloomOps
+    val keysGen = Gen.listOfN(40, Gen.chooseNum(-1000000L, 1000000L))
+    forSamples(keysGen, n = 5) { keys =>
+      val dim = keys.toDF("k")
+      val bf = dim.agg(BloomOps.bloomAgg(xxhash64(col("k")), 1000L, 65536L).as("bf"))
+      val hits = dim.select(BloomOps.mightContain(bf, xxhash64(col("k"))))
+        .as[Boolean].collect()
+      assert(hits.forall(identity))
+    }
+  }
+
+  test("z-value stays within bit budget and respects per-dimension dominance") {
+    import graft.operators.Layout
+    val rows = Gen.listOfN(20, Gen.zip(Gen.chooseNum(0L, 1000L), Gen.chooseNum(0L, 1000L)))
+    forSamples(rows, n = 5) { data =>
+      val df = data.toDF("x", "y")
+      val z = Layout.zvalue(Seq(col("x"), col("y")),
+        Seq(lit(0L), lit(0L)), Seq(lit(1000L), lit(1000L)), bits = 8)
+      val zs = df.select(z).as[Long].collect()
+      assert(zs.forall(v => v >= 0 && v < (1L << 16)))
+      // corners map to extremes: (0,0) -> 0, (max,max) -> all ones
+      val corners = Seq((0L, 0L), (1000L, 1000L)).toDF("x", "y")
+        .select(Layout.zvalue(Seq(col("x"), col("y")),
+          Seq(lit(0L), lit(0L)), Seq(lit(1000L), lit(1000L)), bits = 8))
+        .as[Long].collect().toSeq
+      assert(corners === Seq(0L, (1L << 16) - 1))
+    }
+  }
 }
