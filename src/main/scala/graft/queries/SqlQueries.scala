@@ -267,5 +267,28 @@ object SqlQueries {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM toks)
       SELECT CAST(floor((cum - n) / 2048) AS BIGINT) AS bin,
              count(*) AS docs, sum(n) AS tokens
-      FROM c GROUP BY 1 ORDER BY bin LIMIT 100""")
+      FROM c GROUP BY 1 ORDER BY bin LIMIT 100""",
+    "t30_pivot" -> """SELECT o_orderstatus,
+        coalesce(p1, 0L) AS p1, coalesce(p2, 0L) AS p2, coalesce(p3, 0L) AS p3,
+        coalesce(p4, 0L) AS p4, coalesce(p5, 0L) AS p5
+      FROM (SELECT o_orderstatus, o_orderpriority FROM orders)
+      PIVOT (count(1) FOR o_orderpriority IN (
+        '1-URGENT' AS p1, '2-HIGH' AS p2, '3-MEDIUM' AS p3,
+        '4-NOT SPECIFIED' AS p4, '5-LOW' AS p5))
+      ORDER BY o_orderstatus""",
+    "t31_unpivot" -> """SELECT p_partkey, metric, value FROM (
+        SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size, p_retailprice FROM part)
+      UNPIVOT (value FOR metric IN (p_size, p_retailprice))
+      ORDER BY p_partkey, metric LIMIT 200""",
+    // text_normalize is graft's own SQL function (GraftExtensions)
+    "t26d_levenshtein" -> """SELECT p_partkey,
+      levenshtein(p_brand, p_type) AS lev_brand_type,
+      levenshtein(substring(p_name, 1, 10), p_brand) AS lev_name_brand
+      FROM part ORDER BY p_partkey LIMIT 200""",
+    "l11b_stratified_sample" -> """WITH b AS (SELECT doc_id, lang,
+        pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT), 100) AS bucket
+      FROM documents)
+      SELECT lang, count(*) AS sampled, min(doc_id) AS first_id FROM b
+      WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 20 WHEN 'zh' THEN 10 ELSE -1 END
+      GROUP BY lang ORDER BY lang""")
 }

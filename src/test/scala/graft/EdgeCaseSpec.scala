@@ -62,4 +62,28 @@ class EdgeCaseSpec extends SparkSpec {
     val tiny = Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text") // < 3 tokens
     assert(Dedup.minhashNearDupPairs(tiny, "doc_id", "text", 0.5).count() === 0L)
   }
+
+  test("connected components of an empty / self-loop-only edge set is empty") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() === 0L)
+    val selfOnly = Seq((3L, 3L), (7L, 7L)).toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(selfOnly).count() === 0L)
+  }
+
+  test("dropNearDuplicates with no near-dups returns the corpus unchanged") {
+    val docs = Seq(
+      (1L, "completely unique first text about volcanoes and rivers flowing"),
+      (2L, "unrelated second document concerning compiler optimization passes")
+    ).toDF("doc_id", "text")
+    assert(graft.operators.Dedup.dropNearDuplicates(docs, "doc_id", "text", 0.8).count() === 2L)
+  }
+
+  test("bloom-pruned join against an EMPTY dim matches the plain join (empty)") {
+    import graft.operators.BloomOps
+    val fact = Seq((1L, "a"), (2L, "b")).toDF("fk", "v")
+    val dim = Seq.empty[(Long, String)].toDF("dk", "w")
+    // bloom over zero rows is NULL; might_contain(NULL, x) is NULL → filter
+    // drops every row — exactly what the real join would return
+    assert(BloomOps.bloomPrunedJoin(fact, dim, "fk", "dk").count() === 0L)
+  }
 }
