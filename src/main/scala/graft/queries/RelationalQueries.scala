@@ -145,6 +145,18 @@ object RelationalQueries {
       JOIN (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us2 FROM events) e2
       ON e1.user_id = e2.user_id AND us2 > us1 AND us2 <= us1 + 300000000"""))
 
+  // Same semantics as t10 through the scale path: equi-join on w-sized time
+  // buckets (operators.IntervalJoin) instead of the nested-loop range join —
+  // must hash-match t10's oracle.
+  val t10b = GQuery(
+    "t10b_bucketed_interval",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), unix_micros(col("ts")).as("us"))
+      graft.operators.IntervalJoin.within(ev, ev, Seq("user_id"), "us", 300000000L)
+        .agg(count(lit(1)).as("pairs"))
+    },
+    t10.oracle)
+
   val t11 = GQuery(
     "t11_cube",
     (s, dir) =>
@@ -416,6 +428,6 @@ object RelationalQueries {
       SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part)
       ORDER BY p_partkey, metric LIMIT 200"""))
 
-  def all: Seq[GQuery] = Seq(t4, t5, t6, t7, t8, t9, t9b, t10, t11, t12, t13, t14,
+  def all: Seq[GQuery] = Seq(t4, t5, t6, t7, t8, t9, t9b, t10, t10b, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t19b, t20, t21, t22, t23, t24, t25, t30, t31)
 }
