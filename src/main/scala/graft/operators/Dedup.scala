@@ -88,12 +88,17 @@ object Dedup {
   }
 
   /** Brute-force n-gram Jaccard pairs ≥ threshold (the oracle-shaped O(n²)
-    * path; block-partitioned at scale, superseded by MinHash above). */
+    * path, superseded by MinHash above). The theta join is a broadcast
+    * nested loop; the streamed side is spread to full parallelism first —
+    * a single-row-group input file would otherwise pin the WHOLE O(n²)
+    * loop to one task (measured: 1 core busy, 31 idle). At real scale,
+    * block-partition both sides instead of broadcasting one. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double, shingleN: Int = 3): DataFrame = {
     val sh = df.select(col(idCol), TextFunctions.shingles(col(textCol), shingleN).as("__sh"))
-    val a = sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a"))
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val a = sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")).repartition(p)
     val b = sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b"))
-    a.join(b, col("id_a") < col("id_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
@@ -127,9 +132,10 @@ object Dedup {
     * [[simhashNearDupPairsBanded]] for the scale path). */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
     val sh = simhash48(df, idCol, textCol)
-    val a = sh.select(col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val a = sh.select(col(idCol).as("id_a"), col("simhash").as("sh_a")).repartition(p)
     val b = sh.select(col(idCol).as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, col("id_a") < col("id_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
@@ -263,9 +269,10 @@ object Dedup {
     import graft.functions.VectorOps
     val e = df.select(col(idCol), VectorOps.asDouble(col(vecCol)).as("__v"))
       .withColumn("__n", VectorOps.norm(col("__v")))
-    val a = e.select(col(idCol).as("id_a"), col("__v").as("va"), col("__n").as("na"))
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val a = e.select(col(idCol).as("id_a"), col("__v").as("va"), col("__n").as("na")).repartition(p)
     val b = e.select(col(idCol).as("id_b"), col("__v").as("vb"), col("__n").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
       .where(col("cosine") >= threshold)

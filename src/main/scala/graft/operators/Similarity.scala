@@ -25,7 +25,10 @@ object Similarity {
   /** Exact top-k cosine neighbors for each row of `queries` against `corpus`
     * (self-search when `queries eq corpus`; self-matches excluded). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    // spread the streamed side: a single-row-group query file would pin the
+    // whole O(n·m) scoring loop to one task (the corpus is the broadcast)
     val q = prepared(queries, idCol, vecCol, "q")
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     val c = prepared(corpus, idCol, vecCol, "c")
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id").asc)
     q.join(broadcast(c), col("q_id") =!= col("c_id"))
@@ -92,7 +95,8 @@ object Similarity {
   def scalableTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     import graft.functions.{ScoredId, TopKAggregator}
     val q = prepared(queries, idCol, vecCol, "q")
-    val c = prepared(corpus, idCol, vecCol, "c").repartition(32)
+    val c = prepared(corpus, idCol, vecCol, "c")
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     val topk = udaf(new TopKAggregator(k), TopKAggregator.inputEncoder)
     c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
@@ -149,7 +153,10 @@ object Similarity {
     * broadcast; the argmin is a map-side min_by over squared L2 distance
     * (ties toward the lower cell id) — no shuffle of the vectors. */
   def assignCells(df: DataFrame, vecCol: String, cents: DataFrame): DataFrame = {
-    val withCand = df.crossJoin(broadcast(cents.select(col("cell"), col("centroid"))))
+    // distances are computed pre-shuffle (partial min_by) — spread the input
+    // so a single-split scan doesn't serialize the k-way scoring
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val withCand = spread.crossJoin(broadcast(cents.select(col("cell"), col("centroid"))))
     val d2 = aggregate(
       zip_with(VectorOps.asDouble(col(vecCol)), col("centroid"), (x, c) => (x - c) * (x - c)),
       lit(0.0), (acc, x) => acc + x)
