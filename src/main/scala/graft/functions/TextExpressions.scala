@@ -63,8 +63,71 @@ case class NormalizeText(child: Expression, mode: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** MinHash signature over a shingle array, as ONE codegen'd expression.
+  *
+  * The declarative form — explode the shingles, aggregate
+  * `min(xxhash64(s, i))` for i < numHashes — needs numHashes aggregate
+  * buffers, which blows past the whole-stage-codegen field limit and drops
+  * the aggregation to the interpreted path (measured ~12 s for 5k docs ×
+  * 128 hashes even fully parallel). This expression computes the identical
+  * values (seed chain `hashInt(i, hashUTF8String(s, 42))` — exactly
+  * Spark's `xxhash64(s, lit(i))`) in a tight primitive loop per row: no
+  * explode, no 128-buffer aggregate, no shuffle.
+  */
+object MinHashSigUtil {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  def compute(arr: ArrayData, num: Int): ArrayData = {
+    val out = new Array[Long](num)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      val base = XXH64.hashUTF8String(s, 42L)
+      var i = 0
+      while (i < num) {
+        val h = XXH64.hashInt(i, base)
+        if (h < out(i)) out(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSigUtil.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHashSigUtil.compute($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** NFC-normalize (default) or 'nfkc' / 'strip' a string column. */
   def normalizeText(c: Column, mode: String = "nfc"): Column =
     Bridge.column(NormalizeText(Bridge.expression(c), TextNormUtil.modeOf(mode)))
+
+  /** MinHash signature (numHashes seeded minima) of a shingle array. */
+  def minhashSig(shingles: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(shingles), numHashes))
 }

@@ -14,6 +14,15 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Spread a DataFrame to full parallelism when its scan has fewer splits
+    * than the session (single-row-group local files): expensive projections
+    * (the interpreted shingle HOF costs ~2 ms/doc) otherwise execute inside
+    * the one-task scan stage. No-op at production scale (many splits). */
+  private def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.min(8, cores)) df.repartition(cores) else df
+  }
+
   /** Exact dedup: one representative row per distinct `textCol` content
     * (hash-groupBy; at 100 TB use the md5 variant below to dedupe on a
     * 16-byte key instead of shuffling full documents). */
@@ -34,13 +43,17 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       numHashes: Int = 128): DataFrame = {
-    val withSh = df.select(col(idCol), TextFunctions.shingles(col(textCol), shingleN).as("__sh"))
-    val exploded = withSh.where(size(col("__sh")) > 0)
-      .select(col(idCol), explode(col("__sh")).as("__s"))
-    val minExprs = (0 until numHashes).map(i => min(xxhash64(col("__s"), lit(i))).as(s"h$i"))
-    exploded.groupBy(col(idCol))
-      .agg(minExprs.head, minExprs.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("minhash"))
+    // Spread the RAW docs first (shingle HOF then evaluates at full
+    // parallelism, not inside the one-task scan), then compute the whole
+    // signature as ONE codegen'd expression per row — the declarative
+    // explode + numHashes-buffer min aggregate exceeds the codegen field
+    // limit and fell back to interpreted aggregation (~25× slower), and
+    // its groupBy was a full shuffle of exploded shingles besides.
+    spreadIfNarrow(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextFunctions.shingles(col(textCol), shingleN).as("__sh"))
+      .where(size(col("__sh")) > 0)
+      .select(col(idCol),
+        graft.functions.TextExpressions.minhashSig(col("__sh"), numHashes).as("minhash"))
   }
 
   /** LSH banding: emit (id, band index, band hash) — docs sharing any band
@@ -72,14 +85,19 @@ object Dedup {
       rowsPerBand: Int = 2): DataFrame = {
     val bands = numHashes / rowsPerBand
     val sig = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
-    val bd = lshBands(sig, idCol, rowsPerBand, bands)
+    // Materialize the band table before the self-join: both join branches
+    // would otherwise RECOMPUTE the whole signature aggregation (measured
+    // 2× the dominant cost). Bands are tiny — (id, band, hash) per doc×band.
+    val bd = lshBands(sig, idCol, rowsPerBand, bands).localCheckpoint()
     val a = bd.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
     val b = bd.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
     val cand = a.join(b, Seq("band", "band_hash"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val sh = df.select(col(idCol), TextFunctions.shingles(col(textCol), shingleN).as("__sh"))
+    val sh = spreadIfNarrow(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextFunctions.shingles(col(textCol), shingleN).as("__sh"))
+      .localCheckpoint()
     cand
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")
@@ -94,9 +112,12 @@ object Dedup {
     * loop to one task (measured: 1 core busy, 31 idle). At real scale,
     * block-partition both sides instead of broadcasting one. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double, shingleN: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol), TextFunctions.shingles(col(textCol), shingleN).as("__sh"))
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    val a = sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")).repartition(p)
+    // spread BEFORE the shingle projection (parallel HOF eval), checkpoint
+    // so the self-join's two branches don't recompute it
+    val sh = spreadIfNarrow(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextFunctions.shingles(col(textCol), shingleN).as("__sh"))
+      .localCheckpoint()
+    val a = sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a"))
     val b = sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))

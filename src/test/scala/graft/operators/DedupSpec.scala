@@ -25,6 +25,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 2L || b == 2L })
   }
 
+  test("minhash_sig expression is bit-equal to the declarative min(xxhash64(s, i)) aggregate") {
+    import graft.functions.{TextExpressions, TextFunctions}
+    val sh = docs.select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+    val viaExpr = sh.select(col("doc_id"), TextExpressions.minhashSig(col("sh"), 16).as("m"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val minExprs = (0 until 16).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
+    val viaAgg = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
+      .select(col("doc_id"), array((0 until 16).map(i => col(s"h$i")): _*).as("m"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaExpr === viaAgg)
+  }
+
   test("minhash pairs equal brute-force jaccard pairs on this corpus") {
     val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.6)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
