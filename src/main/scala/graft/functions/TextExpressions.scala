@@ -122,6 +122,59 @@ case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpr
     copy(child = newChild)
 }
 
+/** Exact Jaccard similarity of two DISTINCT-element string arrays, as one
+  * codegen'd expression. The declarative `size(array_intersect)/…` routes
+  * through the generic interpreted set machinery (type-dispatched element
+  * reads, boxed null-check closures) at ~50 µs/pair — this is the brute-
+  * force verify loop's entire cost. One specialized UTF8String hash-set
+  * pass is ~10× cheaper. Value is identical: |∩| / (|a| + |b| − |∩|),
+  * IEEE NaN when both sides are empty (matches 0/0 double division). */
+object JaccardSimUtil {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](na * 2)
+    var i = 0
+    while (i < na) { set.add(a.getUTF8String(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < nb) { if (set.contains(b.getUTF8String(i))) inter += 1; i += 1 }
+    inter.toDouble / (na.toDouble + nb.toDouble - inter.toDouble)
+  }
+}
+
+case class JaccardSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sim"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _                        => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jaccard_sim requires (array<string>, array<string>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaccardSimUtil.compute(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.JaccardSimUtil.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExpressions {
   /** NFC-normalize (default) or 'nfkc' / 'strip' a string column. */
   def normalizeText(c: Column, mode: String = "nfc"): Column =
@@ -130,4 +183,8 @@ object TextExpressions {
   /** MinHash signature (numHashes seeded minima) of a shingle array. */
   def minhashSig(shingles: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(shingles), numHashes))
+
+  /** Exact Jaccard over distinct-element string arrays (native loop). */
+  def jaccardSim(a: Column, b: Column): Column =
+    Bridge.column(JaccardSim(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -31,14 +31,12 @@ object TextFunctions {
 
   /** Exact word-shingle Jaccard similarity between two shingle arrays
     * (double division, mirrored by the DuckDB oracle). */
-  def jaccard(a: Column, b: Column): Column = {
-    // Inputs are DISTINCT-element arrays (shingles end in array_distinct),
-    // so |a ∪ b| = |a| + |b| − |a ∩ b| — one hash-set build per pair
-    // instead of two (ArrayUnion was half the CPU of the O(n²) verify
-    // loops; codegen CSE merges the two intersect references).
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a).cast("double") + size(b).cast("double") - inter)
-  }
+  def jaccard(a: Column, b: Column): Column =
+    // Native specialized expression — same value as
+    // size(array_intersect)/size(array_union) on distinct-element inputs,
+    // ~10× cheaper per pair than the generic interpreted set machinery
+    // (this is the entire cost of the O(n²) verify loops).
+    TextExpressions.jaccardSim(a, b)
 
   /** Content fingerprint: minimum md5 over 3-gram shingles (1-permutation
     * MinHash / winnowing-lite). Identical and near-identical prefixed docs

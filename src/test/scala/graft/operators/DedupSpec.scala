@@ -39,6 +39,28 @@ class DedupSpec extends SparkSpec {
     assert(viaExpr === viaAgg)
   }
 
+  test("jaccard_sim expression equals the declarative intersect/union formula") {
+    import graft.functions.{TextExpressions, TextFunctions}
+    val arrs = Seq(
+      (Seq("a b c", "b c d"), Seq("b c d", "c d e")),
+      (Seq("x"), Seq("x")),
+      (Seq("x"), Seq("y")),
+      (Seq.empty[String], Seq("y"))
+    ).toDF("a", "b")
+    val rows = arrs.select(
+      TextExpressions.jaccardSim(col("a"), col("b")).as("native"),
+      (size(array_intersect(col("a"), col("b"))).cast("double") /
+        size(array_union(col("a"), col("b"))).cast("double")).as("declarative"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (n, d) => assert(n === d) }
+    // both sides empty: the declarative 0/0 THROWS under ANSI (Spark 4
+    // default); the native expression degrades to NaN, which any
+    // `jaccard >= threshold` filter simply rejects
+    val nan = Seq((Seq.empty[String], Seq.empty[String])).toDF("a", "b")
+      .select(TextExpressions.jaccardSim(col("a"), col("b"))).as[Double].head()
+    assert(nan.isNaN)
+  }
+
   test("minhash pairs equal brute-force jaccard pairs on this corpus") {
     val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.6)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
