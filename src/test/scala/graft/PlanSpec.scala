@@ -29,6 +29,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(1000))
   }
 
+  test("T9b: bloom probe sits on the fact scan, below the join") {
+    val dim = Tables(spark, sf001, "customer").where(col("c_acctbal") > 7000)
+      .select(col("c_custkey"))
+    val plan = planOf(graft.operators.BloomOps
+      .bloomPrunedJoin(Tables(spark, sf001, "orders"), dim, "o_custkey", "c_custkey"))
+    // the probe is a Filter over the orders scan (pre-shuffle), fed by a
+    // subquery that aggregates the bloom over the dim keys
+    assert(plan.contains("might_contain"), plan.take(2000))
+    assert(plan.contains("bloom_filter_agg"), plan.take(2000))
+    val filterLine = plan.linesIterator.find(_.contains("might_contain")).getOrElse("")
+    assert(filterLine.contains("Filter"), filterLine)
+  }
+
   test("B12: native vec_dot runs inside whole-stage codegen") {
     val df = BenchQueries.b12.build(spark, sf001)
     df.collect() // AQE: codegen stages only visible in the FINAL plan
