@@ -17,20 +17,31 @@ object Tables {
   private val schemaCache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
 
+  // Resolved-DataFrame cache, keyed per session: building the source
+  // DataFrame resolves the DataSource and lists the directory into a fresh
+  // InMemoryFileIndex every time (~10 ms/table at plan time, ×5 tables in a
+  // join chain). Table files are immutable for a given path, so the resolved
+  // relation is reusable; composed queries re-analyze their own operators but
+  // share the relation node. Keyed by session identity so a DataFrame never
+  // outlives its (possibly stopped) session.
+  private val dfCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    // natively: read it as a long and truncate ns→µs ourselves. Integer
-    // `div` is mandatory — double division would lose precision at ~1.7e18.
-    // DuckDB oracles CAST(ts AS TIMESTAMP) to apply the same truncation.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$sfDir/$name.parquet"
-    val schema = schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
-    val df = spark.read.schema(schema).parquet(path)
-    df.schema.fields.foldLeft(df) {
-      case (d, f) if f.dataType == org.apache.spark.sql.types.LongType && f.name == "ts" =>
-        d.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case (d, _) => d
-    }
+    dfCache.getOrElseUpdate((System.identityHashCode(spark), path), {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+      // natively: read it as a long and truncate ns→µs ourselves. Integer
+      // `div` is mandatory — double division would lose precision at ~1.7e18.
+      // DuckDB oracles CAST(ts AS TIMESTAMP) to apply the same truncation.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
+      val df = spark.read.schema(schema).parquet(path)
+      df.schema.fields.foldLeft(df) {
+        case (d, f) if f.dataType == org.apache.spark.sql.types.LongType && f.name == "ts" =>
+          d.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case (d, _) => d
+      }
+    })
   }
 
   /** Register every table as a temp view so SQL-shaped queries can run. */

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
+
+/** File-level data skipping (the Delta/Iceberg stats-pruning idea over plain
+  * parquet): collect per-file min/max/null-count statistics once, then answer
+  * selective queries by reading ONLY the files whose [min, max] interval can
+  * possibly satisfy the predicate.
+  *
+  * Why it matters at 100 TB: partition pruning only helps on the partition
+  * key; file-level stats prune on ANY clustered column (pair with
+  * [[Layout.zorderWrite]] so several columns cluster at once). The stats
+  * table is ~one row per file — for a 100 TB table in 1 GB files that is
+  * 100k rows, a driver-side prune that saves reading terabytes. Parquet
+  * row-group stats do the same work only AFTER a task was scheduled per
+  * file; skipping decides before scheduling anything.
+  */
+object DataSkipping {
+
+  /** One stats pass: per-file min/max/null-count for `statCols`.
+    * At production scale these rows are produced at WRITE time by the
+    * committing job (the writer has the data in hand); this one-pass
+    * collector retrofits stats onto an existing table. */
+  def collectStats(spark: SparkSession, tableDir: String, statCols: Seq[String]): DataFrame = {
+    val aggs = statCols.flatMap(c => Seq(
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))) :+
+      count(lit(1L)).as("rows")
+    spark.read.parquet(tableDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Column attribute by name. Also sees through casts that preserve order
+    * (numeric↔numeric, date/timestamp widenings the analyzer inserts to
+    * compare a column against a differently-typed literal): min/max survive
+    * any monotone map, so `cast(a) < v` prunes exactly like `a < v'`. */
+  private object Attr {
+    private def orderPreserving(c: Cast): Boolean = (c.child.dataType, c.dataType) match {
+      case (_: NumericType, _: NumericType) => true
+      case (DateType, TimestampType) | (TimestampType, DateType) => false // truncation: not strict
+      case _ => false
+    }
+    def unapply(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case u: UnresolvedAttribute => Some(u.name)
+      case c: Cast if orderPreserving(c) => unapply(c.child)
+      case _ => None
+    }
+  }
+
+  /** Translate a row predicate into a file-survives predicate over the stats
+    * columns. Conservative by construction: any sub-expression we cannot
+    * reason about maps to `true` (keep the file), so pruning never drops a
+    * file that could contain a matching row — the same contract as parquet
+    * row-group filtering. Handles =, <, <=, >, >=, IN, IS NULL, AND, OR with
+    * literals on either side (BETWEEN arrives as two comparisons). */
+  def fileSurvives(pred: Expression, statCols: Set[String]): Column = {
+    def known(name: String): Boolean = statCols.contains(name)
+    def mn(c: String) = col(s"min_$c")
+    def mx(c: String) = col(s"max_$c")
+    def nulls(c: String) = col(s"nulls_$c")
+    def l(e: Expression): Column = Bridge.column(e)
+
+    def go(e: Expression): Column = e match {
+      case And(a, b) => go(a) && go(b)
+      case Or(a, b) => go(a) || go(b)
+      case EqualTo(Attr(a), v: Literal) if known(a) => mn(a) <= l(v) && mx(a) >= l(v)
+      case EqualTo(v: Literal, Attr(a)) if known(a) => mn(a) <= l(v) && mx(a) >= l(v)
+      case LessThan(Attr(a), v: Literal) if known(a) => mn(a) < l(v)
+      case LessThanOrEqual(Attr(a), v: Literal) if known(a) => mn(a) <= l(v)
+      case GreaterThan(Attr(a), v: Literal) if known(a) => mx(a) > l(v)
+      case GreaterThanOrEqual(Attr(a), v: Literal) if known(a) => mx(a) >= l(v)
+      // literal-on-left comparisons: same interval test, flipped
+      case LessThan(v: Literal, Attr(a)) if known(a) => mx(a) > l(v)
+      case LessThanOrEqual(v: Literal, Attr(a)) if known(a) => mx(a) >= l(v)
+      case GreaterThan(v: Literal, Attr(a)) if known(a) => mn(a) < l(v)
+      case GreaterThanOrEqual(v: Literal, Attr(a)) if known(a) => mn(a) <= l(v)
+      case In(Attr(a), vs) if known(a) && vs.forall(_.isInstanceOf[Literal]) =>
+        vs.map(v => mn(a) <= l(v) && mx(a) >= l(v)).reduce(_ || _)
+      case IsNull(Attr(a)) if known(a) => nulls(a) > 0
+      case _ => lit(true) // unknown shape → cannot prune on it
+    }
+    go(pred)
+  }
+
+  /** The skipping scan: prune the stats table with the predicate, read only
+    * surviving files, and re-apply the exact predicate to the rows (stats
+    * pruning is a necessary condition only). Returns (dataframe,
+    * survivingFiles, totalFiles) so callers/tests can assert the prune
+    * actually happened. */
+  def scan(spark: SparkSession, tableDir: String, stats: DataFrame, pred: Column)
+      : (DataFrame, Long, Long) = {
+    val statCols = stats.columns.collect { case c if c.startsWith("min_") => c.stripPrefix("min_") }
+    val total = stats.count()
+    // A Column is an unresolved ColumnNode tree in Spark 4; resolve it
+    // against the actual table (plan-only, nothing executes) so the
+    // translator sees analyzed Catalyst comparisons with typed literals —
+    // BETWEEN already split, IN-lists typed, implicit casts explicit.
+    val cond = spark.read.parquet(tableDir).where(pred)
+      .queryExecution.optimizedPlan
+      .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+    val survives = cond.map(fileSurvives(_, statCols.toSet)).getOrElse(lit(true))
+    val survivors = stats.where(survives)
+      .select("file").collect().map(_.getString(0))
+    val df =
+      if (survivors.isEmpty) spark.read.parquet(tableDir).where(lit(false))
+      else spark.read.parquet(survivors.toIndexedSeq: _*).where(pred)
+    (df, survivors.length.toLong, total)
+  }
+}

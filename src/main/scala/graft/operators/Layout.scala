@@ -37,6 +37,16 @@ object Layout {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** Compaction for scan parallelism (OPTIMIZE without a clustering key):
+    * rewrite `df` as `targetFiles` parquet files. Parquet readers split work
+    * at row-group granularity, so a table written as one giant row group
+    * scans as ONE task no matter how many executors exist; compacting to
+    * right-sized files restores scan-side parallelism. At 100 TB this is the
+    * routine small-file/bad-layout maintenance job; locally it turns the
+    * driver-generated single-row-group test tables into splittable inputs. */
+  def compact(df: DataFrame, path: String, targetFiles: Int): Unit =
+    df.repartition(targetFiles).write.mode("overwrite").parquet(path)
+
   /** Rewrite `df` into `targetFiles` files clustered by the z-order of
     * `zCols`: one stats pass for min/max, range-partition by z-value (equal
     * row counts per file via range partitioning on the 1-D z key), sort

@@ -164,7 +164,11 @@ object BenchQueries {
       // is a no-op — no extra shuffle of the fact table.
       val ev = t(s, dir, "events")
       val cores = s.sparkContext.defaultParallelism
-      val spread = if (ev.rdd.getNumPartitions < math.min(8, cores)) ev.repartition(cores) else ev
+      // File count stands in for scan-split count (these tables have one row
+      // group per file). Checked via the FileIndex, not `.rdd.getNumPartitions`
+      // — the latter forces a full physical plan of the scan, ~25 ms of pure
+      // plan-time overhead per build.
+      val spread = if (ev.inputFiles.length < math.min(8, cores)) ev.repartition(cores) else ev
       spread
         .groupBy(col("event_type"))
         .agg(

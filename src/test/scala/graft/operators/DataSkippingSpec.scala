@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class DataSkippingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("graft_skip").toString
+    // Cluster by o_orderkey so file min/max intervals are disjoint on it.
+    Tables(spark, sf001, "orders")
+      .repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.mode("overwrite").parquet(d)
+    d
+  }
+  private lazy val stats =
+    DataSkipping.collectStats(spark, dir, Seq("o_orderkey", "o_totalprice")).cache()
+
+  private def full = spark.read.parquet(dir)
+
+  test("stats cover every file and all rows") {
+    val nFiles = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(stats.count() === nFiles.toLong)
+    assert(stats.agg(sum($"rows")).as[Long].head() === full.count())
+  }
+
+  test("point predicate on the clustered key reads few files, same result") {
+    val key = full.agg(max($"o_orderkey")).as[Long].head() / 2
+    val pred = col("o_orderkey") === key
+    val (df, hit, total) = DataSkipping.scan(spark, dir, stats, pred)
+    assert(total === stats.count())
+    assert(hit <= 2, s"point lookup should touch ≤2 of $total files, hit $hit")
+    assert(df.count() === full.where(pred).count())
+  }
+
+  test("range predicate prunes and returns exactly the full-scan rows") {
+    val hi = full.agg(max($"o_orderkey")).as[Long].head()
+    val pred = col("o_orderkey") > lit(hi * 3 / 4)
+    val (df, hit, total) = DataSkipping.scan(spark, dir, stats, pred)
+    assert(hit < total, s"top-quartile range should skip files ($hit of $total)")
+    val got = df.agg(count(lit(1)), sum($"o_totalprice")).as[(Long, Double)].head()
+    val want = full.where(pred).agg(count(lit(1)), sum($"o_totalprice")).as[(Long, Double)].head()
+    assert(got === want)
+  }
+
+  test("predicate on an unclustered column keeps all files but stays correct") {
+    // o_totalprice is uncorrelated with the o_orderkey clustering → every
+    // file's [min,max] straddles a mid price; pruning must keep them all.
+    val mid = full.agg(avg($"o_totalprice")).as[Double].head()
+    val pred = col("o_totalprice") > lit(mid)
+    val (df, hit, total) = DataSkipping.scan(spark, dir, stats, pred)
+    assert(hit === total)
+    assert(df.count() === full.where(pred).count())
+  }
+
+  test("conjunction prunes via its prunable leg; unknown shapes never prune") {
+    val hi = full.agg(max($"o_orderkey")).as[Long].head()
+    // left leg prunable, right leg arbitrary (arithmetic — unknown shape)
+    val pred = col("o_orderkey") > lit(hi * 3 / 4) && (col("o_totalprice") * 2 > lit(0))
+    val (df, hit, total) = DataSkipping.scan(spark, dir, stats, pred)
+    assert(hit < total)
+    assert(df.count() === full.where(pred).count())
+
+    val (df2, hit2, total2) =
+      DataSkipping.scan(spark, dir, stats, col("o_totalprice") * 2 > lit(0))
+    assert(hit2 === total2, "unknown predicate shape must keep every file")
+    assert(df2.count() === full.count())
+  }
+
+  test("IN-list and empty-result predicates") {
+    val keys = full.orderBy($"o_orderkey").limit(2).select($"o_orderkey").as[Long].collect()
+    val inPred = col("o_orderkey").isin(keys.map(Long.box).toIndexedSeq: _*)
+    val (dfIn, hitIn, totalIn) = DataSkipping.scan(spark, dir, stats, inPred)
+    assert(hitIn < totalIn, "two low keys should land in the first file(s)")
+    assert(dfIn.count() === keys.length.toLong)
+
+    val hi = full.agg(max($"o_orderkey")).as[Long].head()
+    val (dfNone, hitNone, _) =
+      DataSkipping.scan(spark, dir, stats, col("o_orderkey") > lit(hi + 1000000))
+    assert(hitNone === 0L)
+    assert(dfNone.count() === 0L)
+  }
+}
