@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Repetition-based quality metrics for training-data filtering — the
+  * "repetitious document" signals popularized by the Gopher/MassiveText
+  * filtering rules (Rae et al. 2021, public): documents dominated by a few
+  * tokens or by repeated n-grams are low-quality (boilerplate, spam,
+  * generation loops) and get filtered before training.
+  *
+  * Scale design: each metric is explode → hash-groupBy → per-doc re-agg.
+  * Both shuffles key on (doc, gram) then doc — fully partitioned, no
+  * driver-side state, map-side partial aggregation throughout. The joins
+  * are per-doc scalars (one row per doc) joined back on the doc key.
+  */
+object TextStats {
+
+  /** Non-distinct word n-grams (repetition needs multiplicity, unlike
+    * [[TextFunctions.shingles]] which dedups for Jaccard). */
+  def ngrams(text: Column, n: Int): Column = {
+    val w = TextFunctions.tokens(text)
+    val make = transform(
+      sequence(lit(0), size(w) - n),
+      i => concat_ws(" ", (1 to n).map(o => element_at(w, i + o)): _*))
+    when(size(w) >= n, make).otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-document repetition profile:
+    *   n_tokens          total whitespace tokens
+    *   top_token_frac    occurrences of the most frequent token / n_tokens
+    *   top_bigram_frac   occurrences of the most frequent bigram / bigrams
+    *   dup_trigram_frac  fraction of trigram occurrences whose trigram
+    *                     appears more than once (Gopher's "duplicate
+    *                     n-gram fraction")
+    * Documents shorter than the n-gram width get 0.0 for that metric. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+
+    val tokCounts = df.select(id, explode(TextFunctions.tokens(col(textCol))).as("tk"))
+      .groupBy(id, col("tk")).agg(count(lit(1)).as("c"))
+    val tokStats = tokCounts.groupBy(id).agg(
+      sum(col("c")).as("n_tokens"),
+      (max(col("c")).cast("double") / sum(col("c"))).as("top_token_frac"))
+
+    val biCounts = df.select(id, explode(ngrams(col(textCol), 2)).as("g"))
+      .groupBy(id, col("g")).agg(count(lit(1)).as("c"))
+    val biStats = biCounts.groupBy(id).agg(
+      (max(col("c")).cast("double") / sum(col("c"))).as("top_bigram_frac"))
+
+    val triCounts = df.select(id, explode(ngrams(col(textCol), 3)).as("g"))
+      .groupBy(id, col("g")).agg(count(lit(1)).as("c"))
+    val triStats = triCounts.groupBy(id).agg(
+      (sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("double") / sum(col("c")))
+        .as("dup_trigram_frac"))
+
+    df.select(id)
+      .join(tokStats, Seq(idCol), "left")
+      .join(biStats, Seq(idCol), "left")
+      .join(triStats, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("top_token_frac"), lit(0.0)).as("top_token_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+        coalesce(col("dup_trigram_frac"), lit(0.0)).as("dup_trigram_frac"))
+  }
+
+  /** The filter built on the profile: keep documents whose repetition
+    * signals stay under the given caps (defaults ≈ the published rules). */
+  def dropRepetitious(df: DataFrame, idCol: String, textCol: String,
+      maxTopTokenFrac: Double = 0.2, maxTopBigramFrac: Double = 0.2,
+      maxDupTrigramFrac: Double = 0.3): DataFrame = {
+    val stats = repetitionStats(df, idCol, textCol)
+      .where(col("top_token_frac") <= maxTopTokenFrac &&
+        col("top_bigram_frac") <= maxTopBigramFrac &&
+        col("dup_trigram_frac") <= maxDupTrigramFrac)
+      .select(col(idCol))
+    df.join(stats, Seq(idCol), "left_semi")
+  }
+}

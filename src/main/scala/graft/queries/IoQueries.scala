@@ -63,5 +63,27 @@ object IoQueries {
     },
     Some("SELECT * FROM nation ORDER BY n_nationkey"))
 
-  def all: Seq[GQuery] = Seq(t1, t1orc, t2, t3)
+  /** File-level data skipping (DataSkipping): write orders clustered by
+    * o_orderkey, collect per-file stats, answer a selective range query by
+    * reading only surviving files. The oracle is the plain filter — the
+    * skipping scan must be semantically invisible (pruned-file counts are
+    * asserted in DataSkippingSpec). */
+  val tskip = GQuery(
+    "t_skipping_scan",
+    (s, dir) => {
+      val out = tmp("graft_skipscan")
+      Tables(s, dir, "orders")
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.mode("overwrite").parquet(out)
+      val stats = graft.operators.DataSkipping.collectStats(s, out, Seq("o_orderkey"))
+      val (df, _, _) = graft.operators.DataSkipping.scan(s, out, stats, col("o_orderkey") <= 1000)
+      df.agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+    },
+    Some("""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+      min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      FROM orders WHERE o_orderkey <= 1000"""))
+
+  def all: Seq[GQuery] = Seq(t1, t1orc, t2, t3, tskip)
 }

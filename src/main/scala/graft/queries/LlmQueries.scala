@@ -404,7 +404,85 @@ object LlmQueries {
              count(*) AS docs, CAST(sum(n) AS BIGINT) AS tokens
       FROM c GROUP BY 1 ORDER BY bin LIMIT 100"""))
 
+  // Gopher-style repetition profile (TextStats.repetitionStats): per-doc
+  // top-token / top-bigram concentration and duplicate-trigram fraction.
+  val l14 = GQuery(
+    "l14_repetition",
+    (s, dir) =>
+      graft.operators.TextStats.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("top_token_frac"), 4).as("top_token_frac"),
+          round(col("top_bigram_frac"), 4).as("top_bigram_frac"),
+          round(col("dup_trigram_frac"), 4).as("dup_trigram_frac"))
+        .orderBy(col("doc_id")),
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+      tc AS (SELECT doc_id, tk, count(*) AS c FROM toks GROUP BY 1, 2),
+      t1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               max(c)::DOUBLE / sum(c) AS top_token_frac FROM tc GROUP BY 1),
+      d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+             FROM d WHERE len(w) >= 2),
+      bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      b1 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_bigram_frac FROM bc GROUP BY 1),
+      tg AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+             FROM d WHERE len(w) >= 3),
+      gc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+      g1 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c) AS dup_trigram_frac
+             FROM gc GROUP BY 1)
+      SELECT t1.doc_id, n_tokens,
+        round(top_token_frac, 4) AS top_token_frac,
+        round(coalesce(b1.top_bigram_frac, 0), 4) AS top_bigram_frac,
+        round(coalesce(g1.dup_trigram_frac, 0), 4) AS dup_trigram_frac
+      FROM t1 LEFT JOIN b1 USING (doc_id) LEFT JOIN g1 USING (doc_id)
+      ORDER BY doc_id"""))
+
+  // Benchmark decontamination (Contamination.contaminated): test slice =
+  // doc_id % 10 = 0, train = the rest; flag any test doc sharing a 5-gram.
+  val l15 = GQuery(
+    "l15_contamination",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Contamination.contaminated(
+        d.where(pmod(col("doc_id"), lit(10)) === 0),
+        d.where(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text", n = 5)
+        .orderBy(col("test_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (SELECT doc_id,
+          CASE WHEN len(w) >= 5
+            THEN list_distinct(list_transform(range(1, len(w) - 3),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+            ELSE [] END AS s
+        FROM d),
+      tg AS (SELECT doc_id AS test_id, unnest(s) AS g FROM sh WHERE doc_id % 10 = 0),
+      rg AS (SELECT doc_id AS train_id, unnest(s) AS g FROM sh WHERE doc_id % 10 <> 0),
+      p AS (SELECT test_id, train_id, count(*) AS shared FROM tg JOIN rg USING (g) GROUP BY 1, 2)
+      SELECT test_id, count(*) AS n_train_docs, CAST(max(shared) AS BIGINT) AS max_shared
+      FROM p GROUP BY test_id ORDER BY test_id"""))
+
+  // Exact shared token runs (Contamination.sharedSpans): longest common
+  // consecutive run per document pair, via positional 3-gram equi-join +
+  // gaps-and-islands — the substring-level dedup signal.
+  val l16 = GQuery(
+    "l16_shared_spans",
+    (s, dir) =>
+      graft.operators.Contamination.sharedSpans(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, minSpanTokens = 10)
+        .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      pg AS (SELECT doc_id, i AS pos, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+             FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM d WHERE len(w) >= 3)),
+      m AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, a.pos - b.pos AS diag
+            FROM pg a JOIN pg b ON a.g = b.g AND a.doc_id < b.doc_id),
+      isl AS (SELECT id_a, id_b, diag, pos_a,
+              pos_a - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS island
+              FROM m),
+      runs AS (SELECT id_a, id_b, count(*) + 2 AS span FROM isl GROUP BY id_a, id_b, diag, island),
+      mx AS (SELECT id_a, id_b, CAST(max(span) AS BIGINT) AS max_span_tokens FROM runs GROUP BY 1, 2)
+      SELECT id_a, id_b, max_span_tokens FROM mx WHERE max_span_tokens >= 10 ORDER BY id_a, id_b"""))
+
   def all: Seq[GQuery] = Seq(l1, l2, l2brute, l2simhash, l2simhashPairs, l2cluster, l2embedding,
     l3, l3scalable, l3lsh, l3ivf, l3kmeans, l4langid, l5, l6, l7, l8, l9, l10,
-    l11, l11b, l12, l13)
+    l11, l11b, l12, l13, l14, l15, l16)
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ContaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val train = Seq(
+    10 -> "the quick brown fox jumps over the lazy dog",
+    11 -> "lorem ipsum dolor sit amet consectetur adipiscing elit",
+    12 -> "completely unrelated text about spark engines and joins").toDF("id", "text")
+
+  test("contaminated flags the test doc sharing a 5-gram, not the clean one") {
+    val test = Seq(
+      1 -> "i saw the quick brown fox jumps over a fence yesterday", // shares 5-gram with 10
+      2 -> "nothing here overlaps with anything in training data").toDF("id", "text")
+    val got = Contamination.contaminated(test, train, "id", "text", n = 5)
+      .orderBy($"test_id").as[(Int, Long, Long)].collect()
+    assert(got.map(_._1).toSeq === Seq(1))
+    val (_, nTrain, maxShared) = got.head
+    assert(nTrain === 1L)
+    // shared 5-grams: "the quick brown fox jumps", "quick brown fox jumps over"
+    assert(maxShared === 2L)
+  }
+
+  test("report counts distinct shared grams per (test, train) pair") {
+    val test = Seq(1 -> "lorem ipsum dolor sit amet and the quick brown fox jumps").toDF("id", "text")
+    val got = Contamination.report(test, train, "id", "text", n = 5)
+      .orderBy($"train_id").as[(Int, Int, Long)].collect()
+    assert(got.map(r => (r._2, r._3)).toSeq === Seq((10, 1L), (11, 1L)))
+  }
+
+  test("maxGramFreq drops ubiquitous grams before the join") {
+    val boiler = "all rights reserved by the author"
+    val tr = Seq(20 -> boiler, 21 -> boiler, 22 -> boiler).toDF("id", "text")
+    val test = Seq(1 -> s"prefix text then $boiler").toDF("id", "text")
+    assert(Contamination.report(test, tr, "id", "text", n = 5).count() === 3L)
+    // the gram occurs in 3 train docs → freq cap 2 removes it entirely
+    assert(Contamination.contaminated(test, tr, "id", "text", n = 5, maxGramFreq = 2).count() === 0L)
+  }
+
+  test("sharedSpans finds the exact longest common token run") {
+    val docs = Seq(
+      1 -> "aa bb cc dd ee ff gg hh xx yy",
+      2 -> "zz aa bb cc dd ee ff gg qq rr", // shares run "aa bb cc dd ee ff gg" = 7 tokens
+      3 -> "unrelated words only here today").toDF("id", "text")
+    val got = Contamination.sharedSpans(docs, "id", "text", n = 3, minSpanTokens = 5)
+      .as[(Int, Int, Long)].collect()
+    assert(got.toSeq === Seq((1, 2, 7L)))
+    // raising the floor above the run hides it
+    assert(Contamination.sharedSpans(docs, "id", "text", n = 3, minSpanTokens = 8).count() === 0L)
+  }
+
+  test("sharedSpans merges only consecutive matches (gap splits the run)") {
+    val docs = Seq(
+      1 -> "p q r s BREAK1 t u v w",
+      2 -> "p q r s BREAK2 t u v w").toDF("id", "text")
+    // two disjoint 4-token runs, separated by differing middle tokens
+    val got = Contamination.sharedSpans(docs, "id", "text", n = 3, minSpanTokens = 4)
+      .as[(Int, Int, Long)].collect()
+    assert(got.toSeq === Seq((1, 2, 4L)))
+  }
+}
