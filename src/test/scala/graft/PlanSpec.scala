@@ -80,4 +80,39 @@ class PlanSpec extends SparkSpec {
       .groupBy(col("l_returnflag")).agg(sum(col("l_quantity"))))
     assert(plan.contains("partial_sum") || plan.contains("Partial"), plan.take(2000))
   }
+
+  test("contamination is an equi-join on the gram key, never a nested loop") {
+    val d = Tables(spark, sf001, "documents")
+    val df = graft.operators.Contamination.report(
+      d.where(pmod(col("doc_id"), lit(10)) === 0),
+      d.where(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text", n = 5)
+    df.collect() // AQE: judge the final plan
+    val plan = planOf(df)
+    // sub-quadratic contract: hash/sort-merge equi-join on gram, no BNLJ
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(2000))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("shared-span islands shuffle once per pair-diagonal, not per gram") {
+    val d = Tables(spark, sf001, "documents").limit(50)
+    val df = graft.operators.Contamination.sharedSpans(d, "doc_id", "text", 3, 10)
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // the window runs partitioned by (id_a, id_b, diag) — a real exchange,
+    // not a single-partition global window (the classic island-detection
+    // scale bug is Window.orderBy with no partitioning)
+    assert(!plan.contains("SinglePartition"), plan.take(3000))
+  }
+
+  test("repetition metrics aggregate map-side before shuffling gram counts") {
+    val df = graft.operators.TextStats.repetitionStats(
+      Tables(spark, sf001, "documents"), "doc_id", "text")
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("partial_count") || plan.contains("Partial"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
 }
