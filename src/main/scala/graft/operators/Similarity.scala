@@ -175,6 +175,115 @@ object Similarity {
     ivfTopK(assigned, idCol, vecCol, "__cell", k, nProbe)
   }
 
+  // ---------------------------------------------------------------------
+  // Product quantization (Jégou et al. 2011, "Product Quantization for
+  // Nearest Neighbor Search" — public): split each L2-normalized vector
+  // into m subvectors, k-means each subspace into kCodes centroids, store
+  // m small codes per vector (64 floats → 8 codes ≈ 32× memory cut). At
+  // 100 TB this is what makes the corpus fit executor memory; search is
+  // asymmetric distance computation (ADC): per query an m×kCodes lookup
+  // table of exact sub-dots, a database vector's approximate cosine is the
+  // sum of m table lookups — then a shortlist is exactly re-ranked.
+  // ---------------------------------------------------------------------
+
+  /** L2-normalize + split into m subvectors: (id, sub, sv). */
+  private def subvectors(df: DataFrame, idCol: String, vecCol: String, m: Int): DataFrame = {
+    val v = VectorOps.asDouble(col(vecCol))
+    val n = VectorOps.norm(v)
+    val dsub = size(v) / m
+    df.select(col(idCol).as("__pid"),
+        transform(v, x => x / n).as("__nv"), dsub.as("__ds"))
+      .select(col("__pid"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          j => slice(col("__nv"), j * col("__ds") + 1, col("__ds")))))
+      .select(col("__pid"), col("pos").as("sub"), col("col").as("sv"))
+  }
+
+  /** Train all m subspace codebooks with ONE shared Lloyd's loop (the
+    * subspace id rides the keys, so the m trainings are a single pair of
+    * distributed jobs per iteration, not m sequential ones).
+    * Deterministic like [[kmeansCentroids]]. Returns (sub, cell, centroid). */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, kCodes: Int = 16, iters: Int = 5): DataFrame = {
+    val subs = subvectors(corpus, idCol, vecCol, m).localCheckpoint()
+    val wInit = Window.partitionBy(col("sub"))
+      .orderBy(xxhash64(lit("graft-pq-init"), col("__pid"), col("sub")), col("__pid"))
+    var cb = subs
+      .withColumn("__r", row_number().over(wInit))
+      .where(col("__r") <= kCodes)
+      .select(col("sub"), (col("__r") - 1).cast("int").as("cell"), col("sv").as("centroid"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val assigned = assignSubCells(subs, cb)
+      cb = assigned
+        .select(col("sub"), col("cell"), posexplode(col("sv")))
+        .groupBy(col("sub"), col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("sub"), col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("sub"), col("cell"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+        .localCheckpoint()
+    }
+    cb
+  }
+
+  /** Nearest codebook centroid per (vector, subspace): broadcast codebooks,
+    * map-side min_by argmin — ties toward the lower cell id. */
+  private def assignSubCells(subs: DataFrame, cb: DataFrame): DataFrame = {
+    val d2 = aggregate(
+      zip_with(col("sv"), col("centroid"), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, x) => acc + x)
+    subs.join(broadcast(cb), Seq("sub"))
+      .groupBy(col("__pid"), col("sub"), col("sv"))
+      .agg(min_by(col("cell"), struct(d2.as("d2"), col("cell"))).as("cell"))
+  }
+
+  /** Encode each vector as its m codebook codes: (id, codes array<int>),
+    * ordered by subspace. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String, cb: DataFrame,
+      m: Int = 8): DataFrame =
+    assignSubCells(subvectors(corpus, idCol, vecCol, m), cb)
+      .groupBy(col("__pid"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("cell")))).as("sc"))
+      .select(col("__pid").as(idCol),
+        transform(col("sc"), x => x.getField("cell")).as("codes"))
+
+  /** PQ ANN: ADC scoring against the codes, shortlist, exact re-rank.
+    * All distributed joins: the per-query lookup table (m × kCodes exact
+    * sub-dots) joins the exploded codes on (sub, cell) — no driver loops.
+    * Approximate by design; recall asserted in tests. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, m: Int = 8, kCodes: Int = 16, shortlist: Int = 50, iters: Int = 5): DataFrame = {
+    val cb = pqTrain(corpus, idCol, vecCol, m, kCodes, iters)
+    val enc = pqEncode(corpus, idCol, vecCol, cb, m)
+      .select(col(idCol).as("c_id"), posexplode(col("codes")))
+      .select(col("c_id"), col("pos").as("sub"), col("col").as("cell"))
+    // per-query ADC table: exact dot of each normalized subquery with each
+    // codebook centroid (queries are few; the table is broadcast-sized)
+    val lut = subvectors(queries, idCol, vecCol, m)
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("__pid").as("q_id"), col("sub"), col("cell"),
+        VectorOps.dot(col("sv"), col("centroid")).as("partial"))
+    val approx = enc.join(broadcast(lut), Seq("sub", "cell"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("partial")).as("approx_cos"))
+      .where(col("q_id") =!= col("c_id"))
+    val wShort = Window.partitionBy(col("q_id")).orderBy(col("approx_cos").desc, col("c_id").asc)
+    val short = approx.withColumn("__sr", row_number().over(wShort))
+      .where(col("__sr") <= shortlist)
+      .select(col("q_id"), col("c_id"))
+    // exact re-rank of the shortlist only
+    val q = prepared(queries, idCol, vecCol, "q")
+    val c = prepared(corpus, idCol, vecCol, "c")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id").asc)
+    short.join(q, "q_id").join(c, "c_id")
+      .select(col("q_id"), col("c_id"),
+        (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id").as("vec_id"), col("rank"), col("c_id").as("nn_id"), col("cosine"))
+  }
+
   /** IVF-style ANN: assign vectors to cells (here: the `cellCol` key), probe
     * the `nProbe` cells whose centroids are nearest the query, exact re-rank
     * within probed cells. */

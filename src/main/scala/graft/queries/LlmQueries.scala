@@ -254,6 +254,19 @@ object LlmQueries {
         .orderBy(col("vec_id"), col("rank")),
     None)
 
+  // Product-quantization ANN (ADC + exact re-rank); approximate by design →
+  // rows-only; recall and determinism asserted in SimilaritySpec.
+  val l3pq = GQuery(
+    "l3_ann_pq_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.where(col("vec_id") < 100), "vec_id", "embedding",
+        k = 3, m = 8, kCodes = 16, shortlist = 30, iters = 3)
+        .select(col("vec_id"), col("rank"), col("nn_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("vec_id"), col("rank"))
+    },
+    None)
+
   val l4langid = GQuery(
     "l4_langid",
     (s, dir) =>
@@ -483,6 +496,6 @@ object LlmQueries {
       SELECT id_a, id_b, max_span_tokens FROM mx WHERE max_span_tokens >= 10 ORDER BY id_a, id_b"""))
 
   def all: Seq[GQuery] = Seq(l1, l2, l2brute, l2simhash, l2simhashPairs, l2cluster, l2embedding,
-    l3, l3scalable, l3lsh, l3ivf, l3kmeans, l4langid, l5, l6, l7, l8, l9, l10,
+    l3, l3scalable, l3lsh, l3ivf, l3kmeans, l3pq, l4langid, l5, l6, l7, l8, l9, l10,
     l11, l11b, l12, l13, l14, l15, l16)
 }

@@ -82,4 +82,38 @@ class SimilaritySpec extends SparkSpec {
       .select("centroid").as[Seq[Double]].head()
     assert(c === Seq(2.0, 4.0))
   }
+
+  test("PQ codes compress to m small ints per vector") {
+    val emb = Tables(spark, sf001, "embeddings")
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, kCodes = 16, iters = 2)
+    // ≤ m×kCodes codebook rows (empty cells may drop), 64-dim → 8-dim subspaces
+    assert(cb.count() <= 8L * 16)
+    assert(cb.select(size($"centroid")).distinct().as[Int].collect().toSeq === Seq(8))
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cb, m = 8)
+    assert(enc.count() === emb.count())
+    assert(enc.select(size($"codes")).distinct().as[Int].collect().toSeq === Seq(8))
+    val maxCode = enc.select(array_max($"codes")).agg(max("array_max(codes)")).as[Int].head()
+    assert(maxCode < 16)
+  }
+
+  test("PQ ANN with exact re-rank recovers most true nearest neighbors") {
+    val emb = Tables(spark, sf001, "embeddings")
+    val queries = emb.where($"vec_id" < 50)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 1)
+      .select(col("vec_id"), col("nn_id")).as[(Long, Long)].collect().toMap
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      k = 1, m = 8, kCodes = 16, shortlist = 50, iters = 3)
+      .select(col("vec_id"), col("nn_id")).as[(Long, Long)].collect().toMap
+    val hits = brute.count { case (q, nn) => pq.get(q).contains(nn) }
+    val recall = hits.toDouble / brute.size
+    assert(recall > 0.5, s"recall=$recall")
+  }
+
+  test("PQ training and search are deterministic across runs") {
+    val emb = Tables(spark, sf001, "embeddings").where($"vec_id" < 100)
+    def run() = Similarity.pqTopK(emb, emb.where($"vec_id" < 10), "vec_id", "embedding",
+      k = 3, m = 8, kCodes = 8, shortlist = 20, iters = 2)
+      .orderBy("vec_id", "rank").select("nn_id").as[Long].collect().toSeq
+    assert(run() === run())
+  }
 }
