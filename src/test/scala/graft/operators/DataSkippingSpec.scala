@@ -69,6 +69,44 @@ class DataSkippingSpec extends SparkSpec {
     assert(df2.count() === full.count())
   }
 
+  test("string and timestamp predicates prune on their clustered columns") {
+    val d = java.nio.file.Files.createTempDirectory("graft_skip_ts").toString
+    Tables(spark, sf001, "orders")
+      .repartitionByRange(8, col("o_orderdate"))
+      .sortWithinPartitions(col("o_orderdate"))
+      .write.mode("overwrite").parquet(d)
+    val st = DataSkipping.collectStats(spark, d, Seq("o_orderdate", "o_orderstatus")).cache()
+    val f = spark.read.parquet(d)
+
+    val maxDate = f.agg(max($"o_orderdate")).collect().head
+      .get(0).asInstanceOf[java.time.LocalDateTime]
+    val predTs = col("o_orderdate") > lit(maxDate.minusDays(200))
+    val (dfTs, hitTs, totalTs) = DataSkipping.scan(spark, d, st, predTs)
+    assert(hitTs < totalTs, s"late-date range should skip files ($hitTs of $totalTs)")
+    assert(dfTs.count() === f.where(predTs).count())
+
+    // status is uncorrelated with date clustering → no pruning, full parity
+    val predS = col("o_orderstatus") === "F"
+    val (dfS, hitS, totalS) = DataSkipping.scan(spark, d, st, predS)
+    assert(hitS === totalS)
+    assert(dfS.count() === f.where(predS).count())
+  }
+
+  test("pruning never loses rows across a sweep of thresholds and operators") {
+    val keys = full.agg(min($"o_orderkey"), max($"o_orderkey")).as[(Long, Long)].head()
+    val (lo, hi) = keys
+    val span = hi - lo
+    for (q <- Seq(0.0, 0.1, 0.33, 0.5, 0.77, 0.99, 1.0)) {
+      val v = lo + (span * q).toLong
+      for (pred <- Seq(
+          col("o_orderkey") <= v, col("o_orderkey") > v, col("o_orderkey") === v,
+          col("o_orderkey") >= v && col("o_orderkey") < v + span / 10)) {
+        val (df, _, _) = DataSkipping.scan(spark, dir, stats, pred)
+        assert(df.count() === full.where(pred).count(), s"mismatch at q=$q pred=$pred")
+      }
+    }
+  }
+
   test("IN-list and empty-result predicates") {
     val keys = full.orderBy($"o_orderkey").limit(2).select($"o_orderkey").as[Long].collect()
     val inPred = col("o_orderkey").isin(keys.map(Long.box).toIndexedSeq: _*)
