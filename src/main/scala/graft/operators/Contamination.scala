@@ -67,8 +67,21 @@ object Contamination {
     * run — classic gaps-and-islands (island key = pos_a − row_number), and
     * a run of k consecutive n-gram matches covers k+n−1 tokens. */
   def sharedSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int, minSpanTokens: Int): DataFrame = {
-    val g = positionalNgrams(df, idCol, textCol, n).localCheckpoint()
+      n: Int, minSpanTokens: Int, maxGramDocFreq: Int = Int.MaxValue): DataFrame = {
+    val g0 = positionalNgrams(df, idCol, textCol, n)
+    // Heavy-hitter guard for scale: a gram present in d documents fans the
+    // join out d² ways, and stock phrases appear in thousands. Dropping
+    // grams in more than `maxGramDocFreq` docs caps the fan-out; a real
+    // span survives unless EVERY one of its grams is that ubiquitous, and
+    // then it can only shorten or drop, never produce a false span —
+    // asserted (capped ⊆ uncapped) in the spec.
+    val g = (if (maxGramDocFreq == Int.MaxValue) g0
+      else {
+        val rare = g0.select(col(idCol), col("gram")).distinct()
+          .groupBy(col("gram")).agg(count(lit(1)).as("__d"))
+          .where(col("__d") <= maxGramDocFreq).select(col("gram"))
+        g0.join(rare, "gram")
+      }).localCheckpoint()
     val a = g.select(col(idCol).as("id_a"), col("pos").as("pos_a"), col("gram"))
     val b = g.select(col(idCol).as("id_b"), col("pos").as("pos_b"), col("gram"))
     val matches = a.join(b, Seq("gram")).where(col("id_a") < col("id_b"))

@@ -290,5 +290,36 @@ object SqlQueries {
       FROM documents)
       SELECT lang, count(*) AS sampled, min(doc_id) AS first_id FROM b
       WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 20 WHEN 'zh' THEN 10 ELSE -1 END
-      GROUP BY lang ORDER BY lang""")
+      GROUP BY lang ORDER BY lang""",
+    "l14_repetition" -> """WITH toks AS (SELECT doc_id, explode(split(text, ' ')) AS tk FROM documents),
+      tc AS (SELECT doc_id, tk, count(*) AS c FROM toks GROUP BY 1, 2),
+      t1 AS (SELECT doc_id, sum(c) AS n_tokens,
+               max(c) / CAST(sum(c) AS DOUBLE) AS top_token_frac FROM tc GROUP BY 1),
+      d AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+      bg AS (SELECT doc_id, explode(transform(sequence(0, size(w) - 2),
+               i -> concat_ws(' ', w[i], w[i+1]))) AS g FROM d WHERE size(w) >= 2),
+      bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      b1 AS (SELECT doc_id, max(c) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac FROM bc GROUP BY 1),
+      tg AS (SELECT doc_id, explode(transform(sequence(0, size(w) - 3),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS g FROM d WHERE size(w) >= 3),
+      gc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+      g1 AS (SELECT doc_id, CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c)
+               AS dup_trigram_frac FROM gc GROUP BY 1)
+      SELECT t1.doc_id, n_tokens, round(top_token_frac, 4) AS top_token_frac,
+        round(coalesce(b1.top_bigram_frac, 0), 4) AS top_bigram_frac,
+        round(coalesce(g1.dup_trigram_frac, 0), 4) AS dup_trigram_frac
+      FROM t1 LEFT JOIN b1 USING (doc_id) LEFT JOIN g1 USING (doc_id)
+      ORDER BY doc_id""",
+    "l15_contamination" -> """WITH d AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+      sh AS (SELECT doc_id,
+          CASE WHEN size(w) >= 5
+            THEN array_distinct(transform(sequence(0, size(w) - 5),
+                 i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))
+            ELSE array() END AS s
+        FROM d),
+      tg AS (SELECT doc_id AS test_id, explode(s) AS g FROM sh WHERE doc_id % 10 = 0),
+      rg AS (SELECT doc_id AS train_id, explode(s) AS g FROM sh WHERE doc_id % 10 <> 0),
+      p AS (SELECT test_id, train_id, count(*) AS shared FROM tg JOIN rg USING (g) GROUP BY 1, 2)
+      SELECT test_id, count(*) AS n_train_docs, max(shared) AS max_shared
+      FROM p GROUP BY test_id ORDER BY test_id""")
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 
 class ContaminationSpec extends SparkSpec {
@@ -50,6 +50,25 @@ class ContaminationSpec extends SparkSpec {
     assert(got.toSeq === Seq((1, 2, 7L)))
     // raising the floor above the run hides it
     assert(Contamination.sharedSpans(docs, "id", "text", n = 3, minSpanTokens = 8).count() === 0L)
+  }
+
+  test("sharedSpans gram-frequency cap only ever shortens or drops spans") {
+    val docs = Tables(spark, sf001, "documents").limit(80)
+    def spans(cap: Int) = Contamination
+      .sharedSpans(docs, "doc_id", "text", n = 3, minSpanTokens = 6, maxGramDocFreq = cap)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val uncapped = spans(Int.MaxValue)
+    val capped = spans(5)
+    assert(capped.keySet.subsetOf(uncapped.keySet))
+    capped.foreach { case (pair, len) => assert(len <= uncapped(pair)) }
+  }
+
+  test("empty test/train sides yield empty, schema-stable results") {
+    val empty = train.where(lit(false))
+    assert(Contamination.contaminated(empty, train, "id", "text", 5).count() === 0L)
+    assert(Contamination.report(train, empty, "id", "text", 5).count() === 0L)
+    assert(Contamination.sharedSpans(empty, "id", "text", 3, 5).columns.toSeq ===
+      Seq("id_a", "id_b", "max_span_tokens"))
   }
 
   test("sharedSpans merges only consecutive matches (gap splits the run)") {
