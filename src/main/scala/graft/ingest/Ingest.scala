@@ -137,7 +137,7 @@ object Stage {
   * "indexing into Elasticsearch" (C7) becomes plain Spark SQL over this
   * table. */
 class Catalog(spark: SparkSession, root: String) {
-  import java.nio.file.{Files, Paths, StandardCopyOption}
+  import java.nio.file.{Files, Paths}
   private val logDir = Paths.get(root, "_txn_log")
   private val dataDir = Paths.get(root, "data")
 
@@ -173,18 +173,31 @@ class Catalog(spark: SparkSession, root: String) {
     else spark.read.parquet(parts: _*)
   }
 
-  /** C6: append entries as a new parquet part + atomically commit a new log
-    * version (write temp file, atomic move — concurrent committers conflict
-    * on the version filename and retry, the Delta optimistic protocol). */
-  def append(entries: Dataset[CatalogEntry]): Unit = synchronized {
+  /** Put-if-absent version claim — the Delta paper's commit primitive on a
+    * filesystem. A plain rename (`Files.move`) silently REPLACES an existing
+    * target on POSIX, which under two concurrent committers is a lost
+    * update; a hard link fails atomically with FileAlreadyExistsException
+    * instead, so exactly one claimant wins each version number. */
+  private def tryCommitAt(version: Int, content: String): Boolean = {
     Files.createDirectories(logDir)
+    val tmp = Files.createTempFile(logDir, "commit", ".tmp")
+    try {
+      Files.writeString(tmp, content)
+      Files.createLink(logDir.resolve(f"$version%08d.json"), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false // lost the race
+    } finally Files.delete(tmp)
+  }
+
+  /** C6: append entries as a new parquet part + commit a new log version.
+    * A pure add commutes with ANY concurrent commit, so losing the version
+    * race just means re-claiming the next number — no recomputation. */
+  def append(entries: Dataset[CatalogEntry]): Unit = synchronized {
     Files.createDirectories(dataDir)
     val part = dataDir.resolve(s"part-${java.util.UUID.randomUUID()}")
     entries.toDF().coalesce(1).write.mode("overwrite").parquet(part.toString)
-    val next = versions.size
-    val tmp = Files.createTempFile(logDir, "commit", ".tmp")
-    Files.writeString(tmp, s"add:$part\n")
-    Files.move(tmp, logDir.resolve(f"$next%08d.json"), StandardCopyOption.ATOMIC_MOVE)
+    while (!tryCommitAt(versions.size, s"add:$part\n")) {}
   }
 
   /** The catalog as a DataFrame (empty-but-typed when no commits yet). */
@@ -209,28 +222,33 @@ class Catalog(spark: SparkSession, root: String) {
   def upsert(updates: Dataset[CatalogEntry],
       keyCols: Seq[String] = Seq("source", "raw_path")): Unit = synchronized {
     import spark.implicits._
-    val parts = liveParts()
-    if (parts.isEmpty) { append(updates); return }
-    val keyed = updates.toDF()
-    val cur = spark.read.parquet(parts: _*).withColumn("__file", input_file_name())
-    val touchedFiles = cur
-      .join(broadcast(keyed.select(keyCols.map(col): _*).distinct()), keyCols)
-      .select("__file").distinct().as[String].collect()
-      .map(f => java.nio.file.Paths.get(new java.net.URI(f).getPath))
-    val touchedParts = parts.filter(p =>
-      touchedFiles.exists(_.startsWith(Paths.get(p).toAbsolutePath)))
-    val survivors =
-      if (touchedParts.isEmpty) spark.emptyDataset[CatalogEntry].toDF()
-      else spark.read.parquet(touchedParts: _*)
-        .join(broadcast(keyed.select(keyCols.map(col): _*).distinct()), keyCols, "left_anti")
-    val rewritten = survivors.unionByName(keyed)
-    val part = dataDir.resolve(s"merge-${java.util.UUID.randomUUID()}")
-    rewritten.coalesce(1).write.mode("overwrite").parquet(part.toString)
-    val next = versions.size
-    val tmp = Files.createTempFile(logDir, "commit", ".tmp")
-    Files.writeString(tmp,
-      (touchedParts.map(p => s"remove:$p") :+ s"add:$part").mkString("", "\n", "\n"))
-    Files.move(tmp, logDir.resolve(f"$next%08d.json"), StandardCopyOption.ATOMIC_MOVE)
+    // Optimistic loop: read at version `base`, compute the rewrite, try to
+    // claim `base` — a concurrent commit means the read was stale, so
+    // re-read and recompute (orphaned merge parts from lost attempts are
+    // unreferenced garbage, exactly as in the Delta protocol).
+    var committed = false
+    while (!committed) {
+      val base = versions.size
+      val parts = liveParts()
+      if (parts.isEmpty) { append(updates); return }
+      val keyed = updates.toDF()
+      val cur = spark.read.parquet(parts: _*).withColumn("__file", input_file_name())
+      val touchedFiles = cur
+        .join(broadcast(keyed.select(keyCols.map(col): _*).distinct()), keyCols)
+        .select("__file").distinct().as[String].collect()
+        .map(f => java.nio.file.Paths.get(new java.net.URI(f).getPath))
+      val touchedParts = parts.filter(p =>
+        touchedFiles.exists(_.startsWith(Paths.get(p).toAbsolutePath)))
+      val survivors =
+        if (touchedParts.isEmpty) spark.emptyDataset[CatalogEntry].toDF()
+        else spark.read.parquet(touchedParts: _*)
+          .join(broadcast(keyed.select(keyCols.map(col): _*).distinct()), keyCols, "left_anti")
+      val rewritten = survivors.unionByName(keyed)
+      val part = dataDir.resolve(s"merge-${java.util.UUID.randomUUID()}")
+      rewritten.coalesce(1).write.mode("overwrite").parquet(part.toString)
+      committed = tryCommitAt(base,
+        (touchedParts.map(p => s"remove:$p") :+ s"add:$part").mkString("", "\n", "\n"))
+    }
   }
 
   /** Compaction (Delta-paper maintenance): rewrite all live parts into one
@@ -239,17 +257,17 @@ class Catalog(spark: SparkSession, root: String) {
     * log itself stays append-only. At 100 TB this bounds the
     * many-small-parts listing cost that per-batch appends accumulate. */
   def compact(): Unit = synchronized {
-    import java.nio.file.{Files, StandardCopyOption}
-    val parts = liveParts()
-    if (parts.size > 1) {
+    // Same optimistic read-compute-claim loop as upsert.
+    var done = false
+    while (!done) {
+      val base = versions.size
+      val parts = liveParts()
+      if (parts.size <= 1) return
       val merged = dataDir.resolve(s"compact-${java.util.UUID.randomUUID()}")
       spark.read.parquet(parts: _*).coalesce(1)
         .write.mode("overwrite").parquet(merged.toString)
-      val next = versions.size
-      val tmp = Files.createTempFile(logDir, "commit", ".tmp")
-      Files.writeString(tmp,
+      done = tryCommitAt(base,
         (parts.map(p => s"remove:$p") :+ s"add:$merged").mkString("", "\n", "\n"))
-      Files.move(tmp, logDir.resolve(f"$next%08d.json"), StandardCopyOption.ATOMIC_MOVE)
     }
   }
 

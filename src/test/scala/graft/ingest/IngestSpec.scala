@@ -127,6 +127,39 @@ class IngestSpec extends SparkSpec {
     assert(cat.tableAt(0).count() === 1)
   }
 
+  test("C6 commits are put-if-absent: a racing committer never loses an update") {
+    val root = Files.createTempDirectory("graft_cat_race").toString
+    val now = new java.sql.Timestamp(0L)
+    // two INDEPENDENT catalog instances over the same root (synchronized is
+    // per-instance, so these race on version numbers like two processes)
+    val c1 = new Catalog(spark, root)
+    val c2 = new Catalog(spark, root)
+    c1.append(spark.createDataset(Seq(
+      CatalogEntry("s", "p0", "h0", "success", "", now, "st", 1))))
+    // plant the NEXT version file directly (a concurrent writer's commit
+    // that c1 has not observed); a rename-based commit would overwrite it
+    val planted = Paths.get(root, "_txn_log", "00000001.json")
+    Files.writeString(planted, "") // empty commit: adds nothing, holds the slot
+    val plantedTime = Files.getLastModifiedTime(planted)
+    c1.append(spark.createDataset(Seq(
+      CatalogEntry("s", "p1", "h1", "success", "", now, "st", 1))))
+    // the planted commit survived byte-for-byte; c1's landed at version 2
+    assert(Files.getLastModifiedTime(planted) === plantedTime)
+    assert(Files.readString(planted) === "")
+    assert(Files.exists(Paths.get(root, "_txn_log", "00000002.json")))
+    assert(c2.table().count() === 2)
+
+    // racing appends from both instances: all 6 land, no version collides
+    (1 to 2).foreach { i =>
+      val t1 = new Thread(() => c1.append(spark.createDataset(Seq(
+        CatalogEntry("s", s"a$i", s"ha$i", "success", "", now, "st", 1)))))
+      val t2 = new Thread(() => c2.append(spark.createDataset(Seq(
+        CatalogEntry("s", s"b$i", s"hb$i", "success", "", now, "st", 1)))))
+      t1.start(); t2.start(); t1.join(); t2.join()
+    }
+    assert(c1.table().count() === 6)
+  }
+
   test("C6 upsert: copy-on-write merge rewrites only touched parts") {
     val root = Files.createTempDirectory("graft_cat_merge").toString
     val cat = new Catalog(spark, root)
