@@ -23,7 +23,8 @@ object Contamination {
   /** Positional n-gram index: one row per (id, pos, gram), NOT distinct —
     * the span detector needs every position. pos is 0-based. */
   def positionalNgrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), posexplode(TextStats.ngrams(col(textCol), n)))
+    Dedup.spreadIfNarrow(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), posexplode(TextStats.ngrams(col(textCol), n)))
       .withColumnRenamed("col", "gram")
 
   /** Contamination report: for each test document, the train documents it
@@ -34,9 +35,9 @@ object Contamination {
     * pass Int.MaxValue to disable. */
   def report(test: DataFrame, train: DataFrame, idCol: String, textCol: String,
       n: Int, maxGramFreq: Int = Int.MaxValue): DataFrame = {
-    val testG = test
+    val testG = Dedup.spreadIfNarrow(test.select(col(idCol), col(textCol)))
       .select(col(idCol).as("test_id"), explode(TextFunctions.shingles(col(textCol), n)).as("gram"))
-    val trainG0 = train
+    val trainG0 = Dedup.spreadIfNarrow(train.select(col(idCol), col(textCol)))
       .select(col(idCol).as("train_id"), explode(TextFunctions.shingles(col(textCol), n)).as("gram"))
     val trainG =
       if (maxGramFreq == Int.MaxValue) trainG0

@@ -18,7 +18,7 @@ object Dedup {
     * than the session (single-row-group local files): expensive projections
     * (the interpreted shingle HOF costs ~2 ms/doc) otherwise execute inside
     * the one-task scan stage. No-op at production scale (many splits). */
-  private def spreadIfNarrow(df: DataFrame): DataFrame = {
+  private[operators] def spreadIfNarrow(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < math.min(8, cores)) df.repartition(cores) else df
   }

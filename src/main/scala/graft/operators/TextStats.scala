@@ -35,8 +35,11 @@ object TextStats {
     *                     appears more than once (Gopher's "duplicate
     *                     n-gram fraction")
     * Documents shorter than the n-gram width get 0.0 for that metric. */
-  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def repetitionStats(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
     val id = col(idCol)
+    // spread before the explodes — a narrow scan would pin the tokenization
+    // of the whole corpus to one task (no-op on well-laid-out tables)
+    val df = Dedup.spreadIfNarrow(df0.select(id, col(textCol)))
 
     val tokCounts = df.select(id, explode(TextFunctions.tokens(col(textCol))).as("tk"))
       .groupBy(id, col("tk")).agg(count(lit(1)).as("c"))
@@ -55,7 +58,7 @@ object TextStats {
       (sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("double") / sum(col("c")))
         .as("dup_trigram_frac"))
 
-    df.select(id)
+    df0.select(id)
       .join(tokStats, Seq(idCol), "left")
       .join(biStats, Seq(idCol), "left")
       .join(triStats, Seq(idCol), "left")
