@@ -113,6 +113,71 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("repetition fractions are proper fractions; token count is exact") {
+    import graft.operators.TextStats
+    val word = Gen.oneOf("a", "b", "c", "dd", "eee")
+    val doc = Gen.chooseNum(1, 25).flatMap(k => Gen.listOfN(k, word)).map(_.mkString(" "))
+    forSamples(Gen.listOfN(6, doc), n = 5) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
+      val stats = TextStats.repetitionStats(df, "id", "text")
+        .as[(Int, Long, Double, Double, Double)].collect()
+      stats.foreach { case (id, n, topTok, topBi, dupTri) =>
+        assert(n === docs(id).split(" ").length.toLong)
+        assert(topTok > 0.0 && topTok <= 1.0)
+        assert(topBi >= 0.0 && topBi <= 1.0)
+        assert(dupTri >= 0.0 && dupTri <= 1.0)
+        // a doc of k tokens has max token multiplicity ≥ ceil(k / #distinct)
+        val toks = docs(id).split(" ")
+        assert(topTok >= 1.0 / toks.distinct.length)
+      }
+    }
+  }
+
+  test("shared spans never exceed either document's token count") {
+    import graft.operators.Contamination
+    val word = Gen.oneOf("x", "y", "z", "w")
+    val doc = Gen.chooseNum(5, 20).flatMap(k => Gen.listOfN(k, word)).map(_.mkString(" "))
+    forSamples(Gen.listOfN(5, doc), n = 5) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
+      val lens = docs.map(_.split(" ").length)
+      val spans = Contamination.sharedSpans(df, "id", "text", n = 2, minSpanTokens = 2)
+        .as[(Int, Int, Long)].collect()
+      spans.foreach { case (a, b, span) =>
+        assert(span <= math.min(lens(a), lens(b)).toLong, s"span $span for docs $a,$b")
+        assert(a < b)
+      }
+      // and the span really exists: re-check one pair by brute force
+      spans.sortBy(-_._3).headOption.foreach { case (a, b, span) =>
+        val (ta, tb) = (docs(a).split(" ").toSeq, docs(b).split(" ").toSeq)
+        val runs = for {
+          i <- ta.indices; j <- tb.indices
+          len = Iterator.from(0)
+            .takeWhile(k => i + k < ta.size && j + k < tb.size && ta(i + k) == tb(j + k))
+            .size
+        } yield len
+        assert(runs.max.toLong === span, s"brute-force max run vs sharedSpans for $a,$b")
+      }
+    }
+  }
+
+  test("contamination shared-gram counts are bounded by each side's distinct grams") {
+    import graft.operators.Contamination
+    val word = Gen.oneOf("p", "q", "r")
+    val doc = Gen.chooseNum(3, 15).flatMap(k => Gen.listOfN(k, word)).map(_.mkString(" "))
+    forSamples(Gen.zip(Gen.listOfN(3, doc), Gen.listOfN(3, doc)), n = 5) { case (te, tr) =>
+      val test = te.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
+      val train = tr.zipWithIndex.map { case (t, i) => (i + 100, t) }.toDF("id", "text")
+      def grams(s: String, n: Int) = s.split(" ").sliding(n).filter(_.size == n)
+        .map(_.mkString(" ")).toSet
+      Contamination.report(test, train, "id", "text", n = 2)
+        .as[(Int, Int, Long)].collect().foreach { case (tid, rid, shared) =>
+          val bound = math.min(grams(te(tid), 2).size, grams(tr(rid - 100), 2).size)
+          assert(shared <= bound.toLong && shared >= 1L)
+          assert((grams(te(tid), 2) intersect grams(tr(rid - 100), 2)).size.toLong === shared)
+        }
+    }
+  }
+
   test("z-value stays within bit budget and respects per-dimension dominance") {
     import graft.operators.Layout
     val rows = Gen.listOfN(20, Gen.zip(Gen.chooseNum(0L, 1000L), Gen.chooseNum(0L, 1000L)))
