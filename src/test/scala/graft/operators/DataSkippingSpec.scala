@@ -107,6 +107,28 @@ class DataSkippingSpec extends SparkSpec {
     }
   }
 
+  test("z-ordered layout lets stats prune on BOTH clustered dimensions") {
+    val d = java.nio.file.Files.createTempDirectory("graft_skip_z").toString
+    val orders = Tables(spark, sf001, "orders")
+    Layout.zorderWrite(orders, Seq("o_custkey", "o_totalprice"), d, targetFiles = 16)
+    val st = DataSkipping.collectStats(spark, d, Seq("o_custkey", "o_totalprice")).cache()
+    val f = spark.read.parquet(d)
+
+    val maxCust = f.agg(max($"o_custkey")).as[Long].head()
+    val maxPrice = f.agg(max($"o_totalprice")).as[Double].head()
+    // a narrow box in (custkey, price) space — z-order clusters both, so
+    // most files' rectangles miss it; a linear sort would prune one dim only
+    val pred = $"o_custkey" > lit(maxCust * 3 / 4) && $"o_totalprice" > lit(maxPrice * 0.75)
+    val (df, hit, total) = DataSkipping.scan(spark, d, st, pred)
+    assert(hit <= total / 2, s"z-order box query should skip most files ($hit of $total)")
+    assert(df.count() === f.where(pred).count())
+
+    // each single dimension also prunes on its own
+    val (_, hitC, _) = DataSkipping.scan(spark, d, st, $"o_custkey" > lit(maxCust * 3 / 4))
+    val (_, hitP, _) = DataSkipping.scan(spark, d, st, $"o_totalprice" > lit(maxPrice * 0.75))
+    assert(hitC < total && hitP < total, s"per-dim pruning: cust $hitC, price $hitP of $total")
+  }
+
   test("IN-list and empty-result predicates") {
     val keys = full.orderBy($"o_orderkey").limit(2).select($"o_orderkey").as[Long].collect()
     val inPred = col("o_orderkey").isin(keys.map(Long.box).toIndexedSeq: _*)
