@@ -226,8 +226,13 @@ object BenchQueries {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
         .withColumn("nrm", VectorOps.norm(col("v")))
-      val a = e.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
-        .repartition(32)
+      // spread only when the scan itself is narrow (same guard as b8): on a
+      // compacted/multi-split layout the O(n²) loop is already parallel and
+      // the extra shuffle just costs latency
+      val eFiles = t(s, dir, "embeddings").inputFiles.length
+      val cores = s.sparkContext.defaultParallelism
+      val a0 = e.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
+      val a = if (eFiles < math.min(8, cores)) a0.repartition(cores) else a0
       val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
       a.join(broadcast(b), col("a_id") =!= col("b_id"))
         .select(col("a_id"), col("b_id"),
