@@ -86,4 +86,43 @@ class EdgeCaseSpec extends SparkSpec {
     // drops every row — exactly what the real join would return
     assert(BloomOps.bloomPrunedJoin(fact, dim, "fk", "dk").count() === 0L)
   }
+
+  test("S2 malformed-row policies: PERMISSIVE nulls, DROPMALFORMED drops, FAILFAST throws") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_malformed")
+    java.nio.file.Files.writeString(dir.resolve("rows.csv"),
+      "id,qty\n1,10\n2,notanumber\n3,30\n")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id INT, qty INT")
+    def read(mode: String) = spark.read
+      .option("header", "true").option("mode", mode).schema(schema).csv(dir.toString)
+
+    // PERMISSIVE: malformed field parses to NULL, row count preserved
+    val permissive = read("PERMISSIVE").collect()
+    assert(permissive.length === 3)
+    assert(permissive.count(_.isNullAt(1)) === 1)
+    // DROPMALFORMED: the bad row disappears. NB: count() would prune every
+    // column, parse nothing, and judge no row malformed — collect() forces
+    // the full parse.
+    assert(read("DROPMALFORMED").collect().length === 2)
+    // FAILFAST: the bad row aborts the job
+    val e = intercept[org.apache.spark.SparkException](read("FAILFAST").collect())
+    assert(e.getMessage.contains("Malformed") || e.getCause != null)
+  }
+
+  test("S3 JSON schema-on-read: missing fields are NULL, corrupt lines isolated") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl")
+    java.nio.file.Files.writeString(dir.resolve("rows.jsonl"),
+      """{"id": 1, "name": "a"}
+        |{"id": 2}
+        |this is not json
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("id INT, name STRING, _corrupt_record STRING")
+    val rows = spark.read.schema(schema).json(dir.toString)
+      .select($"id", $"name", $"_corrupt_record".isNotNull.as("corrupt"))
+      .orderBy($"id".asc_nulls_last).collect()
+    assert(rows.length === 3)
+    assert(rows(0).getInt(0) === 1 && rows(0).getString(1) === "a")
+    assert(rows(1).getInt(0) === 2 && rows(1).isNullAt(1))
+    assert(rows(2).isNullAt(0) && rows(2).getBoolean(2)) // corrupt line captured
+  }
 }
