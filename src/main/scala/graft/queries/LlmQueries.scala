@@ -495,7 +495,76 @@ object LlmQueries {
       mx AS (SELECT id_a, id_b, CAST(max(span) AS BIGINT) AS max_span_tokens FROM runs GROUP BY 1, 2)
       SELECT id_a, id_b, max_span_tokens FROM mx WHERE max_span_tokens >= 10 ORDER BY id_a, id_b"""))
 
+  // The end-to-end curation pipeline — the composition a training-data user
+  // actually runs: quality gate → repetition gate → exact dedup (min-id
+  // representative per text, deterministic) → hash-bucket sample → per-lang
+  // corpus stats. Every stage is one of the engine's operators; the whole
+  // chain stays a single declarative plan and hash-matches DuckDB.
+  val l17 = GQuery(
+    "l17_corpus_pipeline",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val quality = d
+        .withColumn("quality",
+          round(TextFunctions.qualityScore(col("text"), col("n_chars"), enStop), 4))
+        .where(col("quality") >= 0.4)
+      val clean = graft.operators.TextStats.dropRepetitious(
+        quality, "doc_id", "text",
+        maxTopTokenFrac = 0.2, maxTopBigramFrac = 0.2, maxDupTrigramFrac = 0.3)
+      val w = Window.partitionBy(col("text"))
+      val deduped = clean
+        .withColumn("__min_id", min(col("doc_id")).over(w))
+        .where(col("doc_id") === col("__min_id"))
+      val sampled = graft.operators.Sampling.deterministicSample(deduped, "doc_id", 50)
+      sampled
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(size(TextFunctions.tokens(col("text")))).as("tokens"),
+          // integer 4-dp quality units, not round(avg(...), 4): an average
+          // of rounded values can land EXACTLY on a half at the target
+          // scale (measured: fr = 0.71745 → Spark 0.7175 vs DuckDB 0.7174,
+          // the §0 rule-2 boundary case), while a sum of exact-4dp units is
+          // integral up to ~1e-10 of double noise
+          round(sum(col("quality")) * 10000).cast("long").as("quality_units"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH q AS (SELECT doc_id, lang, text,
+        round(
+          (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END) * 0.4 +
+          (CASE WHEN (n_chars::DOUBLE - (len(string_split(text, ' ')) - 1)) / len(string_split(text, ' '))
+                BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.3 +
+          (len(list_filter(string_split(text, ' '), tk -> list_contains($enStopSql, tk)))::DOUBLE
+           / len(string_split(text, ' '))) * 0.3, 4) AS quality
+      FROM documents),
+      qf AS (SELECT * FROM q WHERE quality >= 0.4),
+      toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM qf),
+      tc AS (SELECT doc_id, tk, count(*) AS c FROM toks GROUP BY 1, 2),
+      t1 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_token_frac FROM tc GROUP BY 1),
+      dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM qf),
+      bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+             FROM dw WHERE len(w) >= 2),
+      bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      b1 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_bigram_frac FROM bc GROUP BY 1),
+      tg AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+             FROM dw WHERE len(w) >= 3),
+      gc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+      g1 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c) AS dup_trigram_frac
+             FROM gc GROUP BY 1),
+      clean AS (SELECT qf.* FROM qf
+        LEFT JOIN t1 USING (doc_id) LEFT JOIN b1 USING (doc_id) LEFT JOIN g1 USING (doc_id)
+        WHERE coalesce(t1.top_token_frac, 0) <= 0.2
+          AND coalesce(b1.top_bigram_frac, 0) <= 0.2
+          AND coalesce(g1.dup_trigram_frac, 0) <= 0.3),
+      dedup AS (SELECT * FROM clean
+        WHERE doc_id = (SELECT min(c2.doc_id) FROM clean c2 WHERE c2.text = clean.text)),
+      sampled AS (SELECT * FROM dedup
+        WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100) < 50)
+      SELECT lang, count(*) AS docs,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+        CAST(round(sum(quality) * 10000) AS BIGINT) AS quality_units
+      FROM sampled GROUP BY lang ORDER BY lang"""))
+
   def all: Seq[GQuery] = Seq(l1, l2, l2brute, l2simhash, l2simhashPairs, l2cluster, l2embedding,
     l3, l3scalable, l3lsh, l3ivf, l3kmeans, l3pq, l4langid, l5, l6, l7, l8, l9, l10,
-    l11, l11b, l12, l13, l14, l15, l16)
+    l11, l11b, l12, l13, l14, l15, l16, l17)
 }
