@@ -22,13 +22,22 @@ object Tables {
   // InMemoryFileIndex every time (~10 ms/table at plan time, ×5 tables in a
   // join chain). Table files are immutable for a given path, so the resolved
   // relation is reusable; composed queries re-analyze their own operators but
-  // share the relation node. Keyed by session identity so a DataFrame never
-  // outlives its (possibly stopped) session.
-  private val dfCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  // share the relation node. A WeakHashMap on the session object gives true
+  // identity keying (SparkSession doesn't override equals) — no identity-hash
+  // collisions handing a new session a stopped session's DataFrame — and
+  // releases a stopped session's entries with the session itself.
+  private val dfCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]())
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
-    dfCache.getOrElseUpdate((System.identityHashCode(spark), path), {
+    val perSession = dfCache.synchronized {
+      var m = dfCache.get(spark)
+      if (m == null) { m = scala.collection.concurrent.TrieMap.empty; dfCache.put(spark, m) }
+      m
+    }
+    perSession.getOrElseUpdate(path, {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
       // natively: read it as a long and truncate ns→µs ourselves. Integer
       // `div` is mandatory — double division would lose precision at ~1.7e18.
@@ -47,6 +56,23 @@ object Tables {
   /** Register every table as a temp view so SQL-shaped queries can run. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+}
+
+/** Scan-width guard shared by every operator that plans expensive per-row
+  * work (shingling, pair loops, JSON parse) below the first shuffle. */
+object Spread {
+  /** Repartition to full parallelism when the input's scan has fewer file
+    * splits than the session would use — a single-row-group local file
+    * otherwise pins the whole projection to ONE task. The check reads the
+    * FileIndex (`inputFiles`), not `.rdd.getNumPartitions`, which would
+    * force a full physical plan (~25 ms of plan-time overhead per call).
+    * Non-file inputs (test fixtures, in-memory frames) report zero files
+    * and are spread too — harmless, they are small by construction. No-op
+    * at production scale (many splits). */
+  def ifNarrow(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.inputFiles.length < math.min(8, cores)) df.repartition(cores) else df
+  }
 }
 
 /** A named, oracle-checked query.

@@ -230,15 +230,22 @@ class Catalog(spark: SparkSession, root: String) {
     while (!committed) {
       val base = versions.size
       val parts = liveParts()
-      if (parts.isEmpty) { append(updates); return }
       val keyed = updates.toDF()
-      val cur = spark.read.parquet(parts: _*).withColumn("__file", input_file_name())
-      val touchedFiles = cur
-        .join(broadcast(keyed.select(keyCols.map(col): _*).distinct()), keyCols)
-        .select("__file").distinct().as[String].collect()
-        .map(f => java.nio.file.Paths.get(new java.net.URI(f).getPath))
-      val touchedParts = parts.filter(p =>
-        touchedFiles.exists(_.startsWith(Paths.get(p).toAbsolutePath)))
+      // No empty-catalog fast path through append(): append re-claims the
+      // NEXT version on a lost race, which for an upsert would commit a
+      // stale read (two racing upserts of one key → duplicate keys). The
+      // claim below is pinned to `base`, so a concurrent commit forces a
+      // re-read instead.
+      val touchedParts =
+        if (parts.isEmpty) Seq.empty[String]
+        else {
+          val cur = spark.read.parquet(parts: _*).withColumn("__file", input_file_name())
+          val touchedFiles = cur
+            .join(broadcast(keyed.select(keyCols.map(col): _*).distinct()), keyCols)
+            .select("__file").distinct().as[String].collect()
+            .map(f => java.nio.file.Paths.get(new java.net.URI(f).getPath))
+          parts.filter(p => touchedFiles.exists(_.startsWith(Paths.get(p).toAbsolutePath)))
+        }
       val survivors =
         if (touchedParts.isEmpty) spark.emptyDataset[CatalogEntry].toDF()
         else spark.read.parquet(touchedParts: _*)

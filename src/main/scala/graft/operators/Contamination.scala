@@ -37,11 +37,15 @@ object Contamination {
       n: Int, maxGramFreq: Int = Int.MaxValue): DataFrame = {
     val testG = Dedup.spreadIfNarrow(test.select(col(idCol), col(textCol)))
       .select(col(idCol).as("test_id"), explode(TextFunctions.shingles(col(textCol), n)).as("gram"))
-    val trainG0 = Dedup.spreadIfNarrow(train.select(col(idCol), col(textCol)))
+    val trainG0raw = Dedup.spreadIfNarrow(train.select(col(idCol), col(textCol)))
       .select(col(idCol).as("train_id"), explode(TextFunctions.shingles(col(textCol), n)).as("gram"))
     val trainG =
-      if (maxGramFreq == Int.MaxValue) trainG0
+      if (maxGramFreq == Int.MaxValue) trainG0raw
       else {
+        // materialize before deriving the frequency table: the aggregation
+        // and the join probe would otherwise EACH re-tokenize and re-explode
+        // the whole train side (the classic self-join recompute)
+        val trainG0 = trainG0raw.localCheckpoint()
         val freq = trainG0.groupBy(col("gram")).agg(count(lit(1)).as("__f"))
           .where(col("__f") <= maxGramFreq).select(col("gram"))
         trainG0.join(freq, "gram")
@@ -69,20 +73,23 @@ object Contamination {
     * a run of k consecutive n-gram matches covers k+n−1 tokens. */
   def sharedSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int, minSpanTokens: Int, maxGramDocFreq: Int = Int.MaxValue): DataFrame = {
-    val g0 = positionalNgrams(df, idCol, textCol, n)
+    // Materialized up front: the pair join reads it twice, and the cap path
+    // additionally derives the doc-frequency table from it.
+    val g0 = positionalNgrams(df, idCol, textCol, n).localCheckpoint()
     // Heavy-hitter guard for scale: a gram present in d documents fans the
     // join out d² ways, and stock phrases appear in thousands. Dropping
     // grams in more than `maxGramDocFreq` docs caps the fan-out; a real
     // span survives unless EVERY one of its grams is that ubiquitous, and
     // then it can only shorten or drop, never produce a false span —
     // asserted (capped ⊆ uncapped) in the spec.
-    val g = (if (maxGramDocFreq == Int.MaxValue) g0
+    val g =
+      if (maxGramDocFreq == Int.MaxValue) g0
       else {
         val rare = g0.select(col(idCol), col("gram")).distinct()
           .groupBy(col("gram")).agg(count(lit(1)).as("__d"))
           .where(col("__d") <= maxGramDocFreq).select(col("gram"))
-        g0.join(rare, "gram")
-      }).localCheckpoint()
+        g0.join(rare, "gram").localCheckpoint() // self-joined below
+      }
     val a = g.select(col(idCol).as("id_a"), col("pos").as("pos_a"), col("gram"))
     val b = g.select(col(idCol).as("id_b"), col("pos").as("pos_b"), col("gram"))
     val matches = a.join(b, Seq("gram")).where(col("id_a") < col("id_b"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, IntegralType, LongType, ShortType}
 
 /** File-level data skipping (the Delta/Iceberg stats-pruning idea over plain
   * parquet): collect per-file min/max/null-count statistics once, then answer
@@ -36,20 +36,25 @@ object DataSkipping {
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Column attribute by name. Also sees through casts that preserve order
-    * (numeric↔numeric, date/timestamp widenings the analyzer inserts to
-    * compare a column against a differently-typed literal): min/max survive
-    * any monotone map, so `cast(a) < v` prunes exactly like `a < v'`. */
+  /** Column attribute by name. Also sees through WIDENING numeric casts
+    * (the ones the analyzer inserts to compare a column against a wider
+    * literal): widening is value-preserving (or at worst monotone, for
+    * long→double), so comparing the raw stats bound against the literal
+    * under Spark's own coercion stays exact. Narrowing casts are NOT seen
+    * through — double→int truncation and long→int overflow are not
+    * interval-safe, and pruning through them could drop matching files. */
   private object Attr {
-    private def orderPreserving(c: Cast): Boolean = (c.child.dataType, c.dataType) match {
-      case (_: NumericType, _: NumericType) => true
-      case (DateType, TimestampType) | (TimestampType, DateType) => false // truncation: not strict
+    private val rank = Map[Any, Int](ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+    private def widening(c: Cast): Boolean = (c.child.dataType, c.dataType) match {
+      case (f, t) if rank.contains(f) && rank.contains(t) => rank(f) <= rank(t)
+      case (f, FloatType | DoubleType) if rank.contains(f) => true
+      case (FloatType, DoubleType) => true
       case _ => false
     }
     def unapply(e: Expression): Option[String] = e match {
       case a: AttributeReference => Some(a.name)
       case u: UnresolvedAttribute => Some(u.name)
-      case c: Cast if orderPreserving(c) => unapply(c.child)
+      case c: Cast if widening(c) => unapply(c.child)
       case _ => None
     }
   }
@@ -82,7 +87,9 @@ object DataSkipping {
       case GreaterThan(v: Literal, Attr(a)) if known(a) => mn(a) < l(v)
       case GreaterThanOrEqual(v: Literal, Attr(a)) if known(a) => mn(a) <= l(v)
       case In(Attr(a), vs) if known(a) && vs.forall(_.isInstanceOf[Literal]) =>
-        vs.map(v => mn(a) <= l(v) && mx(a) >= l(v)).reduce(_ || _)
+        // empty IN-list matches nothing; foldLeft keeps that exact (and
+        // avoids reduce's crash on Nil)
+        vs.foldLeft(lit(false))((acc, v) => acc || (mn(a) <= l(v) && mx(a) >= l(v)))
       case IsNull(Attr(a)) if known(a) => nulls(a) > 0
       case _ => lit(true) // unknown shape → cannot prune on it
     }

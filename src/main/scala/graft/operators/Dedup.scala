@@ -14,14 +14,10 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
-  /** Spread a DataFrame to full parallelism when its scan has fewer splits
-    * than the session (single-row-group local files): expensive projections
-    * (the interpreted shingle HOF costs ~2 ms/doc) otherwise execute inside
-    * the one-task scan stage. No-op at production scale (many splits). */
-  private[operators] def spreadIfNarrow(df: DataFrame): DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.min(8, cores)) df.repartition(cores) else df
-  }
+  /** See [[graft.Spread.ifNarrow]] — expensive projections (the interpreted
+    * shingle HOF costs ~2 ms/doc) must not execute inside a one-task scan. */
+  private[operators] def spreadIfNarrow(df: DataFrame): DataFrame =
+    graft.Spread.ifNarrow(df)
 
   /** Exact dedup: one representative row per distinct `textCol` content
     * (hash-groupBy; at 100 TB use the md5 variant below to dedupe on a

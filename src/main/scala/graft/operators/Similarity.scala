@@ -186,16 +186,23 @@ object Similarity {
   // sum of m table lookups — then a shortlist is exactly re-ranked.
   // ---------------------------------------------------------------------
 
-  /** L2-normalize + split into m subvectors: (id, sub, sv). */
+  /** L2-normalize + split into m subvectors: (id, sub, sv). When the
+    * dimension is not divisible by m, the LAST subspace takes the remainder
+    * dims — silently dropping them would exclude the tail from codebooks,
+    * codes, and ADC scores (a systematic recall hole for vectors that
+    * differ only in trailing dimensions). */
   private def subvectors(df: DataFrame, idCol: String, vecCol: String, m: Int): DataFrame = {
     val v = VectorOps.asDouble(col(vecCol))
     val n = VectorOps.norm(v)
-    val dsub = size(v) / m
+    // Column./ is DOUBLE division — cast back to int or slice offsets go
+    // fractional for dims not divisible by m (10/4 = 2.5)
+    val dsub = (size(v) / m).cast("int")
     df.select(col(idCol).as("__pid"),
-        transform(v, x => x / n).as("__nv"), dsub.as("__ds"))
+        transform(v, x => x / n).as("__nv"), dsub.as("__ds"), size(v).as("__d"))
       .select(col("__pid"), posexplode(
         transform(sequence(lit(0), lit(m - 1)),
-          j => slice(col("__nv"), j * col("__ds") + 1, col("__ds")))))
+          j => slice(col("__nv"), j * col("__ds") + 1,
+            when(j === m - 1, col("__d") - j * col("__ds")).otherwise(col("__ds"))))))
       .select(col("__pid"), col("pos").as("sub"), col("col").as("sv"))
   }
 

@@ -162,13 +162,7 @@ object BenchQueries {
       // raw rows first (cheap: one narrow shuffle of the tiny local file).
       // At production scale the scan has thousands of splits and this branch
       // is a no-op — no extra shuffle of the fact table.
-      val ev = t(s, dir, "events")
-      val cores = s.sparkContext.defaultParallelism
-      // File count stands in for scan-split count (these tables have one row
-      // group per file). Checked via the FileIndex, not `.rdd.getNumPartitions`
-      // — the latter forces a full physical plan of the scan, ~25 ms of pure
-      // plan-time overhead per build.
-      val spread = if (ev.inputFiles.length < math.min(8, cores)) ev.repartition(cores) else ev
+      val spread = graft.Spread.ifNarrow(t(s, dir, "events"))
       spread
         .groupBy(col("event_type"))
         .agg(
@@ -229,10 +223,8 @@ object BenchQueries {
       // spread only when the scan itself is narrow (same guard as b8): on a
       // compacted/multi-split layout the O(n²) loop is already parallel and
       // the extra shuffle just costs latency
-      val eFiles = t(s, dir, "embeddings").inputFiles.length
-      val cores = s.sparkContext.defaultParallelism
-      val a0 = e.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
-      val a = if (eFiles < math.min(8, cores)) a0.repartition(cores) else a0
+      val a = graft.Spread.ifNarrow(
+        e.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an")))
       val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
       a.join(broadcast(b), col("a_id") =!= col("b_id"))
         .select(col("a_id"), col("b_id"),

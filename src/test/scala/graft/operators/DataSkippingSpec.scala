@@ -129,6 +129,30 @@ class DataSkippingSpec extends SparkSpec {
     assert(hitC < total && hitP < total, s"per-dim pruning: cust $hitC, price $hitP of $total")
   }
 
+  test("narrowing casts never prune (not interval-safe); widening casts do") {
+    val d = java.nio.file.Files.createTempDirectory("graft_skip_cast").toString
+    Seq((1, 4.5), (2, 9.5), (3, 20.5), (4, 30.5)).toDF("k", "x")
+      .repartitionByRange(2, col("k")).sortWithinPartitions(col("k"))
+      .write.mode("overwrite").parquet(d)
+    val st = DataSkipping.collectStats(spark, d, Seq("k", "x")).cache()
+    val f = spark.read.parquet(d)
+
+    // double→int truncation: row x=4.5 matches cast(x as int) = 4, but the
+    // raw interval test min_x <= 4 fails — the translator must refuse to
+    // prune through the narrowing cast and keep every file
+    val narrowing = col("x").cast("int") === 4
+    val (dfN, hitN, totalN) = DataSkipping.scan(spark, d, st, narrowing)
+    assert(hitN === totalN, "narrowing cast must not prune")
+    assert(dfN.count() === f.where(narrowing).count())
+    assert(dfN.count() === 1L)
+
+    // int→long widening (analyzer inserts it for a long literal) stays exact
+    val widening = col("k") === lit(4L)
+    val (dfW, hitW, totalW) = DataSkipping.scan(spark, d, st, widening)
+    assert(hitW < totalW, s"widening cast should still prune ($hitW of $totalW)")
+    assert(dfW.count() === 1L)
+  }
+
   test("IN-list and empty-result predicates") {
     val keys = full.orderBy($"o_orderkey").limit(2).select($"o_orderkey").as[Long].collect()
     val inPred = col("o_orderkey").isin(keys.map(Long.box).toIndexedSeq: _*)

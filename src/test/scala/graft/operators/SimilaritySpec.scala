@@ -109,6 +109,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.5, s"recall=$recall")
   }
 
+  test("PQ with indivisible dimension routes the remainder to the last subspace") {
+    // 10 dims, m=4 → subspaces of 2,2,2,4 — nothing dropped
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(10)(d => (math.sin(i * 10 + d) * 100).toFloat))).toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(vecs, "vec_id", "embedding", m = 4, kCodes = 4, iters = 2)
+    val sizes = cb.groupBy($"sub").agg(max(size($"centroid")).as("d"))
+      .orderBy($"sub").select($"d").as[Int].collect().toSeq
+    assert(sizes === Seq(2, 2, 2, 4))
+    val enc = Similarity.pqEncode(vecs, "vec_id", "embedding", cb, m = 4)
+    assert(enc.select(size($"codes")).distinct().as[Int].collect().toSeq === Seq(4))
+  }
+
   test("PQ training and search are deterministic across runs") {
     val emb = Tables(spark, sf001, "embeddings").where($"vec_id" < 100)
     def run() = Similarity.pqTopK(emb, emb.where($"vec_id" < 10), "vec_id", "embedding",
