@@ -128,6 +128,14 @@ object Stage {
       .parquet(target)
     target
   }
+
+  /** Schema-evolving read of a staged table: batches written before a
+    * source added columns coexist with later ones; `mergeSchema` unions the
+    * per-file schemas and fills missing columns with NULL — the standard
+    * additive-evolution contract (drops/renames still go through
+    * [[Validate.conformSchema]] rejection). */
+  def readStaged(spark: SparkSession, cfg: SourceConfig, stagingRoot: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(s"$stagingRoot/${cfg.name}")
 }
 
 /** C6/C7/C9: the catalog is a Parquet table with an append-only JSON
@@ -210,6 +218,24 @@ class Catalog(spark: SparkSession, root: String) {
 
   /** C7: catalog search is plain SQL/DataFrame over the table. */
   def search(predicate: String): DataFrame = table().where(predicate)
+
+  /** DESCRIBE HISTORY analog: one row per log version — commit time, the
+    * operation kind inferred from its add/remove shape, and the part
+    * counts. The log is the source of truth, so history is just a read. */
+  def history(): DataFrame = {
+    import spark.implicits._
+    versions.zipWithIndex.map { case (p, v) =>
+      val lines = Files.readAllLines(p)
+      import scala.jdk.CollectionConverters._
+      val adds = lines.asScala.count(_.startsWith("add:"))
+      val removes = lines.asScala.count(_.startsWith("remove:"))
+      val op =
+        if (removes == 0 && adds > 0) "append"
+        else if (removes > 0 && adds > 0) "rewrite" // upsert or compaction
+        else "empty"
+      (v, new java.sql.Timestamp(Files.getLastModifiedTime(p).toMillis), op, adds, removes)
+    }.toDF("version", "commit_ts", "operation", "added_parts", "removed_parts")
+  }
 
   /** Upsert (MERGE): update-or-insert whole entries by key, last-writer-wins
     * — the Delta-paper copy-on-write move. One pass tags every live row with

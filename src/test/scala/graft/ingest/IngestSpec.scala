@@ -160,6 +160,34 @@ class IngestSpec extends SparkSpec {
     assert(c1.table().count() === 6)
   }
 
+  test("C6 history reflects every commit with its operation kind") {
+    val root = Files.createTempDirectory("graft_cat_hist").toString
+    val cat = new Catalog(spark, root)
+    val now = new java.sql.Timestamp(0L)
+    cat.append(spark.createDataset(Seq(
+      CatalogEntry("s", "p1", "h1", "success", "", now, "st", 1))))
+    cat.append(spark.createDataset(Seq(
+      CatalogEntry("s", "p2", "h2", "success", "", now, "st", 1))))
+    cat.compact()
+    val hist = cat.history().orderBy($"version")
+      .select($"version", $"operation", $"added_parts", $"removed_parts")
+      .as[(Int, String, Int, Int)].collect().toSeq
+    assert(hist === Seq((0, "append", 1, 0), (1, "append", 1, 0), (2, "rewrite", 1, 2)))
+  }
+
+  test("C5 staged reads merge additively evolved schemas") {
+    val root = Files.createTempDirectory("graft_evolve").toString
+    val cfgNoPart = cfg.copy(name = "evolving", partitionBy = Nil)
+    Stage.stage(Seq((1, "alpha")).toDF("id", "name"), cfgNoPart, s"$root/staging")
+    // the source later adds a column; old files lack it
+    Stage.stage(Seq((2, "beta", "x")).toDF("id", "name", "grp"), cfgNoPart, s"$root/staging")
+    val merged = Stage.readStaged(spark, cfgNoPart, s"$root/staging")
+    assert(merged.columns.sorted.toSeq === Seq("grp", "id", "name"))
+    val rows = merged.orderBy($"id").select($"id", $"name", $"grp").collect()
+    assert(rows(0).getInt(0) === 1 && rows(0).isNullAt(2)) // old batch: NULL grp
+    assert(rows(1).getString(2) === "x")
+  }
+
   test("C6 upsert: copy-on-write merge rewrites only touched parts") {
     val root = Files.createTempDirectory("graft_cat_merge").toString
     val cat = new Catalog(spark, root)
