@@ -279,6 +279,52 @@ object Dedup {
     df.join(losers, df(idCol) === losers("id"), "left_anti")
   }
 
+  /** Near-dup pairs ACROSS two corpora (one row per (left id, right id)
+    * pair with Jaccard ≥ threshold): same LSH machinery as
+    * [[minhashNearDupPairs]], but the band join is left×right instead of a
+    * self-join — the incremental-ingestion shape, where `right` is the
+    * already-ingested corpus and only the new batch is signed fresh.
+    * At production scale the right-side band table is precomputed once and
+    * stored; here it is derived on the fly. */
+  def minhashNearDupPairsAcross(
+      left: DataFrame, right: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      shingleN: Int = 3, numHashes: Int = 128, rowsPerBand: Int = 2): DataFrame = {
+    val bands = numHashes / rowsPerBand
+    val lb = lshBands(minhashSignatures(left, idCol, textCol, shingleN, numHashes),
+      idCol, rowsPerBand, bands).localCheckpoint()
+    val rb = lshBands(minhashSignatures(right, idCol, textCol, shingleN, numHashes),
+      idCol, rowsPerBand, bands).localCheckpoint()
+    val cand = lb.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
+      .join(rb.select(col(idCol).as("id_b"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val shL = spreadIfNarrow(left.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id_a"), TextFunctions.shingles(col(textCol), shingleN).as("sh_a"))
+      .localCheckpoint()
+    val shR = spreadIfNarrow(right.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id_b"), TextFunctions.shingles(col(textCol), shingleN).as("sh_b"))
+      .localCheckpoint()
+    cand.join(shL, "id_a").join(shR, "id_b")
+      .select(col("id_a"), col("id_b"), TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Incremental near-dedup — continuous corpus building: drop incoming
+    * docs that near-duplicate the EXISTING corpus, then near-dedup the
+    * survivors among themselves (min-id canonical per cluster). Existing
+    * documents are never rewritten; the result is exactly the set of
+    * incoming docs safe to append. */
+  def incrementalDropNearDuplicates(
+      incoming: DataFrame, existing: DataFrame,
+      idCol: String, textCol: String, threshold: Double): DataFrame = {
+    val hitExisting = minhashNearDupPairsAcross(
+      incoming, existing, idCol, textCol, threshold)
+      .select(col("id_a").as(idCol)).distinct()
+    val fresh = incoming.join(hitExisting, Seq(idCol), "left_anti")
+    dropNearDuplicates(fresh, idCol, textCol, threshold)
+  }
+
   /** Embedding near-dup: pairs with cosine ≥ threshold (brute force with
     * precomputed norms; LSH/IVF variants in [[Similarity]] are the scale
     * path). */

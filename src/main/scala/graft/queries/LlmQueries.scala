@@ -564,7 +564,46 @@ object LlmQueries {
         CAST(round(sum(quality) * 10000) AS BIGINT) AS quality_units
       FROM sampled GROUP BY lang ORDER BY lang"""))
 
+  // Incremental ingestion dedup: the incoming slice (doc_id % 5 = 0) is
+  // filtered against the already-ingested corpus (the rest), then
+  // near-deduped among itself. LSH banding has total recall at 0.8 for
+  // r=2/b=64, so the declared value hash-matches the brute-force oracle
+  // (recursive-CTE closure for the within-batch clusters, as in l2_cluster).
+  val l18 = GQuery(
+    "l18_incremental_dedup",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val inc = d.where(pmod(col("doc_id"), lit(5)) === 0)
+      val ex = d.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      val crossHits = Dedup.minhashNearDupPairsAcross(inc, ex, "doc_id", "text", 0.8)
+        .select(col("id_a")).distinct().agg(count(lit(1)).as("dropped_vs_existing"))
+      val kept = Dedup.incrementalDropNearDuplicates(inc, ex, "doc_id", "text", 0.8)
+        .agg(count(lit(1)).as("kept_docs"))
+      inc.agg(count(lit(1)).as("incoming_docs")).crossJoin(crossHits).crossJoin(kept)
+    },
+    Some(s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      x AS (SELECT DISTINCT a.doc_id AS id
+        FROM sh a JOIN sh b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+      fresh AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT id FROM x)),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        JOIN fresh fa ON fa.doc_id = a.doc_id JOIN fresh fb ON fb.doc_id = b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+      edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE r.a <> e.b
+      ),
+      comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
+      SELECT
+        (SELECT count(*) FROM documents WHERE doc_id % 5 = 0) AS incoming_docs,
+        (SELECT count(*) FROM x) AS dropped_vs_existing,
+        (SELECT count(*) FROM fresh) -
+          (SELECT count(*) FROM comp WHERE id <> component) AS kept_docs"""))
+
   def all: Seq[GQuery] = Seq(l1, l2, l2brute, l2simhash, l2simhashPairs, l2cluster, l2embedding,
     l3, l3scalable, l3lsh, l3ivf, l3kmeans, l3pq, l4langid, l5, l6, l7, l8, l9, l10,
-    l11, l11b, l12, l13, l14, l15, l16, l17)
+    l11, l11b, l12, l13, l14, l15, l16, l17, l18)
 }

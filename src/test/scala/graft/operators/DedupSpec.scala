@@ -131,4 +131,40 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((0L, 1L)))
   }
+
+  test("incremental dedup drops corpus matches, keeps min-id within the batch") {
+    val existing = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"),
+      (101L, "completely different content about distributed query engines")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // dup of existing 100
+      (2L, "brand new unique document about training data pipelines"),
+      (3L, "brand new unique document about training data pipelines"), // within-batch dup of 2
+      (4L, "another unrelated survivor with enough tokens to shingle")
+    ).toDF("doc_id", "text")
+
+    val cross = Dedup.minhashNearDupPairsAcross(incoming, existing, "doc_id", "text", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cross === Set((1L, 100L)))
+
+    val kept = Dedup.incrementalDropNearDuplicates(incoming, existing, "doc_id", "text", 0.8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(2L, 4L)) // 1 hit existing; 3 lost to min-id 2; 2 and 4 survive
+  }
+
+  test("incremental dedup with empty existing corpus equals plain near-dedup") {
+    val incoming = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally different words in this one right here")
+    ).toDF("doc_id", "text")
+    val empty = incoming.where(lit(false))
+    val kept = Dedup.incrementalDropNearDuplicates(incoming, empty, "doc_id", "text", 0.8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val plain = Dedup.dropNearDuplicates(incoming, "doc_id", "text", 0.8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === plain)
+    assert(kept === Seq(1L, 3L))
+  }
 }
