@@ -310,20 +310,27 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** Incremental near-dedup — continuous corpus building: drop incoming
-    * docs that near-duplicate the EXISTING corpus, then near-dedup the
-    * survivors among themselves (min-id canonical per cluster). Existing
-    * documents are never rewritten; the result is exactly the set of
-    * incoming docs safe to append. */
+  /** Incremental near-dedup, report shape — continuous corpus building:
+    * returns (ids of incoming docs that near-duplicate the EXISTING corpus,
+    * the kept docs after also near-deduping the survivors among themselves,
+    * min-id canonical per cluster). The cross-corpus hit set is
+    * materialized ONCE and shared by both results (and by the three
+    * consumptions inside the within-batch dedup). Existing documents are
+    * never rewritten; `kept` is exactly the set safe to append. */
+  def incrementalNearDupSplit(
+      incoming: DataFrame, existing: DataFrame,
+      idCol: String, textCol: String, threshold: Double): (DataFrame, DataFrame) = {
+    val hits = minhashNearDupPairsAcross(incoming, existing, idCol, textCol, threshold)
+      .select(col("id_a").as(idCol)).distinct().localCheckpoint()
+    val fresh = incoming.join(hits, Seq(idCol), "left_anti")
+    (hits, dropNearDuplicates(fresh, idCol, textCol, threshold))
+  }
+
+  /** The drop-only view of [[incrementalNearDupSplit]]. */
   def incrementalDropNearDuplicates(
       incoming: DataFrame, existing: DataFrame,
-      idCol: String, textCol: String, threshold: Double): DataFrame = {
-    val hitExisting = minhashNearDupPairsAcross(
-      incoming, existing, idCol, textCol, threshold)
-      .select(col("id_a").as(idCol)).distinct()
-    val fresh = incoming.join(hitExisting, Seq(idCol), "left_anti")
-    dropNearDuplicates(fresh, idCol, textCol, threshold)
-  }
+      idCol: String, textCol: String, threshold: Double): DataFrame =
+    incrementalNearDupSplit(incoming, existing, idCol, textCol, threshold)._2
 
   /** Embedding near-dup: pairs with cosine ≥ threshold (brute force with
     * precomputed norms; LSH/IVF variants in [[Similarity]] are the scale

@@ -575,16 +575,10 @@ object LlmQueries {
       val d = t(s, dir, "documents")
       val inc = d.where(pmod(col("doc_id"), lit(5)) === 0)
       val ex = d.where(pmod(col("doc_id"), lit(5)) =!= 0)
-      // one cross-corpus pass, shared by the dropped-count and the filter
-      // (calling incrementalDropNearDuplicates here would recompute it)
-      val hits = Dedup.minhashNearDupPairsAcross(inc, ex, "doc_id", "text", 0.8)
-        .select(col("id_a").as("doc_id")).distinct().localCheckpoint()
-      val fresh = inc.join(hits, Seq("doc_id"), "left_anti")
-      val kept = Dedup.dropNearDuplicates(fresh, "doc_id", "text", 0.8)
-        .agg(count(lit(1)).as("kept_docs"))
+      val (hits, kept) = Dedup.incrementalNearDupSplit(inc, ex, "doc_id", "text", 0.8)
       inc.agg(count(lit(1)).as("incoming_docs"))
         .crossJoin(hits.agg(count(lit(1)).as("dropped_vs_existing")))
-        .crossJoin(kept)
+        .crossJoin(kept.agg(count(lit(1)).as("kept_docs")))
     },
     Some(s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
       x AS (SELECT DISTINCT a.doc_id AS id
