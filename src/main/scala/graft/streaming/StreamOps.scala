@@ -155,6 +155,38 @@ object StreamOps {
       .orderBy(col("event_type"))
   }
 
+  /** Streaming incremental corpus dedup (the E1′ ingestion shape applied to
+    * documents): each micro-batch is near-dedup-filtered against everything
+    * ACCEPTED so far (cross-corpus LSH + within-batch, via
+    * [[graft.operators.Dedup.incrementalDropNearDuplicates]]) and the
+    * survivors are appended to the accepted store. State lives in the
+    * accepted table itself, not the state store — restarts resume from
+    * what was durably accepted, and at scale the accepted side's band
+    * table is precomputed instead of re-derived per batch. */
+  def incrementalDedupStream(spark: SparkSession, landingDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      idCol: String, textCol: String, threshold: Double,
+      acceptedDir: String, maxFilesPerTrigger: Int = 1): Unit = {
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val existing =
+          if (new java.io.File(acceptedDir).exists)
+            spark.read.schema(schema).parquet(acceptedDir)
+          else batch.where(org.apache.spark.sql.functions.lit(false))
+        graft.operators.Dedup
+          .incrementalDropNearDuplicates(batch, existing, idCol, textCol, threshold)
+          .write.mode("append").parquet(acceptedDir)
+        ()
+      }
+      .option("checkpointLocation", s"$landingDir/../_dedup_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** ST6: custom stateful operator — running per-user purchase totals via
     * flatMapGroupsWithState (explicit GroupState, the §2.8 ST6 contract). */
   def statefulPurchaseTotals(spark: SparkSession, sfDir: String): DataFrame = {

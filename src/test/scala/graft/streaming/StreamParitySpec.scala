@@ -63,4 +63,47 @@ class StreamParitySpec extends SparkSpec {
     // the sink's _spark_metadata commit log marks the batch committed
     assert(new java.io.File(s"$out/_spark_metadata").exists())
   }
+
+  test("streaming incremental dedup equals sequential batch processing") {
+    import graft.operators.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_incdedup")
+    val landing = root.resolve("landing"); java.nio.file.Files.createDirectories(landing)
+    val accepted = s"$root/accepted"
+
+    val batchA = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "some unique first-batch content about spark streaming")).toDF("doc_id", "text")
+    val batchB = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog today"), // dup of accepted 1
+      (4L, "fresh second-batch document with new words entirely"),
+      (5L, "fresh second-batch document with new words entirely")) // within-batch dup of 4
+      .toDF("doc_id", "text")
+    // two files, ordered mod-times → two micro-batches (maxFilesPerTrigger=1)
+    batchA.coalesce(1).write.parquet(s"$landing/a")
+    Thread.sleep(1100)
+    batchB.coalesce(1).write.parquet(s"$landing/b")
+    // flatten part files into the landing dir so the file source sees them
+    val files = java.nio.file.Files.walk(landing).iterator()
+    import scala.jdk.CollectionConverters._
+    files.asScala.filter(_.toString.endsWith(".parquet")).toSeq.sortBy(
+      p => java.nio.file.Files.getLastModifiedTime(p).toMillis).zipWithIndex.foreach {
+      case (p, i) => java.nio.file.Files.move(p, landing.resolve(s"batch$i.parquet"))
+    }
+    Seq("a", "b").foreach { d =>
+      java.nio.file.Files.walk(landing.resolve(d)).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.delete)
+    }
+
+    StreamOps.incrementalDedupStream(spark, landing.toString, batchA.schema,
+      "doc_id", "text", 0.8, accepted)
+    val streamed = spark.read.parquet(accepted).select("doc_id").as[Long].collect().sorted.toSeq
+
+    // sequential batch reference: process A against empty, then B against A's survivors
+    val keptA = Dedup.incrementalDropNearDuplicates(batchA, batchA.where(lit(false)), "doc_id", "text", 0.8)
+    val keptB = Dedup.incrementalDropNearDuplicates(batchB, keptA, "doc_id", "text", 0.8)
+    val reference = keptA.unionByName(keptB).select("doc_id").as[Long].collect().sorted.toSeq
+
+    assert(streamed === reference)
+    assert(streamed === Seq(1L, 2L, 4L))
+  }
 }
