@@ -31,6 +31,56 @@ object Dedup {
       count(lit(1)).as("total_docs"),
       countDistinct(md5(col(textCol))).as("distinct_docs"))
 
+  /** (id, __sh) shingle sets. The raw docs are spread first (the shingle
+    * HOF then evaluates at full parallelism, not inside the one-task scan). */
+  private def shinglesOf(df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
+    spreadIfNarrow(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextFunctions.shingles(col(textCol), shingleN).as("__sh"))
+
+  /** Band table derived from a shingle table — signature as ONE codegen'd
+    * expression per row (the declarative explode + numHashes-buffer min
+    * aggregate exceeds the codegen field limit and fell back to interpreted
+    * aggregation, ~25× slower, and its groupBy was a full shuffle of
+    * exploded shingles besides). */
+  private def bandsOfShingles(sh: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int): DataFrame =
+    lshBands(
+      sh.where(size(col("__sh")) > 0)
+        .select(col(idCol),
+          graft.functions.TextExpressions.minhashSig(col("__sh"), numHashes).as("minhash")),
+      idCol, rowsPerBand, numHashes / rowsPerBand)
+
+  /** One corpus signed once: the (tiny) band table plus the shingle sets it
+    * was derived from, both materialized so candidate generation, exact-
+    * Jaccard verification, and any within-batch reuse share a single
+    * shingle pass (the dominant cost — the interpreted HOF is ~2 ms/doc). */
+  private case class Signed(bands: DataFrame, shingles: DataFrame, idCol: String)
+
+  private def sign(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, rowsPerBand: Int): Signed = {
+    val sh = shinglesOf(df, idCol, textCol, shingleN).localCheckpoint()
+    Signed(bandsOfShingles(sh, idCol, numHashes, rowsPerBand).localCheckpoint(), sh, idCol)
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs. */
+  private def verifyPairs(cand: DataFrame, shA: DataFrame, shB: DataFrame, threshold: Double): DataFrame =
+    cand.join(shA, "id_a").join(shB, "id_b")
+      .select(col("id_a"), col("id_b"), TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+
+  /** Self-join near-dup pairs (a < b) over one signed corpus. */
+  private def selfPairs(s: Signed, threshold: Double): DataFrame = {
+    val cand = s.bands.select(col(s.idCol).as("id_a"), col("band"), col("band_hash"))
+      .join(s.bands.select(col(s.idCol).as("id_b"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    verifyPairs(cand,
+      s.shingles.select(col(s.idCol).as("id_a"), col("__sh").as("sh_a")),
+      s.shingles.select(col(s.idCol).as("id_b"), col("__sh").as("sh_b")),
+      threshold)
+  }
+
   /** MinHash signature: `numHashes` permutations simulated by seeded
     * xxhash64 over distinct n-gram shingles (deterministic across runs). */
   def minhashSignatures(
@@ -38,19 +88,11 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleN: Int = 3,
-      numHashes: Int = 128): DataFrame = {
-    // Spread the RAW docs first (shingle HOF then evaluates at full
-    // parallelism, not inside the one-task scan), then compute the whole
-    // signature as ONE codegen'd expression per row — the declarative
-    // explode + numHashes-buffer min aggregate exceeds the codegen field
-    // limit and fell back to interpreted aggregation (~25× slower), and
-    // its groupBy was a full shuffle of exploded shingles besides.
-    spreadIfNarrow(df.select(col(idCol), col(textCol)))
-      .select(col(idCol), TextFunctions.shingles(col(textCol), shingleN).as("__sh"))
+      numHashes: Int = 128): DataFrame =
+    shinglesOf(df, idCol, textCol, shingleN)
       .where(size(col("__sh")) > 0)
       .select(col(idCol),
         graft.functions.TextExpressions.minhashSig(col("__sh"), numHashes).as("minhash"))
-  }
 
   /** LSH banding: emit (id, band index, band hash) — docs sharing any band
     * bucket are candidate pairs. bands*rowsPerBand must equal the signature
@@ -78,28 +120,12 @@ object Dedup {
       threshold: Double,
       shingleN: Int = 3,
       numHashes: Int = 128,
-      rowsPerBand: Int = 2): DataFrame = {
-    val bands = numHashes / rowsPerBand
-    val sig = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
-    // Materialize the band table before the self-join: both join branches
-    // would otherwise RECOMPUTE the whole signature aggregation (measured
-    // 2× the dominant cost). Bands are tiny — (id, band, hash) per doc×band.
-    val bd = lshBands(sig, idCol, rowsPerBand, bands).localCheckpoint()
-    val a = bd.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
-    val b = bd.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
-    val cand = a.join(b, Seq("band", "band_hash"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    val sh = spreadIfNarrow(df.select(col(idCol), col(textCol)))
-      .select(col(idCol), TextFunctions.shingles(col(textCol), shingleN).as("__sh"))
-      .localCheckpoint()
-    cand
-      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"), TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .where(col("jaccard") >= threshold)
-  }
+      rowsPerBand: Int = 2): DataFrame =
+    // sign() materializes shingles once and the band table once: the
+    // self-join's two branches would otherwise RECOMPUTE the signature
+    // pipeline (measured 2× the dominant cost), and verification would
+    // re-shingle a third time.
+    selfPairs(sign(df, idCol, textCol, shingleN, numHashes, rowsPerBand), threshold)
 
   /** Brute-force n-gram Jaccard pairs ≥ threshold (the oracle-shaped O(n²)
     * path, superseded by MinHash above). The theta join is a broadcast
@@ -289,25 +315,33 @@ object Dedup {
   def minhashNearDupPairsAcross(
       left: DataFrame, right: DataFrame,
       idCol: String, textCol: String, threshold: Double,
-      shingleN: Int = 3, numHashes: Int = 128, rowsPerBand: Int = 2): DataFrame = {
-    val bands = numHashes / rowsPerBand
-    val lb = lshBands(minhashSignatures(left, idCol, textCol, shingleN, numHashes),
-      idCol, rowsPerBand, bands).localCheckpoint()
-    val rb = lshBands(minhashSignatures(right, idCol, textCol, shingleN, numHashes),
-      idCol, rowsPerBand, bands).localCheckpoint()
-    val cand = lb.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
+      shingleN: Int = 3, numHashes: Int = 128, rowsPerBand: Int = 2): DataFrame =
+    acrossPairs(sign(left, idCol, textCol, shingleN, numHashes, rowsPerBand),
+      right, textCol, threshold, shingleN, numHashes, rowsPerBand)
+
+  /** Cross-corpus pairs with the left side already signed. Only the RIGHT
+    * band table is materialized (tiny); full right-corpus shingle arrays are
+    * never checkpointed — verification re-shingles just the right docs that
+    * appear in a candidate pair (semi-join first), so per-batch materialized
+    * state is bounded by candidate count, not corpus size. */
+  private def acrossPairs(sl: Signed, right: DataFrame,
+      textCol: String, threshold: Double,
+      shingleN: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val idCol = sl.idCol
+    val rb = bandsOfShingles(shinglesOf(right, idCol, textCol, shingleN),
+      idCol, numHashes, rowsPerBand).localCheckpoint()
+    // cand is consumed twice (the right semi-join and the verify join)
+    val cand = sl.bands.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
       .join(rb.select(col(idCol).as("id_b"), col("band"), col("band_hash")),
         Seq("band", "band_hash"))
-      .select(col("id_a"), col("id_b")).distinct()
-    val shL = spreadIfNarrow(left.select(col(idCol), col(textCol)))
-      .select(col(idCol).as("id_a"), TextFunctions.shingles(col(textCol), shingleN).as("sh_a"))
-      .localCheckpoint()
-    val shR = spreadIfNarrow(right.select(col(idCol), col(textCol)))
-      .select(col(idCol).as("id_b"), TextFunctions.shingles(col(textCol), shingleN).as("sh_b"))
-      .localCheckpoint()
-    cand.join(shL, "id_a").join(shR, "id_b")
-      .select(col("id_a"), col("id_b"), TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b")).distinct().localCheckpoint()
+    val shR = shinglesOf(
+        right.join(cand.select(col("id_b").as(idCol)), Seq(idCol), "left_semi"),
+        idCol, textCol, shingleN)
+      .select(col(idCol).as("id_b"), col("__sh").as("sh_b"))
+    verifyPairs(cand,
+      sl.shingles.select(col(idCol).as("id_a"), col("__sh").as("sh_a")),
+      shR, threshold)
   }
 
   /** Incremental near-dedup, report shape — continuous corpus building:
@@ -320,10 +354,20 @@ object Dedup {
   def incrementalNearDupSplit(
       incoming: DataFrame, existing: DataFrame,
       idCol: String, textCol: String, threshold: Double): (DataFrame, DataFrame) = {
-    val hits = minhashNearDupPairsAcross(incoming, existing, idCol, textCol, threshold)
+    val sl = sign(incoming, idCol, textCol, shingleN = 3, numHashes = 128, rowsPerBand = 2)
+    val hits = acrossPairs(sl, existing, textCol, threshold,
+        shingleN = 3, numHashes = 128, rowsPerBand = 2)
       .select(col("id_a").as(idCol)).distinct().localCheckpoint()
     val fresh = incoming.join(hits, Seq(idCol), "left_anti")
-    (hits, dropNearDuplicates(fresh, idCol, textCol, threshold))
+    // within-batch pass: restrict the ALREADY-SIGNED incoming bands/shingles
+    // to the survivors instead of re-running shingle+MinHash+banding on them
+    val freshSigned = Signed(
+      sl.bands.join(hits, Seq(idCol), "left_anti"),
+      sl.shingles.join(hits, Seq(idCol), "left_anti"),
+      idCol)
+    val comp = connectedComponents(selfPairs(freshSigned, threshold))
+    val losers = comp.where(col("id") =!= col("component")).select(col("id"))
+    (hits, fresh.join(losers, fresh(idCol) === losers("id"), "left_anti"))
   }
 
   /** The drop-only view of [[incrementalNearDupSplit]]. */

@@ -160,28 +160,41 @@ object StreamOps {
     * ACCEPTED so far (cross-corpus LSH + within-batch, via
     * [[graft.operators.Dedup.incrementalDropNearDuplicates]]) and the
     * survivors are appended to the accepted store. State lives in the
-    * accepted table itself, not the state store — restarts resume from
-    * what was durably accepted, and at scale the accepted side's band
-    * table is precomputed instead of re-derived per batch. */
+    * accepted table plus its adjacent checkpoint (both derived from
+    * `acceptedDir`, so distinct runs over one landing dir don't collide) —
+    * restarts resume from what was durably accepted; a replayed batch
+    * (foreachBatch is at-least-once) is dropped by an id anti-join against
+    * the accepted table before the near-dup pass, so the append is
+    * effectively idempotent. At scale the accepted side's band table is
+    * precomputed instead of re-derived per batch. */
   def incrementalDedupStream(spark: SparkSession, landingDir: String,
       schema: org.apache.spark.sql.types.StructType,
       idCol: String, textCol: String, threshold: Double,
-      acceptedDir: String, maxFilesPerTrigger: Int = 1): Unit = {
+      acceptedDir: String, maxFilesPerTrigger: Int = 1,
+      checkpointDir: Option[String] = None): Unit = {
+    val hconf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(landingDir)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val acceptedPath = new org.apache.hadoop.fs.Path(acceptedDir)
         val existing =
-          if (new java.io.File(acceptedDir).exists)
+          if (acceptedPath.getFileSystem(hconf).exists(acceptedPath))
             spark.read.schema(schema).parquet(acceptedDir)
-          else batch.where(org.apache.spark.sql.functions.lit(false))
+          else batch.where(lit(false))
+        // replay guard: ids already durably accepted are dropped here — a
+        // doc too short to shingle produces no MinHash signature and would
+        // otherwise re-append on every replay of its batch
+        val fresh = batch.join(existing.select(col(idCol)), Seq(idCol), "left_anti")
         graft.operators.Dedup
-          .incrementalDropNearDuplicates(batch, existing, idCol, textCol, threshold)
+          .incrementalDropNearDuplicates(fresh, existing, idCol, textCol, threshold)
           .write.mode("append").parquet(acceptedDir)
         ()
       }
-      .option("checkpointLocation", s"$landingDir/../_dedup_checkpoint")
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"${acceptedDir.stripSuffix("/")}_checkpoint"))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
