@@ -193,6 +193,24 @@ object FunctionQueries {
         .orderBy(col("event_type")),
     BenchQueries.b8.oracle)
 
+  /** F7 third form: semi-structured VARIANT (Spark 4) — `try_parse_json`
+    * into a Variant value once, then typed path extraction with
+    * `variant_get`. Unlike per-path `get_json_object` re-parses, the parse
+    * cost is paid once per row however many paths are extracted, and the
+    * binary Variant encoding is what the parquet Variant shredding story
+    * builds on. Values hash-match the path-based B8. */
+  val tVariant = GQuery(
+    "t_variant_json",
+    (s, dir) =>
+      graft.Spread.ifNarrow(t(s, dir, "events"))
+        .select(col("event_type"), try_parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'long')").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("cnt"))
+        .orderBy(col("event_type")),
+    BenchQueries.b8.oracle)
+
   /** F1/F2 completion: rpad, trim, plain concat, make_date. */
   val t26b = GQuery(
     "t26b_more_strings",
@@ -255,5 +273,5 @@ object FunctionQueries {
       CAST(levenshtein(substring(p_name, 1, 10), p_brand) AS INTEGER) AS lev_name_brand
       FROM part ORDER BY p_partkey LIMIT 200"""))
 
-  def all: Seq[GQuery] = Seq(t26, t26b, t26c, t26d, t27, t28, t29, t29explode, tUdaf, tMultimodal, tFromJson)
+  def all: Seq[GQuery] = Seq(t26, t26b, t26c, t26d, t27, t28, t29, t29explode, tUdaf, tMultimodal, tFromJson, tVariant)
 }

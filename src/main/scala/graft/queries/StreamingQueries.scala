@@ -66,5 +66,11 @@ object StreamingQueries {
     // doubled input deduped on event_id == single-copy batch counts
     st5.oracle)
 
-  def all: Seq[GQuery] = Seq(st1, st2, st3, st5, st6, st7, st8)
+  val st9 = GQuery(
+    "st9_tws_totals",
+    (s, dir) => StreamOps.twsPurchaseTotals(s, dir),
+    // ST6 semantics re-expressed on transformWithState — same batch oracle
+    st6.oracle)
+
+  def all: Seq[GQuery] = Seq(st1, st2, st3, st5, st6, st7, st8, st9)
 }

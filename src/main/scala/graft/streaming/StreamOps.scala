@@ -8,6 +8,29 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
 case class PurchaseEvent(user_id: Long, value: Double)
 case class UserTotal(user_id: Long, total: Double)
 
+/** Typed per-key state for [[StreamOps.twsPurchaseTotals]] (ST9): one
+  * `ValueState[Double]` running total per user, declared through the
+  * StatefulProcessor handle (state lives in the RocksDB store, listed by
+  * name in the state metadata — queryable offline via the state data
+  * source, unlike the opaque GroupState blob of flatMapGroupsWithState). */
+class PurchaseTotalProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, PurchaseEvent, UserTotal] {
+  @transient private var total: org.apache.spark.sql.streaming.ValueState[Double] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    total = getHandle.getValueState[Double]("total",
+      org.apache.spark.sql.Encoders.scalaDouble,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[PurchaseEvent],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotal] = {
+    val t = (if (total.exists()) total.get() else 0.0) + rows.map(_.value).sum
+    total.update(t)
+    Iterator(UserTotal(user, t))
+  }
+}
+
 /** Structured Streaming surface (SURVEY.md §2.8).
   *
   * Each ST query reads the static events parquet through the streaming file
@@ -198,6 +221,40 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** ST9: the ST6 semantics on `transformWithState` — Spark 4's
+    * StatefulProcessor API (named state variables, timers, per-state TTL),
+    * the successor to flatMapGroupsWithState. Requires the RocksDB state
+    * store provider; the previous provider conf is restored afterwards so
+    * other queries in the session keep their configured store. */
+  def twsPurchaseTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val purchases = eventsStream(spark, sfDir)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("value"))
+        .as[PurchaseEvent]
+      val updated = purchases
+        .groupByKey(_.user_id)
+        .transformWithState(new PurchaseTotalProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      // same final-state extraction as ST6: running totals are monotone
+      runToTable(spark, updated.toDF(), "st9_tws_sink", OutputMode.Update())
+        .groupBy(col("user_id"))
+        .agg(round(max(col("total")), 2).as("total"))
+        .orderBy(col("user_id"))
+        .limit(100)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
   }
 
   /** ST6: custom stateful operator — running per-user purchase totals via

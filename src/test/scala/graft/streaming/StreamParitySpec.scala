@@ -64,6 +64,15 @@ class StreamParitySpec extends SparkSpec {
     assert(new java.io.File(s"$out/_spark_metadata").exists())
   }
 
+  test("transformWithState totals equal the flatMapGroupsWithState totals") {
+    val tws = StreamOps.twsPurchaseTotals(spark, sf001)
+      .as[(Long, Double)].collect().toSeq
+    val fmgws = StreamOps.statefulPurchaseTotals(spark, sf001)
+      .as[(Long, Double)].collect().toSeq
+    assert(tws.nonEmpty)
+    assert(tws === fmgws)
+  }
+
   test("streaming incremental dedup equals sequential batch processing") {
     import graft.operators.Dedup
     val root = java.nio.file.Files.createTempDirectory("graft_incdedup")
