@@ -36,6 +36,21 @@ case class CatalogEntry(
     staged_path: String,
     num_rows: Long)
 
+/** Java-serializable carrier for a Hadoop Configuration (which is Writable
+  * but not Serializable) — Spark's own equivalent is private[spark]. */
+private class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 object Manifest {
   /** C1: capture arrival metadata for every file under `dir`, hashing each
     * file in a fixed-size streaming window (8 KiB buffer) inside
@@ -49,13 +64,18 @@ object Manifest {
       .load(dir)
       .select(col("path"), col("length"), col("modificationTime"))
       .as[(String, Long, java.sql.Timestamp)]
+    // Ship the SESSION's Hadoop conf to executors (spark.hadoop.* —
+    // s3a credentials/endpoints etc. — are only in the session conf; a
+    // bare `new Configuration()` sees classpath defaults and fails auth).
+    val hconf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     paths.repartition(col("path")).mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { case (path, size, mtime) =>
         md.reset()
         // Hadoop FS API → scheme-agnostic (file://, hdfs://, s3a://)
         val hPath = new org.apache.hadoop.fs.Path(path)
-        val fs = hPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = hPath.getFileSystem(hconf.value.value)
         val in = fs.open(hPath)
         try {
           val buf = new Array[Byte](8192)
@@ -101,17 +121,21 @@ object Validate {
 }
 
 object Stage {
-  /** C4: content-hash dedup — drop files whose hash is already cataloged
-    * (left_anti against the catalog, i.e. the reference's "already staged"
-    * check) AND keep a single representative per hash within the incoming
-    * batch itself (first by path), so two identical files arriving together
+  /** C4: content-hash dedup — drop files whose hash is already SUCCESSFULLY
+    * staged (left_anti against the catalog's success entries — a failed or
+    * expired entry must not block re-ingestion of a fixed/re-arriving file)
+    * AND keep a single representative per hash within the incoming batch
+    * itself (first by path), so two identical files arriving together
     * stage once. */
   def dedupeByHash(manifest: Dataset[FileMeta], catalog: DataFrame): Dataset[FileMeta] = {
     import manifest.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val seen = if (catalog.isEmpty) catalog.sparkSession.emptyDataFrame
+    val staged =
+      if (catalog.columns.contains("status")) catalog.where(col("status") === "success")
+      else catalog
+    val seen = if (staged.isEmpty) catalog.sparkSession.emptyDataFrame
       .withColumn("content_hash", lit("")).select("content_hash")
-    else catalog.select("content_hash").distinct()
+    else staged.select("content_hash").distinct()
     val w = Window.partitionBy(col("content_hash")).orderBy(col("path"))
     manifest.join(seen, Seq("content_hash"), "left_anti")
       .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
@@ -153,8 +177,12 @@ class Catalog(spark: SparkSession, root: String) {
     if (!Files.isDirectory(logDir)) Seq.empty
     else {
       import scala.jdk.CollectionConverters._
-      Files.list(logDir).iterator().asScala.toSeq
+      // Files.list holds a directory fd until closed — this runs on every
+      // commit-loop iteration, so a leak here exhausts ulimit under load
+      val s = Files.list(logDir)
+      try s.iterator().asScala.toList
         .filter(_.getFileName.toString.endsWith(".json")).sortBy(_.getFileName.toString)
+      finally s.close()
     }
 
   /** Live parquet part paths from the log (add entries minus remove
@@ -305,8 +333,12 @@ class Catalog(spark: SparkSession, root: String) {
   }
 
   /** C9: retention — mark entries older than the source's retention as
-    * expired (tombstone append; data-dir deletion is the caller's move,
-    * keeping the log the source of truth). */
+    * expired. An UPSERT by key (not an append): the tombstone must
+    * supersede the success row, or the next expire() pass re-matches the
+    * still-live original and appends the same tombstone forever, and
+    * `search("status = 'success'")` keeps returning expired files.
+    * Data-dir deletion is the caller's move — the log stays the source of
+    * truth. */
   def expire(cfg: SourceConfig, now: java.sql.Timestamp): Dataset[CatalogEntry] = {
     import spark.implicits._
     val cutoff = new java.sql.Timestamp(now.getTime - cfg.retentionDays * 86400000L)
@@ -315,7 +347,10 @@ class Catalog(spark: SparkSession, root: String) {
         col("arrival_ts") < lit(cutoff))
       .as[CatalogEntry]
       .map(e => e.copy(status = "expired", reason = s"retention ${cfg.retentionDays}d"))
-    if (!expired.isEmpty) append(expired)
+      // materialize BEFORE the upsert: the plan reads table(), which after
+      // the commit no longer contains these rows as status='success'
+      .localCheckpoint()
+    if (!expired.isEmpty) upsert(expired)
     expired
   }
 }
@@ -370,7 +405,10 @@ object IngestPipeline {
           fm.modification_time, staged, nValid)
       }
     }
-    if (entries.nonEmpty) catalog.append(spark.createDataset(entries))
+    // upsert, not append: a failed file re-attempts on every run (only
+    // SUCCESS hashes block re-ingestion), so its entry must replace the
+    // previous attempt's rather than accumulate one row per run
+    if (entries.nonEmpty) catalog.upsert(spark.createDataset(entries))
     catalog
   }
 
@@ -390,13 +428,26 @@ object IngestPipeline {
     }
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (valid, rejected) = Validate.requiredColumns(batch, cfg)
-        val nValid = valid.count()
-        val staged = if (nValid > 0) Stage.stage(valid, cfg, s"$warehouseRoot/staging") else ""
-        val ts = new java.sql.Timestamp(System.currentTimeMillis())
-        catalog.append(spark.createDataset(Seq(CatalogEntry(
-          cfg.name, s"stream-batch-$batchId", "", "success",
-          s"rejected=${rejected.count()}", ts, staged, nValid))))
+        // foreachBatch is at-least-once: a crash after the catalog commit
+        // but before the checkpoint offset commit replays this batchId —
+        // the catalog entry keyed by batchId is the idempotency guard
+        // (standard pattern), so such a replay neither re-stages nor
+        // re-catalogs. A crash BETWEEN Stage.stage and catalog.append still
+        // double-stages; closing that window needs transactional staging
+        // (the Catalog's log pattern applied to the data itself).
+        val already = !catalog.table()
+          .where(col("source") === cfg.name &&
+            col("raw_path") === s"stream-batch-$batchId")
+          .isEmpty
+        if (!already) {
+          val (valid, rejected) = Validate.requiredColumns(batch, cfg)
+          val nValid = valid.count()
+          val staged = if (nValid > 0) Stage.stage(valid, cfg, s"$warehouseRoot/staging") else ""
+          val ts = new java.sql.Timestamp(System.currentTimeMillis())
+          catalog.append(spark.createDataset(Seq(CatalogEntry(
+            cfg.name, s"stream-batch-$batchId", "", "success",
+            s"rejected=${rejected.count()}", ts, staged, nValid))))
+        }
         ()
       }
       .option("checkpointLocation", s"$warehouseRoot/_checkpoints/${cfg.name}")

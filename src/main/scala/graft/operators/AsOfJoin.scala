@@ -43,7 +43,13 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val payloadStruct = struct((rightTs +: rightPayload).distinct.map(col): _*)
 
-    val taggedRight = right.select(
+    // NULL timestamps never satisfy right.ts <= left.ts: a NULL right ts
+    // would sort FIRST (asc = nulls first) with a non-null payload struct
+    // and wrongly match every left row; a NULL left ts row can never match.
+    val rightValid = right.where(col(rightTs).isNotNull)
+    val leftValid = left.where(col(leftTs).isNotNull)
+
+    val taggedRight = rightValid.select(
       keys.map(col) ++ Seq(
         col(rightTs).as("__ts"),
         lit(0).as("__side"),
@@ -52,7 +58,7 @@ object AsOfJoin {
 
     val tieNulls =
       rightTieBreak.indices.map(i => lit(null).cast(taggedRight.schema(s"__tie$i").dataType).as(s"__tie$i"))
-    val taggedLeft = left.select(
+    val taggedLeft = leftValid.select(
       leftCols.map(col) ++ Seq(
         col(leftTs).as("__ts"),
         lit(1).as("__side"),
@@ -98,6 +104,7 @@ object AsOfJoin {
       .orderBy(col(ts).asc, col(sideCol).asc, col(tieBreak).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
+      .where(col(ts).isNotNull) // same NULL-ts rule as asof()
       .withColumn(matchedTs,
         last(when(col(sideCol) === 0, col(ts)), ignoreNulls = true).over(w))
       .where(col(sideCol) === 1 && col(matchedTs).isNotNull)

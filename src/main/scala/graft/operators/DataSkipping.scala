@@ -90,6 +90,16 @@ object DataSkipping {
         // empty IN-list matches nothing; foldLeft keeps that exact (and
         // avoids reduce's crash on Nil)
         vs.foldLeft(lit(false))((acc, v) => acc || (mn(a) <= l(v) && mx(a) >= l(v)))
+      case InSet(child @ Attr(a), hset) if known(a) =>
+        // the optimizer rewrites IN-lists longer than
+        // spark.sql.optimizer.inSetConversionThreshold (default 10) to
+        // InSet over internal values — without this case, exactly the
+        // large IN-lists stop pruning. Internal values become typed
+        // Literals of the child's type.
+        hset.foldLeft(lit(false)) { (acc, v) =>
+          val litV = l(Literal(v, child.dataType))
+          acc || (mn(a) <= litV && mx(a) >= litV)
+        }
       case IsNull(Attr(a)) if known(a) => nulls(a) > 0
       case _ => lit(true) // unknown shape → cannot prune on it
     }

@@ -30,12 +30,21 @@ object IntervalJoin {
       windowMicros: Long): DataFrame = {
     val lCols = left.columns.map(c => col(c).as(s"l_$c"))
     val rCols = right.columns.map(c => col(c).as(s"r_$c"))
+    // integral `div`, NOT floor(Column./): Column./ is double division, and
+    // beyond 2^53 µs its rounding can shift a bucket id by one, silently
+    // dropping qualifying pairs. `div` truncates toward zero, so correct to
+    // floor semantics on negative non-multiples.
+    def bucket(name: String): Column = {
+      val d = expr(s"`$name` div ${windowMicros}L")
+      when(col(name) < 0 && pmod(col(name), lit(windowMicros)) =!= 0, d - 1)
+        .otherwise(d)
+    }
     val l = left.select(lCols.toSeq: _*)
       .withColumn("__b", explode(array(
-        floor(col(s"l_$tsCol") / windowMicros),
-        floor(col(s"l_$tsCol") / windowMicros) + 1)))
+        bucket(s"l_$tsCol"),
+        bucket(s"l_$tsCol") + 1)))
     val r = right.select(rCols.toSeq: _*)
-      .withColumn("__b", floor(col(s"r_$tsCol") / windowMicros))
+      .withColumn("__b", bucket(s"r_$tsCol"))
     val keyCond = keys.map(k => col(s"l_$k") === col(s"r_$k")).reduce(_ && _)
     l.join(r, keyCond && l("__b") === r("__b") &&
         col(s"r_$tsCol") > col(s"l_$tsCol") &&

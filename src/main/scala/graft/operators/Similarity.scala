@@ -66,10 +66,15 @@ object Similarity {
     * test suite (not oracle-checked — approximate by design). */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
-    val e = prepared(corpus, idCol, vecCol, "q")
+    // materialize before reuse: `buckets` sits on BOTH sides of the
+    // candidate self-join and `e` is read again for the re-rank — without
+    // the checkpoints Spark recomputes the nTables×nPlanes×dim bucket pass
+    // (interpreted HOFs, the dominant cost) up to 3×
+    val e = prepared(corpus, idCol, vecCol, "q").localCheckpoint()
     val buckets = e
       .select(col("q_id"), col("qv"), explode(sequence(lit(0), lit(nTables - 1))).as("tbl"))
       .select(col("q_id"), col("tbl"), lshBucket(col("qv"), nPlanes, col("tbl")).as("bucket"))
+      .localCheckpoint()
     val cand = buckets.join(
         buckets.select(col("q_id").as("c_id"), col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))
@@ -211,8 +216,13 @@ object Similarity {
     * distributed jobs per iteration, not m sequential ones).
     * Deterministic like [[kmeansCentroids]]. Returns (sub, cell, centroid). */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int = 8, kCodes: Int = 16, iters: Int = 5): DataFrame = {
-    val subs = subvectors(corpus, idCol, vecCol, m).localCheckpoint()
+      m: Int = 8, kCodes: Int = 16, iters: Int = 5): DataFrame =
+    pqTrainOn(subvectors(corpus, idCol, vecCol, m).localCheckpoint(), kCodes, iters)
+
+  /** Training body over an already-materialized subvector frame, so
+    * [[pqTopK]] can share ONE subvectors pass between training and
+    * encoding (they were recomputed per call before). */
+  private def pqTrainOn(subs: DataFrame, kCodes: Int, iters: Int): DataFrame = {
     val wInit = Window.partitionBy(col("sub"))
       .orderBy(xxhash64(lit("graft-pq-init"), col("__pid"), col("sub")), col("__pid"))
     var cb = subs
@@ -249,7 +259,10 @@ object Similarity {
     * ordered by subspace. */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String, cb: DataFrame,
       m: Int = 8): DataFrame =
-    assignSubCells(subvectors(corpus, idCol, vecCol, m), cb)
+    encodeSubs(subvectors(corpus, idCol, vecCol, m), cb, idCol)
+
+  private def encodeSubs(subs: DataFrame, cb: DataFrame, idCol: String): DataFrame =
+    assignSubCells(subs, cb)
       .groupBy(col("__pid"))
       .agg(array_sort(collect_list(struct(col("sub"), col("cell")))).as("sc"))
       .select(col("__pid").as(idCol),
@@ -261,8 +274,10 @@ object Similarity {
     * Approximate by design; recall asserted in tests. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, m: Int = 8, kCodes: Int = 16, shortlist: Int = 50, iters: Int = 5): DataFrame = {
-    val cb = pqTrain(corpus, idCol, vecCol, m, kCodes, iters)
-    val enc = pqEncode(corpus, idCol, vecCol, cb, m)
+    // one subvectors pass shared by training AND encoding
+    val subs = subvectors(corpus, idCol, vecCol, m).localCheckpoint()
+    val cb = pqTrainOn(subs, kCodes, iters)
+    val enc = encodeSubs(subs, cb, idCol)
       .select(col(idCol).as("c_id"), posexplode(col("codes")))
       .select(col("c_id"), col("pos").as("sub"), col("col").as("cell"))
     // per-query ADC table: exact dot of each normalized subquery with each

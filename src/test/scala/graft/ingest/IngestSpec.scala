@@ -73,9 +73,11 @@ class IngestSpec extends SparkSpec {
     val notes = new Notifier(spark, warehouse).all()
     assert(notes.count() === 2)
 
-    // rerun: every content hash already cataloged → no new entries (C4)
+    // rerun: success hashes block re-staging (C4); the failed file
+    // re-attempts but its entry is UPSERTED in place → still 2 entries
     IngestPipeline.runOnce(spark, landing, cfg, warehouse)
     assert(catalog.table().count() === 2)
+    assert(spark.read.parquet(s"$warehouse/staging/${cfg.name}").count() === 2)
 
     // C7 search over the catalog is plain SQL
     assert(catalog.search("status = 'success'").count() === 1)
@@ -85,6 +87,33 @@ class IngestSpec extends SparkSpec {
     val expired = new Catalog(spark, s"$warehouse/catalog").expire(cfg, later)
     assert(expired.count() === 1)
     assert(catalog.table().where(col("status") === "expired").count() === 1)
+  }
+
+  test("C4/C9: a failed file re-ingests after a config fix; expire is idempotent") {
+    val landing = Files.createTempDirectory("graft_refix").toString
+    Files.writeString(Paths.get(landing, "d.csv"), "id,name,grp\n1,delta,x\n")
+    val warehouse = Files.createTempDirectory("graft_refix_wh").toString
+    // misconfigured: requires a column the file doesn't have → failed entry
+    val bad = cfg.copy(requiredColumns = Seq("id", "name", "missing_col"))
+    val catalog = IngestPipeline.runOnce(spark, landing, bad, warehouse)
+    assert(catalog.search("status = 'failed'").count() === 1)
+    // fixed config: the failed hash must NOT block re-ingestion
+    IngestPipeline.runOnce(spark, landing, cfg, warehouse)
+    assert(catalog.search("status = 'success'").count() === 1)
+    assert(catalog.table().count() === 1) // upserted, not accumulated
+    assert(spark.read.parquet(s"$warehouse/staging/${cfg.name}").count() === 1)
+
+    // C9: expire supersedes the success row (upsert) — a second pass
+    // finds nothing left to expire, and search no longer returns it
+    val later = new java.sql.Timestamp(System.currentTimeMillis() + 90L * 86400000L)
+    val cat = new Catalog(spark, s"$warehouse/catalog")
+    assert(cat.expire(cfg, later).count() === 1)
+    assert(cat.expire(cfg, later).count() === 0) // idempotent
+    assert(cat.search("status = 'success'").count() === 0)
+    assert(cat.table().count() === 1) // one expired row, no tombstone pile-up
+    // an expired hash no longer blocks: the same file re-ingests
+    IngestPipeline.runOnce(spark, landing, cfg, warehouse)
+    assert(cat.search("status = 'success'").count() === 1)
   }
 
   test("E1' streaming variant: foreachBatch stages and catalogs micro-batches") {

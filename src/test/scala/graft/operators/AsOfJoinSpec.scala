@@ -37,6 +37,20 @@ class AsOfJoinSpec extends SparkSpec {
   test("equal timestamps match (inclusive <=)") {
     assert(result("p4") === 104L)
   }
+  test("NULL timestamps never match: null right ts is no payload, null left ts is dropped") {
+    val l = Seq(
+      (1L, Some(ts("2024-01-01 10:00:00")), "early"), // before any VALID right ts
+      (1L, Option.empty[java.sql.Timestamp], "nullts")
+    ).toDF("user_id", "ts", "pid")
+    val r = Seq(
+      (1L, Option.empty[java.sql.Timestamp], 900L), // would sort first and match everything
+      (1L, Some(ts("2024-01-01 11:00:00")), 901L)
+    ).toDF("user_id", "rts", "sid")
+    val m = AsOfJoin.asof(l, r, Seq("user_id"), "ts", "rts", Seq("sid"))
+      .select("pid", "sid").as[(String, Long)].collect().toMap
+    assert(m.isEmpty) // neither the null-payload match nor the null-left row survives
+  }
+
   test("multi-key as-of join keeps keys separate") {
     val l = Seq((1L, "a", ts("2024-01-01 10:00:00"), "x")).toDF("k1", "k2", "ts", "pid")
     val r = Seq(

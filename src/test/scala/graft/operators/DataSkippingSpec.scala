@@ -166,4 +166,15 @@ class DataSkippingSpec extends SparkSpec {
     assert(hitNone === 0L)
     assert(dfNone.count() === 0L)
   }
+
+  test("long IN-lists (optimized to InSet above threshold 10) still prune") {
+    // 12 clustered low keys > inSetConversionThreshold (10) → the optimizer
+    // rewrites In → InSet; without the InSet translator case this read all files
+    val keys = full.orderBy($"o_orderkey").limit(12).select($"o_orderkey").as[Long].collect()
+    assert(keys.length > 10)
+    val pred = col("o_orderkey").isin(keys.map(Long.box).toIndexedSeq: _*)
+    val (df, hit, total) = DataSkipping.scan(spark, dir, stats, pred)
+    assert(hit < total, s"InSet over low keys should prune ($hit of $total)")
+    assert(df.count() === keys.length.toLong)
+  }
 }

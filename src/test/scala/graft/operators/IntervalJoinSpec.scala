@@ -26,6 +26,27 @@ class IntervalJoinSpec extends SparkSpec {
     assert(!naive.contains((0L, 101L, 1L))) // just over w excluded
   }
 
+  test("negative and huge timestamps bucket exactly (floor-div, no double rounding)") {
+    // negatives exercise the trunc-vs-floor correction; the 2^53+ values
+    // would mis-bucket under double division (floor(x/w) loses ulps there)
+    val big = (1L << 53) + 1L
+    val rows = Seq(
+      (1L, -150L), (1L, -100L), (1L, -50L), (1L, 0L),
+      (2L, big), (2L, big + 100L), (2L, big + 101L)
+    ).toDF("k", "us")
+    val w = 100L
+    val bucketed = IntervalJoin.within(rows, rows, Seq("k"), "us", w)
+      .select(col("l_us"), col("r_us")).as[(Long, Long)].collect().toSet
+    val e1 = rows.select(col("k").as("k1"), col("us").as("us1"))
+    val e2 = rows.select(col("k").as("k2"), col("us").as("us2"))
+    val naive = e1.join(e2, col("k1") === col("k2") &&
+        col("us2") > col("us1") && col("us2") <= col("us1") + w)
+      .select(col("us1"), col("us2")).as[(Long, Long)].collect().toSet
+    assert(bucketed === naive)
+    assert(naive.contains((big, big + 100L)))
+    assert(!naive.contains((big, big + 101L)))
+  }
+
   test("bucketed interval join equals the naive join on real event data") {
     val ev = Tables(spark, sf001, "events").select(col("user_id"), unix_micros(col("ts")).as("us"))
     val bucketed = IntervalJoin.within(ev, ev, Seq("user_id"), "us", 300000000L).count()
