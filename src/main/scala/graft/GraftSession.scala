@@ -19,6 +19,10 @@ object GraftSession {
       // whole fact table at bench scale (a 600k-row hash build per query) and
       // is the wrong bet at 100 TB; 4 MB keeps genuine dimensions broadcast.
       .config("spark.sql.autoBroadcastJoinThreshold", "4m")
+      // The fixtures' events.ts is TIMESTAMP(NANOS): read as long + explicit
+      // ns→µs truncation (see Tables). Set at session setup so it is not a
+      // surprise side effect of the first table load.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", classOf[functions.GraftExtensions].getName)
       .config("spark.ui.enabled", "false")
 

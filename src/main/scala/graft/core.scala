@@ -42,6 +42,12 @@ object Tables {
       // natively: read it as a long and truncate ns→µs ourselves. Integer
       // `div` is mandatory — double division would lose precision at ~1.7e18.
       // DuckDB oracles CAST(ts AS TIMESTAMP) to apply the same truncation.
+      // DELIBERATE session-wide flag (also set in GraftSession at setup):
+      // nanosAsLong must be live whenever any cached plan over these
+      // fixtures EXECUTES, so it cannot be scoped to this loader call —
+      // callers bringing their own session accept nanos-as-long reads for
+      // other TIMESTAMP(NANOS) parquet in that session (Spark's alternative
+      // is an unsupported-type error, not a different decoding).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
       val df = spark.read.schema(schema).parquet(path)

@@ -15,10 +15,18 @@ case class ScoredId(id: Long, score: Double)
   * Ordering: score DESC, then id ASC (ties) — identical to
   * `row_number() OVER (ORDER BY score DESC, id)` ≤ k, so exact-search
   * results are unchanged, only the plan shape improves.
+  *
+  * NaN scores (a zero-norm embedding's cosine) rank WORST, tied with
+  * -Infinity and resolved by id — `>` alone is never true for NaN, which
+  * breaks sortWith's strict-weak-ordering contract (TimSort can throw on
+  * buffers over 32 elements) and made reduce/merge disagree.
   */
 class TopKAggregator(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
-  private def better(a: ScoredId, b: ScoredId): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  private def rank(s: Double): Double = if (s.isNaN) Double.NegativeInfinity else s
+  private def better(a: ScoredId, b: ScoredId): Boolean = {
+    val (ra, rb) = (rank(a.score), rank(b.score))
+    ra > rb || (ra == rb && a.id < b.id)
+  }
 
   private def trim(s: Seq[ScoredId]): Seq[ScoredId] =
     s.sortWith(better).take(k)

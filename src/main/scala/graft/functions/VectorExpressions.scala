@@ -13,14 +13,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * The HOF pipeline (`aggregate(zip_with(...))`) evaluates lambda functions
   * per element through the interpreter — ~64 virtual calls per pair on the
   * B12 hot path (4M pairs at sf0.1). This expression compiles to a tight
-  * primitive loop inside whole-stage codegen instead. Accumulation order is
-  * identical to the HOF path (sequential left-to-right doubles), so results
-  * are bit-for-bit equal and oracle hashes are unchanged.
+  * primitive loop inside whole-stage codegen instead. Semantics match the
+  * HOF form EXACTLY — [[graft.plans.RewriteHofDotProduct]] substitutes this
+  * for user queries, so divergence would silently change results:
+  *  - accumulation order: sequential left-to-right doubles (bit-for-bit);
+  *  - length mismatch → NULL (zip_with pads with null, and null products
+  *    poison the aggregate);
+  *  - any NULL element → NULL (checked only when the array type admits
+  *    null elements, so the hot non-null loop stays branch-free).
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -33,13 +39,26 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
+  private def mayHaveNullElems: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _                          => false
+  })
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    if (mayHaveNullElems) {
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s += x.getDouble(i) * y.getDouble(i); i += 1
+      }
+    } else {
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    }
     s
   }
 
@@ -48,13 +67,22 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("sum")
+      val nullCheck =
+        if (mayHaveNullElems)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-        final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $s = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $s += $a.getDouble($i) * $b.getDouble($i);
+        final int $n = $a.numElements();
+        if ($b.numElements() != $n) {
+          ${ev.isNull} = true;
+        } else {
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $nullCheck
+            $s += $a.getDouble($i) * $b.getDouble($i);
+          }
+          if (!${ev.isNull}) { ${ev.value} = $s; }
         }
-        ${ev.value} = $s;
       """
     })
 

@@ -79,6 +79,8 @@ object Multimodal {
   /** Video frame sampling: one output row per sampled frame (flatMap — the
     * row-expansion plumbing is real; frame bytes are stub slices). */
   def sampleFrames(records: Dataset[MultimodalRecord], everyMs: Int): Dataset[VideoFrame] = {
+    // fail at call time, not as an ArithmeticException inside an executor task
+    require(everyMs > 0, s"everyMs must be positive, got $everyMs")
     import records.sparkSession.implicits._
     records.filter(_.modality == "video").flatMap { r =>
       val n = math.max(1, r.duration_ms / everyMs)

@@ -18,14 +18,10 @@ import graft.functions.TextFunctions
 object TextStats {
 
   /** Non-distinct word n-grams (repetition needs multiplicity, unlike
-    * [[TextFunctions.shingles]] which dedups for Jaccard). */
-  def ngrams(text: Column, n: Int): Column = {
-    val w = TextFunctions.tokens(text)
-    val make = transform(
-      sequence(lit(0), size(w) - n),
-      i => concat_ws(" ", (1 to n).map(o => element_at(w, i + o)): _*))
-    when(size(w) >= n, make).otherwise(array().cast("array<string>"))
-  }
+    * [[TextFunctions.shingles]] which dedups for Jaccard). Shares the one
+    * gram builder in TextFunctions. */
+  def ngrams(text: Column, n: Int): Column =
+    TextFunctions.ngramsOfTokens(TextFunctions.tokens(text), n)
 
   /** Per-document repetition profile:
     *   n_tokens          total whitespace tokens
@@ -37,22 +33,28 @@ object TextStats {
     * Documents shorter than the n-gram width get 0.0 for that metric. */
   def repetitionStats(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
     val id = col(idCol)
-    // spread before the explodes — a narrow scan would pin the tokenization
-    // of the whole corpus to one task (no-op on well-laid-out tables)
+    // spread before the explodes (a narrow scan would pin the tokenization
+    // of the whole corpus to one task), tokenize ONCE, and materialize:
+    // the three metric branches below would otherwise each re-scan and
+    // re-tokenize the full corpus — 3× the dominant cost
     val df = Dedup.spreadIfNarrow(df0.select(id, col(textCol)))
+      .select(id, TextFunctions.tokens(col(textCol)).as("__toks"))
+      .localCheckpoint()
 
-    val tokCounts = df.select(id, explode(TextFunctions.tokens(col(textCol))).as("tk"))
+    val tokCounts = df.select(id, explode(col("__toks")).as("tk"))
       .groupBy(id, col("tk")).agg(count(lit(1)).as("c"))
     val tokStats = tokCounts.groupBy(id).agg(
       sum(col("c")).as("n_tokens"),
       (max(col("c")).cast("double") / sum(col("c"))).as("top_token_frac"))
 
-    val biCounts = df.select(id, explode(ngrams(col(textCol), 2)).as("g"))
+    val biCounts = df.select(id,
+        explode(TextFunctions.ngramsOfTokens(col("__toks"), 2)).as("g"))
       .groupBy(id, col("g")).agg(count(lit(1)).as("c"))
     val biStats = biCounts.groupBy(id).agg(
       (max(col("c")).cast("double") / sum(col("c"))).as("top_bigram_frac"))
 
-    val triCounts = df.select(id, explode(ngrams(col(textCol), 3)).as("g"))
+    val triCounts = df.select(id,
+        explode(TextFunctions.ngramsOfTokens(col("__toks"), 3)).as("g"))
       .groupBy(id, col("g")).agg(count(lit(1)).as("c"))
     val triStats = triCounts.groupBy(id).agg(
       (sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("double") / sum(col("c")))

@@ -31,6 +31,40 @@ class VectorOpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
   }
 
+  test("vec_dot matches HOF semantics on length mismatch and null elements") {
+    // the optimizer rewrites user HOF dot products onto DotProduct, so any
+    // divergence here silently changes query results
+    val hof = "aggregate(zip_with(a, b, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)"
+    val df = Seq(
+      (Array[java.lang.Double](1.0, 2.0), Array[java.lang.Double](3.0)),          // length mismatch
+      (Array[java.lang.Double](1.0, null), Array[java.lang.Double](3.0, 4.0)),    // null element
+      (Array[java.lang.Double](1.0, 2.0), Array[java.lang.Double](3.0, 4.0))      // clean
+    ).toDF("a", "b")
+    val rows = df.select(
+      VectorOps.dot(col("a"), col("b")).as("native"), expr(hof).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1), s"null disagreement: $r")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) === r.getDouble(1))
+    }
+    assert(rows(0).isNullAt(0) && rows(1).isNullAt(0) && rows(2).getDouble(0) === 11.0)
+  }
+
+  test("TopKAggregator ranks NaN scores worst and keeps a total order") {
+    import graft.functions.{ScoredId, TopKAggregator}
+    val agg = new TopKAggregator(3)
+    // 40 elements forces merge() through TimSort territory (>32)
+    val items = (1L to 40L).map(i =>
+      ScoredId(i, if (i % 4 == 0) Double.NaN else i.toDouble))
+    val merged = agg.finish(agg.merge(
+      items.take(20).foldLeft(agg.zero)(agg.reduce),
+      items.drop(20).foldLeft(agg.zero)(agg.reduce)))
+    assert(merged.map(_.id) === Seq(39L, 38L, 37L)) // 40 is NaN → worst
+    // a NaN-only group still returns deterministically by id
+    val nanOnly = Seq(ScoredId(5, Double.NaN), ScoredId(2, Double.NaN), ScoredId(9, Double.NaN))
+    assert(agg.finish(nanOnly.foldLeft(agg.zero)(agg.reduce)).map(_.id) === Seq(2L, 5L, 9L))
+  }
+
   test("vec_dot is SQL-callable after registration") {
     VectorExpressions.register(spark)
     val r = spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
