@@ -79,7 +79,10 @@ object Bench {
     }
     val qs = timed.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val total = timed.map(_._2).sum
-    println(f"""{"metric":"suite_total","value":$total%.4f,"unit":"sec","queries":$qs,"layout_sec":$layoutSec%.4f,"sf":"$sfDir"}""")
+    // "protocol" tags the layout change (rounds ≥3 time compacted tables;
+    // rounds 1–2 timed the original single-row-group files) so cross-round
+    // comparisons don't mistake the re-layout for an engine change.
+    println(f"""{"metric":"suite_total","value":$total%.4f,"unit":"sec","queries":$qs,"layout_sec":$layoutSec%.4f,"protocol":"compacted-layout-r3+","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,19 +22,34 @@ object Tables {
   // InMemoryFileIndex every time (~10 ms/table at plan time, ×5 tables in a
   // join chain). Table files are immutable for a given path, so the resolved
   // relation is reusable; composed queries re-analyze their own operators but
-  // share the relation node. A WeakHashMap on the session object gives true
-  // identity keying (SparkSession doesn't override equals) — no identity-hash
-  // collisions handing a new session a stopped session's DataFrame — and
-  // releases a stopped session's entries with the session itself.
-  private val dfCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]())
+  // share the relation node. Identity keying (IdentityHashMap — SparkSession
+  // doesn't override equals) so a new session never inherits a stopped
+  // session's DataFrame. Weak references can't reclaim these entries (the
+  // cached Datasets strongly reference their session, so value reaches key);
+  // eviction is explicit instead: a ContextListener drops every entry when
+  // the underlying SparkContext ends, bounding the cache by live sessions.
+  private val dfCache =
+    new java.util.IdentityHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]()
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     val perSession = dfCache.synchronized {
       var m = dfCache.get(spark)
-      if (m == null) { m = scala.collection.concurrent.TrieMap.empty; dfCache.put(spark, m) }
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        dfCache.put(spark, m)
+        // Evict when the session's context stops; sessions of a stopped
+        // context are unusable, so their cached plans are dead weight.
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            dfCache.synchronized {
+              val it = dfCache.keySet.iterator()
+              while (it.hasNext) if (it.next().sparkContext eq spark.sparkContext) it.remove()
+            }
+        })
+      }
       m
     }
     perSession.getOrElseUpdate(path, {

@@ -271,9 +271,15 @@ object Similarity {
   /** PQ ANN: ADC scoring against the codes, shortlist, exact re-rank.
     * All distributed joins: the per-query lookup table (m × kCodes exact
     * sub-dots) joins the exploded codes on (sub, cell) — no driver loops.
-    * Approximate by design; recall asserted in tests. */
+    * Approximate by design; recall asserted in tests.
+    *
+    * `excludeSelf` (default true, the self-search case) drops candidates
+    * whose id equals the query id. Pass false when `queries` is a separate
+    * frame whose ids merely share the corpus id space — otherwise a true
+    * nearest neighbor with a colliding id is silently dropped. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, m: Int = 8, kCodes: Int = 16, shortlist: Int = 50, iters: Int = 5): DataFrame = {
+      k: Int, m: Int = 8, kCodes: Int = 16, shortlist: Int = 50, iters: Int = 5,
+      excludeSelf: Boolean = true): DataFrame = {
     // one subvectors pass shared by training AND encoding
     val subs = subvectors(corpus, idCol, vecCol, m).localCheckpoint()
     val cb = pqTrainOn(subs, kCodes, iters)
@@ -286,10 +292,10 @@ object Similarity {
       .join(broadcast(cb), Seq("sub"))
       .select(col("__pid").as("q_id"), col("sub"), col("cell"),
         VectorOps.dot(col("sv"), col("centroid")).as("partial"))
-    val approx = enc.join(broadcast(lut), Seq("sub", "cell"))
+    val scored = enc.join(broadcast(lut), Seq("sub", "cell"))
       .groupBy(col("q_id"), col("c_id"))
       .agg(sum(col("partial")).as("approx_cos"))
-      .where(col("q_id") =!= col("c_id"))
+    val approx = if (excludeSelf) scored.where(col("q_id") =!= col("c_id")) else scored
     val wShort = Window.partitionBy(col("q_id")).orderBy(col("approx_cos").desc, col("c_id").asc)
     val short = approx.withColumn("__sr", row_number().over(wShort))
       .where(col("__sr") <= shortlist)
