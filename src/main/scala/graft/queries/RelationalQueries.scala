@@ -428,6 +428,134 @@ object RelationalQueries {
       SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part)
       ORDER BY p_partkey, metric LIMIT 200"""))
 
+  /** Correlated scalar subquery (orders priced above 2× their customer's
+    * average). The DataFrame side is the decorrelated plan Catalyst would
+    * produce — group-by average joined back on the correlation key; the
+    * subquery form runs as SQL text (SqlQueries) and as the DuckDB oracle.
+    * The average is rounded to 2dp on both sides BEFORE the comparison so
+    * engine float-summation-order differences can't flip the predicate. */
+  val t32 = GQuery(
+    "t32_scalar_subquery",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val avgPer = o.groupBy(col("o_custkey").as("ak"))
+        .agg(round(avg(col("o_totalprice")), 2).as("avg_price"))
+      o.join(avgPer, col("o_custkey") === col("ak"))
+        .where(col("o_totalprice") > lit(2) * col("avg_price"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+      WHERE o_totalprice > 2 * round(
+        (SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey), 2)
+      ORDER BY o_orderkey LIMIT 100"""))
+
+  /** Correlated EXISTS / NOT EXISTS — decorrelated as semi + anti join. */
+  val t33 = GQuery(
+    "t33_exists",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val urgent = o.where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("uk"))
+      val finished = o.where(col("o_orderstatus") === "F").select(col("o_custkey").as("fk"))
+      c.join(urgent, col("c_custkey") === col("uk"), "left_semi")
+        .join(finished, col("c_custkey") === col("fk"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""SELECT count(*) AS n FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')"""))
+
+  /** IN / NOT IN subquery (keys are non-null, so NOT IN is anti-join-safe). */
+  val t34 = GQuery(
+    "t34_in_subquery",
+    (s, dir) => {
+      val keys = t(s, dir, "lineitem").where(col("l_quantity") >= 45).select(col("l_partkey"))
+      val p = t(s, dir, "part")
+      val inCnt = p.join(keys, col("p_partkey") === col("l_partkey"), "left_semi")
+        .agg(count(lit(1)).as("in_cnt"))
+      val notInCnt = p.join(keys, col("p_partkey") === col("l_partkey"), "left_anti")
+        .agg(count(lit(1)).as("not_in_cnt"))
+      inCnt.crossJoin(notInCnt)
+    },
+    Some("""SELECT
+      (SELECT count(*) FROM part WHERE p_partkey IN
+        (SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)) AS in_cnt,
+      (SELECT count(*) FROM part WHERE p_partkey NOT IN
+        (SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)) AS not_in_cnt"""))
+
+  /** LATERAL join (top-2 orders per customer) — decorrelated as the ranked
+    * window + join, which is also the plan that scales: the per-group LIMIT
+    * runs inside one window pass, no per-customer re-scan of orders. */
+  val t35 = GQuery(
+    "t35_lateral",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val top2 = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2)
+      t(s, dir, "customer").where(col("c_custkey") < 25).select(col("c_custkey"))
+        .join(top2, col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    },
+    Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      WHERE c.c_custkey < 25
+      ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey"""))
+
+  /** Multi-CTE composition: per-customer order rollup reused by a segment
+    * rollup; LEFT JOIN keeps order-less customers with zeroed metrics. */
+  val t36 = GQuery(
+    "t36_cte",
+    (s, dir) => {
+      val cnt = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("tot"))
+      t(s, dir, "customer").join(cnt, col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("customers"),
+          sum(coalesce(col("n"), lit(0L))).as("orders_cnt"),
+          round(sum(coalesce(col("tot"), lit(0.0))), 2).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""WITH cnt AS (SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS tot
+        FROM orders GROUP BY o_custkey)
+      SELECT c_mktsegment, count(*) AS customers,
+        CAST(sum(coalesce(n, 0)) AS BIGINT) AS orders_cnt,
+        round(sum(coalesce(tot, 0)), 2) AS revenue
+      FROM customer LEFT JOIN cnt ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** W5 completion: IGNORE NULLS (last non-error event) + nth_value. */
+  val t37 = GQuery(
+    "t37_ignore_nulls",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .select(col("user_id"),
+          last(nullif(col("event_type"), lit("error")), ignoreNulls = true).over(w).as("last_ok_type"),
+          nth_value(col("event_type"), 2).over(w).as("second_type"))
+        .distinct()
+        .orderBy(col("user_id"))
+        .limit(100)
+    },
+    Some("""SELECT DISTINCT user_id,
+      last_value(nullif(event_type, 'error') IGNORE NULLS) OVER w AS last_ok_type,
+      nth_value(event_type, 2) OVER w AS second_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY user_id LIMIT 100"""))
+
   def all: Seq[GQuery] = Seq(t4, t5, t6, t7, t8, t9, t9b, t10, t10b, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t19b, t20, t21, t22, t23, t24, t25, t30, t31)
+    t15, t16, t17, t18, t19, t19b, t20, t21, t22, t23, t24, t25, t30, t31,
+    t32, t33, t34, t35, t36, t37)
 }

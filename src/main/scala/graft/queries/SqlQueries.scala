@@ -280,6 +280,43 @@ object SqlQueries {
         SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size, p_retailprice FROM part)
       UNPIVOT (value FOR metric IN (p_size, p_retailprice))
       ORDER BY p_partkey, metric LIMIT 200""",
+    // t32–t36 run the SUBQUERY forms through Spark's parser; Catalyst
+    // decorrelates them into the same semi/anti/window plans the DataFrame
+    // builders state explicitly (parity-asserted in SqlParitySpec).
+    "t32_scalar_subquery" -> """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+      WHERE o_totalprice > 2 * round(
+        (SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey), 2)
+      ORDER BY o_orderkey LIMIT 100""",
+    "t33_exists" -> """SELECT count(*) AS n FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""",
+    "t34_in_subquery" -> """SELECT
+      (SELECT count(*) FROM part WHERE p_partkey IN
+        (SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)) AS in_cnt,
+      (SELECT count(*) FROM part WHERE p_partkey NOT IN
+        (SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)) AS not_in_cnt""",
+    "t35_lateral" -> """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      WHERE c.c_custkey < 25
+      ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""",
+    "t36_cte" -> """WITH cnt AS (SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS tot
+        FROM orders GROUP BY o_custkey)
+      SELECT c_mktsegment, count(*) AS customers,
+        sum(coalesce(n, 0L)) AS orders_cnt,
+        round(sum(coalesce(tot, 0D)), 2) AS revenue
+      FROM customer LEFT JOIN cnt ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "t37_ignore_nulls" -> """SELECT DISTINCT user_id,
+      last_value(nullif(event_type, 'error')) IGNORE NULLS OVER w AS last_ok_type,
+      nth_value(event_type, 2) OVER w AS second_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY user_id LIMIT 100""",
     // text_normalize is graft's own SQL function (GraftExtensions)
     "t26d_levenshtein" -> """SELECT p_partkey,
       levenshtein(p_brand, p_type) AS lev_brand_type,

@@ -65,6 +65,21 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("event_type"), readSchema)
   }
 
+  test("correlated subqueries decorrelate to joins, never per-row re-execution") {
+    // EXISTS/NOT EXISTS → semi/anti hash joins; the correlated scalar
+    // subquery → aggregate + join. A plan that kept a subquery per outer row
+    // would re-scan orders O(customers) times at 100 TB.
+    Tables.registerAll(spark, sf001)
+    val existsPlan = planOf(spark.sql(queries.SqlQueries.sql("t33_exists")))
+    assert(existsPlan.contains("LeftSemi"), existsPlan.take(2000))
+    assert(existsPlan.contains("LeftAnti"), existsPlan.take(2000))
+    val scalarPlan = planOf(spark.sql(queries.SqlQueries.sql("t32_scalar_subquery")))
+    assert(scalarPlan.contains("HashAggregate") &&
+      (scalarPlan.contains("SortMergeJoin") || scalarPlan.contains("HashJoin")),
+      scalarPlan.take(2000))
+    assert(!scalarPlan.contains("InSubqueryExec"), scalarPlan.take(2000))
+  }
+
   test("optimizer rule rewrites the HOF dot-product idiom to native vec_dot") {
     import graft.functions.VectorOps
     val df = Tables(spark, sf001, "embeddings")
