@@ -18,6 +18,18 @@ object TextFunctions {
   val bpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
   def regexTokenCount(text: Column): Column = regexp_count(text, lit(bpeishPattern))
 
+  /** Fixed-size token windows — the "line" unit for corpora without real
+    * line structure (line-level dedup, span attribution). Chunk i holds
+    * tokens [i·n, (i+1)·n); the last chunk may be short; empty text yields
+    * one empty chunk (split("") is [""], same as the oracle's
+    * string_split). Mirrors DuckDB `w[i*n+1 : i*n+n]` slicing. */
+  def tokenChunks(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    val nChunks = ceil(size(w).cast("double") / n).cast("int")
+    transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(w, i * n + 1, lit(n))))
+  }
+
   /** Non-distinct word n-grams over an ALREADY-TOKENIZED array; empty array
     * when fewer than n tokens (guards `sequence`'s descending-range behavior
     * on negative spans). The single gram builder — shingles (distinct, for

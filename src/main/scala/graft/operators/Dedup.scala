@@ -31,6 +31,46 @@ object Dedup {
       count(lit(1)).as("total_docs"),
       countDistinct(md5(col(textCol))).as("distinct_docs"))
 
+  /** C4-style line-level dedup: every line whose exact content occurs at
+    * least `minOccurrences` times corpus-wide is removed (ALL copies — the
+    * C4 rule for boilerplate: navigation chrome, license headers, cookie
+    * banners), and each document is reassembled from its surviving lines
+    * in original order. Documents losing every line survive with empty
+    * text, keeping the output exhaustive over input ids.
+    *
+    * `linesCol` supplies the line split (array<string>) so the caller picks
+    * the unit: `split(text, "\n")` for real lines,
+    * [[graft.functions.TextFunctions.tokenChunks]] for corpora without
+    * line structure.
+    *
+    * Scale: two shuffles — a count groupBy on the line content and the
+    * anti join back, both partitioned by line. The exploded lines frame is
+    * checkpointed once so the count and the probe don't re-run the split
+    * (self-join recompute). At 100 TB, shuffling full line text twice is
+    * the cost driver; the drop-in variant is keying both sides by
+    * xxhash64(line) (16-byte shuffle rows, ~2^-40 corpus-level collision
+    * odds at a billion distinct lines — acceptable for boilerplate removal,
+    * not for an exactness-checked oracle, hence exact text keys here). */
+  def dropDuplicateLines(df: DataFrame, idCol: String, linesCol: Column,
+      minOccurrences: Int = 2, sep: String = " "): DataFrame = {
+    val lines = spreadIfNarrow(df.select(col(idCol), linesCol.as("__lines")))
+      .select(col(idCol), posexplode(col("__lines")).as(Seq("__pos", "__line")))
+      .localCheckpoint()
+    val dup = lines.groupBy(col("__line")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minOccurrences)
+      .select(col("__line"))
+    val re = lines.join(dup, Seq("__line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("kept_lines"),
+        concat_ws(sep,
+          transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            x => x.getField("__line"))).as("text"))
+    df.select(col(idCol)).join(re, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("kept_lines"), lit(0L)).as("kept_lines"),
+        coalesce(col("text"), lit("")).as("text"))
+  }
+
   /** (id, __sh) shingle sets. The raw docs are spread first (the shingle
     * HOF then evaluates at full parallelism, not inside the one-task scan). */
   private def shinglesOf(df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =

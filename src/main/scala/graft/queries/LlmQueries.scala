@@ -602,7 +602,109 @@ object LlmQueries {
         (SELECT count(*) FROM fresh) -
           (SELECT count(*) FROM comp WHERE id <> component) AS kept_docs"""))
 
+  /** C4-style line-level dedup over 10-token chunk "lines" (the fixture
+    * corpus has no newlines; real corpora pass split(text, "\n")). Output
+    * compares the reassembled text by md5 so the hash check covers content,
+    * not just counts. */
+  val l19 = GQuery(
+    "l19_line_dedup",
+    (s, dir) =>
+      Dedup.dropDuplicateLines(t(s, dir, "documents"), "doc_id",
+          TextFunctions.tokenChunks(col("text"), 10), minOccurrences = 2, sep = " ")
+        .select(col("doc_id"), col("kept_lines"), md5(col("text")).as("content_md5"))
+        .orderBy(col("doc_id"))
+        .limit(50),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      lines AS (SELECT doc_id, i AS pos, array_to_string(w[i*10+1:i*10+10], ' ') AS line
+                FROM toks, unnest(generate_series(0, CAST(ceil(len(w)/10.0) AS INT) - 1)) AS t(i)),
+      dup AS (SELECT line FROM lines GROUP BY line HAVING count(*) >= 2),
+      kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l ANTI JOIN dup d ON l.line = d.line),
+      re AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_lines,
+                    md5(string_agg(line, ' ' ORDER BY pos)) AS content_md5
+             FROM kept GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(r.kept_lines, 0) AS kept_lines,
+             coalesce(r.content_md5, md5('')) AS content_md5
+      FROM documents d LEFT JOIN re r ON d.doc_id = r.doc_id
+      ORDER BY d.doc_id LIMIT 50"""))
+
+  /** Corpus-wide top-k n-grams (here bigrams): the frequency table behind
+    * boilerplate lists and stop-gram caps. One map-side-combined groupBy,
+    * top-k via TakeOrdered — no full sort at scale. */
+  val l20 = GQuery(
+    "l20_top_ngrams",
+    (s, dir) =>
+      graft.Spread.ifNarrow(t(s, dir, "documents"))
+        .select(explode(
+          TextFunctions.ngramsOfTokens(TextFunctions.tokens(col("text")), 2)).as("gram"))
+        .groupBy(col("gram"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("gram"))
+        .limit(20),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      bg AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1])) AS gram FROM toks)
+      SELECT gram, count(*) AS cnt FROM bg GROUP BY gram
+      ORDER BY cnt DESC, gram LIMIT 20"""))
+
+  /** Quality-banded importance resampling: band documents by quality score,
+    * keep a deterministic hash-selected fraction per band (100%/50%/10%).
+    * The quality sum is reported in integer 1e-4 units — round(avg, 4) can
+    * land on an exact decimal half where the engines round differently. */
+  val l21 = GQuery(
+    "l21_quality_resample",
+    (s, dir) => {
+      val q = TextFunctions.qualityScore(col("text"), col("n_chars"), enStop)
+      t(s, dir, "documents")
+        .select(col("doc_id"), q.as("quality"))
+        .withColumn("band",
+          when(col("quality") >= 0.6, "high").when(col("quality") >= 0.4, "mid").otherwise("low"))
+        .withColumn("keep_rate",
+          when(col("band") === "high", 100).when(col("band") === "mid", 50).otherwise(10))
+        .withColumn("kept", TextFunctions.hashBucket(col("doc_id"), 100) < col("keep_rate"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("kept"),
+          round(sum(col("quality") * 10000)).cast("long").as("quality_sum_1e4"))
+        .orderBy(col("band"))
+    },
+    Some(s"""WITH q AS (SELECT doc_id,
+        (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END) * 0.4 +
+        (CASE WHEN (n_chars::DOUBLE - (len(string_split(text, ' ')) - 1)) / len(string_split(text, ' '))
+              BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.3 +
+        (len(list_filter(string_split(text, ' '), tk -> list_contains($enStopSql, tk)))::DOUBLE
+         / len(string_split(text, ' '))) * 0.3 AS quality
+      FROM documents),
+      b AS (SELECT doc_id, quality,
+        CASE WHEN quality >= 0.6 THEN 'high' WHEN quality >= 0.4 THEN 'mid' ELSE 'low' END AS band,
+        ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 AS bucket
+      FROM q)
+      SELECT band, CAST(count(*) AS BIGINT) AS total,
+        CAST(sum(CASE WHEN bucket < (CASE band WHEN 'high' THEN 100 WHEN 'mid' THEN 50 ELSE 10 END)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        CAST(round(sum(quality * 10000)) AS BIGINT) AS quality_sum_1e4
+      FROM b GROUP BY band ORDER BY band"""))
+
+  /** Context-length truncation: first 64 tokens per document, with
+    * before/after counts and the truncated content's md5. */
+  val l22 = GQuery(
+    "l22_token_budget",
+    (s, dir) => {
+      val w = TextFunctions.tokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(w).cast("long").as("n_tokens"),
+          least(size(w), lit(64)).cast("long").as("kept_tokens"),
+          md5(concat_ws(" ", slice(w, 1, 64))).as("content_md5"))
+        .orderBy(col("doc_id"))
+        .limit(100)
+    },
+    Some("""SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+      CAST(least(len(w), 64) AS BIGINT) AS kept_tokens,
+      md5(array_to_string(w[1:64], ' ')) AS content_md5
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      ORDER BY doc_id LIMIT 100"""))
+
   def all: Seq[GQuery] = Seq(l1, l2, l2brute, l2simhash, l2simhashPairs, l2cluster, l2embedding,
     l3, l3scalable, l3lsh, l3ivf, l3kmeans, l3pq, l4langid, l5, l6, l7, l8, l9, l10,
-    l11, l11b, l12, l13, l14, l15, l16, l17, l18)
+    l11, l11b, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22)
 }

@@ -167,4 +167,32 @@ class DedupSpec extends SparkSpec {
     assert(kept === plain)
     assert(kept === Seq(1L, 3L))
   }
+
+  test("line dedup removes ALL copies of repeated lines, keeps order, keeps empty docs") {
+    val lined = Seq(
+      (0L, "cookie banner\nreal content zero\ncookie banner"), // dup line twice in one doc
+      (1L, "real content one\ncookie banner"),
+      (2L, "cookie banner") // loses its only line
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateLines(lined, "doc_id", split(col("text"), "\n"),
+        minOccurrences = 2, sep = "\n")
+      .orderBy("doc_id")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (0L, 1L, "real content zero"),
+      (1L, 1L, "real content one"),
+      (2L, 0L, ""))) // exhaustive over ids: doc 2 survives, empty
+  }
+
+  test("tokenChunks: full chunks, short tail, round-trips the text") {
+    import graft.functions.TextFunctions
+    val df = Seq((0L, "a b c d e f g")).toDF("doc_id", "text")
+    val chunks = df.select(TextFunctions.tokenChunks(col("text"), 3).as("c"))
+      .as[Seq[String]].head()
+    assert(chunks === Seq("a b c", "d e f", "g"))
+    // chunking then rejoining with the same separator is lossless
+    val rejoined = df.select(
+      concat_ws(" ", TextFunctions.tokenChunks(col("text"), 3)).as("t")).as[String].head()
+    assert(rejoined === "a b c d e f g")
+  }
 }
