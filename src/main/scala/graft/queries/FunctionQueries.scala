@@ -273,5 +273,58 @@ object FunctionQueries {
       CAST(levenshtein(substring(p_name, 1, 10), p_brand) AS INTEGER) AS lev_name_brand
       FROM part ORDER BY p_partkey LIMIT 200"""))
 
-  def all: Seq[GQuery] = Seq(t26, t26b, t26c, t26d, t27, t28, t29, t29explode, tUdaf, tMultimodal, tFromJson, tVariant)
+  /** F5 completion: zip_with, sequence, flatten, array set ops, position,
+    * repeat, descending sort. Set-op results are compared by SIZE (Spark
+    * pins first-occurrence order in array_intersect/except; DuckDB's
+    * list_distinct does not guarantee one), element lists by concat_ws.
+    * The sign arrays make set members exact ints — no float equality. */
+  val t29b = GQuery(
+    "t29b_array_ops",
+    (s, dir) => {
+      val v = VectorOps.asDouble(col("embedding"))
+      // deci-bucketed ints from two disjoint vector halves: exact set
+      // members (no float equality), genuinely different sets per row
+      val buckets = (c: org.apache.spark.sql.Column) =>
+        transform(c, x => floor(x * 10).cast("int"))
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), v.as("v"))
+        .withColumn("ai", buckets(slice(col("v"), 1, 8)))
+        .withColumn("bi", buckets(slice(col("v"), 9, 8)))
+        .select(
+          col("vec_id"),
+          round(aggregate(
+            zip_with(slice(col("v"), 1, 3), slice(col("v"), 4, 3), (x, y) => x * y),
+            lit(0.0), (a, x) => a + x), 6).as("zp3"),
+          concat_ws(",", transform(flatten(array(slice(col("ai"), 1, 2), slice(col("ai"), 3, 2))),
+            x => x.cast("string"))).as("flat4"),
+          aggregate(sequence(lit(1), col("label") + 1), lit(0L), (a, x) => a + x).as("seq_sum"),
+          size(array_intersect(col("ai"), col("bi"))).as("n_inter"),
+          size(array_except(col("ai"), col("bi"))).as("n_except"),
+          size(array_distinct(concat(col("ai"), col("bi")))).as("n_union"),
+          array_position(col("ai"), 1).as("first_pos1"),
+          concat_ws(",", transform(array_repeat(col("label"), 3), x => x.cast("string"))).as("rep3"),
+          concat_ws(",", transform(slice(sort_array(col("ai"), asc = false), 1, 5),
+            x => x.cast("string"))).as("top5_desc"))
+        .orderBy(col("vec_id"))
+        .limit(100)
+    },
+    Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      a AS (SELECT vec_id, label, v,
+              list_transform(v[1:8], x -> CAST(floor(x * 10) AS INT)) AS ai,
+              list_transform(v[9:16], x -> CAST(floor(x * 10) AS INT)) AS bi
+            FROM e)
+      SELECT vec_id,
+        round(list_reduce(list_transform(generate_series(1, 3), i -> v[i] * v[i+3]),
+          (x, y) -> x + y), 6) AS zp3,
+        array_to_string(flatten([ai[1:2], ai[3:4]]), ',') AS flat4,
+        CAST(list_reduce(generate_series(1, label + 1), (x, y) -> x + y) AS BIGINT) AS seq_sum,
+        CAST(len(list_filter(list_distinct(ai), x -> list_contains(bi, x))) AS INTEGER) AS n_inter,
+        CAST(len(list_filter(list_distinct(ai), x -> NOT list_contains(bi, x))) AS INTEGER) AS n_except,
+        CAST(len(list_distinct(list_concat(ai, bi))) AS INTEGER) AS n_union,
+        CAST(coalesce(list_position(ai, 1), 0) AS BIGINT) AS first_pos1,
+        array_to_string(list_transform(generate_series(1, 3), i -> label), ',') AS rep3,
+        array_to_string(list_sort(ai, 'DESC')[1:5], ',') AS top5_desc
+      FROM a ORDER BY vec_id LIMIT 100"""))
+
+  def all: Seq[GQuery] = Seq(t26, t26b, t26c, t26d, t27, t28, t29, t29b, t29explode, tUdaf, tMultimodal, tFromJson, tVariant)
 }

@@ -72,5 +72,14 @@ object StreamingQueries {
     // ST6 semantics re-expressed on transformWithState — same batch oracle
     st6.oracle)
 
-  def all: Seq[GQuery] = Seq(st1, st2, st3, st5, st6, st7, st8, st9)
+  val st10 = GQuery(
+    "st10_stream_static_join",
+    (s, dir) => StreamOps.streamStaticSegmentRevenue(s, dir),
+    // stateless stream-static join == plain batch join on the same data
+    Some("""SELECT c_mktsegment, count(*) AS n_purchases, round(sum(value), 2) AS revenue
+      FROM events JOIN customer ON user_id = c_custkey
+      WHERE event_type = 'purchase'
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  def all: Seq[GQuery] = Seq(st1, st2, st3, st5, st6, st7, st8, st9, st10)
 }

@@ -155,6 +155,23 @@ object StreamOps {
       .agg(count(lit(1)).as("matched"), round(sum(col("value")), 2).as("total_value"))
   }
 
+  /** ST10: stream-static join — the streaming fact side probes a static
+    * dimension snapshot; stateless (no watermark, no join state store; the
+    * dim is re-resolved per micro-batch, so catalog-backed dims pick up
+    * updates between batches). Broadcast keeps the stream side shuffle-free
+    * at any rate. */
+  def streamStaticSegmentRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = graft.Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = eventsStream(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_purchases"), round(sum(col("value")), 2).as("revenue"))
+    runToTable(spark, agg, "st10_stream_static_sink", OutputMode.Complete())
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** ST8: `dropDuplicatesWithinWatermark` — dedup where duplicate events
     * may arrive up to the watermark delay apart, without keeping unbounded
     * key state (unlike plain `dropDuplicates`, state for a key is dropped

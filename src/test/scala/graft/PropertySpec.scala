@@ -195,4 +195,32 @@ class PropertySpec extends AnyFunSuite {
       assert(corners === Seq(0L, (1L << 16) - 1))
     }
   }
+
+  test("line dedup: kept-line conservation and idempotence on random corpora") {
+    import graft.operators.Dedup
+    val line = Gen.oneOf("aa bb", "cc dd", "ee ff", "gg hh", "ii jj", "kk ll")
+    val doc = Gen.chooseNum(1, 5).flatMap(k => Gen.listOfN(k, line)).map(_.mkString("\n"))
+    forSamples(Gen.listOfN(6, doc), n = 5) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = Dedup.dropDuplicateLines(df, "doc_id", split(col("text"), "\n"),
+        minOccurrences = 2, sep = "\n")
+      val kept = once.as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+      // conservation: kept lines == lines whose content occurs exactly once
+      val allLines = docs.flatMap(_.split("\n"))
+      val singletonCount = allLines.groupBy(identity).count(_._2.length == 1)
+      assert(kept.map(_._2).sum === singletonCount.toLong)
+      // exhaustive over ids
+      assert(kept.map(_._1) === docs.indices.map(_.toLong))
+      // idempotence: surviving lines are globally unique, a second pass is a no-op
+      val again = Dedup.dropDuplicateLines(once, "doc_id", split(col("text"), "\n"),
+        minOccurrences = 2, sep = "\n")
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+      // (docs emptied by pass 1 split to [""]; two such docs make "" a dup
+      // line again, so the claim covers the non-empty survivors)
+      val againMap = again.map(k => (k._1, k._3)).toMap
+      kept.filter(_._3.nonEmpty).foreach { case (id, _, text) =>
+        assert(againMap(id) === text)
+      }
+    }
+  }
 }
