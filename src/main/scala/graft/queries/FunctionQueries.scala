@@ -273,6 +273,43 @@ object FunctionQueries {
       CAST(levenshtein(substring(p_name, 1, 10), p_brand) AS INTEGER) AS lev_name_brand
       FROM part ORDER BY p_partkey LIMIT 200"""))
 
+  /** F1 completion: regexp_extract_all, split_part, translate, reverse,
+    * repeat — the remaining string functions with direct DuckDB twins. */
+  val t26e = GQuery(
+    "t26e_regexp_all",
+    (s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          concat_ws(",", regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0))).as("words"),
+          split_part(col("p_name"), lit(" "), lit(2)).as("w2"),
+          translate(col("p_type"), "AEIOU", "aeiou").as("ty"),
+          reverse(col("p_brand")).as("rb"),
+          expr("repeat('x', p_size % 5)").as("rp"))
+        .orderBy(col("p_partkey"))
+        .limit(100),
+    Some("""SELECT p_partkey,
+      array_to_string(regexp_extract_all(p_name, '[a-z]+'), ',') AS words,
+      split_part(p_name, ' ', 2) AS w2,
+      translate(p_type, 'AEIOU', 'aeiou') AS ty,
+      reverse(p_brand) AS rb,
+      repeat('x', p_size % 5) AS rp
+      FROM part ORDER BY p_partkey LIMIT 100"""))
+
+  /** A4 counterpart for percentiles: approx_percentile (t-digest-style
+    * sketch). Sketches differ across engines, so no hash oracle — the
+    * rows-only entry proves the surface; FunctionSpecs asserts the approx
+    * median lands within 2% of the exact percentile. */
+  val t16b = GQuery(
+    "t16b_approx_percentile",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("approx_percentile(o_totalprice, 0.5, 1000)"), 2).as("approx_median"),
+          round(expr("approx_percentile(o_totalprice, 0.9, 1000)"), 2).as("approx_p90"))
+        .orderBy(col("o_orderstatus")),
+    None)
+
   /** F5 completion: zip_with, sequence, flatten, array set ops, position,
     * repeat, descending sort. Set-op results are compared by SIZE (Spark
     * pins first-occurrence order in array_intersect/except; DuckDB's
@@ -326,5 +363,6 @@ object FunctionQueries {
         array_to_string(list_sort(ai, 'DESC')[1:5], ',') AS top5_desc
       FROM a ORDER BY vec_id LIMIT 100"""))
 
-  def all: Seq[GQuery] = Seq(t26, t26b, t26c, t26d, t27, t28, t29, t29b, t29explode, tUdaf, tMultimodal, tFromJson, tVariant)
+  def all: Seq[GQuery] = Seq(t26, t26b, t26c, t26d, t26e, t27, t28, t29, t29b, t29explode,
+    t16b, tUdaf, tMultimodal, tFromJson, tVariant)
 }

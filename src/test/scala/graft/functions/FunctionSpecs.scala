@@ -78,6 +78,22 @@ class VectorOpsSpec extends SparkSpec {
     val approx = ev.agg(approx_count_distinct(col("user_id"), 0.02)).as[Long].head()
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"exact=$exact approx=$approx")
   }
+
+  test("approx_percentile is within 2% of exact (t16b accuracy assertion)") {
+    val o = Tables(spark, sf001, "orders")
+    val rows = o.groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("exact_med"),
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_med"),
+        expr("percentile(o_totalprice, 0.9)").as("exact_p90"),
+        expr("approx_percentile(o_totalprice, 0.9, 1000)").as("approx_p90"))
+      .as[(String, Double, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (st, em, am, e9, a9) =>
+      assert(math.abs(am - em) / em < 0.02, s"$st median exact=$em approx=$am")
+      assert(math.abs(a9 - e9) / e9 < 0.02, s"$st p90 exact=$e9 approx=$a9")
+    }
+  }
 }
 
 /** F6 (SURVEY.md §2.7): map functions — no map column exists in the graded
