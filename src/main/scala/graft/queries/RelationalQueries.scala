@@ -555,7 +555,21 @@ object RelationalQueries {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       ORDER BY user_id LIMIT 100"""))
 
+  /** Spark 4 pipe SQL: the SqlQueries twin states this query in `|>`
+    * syntax (parser feature — same plan); the oracle is standard SQL. */
+  val t38 = GQuery(
+    "t38_pipe_sql",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .where(col("o_orderstatus") === "O")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+      FROM orders WHERE o_orderstatus = 'O'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   def all: Seq[GQuery] = Seq(t4, t5, t6, t7, t8, t9, t9b, t10, t10b, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t19b, t20, t21, t22, t23, t24, t25, t30, t31,
-    t32, t33, t34, t35, t36, t37)
+    t32, t33, t34, t35, t36, t37, t38)
 }

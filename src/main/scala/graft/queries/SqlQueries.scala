@@ -310,6 +310,13 @@ object SqlQueries {
         round(sum(coalesce(tot, 0D)), 2) AS revenue
       FROM customer LEFT JOIN cnt ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // Spark 4 pipe syntax — each |> stage parses to the same operators the
+    // DataFrame twin builds
+    "t38_pipe_sql" -> """FROM orders
+      |> WHERE o_orderstatus = 'O'
+      |> AGGREGATE count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+         GROUP BY o_orderpriority
+      |> ORDER BY o_orderpriority""",
     "t37_ignore_nulls" -> """SELECT DISTINCT user_id,
       last_value(nullif(event_type, 'error')) IGNORE NULLS OVER w AS last_ok_type,
       nth_value(event_type, 2) OVER w AS second_type
