@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc scaling-curve probe (not part of the suite): time the heavy
+  * corpus operators at 1×/4×/16× the sf0.1 document count and report
+  * seconds + growth ratios. Near-linear ratios (≈4 per step) back the
+  * SCALING.md claims with measurements; a quadratic op would show ≈16.
+  *
+  * Corpus growth keeps duplicate DENSITY constant: each synthetic doc is
+  * the concatenation of two rotated originals (Jaccard ≈ 0.5 to either
+  * parent — below every dedup threshold), so candidate-pair counts scale
+  * with corpus size, not its square.
+  *
+  * Run: sbt "Test/runMain graft.ScaleCurve"
+  */
+object ScaleCurve {
+
+  private def grow(spark: SparkSession, base: DataFrame, factor: Int): DataFrame = {
+    val n = base.count()
+    if (factor <= 1) return base.select(col("doc_id"), col("text"))
+    val copies = (1 until factor).map { k =>
+      val off = (k * 31L) % n match { case 0 => 1L; case o => o }
+      val a = base.select(col("doc_id"), col("text").as("ta"))
+      val b = base.select(col("doc_id").as("idb"), col("text").as("tb"))
+      a.join(b, ((col("doc_id") + lit(off)) % lit(n)) === col("idb"))
+        .select((col("doc_id") + lit(k) * lit(n)).as("doc_id"),
+          concat(col("ta"), lit(" "), col("tb")).as("text"))
+    }
+    copies.foldLeft(base.select(col("doc_id"), col("text")))(_ unionAll _)
+  }
+
+  private def time(label: String, nDocs: Long)(body: => Long): Unit = {
+    val t0 = System.nanoTime()
+    val rows = body
+    println(f"CURVE $label%-22s n_docs=$nDocs%7d  ${(System.nanoTime() - t0) / 1e9}%7.1fs  rows=$rows")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.create()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = Tables(spark, "/root/testdata/sf0.1", "documents")
+
+    Seq(1, 4, 16).foreach { f =>
+      val corpus = grow(spark, base, f).localCheckpoint()
+      val n = corpus.count()
+
+      time("minhash_lsh_pairs", n) {
+        operators.Dedup.minhashNearDupPairs(corpus, "doc_id", "text", threshold = 0.8).count()
+      }
+      time("simhash_banded", n) {
+        operators.Dedup.simhashNearDupPairsBanded(corpus, "doc_id", "text", maxHamming = 3).count()
+      }
+      time("line_dedup", n) {
+        operators.Dedup.dropDuplicateLines(corpus, "doc_id",
+          functions.TextFunctions.tokenChunks(col("text"), 10)).count()
+      }
+      time("contamination", n) {
+        val train = corpus.where(col("doc_id") % 10 =!= 0)
+        val test = corpus.where(col("doc_id") % 10 === 0)
+        operators.Contamination.report(test, train, "doc_id", "text", 5).count()
+      }
+      time("exact_dedup_stats", n) {
+        operators.Dedup.exactDupStats(corpus, "text").count()
+      }
+      corpus.unpersist()
+    }
+    spark.stop()
+  }
+}
