@@ -569,7 +569,28 @@ object RelationalQueries {
       FROM orders WHERE o_orderstatus = 'O'
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** ANSI-safe functions: Spark 4 runs ANSI mode by default (bad casts and
+    * 0/0 THROW), so the try_* family is the production-safe surface for
+    * dirty data. try_divide's null-on-zero maps to DuckDB `/ nullif`. */
+  val t39 = GQuery(
+    "t39_try_functions",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          substring(col("o_orderpriority"), 1, 1).try_cast("int").as("prio_num"),
+          col("o_orderstatus").try_cast("int").as("bad_int"),
+          round(try_divide(col("o_totalprice"), col("o_orderkey") % 3), 2).as("div3"),
+          lit("2024-13-45").try_cast("date").as("bad_date"))
+        .orderBy(col("o_orderkey"))
+        .limit(100),
+    Some("""SELECT o_orderkey,
+      TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+      TRY_CAST(o_orderstatus AS INTEGER) AS bad_int,
+      round(o_totalprice / nullif(o_orderkey % 3, 0), 2) AS div3,
+      TRY_CAST('2024-13-45' AS DATE) AS bad_date
+      FROM orders ORDER BY o_orderkey LIMIT 100"""))
+
   def all: Seq[GQuery] = Seq(t4, t5, t6, t7, t8, t9, t9b, t10, t10b, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t19b, t20, t21, t22, t23, t24, t25, t30, t31,
-    t32, t33, t34, t35, t36, t37, t38)
+    t32, t33, t34, t35, t36, t37, t38, t39)
 }
