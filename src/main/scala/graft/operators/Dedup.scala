@@ -47,19 +47,23 @@ object Dedup {
     * anti join back, both partitioned by line. The exploded lines frame is
     * checkpointed once so the count and the probe don't re-run the split
     * (self-join recompute). At 100 TB, shuffling full line text twice is
-    * the cost driver; the drop-in variant is keying both sides by
-    * xxhash64(line) (16-byte shuffle rows, ~2^-40 corpus-level collision
-    * odds at a billion distinct lines — acceptable for boilerplate removal,
-    * not for an exactness-checked oracle, hence exact text keys here). */
+    * the cost driver; `keyByHash` keys both sides by xxhash64(line)
+    * instead — 8-byte shuffle rows, ~2^-40 corpus-level collision odds at
+    * a billion distinct lines (a collision wrongly drops one unique line —
+    * acceptable for boilerplate removal, not for an exactness-checked
+    * oracle, hence exact text keys by default; the two paths are
+    * parity-tested). */
   def dropDuplicateLines(df: DataFrame, idCol: String, linesCol: Column,
-      minOccurrences: Int = 2, sep: String = " "): DataFrame = {
-    val lines = spreadIfNarrow(df.select(col(idCol), linesCol.as("__lines")))
+      minOccurrences: Int = 2, sep: String = " ", keyByHash: Boolean = false): DataFrame = {
+    val exploded = spreadIfNarrow(df.select(col(idCol), linesCol.as("__lines")))
       .select(col(idCol), posexplode(col("__lines")).as(Seq("__pos", "__line")))
+    val keyName = if (keyByHash) "__k" else "__line"
+    val lines = (if (keyByHash) exploded.withColumn("__k", xxhash64(col("__line"))) else exploded)
       .localCheckpoint()
-    val dup = lines.groupBy(col("__line")).agg(count(lit(1)).as("__c"))
+    val dup = lines.groupBy(col(keyName)).agg(count(lit(1)).as("__c"))
       .where(col("__c") >= minOccurrences)
-      .select(col("__line"))
-    val re = lines.join(dup, Seq("__line"), "left_anti")
+      .select(col(keyName))
+    val re = lines.join(dup, Seq(keyName), "left_anti")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("kept_lines"),
         concat_ws(sep,

@@ -184,6 +184,20 @@ class DedupSpec extends SparkSpec {
       (2L, 0L, ""))) // exhaustive over ids: doc 2 survives, empty
   }
 
+  test("hash-keyed line dedup equals the exact-text path (the 100 TB shuffle lever)") {
+    val lined = Seq(
+      (0L, "cookie banner\nreal content zero\ncookie banner"),
+      (1L, "real content one\ncookie banner"),
+      (2L, "cookie banner"),
+      (3L, "all unique here\nand here too")
+    ).toDF("doc_id", "text")
+    def run(byHash: Boolean) =
+      Dedup.dropDuplicateLines(lined, "doc_id", split(col("text"), "\n"),
+          minOccurrences = 2, sep = "\n", keyByHash = byHash)
+        .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(run(byHash = true) === run(byHash = false))
+  }
+
   test("tokenChunks: full chunks, short tail, round-trips the text") {
     import graft.functions.TextFunctions
     val df = Seq((0L, "a b c d e f g")).toDF("doc_id", "text")
