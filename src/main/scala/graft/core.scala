@@ -26,8 +26,10 @@ object Tables {
   // doesn't override equals) so a new session never inherits a stopped
   // session's DataFrame. Weak references can't reclaim these entries (the
   // cached Datasets strongly reference their session, so value reaches key);
-  // eviction is explicit instead: a ContextListener drops every entry when
-  // the underlying SparkContext ends, bounding the cache by live sessions.
+  // eviction is explicit instead: a listener drops every entry for a
+  // SparkContext when that context ends. The bound is therefore
+  // contexts-ever-live, not sessions: newSession() clones on one long-lived
+  // context share its fate and accumulate until it stops.
   private val dfCache =
     new java.util.IdentityHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, DataFrame]]()
@@ -41,14 +43,21 @@ object Tables {
         dfCache.put(spark, m)
         // Evict when the session's context stops; sessions of a stopped
         // context are unusable, so their cached plans are dead weight.
-        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-            dfCache.synchronized {
-              val it = dfCache.keySet.iterator()
-              while (it.hasNext) if (it.next().sparkContext eq spark.sparkContext) it.remove()
-            }
-        })
+        try {
+          spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              dfCache.synchronized {
+                val it = dfCache.keySet.iterator()
+                while (it.hasNext) if (it.next().sparkContext eq spark.sparkContext) it.remove()
+              }
+          })
+        } catch {
+          // Stopped context: its listener bus rejects registration. Don't
+          // cache (nothing would ever evict the entry) — let the caller's
+          // own downstream use of the dead session surface the failure.
+          case _: IllegalStateException => dfCache.remove(spark)
+        }
       }
       m
     }

@@ -55,8 +55,16 @@ object Dedup {
     * parity-tested). */
   def dropDuplicateLines(df: DataFrame, idCol: String, linesCol: Column,
       minOccurrences: Int = 2, sep: String = " ", keyByHash: Boolean = false): DataFrame = {
-    val exploded = spreadIfNarrow(df.select(col(idCol), linesCol.as("__lines")))
+    // Spread BEFORE evaluating linesCol: the split/chunk HOF is interpreted
+    // and must run above the exchange, not inside a one-task scan (same
+    // pattern as shinglesOf). Null line elements are dropped up front —
+    // they'd otherwise diverge between the paths (null equi-join keys never
+    // match the anti join; xxhash64(null) does) and desync kept_lines from
+    // the reassembled text (concat_ws skips nulls).
+    val exploded = spreadIfNarrow(df)
+      .select(col(idCol), linesCol.as("__lines"))
       .select(col(idCol), posexplode(col("__lines")).as(Seq("__pos", "__line")))
+      .where(col("__line").isNotNull)
     val keyName = if (keyByHash) "__k" else "__line"
     val lines = (if (keyByHash) exploded.withColumn("__k", xxhash64(col("__line"))) else exploded)
       .localCheckpoint()

@@ -298,7 +298,10 @@ object FunctionQueries {
   /** A4 counterpart for percentiles: approx_percentile (t-digest-style
     * sketch). Sketches differ across engines, so no hash oracle — the
     * rows-only entry proves the surface; FunctionSpecs asserts the approx
-    * median lands within 2% of the exact percentile. */
+    * median lands within 2% of the exact percentile. Unlike HLL, quantile-
+    * sketch merge is partition-order-sensitive: values may shift with
+    * layout/core-count changes (row COUNT stays stable, and that is all
+    * the rows-only check records). */
   val t16b = GQuery(
     "t16b_approx_percentile",
     (s, dir) =>

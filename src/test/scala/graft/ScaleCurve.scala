@@ -45,6 +45,9 @@ object ScaleCurve {
     Seq(1, 4, 16).foreach { f =>
       val corpus = grow(spark, base, f).localCheckpoint()
       val n = corpus.count()
+      // grow()'s modular rotation assumes dense 0-based doc_ids; a silent
+      // row loss here would skew every published ratio
+      require(n == f * base.count(), s"grow($f) produced $n docs")
 
       time("minhash_lsh_pairs", n) {
         operators.Dedup.minhashNearDupPairs(corpus, "doc_id", "text", threshold = 0.8).count()
