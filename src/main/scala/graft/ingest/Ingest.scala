@@ -312,6 +312,37 @@ class Catalog(spark: SparkSession, root: String) {
     }
   }
 
+  /** Change data feed (Delta CDF analog): row-level changes between the
+    * snapshots at two log versions, computed purely from the part diff —
+    * no change files are written at commit time. Rows a rewrite copied
+    * verbatim (upsert survivors, compaction output) appear in BOTH the
+    * removed and added part sets and cancel in the multiset `exceptAll`,
+    * so only real changes surface; a pure compaction window yields an
+    * empty feed. Keys present on both sides are classified as
+    * update_preimage/update_postimage, added-only as insert, removed-only
+    * as delete. Cost ∝ parts touched in the window, not table size. */
+  def changes(fromVersion: Int, toVersion: Int = -1,
+      keyCols: Seq[String] = Seq("source", "raw_path")): DataFrame = {
+    import spark.implicits._
+    val before = liveParts(fromVersion).toSet
+    val after = liveParts(toVersion).toSet
+    def readParts(parts: Set[String]) =
+      if (parts.isEmpty) spark.emptyDataset[CatalogEntry].toDF()
+      else spark.read.parquet(parts.toSeq: _*)
+    val inserted = readParts(after -- before).exceptAll(readParts(before -- after))
+    val deleted = readParts(before -- after).exceptAll(readParts(after -- before))
+    val updKeys =
+      inserted.select(keyCols.map(col): _*).intersect(deleted.select(keyCols.map(col): _*))
+    inserted.join(broadcast(updKeys), keyCols, "left_semi")
+      .withColumn("_change_type", lit("update_postimage"))
+      .unionByName(inserted.join(broadcast(updKeys), keyCols, "left_anti")
+        .withColumn("_change_type", lit("insert")))
+      .unionByName(deleted.join(broadcast(updKeys), keyCols, "left_semi")
+        .withColumn("_change_type", lit("update_preimage")))
+      .unionByName(deleted.join(broadcast(updKeys), keyCols, "left_anti")
+        .withColumn("_change_type", lit("delete")))
+  }
+
   /** Compaction (Delta-paper maintenance): rewrite all live parts into one
     * and commit a version that removes the old parts — readers before the
     * commit still see the old parts (snapshot isolation via the log); the

@@ -248,4 +248,29 @@ class IngestSpec extends SparkSpec {
       CatalogEntry("s", "p9", "h9", "success", "", now, "st9", 1))))
     assert(empty.table().count() === 1)
   }
+
+  test("C6 change feed: part-diff CDF surfaces only real changes; compaction is silent") {
+    val root = Files.createTempDirectory("graft_cat_cdf").toString
+    val cat = new Catalog(spark, root)
+    val now = new java.sql.Timestamp(0L)
+    cat.append(spark.createDataset(Seq(
+      CatalogEntry("s", "p1", "h1", "success", "", now, "st1", 10),
+      CatalogEntry("s", "p2", "h2", "success", "", now, "st2", 20)))) // v0
+    cat.upsert(spark.createDataset(Seq(
+      CatalogEntry("s", "p2", "h2", "expired", "retention", now, "st2", 20),
+      CatalogEntry("s", "p3", "h3", "success", "", now, "st3", 30)))) // v1
+
+    val feed = cat.changes(fromVersion = 0)
+      .select(col("raw_path"), col("_change_type"), col("status"))
+      .as[(String, String, String)].collect().toSet
+    assert(feed === Set(
+      ("p2", "update_preimage", "success"),
+      ("p2", "update_postimage", "expired"),
+      ("p3", "insert", "success"))) // p1 was copied, not changed — absent
+
+    cat.compact() // v2: pure rewrite
+    assert(cat.changes(fromVersion = 1).count() === 0)
+    // full window (v0 → latest) equals the v0→v1 feed: compaction stays silent
+    assert(cat.changes(fromVersion = 0).count() === 3)
+  }
 }
