@@ -357,6 +357,28 @@ object Dedup {
     df.join(losers, df(idCol) === losers("id"), "left_anti")
   }
 
+  /** Near-dedup keeping a CHOSEN representative per cluster: `canonicalBy`
+    * ranks members (highest wins, ties broken toward the lower id) — the
+    * production selection rule, where pipelines keep the longest or
+    * highest-quality copy rather than the arbitrary min-id one. Singletons
+    * (docs in no cluster) always survive. Requires a numeric id (for the
+    * tie-break), like the component machinery underneath. */
+  def dropNearDuplicatesBy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      canonicalBy: Column): DataFrame = {
+    val comp = nearDupComponents(df, idCol, textCol, threshold)
+    val ranked = df.select(col(idCol).as("__mid"), canonicalBy.as("__rank"))
+    val winners = comp.join(ranked, col("id") === col("__mid"))
+      .groupBy(col("component"))
+      .agg(max_by(col("id"), struct(col("__rank"), -col("id"))).as("__keep"))
+      .select(col("__keep"))
+    val losers = comp.join(winners, col("id") === col("__keep"), "left_anti").select(col("id"))
+    df.join(losers, df(idCol) === losers("id"), "left_anti")
+  }
+
   /** Near-dup pairs ACROSS two corpora (one row per (left id, right id)
     * pair with Jaccard ≥ threshold): same LSH machinery as
     * [[minhashNearDupPairs]], but the band join is left×right instead of a

@@ -602,6 +602,36 @@ object LlmQueries {
         (SELECT count(*) FROM fresh) -
           (SELECT count(*) FROM comp WHERE id <> component) AS kept_docs"""))
 
+  /** Near-dedup keeping the BEST cluster member (longest by n_chars, ties
+    * to lower id) instead of the arbitrary min id — the production
+    * selection rule. Oracle encodes the (n_chars, -id) tie-break as one
+    * scalar (valid while ids < 1e6). */
+  val l2quality = GQuery(
+    "l2b_quality_dedup",
+    (s, dir) =>
+      Dedup.dropNearDuplicatesBy(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.8, canonicalBy = col("n_chars"))
+        .agg(count(lit(1)).as("kept_docs"),
+          sum(col("doc_id")).as("kept_id_sum"),
+          sum(col("n_chars")).cast("long").as("kept_chars")),
+    Some(s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+      edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE r.a <> e.b
+      ),
+      comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+      win AS (SELECT component, arg_max(comp.id, doc.n_chars::BIGINT * 1000000 - doc.doc_id) AS keep
+              FROM comp JOIN documents doc ON doc.doc_id = comp.id GROUP BY component),
+      losers AS (SELECT id FROM comp WHERE id NOT IN (SELECT keep FROM win)),
+      kept AS (SELECT * FROM documents WHERE doc_id NOT IN (SELECT id FROM losers))
+      SELECT count(*) AS kept_docs, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum,
+             CAST(sum(n_chars) AS BIGINT) AS kept_chars FROM kept"""))
+
   /** C4-style line-level dedup over 10-token chunk "lines" (the fixture
     * corpus has no newlines; real corpora pass split(text, "\n")). Output
     * compares the reassembled text by md5 so the hash check covers content,
@@ -704,7 +734,7 @@ object LlmQueries {
       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
       ORDER BY doc_id LIMIT 100"""))
 
-  def all: Seq[GQuery] = Seq(l1, l2, l2brute, l2simhash, l2simhashPairs, l2cluster, l2embedding,
-    l3, l3scalable, l3lsh, l3ivf, l3kmeans, l3pq, l4langid, l5, l6, l7, l8, l9, l10,
-    l11, l11b, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22)
+  def all: Seq[GQuery] = Seq(l1, l2, l2brute, l2simhash, l2simhashPairs, l2cluster, l2quality,
+    l2embedding, l3, l3scalable, l3lsh, l3ivf, l3kmeans, l3pq, l4langid, l5, l6, l7, l8, l9,
+    l10, l11, l11b, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22)
 }

@@ -184,6 +184,20 @@ class DedupSpec extends SparkSpec {
       (2L, 0L, ""))) // exhaustive over ids: doc 2 survives, empty
   }
 
+  test("dropNearDuplicatesBy keeps the best-ranked cluster member, not the min id") {
+    // docs 0/1/3 form one near-dup cluster (as in the fixtures above); rank
+    // by length so doc 1 ("...tonight", the longest) must win over min-id 0
+    val kept = Dedup.dropNearDuplicatesBy(docs, "doc_id", "text", 0.6, length(col("text")))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 2L)) // 1 beats 0/3 on length; singleton 2 survives
+    // with a constant rank the tie-break reduces to min id == default path
+    val tied = Dedup.dropNearDuplicatesBy(docs, "doc_id", "text", 0.6, lit(0))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val default = Dedup.dropNearDuplicates(docs, "doc_id", "text", 0.6)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(tied === default)
+  }
+
   test("hash-keyed line dedup equals the exact-text path (the 100 TB shuffle lever)") {
     val lined = Seq(
       (0L, "cookie banner\nreal content zero\ncookie banner"),
