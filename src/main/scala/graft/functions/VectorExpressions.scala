@@ -118,11 +118,23 @@ object VectorExpressions {
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 
-  /** Register `vec_dot` and `text_normalize` for SQL use in an existing
-    * session. */
+  private[functions] val minhashBuilder: Seq[Expression] => Expression = {
+    case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(n, _)) =>
+      MinHashSignature(c, String.valueOf(n).toInt)
+    case other => throw new IllegalArgumentException(
+      s"minhash_sig expects (array<string>, numHashes-literal), got ${other.size} args")
+  }
+
+  private[functions] val jaccardBuilder: Seq[Expression] => Expression =
+    children => JaccardSim(children(0), children(1))
+
+  /** Register the native expressions (`vec_dot`, `text_normalize`,
+    * `minhash_sig`, `jaccard_sim`) for SQL use in an existing session. */
   def register(spark: SparkSession): Unit = {
     Bridge.registerFunction(spark, "vec_dot", classOf[DotProduct], dotBuilder)
     Bridge.registerFunction(spark, "text_normalize", classOf[NormalizeText], normBuilder)
+    Bridge.registerFunction(spark, "minhash_sig", classOf[MinHashSignature], minhashBuilder)
+    Bridge.registerFunction(spark, "jaccard_sim", classOf[JaccardSim], jaccardBuilder)
   }
 }
 
@@ -136,6 +148,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       children => DotProduct(children(0), children(1))))
     ext.injectFunction(Bridge.functionDescription("text_normalize",
       classOf[NormalizeText], VectorExpressions.normBuilder))
+    ext.injectFunction(Bridge.functionDescription("minhash_sig",
+      classOf[MinHashSignature], VectorExpressions.minhashBuilder))
+    ext.injectFunction(Bridge.functionDescription("jaccard_sim",
+      classOf[JaccardSim], VectorExpressions.jaccardBuilder))
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
   }
 }

@@ -46,4 +46,20 @@ class TextExpressionsSpec extends SparkSpec {
       normalizeText(lit("x"), "bogus")
     }
   }
+
+  test("minhash_sig and jaccard_sim are SQL-callable after registration") {
+    VectorExpressions.register(spark)
+    val r = spark.sql(
+      """SELECT jaccard_sim(array('a b', 'b c'), array('a b', 'b c')) AS j,
+                size(minhash_sig(array('a b', 'b c'), 16)) AS m""").head()
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getInt(1) === 16)
+    // SQL form equals the Column form bit-for-bit
+    val viaCol = Seq(1).toDF("x")
+      .select(TextExpressions.minhashSig(array(lit("a b"), lit("b c")), 16))
+      .as[Seq[Long]].head()
+    val viaSql = spark.sql("SELECT minhash_sig(array('a b', 'b c'), 16)")
+      .as[Seq[Long]].head()
+    assert(viaCol === viaSql)
+  }
 }
