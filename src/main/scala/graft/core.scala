@@ -128,6 +128,7 @@ object Registry {
       queries.RelationalQueries.all ++
       queries.FunctionQueries.all ++
       queries.LlmQueries.all ++
+      queries.AnalyticsQueries.all ++
       queries.StreamingQueries.all ++
       queries.IoQueries.all
 

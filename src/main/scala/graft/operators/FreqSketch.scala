@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact heavy hitters at scale via the Misra–Gries summary (Misra & Gries
+  * 1982, "Finding repeated elements" — public): a per-partition k-counter
+  * sketch whose survivors are a guaranteed superset of every item with
+  * global count > N/k (an item that stays under the bar in every partition
+  * sums to under the global bar), followed by an exact recount restricted
+  * to the candidate set.
+  *
+  * Scale notes: the full-cardinality groupBy over ALL distinct terms — the
+  * shuffle that dominates corpus vocabulary jobs at 100 TB — is replaced by
+  * (a) one narrow mapPartitions pass emitting ≤ k candidates per partition,
+  * (b) a broadcast semi-join of that candidate set, (c) a groupBy whose key
+  * domain is only the candidates. The MG decrement step is O(k) on counter
+  * overflow but amortized O(1) per item (each decrement is paid for by a
+  * prior increment), so the scan stays CPU-flat.
+  */
+object FreqSketch {
+  /** All items (as strings) with count(item) > count(*) / k — exact, with
+    * exact counts, ordered by (cnt desc, item). NULL items are ignored as
+    * candidates but still count toward N, matching SQL count(*). */
+  def heavyHitters(items: DataFrame, itemCol: String, k: Int): DataFrame = {
+    require(k > 1, "heavy-hitter capacity must exceed 1")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val strs = items.select(col(itemCol).cast("string")).na.drop().as[String]
+    val cands = strs
+      .mapPartitions { it =>
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { s =>
+          counts.get(s) match {
+            case Some(n) => counts(s) = n + 1
+            case None if counts.size < k => counts(s) = 1L
+            case None =>
+              counts.mapValuesInPlace((_, n) => n - 1)
+              counts.filterInPlace((_, n) => n > 0L)
+          }
+        }
+        counts.keysIterator
+      }
+      .toDF(itemCol)
+      .distinct()
+    val total = items.agg(count(lit(1)).as("__total"))
+    items
+      .join(broadcast(cands), Seq(itemCol))
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .where(col("cnt") > col("__total") / k)
+      .select(col(itemCol), col("cnt"))
+      .orderBy(col("cnt").desc, col(itemCol))
+  }
+}

@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{GQuery, Spread, Tables}
+import graft.functions.TextFunctions
+import graft.operators.{FreqSketch, Profile, Similarity, TimeSeries}
+
+/** Round-4 analytics surface: column profiling, time-series gap fill,
+  * funnel/cohort behavioral queries, exact heavy hitters, sketch set ops,
+  * and the exhaustive-probe IVF parity check. Each is DuckDB-hash-matched
+  * unless noted rows-only.
+  */
+object AnalyticsQueries {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables(s, dir, n)
+
+  /** One-pass numeric column profile of `orders` (C2/C3 data-quality
+    * analog at column granularity). */
+  val t40 = GQuery(
+    "t40_profile",
+    (s, dir) =>
+      Profile.numeric(t(s, dir, "orders"), Seq("o_custkey", "o_orderkey", "o_totalprice")),
+    Some("""SELECT 'o_custkey' AS col_name, count(o_custkey) AS non_null,
+        (SELECT count(*) FROM orders) - count(o_custkey) AS nulls,
+        count(DISTINCT o_custkey) AS n_distinct,
+        round(CAST(min(o_custkey) AS DOUBLE), 2) AS min_v,
+        round(CAST(max(o_custkey) AS DOUBLE), 2) AS max_v,
+        round(avg(o_custkey), 2) AS avg_v FROM orders
+      UNION ALL
+      SELECT 'o_orderkey', count(o_orderkey), (SELECT count(*) FROM orders) - count(o_orderkey),
+        count(DISTINCT o_orderkey), round(CAST(min(o_orderkey) AS DOUBLE), 2),
+        round(CAST(max(o_orderkey) AS DOUBLE), 2), round(avg(o_orderkey), 2) FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', count(o_totalprice), (SELECT count(*) FROM orders) - count(o_totalprice),
+        count(DISTINCT o_totalprice), round(CAST(min(o_totalprice) AS DOUBLE), 2),
+        round(CAST(max(o_totalprice) AS DOUBLE), 2), round(avg(o_totalprice), 2) FROM orders
+      ORDER BY col_name"""))
+
+  /** Sparse daily series (high-value events) resampled onto the full
+    * type × day grid: counts zero-filled, per-day max forward-filled.
+    * The filled measure is max, not avg: source values are exact 2-decimal
+    * doubles, so round(max,2) never lands on the half-at-scale boundary
+    * where Spark (shortest-repr) and DuckDB (binary) round apart — avg's
+    * division reintroduced exactly that (268.775 → 268.78 vs 268.77). */
+  val t41 = GQuery(
+    "t41_gap_fill",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val daily = e
+        .where(col("value") > 190)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"), round(max(col("value")), 2).as("ff_max"))
+      val types = e.select(col("event_type")).distinct()
+      val cal = s
+        .range(1)
+        .select(explode(sequence(
+          lit(java.sql.Date.valueOf("2024-01-01")),
+          lit(java.sql.Date.valueOf("2024-01-30")),
+          expr("INTERVAL 1 DAY"))).as("day"))
+      TimeSeries
+        .gapFill(types, cal, daily, Seq("event_type"), "day",
+          zeroFill = Map("cnt" -> lit(0L)), forwardFill = Seq("ff_max"))
+        .select(col("event_type"), col("day"), col("cnt"), col("ff_max"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""WITH cal AS (SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+          INTERVAL 1 DAY)) AS DATE) AS day),
+        types AS (SELECT DISTINCT event_type FROM events),
+        grid AS (SELECT event_type, day FROM types CROSS JOIN cal),
+        daily AS (SELECT event_type AS de, CAST(ts AS DATE) AS dd, count(*) AS c,
+            round(max(value), 2) AS mv
+          FROM events WHERE value > 190 GROUP BY 1, 2)
+      SELECT g.event_type, g.day, CAST(coalesce(d.c, 0) AS BIGINT) AS cnt,
+        last_value(d.mv IGNORE NULLS) OVER (PARTITION BY g.event_type ORDER BY g.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_max
+      FROM grid g LEFT JOIN daily d ON g.event_type = d.de AND g.day = d.dd
+      ORDER BY event_type, day"""))
+
+  /** Conversion funnel signup → click → purchase, each stage within 24 h
+    * of the previous stage's first qualifying event, plus total end-to-end
+    * conversion time. The time is an exact BIGINT millisecond sum — never a
+    * rounded average, whose division can land on the half-at-scale boundary
+    * where the engines round apart. epoch_ms/unix_millis agree exactly
+    * (DuckDB epoch() would truncate to whole seconds — avoided). */
+  val t42 = GQuery(
+    "t42_funnel",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val day = expr("INTERVAL 24 HOURS")
+      val s1 = e.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("st"))
+      val c1 = e.where(col("event_type") === "click")
+        .join(s1, "user_id")
+        .where(col("ts") > col("st") && col("ts") <= col("st") + day)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("ct"))
+      val p1 = e.where(col("event_type") === "purchase")
+        .join(c1, "user_id")
+        .where(col("ts") > col("ct") && col("ts") <= col("ct") + day)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("pt"))
+      val sp = p1.join(s1, "user_id")
+      s1.agg(count(lit(1)).as("stage_signup"))
+        .crossJoin(c1.agg(count(lit(1)).as("stage_click")))
+        .crossJoin(p1.agg(count(lit(1)).as("stage_purchase")))
+        .crossJoin(sp.agg(
+          sum(unix_millis(col("pt")) - unix_millis(col("st")))
+            .as("total_ms_signup_to_purchase")))
+    },
+    Some("""WITH s AS (SELECT user_id, min(ts) AS st FROM events
+          WHERE event_type = 'signup' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(e.ts) AS ct FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'click' AND e.ts > s.st AND e.ts <= s.st + INTERVAL 24 HOURS
+          GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(e.ts) AS pt FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.ct AND e.ts <= c.ct + INTERVAL 24 HOURS
+          GROUP BY e.user_id),
+        sp AS (SELECT p.user_id, s.st, p.pt FROM p JOIN s ON p.user_id = s.user_id)
+      SELECT (SELECT count(*) FROM s) AS stage_signup,
+        (SELECT count(*) FROM c) AS stage_click,
+        (SELECT count(*) FROM p) AS stage_purchase,
+        (SELECT CAST(sum(epoch_ms(pt) - epoch_ms(st)) AS BIGINT) FROM sp)
+          AS total_ms_signup_to_purchase"""))
+
+  /** Weekly retention triangle: cohort = ISO week of first high-value
+    * purchase; activity = any purchase week at or after the cohort week.
+    * Monday-aligned weeks on both engines make day-diff/7 exact, so the
+    * double division never hits the cast-rounding divergence (Spark cast
+    * truncates, DuckDB rounds — irrelevant on exact .0 values). */
+  val t43 = GQuery(
+    "t43_cohort",
+    (s, dir) => {
+      val purch = t(s, dir, "events").where(col("event_type") === "purchase")
+      val first = purch
+        .where(col("value") > 150)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+        .select(col("user_id"), to_date(date_trunc("week", col("first_ts"))).as("cohort"))
+      val wk = purch
+        .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("week"))
+        .distinct()
+      first.join(wk, "user_id")
+        .where(col("week") >= col("cohort"))
+        .groupBy(col("cohort"),
+          (datediff(col("week"), col("cohort")) / 7).cast("int").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy(col("cohort"), col("week_offset"))
+    },
+    Some("""WITH first AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+          FROM events WHERE event_type = 'purchase' AND value > 150 GROUP BY user_id),
+        wk AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+          FROM events WHERE event_type = 'purchase')
+      SELECT cohort, CAST(date_diff('day', cohort, week) / 7 AS INT) AS week_offset,
+        count(DISTINCT f.user_id) AS active_users
+      FROM first f JOIN wk ON f.user_id = wk.user_id
+      WHERE week >= cohort
+      GROUP BY cohort, week_offset ORDER BY cohort, week_offset"""))
+
+  /** Exact corpus heavy hitters (tokens with count > N/50) through the
+    * Misra–Gries candidate pass — result provably equals the full groupBy
+    * + HAVING, which is exactly what the oracle runs. */
+  val l23 = GQuery(
+    "l23_heavy_hitters",
+    (s, dir) => {
+      val toks = Spread.ifNarrow(t(s, dir, "documents"))
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+      FreqSketch.heavyHitters(toks, "term", k = 50)
+    },
+    Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        tot AS (SELECT count(*) AS n FROM toks)
+      SELECT term, count(*) AS cnt FROM toks GROUP BY term
+      HAVING count(*) > (SELECT n FROM tot) / 50
+      ORDER BY cnt DESC, term"""))
+
+  /** IVF with nProbe = all cells is exhaustive search — must hash-match
+    * the brute-force top-k oracle exactly (same tie-break). Proves the
+    * cell-route/probe/re-rank machinery loses nothing when told to look
+    * everywhere; the approximate variants differ only in probe count. */
+  val l3ivfx = GQuery(
+    "l3_ann_ivf_exhaustive",
+    (s, dir) =>
+      Similarity
+        .ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", "label", k = 3, nProbe = 10)
+        .select(col("vec_id"), col("rank"), col("nn_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("vec_id"), col("rank")),
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        pairs AS (SELECT q.vec_id, c.vec_id AS nn_id,
+            list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+          FROM n q JOIN n c ON q.vec_id <> c.vec_id),
+        ranked AS (SELECT vec_id, nn_id, cosine,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nn_id) AS rank
+          FROM pairs)
+      SELECT vec_id, rank, nn_id, round(cosine, 4) AS cosine
+      FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank"""))
+
+  /** Sketch set-algebra: |F ∩ O| estimated as hll(F)+hll(O)-hll(F∪O) in a
+    * single scan with no distinct shuffle — the 100 TB alternative to
+    * INTERSECT's two exchanges (b14 is the exact form). Rows-only by
+    * design (HLL estimates are engine-specific); ±5% of exact asserted in
+    * AnalyticsSpec. */
+  val b14b = GQuery(
+    "b14b_sketch_intersect",
+    (s, dir) =>
+      t(s, dir, "orders").agg(
+        approx_count_distinct(when(col("o_orderstatus") === "F", col("o_custkey"))).as("hll_f"),
+        approx_count_distinct(when(col("o_orderstatus") === "O", col("o_custkey"))).as("hll_o"),
+        approx_count_distinct(when(col("o_orderstatus").isin("F", "O"), col("o_custkey")))
+          .as("hll_union"))
+        .select(col("hll_f"), col("hll_o"),
+          (col("hll_f") + col("hll_o") - col("hll_union")).as("est_intersect")),
+    None)
+
+  val all: Seq[GQuery] = Seq(t40, t41, t42, t43, l23, l3ivfx, b14b)
+}

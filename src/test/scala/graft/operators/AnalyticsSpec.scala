@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Profile ----------------------------------------------------------
+
+  test("Profile.numeric counts nulls/distincts and rounds min/max/avg") {
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 2.0), (2L, 4.0), (2L, null), (null, 10.0))
+      .toDF("k", "v")
+    val rows = Profile.numeric(df, Seq("k", "v"))
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect()
+    assert(rows.length === 2)
+    val k = rows.find(_._1 == "k").get
+    assert(k === (("k", 3L, 1L, 2L, 1.0, 2.0, 1.67)))
+    val v = rows.find(_._1 == "v").get
+    assert(v === (("v", 3L, 1L, 3L, 2.0, 10.0, 5.33)))
+  }
+
+  test("Profile.numeric approx mode keeps exact row shape") {
+    val df = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+    val rows = Profile.numeric(df, Seq("k"), approx = true)
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect()
+    assert(rows.head === (("k", 2L, 0L, 2L, 1.0, 2.0, 1.5)))
+  }
+
+  // ---- TimeSeries.gapFill ------------------------------------------------
+
+  test("gapFill zero-fills counts, forward-fills measures, leaves leading gaps null") {
+    val observed = Seq(("a", 2, 5L, 10.0), ("a", 4, 2L, 20.0), ("b", 1, 1L, 7.0))
+      .toDF("key", "bucket", "cnt", "m")
+    val keys = Seq("a", "b").toDF("key")
+    val cal = Seq(1, 2, 3, 4).toDF("bucket")
+    val out = TimeSeries
+      .gapFill(keys, cal, observed, Seq("key"), "bucket",
+        zeroFill = Map("cnt" -> lit(0L)), forwardFill = Seq("m"))
+      .orderBy("key", "bucket")
+      .as[(String, Int, Long, Option[Double])].collect().toSeq
+    assert(out === Seq(
+      ("a", 1, 0L, None),          // leading gap: no prior observation
+      ("a", 2, 5L, Some(10.0)),
+      ("a", 3, 0L, Some(10.0)),    // forward-filled
+      ("a", 4, 2L, Some(20.0)),
+      ("b", 1, 1L, Some(7.0)),
+      ("b", 2, 0L, Some(7.0)),
+      ("b", 3, 0L, Some(7.0)),
+      ("b", 4, 0L, Some(7.0))))
+  }
+
+  // ---- FreqSketch.heavyHitters ------------------------------------------
+
+  private def exactHH(items: org.apache.spark.sql.DataFrame, k: Int): Seq[(String, Long)] = {
+    val n = items.count()
+    items.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > lit(n.toDouble / k))
+      .orderBy(col("cnt").desc, col("item"))
+      .as[(String, Long)].collect().toSeq
+  }
+
+  test("heavyHitters equals exact groupBy+HAVING on skewed data, any partitioning") {
+    // Zipf-ish: item i appears ~ 3000/i times; deterministic construction.
+    val data = (1 to 40).flatMap(i => Seq.fill(3000 / i)(s"item_$i"))
+    for (parts <- Seq(1, 3, 17)) {
+      val items = spark.createDataset(data).repartition(parts).toDF("item")
+      val got = FreqSketch.heavyHitters(items, "item", k = 20)
+        .as[(String, Long)].collect().toSeq
+      assert(got === exactHH(items, 20), s"parts=$parts")
+    }
+  }
+
+  test("heavyHitters handles a uniform stream (no item qualifies)") {
+    val items = spark.createDataset((1 to 1000).map(i => s"u_$i")).toDF("item")
+    assert(FreqSketch.heavyHitters(items, "item", k = 100).count() === 0L)
+  }
+
+  test("heavyHitters ignores null items as candidates but counts them in N") {
+    val items = (Seq.fill(60)(Some("hot")) ++ Seq.fill(40)(Option.empty[String]))
+      .toDF("item")
+    val got = FreqSketch.heavyHitters(items, "item", k = 4)
+      .as[(String, Long)].collect().toSeq
+    // N = 100, bar = 25: "hot" (60) qualifies; null never emitted.
+    assert(got === Seq(("hot", 60L)))
+  }
+
+  // ---- HLL sketch set algebra (b14b) -------------------------------------
+
+  test("sketch intersect estimate is within 5% of exact at sf0.001") {
+    val o = Tables(spark, sf001, "orders")
+    val exact = o.where(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .intersect(o.where(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .count()
+    val est = graft.queries.AnalyticsQueries.b14b.build(spark, sf001)
+      .select(col("est_intersect")).as[Long].head()
+    assert(math.abs(est - exact) <= math.max(1L, (exact * 0.05).toLong),
+      s"est=$est exact=$exact")
+  }
+}
