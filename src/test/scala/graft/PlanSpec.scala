@@ -130,4 +130,39 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("Partial"), plan.take(3000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
+
+  test("heavy hitters: candidate recount is a broadcast semi-join with map-side partial counts") {
+    val df = Registry.byName("l23_heavy_hitters").build(spark, sf001)
+    df.collect() // AQE final plan
+    val plan = planOf(df)
+    // candidate set joins the exploded token stream as a broadcast hash join
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // recount aggregates partially before its exchange
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
+  test("gap fill: observed aggregate broadcasts into the grid; window partitions by key") {
+    val df = Registry.byName("t41_gap_fill").build(spark, sf001)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // forward fill must be a keyed window, never a global (empty-partition) one
+    assert(plan.contains("windowspecdefinition(event_type"), plan.take(5000))
+  }
+
+  test("profile: one aggregation pass feeds every per-column stat row") {
+    val df = graft.operators.Profile.numeric(
+      Tables(spark, sf001, "orders"), Seq("o_custkey", "o_totalprice"))
+    df.collect()
+    val plan = planOf(df)
+    // multi-distinct goes through the expand rewrite in a single agg chain:
+    // exactly one parquet scan of orders in the whole plan (AQE's toString
+    // repeats the tree as "Initial Plan" — scope to the final section)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.linesIterator.count(_.contains("FileScan parquet")) === 1, plan.take(4000))
+    // approx mode drops the expand entirely
+    val aplan = planOf(graft.operators.Profile.numeric(
+      Tables(spark, sf001, "orders"), Seq("o_custkey", "o_totalprice"), approx = true))
+    assert(!aplan.contains("Expand"), aplan.take(3000))
+  }
 }
