@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{GQuery, Spread, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{FreqSketch, Profile, Similarity, TimeSeries}
+import graft.operators.{FreqSketch, FuzzyJoin, Profile, Similarity, TimeSeries}
 
 /** Round-4 analytics surface: column profiling, time-series gap fill,
   * funnel/cohort behavioral queries, exact heavy hitters, sketch set ops,
@@ -209,5 +209,48 @@ object AnalyticsQueries {
           (col("hll_f") + col("hll_o") - col("hll_union")).as("est_intersect")),
     None)
 
-  val all: Seq[GQuery] = Seq(t40, t41, t42, t43, l23, l3ivfx, b14b)
+  /** Outliers above the exact global p99. A threshold COMPARISON can't be
+    * rounded like an aggregate, but it is robust here: both engines
+    * interpolate the same two sorted 2-decimal values, so their thresholds
+    * differ by ≤ 1 ulp while sitting ≥ 1e-4 away from any data value —
+    * no count can flip. (stddev-based z-scores would NOT be safe: variance
+    * accumulation order differs across engines.) */
+  val t44 = GQuery(
+    "t44_outliers",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val thr = e.agg(percentile(col("value"), lit(0.99)).as("p99"))
+      e.crossJoin(broadcast(thr))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("value") > col("p99"), 1L).otherwise(0L)).as("outliers"),
+          count(lit(1)).as("total"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH thr AS (SELECT quantile_cont(value, 0.99) AS p99 FROM events)
+      SELECT event_type,
+        CAST(sum(CASE WHEN value > (SELECT p99 FROM thr) THEN 1 ELSE 0 END) AS BIGINT) AS outliers,
+        count(*) AS total
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Edit-distance ≤ 1 self-join over customer names through the
+    * delete-neighborhood equi-join — the oracle runs the O(n²) cross join
+    * the operator exists to avoid, so the match proves the pruning lost
+    * nothing. Summary row (19.5k pairs at sf0.01 — too wide to dump). */
+  val t45 = GQuery(
+    "t45_fuzzy_join",
+    (s, dir) => {
+      val names = graft.Spread.ifNarrow(t(s, dir, "customer"))
+      FuzzyJoin.editDistanceJoin(names, "c_name", names, "c_name", maxDist = 1)
+        .where(col("a") < col("b"))
+        .agg(count(lit(1)).as("pairs"),
+          countDistinct(col("a")).as("left_names"),
+          countDistinct(col("b")).as("right_names"))
+    },
+    Some("""SELECT count(*) AS pairs, count(DISTINCT an) AS left_names,
+        count(DISTINCT bn) AS right_names
+      FROM (SELECT a.c_name AS an, b.c_name AS bn FROM customer a JOIN customer b
+        ON a.c_name < b.c_name WHERE levenshtein(a.c_name, b.c_name) <= 1) p"""))
+
+  val all: Seq[GQuery] = Seq(t40, t41, t42, t43, t44, t45, l23, l3ivfx, b14b)
 }
