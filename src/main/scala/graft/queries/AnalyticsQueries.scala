@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{GQuery, Spread, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{FreqSketch, FuzzyJoin, Profile, Similarity, TimeSeries}
+import graft.operators.{FreqSketch, FuzzyJoin, Profile, Quality, Similarity, TimeSeries}
 
 /** Round-4 analytics surface: column profiling, time-series gap fill,
   * funnel/cohort behavioral queries, exact heavy hitters, sketch set ops,
@@ -252,5 +252,51 @@ object AnalyticsQueries {
       FROM (SELECT a.c_name AS an, b.c_name AS bn FROM customer a JOIN customer b
         ON a.c_name < b.c_name WHERE levenshtein(a.c_name, b.c_name) <= 1) p"""))
 
-  val all: Seq[GQuery] = Seq(t40, t41, t42, t43, t44, t45, l23, l3ivfx, b14b)
+  /** Data-quality audit of `orders`: five constraint kinds, one pass,
+    * exact violation counts. Rules chosen so both outcomes appear (the
+    * price band and date floor fail; keys and enums hold). */
+  val t46 = GQuery(
+    "t46_constraints",
+    (s, dir) =>
+      Quality.check(t(s, dir, "orders"), Seq(
+        Quality.NotNull("o_custkey"),
+        Quality.Unique("o_orderkey"),
+        Quality.InSet("o_orderstatus", Seq("F", "O", "P")),
+        Quality.Between("o_totalprice", 0.0, 100000.0),
+        Quality.Satisfies("order_after_1996",
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp")))),
+    Some("""SELECT 'between:o_totalprice' AS rule,
+        CAST(sum(CASE WHEN o_totalprice BETWEEN 0.0 AND 100000.0 THEN 0 ELSE 1 END) AS BIGINT)
+          AS violations,
+        count(*) AS total,
+        CAST(sum(CASE WHEN o_totalprice BETWEEN 0.0 AND 100000.0 THEN 0 ELSE 1 END) AS BIGINT) = 0
+          AS passed
+      FROM orders
+      UNION ALL
+      SELECT 'in_set:o_orderstatus',
+        CAST(sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END) AS BIGINT),
+        count(*),
+        CAST(sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END) AS BIGINT) = 0
+      FROM orders
+      UNION ALL
+      SELECT 'not_null:o_custkey',
+        CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        count(*),
+        CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) = 0
+      FROM orders
+      UNION ALL
+      SELECT 'satisfies:order_after_1996',
+        CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01' THEN 0 ELSE 1 END) AS BIGINT),
+        count(*),
+        CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01' THEN 0 ELSE 1 END) AS BIGINT) = 0
+      FROM orders
+      UNION ALL
+      SELECT 'unique:o_orderkey',
+        count(o_orderkey) - count(DISTINCT o_orderkey),
+        count(*),
+        count(o_orderkey) - count(DISTINCT o_orderkey) = 0
+      FROM orders
+      ORDER BY rule"""))
+
+  val all: Seq[GQuery] = Seq(t40, t41, t42, t43, t44, t45, t46, l23, l3ivfx, b14b)
 }

@@ -86,6 +86,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Seq(("hot", 60L)))
   }
 
+  // ---- Quality.check -----------------------------------------------------
+
+  test("Quality.check counts violations exactly, one row per rule, NULL-strict") {
+    val df = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "F", 10.0), (2L, "O", -5.0), (2L, "X", null), (null, null, 200.0))
+      .toDF("k", "status", "price")
+    val got = Quality.check(df, Seq(
+      Quality.NotNull("k"),
+      Quality.Unique("k"),
+      Quality.InSet("status", Seq("F", "O")),
+      Quality.Between("price", 0.0, 100.0),
+      Quality.Satisfies("k_pos", col("k") > 0)))
+      .as[(String, Long, Long, Boolean)].collect().toMap2
+    assert(got("not_null:k") === ((1L, 4L, false)))       // one NULL key
+    assert(got("unique:k") === ((1L, 4L, false)))         // k=2 twice → 1 surplus
+    assert(got("in_set:status") === ((2L, 4L, false)))    // "X" and NULL violate
+    assert(got("between:price") === ((3L, 4L, false)))    // -5, NULL, 200
+    assert(got("satisfies:k_pos") === ((1L, 4L, false)))  // NULL k violates
+  }
+
+  test("Quality.check passes a clean frame") {
+    val df = Seq((1L, "F"), (2L, "O")).toDF("k", "status")
+    val got = Quality.check(df, Seq(Quality.NotNull("k"), Quality.Unique("k")))
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(got.forall(r => r._2 == 0L && r._4))
+  }
+
+  private implicit class Map2[A, B, C, D](rows: Array[(A, B, C, D)]) {
+    def toMap2: Map[A, (B, C, D)] = rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+
   // ---- HLL sketch set algebra (b14b) -------------------------------------
 
   test("sketch intersect estimate is within 5% of exact at sf0.001") {
