@@ -51,7 +51,9 @@ object FuzzyJoin {
     lk.join(rk, "__key")
       .select(col("a"), col("b"))
       .distinct()
-      .withColumn("dist", levenshtein(col("a"), col("b")))
-      .where(col("dist") <= maxDist)
+      // threshold form: banded O(d·len) per pair instead of O(len²), returns
+      // -1 above the bound — the verify cost follows d, not string length
+      .withColumn("dist", levenshtein(col("a"), col("b"), maxDist))
+      .where(col("dist") >= 0)
   }
 }

@@ -240,6 +240,39 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** Streaming data-quality monitor: continuous C2 validation — each
+    * micro-batch is audited by [[graft.operators.Quality.check]] and the
+    * per-rule violation counts land in a metrics table keyed by batch id.
+    * Row-count rules (not-null / in-set / between / predicate) are additive
+    * across batches, so the running totals equal a batch audit of
+    * everything ingested; a `Unique` rule here means unique WITHIN each
+    * micro-batch (cross-batch uniqueness is the incremental-dedup
+    * operator's job, which keeps durable state). At scale the audit is one
+    * narrow agg per batch — the metrics table grows by #rules rows per
+    * trigger, never with data volume. */
+  def qualityMonitorStream(spark: SparkSession, landingDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rules: Seq[graft.operators.Quality.Rule],
+      metricsDir: String, maxFilesPerTrigger: Int = 1,
+      checkpointDir: Option[String] = None): Unit = {
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Quality.check(batch, rules)
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1)
+          .write.mode("append").parquet(metricsDir)
+        ()
+      }
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"${metricsDir.stripSuffix("/")}_checkpoint"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** ST9: the ST6 semantics on `transformWithState` — Spark 4's
     * StatefulProcessor API (named state variables, timers, per-state TTL),
     * the successor to flatMapGroupsWithState. Requires the RocksDB state

@@ -73,6 +73,50 @@ class StreamParitySpec extends SparkSpec {
     assert(tws === fmgws)
   }
 
+  test("streaming quality monitor: per-batch audits sum to the batch audit") {
+    import graft.operators.Quality
+    val root = java.nio.file.Files.createTempDirectory("graft_qmon")
+    val landing = root.resolve("landing"); java.nio.file.Files.createDirectories(landing)
+    val metrics = s"$root/metrics"
+
+    val batchA = Seq[(java.lang.Long, String)]((1L, "F"), (2L, "X"), (null, "O"))
+      .toDF("k", "status")
+    val batchB = Seq[(java.lang.Long, String)]((3L, "F"), (null, null))
+      .toDF("k", "status")
+    batchA.coalesce(1).write.parquet(s"$landing/tmpa")
+    batchB.coalesce(1).write.parquet(s"$landing/tmpb")
+    import scala.jdk.CollectionConverters._
+    // flatten part files into the landing dir, ordered names → stable batches
+    Seq("tmpa" -> "a.parquet", "tmpb" -> "b.parquet").foreach { case (d, tgt) =>
+      val part = java.nio.file.Files.walk(landing.resolve(d)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq.head
+      java.nio.file.Files.move(part, landing.resolve(tgt))
+      java.nio.file.Files.walk(landing.resolve(d)).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.delete)
+    }
+
+    val rules = Seq(Quality.NotNull("k"), Quality.InSet("status", Seq("F", "O")))
+    StreamOps.qualityMonitorStream(spark, landing.toString, batchA.schema, rules,
+      metrics, maxFilesPerTrigger = 1)
+
+    val m = spark.read.parquet(metrics)
+    // one row per rule per micro-batch
+    assert(m.count() === 4)
+    assert(m.select(countDistinct(col("batch_id"))).as[Long].head() === 2L)
+    // additive rules: per-batch sums equal the whole-input audit
+    val summed = m.groupBy(col("rule"))
+      .agg(sum(col("violations")).as("v"), sum(col("total")).as("t"))
+      .as[(String, Long, Long)].collect().toMap2
+    val whole = Quality.check(batchA.unionAll(batchB), rules)
+      .select(col("rule"), col("violations"), col("total"))
+      .as[(String, Long, Long)].collect().toMap2
+    assert(summed === whole)
+  }
+
+  private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+
   test("streaming incremental dedup equals sequential batch processing") {
     import graft.operators.Dedup
     val root = java.nio.file.Files.createTempDirectory("graft_incdedup")
