@@ -64,7 +64,8 @@ object Quality {
       case (Unique(c), i) =>
         Seq(count(col(c)).as(s"__cnt_$i"), countDistinct(col(c)).as(s"__dc_$i"))
       case (r, i) =>
-        Seq(sum(violation(r)).as(s"__v_$i"))
+        // sum over zero rows is NULL — an empty frame has zero violations
+        Seq(coalesce(sum(violation(r)), lit(0L)).as(s"__v_$i"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = rules.zipWithIndex.map { case (r, i) =>

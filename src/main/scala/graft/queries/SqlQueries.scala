@@ -365,5 +365,66 @@ object SqlQueries {
       rg AS (SELECT doc_id AS train_id, explode(s) AS g FROM sh WHERE doc_id % 10 <> 0),
       p AS (SELECT test_id, train_id, count(*) AS shared FROM tg JOIN rg USING (g) GROUP BY 1, 2)
       SELECT test_id, count(*) AS n_train_docs, max(shared) AS max_shared
-      FROM p GROUP BY test_id ORDER BY test_id""")
+      FROM p GROUP BY test_id ORDER BY test_id""",
+
+    "t42_funnel" -> """WITH s AS (SELECT user_id, min(ts) AS st FROM events
+        WHERE event_type = 'signup' GROUP BY user_id),
+      c AS (SELECT e.user_id, min(e.ts) AS ct FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'click' AND e.ts > s.st AND e.ts <= s.st + INTERVAL 24 HOURS
+        GROUP BY e.user_id),
+      p AS (SELECT e.user_id, min(e.ts) AS pt FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.ct AND e.ts <= c.ct + INTERVAL 24 HOURS
+        GROUP BY e.user_id),
+      sp AS (SELECT p.user_id, s.st, p.pt FROM p JOIN s ON p.user_id = s.user_id)
+      SELECT (SELECT count(*) FROM s) AS stage_signup,
+        (SELECT count(*) FROM c) AS stage_click,
+        (SELECT count(*) FROM p) AS stage_purchase,
+        (SELECT sum(unix_millis(pt) - unix_millis(st)) FROM sp) AS total_ms_signup_to_purchase""",
+
+    "t43_cohort" -> """WITH fw AS (SELECT user_id, to_date(date_trunc('week', min(ts))) AS cohort
+        FROM events WHERE event_type = 'purchase' AND value > 150 GROUP BY user_id),
+      wk AS (SELECT DISTINCT user_id, to_date(date_trunc('week', ts)) AS week
+        FROM events WHERE event_type = 'purchase')
+      SELECT cohort, CAST(datediff(week, cohort) / 7 AS INT) AS week_offset,
+        count(DISTINCT fw.user_id) AS active_users
+      FROM fw JOIN wk ON fw.user_id = wk.user_id
+      WHERE week >= cohort
+      GROUP BY cohort, week_offset ORDER BY cohort, week_offset""",
+
+    "t44_outliers" -> """WITH thr AS (SELECT percentile(value, 0.99) AS p99 FROM events)
+      SELECT event_type,
+        sum(CASE WHEN value > (SELECT p99 FROM thr) THEN 1 ELSE 0 END) AS outliers,
+        count(*) AS total
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "t46_constraints" -> """SELECT 'between:o_totalprice' AS rule,
+        sum(CASE WHEN o_totalprice BETWEEN 0.0 AND 100000.0 THEN 0 ELSE 1 END) AS violations,
+        count(*) AS total,
+        sum(CASE WHEN o_totalprice BETWEEN 0.0 AND 100000.0 THEN 0 ELSE 1 END) = 0 AS passed
+      FROM orders
+      UNION ALL
+      SELECT 'in_set:o_orderstatus',
+        sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END),
+        count(*),
+        sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END) = 0
+      FROM orders
+      UNION ALL
+      SELECT 'not_null:o_custkey',
+        sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+        count(*),
+        sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+      FROM orders
+      UNION ALL
+      SELECT 'satisfies:order_after_1996',
+        sum(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01' THEN 0 ELSE 1 END),
+        count(*),
+        sum(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01' THEN 0 ELSE 1 END) = 0
+      FROM orders
+      UNION ALL
+      SELECT 'unique:o_orderkey',
+        count(o_orderkey) - count(DISTINCT o_orderkey),
+        count(*),
+        count(o_orderkey) - count(DISTINCT o_orderkey) = 0
+      FROM orders
+      ORDER BY rule""")
 }

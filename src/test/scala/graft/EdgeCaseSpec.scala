@@ -108,6 +108,35 @@ class EdgeCaseSpec extends SparkSpec {
     assert(e.getMessage.contains("Malformed") || e.getCause != null)
   }
 
+  test("round-4 operators survive empty inputs") {
+    import graft.operators.{FreqSketch, FuzzyJoin, Profile, Quality, TimeSeries}
+    val emptyStr = Seq.empty[String].toDF("item")
+    assert(FreqSketch.heavyHitters(emptyStr, "item", 10).count() === 0L)
+    assert(FuzzyJoin.editDistanceJoin(emptyStr.withColumnRenamed("item", "w"), "w",
+      Seq("abc").toDF("w"), "w", 1).count() === 0L)
+
+    // profile of an empty frame still emits a row per column (all-zero/null)
+    val emptyNum = Seq.empty[(Long, Double)].toDF("k", "v")
+    val prof = Profile.numeric(emptyNum, Seq("k")).collect()
+    assert(prof.length === 1)
+    assert(prof.head.getLong(1) === 0L && prof.head.getLong(2) === 0L &&
+      prof.head.getLong(3) === 0L && prof.head.isNullAt(4))
+
+    // constraint audit of an empty frame: zero violations, zero total, passed
+    val q = Quality.check(emptyNum, Seq(Quality.NotNull("k"), Quality.Unique("k"))).collect()
+    assert(q.length === 2 && q.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
+
+    // gap fill with nothing observed: full grid, zero counts, all-null fill
+    val keys = Seq("a").toDF("key")
+    val cal = Seq(1, 2).toDF("bucket")
+    val obs = Seq.empty[(String, Int, Long, Double)].toDF("key", "bucket", "cnt", "m")
+    val filled = TimeSeries.gapFill(keys, cal, obs, Seq("key"), "bucket",
+      zeroFill = Map("cnt" -> lit(0L)), forwardFill = Seq("m"))
+      .orderBy("bucket").collect()
+    assert(filled.length === 2)
+    assert(filled.forall(r => r.getLong(2) == 0L && r.isNullAt(3)))
+  }
+
   test("S3 JSON schema-on-read: missing fields are NULL, corrupt lines isolated") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl")
     java.nio.file.Files.writeString(dir.resolve("rows.jsonl"),

@@ -12,7 +12,8 @@ class SqlParitySpec extends SparkSpec {
 
   private val covered =
     (BenchQueries.headline ++ queries.RelationalQueries.all ++
-      queries.FunctionQueries.all ++ queries.LlmQueries.all)
+      queries.FunctionQueries.all ++ queries.LlmQueries.all ++
+      queries.AnalyticsQueries.all)
       .filter(q => SqlQueries.texts.contains(q.name))
 
   covered.foreach { q =>
