@@ -198,6 +198,46 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Near-containment pairs: containment(a → b) = |shingles(a) ∩
+    * shingles(b)| / |shingles(a)| ≥ threshold. Asymmetric by design — it
+    * catches quotation/subset duplication that symmetric Jaccard dilutes
+    * (a short doc fully quoted inside a long one scores ~1.0 here but low
+    * Jaccard). Both directions are emitted.
+    *
+    * Scale path: an inverted-index gram equi-join (shared-gram counts per
+    * pair), never the O(n²) set-intersect loop — same shape as
+    * [[Contamination.report]]. Shingle arrays are distinct per doc, so the
+    * pair count IS the intersection size. `maxGramDocFreq` (off by
+    * default) drops grams appearing in more than that many docs before
+    * the join — the stop-phrase fan-out cap; with it set, pairs whose
+    * overlap is entirely ubiquitous grams are missed (document the recall
+    * trade like the contamination cap). Docs with no shingles (< n
+    * tokens) are excluded: their containment is undefined. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3,
+      maxGramDocFreq: Option[Int] = None): DataFrame = {
+    val sh = shinglesOf(df, idCol, textCol, shingleN)
+      .where(size(col("__sh")) > 0)
+      .localCheckpoint()
+    val sizes = sh.select(col(idCol).as("a_id"), size(col("__sh")).as("__a_size"))
+    val ex = sh.select(col(idCol), explode(col("__sh")).as("__g"))
+    val grams = maxGramDocFreq match {
+      case None => ex
+      case Some(cap) =>
+        val hot = ex.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+          .where(col("__df") > cap).select(col("__g"))
+        ex.join(broadcast(hot), Seq("__g"), "left_anti")
+    }
+    val shared = grams.select(col(idCol).as("a_id"), col("__g"))
+      .join(grams.select(col(idCol).as("b_id"), col("__g")), "__g")
+      .where(col("a_id") =!= col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("__shared"))
+    shared.join(sizes, "a_id")
+      .select(col("a_id"), col("b_id"),
+        (col("__shared").cast("double") / col("__a_size")).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
   /** 48-bit SimHash over tokens (with multiplicity), built from md5 hex
     * digits so the DuckDB oracle can reproduce it bit-for-bit (no common
     * 64-bit hash exists across the engines; 48 bits stay exact in doubles).

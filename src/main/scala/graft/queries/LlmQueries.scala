@@ -734,7 +734,26 @@ object LlmQueries {
       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
       ORDER BY doc_id LIMIT 100"""))
 
+  /** Near-containment pairs (asymmetric Jaccard over 3-gram shingles) via
+    * the inverted-index join; the oracle computes the O(n²) set-intersect
+    * form, so the hash match proves the index path exact. */
+  val l24 = GQuery(
+    "l24_containment",
+    (s, dir) =>
+      graft.operators.Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text", 0.9)
+        .select(col("a_id"), col("b_id"), round(col("containment"), 4).as("containment"))
+        .orderBy(col("a_id"), col("b_id")),
+    Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+             FROM w WHERE len(t) >= 3),
+      p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS cont
+        FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+      SELECT a_id, b_id, round(cont, 4) AS containment FROM p
+      WHERE cont >= 0.9 ORDER BY a_id, b_id"""))
+
   def all: Seq[GQuery] = Seq(l1, l2, l2brute, l2simhash, l2simhashPairs, l2cluster, l2quality,
     l2embedding, l3, l3scalable, l3lsh, l3ivf, l3kmeans, l3pq, l4langid, l5, l6, l7, l8, l9,
-    l10, l11, l11b, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22)
+    l10, l11, l11b, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l24)
 }

@@ -67,6 +67,18 @@ object ScaleCurve {
       time("exact_dedup_stats", n) {
         operators.Dedup.exactDupStats(corpus, "text").count()
       }
+      time("heavy_hitters", n) {
+        val toks = corpus.select(explode(functions.TextFunctions.tokens(col("text"))).as("term"))
+        operators.FreqSketch.heavyHitters(toks, "term", k = 50).count()
+      }
+      time("fuzzy_join_d1", n) {
+        // fuzzy-join the token vocabulary against itself (names-scale input:
+        // the operator's domain is distinct strings, not documents)
+        val vocab = corpus.select(explode(functions.TextFunctions.tokens(col("text"))).as("w"))
+          .distinct()
+        operators.FuzzyJoin.editDistanceJoin(vocab, "w", vocab, "w", 1)
+          .where(col("a") < col("b")).count()
+      }
       corpus.unpersist()
     }
     spark.stop()

@@ -223,4 +223,45 @@ class DedupSpec extends SparkSpec {
       concat_ws(" ", TextFunctions.tokenChunks(col("text"), 3)).as("t")).as[String].head()
     assert(rejoined === "a b c d e f g")
   }
+
+  test("containment is asymmetric: a quoted doc scores 1.0 toward its host, not back") {
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val host = s"intro words first then $quote and closing remarks afterwards entirely"
+    val cdocs = Seq((1L, quote), (2L, host), (3L, "unrelated totally different material here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(cdocs, "doc_id", "text", 0.9)
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) === 1.0) // quote fully inside host
+    assert(!got.contains((2L, 1L)))                         // host not inside quote
+    assert(!got.keys.exists(k => k._1 == 3L || k._2 == 3L))
+  }
+
+  test("containmentPairs equals the brute-force set-intersect form") {
+    val sh = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.shingles(col("text"), 3).as("s"))
+      .where(size(col("s")) > 0)
+    val brute = sh.select(col("doc_id").as("a_id"), col("s").as("sa"))
+      .crossJoin(sh.select(col("doc_id").as("b_id"), col("s").as("sb")))
+      .where(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") / size(col("sa")))
+          .as("containment"))
+      .where(col("containment") >= 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val indexed = Dedup.containmentPairs(docs, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(indexed === brute)
+  }
+
+  test("containment gram cap only drops pairs, never invents them") {
+    val capped = Dedup.containmentPairs(docs, "doc_id", "text", 0.5,
+      maxGramDocFreq = Some(2)).as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.containmentPairs(docs, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped.map(p => (p._1, p._2)).subsetOf(full.map(p => (p._1, p._2))))
+  }
+
+  private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
+  }
 }
