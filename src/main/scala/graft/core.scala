@@ -58,6 +58,10 @@ object Tables {
           // own downstream use of the dead session surface the failure.
           case _: IllegalStateException => dfCache.remove(spark)
         }
+        // Stop race: if the context stopped between registration and the
+        // already-posted ApplicationEnd event, the listener will never
+        // fire — evict now rather than leak the entry forever.
+        if (spark.sparkContext.isStopped) dfCache.remove(spark)
       }
       m
     }

@@ -120,7 +120,16 @@ object VectorExpressions {
 
   private[functions] val minhashBuilder: Seq[Expression] => Expression = {
     case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(n, _)) =>
-      MinHashSignature(c, String.valueOf(n).toInt)
+      val numHashes =
+        try String.valueOf(n).toInt
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"minhash_sig: numHashes must be an integer literal, got '$n'")
+        }
+      MinHashSignature(c, numHashes)
+    case Seq(_, nonLiteral) => throw new IllegalArgumentException(
+      "minhash_sig: numHashes must be a literal (the signature width is " +
+        s"fixed at plan time), got non-literal ${nonLiteral.sql}")
     case other => throw new IllegalArgumentException(
       s"minhash_sig expects (array<string>, numHashes-literal), got ${other.size} args")
   }

@@ -329,10 +329,19 @@ class Catalog(spark: SparkSession, root: String) {
     def readParts(parts: Set[String]) =
       if (parts.isEmpty) spark.emptyDataset[CatalogEntry].toDF()
       else spark.read.parquet(parts.toSeq: _*)
+    // each frame below is consumed 2-3 times (semi/anti branches + the key
+    // intersect) — materialize once or the part scans and exceptAll
+    // shuffles recompute per consumer (~5 scans per collect)
     val inserted = readParts(after -- before).exceptAll(readParts(before -- after))
+      .localCheckpoint()
     val deleted = readParts(before -- after).exceptAll(readParts(after -- before))
+      .localCheckpoint()
+    // NB: updKeys is broadcast — bounded by rows UPDATED in the window, not
+    // table size; a window spanning a huge upsert should read the feed in
+    // smaller version windows (documented trade, matches the cost contract)
     val updKeys =
       inserted.select(keyCols.map(col): _*).intersect(deleted.select(keyCols.map(col): _*))
+        .localCheckpoint()
     inserted.join(broadcast(updKeys), keyCols, "left_semi")
       .withColumn("_change_type", lit("update_postimage"))
       .unionByName(inserted.join(broadcast(updKeys), keyCols, "left_anti")

@@ -44,7 +44,10 @@ object FreqSketch {
       .toDF(itemCol)
       .distinct()
     val total = items.agg(count(lit(1)).as("__total"))
-    items
+    // recount on the SAME casted string column the sketch saw: joining the
+    // original (e.g. long) column to string candidates would coerce both
+    // sides to DOUBLE, where distinct >2^53 keys collide — breaking exactness
+    strs.toDF(itemCol)
       .join(broadcast(cands), Seq(itemCol))
       .groupBy(col(itemCol))
       .agg(count(lit(1)).as("cnt"))

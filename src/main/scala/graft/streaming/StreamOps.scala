@@ -255,15 +255,26 @@ object StreamOps {
       rules: Seq[graft.operators.Quality.Rule],
       metricsDir: String, maxFilesPerTrigger: Int = 1,
       checkpointDir: Option[String] = None): Unit = {
+    val hconf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(landingDir)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Quality.check(batch, rules)
-          .withColumn("batch_id", lit(batchId))
-          .coalesce(1)
-          .write.mode("append").parquet(metricsDir)
+        // replay guard (foreachBatch is at-least-once): a batch that already
+        // audited must not append a second set of rule rows, or the additive
+        // totals double-count — same discipline as incrementalDedupStream
+        val metricsPath = new org.apache.hadoop.fs.Path(metricsDir)
+        val seen = metricsPath.getFileSystem(hconf).exists(metricsPath) &&
+          spark.read.parquet(metricsDir)
+            .where(col("batch_id") === batchId).limit(1).count() > 0
+        if (!seen) {
+          graft.operators.Quality.check(batch, rules)
+            .withColumn("batch_id", lit(batchId))
+            .coalesce(1)
+            .write.mode("append").parquet(metricsDir)
+        }
         ()
       }
       .option("checkpointLocation",

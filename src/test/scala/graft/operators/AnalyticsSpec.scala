@@ -72,6 +72,19 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("heavyHitters stays exact for long keys beyond 2^53 (no double coercion)") {
+    // adjacent longs that collapse to the SAME double — a recount joining
+    // the raw long column to string candidates would coerce to double and
+    // conflate them
+    val a = 9007199254740992L
+    val b = 9007199254740993L
+    val items = spark.createDataset(Seq.fill(30)(a) ++ Seq.fill(20)(b) ++ (1L to 50L))
+      .toDF("item")
+    val got = FreqSketch.heavyHitters(items, "item", k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq((a.toString, 30L), (b.toString, 20L)))
+  }
+
   test("heavyHitters handles a uniform stream (no item qualifies)") {
     val items = spark.createDataset((1 to 1000).map(i => s"u_$i")).toDF("item")
     assert(FreqSketch.heavyHitters(items, "item", k = 100).count() === 0L)

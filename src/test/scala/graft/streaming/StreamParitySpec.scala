@@ -111,6 +111,13 @@ class StreamParitySpec extends SparkSpec {
       .select(col("rule"), col("violations"), col("total"))
       .as[(String, Long, Long)].collect().toMap2
     assert(summed === whole)
+
+    // replay guard: re-running from a FRESH checkpoint replays both batch
+    // ids against the existing metrics table — nothing may double-append
+    StreamOps.qualityMonitorStream(spark, landing.toString, batchA.schema, rules,
+      metrics, maxFilesPerTrigger = 1,
+      checkpointDir = Some(s"$root/checkpoint2"))
+    assert(spark.read.parquet(metrics).count() === 4)
   }
 
   private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
