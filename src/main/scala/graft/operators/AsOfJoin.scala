@@ -30,6 +30,12 @@ object AsOfJoin {
     *                      with left column names)
     * @param rightTieBreak column ordering duplicate right timestamps;
     *                      greatest value wins
+    * @param toleranceMs   optional max staleness (pandas merge_asof
+    *                      `tolerance`): a left row only matches if the
+    *                      as-of right row is at most this many ms older.
+    *                      Exact as a post-filter — the latest prior right
+    *                      row is also the NEAREST prior one, so no earlier
+    *                      candidate could have qualified instead.
     */
   def asof(
       left: DataFrame,
@@ -38,7 +44,8 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       rightPayload: Seq[String],
-      rightTieBreak: Seq[String] = Nil): DataFrame = {
+      rightTieBreak: Seq[String] = Nil,
+      toleranceMs: Option[Long] = None): DataFrame = {
 
     val leftCols = left.columns.toSeq
     val payloadStruct = struct((rightTs +: rightPayload).distinct.map(col): _*)
@@ -81,9 +88,14 @@ object AsOfJoin {
       .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
       .where(col("__side") === 1 && col("__match").isNotNull)
 
+    val withinTolerance = toleranceMs match {
+      case None => matched
+      case Some(ms) => matched.where(
+        unix_millis(col("__ts")) - unix_millis(col(s"__match.$rightTs")) <= ms)
+    }
     val out = leftCols.map(col) ++
       (rightTs +: rightPayload).distinct.map(c => col(s"__match.$c").as(c))
-    matched.select(out: _*)
+    withinTolerance.select(out: _*)
   }
 
   /** Single-scan variant: when both sides come from the SAME table (e.g.

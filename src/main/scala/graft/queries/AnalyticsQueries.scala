@@ -298,5 +298,33 @@ object AnalyticsQueries {
       FROM orders
       ORDER BY rule"""))
 
-  val all: Seq[GQuery] = Seq(t40, t41, t42, t43, t44, t45, t46, l23, l3ivfx, b14b)
+  /** As-of join with a staleness tolerance (pandas merge_asof semantics):
+    * purchases match their latest prior signup only when it is ≤ 6 h old.
+    * Exercises the two-sided `AsOfJoin.asof` entry (b13 runs the
+    * single-scan tagged form) plus the tolerance post-filter, which is
+    * exact because the latest prior row is also the nearest prior row. */
+  val t47 = GQuery(
+    "t47_asof_tolerance",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val signups = e.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"))
+      graft.operators.AsOfJoin
+        .asof(purchases, signups, Seq("user_id"), "ts", "signup_ts",
+          rightPayload = Nil, toleranceMs = Some(6L * 3600 * 1000))
+        .agg(count(lit(1)).as("matched"), round(sum(col("value")), 2).as("total_value"))
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events WHERE event_type = 'purchase'),
+        s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'signup'),
+        m AS (SELECT p.event_id, max(p.value) AS value,
+                     max(epoch_ms(p.ts)) AS pms, max(epoch_ms(s.ts)) AS sms
+              FROM p JOIN s ON s.user_id = p.user_id AND s.ts <= p.ts
+              GROUP BY p.event_id)
+      SELECT count(*) AS matched, round(sum(value), 2) AS total_value
+      FROM m WHERE pms - sms <= 21600000"""))
+
+  val all: Seq[GQuery] = Seq(t40, t41, t42, t43, t44, t45, t46, t47, l23, l3ivfx, b14b)
 }

@@ -60,4 +60,23 @@ class AsOfJoinSpec extends SparkSpec {
       .select("pid", "sid").as[(String, Long)].collect().toMap
     assert(m("x") === 1L) // (1,b) row must not leak into key (1,a)
   }
+
+  test("tolerance drops matches staler than the bound, keeps fresh ones") {
+    // p1 matched 09:00 (1 h old, within 90 min), p2 matched 11:00 (1 h old),
+    // p4 matched 10:00 (0 old). Without tolerance all 4 rows match.
+    val all = AsOfJoin.asof(left, right, Seq("user_id"), "ts", "rts",
+      rightPayload = Seq("sid"), rightTieBreak = Seq("sid"))
+      .select("pid").as[String].collect().toSet
+    assert(all === Set("p1", "p2", "p4"))
+    val tol = AsOfJoin.asof(left, right, Seq("user_id"), "ts", "rts",
+      rightPayload = Seq("sid"), rightTieBreak = Seq("sid"),
+      toleranceMs = Some(30L * 60 * 1000)) // 30 min
+      .select("pid").as[String].collect().toSet
+    assert(tol === Set("p4")) // only the zero-lag match survives
+    val tol90 = AsOfJoin.asof(left, right, Seq("user_id"), "ts", "rts",
+      rightPayload = Seq("sid"), rightTieBreak = Seq("sid"),
+      toleranceMs = Some(90L * 60 * 1000))
+      .select("pid").as[String].collect().toSet
+    assert(tol90 === Set("p1", "p2", "p4")) // 1 h lags within 90 min
+  }
 }
