@@ -55,6 +55,38 @@ object TextFunctions {
     // (this is the entire cost of the O(n²) verify loops).
     TextExpressions.jaccardSim(a, b)
 
+  /** Karp–Rabin rolling hash parameters: polynomial base and a Mersenne
+    * modulus small enough that acc·B + h never overflows a long on either
+    * engine (acc < 2³¹, B ≈ 2²⁰, h < 2³²). Token base hash = first 8 md5
+    * hex digits, so DuckDB reproduces it via ('0x'||substr(md5,1,8))::BIGINT. */
+  val rollB = 1000003L
+  val rollM = 2147483647L
+
+  /** Rolling k-gram hashes: H(i) = fold of the k token hashes at i with
+    * acc → (acc·B + h) mod M. Folding from init 0 is congruent to DuckDB's
+    * init-from-first-element `list_reduce` — both end on a mod-M value.
+    * Documents with fewer than k tokens yield an empty array. */
+  def rollingKgramHashes(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    val bh = transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => aggregate(slice(bh, i, lit(k)), lit(0L),
+          (acc, h) => pmod(acc * lit(rollB) + h, lit(rollM)))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Winnowing (Schleimer, Wilkerson & Aiken 2003, "Winnowing: Local
+    * Algorithms for Document Fingerprinting" — public): the distinct minima
+    * of every w-window of k-gram hashes — guarantees any shared run of
+    * w + k − 1 tokens shares a fingerprint, with ~2/(w+1) selection density.
+    * Fewer than w hashes → one global-min fingerprint. */
+  def winnowedFingerprints(kgramHashes: Column, w: Int): Column =
+    when(size(kgramHashes) >= w,
+      array_distinct(transform(sequence(lit(1), size(kgramHashes) - (w - 1)),
+        j => array_min(slice(kgramHashes, j, lit(w))))))
+      .otherwise(array(array_min(kgramHashes)))
+
   /** Content fingerprint: minimum md5 over 3-gram shingles (1-permutation
     * MinHash / winnowing-lite). Identical and near-identical prefixed docs
     * collide; cross-engine checkable because md5 is common. */

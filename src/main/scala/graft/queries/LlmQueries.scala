@@ -753,7 +753,37 @@ object LlmQueries {
       SELECT a_id, b_id, round(cont, 4) AS containment FROM p
       WHERE cont >= 0.9 ORDER BY a_id, b_id"""))
 
+  /** Rolling-hash document fingerprints (Karp–Rabin 5-gram polynomial +
+    * winnowing w=4) — both engines run the identical mod-2³¹−1 arithmetic,
+    * so the fingerprint SETS hash-match, not just their counts. */
+  val l25 = GQuery(
+    "l25_winnowing",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .where(col("doc_id") < 50 && size(TextFunctions.tokens(col("text"))) >= 5)
+        .select(col("doc_id"),
+          TextFunctions.winnowedFingerprints(
+            TextFunctions.rollingKgramHashes(col("text"), 5), 4).as("fp"))
+        .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"),
+          array_min(col("fp")).as("min_fp"), array_max(col("fp")).as("max_fp"))
+        .orderBy(col("doc_id")),
+    Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      bh AS (SELECT doc_id, list_transform(t,
+          s -> ('0x' || substring(md5(s),1,8))::BIGINT) AS h, len(t) AS n FROM w),
+      kh AS (SELECT doc_id,
+          list_transform(generate_series(1, n - 4),
+            i -> list_reduce(h[i : i+4], (a, b) -> (a * 1000003 + b) % 2147483647)) AS kg
+        FROM bh WHERE n >= 5),
+      wn AS (SELECT doc_id, CASE WHEN len(kg) >= 4
+          THEN list_distinct(list_transform(generate_series(1, len(kg) - 3),
+               j -> list_aggregate(kg[j : j+3], 'min')))
+          ELSE [list_aggregate(kg, 'min')] END AS fp
+        FROM kh)
+      SELECT doc_id, len(fp) AS n_fp, list_aggregate(fp, 'min') AS min_fp,
+        list_aggregate(fp, 'max') AS max_fp
+      FROM wn WHERE doc_id < 50 ORDER BY doc_id"""))
+
   def all: Seq[GQuery] = Seq(l1, l2, l2brute, l2simhash, l2simhashPairs, l2cluster, l2quality,
     l2embedding, l3, l3scalable, l3lsh, l3ivf, l3kmeans, l3pq, l4langid, l5, l6, l7, l8, l9,
-    l10, l11, l11b, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l24)
+    l10, l11, l11b, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l24, l25)
 }
