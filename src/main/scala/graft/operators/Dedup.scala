@@ -238,6 +238,28 @@ object Dedup {
       .where(col("containment") >= threshold)
   }
 
+  /** Drop documents near-contained in a bigger (or equal-size, smaller-id)
+    * document — the corpus-cleaning form of [[containmentPairs]]: quotes,
+    * excerpts, and re-posts vanish while their hosts survive. A document is
+    * dropped when ANY such container exists, dropped containers included —
+    * in an A ⊂ B ⊂ C chain, A's edge to B already condemns A whatever
+    * happens to B, so the maximal element always survives and the rule
+    * needs no iteration (one pair join + one anti join). Equal-size mutual
+    * containment (shingle-identical docs) keeps the min id. */
+  def dropContained(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3): DataFrame = {
+    val sizes = shinglesOf(df, idCol, textCol, shingleN)
+      .select(col(idCol), size(col("__sh")).as("__n"))
+    val pairs = containmentPairs(df, idCol, textCol, threshold, shingleN)
+      .join(sizes.select(col(idCol).as("a_id"), col("__n").as("__na")), "a_id")
+      .join(sizes.select(col(idCol).as("b_id"), col("__n").as("__nb")), "b_id")
+    val condemned = pairs
+      .where(col("__nb") > col("__na") ||
+        (col("__nb") === col("__na") && col("b_id") < col("a_id")))
+      .select(col("a_id").as(idCol)).distinct()
+    df.join(condemned, Seq(idCol), "left_anti")
+  }
+
   /** 48-bit SimHash over tokens (with multiplicity), built from md5 hex
     * digits so the DuckDB oracle can reproduce it bit-for-bit (no common
     * 64-bit hash exists across the engines; 48 bits stay exact in doubles).

@@ -783,7 +783,28 @@ object LlmQueries {
         list_aggregate(fp, 'max') AS max_fp
       FROM wn WHERE doc_id < 50 ORDER BY doc_id"""))
 
+  /** Containment-driven corpus cleaning: drop docs ≥0.9-contained in a
+    * larger (or equal-size smaller-id) doc. Oracle replays the exact rule
+    * over the O(n²) pair form. */
+  val l24b = GQuery(
+    "l24b_drop_contained",
+    (s, dir) =>
+      graft.operators.Dedup.dropContained(t(s, dir, "documents"), "doc_id", "text", 0.9)
+        .agg(count(lit(1)).as("kept"), min(col("doc_id")).as("first_id"),
+          max(col("doc_id")).as("last_id")),
+    Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+             FROM w WHERE len(t) >= 3),
+      p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, len(a.s) AS na, len(b.s) AS nb,
+        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS cont
+        FROM sh a JOIN sh b ON a.doc_id <> b.doc_id),
+      cond AS (SELECT DISTINCT a_id FROM p
+        WHERE cont >= 0.9 AND (nb > na OR (nb = na AND b_id < a_id)))
+      SELECT count(*) AS kept, min(doc_id) AS first_id, max(doc_id) AS last_id
+      FROM documents WHERE doc_id NOT IN (SELECT a_id FROM cond)"""))
+
   def all: Seq[GQuery] = Seq(l1, l2, l2brute, l2simhash, l2simhashPairs, l2cluster, l2quality,
     l2embedding, l3, l3scalable, l3lsh, l3ivf, l3kmeans, l3pq, l4langid, l5, l6, l7, l8, l9,
-    l10, l11, l11b, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l24, l25)
+    l10, l11, l11b, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l24, l24b, l25)
 }

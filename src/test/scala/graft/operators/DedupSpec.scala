@@ -253,6 +253,32 @@ class DedupSpec extends SparkSpec {
     assert(indexed === brute)
   }
 
+  test("dropContained removes quotes/excerpts, keeps hosts and maximal chain tops") {
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val host = s"intro words first then $quote and closing remarks afterwards entirely"
+    val cdocs = Seq(
+      (1L, quote),                      // contained in 2 → dropped
+      (2L, host),                       // container → kept
+      (3L, "unrelated totally different material here today"),
+      (4L, quote)                       // shingle-identical to 1 → mutual; min id logic
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropContained(cdocs, "doc_id", "text", 0.9)
+      .select("doc_id").as[Long].collect().toSorted
+    // 1 and 4 are both contained in 2 → both dropped (host survives);
+    // between the identical 1/4 the rule alone would keep min id, but the
+    // host edge already condemns both
+    assert(kept === Seq(2L, 3L))
+    // without the host, identical twins keep the min id
+    val twins = Seq((5L, quote), (6L, quote),
+      (7L, "unrelated totally different material here today")).toDF("doc_id", "text")
+    assert(Dedup.dropContained(twins, "doc_id", "text", 0.9)
+      .select("doc_id").as[Long].collect().toSorted === Seq(5L, 7L))
+  }
+
+  private implicit class Sorted(a: Array[Long]) {
+    def toSorted: Seq[Long] = a.sorted.toSeq
+  }
+
   test("containment gram cap only drops pairs, never invents them") {
     val capped = Dedup.containmentPairs(docs, "doc_id", "text", 0.5,
       maxGramDocFreq = Some(2)).as[(Long, Long, Double)].collect().toSet
