@@ -80,12 +80,16 @@ object TextFunctions {
     * Algorithms for Document Fingerprinting" — public): the distinct minima
     * of every w-window of k-gram hashes — guarantees any shared run of
     * w + k − 1 tokens shares a fingerprint, with ~2/(w+1) selection density.
-    * Fewer than w hashes → one global-min fingerprint. */
+    * Fewer than w hashes → one global-min fingerprint; NO hashes → empty
+    * (array_min of an empty array is NULL, and a [null] fingerprint set
+    * would make every sub-k-token doc "share" a fingerprint with every
+    * other — array_intersect matches null elements). */
   def winnowedFingerprints(kgramHashes: Column, w: Int): Column =
     when(size(kgramHashes) >= w,
       array_distinct(transform(sequence(lit(1), size(kgramHashes) - (w - 1)),
         j => array_min(slice(kgramHashes, j, lit(w))))))
-      .otherwise(array(array_min(kgramHashes)))
+      .when(size(kgramHashes) > 0, array(array_min(kgramHashes)))
+      .otherwise(array().cast("array<bigint>"))
 
   /** Content fingerprint: minimum md5 over 3-gram shingles (1-permutation
     * MinHash / winnowing-lite). Identical and near-identical prefixed docs

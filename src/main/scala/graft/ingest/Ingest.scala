@@ -331,11 +331,14 @@ class Catalog(spark: SparkSession, root: String) {
       else spark.read.parquet(parts.toSeq: _*)
     // each frame below is consumed 2-3 times (semi/anti branches + the key
     // intersect) — materialize once or the part scans and exceptAll
-    // shuffles recompute per consumer (~5 scans per collect)
-    val inserted = readParts(after -- before).exceptAll(readParts(before -- after))
-      .localCheckpoint()
-    val deleted = readParts(before -- after).exceptAll(readParts(after -- before))
-      .localCheckpoint()
+    // shuffles recompute per consumer (~5 scans per collect). The part
+    // READS are checkpointed first: both exceptAll lineages consume both
+    // sides, so checkpointing only the exceptAll results would still scan
+    // each part set twice.
+    val addedRows = readParts(after -- before).localCheckpoint()
+    val removedRows = readParts(before -- after).localCheckpoint()
+    val inserted = addedRows.exceptAll(removedRows).localCheckpoint()
+    val deleted = removedRows.exceptAll(addedRows).localCheckpoint()
     // NB: updKeys is broadcast — bounded by rows UPDATED in the window, not
     // table size; a window spanning a huge upsert should read the feed in
     // smaller version windows (documented trade, matches the cost contract)

@@ -90,8 +90,15 @@ object AsOfJoin {
 
     val withinTolerance = toleranceMs match {
       case None => matched
-      case Some(ms) => matched.where(
-        unix_millis(col("__ts")) - unix_millis(col(s"__match.$rightTs")) <= ms)
+      case Some(ms) =>
+        // keep asof's type-generic ts support: unix_millis only parses
+        // timestamps — numeric event-time columns compare raw (caller's ms)
+        val isTimestamp = matched.schema("__ts").dataType ==
+          org.apache.spark.sql.types.TimestampType
+        val lag =
+          if (isTimestamp) unix_millis(col("__ts")) - unix_millis(col(s"__match.$rightTs"))
+          else col("__ts") - col(s"__match.$rightTs")
+        matched.where(lag <= ms)
     }
     val out = leftCols.map(col) ++
       (rightTs +: rightPayload).distinct.map(c => col(s"__match.$c").as(c))

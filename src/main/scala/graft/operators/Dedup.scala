@@ -215,10 +215,16 @@ object Dedup {
     * tokens) are excluded: their containment is undefined. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3,
-      maxGramDocFreq: Option[Int] = None): DataFrame = {
-    val sh = shinglesOf(df, idCol, textCol, shingleN)
-      .where(size(col("__sh")) > 0)
-      .localCheckpoint()
+      maxGramDocFreq: Option[Int] = None): DataFrame =
+    containmentOfShingles(
+      shinglesOf(df, idCol, textCol, shingleN).where(size(col("__sh")) > 0).localCheckpoint(),
+      idCol, threshold, maxGramDocFreq)
+
+  /** [[containmentPairs]] over an already-materialized shingle frame
+    * (`idCol`, `__sh`) — shared with [[dropContained]] so the interpreted
+    * shingle projection (the dominant cost) runs exactly once. */
+  private def containmentOfShingles(sh: DataFrame, idCol: String,
+      threshold: Double, maxGramDocFreq: Option[Int]): DataFrame = {
     val sizes = sh.select(col(idCol).as("a_id"), size(col("__sh")).as("__a_size"))
     val ex = sh.select(col(idCol), explode(col("__sh")).as("__g"))
     val grams = maxGramDocFreq match {
@@ -248,9 +254,11 @@ object Dedup {
     * containment (shingle-identical docs) keeps the min id. */
   def dropContained(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3): DataFrame = {
-    val sizes = shinglesOf(df, idCol, textCol, shingleN)
-      .select(col(idCol), size(col("__sh")).as("__n"))
-    val pairs = containmentPairs(df, idCol, textCol, threshold, shingleN)
+    // one shingle pass feeds the pair join AND both size joins
+    val sh = shinglesOf(df, idCol, textCol, shingleN)
+      .where(size(col("__sh")) > 0).localCheckpoint()
+    val sizes = sh.select(col(idCol), size(col("__sh")).as("__n"))
+    val pairs = containmentOfShingles(sh, idCol, threshold, maxGramDocFreq = None)
       .join(sizes.select(col(idCol).as("a_id"), col("__n").as("__na")), "a_id")
       .join(sizes.select(col(idCol).as("b_id"), col("__n").as("__nb")), "b_id")
     val condemned = pairs

@@ -249,7 +249,14 @@ object StreamOps {
     * micro-batch (cross-batch uniqueness is the incremental-dedup
     * operator's job, which keeps durable state). At scale the audit is one
     * narrow agg per batch — the metrics table grows by #rules rows per
-    * trigger, never with data volume. */
+    * trigger, never with data volume.
+    *
+    * The metrics table and the checkpoint are ONE lineage: batch ids are
+    * only meaningful within a checkpoint, so resuming an existing metrics
+    * table requires its original checkpoint dir. Starting a FRESH
+    * checkpoint against a retained metrics table replays ids from 0 and
+    * the guard will treat them as already-audited (append to a new
+    * metricsDir instead). */
   def qualityMonitorStream(spark: SparkSession, landingDir: String,
       schema: org.apache.spark.sql.types.StructType,
       rules: Seq[graft.operators.Quality.Rule],
@@ -257,19 +264,26 @@ object StreamOps {
       checkpointDir: Option[String] = None): Unit = {
     val hconf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
+    // Replay guard (foreachBatch is at-least-once): a batch that already
+    // appended must not append again or the additive totals double-count.
+    // The max existing id is read ONCE at start — O(1) per batch instead of
+    // rescanning a table that grows a file per trigger — and covers the
+    // one batch that can legitimately replay: the last one appended before
+    // a crash-before-checkpoint. An empty or missing table means nothing
+    // was audited (read failure on an empty pre-created dir included).
+    val metricsPath = new org.apache.hadoop.fs.Path(metricsDir)
+    val maxSeen: Long =
+      if (!metricsPath.getFileSystem(hconf).exists(metricsPath)) -1L
+      else
+        try spark.read.parquet(metricsDir)
+          .agg(coalesce(max(col("batch_id")), lit(-1L))).head().getLong(0)
+        catch { case _: org.apache.spark.sql.AnalysisException => -1L }
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(landingDir)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // replay guard (foreachBatch is at-least-once): a batch that already
-        // audited must not append a second set of rule rows, or the additive
-        // totals double-count — same discipline as incrementalDedupStream
-        val metricsPath = new org.apache.hadoop.fs.Path(metricsDir)
-        val seen = metricsPath.getFileSystem(hconf).exists(metricsPath) &&
-          spark.read.parquet(metricsDir)
-            .where(col("batch_id") === batchId).limit(1).count() > 0
-        if (!seen) {
+        if (batchId > maxSeen) {
           graft.operators.Quality.check(batch, rules)
             .withColumn("batch_id", lit(batchId))
             .coalesce(1)

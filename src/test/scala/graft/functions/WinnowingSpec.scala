@@ -25,12 +25,13 @@ class WinnowingSpec extends SparkSpec {
   }
 
   test("degenerate sizes: short docs and few k-grams") {
-    // < k tokens → no k-grams → no fingerprints survive the query's filter;
-    // the function itself yields the single min of an empty array guard
+    // < k tokens → no k-grams → EMPTY fingerprints (not [null]: a null
+    // element would make every sub-k doc "share" a fingerprint)
     val short = Seq("a b c").toDF("text")
       .select(TextFunctions.rollingKgramHashes(col("text"), 5).as("kg"))
       .as[Seq[Long]].head()
     assert(short.isEmpty)
+    assert(fps("a b c").isEmpty)
     // exactly k tokens → one k-gram → winnow emits exactly that hash
     val one = fps("alpha beta gamma delta epsilon")
     assert(one.size === 1)

@@ -79,4 +79,13 @@ class AsOfJoinSpec extends SparkSpec {
       .select("pid").as[String].collect().toSet
     assert(tol90 === Set("p1", "p2", "p4")) // 1 h lags within 90 min
   }
+
+  test("tolerance works on numeric (non-timestamp) event-time columns") {
+    val l = Seq((1L, 1000L, "x"), (1L, 5000L, "y")).toDF("k", "ts", "pid")
+    val r = Seq((1L, 900L, 7L)).toDF("k", "rts", "sid")
+    val got = AsOfJoin.asof(l, r, Seq("k"), "ts", "rts", Seq("sid"),
+      toleranceMs = Some(500L)) // raw units for numeric ts
+      .select("pid").as[String].collect().toSet
+    assert(got === Set("x")) // lag 100 ≤ 500; lag 4100 dropped
+  }
 }

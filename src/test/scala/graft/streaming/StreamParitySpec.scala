@@ -78,6 +78,9 @@ class StreamParitySpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("graft_qmon")
     val landing = root.resolve("landing"); java.nio.file.Files.createDirectories(landing)
     val metrics = s"$root/metrics"
+    // pre-created EMPTY output dir (orchestrators do this) must not trip
+    // the replay guard's table read on the first batch
+    java.nio.file.Files.createDirectories(root.resolve("metrics"))
 
     val batchA = Seq[(java.lang.Long, String)]((1L, "F"), (2L, "X"), (null, "O"))
       .toDF("k", "status")
