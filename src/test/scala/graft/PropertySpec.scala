@@ -223,4 +223,43 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("heavy hitters equal exact groupBy+HAVING on random skewed multisets") {
+    import graft.operators.FreqSketch
+    val gen = Gen.listOfN(400, Gen.frequency(
+      (8, Gen.oneOf("hot1", "hot2")),        // heavy mass
+      (3, Gen.oneOf("warm1", "warm2", "warm3")),
+      (5, Gen.chooseNum(0, 200).map(i => s"cold$i"))))
+    forSamples(gen, n = 5) { items =>
+      val df = spark.createDataset(items).repartition(7).toDF("item")
+      val k = 12
+      val exact = df.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") > lit(items.size.toDouble / k))
+        .orderBy(col("cnt").desc, col("item"))
+        .as[(String, Long)].collect().toSeq
+      val got = FreqSketch.heavyHitters(df, "item", k).as[(String, Long)].collect().toSeq
+      assert(got === exact)
+    }
+  }
+
+  test("winnowing selects a subset of k-gram hashes; shared long runs always overlap") {
+    import graft.functions.TextFunctions
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val gen = Gen.zip(Gen.listOfN(20, word), Gen.listOfN(20, word), Gen.listOfN(8, word))
+    forSamples(gen, n = 8) { case (pre, post, shared) =>
+      // shared is 8 tokens = w + k - 1 for (k=5, w=4) → guaranteed overlap
+      val a = (pre ++ shared).mkString(" ")
+      val b = (shared ++ post).mkString(" ")
+      val rows = Seq(a, b).toDF("text").select(
+        TextFunctions.rollingKgramHashes(col("text"), 5).as("kg"),
+        TextFunctions.winnowedFingerprints(
+          TextFunctions.rollingKgramHashes(col("text"), 5), 4).as("fp"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      rows.foreach { case (kg, fp) =>
+        assert(fp.toSet.subsetOf(kg.toSet))                  // selection, never invention
+        assert(fp.nonEmpty && fp.size <= kg.size)
+      }
+      assert(rows(0)._2.toSet.intersect(rows(1)._2.toSet).nonEmpty)
+    }
+  }
 }
