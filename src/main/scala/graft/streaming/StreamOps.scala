@@ -240,6 +240,84 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** Streaming heavy hitters: a mergeable Misra–Gries summary maintained
+    * across micro-batches (Agarwal et al. 2012, "Mergeable Summaries" —
+    * public: pointwise-sum two summaries, subtract the (k+1)-th largest
+    * count from all, drop ≤ 0 — the union-superset guarantee survives the
+    * reduction), finished by an exact recount of the surviving candidates
+    * over everything ingested. State is ≤ k rows regardless of stream
+    * length or vocabulary; only the final recount touches history, and it
+    * shuffles only candidate keys — the streaming form of
+    * [[graft.operators.FreqSketch.heavyHitters]].
+    *
+    * Per batch the summary merge is exact-count + threshold-reduce (batch
+    * vocab is bounded by batch size; the MG candidates-only shuffle is the
+    * CROSS-batch lever). Same state/checkpoint lineage rule as
+    * [[qualityMonitorStream]]. Returns the final exact heavy hitters:
+    * items with total count > N/k, their exact counts. */
+  def heavyHittersStream(spark: SparkSession, landingDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      itemsOf: DataFrame => DataFrame, // frame → single string column "item"
+      k: Int, stateDir: String, maxFilesPerTrigger: Int = 1,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val hconf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    def exists(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).exists(hp)
+    }
+    val candDir = s"${stateDir.stripSuffix("/")}/cands"
+    val metaDir = s"${stateDir.stripSuffix("/")}/meta"
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val meta =
+          if (exists(metaDir)) spark.read.parquet(metaDir)
+            .agg(coalesce(max(col("batch_id")), lit(-1L)),
+              coalesce(sum(col("n")), lit(0L))).head()
+          else org.apache.spark.sql.Row(-1L, 0L)
+        if (batchId > meta.getLong(0)) { // replay guard, one lineage rule
+          val items = itemsOf(batch).select(col("item").cast("string").as("item"))
+            .where(col("item").isNotNull)
+          val batchCounts = items.groupBy(col("item")).agg(count(lit(1)).as("resid"))
+          val state =
+            if (exists(candDir)) spark.read.parquet(candDir) else batchCounts.limit(0)
+          // pointwise sum, then MG-reduce to ≤ k via (k+1)-th-count subtraction
+          val summed = state.unionByName(batchCounts)
+            .groupBy(col("item")).agg(sum(col("resid")).as("resid"))
+            .orderBy(col("resid").desc, col("item")).limit(k + 1)
+            .collect() // ≤ k + batch-vocab rows reduced to k+1 — driver-tiny
+          val thr = if (summed.length > k) summed(k).getLong(1) else 0L
+          val reduced = summed.take(k)
+            .map(r => (r.getString(0), r.getLong(1) - thr)).filter(_._2 > 0)
+          import spark.implicits._
+          reduced.toSeq.toDF("item", "resid")
+            .coalesce(1).write.mode("overwrite").parquet(candDir)
+          val n = items.count()
+          Seq((batchId, n)).toDF("batch_id", "n")
+            .coalesce(1).write.mode("append").parquet(metaDir)
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"${stateDir.stripSuffix("/")}_checkpoint"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // exact finish: recount ONLY the surviving candidates over history
+    val total = spark.read.parquet(metaDir).agg(sum(col("n"))).head().getLong(0)
+    val cands = spark.read.parquet(candDir).select(col("item"))
+    itemsOf(spark.read.schema(schema).parquet(landingDir))
+      .select(col("item").cast("string").as("item")).where(col("item").isNotNull)
+      .join(broadcast(cands), Seq("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > lit(total.toDouble) / k)
+      .orderBy(col("cnt").desc, col("item"))
+  }
+
   /** Streaming data-quality monitor: continuous C2 validation — each
     * micro-batch is audited by [[graft.operators.Quality.check]] and the
     * per-rule violation counts land in a metrics table keyed by batch id.

@@ -127,6 +127,40 @@ class StreamParitySpec extends SparkSpec {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
 
+  test("streaming heavy hitters equal the batch operator over all ingested data") {
+    import graft.operators.FreqSketch
+    val root = java.nio.file.Files.createTempDirectory("graft_hhstream")
+    val landing = root.resolve("landing"); java.nio.file.Files.createDirectories(landing)
+
+    // skewed vocabulary split across two micro-batches, heavy mass split so
+    // no single batch decides the answer
+    val batchA = (Seq.fill(40)("hot") ++ Seq.fill(15)("warm") ++ (1 to 60).map(i => s"a$i"))
+      .toDF("w")
+    val batchB = (Seq.fill(35)("hot") ++ Seq.fill(25)("warm") ++ (1 to 60).map(i => s"b$i"))
+      .toDF("w")
+    import scala.jdk.CollectionConverters._
+    Seq(batchA -> "a", batchB -> "b").foreach { case (df, nm) =>
+      df.coalesce(1).write.parquet(s"$landing/tmp$nm")
+      val part = java.nio.file.Files.walk(landing.resolve(s"tmp$nm")).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq.head
+      java.nio.file.Files.move(part, landing.resolve(s"$nm.parquet"))
+      java.nio.file.Files.walk(landing.resolve(s"tmp$nm")).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.delete)
+    }
+
+    val k = 10
+    val streamed = StreamOps.heavyHittersStream(spark, landing.toString, batchA.schema,
+      df => df.select(col("w").as("item")), k, s"$root/state")
+      .as[(String, Long)].collect().toSeq
+    val batch = FreqSketch.heavyHitters(
+      batchA.unionAll(batchB).select(col("w").as("item")), "item", k)
+      .as[(String, Long)].collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.map(_._1).toSet === Set("hot", "warm")) // sanity: the planted mass
+    // cross-batch state stays bounded by k
+    assert(spark.read.parquet(s"$root/state/cands").count() <= k)
+  }
+
   test("streaming incremental dedup equals sequential batch processing") {
     import graft.operators.Dedup
     val root = java.nio.file.Files.createTempDirectory("graft_incdedup")
