@@ -260,44 +260,67 @@ object StreamOps {
       itemsOf: DataFrame => DataFrame, // frame → single string column "item"
       k: Int, stateDir: String, maxFilesPerTrigger: Int = 1,
       checkpointDir: Option[String] = None): DataFrame = {
+    require(k > 1, "heavy-hitter capacity must exceed 1")
+    import spark.implicits._
     val hconf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
     def exists(p: String) = {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(hconf).exists(hp)
     }
-    val candDir = s"${stateDir.stripSuffix("/")}/cands"
+    // Crash-atomicity: foreachBatch is at-least-once and the state update is
+    // read-modify-write, so the summary is VERSIONED — batch B reads the
+    // state committed by the meta log (cands_v<lastCommitted>), writes
+    // cands_v<B>, and only then appends (B, n) to meta. A replay of B
+    // re-derives cands_v<B> from the untouched cands_v<B-1> (idempotent
+    // overwrite); a crash between the two writes just leaves an orphan
+    // version that the replay rewrites. Meta is read ONCE per run; within a
+    // run batches are sequential, so a driver var tracks the commit point.
     val metaDir = s"${stateDir.stripSuffix("/")}/meta"
+    def candDir(v: Long) = s"${stateDir.stripSuffix("/")}/cands_v$v"
+    var committed: Long =
+      if (exists(metaDir))
+        spark.read.parquet(metaDir).agg(coalesce(max(col("batch_id")), lit(-1L)))
+          .head().getLong(0)
+      else -1L
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(landingDir)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val meta =
-          if (exists(metaDir)) spark.read.parquet(metaDir)
-            .agg(coalesce(max(col("batch_id")), lit(-1L)),
-              coalesce(sum(col("n")), lit(0L))).head()
-          else org.apache.spark.sql.Row(-1L, 0L)
-        if (batchId > meta.getLong(0)) { // replay guard, one lineage rule
-          val items = itemsOf(batch).select(col("item").cast("string").as("item"))
-            .where(col("item").isNotNull)
-          val batchCounts = items.groupBy(col("item")).agg(count(lit(1)).as("resid"))
+        if (batchId > committed) { // replay guard, one lineage rule
+          // one pass over the batch: null items count toward N (the batch
+          // operator's count(*) semantics) but are never candidates
+          val counts = itemsOf(batch).select(col("item").cast("string").as("item"))
+            .groupBy(col("item")).agg(count(lit(1)).as("resid"))
+            .localCheckpoint()
+          val n = counts.agg(coalesce(sum(col("resid")), lit(0L))).head().getLong(0)
+          val batchCounts = counts.where(col("item").isNotNull)
           val state =
-            if (exists(candDir)) spark.read.parquet(candDir) else batchCounts.limit(0)
-          // pointwise sum, then MG-reduce to ≤ k via (k+1)-th-count subtraction
+            if (committed >= 0) spark.read.parquet(candDir(committed))
+            else batchCounts.limit(0)
+          // pointwise sum, then MG-reduce to ≤ k via (k+1)-th-count
+          // subtraction (entries beyond k+1 are ≤ the threshold and would
+          // reduce to ≤ 0 anyway)
           val summed = state.unionByName(batchCounts)
             .groupBy(col("item")).agg(sum(col("resid")).as("resid"))
             .orderBy(col("resid").desc, col("item")).limit(k + 1)
-            .collect() // ≤ k + batch-vocab rows reduced to k+1 — driver-tiny
+            .collect() // ≤ 2k+1 rows reach the driver
           val thr = if (summed.length > k) summed(k).getLong(1) else 0L
           val reduced = summed.take(k)
             .map(r => (r.getString(0), r.getLong(1) - thr)).filter(_._2 > 0)
-          import spark.implicits._
           reduced.toSeq.toDF("item", "resid")
-            .coalesce(1).write.mode("overwrite").parquet(candDir)
-          val n = items.count()
+            .coalesce(1).write.mode("overwrite").parquet(candDir(batchId))
           Seq((batchId, n)).toDF("batch_id", "n")
             .coalesce(1).write.mode("append").parquet(metaDir)
+          // commit point advances only after BOTH writes; superseded
+          // versions are dead state — clean best-effort
+          val prev = committed
+          committed = batchId
+          if (prev >= 0) {
+            val p = new org.apache.hadoop.fs.Path(candDir(prev))
+            try { p.getFileSystem(hconf).delete(p, true); () } catch { case _: Exception => }
+          }
         }
         ()
       }
@@ -307,9 +330,14 @@ object StreamOps {
       .start()
     q.awaitTermination()
 
-    // exact finish: recount ONLY the surviving candidates over history
-    val total = spark.read.parquet(metaDir).agg(sum(col("n"))).head().getLong(0)
-    val cands = spark.read.parquet(candDir).select(col("item"))
+    // exact finish: recount ONLY the surviving candidates over history.
+    // No committed batch (empty landing dir) → empty result, like the
+    // batch operator on empty input.
+    if (committed < 0) return Seq.empty[(String, Long)].toDF("item", "cnt")
+    val total = spark.read.parquet(metaDir)
+      .where(col("batch_id") <= committed)
+      .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    val cands = spark.read.parquet(candDir(committed)).select(col("item"))
     itemsOf(spark.read.schema(schema).parquet(landingDir))
       .select(col("item").cast("string").as("item")).where(col("item").isNotNull)
       .join(broadcast(cands), Seq("item"))

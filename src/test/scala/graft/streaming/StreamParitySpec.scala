@@ -133,11 +133,13 @@ class StreamParitySpec extends SparkSpec {
     val landing = root.resolve("landing"); java.nio.file.Files.createDirectories(landing)
 
     // skewed vocabulary split across two micro-batches, heavy mass split so
-    // no single batch decides the answer
-    val batchA = (Seq.fill(40)("hot") ++ Seq.fill(15)("warm") ++ (1 to 60).map(i => s"a$i"))
+    // no single batch decides the answer; nulls count toward N on both
+    // paths (count(*) semantics) but are never candidates
+    val batchA = (Seq.fill(40)(Some("hot")) ++ Seq.fill(15)(Some("warm")) ++
+      (1 to 60).map(i => Some(s"a$i")) ++ Seq.fill(10)(Option.empty[String]))
       .toDF("w")
-    val batchB = (Seq.fill(35)("hot") ++ Seq.fill(25)("warm") ++ (1 to 60).map(i => s"b$i"))
-      .toDF("w")
+    val batchB = (Seq.fill(35)(Some("hot")) ++ Seq.fill(25)(Some("warm")) ++
+      (1 to 60).map(i => Some(s"b$i"))).toDF("w")
     import scala.jdk.CollectionConverters._
     Seq(batchA -> "a", batchB -> "b").foreach { case (df, nm) =>
       df.coalesce(1).write.parquet(s"$landing/tmp$nm")
@@ -157,8 +159,10 @@ class StreamParitySpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(streamed === batch)
     assert(streamed.map(_._1).toSet === Set("hot", "warm")) // sanity: the planted mass
-    // cross-batch state stays bounded by k
-    assert(spark.read.parquet(s"$root/state/cands").count() <= k)
+    // cross-batch state stays bounded by k; only the last committed
+    // version survives (superseded versions are cleaned up)
+    assert(spark.read.parquet(s"$root/state/cands_v1").count() <= k)
+    assert(!java.nio.file.Files.exists(root.resolve("state/cands_v0")))
   }
 
   test("streaming incremental dedup equals sequential batch processing") {
