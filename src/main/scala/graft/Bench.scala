@@ -79,10 +79,23 @@ object Bench {
     }
     val qs = timed.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val total = timed.map(_._2).sum
+
+    // Quantify the layout contribution: one warmed pass over the ORIGINAL
+    // (driver-written, single-row-group) files through the identical query
+    // code path. Reported beside the compacted number so the suite-vs-
+    // baseline ratio's dependence on the OPTIMIZE step is visible, per the
+    // round-3/4 advice. One warm-up + one timed pass (not 9): this is a
+    // disclosure figure, not the headline statistic.
+    suite.foreach(q => q.build(spark, sfDir).collect())
+    System.gc()
+    val t0Raw = System.nanoTime()
+    suite.foreach(q => q.build(spark, sfDir).collect())
+    val rawTotal = (System.nanoTime() - t0Raw) / 1e9
+
     // "protocol" tags the layout change (rounds ≥3 time compacted tables;
     // rounds 1–2 timed the original single-row-group files) so cross-round
     // comparisons don't mistake the re-layout for an engine change.
-    println(f"""{"metric":"suite_total","value":$total%.4f,"unit":"sec","queries":$qs,"layout_sec":$layoutSec%.4f,"protocol":"compacted-layout-r3+","sf":"$sfDir"}""")
+    println(f"""{"metric":"suite_total","value":$total%.4f,"unit":"sec","queries":$qs,"layout_sec":$layoutSec%.4f,"suite_total_uncompacted":$rawTotal%.4f,"protocol":"compacted-layout-r3+","sf":"$sfDir"}""")
     spark.stop()
   }
 }

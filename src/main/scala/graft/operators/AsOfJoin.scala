@@ -91,13 +91,20 @@ object AsOfJoin {
     val withinTolerance = toleranceMs match {
       case None => matched
       case Some(ms) =>
-        // keep asof's type-generic ts support: unix_millis only parses
-        // timestamps — numeric event-time columns compare raw (caller's ms)
-        val isTimestamp = matched.schema("__ts").dataType ==
-          org.apache.spark.sql.types.TimestampType
-        val lag =
-          if (isTimestamp) unix_millis(col("__ts")) - unix_millis(col(s"__match.$rightTs"))
-          else col("__ts") - col(s"__match.$rightTs")
+        // keep asof's type-generic ts support: timestamps lag in ms via
+        // unix_millis, dates via whole-day datediff; anything else must be
+        // numeric (caller's own ms units) — date minus date would otherwise
+        // produce an INTERVAL that fails analysis when compared to a Long.
+        import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
+        val lag = matched.schema("__ts").dataType match {
+          case TimestampType =>
+            unix_millis(col("__ts")) - unix_millis(col(s"__match.$rightTs"))
+          case DateType =>
+            datediff(col("__ts"), col(s"__match.$rightTs")).cast("long") * lit(86400000L)
+          case _: NumericType => col("__ts") - col(s"__match.$rightTs")
+          case other => throw new IllegalArgumentException(
+            s"asof toleranceMs needs a timestamp, date, or numeric event-time column; got $other")
+        }
         matched.where(lag <= ms)
     }
     val out = leftCols.map(col) ++

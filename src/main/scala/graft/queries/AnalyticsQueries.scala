@@ -176,11 +176,17 @@ object AnalyticsQueries {
     * everywhere; the approximate variants differ only in probe count. */
   val l3ivfx = GQuery(
     "l3_ann_ivf_exhaustive",
-    (s, dir) =>
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      // "exhaustive" must not silently depend on the generator keeping the
+      // label cardinality under a hardcoded probe count: derive nProbe from
+      // the actual cell count (one tiny count job at query-build time).
+      val cells = e.agg(countDistinct(col("label"))).head().getLong(0).toInt
       Similarity
-        .ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", "label", k = 3, nProbe = 10)
+        .ivfTopK(e, "vec_id", "embedding", "label", k = 3, nProbe = cells)
         .select(col("vec_id"), col("rank"), col("nn_id"), round(col("cosine"), 4).as("cosine"))
-        .orderBy(col("vec_id"), col("rank")),
+        .orderBy(col("vec_id"), col("rank"))
+    },
     Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
         pairs AS (SELECT q.vec_id, c.vec_id AS nn_id,

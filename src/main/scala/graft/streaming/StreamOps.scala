@@ -283,6 +283,21 @@ object StreamOps {
         spark.read.parquet(metaDir).agg(coalesce(max(col("batch_id")), lit(-1L)))
           .head().getLong(0)
       else -1L
+    // Snapshot the landing-dir file list BEFORE starting: AvailableNow only
+    // processes data available at query start, so a file appended by a
+    // concurrent producer mid-run is invisible to the stream (its rows are
+    // not in any batch's n) — the final recount must not see it either, or
+    // candidate counts mix un-ingested data and the N/k bar is computed
+    // against the wrong N. The recount reads exactly this snapshot.
+    val landingPath = new org.apache.hadoop.fs.Path(landingDir)
+    val landingFs = landingPath.getFileSystem(hconf)
+    val snapshotFiles: Seq[String] =
+      if (!landingFs.exists(landingPath)) Seq.empty
+      else landingFs.listStatus(landingPath).toSeq
+        .filter(_.isFile)
+        .map(_.getPath)
+        .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+        .map(_.toString)
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(landingDir)
@@ -333,12 +348,13 @@ object StreamOps {
     // exact finish: recount ONLY the surviving candidates over history.
     // No committed batch (empty landing dir) → empty result, like the
     // batch operator on empty input.
-    if (committed < 0) return Seq.empty[(String, Long)].toDF("item", "cnt")
+    if (committed < 0 || snapshotFiles.isEmpty)
+      return Seq.empty[(String, Long)].toDF("item", "cnt")
     val total = spark.read.parquet(metaDir)
       .where(col("batch_id") <= committed)
       .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
     val cands = spark.read.parquet(candDir(committed)).select(col("item"))
-    itemsOf(spark.read.schema(schema).parquet(landingDir))
+    itemsOf(spark.read.schema(schema).parquet(snapshotFiles: _*))
       .select(col("item").cast("string").as("item")).where(col("item").isNotNull)
       .join(broadcast(cands), Seq("item"))
       .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
