@@ -6,8 +6,10 @@ import graft.streaming.StreamOps
 /** ST1–ST6 (SURVEY.md §2.8): Structured Streaming queries run with
   * Trigger.AvailableNow over the static events table; the FINAL output is
   * hash-matched against the declared batch-SQL oracle (the survey's oracle
-  * strategy for streams). ST4 (watermark/late data) is fixture-driven and
-  * lives in the ScalaTest suite. */
+  * strategy for streams). ST4 (watermark/late data) is fixture-driven — the
+  * fixture is derived deterministically from the events table, so it too
+  * hash-matches a batch oracle (late half excluded, final open window
+  * excluded); finer-grained semantics stay covered in WatermarkSpec. */
 object StreamingQueries {
 
   val st1 = GQuery(
@@ -36,6 +38,19 @@ object StreamingQueries {
       SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us,
              lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
       FROM events) WHERE prev_us IS NULL OR us - prev_us >= 1800000000"""))
+
+  val st4 = GQuery(
+    "st4_watermark",
+    (s, dir) => StreamOps.watermarkLateDrop(s, dir),
+    // on-time half only (late file is entirely behind the watermark), and
+    // only windows finalized by the last watermark (end <= max ts - 1 min)
+    Some("""WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      b AS (SELECT date_trunc('day', min(ts)) + INTERVAL 15 DAY AS split,
+                   max(ts) - INTERVAL 1 MINUTE AS wm FROM ev)
+      SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt
+      FROM ev, b
+      WHERE ts >= split AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
+      GROUP BY 1, 2 ORDER BY hour, event_type"""))
 
   val st5 = GQuery(
     "st5_stream_dedup",
@@ -81,5 +96,5 @@ object StreamingQueries {
       WHERE event_type = 'purchase'
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
-  def all: Seq[GQuery] = Seq(st1, st2, st3, st5, st6, st7, st8, st9, st10)
+  def all: Seq[GQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10)
 }

@@ -109,6 +109,62 @@ object StreamOps {
       .agg(count(lit(1)).cast("long").as("sessions"))
   }
 
+  /** ST4: watermark-driven late-data drop, driver-checkable (SURVEY §2.8).
+    * The events table is staged as THREE fixture files delivered in order:
+    * the recent half minus its last day (ts in [min-day+15d, min-day+29d)),
+    * then that last day, then the oldest half as a late straggler. With a
+    * 1-minute watermark and append-mode 1h windows:
+    *  - Spark keeps TWO watermark values per stateful operator
+    *    (SPARK-40925): state EVICTION uses the current batch's watermark,
+    *    but LATE-ROW filtering uses the previous batch's planning
+    *    watermark — one batch behind. A late file delivered as batch 1
+    *    would therefore still be aggregated (filter watermark = batch 0's
+    *    initial 0) and then immediately evicted-and-EMITTED. Hence the
+    *    bump file: by the time the late file arrives as batch 2, the
+    *    late-events watermark is batch 1's planning value = max(batch 0
+    *    ts) − 1 min, which is ≥ 14 days past every late row → all dropped
+    *    at the input filter.
+    *  - The final eviction watermark is max(all on-time ts) − 1 min, so
+    *    every on-time window except the still-open final hour is emitted
+    *    (append mode only outputs finalized windows).
+    * Final result = hourly counts of the on-time half (ts ≥ min-day+15d),
+    * minus windows not finalized by the last watermark — exactly
+    * expressible as batch SQL over the original events table, which is
+    * what the oracle runs. Delivery order is pinned by file modification
+    * times (the file source processes oldest first). */
+  def watermarkLateDrop(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tables(spark, sfDir, "events").select(col("ts"), col("event_type"))
+    val b = ev.agg(
+      expr("date_trunc('DAY', min(ts)) + INTERVAL '15' DAY").as("split"),
+      expr("date_trunc('DAY', min(ts)) + INTERVAL '29' DAY").as("bump")).head()
+    val (split, bump) = (b.getTimestamp(0), b.getTimestamp(1))
+    val landing = java.nio.file.Files.createTempDirectory("graft_st4_landing")
+    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_st4_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"st4 fixture write produced no part file in $tmp"))
+      val dest = landing.resolve(name)
+      java.nio.file.Files.move(part.toPath, dest)
+      require(dest.toFile.setLastModified(mtime), s"cannot set mtime on $dest")
+    }
+    val now = System.currentTimeMillis()
+    stage(ev.where(col("ts") >= lit(split) && col("ts") < lit(bump)), "a_ontime.parquet", now - 60000)
+    stage(ev.where(col("ts") >= lit(bump)), "b_bump.parquet", now - 30000)
+    stage(ev.where(col("ts") < lit(split)), "c_late.parquet", now)
+    val schema = spark.read.parquet(landing.resolve("a_ontime.parquet").toString).schema
+    val agg = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing.toString)
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    runToTable(spark, agg, "st4_watermark_sink", OutputMode.Append())
+      .select(col("window.start").as("hour"), col("event_type"), col("cnt"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
   /** ST5: streaming dedup on event_id within the watermark, fed a doubled
     * input (every file delivered twice) — final counts must equal the
     * single-copy batch counts. */
