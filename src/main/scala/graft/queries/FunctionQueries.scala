@@ -165,19 +165,53 @@ object FunctionQueries {
       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2) AS wmean_price
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  /** Multimodal pipeline plumbing (stubbed decode — deterministic fake
-    * features; rows-only check, full assertions in MultimodalSpec). */
+  /** Multimodal REAL decode end-to-end: every doc_id becomes an actual
+    * BMP / WAV / PPM file (deterministic integer content), the payloads are
+    * parsed by the real container codecs (header fields, row padding, RIFF
+    * chunk walk, PPM grammar), and the decoded pixel/sample sums aggregate
+    * per modality. The oracle recomputes the same integer sums from the
+    * generator formulas — a wrong header field, padding mistake, or
+    * sign-extension bug all break the hash match. */
   val tMultimodal = GQuery(
     "t_multimodal_features",
     (s, dir) => {
       import graft.multimodal.Multimodal
-      val recs = Multimodal.fromDocuments(s, t(s, dir, "documents"))
-      Multimodal.extractFeatures(recs, dim = 16).toDF()
+      val recs = Multimodal.withRealPayloads(s, t(s, dir, "documents"))
+      Multimodal.decodeStats(recs).toDF()
         .groupBy(col("modality"))
-        .agg(count(lit(1)).as("cnt"), round(avg(element_at(col("feature"), 1)), 4).as("avg_f0"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_units")).cast("long").as("n_units"),
+          sum(col("sum_v")).cast("long").as("sum_v"))
         .orderBy(col("modality"))
     },
-    None)
+    Some("""WITH series AS (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS k),
+      img AS (
+        SELECT d.doc_id,
+               ((d.doc_id*7 + x.k*3 + y.k*5) % 256
+              + (d.doc_id*11 + x.k*2 + y.k*3) % 256
+              + (d.doc_id*13 + x.k*5 + y.k*2) % 256) AS v
+        FROM documents d JOIN series x ON x.k <= d.doc_id % 8
+             JOIN series y ON y.k <= d.doc_id % 6
+        WHERE d.doc_id % 3 = 0),
+      aud AS (
+        SELECT d.doc_id, ((d.doc_id*31 + i.k*7) % 65536) - 32768 AS v
+        FROM documents d JOIN series i ON i.k <= (d.doc_id % 50) + 9
+        WHERE d.doc_id % 3 = 1),
+      vid AS (
+        SELECT d.doc_id,
+               ((d.doc_id*3 + x.k*7 + y.k*11) % 256
+              + (d.doc_id*5 + x.k*11 + y.k*7) % 256
+              + (d.doc_id*17 + x.k + y.k) % 256) AS v
+        FROM documents d JOIN series x ON x.k <= d.doc_id % 7
+             JOIN series y ON y.k <= d.doc_id % 5
+        WHERE d.doc_id % 3 = 2),
+      allm AS (
+        SELECT 'image' AS modality, doc_id, v FROM img
+        UNION ALL SELECT 'audio', doc_id, v FROM aud
+        UNION ALL SELECT 'video', doc_id, v FROM vid)
+      SELECT modality, CAST(count(DISTINCT doc_id) AS BIGINT) AS cnt,
+             CAST(count(*) AS BIGINT) AS n_units, CAST(sum(v) AS BIGINT) AS sum_v
+      FROM allm GROUP BY modality ORDER BY modality"""))
 
   /** F7 second form: declared-schema JSON extraction (`from_json` into a
     * struct) — same values as the path-based `get_json_object` (B8). */
