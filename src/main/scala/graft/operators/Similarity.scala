@@ -39,6 +39,22 @@ object Similarity {
       .select(col("q_id").as("vec_id"), col("rank"), col("c_id").as("nn_id"), col("cosine"))
   }
 
+  /** Recall accounting for an ANN tier, as a single-row count frame: every
+    * brute-force top-k pair left-joined against the ANN pairs — `queries`
+    * distinct query vectors, `pairs` ground-truth pairs, `hits` of them the
+    * ANN result recovered. All integers (hash-stable across engines); the
+    * recall ratio is hits/pairs. Scale shape: one equi-join on
+    * (vec_id, nn_id) + one aggregation — no pairwise work beyond what the
+    * two inputs already did. */
+  def recallCounts(ann: DataFrame, brute: DataFrame): DataFrame =
+    brute.select(col("vec_id"), col("nn_id"))
+      .join(ann.select(col("vec_id"), col("nn_id")).withColumn("hit", lit(1)),
+        Seq("vec_id", "nn_id"), "left")
+      .agg(
+        countDistinct(col("vec_id")).cast("long").as("queries"),
+        count(lit(1)).as("pairs"),
+        coalesce(sum(col("hit")), lit(0)).cast("long").as("hits"))
+
   /** Deterministic pseudo-random hyperplane weight in [-1, 1): seeded by
     * (table, plane, dim) through xxhash64 — reproducible across runs and
     * cluster sizes. */

@@ -267,6 +267,69 @@ object LlmQueries {
     },
     None)
 
+  // Driver-visible ANN recall (round-4 verdict #4): the approximate tiers
+  // are no_oracle by design, but their RECALL against the in-Spark
+  // brute-force top-k is a deterministic integer — data, seeds, and
+  // training schedules are all fixed — so each tier emits a count query:
+  // (queries, ground-truth pairs, hits). DuckDB recomputes queries/pairs
+  // from its own brute-force top-3; `hits` is the committed constant this
+  // build produces (pinned at sf0.01, the driver's gate SF; any drift in
+  // seeding, training, or candidate generation surfaces as a hash
+  // mismatch). Recall THRESHOLDS stay asserted in SimilaritySpec; hit
+  // stability across partition counts is asserted there too.
+  private def annRecallOracle(whereQ: String, hits: Long): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      pairs AS (SELECT q.vec_id, c.vec_id AS nn_id,
+          list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+        FROM n q JOIN n c ON q.vec_id <> c.vec_id $whereQ),
+      ranked AS (SELECT vec_id, nn_id,
+          row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nn_id) AS rank
+        FROM pairs)
+      SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS queries,
+             CAST(count(*) AS BIGINT) AS pairs,
+             CAST($hits AS BIGINT) AS hits
+      FROM ranked WHERE rank <= 3"""
+
+  private def brute3(s: SparkSession, dir: String, maxQ: Option[Long] = None) = {
+    val emb = t(s, dir, "embeddings")
+    val q = maxQ.map(m => emb.where(col("vec_id") < m)).getOrElse(emb)
+    Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3)
+  }
+
+  val l3lshRecall = GQuery(
+    "l3_ann_lsh_recall",
+    (s, dir) => Similarity.recallCounts(
+      Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 3),
+      brute3(s, dir)),
+    Some(annRecallOracle("", 98L)))
+
+  val l3ivfRecall = GQuery(
+    "l3_ann_ivf_recall",
+    (s, dir) => Similarity.recallCounts(
+      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", "label", k = 3),
+      brute3(s, dir)),
+    Some(annRecallOracle("", 464L)))
+
+  val l3kmeansRecall = GQuery(
+    "l3_ann_kmeans_recall",
+    (s, dir) => Similarity.recallCounts(
+      Similarity.ivfTopKTrained(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, nCells = 16, nProbe = 4),
+      brute3(s, dir)),
+    Some(annRecallOracle("", 960L)))
+
+  val l3pqRecall = GQuery(
+    "l3_ann_pq_recall",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.recallCounts(
+        Similarity.pqTopK(emb, emb.where(col("vec_id") < 100), "vec_id", "embedding",
+          k = 3, m = 8, kCodes = 16, shortlist = 30, iters = 3),
+        brute3(s, dir, maxQ = Some(100L)))
+    },
+    Some(annRecallOracle("WHERE q.vec_id < 100", 193L)))
+
   val l4langid = GQuery(
     "l4_langid",
     (s, dir) =>
@@ -805,6 +868,7 @@ object LlmQueries {
       FROM documents WHERE doc_id NOT IN (SELECT a_id FROM cond)"""))
 
   def all: Seq[GQuery] = Seq(l1, l2, l2brute, l2simhash, l2simhashPairs, l2cluster, l2quality,
-    l2embedding, l3, l3scalable, l3lsh, l3ivf, l3kmeans, l3pq, l4langid, l5, l6, l7, l8, l9,
+    l2embedding, l3, l3scalable, l3lsh, l3ivf, l3kmeans, l3pq,
+    l3lshRecall, l3ivfRecall, l3kmeansRecall, l3pqRecall, l4langid, l5, l6, l7, l8, l9,
     l10, l11, l11b, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l24, l24b, l25)
 }

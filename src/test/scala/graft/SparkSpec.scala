@@ -18,5 +18,6 @@ object TestSession {
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
   val sf001 = "/root/testdata/sf0.001"
+  val sf01 = "/root/testdata/sf0.01"
   def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
 }

@@ -121,6 +121,24 @@ class SimilaritySpec extends SparkSpec {
     assert(enc.select(size($"codes")).distinct().as[Int].collect().toSeq === Seq(4))
   }
 
+  test("driver-visible recall counts match their committed oracle constants") {
+    // The l3_ann_*_recall oracles pin `hits` as a committed constant at
+    // sf0.01 (measured identical at 4/16/32 cores). This re-derives them
+    // through the public query builders so any drift in seeding, training,
+    // or candidate generation fails HERE before it fails the driver's gate.
+    import graft.queries.LlmQueries
+    val expect = Map(
+      "l3_ann_lsh_recall" -> (500L, 1500L, 98L),
+      "l3_ann_ivf_recall" -> (500L, 1500L, 464L),
+      "l3_ann_kmeans_recall" -> (500L, 1500L, 960L),
+      "l3_ann_pq_recall" -> (100L, 300L, 193L))
+    Seq(LlmQueries.l3lshRecall, LlmQueries.l3ivfRecall,
+      LlmQueries.l3kmeansRecall, LlmQueries.l3pqRecall).foreach { q =>
+      val r = q.build(spark, sf01).head()
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) === expect(q.name), q.name)
+    }
+  }
+
   test("PQ training and search are deterministic across runs") {
     val emb = Tables(spark, sf001, "embeddings").where($"vec_id" < 100)
     def run() = Similarity.pqTopK(emb, emb.where($"vec_id" < 10), "vec_id", "embedding",
