@@ -22,6 +22,50 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** SQL surface: registers the table-valued function
+    *
+    * {{{ SELECT * FROM asof_join('left_view', 'right_view',
+    *       'k1,k2', 'left_ts', 'right_ts', 'payload1,payload2'[, tol_ms]) }}}
+    *
+    * so SQL-only users (the DuckDB `ASOF JOIN` / pandas `merge_asof`
+    * audience) can call [[asof]] without the library API — arguments are
+    * literal view/column names, resolved against the session catalog at
+    * analysis time; the plan produced is identical to the API call's.
+    *
+    * The pure-SQL rewrite (no function registration needed) is the
+    * window-SQL twin shipped as `b13_asof` in SqlQueries: tag both sides,
+    * UNION, running `last(CASE WHEN side = 0 THEN ts END, true)` over
+    * (key ORDER BY ts, side, tiebreak), keep side = 1 rows with a match —
+    * the same single-shuffle plan this object builds. */
+  def registerSqlSurface(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    import org.apache.spark.sql.graft.Bridge
+    def str(e: Expression, what: String): String = e match {
+      case Literal(v, org.apache.spark.sql.types.StringType) if v != null => v.toString
+      case other => throw new IllegalArgumentException(
+        s"asof_join: $what must be a string literal, got $other")
+    }
+    def csv(e: Expression, what: String): Seq[String] =
+      str(e, what).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    Bridge.registerTableFunction(spark, "asof_join", { args =>
+      require(args.length == 6 || args.length == 7,
+        "asof_join(left_view, right_view, keys_csv, left_ts, right_ts, payload_csv[, tolerance_ms])")
+      val tol = args.lift(6).map {
+        case Literal(v: Number, _) => v.longValue
+        case other => throw new IllegalArgumentException(
+          s"asof_join: tolerance_ms must be an integer literal, got $other")
+      }
+      Bridge.logicalPlan(asof(
+        spark.table(str(args(0), "left_view")),
+        spark.table(str(args(1), "right_view")),
+        csv(args(2), "keys_csv"),
+        str(args(3), "left_ts"),
+        str(args(4), "right_ts"),
+        csv(args(5), "payload_csv"),
+        toleranceMs = tol))
+    })
+  }
+
   /** @param keys          equi-join key column names (present on both sides)
     * @param leftTs        event-time column on `left`
     * @param rightTs       event-time column on `right`

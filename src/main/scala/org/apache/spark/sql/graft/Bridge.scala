@@ -26,6 +26,20 @@ object Bridge {
       .createOrReplaceTempFunction(name, builder, "built-in")
   }
 
+  /** Temp TABLE-VALUED function registration (FROM-clause functions like
+    * `range`): the builder receives the call's argument expressions and
+    * returns the logical plan the reference resolves to. */
+  def registerTableFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+  }
+
+  def logicalPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
   def functionDescription(name: String, clazz: Class[_],
       builder: Seq[Expression] => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =

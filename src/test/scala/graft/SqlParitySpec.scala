@@ -23,4 +23,30 @@ class SqlParitySpec extends SparkSpec {
       assert(viaSql === viaDf, q.name)
     }
   }
+
+  test("asof_join SQL table function matches AsOfJoin.asof (incl. tolerance)") {
+    graft.operators.AsOfJoin.registerSqlSurface(spark)
+    Tables.registerAll(spark, sf001)
+    spark.sql("""CREATE OR REPLACE TEMP VIEW asof_p AS
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'""")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW asof_s AS
+      SELECT user_id, ts AS signup_ts FROM events WHERE event_type = 'signup'""")
+    def sorted(df: DataFrame): Seq[Seq[String]] =
+      rows(df.orderBy("user_id", "ts", "event_id"))
+    val api = graft.operators.AsOfJoin.asof(
+      spark.table("asof_p"), spark.table("asof_s"),
+      Seq("user_id"), "ts", "signup_ts", Seq("signup_ts"))
+    val sql = spark.sql(
+      "SELECT * FROM asof_join('asof_p', 'asof_s', 'user_id', 'ts', 'signup_ts', 'signup_ts')")
+    assert(sorted(sql) === sorted(api))
+    assert(sorted(sql).nonEmpty)
+    val apiTol = graft.operators.AsOfJoin.asof(
+      spark.table("asof_p"), spark.table("asof_s"),
+      Seq("user_id"), "ts", "signup_ts", Seq("signup_ts"),
+      toleranceMs = Some(86400000L))
+    val sqlTol = spark.sql(
+      "SELECT * FROM asof_join('asof_p', 'asof_s', 'user_id', 'ts', 'signup_ts', 'signup_ts', 86400000)")
+    assert(sorted(sqlTol) === sorted(apiTol))
+    assert(sorted(sqlTol).size < sorted(sql).size) // tolerance actually filters
+  }
 }
