@@ -273,4 +273,59 @@ class IngestSpec extends SparkSpec {
     // full window (v0 → latest) equals the v0→v1 feed: compaction stays silent
     assert(cat.changes(fromVersion = 0).count() === 3)
   }
+
+  test("C6 property: concurrent committers lose no updates, history stays linear") {
+    // One Catalog INSTANCE per thread over the same root — the in-object
+    // `synchronized` never arbitrates, so the put-if-absent hard-link claim
+    // (tryCommitAt) is the only thing preventing lost updates, exactly as
+    // with independent writer processes.
+    val root = Files.createTempDirectory("graft_cat_conc").toString
+    val now = new java.sql.Timestamp(0L)
+    val nWriters = 6
+    val perWriter = 4
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(nWriters)
+    val start = new CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until nWriters).foreach { w =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try {
+            val cat = new Catalog(spark, root)
+            start.await()
+            (0 until perWriter).foreach { i =>
+              if (w % 2 == 0) // appenders: unique path per commit
+                cat.append(spark.createDataset(Seq(
+                  CatalogEntry("s", s"app-$w-$i", s"h$w$i", "success", "", now, "st", 1))))
+              else // upserters: each rewrites its OWN key with a new hash
+                cat.upsert(spark.createDataset(Seq(
+                  CatalogEntry("s", s"ups-$w", s"h$w-$i", "success", "", now, "st", 1))))
+            }
+          } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "writers timed out")
+    assert(failures.isEmpty, failures.toArray.mkString("; "))
+
+    val cat = new Catalog(spark, root)
+    // linear history: exactly one commit per version number, no gaps
+    val nCommits = nWriters * perWriter
+    assert(cat.history().count() === nCommits.toLong)
+    val logFiles = Files.list(Paths.get(root, "_txn_log")).iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(logFiles).asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".json")).toSeq.sorted
+    assert(names === (0 until nCommits).map(v => f"$v%08d.json"))
+    // no lost appends: every appended path present exactly once
+    val rows = cat.table().select($"raw_path", $"content_hash").as[(String, String)].collect()
+    val appended = rows.filter(_._1.startsWith("app-")).map(_._1).sorted.toSeq
+    assert(appended ===
+      (0 until nWriters by 2).flatMap(w => (0 until perWriter).map(i => s"app-$w-$i")).sorted)
+    // no lost upserts and no duplicate keys: each upserter's key appears
+    // once, carrying its final (sequentially last) hash
+    val upserted = rows.filter(_._1.startsWith("ups-")).toSeq.sorted
+    assert(upserted ===
+      (1 until nWriters by 2).map(w => (s"ups-$w", s"h$w-${perWriter - 1}")).sorted)
+  }
 }
