@@ -85,5 +85,63 @@ object IoQueries {
       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
       FROM orders WHERE o_orderkey <= 1000"""))
 
-  def all: Seq[GQuery] = Seq(t1, t1orc, t2, t3, tskip)
+  /** External-Delta interop end-to-end (sources.DeltaRead): author a REAL
+    * `_delta_log` over partitioned parquet written from events (exactly the
+    * layout another engine's Delta writer produces — partition column only
+    * in the log, percent-encodable relative paths), commit v0 = all
+    * partitions, v1 = drop the 'click' partition, then read BOTH versions
+    * back through the log-replay reader. Oracle recomputes both snapshots
+    * from the original events table. */
+  val tdelta = GQuery(
+    "t_delta_read",
+    (s, dir) => {
+      val table = tmp("graft_delta_q")
+      val ev = Tables(s, dir, "events").select(col("event_id"), col("value"), col("event_type"))
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(s"$table/files")
+      val schemaJson = org.apache.spark.sql.types.StructType(
+        ev.schema.filter(_.name != "event_type") :+
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType)).json
+      // list written part files per partition dir → add actions
+      val root = new java.io.File(s"$table/files")
+      val addsByType = root.listFiles().filter(_.getName.startsWith("event_type="))
+        .flatMap { d =>
+          val etype = d.getName.stripPrefix("event_type=")
+          d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+            etype -> (s"""{"add":{"path":"files/${d.getName}/${f.getName}",""" +
+              s""""partitionValues":{"event_type":"$etype"},"size":1,""" +
+              s""""modificationTime":0,"dataChange":true}}""")
+          }
+        }.toSeq
+      val logDir = java.nio.file.Paths.get(table, "_delta_log")
+      java.nio.file.Files.createDirectories(logDir)
+      val meta =
+        s"""{"metaData":{"id":"graft-q","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"${schemaJson.replace("\\", "\\\\").replace("\"", "\\\"")}",""" +
+          s""""partitionColumns":["event_type"],"configuration":{},"createdTime":0}}"""
+      java.nio.file.Files.writeString(logDir.resolve(f"${0L}%020d.json"),
+        ("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +: meta +:
+          addsByType.map(_._2)).mkString("", "\n", "\n"))
+      java.nio.file.Files.writeString(logDir.resolve(f"${1L}%020d.json"),
+        addsByType.filter(_._1 == "click")
+          .map { case (_, add) =>
+            val path = add.split("\"path\":\"")(1).split("\"")(0)
+            s"""{"remove":{"path":"$path","deletionTimestamp":0,"dataChange":true}}"""
+          }.mkString("", "\n", "\n"))
+      def agg(v: Long) = graft.sources.DeltaRead.snapshot(s, table, v)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .withColumn("version", lit(v))
+      agg(0L).unionByName(agg(1L))
+        .select(col("version"), col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy(col("version"), col("event_type"))
+    },
+    Some("""SELECT 0 AS version, event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT 1, event_type, count(*), round(sum(value), 2)
+      FROM events WHERE event_type <> 'click' GROUP BY event_type
+      ORDER BY version, event_type"""))
+
+  def all: Seq[GQuery] = Seq(t1, t1orc, t2, t3, tskip, tdelta)
 }

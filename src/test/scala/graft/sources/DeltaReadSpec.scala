@@ -1,0 +1,142 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** External-Delta interop: log fixtures are hand-authored in the OPEN
+  * `_delta_log` JSON/checkpoint format (Delta PROTOCOL.md) — exactly what
+  * another engine would have written. */
+class DeltaReadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schemaJson =
+    """{"type":"struct","fields":[
+      {"name":"id","type":"long","nullable":true,"metadata":{}},
+      {"name":"name","type":"string","nullable":true,"metadata":{}},
+      {"name":"grp","type":"string","nullable":true,"metadata":{}}]}"""
+      .replaceAll("\n\\s*", "")
+
+  private def metaAction(partitionCols: Seq[String]): String = {
+    val parts = partitionCols.map(c => s""""$c"""").mkString("[", ",", "]")
+    s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":"${schemaJson.replace("\"", "\\\"")}",""" +
+      s""""partitionColumns":$parts,"configuration":{},"createdTime":0}}"""
+  }
+  private val protocolAction = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+
+  /** Write rows as a single parquet part under the table dir; returns the
+    * RELATIVE path a Delta writer would record. */
+  private def writePart(table: String, name: String, rows: Seq[(Long, String)]): String = {
+    val tmp = Files.createTempDirectory("graft_delta_part")
+    rows.toDF("id", "name").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    val dest = Paths.get(table, name)
+    Files.createDirectories(dest.getParent)
+    Files.move(part.toPath, dest)
+    name
+  }
+
+  private def commit(table: String, v: Long, lines: Seq[String]): Unit = {
+    val dir = Paths.get(table, "_delta_log")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve(f"$v%020d.json"), lines.mkString("", "\n", "\n"))
+  }
+
+  private def addAction(path: String, pv: Map[String, String]): String = {
+    val pvJson = pv.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    s"""{"add":{"path":"$path","partitionValues":$pvJson,"size":1,""" +
+      s""""modificationTime":0,"dataChange":true}}"""
+  }
+  private def removeAction(path: String): String =
+    s"""{"remove":{"path":"$path","deletionTimestamp":0,"dataChange":true}}"""
+
+  test("snapshot replays adds/removes with partition injection and time travel") {
+    val table = Files.createTempDirectory("graft_delta_tbl").toString
+    val p1 = writePart(table, "grp=x/part-1.parquet", Seq((1L, "alpha"), (2L, "beta")))
+    val p2 = writePart(table, "grp=y/part-2.parquet", Seq((3L, "gamma")))
+    val p3 = writePart(table, "grp=x/part-3.parquet", Seq((4L, "delta")))
+    commit(table, 0L, Seq(protocolAction, metaAction(Seq("grp")),
+      addAction("grp%3Dx/part-1.parquet", Map("grp" -> "x")), // percent-encoded path
+      addAction(p2, Map("grp" -> "y"))))
+    // v1 rewrites part-2's partition: remove + add in one commit
+    commit(table, 1L, Seq(removeAction(p2), addAction(p3, Map("grp" -> "x"))))
+
+    val v0 = DeltaRead.snapshot(spark, table, 0L)
+    assert(v0.columns.toSeq === Seq("id", "name", "grp"))
+    assert(v0.orderBy("id").as[(Long, String, String)].collect().toSeq ===
+      Seq((1L, "alpha", "x"), (2L, "beta", "x"), (3L, "gamma", "y")))
+
+    val latest = DeltaRead.snapshot(spark, table)
+    assert(latest.orderBy("id").as[(Long, String, String)].collect().toSeq ===
+      Seq((1L, "alpha", "x"), (2L, "beta", "x"), (4L, "delta", "x")))
+    // partition predicate never touches removed files' rows
+    assert(latest.where($"grp" === "y").count() === 0L)
+  }
+
+  test("remove+add of the SAME path in one commit leaves the file live") {
+    val table = Files.createTempDirectory("graft_delta_rw").toString
+    val p = writePart(table, "part-a.parquet", Seq((1L, "x")))
+    commit(table, 0L, Seq(protocolAction, metaAction(Seq.empty), addAction(p, Map.empty)))
+    commit(table, 1L, Seq(removeAction(p), addAction(p, Map.empty)))
+    assert(DeltaRead.snapshot(spark, table).count() === 1L)
+  }
+
+  test("checkpoint parquet + later commits replay together") {
+    val table = Files.createTempDirectory("graft_delta_cp").toString
+    val p1 = writePart(table, "part-1.parquet", Seq((1L, "a"), (2L, "b")))
+    val p2 = writePart(table, "part-2.parquet", Seq((3L, "c")))
+    commit(table, 0L, Seq(protocolAction, metaAction(Seq.empty), addAction(p1, Map.empty)))
+    commit(table, 1L, Seq(addAction(p2, Map.empty)))
+    // checkpoint at v1 consolidating the state; then delete the JSON
+    // commits at/below it to prove the reader starts from the checkpoint
+    val cpRows = Seq(
+      (Some(("fixture", schemaJson, Seq.empty[String], "parquet")), None: Option[(String, Map[String, String])], Some(1)),
+      (None, Some((p1, Map.empty[String, String])), None),
+      (None, Some((p2, Map.empty[String, String])), None))
+      .toDF("m", "a", "mrv")
+      .select(
+        struct($"m._1".as("id"), $"m._2".as("schemaString"),
+          $"m._3".as("partitionColumns"),
+          struct(lit("parquet").as("provider")).as("format")).as("metaData"),
+        struct($"a._1".as("path"), $"a._2".as("partitionValues")).as("add"),
+        when($"mrv".isNotNull, struct($"mrv".as("minReaderVersion"))).as("protocol"))
+      .withColumn("metaData", when(col("metaData.id").isNotNull, col("metaData")))
+      .withColumn("add", when(col("add.path").isNotNull, col("add")))
+    cpRows.coalesce(1).write.mode("overwrite")
+      .parquet(s"$table/_delta_log_cp_tmp")
+    val cpPart = new java.io.File(s"$table/_delta_log_cp_tmp").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(cpPart.toPath,
+      Paths.get(table, "_delta_log", f"${1L}%020d.checkpoint.parquet"))
+    Files.delete(Paths.get(table, "_delta_log", f"${0L}%020d.json"))
+    Files.writeString(Paths.get(table, "_delta_log", "_last_checkpoint"),
+      """{"version":1,"size":3}""")
+    // v2 removes p1 after the checkpoint
+    val p3 = writePart(table, "part-3.parquet", Seq((4L, "d")))
+    commit(table, 2L, Seq(removeAction(p1), addAction(p3, Map.empty)))
+
+    assert(DeltaRead.snapshot(spark, table, 1L).orderBy("id")
+      .as[(Long, String, String)].collect().map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(DeltaRead.snapshot(spark, table).orderBy("id")
+      .as[(Long, String, String)].collect().map(_._1).toSeq === Seq(3L, 4L))
+  }
+
+  test("newer reader protocol and non-parquet formats are refused loudly") {
+    val table = Files.createTempDirectory("graft_delta_proto").toString
+    val p = writePart(table, "part-1.parquet", Seq((1L, "a")))
+    commit(table, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""",
+      metaAction(Seq.empty), addAction(p, Map.empty)))
+    val e = intercept[IllegalArgumentException](DeltaRead.snapshot(spark, table))
+    assert(e.getMessage.contains("reader protocol"))
+    val table2 = Files.createTempDirectory("graft_delta_fmt").toString
+    writePart(table2, "part-1.parquet", Seq((1L, "a")))
+    commit(table2, 0L, Seq(protocolAction,
+      metaAction(Seq.empty).replace("\"provider\":\"parquet\"", "\"provider\":\"orc\""),
+      addAction("part-1.parquet", Map.empty)))
+    val e2 = intercept[IllegalArgumentException](DeltaRead.snapshot(spark, table2))
+    assert(e2.getMessage.contains("format"))
+  }
+}
