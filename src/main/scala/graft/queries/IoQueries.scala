@@ -143,5 +143,91 @@ object IoQueries {
       FROM events WHERE event_type <> 'click' GROUP BY event_type
       ORDER BY version, event_type"""))
 
-  def all: Seq[GQuery] = Seq(t1, t1orc, t2, t3, tskip, tdelta)
+  /** External-Iceberg interop end-to-end (sources.IcebergRead): author a
+    * REAL Iceberg metadata tree from events — two parquet data files, Avro
+    * manifests/manifest-lists written with the Avro core API, v2 metadata
+    * JSON with two snapshots (all data / 'click' file deleted) — and read
+    * BOTH snapshots back through the spec-path reader. Same oracle shape
+    * as t_delta_read. */
+  val ticeberg = GQuery(
+    "t_iceberg_read",
+    (s, dir) => {
+      import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+      val table = tmp("graft_ice_q")
+      val ev = Tables(s, dir, "events").select(col("event_id"), col("value"), col("event_type"))
+      def writeOne(df: org.apache.spark.sql.DataFrame, name: String): String = {
+        val stage = tmp("graft_ice_stage")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles().find(_.getName.endsWith(".parquet")).get
+        val dest = java.nio.file.Paths.get(table, "data", name)
+        java.nio.file.Files.createDirectories(dest.getParent)
+        java.nio.file.Files.move(part.toPath, dest)
+        dest.toString
+      }
+      val fClick = writeOne(ev.where(col("event_type") === "click"), "click.parquet")
+      val fRest = writeOne(ev.where(col("event_type") =!= "click"), "rest.parquet")
+
+      val entrySchema = new org.apache.avro.Schema.Parser().parse(
+        """{"type":"record","name":"manifest_entry","fields":[
+          {"name":"status","type":"int"},
+          {"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+            {"name":"content","type":"int","default":0},
+            {"name":"file_path","type":"string"},
+            {"name":"file_format","type":"string"},
+            {"name":"record_count","type":"long"}]}}]}""")
+      val listSchema = new org.apache.avro.Schema.Parser().parse(
+        """{"type":"record","name":"manifest_file","fields":[
+          {"name":"manifest_path","type":"string"},
+          {"name":"content","type":"int","default":0}]}""")
+      def avro(path: String, schema: org.apache.avro.Schema, rows: Seq[GenericRecord]): Unit = {
+        val w = new org.apache.avro.file.DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path).getParent)
+        w.create(schema, new java.io.File(path))
+        try rows.foreach(w.append) finally w.close()
+      }
+      def entry(status: Int, path: String): GenericRecord = {
+        val d = new GenericData.Record(entrySchema.getField("data_file").schema())
+        d.put("content", 0); d.put("file_path", s"file://$path")
+        d.put("file_format", "PARQUET"); d.put("record_count", 1L)
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", status); e.put("data_file", d)
+        e
+      }
+      def ref(path: String): GenericRecord = {
+        val r = new GenericData.Record(listSchema)
+        r.put("manifest_path", path); r.put("content", 0)
+        r
+      }
+      avro(s"$table/metadata/m0.avro", entrySchema, Seq(entry(1, fClick), entry(1, fRest)))
+      avro(s"$table/metadata/ml0.avro", listSchema, Seq(ref(s"$table/metadata/m0.avro")))
+      avro(s"$table/metadata/m1.avro", entrySchema, Seq(entry(2, fClick), entry(0, fRest)))
+      avro(s"$table/metadata/ml1.avro", listSchema, Seq(ref(s"$table/metadata/m1.avro")))
+      val fields =
+        """[{"id":1,"name":"event_id","required":false,"type":"long"},
+           {"id":2,"name":"value","required":false,"type":"double"},
+           {"id":3,"name":"event_type","required":false,"type":"string"}]"""
+          .replaceAll("\n\\s*", "")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(table, "metadata", "v2.metadata.json"),
+        (s"""{"format-version":2,"table-uuid":"graft-q","location":"unused",
+          "current-snapshot-id":1,
+          "schemas":[{"schema-id":0,"type":"struct","fields":$fields}],
+          "current-schema-id":0,
+          "snapshots":[{"snapshot-id":0,"manifest-list":"$table/metadata/ml0.avro"},
+                       {"snapshot-id":1,"manifest-list":"$table/metadata/ml1.avro"}]}""")
+          .replaceAll("\n\\s*", ""))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(table, "metadata", "version-hint.text"), "2")
+
+      def agg(snapId: Long) = graft.sources.IcebergRead.snapshot(s, table, snapId)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .withColumn("version", lit(snapId))
+      agg(0L).unionByName(agg(1L))
+        .select(col("version"), col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy(col("version"), col("event_type"))
+    },
+    tdelta.oracle)
+
+  def all: Seq[GQuery] = Seq(t1, t1orc, t2, t3, tskip, tdelta, ticeberg)
 }
