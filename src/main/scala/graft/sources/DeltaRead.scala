@@ -83,6 +83,18 @@ object DeltaRead {
     }.filter(_ <= target)
     val fromCheckpoint = checkpointVersions.sorted.lastOption
 
+    // A retention-cleaned log may have dropped early JSON commits; without a
+    // checkpoint at/after the gap the replay would silently MISS adds. Every
+    // commit in (checkpoint, target] must be present, and with no checkpoint
+    // the commits must start at version 0.
+    val replayFrom = fromCheckpoint.getOrElse(-1L)
+    val needed = (replayFrom + 1) to target
+    val present = commitVersions.toSet
+    val missing = needed.filterNot(present)
+    require(missing.isEmpty,
+      s"cannot reconstruct version $target: log versions ${missing.mkString(",")} are " +
+        s"missing and no checkpoint covers them (log retention cleaned them?)")
+
     // Mutable replay state, keyed by resolved path (driver-side, O(files)).
     val live = scala.collection.mutable.LinkedHashMap[String, LiveFile]()
     var schemaString: String = null

@@ -123,6 +123,17 @@ class DeltaReadSpec extends SparkSpec {
       .as[(Long, String, String)].collect().map(_._1).toSeq === Seq(3L, 4L))
   }
 
+  test("retention-cleaned log without a covering checkpoint is refused") {
+    val table = Files.createTempDirectory("graft_delta_gap").toString
+    val p1 = writePart(table, "part-1.parquet", Seq((1L, "a")))
+    val p2 = writePart(table, "part-2.parquet", Seq((2L, "b")))
+    commit(table, 0L, Seq(protocolAction, metaAction(Seq.empty), addAction(p1, Map.empty)))
+    commit(table, 1L, Seq(addAction(p2, Map.empty)))
+    Files.delete(Paths.get(table, "_delta_log", f"${0L}%020d.json"))
+    val e = intercept[IllegalArgumentException](DeltaRead.snapshot(spark, table))
+    assert(e.getMessage.contains("missing"))
+  }
+
   test("newer reader protocol and non-parquet formats are refused loudly") {
     val table = Files.createTempDirectory("graft_delta_proto").toString
     val p = writePart(table, "part-1.parquet", Seq((1L, "a")))
