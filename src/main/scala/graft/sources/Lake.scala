@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Unified table entry point: detect the table format from its on-disk
+  * layout and dispatch to the right reader — a `_delta_log` dir →
+  * [[DeltaRead]], `.metadata.json` files under `metadata` →
+  * [[IcebergRead]], otherwise a plain parquet directory. Detection reads
+  * only directory listings (no data). */
+object Lake {
+
+  sealed trait Format
+  case object Delta extends Format
+  case object Iceberg extends Format
+  case object Parquet extends Format
+
+  def detect(spark: SparkSession, path: String): Format = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(root, "_delta_log"))) Delta
+    else {
+      val meta = new org.apache.hadoop.fs.Path(root, "metadata")
+      val isIceberg = fs.exists(meta) &&
+        fs.listStatus(meta).exists(_.getPath.getName.endsWith(".metadata.json"))
+      if (isIceberg) Iceberg else Parquet
+    }
+  }
+
+  /** Read `path` at an optional version: Delta log version, Iceberg
+    * snapshot id, or ignored for plain parquet (which has no versions —
+    * asking for one there fails loudly). */
+  def read(spark: SparkSession, path: String, version: Long = -1L): DataFrame =
+    detect(spark, path) match {
+      case Delta => DeltaRead.snapshot(spark, path, version)
+      case Iceberg => IcebergRead.snapshot(spark, path, version)
+      case Parquet =>
+        require(version < 0, s"plain parquet at $path has no versions (asked for $version)")
+        spark.read.parquet(path)
+    }
+}

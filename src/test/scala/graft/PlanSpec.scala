@@ -150,6 +150,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(event_type"), plan.take(5000))
   }
 
+  test("B7: membership pass is one job — no crossJoin, map-side partial agg") {
+    val df = BenchQueries.b7.build(spark, sf001)
+    df.collect()
+    val plan = planOf(df)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct") && !finalPlan.contains("BroadcastNestedLoop"),
+      plan.take(3000))
+    // orders' repeated custkeys collapse before the exchange
+    assert(finalPlan.contains("partial_max") || finalPlan.contains("HashAggregate"),
+      plan.take(3000))
+  }
+
+  test("B14: conditional-flag intersect scans orders ONCE") {
+    val df = BenchQueries.b14.build(spark, sf001)
+    df.collect()
+    val plan = planOf(df)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.linesIterator.count(_.contains("FileScan parquet")) === 1, plan.take(4000))
+  }
+
   test("profile: one aggregation pass feeds every per-column stat row") {
     val df = graft.operators.Profile.numeric(
       Tables(spark, sf001, "orders"), Seq("o_custkey", "o_totalprice"))

@@ -262,4 +262,53 @@ class PropertySpec extends AnyFunSuite {
       assert(rows(0)._2.toSet.intersect(rows(1)._2.toSet).nonEmpty)
     }
   }
+
+  test("BMP codec round-trips dims and channel sum for arbitrary images") {
+    import graft.multimodal.Containers
+    val gen = for {
+      w <- Gen.chooseNum(1, 13) // widths 1..13 sweep every 4-byte padding case
+      h <- Gen.chooseNum(1, 9)
+      seed <- Gen.chooseNum(0, 1000000)
+    } yield (w, h, seed)
+    forSamples(gen, n = 25) { case (w, h, seed) =>
+      def px(x: Int, y: Int) =
+        ((seed + x * 7 + y * 13) % 256, (seed * 3 + x + y * 5) % 256, (seed * 5 + x * 11 + y) % 256)
+      val bmp = Containers.buildBmp24(w, h, px)
+      val (pw, ph, sum) = Containers.parseBmp(bmp)
+      assert((pw, ph) === (w, h))
+      val expect = (for { y <- 0 until h; x <- 0 until w; v = px(x, y) }
+        yield (v._1 + v._2 + v._3).toLong).sum
+      assert(sum === expect, s"${w}x$h seed=$seed")
+      // resize never exceeds the bound and stays parseable
+      val resized = graft.multimodal.Multimodal.resizeBmp(bmp, 4)
+      val (rw, rh, _) = Containers.parseBmp(resized)
+      assert(math.max(rw, rh) <= math.max(4, math.max(w, h).min(4)))
+    }
+  }
+
+  test("WAV codec round-trips arbitrary sample runs incl. extremes") {
+    import graft.multimodal.Containers
+    val gen = Gen.listOfN(40, Gen.chooseNum(Short.MinValue.toInt, Short.MaxValue.toInt))
+    forSamples(gen, n = 25) { xs =>
+      val samples = (Short.MinValue.toInt +: Short.MaxValue.toInt +: xs).map(_.toShort).toArray
+      val wav = Containers.buildWavPcm16(22050, samples)
+      val (rate, n, sum) = Containers.parseWav(wav)
+      assert(rate === 22050 && n === samples.length.toLong)
+      assert(sum === samples.map(_.toLong).sum)
+    }
+  }
+
+  test("PPM codec round-trips arbitrary frames") {
+    import graft.multimodal.Containers
+    val gen = Gen.zip(Gen.chooseNum(1, 11), Gen.chooseNum(1, 7), Gen.chooseNum(0, 999))
+    forSamples(gen, n = 25) { case (w, h, seed) =>
+      def px(x: Int, y: Int) = ((seed + x) % 256, (seed + y) % 256, (x + y) % 256)
+      val ppm = Containers.buildPpmP6(w, h, px)
+      val (pw, ph, sum) = Containers.parsePpm(ppm)
+      assert((pw, ph) === (w, h))
+      val expect = (for { y <- 0 until h; x <- 0 until w; v = px(x, y) }
+        yield (v._1 + v._2 + v._3).toLong).sum
+      assert(sum === expect)
+    }
+  }
 }

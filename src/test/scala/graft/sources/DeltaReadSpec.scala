@@ -73,6 +73,15 @@ class DeltaReadSpec extends SparkSpec {
       Seq((1L, "alpha", "x"), (2L, "beta", "x"), (4L, "delta", "x")))
     // partition predicate never touches removed files' rows
     assert(latest.where($"grp" === "y").count() === 0L)
+
+    // Lake façade: detection + versioned dispatch
+    assert(Lake.detect(spark, table) === Lake.Delta)
+    assert(Lake.read(spark, table, 0L).count() === 3L)
+    val plain = Files.createTempDirectory("graft_lake_plain").toString
+    Seq((1L, "a")).toDF("id", "name").write.mode("overwrite").parquet(plain)
+    assert(Lake.detect(spark, plain) === Lake.Parquet)
+    assert(Lake.read(spark, plain).count() === 1L)
+    intercept[IllegalArgumentException](Lake.read(spark, plain, 3L))
   }
 
   test("remove+add of the SAME path in one commit leaves the file live") {

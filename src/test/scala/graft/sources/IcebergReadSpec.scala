@@ -140,6 +140,8 @@ class IcebergReadSpec extends SparkSpec {
     Files.writeString(Paths.get(table, "metadata", "version-hint.text"), "1")
     assert(IcebergRead.snapshot(spark, table).as[(Long, String)].collect().toSeq ===
       Seq((7L, "z")))
+    assert(Lake.detect(spark, table) === Lake.Iceberg)
+    assert(Lake.read(spark, table).count() === 1L)
 
     // nested type → loud refusal
     Files.writeString(Paths.get(table, "metadata", "v1.metadata.json"),
