@@ -76,10 +76,18 @@ object AsOfJoin {
     *                      greatest value wins
     * @param toleranceMs   optional max staleness (pandas merge_asof
     *                      `tolerance`): a left row only matches if the
-    *                      as-of right row is at most this many ms older.
-    *                      Exact as a post-filter — the latest prior right
-    *                      row is also the NEAREST prior one, so no earlier
-    *                      candidate could have qualified instead.
+    *                      as-of right row is at most this many ms away.
+    *                      Exact as a post-filter — the matched right row is
+    *                      by construction the NEAREST in its direction, so
+    *                      no other candidate could have qualified instead.
+    * @param direction     `backward` (default): latest right with
+    *                      rts <= lts; `forward`: earliest right with
+    *                      rts >= lts; `nearest`: whichever of the two is
+    *                      closer in time, ties to backward (pandas
+    *                      merge_asof's direction semantics). All three run
+    *                      as windows over ONE shuffle of the tagged union —
+    *                      nearest costs a second sort, never a second
+    *                      shuffle or a range join.
     */
   def asof(
       left: DataFrame,
@@ -89,7 +97,10 @@ object AsOfJoin {
       rightTs: String,
       rightPayload: Seq[String],
       rightTieBreak: Seq[String] = Nil,
-      toleranceMs: Option[Long] = None): DataFrame = {
+      toleranceMs: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"asof direction must be backward|forward|nearest, got '$direction'")
 
     val leftCols = left.columns.toSeq
     val payloadStruct = struct((rightTs +: rightPayload).distinct.map(col): _*)
@@ -119,37 +130,52 @@ object AsOfJoin {
     // side become NULL (never read back for right rows).
     val unioned = taggedRight.unionByName(taggedLeft, allowMissingColumns = true)
 
-    // Right rows (side=0) sort before left rows (side=1) at equal ts →
-    // inclusive `<=`; among equal right ts the greatest tie-break sorts last.
-    val ord: Seq[Column] =
-      col("__ts").asc +: col("__side").asc +: rightTieBreak.indices.map(i => col(s"__tie$i").asc)
-    val w = Window
+    // Right rows (side=0) sort before left rows (side=1) at equal ts in
+    // BOTH traversal directions → inclusive match at equal timestamps;
+    // among equal right ts the greatest tie-break is seen last and wins.
+    def w(tsOrd: Column) = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(ord: _*)
+      .orderBy(tsOrd +: col("__side").asc +: rightTieBreak.indices.map(i => col(s"__tie$i").asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val backwardW = w(col("__ts").asc) // running last over ascending ts = latest prior
+    val forwardW = w(col("__ts").desc) // running last over descending ts = earliest later
 
-    val matched = unioned
-      .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
-      .where(col("__side") === 1 && col("__match").isNotNull)
+    // signed ms distance from a match timestamp to the row's own __ts; the
+    // type dispatch keeps asof's type-generic ts support: timestamps via
+    // unix_millis, dates via whole-day datediff, numerics raw (caller's own
+    // ms units) — date minus date would otherwise produce an INTERVAL that
+    // fails analysis when compared to a Long.
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
+    def lagMs(matchTs: Column): Column = taggedRight.schema("__ts").dataType match {
+      case TimestampType => unix_millis(col("__ts")) - unix_millis(matchTs)
+      case DateType => datediff(col("__ts"), matchTs).cast("long") * lit(86400000L)
+      case _: NumericType => col("__ts") - matchTs
+      case other => throw new IllegalArgumentException(
+        s"asof tolerance/nearest needs a timestamp, date, or numeric event-time column; got $other")
+    }
+
+    val matched = (direction match {
+      case "backward" => unioned.withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(backwardW))
+      case "forward" => unioned.withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(forwardW))
+      case "nearest" =>
+        // both candidates from the SAME shuffled partition (two sorts, one
+        // exchange); choose the smaller absolute distance, ties backward
+        val both = unioned
+          .withColumn("__bm", last(col("__rpay"), ignoreNulls = true).over(backwardW))
+          .withColumn("__fm", last(col("__rpay"), ignoreNulls = true).over(forwardW))
+        val bLag = lagMs(col(s"__bm.$rightTs")) // >= 0 when both exist
+        val fLag = -lagMs(col(s"__fm.$rightTs")) // >= 0 when both exist
+        both.withColumn("__match",
+          when(col("__bm").isNull, col("__fm"))
+            .when(col("__fm").isNull, col("__bm"))
+            .when(fLag < bLag, col("__fm"))
+            .otherwise(col("__bm")))
+          .drop("__bm", "__fm")
+    }).where(col("__side") === 1 && col("__match").isNotNull)
 
     val withinTolerance = toleranceMs match {
       case None => matched
-      case Some(ms) =>
-        // keep asof's type-generic ts support: timestamps lag in ms via
-        // unix_millis, dates via whole-day datediff; anything else must be
-        // numeric (caller's own ms units) — date minus date would otherwise
-        // produce an INTERVAL that fails analysis when compared to a Long.
-        import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
-        val lag = matched.schema("__ts").dataType match {
-          case TimestampType =>
-            unix_millis(col("__ts")) - unix_millis(col(s"__match.$rightTs"))
-          case DateType =>
-            datediff(col("__ts"), col(s"__match.$rightTs")).cast("long") * lit(86400000L)
-          case _: NumericType => col("__ts") - col(s"__match.$rightTs")
-          case other => throw new IllegalArgumentException(
-            s"asof toleranceMs needs a timestamp, date, or numeric event-time column; got $other")
-        }
-        matched.where(lag <= ms)
+      case Some(ms) => matched.where(abs(lagMs(col(s"__match.$rightTs"))) <= ms)
     }
     val out = leftCols.map(col) ++
       (rightTs +: rightPayload).distinct.map(c => col(s"__match.$c").as(c))

@@ -332,5 +332,66 @@ object AnalyticsQueries {
       SELECT count(*) AS matched, round(sum(value), 2) AS total_value
       FROM m WHERE pms - sms <= 21600000"""))
 
-  val all: Seq[GQuery] = Seq(t40, t41, t42, t43, t44, t45, t46, t47, l23, l3ivfx, b14b)
+  /** Forward as-of (pandas merge_asof direction='forward'): each purchase
+    * matches the EARLIEST signup at/after it. Same single-shuffle window
+    * plan as backward, traversed descending. */
+  val t48 = GQuery(
+    "t48_asof_forward",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val signups = e.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"))
+      graft.operators.AsOfJoin
+        .asof(purchases, signups, Seq("user_id"), "ts", "signup_ts",
+          rightPayload = Nil, direction = "forward")
+        .agg(count(lit(1)).as("matched"), round(sum(col("value")), 2).as("total_value"),
+          round(sum((unix_micros(col("signup_ts")) - unix_micros(col("ts"))) / lit(1000000.0)), 2)
+            .as("total_lead_s"))
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events WHERE event_type = 'purchase'),
+        s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'signup'),
+        m AS (SELECT p.event_id, max(p.value) AS value,
+                     max(epoch_us(p.ts)) AS pus, min(epoch_us(s.ts)) AS sus
+              FROM p JOIN s ON s.user_id = p.user_id AND s.ts >= p.ts
+              GROUP BY p.event_id)
+      SELECT count(*) AS matched, round(sum(value), 2) AS total_value,
+             round(sum((sus - pus) / 1000000.0), 2) AS total_lead_s FROM m"""))
+
+  /** Nearest as-of (pandas merge_asof direction='nearest', ties backward):
+    * closest signup in either direction — two sorts over ONE shuffle, never
+    * a range join. Oracle ranks the O(n·m) candidate pairs by absolute
+    * distance with the same tie rule. */
+  val t49 = GQuery(
+    "t49_asof_nearest",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val signups = e.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"))
+      graft.operators.AsOfJoin
+        .asof(purchases, signups, Seq("user_id"), "ts", "signup_ts",
+          rightPayload = Nil, direction = "nearest")
+        .agg(count(lit(1)).as("matched"), round(sum(col("value")), 2).as("total_value"),
+          round(sum(abs(unix_micros(col("signup_ts")) - unix_micros(col("ts"))) / lit(1000000.0)), 2)
+            .as("total_dist_s"))
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events WHERE event_type = 'purchase'),
+        s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'signup'),
+        cand AS (SELECT p.event_id, p.value,
+                        abs(epoch_us(s.ts) - epoch_us(p.ts)) AS dus,
+                        CASE WHEN s.ts <= p.ts THEN 0 ELSE 1 END AS fwd
+                 FROM p JOIN s ON s.user_id = p.user_id),
+        r AS (SELECT event_id, value, dus,
+                     row_number() OVER (PARTITION BY event_id ORDER BY dus, fwd) AS rn
+              FROM cand)
+      SELECT count(*) AS matched, round(sum(value), 2) AS total_value,
+             round(sum(dus / 1000000.0), 2) AS total_dist_s
+      FROM r WHERE rn = 1"""))
+
+  val all: Seq[GQuery] = Seq(t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, l23, l3ivfx, b14b)
 }

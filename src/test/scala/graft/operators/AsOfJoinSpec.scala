@@ -80,6 +80,48 @@ class AsOfJoinSpec extends SparkSpec {
     assert(tol90 === Set("p1", "p2", "p4")) // 1 h lags within 90 min
   }
 
+  test("forward direction matches the earliest later right row (inclusive)") {
+    val m = AsOfJoin.asof(left, right, Seq("user_id"), "ts", "rts",
+      rightPayload = Seq("sid"), rightTieBreak = Seq("sid"), direction = "forward")
+      .select("pid", "sid").as[(String, Long)].collect().toMap
+    // p1 (10:00) → earliest later = 11:00, greatest tiebreak among equals
+    assert(m("p1") === 102L)
+    // p2 (12:00) has no later signup → dropped
+    assert(!m.contains("p2"))
+    // p3 (09:00) → 10:00 signup ahead matches in forward mode
+    assert(m("p3") === 103L)
+    // equal ts matches inclusively in forward too
+    assert(m("p4") === 104L)
+  }
+
+  test("nearest direction picks the closer side; ties go backward") {
+    val l = Seq(
+      (1L, ts("2024-01-01 10:30:00"), "closerBack"), // back 09:00=90m, fwd 11:00=30m
+      (1L, ts("2024-01-01 10:00:00"), "tie"),        // back 09:00=60m, fwd 11:00=60m
+      (2L, ts("2024-01-01 09:00:00"), "onlyFwd"),
+      (3L, ts("2024-01-01 12:00:00"), "onlyBack")
+    ).toDF("user_id", "ts", "pid")
+    val r = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 100L),
+      (1L, ts("2024-01-01 11:00:00"), 101L),
+      (2L, ts("2024-01-01 10:00:00"), 103L),
+      (3L, ts("2024-01-01 10:00:00"), 104L)
+    ).toDF("user_id", "rts", "sid")
+    val m = AsOfJoin.asof(l, r, Seq("user_id"), "ts", "rts",
+      rightPayload = Seq("sid"), rightTieBreak = Seq("sid"), direction = "nearest")
+      .select("pid", "sid").as[(String, Long)].collect().toMap
+    assert(m("closerBack") === 101L) // forward is closer here
+    assert(m("tie") === 100L) // equal distance → backward
+    assert(m("onlyFwd") === 103L) // falls back to the only existing side
+    assert(m("onlyBack") === 104L)
+    // nearest + tolerance uses ABSOLUTE distance
+    val tol = AsOfJoin.asof(l, r, Seq("user_id"), "ts", "rts",
+      rightPayload = Seq("sid"), rightTieBreak = Seq("sid"), direction = "nearest",
+      toleranceMs = Some(45L * 60 * 1000))
+      .select("pid").as[String].collect().toSet
+    assert(tol === Set("closerBack")) // only the 30-min match survives
+  }
+
   test("tolerance works on numeric (non-timestamp) event-time columns") {
     val l = Seq((1L, 1000L, "x"), (1L, 5000L, "y")).toDF("k", "ts", "pid")
     val r = Seq((1L, 900L, 7L)).toDF("k", "rts", "sid")
