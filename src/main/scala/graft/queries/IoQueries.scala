@@ -229,5 +229,33 @@ object IoQueries {
     },
     tdelta.oracle)
 
-  def all: Seq[GQuery] = Seq(t1, t1orc, t2, t3, tskip, tdelta, ticeberg)
+  /** Delta WRITER round-trip (sources.DeltaWrite → sources.DeltaRead): two
+    * appends through the writer's own commit protocol (partitioned layout,
+    * hard-link version claims), both versions read back through the log
+    * reader. v0 = events without clicks, v1 = + clicks. */
+  val tdeltaRt = GQuery(
+    "t_delta_roundtrip",
+    (s, dir) => {
+      val table = tmp("graft_deltaw_q")
+      val ev = Tables(s, dir, "events").select(col("event_id"), col("value"), col("event_type"))
+      graft.sources.DeltaWrite.append(s, ev.where(col("event_type") =!= "click"),
+        table, partitionBy = Seq("event_type"))
+      graft.sources.DeltaWrite.append(s, ev.where(col("event_type") === "click"),
+        table, partitionBy = Seq("event_type"))
+      def agg(v: Long) = graft.sources.DeltaRead.snapshot(s, table, v)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .withColumn("version", lit(v))
+      agg(0L).unionByName(agg(1L))
+        .select(col("version"), col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy(col("version"), col("event_type"))
+    },
+    Some("""SELECT 0 AS version, event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+      FROM events WHERE event_type <> 'click' GROUP BY event_type
+      UNION ALL
+      SELECT 1, event_type, count(*), round(sum(value), 2)
+      FROM events GROUP BY event_type
+      ORDER BY version, event_type"""))
+
+  def all: Seq[GQuery] = Seq(t1, t1orc, t2, t3, tskip, tdelta, ticeberg, tdeltaRt)
 }

@@ -1,0 +1,180 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Writer for the open Delta `_delta_log` format — the outbound half of the
+  * interop story ([[DeltaRead]] is inbound): tables written here are plain
+  * protocol-v1 Delta tables (JSON commits, standard partition layout with
+  * partition columns only in the log, optional checkpoint parquet +
+  * `_last_checkpoint`) that any Delta reader can open.
+  *
+  * Commit protocol: the same put-if-absent hard-link version claim as the
+  * engine's own catalog (graft.ingest.Catalog) — POSIX `createLink` fails
+  * atomically if the version file exists, so exactly one concurrent
+  * committer wins each number; appends commute and just re-claim the next
+  * version, overwrites re-read state before re-claiming (optimistic loop).
+  * This targets a filesystem with atomic link semantics (local/NFS/HDFS-
+  * style); object stores need a commit coordinator, exactly as stock Delta
+  * does on S3. */
+object DeltaWrite {
+
+  private def logDir(table: String) = Paths.get(table.stripSuffix("/"), "_delta_log")
+
+  private def jsonStr(s: String): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.writeValueAsString(s) // proper JSON string escaping (quotes, controls)
+  }
+
+  private def tryCommitAt(table: String, version: Long, content: String): Boolean = {
+    Files.createDirectories(logDir(table))
+    val tmp = Files.createTempFile(logDir(table), "commit", ".tmp")
+    try {
+      Files.writeString(tmp, content)
+      Files.createLink(logDir(table).resolve(f"$version%020d.json"), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.delete(tmp)
+  }
+
+  private def currentVersions(table: String): Seq[Long] = {
+    val dir = logDir(table)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.length == 25 && n.endsWith(".json") && n.take(20).forall(_.isDigit))
+        .map(_.take(20).toLong).toList.sorted
+      finally s.close()
+    }
+  }
+
+  private def protocolAction = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+
+  private def metaAction(df: DataFrame, partitionBy: Seq[String]): String = {
+    val schemaJson = df.schema.json // Delta schemaString IS Spark's StructType json
+    val parts = partitionBy.map(c => jsonStr(c)).mkString("[", ",", "]")
+    s"""{"metaData":{"id":"graft-${java.util.UUID.randomUUID()}","format":""" +
+      s"""{"provider":"parquet","options":{}},"schemaString":${jsonStr(schemaJson)},""" +
+      s""""partitionColumns":$parts,"configuration":{},""" +
+      s""""createdTime":${System.currentTimeMillis()}}}"""
+  }
+
+  /** Stage df's rows as parquet files in the table's standard partition
+    * layout; returns (relativePath, partitionValues) per written file. */
+  private def stageFiles(df: DataFrame, table: String,
+      partitionBy: Seq[String]): Seq[(String, Map[String, String])] = {
+    val stage = Files.createTempDirectory("graft_delta_write").toString
+    val writer = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).parquet(stage)
+
+    def walk(dir: java.io.File, values: Map[String, String]): Seq[(java.io.File, Map[String, String])] =
+      Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+        case d if d.isDirectory && d.getName.contains("=") =>
+          val Array(k, v) = d.getName.split("=", 2)
+          walk(d, values + (k -> java.net.URLDecoder.decode(v, "UTF-8")))
+        case f if f.isFile && f.getName.endsWith(".parquet") => Seq(f -> values)
+        case _ => Seq.empty
+      }
+    walk(new java.io.File(stage), Map.empty).map { case (f, values) =>
+      // standard layout: partition dirs at the table root; path segments
+      // percent-encoded in the log exactly as the file name is on disk
+      val partDirs = partitionBy.map { c =>
+        val enc = java.net.URLEncoder.encode(values.getOrElse(c, ""), "UTF-8")
+        s"$c=$enc"
+      }
+      val rel = (partDirs :+ f.getName).mkString("/")
+      val dest = Paths.get(table, rel)
+      Files.createDirectories(dest.getParent)
+      Files.move(f.toPath, dest)
+      rel -> values
+    }
+  }
+
+  private def addAction(rel: String, values: Map[String, String], size: Long): String = {
+    val pv = values.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }.mkString("{", ",", "}")
+    s"""{"add":{"path":${jsonStr(rel)},"partitionValues":$pv,"size":$size,""" +
+      s""""modificationTime":${System.currentTimeMillis()},"dataChange":true}}"""
+  }
+
+  /** Append `df` to the Delta table at `table`, creating it (protocol +
+    * metaData + adds at version 0) if absent. Returns the committed
+    * version. Schema must match an existing table's column names (checked
+    * against the latest metaData — a silent widening append would corrupt
+    * readers). */
+  def append(spark: SparkSession, df: DataFrame, table: String,
+      partitionBy: Seq[String] = Nil): Long = {
+    val exists = currentVersions(table).nonEmpty
+    if (exists) {
+      val snap = DeltaRead.snapshotInfo(spark, table)
+      require(snap.schema.fieldNames.sorted.sameElements(df.schema.fieldNames.sorted),
+        s"append schema ${df.schema.fieldNames.mkString(",")} does not match table " +
+          s"schema ${snap.schema.fieldNames.mkString(",")}")
+      require(snap.partitionColumns == partitionBy,
+        s"append partitioning $partitionBy does not match table's ${snap.partitionColumns}")
+    }
+    val staged = stageFiles(df, table, partitionBy)
+    val adds = staged.map { case (rel, values) =>
+      addAction(rel, values, Files.size(Paths.get(table, rel)))
+    }
+    val header = if (exists) Seq.empty else Seq(protocolAction, metaAction(df, partitionBy))
+    val content = (header ++ adds).mkString("", "\n", "\n")
+    var v = currentVersions(table).lastOption.map(_ + 1).getOrElse(0L)
+    while (!tryCommitAt(table, v, content)) v += 1 // pure adds commute
+    v
+  }
+
+  /** Replace the table contents with `df` (remove all live files + add the
+    * new ones, one atomic commit). Optimistic: a concurrent commit between
+    * read and claim forces a re-read so no concurrent add is lost. */
+  def overwrite(spark: SparkSession, df: DataFrame, table: String,
+      partitionBy: Seq[String] = Nil): Long = {
+    require(currentVersions(table).nonEmpty, s"overwrite of non-existent table $table — use append")
+    val staged = stageFiles(df, table, partitionBy)
+    val adds = staged.map { case (rel, values) =>
+      addAction(rel, values, Files.size(Paths.get(table, rel)))
+    }
+    while (true) {
+      val snap = DeltaRead.snapshotInfo(spark, table)
+      val removes = snap.files.map { f =>
+        val rel = f.path.stripPrefix(s"${table.stripSuffix("/")}/")
+        s"""{"remove":{"path":${jsonStr(rel)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}"""
+      }
+      val content = (Seq(metaAction(df, partitionBy)) ++ removes ++ adds).mkString("", "\n", "\n")
+      if (tryCommitAt(table, snap.version + 1, content)) return snap.version + 1
+    }
+    -1L // unreachable
+  }
+
+  /** Write a checkpoint parquet consolidating the latest snapshot, plus the
+    * `_last_checkpoint` pointer — bounds future log replay, exactly as
+    * Delta's own checkpointing does. */
+  def checkpoint(spark: SparkSession, table: String): Long = {
+    import spark.implicits._
+    val snap = DeltaRead.snapshotInfo(spark, table)
+    val schemaJson = snap.schema.json
+    val rows = ("protocol", null: String, null: Map[String, String], null: String) +:
+      ("meta", null: String, null: Map[String, String], schemaJson) +:
+      snap.files.map { f =>
+        val rel = f.path.stripPrefix(s"${table.stripSuffix("/")}/")
+        ("add", rel, f.partitionValues, null: String)
+      }
+    val cp = rows.toDF("kind", "path", "pv", "ss").select(
+      when($"kind" === "protocol", struct(lit(1).as("minReaderVersion"))).as("protocol"),
+      when($"kind" === "meta", struct(
+        lit("graft-checkpoint").as("id"), $"ss".as("schemaString"),
+        typedLit(snap.partitionColumns).as("partitionColumns"),
+        struct(lit("parquet").as("provider")).as("format"))).as("metaData"),
+      when($"kind" === "add", struct($"path".as("path"), $"pv".as("partitionValues"))).as("add"))
+    val stage = Files.createTempDirectory("graft_delta_cp").toString
+    cp.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles().find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, logDir(table).resolve(f"${snap.version}%020d.checkpoint.parquet"))
+    Files.writeString(logDir(table).resolve("_last_checkpoint"),
+      s"""{"version":${snap.version},"size":${rows.size}}""")
+    snap.version
+  }
+}

@@ -1,0 +1,90 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+/** Round-trip: tables written by DeltaWrite are plain protocol-v1 Delta
+  * tables readable by DeltaRead (and, structurally, any Delta reader). */
+class DeltaWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, String)] =
+    df.select("id", "name", "grp").as[(Long, String, String)].collect().toSet
+
+  test("append creates a readable partitioned table; versions accumulate") {
+    val table = Files.createTempDirectory("graft_dw").toString
+    val a = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "name", "grp")
+    val v0 = DeltaWrite.append(spark, a, table, partitionBy = Seq("grp"))
+    assert(v0 === 0L)
+    assert(rows(DeltaRead.snapshot(spark, table)) === Set((1L, "a", "x"), (2L, "b", "y")))
+    // partition column must NOT be inside the data files (Delta layout)
+    val dataFile = DeltaRead.snapshotInfo(spark, table).files.head.path
+    assert(!spark.read.parquet(dataFile).columns.contains("grp"))
+
+    val v1 = DeltaWrite.append(spark, Seq((3L, "c", "x")).toDF("id", "name", "grp"),
+      table, partitionBy = Seq("grp"))
+    assert(v1 === 1L)
+    assert(rows(DeltaRead.snapshot(spark, table)).map(_._1) === Set(1L, 2L, 3L))
+    assert(rows(DeltaRead.snapshot(spark, table, 0L)).map(_._1) === Set(1L, 2L))
+    assert(Lake.detect(spark, table) === Lake.Delta)
+
+    // schema / partitioning mismatches refused
+    intercept[IllegalArgumentException](
+      DeltaWrite.append(spark, Seq((1L, "z")).toDF("id", "name"), table, Seq("grp")))
+    intercept[IllegalArgumentException](
+      DeltaWrite.append(spark, a, table, partitionBy = Nil))
+  }
+
+  test("overwrite replaces contents atomically; old version still readable") {
+    val table = Files.createTempDirectory("graft_dw_ow").toString
+    DeltaWrite.append(spark, Seq((1L, "a", "x")).toDF("id", "name", "grp"), table, Seq("grp"))
+    val v = DeltaWrite.overwrite(spark, Seq((9L, "z", "w")).toDF("id", "name", "grp"),
+      table, Seq("grp"))
+    assert(v === 1L)
+    assert(rows(DeltaRead.snapshot(spark, table)) === Set((9L, "z", "w")))
+    assert(rows(DeltaRead.snapshot(spark, table, 0L)) === Set((1L, "a", "x")))
+  }
+
+  test("checkpoint bounds replay: commits at/below it can disappear") {
+    val table = Files.createTempDirectory("graft_dw_cp").toString
+    DeltaWrite.append(spark, Seq((1L, "a", "x")).toDF("id", "name", "grp"), table, Seq("grp"))
+    DeltaWrite.append(spark, Seq((2L, "b", "y")).toDF("id", "name", "grp"), table, Seq("grp"))
+    val cpv = DeltaWrite.checkpoint(spark, table)
+    assert(cpv === 1L)
+    // retention clean: drop version 0's JSON — checkpoint must cover it
+    Files.delete(Paths.get(table, "_delta_log", f"${0L}%020d.json"))
+    assert(rows(DeltaRead.snapshot(spark, table)).map(_._1) === Set(1L, 2L))
+    // appends after the checkpoint merge on top of it
+    DeltaWrite.append(spark, Seq((3L, "c", "x")).toDF("id", "name", "grp"), table, Seq("grp"))
+    assert(rows(DeltaRead.snapshot(spark, table)).map(_._1) === Set(1L, 2L, 3L))
+  }
+
+  test("concurrent appenders lose no rows and keep a linear log") {
+    val table = Files.createTempDirectory("graft_dw_conc").toString
+    DeltaWrite.append(spark, Seq((0L, "seed", "x")).toDF("id", "name", "grp"), table, Seq("grp"))
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(4)
+    val start = new CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (1 to 4).foreach { w =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try {
+            start.await()
+            (0 until 2).foreach { i =>
+              DeltaWrite.append(spark,
+                Seq((w * 10L + i, s"w$w-$i", "x")).toDF("id", "name", "grp"),
+                table, Seq("grp"))
+            }
+          } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    start.countDown(); pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(failures.isEmpty, failures.toArray.mkString("; "))
+    val snap = DeltaRead.snapshotInfo(spark, table)
+    assert(snap.version === 8L) // 1 seed + 8 appends, gap-free
+    assert(rows(DeltaRead.snapshot(spark, table)).map(_._1) ===
+      Set(0L) ++ (1 to 4).flatMap(w => Seq(w * 10L, w * 10L + 1)).toSet)
+  }
+}
