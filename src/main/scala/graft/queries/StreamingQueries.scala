@@ -96,5 +96,28 @@ object StreamingQueries {
       WHERE event_type = 'purchase'
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
-  def all: Seq[GQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10)
+  /** ST7 extended: streaming file source → exactly-once Delta sink (txn
+    * idempotency actions) → log-replay read back. Three landing files →
+    * three micro-batches → three Delta versions; final table equals the
+    * batch aggregate. */
+  val st11 = GQuery(
+    "st11_delta_sink",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val landing = java.nio.file.Files.createTempDirectory("graft_st11_landing").toString
+      graft.Tables(s, dir, "events")
+        .select(col("event_id"), col("value"), col("event_type"))
+        .repartition(3).write.mode("overwrite").parquet(landing)
+      val schema = s.read.parquet(landing).schema
+      val table = java.nio.file.Files.createTempDirectory("graft_st11_delta").toString + "/tbl"
+      StreamOps.deltaSink(s, landing, schema, table, appId = "st11")
+      graft.sources.DeltaRead.snapshot(s, table)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  def all: Seq[GQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11)
 }

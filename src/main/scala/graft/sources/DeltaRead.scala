@@ -167,6 +167,44 @@ object DeltaRead {
       partitionCols, live.values.toSeq)
   }
 
+  /** Latest recorded `txn` version per appId at the head of the log —
+    * Delta's idempotent-writer high-water marks (checkpoint txn rows plus
+    * commits after it). A streaming sink consults this to skip replayed
+    * batches. */
+  def txnVersions(spark: SparkSession, table: String): Map[String, Long] = {
+    val dir = new org.apache.hadoop.fs.Path(logPath(table))
+    val hfs = fs(spark, dir)
+    if (!hfs.exists(dir)) return Map.empty
+    val names = hfs.listStatus(dir).map(_.getPath.getName).toSeq
+    val commitVersions = names.collect {
+      case n if n.length == 25 && n.endsWith(".json") && n.take(20).forall(_.isDigit) =>
+        n.take(20).toLong
+    }.sorted
+    if (commitVersions.isEmpty) return Map.empty
+    val latest = commitVersions.max
+    val fromCheckpoint = names.collect {
+      case n if n.endsWith(".checkpoint.parquet") && n.take(20).forall(_.isDigit) =>
+        n.take(20).toLong
+    }.filter(_ <= latest).sorted.lastOption
+    val marks = scala.collection.mutable.HashMap[String, Long]()
+    fromCheckpoint.foreach { cv =>
+      val cp = spark.read.parquet(s"${logPath(table)}/${f"$cv%020d"}.checkpoint.parquet")
+      if (cp.columns.contains("txn"))
+        cp.where(col("txn").isNotNull).select(col("txn.appId"), col("txn.version"))
+          .collect().foreach(r => marks(r.getString(0)) = r.getLong(1))
+    }
+    commitVersions.filter(_ > fromCheckpoint.getOrElse(-1L)).foreach { v =>
+      spark.read.schema(StructType.fromDDL("txn STRUCT<appId: STRING, version: BIGINT>"))
+        .json(s"${logPath(table)}/${f"$v%020d"}.json")
+        .where(col("txn").isNotNull).select(col("txn.appId"), col("txn.version"))
+        .collect().foreach { r =>
+          val prev = marks.getOrElse(r.getString(0), Long.MinValue)
+          marks(r.getString(0)) = math.max(prev, r.getLong(1))
+        }
+    }
+    marks.toMap
+  }
+
   /** The Delta table as a DataFrame at `version` (-1 = latest). Partition
     * columns are injected from the log's partitionValues and cast to their
     * declared types; column order follows the table schema. */

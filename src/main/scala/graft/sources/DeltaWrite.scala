@@ -104,9 +104,14 @@ object DeltaWrite {
     * metaData + adds at version 0) if absent. Returns the committed
     * version. Schema must match an existing table's column names (checked
     * against the latest metaData — a silent widening append would corrupt
-    * readers). */
+    * readers).
+    *
+    * `txn` is Delta's idempotent-writer action `{"txn": {appId, version}}`:
+    * a streaming sink records its (appId, batchId) with each commit and
+    * skips batches at/below the recorded high-water mark on replay —
+    * exactly-once appends over an at-least-once foreachBatch. */
   def append(spark: SparkSession, df: DataFrame, table: String,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil, txn: Option[(String, Long)] = None): Long = {
     val exists = currentVersions(table).nonEmpty
     if (exists) {
       val snap = DeltaRead.snapshotInfo(spark, table)
@@ -121,7 +126,10 @@ object DeltaWrite {
       addAction(rel, values, Files.size(Paths.get(table, rel)))
     }
     val header = if (exists) Seq.empty else Seq(protocolAction, metaAction(df, partitionBy))
-    val content = (header ++ adds).mkString("", "\n", "\n")
+    val txnAction = txn.toSeq.map { case (appId, v) =>
+      s"""{"txn":{"appId":${jsonStr(appId)},"version":$v,"lastUpdated":${System.currentTimeMillis()}}}"""
+    }
+    val content = (header ++ txnAction ++ adds).mkString("", "\n", "\n")
     var v = currentVersions(table).lastOption.map(_ + 1).getOrElse(0L)
     while (!tryCommitAt(table, v, content)) v += 1 // pure adds commute
     v
@@ -156,19 +164,25 @@ object DeltaWrite {
     import spark.implicits._
     val snap = DeltaRead.snapshotInfo(spark, table)
     val schemaJson = snap.schema.json
-    val rows = ("protocol", null: String, null: Map[String, String], null: String) +:
-      ("meta", null: String, null: Map[String, String], schemaJson) +:
-      snap.files.map { f =>
+    // txn high-water marks must survive into the checkpoint, or a cleaned
+    // log would erase the streaming sink's replay guard
+    val txns = DeltaRead.txnVersions(spark, table).toSeq
+    val rows = ("protocol", null: String, null: Map[String, String], null: String, null: String, 0L) +:
+      ("meta", null: String, null: Map[String, String], schemaJson, null: String, 0L) +:
+      (snap.files.map { f =>
         val rel = f.path.stripPrefix(s"${table.stripSuffix("/")}/")
-        ("add", rel, f.partitionValues, null: String)
-      }
-    val cp = rows.toDF("kind", "path", "pv", "ss").select(
+        ("add", rel, f.partitionValues, null: String, null: String, 0L)
+      } ++ txns.map { case (appId, v) =>
+        ("txn", null: String, null: Map[String, String], null: String, appId, v)
+      })
+    val cp = rows.toDF("kind", "path", "pv", "ss", "appId", "tver").select(
       when($"kind" === "protocol", struct(lit(1).as("minReaderVersion"))).as("protocol"),
       when($"kind" === "meta", struct(
         lit("graft-checkpoint").as("id"), $"ss".as("schemaString"),
         typedLit(snap.partitionColumns).as("partitionColumns"),
         struct(lit("parquet").as("provider")).as("format"))).as("metaData"),
-      when($"kind" === "add", struct($"path".as("path"), $"pv".as("partitionValues"))).as("add"))
+      when($"kind" === "add", struct($"path".as("path"), $"pv".as("partitionValues"))).as("add"),
+      when($"kind" === "txn", struct($"appId".as("appId"), $"tver".as("version"))).as("txn"))
     val stage = Files.createTempDirectory("graft_delta_cp").toString
     cp.coalesce(1).write.mode("overwrite").parquet(stage)
     val part = new java.io.File(stage).listFiles().find(_.getName.endsWith(".parquet")).get

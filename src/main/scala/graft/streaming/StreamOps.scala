@@ -418,6 +418,43 @@ object StreamOps {
       .orderBy(col("cnt").desc, col("item"))
   }
 
+  /** Streaming sink into an open-format Delta table (ST7 extended): each
+    * micro-batch appends through [[graft.sources.DeltaWrite]] with Delta's
+    * own `txn` idempotency action — the commit carries (appId, batchId), so
+    * a replayed batch (foreachBatch is at-least-once) is skipped when its
+    * id is at/below the recorded high-water mark. Exactly-once appends
+    * whose output ANY Delta reader can consume; the txn marks survive
+    * checkpointing (DeltaWrite.checkpoint carries them). Same
+    * checkpoint-lineage rule as the other foreachBatch sinks: batch ids
+    * are only meaningful within one stream checkpoint. */
+  def deltaSink(spark: SparkSession, landingDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      table: String, appId: String,
+      partitionBy: Seq[String] = Nil, maxFilesPerTrigger: Int = 1,
+      checkpointDir: Option[String] = None): Unit = {
+    // read ONCE at start; within a run batches are sequential, so a driver
+    // var tracks the high-water mark without rescanning the log per batch
+    var highWater: Long =
+      graft.sources.DeltaRead.txnVersions(spark, table).getOrElse(appId, -1L)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > highWater) {
+          graft.sources.DeltaWrite.append(spark, batch, table, partitionBy,
+            txn = Some((appId, batchId)))
+          highWater = batchId
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"${table.stripSuffix("/")}_checkpoint"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming data-quality monitor: continuous C2 validation — each
     * micro-batch is audited by [[graft.operators.Quality.check]] and the
     * per-rule violation counts land in a metrics table keyed by batch id.

@@ -59,6 +59,34 @@ class DeltaWriteSpec extends SparkSpec {
     assert(rows(DeltaRead.snapshot(spark, table)).map(_._1) === Set(1L, 2L, 3L))
   }
 
+  test("streaming delta sink is exactly-once across checkpoint loss (txn guard)") {
+    import org.apache.spark.sql.functions._
+    val landing = Files.createTempDirectory("graft_dw_sink").toString
+    Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "x"))
+      .toDF("id", "name", "grp").repartition(3)
+      .write.mode("overwrite").parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    val table = Files.createTempDirectory("graft_dw_sink_t").toString + "/tbl"
+    val cp1 = Files.createTempDirectory("graft_dw_sink_cp").toString
+    graft.streaming.StreamOps.deltaSink(spark, landing, schema, table, "app1",
+      checkpointDir = Some(cp1))
+    assert(DeltaRead.snapshot(spark, table).count() === 3L)
+    // same checkpoint, no new data → no new versions
+    val vBefore = DeltaRead.snapshotInfo(spark, table).version
+    graft.streaming.StreamOps.deltaSink(spark, landing, schema, table, "app1",
+      checkpointDir = Some(cp1))
+    assert(DeltaRead.snapshotInfo(spark, table).version === vBefore)
+    // checkpoint LOST: batch ids replay from 0 — the txn high-water mark in
+    // the table is what prevents double appends
+    val cp2 = Files.createTempDirectory("graft_dw_sink_cp2").toString
+    graft.streaming.StreamOps.deltaSink(spark, landing, schema, table, "app1",
+      checkpointDir = Some(cp2))
+    assert(DeltaRead.snapshot(spark, table).count() === 3L)
+    // txn marks survive checkpointing + log cleaning
+    DeltaWrite.checkpoint(spark, table)
+    assert(DeltaRead.txnVersions(spark, table)("app1") >= 2L)
+  }
+
   test("concurrent appenders lose no rows and keep a linear log") {
     val table = Files.createTempDirectory("graft_dw_conc").toString
     DeltaWrite.append(spark, Seq((0L, "seed", "x")).toDF("id", "name", "grp"), table, Seq("grp"))
