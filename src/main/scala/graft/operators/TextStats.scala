@@ -71,6 +71,46 @@ object TextStats {
         coalesce(col("dup_trigram_frac"), lit(0.0)).as("dup_trigram_frac"))
   }
 
+  /** Statistical-LM quality score (the CCNet/perplexity-filter idea,
+    * Wenzek et al. 2020, public — rendered engine-native): train an MLE
+    * bigram model ON the corpus itself, score each document by its mean
+    * log-probability ln(c(w1,w2)/c(w1)) over its bigrams. Low scores =
+    * improbable token sequences (noise, mangled extraction); high = fluent,
+    * common phrasing. No smoothing is needed — every scored bigram exists
+    * in the training counts by construction.
+    *
+    * Determinism contract: each bigram's log-prob is fixed to integer
+    * MICRO-units (round(ln·1e6) → BIGINT) BEFORE any aggregation, so sums
+    * are exact and order-insensitive — a raw avg of doubles would be
+    * partition-order-dependent and break cross-engine hash matching. The
+    * readable `lm_score` divides the two exact integers afterwards.
+    *
+    * Scale shape: one tokenize pass; bigram counts and context counts are
+    * hash aggregations on gram keys with map-side partials; scoring is two
+    * equi-joins on those keys. Nothing is quadratic and nothing touches
+    * the driver. */
+  def bigramLmScores(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val base = Dedup.spreadIfNarrow(df0.select(id, col(textCol)))
+      .select(id, TextFunctions.tokens(col(textCol)).as("w"))
+      .where(size(col("w")) >= 2)
+      .localCheckpoint() // pairs feed counts AND scoring — tokenize once
+    val pairs = base.select(id,
+        explode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(id, col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
+    pairs.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(id, round(log(col("n2") / col("n1")) * lit(1000000.0)).cast("long").as("micro"))
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("micro")).as("score_micro"))
+      .select(id, col("n_bigrams"), col("score_micro"),
+        round(col("score_micro") / col("n_bigrams") / lit(1000000.0), 4).as("lm_score"))
+  }
+
   /** The filter built on the profile: keep documents whose repetition
     * signals stay under the given caps (defaults ≈ the published rules). */
   def dropRepetitious(df: DataFrame, idCol: String, textCol: String,

@@ -330,6 +330,28 @@ object LlmQueries {
     },
     Some(annRecallOracle("WHERE q.vec_id < 100", 193L)))
 
+  /** Statistical-LM quality scoring (CCNet-style perplexity proxy): MLE
+    * bigram model trained on the corpus, per-doc mean log-prob in exact
+    * integer micro-units (float determinism contract in
+    * TextStats.bigramLmScores). */
+  val l26 = GQuery(
+    "l26_bigram_lm",
+    (s, dir) =>
+      graft.operators.TextStats.bigramLmScores(t(s, dir, "documents"), "doc_id", "text")
+        .where(col("doc_id") < 50)
+        .orderBy(col("doc_id")),
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      p AS (SELECT doc_id, unnest(list_slice(w, 1, len(w) - 1)) AS w1,
+                   unnest(list_slice(w, 2, len(w))) AS w2
+            FROM d WHERE len(w) >= 2),
+      c2 AS (SELECT w1, w2, count(*) AS n2 FROM p GROUP BY w1, w2),
+      c1 AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1),
+      m AS (SELECT doc_id, CAST(round(ln(n2 / n1) * 1000000) AS BIGINT) AS micro
+            FROM p JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+      SELECT doc_id, count(*) AS n_bigrams, CAST(sum(micro) AS BIGINT) AS score_micro,
+             round(CAST(sum(micro) AS BIGINT) / count(*) / 1000000.0, 4) AS lm_score
+      FROM m WHERE doc_id < 50 GROUP BY doc_id ORDER BY doc_id"""))
+
   val l4langid = GQuery(
     "l4_langid",
     (s, dir) =>
@@ -869,6 +891,6 @@ object LlmQueries {
 
   def all: Seq[GQuery] = Seq(l1, l2, l2brute, l2simhash, l2simhashPairs, l2cluster, l2quality,
     l2embedding, l3, l3scalable, l3lsh, l3ivf, l3kmeans, l3pq,
-    l3lshRecall, l3ivfRecall, l3kmeansRecall, l3pqRecall, l4langid, l5, l6, l7, l8, l9,
+    l3lshRecall, l3ivfRecall, l3kmeansRecall, l3pqRecall, l26, l4langid, l5, l6, l7, l8, l9,
     l10, l11, l11b, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l24, l24b, l25)
 }
