@@ -535,4 +535,51 @@ object Dedup {
         (VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** Within-cell embedding near-dup pairs — the SemDeDup candidate step
+    * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication" — public). Pairwise cosine runs ONLY
+    * inside a cell (an equi-join on the cell key, shuffle-partitioned by
+    * cell), so the quadratic term is confined to cell populations — the
+    * 100 TB lever: k controls cell size and the cross-cell n² disappears
+    * entirely. Cells come from any assignment: a category column, an LSH
+    * bucket, or a trained k-means quantizer ([[semanticDedupKMeans]]). */
+  def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, threshold: Double): DataFrame = {
+    import graft.functions.VectorOps
+    val e = df.select(col(cellCol).as("__cell"), col(idCol),
+        VectorOps.asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", VectorOps.norm(col("__v")))
+    val a = e.select(col("__cell"), col(idCol).as("id_a"), col("__v").as("va"), col("__n").as("na"))
+    val b = e.select(col("__cell"), col(idCol).as("id_b"), col("__v").as("vb"), col("__n").as("nb"))
+    a.join(b, Seq("__cell"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** SemDeDup keep-set: connected components over the within-cell pair
+    * graph, keep the min-id representative of each component plus every
+    * unpaired row. Component closure is the same O(log n)-round
+    * star-contraction as text near-dup — no driver-side graph. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, threshold: Double): DataFrame = {
+    val comp = connectedComponents(
+      semanticNearDupPairs(df, idCol, vecCol, cellCol, threshold))
+    val losers = comp.where(col("id") =!= col("component")).select(col("id"))
+    df.join(losers, df(idCol) === losers("id"), "left_anti")
+  }
+
+  /** [[semanticDedup]] with cells from a trained k-means quantizer — the
+    * full SemDeDup recipe (cluster, then dedup within clusters). The
+    * quantizer is [[Similarity.kmeansCentroids]] (deterministic seeded
+    * init), so results are reproducible for a fixed (k, iters). */
+  def semanticDedupKMeans(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, threshold: Double, iters: Int = 5): DataFrame = {
+    val cents = Similarity.kmeansCentroids(df, idCol, vecCol, k, iters)
+    val assigned = Similarity.assignCells(df, vecCol, cents)
+    semanticDedup(assigned, idCol, vecCol, "__cell", threshold)
+      .drop("__cell")
+  }
 }

@@ -215,6 +215,37 @@ object AnalyticsQueries {
           (col("hll_f") + col("hll_o") - col("hll_union")).as("est_intersect")),
     None)
 
+  /** Driver-checkable twin of b14b: emit the EXACT intersect cardinality
+    * (one grouped membership pass, same shape as b14) plus a boolean
+    * asserting the inclusion–exclusion HLL estimate lands within 10% of it
+    * (measured error 3.8% at sf0.01 — the band covers the worst case of
+    * three combined ±2% sketches). Oracle: exact INTERSECT count + literal
+    * TRUE. The scalar crossJoin combines two 1-row aggregates. */
+  val b14c = GQuery(
+    "b14c_sketch_intersect_check",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val exact = o.filter(col("o_orderstatus").isin("F", "O"))
+        .groupBy(col("o_custkey"))
+        .agg(
+          max(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("in_f"),
+          max(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("in_o"))
+        .agg(sum(col("in_f") * col("in_o")).cast("long").as("exact_intersect"))
+      val est = o.agg(
+        (approx_count_distinct(when(col("o_orderstatus") === "F", col("o_custkey"))) +
+          approx_count_distinct(when(col("o_orderstatus") === "O", col("o_custkey"))) -
+          approx_count_distinct(when(col("o_orderstatus").isin("F", "O"), col("o_custkey"))))
+          .as("__est"))
+      exact.crossJoin(est).select(
+        col("exact_intersect"),
+        (abs(col("__est") - col("exact_intersect")) <= col("exact_intersect") * lit(0.10))
+          .as("within_band"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS exact_intersect, TRUE AS within_band FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t"""))
+
   /** Outliers above the exact global p99. A threshold COMPARISON can't be
     * rounded like an aggregate, but it is robust here: both engines
     * interpolate the same two sorted 2-decimal values, so their thresholds
@@ -393,5 +424,5 @@ object AnalyticsQueries {
              round(sum(dus / 1000000.0), 2) AS total_dist_s
       FROM r WHERE rn = 1"""))
 
-  val all: Seq[GQuery] = Seq(t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, l23, l3ivfx, b14b)
+  val all: Seq[GQuery] = Seq(t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, l23, l3ivfx, b14b, b14c)
 }

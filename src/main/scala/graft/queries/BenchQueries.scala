@@ -147,6 +147,26 @@ object BenchQueries {
     (s, dir) => t(s, dir, "events").agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users")),
     None)
 
+  /** Driver-checkable twin of b6_approx_distinct: the sketch VALUE is
+    * engine-specific, but the accuracy CLAIM is not — emit (exact count,
+    * |approx−exact| ≤ 5%·exact) and let the oracle assert the same exact
+    * count plus literal TRUE. A sketch regression now hash-mismatches in
+    * CORRECTNESS instead of only failing ScalaTest. One scan computes both
+    * aggregates; HLL++ merge is order-insensitive, so the boolean is
+    * deterministic across partitionings. */
+  val b6check = GQuery(
+    "b6b_approx_distinct_check",
+    (s, dir) =>
+      t(s, dir, "events")
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("__approx"))
+        .select(
+          col("exact_users"),
+          (abs(col("__approx") - col("exact_users")) <= col("exact_users") * lit(0.05))
+            .as("within_band")),
+    Some("SELECT count(DISTINCT user_id) AS exact_users, TRUE AS within_band FROM events"))
+
   val b7 = GQuery(
     "b7_semi_anti",
     (s, dir) => {
@@ -328,5 +348,5 @@ object BenchQueries {
   val headline: Seq[GQuery] =
     Seq(b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12, b13, b14, b15)
 
-  def all: Seq[GQuery] = headline :+ b6approx
+  def all: Seq[GQuery] = headline ++ Seq(b6approx, b6check)
 }

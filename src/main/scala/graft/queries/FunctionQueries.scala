@@ -347,6 +347,32 @@ object FunctionQueries {
         .orderBy(col("o_orderstatus")),
     None)
 
+  /** Driver-checkable twin of t16b: sketch values are engine- and
+    * layout-specific, but the accuracy claim is checkable — per group, emit
+    * the exact median and a boolean asserting BOTH approx quantiles land
+    * within 2% of their exact counterparts (measured error ≤ 0.16% at
+    * sf0.01, so the band has 10× margin against quantile-sketch merge-order
+    * drift). Oracle: exact quantile_cont + literal TRUE. */
+  val t16c = GQuery(
+    "t16c_approx_percentile_check",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("__ex50"),
+          expr("percentile(o_totalprice, 0.9)").as("__ex90"),
+          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("__ap50"),
+          expr("approx_percentile(o_totalprice, 0.9, 1000)").as("__ap90"))
+        .select(
+          col("o_orderstatus"),
+          round(col("__ex50"), 2).as("median_exact"),
+          (abs(col("__ap50") - col("__ex50")) <= col("__ex50") * lit(0.02) &&
+            abs(col("__ap90") - col("__ex90")) <= col("__ex90") * lit(0.02)).as("within_band"))
+        .orderBy(col("o_orderstatus")),
+    Some("""SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 2) AS median_exact,
+      TRUE AS within_band
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   /** F5 completion: zip_with, sequence, flatten, array set ops, position,
     * repeat, descending sort. Set-op results are compared by SIZE (Spark
     * pins first-occurrence order in array_intersect/except; DuckDB's
@@ -401,5 +427,5 @@ object FunctionQueries {
       FROM a ORDER BY vec_id LIMIT 100"""))
 
   def all: Seq[GQuery] = Seq(t26, t26b, t26c, t26d, t26e, t27, t28, t29, t29b, t29explode,
-    t16b, tUdaf, tMultimodal, tFromJson, tVariant)
+    t16b, t16c, tUdaf, tMultimodal, tFromJson, tVariant)
 }

@@ -889,8 +889,49 @@ object LlmQueries {
       SELECT count(*) AS kept, min(doc_id) AS first_id, max(doc_id) AS last_id
       FROM documents WHERE doc_id NOT IN (SELECT a_id FROM cond)"""))
 
+  /** SemDeDup (Abbas et al. 2023): within-cell embedding near-dup →
+    * connected components → keep one representative per group. Cells here
+    * are the `label` column so the oracle stays SQL-expressible (the
+    * trained-k-means cell variant is parity-tested in DedupSpec); the
+    * closure oracle is the same recursive CTE as l2_cluster_dedup. τ=0.42
+    * sits ≥7e-3 from every within-cell cosine at sf0.01 (≥1e-4 at sf0.1),
+    * so the edge set is float-stable. */
+  val l27 = GQuery(
+    "l27_semantic_dedup",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val comp = Dedup.connectedComponents(
+        Dedup.semanticNearDupPairs(e, "vec_id", "embedding", "label", threshold = 0.42))
+      val kept = Dedup.semanticDedup(e, "vec_id", "embedding", "label", threshold = 0.42)
+        .agg(count(lit(1)).as("kept_vecs"))
+      comp.groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        .agg(
+          count(lit(1)).as("dup_groups"),
+          coalesce(sum(col("sz")), lit(0L)).cast("long").as("grouped_vecs"),
+          coalesce(max(col("sz")), lit(0L)).cast("long").as("largest_group"))
+        .crossJoin(kept)
+    },
+    Some("""WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.42),
+      edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a WHERE r.a <> e2.b),
+      comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+      cl AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+      SELECT
+        (SELECT count(*) FROM cl) AS dup_groups,
+        (SELECT CAST(coalesce(sum(sz), 0) AS BIGINT) FROM cl) AS grouped_vecs,
+        (SELECT CAST(coalesce(max(sz), 0) AS BIGINT) FROM cl) AS largest_group,
+        (SELECT count(*) FROM embeddings) -
+          (SELECT count(*) FROM comp WHERE id <> component) AS kept_vecs"""))
+
   def all: Seq[GQuery] = Seq(l1, l2, l2brute, l2simhash, l2simhashPairs, l2cluster, l2quality,
     l2embedding, l3, l3scalable, l3lsh, l3ivf, l3kmeans, l3pq,
-    l3lshRecall, l3ivfRecall, l3kmeansRecall, l3pqRecall, l26, l4langid, l5, l6, l7, l8, l9,
+    l3lshRecall, l3ivfRecall, l3kmeansRecall, l3pqRecall, l26, l27, l4langid, l5, l6, l7, l8, l9,
     l10, l11, l11b, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l24, l24b, l25)
 }

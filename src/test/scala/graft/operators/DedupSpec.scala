@@ -287,6 +287,44 @@ class DedupSpec extends SparkSpec {
     assert(capped.map(p => (p._1, p._2)).subsetOf(full.map(p => (p._1, p._2))))
   }
 
+  // Two planted near-identical pairs (0≈1, 2≈3) plus two isolated vectors;
+  // near-dup cosine ≈ 0.999, cross-pair cosine ≤ ~0.6.
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.1f, 0.0f)),
+    (1L, Array(0.99f, 0.01f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.1f)),
+    (3L, Array(0.01f, 0.99f, 0.0f, 0.1f)),
+    (4L, Array(0.5f, 0.5f, -0.7f, 0.0f)),
+    (5L, Array(-0.6f, 0.4f, 0.0f, 0.7f))
+  ).toDF("vec_id", "embedding")
+
+  test("semantic near-dup pairs fire only within a cell") {
+    val oneCell = vecs.withColumn("cell", lit(0))
+    val all = Dedup.semanticNearDupPairs(oneCell, "vec_id", "embedding", "cell", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(all === Set((0L, 1L), (2L, 3L)))
+    // split the planted pairs across cells: no within-cell edge survives
+    val split = vecs.withColumn("cell", (col("vec_id") % 2).cast("int"))
+    assert(Dedup.semanticNearDupPairs(split, "vec_id", "embedding", "cell", 0.95).isEmpty)
+  }
+
+  test("semanticDedup keeps one representative per group plus singletons") {
+    val oneCell = vecs.withColumn("cell", lit(0))
+    val kept = Dedup.semanticDedup(oneCell, "vec_id", "embedding", "cell", 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(0L, 2L, 4L, 5L)) // min-id reps of {0,1} and {2,3}
+  }
+
+  test("semanticDedupKMeans with k=1 matches the single-cell brute-force keep set") {
+    val brute = Dedup.semanticDedup(vecs.withColumn("c", lit(0)), "vec_id", "embedding", "c", 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    val km = Dedup.semanticDedupKMeans(vecs, "vec_id", "embedding", k = 1, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(km === brute)
+    // and the kmeans variant never returns MORE rows than the input
+    assert(km.subsetOf(vecs.select("vec_id").as[Long].collect().toSet))
+  }
+
   private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }
