@@ -930,8 +930,35 @@ object LlmQueries {
         (SELECT count(*) FROM embeddings) -
           (SELECT count(*) FROM comp WHERE id <> component) AS kept_vecs"""))
 
+  /** Web-extraction (C4/CCNet step 1): markup → clean text. The fixture
+    * html is BUILT AROUND the known document text by an identical concat on
+    * both engines, so the oracle states the expected extraction result
+    * directly — 'Doc N Doc N <text> Tom & Jerry <3 "ok" 's end' — with no
+    * regex on the oracle side: a truly independent check that tag
+    * stripping, script/style/comment removal, entity decode, and
+    * whitespace collapse recover exactly the authored content. (documents
+    * text verified free of '<', '&', and runs of spaces at both SFs.) */
+  val l28 = GQuery(
+    "l28_html_extract",
+    (s, dir) => {
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>Doc "), id, lit("</title>"),
+        lit("<style type=\"text/css\">body { margin: 0; }</style>"),
+        lit("<script>if (a < b && c > d) { s = \"<div>\"; }</script>"),
+        lit("</head><body><!-- nav --><h1 id=\"t\">Doc "), id, lit("</h1><p>"),
+        col("text"),
+        lit("</p><p>Tom &amp; Jerry &lt;3 &quot;ok&quot; &#39;s&nbsp;end</p></body></html>"))
+      t(s, dir, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"), TextFunctions.extractHtmlText(html).as("clean_text"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, 'Doc ' || doc_id || ' Doc ' || doc_id || ' ' || text ||
+      ' Tom & Jerry <3 "ok" ''s end' AS clean_text
+      FROM documents WHERE doc_id < 50 ORDER BY doc_id"""))
+
   def all: Seq[GQuery] = Seq(l1, l2, l2brute, l2simhash, l2simhashPairs, l2cluster, l2quality,
     l2embedding, l3, l3scalable, l3lsh, l3ivf, l3kmeans, l3pq,
-    l3lshRecall, l3ivfRecall, l3kmeansRecall, l3pqRecall, l26, l27, l4langid, l5, l6, l7, l8, l9,
+    l3lshRecall, l3ivfRecall, l3kmeansRecall, l3pqRecall, l26, l27, l28, l4langid, l5, l6, l7, l8, l9,
     l10, l11, l11b, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l24, l24b, l25)
 }

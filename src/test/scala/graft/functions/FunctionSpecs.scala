@@ -171,4 +171,32 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fps(1L) === fps(2L))
     assert(fps(1L) !== fps(3L))
   }
+
+  private def extract(html: String): String =
+    Seq(Tuple1(html)).toDF("h")
+      .select(TextFunctions.extractHtmlText(col("h"))).as[String].head()
+
+  test("extractHtmlText strips script/style with contents, comments, and tags") {
+    assert(extract("<p>keep</p><script>drop();</script><b>this</b>") === "keep this")
+    assert(extract("<style>p { color: red }</style>body") === "body")
+    assert(extract("a<!-- note\nacross lines -->b") === "a b")
+    assert(extract("<div\nclass='x'>multi\nline</div>") === "multi line")
+  }
+
+  test("extractHtmlText handles case-insensitive and attributed script blocks") {
+    assert(extract("""x<SCRIPT type="text/javascript">if (a<b) {"<i>"}</SCRIPT>y""") === "x y")
+    assert(extract("<STYLE media=print>@page{}</style >z") === "z")
+  }
+
+  test("extractHtmlText decodes entities one level, &amp; last") {
+    assert(extract("Tom &amp; Jerry &lt;3 &quot;ok&quot; &#39;s&nbsp;end") ===
+      """Tom & Jerry <3 "ok" 's end""")
+    // double-encoded stays single-decoded: never turns into a bare '<'
+    assert(extract("&amp;lt;tag&amp;gt;") === "&lt;tag&gt;")
+  }
+
+  test("extractHtmlText collapses whitespace and trims; plain text is identity") {
+    assert(extract("  <p>\n\ta   b\n</p>  ") === "a b")
+    assert(extract("no markup at all") === "no markup at all")
+  }
 }
