@@ -28,8 +28,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
 object DeltaRead {
 
   /** One live data file in a snapshot: absolute path + log-carried
-    * partition values (column name → string value, null for NULL). */
-  case class LiveFile(path: String, partitionValues: Map[String, String])
+    * partition values (column name → string value, null for NULL) + the
+    * log-carried size/modificationTime (0 when the source action omitted
+    * them — used when re-emitting checkpoint add rows, where the Delta spec
+    * makes them required). */
+  case class LiveFile(path: String, partitionValues: Map[String, String],
+      size: Long = 0L, modificationTime: Long = 0L)
 
   case class Snapshot(
       version: Long,
@@ -38,7 +42,8 @@ object DeltaRead {
       files: Seq[LiveFile])
 
   private val actionsDdl =
-    """add STRUCT<path: STRING, partitionValues: MAP<STRING, STRING>, dataChange: BOOLEAN>,
+    """add STRUCT<path: STRING, partitionValues: MAP<STRING, STRING>, size: BIGINT,
+                  modificationTime: BIGINT, dataChange: BOOLEAN>,
        remove STRUCT<path: STRING>,
        metaData STRUCT<id: STRING, schemaString: STRING,
                        partitionColumns: ARRAY<STRING>,
@@ -50,10 +55,16 @@ object DeltaRead {
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Percent-only decode (RFC 3986): log paths encode special chars as %XX
+    * but a literal '+' is just '+' — URLDecoder alone would corrupt it to a
+    * space (form-urlencoded rules), so protect it first. */
+  private[sources] def pctDecode(s: String): String =
+    java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
+
   /** Absolute data-file path: log paths are table-root-relative and
     * percent-encoded; already-absolute URIs pass through. */
   private def resolve(table: String, p: String): String = {
-    val decoded = java.net.URLDecoder.decode(p, "UTF-8")
+    val decoded = pctDecode(p)
     if (decoded.contains("://") || decoded.startsWith("/")) decoded
     else s"${table.stripSuffix("/")}/$decoded"
   }
@@ -121,12 +132,24 @@ object DeltaRead {
             applyMeta(r.getString(0),
               Option(r.getSeq[String](1)).map(_.toSeq).getOrElse(Seq.empty), r.getString(2))
           }
+      // size/modificationTime are spec-required in checkpoints but tolerate
+      // their absence (older graft-written checkpoints omitted them)
+      val addFields = cp.schema.collectFirst {
+        case f if f.name == "add" => f.dataType match {
+          case s: StructType => s.fieldNames.toSet
+          case _ => Set.empty[String]
+        }
+      }.getOrElse(Set.empty)
+      def optLong(n: String) =
+        if (addFields.contains(n)) coalesce(col(s"add.$n"), lit(0L)) else lit(0L)
       cp.where(col("add").isNotNull)
-        .select(col("add.path"), col("add.partitionValues"))
+        .select(col("add.path"), col("add.partitionValues"),
+          optLong("size"), optLong("modificationTime"))
         .collect().foreach { r =>
           val p = resolve(table, r.getString(0))
           live(p) = LiveFile(p,
-            Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty))
+            Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty),
+            r.getLong(2), r.getLong(3))
         }
     }
 
@@ -138,7 +161,9 @@ object DeltaRead {
           col("remove.path").as("rp"),
           col("metaData.schemaString").as("ss"), col("metaData.partitionColumns").as("pc"),
           col("metaData.format.provider").as("fp"),
-          col("protocol.minReaderVersion").as("mrv"))
+          col("protocol.minReaderVersion").as("mrv"),
+          coalesce(col("add.size"), lit(0L)).as("sz"),
+          coalesce(col("add.modificationTime"), lit(0L)).as("mt"))
         .collect()
       commit.foreach { r =>
         if (!r.isNullAt(6)) minReader = math.max(minReader, r.getInt(6))
@@ -154,7 +179,8 @@ object DeltaRead {
         if (!r.isNullAt(0)) {
           val p = resolve(table, r.getString(0))
           live(p) = LiveFile(p,
-            Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty))
+            Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty),
+            r.getLong(7), r.getLong(8))
         }
       }
     }
@@ -224,9 +250,15 @@ object DeltaRead {
         (norm, snap.partitionColumns.map(c => f.partitionValues.getOrElse(c, null)))
       }.toDF("__file", "__pvals")
       // normalize scheme+authority off the URI with codegen'd string ops
-      // (no scalar UDF): "file:///a/b" and "file:/a/b" both → "/a/b"
+      // (no scalar UDF): "file:///a/b" and "file:/a/b" both → "/a/b".
+      // Protect literal '+' (valid unencoded in URI paths, e.g. Hive-style
+      // partition dirs from external writers) before url_decode, whose
+      // form-urlencoded rules would corrupt it to a space and silently null
+      // the partition values via the left join below.
       val keyed = data.withColumn("__file",
-        url_decode(regexp_replace(input_file_name(), "^[a-zA-Z0-9+.-]+:(//)?", "")))
+        url_decode(regexp_replace(
+          regexp_replace(input_file_name(), "^[a-zA-Z0-9+.-]+:(//)?", ""),
+          "\\+", "%2B")))
       val withParts = keyed.join(broadcast(mapping), Seq("__file"), "left")
       val cols = snap.schema.map { f =>
         if (snap.partitionColumns.contains(f.name))

@@ -22,6 +22,22 @@ object DeltaWrite {
 
   private def logDir(table: String) = Paths.get(table.stripSuffix("/"), "_delta_log")
 
+  /** Percent-only encode (RFC 3986 path rules): special chars → %XX, space
+    * → %20 (never '+' — URLEncoder's form rules would corrupt a literal '+'
+    * on decode). Inverse of [[DeltaRead.pctDecode]]. */
+  private def pctEncode(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+
+  /** Log-path form of a literal disk-relative path: every segment percent-
+    * encoded (the Delta spec stores percent-encoded paths). The DISK name of
+    * a partition dir is itself Hive-escaped (e.g. value "e%f" → dir
+    * "grp=e%25f"), so the LOG form double-encodes: "grp=e%2525f" — decode on
+    * read recovers the literal disk name, never the raw value. remove and
+    * checkpoint paths MUST go through the same encoding or they fail to
+    * match their add's key during replay. */
+  private def pctEncodePath(diskRel: String): String =
+    diskRel.split("/").map(pctEncode).mkString("/")
+
   private def jsonStr(s: String): String = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     m.writeValueAsString(s) // proper JSON string escaping (quotes, controls)
@@ -75,16 +91,15 @@ object DeltaWrite {
       Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
         case d if d.isDirectory && d.getName.contains("=") =>
           val Array(k, v) = d.getName.split("=", 2)
-          walk(d, values + (k -> java.net.URLDecoder.decode(v, "UTF-8")))
+          walk(d, values + (k -> DeltaRead.pctDecode(v)))
         case f if f.isFile && f.getName.endsWith(".parquet") => Seq(f -> values)
         case _ => Seq.empty
       }
-    walk(new java.io.File(stage), Map.empty).map { case (f, values) =>
+    val moved = walk(new java.io.File(stage), Map.empty).map { case (f, values) =>
       // standard layout: partition dirs at the table root; path segments
       // percent-encoded in the log exactly as the file name is on disk
       val partDirs = partitionBy.map { c =>
-        val enc = java.net.URLEncoder.encode(values.getOrElse(c, ""), "UTF-8")
-        s"$c=$enc"
+        s"$c=${pctEncode(values.getOrElse(c, ""))}"
       }
       val rel = (partDirs :+ f.getName).mkString("/")
       val dest = Paths.get(table, rel)
@@ -92,6 +107,13 @@ object DeltaWrite {
       Files.move(f.toPath, dest)
       rel -> values
     }
+    // the staging dir now holds only _SUCCESS/metadata leftovers — drop it
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
+      f.delete()
+    }
+    rmr(new java.io.File(stage))
+    moved
   }
 
   private def addAction(rel: String, values: Map[String, String], size: Long): String = {
@@ -123,7 +145,7 @@ object DeltaWrite {
     }
     val staged = stageFiles(df, table, partitionBy)
     val adds = staged.map { case (rel, values) =>
-      addAction(rel, values, Files.size(Paths.get(table, rel)))
+      addAction(pctEncodePath(rel), values, Files.size(Paths.get(table, rel)))
     }
     val header = if (exists) Seq.empty else Seq(protocolAction, metaAction(df, partitionBy))
     val txnAction = txn.toSeq.map { case (appId, v) =>
@@ -143,12 +165,12 @@ object DeltaWrite {
     require(currentVersions(table).nonEmpty, s"overwrite of non-existent table $table — use append")
     val staged = stageFiles(df, table, partitionBy)
     val adds = staged.map { case (rel, values) =>
-      addAction(rel, values, Files.size(Paths.get(table, rel)))
+      addAction(pctEncodePath(rel), values, Files.size(Paths.get(table, rel)))
     }
     while (true) {
       val snap = DeltaRead.snapshotInfo(spark, table)
       val removes = snap.files.map { f =>
-        val rel = f.path.stripPrefix(s"${table.stripSuffix("/")}/")
+        val rel = pctEncodePath(f.path.stripPrefix(s"${table.stripSuffix("/")}/"))
         s"""{"remove":{"path":${jsonStr(rel)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}"""
       }
       val content = (Seq(metaAction(df, partitionBy)) ++ removes ++ adds).mkString("", "\n", "\n")
@@ -167,21 +189,26 @@ object DeltaWrite {
     // txn high-water marks must survive into the checkpoint, or a cleaned
     // log would erase the streaming sink's replay guard
     val txns = DeltaRead.txnVersions(spark, table).toSeq
-    val rows = ("protocol", null: String, null: Map[String, String], null: String, null: String, 0L) +:
-      ("meta", null: String, null: Map[String, String], schemaJson, null: String, 0L) +:
+    val rows = ("protocol", null: String, null: Map[String, String], null: String, null: String, 0L, 0L, 0L) +:
+      ("meta", null: String, null: Map[String, String], schemaJson, null: String, 0L, 0L, 0L) +:
       (snap.files.map { f =>
-        val rel = f.path.stripPrefix(s"${table.stripSuffix("/")}/")
-        ("add", rel, f.partitionValues, null: String, null: String, 0L)
+        val rel = pctEncodePath(f.path.stripPrefix(s"${table.stripSuffix("/")}/"))
+        ("add", rel, f.partitionValues, null: String, null: String, 0L, f.size, f.modificationTime)
       } ++ txns.map { case (appId, v) =>
-        ("txn", null: String, null: Map[String, String], null: String, appId, v)
+        ("txn", null: String, null: Map[String, String], null: String, appId, v, 0L, 0L)
       })
-    val cp = rows.toDF("kind", "path", "pv", "ss", "appId", "tver").select(
-      when($"kind" === "protocol", struct(lit(1).as("minReaderVersion"))).as("protocol"),
+    // add rows carry the spec-required size/modificationTime/dataChange —
+    // a checkpoint whose adds lack them is rejected by stock Delta readers
+    val cp = rows.toDF("kind", "path", "pv", "ss", "appId", "tver", "sz", "mt").select(
+      when($"kind" === "protocol", struct(
+        lit(1).as("minReaderVersion"), lit(2).as("minWriterVersion"))).as("protocol"),
       when($"kind" === "meta", struct(
         lit("graft-checkpoint").as("id"), $"ss".as("schemaString"),
         typedLit(snap.partitionColumns).as("partitionColumns"),
         struct(lit("parquet").as("provider")).as("format"))).as("metaData"),
-      when($"kind" === "add", struct($"path".as("path"), $"pv".as("partitionValues"))).as("add"),
+      when($"kind" === "add", struct($"path".as("path"), $"pv".as("partitionValues"),
+        $"sz".as("size"), $"mt".as("modificationTime"),
+        lit(true).as("dataChange"))).as("add"),
       when($"kind" === "txn", struct($"appId".as("appId"), $"tver".as("version"))).as("txn"))
     val stage = Files.createTempDirectory("graft_delta_cp").toString
     cp.coalesce(1).write.mode("overwrite").parquet(stage)

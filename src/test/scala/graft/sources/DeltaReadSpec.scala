@@ -159,4 +159,16 @@ class DeltaReadSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](DeltaRead.snapshot(spark, table2))
     assert(e2.getMessage.contains("format"))
   }
+
+  test("external layout with literal '+' in a partition dir keeps its values") {
+    // Hive-style external writers leave '+' unescaped in dir names; the
+    // input_file_name normalization must not decode it to a space
+    val table = Files.createTempDirectory("graft_delta_plus").toString
+    val p = writePart(table, "grp=a+b/part-1.parquet", Seq((1L, "alpha")))
+    commit(table, 0L, Seq(protocolAction, metaAction(Seq("grp")),
+      addAction("grp=a%2Bb/part-1.parquet", Map("grp" -> "a+b"))))
+    val got = DeltaRead.snapshot(spark, table)
+      .select("id", "grp").as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "a+b")))
+  }
 }

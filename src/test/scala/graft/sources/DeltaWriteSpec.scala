@@ -115,4 +115,35 @@ class DeltaWriteSpec extends SparkSpec {
     assert(rows(DeltaRead.snapshot(spark, table)).map(_._1) ===
       Set(0L) ++ (1 to 4).flatMap(w => Seq(w * 10L, w * 10L + 1)).toSet)
   }
+
+  test("partition values with '+', space, and '%' survive the layout round-trip") {
+    val table = Files.createTempDirectory("graft_dw_enc").toString
+    val vals = Seq("a+b", "c d", "e%f")
+    val df = vals.zipWithIndex.map { case (g, i) => (i.toLong, s"n$i", g) }
+      .toDF("id", "name", "grp")
+    DeltaWrite.append(spark, df, table, partitionBy = Seq("grp"))
+    // the log's partitionValues carry the RAW values…
+    val snap = DeltaRead.snapshotInfo(spark, table)
+    assert(snap.files.map(_.partitionValues("grp")).toSet === vals.toSet)
+    // …and the snapshot reconstructs them
+    assert(rows(DeltaRead.snapshot(spark, table)).map(_._3) === vals.toSet)
+  }
+
+  test("checkpoint add rows carry spec-required size/modificationTime/dataChange") {
+    val table = Files.createTempDirectory("graft_dw_cp").toString
+    DeltaWrite.append(spark, Seq((1L, "a", "x")).toDF("id", "name", "grp"), table, Seq("grp"))
+    DeltaWrite.checkpoint(spark, table)
+    val cp = spark.read.parquet(
+      Paths.get(table, "_delta_log").toString + "/00000000000000000000.checkpoint.parquet")
+    val addType = cp.schema("add").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(Set("path", "partitionValues", "size", "modificationTime", "dataChange")
+      .subsetOf(addType.fieldNames.toSet))
+    val add = cp.where(org.apache.spark.sql.functions.col("add").isNotNull)
+      .select("add.size", "add.dataChange").collect()
+    assert(add.nonEmpty && add.forall(r => r.getLong(0) > 0L && r.getBoolean(1)))
+    val protoType = cp.schema("protocol").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(protoType.fieldNames.contains("minWriterVersion"))
+    // snapshot via the checkpoint path still reads correctly
+    assert(rows(DeltaRead.snapshot(spark, table)) === Set((1L, "a", "x")))
+  }
 }
