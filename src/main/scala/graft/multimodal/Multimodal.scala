@@ -266,12 +266,18 @@ object Multimodal {
     val tw = math.max(1, (sw * scale).toInt)
     val th = math.max(1, (sh * scale).toInt)
     val offset = (bmp(10) & 0xff) | ((bmp(11) & 0xff) << 8) | ((bmp(12) & 0xff) << 16) | ((bmp(13) & 0xff) << 24)
+    // raw height sign picks the row order: positive = bottom-up (file row 0
+    // is the BOTTOM image row), negative = top-down — resampling must honor
+    // it or top-down sources come out vertically flipped
+    val rawH = (bmp(22) & 0xff) | ((bmp(23) & 0xff) << 8) | ((bmp(24) & 0xff) << 16) | ((bmp(25) & 0xff) << 24)
+    val topDown = rawH < 0
     val rowSize = ((sw * 3 + 3) / 4) * 4
     Containers.buildBmp24(tw, th, (x, y) => {
       val sx = x * sw / tw
       val sy = y * sh / th
-      // builder hands us logical (top-down) y; source stores bottom-up
-      val base = offset + (sh - 1 - sy) * rowSize + sx * 3
+      // builder hands us logical (top-down) y; map to the source's file row
+      val fileRow = if (topDown) sy else sh - 1 - sy
+      val base = offset + fileRow * rowSize + sx * 3
       ((bmp(base + 2) & 0xff), (bmp(base + 1) & 0xff), (bmp(base) & 0xff))
     })
   }

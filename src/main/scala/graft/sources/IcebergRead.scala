@@ -27,7 +27,8 @@ object IcebergRead {
   private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private def localPath(uri: String): String = {
-    val decoded = java.net.URLDecoder.decode(uri, "UTF-8")
+    // percent-only decode ('+' is literal in URI paths — see DeltaRead.pctDecode)
+    val decoded = DeltaRead.pctDecode(uri)
     decoded.replaceFirst("^[a-zA-Z0-9+.-]+:(//)?", "")
   }
 

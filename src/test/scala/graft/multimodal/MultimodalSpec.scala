@@ -107,6 +107,31 @@ class MultimodalSpec extends SparkSpec {
     assert((out(offset + 5) & 0xff) === 80)
   }
 
+  test("BMP resize honors top-down (negative height) row order") {
+    // 2x4, G encodes logical row y*60; rows differ so a flip is detectable
+    val src = Containers.buildBmp24(2, 4, (x, y) => (0, y * 60, 0))
+    // top-down twin: negate height AND reverse file row order (same logical image)
+    val rowSize = ((2 * 3 + 3) / 4) * 4
+    val td = src.clone()
+    val v = -4
+    td(22) = (v & 0xff).toByte; td(23) = ((v >> 8) & 0xff).toByte
+    td(24) = ((v >> 16) & 0xff).toByte; td(25) = ((v >> 24) & 0xff).toByte
+    (0 until 4).foreach { fr =>
+      System.arraycopy(src, 54 + (3 - fr) * rowSize, td, 54 + fr * rowSize, rowSize)
+    }
+    // maxSide 2 → 1x2; logical rows sampled are y=0 and y=2 (G=0, G=120)
+    val a = Multimodal.resizeBmp(src, 2)
+    val b = Multimodal.resizeBmp(td, 2)
+    def greens(bmp: Array[Byte]): Seq[Int] = {
+      val (w, h, _) = Containers.parseBmp(bmp)
+      val rs = ((w * 3 + 3) / 4) * 4
+      // output is bottom-up: file row r holds logical row h-1-r
+      (0 until h).map(y => bmp(54 + (h - 1 - y) * rs + 1) & 0xff)
+    }
+    assert(greens(a) === Seq(0, 120))
+    assert(greens(b) === greens(a))
+  }
+
   test("frame sampling expands one row per sampled frame") {
     val frames = Multimodal.sampleFrames(records, everyMs = 1000)
     val perVideo = frames.groupBy("id").count()
