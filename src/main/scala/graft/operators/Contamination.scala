@@ -104,4 +104,23 @@ object Contamination {
       .agg(max(col("span_tokens")).as("max_span_tokens"))
       .where(col("max_span_tokens") >= minSpanTokens)
   }
+
+  /** ExactSubstr-style document dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — public): any two docs
+    * sharing a verbatim run of ≥ `minSpanTokens` tokens are duplicates;
+    * connected components over that span graph keep the min-id
+    * representative (plus every span-free doc). Candidate generation is
+    * [[sharedSpans]]'s positional-gram equi-join — the fixed-n equivalent
+    * of the paper's suffix array, never an all-pairs scan — and the
+    * component closure is the star-contraction used by every other dedup
+    * family, so the whole rule holds at corpus scale. `maxGramDocFreq`
+    * caps stop-phrase fan-out exactly as in [[report]]. */
+  def dropSharedSpanDocs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minSpanTokens: Int, maxGramDocFreq: Int = Int.MaxValue): DataFrame = {
+    val pairs = sharedSpans(df, idCol, textCol, n, minSpanTokens, maxGramDocFreq)
+      .select(col("id_a"), col("id_b"))
+    val comp = Dedup.connectedComponents(pairs)
+    val losers = comp.where(col("id") =!= col("component")).select(col("id"))
+    df.join(losers, df(idCol) === losers("id"), "left_anti")
+  }
 }

@@ -930,6 +930,37 @@ object LlmQueries {
         (SELECT count(*) FROM embeddings) -
           (SELECT count(*) FROM comp WHERE id <> component) AS kept_vecs"""))
 
+  /** ExactSubstr document dedup (Lee et al. 2021): docs sharing a ≥10-token
+    * verbatim span cluster; min-id survives. Oracle = l16's span pairs fed
+    * through the same recursive-closure CTE as the other cluster oracles. */
+  val l29 = GQuery(
+    "l29_exactsubstr_dedup",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val kept = graft.operators.Contamination.dropSharedSpanDocs(
+        d, "doc_id", "text", n = 3, minSpanTokens = 10)
+      kept.agg(count(lit(1)).as("kept_docs"),
+        min(col("doc_id")).as("first_id"), max(col("doc_id")).as("last_id"))
+    },
+    Some("""WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      pg AS (SELECT doc_id, i AS pos, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+             FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM d WHERE len(w) >= 3)),
+      m AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, a.pos - b.pos AS diag
+            FROM pg a JOIN pg b ON a.g = b.g AND a.doc_id < b.doc_id),
+      isl AS (SELECT id_a, id_b, diag, pos_a,
+              pos_a - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS island
+              FROM m),
+      runs AS (SELECT id_a, id_b, count(*) + 2 AS span FROM isl GROUP BY id_a, id_b, diag, island),
+      p AS (SELECT id_a, id_b FROM runs GROUP BY id_a, id_b HAVING max(span) >= 10),
+      edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a WHERE r.a <> e2.b),
+      comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
+      SELECT count(*) AS kept_docs, min(doc_id) AS first_id, max(doc_id) AS last_id
+      FROM documents WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)"""))
+
   /** Web-extraction (C4/CCNet step 1): markup → clean text. The fixture
     * html is BUILT AROUND the known document text by an identical concat on
     * both engines, so the oracle states the expected extraction result
@@ -959,6 +990,6 @@ object LlmQueries {
 
   def all: Seq[GQuery] = Seq(l1, l2, l2brute, l2simhash, l2simhashPairs, l2cluster, l2quality,
     l2embedding, l3, l3scalable, l3lsh, l3ivf, l3kmeans, l3pq,
-    l3lshRecall, l3ivfRecall, l3kmeansRecall, l3pqRecall, l26, l27, l28, l4langid, l5, l6, l7, l8, l9,
+    l3lshRecall, l3ivfRecall, l3kmeansRecall, l3pqRecall, l26, l27, l28, l29, l4langid, l5, l6, l7, l8, l9,
     l10, l11, l11b, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l24, l24b, l25)
 }

@@ -80,4 +80,21 @@ class ContaminationSpec extends SparkSpec {
       .as[(Int, Int, Long)].collect()
     assert(got.toSeq === Seq((1, 2, 4L)))
   }
+
+  test("dropSharedSpanDocs keeps min-id per span cluster, transitively") {
+    // 1–2 share "a b c d e"; 2–3 share "v w x y z" (1 and 3 share nothing
+    // directly — the closure must still collapse all three to doc 1)
+    val docs = Seq(
+      1L -> "a b c d e start of the chain here now",
+      2L -> "middle a b c d e and also v w x y z",
+      3L -> "v w x y z ends the chain differently today ok",
+      4L -> "totally disjoint content with no overlap at all").toDF("id", "text")
+    val kept = Contamination.dropSharedSpanDocs(docs, "id", "text", n = 3, minSpanTokens = 5)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L))
+    // below the span threshold nothing is dropped
+    val keptAll = Contamination.dropSharedSpanDocs(docs, "id", "text", n = 3, minSpanTokens = 6)
+      .select("id").as[Long].collect().toSet
+    assert(keptAll === Set(1L, 2L, 3L, 4L))
+  }
 }
