@@ -75,6 +75,22 @@ object StreamingQueries {
       FROM p JOIN s ON s.user_id = p.user_id
         AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY"""))
 
+  val st12 = GQuery(
+    "st12_stream_outer_join",
+    (s, dir) => StreamOps.purchaseSignupLeftJoin(s, dir),
+    // LEFT OUTER stream-stream join: matched pairs plus null-padded
+    // unmatched purchases; the 61-minute left-side cutoff (watermark-flush
+    // bound for AvailableNow termination) is applied identically here
+    Some("""WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 61 MINUTE AS c FROM events),
+      p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+            WHERE event_type = 'purchase' AND CAST(ts AS TIMESTAMP) <= (SELECT c FROM mx)),
+      s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'signup')
+      SELECT count(*) AS rows_out, count(s.user_id) AS matched,
+        count(*) - count(s.user_id) AS unmatched,
+        round(sum(p.value), 2) AS total_value
+      FROM p LEFT JOIN s ON s.user_id = p.user_id
+        AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY"""))
+
   val st8 = GQuery(
     "st8_dedup_within_watermark",
     (s, dir) => StreamOps.streamingDedupWithinWatermark(s, dir),
@@ -119,5 +135,5 @@ object StreamingQueries {
     Some("""SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  def all: Seq[GQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11)
+  def all: Seq[GQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12)
 }

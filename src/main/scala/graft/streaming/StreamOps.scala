@@ -211,6 +211,43 @@ object StreamOps {
       .agg(count(lit(1)).as("matched"), round(sum(col("value")), 2).as("total_value"))
   }
 
+  /** ST12: stream-stream LEFT OUTER interval join — every purchase emits,
+    * with signup columns null when no signup of that user precedes it by
+    * ≤ 7 days. Outer semantics in streaming are watermark-driven: an
+    * unmatched left row is held in state and its null-padded result only
+    * emits once the GLOBAL watermark passes its event time (a later
+    * matching right row could still arrive until then). Rows inside the
+    * final watermark delay therefore never flush before an AvailableNow
+    * run terminates — so the left side is cut off at max(ts) − delay − 1 min
+    * (computed from the batch table, deterministic for a fixed fixture) and
+    * the oracle applies the identical cutoff. At production scale the
+    * cutoff is unnecessary — a live stream's watermark keeps advancing —
+    * but the EMISSION rule is the same one this query pins. */
+  def purchaseSignupLeftJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = graft.Tables(spark, sfDir, "events")
+      .agg((max(col("ts")) - expr("INTERVAL 61 MINUTES")).as("c")).head().getTimestamp(0)
+    val purchases = eventsStream(spark, sfDir)
+      .where(col("event_type") === "purchase" && col("ts") <= lit(cutoff))
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val signups = eventsStream(spark, sfDir)
+      .where(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val joined = purchases.join(
+      signups,
+      col("p_user") === col("s_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS"),
+      "left_outer")
+    runToTable(spark, joined, "st12_outer_join_sink", OutputMode.Append())
+      .agg(
+        count(lit(1)).as("rows_out"),
+        count(col("s_user")).as("matched"),
+        (count(lit(1)) - count(col("s_user"))).as("unmatched"),
+        round(sum(col("value")), 2).as("total_value"))
+  }
+
   /** ST10: stream-static join — the streaming fact side probes a static
     * dimension snapshot; stateless (no watermark, no join state store; the
     * dim is re-resolved per micro-batch, so catalog-backed dims pick up
