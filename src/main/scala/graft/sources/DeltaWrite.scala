@@ -25,7 +25,7 @@ object DeltaWrite {
   /** Percent-only encode (RFC 3986 path rules): special chars → %XX, space
     * → %20 (never '+' — URLEncoder's form rules would corrupt a literal '+'
     * on decode). Inverse of [[DeltaRead.pctDecode]]. */
-  private def pctEncode(s: String): String =
+  private[sources] def pctEncode(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
 
   /** Log-path form of a literal disk-relative path: every segment percent-
@@ -35,8 +35,10 @@ object DeltaWrite {
     * read recovers the literal disk name, never the raw value. remove and
     * checkpoint paths MUST go through the same encoding or they fail to
     * match their add's key during replay. */
-  private def pctEncodePath(diskRel: String): String =
-    diskRel.split("/").map(pctEncode).mkString("/")
+  private[sources] def pctEncodePath(diskRel: String): String =
+    // limit -1 keeps empty segments (e.g. a trailing '/'): encode must be a
+    // total inverse of pctDecode even on degenerate paths
+    diskRel.split("/", -1).map(pctEncode).mkString("/")
 
   private def jsonStr(s: String): String = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()

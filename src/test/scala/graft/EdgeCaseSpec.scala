@@ -154,4 +154,28 @@ class EdgeCaseSpec extends SparkSpec {
     assert(rows(1).getInt(0) === 2 && rows(1).isNullAt(1))
     assert(rows(2).isNullAt(0) && rows(2).getBoolean(2)) // corrupt line captured
   }
+
+  test("extractHtmlText propagates NULL and keeps empty strings empty") {
+    val rows = Seq((1L, Some("<p>x</p>")), (2L, None), (3L, Some("")))
+      .toDF("id", "h")
+      .select($"id", graft.functions.TextFunctions.extractHtmlText($"h").as("t"))
+      .orderBy($"id").collect()
+    assert(rows(0).getString(1) === "x")
+    assert(rows(1).isNullAt(1)) // null in → null out, never a crash or ""
+    assert(rows(2).getString(1) === "")
+  }
+
+  test("semantic and span dedup are identities on empty and span-free input") {
+    val empty = Seq.empty[(Long, Array[Float], Int)].toDF("id", "v", "cell")
+    assert(Dedup.semanticDedup(empty, "id", "v", "cell", 0.9).count() === 0L)
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "one two three four"))
+      .toDF("id", "text")
+    val kept = graft.operators.Contamination
+      .dropSharedSpanDocs(docs, "id", "text", n = 3, minSpanTokens = 3)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L)) // no shared span → nothing dropped
+    val emptyDocs = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(graft.operators.Contamination
+      .dropSharedSpanDocs(emptyDocs, "id", "text", 3, 3).count() === 0L)
+  }
 }

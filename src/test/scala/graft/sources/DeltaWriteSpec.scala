@@ -116,6 +116,22 @@ class DeltaWriteSpec extends SparkSpec {
       Set(0L) ++ (1 to 4).flatMap(w => Seq(w * 10L, w * 10L + 1)).toSet)
   }
 
+  test("pctEncodePath / pctDecode round-trip any path segment") {
+    import org.scalacheck.{Gen, Arbitrary}
+    import org.scalacheck.rng.Seed
+    val seg = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf('+', ' ', '%', '=', '.', '-', '~', '*', '/', 'é', '日'),
+      1 -> Arbitrary.arbChar.arbitrary)).map(_.mkString)
+    (0 until 200).foreach { i =>
+      seg.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { s =>
+        val path = s.split("/", -1).mkString("/") // any '/' acts as a separator
+        assert(DeltaRead.pctDecode(DeltaWrite.pctEncodePath(path)) === path,
+          s"round-trip failed for ${s.map(c => f"\\u${c.toInt}%04x").mkString}")
+      }
+    }
+  }
+
   test("partition values with '+', space, and '%' survive the layout round-trip") {
     val table = Files.createTempDirectory("graft_dw_enc").toString
     val vals = Seq("a+b", "c d", "e%f")
