@@ -79,9 +79,9 @@ object StreamingQueries {
     "st12_stream_outer_join",
     (s, dir) => StreamOps.purchaseSignupLeftJoin(s, dir),
     // LEFT OUTER stream-stream join: matched pairs plus null-padded
-    // unmatched purchases; the 61-minute left-side cutoff (watermark-flush
+    // unmatched purchases; the 3-hour left-side cutoff (watermark-flush
     // bound for AvailableNow termination) is applied identically here
-    Some("""WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 61 MINUTE AS c FROM events),
+    Some("""WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 3 HOUR AS c FROM events),
       p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
             WHERE event_type = 'purchase' AND CAST(ts AS TIMESTAMP) <= (SELECT c FROM mx)),
       s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'signup')

@@ -218,18 +218,25 @@ object StreamOps {
     * emits once the GLOBAL watermark passes its event time (a later
     * matching right row could still arrive until then). Rows inside the
     * final watermark delay therefore never flush before an AvailableNow
-    * run terminates — so the left side is cut off at max(ts) − delay − 1 min
+    * run terminates — so the left side is cut off at max(ts) − 3 h
     * (computed from the batch table, deterministic for a fixed fixture) and
-    * the oracle applies the identical cutoff. At production scale the
-    * cutoff is unnecessary — a live stream's watermark keeps advancing —
-    * but the EMISSION rule is the same one this query pins. */
+    * the oracle applies the identical cutoff. The cutoff filter sits AFTER
+    * withWatermark: filtering first would drag the left watermark down to
+    * cutoff − delay and strand the last delay-window of retained rows in
+    * state forever (2 rows at sf0.1 — caught by the oracle). Each side's
+    * watermark tracks its true stream max, so the global watermark ends
+    * ≥ max(ts) − delay − last-event gap, comfortably past every retained
+    * row. At production scale the cutoff is unnecessary — a live stream's
+    * watermark keeps advancing — but the EMISSION rule is the same one
+    * this query pins. */
   def purchaseSignupLeftJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val cutoff = graft.Tables(spark, sfDir, "events")
-      .agg((max(col("ts")) - expr("INTERVAL 61 MINUTES")).as("c")).head().getTimestamp(0)
+      .agg((max(col("ts")) - expr("INTERVAL 3 HOURS")).as("c")).head().getTimestamp(0)
     val purchases = eventsStream(spark, sfDir)
-      .where(col("event_type") === "purchase" && col("ts") <= lit(cutoff))
+      .where(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
       .withWatermark("p_ts", "1 hour")
+      .where(col("p_ts") <= lit(cutoff))
     val signups = eventsStream(spark, sfDir)
       .where(col("event_type") === "signup")
       .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
