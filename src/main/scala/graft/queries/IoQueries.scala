@@ -257,5 +257,31 @@ object IoQueries {
       FROM events GROUP BY event_type
       ORDER BY version, event_type"""))
 
-  def all: Seq[GQuery] = Seq(t1, t1orc, t2, t3, tskip, tdelta, ticeberg, tdeltaRt)
+  /** S9 outbound: write an Iceberg v2 table (two append snapshots), read
+    * both back through the open metadata → manifest-list → manifest chain,
+    * incl. time travel to the first snapshot. Oracle recomputes both
+    * snapshot states from the source rows. */
+  val ticebergRt = GQuery(
+    "t_iceberg_roundtrip",
+    (s, dir) => {
+      val table = tmp("graft_icebergw_q")
+      val ev = Tables(s, dir, "events").select(col("event_id"), col("value"), col("event_type"))
+      val s1 = graft.sources.IcebergWrite.append(s, ev.where(col("event_type") =!= "click"), table)
+      val s2 = graft.sources.IcebergWrite.append(s, ev.where(col("event_type") === "click"), table)
+      def agg(snap: Long) = graft.sources.IcebergRead.snapshot(s, table, snap)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .withColumn("snap", lit(snap))
+      agg(s1).unionByName(agg(s2))
+        .select(col("snap"), col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy(col("snap"), col("event_type"))
+    },
+    Some("""SELECT 1 AS snap, event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+      FROM events WHERE event_type <> 'click' GROUP BY event_type
+      UNION ALL
+      SELECT 2, event_type, count(*), round(sum(value), 2)
+      FROM events GROUP BY event_type
+      ORDER BY snap, event_type"""))
+
+  def all: Seq[GQuery] = Seq(t1, t1orc, t2, t3, tskip, tdelta, ticeberg, tdeltaRt, ticebergRt)
 }

@@ -1,0 +1,89 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+/** Round-trip: tables written by IcebergWrite are spec-shaped Iceberg v2
+  * tables readable by IcebergRead (and, structurally, any Iceberg reader).
+  */
+class IcebergWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.select("id", "name").as[(Long, String)].collect().toSet
+
+  test("append creates a readable table; snapshots accumulate and time-travel") {
+    val table = Files.createTempDirectory("graft_iw").toString
+    val s1 = IcebergWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name"), table)
+    assert(s1 === 1L)
+    assert(rows(IcebergRead.snapshot(spark, table)) === Set((1L, "a"), (2L, "b")))
+    assert(Lake.detect(spark, table) === Lake.Iceberg)
+
+    val s2 = IcebergWrite.append(spark, Seq((3L, "c")).toDF("id", "name"), table)
+    assert(s2 === 2L)
+    assert(rows(IcebergRead.snapshot(spark, table)).map(_._1) === Set(1L, 2L, 3L))
+    // time travel to the first snapshot
+    assert(rows(IcebergRead.snapshot(spark, table, s1)).map(_._1) === Set(1L, 2L))
+    // Lake dispatch honors the version argument
+    assert(rows(Lake.read(spark, table, s1)).map(_._1) === Set(1L, 2L))
+  }
+
+  test("manifest avro carries spec field-ids and exact per-file record counts") {
+    val table = Files.createTempDirectory("graft_iw_m").toString
+    IcebergWrite.append(spark,
+      (1L to 10L).map(i => (i, s"n$i")).toDF("id", "name").repartition(3), table)
+    val metaDir = new java.io.File(s"$table/metadata")
+    val manifest = metaDir.listFiles().find(_.getName.startsWith("m-")).get
+    val reader = new org.apache.avro.file.DataFileReader(
+      manifest,
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    import scala.jdk.CollectionConverters._
+    val entries = try reader.iterator().asScala.toList finally reader.close()
+    assert(entries.nonEmpty)
+    val dfSchema = entries.head.getSchema.getField("data_file").schema()
+    assert(dfSchema.getField("file_path").getObjectProp("field-id") === 100)
+    assert(dfSchema.getField("record_count").getObjectProp("field-id") === 103)
+    val counts = entries.map(_.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord].get("record_count")
+      .asInstanceOf[Long])
+    assert(counts.sum === 10L)
+    assert(counts.forall(_ > 0L)) // per-file, not a repeated total
+  }
+
+  test("schema mismatch and nested types are refused loudly") {
+    val table = Files.createTempDirectory("graft_iw_s").toString
+    IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "name"), table)
+    intercept[IllegalArgumentException](
+      IcebergWrite.append(spark, Seq((1L, "a", 2.0)).toDF("id", "name", "x"), table))
+    intercept[IllegalArgumentException](
+      IcebergWrite.append(spark, Seq((1L, Seq("a"))).toDF("id", "arr"),
+        Files.createTempDirectory("graft_iw_n").toString))
+  }
+
+  test("concurrent appenders lose no snapshots and keep a linear version history") {
+    val table = Files.createTempDirectory("graft_iw_c").toString
+    IcebergWrite.append(spark, Seq((0L, "seed")).toDF("id", "name"), table)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(4)
+    val start = new CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (1 to 4).foreach { w =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try {
+            start.await()
+            IcebergWrite.append(spark, Seq((w * 10L, s"w$w")).toDF("id", "name"), table)
+          } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    start.countDown(); pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(failures.isEmpty, failures.toArray.mkString("; "))
+    assert(rows(IcebergRead.snapshot(spark, table)).map(_._1) ===
+      Set(0L, 10L, 20L, 30L, 40L))
+    // gap-free metadata versions v1..v5
+    (1 to 5).foreach { v =>
+      assert(Files.exists(Paths.get(table, "metadata", s"v$v.metadata.json")))
+    }
+  }
+}
