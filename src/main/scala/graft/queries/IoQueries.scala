@@ -283,5 +283,34 @@ object IoQueries {
       FROM events GROUP BY event_type
       ORDER BY snap, event_type"""))
 
-  def all: Seq[GQuery] = Seq(t1, t1orc, t2, t3, tskip, tdelta, ticeberg, tdeltaRt, ticebergRt)
+  /** S9 merge-on-read: append events, DELETE a predicate's rows as v2
+    * position-delete files (no data file rewritten), then aggregate the
+    * post-delete state plus the time-traveled pre-delete snapshot. Oracle
+    * recomputes both states from the source rows — a delete that leaks or
+    * over-applies breaks the hash. */
+  val ticebergMor = GQuery(
+    "t_iceberg_mor",
+    (s, dir) => {
+      val table = tmp("graft_icebergm_q")
+      val ev = Tables(s, dir, "events").select(col("event_id"), col("value"), col("event_type"))
+      val s1 = graft.sources.IcebergWrite.append(s, ev, table)
+      val s2 = graft.sources.IcebergWrite.deleteWhere(s, table,
+        col("event_type") === "click" && col("value") < lit(50.0))
+      def agg(snap: Long, label: Int) = graft.sources.IcebergRead.snapshot(s, table, snap)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .withColumn("state", lit(label))
+      agg(s2, 1).unionByName(agg(s1, 0))
+        .select(col("state"), col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy(col("state"), col("event_type"))
+    },
+    Some("""SELECT 0 AS state, event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT 1, event_type, count(*), round(sum(value), 2)
+      FROM events WHERE NOT (event_type = 'click' AND value < 50.0) GROUP BY event_type
+      ORDER BY state, event_type"""))
+
+  def all: Seq[GQuery] =
+    Seq(t1, t1orc, t2, t3, tskip, tdelta, ticeberg, tdeltaRt, ticebergRt, ticebergMor)
 }

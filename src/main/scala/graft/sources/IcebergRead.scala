@@ -12,16 +12,26 @@ import scala.jdk.CollectionConverters._
   *
   * Supported: format-version 1 and 2 metadata, parquet data files,
   * time travel by snapshot id, primitive column types (Iceberg data files
-  * carry ALL columns — unlike Delta, partition values need no injection).
-  * Refused loudly rather than misread: row-level deletes (v2 delete
-  * manifests / non-data content), non-parquet file formats, and nested or
-  * unknown column types. Columns resolve by NAME (a rename via field-id
-  * mapping is not supported — documented subset).
+  * carry ALL columns — unlike Delta, partition values need no injection),
+  * and v2 merge-on-read POSITION deletes (delete manifests → parquet
+  * delete files of (file_path, pos), applied as an anti join on the
+  * scan's `_metadata` file path + row index). Refused loudly rather than
+  * misread: EQUALITY deletes (content=2 — they need sequence-number
+  * scoping against every older data file), non-parquet file formats, and
+  * nested or unknown column types. Columns resolve by NAME (a rename via
+  * field-id mapping is not supported — documented subset).
+  *
+  * Position deletes skip the sequence-number check deliberately: an
+  * Iceberg data-file path is written once and never reused (UUID names,
+  * spec invariant), so a (path, pos) tuple can only ever refer to the one
+  * file that carried that path — the anti join is exact without it.
   *
   * Scale notes: metadata JSON and manifests are read on the DRIVER with
   * the Avro core API — they are metadata, O(manifests + files) small
   * records by Iceberg's own design (the same contract as Delta log
-  * replay / data skipping). Data is one parquet scan. */
+  * replay / data skipping). Data is one parquet scan; delete files are a
+  * second (usually tiny) scan whose anti join AQE turns into a broadcast
+  * when it fits — no O(data) state on any single node either way. */
 object IcebergRead {
 
   private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -77,7 +87,18 @@ object IcebergRead {
   }
 
   /** The Iceberg table as a DataFrame at `snapshotId` (-1 = current). */
-  def snapshot(spark: SparkSession, table: String, snapshotId: Long = -1L): DataFrame = {
+  def snapshot(spark: SparkSession, table: String, snapshotId: Long = -1L): DataFrame =
+    snapshotImpl(spark, table, snapshotId, lineage = false)
+
+  /** [[snapshot]] plus row lineage: `_file` (the data file's path exactly
+    * as the manifests spell it) and `_pos` (0-based row position in that
+    * file) — the tuple a position delete references. Deletes already
+    * applied; [[IcebergWrite.deleteWhere]] builds delete files from this. */
+  def snapshotWithLineage(spark: SparkSession, table: String, snapshotId: Long = -1L): DataFrame =
+    snapshotImpl(spark, table, snapshotId, lineage = true)
+
+  private def snapshotImpl(spark: SparkSession, table: String, snapshotId: Long,
+      lineage: Boolean): DataFrame = {
     val meta = mapper.readTree(metadataFile(table))
     val formatVersion = meta.path("format-version").asInt(1)
     require(formatVersion <= 2, s"unsupported Iceberg format-version $formatVersion")
@@ -104,36 +125,71 @@ object IcebergRead {
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $targetId not found (have ${snapshots.map(_.path("snapshot-id").asLong(0)).mkString(",")})"))
 
-    // manifest list (standard) or inline v1 `manifests` fallback
-    val manifestPaths: Seq[String] =
+    // manifest list (standard) or inline v1 `manifests` fallback; v2 splits
+    // manifests into data (content 0) and delete (content 1) manifests
+    val (dataManifests: Seq[String], deleteManifests: Seq[String]) =
       if (snap.has("manifest-list")) {
-        avroRecords(snap.path("manifest-list").asText()).map { r =>
+        val rows = avroRecords(snap.path("manifest-list").asText()).map { r =>
           val content = Option(r.get("content")).map(_.toString.toInt).getOrElse(0)
-          require(content == 0,
-            "Iceberg DELETE manifests present — row-level deletes are not supported; refusing")
-          r.get("manifest_path").toString
+          (r.get("manifest_path").toString, content)
         }
-      } else snap.path("manifests").elements().asScala.map(_.asText()).toSeq
+        (rows.collect { case (p, 0) => p }, rows.collect { case (p, c) if c != 0 => p })
+      } else (snap.path("manifests").elements().asScala.map(_.asText()).toSeq, Seq.empty[String])
 
-    val liveFiles = manifestPaths.flatMap { mp =>
+    def liveEntries(mp: String, expectData: Boolean): Seq[String] =
       avroRecords(mp).flatMap { entry =>
         val status = Option(entry.get("status")).map(_.toString.toInt).getOrElse(1)
         if (status == 2) None // DELETED entry: not part of this snapshot
         else {
           val df = entry.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
           val content = Option(df.get("content")).map(_.toString.toInt).getOrElse(0)
-          require(content == 0,
-            "Iceberg delete file in a data manifest — row-level deletes are not supported")
+          if (expectData)
+            require(content == 0,
+              "Iceberg delete file in a data manifest — malformed table; refusing")
+          else {
+            require(content != 2,
+              "Iceberg EQUALITY deletes present — only position deletes are supported; refusing")
+            require(content == 1,
+              s"unexpected content=$content entry in a delete manifest; refusing")
+          }
           val fmt = df.get("file_format").toString
           require(fmt.equalsIgnoreCase("parquet"), s"unsupported Iceberg file format: $fmt")
           Some(localPath(df.get("file_path").toString))
         }
       }
-    }
+
+    val liveFiles = dataManifests.flatMap(liveEntries(_, expectData = true))
+    val posDeleteFiles = deleteManifests.flatMap(liveEntries(_, expectData = false))
+
+    import org.apache.spark.sql.functions._
+    val outSchema =
+      if (!lineage) schema
+      else StructType(schema.fields.toSeq :+ StructField("_file", StringType) :+
+        StructField("_pos", LongType))
+    val outCols = outSchema.map(f => col(f.name))
+
     if (liveFiles.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      spark.read.schema(schema).parquet(liveFiles: _*)
-        .select(schema.map(f => org.apache.spark.sql.functions.col(f.name)): _*)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    else {
+      // merge-on-read: anti-join the scan against the (file_path, pos)
+      // tuples. Both sides normalize to a bare decoded path (scheme and
+      // authority stripped, percent-decoded, '+' protected — the DeltaRead
+      // partition-injection idiom) so writer-vs-scan URI spelling
+      // differences can't mask a delete.
+      def norm(c: org.apache.spark.sql.Column) =
+        url_decode(regexp_replace(
+          regexp_replace(c, "^[a-zA-Z0-9+.-]+:(//)?", ""), "\\+", "%2B"))
+      val base = spark.read.schema(schema).parquet(liveFiles: _*)
+        .withColumn("_file", norm(col("_metadata.file_path")))
+        .withColumn("_pos", col("_metadata.row_index"))
+      val undeleted =
+        if (posDeleteFiles.isEmpty) base
+        else {
+          val dels = spark.read.parquet(posDeleteFiles: _*)
+            .select(norm(col("file_path")).as("_file"), col("pos").as("_pos"))
+          base.join(dels, Seq("_file", "_pos"), "left_anti")
+        }
+      undeleted.select(outCols: _*)
+    }
   }
 }

@@ -99,6 +99,142 @@ object IcebergWrite {
     Files.size(path)
   }
 
+  /** The current snapshot's manifest-list rows as (path, length, content) —
+    * the tuple a successor snapshot carries forward verbatim. */
+  private def priorManifests(
+      prior: Option[com.fasterxml.jackson.databind.JsonNode]): Seq[(String, Long, Int)] =
+    prior.toSeq.flatMap { meta =>
+      val curSnap = meta.path("current-snapshot-id").asLong(-1L)
+      meta.path("snapshots").elements().asScala
+        .find(_.path("snapshot-id").asLong(-2L) == curSnap)
+        .map(_.path("manifest-list").asText()).toSeq
+        .flatMap { ml =>
+          val reader = new org.apache.avro.file.DataFileReader(
+            new java.io.File(ml),
+            new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+          try reader.iterator().asScala.toList.map(r =>
+            (r.get("manifest_path").toString, r.get("manifest_length").toString.toLong,
+              Option(r.get("content")).map(_.toString.toInt).getOrElse(0)))
+          finally reader.close()
+        }
+    }
+
+  /** Author the snapshot's manifest list. Counts describe THIS snapshot's
+    * newly added manifest; carried rows keep only (path, length, content) —
+    * the fields [[IcebergRead]]'s subset consults. */
+  private def writeManifestList(table: String, snapshotId: Long,
+      rows: Seq[(String, Long, Int)], addedFiles: Int, addedRows: Long): java.nio.file.Path = {
+    import org.apache.avro.generic.GenericData
+    val mlRecords = rows.map { case (mp, len, content) =>
+      val r = new GenericData.Record(manifestListSchema)
+      r.put("manifest_path", mp)
+      r.put("manifest_length", len)
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("sequence_number", snapshotId)
+      r.put("min_sequence_number", 1L)
+      r.put("added_snapshot_id", snapshotId)
+      r.put("added_files_count", addedFiles)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", addedRows)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      r
+    }
+    val mlPath = metaDir(table).resolve(s"snap-$snapshotId-${java.util.UUID.randomUUID()}.avro")
+    writeAvro(mlPath, manifestListSchema, mlRecords)
+    mlPath
+  }
+
+  private def readPrior(table: String): Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val v = currentVersion(table)
+    if (v == 0) None
+    else Some(mapper.readTree(metaDir(table).resolve(s"v$v.metadata.json").toFile))
+  }
+
+  /** Optimistic-claim commit shared by [[append]] and [[deleteWhere]]:
+    * each attempt re-reads the prior state (so a lost race carries the
+    * winner's snapshots forward), authors this snapshot's manifest +
+    * manifest list + metadata JSON, and claims `vN.metadata.json` by
+    * put-if-absent hard link. `authorManifest(snapshotId)` returns
+    * (manifestPath, length, content, addedFiles, addedRows); `fieldsJson`
+    * renders the schema `fields` array from the re-read prior state. */
+  private def commitSnapshot(table: String, operation: String,
+      fieldsJson: Option[com.fasterxml.jackson.databind.JsonNode] => (String, Int),
+      authorManifest: Long => (java.nio.file.Path, Long, Int, Int, Long)): Long = {
+    def jstr(s: String) = mapper.writeValueAsString(s)
+    while (true) {
+      // ONE version read, prior derived from exactly that version — a
+      // second currentVersion() call here would race a concurrent winner
+      // (read prior at N, see version N+1, claim N+2 carrying only N's
+      // manifests → the winner's snapshot silently dropped; caught by the
+      // concurrent-appender spec)
+      val base = currentVersion(table)
+      val prior: Option[com.fasterxml.jackson.databind.JsonNode] =
+        if (base == 0) None
+        else Some(mapper.readTree(metaDir(table).resolve(s"v$base.metadata.json").toFile))
+      val version = base + 1
+      val snapshotId = version.toLong
+      Files.createDirectories(metaDir(table))
+      val (manifestPath, manifestLen, content, addedFiles, addedRows) = authorManifest(snapshotId)
+      val mlPath = writeManifestList(table, snapshotId,
+        priorManifests(prior) :+ (manifestPath.toString, manifestLen, content),
+        addedFiles, addedRows)
+
+      val (fields, lastColumnId) = fieldsJson(prior)
+      val priorSnaps = prior.toSeq.flatMap(_.path("snapshots").elements().asScala.map(_.toString))
+      val now = System.currentTimeMillis()
+      val snapJson =
+        s"""{"snapshot-id":$snapshotId,"timestamp-ms":$now,"sequence-number":$snapshotId,
+           |"summary":{"operation":${jstr(operation)}},"manifest-list":${jstr(mlPath.toString)},"schema-id":0}"""
+          .stripMargin.replaceAll("\n", "")
+      val metaJson =
+        s"""{"format-version":2,"table-uuid":"graft-${java.util.UUID.randomUUID()}",
+           |"location":${jstr(table)},"last-sequence-number":$snapshotId,
+           |"last-updated-ms":$now,"last-column-id":$lastColumnId,
+           |"current-schema-id":0,
+           |"schemas":[{"type":"struct","schema-id":0,"fields":[$fields]}],
+           |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+           |"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
+           |"properties":{},
+           |"current-snapshot-id":$snapshotId,
+           |"snapshots":[${(priorSnaps :+ snapJson).mkString(",")}]}"""
+          .stripMargin.replaceAll("\n", "")
+
+      val tmp = Files.createTempFile(metaDir(table), "meta", ".tmp")
+      val won =
+        try {
+          Files.writeString(tmp, metaJson)
+          Files.createLink(metaDir(table).resolve(s"v$version.metadata.json"), tmp)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        } finally Files.delete(tmp)
+      if (won) {
+        Files.writeString(metaDir(table).resolve("version-hint.text"), version.toString)
+        return snapshotId
+      }
+      // lost the race: drop this attempt's manifest/list and re-author
+      // against the winner's state (data files stay — they are re-added)
+      Files.deleteIfExists(manifestPath)
+      Files.deleteIfExists(mlPath)
+    }
+    -1L // unreachable
+  }
+
+  /** The schema `fields` JSON array carried verbatim from prior metadata
+    * (for commits that must not alter the table schema). */
+  private def carriedFields(
+      prior: Option[com.fasterxml.jackson.databind.JsonNode]): (String, Int) = {
+    val meta = prior.getOrElse(sys.error("table has no metadata to carry the schema from"))
+    val cur = meta.path("schemas").elements().asScala
+      .find(_.path("schema-id").asInt(-1) == meta.path("current-schema-id").asInt(0))
+      .getOrElse(sys.error("malformed metadata: current-schema-id not in schemas"))
+    val fields = cur.path("fields").elements().asScala.map(_.toString).mkString(",")
+    (fields, meta.path("last-column-id").asInt(cur.path("fields").size()))
+  }
+
   /** Append `df` as a new snapshot; creates the table if absent. Returns
     * the snapshot id (== the committed metadata version). */
   def append(spark: SparkSession, df: DataFrame, table: String): Long = {
@@ -106,13 +242,8 @@ object IcebergWrite {
       case _: StructType | _: ArrayType | _: MapType => true; case _ => false
     }), "nested column types are outside the Iceberg writer's subset")
 
-    def readPrior(): Option[com.fasterxml.jackson.databind.JsonNode] = {
-      val v = currentVersion(table)
-      if (v == 0) None
-      else Some(mapper.readTree(metaDir(table).resolve(s"v$v.metadata.json").toFile))
-    }
     // schema pinning against an existing table (same rule as DeltaWrite)
-    readPrior().foreach { meta =>
+    readPrior(table).foreach { meta =>
       val cur = meta.path("schemas").elements().asScala
         .find(_.path("schema-id").asInt(-1) == meta.path("current-schema-id").asInt(0))
         .getOrElse(sys.error(s"malformed metadata in $table"))
@@ -146,118 +277,98 @@ object IcebergWrite {
     }
     rmr(stage.toFile)
 
-    // optimistic claim loop: manifests/metadata are cheap to re-author, and
-    // the prior state is RE-READ each attempt so a lost race carries the
-    // winner's snapshots forward instead of silently dropping them
-    while (true) {
-      val prior = readPrior()
-      val base = currentVersion(table)
-      val version = base + 1
-      val snapshotId = version.toLong
-      Files.createDirectories(metaDir(table))
+    // 2–5. manifest (status 1 = ADDED) + list + metadata via the shared
+    // optimistic claim loop
+    def jstr(s: String) = mapper.writeValueAsString(s)
+    val appendFields = df.schema.fields.zipWithIndex.map { case (f, i) =>
+      s"""{"id":${i + 1},"name":${jstr(f.name)},"required":false,"type":${jstr(icebergType(f.dataType))}}"""
+    }.mkString(",")
+    commitSnapshot(table, "append",
+      fieldsJson = _ => (appendFields, df.schema.size),
+      authorManifest = { snapshotId =>
+        import org.apache.avro.generic.GenericData
+        val dataFileSchema = manifestEntrySchema.getField("data_file").schema()
+        val partitionSchema = dataFileSchema.getField("partition").schema()
+        val entries = dataFiles.map { case (p, nRows) =>
+          val dfr = new GenericData.Record(dataFileSchema)
+          dfr.put("content", 0)
+          dfr.put("file_path", p.toString)
+          dfr.put("file_format", "PARQUET")
+          dfr.put("partition", new GenericData.Record(partitionSchema))
+          dfr.put("record_count", nRows)
+          dfr.put("file_size_in_bytes", Files.size(p))
+          val e = new GenericData.Record(manifestEntrySchema)
+          e.put("status", 1)
+          e.put("snapshot_id", snapshotId)
+          e.put("sequence_number", snapshotId)
+          e.put("file_sequence_number", snapshotId)
+          e.put("data_file", dfr)
+          e
+        }
+        val manifestPath = metaDir(table).resolve(s"m-$snapshotId-${java.util.UUID.randomUUID()}.avro")
+        val manifestLen = writeAvro(manifestPath, manifestEntrySchema, entries)
+        (manifestPath, manifestLen, 0, dataFiles.size, rowCount)
+      })
+  }
 
-      // 2. one manifest for this append's files (status 1 = ADDED)
-      import org.apache.avro.generic.GenericData
-      val dataFileSchema = manifestEntrySchema.getField("data_file").schema()
-      val partitionSchema = dataFileSchema.getField("partition").schema()
-      val entries = dataFiles.map { case (p, nRows) =>
+  /** Merge-on-read DELETE: rows of the CURRENT snapshot matching
+    * `condition` become a position delete file (the v2 spec's
+    * (file_path, pos) parquet table) committed under a delete manifest —
+    * no data file is rewritten. Readers ([[IcebergRead]] and any
+    * spec-compliant engine) anti-join the tuples away at scan time.
+    * Returns the new snapshot id, or -1 if nothing matched (no commit).
+    *
+    * The matching pass is one distributed scan of the live files with the
+    * parquet `_metadata` file path + row index attached; only the matched
+    * (path, pos) tuples — O(deleted rows) — come back through the single
+    * delete-file write. */
+  def deleteWhere(spark: SparkSession, table: String,
+      condition: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions._
+    require(readPrior(table).isDefined, s"not an Iceberg table: $table")
+
+    // one scan: matched rows → (file_path, pos), written sorted by
+    // (path, pos) as the spec recommends for delete files
+    val matched = IcebergRead.snapshotWithLineage(spark, table)
+      .where(condition)
+      .select(col("_file").as("file_path"), col("_pos").as("pos"))
+    val stage = Files.createTempDirectory("graft_iceberg_delete")
+    matched.repartition(1).sortWithinPartitions("file_path", "pos")
+      .write.mode("overwrite").parquet(stage.toString)
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr); f.delete()
+    }
+    val staged = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).toSeq
+    val nDeleted = spark.read.parquet(stage.toString).count()
+    if (nDeleted == 0) { rmr(stage.toFile); return -1L }
+    Files.createDirectories(dataDir(table))
+    val deleteFile = dataDir(table).resolve(s"delete-${java.util.UUID.randomUUID()}.parquet")
+    Files.move(staged.head.toPath, deleteFile)
+    rmr(stage.toFile)
+
+    commitSnapshot(table, "delete",
+      fieldsJson = carriedFields,
+      authorManifest = { snapshotId =>
+        import org.apache.avro.generic.GenericData
+        val dataFileSchema = manifestEntrySchema.getField("data_file").schema()
+        val partitionSchema = dataFileSchema.getField("partition").schema()
         val dfr = new GenericData.Record(dataFileSchema)
-        dfr.put("content", 0)
-        dfr.put("file_path", p.toString)
+        dfr.put("content", 1) // POSITION_DELETES
+        dfr.put("file_path", deleteFile.toString)
         dfr.put("file_format", "PARQUET")
         dfr.put("partition", new GenericData.Record(partitionSchema))
-        dfr.put("record_count", nRows)
-        dfr.put("file_size_in_bytes", Files.size(p))
+        dfr.put("record_count", nDeleted)
+        dfr.put("file_size_in_bytes", Files.size(deleteFile))
         val e = new GenericData.Record(manifestEntrySchema)
         e.put("status", 1)
         e.put("snapshot_id", snapshotId)
         e.put("sequence_number", snapshotId)
         e.put("file_sequence_number", snapshotId)
         e.put("data_file", dfr)
-        e
-      }
-      val manifestPath = metaDir(table).resolve(s"m-$snapshotId-${java.util.UUID.randomUUID()}.avro")
-      val manifestLen = writeAvro(manifestPath, manifestEntrySchema, entries)
-
-      // 3. manifest list = prior snapshot's manifests (carried forward
-      //    as-is, the spec's reuse pattern) + this one
-      val priorManifests: Seq[(String, Long)] = prior.toSeq.flatMap { meta =>
-        val curSnap = meta.path("current-snapshot-id").asLong(-1L)
-        meta.path("snapshots").elements().asScala
-          .find(_.path("snapshot-id").asLong(-2L) == curSnap)
-          .map(_.path("manifest-list").asText()).toSeq
-          .flatMap { ml =>
-            val reader = new org.apache.avro.file.DataFileReader(
-              new java.io.File(ml),
-              new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
-            try reader.iterator().asScala.toList.map(r =>
-              (r.get("manifest_path").toString, r.get("manifest_length").toString.toLong))
-            finally reader.close()
-          }
-      }
-      val mlRecords = (priorManifests :+ (manifestPath.toString, manifestLen)).map { case (mp, len) =>
-        val r = new GenericData.Record(manifestListSchema)
-        r.put("manifest_path", mp)
-        r.put("manifest_length", len)
-        r.put("partition_spec_id", 0)
-        r.put("content", 0)
-        r.put("sequence_number", snapshotId)
-        r.put("min_sequence_number", 1L)
-        r.put("added_snapshot_id", snapshotId)
-        r.put("added_files_count", dataFiles.size)
-        r.put("existing_files_count", 0)
-        r.put("deleted_files_count", 0)
-        r.put("added_rows_count", rowCount)
-        r.put("existing_rows_count", 0L)
-        r.put("deleted_rows_count", 0L)
-        r
-      }
-      val mlPath = metaDir(table).resolve(s"snap-$snapshotId-${java.util.UUID.randomUUID()}.avro")
-      writeAvro(mlPath, manifestListSchema, mlRecords)
-
-      // 4. metadata JSON: prior snapshots stay for time travel
-      def jstr(s: String) = mapper.writeValueAsString(s)
-      val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
-        s"""{"id":${i + 1},"name":${jstr(f.name)},"required":false,"type":${jstr(icebergType(f.dataType))}}"""
-      }.mkString(",")
-      val priorSnaps = prior.toSeq.flatMap(_.path("snapshots").elements().asScala.map(_.toString))
-      val now = System.currentTimeMillis()
-      val snapJson =
-        s"""{"snapshot-id":$snapshotId,"timestamp-ms":$now,"sequence-number":$snapshotId,
-           |"summary":{"operation":"append"},"manifest-list":${jstr(mlPath.toString)},"schema-id":0}"""
-          .stripMargin.replaceAll("\n", "")
-      val metaJson =
-        s"""{"format-version":2,"table-uuid":"graft-${java.util.UUID.randomUUID()}",
-           |"location":${jstr(table)},"last-sequence-number":$snapshotId,
-           |"last-updated-ms":$now,"last-column-id":${df.schema.size},
-           |"current-schema-id":0,
-           |"schemas":[{"type":"struct","schema-id":0,"fields":[$fields]}],
-           |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
-           |"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
-           |"properties":{},
-           |"current-snapshot-id":$snapshotId,
-           |"snapshots":[${(priorSnaps :+ snapJson).mkString(",")}]}"""
-          .stripMargin.replaceAll("\n", "")
-
-      // 5. put-if-absent claim of vN.metadata.json
-      val tmp = Files.createTempFile(metaDir(table), "meta", ".tmp")
-      val won =
-        try {
-          Files.writeString(tmp, metaJson)
-          Files.createLink(metaDir(table).resolve(s"v$version.metadata.json"), tmp)
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        } finally Files.delete(tmp)
-      if (won) {
-        Files.writeString(metaDir(table).resolve("version-hint.text"), version.toString)
-        return snapshotId
-      }
-      // lost the race: drop this attempt's manifest/list and re-author
-      // against the winner's state (data files stay — they are re-added)
-      Files.deleteIfExists(manifestPath)
-      Files.deleteIfExists(mlPath)
-    }
-    -1L // unreachable
+        val manifestPath = metaDir(table).resolve(s"m-$snapshotId-${java.util.UUID.randomUUID()}.avro")
+        val manifestLen = writeAvro(manifestPath, manifestEntrySchema, Seq(e))
+        (manifestPath, manifestLen, 1, 1, 0L)
+      })
   }
 }

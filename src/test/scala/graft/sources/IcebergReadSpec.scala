@@ -34,14 +34,26 @@ class IcebergReadSpec extends SparkSpec {
   }
 
   private def manifestEntry(status: Int, filePath: String,
-      format: String = "PARQUET"): org.apache.avro.generic.GenericRecord = {
+      format: String = "PARQUET", content: Int = 0): org.apache.avro.generic.GenericRecord = {
     val df = new org.apache.avro.generic.GenericData.Record(
       manifestEntrySchema.getField("data_file").schema())
-    df.put("content", 0); df.put("file_path", filePath)
+    df.put("content", content); df.put("file_path", filePath)
     df.put("file_format", format); df.put("record_count", 1L)
     val e = new org.apache.avro.generic.GenericData.Record(manifestEntrySchema)
     e.put("status", status); e.put("data_file", df)
     e
+  }
+
+  /** A position delete file: the v2 spec's (file_path, pos) parquet. */
+  private def writeDeleteFile(table: String, name: String,
+      tuples: Seq[(String, Long)]): String = {
+    val tmp = Files.createTempDirectory("graft_ice_del")
+    tuples.toDF("file_path", "pos").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles().find(_.getName.endsWith(".parquet")).get
+    val dest = Paths.get(table, "data", name)
+    Files.createDirectories(dest.getParent)
+    Files.move(part.toPath, dest)
+    dest.toString
   }
 
   private def manifestRef(path: String, content: Int = 0): org.apache.avro.generic.GenericRecord = {
@@ -98,18 +110,47 @@ class IcebergReadSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
-  test("delete manifests and non-parquet formats are refused loudly") {
+  test("position deletes from another engine's delete manifest are applied") {
+    val table = Files.createTempDirectory("graft_ice_mor").toString
+    val p1 = writePart(table, "p1.parquet", Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    val p2 = writePart(table, "p2.parquet", Seq((4L, "d")))
+    // delete rows 0 and 2 of p1 — note the delete file spells the path as a
+    // file:// URI while the data manifest uses file:// too, but the pos
+    // tuples reference the URI form a real engine writes
+    val d1 = writeDeleteFile(table, "d1.parquet", Seq((s"file://$p1", 0L), (s"file://$p1", 2L)))
+    writeAvro(s"$table/metadata/m0.avro", manifestEntrySchema,
+      Seq(manifestEntry(1, s"file://$p1"), manifestEntry(1, s"file://$p2")))
+    writeAvro(s"$table/metadata/md.avro", manifestEntrySchema,
+      Seq(manifestEntry(1, s"file://$d1", content = 1)))
+    writeAvro(s"$table/metadata/ml20.avro", manifestListSchema,
+      Seq(manifestRef(s"$table/metadata/m0.avro")))
+    writeAvro(s"$table/metadata/ml21.avro", manifestListSchema,
+      Seq(manifestRef(s"$table/metadata/m0.avro"),
+        manifestRef(s"$table/metadata/md.avro", content = 1)))
+    Files.writeString(Paths.get(table, "metadata", "v2.metadata.json"),
+      metadataJson(21L, Seq(20L -> s"$table/metadata/ml20.avro", 21L -> s"$table/metadata/ml21.avro")))
+    Files.writeString(Paths.get(table, "metadata", "version-hint.text"), "2")
+
+    assert(IcebergRead.snapshot(spark, table).orderBy("id")
+      .as[(Long, String)].collect().toSeq === Seq((2L, "b"), (4L, "d")))
+    // pre-delete snapshot still sees all rows
+    assert(IcebergRead.snapshot(spark, table, snapshotId = 20L).count() === 4L)
+  }
+
+  test("equality deletes and non-parquet formats are refused loudly") {
     val table = Files.createTempDirectory("graft_ice_ref").toString
     val p1 = writePart(table, "p1.parquet", Seq((1L, "a")))
     writeAvro(s"$table/metadata/m0.avro", manifestEntrySchema,
       Seq(manifestEntry(1, s"file://$p1")))
+    writeAvro(s"$table/metadata/meq.avro", manifestEntrySchema,
+      Seq(manifestEntry(1, s"file://$p1", content = 2)))
     writeAvro(s"$table/metadata/ml.avro", manifestListSchema,
-      Seq(manifestRef(s"$table/metadata/m0.avro"), manifestRef(s"$table/metadata/m0.avro", content = 1)))
+      Seq(manifestRef(s"$table/metadata/m0.avro"), manifestRef(s"$table/metadata/meq.avro", content = 1)))
     Files.writeString(Paths.get(table, "metadata", "v1.metadata.json"),
       metadataJson(5L, Seq(5L -> s"$table/metadata/ml.avro")))
     Files.writeString(Paths.get(table, "metadata", "version-hint.text"), "1")
     val e = intercept[IllegalArgumentException](IcebergRead.snapshot(spark, table))
-    assert(e.getMessage.contains("row-level deletes"))
+    assert(e.getMessage.contains("EQUALITY"))
 
     val table2 = Files.createTempDirectory("graft_ice_orc").toString
     val p = writePart(table2, "p1.parquet", Seq((1L, "a")))

@@ -50,6 +50,32 @@ class IcebergWriteSpec extends SparkSpec {
     assert(counts.forall(_ > 0L)) // per-file, not a repeated total
   }
 
+  test("deleteWhere: position deletes round-trip, time travel, append-after-delete") {
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("graft_iw_d").toString
+    val s1 = IcebergWrite.append(spark,
+      (1L to 6L).map(i => (i, s"n$i")).toDF("id", "name").repartition(2), table)
+    val s2 = IcebergWrite.deleteWhere(spark, table, col("id") % 2 === 0)
+    assert(s2 === s1 + 1)
+    assert(rows(IcebergRead.snapshot(spark, table)).map(_._1) === Set(1L, 3L, 5L))
+    // pre-delete snapshot unaffected (merge-on-read: no data file rewritten)
+    assert(rows(IcebergRead.snapshot(spark, table, s1)).map(_._1) === (1L to 6L).toSet)
+
+    // append AFTER the delete: the carried manifest list must keep the
+    // delete manifest's content flag, or old deleted rows resurface
+    IcebergWrite.append(spark, Seq((7L, "n7"), (8L, "n8")).toDF("id", "name"), table)
+    assert(rows(IcebergRead.snapshot(spark, table)).map(_._1) === Set(1L, 3L, 5L, 7L, 8L))
+
+    // second delete hits only the new file's rows; earlier deletes persist
+    IcebergWrite.deleteWhere(spark, table, col("id") === 7L)
+    assert(rows(IcebergRead.snapshot(spark, table)).map(_._1) === Set(1L, 3L, 5L, 8L))
+
+    // matching nothing commits nothing
+    val before = IcebergRead.snapshot(spark, table).count()
+    assert(IcebergWrite.deleteWhere(spark, table, col("id") === 999L) === -1L)
+    assert(IcebergRead.snapshot(spark, table).count() === before)
+  }
+
   test("schema mismatch and nested types are refused loudly") {
     val table = Files.createTempDirectory("graft_iw_s").toString
     IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "name"), table)
