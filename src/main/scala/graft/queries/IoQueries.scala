@@ -311,6 +311,34 @@ object IoQueries {
       FROM events WHERE NOT (event_type = 'click' AND value < 50.0) GROUP BY event_type
       ORDER BY state, event_type"""))
 
+  /** S8 merge-on-read: append events to a Delta table, DELETE a predicate
+    * via deletion vectors (roaring bitmaps, protocol v3 feature — no data
+    * file rewritten), aggregate the post-delete state plus the
+    * time-traveled pre-delete version. Oracle recomputes both states from
+    * the source rows — a DV that leaks or over-applies breaks the hash. */
+  val tdeltaDv = GQuery(
+    "t_delta_dv",
+    (s, dir) => {
+      val table = tmp("graft_deltadv_q")
+      val ev = Tables(s, dir, "events").select(col("event_id"), col("value"), col("event_type"))
+      val v0 = graft.sources.DeltaWrite.append(s, ev, table)
+      val v1 = graft.sources.DeltaWrite.deleteWhere(s, table,
+        col("event_type") === "view" && col("value") >= lit(70.0))
+      def agg(v: Long, label: Int) = graft.sources.DeltaRead.snapshot(s, table, v)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .withColumn("state", lit(label))
+      agg(v1, 1).unionByName(agg(v0, 0))
+        .select(col("state"), col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy(col("state"), col("event_type"))
+    },
+    Some("""SELECT 0 AS state, event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT 1, event_type, count(*), round(sum(value), 2)
+      FROM events WHERE NOT (event_type = 'view' AND value >= 70.0) GROUP BY event_type
+      ORDER BY state, event_type"""))
+
   def all: Seq[GQuery] =
-    Seq(t1, t1orc, t2, t3, tskip, tdelta, ticeberg, tdeltaRt, ticebergRt, ticebergMor)
+    Seq(t1, t1orc, t2, t3, tskip, tdelta, ticeberg, tdeltaRt, ticebergRt, ticebergMor, tdeltaDv)
 }

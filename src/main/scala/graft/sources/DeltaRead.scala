@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Reader for EXTERNAL Delta Lake tables — the open `_delta_log` format
   * (Delta Lake PROTOCOL.md; Armbrust et al., VLDB 2020 — see PAPERS.md).
@@ -31,24 +31,53 @@ object DeltaRead {
     * partition values (column name → string value, null for NULL) + the
     * log-carried size/modificationTime (0 when the source action omitted
     * them — used when re-emitting checkpoint add rows, where the Delta spec
-    * makes them required). */
+    * makes them required) + the file's deletion vector, if any. */
   case class LiveFile(path: String, partitionValues: Map[String, String],
-      size: Long = 0L, modificationTime: Long = 0L)
+      size: Long = 0L, modificationTime: Long = 0L,
+      dv: Option[DeletionVectors.Descriptor] = None)
 
   case class Snapshot(
       version: Long,
       schema: StructType,
       partitionColumns: Seq[String],
-      files: Seq[LiveFile])
+      files: Seq[LiveFile],
+      columnMappingMode: String = "none",
+      minReaderVersion: Int = 1,
+      readerFeatures: Set[String] = Set.empty) {
+    /** Physical (in-file / in-log) name of a logical schema column — the
+      * identity unless `delta.columnMapping.mode = name` renamed it. */
+    def physicalName(logical: String): String =
+      if (columnMappingMode != "name") logical
+      else schema.find(_.name == logical)
+        .filter(_.metadata.contains("delta.columnMapping.physicalName"))
+        .map(_.metadata.getString("delta.columnMapping.physicalName"))
+        .getOrElse(logical)
+  }
 
   private val actionsDdl =
     """add STRUCT<path: STRING, partitionValues: MAP<STRING, STRING>, size: BIGINT,
-                  modificationTime: BIGINT, dataChange: BOOLEAN>,
+                  modificationTime: BIGINT, dataChange: BOOLEAN,
+                  deletionVector: STRUCT<storageType: STRING, pathOrInlineDv: STRING,
+                                         offset: INT, sizeInBytes: INT, cardinality: BIGINT>>,
        remove STRUCT<path: STRING>,
        metaData STRUCT<id: STRING, schemaString: STRING,
                        partitionColumns: ARRAY<STRING>,
-                       format: STRUCT<provider: STRING>>,
-       protocol STRUCT<minReaderVersion: INT>"""
+                       format: STRUCT<provider: STRING>,
+                       configuration: MAP<STRING, STRING>>,
+       protocol STRUCT<minReaderVersion: INT, readerFeatures: ARRAY<STRING>>"""
+
+  private val dvDdl =
+    "struct<storageType:string,pathOrInlineDv:string,offset:int,sizeInBytes:int,cardinality:bigint>"
+
+  /** Parse a nullable deletionVector struct column at row index `i`. */
+  private def parseDv(r: org.apache.spark.sql.Row, i: Int): Option[DeletionVectors.Descriptor] =
+    if (r.isNullAt(i)) None
+    else {
+      val d = r.getStruct(i)
+      Some(DeletionVectors.Descriptor(d.getString(0), d.getString(1),
+        if (d.isNullAt(2)) None else Some(d.getInt(2)), d.getInt(3),
+        if (d.isNullAt(4)) 0L else d.getLong(4)))
+    }
 
   private def logPath(table: String) = s"${table.stripSuffix("/")}/_delta_log"
 
@@ -111,45 +140,67 @@ object DeltaRead {
     var schemaString: String = null
     var partitionCols: Seq[String] = Seq.empty
     var minReader = 1
+    var readerFeatures = Set.empty[String]
+    var configuration: Map[String, String] = Map.empty
 
-    def applyMeta(schemaStr: String, parts: Seq[String], provider: String): Unit = {
+    def applyMeta(schemaStr: String, parts: Seq[String], provider: String,
+        conf: Map[String, String]): Unit = {
       if (provider != null)
         require(provider == "parquet", s"unsupported Delta data format: $provider")
-      if (schemaStr != null) { schemaString = schemaStr; partitionCols = parts }
+      if (schemaStr != null) { schemaString = schemaStr; partitionCols = parts; configuration = conf }
     }
 
     fromCheckpoint.foreach { cv =>
       val cp = spark.read.parquet(s"${logPath(table)}/${f"$cv%020d"}.checkpoint.parquet")
       val cols = cp.columns.toSet
-      if (cols.contains("protocol"))
-        cp.where(col("protocol").isNotNull).select(col("protocol.minReaderVersion"))
-          .collect().foreach(r => if (!r.isNullAt(0)) minReader = math.max(minReader, r.getInt(0)))
-      if (cols.contains("metaData"))
-        cp.where(col("metaData").isNotNull)
-          .select(col("metaData.schemaString"), col("metaData.partitionColumns"),
-            col("metaData.format.provider"))
-          .collect().foreach { r =>
-            applyMeta(r.getString(0),
-              Option(r.getSeq[String](1)).map(_.toSeq).getOrElse(Seq.empty), r.getString(2))
-          }
-      // size/modificationTime are spec-required in checkpoints but tolerate
-      // their absence (older graft-written checkpoints omitted them)
-      val addFields = cp.schema.collectFirst {
-        case f if f.name == "add" => f.dataType match {
+      def structFields(name: String): Set[String] = cp.schema.collectFirst {
+        case f if f.name == name => f.dataType match {
           case s: StructType => s.fieldNames.toSet
           case _ => Set.empty[String]
         }
       }.getOrElse(Set.empty)
+      if (cols.contains("protocol")) {
+        val pFields = structFields("protocol")
+        val feat =
+          if (pFields.contains("readerFeatures")) col("protocol.readerFeatures")
+          else lit(null).cast("array<string>")
+        cp.where(col("protocol").isNotNull)
+          .select(col("protocol.minReaderVersion"), feat)
+          .collect().foreach { r =>
+            if (!r.isNullAt(0)) minReader = math.max(minReader, r.getInt(0))
+            if (!r.isNullAt(1)) readerFeatures ++= r.getSeq[String](1)
+          }
+      }
+      if (cols.contains("metaData")) {
+        val mFields = structFields("metaData")
+        val conf =
+          if (mFields.contains("configuration")) col("metaData.configuration")
+          else lit(null).cast("map<string,string>")
+        cp.where(col("metaData").isNotNull)
+          .select(col("metaData.schemaString"), col("metaData.partitionColumns"),
+            col("metaData.format.provider"), conf)
+          .collect().foreach { r =>
+            applyMeta(r.getString(0),
+              Option(r.getSeq[String](1)).map(_.toSeq).getOrElse(Seq.empty), r.getString(2),
+              Option(r.getMap[String, String](3)).map(_.toMap).getOrElse(Map.empty))
+          }
+      }
+      // size/modificationTime are spec-required in checkpoints but tolerate
+      // their absence (older graft-written checkpoints omitted them)
+      val addFields = structFields("add")
       def optLong(n: String) =
         if (addFields.contains(n)) coalesce(col(s"add.$n"), lit(0L)) else lit(0L)
+      val dvCol =
+        if (addFields.contains("deletionVector")) col("add.deletionVector")
+        else lit(null).cast(dvDdl)
       cp.where(col("add").isNotNull)
         .select(col("add.path"), col("add.partitionValues"),
-          optLong("size"), optLong("modificationTime"))
+          optLong("size"), optLong("modificationTime"), dvCol)
         .collect().foreach { r =>
           val p = resolve(table, r.getString(0))
           live(p) = LiveFile(p,
             Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty),
-            r.getLong(2), r.getLong(3))
+            r.getLong(2), r.getLong(3), parseDv(r, 4))
         }
     }
 
@@ -163,14 +214,19 @@ object DeltaRead {
           col("metaData.format.provider").as("fp"),
           col("protocol.minReaderVersion").as("mrv"),
           coalesce(col("add.size"), lit(0L)).as("sz"),
-          coalesce(col("add.modificationTime"), lit(0L)).as("mt"))
+          coalesce(col("add.modificationTime"), lit(0L)).as("mt"),
+          col("metaData.configuration").as("conf"),
+          col("protocol.readerFeatures").as("rfeat"),
+          col("add.deletionVector").as("dv"))
         .collect()
       commit.foreach { r =>
         if (!r.isNullAt(6)) minReader = math.max(minReader, r.getInt(6))
+        if (!r.isNullAt(10)) readerFeatures ++= r.getSeq[String](10)
         if (!r.isNullAt(3) || !r.isNullAt(5))
           applyMeta(if (r.isNullAt(3)) null else r.getString(3),
             if (r.isNullAt(4)) Seq.empty else r.getSeq[String](4).toSeq,
-            if (r.isNullAt(5)) null else r.getString(5))
+            if (r.isNullAt(5)) null else r.getString(5),
+            if (r.isNullAt(9)) Map.empty else r.getMap[String, String](9).toMap)
       }
       // removes first, then adds: a commit that rewrites a file (remove+add
       // of the same path) must leave it live
@@ -180,17 +236,32 @@ object DeltaRead {
           val p = resolve(table, r.getString(0))
           live(p) = LiveFile(p,
             Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty),
-            r.getLong(7), r.getLong(8))
+            r.getLong(7), r.getLong(8), parseDv(r, 11))
         }
       }
     }
 
-    require(minReader <= 1,
-      s"Delta reader protocol $minReader not supported (column mapping / deletion " +
-        "vectors need a newer reader) — refusing rather than misreading")
+    // Protocol gate: v1 plain; v2 = column mapping (name mode supported
+    // below); v3+ lists explicit readerFeatures — read only when every
+    // named feature is one this reader implements.
+    val supportedFeatures = Set("columnMapping", "deletionVectors")
+    if (minReader >= 3) {
+      require(readerFeatures.nonEmpty,
+        s"Delta reader protocol $minReader lists no readerFeatures (spec requires " +
+          "them at v3) — malformed; refusing rather than misreading")
+      val unknown = readerFeatures -- supportedFeatures
+      require(unknown.isEmpty,
+        s"unsupported Delta reader features ${unknown.mkString(",")} " +
+          "(protocol v3) — refusing rather than misreading")
+    }
+    val mode = configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(mode == "none" || mode == "name",
+      s"unsupported delta.columnMapping.mode '$mode' — only 'name' (physical-name " +
+        "rename) and 'none' are implemented; 'id' needs parquet field-id matching")
+
     require(schemaString != null, s"no metaData action found in log of $table")
     Snapshot(target, DataType.fromJson(schemaString).asInstanceOf[StructType],
-      partitionCols, live.values.toSeq)
+      partitionCols, live.values.toSeq, mode, minReader, readerFeatures)
   }
 
   /** Latest recorded `txn` version per appId at the head of the log —
@@ -233,40 +304,92 @@ object DeltaRead {
 
   /** The Delta table as a DataFrame at `version` (-1 = latest). Partition
     * columns are injected from the log's partitionValues and cast to their
-    * declared types; column order follows the table schema. */
-  def snapshot(spark: SparkSession, table: String, version: Long = -1L): DataFrame = {
+    * declared types; column order follows the table schema. Under
+    * `delta.columnMapping.mode = name` the parquet files (and the log's
+    * partitionValues keys) carry PHYSICAL column names — the scan reads
+    * those and renames to the logical schema in the same projection.
+    * Files carrying deletion vectors get their deleted positions
+    * anti-joined away: blobs load driver-side (compressed-bitmap sized),
+    * positions explode only inside a distributed flatMap. */
+  def snapshot(spark: SparkSession, table: String, version: Long = -1L): DataFrame =
+    snapshotImpl(spark, table, version, lineage = false)
+
+  /** [[snapshot]] plus row lineage: `_file` (normalized data-file path)
+    * and `_pos` (0-based row position in that file) — the tuple a
+    * deletion vector marks. DVs already applied;
+    * [[DeltaWrite.deleteWhere]] builds new DVs from this. */
+  def snapshotWithLineage(spark: SparkSession, table: String, version: Long = -1L): DataFrame =
+    snapshotImpl(spark, table, version, lineage = true)
+
+  private def snapshotImpl(spark: SparkSession, table: String, version: Long,
+      lineage: Boolean): DataFrame = {
     val snap = snapshotInfo(spark, table, version)
-    val dataSchema = StructType(snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
+    val dataSchema = StructType(
+      snap.schema.filterNot(f => snap.partitionColumns.contains(f.name))
+        .map(f => StructField(snap.physicalName(f.name), f.dataType, f.nullable)))
+    val outSchema =
+      if (!lineage) snap.schema
+      else StructType(snap.schema.fields.toSeq :+
+        StructField("_file", org.apache.spark.sql.types.StringType) :+
+        StructField("_pos", org.apache.spark.sql.types.LongType))
     if (snap.files.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+
     val data = spark.read.schema(dataSchema).parquet(snap.files.map(_.path): _*)
-    if (snap.partitionColumns.isEmpty) data.select(snap.schema.map(f => col(f.name)): _*)
-    else {
-      // one scan for all files; per-file partition values attach via a
-      // broadcast (normalized-path → values) join on input_file_name()
-      import spark.implicits._
-      val mapping = snap.files.map { f =>
-        val norm = new org.apache.hadoop.fs.Path(f.path).toUri.getPath
-        (norm, snap.partitionColumns.map(c => f.partitionValues.getOrElse(c, null)))
-      }.toDF("__file", "__pvals")
-      // normalize scheme+authority off the URI with codegen'd string ops
-      // (no scalar UDF): "file:///a/b" and "file:/a/b" both → "/a/b".
-      // Protect literal '+' (valid unencoded in URI paths, e.g. Hive-style
-      // partition dirs from external writers) before url_decode, whose
-      // form-urlencoded rules would corrupt it to a space and silently null
-      // the partition values via the left join below.
-      val keyed = data.withColumn("__file",
+    val dvFiles = snap.files.filter(_.dv.isDefined)
+    val needFile = lineage || dvFiles.nonEmpty || snap.partitionColumns.nonEmpty
+    val needPos = lineage || dvFiles.nonEmpty
+
+    // normalize scheme+authority off the URI with codegen'd string ops
+    // (no scalar UDF): "file:///a/b" and "file:/a/b" both → "/a/b".
+    // Protect literal '+' (valid unencoded in URI paths, e.g. Hive-style
+    // partition dirs from external writers) before url_decode, whose
+    // form-urlencoded rules would corrupt it to a space and silently null
+    // the partition values via the left join below.
+    val keyed =
+      if (!needFile) data
+      else data.withColumn("__file",
         url_decode(regexp_replace(
           regexp_replace(input_file_name(), "^[a-zA-Z0-9+.-]+:(//)?", ""),
           "\\+", "%2B")))
-      val withParts = keyed.join(broadcast(mapping), Seq("__file"), "left")
-      val cols = snap.schema.map { f =>
-        if (snap.partitionColumns.contains(f.name))
-          element_at(col("__pvals"), snap.partitionColumns.indexOf(f.name) + 1)
-            .cast(f.dataType).as(f.name)
-        else col(f.name)
+    val withPos = if (needPos) keyed.withColumn("__pos", col("_metadata.row_index")) else keyed
+
+    val undeleted =
+      if (dvFiles.isEmpty) withPos
+      else {
+        import spark.implicits._
+        val blobs = dvFiles.map { f =>
+          (new org.apache.hadoop.fs.Path(f.path).toUri.getPath,
+            DeletionVectors.load(table, f.dv.get))
+        }
+        val dels = spark.createDataset(blobs)
+          .flatMap { case (p, blob) =>
+            DeletionVectors.fromBlob(blob).iterator.map(pos => (p, pos))
+          }
+          .toDF("__file", "__pos")
+        withPos.join(dels, Seq("__file", "__pos"), "left_anti")
       }
-      withParts.select(cols: _*)
-    }
+
+    val withParts =
+      if (snap.partitionColumns.isEmpty) undeleted
+      else {
+        // one scan for all files; per-file partition values attach via a
+        // broadcast (normalized-path → values) join on the file key
+        import spark.implicits._
+        val mapping = snap.files.map { f =>
+          val norm = new org.apache.hadoop.fs.Path(f.path).toUri.getPath
+          (norm, snap.partitionColumns.map(c =>
+            f.partitionValues.getOrElse(snap.physicalName(c), null)))
+        }.toDF("__file", "__pvals")
+        undeleted.join(broadcast(mapping), Seq("__file"), "left")
+      }
+
+    val cols = snap.schema.map { f =>
+      if (snap.partitionColumns.contains(f.name))
+        element_at(col("__pvals"), snap.partitionColumns.indexOf(f.name) + 1)
+          .cast(f.dataType).as(f.name)
+      else col(snap.physicalName(f.name)).as(f.name)
+    } ++ (if (lineage) Seq(col("__file").as("_file"), col("__pos").as("_pos")) else Seq.empty)
+    withParts.select(cols: _*)
   }
 }

@@ -181,6 +181,95 @@ object DeltaWrite {
     -1L // unreachable
   }
 
+  /** Merge-on-read DELETE via deletion vectors: rows of the CURRENT
+    * snapshot matching `condition` are marked in per-file roaring bitmaps
+    * (Delta PROTOCOL.md "Deletion Vectors") — no data file is rewritten.
+    * The commit re-adds each affected file with its DV descriptor
+    * (remove + add of the same path) and, on first use, upgrades the
+    * protocol to v3 with the `deletionVectors` reader/writer feature.
+    * Returns the committed version; the current version unchanged if
+    * nothing matched.
+    *
+    * Scale: matching is one distributed lineage scan; per-file bitmaps are
+    * built on the EXECUTORS (groupByKey over matched positions) and only
+    * the compressed blobs come back to the driver, which concatenates them
+    * into one DV file. A file that already carries a DV gets the union of
+    * old + new positions (decoded driver-side — O(that file's deletions),
+    * not O(data)). */
+  def deleteWhere(spark: SparkSession, table: String,
+      condition: org.apache.spark.sql.Column): Long = {
+    import spark.implicits._
+    val snap0 = DeltaRead.snapshotInfo(spark, table)
+
+    val matched = DeltaRead.snapshotWithLineage(spark, table)
+      .where(condition).select(col("_file"), col("_pos")).as[(String, Long)]
+    val newBlobs: Map[String, Array[Byte]] = matched.groupByKey(_._1)
+      .mapGroups { (f, it) =>
+        (f, DeletionVectors.toBlob(it.map(_._2).toArray.sorted))
+      }
+      .collect().toMap
+    if (newBlobs.isEmpty) return snap0.version
+
+    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val affected = snap0.files.filter(f => newBlobs.contains(norm(f.path)))
+    val uuid = java.util.UUID.randomUUID()
+    val uuidZ85 = Z85.encode(java.nio.ByteBuffer.allocate(16)
+      .putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits).array())
+    val dvFile = Paths.get(table.stripSuffix("/"), s"deletion_vector_$uuid.bin")
+    val withDescriptors: Seq[(DeltaRead.LiveFile, DeletionVectors.Descriptor)] =
+      affected.map { f =>
+        val newPos = DeletionVectors.fromBlob(newBlobs(norm(f.path)))
+        val allPos = f.dv match {
+          case Some(prev) =>
+            (DeletionVectors.fromBlob(DeletionVectors.load(table, prev)) ++ newPos)
+              .distinct.sorted
+          case None => newPos
+        }
+        val blob = DeletionVectors.toBlob(allPos)
+        val off = DeletionVectors.appendToFile(dvFile, blob)
+        f -> DeletionVectors.Descriptor("u", uuidZ85, Some(off), blob.length, allPos.length.toLong)
+      }
+
+    // protocol upgrade on first DV use; an upgrade must carry the table's
+    // existing features forward (legacy column mapping becomes explicit)
+    val protoUp =
+      if (snap0.minReaderVersion >= 3 && snap0.readerFeatures.contains("deletionVectors")) Seq.empty
+      else {
+        val feats = (snap0.readerFeatures ++
+          (if (snap0.columnMappingMode != "none") Set("columnMapping") else Set.empty) +
+          "deletionVectors").toSeq.sorted
+        val fjson = feats.map(jsonStr).mkString("[", ",", "]")
+        Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          s""""readerFeatures":$fjson,"writerFeatures":$fjson}}""")
+      }
+    val actions = protoUp ++ withDescriptors.flatMap { case (f, d) =>
+      val rel = pctEncodePath(f.path.stripPrefix(s"${table.stripSuffix("/")}/"))
+      val pv = f.partitionValues.map { case (k, v) =>
+        s"${jsonStr(k)}:${if (v == null) "null" else jsonStr(v)}"
+      }.mkString("{", ",", "}")
+      val off = d.offset.get
+      Seq(
+        s"""{"remove":{"path":${jsonStr(rel)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}""",
+        s"""{"add":{"path":${jsonStr(rel)},"partitionValues":$pv,"size":${f.size},""" +
+          s""""modificationTime":${f.modificationTime},"dataChange":true,""" +
+          s""""deletionVector":{"storageType":"u","pathOrInlineDv":${jsonStr(d.pathOrInlineDv)},""" +
+          s""""offset":$off,"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}}}""")
+    }
+    val content = actions.mkString("", "\n", "\n")
+    while (true) {
+      val snap = DeltaRead.snapshotInfo(spark, table)
+      // every affected file must still be live, or this DV would resurrect
+      // a concurrently removed/rewritten file
+      val liveNow = snap.files.map(f => norm(f.path)).toSet
+      val gone = affected.map(f => norm(f.path)).filterNot(liveNow)
+      require(gone.isEmpty,
+        s"concurrent commit removed ${gone.mkString(",")} while deleteWhere ran — " +
+          "rerun the delete against the new snapshot")
+      if (tryCommitAt(table, snap.version + 1, content)) return snap.version + 1
+    }
+    -1L // unreachable
+  }
+
   /** Write a checkpoint parquet consolidating the latest snapshot, plus the
     * `_last_checkpoint` pointer — bounds future log replay, exactly as
     * Delta's own checkpointing does. */
@@ -191,26 +280,46 @@ object DeltaWrite {
     // txn high-water marks must survive into the checkpoint, or a cleaned
     // log would erase the streaming sink's replay guard
     val txns = DeltaRead.txnVersions(spark, table).toSeq
-    val rows = ("protocol", null: String, null: Map[String, String], null: String, null: String, 0L, 0L, 0L) +:
-      ("meta", null: String, null: Map[String, String], schemaJson, null: String, 0L, 0L, 0L) +:
+    val none5 = (None: Option[String], None: Option[String], None: Option[Int],
+      None: Option[Int], None: Option[Long])
+    val rows = ("protocol", null: String, null: Map[String, String], null: String, null: String, 0L, 0L, 0L, none5) +:
+      ("meta", null: String, null: Map[String, String], schemaJson, null: String, 0L, 0L, 0L, none5) +:
       (snap.files.map { f =>
         val rel = pctEncodePath(f.path.stripPrefix(s"${table.stripSuffix("/")}/"))
-        ("add", rel, f.partitionValues, null: String, null: String, 0L, f.size, f.modificationTime)
+        // DV descriptors must survive into the checkpoint or a cleaned log
+        // would resurrect every DV-deleted row
+        val dv = f.dv.map(d => (Some(d.storageType), Some(d.pathOrInlineDv),
+          d.offset, Some(d.sizeInBytes), Some(d.cardinality))).getOrElse(none5)
+        ("add", rel, f.partitionValues, null: String, null: String, 0L, f.size, f.modificationTime, dv)
       } ++ txns.map { case (appId, v) =>
-        ("txn", null: String, null: Map[String, String], null: String, appId, v, 0L, 0L)
+        ("txn", null: String, null: Map[String, String], null: String, appId, v, 0L, 0L, none5)
       })
     // add rows carry the spec-required size/modificationTime/dataChange —
     // a checkpoint whose adds lack them is rejected by stock Delta readers
-    val cp = rows.toDF("kind", "path", "pv", "ss", "appId", "tver", "sz", "mt").select(
+    val readerFeats =
+      if (snap.readerFeatures.nonEmpty) typedLit(snap.readerFeatures.toSeq.sorted)
+      else lit(null).cast("array<string>")
+    val cp = rows.toDF("kind", "path", "pv", "ss", "appId", "tver", "sz", "mt", "dv").select(
       when($"kind" === "protocol", struct(
-        lit(1).as("minReaderVersion"), lit(2).as("minWriterVersion"))).as("protocol"),
+        lit(snap.minReaderVersion).as("minReaderVersion"),
+        lit(if (snap.readerFeatures.nonEmpty) 7 else 2).as("minWriterVersion"),
+        readerFeats.as("readerFeatures"))).as("protocol"),
       when($"kind" === "meta", struct(
         lit("graft-checkpoint").as("id"), $"ss".as("schemaString"),
         typedLit(snap.partitionColumns).as("partitionColumns"),
-        struct(lit("parquet").as("provider")).as("format"))).as("metaData"),
+        struct(lit("parquet").as("provider")).as("format"),
+        // configuration must survive or a replay-from-checkpoint loses
+        // the column-mapping mode
+        typedLit(if (snap.columnMappingMode == "none") Map.empty[String, String]
+          else Map("delta.columnMapping.mode" -> snap.columnMappingMode))
+          .as("configuration"))).as("metaData"),
       when($"kind" === "add", struct($"path".as("path"), $"pv".as("partitionValues"),
         $"sz".as("size"), $"mt".as("modificationTime"),
-        lit(true).as("dataChange"))).as("add"),
+        lit(true).as("dataChange"),
+        when($"dv._1".isNotNull, struct(
+          $"dv._1".as("storageType"), $"dv._2".as("pathOrInlineDv"),
+          $"dv._3".as("offset"), $"dv._4".as("sizeInBytes"),
+          $"dv._5".as("cardinality"))).as("deletionVector"))).as("add"),
       when($"kind" === "txn", struct($"appId".as("appId"), $"tver".as("version"))).as("txn"))
     val stage = Files.createTempDirectory("graft_delta_cp").toString
     cp.coalesce(1).write.mode("overwrite").parquet(stage)

@@ -143,6 +143,86 @@ class DeltaReadSpec extends SparkSpec {
     assert(e.getMessage.contains("missing"))
   }
 
+  private val mappedSchemaJson =
+    """{"type":"struct","fields":[
+      {"name":"id","type":"long","nullable":true,
+       "metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-aaa111"}},
+      {"name":"name","type":"string","nullable":true,
+       "metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-bbb222"}},
+      {"name":"grp","type":"string","nullable":true,
+       "metadata":{"delta.columnMapping.id":3,"delta.columnMapping.physicalName":"col-ccc333"}}]}"""
+      .replaceAll("\n\\s*", "")
+
+  private def mappedMetaAction(partitionCols: Seq[String], mode: String): String = {
+    val parts = partitionCols.map(c => s""""$c"""").mkString("[", ",", "]")
+    s"""{"metaData":{"id":"fixture-cm","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":"${mappedSchemaJson.replace("\"", "\\\"")}",""" +
+      s""""partitionColumns":$parts,""" +
+      s""""configuration":{"delta.columnMapping.mode":"$mode","delta.columnMapping.maxColumnId":"3"},""" +
+      s""""createdTime":0}}"""
+  }
+
+  test("column mapping (name mode): physical file/partition names map to logical schema") {
+    val table = Files.createTempDirectory("graft_delta_cm").toString
+    // data files carry PHYSICAL names; partition column grp is physical-keyed
+    val tmp = Files.createTempDirectory("graft_delta_cm_part")
+    Seq((1L, "a"), (2L, "b")).toDF("col-aaa111", "col-bbb222")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, Paths.get(table, "part-cm.parquet"))
+    commit(table, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      mappedMetaAction(Seq("grp"), "name"),
+      addAction("part-cm.parquet", Map("col-ccc333" -> "g1"))))
+
+    val out = DeltaRead.snapshot(spark, table)
+    assert(out.columns.toSeq === Seq("id", "name", "grp"))
+    assert(out.orderBy("id").as[(Long, String, String)].collect().toSeq ===
+      Seq((1L, "a", "g1"), (2L, "b", "g1")))
+
+    // protocol v3 declaring the columnMapping feature reads the same table
+    commit(table, 1L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}"""))
+    assert(DeltaRead.snapshot(spark, table).count() === 2L)
+  }
+
+  test("column mapping id mode and unknown v3 reader features are refused") {
+    val table = Files.createTempDirectory("graft_delta_cmid").toString
+    writePart(table, "part-1.parquet", Seq((1L, "a")))
+    commit(table, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      mappedMetaAction(Seq.empty, "id"), addAction("part-1.parquet", Map.empty)))
+    val e = intercept[IllegalArgumentException](DeltaRead.snapshot(spark, table))
+    assert(e.getMessage.contains("columnMapping.mode"))
+
+    val table2 = Files.createTempDirectory("graft_delta_v2cp").toString
+    writePart(table2, "part-1.parquet", Seq((1L, "a")))
+    commit(table2, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}""",
+      metaAction(Seq.empty), addAction("part-1.parquet", Map.empty)))
+    val e2 = intercept[IllegalArgumentException](DeltaRead.snapshot(spark, table2))
+    assert(e2.getMessage.contains("v2Checkpoint"))
+  }
+
+  test("deletion vectors from a hand-authored log are applied; time travel ignores them") {
+    val table = Files.createTempDirectory("graft_delta_dvr").toString
+    val rel = writePart(table, "part-1.parquet", Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    commit(table, 0L, Seq(protocolAction, metaAction(Seq.empty), addAction(rel, Map.empty)))
+    // another engine deletes positions 1 and 3 via an INLINE DV
+    val blob = DeletionVectors.toBlob(Array(1L, 3L))
+    val inline = Z85.encode(blob)
+    commit(table, 1L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      removeAction(rel),
+      s"""{"add":{"path":"$rel","partitionValues":{},"size":1,"modificationTime":0,""" +
+        s""""dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$inline",""" +
+        s""""sizeInBytes":${blob.length},"cardinality":2}}}"""))
+    assert(DeltaRead.snapshot(spark, table).orderBy("id")
+      .select("id").as[Long].collect().toSeq === Seq(1L, 3L))
+    assert(DeltaRead.snapshot(spark, table, 0L).count() === 4L)
+  }
+
   test("newer reader protocol and non-parquet formats are refused loudly") {
     val table = Files.createTempDirectory("graft_delta_proto").toString
     val p = writePart(table, "part-1.parquet", Seq((1L, "a")))

@@ -45,6 +45,57 @@ class DeltaWriteSpec extends SparkSpec {
     assert(rows(DeltaRead.snapshot(spark, table, 0L)) === Set((1L, "a", "x")))
   }
 
+  test("deleteWhere marks rows via deletion vectors; no data file rewritten") {
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("graft_dw_dv").toString
+    DeltaWrite.append(spark,
+      (1L to 8L).map(i => (i, s"n$i", if (i <= 4) "x" else "y")).toDF("id", "name", "grp"),
+      table, partitionBy = Seq("grp"))
+    val filesBefore = DeltaRead.snapshotInfo(spark, table).files.map(_.path).toSet
+
+    val v1 = DeltaWrite.deleteWhere(spark, table, col("id") % 2 === 0)
+    assert(v1 === 1L)
+    assert(rows(DeltaRead.snapshot(spark, table)).map(_._1) === Set(1L, 3L, 5L, 7L))
+    // merge-on-read: same data files, now carrying DV descriptors
+    val snap = DeltaRead.snapshotInfo(spark, table)
+    assert(snap.files.map(_.path).toSet === filesBefore)
+    assert(snap.files.forall(_.dv.isDefined))
+    assert(snap.minReaderVersion === 3 && snap.readerFeatures.contains("deletionVectors"))
+    // pre-delete version still reads everything
+    assert(rows(DeltaRead.snapshot(spark, table, 0L)).map(_._1) === (1L to 8L).toSet)
+
+    // second delete UNIONS into the existing DVs
+    val v2 = DeltaWrite.deleteWhere(spark, table, col("id") === 3L)
+    assert(v2 === 2L)
+    assert(rows(DeltaRead.snapshot(spark, table)).map(_._1) === Set(1L, 5L, 7L))
+
+    // appended rows are untouched by old DVs
+    DeltaWrite.append(spark, Seq((2L, "again", "x")).toDF("id", "name", "grp"),
+      table, partitionBy = Seq("grp"))
+    assert(rows(DeltaRead.snapshot(spark, table)).map(_._1) === Set(1L, 5L, 7L, 2L))
+
+    // no match → no commit
+    val unchanged = DeltaWrite.deleteWhere(spark, table, col("id") === 999L)
+    assert(unchanged === DeltaRead.snapshotInfo(spark, table).version)
+  }
+
+  test("checkpoint preserves deletion vectors and the v3 protocol") {
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("graft_dw_dvcp").toString
+    DeltaWrite.append(spark,
+      (1L to 6L).map(i => (i, s"n$i", "x")).toDF("id", "name", "grp"), table, Seq("grp"))
+    DeltaWrite.deleteWhere(spark, table, col("id") <= 2L)
+    DeltaWrite.checkpoint(spark, table)
+    DeltaWrite.append(spark, Seq((7L, "n7", "x")).toDF("id", "name", "grp"), table, Seq("grp"))
+    // drop all JSON commits at/below the checkpoint — replay must come
+    // entirely from the checkpoint (DVs included) plus the later commit
+    val log = new java.io.File(s"$table/_delta_log")
+    log.listFiles().filter(_.getName.endsWith(".json"))
+      .filter(_.getName.take(20).toLong <= 1L).foreach(f => assert(f.delete()))
+    assert(rows(DeltaRead.snapshot(spark, table)).map(_._1) === Set(3L, 4L, 5L, 6L, 7L))
+    assert(DeltaRead.snapshotInfo(spark, table).readerFeatures.contains("deletionVectors"))
+  }
+
   test("checkpoint bounds replay: commits at/below it can disappear") {
     val table = Files.createTempDirectory("graft_dw_cp").toString
     DeltaWrite.append(spark, Seq((1L, "a", "x")).toDF("id", "name", "grp"), table, Seq("grp"))
