@@ -321,9 +321,30 @@ object DeltaRead {
   def snapshotWithLineage(spark: SparkSession, table: String, version: Long = -1L): DataFrame =
     snapshotImpl(spark, table, version, lineage = true)
 
+  /** [[snapshot]] with PARTITION PRUNING at the log level: `keep` sees each
+    * file's logical-keyed partition values (string-typed, null for NULL,
+    * exactly as the log carries them) and files it rejects never reach the
+    * scan. A `.where` on the injected partition column still filters rows
+    * but cannot shrink the file list — this is the 100 TB lever, the same
+    * move Delta's own kernel makes with partition predicates. */
+  def snapshotPruned(spark: SparkSession, table: String,
+      keep: Map[String, String] => Boolean, version: Long = -1L): DataFrame =
+    snapshotImpl(spark, table, version, lineage = false, prune = Some(keep))
+
   private def snapshotImpl(spark: SparkSession, table: String, version: Long,
-      lineage: Boolean): DataFrame = {
-    val snap = snapshotInfo(spark, table, version)
+      lineage: Boolean, prune: Option[Map[String, String] => Boolean] = None): DataFrame = {
+    val snap0 = snapshotInfo(spark, table, version)
+    val snap = prune match {
+      case None => snap0
+      case Some(keep) =>
+        // present the predicate with LOGICAL keys (the log stores physical
+        // ones under column mapping)
+        val logicalOf = snap0.partitionColumns
+          .map(c => snap0.physicalName(c) -> c).toMap
+        snap0.copy(files = snap0.files.filter { f =>
+          keep(f.partitionValues.map { case (k, v) => (logicalOf.getOrElse(k, k), v) })
+        })
+    }
     val dataSchema = StructType(
       snap.schema.filterNot(f => snap.partitionColumns.contains(f.name))
         .map(f => StructField(snap.physicalName(f.name), f.dataType, f.nullable)))

@@ -79,6 +79,23 @@ class DeltaWriteSpec extends SparkSpec {
     assert(unchanged === DeltaRead.snapshotInfo(spark, table).version)
   }
 
+  test("snapshotPruned prunes at the log level: rejected partitions are never read") {
+    val table = Files.createTempDirectory("graft_dw_prune").toString
+    DeltaWrite.append(spark,
+      Seq((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y")).toDF("id", "name", "grp"),
+      table, partitionBy = Seq("grp"))
+    val pruned = DeltaRead.snapshotPruned(spark, table, pv => pv("grp") == "x")
+    assert(rows(pruned).map(_._1) === Set(1L, 2L))
+    // delete partition y's data file from disk: the pruned read must not
+    // notice (its file list never contained it); the full read must fail
+    val yFile = DeltaRead.snapshotInfo(spark, table).files
+      .find(_.partitionValues("grp") == "y").get.path
+    assert(new java.io.File(yFile).delete())
+    assert(rows(DeltaRead.snapshotPruned(spark, table, pv => pv("grp") == "x"))
+      .map(_._1) === Set(1L, 2L))
+    intercept[Exception](DeltaRead.snapshot(spark, table).count())
+  }
+
   test("checkpoint preserves deletion vectors and the v3 protocol") {
     import org.apache.spark.sql.functions.col
     val table = Files.createTempDirectory("graft_dw_dvcp").toString
