@@ -12,11 +12,14 @@ import scala.jdk.CollectionConverters._
   * manifest-list → Avro manifest → parquet data files, with Iceberg
   * field-ids carried in the Avro schemas.
   *
-  * Declared subset: format-version 2, UNPARTITIONED tables, parquet data,
-  * primitive column types (the same subset [[IcebergRead]] reads; a
-  * partitioned writer needs typed partition structs in every manifest —
-  * out of scope). Appends only create new snapshots; previous snapshots
-  * stay readable (time travel by snapshot id).
+  * Declared subset: format-version 2, parquet data, primitive column
+  * types (the same subset [[IcebergRead]] reads), IDENTITY partitioning
+  * on string/int/long/date/boolean columns (typed partition records with
+  * spec field-ids 1000+i in every manifest; data files keep ALL columns,
+  * per the spec's recommendation, so readers need no value injection),
+  * and merge-on-read position deletes ([[deleteWhere]]). Appends only
+  * create new snapshots; previous snapshots stay readable (time travel
+  * by snapshot id).
   *
   * Commit protocol: the same put-if-absent hard-link claim as the Delta
   * writer and the engine catalog — exactly one concurrent committer wins
@@ -41,6 +44,18 @@ object IcebergWrite {
     case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
     case other => throw new IllegalArgumentException(
       s"unsupported column type for Iceberg write: $other (primitive-type subset)")
+  }
+
+  /** Avro type for a partition value (dates as epoch-day ints, the spec's
+    * manifest representation). */
+  private def partitionAvroType(dt: DataType): String = dt match {
+    case StringType => "string"
+    case IntegerType | DateType => "int"
+    case LongType => "long"
+    case BooleanType => "boolean"
+    case other => throw new IllegalArgumentException(
+      s"unsupported Iceberg partition column type $other " +
+        "(identity partitioning subset: string/int/long/date/boolean)")
   }
 
   private def metaDir(table: String) = Paths.get(table.stripSuffix("/"), "metadata")
@@ -76,19 +91,27 @@ object IcebergWrite {
       {"name":"existing_rows_count","type":"long","field-id":513},
       {"name":"deleted_rows_count","type":"long","field-id":514}]}""")
 
-  private val manifestEntrySchema = new org.apache.avro.Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
-      {"name":"status","type":"int","field-id":0},
-      {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
-      {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
-      {"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
-      {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
-        {"name":"content","type":"int","field-id":134},
-        {"name":"file_path","type":"string","field-id":100},
-        {"name":"file_format","type":"string","field-id":101},
-        {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
-        {"name":"record_count","type":"long","field-id":103},
-        {"name":"file_size_in_bytes","type":"long","field-id":104}]}}]}""")
+  /** Manifest-entry schema with a TYPED partition record: one nullable
+    * field per partition column, spec field-ids 1000+i. Empty fields →
+    * the unpartitioned r102 record. */
+  private def entrySchema(partFields: Seq[(String, DataType)]): org.apache.avro.Schema = {
+    val pf = partFields.zipWithIndex.map { case ((name, dt), i) =>
+      s"""{"name":"$name","type":["null","${partitionAvroType(dt)}"],"default":null,"field-id":${1000 + i}}"""
+    }.mkString(",")
+    new org.apache.avro.Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+        {"name":"status","type":"int","field-id":0},
+        {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+        {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+        {"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+        {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+          {"name":"content","type":"int","field-id":134},
+          {"name":"file_path","type":"string","field-id":100},
+          {"name":"file_format","type":"string","field-id":101},
+          {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$pf]}},
+          {"name":"record_count","type":"long","field-id":103},
+          {"name":"file_size_in_bytes","type":"long","field-id":104}]}}]}""")
+  }
 
   private def writeAvro(path: java.nio.file.Path, schema: org.apache.avro.Schema,
       records: Seq[org.apache.avro.generic.GenericRecord]): Long = {
@@ -99,10 +122,10 @@ object IcebergWrite {
     Files.size(path)
   }
 
-  /** The current snapshot's manifest-list rows as (path, length, content) —
-    * the tuple a successor snapshot carries forward verbatim. */
+  /** The current snapshot's manifest-list rows as (path, length, content,
+    * spec-id) — the tuple a successor snapshot carries forward verbatim. */
   private def priorManifests(
-      prior: Option[com.fasterxml.jackson.databind.JsonNode]): Seq[(String, Long, Int)] =
+      prior: Option[com.fasterxml.jackson.databind.JsonNode]): Seq[(String, Long, Int, Int)] =
     prior.toSeq.flatMap { meta =>
       val curSnap = meta.path("current-snapshot-id").asLong(-1L)
       meta.path("snapshots").elements().asScala
@@ -114,22 +137,23 @@ object IcebergWrite {
             new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
           try reader.iterator().asScala.toList.map(r =>
             (r.get("manifest_path").toString, r.get("manifest_length").toString.toLong,
-              Option(r.get("content")).map(_.toString.toInt).getOrElse(0)))
+              Option(r.get("content")).map(_.toString.toInt).getOrElse(0),
+              Option(r.get("partition_spec_id")).map(_.toString.toInt).getOrElse(0)))
           finally reader.close()
         }
     }
 
   /** Author the snapshot's manifest list. Counts describe THIS snapshot's
-    * newly added manifest; carried rows keep only (path, length, content) —
-    * the fields [[IcebergRead]]'s subset consults. */
+    * newly added manifest; carried rows keep (path, length, content,
+    * spec-id) — the fields [[IcebergRead]]'s subset consults. */
   private def writeManifestList(table: String, snapshotId: Long,
-      rows: Seq[(String, Long, Int)], addedFiles: Int, addedRows: Long): java.nio.file.Path = {
+      rows: Seq[(String, Long, Int, Int)], addedFiles: Int, addedRows: Long): java.nio.file.Path = {
     import org.apache.avro.generic.GenericData
-    val mlRecords = rows.map { case (mp, len, content) =>
+    val mlRecords = rows.map { case (mp, len, content, specId) =>
       val r = new GenericData.Record(manifestListSchema)
       r.put("manifest_path", mp)
       r.put("manifest_length", len)
-      r.put("partition_spec_id", 0)
+      r.put("partition_spec_id", specId)
       r.put("content", content)
       r.put("sequence_number", snapshotId)
       r.put("min_sequence_number", 1L)
@@ -158,11 +182,14 @@ object IcebergWrite {
     * winner's snapshots forward), authors this snapshot's manifest +
     * manifest list + metadata JSON, and claims `vN.metadata.json` by
     * put-if-absent hard link. `authorManifest(snapshotId)` returns
-    * (manifestPath, length, content, addedFiles, addedRows); `fieldsJson`
-    * renders the schema `fields` array from the re-read prior state. */
+    * (manifestPath, length, content, specId, addedFiles, addedRows);
+    * `fieldsJson` renders the schema `fields` array and `specsJson` the
+    * `partition-specs` array (+ default-spec-id, last-partition-id), both
+    * from the re-read prior state. */
   private def commitSnapshot(table: String, operation: String,
       fieldsJson: Option[com.fasterxml.jackson.databind.JsonNode] => (String, Int),
-      authorManifest: Long => (java.nio.file.Path, Long, Int, Int, Long)): Long = {
+      specsJson: Option[com.fasterxml.jackson.databind.JsonNode] => (String, Int, Int),
+      authorManifest: Long => (java.nio.file.Path, Long, Int, Int, Int, Long)): Long = {
     def jstr(s: String) = mapper.writeValueAsString(s)
     while (true) {
       // ONE version read, prior derived from exactly that version — a
@@ -177,12 +204,14 @@ object IcebergWrite {
       val version = base + 1
       val snapshotId = version.toLong
       Files.createDirectories(metaDir(table))
-      val (manifestPath, manifestLen, content, addedFiles, addedRows) = authorManifest(snapshotId)
+      val (manifestPath, manifestLen, content, specId, addedFiles, addedRows) =
+        authorManifest(snapshotId)
       val mlPath = writeManifestList(table, snapshotId,
-        priorManifests(prior) :+ (manifestPath.toString, manifestLen, content),
+        priorManifests(prior) :+ (manifestPath.toString, manifestLen, content, specId),
         addedFiles, addedRows)
 
       val (fields, lastColumnId) = fieldsJson(prior)
+      val (specs, defaultSpecId, lastPartitionId) = specsJson(prior)
       val priorSnaps = prior.toSeq.flatMap(_.path("snapshots").elements().asScala.map(_.toString))
       val now = System.currentTimeMillis()
       val snapJson =
@@ -195,7 +224,8 @@ object IcebergWrite {
            |"last-updated-ms":$now,"last-column-id":$lastColumnId,
            |"current-schema-id":0,
            |"schemas":[{"type":"struct","schema-id":0,"fields":[$fields]}],
-           |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+           |"default-spec-id":$defaultSpecId,"partition-specs":[$specs],
+           |"last-partition-id":$lastPartitionId,
            |"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
            |"properties":{},
            |"current-snapshot-id":$snapshotId,
@@ -235,14 +265,44 @@ object IcebergWrite {
     (fields, meta.path("last-column-id").asInt(cur.path("fields").size()))
   }
 
-  /** Append `df` as a new snapshot; creates the table if absent. Returns
-    * the snapshot id (== the committed metadata version). */
-  def append(spark: SparkSession, df: DataFrame, table: String): Long = {
+  /** partition-specs carried verbatim from prior metadata. */
+  private def carriedSpecs(
+      prior: Option[com.fasterxml.jackson.databind.JsonNode]): (String, Int, Int) = {
+    val meta = prior.getOrElse(sys.error("table has no metadata to carry the specs from"))
+    val specs = meta.path("partition-specs").elements().asScala.map(_.toString).mkString(",")
+    (if (specs.isEmpty) """{"spec-id":0,"fields":[]}""" else specs,
+      meta.path("default-spec-id").asInt(0),
+      meta.path("last-partition-id").asInt(999))
+  }
+
+  /** The default spec's identity-partition column names in prior order. */
+  private def priorPartitionColumns(
+      meta: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
+    val specId = meta.path("default-spec-id").asInt(0)
+    meta.path("partition-specs").elements().asScala
+      .find(_.path("spec-id").asInt(-1) == specId).toSeq
+      .flatMap(_.path("fields").elements().asScala.map(_.path("name").asText()))
+  }
+
+  /** Append `df` as a new snapshot; creates the table if absent. With
+    * `partitionBy`, writes one data file per partition value per task
+    * (identity transform; data files keep all columns) and typed
+    * partition records in the manifest. Returns the snapshot id (== the
+    * committed metadata version). */
+  def append(spark: SparkSession, df: DataFrame, table: String,
+      partitionBy: Seq[String] = Nil): Long = {
     require(!df.schema.exists(f => f.dataType match {
       case _: StructType | _: ArrayType | _: MapType => true; case _ => false
     }), "nested column types are outside the Iceberg writer's subset")
+    require(partitionBy.forall(df.columns.contains),
+      s"partition columns ${partitionBy.mkString(",")} not all present in ${df.columns.mkString(",")}")
+    require(partitionBy.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      "partition column names must be Avro-safe ([A-Za-z_][A-Za-z0-9_]*)")
+    val partTypes: Seq[(String, DataType)] =
+      partitionBy.map(c => c -> df.schema(c).dataType)
+    partTypes.foreach { case (_, dt) => partitionAvroType(dt) } // type gate
 
-    // schema pinning against an existing table (same rule as DeltaWrite)
+    // schema + partitioning pinning against an existing table
     readPrior(table).foreach { meta =>
       val cur = meta.path("schemas").elements().asScala
         .find(_.path("schema-id").asInt(-1) == meta.path("current-schema-id").asInt(0))
@@ -250,27 +310,57 @@ object IcebergWrite {
       val names = cur.path("fields").elements().asScala.map(_.path("name").asText()).toSeq
       require(names.sorted == df.schema.fieldNames.toSeq.sorted,
         s"append schema ${df.schema.fieldNames.mkString(",")} does not match table schema ${names.mkString(",")}")
+      val priorParts = priorPartitionColumns(meta)
+      require(priorParts == partitionBy,
+        s"append partitioning $partitionBy does not match table's $priorParts")
     }
 
-    // 1. stage data files (spark parquet write → move under data/). Exact
-    //    per-file record counts in ONE job — a real Iceberg reader trusts
-    //    record_count for scan planning, so a wrong value would corrupt it.
+    // 1. stage data files (spark parquet write → move under data/).
+    //    Partitioned: DUPLICATE the partition columns into __p_* and
+    //    partitionBy those — hive dirs split files per value while the
+    //    REAL columns stay inside the files (Iceberg data files carry all
+    //    columns; no reader-side injection needed). Exact per-file record
+    //    counts AND typed per-file partition values in ONE job — a real
+    //    Iceberg reader trusts record_count and prunes on the partition
+    //    record, so wrong values would corrupt its scan.
+    import org.apache.spark.sql.functions.{col => fcol, count => fcount, first => ffirst, input_file_name, lit => flit}
     val stage = Files.createTempDirectory("graft_iceberg_write")
-    df.write.mode("overwrite").parquet(stage.toString)
+    val dupCols = partitionBy.map(c => s"__p_$c")
+    val stagedDf =
+      if (partitionBy.isEmpty) df
+      else df.select(df.columns.map(fcol).toSeq ++
+        partitionBy.map(c => fcol(c).as(s"__p_$c")): _*)
+    stagedDf.write.mode("overwrite").partitionBy(dupCols: _*).parquet(stage.toString)
     Files.createDirectories(dataDir(table))
-    import org.apache.spark.sql.functions.{count => fcount, input_file_name, lit => flit}
-    val perFile: Map[String, Long] = spark.read.parquet(stage.toString)
-      .groupBy(input_file_name().as("f")).agg(fcount(flit(1)).as("n"))
+
+    val readBack = spark.read.parquet(stage.toString)
+    val aggCols = fcount(flit(1)).as("n") +: partTypes.map { case (c, dt) =>
+      ffirst(fcol(s"__p_$c").cast(dt)).as(c)
+    }
+    val perFile: Map[String, (Long, Seq[Any])] = readBack
+      .groupBy(input_file_name().as("f")).agg(aggCols.head, aggCols.tail: _*)
       .collect()
-      .map(r => (new org.apache.hadoop.fs.Path(r.getString(0)).getName, r.getLong(1)))
-      .toMap
-    val dataFiles: Seq[(java.nio.file.Path, Long)] =
-      Option(stage.toFile.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
-          val dest = dataDir(table).resolve(s"${java.util.UUID.randomUUID()}-${f.getName}")
-          Files.move(f.toPath, dest)
-          (dest, perFile.getOrElse(f.getName, 0L))
+      .map { r =>
+        val values = partTypes.indices.map { i =>
+          r.get(i + 2) match {
+            case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt // spec: epoch days
+            case v => v
+          }
         }
+        (new org.apache.hadoop.fs.Path(r.getString(0)).getName, (r.getLong(1), values))
+      }.toMap
+
+    def walk(dir: java.io.File): Seq[java.io.File] =
+      Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+        if (f.isDirectory) walk(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+      }
+    val dataFiles: Seq[(java.nio.file.Path, Long, Seq[Any])] = walk(stage.toFile).map { f =>
+      val dest = dataDir(table).resolve(s"${java.util.UUID.randomUUID()}-${f.getName}")
+      Files.move(f.toPath, dest)
+      val (n, values) = perFile.getOrElse(f.getName, (0L, partTypes.map(_ => null)))
+      (dest, n, values)
+    }
     val rowCount = dataFiles.map(_._2).sum
     def rmr(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr); f.delete()
@@ -283,21 +373,32 @@ object IcebergWrite {
     val appendFields = df.schema.fields.zipWithIndex.map { case (f, i) =>
       s"""{"id":${i + 1},"name":${jstr(f.name)},"required":false,"type":${jstr(icebergType(f.dataType))}}"""
     }.mkString(",")
+    val sourceId = df.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+    val spec0Fields = partitionBy.zipWithIndex.map { case (c, i) =>
+      s"""{"name":"$c","transform":"identity","source-id":${sourceId(c)},"field-id":${1000 + i}}"""
+    }.mkString(",")
+    val specs =
+      if (partitionBy.isEmpty) """{"spec-id":0,"fields":[]}"""
+      else s"""{"spec-id":0,"fields":[$spec0Fields]},{"spec-id":1,"fields":[]}"""
+    val schema = entrySchema(partTypes)
     commitSnapshot(table, "append",
       fieldsJson = _ => (appendFields, df.schema.size),
+      specsJson = _ => (specs, 0, 999 + partitionBy.size),
       authorManifest = { snapshotId =>
         import org.apache.avro.generic.GenericData
-        val dataFileSchema = manifestEntrySchema.getField("data_file").schema()
+        val dataFileSchema = schema.getField("data_file").schema()
         val partitionSchema = dataFileSchema.getField("partition").schema()
-        val entries = dataFiles.map { case (p, nRows) =>
+        val entries = dataFiles.map { case (p, nRows, values) =>
+          val part = new GenericData.Record(partitionSchema)
+          partitionBy.zip(values).foreach { case (c, v) => part.put(c, v) }
           val dfr = new GenericData.Record(dataFileSchema)
           dfr.put("content", 0)
           dfr.put("file_path", p.toString)
           dfr.put("file_format", "PARQUET")
-          dfr.put("partition", new GenericData.Record(partitionSchema))
+          dfr.put("partition", part)
           dfr.put("record_count", nRows)
           dfr.put("file_size_in_bytes", Files.size(p))
-          val e = new GenericData.Record(manifestEntrySchema)
+          val e = new GenericData.Record(schema)
           e.put("status", 1)
           e.put("snapshot_id", snapshotId)
           e.put("sequence_number", snapshotId)
@@ -306,8 +407,8 @@ object IcebergWrite {
           e
         }
         val manifestPath = metaDir(table).resolve(s"m-$snapshotId-${java.util.UUID.randomUUID()}.avro")
-        val manifestLen = writeAvro(manifestPath, manifestEntrySchema, entries)
-        (manifestPath, manifestLen, 0, dataFiles.size, rowCount)
+        val manifestLen = writeAvro(manifestPath, schema, entries)
+        (manifestPath, manifestLen, 0, 0, dataFiles.size, rowCount)
       })
   }
 
@@ -317,6 +418,9 @@ object IcebergWrite {
     * no data file is rewritten. Readers ([[IcebergRead]] and any
     * spec-compliant engine) anti-join the tuples away at scan time.
     * Returns the new snapshot id, or -1 if nothing matched (no commit).
+    * Position deletes are written partition-less (they reference files by
+    * path); on a partitioned table the delete manifest cites the empty
+    * spec (id 1) the partitioned append registers.
     *
     * The matching pass is one distributed scan of the live files with the
     * parquet `_metadata` file path + row index attached; only the matched
@@ -325,7 +429,9 @@ object IcebergWrite {
   def deleteWhere(spark: SparkSession, table: String,
       condition: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions._
-    require(readPrior(table).isDefined, s"not an Iceberg table: $table")
+    val prior0 = readPrior(table)
+    require(prior0.isDefined, s"not an Iceberg table: $table")
+    val emptySpecId = if (priorPartitionColumns(prior0.get).isEmpty) 0 else 1
 
     // one scan: matched rows → (file_path, pos), written sorted by
     // (path, pos) as the spec recommends for delete files
@@ -347,11 +453,13 @@ object IcebergWrite {
     Files.move(staged.head.toPath, deleteFile)
     rmr(stage.toFile)
 
+    val schema = entrySchema(Seq.empty)
     commitSnapshot(table, "delete",
       fieldsJson = carriedFields,
+      specsJson = carriedSpecs,
       authorManifest = { snapshotId =>
         import org.apache.avro.generic.GenericData
-        val dataFileSchema = manifestEntrySchema.getField("data_file").schema()
+        val dataFileSchema = schema.getField("data_file").schema()
         val partitionSchema = dataFileSchema.getField("partition").schema()
         val dfr = new GenericData.Record(dataFileSchema)
         dfr.put("content", 1) // POSITION_DELETES
@@ -360,15 +468,15 @@ object IcebergWrite {
         dfr.put("partition", new GenericData.Record(partitionSchema))
         dfr.put("record_count", nDeleted)
         dfr.put("file_size_in_bytes", Files.size(deleteFile))
-        val e = new GenericData.Record(manifestEntrySchema)
+        val e = new GenericData.Record(schema)
         e.put("status", 1)
         e.put("snapshot_id", snapshotId)
         e.put("sequence_number", snapshotId)
         e.put("file_sequence_number", snapshotId)
         e.put("data_file", dfr)
         val manifestPath = metaDir(table).resolve(s"m-$snapshotId-${java.util.UUID.randomUUID()}.avro")
-        val manifestLen = writeAvro(manifestPath, manifestEntrySchema, Seq(e))
-        (manifestPath, manifestLen, 1, 1, 0L)
+        val manifestLen = writeAvro(manifestPath, schema, Seq(e))
+        (manifestPath, manifestLen, 1, emptySpecId, 1, 0L)
       })
   }
 }

@@ -50,6 +50,56 @@ class IcebergWriteSpec extends SparkSpec {
     assert(counts.forall(_ > 0L)) // per-file, not a repeated total
   }
 
+  test("identity-partitioned append: typed partition records, spec JSON, MOR delete") {
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    val table = Files.createTempDirectory("graft_iw_p").toString
+    val df = Seq((1L, "a", "x", 10), (2L, "b", "x", 20), (3L, "c", "y", 30))
+      .toDF("id", "name", "grp", "bucket")
+    IcebergWrite.append(spark, df, table, partitionBy = Seq("grp", "bucket"))
+
+    // data files keep ALL columns (no injection needed) and read back whole
+    val back = IcebergRead.snapshot(spark, table)
+    assert(back.columns.toSet === Set("id", "name", "grp", "bucket"))
+    assert(back.select("id", "grp", "bucket").as[(Long, String, Int)].collect().toSet ===
+      Set((1L, "x", 10), (2L, "x", 20), (3L, "y", 30)))
+
+    // manifest partition records are TYPED and per-file single-valued
+    val manifest = new java.io.File(s"$table/metadata").listFiles()
+      .find(_.getName.startsWith("m-")).get
+    val reader = new org.apache.avro.file.DataFileReader(
+      manifest,
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    val entries = try reader.iterator().asScala.toList finally reader.close()
+    val parts = entries.map(_.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord])
+    assert(parts.map(p => (p.get("grp").toString, p.get("bucket"))).toSet ===
+      Set(("x", 10), ("x", 20), ("y", 30)))
+    val pSchema = parts.head.getSchema
+    assert(pSchema.getField("grp").getObjectProp("field-id") === 1000)
+    assert(pSchema.getField("bucket").getObjectProp("field-id") === 1001)
+
+    // metadata declares the identity spec + the empty spec for deletes
+    val meta = new String(Files.readAllBytes(
+      Paths.get(table, "metadata", "v1.metadata.json")))
+    assert(meta.contains(""""transform":"identity""""))
+    assert(meta.contains(""""last-partition-id":1001"""))
+
+    // partitioning pinned; MOR delete works on the partitioned table
+    intercept[IllegalArgumentException](
+      IcebergWrite.append(spark, df, table, partitionBy = Seq("grp")))
+    IcebergWrite.deleteWhere(spark, table, col("grp") === "x" && col("bucket") === 10)
+    assert(IcebergRead.snapshot(spark, table).select("id").as[Long].collect().toSet ===
+      Set(2L, 3L))
+    // append after the delete keeps both the delete manifest and partitioning
+    IcebergWrite.append(spark,
+      Seq((4L, "d", "y", 40)).toDF("id", "name", "grp", "bucket"),
+      table, partitionBy = Seq("grp", "bucket"))
+    assert(IcebergRead.snapshot(spark, table).select("id").as[Long].collect().toSet ===
+      Set(2L, 3L, 4L))
+  }
+
   test("deleteWhere: position deletes round-trip, time travel, append-after-delete") {
     import org.apache.spark.sql.functions.col
     val table = Files.createTempDirectory("graft_iw_d").toString
