@@ -339,6 +339,34 @@ object IoQueries {
       FROM events WHERE NOT (event_type = 'view' AND value >= 70.0) GROUP BY event_type
       ORDER BY state, event_type"""))
 
+  /** S9p: identity-partitioned Iceberg write + manifest-level partition
+    * pruning. One partition read via snapshotPruned (files of other
+    * partitions never reach the scan) against the full-table read; oracle
+    * recomputes both scopes from the source rows. */
+  val ticebergPart = GQuery(
+    "t_iceberg_part",
+    (s, dir) => {
+      val table = tmp("graft_icebergp_q")
+      val ev = Tables(s, dir, "events").select(col("event_id"), col("value"), col("event_type"))
+      graft.sources.IcebergWrite.append(s, ev, table, partitionBy = Seq("event_type"))
+      val pruned = graft.sources.IcebergRead
+        .snapshotPruned(s, table, pv => pv("event_type") == "click")
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .withColumn("scope", lit("click_pruned"))
+      val full = graft.sources.IcebergRead.snapshot(s, table)
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .withColumn("scope", lit("full"))
+      pruned.unionByName(full)
+        .select(col("scope"), col("cnt"), col("sum_value"))
+        .orderBy(col("scope"))
+    },
+    Some("""SELECT 'click_pruned' AS scope, count(*) AS cnt, round(sum(value), 2) AS sum_value
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT 'full', count(*), round(sum(value), 2) FROM events
+      ORDER BY scope"""))
+
   def all: Seq[GQuery] =
-    Seq(t1, t1orc, t2, t3, tskip, tdelta, ticeberg, tdeltaRt, ticebergRt, ticebergMor, tdeltaDv)
+    Seq(t1, t1orc, t2, t3, tskip, tdelta, ticeberg, tdeltaRt, ticebergRt, ticebergMor,
+      tdeltaDv, ticebergPart)
 }

@@ -97,8 +97,20 @@ object IcebergRead {
   def snapshotWithLineage(spark: SparkSession, table: String, snapshotId: Long = -1L): DataFrame =
     snapshotImpl(spark, table, snapshotId, lineage = true)
 
+  /** [[snapshot]] with PARTITION PRUNING at the manifest level: `keep`
+    * sees each data file's partition record as (field name → value;
+    * strings decoded, dates as epoch-day ints) and files it rejects never
+    * reach the scan — the manifest-side prune every Iceberg engine does
+    * with partition predicates, and the 100 TB lever a post-scan filter
+    * can't reach. Unpartitioned files present an empty map (kept unless
+    * the caller says otherwise); delete files are never pruned (position
+    * deletes are partition-less). */
+  def snapshotPruned(spark: SparkSession, table: String,
+      keep: Map[String, Any] => Boolean, snapshotId: Long = -1L): DataFrame =
+    snapshotImpl(spark, table, snapshotId, lineage = false, prune = Some(keep))
+
   private def snapshotImpl(spark: SparkSession, table: String, snapshotId: Long,
-      lineage: Boolean): DataFrame = {
+      lineage: Boolean, prune: Option[Map[String, Any] => Boolean] = None): DataFrame = {
     val meta = mapper.readTree(metadataFile(table))
     val formatVersion = meta.path("format-version").asInt(1)
     require(formatVersion <= 2, s"unsupported Iceberg format-version $formatVersion")
@@ -154,7 +166,22 @@ object IcebergRead {
           }
           val fmt = df.get("file_format").toString
           require(fmt.equalsIgnoreCase("parquet"), s"unsupported Iceberg file format: $fmt")
-          Some(localPath(df.get("file_path").toString))
+          // manifest-level partition pruning (data files only)
+          val kept = prune match {
+            case Some(keep) if expectData =>
+              val partValues: Map[String, Any] = Option(df.get("partition"))
+                .collect { case r: org.apache.avro.generic.GenericRecord =>
+                  r.getSchema.getFields.asScala.map { f =>
+                    f.name() -> (r.get(f.name()) match {
+                      case u: org.apache.avro.util.Utf8 => u.toString
+                      case v => v
+                    })
+                  }.toMap
+                }.getOrElse(Map.empty)
+              keep(partValues)
+            case _ => true
+          }
+          if (kept) Some(localPath(df.get("file_path").toString)) else None
         }
       }
 

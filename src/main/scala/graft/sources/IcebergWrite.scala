@@ -337,6 +337,10 @@ object IcebergWrite {
     val aggCols = fcount(flit(1)).as("n") +: partTypes.map { case (c, dt) =>
       ffirst(fcol(s"__p_$c").cast(dt)).as(c)
     }
+    // key by STAGE-RELATIVE path, not file name: partitionBy names files
+    // per task, and one task writing several partition dirs reuses the
+    // same name in each — a name-keyed map silently mixes their stats
+    val stageRoot = stage.toRealPath().toString
     val perFile: Map[String, (Long, Seq[Any])] = readBack
       .groupBy(input_file_name().as("f")).agg(aggCols.head, aggCols.tail: _*)
       .collect()
@@ -347,7 +351,8 @@ object IcebergWrite {
             case v => v
           }
         }
-        (new org.apache.hadoop.fs.Path(r.getString(0)).getName, (r.getLong(1), values))
+        val full = new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath
+        (full.stripPrefix(stageRoot).stripPrefix("/"), (r.getLong(1), values))
       }.toMap
 
     def walk(dir: java.io.File): Seq[java.io.File] =
@@ -355,11 +360,15 @@ object IcebergWrite {
         if (f.isDirectory) walk(f)
         else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
       }
-    val dataFiles: Seq[(java.nio.file.Path, Long, Seq[Any])] = walk(stage.toFile).map { f =>
-      val dest = dataDir(table).resolve(s"${java.util.UUID.randomUUID()}-${f.getName}")
-      Files.move(f.toPath, dest)
-      val (n, values) = perFile.getOrElse(f.getName, (0L, partTypes.map(_ => null)))
-      (dest, n, values)
+    val dataFiles: Seq[(java.nio.file.Path, Long, Seq[Any])] = walk(stage.toFile).flatMap { f =>
+      val rel = stage.toRealPath().relativize(f.toPath.toRealPath()).toString
+      perFile.get(rel) match {
+        case None => None // 0-row part file (empty upstream partition): skip
+        case Some((n, values)) =>
+          val dest = dataDir(table).resolve(s"${java.util.UUID.randomUUID()}-${f.getName}")
+          Files.move(f.toPath, dest)
+          Some((dest, n, values))
+      }
     }
     val rowCount = dataFiles.map(_._2).sum
     def rmr(f: java.io.File): Unit = {

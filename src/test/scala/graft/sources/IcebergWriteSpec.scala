@@ -100,6 +100,25 @@ class IcebergWriteSpec extends SparkSpec {
       Set(2L, 3L, 4L))
   }
 
+  test("snapshotPruned prunes at the manifest level: rejected partitions never read") {
+    val table = Files.createTempDirectory("graft_iw_pr").toString
+    IcebergWrite.append(spark,
+      Seq((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y")).toDF("id", "name", "grp"),
+      table, partitionBy = Seq("grp"))
+    def prunedIds() = IcebergRead.snapshotPruned(spark, table,
+      pv => pv("grp") == "x").select("id").as[Long].collect().toSet
+    assert(prunedIds() === Set(1L, 2L))
+    // delete partition y's data file from disk: pruned read must not notice
+    val dataFiles = new java.io.File(s"$table/data").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val yFile = dataFiles.find { f =>
+      spark.read.parquet(f.toString).select("grp").head.getString(0) == "y"
+    }.get
+    assert(yFile.delete())
+    assert(prunedIds() === Set(1L, 2L))
+    intercept[Exception](IcebergRead.snapshot(spark, table).count())
+  }
+
   test("deleteWhere: position deletes round-trip, time travel, append-after-delete") {
     import org.apache.spark.sql.functions.col
     val table = Files.createTempDirectory("graft_iw_d").toString
