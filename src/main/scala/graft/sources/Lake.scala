@@ -37,4 +37,32 @@ object Lake {
         require(version < 0, s"plain parquet at $path has no versions (asked for $version)")
         spark.read.parquet(path)
     }
+
+  /** [[read]] with partition pruning at the metadata level: `keep` sees
+    * each file's partition values — Delta's log-carried strings
+    * (logical-keyed) or Iceberg's typed partition record — and rejected
+    * files never reach the scan. Plain parquet dispatches to an ordinary
+    * read (Spark's own directory partition discovery prunes there). */
+  def readPruned(spark: SparkSession, path: String,
+      keep: Map[String, Any] => Boolean, version: Long = -1L): DataFrame =
+    detect(spark, path) match {
+      case Delta => DeltaRead.snapshotPruned(spark, path,
+        pv => keep(pv.asInstanceOf[Map[String, Any]]), version)
+      case Iceberg => IcebergRead.snapshotPruned(spark, path, keep, version)
+      case Parquet =>
+        require(version < 0, s"plain parquet at $path has no versions (asked for $version)")
+        spark.read.parquet(path)
+    }
+
+  /** Merge-on-read DELETE dispatch: Delta deletion vectors or Iceberg
+    * position deletes. Plain parquet has no transaction log to carry a
+    * delete — refused loudly. */
+  def deleteWhere(spark: SparkSession, path: String,
+      condition: org.apache.spark.sql.Column): Long =
+    detect(spark, path) match {
+      case Delta => DeltaWrite.deleteWhere(spark, path, condition)
+      case Iceberg => IcebergWrite.deleteWhere(spark, path, condition)
+      case Parquet => throw new IllegalArgumentException(
+        s"plain parquet at $path cannot carry a merge-on-read delete")
+    }
 }

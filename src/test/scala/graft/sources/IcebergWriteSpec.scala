@@ -100,6 +100,29 @@ class IcebergWriteSpec extends SparkSpec {
       Set(2L, 3L, 4L))
   }
 
+  test("Lake facade dispatches readPruned and deleteWhere per format") {
+    import org.apache.spark.sql.functions.col
+    val ice = Files.createTempDirectory("graft_lake_ice").toString
+    IcebergWrite.append(spark,
+      Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "name", "grp"), ice, Seq("grp"))
+    assert(Lake.readPruned(spark, ice, pv => pv("grp") == "x")
+      .select("id").as[Long].collect().toSeq === Seq(1L))
+    Lake.deleteWhere(spark, ice, col("id") === 1L)
+    assert(Lake.read(spark, ice).count() === 1L)
+
+    val del = Files.createTempDirectory("graft_lake_del").toString
+    DeltaWrite.append(spark,
+      Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "name", "grp"), del, Seq("grp"))
+    assert(Lake.readPruned(spark, del, pv => pv("grp") == "y")
+      .select("id").as[Long].collect().toSeq === Seq(2L))
+    Lake.deleteWhere(spark, del, col("id") === 2L)
+    assert(Lake.read(spark, del).count() === 1L)
+
+    val plain = Files.createTempDirectory("graft_lake_pq").toString
+    Seq((1L, "a")).toDF("id", "name").write.mode("overwrite").parquet(plain)
+    intercept[IllegalArgumentException](Lake.deleteWhere(spark, plain, col("id") === 1L))
+  }
+
   test("snapshotPruned prunes at the manifest level: rejected partitions never read") {
     val table = Files.createTempDirectory("graft_iw_pr").toString
     IcebergWrite.append(spark,
