@@ -321,6 +321,31 @@ object DeltaRead {
   def snapshotWithLineage(spark: SparkSession, table: String, version: Long = -1L): DataFrame =
     snapshotImpl(spark, table, version, lineage = true)
 
+  /** Latest version whose commit is at or before `timestampMs` (TIMESTAMP
+    * AS OF semantics, from the commit files' modification times — the
+    * filesystem-table convention stock Delta uses absent in-commit
+    * timestamps). Fails loudly for a timestamp before the table existed. */
+  def versionAt(spark: SparkSession, table: String, timestampMs: Long): Long = {
+    val dir = new org.apache.hadoop.fs.Path(logPath(table))
+    val hfs = fs(spark, dir)
+    require(hfs.exists(dir), s"not a Delta table (no _delta_log): $table")
+    val stamped = hfs.listStatus(dir).toSeq.collect {
+      case st if st.getPath.getName.length == 25 && st.getPath.getName.endsWith(".json") &&
+        st.getPath.getName.take(20).forall(_.isDigit) =>
+        (st.getPath.getName.take(20).toLong, st.getModificationTime)
+    }.sortBy(_._1)
+    require(stamped.nonEmpty, s"empty _delta_log in $table")
+    val eligible = stamped.filter(_._2 <= timestampMs)
+    require(eligible.nonEmpty,
+      s"no commit at or before $timestampMs (earliest is ${stamped.head._2}) — " +
+        "the table did not exist yet")
+    eligible.last._1
+  }
+
+  /** The table as of a wall-clock timestamp (ms since epoch). */
+  def snapshotAt(spark: SparkSession, table: String, timestampMs: Long): DataFrame =
+    snapshot(spark, table, versionAt(spark, table, timestampMs))
+
   /** [[snapshot]] with PARTITION PRUNING at the log level: `keep` sees each
     * file's logical-keyed partition values (string-typed, null for NULL,
     * exactly as the log carries them) and files it rejects never reach the

@@ -97,6 +97,26 @@ object IcebergRead {
   def snapshotWithLineage(spark: SparkSession, table: String, snapshotId: Long = -1L): DataFrame =
     snapshotImpl(spark, table, snapshotId, lineage = true)
 
+  /** Latest snapshot id whose `timestamp-ms` is at or before `timestampMs`
+    * (TIMESTAMP AS OF semantics over the metadata's snapshot log). Fails
+    * loudly for a timestamp before the table's first snapshot. */
+  def snapshotIdAt(spark: SparkSession, table: String, timestampMs: Long): Long = {
+    val meta = mapper.readTree(metadataFile(table))
+    val stamped = meta.path("snapshots").elements().asScala.toSeq
+      .map(s => (s.path("snapshot-id").asLong(-1L), s.path("timestamp-ms").asLong(Long.MaxValue)))
+      .sortBy(_._2)
+    require(stamped.nonEmpty, s"Iceberg table has no snapshots: $table")
+    val eligible = stamped.filter(_._2 <= timestampMs)
+    require(eligible.nonEmpty,
+      s"no snapshot at or before $timestampMs (earliest is ${stamped.head._2}) — " +
+        "the table did not exist yet")
+    eligible.last._1
+  }
+
+  /** The table as of a wall-clock timestamp (ms since epoch). */
+  def snapshotAt(spark: SparkSession, table: String, timestampMs: Long): DataFrame =
+    snapshot(spark, table, snapshotIdAt(spark, table, timestampMs))
+
   /** [[snapshot]] with PARTITION PRUNING at the manifest level: `keep`
     * sees each data file's partition record as (field name → value;
     * strings decoded, dates as epoch-day ints) and files it rejects never

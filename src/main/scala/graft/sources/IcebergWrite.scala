@@ -440,7 +440,14 @@ object IcebergWrite {
     import org.apache.spark.sql.functions._
     val prior0 = readPrior(table)
     require(prior0.isDefined, s"not an Iceberg table: $table")
-    val emptySpecId = if (priorPartitionColumns(prior0.get).isEmpty) 0 else 1
+    // position deletes are partition-less: cite an existing EMPTY spec, or
+    // mint one past the table's highest spec id (an external table's spec 1
+    // could be anything — assuming it is empty would mislabel the manifest)
+    val priorSpecs = prior0.get.path("partition-specs").elements().asScala.toSeq
+    val emptySpecId = priorSpecs.find(_.path("fields").size() == 0)
+      .map(_.path("spec-id").asInt(0))
+      .getOrElse(priorSpecs.map(_.path("spec-id").asInt(0)).foldLeft(-1)(math.max) + 1)
+    val mintEmptySpec = !priorSpecs.exists(_.path("fields").size() == 0)
 
     // one scan: matched rows → (file_path, pos), written sorted by
     // (path, pos) as the spec recommends for delete files
@@ -465,7 +472,11 @@ object IcebergWrite {
     val schema = entrySchema(Seq.empty)
     commitSnapshot(table, "delete",
       fieldsJson = carriedFields,
-      specsJson = carriedSpecs,
+      specsJson = prior => {
+        val (specs, defaultId, lastPartId) = carriedSpecs(prior)
+        if (!mintEmptySpec) (specs, defaultId, lastPartId)
+        else (s"""$specs,{"spec-id":$emptySpecId,"fields":[]}""", defaultId, lastPartId)
+      },
       authorManifest = { snapshotId =>
         import org.apache.avro.generic.GenericData
         val dataFileSchema = schema.getField("data_file").schema()

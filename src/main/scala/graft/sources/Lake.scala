@@ -54,6 +54,17 @@ object Lake {
         spark.read.parquet(path)
     }
 
+  /** TIMESTAMP AS OF dispatch: the table as of a wall-clock ms timestamp
+    * (Delta: commit modification times; Iceberg: snapshot timestamp-ms).
+    * Plain parquet has no history — refused loudly. */
+  def readAt(spark: SparkSession, path: String, timestampMs: Long): DataFrame =
+    detect(spark, path) match {
+      case Delta => DeltaRead.snapshotAt(spark, path, timestampMs)
+      case Iceberg => IcebergRead.snapshotAt(spark, path, timestampMs)
+      case Parquet => throw new IllegalArgumentException(
+        s"plain parquet at $path has no version history for TIMESTAMP AS OF")
+    }
+
   /** Merge-on-read DELETE dispatch: Delta deletion vectors or Iceberg
     * position deletes. Plain parquet has no transaction log to carry a
     * delete — refused loudly. */

@@ -100,6 +100,30 @@ class IcebergWriteSpec extends SparkSpec {
       Set(2L, 3L, 4L))
   }
 
+  test("TIMESTAMP AS OF resolves to the latest commit/snapshot at or before it") {
+    val ice = Files.createTempDirectory("graft_ts_ice").toString
+    val t0 = System.currentTimeMillis() - 1
+    IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "name"), ice)
+    Thread.sleep(20)
+    val tMid = System.currentTimeMillis()
+    Thread.sleep(20)
+    IcebergWrite.append(spark, Seq((2L, "b")).toDF("id", "name"), ice)
+    assert(IcebergRead.snapshotAt(spark, ice, tMid).count() === 1L)
+    assert(Lake.readAt(spark, ice, System.currentTimeMillis()).count() === 2L)
+    intercept[IllegalArgumentException](IcebergRead.snapshotAt(spark, ice, t0))
+
+    val del = Files.createTempDirectory("graft_ts_del").toString
+    val d0 = System.currentTimeMillis() - 1
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "name"), del)
+    Thread.sleep(20)
+    val dMid = System.currentTimeMillis()
+    Thread.sleep(20)
+    DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "name"), del)
+    assert(DeltaRead.snapshotAt(spark, del, dMid).count() === 1L)
+    assert(Lake.readAt(spark, del, System.currentTimeMillis()).count() === 2L)
+    intercept[IllegalArgumentException](DeltaRead.snapshotAt(spark, del, d0))
+  }
+
   test("Lake facade dispatches readPruned and deleteWhere per format") {
     import org.apache.spark.sql.functions.col
     val ice = Files.createTempDirectory("graft_lake_ice").toString
