@@ -444,10 +444,14 @@ object IcebergWrite {
     // mint one past the table's highest spec id (an external table's spec 1
     // could be anything — assuming it is empty would mislabel the manifest)
     val priorSpecs = prior0.get.path("partition-specs").elements().asScala.toSeq
-    val emptySpecId = priorSpecs.find(_.path("fields").size() == 0)
-      .map(_.path("spec-id").asInt(0))
-      .getOrElse(priorSpecs.map(_.path("spec-id").asInt(0)).foldLeft(-1)(math.max) + 1)
-    val mintEmptySpec = !priorSpecs.exists(_.path("fields").size() == 0)
+    // no partition-specs array at all → carriedSpecs falls back to an empty
+    // spec 0, so reuse id 0 and mint nothing (minting would duplicate it)
+    val emptySpecId =
+      if (priorSpecs.isEmpty) 0
+      else priorSpecs.find(_.path("fields").size() == 0)
+        .map(_.path("spec-id").asInt(0))
+        .getOrElse(priorSpecs.map(_.path("spec-id").asInt(0)).max + 1)
+    val mintEmptySpec = priorSpecs.nonEmpty && !priorSpecs.exists(_.path("fields").size() == 0)
 
     // one scan: matched rows → (file_path, pos), written sorted by
     // (path, pos) as the spec recommends for delete files
