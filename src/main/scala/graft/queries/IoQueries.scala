@@ -366,7 +366,29 @@ object IoQueries {
       SELECT 'full', count(*), round(sum(value), 2) FROM events
       ORDER BY scope"""))
 
+  /** S8i: incremental Delta consumption — three append commits from event
+    * slices, then addsBetween(v0) reads ONLY the later two commits' files
+    * (the batch form of Delta's streaming source). Oracle recomputes the
+    * increment from the source rows. */
+  val tdeltaChanges = GQuery(
+    "t_delta_changes",
+    (s, dir) => {
+      val table = tmp("graft_deltainc_q")
+      val ev = Tables(s, dir, "events").select(col("event_id"), col("value"), col("event_type"))
+      val v0 = graft.sources.DeltaWrite.append(s, ev.where(col("event_type") === "click"), table)
+      graft.sources.DeltaWrite.append(s, ev.where(col("event_type") === "view"), table)
+      graft.sources.DeltaWrite.append(s,
+        ev.where(!col("event_type").isin("click", "view")), table)
+      graft.sources.DeltaRead.addsBetween(s, table, v0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+      FROM events WHERE event_type <> 'click' GROUP BY event_type
+      ORDER BY event_type"""))
+
   def all: Seq[GQuery] =
     Seq(t1, t1orc, t2, t3, tskip, tdelta, ticeberg, tdeltaRt, ticebergRt, ticebergMor,
-      tdeltaDv, ticebergPart)
+      tdeltaDv, ticebergPart, tdeltaChanges)
 }

@@ -346,6 +346,59 @@ object DeltaRead {
   def snapshotAt(spark: SparkSession, table: String, timestampMs: Long): DataFrame =
     snapshot(spark, table, versionAt(spark, table, timestampMs))
 
+  /** Rows ADDED in versions (fromVersion, toVersion] — incremental
+    * consumption of an external Delta table, the batch form of Delta's
+    * streaming source. Reads ONLY the newly added files (one scan of
+    * O(new data), never the table); schema/partition handling and DV
+    * application follow the `toVersion` snapshot.
+    *
+    * Commits carrying removes (overwrite, delete, compaction) make "what
+    * was added" ambiguous for a consumer that already saw the old rows;
+    * they are refused unless `ignoreChanges = true` — exactly the
+    * semantics of stock Delta's streaming `ignoreChanges` option (re-added
+    * files may then surface rows the consumer has already seen; dedup
+    * downstream). */
+  def addsBetween(spark: SparkSession, table: String, fromVersion: Long,
+      toVersion: Long = -1L, ignoreChanges: Boolean = false): DataFrame = {
+    val snap = snapshotInfo(spark, table, toVersion) // also validates `toVersion`
+    require(fromVersion <= snap.version,
+      s"fromVersion $fromVersion is beyond the resolved toVersion ${snap.version}")
+    val range = (fromVersion + 1) to snap.version
+    val added = scala.collection.mutable.LinkedHashMap[String, LiveFile]()
+    range.foreach { v =>
+      val commitPath = s"${logPath(table)}/${f"$v%020d"}.json"
+      val hfs = fs(spark, new org.apache.hadoop.fs.Path(commitPath))
+      // a checkpoint-cleaned commit inside the range cannot be replayed
+      require(hfs.exists(new org.apache.hadoop.fs.Path(commitPath)),
+        s"commit $v was cleaned from the log — cannot enumerate its adds")
+      val commit = spark.read.schema(StructType.fromDDL(actionsDdl)).json(commitPath)
+        .select(col("add.path").as("ap"), col("add.partitionValues").as("pv"),
+          col("remove.path").as("rp"),
+          coalesce(col("add.size"), lit(0L)).as("sz"),
+          coalesce(col("add.modificationTime"), lit(0L)).as("mt"),
+          col("add.deletionVector").as("dv"))
+        .collect()
+      val hasRemove = commit.exists(r => !r.isNullAt(2))
+      require(!hasRemove || ignoreChanges,
+        s"commit $v contains removes (overwrite/delete/compaction) — adds-only " +
+          "reading is ambiguous; pass ignoreChanges=true to emit re-added files anyway")
+      commit.foreach { r =>
+        if (!r.isNullAt(0)) {
+          val p = resolve(table, r.getString(0))
+          added(p) = LiveFile(p,
+            Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty),
+            r.getLong(3), r.getLong(4), parseDv(r, 5))
+        }
+      }
+    }
+    // files added in-range but no longer live at toVersion (added then
+    // removed) would double-report; keep only the still-live ones
+    val liveNow = snap.files.map(_.path).toSet
+    assembleData(spark, table,
+      snap.copy(files = added.values.filter(f => liveNow(f.path)).toSeq),
+      lineage = false)
+  }
+
   /** [[snapshot]] with PARTITION PRUNING at the log level: `keep` sees each
     * file's logical-keyed partition values (string-typed, null for NULL,
     * exactly as the log carries them) and files it rejects never reach the
@@ -370,6 +423,14 @@ object DeltaRead {
           keep(f.partitionValues.map { case (k, v) => (logicalOf.getOrElse(k, k), v) })
         })
     }
+    assembleData(spark, table, snap, lineage)
+  }
+
+  /** One scan over `snap.files` with partition injection, column-mapping
+    * rename, DV application, and optional lineage — shared by the
+    * snapshot readers and [[addsBetween]]. */
+  private def assembleData(spark: SparkSession, table: String, snap: Snapshot,
+      lineage: Boolean): DataFrame = {
     val dataSchema = StructType(
       snap.schema.filterNot(f => snap.partitionColumns.contains(f.name))
         .map(f => StructField(snap.physicalName(f.name), f.dataType, f.nullable)))

@@ -79,6 +79,34 @@ class DeltaWriteSpec extends SparkSpec {
     assert(unchanged === DeltaRead.snapshotInfo(spark, table).version)
   }
 
+  test("addsBetween reads only the range's new files; non-append commits refused") {
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("graft_dw_inc").toString
+    DeltaWrite.append(spark, Seq((1L, "a", "x")).toDF("id", "name", "grp"), table) // v0
+    DeltaWrite.append(spark, Seq((2L, "b", "x")).toDF("id", "name", "grp"), table) // v1
+    DeltaWrite.append(spark, Seq((3L, "c", "y")).toDF("id", "name", "grp"), table) // v2
+    assert(rows(DeltaRead.addsBetween(spark, table, 0L)).map(_._1) === Set(2L, 3L))
+    assert(rows(DeltaRead.addsBetween(spark, table, -1L)).map(_._1) === Set(1L, 2L, 3L))
+    assert(rows(DeltaRead.addsBetween(spark, table, 1L, 1L)).map(_._1) === Set.empty[Long])
+
+    // a DV delete is remove+add of the same file → refused as adds-only...
+    DeltaWrite.deleteWhere(spark, table, col("id") === 2L) // v3
+    val e = intercept[IllegalArgumentException](DeltaRead.addsBetween(spark, table, 2L))
+    assert(e.getMessage.contains("ignoreChanges"))
+    // ...but ignoreChanges re-emits the re-added file WITH its DV applied:
+    // v1's file held only id 2, which the DV deletes → nothing surfaces
+    assert(rows(DeltaRead.addsBetween(spark, table, 2L, ignoreChanges = true))
+      .map(_._1) === Set.empty[Long])
+
+    // overwrite: old files removed; ignoreChanges emits only the new state
+    DeltaWrite.overwrite(spark, Seq((9L, "z", "w")).toDF("id", "name", "grp"), table) // v4
+    assert(rows(DeltaRead.addsBetween(spark, table, 3L, ignoreChanges = true))
+      .map(_._1) === Set(9L))
+    // a file added then removed inside the range is not re-reported
+    assert(rows(DeltaRead.addsBetween(spark, table, 1L, ignoreChanges = true))
+      .map(_._1) === Set(9L))
+  }
+
   test("snapshotPruned prunes at the log level: rejected partitions are never read") {
     val table = Files.createTempDirectory("graft_dw_prune").toString
     DeltaWrite.append(spark,
