@@ -988,8 +988,33 @@ object LlmQueries {
       ' Tom & Jerry <3 "ok" ''s end' AS clean_text
       FROM documents WHERE doc_id < 50 ORDER BY doc_id"""))
 
+  /** Real BPE tokenization (Sennrich 2016 / the GPT-2 greedy encoder)
+    * with a fixed merge list. Oracle premise: when merge outputs are
+    * fresh symbols, BPE's token count equals the char length after a
+    * per-merge replace chain — both engines use the same left-to-right
+    * non-overlapping semantics, so DuckDB's nested replace() recomputes
+    * the REAL encoder's count without implementing BPE (equivalence
+    * proven in BpeSpec). */
+  val l30 = GQuery(
+    "l30_bpe_tokens",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .where(col("doc_id") < 50 && col("text").isNotNull &&
+          !col("text").contains("Ƶ") && !col("text").contains("Ʒ"))
+      graft.functions.Bpe.withTokens(docs, "text", Seq(("e", "r"), ("er", "s")))
+        .select(col("doc_id"), size(col("bpe_tokens")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+        CAST(length(replace(replace(text, 'er', 'Ƶ'), 'Ƶs', 'Ʒ')) AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE doc_id < 50 AND text IS NOT NULL
+        AND instr(text, 'Ƶ') = 0 AND instr(text, 'Ʒ') = 0
+      ORDER BY doc_id"""))
+
   def all: Seq[GQuery] = Seq(l1, l2, l2brute, l2simhash, l2simhashPairs, l2cluster, l2quality,
     l2embedding, l3, l3scalable, l3lsh, l3ivf, l3kmeans, l3pq,
-    l3lshRecall, l3ivfRecall, l3kmeansRecall, l3pqRecall, l26, l27, l28, l29, l4langid, l5, l6, l7, l8, l9,
+    l3lshRecall, l3ivfRecall, l3kmeansRecall, l3pqRecall, l26, l27, l28, l29, l30,
+    l4langid, l5, l6, l7, l8, l9,
     l10, l11, l11b, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l24, l24b, l25)
 }
