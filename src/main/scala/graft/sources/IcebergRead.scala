@@ -129,8 +129,35 @@ object IcebergRead {
       keep: Map[String, Any] => Boolean, snapshotId: Long = -1L): DataFrame =
     snapshotImpl(spark, table, snapshotId, lineage = false, prune = Some(keep))
 
+  /** Rows ADDED in snapshots (fromSnapshotId, toSnapshotId] — incremental
+    * consumption of an external Iceberg table. Data-manifest entries carry
+    * their adding snapshot id, so only the range's files are scanned;
+    * position deletes of the `to` snapshot still apply. Snapshots whose
+    * summary operation is not an append (delete, overwrite) make adds-only
+    * reading ambiguous and are refused unless `ignoreChanges = true`. */
+  def addsBetween(spark: SparkSession, table: String, fromSnapshotId: Long,
+      toSnapshotId: Long = -1L, ignoreChanges: Boolean = false): DataFrame = {
+    val meta = mapper.readTree(metadataFile(table))
+    val to =
+      if (toSnapshotId >= 0) toSnapshotId else meta.path("current-snapshot-id").asLong(-1L)
+    meta.path("snapshots").elements().asScala
+      .filter { s =>
+        val id = s.path("snapshot-id").asLong(-1L)
+        id > fromSnapshotId && id <= to
+      }
+      .foreach { s =>
+        val op = s.path("summary").path("operation").asText("append")
+        require(op == "append" || ignoreChanges,
+          s"snapshot ${s.path("snapshot-id").asLong(-1L)} is a '$op' commit — adds-only " +
+            "reading is ambiguous; pass ignoreChanges=true to read the range's adds anyway")
+      }
+    snapshotImpl(spark, table, to, lineage = false,
+      addedIn = Some(id => id > fromSnapshotId && id <= to))
+  }
+
   private def snapshotImpl(spark: SparkSession, table: String, snapshotId: Long,
-      lineage: Boolean, prune: Option[Map[String, Any] => Boolean] = None): DataFrame = {
+      lineage: Boolean, prune: Option[Map[String, Any] => Boolean] = None,
+      addedIn: Option[Long => Boolean] = None): DataFrame = {
     val meta = mapper.readTree(metadataFile(table))
     val formatVersion = meta.path("format-version").asInt(1)
     require(formatVersion <= 2, s"unsupported Iceberg format-version $formatVersion")
@@ -201,7 +228,18 @@ object IcebergRead {
               keep(partValues)
             case _ => true
           }
-          if (kept) Some(localPath(df.get("file_path").toString)) else None
+          // incremental-range filter: by the entry's adding snapshot id
+          // (delete files never filtered — they apply globally by path)
+          val inRange = addedIn match {
+            case Some(in) if expectData =>
+              val sid = Option(entry.get("snapshot_id")).map(_.toString.toLong)
+                .getOrElse(throw new IllegalArgumentException(
+                  "manifest entry lacks snapshot_id (inherited ids) — incremental " +
+                    "reads need explicit per-entry ids; refusing"))
+              in(sid)
+            case _ => true
+          }
+          if (kept && inRange) Some(localPath(df.get("file_path").toString)) else None
         }
       }
 

@@ -65,6 +65,18 @@ object Lake {
         s"plain parquet at $path has no version history for TIMESTAMP AS OF")
     }
 
+  /** Incremental-read dispatch: rows added after `fromVersion` (Delta log
+    * version / Iceberg snapshot id), scanning only the new files. Plain
+    * parquet has no commit history — refused loudly. */
+  def addsBetween(spark: SparkSession, path: String, fromVersion: Long,
+      toVersion: Long = -1L, ignoreChanges: Boolean = false): DataFrame =
+    detect(spark, path) match {
+      case Delta => DeltaRead.addsBetween(spark, path, fromVersion, toVersion, ignoreChanges)
+      case Iceberg => IcebergRead.addsBetween(spark, path, fromVersion, toVersion, ignoreChanges)
+      case Parquet => throw new IllegalArgumentException(
+        s"plain parquet at $path has no commit history for incremental reads")
+    }
+
   /** Merge-on-read DELETE dispatch: Delta deletion vectors or Iceberg
     * position deletes. Plain parquet has no transaction log to carry a
     * delete — refused loudly. */

@@ -100,6 +100,27 @@ class IcebergWriteSpec extends SparkSpec {
       Set(2L, 3L, 4L))
   }
 
+  test("addsBetween reads only the range's snapshots; delete commits refused") {
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("graft_iw_inc").toString
+    val s1 = IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "name"), table)
+    IcebergWrite.append(spark, Seq((2L, "b")).toDF("id", "name"), table)
+    IcebergWrite.append(spark, Seq((3L, "c")).toDF("id", "name"), table)
+    assert(rows(IcebergRead.addsBetween(spark, table, s1)).map(_._1) === Set(2L, 3L))
+    assert(rows(Lake.addsBetween(spark, table, s1)).map(_._1) === Set(2L, 3L))
+    assert(rows(IcebergRead.addsBetween(spark, table, 0L)).map(_._1) === Set(1L, 2L, 3L))
+
+    val s4 = IcebergWrite.deleteWhere(spark, table, col("id") === 2L)
+    val e = intercept[IllegalArgumentException](IcebergRead.addsBetween(spark, table, s1))
+    assert(e.getMessage.contains("ignoreChanges"))
+    // with ignoreChanges: range adds minus the (globally applied) deletes
+    assert(rows(IcebergRead.addsBetween(spark, table, s1, ignoreChanges = true))
+      .map(_._1) === Set(3L))
+    // append after the delete: a clean later range needs no flag
+    IcebergWrite.append(spark, Seq((4L, "d")).toDF("id", "name"), table)
+    assert(rows(IcebergRead.addsBetween(spark, table, s4)).map(_._1) === Set(4L))
+  }
+
   test("TIMESTAMP AS OF resolves to the latest commit/snapshot at or before it") {
     val ice = Files.createTempDirectory("graft_ts_ice").toString
     val t0 = System.currentTimeMillis() - 1
