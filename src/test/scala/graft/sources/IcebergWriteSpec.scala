@@ -145,6 +145,30 @@ class IcebergWriteSpec extends SparkSpec {
     intercept[IllegalArgumentException](DeltaRead.snapshotAt(spark, del, d0))
   }
 
+  test("incremental lake consumption composes with incremental near-dedup") {
+    // the end-to-end training-data story: an external Delta corpus grows;
+    // each increment is consumed via addsBetween and near-deduped against
+    // the already-accepted corpus — no reprocessing of old data
+    val corpus = Files.createTempDirectory("graft_lake_dedup").toString
+    val v0 = DeltaWrite.append(spark, Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated text about distributed query engines")
+    ).toDF("doc_id", "text"), corpus)
+    val accepted = Lake.read(spark, corpus)
+
+    // the next drop carries one near-dup of doc 1 and one genuinely new doc
+    DeltaWrite.append(spark, Seq(
+      (3L, "the quick brown fox jumps over the lazy dog tonight!"),
+      (4L, "fresh material never seen before in any earlier batch at all")
+    ).toDF("doc_id", "text"), corpus)
+    val increment = Lake.addsBetween(spark, corpus, v0)
+    assert(increment.count() === 2L)
+
+    val kept = graft.operators.Dedup.incrementalDropNearDuplicates(
+      increment, accepted, "doc_id", "text", threshold = 0.7)
+    assert(kept.select("doc_id").as[Long].collect().toSet === Set(4L))
+  }
+
   test("Lake facade dispatches readPruned and deleteWhere per format") {
     import org.apache.spark.sql.functions.col
     val ice = Files.createTempDirectory("graft_lake_ice").toString
