@@ -311,4 +311,52 @@ class PropertySpec extends AnyFunSuite {
       assert(sum === expect)
     }
   }
+
+  test("roaring portable serialization round-trips arbitrary position sets") {
+    import graft.sources.RoaringBitmapArray
+    // spans array containers, bitmap containers (dense low range), and
+    // multiple 32-bit buckets (values past 2^32)
+    val positions = Gen.oneOf(
+      Gen.listOf(Gen.chooseNum(0L, 1L << 40)),
+      Gen.listOfN(5000, Gen.chooseNum(0L, 8192L)),          // dense → bitmap
+      Gen.listOfN(100, Gen.chooseNum((1L << 33) - 50, (1L << 33) + 50)))
+    forSamples(positions) { vs =>
+      val sorted = vs.distinct.sorted.toArray
+      val back = RoaringBitmapArray.deserialize(RoaringBitmapArray.serialize(sorted))
+      assert(back.toSeq === sorted.toSeq)
+    }
+  }
+
+  test("Z85 round-trips arbitrary byte arrays at every length mod 4") {
+    import graft.sources.Z85
+    forSamples(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)), n = 20) { bs =>
+      val arr = bs.toArray
+      assert(Z85.decode(Z85.encode(arr), arr.length).toSeq === arr.toSeq)
+    }
+  }
+
+  test("DV blob round-trips and survives the file layout for random sets") {
+    import graft.sources.DeletionVectors
+    forSamples(Gen.listOfN(200, Gen.chooseNum(0L, 1L << 35)), n = 5) { vs =>
+      val sorted = vs.distinct.sorted.toArray
+      val blob = DeletionVectors.toBlob(sorted)
+      assert(DeletionVectors.fromBlob(blob).toSeq === sorted.toSeq)
+      val f = java.nio.file.Files.createTempDirectory("graft_dv_prop")
+        .resolve("deletion_vector_p.bin")
+      val off = DeletionVectors.appendToFile(f, blob)
+      assert(DeletionVectors.fromBlob(
+        DeletionVectors.readFromFile(f, off, blob.length)).toSeq === sorted.toSeq)
+    }
+  }
+
+  test("BPE encoding is lossless and token count never exceeds char count") {
+    import graft.functions.Bpe
+    val texts = Gen.listOf(Gen.oneOf("a", "b", "c", "ab", " ")).map(_.mkString)
+    val ranks = Map(("a", "b") -> 0, ("ab", "c") -> 1, ("b", "c") -> 2)
+    forSamples(texts, n = 20) { t =>
+      val tokens = Bpe.encodeText(t, ranks)
+      assert(tokens.mkString === t)
+      assert(tokens.length <= t.length)
+    }
+  }
 }
