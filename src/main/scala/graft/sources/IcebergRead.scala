@@ -18,8 +18,9 @@ import scala.jdk.CollectionConverters._
   * scan's `_metadata` file path + row index). Refused loudly rather than
   * misread: EQUALITY deletes (content=2 — they need sequence-number
   * scoping against every older data file), non-parquet file formats, and
-  * nested or unknown column types. Columns resolve by NAME (a rename via
-  * field-id mapping is not supported — documented subset).
+  * nested or unknown column types. Columns resolve by FIELD ID when the
+  * data files carry parquet ids (the spec's rule — renames just work);
+  * id-less files (e.g. [[IcebergWrite]]'s) fall back to name resolution.
   *
   * Position deletes skip the sequence-number check deliberately: an
   * Iceberg data-file path is written once and never reused (UUID names,
@@ -170,10 +171,16 @@ object IcebergRead {
           .find(_.path("schema-id").asInt(-1) == cur)
           .getOrElse(throw new IllegalArgumentException(s"current-schema-id $cur not in schemas"))
       } else meta.path("schema")
+    // carry the Iceberg field ids: when the data files were written by a
+    // real Iceberg engine their parquet columns have matching ids, and
+    // id-based resolution survives column renames that name matching
+    // can't (the spec's correct resolution rule)
     val schema = StructType(schemaNode.path("fields").elements().asScala.map { f =>
+      val md = new MetadataBuilder()
+        .putLong("parquet.field.id", f.path("id").asLong(-1L)).build()
       StructField(f.path("name").asText(),
         fieldType(f.path("type").asText(), f.path("name").asText()),
-        nullable = !f.path("required").asBoolean(false))
+        nullable = !f.path("required").asBoolean(false), metadata = md)
     }.toSeq)
 
     val snapshots = meta.path("snapshots").elements().asScala.toSeq
@@ -256,6 +263,22 @@ object IcebergRead {
     if (liveFiles.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
     else {
+      // resolve columns by Iceberg field id when the files carry parquet
+      // ids (a real engine's files do — id resolution survives column
+      // renames that name matching can't); files without ids, e.g. our own
+      // writer's, keep name resolution. One footer probe decides: a
+      // table's data files share a writer lineage.
+      val useFieldIds = {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(liveFiles.head),
+          spark.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFileMetaData.getSchema.getFields.asScala.exists(_.getId != null)
+        finally r.close()
+      }
+      val readSchema =
+        if (useFieldIds) { spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true"); schema }
+        else StructType(schema.map(f => f.copy(metadata = Metadata.empty)))
       // merge-on-read: anti-join the scan against the (file_path, pos)
       // tuples. Both sides normalize to a bare decoded path (scheme and
       // authority stripped, percent-decoded, '+' protected — the DeltaRead
@@ -264,7 +287,7 @@ object IcebergRead {
       def norm(c: org.apache.spark.sql.Column) =
         url_decode(regexp_replace(
           regexp_replace(c, "^[a-zA-Z0-9+.-]+:(//)?", ""), "\\+", "%2B"))
-      val base = spark.read.schema(schema).parquet(liveFiles: _*)
+      val base = spark.read.schema(readSchema).parquet(liveFiles: _*)
         .withColumn("_file", norm(col("_metadata.file_path")))
         .withColumn("_pos", col("_metadata.row_index"))
       val undeleted =

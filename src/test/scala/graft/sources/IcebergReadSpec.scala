@@ -165,6 +165,36 @@ class IcebergReadSpec extends SparkSpec {
     assert(e2.getMessage.contains("file format"))
   }
 
+  test("field-id resolution: renamed columns read correctly from id-carrying files") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.MetadataBuilder
+    val table = Files.createTempDirectory("graft_ice_fid").toString
+    // a real engine's data file: parquet columns carry field ids, and the
+    // physical names are the PRE-rename ones
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val mdId = new MetadataBuilder().putLong("parquet.field.id", 1L).build()
+    val mdNm = new MetadataBuilder().putLong("parquet.field.id", 2L).build()
+    val tmp = Files.createTempDirectory("graft_ice_fid_part")
+    Seq((7L, "z")).toDF("id", "name")
+      .select(col("id").as("old_id", mdId), col("name").as("old_name", mdNm))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles().find(_.getName.endsWith(".parquet")).get
+    val dest = Paths.get(table, "data", "p1.parquet")
+    Files.createDirectories(dest.getParent)
+    Files.move(part.toPath, dest)
+    // table metadata declares the POST-rename names under the same ids
+    writeAvro(s"$table/metadata/m0.avro", manifestEntrySchema,
+      Seq(manifestEntry(1, s"file://$dest")))
+    writeAvro(s"$table/metadata/ml.avro", manifestListSchema,
+      Seq(manifestRef(s"$table/metadata/ml0.avro".replace("ml0", "m0"))))
+    Files.writeString(Paths.get(table, "metadata", "v1.metadata.json"),
+      metadataJson(5L, Seq(5L -> s"$table/metadata/ml.avro")))
+    Files.writeString(Paths.get(table, "metadata", "version-hint.text"), "1")
+    val out = IcebergRead.snapshot(spark, table)
+    assert(out.columns.toSeq === Seq("id", "name"))
+    assert(out.as[(Long, String)].collect().toSeq === Seq((7L, "z")))
+  }
+
   test("v1 metadata with inline schema parses; unknown column types refused") {
     val table = Files.createTempDirectory("graft_ice_v1").toString
     val p1 = writePart(table, "p1.parquet", Seq((7L, "z")))
