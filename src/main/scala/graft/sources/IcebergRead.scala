@@ -202,28 +202,31 @@ object IcebergRead {
         (rows.collect { case (p, 0) => p }, rows.collect { case (p, c) if c != 0 => p })
       } else (snap.path("manifests").elements().asScala.map(_.asText()).toSeq, Seq.empty[String])
 
-    def liveEntries(mp: String, expectData: Boolean): Seq[String] =
+    case class MEntry(path: String, content: Int, seq: Option[Long], equalityIds: Seq[Int])
+
+    // GenericData.Record.get THROWS on fields absent from the writer
+    // schema (older/minimal manifests legitimately omit optional ones)
+    def opt(r: org.apache.avro.generic.GenericRecord, name: String): Option[AnyRef] =
+      Option(r.getSchema.getField(name)).flatMap(_ => Option(r.get(name)))
+
+    def liveEntries(mp: String, expectData: Boolean): Seq[MEntry] =
       avroRecords(mp).flatMap { entry =>
-        val status = Option(entry.get("status")).map(_.toString.toInt).getOrElse(1)
+        val status = opt(entry, "status").map(_.toString.toInt).getOrElse(1)
         if (status == 2) None // DELETED entry: not part of this snapshot
         else {
           val df = entry.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
-          val content = Option(df.get("content")).map(_.toString.toInt).getOrElse(0)
+          val content = opt(df, "content").map(_.toString.toInt).getOrElse(0)
           if (expectData)
             require(content == 0,
               "Iceberg delete file in a data manifest — malformed table; refusing")
-          else {
-            require(content != 2,
-              "Iceberg EQUALITY deletes present — only position deletes are supported; refusing")
-            require(content == 1,
-              s"unexpected content=$content entry in a delete manifest; refusing")
-          }
+          else require(content == 1 || content == 2,
+            s"unexpected content=$content entry in a delete manifest; refusing")
           val fmt = df.get("file_format").toString
           require(fmt.equalsIgnoreCase("parquet"), s"unsupported Iceberg file format: $fmt")
           // manifest-level partition pruning (data files only)
           val kept = prune match {
             case Some(keep) if expectData =>
-              val partValues: Map[String, Any] = Option(df.get("partition"))
+              val partValues: Map[String, Any] = opt(df, "partition")
                 .collect { case r: org.apache.avro.generic.GenericRecord =>
                   r.getSchema.getFields.asScala.map { f =>
                     f.name() -> (r.get(f.name()) match {
@@ -239,19 +242,29 @@ object IcebergRead {
           // (delete files never filtered — they apply globally by path)
           val inRange = addedIn match {
             case Some(in) if expectData =>
-              val sid = Option(entry.get("snapshot_id")).map(_.toString.toLong)
+              val sid = opt(entry, "snapshot_id").map(_.toString.toLong)
                 .getOrElse(throw new IllegalArgumentException(
                   "manifest entry lacks snapshot_id (inherited ids) — incremental " +
                     "reads need explicit per-entry ids; refusing"))
               in(sid)
             case _ => true
           }
-          if (kept && inRange) Some(localPath(df.get("file_path").toString)) else None
+          val seq = opt(entry, "sequence_number").map(_.toString.toLong)
+          val eqIds = opt(df, "equality_ids").toSeq.flatMap {
+            case a: java.util.Collection[_] => a.asScala.map(_.toString.toInt).toSeq
+            case _ => Seq.empty
+          }
+          if (kept && inRange)
+            Some(MEntry(localPath(df.get("file_path").toString), content, seq, eqIds))
+          else None
         }
       }
 
-    val liveFiles = dataManifests.flatMap(liveEntries(_, expectData = true))
-    val posDeleteFiles = deleteManifests.flatMap(liveEntries(_, expectData = false))
+    val dataEntries = dataManifests.flatMap(liveEntries(_, expectData = true))
+    val deleteEntries = deleteManifests.flatMap(liveEntries(_, expectData = false))
+    val liveFiles = dataEntries.map(_.path)
+    val posDeleteFiles = deleteEntries.filter(_.content == 1).map(_.path)
+    val eqDeletes = deleteEntries.filter(_.content == 2)
 
     import org.apache.spark.sql.functions._
     val outSchema =
@@ -297,7 +310,41 @@ object IcebergRead {
             .select(norm(col("file_path")).as("_file"), col("pos").as("_pos"))
           base.join(dels, Seq("_file", "_pos"), "left_anti")
         }
-      undeleted.select(outCols: _*)
+
+      // equality deletes (content=2): a delete row removes every row of an
+      // OLDER data file (data sequence number strictly below the delete's)
+      // whose equality columns match, null-safely — the CDC/upsert shape.
+      // One union of the delete files + one anti join; per-file sequence
+      // numbers attach via a broadcast map like partition values.
+      val afterEq =
+        if (eqDeletes.isEmpty) undeleted
+        else {
+          val idToName = schema.fields
+            .map(f => f.metadata.getLong("parquet.field.id") -> f.name).toMap
+          val idSets = eqDeletes.map(_.equalityIds.toSet).distinct
+          require(idSets.size == 1 && idSets.head.nonEmpty,
+            s"equality deletes with heterogeneous or missing equality_ids " +
+              s"(${idSets.mkString(";")}) — outside this reader's subset; refusing")
+          val keyCols = idSets.head.toSeq.sorted.map(id =>
+            idToName.getOrElse(id.toLong, throw new IllegalArgumentException(
+              s"equality_ids references unknown field id $id")))
+          require(dataEntries.forall(_.seq.isDefined) && eqDeletes.forall(_.seq.isDefined),
+            "inherited (null) sequence numbers — equality-delete scoping needs " +
+              "explicit per-entry sequence numbers; refusing")
+          import spark.implicits._
+          val seqMap = dataEntries
+            .map(e => (new org.apache.hadoop.fs.Path(e.path).toUri.getPath, e.seq.get))
+            .toDF("_file", "__seq")
+          val dels = eqDeletes.map { e =>
+            spark.read.parquet(e.path).select(keyCols.map(col): _*)
+              .withColumn("__dseq", lit(e.seq.get))
+          }.reduce(_ unionByName _)
+          val withSeq = undeleted.join(broadcast(seqMap), Seq("_file"), "left")
+          val cond = keyCols.map(c => withSeq(c) <=> dels(c)).reduce(_ && _) &&
+            withSeq("__seq") < dels("__dseq")
+          withSeq.join(dels, cond, "left_anti")
+        }
+      afterEq.select(outCols: _*)
     }
   }
 }

@@ -110,7 +110,8 @@ object IcebergWrite {
           {"name":"file_format","type":"string","field-id":101},
           {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$pf]}},
           {"name":"record_count","type":"long","field-id":103},
-          {"name":"file_size_in_bytes","type":"long","field-id":104}]}}]}""")
+          {"name":"file_size_in_bytes","type":"long","field-id":104},
+          {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}]}}]}""")
   }
 
   private def writeAvro(path: java.nio.file.Path, schema: org.apache.avro.Schema,
@@ -421,6 +422,98 @@ object IcebergWrite {
       })
   }
 
+  /** The empty (partition-less) spec id delete manifests cite, minting one
+    * when the table only has partitioned specs. */
+  private def emptySpecFor(meta: com.fasterxml.jackson.databind.JsonNode): (Int, Boolean) = {
+    val priorSpecs = meta.path("partition-specs").elements().asScala.toSeq
+    if (priorSpecs.isEmpty) (0, false)
+    else priorSpecs.find(_.path("fields").size() == 0) match {
+      case Some(s) => (s.path("spec-id").asInt(0), false)
+      case None => (priorSpecs.map(_.path("spec-id").asInt(0)).max + 1, true)
+    }
+  }
+
+  /** Equality DELETE (v2 content=2): each DISTINCT row of `keys` deletes
+    * every row of an OLDER data file (data sequence number strictly below
+    * this commit's) whose key columns match null-safely — the CDC/upsert
+    * building block streaming writers emit. No data file is rewritten;
+    * one parquet delete file holds the key rows, cited by a delete
+    * manifest carrying the keys' Iceberg field ids. */
+  def deleteWhereEquals(spark: SparkSession, table: String, keys: DataFrame): Long = {
+    val prior0 = readPrior(table)
+    require(prior0.isDefined, s"not an Iceberg table: $table")
+    val (emptySpecId, mintEmptySpec) = emptySpecFor(prior0.get)
+    // key columns → Iceberg field ids from the current schema
+    val cur = prior0.get.path("schemas").elements().asScala
+      .find(_.path("schema-id").asInt(-1) == prior0.get.path("current-schema-id").asInt(0))
+      .getOrElse(sys.error(s"malformed metadata in $table"))
+    val idByName = cur.path("fields").elements().asScala
+      .map(f => f.path("name").asText() -> f.path("id").asInt(-1)).toMap
+    val eqIds: Seq[Int] = keys.columns.toSeq.map(c => idByName.getOrElse(c,
+      throw new IllegalArgumentException(
+        s"key column '$c' is not in the table schema (${idByName.keys.mkString(",")})")))
+
+    val stage = Files.createTempDirectory("graft_iceberg_eqdelete")
+    keys.distinct().repartition(1).write.mode("overwrite").parquet(stage.toString)
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr); f.delete()
+    }
+    val nKeys = spark.read.parquet(stage.toString).count()
+    require(nKeys > 0, "deleteWhereEquals with an empty key set")
+    val staged = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).toSeq
+    Files.createDirectories(dataDir(table))
+    val deleteFile = dataDir(table).resolve(s"eq-delete-${java.util.UUID.randomUUID()}.parquet")
+    Files.move(staged.head.toPath, deleteFile)
+    rmr(stage.toFile)
+
+    val schema = entrySchema(Seq.empty)
+    commitSnapshot(table, "delete",
+      fieldsJson = carriedFields,
+      specsJson = prior => {
+        val (specs, defaultId, lastPartId) = carriedSpecs(prior)
+        if (!mintEmptySpec) (specs, defaultId, lastPartId)
+        else (s"""$specs,{"spec-id":$emptySpecId,"fields":[]}""", defaultId, lastPartId)
+      },
+      authorManifest = { snapshotId =>
+        import org.apache.avro.generic.GenericData
+        val dataFileSchema = schema.getField("data_file").schema()
+        val partitionSchema = dataFileSchema.getField("partition").schema()
+        val dfr = new GenericData.Record(dataFileSchema)
+        dfr.put("content", 2) // EQUALITY_DELETES
+        dfr.put("file_path", deleteFile.toString)
+        dfr.put("file_format", "PARQUET")
+        dfr.put("partition", new GenericData.Record(partitionSchema))
+        dfr.put("record_count", nKeys)
+        dfr.put("file_size_in_bytes", Files.size(deleteFile))
+        dfr.put("equality_ids",
+          java.util.Arrays.asList(eqIds.map(Integer.valueOf): _*))
+        val e = new GenericData.Record(schema)
+        e.put("status", 1)
+        e.put("snapshot_id", snapshotId)
+        e.put("sequence_number", snapshotId)
+        e.put("file_sequence_number", snapshotId)
+        e.put("data_file", dfr)
+        val manifestPath = metaDir(table).resolve(s"m-$snapshotId-${java.util.UUID.randomUUID()}.avro")
+        val manifestLen = writeAvro(manifestPath, schema, Seq(e))
+        (manifestPath, manifestLen, 1, emptySpecId, 1, 0L)
+      })
+  }
+
+  /** UPSERT: equality-delete the incoming keys, then append the incoming
+    * rows. Two snapshots; the append's HIGHER sequence number keeps its
+    * own rows outside the delete's scope (equality deletes only reach
+    * strictly-older files — the spec's ordering rule), so replacing and
+    * inserting in one call is safe without rewriting any file. */
+  def upsert(spark: SparkSession, df: DataFrame, table: String,
+      keyCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    val prior = readPrior(table)
+    require(prior.isDefined, s"upsert into non-existent table $table — use append")
+    deleteWhereEquals(spark, table, df.select(keyCols.map(fcol): _*))
+    append(spark, df, table, partitionBy = priorPartitionColumns(prior.get))
+  }
+
   /** Merge-on-read DELETE: rows of the CURRENT snapshot matching
     * `condition` become a position delete file (the v2 spec's
     * (file_path, pos) parquet table) committed under a delete manifest —
@@ -443,15 +536,7 @@ object IcebergWrite {
     // position deletes are partition-less: cite an existing EMPTY spec, or
     // mint one past the table's highest spec id (an external table's spec 1
     // could be anything — assuming it is empty would mislabel the manifest)
-    val priorSpecs = prior0.get.path("partition-specs").elements().asScala.toSeq
-    // no partition-specs array at all → carriedSpecs falls back to an empty
-    // spec 0, so reuse id 0 and mint nothing (minting would duplicate it)
-    val emptySpecId =
-      if (priorSpecs.isEmpty) 0
-      else priorSpecs.find(_.path("fields").size() == 0)
-        .map(_.path("spec-id").asInt(0))
-        .getOrElse(priorSpecs.map(_.path("spec-id").asInt(0)).max + 1)
-    val mintEmptySpec = priorSpecs.nonEmpty && !priorSpecs.exists(_.path("fields").size() == 0)
+    val (emptySpecId, mintEmptySpec) = emptySpecFor(prior0.get)
 
     // one scan: matched rows → (file_path, pos), written sorted by
     // (path, pos) as the spec recommends for delete files

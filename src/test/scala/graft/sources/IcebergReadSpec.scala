@@ -137,7 +137,7 @@ class IcebergReadSpec extends SparkSpec {
     assert(IcebergRead.snapshot(spark, table, snapshotId = 20L).count() === 4L)
   }
 
-  test("equality deletes and non-parquet formats are refused loudly") {
+  test("malformed equality deletes and non-parquet formats are refused loudly") {
     val table = Files.createTempDirectory("graft_ice_ref").toString
     val p1 = writePart(table, "p1.parquet", Seq((1L, "a")))
     writeAvro(s"$table/metadata/m0.avro", manifestEntrySchema,
@@ -150,7 +150,9 @@ class IcebergReadSpec extends SparkSpec {
       metadataJson(5L, Seq(5L -> s"$table/metadata/ml.avro")))
     Files.writeString(Paths.get(table, "metadata", "version-hint.text"), "1")
     val e = intercept[IllegalArgumentException](IcebergRead.snapshot(spark, table))
-    assert(e.getMessage.contains("EQUALITY"))
+    // an equality delete whose manifest lacks equality_ids cannot be
+    // applied soundly — refused rather than guessed
+    assert(e.getMessage.contains("equality_ids"))
 
     val table2 = Files.createTempDirectory("graft_ice_orc").toString
     val p = writePart(table2, "p1.parquet", Seq((1L, "a")))

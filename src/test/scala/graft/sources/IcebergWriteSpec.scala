@@ -211,6 +211,35 @@ class IcebergWriteSpec extends SparkSpec {
     intercept[Exception](IcebergRead.snapshot(spark, table).count())
   }
 
+  test("equality deletes and upsert: newer appends with the same key survive") {
+    val table = Files.createTempDirectory("graft_iw_eq").toString
+    IcebergWrite.append(spark,
+      Seq((1L, "v1"), (2L, "v1"), (3L, "v1"), (4L, "v1")).toDF("id", "name"), table)
+
+    // upsert: replace ids 2,3 and insert 5 — no data file rewritten
+    IcebergWrite.upsert(spark,
+      Seq((2L, "v2"), (3L, "v2"), (5L, "v2")).toDF("id", "name"), table, Seq("id"))
+    assert(rows(IcebergRead.snapshot(spark, table)) ===
+      Set((1L, "v1"), (2L, "v2"), (3L, "v2"), (4L, "v1"), (5L, "v2")))
+    // pre-upsert snapshot still sees the original values (time travel)
+    assert(rows(IcebergRead.snapshot(spark, table, 1L)) ===
+      (1L to 4L).map(i => (i, "v1")).toSet)
+
+    // a second upsert of an already-upserted key replaces the NEWER copy
+    // too (its file is older than the new delete's sequence number)
+    IcebergWrite.upsert(spark, Seq((2L, "v3")).toDF("id", "name"), table, Seq("id"))
+    assert(rows(IcebergRead.snapshot(spark, table)) ===
+      Set((1L, "v1"), (2L, "v3"), (3L, "v2"), (4L, "v1"), (5L, "v2")))
+
+    // standalone equality delete without re-insert
+    IcebergWrite.deleteWhereEquals(spark, table, Seq(Tuple1(4L)).toDF("id"))
+    assert(rows(IcebergRead.snapshot(spark, table)).map(_._1) === Set(1L, 2L, 3L, 5L))
+
+    // unknown key column refused
+    intercept[IllegalArgumentException](
+      IcebergWrite.deleteWhereEquals(spark, table, Seq(Tuple1(1L)).toDF("nope")))
+  }
+
   test("deleteWhere: position deletes round-trip, time travel, append-after-delete") {
     import org.apache.spark.sql.functions.col
     val table = Files.createTempDirectory("graft_iw_d").toString
