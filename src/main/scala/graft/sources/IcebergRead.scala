@@ -13,14 +13,17 @@ import scala.jdk.CollectionConverters._
   * Supported: format-version 1 and 2 metadata, parquet data files,
   * time travel by snapshot id, primitive column types (Iceberg data files
   * carry ALL columns — unlike Delta, partition values need no injection),
-  * and v2 merge-on-read POSITION deletes (delete manifests → parquet
-  * delete files of (file_path, pos), applied as an anti join on the
-  * scan's `_metadata` file path + row index). Refused loudly rather than
-  * misread: EQUALITY deletes (content=2 — they need sequence-number
-  * scoping against every older data file), non-parquet file formats, and
-  * nested or unknown column types. Columns resolve by FIELD ID when the
-  * data files carry parquet ids (the spec's rule — renames just work);
-  * id-less files (e.g. [[IcebergWrite]]'s) fall back to name resolution.
+  * and BOTH v2 merge-on-read delete kinds: POSITION deletes (delete
+  * manifests → parquet delete files of (file_path, pos), applied as an
+  * anti join on the scan's `_metadata` file path + row index) and
+  * EQUALITY deletes (content=2 — null-safe key match against data files
+  * with strictly lower sequence numbers, the spec's scoping rule).
+  * Refused loudly rather than misread: non-parquet file formats, nested
+  * or unknown column types, heterogeneous/missing equality_ids, and
+  * inherited (null) sequence numbers where scoping needs them. Columns
+  * resolve by FIELD ID when the data files carry parquet ids (the spec's
+  * rule — renames just work); id-less files (e.g. [[IcebergWrite]]'s)
+  * fall back to name resolution.
   *
   * Position deletes skip the sequence-number check deliberately: an
   * Iceberg data-file path is written once and never reused (UUID names,
