@@ -339,10 +339,54 @@ object IoQueries {
       FROM events WHERE NOT (event_type = 'view' AND value >= 70.0) GROUP BY event_type
       ORDER BY state, event_type"""))
 
-  /** S9p: identity-partitioned Iceberg write + manifest-level partition
-    * pruning. One partition read via snapshotPruned (files of other
-    * partitions never reach the scan) against the full-table read; oracle
-    * recomputes both scopes from the source rows. */
+  /** S8u MERGE/UPSERT on Delta: append events, then one atomic upsert
+    * commit that (a) replaces every 'click' row's value (key match on
+    * event_id → DV-delete + re-add) and (b) inserts brand-new rows
+    * (negated ids, type 'new'). Post-upsert state plus the time-traveled
+    * pre-upsert version; oracle recomputes both from the source rows — a
+    * merge that drops, duplicates, or half-applies a key breaks the
+    * hash. */
+  val tdeltaUpsert = GQuery(
+    "t_delta_upsert",
+    (s, dir) => {
+      val table = tmp("graft_deltaup_q")
+      val ev = Tables(s, dir, "events").select(col("event_id"), col("value"), col("event_type"))
+      val v0 = graft.sources.DeltaWrite.append(s, ev, table)
+      val updates = ev.where(col("event_type") === "click")
+        .withColumn("value", col("value") + lit(1000.0))
+      val inserts = ev.where(col("event_type") === "view")
+        .select((-col("event_id")).as("event_id"), (col("value") / 2).as("value"),
+          lit("new").as("event_type"))
+      val v1 = graft.sources.DeltaWrite.upsert(
+        s, updates.unionByName(inserts), table, Seq("event_id"))
+      def agg(v: Long, label: Int) = graft.sources.DeltaRead.snapshot(s, table, v)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .withColumn("state", lit(label))
+      agg(v1, 1).unionByName(agg(v0, 0))
+        .select(col("state"), col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy(col("state"), col("event_type"))
+    },
+    Some("""SELECT 0 AS state, event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT 1, event_type, count(*), round(sum(value), 2) FROM (
+        SELECT event_id,
+               CASE WHEN event_type = 'click' THEN value + 1000 ELSE value END AS value,
+               event_type
+        FROM events
+        UNION ALL
+        SELECT -event_id, value / 2, 'new' FROM events WHERE event_type = 'view'
+      ) GROUP BY event_type
+      ORDER BY state, event_type"""))
+
+  /** S9p: partitioned Iceberg writes + manifest-level partition pruning —
+    * an identity-partitioned table (one partition read via snapshotPruned;
+    * files of other partitions never reach the scan) AND a hidden-
+    * partitioned table (`day(ts)` transform: the partition record carries
+    * the UTC day ordinal, pruned with a day-range predicate the oracle
+    * mirrors as a timestamp comparison). Oracle recomputes all scopes
+    * from the source rows. */
   val ticebergPart = GQuery(
     "t_iceberg_part",
     (s, dir) => {
@@ -356,12 +400,25 @@ object IoQueries {
       val full = graft.sources.IcebergRead.snapshot(s, table)
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
         .withColumn("scope", lit("full"))
-      pruned.unionByName(full)
+      // hidden partitioning: day(ts) — epoch-day 19733 == 2024-01-11 UTC;
+      // a file holds exactly one ts_day, so the manifest prune is exactly
+      // the row predicate ts < '2024-01-11'
+      val tableDay = tmp("graft_icebergd_q")
+      val evTs = Tables(s, dir, "events").select(col("event_id"), col("value"), col("ts"))
+      graft.sources.IcebergWrite.append(s, evTs, tableDay, partitionBy = Seq("day(ts)"))
+      val dayPruned = graft.sources.IcebergRead
+        .snapshotPruned(s, tableDay, pv => pv("ts_day").asInstanceOf[Int] < 19733)
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .withColumn("scope", lit("day_pruned"))
+      pruned.unionByName(full).unionByName(dayPruned)
         .select(col("scope"), col("cnt"), col("sum_value"))
         .orderBy(col("scope"))
     },
     Some("""SELECT 'click_pruned' AS scope, count(*) AS cnt, round(sum(value), 2) AS sum_value
       FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT 'day_pruned', count(*), round(sum(value), 2)
+      FROM events WHERE ts < TIMESTAMP '2024-01-11 00:00:00'
       UNION ALL
       SELECT 'full', count(*), round(sum(value), 2) FROM events
       ORDER BY scope"""))
@@ -390,5 +447,5 @@ object IoQueries {
 
   def all: Seq[GQuery] =
     Seq(t1, t1orc, t2, t3, tskip, tdelta, ticeberg, tdeltaRt, ticebergRt, ticebergMor,
-      tdeltaDv, ticebergPart, tdeltaChanges)
+      tdeltaDv, tdeltaUpsert, ticebergPart, tdeltaChanges)
 }

@@ -198,17 +198,31 @@ object DeltaWrite {
     * not O(data)). */
   def deleteWhere(spark: SparkSession, table: String,
       condition: org.apache.spark.sql.Column): Long = {
-    import spark.implicits._
     val snap0 = DeltaRead.snapshotInfo(spark, table)
-
     val matched = DeltaRead.snapshotWithLineage(spark, table)
-      .where(condition).select(col("_file"), col("_pos")).as[(String, Long)]
-    val newBlobs: Map[String, Array[Byte]] = matched.groupByKey(_._1)
+      .where(condition).select(col("_file"), col("_pos"))
+    dvDeletePlan(spark, table, snap0, matched) match {
+      case None => snap0.version
+      case Some((actions, dvAt0, affectedPaths)) =>
+        commitDvGuarded(spark, table, actions.mkString("", "\n", "\n"), dvAt0, affectedPaths)
+    }
+  }
+
+  /** Build the remove+add-with-DV action list marking `matched`
+    * (_file, _pos) rows deleted in `snap0` — the shared MoR-delete core of
+    * [[deleteWhere]] and [[upsert]]. Returns None when nothing matched;
+    * otherwise (actions, the affected files' pre-commit DV descriptors —
+    * the guard [[commitDvGuarded]] enforces — and their normalized paths). */
+  private def dvDeletePlan(spark: SparkSession, table: String,
+      snap0: DeltaRead.Snapshot, matched: DataFrame)
+      : Option[(Seq[String], Map[String, Option[DeletionVectors.Descriptor]], Seq[String])] = {
+    import spark.implicits._
+    val newBlobs: Map[String, Array[Byte]] = matched.as[(String, Long)].groupByKey(_._1)
       .mapGroups { (f, it) =>
         (f, DeletionVectors.toBlob(it.map(_._2).toArray.sorted))
       }
       .collect().toMap
-    if (newBlobs.isEmpty) return snap0.version
+    if (newBlobs.isEmpty) return None
 
     def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
     val affected = snap0.files.filter(f => newBlobs.contains(norm(f.path)))
@@ -255,19 +269,79 @@ object DeltaWrite {
           s""""deletionVector":{"storageType":"u","pathOrInlineDv":${jsonStr(d.pathOrInlineDv)},""" +
           s""""offset":$off,"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}}}""")
     }
-    val content = actions.mkString("", "\n", "\n")
+    val dvAt0: Map[String, Option[DeletionVectors.Descriptor]] =
+      affected.map(f => norm(f.path) -> f.dv).toMap
+    Some((actions, dvAt0, affected.map(f => norm(f.path))))
+  }
+
+  /** Optimistic-commit loop for DV-bearing commits: every affected file
+    * must still be live AND still carry the DV descriptor its union was
+    * computed against — a concurrent deleteWhere that re-added the file
+    * with a new DV would be silently undone (its deleted rows resurrected)
+    * if this commit's pre-race union overwrote it. */
+  private def commitDvGuarded(spark: SparkSession, table: String, content: String,
+      dvAt0: Map[String, Option[DeletionVectors.Descriptor]],
+      affectedPaths: Seq[String]): Long = {
+    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
     while (true) {
       val snap = DeltaRead.snapshotInfo(spark, table)
-      // every affected file must still be live, or this DV would resurrect
-      // a concurrently removed/rewritten file
-      val liveNow = snap.files.map(f => norm(f.path)).toSet
-      val gone = affected.map(f => norm(f.path)).filterNot(liveNow)
+      val liveNow = snap.files.map(f => norm(f.path) -> f.dv).toMap
+      val gone = affectedPaths.filterNot(liveNow.contains)
       require(gone.isEmpty,
-        s"concurrent commit removed ${gone.mkString(",")} while deleteWhere ran — " +
-          "rerun the delete against the new snapshot")
+        s"concurrent commit removed ${gone.mkString(",")} while the delete ran — " +
+          "rerun against the new snapshot")
+      val dvMoved = dvAt0.collect { case (p, d0) if liveNow(p) != d0 => p }
+      require(dvMoved.isEmpty,
+        s"concurrent deleteWhere updated the deletion vector of ${dvMoved.mkString(",")} " +
+          "while this delete ran — rerun against the new snapshot")
       if (tryCommitAt(table, snap.version + 1, content)) return snap.version + 1
     }
     -1L // unreachable
+  }
+
+  /** MERGE-style UPSERT: rows of the current snapshot whose `keyCols`
+    * match a row of `df` are DV-deleted and all of `df` is appended — the
+    * whole merge is ONE atomic commit (remove+add-with-DV for matched
+    * files plus the new adds), so readers see either the old or the new
+    * state of every key, never a mix. Unmatched incoming keys are plain
+    * inserts. Returns the committed version.
+    *
+    * Scale: the match is one distributed semi-join of the table scan
+    * against the (deduplicated, usually broadcast-sized) incoming key set;
+    * per-file DV bitmaps are built on the executors exactly as
+    * [[deleteWhere]]'s. Nothing O(table) reaches the driver. */
+  def upsert(spark: SparkSession, df: DataFrame, table: String,
+      keyCols: Seq[String]): Long = {
+    require(currentVersions(table).nonEmpty, s"upsert into non-existent table $table — use append")
+    require(keyCols.nonEmpty && keyCols.forall(df.columns.contains),
+      s"key columns ${keyCols.mkString(",")} not all present in ${df.columns.mkString(",")}")
+    val snap0 = DeltaRead.snapshotInfo(spark, table)
+    require(snap0.schema.fieldNames.sorted.sameElements(df.schema.fieldNames.sorted),
+      s"upsert schema ${df.schema.fieldNames.mkString(",")} does not match table " +
+        s"schema ${snap0.schema.fieldNames.mkString(",")}")
+
+    // matched = table rows whose key tuple appears in df (null-safe)
+    val lineage = DeltaRead.snapshotWithLineage(spark, table)
+    val keys = broadcast(df.select(keyCols.map(col): _*).distinct())
+    val cond = keyCols.map(c => lineage(c) <=> keys(c)).reduce(_ && _)
+    val matched = lineage.join(keys, cond, "left_semi")
+      .select(col("_file"), col("_pos"))
+    val plan = dvDeletePlan(spark, table, snap0, matched)
+
+    val staged = stageFiles(df, table, snap0.partitionColumns)
+    val adds = staged.map { case (rel, values) =>
+      addAction(pctEncodePath(rel), values, Files.size(Paths.get(table, rel)))
+    }
+    plan match {
+      case None => // pure insert: no DV guard needed, adds commute
+        val content = adds.mkString("", "\n", "\n")
+        var v = currentVersions(table).lastOption.map(_ + 1).getOrElse(0L)
+        while (!tryCommitAt(table, v, content)) v += 1
+        v
+      case Some((dvActions, dvAt0, affectedPaths)) =>
+        commitDvGuarded(spark, table, (dvActions ++ adds).mkString("", "\n", "\n"),
+          dvAt0, affectedPaths)
+    }
   }
 
   /** Write a checkpoint parquet consolidating the latest snapshot, plus the
@@ -303,7 +377,12 @@ object DeltaWrite {
       when($"kind" === "protocol", struct(
         lit(snap.minReaderVersion).as("minReaderVersion"),
         lit(if (snap.readerFeatures.nonEmpty) 7 else 2).as("minWriterVersion"),
-        readerFeats.as("readerFeatures"))).as("protocol"),
+        readerFeats.as("readerFeatures"),
+        // spec: writerFeatures is REQUIRED at minWriterVersion 7 — a
+        // checkpoint whose protocol omits it is malformed to stock readers
+        // (null when no features: the field must then be absent/NULL, as at
+        // writer version 2)
+        readerFeats.as("writerFeatures"))).as("protocol"),
       when($"kind" === "meta", struct(
         lit("graft-checkpoint").as("id"), $"ss".as("schemaString"),
         typedLit(snap.partitionColumns).as("partitionColumns"),

@@ -133,30 +133,75 @@ object IcebergRead {
       keep: Map[String, Any] => Boolean, snapshotId: Long = -1L): DataFrame =
     snapshotImpl(spark, table, snapshotId, lineage = false, prune = Some(keep))
 
-  /** Rows ADDED in snapshots (fromSnapshotId, toSnapshotId] — incremental
-    * consumption of an external Iceberg table. Data-manifest entries carry
-    * their adding snapshot id, so only the range's files are scanned;
-    * position deletes of the `to` snapshot still apply. Snapshots whose
-    * summary operation is not an append (delete, overwrite) make adds-only
-    * reading ambiguous and are refused unless `ignoreChanges = true`. */
+  /** Snapshot ids in COMMIT ORDER. Snapshot ids are random longs in
+    * general (only graft-written tables number them sequentially), so a
+    * range must be defined over the table's lineage, not id arithmetic:
+    * the metadata's `snapshot-log` when present (it records every commit
+    * in order), else the `parent-snapshot-id` chain walked back from the
+    * current snapshot, else strictly-increasing `timestamp-ms`. Tables
+    * where none of the three establishes a total order are refused. */
+  private def commitOrder(meta: com.fasterxml.jackson.databind.JsonNode): Seq[Long] = {
+    val snaps = meta.path("snapshots").elements().asScala.toSeq
+    val ids = snaps.map(_.path("snapshot-id").asLong(-1L))
+    val log = meta.path("snapshot-log").elements().asScala
+      .map(_.path("snapshot-id").asLong(-1L)).toSeq.distinct
+    // the log records commits in order, but expired snapshots may have
+    // been dropped from `snapshots` — keep only ids that still exist
+    val fromLog = log.filter(ids.toSet)
+    if (fromLog.toSet == ids.toSet) return fromLog
+    // parent-chain fallback: walk back from current
+    val byId = snaps.map(s => s.path("snapshot-id").asLong(-1L) -> s).toMap
+    val cur = meta.path("current-snapshot-id").asLong(-1L)
+    var chain = List.empty[Long]
+    var at = cur
+    while (at >= 0 && byId.contains(at) && !chain.contains(at)) {
+      chain = at :: chain
+      at = byId(at).path("parent-snapshot-id").asLong(-1L)
+    }
+    if (chain.toSet == ids.toSet) return chain
+    // timestamp fallback: unambiguous only when strictly increasing
+    val stamped = snaps.map(s => (s.path("snapshot-id").asLong(-1L),
+      s.path("timestamp-ms").asLong(-1L))).sortBy(_._2)
+    require(stamped.map(_._2).distinct.size == stamped.size && stamped.forall(_._2 > 0),
+      "cannot establish commit order: no complete snapshot-log, broken " +
+        "parent-snapshot-id chain, and non-unique timestamps — refusing an " +
+        "incremental read whose range would be arbitrary")
+    stamped.map(_._1)
+  }
+
+  /** Rows ADDED in the snapshots after `fromSnapshotId` up to and
+    * including `toSnapshotId` IN COMMIT ORDER (snapshot-log / parent-chain
+    * lineage — snapshot ids themselves are not ordered in general) —
+    * incremental consumption of an external Iceberg table.
+    * `fromSnapshotId = 0` means "from the beginning". Data-manifest
+    * entries carry their adding snapshot id, so only the range's files are
+    * scanned; position deletes of the `to` snapshot still apply. Snapshots
+    * whose summary operation is not an append (delete, overwrite) make
+    * adds-only reading ambiguous and are refused unless
+    * `ignoreChanges = true`. */
   def addsBetween(spark: SparkSession, table: String, fromSnapshotId: Long,
       toSnapshotId: Long = -1L, ignoreChanges: Boolean = false): DataFrame = {
     val meta = mapper.readTree(metadataFile(table))
+    val order = commitOrder(meta)
     val to =
       if (toSnapshotId >= 0) toSnapshotId else meta.path("current-snapshot-id").asLong(-1L)
-    meta.path("snapshots").elements().asScala
-      .filter { s =>
-        val id = s.path("snapshot-id").asLong(-1L)
-        id > fromSnapshotId && id <= to
-      }
-      .foreach { s =>
-        val op = s.path("summary").path("operation").asText("append")
-        require(op == "append" || ignoreChanges,
-          s"snapshot ${s.path("snapshot-id").asLong(-1L)} is a '$op' commit — adds-only " +
-            "reading is ambiguous; pass ignoreChanges=true to read the range's adds anyway")
-      }
-    snapshotImpl(spark, table, to, lineage = false,
-      addedIn = Some(id => id > fromSnapshotId && id <= to))
+    val toPos = order.indexOf(to)
+    require(toPos >= 0, s"snapshot $to not found (commit order: ${order.mkString(",")})")
+    val fromPos =
+      if (fromSnapshotId == 0L) -1 // before the first snapshot
+      else order.indexOf(fromSnapshotId)
+    require(fromPos >= 0 || fromSnapshotId == 0L,
+      s"snapshot $fromSnapshotId not found (commit order: ${order.mkString(",")})")
+    val range = order.slice(fromPos + 1, toPos + 1).toSet
+    val byId = meta.path("snapshots").elements().asScala
+      .map(s => s.path("snapshot-id").asLong(-1L) -> s).toMap
+    range.toSeq.sortBy(order.indexOf).foreach { id =>
+      val op = byId(id).path("summary").path("operation").asText("append")
+      require(op == "append" || ignoreChanges,
+        s"snapshot $id is a '$op' commit — adds-only " +
+          "reading is ambiguous; pass ignoreChanges=true to read the range's adds anyway")
+    }
+    snapshotImpl(spark, table, to, lineage = false, addedIn = Some(range.contains))
   }
 
   private def snapshotImpl(spark: SparkSession, table: String, snapshotId: Long,

@@ -215,12 +215,23 @@ object IcebergWrite {
       val (specs, defaultSpecId, lastPartitionId) = specsJson(prior)
       val priorSnaps = prior.toSeq.flatMap(_.path("snapshots").elements().asScala.map(_.toString))
       val now = System.currentTimeMillis()
+      // spec: the table UUID is minted ONCE at table creation and carried
+      // forward verbatim — engines validate UUID continuity on metadata
+      // refresh and reject a table whose UUID churns between versions
+      val tableUuid = prior.map(_.path("table-uuid").asText(""))
+        .filter(_.nonEmpty)
+        .getOrElse(java.util.UUID.randomUUID().toString)
+      val parentId = prior.map(_.path("current-snapshot-id").asLong(-1L)).filter(_ >= 0)
       val snapJson =
-        s"""{"snapshot-id":$snapshotId,"timestamp-ms":$now,"sequence-number":$snapshotId,
+        s"""{"snapshot-id":$snapshotId,${parentId.map(p => s""""parent-snapshot-id":$p,""").getOrElse("")}"timestamp-ms":$now,"sequence-number":$snapshotId,
            |"summary":{"operation":${jstr(operation)}},"manifest-list":${jstr(mlPath.toString)},"schema-id":0}"""
           .stripMargin.replaceAll("\n", "")
+      // snapshot-log records commit ORDER (the lineage incremental readers
+      // range over — snapshot ids need not be monotonic in general)
+      val priorLog = prior.toSeq.flatMap(_.path("snapshot-log").elements().asScala.map(_.toString))
+      val logEntry = s"""{"timestamp-ms":$now,"snapshot-id":$snapshotId}"""
       val metaJson =
-        s"""{"format-version":2,"table-uuid":"graft-${java.util.UUID.randomUUID()}",
+        s"""{"format-version":2,"table-uuid":${jstr(tableUuid)},
            |"location":${jstr(table)},"last-sequence-number":$snapshotId,
            |"last-updated-ms":$now,"last-column-id":$lastColumnId,
            |"current-schema-id":0,
@@ -230,6 +241,7 @@ object IcebergWrite {
            |"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
            |"properties":{},
            |"current-snapshot-id":$snapshotId,
+           |"snapshot-log":[${(priorLog :+ logEntry).mkString(",")}],
            |"snapshots":[${(priorSnaps :+ snapJson).mkString(",")}]}"""
           .stripMargin.replaceAll("\n", "")
 
@@ -276,61 +288,91 @@ object IcebergWrite {
       meta.path("last-partition-id").asInt(999))
   }
 
-  /** The default spec's identity-partition column names in prior order. */
-  private def priorPartitionColumns(
+  /** The default spec's partition fields re-rendered as `partitionBy`
+    * strings ("col", "day(col)", "bucket(16, col)", …) — source-ids
+    * resolved through the current schema, so the result can be fed back
+    * to [[append]] verbatim. */
+  private def priorPartitionBy(
       meta: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
+    val cur = meta.path("schemas").elements().asScala
+      .find(_.path("schema-id").asInt(-1) == meta.path("current-schema-id").asInt(0))
+      .getOrElse(sys.error("malformed metadata: current-schema-id not in schemas"))
+    val nameById = cur.path("fields").elements().asScala
+      .map(f => f.path("id").asInt(-1) -> f.path("name").asText()).toMap
     val specId = meta.path("default-spec-id").asInt(0)
     meta.path("partition-specs").elements().asScala
       .find(_.path("spec-id").asInt(-1) == specId).toSeq
-      .flatMap(_.path("fields").elements().asScala.map(_.path("name").asText()))
+      .flatMap(_.path("fields").elements().asScala.map { f =>
+        IcebergTransforms.unparse(f.path("transform").asText(),
+          nameById.getOrElse(f.path("source-id").asInt(-1),
+            sys.error(s"partition spec references unknown source-id ${f.path("source-id")}")))
+      })
   }
 
-  /** Append `df` as a new snapshot; creates the table if absent. With
-    * `partitionBy`, writes one data file per partition value per task
-    * (identity transform; data files keep all columns) and typed
-    * partition records in the manifest. Returns the snapshot id (== the
-    * committed metadata version). */
+  /** Append `df` as a new snapshot; creates the table if absent.
+    * `partitionBy` entries are PARTITION TRANSFORMS — bare column names
+    * (identity) or the hidden-partitioning forms `day(col)`,
+    * `bucket(n, col)`, `truncate(w, col)` ([[IcebergTransforms]]).
+    * Transform values are evaluated at write time, recorded as typed
+    * partition records in the manifest, and declared in the table's
+    * partition-spec JSON so any Iceberg engine prunes on them; data files
+    * keep ALL source columns (the spec's recommendation — no reader-side
+    * injection). Returns the snapshot id (== the committed metadata
+    * version). */
   def append(spark: SparkSession, df: DataFrame, table: String,
       partitionBy: Seq[String] = Nil): Long = {
     require(!df.schema.exists(f => f.dataType match {
       case _: StructType | _: ArrayType | _: MapType => true; case _ => false
     }), "nested column types are outside the Iceberg writer's subset")
-    require(partitionBy.forall(df.columns.contains),
-      s"partition columns ${partitionBy.mkString(",")} not all present in ${df.columns.mkString(",")}")
-    require(partitionBy.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
-      "partition column names must be Avro-safe ([A-Za-z_][A-Za-z0-9_]*)")
+    val transforms = partitionBy.map(IcebergTransforms.parse)
+    require(transforms.forall(t => df.columns.contains(t.source)),
+      s"partition source columns ${transforms.map(_.source).mkString(",")} " +
+        s"not all present in ${df.columns.mkString(",")}")
     val partTypes: Seq[(String, DataType)] =
-      partitionBy.map(c => c -> df.schema(c).dataType)
+      transforms.map(t => t.fieldName -> t.resultType(df.schema(t.source).dataType))
     partTypes.foreach { case (_, dt) => partitionAvroType(dt) } // type gate
 
-    // schema + partitioning pinning against an existing table
-    readPrior(table).foreach { meta =>
+    // schema + partitioning pinning against an existing table: by NAME and
+    // TYPE, not just the name set — a type change (or column permutation
+    // regenerating field ids positionally) would silently remap the
+    // name→id binding that committed equality-delete files resolve their
+    // equality_ids through, deleting the wrong columns' rows. Field ids of
+    // an existing table are always CARRIED (fieldsJson below), never
+    // regenerated from df column order.
+    val priorAtCheck = readPrior(table)
+    priorAtCheck.foreach { meta =>
       val cur = meta.path("schemas").elements().asScala
         .find(_.path("schema-id").asInt(-1) == meta.path("current-schema-id").asInt(0))
         .getOrElse(sys.error(s"malformed metadata in $table"))
-      val names = cur.path("fields").elements().asScala.map(_.path("name").asText()).toSeq
-      require(names.sorted == df.schema.fieldNames.toSeq.sorted,
-        s"append schema ${df.schema.fieldNames.mkString(",")} does not match table schema ${names.mkString(",")}")
-      val priorParts = priorPartitionColumns(meta)
-      require(priorParts == partitionBy,
-        s"append partitioning $partitionBy does not match table's $priorParts")
+      val priorTypes = cur.path("fields").elements().asScala
+        .map(f => f.path("name").asText() -> f.path("type").asText()).toSeq
+      val dfTypes = df.schema.fields.map(f => f.name -> icebergType(f.dataType)).toSeq
+      require(priorTypes.sortBy(_._1) == dfTypes.sortBy(_._1),
+        s"append schema ${dfTypes.map { case (n, t) => s"$n:$t" }.mkString(",")} does not " +
+          s"match table schema ${priorTypes.map { case (n, t) => s"$n:$t" }.mkString(",")} " +
+          "(names AND types must match; field ids are pinned to the table's)")
+      val priorParts = priorPartitionBy(meta)
+      val incoming = transforms.map(t => IcebergTransforms.unparse(t.transformString, t.source))
+      require(priorParts == incoming,
+        s"append partitioning $incoming does not match table's $priorParts")
     }
 
     // 1. stage data files (spark parquet write → move under data/).
-    //    Partitioned: DUPLICATE the partition columns into __p_* and
-    //    partitionBy those — hive dirs split files per value while the
-    //    REAL columns stay inside the files (Iceberg data files carry all
-    //    columns; no reader-side injection needed). Exact per-file record
-    //    counts AND typed per-file partition values in ONE job — a real
-    //    Iceberg reader trusts record_count and prunes on the partition
-    //    record, so wrong values would corrupt its scan.
+    //    Partitioned: EVALUATE each transform into a __p_* column and
+    //    partitionBy those — hive dirs split files per transform value
+    //    while the REAL columns stay inside the files (Iceberg data files
+    //    carry all columns; no reader-side injection needed). Exact
+    //    per-file record counts AND typed per-file partition values in ONE
+    //    job — a real Iceberg reader trusts record_count and prunes on the
+    //    partition record, so wrong values would corrupt its scan.
     import org.apache.spark.sql.functions.{col => fcol, count => fcount, first => ffirst, input_file_name, lit => flit}
     val stage = Files.createTempDirectory("graft_iceberg_write")
-    val dupCols = partitionBy.map(c => s"__p_$c")
+    val dupCols = transforms.map(t => s"__p_${t.fieldName}")
     val stagedDf =
-      if (partitionBy.isEmpty) df
+      if (transforms.isEmpty) df
       else df.select(df.columns.map(fcol).toSeq ++
-        partitionBy.map(c => fcol(c).as(s"__p_$c")): _*)
+        transforms.map(t => t.column(fcol(t.source), df.schema(t.source).dataType)
+          .as(s"__p_${t.fieldName}")): _*)
     stagedDf.write.mode("overwrite").partitionBy(dupCols: _*).parquet(stage.toString)
     Files.createDirectories(dataDir(table))
 
@@ -384,23 +426,26 @@ object IcebergWrite {
       s"""{"id":${i + 1},"name":${jstr(f.name)},"required":false,"type":${jstr(icebergType(f.dataType))}}"""
     }.mkString(",")
     val sourceId = df.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
-    val spec0Fields = partitionBy.zipWithIndex.map { case (c, i) =>
-      s"""{"name":"$c","transform":"identity","source-id":${sourceId(c)},"field-id":${1000 + i}}"""
+    val spec0Fields = transforms.zipWithIndex.map { case (t, i) =>
+      s"""{"name":"${t.fieldName}","transform":"${t.transformString}","source-id":${sourceId(t.source)},"field-id":${1000 + i}}"""
     }.mkString(",")
     val specs =
-      if (partitionBy.isEmpty) """{"spec-id":0,"fields":[]}"""
+      if (transforms.isEmpty) """{"spec-id":0,"fields":[]}"""
       else s"""{"spec-id":0,"fields":[$spec0Fields]},{"spec-id":1,"fields":[]}"""
     val schema = entrySchema(partTypes)
     commitSnapshot(table, "append",
-      fieldsJson = _ => (appendFields, df.schema.size),
-      specsJson = _ => (specs, 0, 999 + partitionBy.size),
+      // existing table: carry the schema (and its field ids) verbatim —
+      // the up-front pinning proved the incoming df matches it by
+      // name+type; only table CREATION mints field ids
+      fieldsJson = p => if (p.isDefined) carriedFields(p) else (appendFields, df.schema.size),
+      specsJson = p => if (p.isDefined) carriedSpecs(p) else (specs, 0, 999 + partitionBy.size),
       authorManifest = { snapshotId =>
         import org.apache.avro.generic.GenericData
         val dataFileSchema = schema.getField("data_file").schema()
         val partitionSchema = dataFileSchema.getField("partition").schema()
         val entries = dataFiles.map { case (p, nRows, values) =>
           val part = new GenericData.Record(partitionSchema)
-          partitionBy.zip(values).foreach { case (c, v) => part.put(c, v) }
+          partTypes.map(_._1).zip(values).foreach { case (c, v) => part.put(c, v) }
           val dfr = new GenericData.Record(dataFileSchema)
           dfr.put("content", 0)
           dfr.put("file_path", p.toString)
@@ -511,7 +556,7 @@ object IcebergWrite {
     val prior = readPrior(table)
     require(prior.isDefined, s"upsert into non-existent table $table — use append")
     deleteWhereEquals(spark, table, df.select(keyCols.map(fcol): _*))
-    append(spark, df, table, partitionBy = priorPartitionColumns(prior.get))
+    append(spark, df, table, partitionBy = priorPartitionBy(prior.get))
   }
 
   /** Merge-on-read DELETE: rows of the CURRENT snapshot matching

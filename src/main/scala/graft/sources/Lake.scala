@@ -88,4 +88,16 @@ object Lake {
       case Parquet => throw new IllegalArgumentException(
         s"plain parquet at $path cannot carry a merge-on-read delete")
     }
+
+  /** MERGE/UPSERT dispatch: key-matched rows replaced, new keys inserted —
+    * Delta as one DV-delete+append commit, Iceberg as equality-delete +
+    * append snapshots. Plain parquet has no transaction log — refused. */
+  def upsert(spark: SparkSession, df: DataFrame, path: String,
+      keyCols: Seq[String]): Long =
+    detect(spark, path) match {
+      case Delta => DeltaWrite.upsert(spark, df, path, keyCols)
+      case Iceberg => IcebergWrite.upsert(spark, df, path, keyCols)
+      case Parquet => throw new IllegalArgumentException(
+        s"plain parquet at $path cannot carry an upsert")
+    }
 }

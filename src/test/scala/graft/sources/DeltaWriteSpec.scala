@@ -79,6 +79,52 @@ class DeltaWriteSpec extends SparkSpec {
     assert(unchanged === DeltaRead.snapshotInfo(spark, table).version)
   }
 
+  test("upsert replaces matched keys and inserts new ones in ONE commit; re-upsert and time travel work") {
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("graft_dw_up").toString
+    DeltaWrite.append(spark,
+      (1L to 6L).map(i => (i, s"n$i", if (i <= 3) "x" else "y")).toDF("id", "name", "grp"),
+      table, partitionBy = Seq("grp"))
+    val v0 = DeltaRead.snapshotInfo(spark, table).version
+
+    // update ids 2,4 + insert id 7 — one commit, one new version
+    val v1 = DeltaWrite.upsert(spark,
+      Seq((2L, "u2", "x"), (4L, "u4", "y"), (7L, "i7", "x")).toDF("id", "name", "grp"),
+      table, Seq("id"))
+    assert(v1 === v0 + 1)
+    assert(rows(DeltaRead.snapshot(spark, table)) ===
+      Set((1L, "n1", "x"), (2L, "u2", "x"), (3L, "n3", "x"),
+        (4L, "u4", "y"), (5L, "n5", "y"), (6L, "n6", "y"), (7L, "i7", "x")))
+    // time travel: the pre-upsert version is intact
+    assert(rows(DeltaRead.snapshot(spark, table, v0)) ===
+      (1L to 6L).map(i => (i, s"n$i", if (i <= 3) "x" else "y")).toSet)
+
+    // re-upsert the same key (its row now lives in an upsert-added file)
+    // + a pure insert; DVs union correctly across upserts
+    val v2 = DeltaWrite.upsert(spark,
+      Seq((2L, "uu2", "x"), (8L, "i8", "y")).toDF("id", "name", "grp"), table, Seq("id"))
+    assert(v2 === v1 + 1)
+    val after = rows(DeltaRead.snapshot(spark, table))
+    assert(after.count(_._1 == 2L) === 1 && after.contains((2L, "uu2", "x")))
+    assert(after.map(_._1) === Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L))
+
+    // pure-insert upsert (no key matches) also lands as one commit
+    val v3 = DeltaWrite.upsert(spark,
+      Seq((9L, "i9", "x")).toDF("id", "name", "grp"), table, Seq("id"))
+    assert(v3 === v2 + 1)
+    assert(rows(DeltaRead.snapshot(spark, table)).map(_._1).contains(9L))
+
+    // upsert into a DV-deleted key: the delete stays deleted, the new row wins
+    DeltaWrite.deleteWhere(spark, table, col("id") === 1L)
+    DeltaWrite.upsert(spark, Seq((1L, "back", "x")).toDF("id", "name", "grp"), table, Seq("id"))
+    val fin = rows(DeltaRead.snapshot(spark, table))
+    assert(fin.count(_._1 == 1L) === 1 && fin.contains((1L, "back", "x")))
+
+    // schema mismatch refused
+    intercept[IllegalArgumentException](
+      DeltaWrite.upsert(spark, Seq((1L, "z")).toDF("id", "name"), table, Seq("id")))
+  }
+
   test("addsBetween reads only the range's new files; non-append commits refused") {
     import org.apache.spark.sql.functions.col
     val table = Files.createTempDirectory("graft_dw_inc").toString

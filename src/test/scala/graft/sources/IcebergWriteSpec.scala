@@ -100,6 +100,127 @@ class IcebergWriteSpec extends SparkSpec {
       Set(2L, 3L, 4L))
   }
 
+  test("bucket hash matches the Iceberg spec's published test vectors") {
+    // spec Appendix B: ints widen to longs before hashing, so
+    // bucket(34:int) == bucket(34:long); strings hash their UTF-8 bytes
+    assert(IcebergTransforms.hashLong(34L) === 2017239379)
+    assert(IcebergTransforms.hashString("iceberg") === 1210000089)
+    assert(IcebergTransforms.hashLong(17486L) === -653330422) // date 2017-11-16
+    assert(IcebergTransforms.bucketValue(IcebergTransforms.hashLong(34L), 16) ===
+      (2017239379 & Int.MaxValue) % 16)
+  }
+
+  test("transform parse/unparse round-trips and rejects garbage") {
+    import IcebergTransforms._
+    assert(parse("grp") === Identity("grp"))
+    assert(parse("identity(grp)") === Identity("grp"))
+    assert(parse("day(ts)") === Day("ts"))
+    assert(parse("days(ts)") === Day("ts"))
+    assert(parse("bucket(16, id)") === Bucket(16, "id"))
+    assert(parse("truncate(4, name)") === Truncate(4, "name"))
+    for (s <- Seq("grp", "day(ts)", "bucket(16, id)", "truncate(4, name)")) {
+      val t = parse(s)
+      assert(parse(unparse(t.transformString, t.source)) === t)
+    }
+    intercept[IllegalArgumentException](parse("month(ts)"))
+    intercept[IllegalArgumentException](parse("bucket(0, id)"))
+  }
+
+  test("transform-partitioned append: spec JSON, typed records, pruning never scans rejected buckets") {
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    val table = Files.createTempDirectory("graft_iw_tr").toString
+    val df = (1L to 20L).map(i => (i, s"name$i",
+      java.sql.Timestamp.valueOf(s"2024-01-${(i % 3 + 1).toInt.formatted("%02d")} 10:00:00")))
+      .toDF("id", "name", "ts")
+    IcebergWrite.append(spark, df, table,
+      partitionBy = Seq("bucket(4, id)", "day(ts)", "truncate(3, name)"))
+
+    // the spec JSON declares the hidden-partitioning transforms with the
+    // standard field names — what an external engine prunes by
+    val meta = new String(Files.readAllBytes(Paths.get(table, "metadata", "v1.metadata.json")))
+    assert(meta.contains(""""name":"id_bucket","transform":"bucket[4]""""))
+    assert(meta.contains(""""name":"ts_day","transform":"day""""))
+    assert(meta.contains(""""name":"name_trunc","transform":"truncate[3]""""))
+
+    // full read returns everything; data files keep all source columns
+    val back = IcebergRead.snapshot(spark, table)
+    assert(back.columns.toSet === Set("id", "name", "ts"))
+    assert(back.select("id").as[Long].collect().toSet === (1L to 20L).toSet)
+
+    // partition records carry the TRANSFORM values, correctly typed
+    val manifest = new java.io.File(s"$table/metadata").listFiles()
+      .find(_.getName.startsWith("m-")).get
+    val reader = new org.apache.avro.file.DataFileReader(
+      manifest,
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    val parts = try reader.iterator().asScala.toList.map(_.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord])
+    finally reader.close()
+    val expectedBuckets = (1L to 20L)
+      .map(i => IcebergTransforms.bucketValue(IcebergTransforms.hashLong(i), 4)).toSet
+    assert(parts.map(_.get("id_bucket").asInstanceOf[Int]).toSet === expectedBuckets)
+    // 2024-01-01 = epoch day 19723
+    assert(parts.map(_.get("ts_day").asInstanceOf[Int]).toSet === Set(19723, 19724, 19725))
+    assert(parts.map(_.get("name_trunc").toString).forall(_ == "nam"))
+
+    // bucket pruning: keep only id 7's bucket, then DELETE every other
+    // bucket's files from disk — the pruned read must not notice
+    val b7 = IcebergTransforms.bucketValue(IcebergTransforms.hashLong(7L), 4)
+    def prunedIds() = IcebergRead.snapshotPruned(spark, table,
+      pv => pv("id_bucket") == b7).select("id").as[Long].collect().toSet
+    val expect7 = (1L to 20L).filter(i =>
+      IcebergTransforms.bucketValue(IcebergTransforms.hashLong(i), 4) == b7).toSet
+    assert(prunedIds() === expect7)
+    val keepPaths = parts.filter(_.get("id_bucket").asInstanceOf[Int] == b7)
+    new java.io.File(s"$table/data").listFiles().filter(_.getName.endsWith(".parquet"))
+      .filter { f =>
+        val ids = spark.read.parquet(f.toString).select("id").as[Long].collect().toSet
+        ids.forall(i => IcebergTransforms.bucketValue(IcebergTransforms.hashLong(i), 4) != b7)
+      }.foreach(f => assert(f.delete()))
+    assert(prunedIds() === expect7)
+    intercept[Exception](IcebergRead.snapshot(spark, table).count())
+  }
+
+  test("transform partitioning is pinned across appends and survives upsert") {
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("graft_iw_trp").toString
+    val df = (1L to 8L).map(i => (i, s"v1")).toDF("id", "name")
+    IcebergWrite.append(spark, df, table, partitionBy = Seq("bucket(4, id)"))
+    // same transform spelled the same → accepted
+    IcebergWrite.append(spark, Seq((9L, "v1")).toDF("id", "name"), table,
+      partitionBy = Seq("bucket(4, id)"))
+    // different transform (or identity) → refused
+    intercept[IllegalArgumentException](
+      IcebergWrite.append(spark, Seq((10L, "v1")).toDF("id", "name"), table,
+        partitionBy = Seq("bucket(8, id)")))
+    intercept[IllegalArgumentException](
+      IcebergWrite.append(spark, Seq((10L, "v1")).toDF("id", "name"), table))
+    // upsert re-derives the transform partitioning from the metadata
+    IcebergWrite.upsert(spark, Seq((3L, "v2"), (10L, "v2")).toDF("id", "name"), table, Seq("id"))
+    val got = IcebergRead.snapshot(spark, table).select("id", "name")
+      .as[(Long, String)].collect().toSet
+    assert(got === ((1L to 9L).filter(_ != 3L).map(i => (i, "v1")).toSet + ((3L, "v2")) + ((10L, "v2"))))
+  }
+
+  test("table-uuid is minted once and carried forward verbatim") {
+    val table = Files.createTempDirectory("graft_iw_uuid").toString
+    IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "name"), table)
+    def uuidOf(v: Int) = {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(Paths.get(table, "metadata", s"v$v.metadata.json").toFile)
+      m.path("table-uuid").asText()
+    }
+    val u1 = uuidOf(1)
+    // RFC-4122 shape, not "graft-..."
+    assert(u1.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
+    IcebergWrite.append(spark, Seq((2L, "b")).toDF("id", "name"), table)
+    org.apache.spark.sql.functions.lit(1) // keep import used
+    IcebergWrite.deleteWhere(spark, table, org.apache.spark.sql.functions.col("id") === 1L)
+    assert(uuidOf(2) === u1 && uuidOf(3) === u1)
+  }
+
   test("addsBetween reads only the range's snapshots; delete commits refused") {
     import org.apache.spark.sql.functions.col
     val table = Files.createTempDirectory("graft_iw_inc").toString
