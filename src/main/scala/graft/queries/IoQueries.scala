@@ -445,7 +445,98 @@ object IoQueries {
       FROM events WHERE event_type <> 'click' GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** S8e SCHEMA EVOLUTION on Delta: append clicks with the base schema,
+    * then append views carrying a NEW `bonus` column (mergeSchema → the
+    * commit swaps the metaData to the merged schema; no old file is
+    * rewritten). Read back (a) the evolved snapshot — old rows' bonus is
+    * NULL, (b) the incremental adds ACROSS the evolution boundary, and
+    * (c) the time-traveled pre-evolution version, which must still show
+    * the OLD schema. Oracle recomputes all three scopes from events. */
+  val tdeltaEvolve = GQuery(
+    "t_delta_evolution",
+    (s, dir) => {
+      val table = tmp("graft_deltaev_q")
+      val ev = Tables(s, dir, "events").select(col("event_id"), col("value"), col("event_type"))
+      val v0 = graft.sources.DeltaWrite.append(s, ev.where(col("event_type") === "click"), table)
+      graft.sources.DeltaWrite.append(s,
+        ev.where(col("event_type") === "view")
+          .withColumn("bonus", round(col("value") * 2, 2)),
+        table, mergeSchema = true)
+      val full = graft.sources.DeltaRead.snapshot(s, table)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"),
+          round(sum(coalesce(col("bonus"), lit(0.0))), 2).as("sum_bonus"))
+        .withColumn("scope", lit("full"))
+      val incr = graft.sources.DeltaRead.addsBetween(s, table, v0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"),
+          round(sum(coalesce(col("bonus"), lit(0.0))), 2).as("sum_bonus"))
+        .withColumn("scope", lit("incr"))
+      val preEvolution = graft.sources.DeltaRead.snapshot(s, table, v0)
+      require(!preEvolution.columns.contains("bonus"),
+        "time travel to the pre-evolution version must show the old schema")
+      val old = preEvolution
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"),
+          lit(-1.0).as("sum_bonus"))
+        .withColumn("scope", lit("pre"))
+      full.unionByName(incr).unionByName(old)
+        .select(col("scope"), col("event_type"), col("cnt"), col("sum_value"), col("sum_bonus"))
+        .orderBy(col("scope"), col("event_type"))
+    },
+    Some("""SELECT 'full' AS scope, event_type, count(*) AS cnt,
+        round(sum(value), 2) AS sum_value,
+        round(sum(CASE WHEN event_type = 'view' THEN round(value * 2, 2) ELSE 0 END), 2) AS sum_bonus
+      FROM events WHERE event_type IN ('click', 'view') GROUP BY event_type
+      UNION ALL
+      SELECT 'incr', event_type, count(*), round(sum(value), 2), round(sum(round(value * 2, 2)), 2)
+      FROM events WHERE event_type = 'view' GROUP BY event_type
+      UNION ALL
+      SELECT 'pre', event_type, count(*), round(sum(value), 2), -1.0
+      FROM events WHERE event_type = 'click' GROUP BY event_type
+      ORDER BY scope, event_type"""))
+
+  /** S9e SCHEMA EVOLUTION on Iceberg: same three scopes as
+    * t_delta_evolution, through the schema-id chain — the evolving append
+    * mints fresh field ids for the new column under a new schema-id, old
+    * snapshots keep citing theirs (time travel shows the old schema), and
+    * the incremental read across the boundary resolves old files against
+    * the new schema with nulls. */
+  val ticebergEvolve = GQuery(
+    "t_iceberg_evolution",
+    (s, dir) => {
+      val table = tmp("graft_iceev_q")
+      val ev = Tables(s, dir, "events").select(col("event_id"), col("value"), col("event_type"))
+      val s0 = graft.sources.IcebergWrite.append(s, ev.where(col("event_type") === "click"), table)
+      graft.sources.IcebergWrite.append(s,
+        ev.where(col("event_type") === "view")
+          .withColumn("bonus", round(col("value") * 2, 2)),
+        table, mergeSchema = true)
+      val full = graft.sources.IcebergRead.snapshot(s, table)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"),
+          round(sum(coalesce(col("bonus"), lit(0.0))), 2).as("sum_bonus"))
+        .withColumn("scope", lit("full"))
+      val incr = graft.sources.IcebergRead.addsBetween(s, table, s0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"),
+          round(sum(coalesce(col("bonus"), lit(0.0))), 2).as("sum_bonus"))
+        .withColumn("scope", lit("incr"))
+      val preEvolution = graft.sources.IcebergRead.snapshot(s, table, s0)
+      require(!preEvolution.columns.contains("bonus"),
+        "time travel to the pre-evolution snapshot must show the old schema")
+      val old = preEvolution
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"),
+          lit(-1.0).as("sum_bonus"))
+        .withColumn("scope", lit("pre"))
+      full.unionByName(incr).unionByName(old)
+        .select(col("scope"), col("event_type"), col("cnt"), col("sum_value"), col("sum_bonus"))
+        .orderBy(col("scope"), col("event_type"))
+    },
+    tdeltaEvolve.oracle)
+
   def all: Seq[GQuery] =
     Seq(t1, t1orc, t2, t3, tskip, tdelta, ticeberg, tdeltaRt, ticebergRt, ticebergMor,
-      tdeltaDv, tdeltaUpsert, ticebergPart, tdeltaChanges)
+      tdeltaDv, tdeltaUpsert, ticebergPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve)
 }

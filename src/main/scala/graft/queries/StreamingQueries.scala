@@ -135,5 +135,27 @@ object StreamingQueries {
     Some("""SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  def all: Seq[GQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12)
+  /** ST13: streaming file source → exactly-once Iceberg sink (snapshot-
+    * summary high-water ledger) → spec-path read back. Three landing files
+    * → three micro-batches → three Iceberg snapshots; final table equals
+    * the batch aggregate — the st11 shape on the other open format. */
+  val st13 = GQuery(
+    "st13_iceberg_sink",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val landing = java.nio.file.Files.createTempDirectory("graft_st13_landing").toString
+      graft.Tables(s, dir, "events")
+        .select(col("event_id"), col("value"), col("event_type"))
+        .repartition(3).write.mode("overwrite").parquet(landing)
+      val schema = s.read.parquet(landing).schema
+      val table = java.nio.file.Files.createTempDirectory("graft_st13_ice").toString + "/tbl"
+      StreamOps.icebergSink(s, landing, schema, table, appId = "st13")
+      graft.sources.IcebergRead.snapshot(s, table)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    st11.oracle)
+
+  def all: Seq[GQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13)
 }

@@ -43,7 +43,9 @@ object DeltaRead {
       files: Seq[LiveFile],
       columnMappingMode: String = "none",
       minReaderVersion: Int = 1,
-      readerFeatures: Set[String] = Set.empty) {
+      readerFeatures: Set[String] = Set.empty,
+      metaId: String = "",
+      configuration: Map[String, String] = Map.empty) {
     /** Physical (in-file / in-log) name of a logical schema column — the
       * identity unless `delta.columnMapping.mode = name` renamed it. */
     def physicalName(logical: String): String =
@@ -142,11 +144,13 @@ object DeltaRead {
     var minReader = 1
     var readerFeatures = Set.empty[String]
     var configuration: Map[String, String] = Map.empty
+    var metaId: String = ""
 
-    def applyMeta(schemaStr: String, parts: Seq[String], provider: String,
+    def applyMeta(id: String, schemaStr: String, parts: Seq[String], provider: String,
         conf: Map[String, String]): Unit = {
       if (provider != null)
         require(provider == "parquet", s"unsupported Delta data format: $provider")
+      if (id != null && id.nonEmpty) metaId = id
       if (schemaStr != null) { schemaString = schemaStr; partitionCols = parts; configuration = conf }
     }
 
@@ -176,11 +180,13 @@ object DeltaRead {
         val conf =
           if (mFields.contains("configuration")) col("metaData.configuration")
           else lit(null).cast("map<string,string>")
+        val mid =
+          if (mFields.contains("id")) col("metaData.id") else lit(null).cast("string")
         cp.where(col("metaData").isNotNull)
           .select(col("metaData.schemaString"), col("metaData.partitionColumns"),
-            col("metaData.format.provider"), conf)
+            col("metaData.format.provider"), conf, mid)
           .collect().foreach { r =>
-            applyMeta(r.getString(0),
+            applyMeta(if (r.isNullAt(4)) null else r.getString(4), r.getString(0),
               Option(r.getSeq[String](1)).map(_.toSeq).getOrElse(Seq.empty), r.getString(2),
               Option(r.getMap[String, String](3)).map(_.toMap).getOrElse(Map.empty))
           }
@@ -217,13 +223,15 @@ object DeltaRead {
           coalesce(col("add.modificationTime"), lit(0L)).as("mt"),
           col("metaData.configuration").as("conf"),
           col("protocol.readerFeatures").as("rfeat"),
-          col("add.deletionVector").as("dv"))
+          col("add.deletionVector").as("dv"),
+          col("metaData.id").as("mid"))
         .collect()
       commit.foreach { r =>
         if (!r.isNullAt(6)) minReader = math.max(minReader, r.getInt(6))
         if (!r.isNullAt(10)) readerFeatures ++= r.getSeq[String](10)
         if (!r.isNullAt(3) || !r.isNullAt(5))
-          applyMeta(if (r.isNullAt(3)) null else r.getString(3),
+          applyMeta(if (r.isNullAt(12)) null else r.getString(12),
+            if (r.isNullAt(3)) null else r.getString(3),
             if (r.isNullAt(4)) Seq.empty else r.getSeq[String](4).toSeq,
             if (r.isNullAt(5)) null else r.getString(5),
             if (r.isNullAt(9)) Map.empty else r.getMap[String, String](9).toMap)
@@ -261,7 +269,8 @@ object DeltaRead {
 
     require(schemaString != null, s"no metaData action found in log of $table")
     Snapshot(target, DataType.fromJson(schemaString).asInstanceOf[StructType],
-      partitionCols, live.values.toSeq, mode, minReader, readerFeatures)
+      partitionCols, live.values.toSeq, mode, minReader, readerFeatures,
+      metaId, configuration)
   }
 
   /** Latest recorded `txn` version per appId at the head of the log —

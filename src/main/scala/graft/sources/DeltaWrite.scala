@@ -72,14 +72,25 @@ object DeltaWrite {
 
   private def protocolAction = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
 
-  private def metaAction(df: DataFrame, partitionBy: Seq[String]): String = {
-    val schemaJson = df.schema.json // Delta schemaString IS Spark's StructType json
+  /** metaData action. The `id` is the table's STABLE identifier (spec:
+    * minted once at creation, carried forward verbatim on every later
+    * metaData swap — schema evolution, overwrite); `configuration` must
+    * likewise be carried or a swap would silently drop e.g. the
+    * column-mapping mode. */
+  private def metaAction(schema: org.apache.spark.sql.types.StructType,
+      partitionBy: Seq[String], id: String,
+      configuration: Map[String, String] = Map.empty): String = {
+    val schemaJson = schema.json // Delta schemaString IS Spark's StructType json
     val parts = partitionBy.map(c => jsonStr(c)).mkString("[", ",", "]")
-    s"""{"metaData":{"id":"graft-${java.util.UUID.randomUUID()}","format":""" +
+    val conf = configuration.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+      .mkString("{", ",", "}")
+    s"""{"metaData":{"id":${jsonStr(id)},"format":""" +
       s"""{"provider":"parquet","options":{}},"schemaString":${jsonStr(schemaJson)},""" +
-      s""""partitionColumns":$parts,"configuration":{},""" +
+      s""""partitionColumns":$parts,"configuration":$conf,""" +
       s""""createdTime":${System.currentTimeMillis()}}}"""
   }
+
+  private def newTableId(): String = s"graft-${java.util.UUID.randomUUID()}"
 
   /** Stage df's rows as parquet files in the table's standard partition
     * layout; returns (relativePath, partitionValues) per written file. */
@@ -133,23 +144,58 @@ object DeltaWrite {
     * `txn` is Delta's idempotent-writer action `{"txn": {appId, version}}`:
     * a streaming sink records its (appId, batchId) with each commit and
     * skips batches at/below the recorded high-water mark on replay —
-    * exactly-once appends over an at-least-once foreachBatch. */
+    * exactly-once appends over an at-least-once foreachBatch.
+    *
+    * `mergeSchema = true` enables SCHEMA EVOLUTION: `df` may carry NEW
+    * columns (appended after the table's, in `df` order); the commit then
+    * swaps the metaData action to the merged schema (stable table id and
+    * configuration carried forward — the spec's evolution mechanism).
+    * Existing columns must still match by name and type, and old data
+    * files are never rewritten — the reader resolves them against the new
+    * schema and fills the added columns with null. Tables under column
+    * mapping are refused for evolution (new fields would need physical
+    * names assigned). */
   def append(spark: SparkSession, df: DataFrame, table: String,
-      partitionBy: Seq[String] = Nil, txn: Option[(String, Long)] = None): Long = {
+      partitionBy: Seq[String] = Nil, txn: Option[(String, Long)] = None,
+      mergeSchema: Boolean = false): Long = {
     val exists = currentVersions(table).nonEmpty
+    var evolvedMeta: Option[String] = None
     if (exists) {
       val snap = DeltaRead.snapshotInfo(spark, table)
-      require(snap.schema.fieldNames.sorted.sameElements(df.schema.fieldNames.sorted),
-        s"append schema ${df.schema.fieldNames.mkString(",")} does not match table " +
-          s"schema ${snap.schema.fieldNames.mkString(",")}")
       require(snap.partitionColumns == partitionBy,
         s"append partitioning $partitionBy does not match table's ${snap.partitionColumns}")
+      val tableCols = snap.schema.fieldNames.toSet
+      val newCols = df.schema.filterNot(f => tableCols.contains(f.name))
+      if (!mergeSchema || newCols.isEmpty) {
+        require(snap.schema.fieldNames.sorted.sameElements(df.schema.fieldNames.sorted),
+          s"append schema ${df.schema.fieldNames.mkString(",")} does not match table " +
+            s"schema ${snap.schema.fieldNames.mkString(",")}" +
+            (if (newCols.nonEmpty) " (pass mergeSchema=true to evolve)" else ""))
+      } else {
+        require(snap.columnMappingMode == "none",
+          "schema evolution under column mapping is not supported (new fields " +
+            "would need physical-name assignment)")
+        snap.schema.fields.foreach { f =>
+          val in = df.schema.fields.find(_.name == f.name).getOrElse(
+            sys.error(s"evolving append must carry every existing column; missing '${f.name}'"))
+          require(in.dataType == f.dataType,
+            s"column '${f.name}' type ${in.dataType} does not match table's ${f.dataType} " +
+              "(type changes are not evolution — they would misread old files)")
+        }
+        val merged = org.apache.spark.sql.types.StructType(
+          snap.schema.fields.toSeq ++ newCols.map(f => f.copy(metadata =
+            org.apache.spark.sql.types.Metadata.empty)))
+        evolvedMeta = Some(metaAction(merged, partitionBy,
+          if (snap.metaId.nonEmpty) snap.metaId else newTableId(), snap.configuration))
+      }
     }
     val staged = stageFiles(df, table, partitionBy)
     val adds = staged.map { case (rel, values) =>
       addAction(pctEncodePath(rel), values, Files.size(Paths.get(table, rel)))
     }
-    val header = if (exists) Seq.empty else Seq(protocolAction, metaAction(df, partitionBy))
+    val header =
+      if (exists) evolvedMeta.toSeq
+      else Seq(protocolAction, metaAction(df.schema, partitionBy, newTableId()))
     val txnAction = txn.toSeq.map { case (appId, v) =>
       s"""{"txn":{"appId":${jsonStr(appId)},"version":$v,"lastUpdated":${System.currentTimeMillis()}}}"""
     }
@@ -175,7 +221,12 @@ object DeltaWrite {
         val rel = pctEncodePath(f.path.stripPrefix(s"${table.stripSuffix("/")}/"))
         s"""{"remove":{"path":${jsonStr(rel)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}"""
       }
-      val content = (Seq(metaAction(df, partitionBy)) ++ removes ++ adds).mkString("", "\n", "\n")
+      // metaData swap keeps the STABLE table id + configuration (the spec's
+      // continuity rule); only the schema/partitioning may change, and the
+      // schema change is safe because every old file is removed here
+      val content = (Seq(metaAction(df.schema, partitionBy,
+        if (snap.metaId.nonEmpty) snap.metaId else newTableId(),
+        snap.configuration)) ++ removes ++ adds).mkString("", "\n", "\n")
       if (tryCommitAt(table, snap.version + 1, content)) return snap.version + 1
     }
     -1L // unreachable
@@ -384,7 +435,8 @@ object DeltaWrite {
         // writer version 2)
         readerFeats.as("writerFeatures"))).as("protocol"),
       when($"kind" === "meta", struct(
-        lit("graft-checkpoint").as("id"), $"ss".as("schemaString"),
+        lit(if (snap.metaId.nonEmpty) snap.metaId else "graft-checkpoint").as("id"),
+        $"ss".as("schemaString"),
         typedLit(snap.partitionColumns).as("partitionColumns"),
         struct(lit("parquet").as("provider")).as("format"),
         // configuration must survive or a replay-from-checkpoint loses

@@ -121,6 +121,28 @@ object IcebergRead {
   def snapshotAt(spark: SparkSession, table: String, timestampMs: Long): DataFrame =
     snapshot(spark, table, snapshotIdAt(spark, table, timestampMs))
 
+  /** Streaming-sink high-water marks from the snapshot-summary ledger:
+    * for each appId recorded via `graft.app-id`, the max `graft.batch-id`
+    * across all snapshots — the Iceberg twin of Delta's `txn` actions
+    * (the same convention real streaming writers use, e.g. Flink's
+    * max-committed-checkpoint-id summary property). O(snapshots) driver
+    * metadata read. */
+  def txnVersions(spark: SparkSession, table: String): Map[String, Long] = {
+    val dir = new java.io.File(s"${table.stripSuffix("/")}/metadata")
+    if (!dir.isDirectory) return Map.empty
+    val meta = mapper.readTree(metadataFile(table))
+    val marks = scala.collection.mutable.HashMap[String, Long]()
+    meta.path("snapshots").elements().asScala.foreach { s =>
+      val sum = s.path("summary")
+      val app = sum.path("graft.app-id").asText("")
+      if (app.nonEmpty && sum.has("graft.batch-id")) {
+        val b = sum.path("graft.batch-id").asText().toLong
+        marks(app) = math.max(marks.getOrElse(app, Long.MinValue), b)
+      }
+    }
+    marks.toMap
+  }
+
   /** [[snapshot]] with PARTITION PRUNING at the manifest level: `keep`
     * sees each data file's partition record as (field name → value;
     * strings decoded, dates as epoch-day ints) and files it rejects never
@@ -211,12 +233,27 @@ object IcebergRead {
     val formatVersion = meta.path("format-version").asInt(1)
     require(formatVersion <= 2, s"unsupported Iceberg format-version $formatVersion")
 
-    // schema: v2 `schemas` + current-schema-id; v1 inline `schema`
+    val allSnapshots = meta.path("snapshots").elements().asScala.toSeq
+    require(allSnapshots.nonEmpty, s"Iceberg table has no snapshots: $table")
+    val resolvedId =
+      if (snapshotId >= 0) snapshotId else meta.path("current-snapshot-id").asLong(-1L)
+    val targetSnap = allSnapshots.find(_.path("snapshot-id").asLong(-2L) == resolvedId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $resolvedId not found (have ${allSnapshots.map(_.path("snapshot-id").asLong(0)).mkString(",")})"))
+
+    // schema: v2 `schemas` + current-schema-id; v1 inline `schema`. A
+    // time-traveled snapshot that records its own schema-id resolves
+    // against THAT schema (the spec embeds the id per snapshot so
+    // evolution doesn't rewrite history); snapshots without one — or ids
+    // the chain no longer carries — fall back to the current schema.
     val schemaNode =
       if (meta.has("schemas")) {
         val cur = meta.path("current-schema-id").asInt(0)
-        meta.path("schemas").elements().asScala
-          .find(_.path("schema-id").asInt(-1) == cur)
+        val want =
+          if (targetSnap.has("schema-id")) targetSnap.path("schema-id").asInt(cur) else cur
+        val schemas = meta.path("schemas").elements().asScala.toSeq
+        schemas.find(_.path("schema-id").asInt(-1) == want)
+          .orElse(schemas.find(_.path("schema-id").asInt(-1) == cur))
           .getOrElse(throw new IllegalArgumentException(s"current-schema-id $cur not in schemas"))
       } else meta.path("schema")
     // carry the Iceberg field ids: when the data files were written by a
@@ -231,13 +268,7 @@ object IcebergRead {
         nullable = !f.path("required").asBoolean(false), metadata = md)
     }.toSeq)
 
-    val snapshots = meta.path("snapshots").elements().asScala.toSeq
-    require(snapshots.nonEmpty, s"Iceberg table has no snapshots: $table")
-    val targetId =
-      if (snapshotId >= 0) snapshotId else meta.path("current-snapshot-id").asLong(-1L)
-    val snap = snapshots.find(_.path("snapshot-id").asLong(-2L) == targetId)
-      .getOrElse(throw new IllegalArgumentException(
-        s"snapshot $targetId not found (have ${snapshots.map(_.path("snapshot-id").asLong(0)).mkString(",")})"))
+    val snap = targetSnap
 
     // manifest list (standard) or inline v1 `manifests` fallback; v2 splits
     // manifests into data (content 0) and delete (content 1) manifests

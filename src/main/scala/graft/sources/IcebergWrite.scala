@@ -188,9 +188,10 @@ object IcebergWrite {
     * `partition-specs` array (+ default-spec-id, last-partition-id), both
     * from the re-read prior state. */
   private def commitSnapshot(table: String, operation: String,
-      fieldsJson: Option[com.fasterxml.jackson.databind.JsonNode] => (String, Int),
+      schemasJson: Option[com.fasterxml.jackson.databind.JsonNode] => (String, Int, Int),
       specsJson: Option[com.fasterxml.jackson.databind.JsonNode] => (String, Int, Int),
-      authorManifest: Long => (java.nio.file.Path, Long, Int, Int, Int, Long)): Long = {
+      authorManifest: Long => (java.nio.file.Path, Long, Int, Int, Int, Long),
+      summaryProps: Map[String, String] = Map.empty): Long = {
     def jstr(s: String) = mapper.writeValueAsString(s)
     while (true) {
       // ONE version read, prior derived from exactly that version — a
@@ -211,7 +212,7 @@ object IcebergWrite {
         priorManifests(prior) :+ (manifestPath.toString, manifestLen, content, specId),
         addedFiles, addedRows)
 
-      val (fields, lastColumnId) = fieldsJson(prior)
+      val (schemas, currentSchemaId, lastColumnId) = schemasJson(prior)
       val (specs, defaultSpecId, lastPartitionId) = specsJson(prior)
       val priorSnaps = prior.toSeq.flatMap(_.path("snapshots").elements().asScala.map(_.toString))
       val now = System.currentTimeMillis()
@@ -222,9 +223,15 @@ object IcebergWrite {
         .filter(_.nonEmpty)
         .getOrElse(java.util.UUID.randomUUID().toString)
       val parentId = prior.map(_.path("current-snapshot-id").asLong(-1L)).filter(_ >= 0)
+      // extra summary entries (e.g. a streaming sink's (appId, batchId)
+      // high-water marks — the snapshot-summary ledger convention real
+      // streaming writers use) ride alongside the required operation key
+      val summary = (Seq(s""""operation":${jstr(operation)}""") ++
+        summaryProps.toSeq.sortBy(_._1).map { case (k, v) => s"${jstr(k)}:${jstr(v)}" })
+        .mkString("{", ",", "}")
       val snapJson =
         s"""{"snapshot-id":$snapshotId,${parentId.map(p => s""""parent-snapshot-id":$p,""").getOrElse("")}"timestamp-ms":$now,"sequence-number":$snapshotId,
-           |"summary":{"operation":${jstr(operation)}},"manifest-list":${jstr(mlPath.toString)},"schema-id":0}"""
+           |"summary":$summary,"manifest-list":${jstr(mlPath.toString)},"schema-id":$currentSchemaId}"""
           .stripMargin.replaceAll("\n", "")
       // snapshot-log records commit ORDER (the lineage incremental readers
       // range over — snapshot ids need not be monotonic in general)
@@ -234,8 +241,8 @@ object IcebergWrite {
         s"""{"format-version":2,"table-uuid":${jstr(tableUuid)},
            |"location":${jstr(table)},"last-sequence-number":$snapshotId,
            |"last-updated-ms":$now,"last-column-id":$lastColumnId,
-           |"current-schema-id":0,
-           |"schemas":[{"type":"struct","schema-id":0,"fields":[$fields]}],
+           |"current-schema-id":$currentSchemaId,
+           |"schemas":[$schemas],
            |"default-spec-id":$defaultSpecId,"partition-specs":[$specs],
            |"last-partition-id":$lastPartitionId,
            |"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
@@ -266,16 +273,46 @@ object IcebergWrite {
     -1L // unreachable
   }
 
-  /** The schema `fields` JSON array carried verbatim from prior metadata
-    * (for commits that must not alter the table schema). */
-  private def carriedFields(
-      prior: Option[com.fasterxml.jackson.databind.JsonNode]): (String, Int) = {
+  /** The full `schemas` array (+ current-schema-id, last-column-id)
+    * carried VERBATIM from prior metadata — commits that must not alter
+    * the table schema keep the whole schema-id chain intact (the spec's
+    * evolution history; readers resolve old snapshots' schema-ids against
+    * it). Returns (schemasArrayJson, currentSchemaId, lastColumnId). */
+  private def carriedSchemas(
+      prior: Option[com.fasterxml.jackson.databind.JsonNode]): (String, Int, Int) = {
     val meta = prior.getOrElse(sys.error("table has no metadata to carry the schema from"))
-    val cur = meta.path("schemas").elements().asScala
+    val cur = currentSchemaNode(meta)
+    val schemas = meta.path("schemas").elements().asScala.map(_.toString).mkString(",")
+    (schemas, meta.path("current-schema-id").asInt(0),
+      meta.path("last-column-id").asInt(cur.path("fields").size()))
+  }
+
+  private def currentSchemaNode(
+      meta: com.fasterxml.jackson.databind.JsonNode): com.fasterxml.jackson.databind.JsonNode =
+    meta.path("schemas").elements().asScala
       .find(_.path("schema-id").asInt(-1) == meta.path("current-schema-id").asInt(0))
       .getOrElse(sys.error("malformed metadata: current-schema-id not in schemas"))
-    val fields = cur.path("fields").elements().asScala.map(_.toString).mkString(",")
-    (fields, meta.path("last-column-id").asInt(cur.path("fields").size()))
+
+  /** Schema EVOLUTION: the prior schemas array plus ONE new schema —
+    * current fields verbatim (ids untouched) followed by `newCols` with
+    * freshly minted ids (last-column-id + 1…), under a new schema-id (max
+    * prior + 1). Old snapshots keep citing their old schema-id; data files
+    * are never rewritten — readers fill the added columns with null. */
+  private def evolvedSchemas(meta: com.fasterxml.jackson.databind.JsonNode,
+      newCols: Seq[StructField]): (String, Int, Int) = {
+    def jstr(s: String) = mapper.writeValueAsString(s)
+    val cur = currentSchemaNode(meta)
+    val priorSchemas = meta.path("schemas").elements().asScala.map(_.toString).toSeq
+    val curFields = cur.path("fields").elements().asScala.map(_.toString).toSeq
+    val lastCol = meta.path("last-column-id").asInt(cur.path("fields").size())
+    val minted = newCols.zipWithIndex.map { case (f, i) =>
+      s"""{"id":${lastCol + i + 1},"name":${jstr(f.name)},"required":false,"type":${jstr(icebergType(f.dataType))}}"""
+    }
+    val newId = meta.path("schemas").elements().asScala
+      .map(_.path("schema-id").asInt(0)).foldLeft(0)(math.max) + 1
+    val evolved =
+      s"""{"type":"struct","schema-id":$newId,"fields":[${(curFields ++ minted).mkString(",")}]}"""
+    ((priorSchemas :+ evolved).mkString(","), newId, lastCol + newCols.size)
   }
 
   /** partition-specs carried verbatim from prior metadata. */
@@ -318,9 +355,21 @@ object IcebergWrite {
     * partition-spec JSON so any Iceberg engine prunes on them; data files
     * keep ALL source columns (the spec's recommendation — no reader-side
     * injection). Returns the snapshot id (== the committed metadata
-    * version). */
+    * version).
+    *
+    * `mergeSchema = true` enables SCHEMA EVOLUTION: `df` may carry NEW
+    * columns — they get fresh field ids under a new schema-id appended to
+    * the metadata's schema chain (existing ids untouched, so committed
+    * equality-delete files still resolve); existing columns must match by
+    * name and exact type. Old data files are never rewritten — readers
+    * fill the added columns with null, and old snapshots keep citing
+    * their own schema-id (time travel shows the old schema).
+    *
+    * `summaryProps` ride in the snapshot's summary next to the operation
+    * key — the ledger streaming sinks use for exactly-once batch marks. */
   def append(spark: SparkSession, df: DataFrame, table: String,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil, mergeSchema: Boolean = false,
+      summaryProps: Map[String, String] = Map.empty): Long = {
     require(!df.schema.exists(f => f.dataType match {
       case _: StructType | _: ArrayType | _: MapType => true; case _ => false
     }), "nested column types are outside the Iceberg writer's subset")
@@ -341,16 +390,30 @@ object IcebergWrite {
     // regenerated from df column order.
     val priorAtCheck = readPrior(table)
     priorAtCheck.foreach { meta =>
-      val cur = meta.path("schemas").elements().asScala
-        .find(_.path("schema-id").asInt(-1) == meta.path("current-schema-id").asInt(0))
-        .getOrElse(sys.error(s"malformed metadata in $table"))
+      val cur = currentSchemaNode(meta)
       val priorTypes = cur.path("fields").elements().asScala
         .map(f => f.path("name").asText() -> f.path("type").asText()).toSeq
       val dfTypes = df.schema.fields.map(f => f.name -> icebergType(f.dataType)).toSeq
-      require(priorTypes.sortBy(_._1) == dfTypes.sortBy(_._1),
-        s"append schema ${dfTypes.map { case (n, t) => s"$n:$t" }.mkString(",")} does not " +
-          s"match table schema ${priorTypes.map { case (n, t) => s"$n:$t" }.mkString(",")} " +
-          "(names AND types must match; field ids are pinned to the table's)")
+      val priorNames = priorTypes.map(_._1).toSet
+      val newCols = dfTypes.filterNot(t => priorNames.contains(t._1))
+      if (!mergeSchema || newCols.isEmpty)
+        require(priorTypes.sortBy(_._1) == dfTypes.sortBy(_._1),
+          s"append schema ${dfTypes.map { case (n, t) => s"$n:$t" }.mkString(",")} does not " +
+            s"match table schema ${priorTypes.map { case (n, t) => s"$n:$t" }.mkString(",")} " +
+            "(names AND types must match; field ids are pinned to the table's" +
+            (if (newCols.nonEmpty) "; pass mergeSchema=true to evolve" else "") + ")")
+      else {
+        // evolution gate: every existing column present with its exact
+        // type; only brand-new columns may be added (they get fresh field
+        // ids — existing ids, and equality-delete files resolving through
+        // them, are untouched)
+        val dfByName = dfTypes.toMap
+        priorTypes.foreach { case (n, t) =>
+          require(dfByName.get(n).contains(t),
+            s"evolving append must carry every existing column with its exact type; " +
+              s"'$n:$t' is ${dfByName.get(n).map(x => s"'$n:$x'").getOrElse("missing")}")
+        }
+      }
       val priorParts = priorPartitionBy(meta)
       val incoming = transforms.map(t => IcebergTransforms.unparse(t.transformString, t.source))
       require(priorParts == incoming,
@@ -434,10 +497,22 @@ object IcebergWrite {
       else s"""{"spec-id":0,"fields":[$spec0Fields]},{"spec-id":1,"fields":[]}"""
     val schema = entrySchema(partTypes)
     commitSnapshot(table, "append",
-      // existing table: carry the schema (and its field ids) verbatim —
-      // the up-front pinning proved the incoming df matches it by
-      // name+type; only table CREATION mints field ids
-      fieldsJson = p => if (p.isDefined) carriedFields(p) else (appendFields, df.schema.size),
+      // existing table: carry the schema chain (and its field ids)
+      // verbatim — the up-front pinning proved the incoming df matches it
+      // by name+type; only table CREATION mints field ids, and only an
+      // EVOLVING append (mergeSchema + new columns, re-derived against the
+      // re-read prior so a lost commit race can't double-evolve) appends a
+      // new schema to the chain
+      schemasJson = p => p match {
+        case None =>
+          (s"""{"type":"struct","schema-id":0,"fields":[$appendFields]}""", 0, df.schema.size)
+        case Some(meta) =>
+          val names = currentSchemaNode(meta).path("fields").elements().asScala
+            .map(_.path("name").asText()).toSet
+          val newCols = df.schema.fields.toSeq.filterNot(f => names.contains(f.name))
+          if (mergeSchema && newCols.nonEmpty) evolvedSchemas(meta, newCols)
+          else carriedSchemas(p)
+      },
       specsJson = p => if (p.isDefined) carriedSpecs(p) else (specs, 0, 999 + partitionBy.size),
       authorManifest = { snapshotId =>
         import org.apache.avro.generic.GenericData
@@ -464,7 +539,8 @@ object IcebergWrite {
         val manifestPath = metaDir(table).resolve(s"m-$snapshotId-${java.util.UUID.randomUUID()}.avro")
         val manifestLen = writeAvro(manifestPath, schema, entries)
         (manifestPath, manifestLen, 0, 0, dataFiles.size, rowCount)
-      })
+      },
+      summaryProps = summaryProps)
   }
 
   /** The empty (partition-less) spec id delete manifests cite, minting one
@@ -482,9 +558,14 @@ object IcebergWrite {
     * every row of an OLDER data file (data sequence number strictly below
     * this commit's) whose key columns match null-safely — the CDC/upsert
     * building block streaming writers emit. No data file is rewritten;
-    * one parquet delete file holds the key rows, cited by a delete
-    * manifest carrying the keys' Iceberg field ids. */
-  def deleteWhereEquals(spark: SparkSession, table: String, keys: DataFrame): Long = {
+    * the key rows land in parquet delete files cited by ONE delete
+    * manifest carrying the keys' Iceberg field ids. Key sets above
+    * `maxKeysPerFile` split across multiple delete files written by
+    * parallel tasks — a bulk upsert of 10⁸ keys must not serialize
+    * through a single task (the default bounds a file to roughly the
+    * spec's recommended manifest-entry granularity). */
+  def deleteWhereEquals(spark: SparkSession, table: String, keys: DataFrame,
+      maxKeysPerFile: Long = 4000000L): Long = {
     val prior0 = readPrior(table)
     require(prior0.isDefined, s"not an Iceberg table: $table")
     val (emptySpecId, mintEmptySpec) = emptySpecFor(prior0.get)
@@ -499,22 +580,39 @@ object IcebergWrite {
         s"key column '$c' is not in the table schema (${idByName.keys.mkString(",")})")))
 
     val stage = Files.createTempDirectory("graft_iceberg_eqdelete")
-    keys.distinct().repartition(1).write.mode("overwrite").parquet(stage.toString)
+    // one distinct shuffle; count + write reuse its shuffle files. The
+    // file count scales with the key count so each delete file is written
+    // by its own task and stays individually scannable.
+    val distinctKeys = keys.distinct()
+    val nKeys = distinctKeys.count()
+    require(nKeys > 0, "deleteWhereEquals with an empty key set")
+    val nFiles = math.max(1L, (nKeys + maxKeysPerFile - 1) / maxKeysPerFile).toInt
+    distinctKeys.repartition(nFiles).write.mode("overwrite").parquet(stage.toString)
     def rmr(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr); f.delete()
     }
-    val nKeys = spark.read.parquet(stage.toString).count()
-    require(nKeys > 0, "deleteWhereEquals with an empty key set")
+    // exact per-file record counts (the manifest's record_count is load-
+    // bearing for real readers) in one metadata-cheap job over the stage
+    import org.apache.spark.sql.functions.{col => fcol, count => fcount, input_file_name, lit => flit}
+    val perFileCounts: Map[String, Long] = spark.read.parquet(stage.toString)
+      .groupBy(input_file_name().as("f")).agg(fcount(flit(1)).as("n"))
+      .collect()
+      .map(r => (new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath
+        .split("/").last, r.getLong(1))).toMap
     val staged = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).toSeq
+      .filter(f => f.getName.endsWith(".parquet") && perFileCounts.contains(f.getName))
+      .toSeq
     Files.createDirectories(dataDir(table))
-    val deleteFile = dataDir(table).resolve(s"eq-delete-${java.util.UUID.randomUUID()}.parquet")
-    Files.move(staged.head.toPath, deleteFile)
+    val deleteFiles: Seq[(java.nio.file.Path, Long)] = staged.map { f =>
+      val dest = dataDir(table).resolve(s"eq-delete-${java.util.UUID.randomUUID()}.parquet")
+      Files.move(f.toPath, dest)
+      (dest, perFileCounts(f.getName))
+    }
     rmr(stage.toFile)
 
     val schema = entrySchema(Seq.empty)
     commitSnapshot(table, "delete",
-      fieldsJson = carriedFields,
+      schemasJson = carriedSchemas,
       specsJson = prior => {
         val (specs, defaultId, lastPartId) = carriedSpecs(prior)
         if (!mintEmptySpec) (specs, defaultId, lastPartId)
@@ -524,24 +622,27 @@ object IcebergWrite {
         import org.apache.avro.generic.GenericData
         val dataFileSchema = schema.getField("data_file").schema()
         val partitionSchema = dataFileSchema.getField("partition").schema()
-        val dfr = new GenericData.Record(dataFileSchema)
-        dfr.put("content", 2) // EQUALITY_DELETES
-        dfr.put("file_path", deleteFile.toString)
-        dfr.put("file_format", "PARQUET")
-        dfr.put("partition", new GenericData.Record(partitionSchema))
-        dfr.put("record_count", nKeys)
-        dfr.put("file_size_in_bytes", Files.size(deleteFile))
-        dfr.put("equality_ids",
-          java.util.Arrays.asList(eqIds.map(Integer.valueOf): _*))
-        val e = new GenericData.Record(schema)
-        e.put("status", 1)
-        e.put("snapshot_id", snapshotId)
-        e.put("sequence_number", snapshotId)
-        e.put("file_sequence_number", snapshotId)
-        e.put("data_file", dfr)
+        val entries = deleteFiles.map { case (path, n) =>
+          val dfr = new GenericData.Record(dataFileSchema)
+          dfr.put("content", 2) // EQUALITY_DELETES
+          dfr.put("file_path", path.toString)
+          dfr.put("file_format", "PARQUET")
+          dfr.put("partition", new GenericData.Record(partitionSchema))
+          dfr.put("record_count", n)
+          dfr.put("file_size_in_bytes", Files.size(path))
+          dfr.put("equality_ids",
+            java.util.Arrays.asList(eqIds.map(Integer.valueOf): _*))
+          val e = new GenericData.Record(schema)
+          e.put("status", 1)
+          e.put("snapshot_id", snapshotId)
+          e.put("sequence_number", snapshotId)
+          e.put("file_sequence_number", snapshotId)
+          e.put("data_file", dfr)
+          e
+        }
         val manifestPath = metaDir(table).resolve(s"m-$snapshotId-${java.util.UUID.randomUUID()}.avro")
-        val manifestLen = writeAvro(manifestPath, schema, Seq(e))
-        (manifestPath, manifestLen, 1, emptySpecId, 1, 0L)
+        val manifestLen = writeAvro(manifestPath, schema, entries)
+        (manifestPath, manifestLen, 1, emptySpecId, deleteFiles.size, 0L)
       })
   }
 
@@ -605,7 +706,7 @@ object IcebergWrite {
 
     val schema = entrySchema(Seq.empty)
     commitSnapshot(table, "delete",
-      fieldsJson = carriedFields,
+      schemasJson = carriedSchemas,
       specsJson = prior => {
         val (specs, defaultId, lastPartId) = carriedSpecs(prior)
         if (!mintEmptySpec) (specs, defaultId, lastPartId)

@@ -89,6 +89,46 @@ object Lake {
         s"plain parquet at $path cannot carry a merge-on-read delete")
     }
 
+  /** SQL surface: registers the table-valued functions
+    *
+    * {{{ SELECT * FROM delta_scan('/path/to/table'[, version])
+    *     SELECT * FROM iceberg_scan('/path/to/table'[, snapshot_id])
+    *     SELECT * FROM lake_scan('/path/to/table'[, version])
+    *     SELECT * FROM lake_scan_at('/path/to/table', timestamp_ms) }}}
+    *
+    * so SQL-only users query open-format tables (incl. time travel) from
+    * pure SQL, DuckDB-`delta_scan`-style — same pattern as the asof_join
+    * table function (arguments are literals, resolved at analysis time;
+    * the plan produced is identical to the API call's). */
+  def registerSqlSurface(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    import org.apache.spark.sql.graft.Bridge
+    def str(e: Expression, what: String): String = e match {
+      case Literal(v, org.apache.spark.sql.types.StringType) if v != null => v.toString
+      case other => throw new IllegalArgumentException(
+        s"$what must be a string literal, got $other")
+    }
+    def num(e: Expression, what: String): Long = e match {
+      case Literal(v: Number, _) => v.longValue
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    def scanOf(name: String, reader: (String, Long) => DataFrame): Unit =
+      Bridge.registerTableFunction(spark, name, { args =>
+        require(args.length == 1 || args.length == 2, s"$name(path[, version])")
+        val version = args.lift(1).map(num(_, s"$name: version")).getOrElse(-1L)
+        Bridge.logicalPlan(reader(str(args.head, s"$name: path"), version))
+      })
+    scanOf("delta_scan", (p, v) => DeltaRead.snapshot(spark, p, v))
+    scanOf("iceberg_scan", (p, v) => IcebergRead.snapshot(spark, p, v))
+    scanOf("lake_scan", (p, v) => read(spark, p, v))
+    Bridge.registerTableFunction(spark, "lake_scan_at", { args =>
+      require(args.length == 2, "lake_scan_at(path, timestamp_ms)")
+      Bridge.logicalPlan(readAt(spark,
+        str(args.head, "lake_scan_at: path"), num(args(1), "lake_scan_at: timestamp_ms")))
+    })
+  }
+
   /** MERGE/UPSERT dispatch: key-matched rows replaced, new keys inserted —
     * Delta as one DV-delete+append commit, Iceberg as equality-delete +
     * append snapshots. Plain parquet has no transaction log — refused. */

@@ -499,6 +499,43 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** Streaming sink into an open-format Iceberg table (ST13 — the Iceberg
+    * twin of [[deltaSink]]): each micro-batch appends through
+    * [[graft.sources.IcebergWrite]] with the (appId, batchId) high-water
+    * mark recorded in the snapshot's SUMMARY properties (`graft.app-id` /
+    * `graft.batch-id` — the snapshot-summary-ledger convention real
+    * streaming writers use, e.g. Flink's max-committed-checkpoint-id), so
+    * a replayed batch (foreachBatch is at-least-once) is skipped when its
+    * id is at/below the recorded mark. Exactly-once appends whose output
+    * any Iceberg reader can consume; the marks live in the metadata JSON's
+    * snapshot list, so they survive as long as the snapshots do. Same
+    * checkpoint-lineage rule as the other foreachBatch sinks. */
+  def icebergSink(spark: SparkSession, landingDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      table: String, appId: String,
+      partitionBy: Seq[String] = Nil, maxFilesPerTrigger: Int = 1,
+      checkpointDir: Option[String] = None): Unit = {
+    var highWater: Long =
+      graft.sources.IcebergRead.txnVersions(spark, table).getOrElse(appId, -1L)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > highWater) {
+          graft.sources.IcebergWrite.append(spark, batch, table, partitionBy,
+            summaryProps = Map("graft.app-id" -> appId, "graft.batch-id" -> batchId.toString))
+          highWater = batchId
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"${table.stripSuffix("/")}_checkpoint"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming data-quality monitor: continuous C2 validation — each
     * micro-batch is audited by [[graft.operators.Quality.check]] and the
     * per-rule violation counts land in a metrics table keyed by batch id.

@@ -49,4 +49,38 @@ class SqlParitySpec extends SparkSpec {
     assert(sorted(sqlTol) === sorted(apiTol))
     assert(sorted(sqlTol).size < sorted(sql).size) // tolerance actually filters
   }
+
+  test("delta_scan / iceberg_scan / lake_scan SQL functions match the API reads (incl. time travel)") {
+    import org.apache.spark.sql.functions._
+    graft.sources.Lake.registerSqlSurface(spark)
+    import spark.implicits._
+    val delta = java.nio.file.Files.createTempDirectory("graft_sqlscan_d").toString
+    val v0 = graft.sources.DeltaWrite.append(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"), delta)
+    graft.sources.DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "name"), delta)
+    val ice = java.nio.file.Files.createTempDirectory("graft_sqlscan_i").toString
+    val s0 = graft.sources.IcebergWrite.append(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"), ice)
+    graft.sources.IcebergWrite.append(spark, Seq((3L, "c")).toDF("id", "name"), ice)
+
+    def ids(df: DataFrame): Seq[Long] =
+      df.select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids(spark.sql(s"SELECT * FROM delta_scan('$delta')")) === Seq(1L, 2L, 3L))
+    assert(ids(spark.sql(s"SELECT * FROM delta_scan('$delta', $v0)")) === Seq(1L, 2L))
+    assert(ids(spark.sql(s"SELECT * FROM iceberg_scan('$ice')")) === Seq(1L, 2L, 3L))
+    assert(ids(spark.sql(s"SELECT * FROM iceberg_scan('$ice', $s0)")) === Seq(1L, 2L))
+    // lake_scan dispatches on the on-disk format
+    assert(ids(spark.sql(s"SELECT * FROM lake_scan('$delta')")) === Seq(1L, 2L, 3L))
+    assert(ids(spark.sql(s"SELECT * FROM lake_scan('$ice', $s0)")) === Seq(1L, 2L))
+    // hash-parity with the API form: identical rows, identical schema
+    assert(spark.sql(s"SELECT * FROM delta_scan('$delta')").schema ===
+      graft.sources.DeltaRead.snapshot(spark, delta).schema)
+    assert(rows(spark.sql(s"SELECT * FROM iceberg_scan('$ice')").orderBy("id")) ===
+      rows(graft.sources.IcebergRead.snapshot(spark, ice).orderBy("id")))
+    // TIMESTAMP AS OF through SQL
+    val now = System.currentTimeMillis() + 60000
+    assert(ids(spark.sql(s"SELECT * FROM lake_scan_at('$ice', $now)")) === Seq(1L, 2L, 3L))
+    // errors surface loudly: non-literal / wrong arity
+    intercept[Exception](spark.sql(s"SELECT * FROM delta_scan(42)").collect())
+  }
 }

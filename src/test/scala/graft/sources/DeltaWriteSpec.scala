@@ -304,4 +304,62 @@ class DeltaWriteSpec extends SparkSpec {
     // snapshot via the checkpoint path still reads correctly
     assert(rows(DeltaRead.snapshot(spark, table)) === Set((1L, "a", "x")))
   }
+
+  test("schema evolution: mergeSchema append swaps metaData; old files read null; time travel keeps old schema") {
+    import org.apache.spark.sql.functions._
+    val table = Files.createTempDirectory("graft_dw_evolve").toString
+    val v0 = DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name"), table)
+    val id0 = DeltaRead.snapshotInfo(spark, table).metaId
+    assert(id0.nonEmpty)
+
+    // un-merged widening append is refused
+    intercept[IllegalArgumentException] {
+      DeltaWrite.append(spark, Seq((3L, "c", 1.5)).toDF("id", "name", "score"), table)
+    }
+    // evolution must carry every existing column
+    intercept[RuntimeException] {
+      DeltaWrite.append(spark, Seq((3L, 1.5)).toDF("id", "score"), table, mergeSchema = true)
+    }
+    // type change is not evolution
+    intercept[Exception] {
+      DeltaWrite.append(spark, Seq(("3", "c", 1.5)).toDF("id", "name", "score"),
+        table, mergeSchema = true)
+    }
+
+    val v1 = DeltaWrite.append(spark,
+      Seq((3L, "c", 1.5), (4L, "d", 2.5)).toDF("id", "name", "score"),
+      table, mergeSchema = true)
+    val snap = DeltaRead.snapshotInfo(spark, table)
+    assert(snap.schema.fieldNames.toSeq === Seq("id", "name", "score"))
+    assert(snap.metaId === id0, "evolution must carry the stable table id")
+
+    val cur = DeltaRead.snapshot(spark, table)
+    assert(cur.columns.toSeq === Seq("id", "name", "score"))
+    val byId = cur.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).isNullAt(2) && byId(2L).isNullAt(2), "old files read null for the new column")
+    assert(byId(3L).getDouble(2) === 1.5)
+
+    // time travel to the pre-evolution version shows the OLD schema
+    assert(DeltaRead.snapshot(spark, table, v0).columns.toSeq === Seq("id", "name"))
+
+    // incremental read across the evolution boundary
+    val incr = DeltaRead.addsBetween(spark, table, v0)
+    assert(incr.columns.toSeq === Seq("id", "name", "score"))
+    assert(incr.count() === 2L)
+
+    // a same-schema append after evolution needs no mergeSchema flag
+    DeltaWrite.append(spark, Seq((5L, "e", 3.5)).toDF("id", "name", "score"), table)
+    assert(DeltaRead.snapshot(spark, table).count() === 5L)
+
+    // checkpoint after evolution preserves the merged schema + stable id
+    DeltaWrite.checkpoint(spark, table)
+    // retention-clean everything below the checkpoint: its state must carry
+    // the evolved metaData on its own
+    (0L to v1).map(v => Paths.get(table, "_delta_log", f"$v%020d.json"))
+      .foreach(Files.deleteIfExists(_))
+    val replayed = DeltaRead.snapshotInfo(spark, table)
+    assert(replayed.schema.fieldNames.toSeq === Seq("id", "name", "score"))
+    assert(replayed.metaId === id0)
+    assert(DeltaRead.snapshot(spark, table).count() === 5L)
+  }
 }

@@ -423,4 +423,120 @@ class IcebergWriteSpec extends SparkSpec {
       assert(Files.exists(Paths.get(table, "metadata", s"v$v.metadata.json")))
     }
   }
+
+  test("schema evolution: fresh field ids under a new schema-id; old snapshots keep theirs") {
+    val table = Files.createTempDirectory("graft_iw_evolve").toString
+    val s0 = IcebergWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name"), table)
+
+    // un-merged widening append is refused, and evolution requires every
+    // existing column with its exact type
+    intercept[IllegalArgumentException](
+      IcebergWrite.append(spark, Seq((3L, "c", 1.5)).toDF("id", "name", "score"), table))
+    intercept[IllegalArgumentException](
+      IcebergWrite.append(spark, Seq((3L, 1.5)).toDF("id", "score"), table, mergeSchema = true))
+
+    IcebergWrite.append(spark, Seq((3L, "c", 1.5), (4L, "d", 2.5)).toDF("id", "name", "score"),
+      table, mergeSchema = true)
+
+    val cur = IcebergRead.snapshot(spark, table)
+    assert(cur.columns.toSeq === Seq("id", "name", "score"))
+    val byId = cur.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).isNullAt(2) && byId(2L).isNullAt(2), "old files read null for the new column")
+    assert(byId(3L).getDouble(2) === 1.5)
+    // time travel: the old snapshot cites its own schema-id → old schema
+    assert(IcebergRead.snapshot(spark, table, s0).columns.toSeq === Seq("id", "name"))
+
+    // metadata carries the full schema-id chain with stable prior ids
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(Paths.get(table, "metadata", "v2.metadata.json").toFile)
+    import scala.jdk.CollectionConverters._
+    val schemas = meta.path("schemas").elements().asScala.toSeq
+    assert(schemas.size === 2)
+    assert(meta.path("current-schema-id").asInt(-1) === 1)
+    assert(meta.path("last-column-id").asInt(-1) === 3)
+    val evolved = schemas.find(_.path("schema-id").asInt(-1) == 1).get
+    val ids = evolved.path("fields").elements().asScala
+      .map(f => f.path("name").asText() -> f.path("id").asInt(-1)).toMap
+    assert(ids === Map("id" -> 1, "name" -> 2, "score" -> 3))
+
+    // equality deletes keyed on a PRE-evolution column still resolve
+    // (field ids were carried, not regenerated)
+    IcebergWrite.deleteWhereEquals(spark, table, Seq(Tuple1(1L)).toDF("id"))
+    assert(IcebergRead.snapshot(spark, table).collect().map(_.getLong(0)).toSet ===
+      Set(2L, 3L, 4L))
+
+    // same-schema append after evolution needs no flag; incremental read
+    // across the boundary resolves against the evolved schema
+    IcebergWrite.append(spark, Seq((5L, "e", 3.5)).toDF("id", "name", "score"), table)
+    val incr = IcebergRead.addsBetween(spark, table, s0, ignoreChanges = true)
+    assert(incr.columns.toSeq === Seq("id", "name", "score"))
+    assert(incr.collect().map(_.getLong(0)).toSet === Set(3L, 4L, 5L))
+  }
+
+  test("equality-delete key sets above maxKeysPerFile split across files under ONE manifest") {
+    val table = Files.createTempDirectory("graft_iw_eqsplit").toString
+    IcebergWrite.append(spark, (1L to 10L).map(i => (i, s"n$i")).toDF("id", "name"), table)
+    IcebergWrite.deleteWhereEquals(spark, table,
+      (1L to 6L).map(Tuple1(_)).toDF("id"), maxKeysPerFile = 2L)
+    // correctness: exactly the keyed rows are gone
+    assert(IcebergRead.snapshot(spark, table).collect().map(_.getLong(0)).toSet ===
+      (7L to 10L).toSet)
+    // the delete landed as MULTIPLE files...
+    val eqFiles = Option(Paths.get(table, "data").toFile.listFiles()).get
+      .filter(_.getName.startsWith("eq-delete-"))
+    assert(eqFiles.length >= 3, s"expected >=3 split delete files, got ${eqFiles.length}")
+    // ...cited by ONE delete manifest in the delete snapshot
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(Paths.get(table, "metadata", "v2.metadata.json").toFile)
+    import scala.jdk.CollectionConverters._
+    val ml = meta.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong(-1) == 2L).get.path("manifest-list").asText()
+    val reader = new org.apache.avro.file.DataFileReader(
+      new java.io.File(ml),
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    val manifests = try reader.iterator().asScala.toList finally reader.close()
+    assert(manifests.count(_.get("content").toString.toInt == 1) === 1)
+    // per-file record counts in the manifest sum to the key count
+    val deleteManifest = manifests.find(_.get("content").toString.toInt == 1).get
+      .get("manifest_path").toString
+    val mr = new org.apache.avro.file.DataFileReader(
+      new java.io.File(deleteManifest),
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    val entries = try mr.iterator().asScala.toList finally mr.close()
+    assert(entries.map(_.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .get("record_count").toString.toLong).sum === 6L)
+    assert(entries.size === eqFiles.length)
+  }
+
+  test("streaming iceberg sink is exactly-once across checkpoint loss (summary ledger)") {
+    val landing = Files.createTempDirectory("graft_iw_sink").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name").repartition(3)
+      .write.mode("overwrite").parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    val table = Files.createTempDirectory("graft_iw_sink_t").toString + "/tbl"
+    val cp1 = Files.createTempDirectory("graft_iw_sink_cp").toString
+    graft.streaming.StreamOps.icebergSink(spark, landing, schema, table, "app1",
+      checkpointDir = Some(cp1))
+    assert(IcebergRead.snapshot(spark, table).count() === 3L)
+    // same checkpoint, no new data → no new snapshots
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    import scala.jdk.CollectionConverters._
+    def nSnaps: Int = {
+      val v = Files.readString(Paths.get(table, "metadata", "version-hint.text")).trim
+      mapper.readTree(Paths.get(table, "metadata", s"v$v.metadata.json").toFile)
+        .path("snapshots").size()
+    }
+    val before = nSnaps
+    graft.streaming.StreamOps.icebergSink(spark, landing, schema, table, "app1",
+      checkpointDir = Some(cp1))
+    assert(nSnaps === before)
+    // checkpoint LOST: batch ids replay from 0 — the summary-ledger
+    // high-water mark is what prevents double appends
+    val cp2 = Files.createTempDirectory("graft_iw_sink_cp2").toString
+    graft.streaming.StreamOps.icebergSink(spark, landing, schema, table, "app1",
+      checkpointDir = Some(cp2))
+    assert(IcebergRead.snapshot(spark, table).count() === 3L)
+    assert(IcebergRead.txnVersions(spark, table)("app1") >= 2L)
+  }
 }
