@@ -92,10 +92,39 @@ object Bench {
     suite.foreach(q => q.build(spark, sfDir).collect())
     val rawTotal = (System.nanoTime() - t0Raw) / 1e9
 
+    // Per-query STRUCTURAL FLOOR: the same query, same code path, over
+    // EMPTY same-schema tables — everything the wall time contains except
+    // data processing (Catalyst analyze/optimize/physical, codegen +
+    // compile-cache hits, job/stage/task scheduling of the full DAG,
+    // broadcast-job launches, collect round trips). Sub-30 ms-baseline
+    // queries (b6, b15, …) sit at this floor: their wall time is
+    // scheduling constant, not work, and the floor is what a bigger SF
+    // amortizes away. Median of 5 after 1 warm-up; a query whose empty
+    // input is degenerate (should not happen) reports -1 rather than
+    // aborting the bench.
+    val emptyDir = s"$benchDir-empty"
+    Tables.names.foreach { n =>
+      Tables(spark, runDir, n).limit(0).write.mode("overwrite")
+        .parquet(s"$emptyDir/$n.parquet")
+    }
+    val floors = suite.map { q =>
+      val f = scala.util.Try {
+        q.build(spark, emptyDir).collect()
+        val runs = (1 to 5).map { _ =>
+          val t0 = System.nanoTime()
+          q.build(spark, emptyDir).collect()
+          (System.nanoTime() - t0) / 1e6
+        }.sorted
+        runs(2)
+      }.getOrElse(-1.0)
+      q.name -> f
+    }
+    val fl = floors.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }.mkString("{", ",", "}")
+
     // "protocol" tags the layout change (rounds ≥3 time compacted tables;
     // rounds 1–2 timed the original single-row-group files) so cross-round
     // comparisons don't mistake the re-layout for an engine change.
-    println(f"""{"metric":"suite_total","value":$total%.4f,"unit":"sec","queries":$qs,"layout_sec":$layoutSec%.4f,"suite_total_uncompacted":$rawTotal%.4f,"protocol":"compacted-layout-r3+","sf":"$sfDir"}""")
+    println(f"""{"metric":"suite_total","value":$total%.4f,"unit":"sec","queries":$qs,"floor_ms":$fl,"layout_sec":$layoutSec%.4f,"suite_total_uncompacted":$rawTotal%.4f,"protocol":"compacted-layout-r3+","sf":"$sfDir"}""")
     spark.stop()
   }
 }
