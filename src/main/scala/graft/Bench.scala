@@ -46,17 +46,33 @@ object Bench {
     import scala.concurrent.duration.Duration
     Await.result(
       Future.sequence(Tables.names.map(n => Future {
-        operators.Layout.compact(
+        // Per-table isolation: a table that fails to compact costs its
+        // queries (-1 below), not the whole artifact.
+        try operators.Layout.compact(
           Tables(spark, sfDir, n), s"$benchDir/$n.parquet", targetFiles.getOrElse(n, 1))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] compact($n) failed: ${e.getMessage}")
+        }
       })),
       Duration.Inf)
     val layoutSec = (System.nanoTime() - t0Layout) / 1e9
     val runDir = benchDir
 
     val suite = queries.BenchQueries.headline
+    // FAULT ISOLATION: one broken query must cost ITS number (-1), never
+    // the artifact — an un-caught analysis error in the warm-up zeroed two
+    // consecutive rounds' bench output. First failure per query is logged
+    // to stderr (stdout carries only the JSON line).
+    val broken = scala.collection.mutable.Set.empty[String]
+    def run(q: GQuery, dir: String): Boolean =
+      scala.util.Try(q.build(spark, dir).collect()).recover { case e =>
+        if (broken.add(q.name))
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        throw e
+      }.isSuccess
     // Warm-up ×2: JIT, codegen cache, file-footer cache; one GC to clear
     // the warm-up debt before any timed window.
-    (1 to 2).foreach(_ => suite.foreach(q => q.build(spark, runDir).collect()))
+    (1 to 2).foreach(_ => suite.foreach(q => run(q, runDir)))
     System.gc()
 
     // Per-query consecutive samples, as in the DuckDB baseline protocol
@@ -70,15 +86,24 @@ object Bench {
     // plain median then reports the stall, not the query. The lower-trim
     // discards those samples while still requiring 3 agreeing runs.
     val timed = suite.map { q =>
-      val runs = (1 to 9).map { _ =>
-        val t0 = System.nanoTime()
-        q.build(spark, runDir).collect()
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      q.name -> runs(2)
+      val t = scala.util.Try {
+        val runs = (1 to 9).map { _ =>
+          val t0 = System.nanoTime()
+          q.build(spark, runDir).collect()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        runs(2)
+      }.recover { case e =>
+        if (broken.add(q.name))
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        -1.0
+      }.get
+      q.name -> t
     }
     val qs = timed.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
-    val total = timed.map(_._2).sum
+    // suite_total sums only queries that produced a number; n_failed makes
+    // a partial total impossible to misread as a faster suite.
+    val total = timed.collect { case (_, v) if v >= 0 => v }.sum
 
     // Quantify the layout contribution: one warmed pass over the ORIGINAL
     // (driver-written, single-row-group) files through the identical query
@@ -86,10 +111,10 @@ object Bench {
     // baseline ratio's dependence on the OPTIMIZE step is visible, per the
     // round-3/4 advice. One warm-up + one timed pass (not 9): this is a
     // disclosure figure, not the headline statistic.
-    suite.foreach(q => q.build(spark, sfDir).collect())
+    suite.foreach(q => run(q, sfDir))
     System.gc()
     val t0Raw = System.nanoTime()
-    suite.foreach(q => q.build(spark, sfDir).collect())
+    suite.foreach(q => run(q, sfDir))
     val rawTotal = (System.nanoTime() - t0Raw) / 1e9
 
     // Per-query STRUCTURAL FLOOR: the same query, same code path, over
@@ -104,8 +129,11 @@ object Bench {
     // aborting the bench.
     val emptyDir = s"$benchDir-empty"
     Tables.names.foreach { n =>
-      Tables(spark, runDir, n).limit(0).write.mode("overwrite")
+      try Tables(spark, runDir, n).limit(0).write.mode("overwrite")
         .parquet(s"$emptyDir/$n.parquet")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] empty($n) failed: ${e.getMessage}")
+      }
     }
     val floors = suite.map { q =>
       val f = scala.util.Try {
@@ -124,7 +152,8 @@ object Bench {
     // "protocol" tags the layout change (rounds ≥3 time compacted tables;
     // rounds 1–2 timed the original single-row-group files) so cross-round
     // comparisons don't mistake the re-layout for an engine change.
-    println(f"""{"metric":"suite_total","value":$total%.4f,"unit":"sec","queries":$qs,"floor_ms":$fl,"layout_sec":$layoutSec%.4f,"suite_total_uncompacted":$rawTotal%.4f,"protocol":"compacted-layout-r3+","sf":"$sfDir"}""")
+    val nFailed = timed.count(_._2 < 0)
+    println(f"""{"metric":"suite_total","value":$total%.4f,"unit":"sec","queries":$qs,"floor_ms":$fl,"layout_sec":$layoutSec%.4f,"suite_total_uncompacted":$rawTotal%.4f,"n_failed":$nFailed,"protocol":"compacted-layout-r3+","sf":"$sfDir"}""")
     spark.stop()
   }
 }

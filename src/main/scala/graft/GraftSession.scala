@@ -19,10 +19,17 @@ object GraftSession {
       // whole fact table at bench scale (a 600k-row hash build per query) and
       // is the wrong bet at 100 TB; 4 MB keeps genuine dimensions broadcast.
       .config("spark.sql.autoBroadcastJoinThreshold", "4m")
-      // The fixtures' events.ts is TIMESTAMP(NANOS): read as long + explicit
-      // ns→µs truncation (see Tables). Set at session setup so it is not a
-      // surprise side effect of the first table load.
+      // Timestamp physical-type drift defense (see Tables.normalizeTimestamps):
+      // legacy fixture drops used TIMESTAMP(NANOS) (read as long + explicit
+      // ns→µs truncation); current drops use timestamp[us] isAdjustedToUTC=
+      // false, which Spark 4 would otherwise infer as TIMESTAMP_NTZ. The
+      // engine's event-time contract is TimestampType everywhere — turning
+      // NTZ inference off restores the instant-typed read at the scan (same
+      // µs values under the UTC session), and the load-boundary normalizer
+      // covers sessions built without these confs. Set at session setup so
+      // neither is a surprise side effect of the first table load.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.extensions", classOf[functions.GraftExtensions].getName)
       .config("spark.ui.enabled", "false")
 

@@ -45,6 +45,20 @@ object Verify {
       .filter { case (k, _) => filter.isEmpty || filter(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Input-data fingerprint (per-table post-load schema + row count + the
+    // run's wall-clock): round 7 shipped a CORRECTNESS artifact that was a
+    // byte-copy of round 6's, measured against data that no longer existed.
+    // Any two verify outputs over different fixture drops now differ
+    // visibly, and a re-run over identical data still differs by run_at.
+    val fp = Tables.names.map { n =>
+      val (schemaStr, cnt) =
+        try { val df = Tables(spark, sfDir, n); (df.schema.simpleString, df.count()) }
+        catch { case e: Throwable => (s"UNREADABLE: ${e.getMessage}", -1L) }
+      s"${q(n)}: {${q("schema")}: ${q(schemaStr)}, ${q("rows")}: $cnt}"
+    }.mkString(
+      s"""{${q("sf_dir")}: ${q(sfDir)}, ${q("run_at")}: ${q(java.time.Instant.now.toString)}, ${q("tables")}: {""",
+      ",", "}}")
+    Files.writeString(Paths.get(s"$outDir/data_fingerprint.json"), fp)
     spark.stop()
   }
 }

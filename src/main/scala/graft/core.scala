@@ -78,13 +78,41 @@ object Tables {
       // is an unsupported-type error, not a different decoding).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
-      val df = spark.read.schema(schema).parquet(path)
-      df.schema.fields.foldLeft(df) {
-        case (d, f) if f.dataType == org.apache.spark.sql.types.LongType && f.name == "ts" =>
-          d.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        case (d, _) => d
-      }
+      normalizeTimestamps(spark.read.schema(schema).parquet(path))
     })
+  }
+
+  /** Load-boundary timestamp normalization. The fixtures' physical
+    * timestamp encodings have drifted across data regenerations
+    * (TIMESTAMP(NANOS) in early drops, `timestamp[us]
+    * isAdjustedToUTC=false` now); the engine's contract is that every
+    * event-time column surfaces as `TimestampType` regardless:
+    *
+    *   - legacy path: a `Long` column named `ts` is a nanosAsLong read of
+    *     TIMESTAMP(NANOS) — truncate ns→µs with integer `div` (double
+    *     division would lose precision at ~1.7e18) and convert;
+    *   - any `TimestampNTZType` column is cast to `TimestampType`. Under
+    *     the engine's UTC session the cast reinterprets the same µs value
+    *     as a UTC instant — bit-identical micros, and DuckDB reads the
+    *     same files as naive TIMESTAMP, so oracle hashes are unaffected.
+    *
+    * Applied to batch loads here and to the streaming file sources in
+    * [[graft.streaming.StreamOps]]; one `select` (no-op when nothing
+    * needs rewriting) so plans stay a single projection wide. */
+  def normalizeTimestamps(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val needsFix = df.schema.fields.exists(f =>
+      f.dataType == TimestampNTZType || (f.dataType == LongType && f.name == "ts"))
+    if (!needsFix) df
+    else df.select(df.schema.fields.toIndexedSeq.map { f =>
+      f.dataType match {
+        case LongType if f.name == "ts" =>
+          expr("timestamp_micros(ts div 1000)").as("ts")
+        case TimestampNTZType =>
+          org.apache.spark.sql.functions.col(f.name).cast(TimestampType).as(f.name)
+        case _ => org.apache.spark.sql.functions.col(f.name)
+      }
+    }: _*)
   }
 
   /** Register every table as a temp view so SQL-shaped queries can run. */

@@ -145,9 +145,14 @@ object AsOfJoin {
     // unix_millis, dates via whole-day datediff, numerics raw (caller's own
     // ms units) — date minus date would otherwise produce an INTERVAL that
     // fails analysis when compared to a Long.
-    import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType, TimestampType}
     def lagMs(matchTs: Column): Column = taggedRight.schema("__ts").dataType match {
       case TimestampType => unix_millis(col("__ts")) - unix_millis(matchTs)
+      // NTZ: reinterpret the wall-clock value as a UTC instant for the
+      // distance arithmetic — both sides shift identically, so signed
+      // distances (and therefore tolerance/nearest picks) are unchanged.
+      case TimestampNTZType =>
+        unix_millis(col("__ts").cast(TimestampType)) - unix_millis(matchTs.cast(TimestampType))
       case DateType => datediff(col("__ts"), matchTs).cast("long") * lit(86400000L)
       case _: NumericType => col("__ts") - matchTs
       case other => throw new IllegalArgumentException(

@@ -536,7 +536,37 @@ object IoQueries {
     },
     tdeltaEvolve.oracle)
 
+  /** S9c CHANGELOG read: append clicks, append views, then position-delete
+    * the cheap clicks; changesBetween(first append → current) must report
+    * the views as inserts (files added in range) AND the deleted clicks as
+    * deletes (new position deletes over a file common to both endpoints) —
+    * the operation mix addsBetween refuses. Oracle recomputes both change
+    * sets from the source rows. */
+  val ticebergChanges = GQuery(
+    "t_iceberg_changes",
+    (s, dir) => {
+      val table = tmp("graft_icebergcdc_q")
+      val ev = Tables(s, dir, "events").select(col("event_id"), col("value"), col("event_type"))
+      val s1 = graft.sources.IcebergWrite.append(s, ev.where(col("event_type") === "click"), table)
+      graft.sources.IcebergWrite.append(s, ev.where(col("event_type") === "view"), table)
+      graft.sources.IcebergWrite.deleteWhere(s, table,
+        col("event_type") === "click" && col("value") < lit(50.0))
+      graft.sources.IcebergRead.changesBetween(s, table, s1)
+        .groupBy(col("_change_type"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .withColumnRenamed("_change_type", "change")
+        .orderBy(col("change"), col("event_type"))
+    },
+    Some("""SELECT 'delete' AS change, event_type, count(*) AS cnt,
+        round(sum(value), 2) AS sum_value
+      FROM events WHERE event_type = 'click' AND value < 50.0 GROUP BY event_type
+      UNION ALL
+      SELECT 'insert', event_type, count(*), round(sum(value), 2)
+      FROM events WHERE event_type = 'view' GROUP BY event_type
+      ORDER BY change, event_type"""))
+
   def all: Seq[GQuery] =
     Seq(t1, t1orc, t2, t3, tskip, tdelta, ticeberg, tdeltaRt, ticebergRt, ticebergMor,
-      tdeltaDv, tdeltaUpsert, ticebergPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve)
+      tdeltaDv, tdeltaUpsert, ticebergPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
+      ticebergChanges)
 }

@@ -226,9 +226,106 @@ object IcebergRead {
     snapshotImpl(spark, table, to, lineage = false, addedIn = Some(range.contains))
   }
 
+  /** Live data-file and delete-file path sets of one snapshot — pure
+    * metadata (manifest-list + manifests), no Spark job. */
+  private def fileSets(meta: com.fasterxml.jackson.databind.JsonNode,
+      snapshotId: Long): (Set[String], Set[String]) = {
+    val snap = meta.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong(-1L) == snapshotId)
+      .getOrElse(throw new IllegalArgumentException(s"snapshot $snapshotId not found"))
+    val (dataMs, delMs) =
+      if (snap.has("manifest-list")) {
+        val rows = avroRecords(snap.path("manifest-list").asText()).map { r =>
+          (r.get("manifest_path").toString,
+            Option(r.get("content")).map(_.toString.toInt).getOrElse(0))
+        }
+        (rows.collect { case (p, 0) => p }, rows.collect { case (p, c) if c != 0 => p })
+      } else (snap.path("manifests").elements().asScala.map(_.asText()).toSeq, Seq.empty[String])
+    def paths(ms: Seq[String]): Set[String] = ms.flatMap { mp =>
+      avroRecords(mp).flatMap { e =>
+        val status = Option(e.getSchema.getField("status"))
+          .flatMap(_ => Option(e.get("status"))).map(_.toString.toInt).getOrElse(1)
+        if (status == 2) None // DELETED entry
+        else Some(localPath(e.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord].get("file_path").toString))
+      }
+    }.toSet
+    (paths(dataMs), paths(delMs))
+  }
+
+  /** CHANGELOG between two snapshots — the read-side twin of
+    * [[addsBetween]] that also reports DELETES: the table's columns plus
+    * `_change_type` ('insert' | 'delete'). Works for ANY operation mix in
+    * the range (append, delete, overwrite/upsert, compaction), where
+    * adds-only reading refuses.
+    *
+    * File-level diff, so cost scales with what CHANGED, not table size:
+    *   - files only in `to`  → their live rows are inserts (one scan of
+    *     just those files);
+    *   - files only in `from` → their live-at-`from` rows are deletes;
+    *   - files in BOTH contribute only when the snapshots' delete-file
+    *     sets differ (new position/equality deletes): live-at-`from`
+    *     minus live-at-`to` via one (file, pos) anti join, restricted to
+    *     the common files. Append-only ranges skip this leg entirely.
+    *
+    * Rewrite-style commits (compaction) report their rows as delete +
+    * insert pairs — row-identity net-out across rewrites needs content
+    * keys the format doesn't carry per row (same caveat as Iceberg's own
+    * changelog scan). `fromSnapshotId = 0` = since the beginning (all
+    * rows at `to` are inserts). */
+  def changesBetween(spark: SparkSession, table: String, fromSnapshotId: Long,
+      toSnapshotId: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val meta = mapper.readTree(metadataFile(table))
+    val order = commitOrder(meta)
+    val to =
+      if (toSnapshotId >= 0) toSnapshotId else meta.path("current-snapshot-id").asLong(-1L)
+    val toPos = order.indexOf(to)
+    require(toPos >= 0, s"snapshot $to not found (commit order: ${order.mkString(",")})")
+    def tag(df: DataFrame, t: String): DataFrame = df.withColumn("_change_type", lit(t))
+    if (fromSnapshotId == 0L)
+      return tag(snapshotImpl(spark, table, to, lineage = false), "insert")
+    val fromPos = order.indexOf(fromSnapshotId)
+    require(fromPos >= 0,
+      s"snapshot $fromSnapshotId not found (commit order: ${order.mkString(",")})")
+    require(fromPos <= toPos,
+      s"snapshot $fromSnapshotId is after $to in commit order — empty/negative range")
+
+    val (fromData, fromDel) = fileSets(meta, fromSnapshotId)
+    val (toData, toDel) = fileSets(meta, to)
+    val addedFiles = toData -- fromData
+    val removedFiles = fromData -- toData
+    val common = fromData.intersect(toData)
+
+    val legs = Seq.newBuilder[DataFrame]
+    if (addedFiles.nonEmpty)
+      legs += tag(snapshotImpl(spark, table, to, lineage = false,
+        keepPaths = Some(addedFiles)), "insert")
+    if (removedFiles.nonEmpty)
+      legs += tag(snapshotImpl(spark, table, fromSnapshotId, lineage = false,
+        keepPaths = Some(removedFiles)), "delete")
+    if (common.nonEmpty && fromDel != toDel) {
+      val before = snapshotImpl(spark, table, fromSnapshotId, lineage = true,
+        keepPaths = Some(common))
+      val after = snapshotImpl(spark, table, to, lineage = true,
+        keepPaths = Some(common))
+      legs += tag(
+        before.join(after.select(col("_file"), col("_pos")), Seq("_file", "_pos"), "left_anti")
+          .drop("_file", "_pos"), "delete")
+    }
+    legs.result() match {
+      case Seq() => tag(snapshotImpl(spark, table, to, lineage = false), "insert").limit(0)
+      // unionByName(allowMissing): legs read at different snapshots may
+      // resolve different schema versions (add-column evolution in range);
+      // pre-evolution delete rows null-fill the new columns
+      case ls => ls.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+  }
+
   private def snapshotImpl(spark: SparkSession, table: String, snapshotId: Long,
       lineage: Boolean, prune: Option[Map[String, Any] => Boolean] = None,
-      addedIn: Option[Long => Boolean] = None): DataFrame = {
+      addedIn: Option[Long => Boolean] = None,
+      keepPaths: Option[String => Boolean] = None): DataFrame = {
     val meta = mapper.readTree(metadataFile(table))
     val formatVersion = meta.path("format-version").asInt(1)
     require(formatVersion <= 2, s"unsupported Iceberg format-version $formatVersion")
@@ -333,8 +430,12 @@ object IcebergRead {
             case a: java.util.Collection[_] => a.asScala.map(_.toString.toInt).toSeq
             case _ => Seq.empty
           }
-          if (kept && inRange)
-            Some(MEntry(localPath(df.get("file_path").toString), content, seq, eqIds))
+          val path = localPath(df.get("file_path").toString)
+          // path-set restriction (changelog reads): data files only —
+          // delete files always apply, extra ones anti-join to nothing
+          val keptPath = !expectData || keepPaths.forall(_(path))
+          if (kept && inRange && keptPath)
+            Some(MEntry(path, content, seq, eqIds))
           else None
         }
       }

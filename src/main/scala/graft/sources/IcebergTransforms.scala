@@ -114,6 +114,11 @@ private[sources] object IcebergTransforms {
       // Spark timestamps are UTC instants; floor-divide epoch seconds so
       // pre-1970 instants land on the correct (negative) ordinal too
       case TimestampType => floor(unix_timestamp(c) / 86400L).cast(IntegerType)
+      // NTZ (Iceberg `timestamp` without zone): the spec's day ordinal is
+      // over the stored wall-clock value — reinterpret as UTC to reuse the
+      // epoch-second path (identical µs under a UTC session).
+      case TimestampNTZType =>
+        floor(unix_timestamp(c.cast(TimestampType)) / 86400L).cast(IntegerType)
       case other => throw new IllegalArgumentException(
         s"day() needs a date/timestamp source, got $other for '$source'")
     }

@@ -40,6 +40,10 @@ object IcebergWrite {
     case StringType => "string"
     case DateType => "date"
     case TimestampType => "timestamp"
+    // Iceberg distinguishes `timestamp` (no zone) from `timestamptz`; an
+    // NTZ column is exactly the spec's zoneless `timestamp`, so accept it
+    // rather than refusing (µs representation is identical either way).
+    case TimestampNTZType => "timestamp"
     case BinaryType => "binary"
     case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
     case other => throw new IllegalArgumentException(

@@ -42,8 +42,10 @@ class PurchaseTotalProcessor
   */
 object StreamOps {
 
-  /** Streaming view of the events table: file source + ns→µs conversion
-    * (same truncation as the batch path in [[graft.Tables]]). */
+  /** Streaming view of the events table: file source + the same
+    * load-boundary timestamp normalization as the batch path
+    * ([[graft.Tables.normalizeTimestamps]] — ns-long legacy data and
+    * NTZ-inferred current data both surface `ts` as `TimestampType`). */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
@@ -52,10 +54,10 @@ object StreamOps {
     val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
     java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"), src)
     val schema = spark.read.parquet(src.toString).schema
-    spark.readStream
-      .schema(schema)
-      .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.normalizeTimestamps(
+      spark.readStream
+        .schema(schema)
+        .parquet(dir.toString))
   }
 
   private val sinkCounter = new java.util.concurrent.atomic.AtomicLong()
@@ -176,8 +178,8 @@ object StreamOps {
       java.nio.file.Files.copy(src.toPath, dup.resolve(n))
     }
     val schema = spark.read.parquet(src.getPath).schema
-    val stream = spark.readStream.schema(schema).parquet(dup.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = graft.Tables.normalizeTimestamps(
+        spark.readStream.schema(schema).parquet(dup.toString))
       .withWatermark("ts", "30 days")
       .dropDuplicates("event_id")
       .groupBy(col("event_type"))
@@ -285,8 +287,8 @@ object StreamOps {
       java.nio.file.Files.copy(src.toPath, dup.resolve(n))
     }
     val schema = spark.read.parquet(src.getPath).schema
-    val stream = spark.readStream.schema(schema).parquet(dup.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = graft.Tables.normalizeTimestamps(
+        spark.readStream.schema(schema).parquet(dup.toString))
       .withWatermark("ts", "30 days")
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))

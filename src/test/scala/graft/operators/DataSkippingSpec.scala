@@ -78,9 +78,11 @@ class DataSkippingSpec extends SparkSpec {
     val st = DataSkipping.collectStats(spark, d, Seq("o_orderdate", "o_orderstatus")).cache()
     val f = spark.read.parquet(d)
 
-    val maxDate = f.agg(max($"o_orderdate")).collect().head
-      .get(0).asInstanceOf[java.time.LocalDateTime]
-    val predTs = col("o_orderdate") > lit(maxDate.minusDays(200))
+    // post-load contract (DataContractSpec): event-time is TimestampType
+    val maxDate = f.agg(max($"o_orderdate")).collect().head.getTimestamp(0)
+    val cutoff = java.sql.Timestamp.from(
+      maxDate.toInstant.minus(java.time.Duration.ofDays(200)))
+    val predTs = col("o_orderdate") > lit(cutoff)
     val (dfTs, hitTs, totalTs) = DataSkipping.scan(spark, d, st, predTs)
     assert(hitTs < totalTs, s"late-date range should skip files ($hitTs of $totalTs)")
     assert(dfTs.count() === f.where(predTs).count())
