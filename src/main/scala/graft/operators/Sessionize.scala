@@ -26,7 +26,13 @@ object Sessionize {
       gapMicros: Long,
       strictGreater: Boolean = true): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col(ts).asc, col(tieBreak).asc)
-    val us = unix_micros(col(ts))
+    // NTZ tolerance: reinterpret wall-clock as UTC for the gap arithmetic —
+    // gaps are differences, so the uniform shift cancels
+    val us = df.schema(ts).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(ts).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => unix_micros(col(ts))
+    }
     val prev = lag(us, 1).over(w)
     val gapCond: Column =
       if (strictGreater) us - prev > gapMicros else us - prev >= gapMicros

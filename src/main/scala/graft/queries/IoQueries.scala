@@ -565,8 +565,30 @@ object IoQueries {
       FROM events WHERE event_type = 'view' GROUP BY event_type
       ORDER BY change, event_type"""))
 
+  /** S8c CHANGELOG read on Delta — same lineage shape as
+    * [[ticebergChanges]] (append clicks, append views, DV-delete the cheap
+    * clicks) through [[graft.sources.DeltaRead.changesBetween]]: views as
+    * inserts, DV-deleted clicks as deletes. Same oracle — both formats'
+    * changelogs must agree on the change sets. */
+  val tdeltaCdc = GQuery(
+    "t_delta_cdc",
+    (s, dir) => {
+      val table = tmp("graft_deltacdc_q")
+      val ev = Tables(s, dir, "events").select(col("event_id"), col("value"), col("event_type"))
+      val v1 = graft.sources.DeltaWrite.append(s, ev.where(col("event_type") === "click"), table)
+      graft.sources.DeltaWrite.append(s, ev.where(col("event_type") === "view"), table)
+      graft.sources.DeltaWrite.deleteWhere(s, table,
+        col("event_type") === "click" && col("value") < lit(50.0))
+      graft.sources.DeltaRead.changesBetween(s, table, v1)
+        .groupBy(col("_change_type"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .withColumnRenamed("_change_type", "change")
+        .orderBy(col("change"), col("event_type"))
+    },
+    ticebergChanges.oracle)
+
   def all: Seq[GQuery] =
     Seq(t1, t1orc, t2, t3, tskip, tdelta, ticeberg, tdeltaRt, ticebergRt, ticebergMor,
       tdeltaDv, tdeltaUpsert, ticebergPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
-      ticebergChanges)
+      ticebergChanges, tdeltaCdc)
 }

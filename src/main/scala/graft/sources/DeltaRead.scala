@@ -408,6 +408,57 @@ object DeltaRead {
       lineage = false)
   }
 
+  /** CHANGELOG between two versions — the twin of [[addsBetween]] that
+    * also reports DELETES: the table's columns plus `_change_type`
+    * ('insert' | 'delete'). Works for ANY commit mix (append, DV delete,
+    * overwrite/upsert, compaction), where adds-only reading refuses.
+    *
+    * Snapshot diff at FILE granularity, so cost scales with what changed:
+    * files only at `toVersion` → inserts (their live rows, DVs applied);
+    * files only at `fromVersion` → deletes (live-at-from rows); files at
+    * BOTH whose deletion vector changed → the newly-marked positions via
+    * one (file, pos) anti join restricted to just those files. Append-only
+    * ranges skip both delete legs. Rewrite commits (compaction) report
+    * delete + insert pairs for the rewritten rows — same caveat as the
+    * Iceberg twin ([[IcebergRead.changesBetween]]): per-row identity
+    * across rewrites isn't in the log. */
+  def changesBetween(spark: SparkSession, table: String, fromVersion: Long,
+      toVersion: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val toSnap = snapshotInfo(spark, table, toVersion)
+    require(fromVersion >= 0 && fromVersion <= toSnap.version,
+      s"fromVersion $fromVersion outside [0, ${toSnap.version}]")
+    def tag(df: DataFrame, t: String): DataFrame = df.withColumn("_change_type", lit(t))
+    val fromSnap = snapshotInfo(spark, table, fromVersion)
+    val fromByPath = fromSnap.files.map(f => f.path -> f).toMap
+    val toByPath = toSnap.files.map(f => f.path -> f).toMap
+    val added = toSnap.files.filterNot(f => fromByPath.contains(f.path))
+    val removed = fromSnap.files.filterNot(f => toByPath.contains(f.path))
+    val dvChanged = fromSnap.files.filter(f => toByPath.get(f.path).exists(_.dv != f.dv))
+    val legs = Seq.newBuilder[DataFrame]
+    if (added.nonEmpty)
+      legs += tag(assembleData(spark, table, toSnap.copy(files = added), lineage = false),
+        "insert")
+    if (removed.nonEmpty)
+      legs += tag(assembleData(spark, table, fromSnap.copy(files = removed), lineage = false),
+        "delete")
+    if (dvChanged.nonEmpty) {
+      val before = assembleData(spark, table, fromSnap.copy(files = dvChanged), lineage = true)
+      val after = assembleData(spark, table,
+        toSnap.copy(files = dvChanged.map(f => toByPath(f.path))), lineage = true)
+      legs += tag(
+        before.join(after.select(col("_file"), col("_pos")), Seq("_file", "_pos"), "left_anti")
+          .drop("_file", "_pos"), "delete")
+    }
+    legs.result() match {
+      case Seq() =>
+        tag(assembleData(spark, table, toSnap.copy(files = Nil), lineage = false), "insert")
+      // versions in range may carry evolved schemas (add-column):
+      // pre-evolution delete rows null-fill the new columns
+      case ls => ls.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+  }
+
   /** [[snapshot]] with PARTITION PRUNING at the log level: `keep` sees each
     * file's logical-keyed partition values (string-typed, null for NULL,
     * exactly as the log carries them) and files it rejects never reach the

@@ -77,6 +77,20 @@ object Lake {
         s"plain parquet at $path has no commit history for incremental reads")
     }
 
+  /** CHANGELOG dispatch: rows inserted AND deleted between two versions
+    * (Delta log versions / Iceberg snapshot ids), as the table's columns
+    * plus `_change_type` ('insert' | 'delete') — the operation-mix-safe
+    * superset of [[addsBetween]]. Plain parquet has no history — refused
+    * loudly. */
+  def changesBetween(spark: SparkSession, path: String, fromVersion: Long,
+      toVersion: Long = -1L): DataFrame =
+    detect(spark, path) match {
+      case Delta => DeltaRead.changesBetween(spark, path, fromVersion, toVersion)
+      case Iceberg => IcebergRead.changesBetween(spark, path, fromVersion, toVersion)
+      case Parquet => throw new IllegalArgumentException(
+        s"plain parquet at $path has no commit history for changelog reads")
+    }
+
   /** Merge-on-read DELETE dispatch: Delta deletion vectors or Iceberg
     * position deletes. Plain parquet has no transaction log to carry a
     * delete — refused loudly. */
@@ -126,6 +140,16 @@ object Lake {
       require(args.length == 2, "lake_scan_at(path, timestamp_ms)")
       Bridge.logicalPlan(readAt(spark,
         str(args.head, "lake_scan_at: path"), num(args(1), "lake_scan_at: timestamp_ms")))
+    })
+    // SELECT * FROM lake_changes('/path', from_version[, to_version]):
+    // the changelog (insert/delete rows) between two versions, from SQL
+    Bridge.registerTableFunction(spark, "lake_changes", { args =>
+      require(args.length == 2 || args.length == 3,
+        "lake_changes(path, from_version[, to_version])")
+      Bridge.logicalPlan(changesBetween(spark,
+        str(args.head, "lake_changes: path"),
+        num(args(1), "lake_changes: from_version"),
+        args.lift(2).map(num(_, "lake_changes: to_version")).getOrElse(-1L)))
     })
   }
 

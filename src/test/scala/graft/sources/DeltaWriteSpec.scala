@@ -362,4 +362,45 @@ class DeltaWriteSpec extends SparkSpec {
     assert(replayed.metaId === id0)
     assert(DeltaRead.snapshot(spark, table).count() === 5L)
   }
+
+  test("changesBetween: inserts, DV deletes, upsert, SQL surface, and range edges") {
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("graft_dw_cdc").toString
+    def changes(from: Long, to: Long = -1L): Set[(Long, String, String)] =
+      DeltaRead.changesBetween(spark, table, from, to)
+        .select("id", "name", "_change_type")
+        .as[(Long, String, String)].collect().toSet
+
+    val v1 = DeltaWrite.append(spark,
+      Seq((1L, "a", "x"), (2L, "b", "x")).toDF("id", "name", "grp"), table)
+    val v2 = DeltaWrite.append(spark, Seq((3L, "c", "y")).toDF("id", "name", "grp"), table)
+    // append-only range: inserts only (both delete legs skipped)
+    assert(changes(v1) === Set((3L, "c", "insert")))
+
+    // deletion vector on a file common to both endpoints → a delete row
+    val v3 = DeltaWrite.deleteWhere(spark, table, col("id") === 2L)
+    assert(changes(v1) === Set((3L, "c", "insert"), (2L, "b", "delete")))
+    assert(changes(v2, v3) === Set((2L, "b", "delete")))
+
+    // upsert (DV-delete + append in ONE commit): old version out, new in
+    val v4 = DeltaWrite.upsert(spark, Seq((1L, "a2", "x")).toDF("id", "name", "grp"),
+      table, Seq("id"))
+    assert(changes(v3, v4) === Set((1L, "a", "delete"), (1L, "a2", "insert")))
+    // full mixed-lineage range — the shape addsBetween refuses
+    assert(changes(v1) ===
+      Set((3L, "c", "insert"), (2L, "b", "delete"), (1L, "a", "delete"), (1L, "a2", "insert")))
+
+    // Lake dispatch + SQL table function produce the identical changelog
+    assert(Lake.changesBetween(spark, table, v1).count() === 4L)
+    Lake.registerSqlSurface(spark)
+    val viaSql = spark.sql(
+      s"SELECT id, name, _change_type FROM lake_changes('$table', $v1)")
+      .as[(Long, String, String)].collect().toSet
+    assert(viaSql === changes(v1))
+
+    // identical endpoints → empty changelog with the _change_type column
+    val same = DeltaRead.changesBetween(spark, table, v4, v4)
+    assert(same.columns.contains("_change_type") && same.count() === 0L)
+    intercept[IllegalArgumentException](DeltaRead.changesBetween(spark, table, 999L))
+  }
 }

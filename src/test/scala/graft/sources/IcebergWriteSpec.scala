@@ -539,4 +539,44 @@ class IcebergWriteSpec extends SparkSpec {
     assert(IcebergRead.snapshot(spark, table).count() === 3L)
     assert(IcebergRead.txnVersions(spark, table)("app1") >= 2L)
   }
+
+  test("changesBetween: inserts, position-deletes, upsert, and range edges") {
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("graft_iw_cdc").toString
+    def changes(from: Long, to: Long = -1L): Set[(Long, String, String)] =
+      IcebergRead.changesBetween(spark, table, from, to)
+        .select("id", "name", "_change_type")
+        .as[(Long, String, String)].collect().toSet
+
+    val s1 = IcebergWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name"), table)
+    val s2 = IcebergWrite.append(spark, Seq((3L, "c")).toDF("id", "name"), table)
+    // append-only range: inserts only (no delete legs)
+    assert(changes(s1) === Set((3L, "c", "insert")))
+    // from the beginning: every live row is an insert
+    assert(changes(0L) === Set((1L, "a", "insert"), (2L, "b", "insert"), (3L, "c", "insert")))
+
+    // position delete on a file common to both endpoints → a delete row
+    val s3 = IcebergWrite.deleteWhere(spark, table, col("id") === 2L)
+    assert(changes(s1) === Set((3L, "c", "insert"), (2L, "b", "delete")))
+    assert(changes(s2, s3) === Set((2L, "b", "delete")))
+    // a row inserted AND deleted inside the range nets out of the insert
+    // leg but surfaces as a delete of the from-endpoint state only if it
+    // existed there: id=2 existed at s1, id=3's file is new → insert leg
+    // reflects to-live rows of added files only
+    assert(changes(0L) === Set((1L, "a", "insert"), (3L, "c", "insert")))
+
+    // upsert = equality-delete + re-append in one lineage: old version
+    // deleted, new version inserted
+    val s4 = IcebergWrite.upsert(spark, Seq((1L, "a2")).toDF("id", "name"), table, Seq("id"))
+    assert(changes(s3, s4) === Set((1L, "a", "delete"), (1L, "a2", "insert")))
+    // full range across the mixed lineage (the addsBetween-refused shape)
+    assert(changes(s1) ===
+      Set((3L, "c", "insert"), (2L, "b", "delete"), (1L, "a", "delete"), (1L, "a2", "insert")))
+
+    // identical endpoints → empty changelog with the _change_type column
+    val same = IcebergRead.changesBetween(spark, table, s4, s4)
+    assert(same.columns.contains("_change_type") && same.count() === 0L)
+    // unknown snapshot id refused
+    intercept[IllegalArgumentException](IcebergRead.changesBetween(spark, table, 999L))
+  }
 }
