@@ -587,8 +587,51 @@ object IoQueries {
     },
     ticebergChanges.oracle)
 
+  /** S8o/S9o OPTIMIZE: slice events into per-type appends (many small
+    * files), DV/position-delete a predicate, COMPACT both formats via the
+    * Lake dispatch, and aggregate the compacted state — which must equal
+    * the uncompacted truth (oracle recomputes it from source rows). The
+    * per-format file counts after compaction ride along as columns, so a
+    * compaction that silently does nothing (or fans out) breaks the hash:
+    * each format packs to the requested ~1-file layout. */
+  val tlakeCompact = GQuery(
+    "t_lake_compact",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events").select(col("event_id"), col("value"), col("event_type"))
+      val types = Seq("click", "view", "signup", "purchase", "error")
+      def build(table: String, isDelta: Boolean): Unit = {
+        types.foreach { t =>
+          val slice = ev.where(col("event_type") === t)
+          if (isDelta) graft.sources.DeltaWrite.append(s, slice, table)
+          else graft.sources.IcebergWrite.append(s, slice, table)
+        }
+        graft.sources.Lake.deleteWhere(s, table,
+          col("event_type") === "error" && col("value") < lit(20.0))
+        graft.sources.Lake.compact(s, table)
+      }
+      val dTable = tmp("graft_deltaopt_q"); build(dTable, isDelta = true)
+      val iTable = tmp("graft_icebergopt_q"); build(iTable, isDelta = false)
+      def agg(table: String, fmt: String) = {
+        val snap = graft.sources.Lake.read(s, table)
+        snap.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+          .withColumn("fmt", lit(fmt))
+          .withColumn("files", lit(snap.inputFiles.length))
+      }
+      agg(dTable, "delta").unionByName(agg(iTable, "iceberg"))
+        .select(col("fmt"), col("event_type"), col("cnt"), col("sum_value"), col("files"))
+        .orderBy(col("fmt"), col("event_type"))
+    },
+    Some("""SELECT fmt, event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value,
+        1 AS files
+      FROM (SELECT 'delta' AS fmt FROM range(1) UNION ALL SELECT 'iceberg') fmts
+      CROSS JOIN events
+      WHERE NOT (event_type = 'error' AND value < 20.0)
+      GROUP BY fmt, event_type
+      ORDER BY fmt, event_type"""))
+
   def all: Seq[GQuery] =
     Seq(t1, t1orc, t2, t3, tskip, tdelta, ticeberg, tdeltaRt, ticebergRt, ticebergMor,
       tdeltaDv, tdeltaUpsert, ticebergPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
-      ticebergChanges, tdeltaCdc)
+      ticebergChanges, tdeltaCdc, tlakeCompact)
 }

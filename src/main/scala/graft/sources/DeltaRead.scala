@@ -61,7 +61,7 @@ object DeltaRead {
                   modificationTime: BIGINT, dataChange: BOOLEAN,
                   deletionVector: STRUCT<storageType: STRING, pathOrInlineDv: STRING,
                                          offset: INT, sizeInBytes: INT, cardinality: BIGINT>>,
-       remove STRUCT<path: STRING>,
+       remove STRUCT<path: STRING, dataChange: BOOLEAN>,
        metaData STRUCT<id: STRING, schemaString: STRING,
                        partitionColumns: ARRAY<STRING>,
                        format: STRUCT<provider: STRING>,
@@ -374,6 +374,7 @@ object DeltaRead {
       s"fromVersion $fromVersion is beyond the resolved toVersion ${snap.version}")
     val range = (fromVersion + 1) to snap.version
     val added = scala.collection.mutable.LinkedHashMap[String, LiveFile]()
+    val rewrittenAway = scala.collection.mutable.Set.empty[String]
     range.foreach { v =>
       val commitPath = s"${logPath(table)}/${f"$v%020d"}.json"
       val hfs = fs(spark, new org.apache.hadoop.fs.Path(commitPath))
@@ -385,26 +386,39 @@ object DeltaRead {
           col("remove.path").as("rp"),
           coalesce(col("add.size"), lit(0L)).as("sz"),
           coalesce(col("add.modificationTime"), lit(0L)).as("mt"),
-          col("add.deletionVector").as("dv"))
+          col("add.deletionVector").as("dv"),
+          coalesce(col("add.dataChange"), lit(true)).as("adc"),
+          coalesce(col("remove.dataChange"), lit(true)).as("rdc"))
         .collect()
-      val hasRemove = commit.exists(r => !r.isNullAt(2))
-      require(!hasRemove || ignoreChanges,
-        s"commit $v contains removes (overwrite/delete/compaction) — adds-only " +
+      // layout-only commits (compaction: every action dataChange=false)
+      // rewrite rows that were already emitted — skip the whole commit, the
+      // stock streaming-source rule. Only DATA removes make adds ambiguous.
+      val hasDataRemove = commit.exists(r => !r.isNullAt(2) && r.getBoolean(7))
+      require(!hasDataRemove || ignoreChanges,
+        s"commit $v contains removes (overwrite/delete) — adds-only " +
           "reading is ambiguous; pass ignoreChanges=true to emit re-added files anyway")
       commit.foreach { r =>
-        if (!r.isNullAt(0)) {
+        if (!r.isNullAt(0) && r.getBoolean(6)) {
           val p = resolve(table, r.getString(0))
           added(p) = LiveFile(p,
             Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty),
             r.getLong(3), r.getLong(4), parseDv(r, 5))
         }
+        if (!r.isNullAt(2) && !r.getBoolean(7))
+          rewrittenAway += resolve(table, r.getString(2))
       }
     }
-    // files added in-range but no longer live at toVersion (added then
-    // removed) would double-report; keep only the still-live ones
+    // files added in-range but no longer live at toVersion: a DATA remove
+    // (delete/overwrite) means the rows are gone — drop them (they would
+    // double-report against the reality at `to`); a LAYOUT-ONLY remove
+    // (compaction) means the rows live on in rewritten files whose adds we
+    // skipped — emit them from the original file, which stays on disk
+    // until vacuum (the snapshot they were added in is exactly their
+    // content; stock streaming emitted them the same way, pre-compaction).
     val liveNow = snap.files.map(_.path).toSet
     assembleData(spark, table,
-      snap.copy(files = added.values.filter(f => liveNow(f.path)).toSeq),
+      snap.copy(files =
+        added.values.filter(f => liveNow(f.path) || rewrittenAway(f.path)).toSeq),
       lineage = false)
   }
 
@@ -489,7 +503,7 @@ object DeltaRead {
   /** One scan over `snap.files` with partition injection, column-mapping
     * rename, DV application, and optional lineage — shared by the
     * snapshot readers and [[addsBetween]]. */
-  private def assembleData(spark: SparkSession, table: String, snap: Snapshot,
+  private[sources] def assembleData(spark: SparkSession, table: String, snap: Snapshot,
       lineage: Boolean): DataFrame = {
     val dataSchema = StructType(
       snap.schema.filterNot(f => snap.partitionColumns.contains(f.name))

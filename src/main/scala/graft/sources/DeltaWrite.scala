@@ -129,11 +129,16 @@ object DeltaWrite {
     moved
   }
 
-  private def addAction(rel: String, values: Map[String, String], size: Long): String = {
+  private def addAction(rel: String, values: Map[String, String], size: Long,
+      dataChange: Boolean = true): String = {
     val pv = values.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }.mkString("{", ",", "}")
     s"""{"add":{"path":${jsonStr(rel)},"partitionValues":$pv,"size":$size,""" +
-      s""""modificationTime":${System.currentTimeMillis()},"dataChange":true}}"""
+      s""""modificationTime":${System.currentTimeMillis()},"dataChange":$dataChange}}"""
   }
+
+  private def removeAction(rel: String, dataChange: Boolean): String =
+    s"""{"remove":{"path":${jsonStr(rel)},"deletionTimestamp":${System.currentTimeMillis()},""" +
+      s""""dataChange":$dataChange}}"""
 
   /** Append `df` to the Delta table at `table`, creating it (protocol +
     * metaData + adds at version 0) if absent. Returns the committed
@@ -228,6 +233,71 @@ object DeltaWrite {
         if (snap.metaId.nonEmpty) snap.metaId else newTableId(),
         snap.configuration)) ++ removes ++ adds).mkString("", "\n", "\n")
       if (tryCommitAt(table, snap.version + 1, content)) return snap.version + 1
+    }
+    -1L // unreachable
+  }
+
+  /** OPTIMIZE: bin-pack small files (and materialize deletion vectors)
+    * into `targetFileBytes`-sized files, committed as a LAYOUT-ONLY
+    * change — every remove and add carries `dataChange=false`, so
+    * incremental readers ([[DeltaRead.addsBetween]], stock streaming
+    * sources) skip the commit entirely instead of re-emitting rewritten
+    * rows. Only files smaller than `smallFileBytes` or carrying a DV are
+    * rewritten; right-sized clean files are left untouched, so cost
+    * scales with the small-file debt, not the table. Partitioning is
+    * preserved (rewritten rows are re-staged under their partition dirs,
+    * clustered by the partition columns). Returns the committed version,
+    * or the current version unchanged when there is nothing to do
+    * (fewer than 2 rewrite candidates and no DV to purge).
+    *
+    * Rewritten-away files stay on disk (unreferenced) until a vacuum —
+    * the spec's separation of commit and physical cleanup; crucially this
+    * is what lets in-range adds-only reads still serve rows from
+    * pre-compaction files.
+    *
+    * Optimistic like [[overwrite]]: a concurrent commit between the
+    * snapshot read and the claim re-reads and re-stages, so a concurrent
+    * DV delete on a candidate file is never lost. */
+  def compact(spark: SparkSession, table: String,
+      smallFileBytes: Long = 64L << 20, targetFileBytes: Long = 128L << 20): Long = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    require(currentVersions(table).nonEmpty, s"not a Delta table: $table")
+    while (true) {
+      val snap = DeltaRead.snapshotInfo(spark, table)
+      require(snap.columnMappingMode == "none",
+        "compaction under column mapping is not supported (rewritten files " +
+          "would need physical-name columns)")
+      // candidate selection is PER PARTITION: two small files in different
+      // partitions cannot be merged (the rewrite would just re-emit them),
+      // so a partition qualifies only with ≥2 small files or a DV to purge
+      val candidates = snap.files.groupBy(_.partitionValues).values.flatMap { fs =>
+        val small = fs.filter(f => f.size < smallFileBytes || f.dv.isDefined)
+        if (small.size >= 2 || small.exists(_.dv.isDefined)) small else Nil
+      }.toSeq
+      if (candidates.isEmpty) return snap.version
+      // DVs applied during the read = materialized out of the new files
+      val df = DeltaRead.assembleData(spark, table, snap.copy(files = candidates),
+        lineage = false)
+      val nOut = math.max(1,
+        math.ceil(candidates.map(_.size).sum.toDouble / targetFileBytes).toInt)
+      val packed =
+        if (snap.partitionColumns.nonEmpty)
+          df.repartition(nOut, snap.partitionColumns.map(fcol): _*)
+        else df.repartition(nOut)
+      val staged = stageFiles(packed, table, snap.partitionColumns)
+      val adds = staged.map { case (rel, values) =>
+        addAction(pctEncodePath(rel), values, Files.size(Paths.get(table, rel)),
+          dataChange = false)
+      }
+      val removes = candidates.map { f =>
+        removeAction(pctEncodePath(f.path.stripPrefix(s"${table.stripSuffix("/")}/")),
+          dataChange = false)
+      }
+      if (tryCommitAt(table, snap.version + 1,
+          (removes ++ adds).mkString("", "\n", "\n")))
+        return snap.version + 1
+      // lost the race: newly staged files stay unreferenced (vacuum debt),
+      // correctness re-derives from the fresh snapshot next iteration
     }
     -1L // unreachable
   }

@@ -40,7 +40,7 @@ object IcebergRead {
 
   private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  private def localPath(uri: String): String = {
+  private[sources] def localPath(uri: String): String = {
     // percent-only decode ('+' is literal in URI paths — see DeltaRead.pctDecode)
     val decoded = DeltaRead.pctDecode(uri)
     decoded.replaceFirst("^[a-zA-Z0-9+.-]+:(//)?", "")
@@ -65,7 +65,7 @@ object IcebergRead {
     }
   }
 
-  private def avroRecords(path: String): Seq[org.apache.avro.generic.GenericRecord] = {
+  private[sources] def avroRecords(path: String): Seq[org.apache.avro.generic.GenericRecord] = {
     val reader = new org.apache.avro.file.DataFileReader(
       new java.io.File(localPath(path)),
       new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
@@ -89,6 +89,13 @@ object IcebergRead {
       s"unsupported Iceberg column type '$other' for field '$name' " +
         "(nested/complex types are outside this reader's subset)")
   }
+
+  /** Current snapshot restricted to `paths` (position/equality deletes
+    * still applied) — the writer's compaction reads its rewrite
+    * candidates through this. */
+  private[sources] def snapshotRestricted(spark: SparkSession, table: String,
+      paths: Set[String]): DataFrame =
+    snapshotImpl(spark, table, -1L, lineage = false, keepPaths = Some(paths))
 
   /** The Iceberg table as a DataFrame at `snapshotId` (-1 = current). */
   def snapshot(spark: SparkSession, table: String, snapshotId: Long = -1L): DataFrame =

@@ -176,6 +176,72 @@ object IcebergWrite {
     mlPath
   }
 
+  /** Stage `df` as data files under `data/`: evaluate each transform into
+    * a `__p_*` column and partitionBy those — hive dirs split files per
+    * transform value while the REAL columns stay inside the files
+    * (Iceberg data files carry all columns; no reader-side injection
+    * needed). Exact per-file record counts AND typed per-file partition
+    * values in ONE job — a real Iceberg reader trusts record_count and
+    * prunes on the partition record, so wrong values would corrupt its
+    * scan. Returns (moved path, row count, partition values) per file. */
+  private def stageDataFiles(spark: SparkSession, df: DataFrame, table: String,
+      transforms: Seq[IcebergTransforms.Transform],
+      partTypes: Seq[(String, DataType)]): Seq[(java.nio.file.Path, Long, Seq[Any])] = {
+    import org.apache.spark.sql.functions.{col => fcol, count => fcount, first => ffirst, input_file_name, lit => flit}
+    val stage = Files.createTempDirectory("graft_iceberg_write")
+    val dupCols = transforms.map(t => s"__p_${t.fieldName}")
+    val stagedDf =
+      if (transforms.isEmpty) df
+      else df.select(df.columns.map(fcol).toSeq ++
+        transforms.map(t => t.column(fcol(t.source), df.schema(t.source).dataType)
+          .as(s"__p_${t.fieldName}")): _*)
+    stagedDf.write.mode("overwrite").partitionBy(dupCols: _*).parquet(stage.toString)
+    Files.createDirectories(dataDir(table))
+
+    val readBack = spark.read.parquet(stage.toString)
+    val aggCols = fcount(flit(1)).as("n") +: partTypes.map { case (c, dt) =>
+      ffirst(fcol(s"__p_$c").cast(dt)).as(c)
+    }
+    // key by STAGE-RELATIVE path, not file name: partitionBy names files
+    // per task, and one task writing several partition dirs reuses the
+    // same name in each — a name-keyed map silently mixes their stats
+    val stageRoot = stage.toRealPath().toString
+    val perFile: Map[String, (Long, Seq[Any])] = readBack
+      .groupBy(input_file_name().as("f")).agg(aggCols.head, aggCols.tail: _*)
+      .collect()
+      .map { r =>
+        val values = partTypes.indices.map { i =>
+          r.get(i + 2) match {
+            case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt // spec: epoch days
+            case v => v
+          }
+        }
+        val full = new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath
+        (full.stripPrefix(stageRoot).stripPrefix("/"), (r.getLong(1), values))
+      }.toMap
+
+    def walk(dir: java.io.File): Seq[java.io.File] =
+      Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+        if (f.isDirectory) walk(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+      }
+    val dataFiles = walk(stage.toFile).flatMap { f =>
+      val rel = stage.toRealPath().relativize(f.toPath.toRealPath()).toString
+      perFile.get(rel) match {
+        case None => None // 0-row part file (empty upstream partition): skip
+        case Some((n, values)) =>
+          val dest = dataDir(table).resolve(s"${java.util.UUID.randomUUID()}-${f.getName}")
+          Files.move(f.toPath, dest)
+          Some((dest, n, values))
+      }
+    }
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr); f.delete()
+    }
+    rmr(stage.toFile)
+    dataFiles
+  }
+
   private def readPrior(table: String): Option[com.fasterxml.jackson.databind.JsonNode] = {
     val v = currentVersion(table)
     if (v == 0) None
@@ -195,9 +261,17 @@ object IcebergWrite {
       schemasJson: Option[com.fasterxml.jackson.databind.JsonNode] => (String, Int, Int),
       specsJson: Option[com.fasterxml.jackson.databind.JsonNode] => (String, Int, Int),
       authorManifest: Long => (java.nio.file.Path, Long, Int, Int, Int, Long),
-      summaryProps: Map[String, String] = Map.empty): Long = {
+      summaryProps: Map[String, String] = Map.empty,
+      carryPrior: Seq[(String, Long, Int, Int)] => Seq[(String, Long, Int, Int)] =
+        identity,
+      expectBase: Option[Int] = None): Long = {
     def jstr(s: String) = mapper.writeValueAsString(s)
     while (true) {
+      // expectBase: the caller derived state (e.g. compaction's kept-entry
+      // list) from a specific version — retrying past a concurrent commit
+      // would silently drop the winner's files; abort with -1 so the
+      // caller re-derives instead
+      expectBase.foreach(b => if (currentVersion(table) != b) return -1L)
       // ONE version read, prior derived from exactly that version — a
       // second currentVersion() call here would race a concurrent winner
       // (read prior at N, see version N+1, claim N+2 carrying only N's
@@ -213,7 +287,7 @@ object IcebergWrite {
       val (manifestPath, manifestLen, content, specId, addedFiles, addedRows) =
         authorManifest(snapshotId)
       val mlPath = writeManifestList(table, snapshotId,
-        priorManifests(prior) :+ (manifestPath.toString, manifestLen, content, specId),
+        carryPrior(priorManifests(prior)) :+ (manifestPath.toString, manifestLen, content, specId),
         addedFiles, addedRows)
 
       val (schemas, currentSchemaId, lastColumnId) = schemasJson(prior)
@@ -432,59 +506,8 @@ object IcebergWrite {
     //    per-file record counts AND typed per-file partition values in ONE
     //    job — a real Iceberg reader trusts record_count and prunes on the
     //    partition record, so wrong values would corrupt its scan.
-    import org.apache.spark.sql.functions.{col => fcol, count => fcount, first => ffirst, input_file_name, lit => flit}
-    val stage = Files.createTempDirectory("graft_iceberg_write")
-    val dupCols = transforms.map(t => s"__p_${t.fieldName}")
-    val stagedDf =
-      if (transforms.isEmpty) df
-      else df.select(df.columns.map(fcol).toSeq ++
-        transforms.map(t => t.column(fcol(t.source), df.schema(t.source).dataType)
-          .as(s"__p_${t.fieldName}")): _*)
-    stagedDf.write.mode("overwrite").partitionBy(dupCols: _*).parquet(stage.toString)
-    Files.createDirectories(dataDir(table))
-
-    val readBack = spark.read.parquet(stage.toString)
-    val aggCols = fcount(flit(1)).as("n") +: partTypes.map { case (c, dt) =>
-      ffirst(fcol(s"__p_$c").cast(dt)).as(c)
-    }
-    // key by STAGE-RELATIVE path, not file name: partitionBy names files
-    // per task, and one task writing several partition dirs reuses the
-    // same name in each — a name-keyed map silently mixes their stats
-    val stageRoot = stage.toRealPath().toString
-    val perFile: Map[String, (Long, Seq[Any])] = readBack
-      .groupBy(input_file_name().as("f")).agg(aggCols.head, aggCols.tail: _*)
-      .collect()
-      .map { r =>
-        val values = partTypes.indices.map { i =>
-          r.get(i + 2) match {
-            case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt // spec: epoch days
-            case v => v
-          }
-        }
-        val full = new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath
-        (full.stripPrefix(stageRoot).stripPrefix("/"), (r.getLong(1), values))
-      }.toMap
-
-    def walk(dir: java.io.File): Seq[java.io.File] =
-      Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
-        if (f.isDirectory) walk(f)
-        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
-      }
-    val dataFiles: Seq[(java.nio.file.Path, Long, Seq[Any])] = walk(stage.toFile).flatMap { f =>
-      val rel = stage.toRealPath().relativize(f.toPath.toRealPath()).toString
-      perFile.get(rel) match {
-        case None => None // 0-row part file (empty upstream partition): skip
-        case Some((n, values)) =>
-          val dest = dataDir(table).resolve(s"${java.util.UUID.randomUUID()}-${f.getName}")
-          Files.move(f.toPath, dest)
-          Some((dest, n, values))
-      }
-    }
+    val dataFiles = stageDataFiles(spark, df, table, transforms, partTypes)
     val rowCount = dataFiles.map(_._2).sum
-    def rmr(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr); f.delete()
-    }
-    rmr(stage.toFile)
 
     // 2–5. manifest (status 1 = ADDED) + list + metadata via the shared
     // optimistic claim loop
@@ -545,6 +568,148 @@ object IcebergWrite {
         (manifestPath, manifestLen, 0, 0, dataFiles.size, rowCount)
       },
       summaryProps = summaryProps)
+  }
+
+  /** OPTIMIZE / rewrite-data-files: a `replace` snapshot that bin-packs
+    * small data files toward `targetFileBytes` and, when the table
+    * carries ANY delete files (position or equality), rewrites all data
+    * files with those deletes MATERIALIZED and drops the delete manifests
+    * — the spec's compaction semantics (rewritten files get this
+    * snapshot's fresh sequence number, putting them beyond every existing
+    * equality delete's scope, which is only sound because the deletes
+    * were applied during the rewrite read).
+    *
+    * Delete-free tables bin-pack per partition (≥2 small files in the
+    * same partition — cross-partition files cannot merge); kept files are
+    * carried as status-0 EXISTING manifest entries with their ORIGINAL
+    * snapshot and sequence numbers, so time travel and incremental
+    * attribution stay intact. Returns the new snapshot id, or the current
+    * one unchanged when there is nothing to do.
+    *
+    * Incremental consumers: [[IcebergRead.addsBetween]] refuses ranges
+    * containing a `replace` snapshot (adds-only reading cannot attribute
+    * rewritten rows); checkpoint before compacting, or switch to
+    * [[IcebergRead.changesBetween]], which reports the rewrite as
+    * delete + insert pairs. Rewritten-away files stay on disk
+    * (unreferenced) for older snapshots' time travel until expiration. */
+  def compact(spark: SparkSession, table: String,
+      smallFileBytes: Long = 64L << 20, targetFileBytes: Long = 128L << 20): Long = {
+    // optimistic outer loop: ALL state (kept entries, candidates) derives
+    // from one observed version; a concurrent commit aborts the claim
+    // (expectBase) and re-derives here rather than dropping the winner
+    var attempt = compactOnce(spark, table, smallFileBytes, targetFileBytes)
+    while (attempt < 0)
+      attempt = compactOnce(spark, table, smallFileBytes, targetFileBytes)
+    attempt
+  }
+
+  private def compactOnce(spark: SparkSession, table: String,
+      smallFileBytes: Long, targetFileBytes: Long): Long = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    val base = currentVersion(table)
+    require(base > 0, s"not an Iceberg table: $table")
+    val prior = mapper.readTree(metaDir(table).resolve(s"v$base.metadata.json").toFile)
+    val partitionBy = priorPartitionBy(prior)
+    val transforms = partitionBy.map(IcebergTransforms.parse)
+
+    case class Live(path: String, snapshotId: Long, seq: Option[Long],
+        fileSeq: Option[Long], partition: Seq[(String, AnyRef)], records: Long, bytes: Long)
+    def opt(r: org.apache.avro.generic.GenericRecord, n: String): Option[AnyRef] =
+      Option(r.getSchema.getField(n)).flatMap(_ => Option(r.get(n)))
+    val manifests = priorManifests(Some(prior))
+    val hasDeletes = manifests.exists(_._3 != 0)
+    val entries: Seq[Live] = manifests.filter(_._3 == 0).map(_._1).flatMap { mp =>
+      IcebergRead.avroRecords(mp).flatMap { e =>
+        val status = opt(e, "status").map(_.toString.toInt).getOrElse(1)
+        if (status == 2) None
+        else {
+          val df0 = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+          val part = Option(df0.get("partition"))
+            .collect { case r: org.apache.avro.generic.GenericRecord =>
+              r.getSchema.getFields.asScala.map(f => f.name() -> r.get(f.name())).toSeq
+            }.getOrElse(Seq.empty)
+          Some(Live(df0.get("file_path").toString,
+            opt(e, "snapshot_id").map(_.toString.toLong).getOrElse(
+              throw new IllegalArgumentException(
+                "manifest entry lacks snapshot_id (inherited ids) — compaction " +
+                  "must carry explicit entry lineage; refusing")),
+            opt(e, "sequence_number").map(_.toString.toLong),
+            opt(e, "file_sequence_number").map(_.toString.toLong),
+            part, df0.get("record_count").toString.toLong,
+            df0.get("file_size_in_bytes").toString.toLong))
+        }
+      }
+    }
+    val rewrite: Seq[Live] =
+      if (hasDeletes) entries // full rewrite purges the delete files
+      else entries.groupBy(_.partition.map { case (k, v) => k -> String.valueOf(v) })
+        .values.flatMap { es =>
+          val small = es.filter(_.bytes < smallFileBytes)
+          if (small.size >= 2) small else Nil
+        }.toSeq
+    if (rewrite.isEmpty) return prior.path("current-snapshot-id").asLong(-1L)
+    val rewritten = rewrite.map(_.path).toSet
+    val keep = entries.filterNot(e => rewritten(e.path))
+
+    // read the candidates with every applicable delete applied
+    val df = IcebergRead.snapshotRestricted(spark, table,
+      rewrite.map(e => IcebergRead.localPath(e.path)).toSet)
+    val nOut = math.max(1,
+      math.ceil(rewrite.map(_.bytes).sum.toDouble / targetFileBytes).toInt)
+    val packed =
+      if (transforms.nonEmpty) df.repartition(nOut, transforms.map(t => fcol(t.source)): _*)
+      else df.repartition(nOut)
+    val partTypes: Seq[(String, DataType)] =
+      transforms.map(t => t.fieldName -> t.resultType(df.schema(t.source).dataType))
+
+    commitSnapshot(table, "replace",
+      schemasJson = carriedSchemas,
+      specsJson = carriedSpecs,
+      authorManifest = { snapshotId =>
+        val newFiles = stageDataFiles(spark, packed, table, transforms, partTypes)
+        val schema = entrySchema(partTypes)
+        import org.apache.avro.generic.GenericData
+        val dataFileSchema = schema.getField("data_file").schema()
+        val partitionSchema = dataFileSchema.getField("partition").schema()
+        def entry(status: Int, snapId: Long, seq: Long, fileSeq: Long, path: String,
+            part: Seq[(String, Any)], nRows: Long, bytes: Long) = {
+          val pr = new GenericData.Record(partitionSchema)
+          part.foreach { case (k, v) => pr.put(k, v) }
+          val dfr = new GenericData.Record(dataFileSchema)
+          dfr.put("content", 0)
+          dfr.put("file_path", path)
+          dfr.put("file_format", "PARQUET")
+          dfr.put("partition", pr)
+          dfr.put("record_count", nRows)
+          dfr.put("file_size_in_bytes", bytes)
+          val e = new GenericData.Record(schema)
+          e.put("status", status)
+          e.put("snapshot_id", snapId)
+          e.put("sequence_number", seq)
+          e.put("file_sequence_number", fileSeq)
+          e.put("data_file", dfr)
+          e
+        }
+        val addedEntries = newFiles.map { case (p, nRows, values) =>
+          entry(1, snapshotId, snapshotId, snapshotId, p.toString,
+            partTypes.map(_._1).zip(values), nRows, Files.size(p))
+        }
+        // EXISTING entries: original lineage preserved verbatim — the
+        // equality-delete scoping and incremental attribution keys
+        val keptEntries = keep.map { f =>
+          entry(0, f.snapshotId, f.seq.getOrElse(f.snapshotId),
+            f.fileSeq.getOrElse(f.snapshotId), f.path, f.partition, f.records, f.bytes)
+        }
+        val manifestPath =
+          metaDir(table).resolve(s"m-$snapshotId-${java.util.UUID.randomUUID()}.avro")
+        val manifestLen = writeAvro(manifestPath, schema, keptEntries ++ addedEntries)
+        (manifestPath, manifestLen, 0, prior.path("default-spec-id").asInt(0),
+          newFiles.size, newFiles.map(_._2).sum)
+      },
+      // the new manifest carries every live data file; prior data
+      // manifests are dropped, and delete manifests too when purged
+      carryPrior = _ => Nil,
+      expectBase = Some(base))
   }
 
   /** The empty (partition-less) spec id delete manifests cite, minting one

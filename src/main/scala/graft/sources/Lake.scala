@@ -153,6 +153,20 @@ object Lake {
     })
   }
 
+  /** OPTIMIZE dispatch: bin-pack small files and materialize merge-on-read
+    * deletes as a layout-only commit (Delta `dataChange=false`, Iceberg
+    * `replace` snapshot). Plain parquet has no transaction log to make a
+    * rewrite atomic — use `operators.Layout.compact` (copy-based) there. */
+  def compact(spark: SparkSession, path: String,
+      smallFileBytes: Long = 64L << 20, targetFileBytes: Long = 128L << 20): Long =
+    detect(spark, path) match {
+      case Delta => DeltaWrite.compact(spark, path, smallFileBytes, targetFileBytes)
+      case Iceberg => IcebergWrite.compact(spark, path, smallFileBytes, targetFileBytes)
+      case Parquet => throw new IllegalArgumentException(
+        s"plain parquet at $path has no log for an atomic rewrite — " +
+          "use Layout.compact to re-lay a copy")
+    }
+
   /** MERGE/UPSERT dispatch: key-matched rows replaced, new keys inserted —
     * Delta as one DV-delete+append commit, Iceberg as equality-delete +
     * append snapshots. Plain parquet has no transaction log — refused. */

@@ -403,4 +403,59 @@ class DeltaWriteSpec extends SparkSpec {
     assert(same.columns.contains("_change_type") && same.count() === 0L)
     intercept[IllegalArgumentException](DeltaRead.changesBetween(spark, table, 999L))
   }
+
+  test("compact bin-packs small files + purges DVs as a layout-only commit; incremental reads skip it") {
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("graft_dw_opt").toString
+    def data: Set[(Long, String, String)] = rows(DeltaRead.snapshot(spark, table))
+
+    // three small appends (partitioned) + one DV delete
+    val v1 = DeltaWrite.append(spark,
+      Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "name", "grp"), table,
+      partitionBy = Seq("grp"))
+    DeltaWrite.append(spark, Seq((3L, "c", "x")).toDF("id", "name", "grp"), table,
+      partitionBy = Seq("grp"))
+    DeltaWrite.append(spark, Seq((4L, "d", "y")).toDF("id", "name", "grp"), table,
+      partitionBy = Seq("grp"))
+    DeltaWrite.deleteWhere(spark, table, col("id") === 2L)
+    val before = DeltaRead.snapshotInfo(spark, table)
+    val expect = Set((1L, "a", "x"), (3L, "c", "x"), (4L, "d", "y"))
+    assert(data === expect)
+    assert(before.files.exists(_.dv.isDefined))
+
+    val vc = DeltaWrite.compact(spark, table)
+    val after = DeltaRead.snapshotInfo(spark, table)
+    assert(vc === before.version + 1)
+    assert(after.files.size < before.files.size, "compaction must shrink the file count")
+    assert(after.files.forall(_.dv.isEmpty), "compaction must materialize DVs away")
+    assert(data === expect, "compaction must not change the data")
+    // partition values survive the rewrite
+    assert(after.files.flatMap(_.partitionValues.get("grp")).toSet === Set("x", "y"))
+    // time travel to the pre-compaction version still reads the old layout
+    assert(rows(DeltaRead.snapshot(spark, table, before.version)) === expect)
+
+    // nothing left to do → version unchanged, no empty commit
+    assert(DeltaWrite.compact(spark, table) === vc)
+
+    // a range STARTING at the layout commit skips it and reads on; the
+    // DV-delete commit earlier in history still refuses adds-only reads
+    // (a genuine data change) — stock semantics on both counts
+    val v5 = DeltaWrite.append(spark, Seq((5L, "e", "x")).toDF("id", "name", "grp"), table,
+      partitionBy = Seq("grp"))
+    assert(rows(DeltaRead.addsBetween(spark, table, vc)).map(_._1) === Set(5L))
+    assert(v5 === vc + 1)
+    intercept[IllegalArgumentException](DeltaRead.addsBetween(spark, table, v1))
+
+    // DV-free lineage: an adds-only range SPANNING a compaction emits the
+    // in-range appended rows exactly once — from the rewritten-away
+    // original files (still on disk), never from the layout commit's
+    // re-adds
+    val t2 = Files.createTempDirectory("graft_dw_opt2").toString
+    val w1 = DeltaWrite.append(spark, Seq((1L, "a", "x")).toDF("id", "name", "grp"), t2)
+    DeltaWrite.append(spark, Seq((2L, "b", "x")).toDF("id", "name", "grp"), t2)
+    val wc = DeltaWrite.compact(spark, t2)
+    DeltaWrite.append(spark, Seq((3L, "c", "x")).toDF("id", "name", "grp"), t2)
+    assert(DeltaRead.snapshotInfo(spark, t2, wc).files.size === 1)
+    assert(rows(DeltaRead.addsBetween(spark, t2, w1)).map(_._1) === Set(2L, 3L))
+  }
 }

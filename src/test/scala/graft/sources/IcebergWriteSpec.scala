@@ -579,4 +579,69 @@ class IcebergWriteSpec extends SparkSpec {
     // unknown snapshot id refused
     intercept[IllegalArgumentException](IcebergRead.changesBetween(spark, table, 999L))
   }
+
+  test("compact bin-packs small files as a replace snapshot; deletes are materialized away") {
+    import org.apache.spark.sql.functions.col
+    def live(table: String): Set[(Long, String)] = rows(IcebergRead.snapshot(spark, table))
+    def nDataFiles(table: String): Int =
+      IcebergRead.snapshot(spark, table).inputFiles.length
+
+    // delete-free bin-pack: three 1-row appends collapse to one file
+    val t1 = Files.createTempDirectory("graft_iw_opt1").toString
+    val a1 = IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "name"), t1)
+    IcebergWrite.append(spark, Seq((2L, "b")).toDF("id", "name"), t1)
+    IcebergWrite.append(spark, Seq((3L, "c")).toDF("id", "name"), t1)
+    assert(nDataFiles(t1) === 3)
+    val c1 = IcebergWrite.compact(spark, t1)
+    assert(nDataFiles(t1) === 1)
+    assert(live(t1) === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // time travel to pre-compaction still reads the old layout
+    assert(rows(IcebergRead.snapshot(spark, t1, a1)) === Set((1L, "a")))
+    // idempotent: a single packed file per partition is left alone
+    assert(IcebergWrite.compact(spark, t1) === c1)
+    // adds-only reads refuse ranges containing the replace snapshot...
+    val e = intercept[IllegalArgumentException](IcebergRead.addsBetween(spark, t1, a1))
+    assert(e.getMessage.contains("replace"))
+    // ...but the changelog read handles them (rewrite = delete+insert pairs)
+    val ch = IcebergRead.changesBetween(spark, t1, a1)
+    assert(ch.where(col("_change_type") === "insert").count() === 3L)
+    // appends after the compaction flow normally
+    IcebergWrite.append(spark, Seq((4L, "d")).toDF("id", "name"), t1)
+    assert(rows(IcebergRead.addsBetween(spark, t1, c1)).map(_._1) === Set(4L))
+    assert(live(t1) === Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+
+    // deletes present → full rewrite, deletes purged, results unchanged
+    val t2 = Files.createTempDirectory("graft_iw_opt2").toString
+    IcebergWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name"), t2)
+    IcebergWrite.append(spark, Seq((3L, "c")).toDF("id", "name"), t2)
+    IcebergWrite.deleteWhere(spark, t2, col("id") === 2L)
+    IcebergWrite.upsert(spark, Seq((3L, "c2")).toDF("id", "name"), t2, Seq("id"))
+    val expect2 = Set((1L, "a"), (3L, "c2"))
+    assert(live(t2) === expect2)
+    IcebergWrite.compact(spark, t2)
+    assert(live(t2) === expect2, "compaction must not change the data")
+    assert(nDataFiles(t2) === 1)
+    // all delete manifests dropped: upsert/delete again works on the
+    // compacted table (fresh sequence scoping over the rewritten file)
+    IcebergWrite.upsert(spark, Seq((1L, "a2")).toDF("id", "name"), t2, Seq("id"))
+    assert(live(t2) === Set((1L, "a2"), (3L, "c2")))
+
+    // partitioned: kept big-enough files stay (per-partition rule), data
+    // and partition pruning intact after the rewrite
+    val t3 = Files.createTempDirectory("graft_iw_opt3").toString
+    IcebergWrite.append(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name").withColumn("grp", col("id") % 2),
+      t3, partitionBy = Seq("grp"))
+    IcebergWrite.append(spark,
+      Seq((3L, "c"), (4L, "d")).toDF("id", "name").withColumn("grp", col("id") % 2),
+      t3, partitionBy = Seq("grp"))
+    assert(nDataFiles(t3) === 4) // one per (append, grp)
+    IcebergWrite.compact(spark, t3)
+    assert(nDataFiles(t3) === 2) // one per grp
+    assert(IcebergRead.snapshot(spark, t3).select("id").as[Long].collect().toSet ===
+      Set(1L, 2L, 3L, 4L))
+    val pruned = IcebergRead.snapshotPruned(spark, t3, pv => pv("grp") == 1)
+    assert(pruned.select("id").as[Long].collect().toSet === Set(1L, 3L))
+    assert(pruned.inputFiles.length === 1)
+  }
 }
