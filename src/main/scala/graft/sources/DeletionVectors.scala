@@ -258,6 +258,13 @@ object DeletionVectors {
     * until the distributed apply). */
   def load(tableRoot: String, d: Descriptor): Array[Byte] = d.storageType match {
     case "i" => Z85.decode(d.pathOrInlineDv, d.sizeInBytes)
+    case _ => readFromFile(filePath(tableRoot, d).get, d.offset.getOrElse(0), d.sizeInBytes)
+  }
+
+  /** On-disk blob path for a descriptor; None for inline ('i') DVs. The
+    * path vacuum must NOT reclaim while a retained version references it. */
+  def filePath(tableRoot: String, d: Descriptor): Option[java.nio.file.Path] = d.storageType match {
+    case "i" => None
     case "u" =>
       // <optional prefix><20-char Z85 uuid>; file: [prefix/]deletion_vector_<uuid>.bin
       val s = d.pathOrInlineDv
@@ -268,12 +275,10 @@ object DeletionVectors {
       val uuid = new java.util.UUID(bb.getLong, bb.getLong)
       val dir = if (prefix.isEmpty) tableRoot.stripSuffix("/")
         else s"${tableRoot.stripSuffix("/")}/$prefix"
-      readFromFile(java.nio.file.Paths.get(dir, s"deletion_vector_$uuid.bin"),
-        d.offset.getOrElse(0), d.sizeInBytes)
+      Some(java.nio.file.Paths.get(dir, s"deletion_vector_$uuid.bin"))
     case "p" =>
-      readFromFile(java.nio.file.Paths.get(DeltaRead.pctDecode(d.pathOrInlineDv)
-        .replaceFirst("^[a-zA-Z0-9+.-]+:(//)?", "")),
-        d.offset.getOrElse(0), d.sizeInBytes)
+      Some(java.nio.file.Paths.get(DeltaRead.pctDecode(d.pathOrInlineDv)
+        .replaceFirst("^[a-zA-Z0-9+.-]+:(//)?", "")))
     case other => throw new IllegalArgumentException(s"unknown DV storageType '$other'")
   }
 }

@@ -302,6 +302,46 @@ object DeltaWrite {
     -1L // unreachable
   }
 
+  /** VACUUM: physically delete data and DV files under the table root
+    * that no RETAINED version references — the cleanup half compaction
+    * and overwrite defer (their rewritten-away files stay on disk so
+    * retained-version time travel and spanning incremental reads keep
+    * working). Retention is version-count based in this engine's subset
+    * (`retainLastVersions`, default 1 = current only), the same contract
+    * as the wall-clock retention production Delta uses: time travel (and
+    * adds-only reads whose range starts) BEFORE the horizon fail after a
+    * vacuum — by design, and loudly (missing files).
+    *
+    * Only files a Delta writer lays down are candidates (`*.parquet`
+    * data, `deletion_vector_*.bin`); `_delta_log` is never touched, and
+    * foreign files are left alone. Returns the deleted paths. Metadata
+    * only: the referenced set is O(files × retained versions) from log
+    * replay — no data is read. */
+  def vacuum(spark: SparkSession, table: String, retainLastVersions: Int = 1): Seq[String] = {
+    val versions = currentVersions(table)
+    require(versions.nonEmpty, s"not a Delta table: $table")
+    val keep = versions.takeRight(math.max(1, retainLastVersions))
+    val root = Paths.get(table.stripSuffix("/"))
+    def norm(p: java.nio.file.Path): String = p.toAbsolutePath.normalize.toString
+    val referenced: Set[String] = keep.flatMap { v =>
+      val snap = DeltaRead.snapshotInfo(spark, table, v)
+      snap.files.map(f => norm(Paths.get(f.path))) ++
+        snap.files.flatMap(_.dv).flatMap(d =>
+          DeletionVectors.filePath(table, d).map(norm))
+    }.toSet
+    def walk(dir: java.io.File): Seq[java.io.File] =
+      Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+        case d if d.isDirectory && d.getName != "_delta_log" => walk(d)
+        case f if f.isFile => Seq(f)
+        case _ => Seq.empty
+      }
+    walk(root.toFile).filter { f =>
+      val name = f.getName
+      (name.endsWith(".parquet") || name.startsWith("deletion_vector_")) &&
+        !referenced(norm(f.toPath))
+    }.map { f => val p = f.getPath; f.delete(); p }
+  }
+
   /** Merge-on-read DELETE via deletion vectors: rows of the CURRENT
     * snapshot matching `condition` are marked in per-file roaring bitmaps
     * (Delta PROTOCOL.md "Deletion Vectors") — no data file is rewritten.

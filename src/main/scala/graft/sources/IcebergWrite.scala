@@ -712,6 +712,90 @@ object IcebergWrite {
       expectBase = Some(base))
   }
 
+  /** EXPIRE SNAPSHOTS + physical cleanup: drop all but the last
+    * `retainLast` snapshots (the current one always survives) from the
+    * metadata — committed as v(base+1) metadata JSON via the same
+    * put-if-absent claim as every other commit — then delete the data
+    * files, manifests, and manifest lists only expired snapshots
+    * referenced. Time travel to an expired snapshot fails loudly
+    * afterwards (its id is gone from the metadata); retained history and
+    * the current state are untouched. Returns the deleted file paths.
+    *
+    * The referenced set is the union over RETAINED snapshots of their
+    * manifest-list → manifest → `file_path` closure, all entry statuses
+    * included — a file marked DELETED in one retained snapshot can still
+    * be live in an older retained one, so only full absence makes a file
+    * reclaimable. Foreign files under the table root are left alone.
+    * Metadata-only: O(manifests) driver reads, no data scanned. */
+  def expireSnapshots(spark: SparkSession, table: String,
+      retainLast: Int = 1): Seq[String] = {
+    while (true) {
+      val base = currentVersion(table)
+      require(base > 0, s"not an Iceberg table: $table")
+      val metaPath = metaDir(table).resolve(s"v$base.metadata.json")
+      val meta = mapper.readTree(metaPath.toFile).asInstanceOf[
+        com.fasterxml.jackson.databind.node.ObjectNode]
+      val current = meta.path("current-snapshot-id").asLong(-1L)
+      val logIds = meta.path("snapshot-log").elements().asScala
+        .map(_.path("snapshot-id").asLong(-1L)).toSeq.distinct
+      val keepIds = (logIds.takeRight(math.max(1, retainLast)) :+ current).toSet
+      val allSnaps = meta.path("snapshots").elements().asScala.toSeq
+      val (kept, expired) = allSnaps.partition(s => keepIds(s.path("snapshot-id").asLong(-1L)))
+      if (expired.isEmpty) return Seq.empty
+
+      // referenced closure of the RETAINED snapshots
+      def manifestsOf(snap: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
+        if (snap.has("manifest-list"))
+          IcebergRead.avroRecords(snap.path("manifest-list").asText())
+            .map(_.get("manifest_path").toString)
+        else snap.path("manifests").elements().asScala.map(_.asText()).toSeq
+      val keptLists = kept.flatMap(s =>
+        if (s.has("manifest-list")) Some(IcebergRead.localPath(s.path("manifest-list").asText()))
+        else None).toSet
+      val keptManifests = kept.flatMap(manifestsOf).map(IcebergRead.localPath).toSet
+      val referencedData = keptManifests.flatMap { mp =>
+        IcebergRead.avroRecords(mp).map { e =>
+          IcebergRead.localPath(e.get("data_file")
+            .asInstanceOf[org.apache.avro.generic.GenericRecord].get("file_path").toString)
+        }
+      }
+
+      // metadata rewrite: same table state, snapshots/log filtered
+      val newMeta = meta.deepCopy()
+      val snapsArr = newMeta.putArray("snapshots")
+      kept.foreach(s => snapsArr.add(s))
+      val logArr = newMeta.putArray("snapshot-log")
+      meta.path("snapshot-log").elements().asScala
+        .filter(e => keepIds(e.path("snapshot-id").asLong(-1L)))
+        .foreach(logArr.add)
+      newMeta.put("last-updated-ms", System.currentTimeMillis())
+      val tmp = Files.createTempFile(metaDir(table), "meta", ".tmp")
+      val won =
+        try {
+          Files.writeString(tmp, mapper.writeValueAsString(newMeta))
+          Files.createLink(metaDir(table).resolve(s"v${base + 1}.metadata.json"), tmp)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        } finally Files.delete(tmp)
+      if (won) {
+        Files.writeString(metaDir(table).resolve("version-hint.text"), (base + 1).toString)
+        def norm(f: java.io.File): String = IcebergRead.localPath(f.getAbsolutePath)
+        val dataDeleted = Option(dataDir(table).toFile.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet") && !referencedData(norm(f)))
+        val metaDeleted = Option(metaDir(table).toFile.listFiles()).getOrElse(Array.empty)
+          .filter { f =>
+            val n = f.getName
+            (n.startsWith("m-") || n.startsWith("snap-")) && n.endsWith(".avro") &&
+              !keptManifests(norm(f)) && !keptLists(norm(f))
+          }
+        return (dataDeleted ++ metaDeleted).map { f => val p = f.getPath; f.delete(); p }.toSeq
+      }
+      // lost the claim to a concurrent commit: re-derive from the new base
+    }
+    Seq.empty // unreachable
+  }
+
   /** The empty (partition-less) spec id delete manifests cite, minting one
     * when the table only has partitioned specs. */
   private def emptySpecFor(meta: com.fasterxml.jackson.databind.JsonNode): (Int, Boolean) = {

@@ -167,6 +167,20 @@ object Lake {
           "use Layout.compact to re-lay a copy")
     }
 
+  /** VACUUM dispatch: physically reclaim files no retained version /
+    * snapshot references — the cleanup half [[compact]] defers. Delta
+    * keeps the last `retain` log versions; Iceberg expires all but the
+    * last `retain` snapshots first, then deletes what only they
+    * referenced. Returns the deleted paths. Plain parquet has no version
+    * history — nothing is ever unreferenced; refused loudly. */
+  def vacuum(spark: SparkSession, path: String, retain: Int = 1): Seq[String] =
+    detect(spark, path) match {
+      case Delta => DeltaWrite.vacuum(spark, path, retain)
+      case Iceberg => IcebergWrite.expireSnapshots(spark, path, retain)
+      case Parquet => throw new IllegalArgumentException(
+        s"plain parquet at $path has no version history to vacuum against")
+    }
+
   /** MERGE/UPSERT dispatch: key-matched rows replaced, new keys inserted —
     * Delta as one DV-delete+append commit, Iceberg as equality-delete +
     * append snapshots. Plain parquet has no transaction log — refused. */

@@ -458,4 +458,33 @@ class DeltaWriteSpec extends SparkSpec {
     assert(DeltaRead.snapshotInfo(spark, t2, wc).files.size === 1)
     assert(rows(DeltaRead.addsBetween(spark, t2, w1)).map(_._1) === Set(2L, 3L))
   }
+
+  test("vacuum reclaims only unreferenced files; retained versions keep time traveling") {
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("graft_dw_vac").toString
+    DeltaWrite.append(spark, Seq((1L, "a", "x"), (2L, "b", "x")).toDF("id", "name", "grp"), table)
+    DeltaWrite.append(spark, Seq((3L, "c", "x")).toDF("id", "name", "grp"), table)
+    DeltaWrite.deleteWhere(spark, table, col("id") === 2L)
+    val vPre = DeltaRead.snapshotInfo(spark, table).version
+    val vc = DeltaWrite.compact(spark, table)
+    val expect = Set((1L, "a", "x"), (3L, "c", "x"))
+    assert(rows(DeltaRead.snapshot(spark, table)) === expect)
+
+    // retain 2 versions: the pre-compaction snapshot (and its DV) survives
+    val deleted2 = DeltaWrite.vacuum(spark, table, retainLastVersions = 2)
+    assert(rows(DeltaRead.snapshot(spark, table)) === expect)
+    assert(rows(DeltaRead.snapshot(spark, table, vPre)) === expect,
+      "version inside the retention horizon must still time travel")
+
+    // retain 1: only the compacted files remain; older reads now fail
+    val deleted1 = DeltaWrite.vacuum(spark, table)
+    assert((deleted1 ++ deleted2).nonEmpty, "compaction left unreferenced files to reclaim")
+    assert(rows(DeltaRead.snapshot(spark, table)) === expect)
+    assert(rows(Lake.read(spark, table, vc)) === expect)
+    intercept[Exception](DeltaRead.snapshot(spark, table, vPre).collect())
+    // idempotent: nothing left to reclaim
+    assert(DeltaWrite.vacuum(spark, table).isEmpty)
+    // Lake dispatch
+    assert(Lake.vacuum(spark, table).isEmpty)
+  }
 }

@@ -644,4 +644,32 @@ class IcebergWriteSpec extends SparkSpec {
     assert(pruned.select("id").as[Long].collect().toSet === Set(1L, 3L))
     assert(pruned.inputFiles.length === 1)
   }
+
+  test("expireSnapshots drops old snapshots and reclaims only their files") {
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("graft_iw_exp").toString
+    val s1 = IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "name"), table)
+    val s2 = IcebergWrite.append(spark, Seq((2L, "b")).toDF("id", "name"), table)
+    IcebergWrite.deleteWhere(spark, table, col("id") === 1L)
+    val sc = IcebergWrite.compact(spark, table) // rewrites both files, purges the delete
+    val expect = Set((2L, "b"))
+    assert(rows(IcebergRead.snapshot(spark, table)) === expect)
+
+    // retain everything still present → no-op
+    assert(IcebergWrite.expireSnapshots(spark, table, retainLast = 10).isEmpty)
+    assert(rows(IcebergRead.snapshot(spark, table, s1)) === Set((1L, "a")))
+
+    // retain only the current snapshot: pre-compaction files reclaimed,
+    // expired ids gone, current state intact
+    val deleted = IcebergWrite.expireSnapshots(spark, table)
+    assert(deleted.nonEmpty, "the compacted-away originals must be reclaimable")
+    assert(rows(IcebergRead.snapshot(spark, table)) === expect)
+    assert(rows(IcebergRead.snapshot(spark, table, sc)) === expect)
+    intercept[Exception](rows(IcebergRead.snapshot(spark, table, s1)))
+    intercept[Exception](rows(IcebergRead.snapshot(spark, table, s2)))
+    // idempotent; appends continue normally after expiration
+    assert(IcebergWrite.expireSnapshots(spark, table).isEmpty)
+    IcebergWrite.append(spark, Seq((3L, "c")).toDF("id", "name"), table)
+    assert(rows(IcebergRead.snapshot(spark, table)) === Set((2L, "b"), (3L, "c")))
+  }
 }
