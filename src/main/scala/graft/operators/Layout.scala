@@ -53,7 +53,15 @@ object Layout {
     * within partitions, write. At scale this is the compaction-time layout
     * job; the stats pass and the shuffle are both single linear passes. */
   def zorderWrite(df: DataFrame, zCols: Seq[String], path: String, targetFiles: Int,
-      bits: Int = 12): Unit = {
+      bits: Int = 12): Unit =
+    zcluster(df, zCols, targetFiles, bits).write.mode("overwrite").parquet(path)
+
+  /** The clustering half of [[zorderWrite]] as a transform: range-partition
+    * `df` into `targetFiles` z-contiguous partitions and sort within each —
+    * the shape the lake writers' `compact(zorderBy = …)` stages through
+    * their own commit machinery. One stats pass + one shuffle. */
+  def zcluster(df: DataFrame, zCols: Seq[String], targetFiles: Int,
+      bits: Int = 12): DataFrame = {
     val aggs = zCols.flatMap(c => Seq(min(col(c)), max(col(c))))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
     val mins = zCols.indices.map(i => lit(stats.get(2 * i)))
@@ -62,6 +70,5 @@ object Layout {
       .repartitionByRange(targetFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
   }
 }

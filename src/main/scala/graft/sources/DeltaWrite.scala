@@ -259,7 +259,8 @@ object DeltaWrite {
     * snapshot read and the claim re-reads and re-stages, so a concurrent
     * DV delete on a candidate file is never lost. */
   def compact(spark: SparkSession, table: String,
-      smallFileBytes: Long = 64L << 20, targetFileBytes: Long = 128L << 20): Long = {
+      smallFileBytes: Long = 64L << 20, targetFileBytes: Long = 128L << 20,
+      zorderBy: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{col => fcol}
     require(currentVersions(table).nonEmpty, s"not a Delta table: $table")
     while (true) {
@@ -269,11 +270,15 @@ object DeltaWrite {
           "would need physical-name columns)")
       // candidate selection is PER PARTITION: two small files in different
       // partitions cannot be merged (the rewrite would just re-emit them),
-      // so a partition qualifies only with ≥2 small files or a DV to purge
-      val candidates = snap.files.groupBy(_.partitionValues).values.flatMap { fs =>
-        val small = fs.filter(f => f.size < smallFileBytes || f.dv.isDefined)
-        if (small.size >= 2 || small.exists(_.dv.isDefined)) small else Nil
-      }.toSeq
+      // so a partition qualifies only with ≥2 small files or a DV to purge.
+      // ZORDER is an explicit full re-layout (every file re-clusters) —
+      // deliberately NOT idempotent: the caller asked for a rewrite.
+      val candidates =
+        if (zorderBy.nonEmpty) snap.files
+        else snap.files.groupBy(_.partitionValues).values.flatMap { fs =>
+          val small = fs.filter(f => f.size < smallFileBytes || f.dv.isDefined)
+          if (small.size >= 2 || small.exists(_.dv.isDefined)) small else Nil
+        }.toSeq
       if (candidates.isEmpty) return snap.version
       // DVs applied during the read = materialized out of the new files
       val df = DeltaRead.assembleData(spark, table, snap.copy(files = candidates),
@@ -281,7 +286,8 @@ object DeltaWrite {
       val nOut = math.max(1,
         math.ceil(candidates.map(_.size).sum.toDouble / targetFileBytes).toInt)
       val packed =
-        if (snap.partitionColumns.nonEmpty)
+        if (zorderBy.nonEmpty) graft.operators.Layout.zcluster(df, zorderBy, nOut)
+        else if (snap.partitionColumns.nonEmpty)
           df.repartition(nOut, snap.partitionColumns.map(fcol): _*)
         else df.repartition(nOut)
       val staged = stageFiles(packed, table, snap.partitionColumns)

@@ -593,18 +593,19 @@ object IcebergWrite {
     * delete + insert pairs. Rewritten-away files stay on disk
     * (unreferenced) for older snapshots' time travel until expiration. */
   def compact(spark: SparkSession, table: String,
-      smallFileBytes: Long = 64L << 20, targetFileBytes: Long = 128L << 20): Long = {
+      smallFileBytes: Long = 64L << 20, targetFileBytes: Long = 128L << 20,
+      zorderBy: Seq[String] = Nil): Long = {
     // optimistic outer loop: ALL state (kept entries, candidates) derives
     // from one observed version; a concurrent commit aborts the claim
     // (expectBase) and re-derives here rather than dropping the winner
-    var attempt = compactOnce(spark, table, smallFileBytes, targetFileBytes)
+    var attempt = compactOnce(spark, table, smallFileBytes, targetFileBytes, zorderBy)
     while (attempt < 0)
-      attempt = compactOnce(spark, table, smallFileBytes, targetFileBytes)
+      attempt = compactOnce(spark, table, smallFileBytes, targetFileBytes, zorderBy)
     attempt
   }
 
   private def compactOnce(spark: SparkSession, table: String,
-      smallFileBytes: Long, targetFileBytes: Long): Long = {
+      smallFileBytes: Long, targetFileBytes: Long, zorderBy: Seq[String]): Long = {
     import org.apache.spark.sql.functions.{col => fcol}
     val base = currentVersion(table)
     require(base > 0, s"not an Iceberg table: $table")
@@ -641,7 +642,9 @@ object IcebergWrite {
       }
     }
     val rewrite: Seq[Live] =
-      if (hasDeletes) entries // full rewrite purges the delete files
+      // ZORDER = explicit full re-layout; deletes present = full rewrite
+      // purging the delete files; otherwise per-partition bin-pack
+      if (hasDeletes || zorderBy.nonEmpty) entries
       else entries.groupBy(_.partition.map { case (k, v) => k -> String.valueOf(v) })
         .values.flatMap { es =>
           val small = es.filter(_.bytes < smallFileBytes)
@@ -657,7 +660,9 @@ object IcebergWrite {
     val nOut = math.max(1,
       math.ceil(rewrite.map(_.bytes).sum.toDouble / targetFileBytes).toInt)
     val packed =
-      if (transforms.nonEmpty) df.repartition(nOut, transforms.map(t => fcol(t.source)): _*)
+      if (zorderBy.nonEmpty) graft.operators.Layout.zcluster(df, zorderBy, nOut)
+      else if (transforms.nonEmpty)
+        df.repartition(nOut, transforms.map(t => fcol(t.source)): _*)
       else df.repartition(nOut)
     val partTypes: Seq[(String, DataType)] =
       transforms.map(t => t.fieldName -> t.resultType(df.schema(t.source).dataType))

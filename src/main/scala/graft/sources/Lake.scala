@@ -158,10 +158,12 @@ object Lake {
     * `replace` snapshot). Plain parquet has no transaction log to make a
     * rewrite atomic — use `operators.Layout.compact` (copy-based) there. */
   def compact(spark: SparkSession, path: String,
-      smallFileBytes: Long = 64L << 20, targetFileBytes: Long = 128L << 20): Long =
+      smallFileBytes: Long = 64L << 20, targetFileBytes: Long = 128L << 20,
+      zorderBy: Seq[String] = Nil): Long =
     detect(spark, path) match {
-      case Delta => DeltaWrite.compact(spark, path, smallFileBytes, targetFileBytes)
-      case Iceberg => IcebergWrite.compact(spark, path, smallFileBytes, targetFileBytes)
+      case Delta => DeltaWrite.compact(spark, path, smallFileBytes, targetFileBytes, zorderBy)
+      case Iceberg =>
+        IcebergWrite.compact(spark, path, smallFileBytes, targetFileBytes, zorderBy)
       case Parquet => throw new IllegalArgumentException(
         s"plain parquet at $path has no log for an atomic rewrite — " +
           "use Layout.compact to re-lay a copy")

@@ -459,6 +459,32 @@ class DeltaWriteSpec extends SparkSpec {
     assert(rows(DeltaRead.addsBetween(spark, t2, w1)).map(_._1) === Set(2L, 3L))
   }
 
+  test("compact with zorderBy re-clusters files so both dimensions skip") {
+    import org.apache.spark.sql.functions.{col, min, max, sum}
+    val table = Files.createTempDirectory("graft_dw_z").toString
+    // x strictly increasing, y cycling — insertion order scatters y
+    val df = spark.range(4096).select(
+      (col("id") / 64).cast("long").as("x"), (col("id") % 64).as("y"))
+    DeltaWrite.append(spark, df, table)
+    val bytes = DeltaRead.snapshotInfo(spark, table).files.map(_.size).sum
+    DeltaWrite.compact(spark, table,
+      targetFileBytes = math.max(1L, bytes / 8), zorderBy = Seq("x", "y"))
+    val files = DeltaRead.snapshotInfo(spark, table).files
+    assert(files.size >= 4, s"z rewrite should split into multiple files, got ${files.size}")
+    // a point probe's (x, y) box should touch only a few z-contiguous files
+    val covering = files.count { f =>
+      val r = spark.read.parquet(f.path)
+        .agg(min(col("x")), max(col("x")), min(col("y")), max(col("y"))).head()
+      r.getLong(0) <= 5 && 5 <= r.getLong(1) && r.getLong(2) <= 5 && 5 <= r.getLong(3)
+    }
+    assert(covering <= math.max(2, files.size / 3),
+      s"z-order should localize the probe: $covering of ${files.size} file boxes cover it")
+    // data intact through the re-layout
+    assert(DeltaRead.snapshot(spark, table).count() === 4096L)
+    assert(DeltaRead.snapshot(spark, table).agg(sum(col("y"))).head().getLong(0) ===
+      4096L / 64 * (0L to 63L).sum)
+  }
+
   test("vacuum reclaims only unreferenced files; retained versions keep time traveling") {
     import org.apache.spark.sql.functions.col
     val table = Files.createTempDirectory("graft_dw_vac").toString
