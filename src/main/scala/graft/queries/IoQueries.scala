@@ -630,8 +630,62 @@ object IoQueries {
       GROUP BY fmt, event_type
       ORDER BY fmt, event_type"""))
 
+  /** CDC APPLY, cross-format both ways: a target table in the OTHER
+    * format is seeded from the source's first snapshot, the source then
+    * evolves (append + merge-on-read delete), and one
+    * `changesBetween(seed, current)` applied via `Lake.applyChanges`
+    * must make the target equal the source's current state — the
+    * changelog as the interchange for incremental materialized-view
+    * maintenance across formats. Oracle recomputes the end state from
+    * the source rows; both directions share it. */
+  val tcdcApply = GQuery(
+    "t_cdc_apply",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events").select(col("event_id"), col("value"), col("event_type"))
+      val seed = ev.where(col("event_type").isin("click", "error"))
+      val later = ev.where(col("event_type") === "view")
+      val delCond = col("event_type") === "error" && col("value") < lit(50.0)
+
+      // Delta source → Iceberg target
+      val dSrc = tmp("graft_cdcsrcd_q")
+      val dv1 = graft.sources.DeltaWrite.append(s, seed, dSrc)
+      val iTgt = tmp("graft_cdctgti_q")
+      graft.sources.IcebergWrite.append(s, graft.sources.DeltaRead.snapshot(s, dSrc, dv1), iTgt)
+      graft.sources.DeltaWrite.append(s, later, dSrc)
+      graft.sources.DeltaWrite.deleteWhere(s, dSrc, delCond)
+      graft.sources.Lake.applyChanges(s,
+        graft.sources.DeltaRead.changesBetween(s, dSrc, dv1), iTgt, Seq("event_id"))
+
+      // Iceberg source → Delta target
+      val iSrc = tmp("graft_cdcsrci_q")
+      val is1 = graft.sources.IcebergWrite.append(s, seed, iSrc)
+      val dTgt = tmp("graft_cdctgtd_q")
+      graft.sources.DeltaWrite.append(s, graft.sources.IcebergRead.snapshot(s, iSrc, is1), dTgt)
+      graft.sources.IcebergWrite.append(s, later, iSrc)
+      graft.sources.IcebergWrite.deleteWhere(s, iSrc, delCond)
+      graft.sources.Lake.applyChanges(s,
+        graft.sources.IcebergRead.changesBetween(s, iSrc, is1), dTgt, Seq("event_id"))
+
+      def agg(table: String, direction: String) =
+        graft.sources.Lake.read(s, table)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+          .withColumn("dir", lit(direction))
+      agg(iTgt, "delta_to_iceberg").unionByName(agg(dTgt, "iceberg_to_delta"))
+        .select(col("dir"), col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy(col("dir"), col("event_type"))
+    },
+    Some("""SELECT dir, event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+      FROM (SELECT 'delta_to_iceberg' AS dir FROM range(1)
+            UNION ALL SELECT 'iceberg_to_delta') dirs
+      CROSS JOIN events
+      WHERE event_type IN ('click', 'view', 'error')
+        AND NOT (event_type = 'error' AND value < 50.0)
+      GROUP BY dir, event_type
+      ORDER BY dir, event_type"""))
+
   def all: Seq[GQuery] =
     Seq(t1, t1orc, t2, t3, tskip, tdelta, ticeberg, tdeltaRt, ticebergRt, ticebergMor,
       tdeltaDv, tdeltaUpsert, ticebergPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
-      ticebergChanges, tdeltaCdc, tlakeCompact)
+      ticebergChanges, tdeltaCdc, tlakeCompact, tcdcApply)
 }

@@ -511,6 +511,58 @@ object DeltaWrite {
     }
   }
 
+  /** Apply a CHANGELOG (rows + `_change_type` 'insert' | 'delete' — the
+    * shape [[DeltaRead.changesBetween]] / [[IcebergRead.changesBetween]]
+    * emit) to a KEYED table in ONE atomic commit: every affected key's
+    * current row is DV-deleted and the change set's insert rows are
+    * appended — delete-only keys vanish, updated keys swap, new keys
+    * insert. Readers see the old or the new state of every key, never a
+    * mix. This is incremental materialized-view maintenance: a downstream
+    * table follows an upstream one by periodically applying
+    * `changesBetween(lastSynced, current)` instead of full rebuilds.
+    *
+    * Scale: one distributed semi-join of the table scan against the
+    * (deduplicated, broadcast) affected-key set; executor-built DV
+    * bitmaps; nothing O(table) on the driver — [[upsert]]'s cost shape
+    * plus nothing. */
+  def applyChanges(spark: SparkSession, changes: DataFrame, table: String,
+      keyCols: Seq[String]): Long = {
+    require(currentVersions(table).nonEmpty, s"applyChanges into non-existent table $table")
+    require(changes.columns.contains("_change_type"),
+      "changes must carry _change_type ('insert' | 'delete') — the changesBetween shape")
+    val dataCols = changes.columns.filterNot(_ == "_change_type").toSeq
+    require(keyCols.nonEmpty && keyCols.forall(dataCols.contains),
+      s"key columns ${keyCols.mkString(",")} not all present in ${dataCols.mkString(",")}")
+    val snap0 = DeltaRead.snapshotInfo(spark, table)
+    require(snap0.schema.fieldNames.sorted.sameElements(dataCols.sorted),
+      s"changes schema ${dataCols.mkString(",")} does not match table " +
+        s"schema ${snap0.schema.fieldNames.mkString(",")}")
+    val inserts = changes.where(col("_change_type") === "insert")
+      .select(dataCols.map(col): _*)
+    val affected = broadcast(changes.select(keyCols.map(col): _*).distinct())
+    // empty changelog = already in sync: no commit at all
+    if (affected.isEmpty) return snap0.version
+    val lineage = DeltaRead.snapshotWithLineage(spark, table)
+    val cond = keyCols.map(c => lineage(c) <=> affected(c)).reduce(_ && _)
+    val matched = lineage.join(affected, cond, "left_semi")
+      .select(col("_file"), col("_pos"))
+    val plan = dvDeletePlan(spark, table, snap0, matched)
+    val staged = stageFiles(inserts, table, snap0.partitionColumns)
+    val adds = staged.map { case (rel, values) =>
+      addAction(pctEncodePath(rel), values, Files.size(Paths.get(table, rel)))
+    }
+    plan match {
+      case None =>
+        val content = adds.mkString("", "\n", "\n")
+        var v = currentVersions(table).lastOption.map(_ + 1).getOrElse(0L)
+        while (!tryCommitAt(table, v, content)) v += 1
+        v
+      case Some((dvActions, dvAt0, affectedPaths)) =>
+        commitDvGuarded(spark, table, (dvActions ++ adds).mkString("", "\n", "\n"),
+          dvAt0, affectedPaths)
+    }
+  }
+
   /** Write a checkpoint parquet consolidating the latest snapshot, plus the
     * `_last_checkpoint` pointer — bounds future log replay, exactly as
     * Delta's own checkpointing does. */

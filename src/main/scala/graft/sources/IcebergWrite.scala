@@ -918,6 +918,33 @@ object IcebergWrite {
     append(spark, df, table, partitionBy = priorPartitionBy(prior.get))
   }
 
+  /** Apply a CHANGELOG (rows + `_change_type`, the [[IcebergRead.changesBetween]]
+    * shape) to a KEYED table: equality-delete every affected key, then
+    * append the change set's insert rows — delete-only keys vanish,
+    * updated keys swap, new keys insert (the same two-snapshot lineage as
+    * [[upsert]]; the append's fresh sequence number keeps its own rows
+    * outside the delete's scope). Incremental materialized-view
+    * maintenance: a downstream table follows an upstream one by applying
+    * `changesBetween(lastSynced, current)` instead of full rebuilds. */
+  def applyChanges(spark: SparkSession, changes: DataFrame, table: String,
+      keyCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    require(changes.columns.contains("_change_type"),
+      "changes must carry _change_type ('insert' | 'delete') — the changesBetween shape")
+    val dataCols = changes.columns.filterNot(_ == "_change_type").toSeq
+    require(keyCols.nonEmpty && keyCols.forall(dataCols.contains),
+      s"key columns ${keyCols.mkString(",")} not all present in ${dataCols.mkString(",")}")
+    val prior = readPrior(table)
+    require(prior.isDefined, s"applyChanges into non-existent table $table")
+    val affected = changes.select(keyCols.map(fcol): _*).distinct()
+    // empty changelog = already in sync: no commit at all
+    if (affected.isEmpty) return prior.get.path("current-snapshot-id").asLong(-1L)
+    deleteWhereEquals(spark, table, affected)
+    append(spark,
+      changes.where(fcol("_change_type") === "insert").select(dataCols.map(fcol): _*),
+      table, partitionBy = priorPartitionBy(prior.get))
+  }
+
   /** Merge-on-read DELETE: rows of the CURRENT snapshot matching
     * `condition` become a position delete file (the v2 spec's
     * (file_path, pos) parquet table) committed under a delete manifest —

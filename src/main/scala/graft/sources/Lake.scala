@@ -183,6 +183,20 @@ object Lake {
         s"plain parquet at $path has no version history to vacuum against")
     }
 
+  /** CDC-APPLY dispatch: apply a changelog ([[changesBetween]]'s rows +
+    * `_change_type` shape) to a keyed downstream table — incremental
+    * materialized-view maintenance across formats (a Delta target can
+    * follow an Iceberg source and vice versa; the changelog is the
+    * interchange). Plain parquet has no transaction log — refused. */
+  def applyChanges(spark: SparkSession, changes: DataFrame, path: String,
+      keyCols: Seq[String]): Long =
+    detect(spark, path) match {
+      case Delta => DeltaWrite.applyChanges(spark, changes, path, keyCols)
+      case Iceberg => IcebergWrite.applyChanges(spark, changes, path, keyCols)
+      case Parquet => throw new IllegalArgumentException(
+        s"plain parquet at $path cannot carry a changelog apply")
+    }
+
   /** MERGE/UPSERT dispatch: key-matched rows replaced, new keys inserted —
     * Delta as one DV-delete+append commit, Iceberg as equality-delete +
     * append snapshots. Plain parquet has no transaction log — refused. */

@@ -485,6 +485,39 @@ class DeltaWriteSpec extends SparkSpec {
       4096L / 64 * (0L to 63L).sum)
   }
 
+  test("applyChanges: delete-only keys vanish, updates swap, inserts land — one commit (Delta)") {
+    import org.apache.spark.sql.functions.lit
+    val table = Files.createTempDirectory("graft_dw_apply").toString
+    DeltaWrite.append(spark,
+      Seq((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y")).toDF("id", "name", "grp"), table)
+    val v0 = DeltaRead.snapshotInfo(spark, table).version
+    // changelog: update key 1 (delete+insert), delete key 2, insert key 4
+    val changes = Seq(
+      (1L, "a", "x", "delete"), (1L, "a2", "x", "insert"),
+      (2L, "b", "x", "delete"),
+      (4L, "d", "y", "insert"))
+      .toDF("id", "name", "grp", "_change_type")
+    val v1 = DeltaWrite.applyChanges(spark, changes, table, Seq("id"))
+    assert(v1 === v0 + 1, "the whole apply must be ONE commit")
+    assert(rows(DeltaRead.snapshot(spark, table)) ===
+      Set((1L, "a2", "x"), (3L, "c", "y"), (4L, "d", "y")))
+    // missing _change_type refused
+    intercept[IllegalArgumentException](
+      DeltaWrite.applyChanges(spark,
+        Seq((9L, "z", "x")).toDF("id", "name", "grp"), table, Seq("id")))
+    // Iceberg target via the Lake dispatch, same changelog semantics
+    val it = Files.createTempDirectory("graft_iw_apply").toString
+    IcebergWrite.append(spark,
+      Seq((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y")).toDF("id", "name", "grp"), it)
+    Lake.applyChanges(spark, changes, it, Seq("id"))
+    assert(rows(IcebergRead.snapshot(spark, it)) ===
+      Set((1L, "a2", "x"), (3L, "c", "y"), (4L, "d", "y")))
+    // applying an empty changelog is a no-op on the data
+    Lake.applyChanges(spark, changes.where(lit(false)), it, Seq("id"))
+    assert(rows(IcebergRead.snapshot(spark, it)) ===
+      Set((1L, "a2", "x"), (3L, "c", "y"), (4L, "d", "y")))
+  }
+
   test("vacuum reclaims only unreferenced files; retained versions keep time traveling") {
     import org.apache.spark.sql.functions.col
     val table = Files.createTempDirectory("graft_dw_vac").toString
