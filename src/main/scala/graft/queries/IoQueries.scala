@@ -684,8 +684,47 @@ object IoQueries {
       GROUP BY dir, event_type
       ORDER BY dir, event_type"""))
 
+  /** INCREMENTAL REFRESH: an Iceberg target follows a Delta source
+    * through `Lake.sync` — full refresh on first sync, changelog apply on
+    * the second (after an append + a DV delete upstream), nothing on the
+    * third (up to date; the high-water mark lives in the target's own
+    * metadata). The target's final aggregate must equal the source's end
+    * state recomputed by the oracle; the no-op third sync is pinned by
+    * riding the target's snapshot count in a column. */
+  val tlakeSync = GQuery(
+    "t_lake_sync",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events").select(col("event_id"), col("value"), col("event_type"))
+      val src = tmp("graft_syncsrc_q")
+      val tgt = tmp("graft_synctgt_q")
+      graft.sources.DeltaWrite.append(s, ev.where(col("event_type").isin("click", "error")), src)
+      graft.sources.IcebergWrite.append(s, ev.limit(0), tgt)
+      graft.sources.Lake.sync(s, src, tgt, Seq("event_id")) // full refresh
+      graft.sources.DeltaWrite.append(s, ev.where(col("event_type") === "view"), src)
+      graft.sources.DeltaWrite.deleteWhere(s,
+        src, col("event_type") === "error" && col("value") < lit(50.0))
+      graft.sources.Lake.sync(s, src, tgt, Seq("event_id")) // incremental
+      val snapsBefore = graft.sources.IcebergRead.currentSnapshotId(s, tgt)
+      graft.sources.Lake.sync(s, src, tgt, Seq("event_id")) // up to date: no commit
+      val noopClean =
+        graft.sources.IcebergRead.currentSnapshotId(s, tgt) == snapsBefore
+      graft.sources.Lake.read(s, tgt)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .withColumn("noop_clean", lit(noopClean))
+        .select(col("event_type"), col("cnt"), col("sum_value"), col("noop_clean"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value,
+        true AS noop_clean
+      FROM events
+      WHERE event_type IN ('click', 'view', 'error')
+        AND NOT (event_type = 'error' AND value < 50.0)
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   def all: Seq[GQuery] =
     Seq(t1, t1orc, t2, t3, tskip, tdelta, ticeberg, tdeltaRt, ticebergRt, ticebergMor,
       tdeltaDv, tdeltaUpsert, ticebergPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
-      ticebergChanges, tdeltaCdc, tlakeCompact, tcdcApply)
+      ticebergChanges, tdeltaCdc, tlakeCompact, tcdcApply, tlakeSync)
 }

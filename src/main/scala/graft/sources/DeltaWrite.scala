@@ -526,7 +526,7 @@ object DeltaWrite {
     * bitmaps; nothing O(table) on the driver — [[upsert]]'s cost shape
     * plus nothing. */
   def applyChanges(spark: SparkSession, changes: DataFrame, table: String,
-      keyCols: Seq[String]): Long = {
+      keyCols: Seq[String], txn: Option[(String, Long)] = None): Long = {
     require(currentVersions(table).nonEmpty, s"applyChanges into non-existent table $table")
     require(changes.columns.contains("_change_type"),
       "changes must carry _change_type ('insert' | 'delete') — the changesBetween shape")
@@ -551,14 +551,20 @@ object DeltaWrite {
     val adds = staged.map { case (rel, values) =>
       addAction(pctEncodePath(rel), values, Files.size(Paths.get(table, rel)))
     }
+    // optional high-water mark ((appId, version) txn action) riding the
+    // SAME commit — sync bookkeeping is atomic with the apply
+    val txnActions = txn.toSeq.map { case (appId, v) =>
+      s"""{"txn":{"appId":${jsonStr(appId)},"version":$v,"lastUpdated":${System.currentTimeMillis()}}}"""
+    }
     plan match {
       case None =>
-        val content = adds.mkString("", "\n", "\n")
+        val content = (txnActions ++ adds).mkString("", "\n", "\n")
         var v = currentVersions(table).lastOption.map(_ + 1).getOrElse(0L)
         while (!tryCommitAt(table, v, content)) v += 1
         v
       case Some((dvActions, dvAt0, affectedPaths)) =>
-        commitDvGuarded(spark, table, (dvActions ++ adds).mkString("", "\n", "\n"),
+        commitDvGuarded(spark, table,
+          (txnActions ++ dvActions ++ adds).mkString("", "\n", "\n"),
           dvAt0, affectedPaths)
     }
   }

@@ -97,6 +97,10 @@ object IcebergRead {
       paths: Set[String]): DataFrame =
     snapshotImpl(spark, table, -1L, lineage = false, keepPaths = Some(paths))
 
+  /** Current snapshot id — the incremental-read / sync frontier. */
+  def currentSnapshotId(spark: SparkSession, table: String): Long =
+    mapper.readTree(metadataFile(table)).path("current-snapshot-id").asLong(-1L)
+
   /** The Iceberg table as a DataFrame at `snapshotId` (-1 = current). */
   def snapshot(spark: SparkSession, table: String, snapshotId: Long = -1L): DataFrame =
     snapshotImpl(spark, table, snapshotId, lineage = false)

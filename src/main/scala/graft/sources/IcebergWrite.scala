@@ -927,7 +927,7 @@ object IcebergWrite {
     * maintenance: a downstream table follows an upstream one by applying
     * `changesBetween(lastSynced, current)` instead of full rebuilds. */
   def applyChanges(spark: SparkSession, changes: DataFrame, table: String,
-      keyCols: Seq[String]): Long = {
+      keyCols: Seq[String], summaryProps: Map[String, String] = Map.empty): Long = {
     import org.apache.spark.sql.functions.{col => fcol}
     require(changes.columns.contains("_change_type"),
       "changes must carry _change_type ('insert' | 'delete') — the changesBetween shape")
@@ -940,9 +940,12 @@ object IcebergWrite {
     // empty changelog = already in sync: no commit at all
     if (affected.isEmpty) return prior.get.path("current-snapshot-id").asLong(-1L)
     deleteWhereEquals(spark, table, affected)
+    // the high-water mark (summaryProps ledger) rides the FINAL append:
+    // a crash between delete and append leaves no mark, and the re-sync's
+    // delete+append over the same changelog is idempotent
     append(spark,
       changes.where(fcol("_change_type") === "insert").select(dataCols.map(fcol): _*),
-      table, partitionBy = priorPartitionBy(prior.get))
+      table, partitionBy = priorPartitionBy(prior.get), summaryProps = summaryProps)
   }
 
   /** Merge-on-read DELETE: rows of the CURRENT snapshot matching

@@ -183,6 +183,55 @@ object Lake {
         s"plain parquet at $path has no version history to vacuum against")
     }
 
+  /** INCREMENTAL REFRESH driver: make the keyed `target` table follow
+    * `source` by applying `changesBetween(lastSynced, frontier)`, with the
+    * last-synced source frontier persisted in the TARGET's own metadata
+    * (Delta `txn` action riding the apply commit itself — bookkeeping is
+    * atomic with the data; Iceberg snapshot-summary ledger on the final
+    * append) — restart-safe with no external state, the same
+    * exactly-once convention as the streaming lake sinks. First sync
+    * full-refreshes from the source's current state; a sync with nothing
+    * new commits nothing. Source and target formats are independent (the
+    * changelog is the interchange). Returns the source frontier synced
+    * to.
+    *
+    * Assumes the target is maintained only through sync since seeding:
+    * target-only keys a foreign writer added are outside the changelog
+    * and survive. */
+  def sync(spark: SparkSession, source: String, target: String,
+      keyCols: Seq[String], appId: String = ""): Long = {
+    import org.apache.spark.sql.functions.lit
+    val app = if (appId.nonEmpty) appId else s"graft-sync:${source.stripSuffix("/")}"
+    val frontier = detect(spark, source) match {
+      case Delta => DeltaRead.snapshotInfo(spark, source).version
+      case Iceberg => IcebergRead.currentSnapshotId(spark, source)
+      case Parquet => throw new IllegalArgumentException(
+        s"plain parquet at $source has no version history to sync from")
+    }
+    val marks = detect(spark, target) match {
+      case Delta => DeltaRead.txnVersions(spark, target)
+      case Iceberg => IcebergRead.txnVersions(spark, target)
+      case Parquet => throw new IllegalArgumentException(
+        s"plain parquet at $target cannot persist sync marks")
+    }
+    def apply(changes: org.apache.spark.sql.DataFrame): Unit = detect(spark, target) match {
+      case Delta =>
+        DeltaWrite.applyChanges(spark, changes, target, keyCols,
+          txn = Some((app, frontier)))
+      case Iceberg =>
+        IcebergWrite.applyChanges(spark, changes, target, keyCols,
+          summaryProps = Map("graft.app-id" -> app, "graft.batch-id" -> frontier.toString))
+      case Parquet => () // unreachable: marks dispatch refused already
+    }
+    marks.get(app) match {
+      case Some(last) if last == frontier => () // up to date: no commit
+      case Some(last) => apply(changesBetween(spark, source, last, frontier))
+      case None => // first sync: the current state as one insert changelog
+        apply(read(spark, source, frontier).withColumn("_change_type", lit("insert")))
+    }
+    frontier
+  }
+
   /** CDC-APPLY dispatch: apply a changelog ([[changesBetween]]'s rows +
     * `_change_type` shape) to a keyed downstream table — incremental
     * materialized-view maintenance across formats (a Delta target can

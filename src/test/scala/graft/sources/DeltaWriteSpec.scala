@@ -518,6 +518,44 @@ class DeltaWriteSpec extends SparkSpec {
       Set((1L, "a2", "x"), (3L, "c", "y"), (4L, "d", "y")))
   }
 
+  test("Lake.sync: restart-safe incremental refresh with marks in the target's metadata") {
+    import org.apache.spark.sql.functions.col
+    val src = Files.createTempDirectory("graft_sync_src").toString
+    val tgt = Files.createTempDirectory("graft_sync_tgt").toString
+    val seed = Seq((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y")).toDF("id", "name", "grp")
+    DeltaWrite.append(spark, seed, src)
+    IcebergWrite.append(spark, seed.limit(0), tgt) // empty target, schema only
+
+    // first sync = full refresh
+    val f1 = Lake.sync(spark, src, tgt, Seq("id"))
+    assert(rows(IcebergRead.snapshot(spark, tgt)) === rows(DeltaRead.snapshot(spark, src)))
+
+    // source evolves: delete, update (upsert), insert
+    DeltaWrite.deleteWhere(spark, src, col("id") === 2L)
+    DeltaWrite.upsert(spark, Seq((1L, "a2", "x"), (4L, "d", "y")).toDF("id", "name", "grp"),
+      src, Seq("id"))
+    val f2 = Lake.sync(spark, src, tgt, Seq("id"))
+    assert(f2 > f1)
+    assert(rows(IcebergRead.snapshot(spark, tgt)) ===
+      Set((1L, "a2", "x"), (3L, "c", "y"), (4L, "d", "y")))
+
+    // up-to-date sync commits NOTHING on the target
+    val before = IcebergRead.currentSnapshotId(spark, tgt)
+    assert(Lake.sync(spark, src, tgt, Seq("id")) === f2)
+    assert(IcebergRead.currentSnapshotId(spark, tgt) === before)
+    // the mark lives in the target's own metadata (restart-safe)
+    assert(IcebergRead.txnVersions(spark, tgt).values.toSeq.contains(f2))
+
+    // reverse direction: Iceberg source → Delta target
+    val tgt2 = Files.createTempDirectory("graft_sync_tgt2").toString
+    DeltaWrite.append(spark, seed.limit(0), tgt2)
+    Lake.sync(spark, tgt, tgt2, Seq("id"))
+    assert(rows(DeltaRead.snapshot(spark, tgt2)) === rows(IcebergRead.snapshot(spark, tgt)))
+    IcebergWrite.upsert(spark, Seq((5L, "e", "x")).toDF("id", "name", "grp"), tgt, Seq("id"))
+    Lake.sync(spark, tgt, tgt2, Seq("id"))
+    assert(rows(DeltaRead.snapshot(spark, tgt2)) === rows(IcebergRead.snapshot(spark, tgt)))
+  }
+
   test("vacuum reclaims only unreferenced files; retained versions keep time traveling") {
     import org.apache.spark.sql.functions.col
     val table = Files.createTempDirectory("graft_dw_vac").toString
