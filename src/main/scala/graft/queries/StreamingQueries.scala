@@ -157,5 +157,22 @@ object StreamingQueries {
     },
     st11.oracle)
 
-  def all: Seq[GQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13)
+  /** ST14: streaming DELTA SOURCE (LakeSources.delta) — tail a Delta table
+    * across two runs of one checkpoint (initial snapshot, then only the
+    * new commits); complete-mode totals equal the batch aggregate exactly
+    * when offset recovery is exactly-once. */
+  val st14 = GQuery(
+    "st14_delta_source",
+    (s, dir) => StreamOps.tailLakeTotals(s, dir, "delta"),
+    st11.oracle)
+
+  /** ST15: streaming ICEBERG SOURCE — the st14 shape on the other open
+    * format (snapshot-id offsets resolved against commit lineage). */
+  val st15 = GQuery(
+    "st15_iceberg_source",
+    (s, dir) => StreamOps.tailLakeTotals(s, dir, "iceberg"),
+    st11.oracle)
+
+  def all: Seq[GQuery] =
+    Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13, st14, st15)
 }

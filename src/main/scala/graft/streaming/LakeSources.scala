@@ -1,0 +1,173 @@
+package graft.streaming
+
+import graft.sources.{DeltaRead, IcebergRead}
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.graft.StreamingShims
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** STREAMING SOURCES over the open lake formats — the read-side twin of
+  * [[StreamOps.deltaSink]]/[[StreamOps.icebergSink]]: a Structured
+  * Streaming query can now TAIL a Delta or Iceberg table that any engine
+  * (including our own sinks) is writing, with offsets checkpointed by the
+  * streaming engine itself.
+  *
+  * Semantics (the same contract as stock Delta's streaming source):
+  *   - batch 0 (fresh checkpoint) emits the table's CURRENT SNAPSHOT —
+  *     one scan of the live files at the pinned version;
+  *   - every later batch emits `addsBetween(lastVersion, newVersion)` —
+  *     one scan of ONLY the newly-added files, O(increment) not O(table);
+  *   - commits that REMOVE data (overwrite, delete) make adds-only
+  *     tailing ambiguous and fail the stream unless `ignoreChanges=true`
+  *     (re-added rows may then re-surface; dedup downstream) — layout-only
+  *     compaction commits are skipped silently, so table maintenance never
+  *     disturbs consumers;
+  *   - offsets are LONGS in the engine's checkpoint (Delta: the version;
+  *     Iceberg: the snapshot id, whose ORDER is resolved against the
+  *     table's commit lineage at read time, never by id arithmetic) —
+  *     restart recovery replays or resumes exactly, no rows lost or
+  *     doubled (exactly-once up to the sink's own guarantees).
+  *
+  * Scale: `getOffset` is a driver-side metadata poll (O(log tail /
+  *  snapshot list)); per-batch cost is the files the batch admits. At
+  * 100 TB a day's tail is a day's files — the table's size never enters.
+  *
+  * Wiring: v1 `StreamSourceProvider` (the stable public extension point
+  * for driver-planned file sources; registered in
+  * META-INF/services/...DataSourceRegister as `graft-delta` /
+  * `graft-iceberg`) + one `private[sql]` shim
+  * ([[StreamingShims.asStreamingBatch]]) to satisfy `getBatch`'s
+  * isStreaming contract. Use via
+  * `spark.readStream.format("graft-delta").load(path)` or the
+  * [[LakeSources.delta]]/[[LakeSources.iceberg]] helpers.
+  */
+object LakeSources {
+
+  /** Tail a Delta table: `spark.readStream.format("graft-delta")`. */
+  def delta(spark: SparkSession, table: String,
+      ignoreChanges: Boolean = false): DataFrame =
+    spark.readStream.format(classOf[DeltaStreamSourceProvider].getName)
+      .option("ignoreChanges", ignoreChanges.toString)
+      .load(table)
+
+  /** Tail an Iceberg table: `spark.readStream.format("graft-iceberg")`. */
+  def iceberg(spark: SparkSession, table: String,
+      ignoreChanges: Boolean = false): DataFrame =
+    spark.readStream.format(classOf[IcebergStreamSourceProvider].getName)
+      .option("ignoreChanges", ignoreChanges.toString)
+      .load(table)
+
+  private[streaming] def path(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "lake streaming source needs a table path: .load(path) or .option(\"path\", ...)"))
+
+  private[streaming] def ignore(parameters: Map[String, String]): Boolean =
+    parameters.get("ignorechanges").orElse(parameters.get("ignoreChanges"))
+      .exists(_.equalsIgnoreCase("true"))
+}
+
+/** Offset plumbing shared by the two lake sources: a metadata-poll
+  * `latestAvailable` drives both the v1 `getOffset` and the
+  * admission-control `latestOffset`, and [[SupportsTriggerAvailableNow]]
+  * pins the poll at trigger start so `Trigger.AvailableNow` drains exactly
+  * the commits that existed when the trigger fired (without this the
+  * engine falls back to single-batch execution with a warning). */
+private[streaming] trait LakeSourceBase extends Source with SupportsTriggerAvailableNow {
+  /** Newest committed offset value, or None before the first commit. */
+  protected def latestAvailable(): Option[Long]
+
+  @volatile private var pinned: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = pinned = latestAvailable()
+
+  override def getOffset: Option[V1Offset] =
+    latestAvailable().map(StreamingShims.longOffset)
+
+  override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset =
+    pinned.orElse(latestAvailable()).map(StreamingShims.longOffset).orNull
+
+  override def stop(): Unit = ()
+}
+
+class DeltaStreamSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-delta"
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      DeltaRead.snapshot(sqlContext.sparkSession, LakeSources.path(parameters)).schema))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new DeltaStreamSource(sqlContext.sparkSession,
+      LakeSources.path(parameters), LakeSources.ignore(parameters))
+}
+
+/** v1 Source tailing a Delta table; offset = log version. */
+class DeltaStreamSource(spark: SparkSession, table: String,
+    ignoreChanges: Boolean) extends LakeSourceBase {
+
+  override val schema: StructType = DeltaRead.snapshot(spark, table).schema
+
+  // Metadata-only poll; None before the table's first commit exists.
+  override protected def latestAvailable(): Option[Long] =
+    scala.util.Try(DeltaRead.snapshotInfo(spark, table).version).toOption
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val endV = StreamingShims.offsetValue(end)
+    val df = start.map(StreamingShims.offsetValue) match {
+      case None => DeltaRead.snapshot(spark, table, endV)
+      case Some(startV) if startV == endV =>
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          schema)
+      case Some(startV) =>
+        DeltaRead.addsBetween(spark, table, startV, endV, ignoreChanges)
+    }
+    StreamingShims.asStreamingBatch(df)
+  }
+}
+
+class IcebergStreamSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-iceberg"
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      IcebergRead.snapshot(sqlContext.sparkSession, LakeSources.path(parameters)).schema))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new IcebergStreamSource(sqlContext.sparkSession,
+      LakeSources.path(parameters), LakeSources.ignore(parameters))
+}
+
+/** v1 Source tailing an Iceberg table; offset = snapshot id (stable across
+  * snapshot expiration, unlike a log index — the engine only compares
+  * offsets for equality, and [[IcebergRead.addsBetween]] resolves the
+  * (from, to] range against the table's commit lineage). */
+class IcebergStreamSource(spark: SparkSession, table: String,
+    ignoreChanges: Boolean) extends LakeSourceBase {
+
+  override val schema: StructType = IcebergRead.snapshot(spark, table).schema
+
+  override protected def latestAvailable(): Option[Long] =
+    scala.util.Try(IcebergRead.currentSnapshotId(spark, table)).toOption
+      .filter(_ >= 0)
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val endId = StreamingShims.offsetValue(end)
+    val df = start.map(StreamingShims.offsetValue) match {
+      case None => IcebergRead.snapshot(spark, table, endId)
+      case Some(startId) if startId == endId =>
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          schema)
+      case Some(startId) =>
+        IcebergRead.addsBetween(spark, table, startId, endId, ignoreChanges)
+    }
+    StreamingShims.asStreamingBatch(df)
+  }
+}

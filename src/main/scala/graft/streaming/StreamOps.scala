@@ -538,6 +538,54 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** Drive the streaming LAKE SOURCES end-to-end for the t2 harness (the
+    * read-side twin of [[deltaSink]]/[[icebergSink]], ST14/ST15): the
+    * events table lands in a lake table over three commits, and a
+    * streaming aggregation TAILS the table through
+    * [[LakeSources.delta]]/[[LakeSources.iceberg]] across two runs of one
+    * checkpoint — run 1 sees commit 1 as the initial snapshot; commits 2–3
+    * arrive while the stream is down and run 2 resumes from the
+    * checkpointed version offset, reading ONLY the new commits'
+    * files. The complete-mode totals therefore equal the batch aggregate
+    * over all events exactly when offset recovery is exactly-once — a
+    * re-emitted snapshot would double-count commit 1, a lost offset would
+    * drop commits 2–3. */
+  def tailLakeTotals(spark: SparkSession, sfDir: String, kind: String): DataFrame = {
+    val ev = graft.Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("value"), col("event_type"))
+    val base = java.nio.file.Files.createTempDirectory(s"graft_${kind}_tail").toString
+    val table = s"$base/tbl"
+    val ckpt = s"$base/ckpt"
+    def append(part: Int): Unit = {
+      val df = ev.where(pmod(col("event_id"), lit(3)) === part)
+      kind match {
+        case "delta" => graft.sources.DeltaWrite.append(spark, df, table)
+        case "iceberg" => graft.sources.IcebergWrite.append(spark, df, table)
+      }
+    }
+    def drain(run: Int): String = {
+      val name = s"graft_${kind}_tail_r$run"
+      val src = kind match {
+        case "delta" => LakeSources.delta(spark, table)
+        case "iceberg" => LakeSources.iceberg(spark, table)
+      }
+      val q = src.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .writeStream.outputMode(OutputMode.Complete()).format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      name
+    }
+    append(0)
+    drain(1)
+    append(1)
+    append(2)
+    spark.table(drain(2)).orderBy(col("event_type"))
+  }
+
   /** Streaming data-quality monitor: continuous C2 validation — each
     * micro-batch is audited by [[graft.operators.Quality.check]] and the
     * per-rule violation counts land in a metrics table keyed by batch id.

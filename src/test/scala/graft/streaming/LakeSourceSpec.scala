@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sources.{DeltaWrite, IcebergWrite}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+
+/** Streaming SOURCES over the lake formats (LakeSources): initial-snapshot
+  * batch, incremental tail across restarts with a shared checkpoint,
+  * exactly-once offset recovery, and the remove-commit refusal. */
+class LakeSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Run one AvailableNow pass of `df` into a fresh memory sink (complete
+    * mode), returning the sink rows as (id, v) pairs sorted by id. */
+  private def drain(df: org.apache.spark.sql.DataFrame, checkpoint: String,
+      sinkName: String): Seq[(Long, Long)] = {
+    val q = df.groupBy(col("id")).agg(sum(col("v")).as("sv"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName(sinkName)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+  }
+
+  test("delta source: initial snapshot, then incremental adds across restarts") {
+    val table = tmp("lakesrc_delta") + "/tbl"
+    val ckpt = tmp("lakesrc_delta_ckpt")
+    DeltaWrite.append(spark, Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), table)
+
+    // run 1: fresh checkpoint → the full current snapshot (version 0)
+    assert(drain(LakeSources.delta(spark, table), ckpt, "lakesrc_d1")
+      === Seq((1L, 10L), (2L, 20L)))
+
+    // two more commits while the stream is down
+    DeltaWrite.append(spark, Seq((3L, 30L)).toDF("id", "v"), table)
+    DeltaWrite.append(spark, Seq((1L, 100L)).toDF("id", "v"), table)
+
+    // run 2, SAME checkpoint: only the two new commits are read — the
+    // complete-mode aggregate now covers all four rows exactly once
+    // (a re-emitted snapshot would double ids 1 and 2)
+    assert(drain(LakeSources.delta(spark, table), ckpt, "lakesrc_d2")
+      === Seq((1L, 110L), (2L, 20L), (3L, 30L)))
+
+    // run 3, nothing new: offsets equal → NO batch executes, so this
+    // run's fresh memory sink stays empty — nothing was re-emitted
+    assert(drain(LakeSources.delta(spark, table), ckpt, "lakesrc_d3") === Seq.empty)
+  }
+
+  test("delta source: remove-commit refused, ignoreChanges accepts") {
+    val table = tmp("lakesrc_deltarm") + "/tbl"
+    val ckpt = tmp("lakesrc_deltarm_ckpt")
+    DeltaWrite.append(spark, Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), table)
+    assert(drain(LakeSources.delta(spark, table), ckpt, "lakesrc_rm1")
+      === Seq((1L, 10L), (2L, 20L)))
+
+    // an overwrite (remove + add) makes adds-only tailing ambiguous
+    Seq((9L, 90L)).toDF("id", "v").createOrReplaceTempView("lakesrc_rm_stage")
+    DeltaWrite.overwrite(spark, spark.table("lakesrc_rm_stage"), table)
+    val e = intercept[StreamingQueryException] {
+      drain(LakeSources.delta(spark, table), ckpt, "lakesrc_rm2")
+    }
+    assert(e.getMessage.contains("ignoreChanges") ||
+      Option(e.getCause).exists(_.getMessage.contains("ignoreChanges")))
+
+    // ignoreChanges tails on, emitting the overwrite's added file
+    assert(drain(LakeSources.delta(spark, table, ignoreChanges = true),
+      ckpt, "lakesrc_rm3") === Seq((1L, 10L), (2L, 20L), (9L, 90L)))
+  }
+
+  test("iceberg source: initial snapshot, then incremental adds across restarts") {
+    val table = tmp("lakesrc_ice") + "/tbl"
+    val ckpt = tmp("lakesrc_ice_ckpt")
+    IcebergWrite.append(spark, Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), table)
+
+    assert(drain(LakeSources.iceberg(spark, table), ckpt, "lakesrc_i1")
+      === Seq((1L, 10L), (2L, 20L)))
+
+    IcebergWrite.append(spark, Seq((3L, 30L)).toDF("id", "v"), table)
+    IcebergWrite.append(spark, Seq((1L, 100L)).toDF("id", "v"), table)
+
+    assert(drain(LakeSources.iceberg(spark, table), ckpt, "lakesrc_i2")
+      === Seq((1L, 110L), (2L, 20L), (3L, 30L)))
+
+    // nothing new → no batch → fresh sink stays empty (exactly-once)
+    assert(drain(LakeSources.iceberg(spark, table), ckpt, "lakesrc_i3") === Seq.empty)
+  }
+
+  test("short names resolve through DataSourceRegister") {
+    val table = tmp("lakesrc_short") + "/tbl"
+    DeltaWrite.append(spark, Seq((1L, 1L)).toDF("id", "v"), table)
+    val df = spark.readStream.format("graft-delta").load(table)
+    assert(df.isStreaming && df.schema.fieldNames.toSeq === Seq("id", "v"))
+  }
+}
