@@ -424,5 +424,52 @@ object AnalyticsQueries {
              round(sum(dus / 1000000.0), 2) AS total_dist_s
       FROM r WHERE rn = 1"""))
 
-  val all: Seq[GQuery] = Seq(t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, l23, l3ivfx, b14b, b14c)
+  /** W13: event-sequence pattern matching (MATCH_RECOGNIZE-lite) — every
+    * view → click → purchase chain per user in strict row order
+    * (earliest-next binding), completed within 24 h, with no error event
+    * between consecutive stages; per-user match counts + first/last bind
+    * timestamps. The oracle replays the identical construction: one
+    * position window, min-over-following next-stage pointers, two
+    * pointer-equality joins. */
+  val t50 = GQuery(
+    "t50_pattern_match",
+    (s, dir) =>
+      graft.operators.Patterns.sequenceMatches(
+        t(s, dir, "events"), "user_id", "ts", "event_id",
+        Seq(
+          "view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")),
+        withinSeconds = Some(86400L),
+        noIntervening = Some(col("event_type") === "error"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("matches"),
+          min(col("ts_1")).as("first_start"), max(col("ts_3")).as("last_end"))
+        .orderBy(col("user_id")),
+    Some("""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
+      o AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos FROM ev),
+      nx AS (SELECT user_id, ts, event_type, pos,
+               min(CASE WHEN event_type = 'click' THEN pos END)
+                 OVER w AS n_click,
+               min(CASE WHEN event_type = 'purchase' THEN pos END)
+                 OVER w AS n_buy,
+               min(CASE WHEN event_type = 'error' THEN pos END)
+                 OVER w AS n_err
+             FROM o
+             WINDOW w AS (PARTITION BY user_id ORDER BY pos
+                          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+      m1 AS (SELECT user_id, ts AS ts1, n_click, n_err FROM nx WHERE event_type = 'view'),
+      m2 AS (SELECT m1.user_id, m1.ts1, b.ts AS ts2, b.n_buy, b.n_err AS g2
+             FROM m1 JOIN nx b ON b.user_id = m1.user_id AND b.pos = m1.n_click
+             WHERE m1.n_err IS NULL OR m1.n_err >= m1.n_click),
+      m3 AS (SELECT m2.user_id, m2.ts1, c.ts AS ts3
+             FROM m2 JOIN nx c ON c.user_id = m2.user_id AND c.pos = m2.n_buy
+             WHERE m2.g2 IS NULL OR m2.g2 >= m2.n_buy)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS matches,
+             min(ts1) AS first_start, max(ts3) AS last_end
+      FROM m3 WHERE epoch_us(ts3) - epoch_us(ts1) <= 86400000000
+      GROUP BY user_id ORDER BY user_id"""))
+
+  val all: Seq[GQuery] =
+    Seq(t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, l23, l3ivfx, b14b, b14c)
 }
