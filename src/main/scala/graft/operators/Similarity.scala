@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Spread
 import graft.functions.VectorOps
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -317,6 +318,67 @@ object Similarity {
       .where(col("__sr") <= shortlist)
       .select(col("q_id"), col("c_id"))
     // exact re-rank of the shortlist only
+    val q = prepared(queries, idCol, vecCol, "q")
+    val c = prepared(corpus, idCol, vecCol, "c")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id").asc)
+    short.join(q, "q_id").join(c, "c_id")
+      .select(col("q_id"), col("c_id"),
+        (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id").as("vec_id"), col("rank"), col("c_id").as("nn_id"), col("cosine"))
+  }
+
+  /** SCALAR-QUANTIZATION ANN (SQ8): each corpus vector compressed to one
+    * int code 0..255 PER DIMENSION against per-dimension [min, max] ranges
+    * learned from the corpus — 4× memory cut vs float32 (vs PQ's 32× at
+    * coarser accuracy; SQ is the tier real systems pick when PQ recall is
+    * not enough but float vectors don't fit).
+    *
+    * Scoring is ADC-style — corpus codes are never dequantized:
+    *   dot(q, v̂) = dot(q, min) + Σᵢ (qᵢ·Δᵢ) · codeᵢ
+    * so the per-pair work is one int-weighted dot against the query-side
+    * precomputed weight vector. Per-dimension stats are one explode +
+    * d-key aggregation (d rows to the driver — bounded by dimension, not
+    * data); the scored pass is codes × broadcast queries; shortlist per
+    * query; exact re-rank of the shortlist only. Approximate by design;
+    * recall gated in SimilaritySpec and by `l3_ann_sq_recall`. */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, shortlist: Int = 50, excludeSelf: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
+    // per-dimension range: one narrow explode + 64-key agg
+    val dims = corpus.select(posexplode(VectorOps.asDouble(col(vecCol))).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .orderBy(col("pos")).collect()
+    val lo = dims.map(_.getDouble(1))
+    val delta = dims.map(r => { val d = (r.getDouble(2) - r.getDouble(1)) / 255.0
+      if (d == 0.0) 1.0 else d }) // constant dims: every code 0, exact
+    val loL = array(lo.map(lit): _*)
+    val deltaL = array(delta.map(lit): _*)
+
+    // encode: clamp(round((x - lo)/Δ)) ∈ [0, 255] — one projection
+    val codes = corpus.select(col(idCol).as("c_id"),
+      transform(VectorOps.asDouble(col(vecCol)), (x, i) =>
+        least(greatest(round((x - element_at(loL, i + 1)) / element_at(deltaL, i + 1)), lit(0.0)),
+          lit(255.0)).cast("double")).as("codes"),
+      VectorOps.norm(VectorOps.asDouble(col(vecCol))).as("cn"))
+
+    // query-side ADC prep: base = dot(q, lo); weights = qᵢ·Δᵢ
+    val qprep = prepared(queries, idCol, vecCol, "q")
+      .select(col("q_id"), col("qn"),
+        VectorOps.dot(col("qv"), loL).as("base"),
+        zip_with(col("qv"), deltaL, (a, b) => a * b).as("w"))
+
+    val scored0 = Spread.ifNarrow(codes).crossJoin(broadcast(qprep))
+      .select(col("q_id"), col("c_id"),
+        ((col("base") + VectorOps.dot(col("w"), col("codes"))) / (col("qn") * col("cn")))
+          .as("approx_cos"))
+    val scored = if (excludeSelf) scored0.where(col("q_id") =!= col("c_id")) else scored0
+    val wShort = Window.partitionBy(col("q_id")).orderBy(col("approx_cos").desc, col("c_id").asc)
+    val short = scored.withColumn("__sr", row_number().over(wShort))
+      .where(col("__sr") <= shortlist)
+      .select(col("q_id"), col("c_id"))
+
     val q = prepared(queries, idCol, vecCol, "q")
     val c = prepared(corpus, idCol, vecCol, "c")
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id").asc)

@@ -330,6 +330,30 @@ object LlmQueries {
     },
     Some(annRecallOracle("WHERE q.vec_id < 100", 193L)))
 
+  /** SQ8 scalar-quantization ANN (approximate by design → rows-only; the
+    * recall twin below is the hash gate). */
+  val l3sq = GQuery(
+    "l3_ann_sq_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.sqTopK(emb, emb.where(col("vec_id") < 100), "vec_id", "embedding",
+        k = 3, shortlist = 30)
+        .select(col("vec_id"), col("rank"), col("nn_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("vec_id"), col("rank"))
+    },
+    None)
+
+  val l3sqRecall = GQuery(
+    "l3_ann_sq_recall",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.recallCounts(
+        Similarity.sqTopK(emb, emb.where(col("vec_id") < 100), "vec_id", "embedding",
+          k = 3, shortlist = 30),
+        brute3(s, dir, maxQ = Some(100L)))
+    },
+    Some(annRecallOracle("WHERE q.vec_id < 100", 300L)))
+
   /** Statistical-LM quality scoring (CCNet-style perplexity proxy): MLE
     * bigram model trained on the corpus, per-doc mean log-prob in exact
     * integer micro-units (float determinism contract in
@@ -1013,8 +1037,8 @@ object LlmQueries {
       ORDER BY doc_id"""))
 
   def all: Seq[GQuery] = Seq(l1, l2, l2brute, l2simhash, l2simhashPairs, l2cluster, l2quality,
-    l2embedding, l3, l3scalable, l3lsh, l3ivf, l3kmeans, l3pq,
-    l3lshRecall, l3ivfRecall, l3kmeansRecall, l3pqRecall, l26, l27, l28, l29, l30,
+    l2embedding, l3, l3scalable, l3lsh, l3ivf, l3kmeans, l3pq, l3sq,
+    l3lshRecall, l3ivfRecall, l3kmeansRecall, l3pqRecall, l3sqRecall, l26, l27, l28, l29, l30,
     l4langid, l5, l6, l7, l8, l9,
     l10, l11, l11b, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l24, l24b, l25)
 }

@@ -131,12 +131,36 @@ class SimilaritySpec extends SparkSpec {
       "l3_ann_lsh_recall" -> (500L, 1500L, 98L),
       "l3_ann_ivf_recall" -> (500L, 1500L, 464L),
       "l3_ann_kmeans_recall" -> (500L, 1500L, 960L),
-      "l3_ann_pq_recall" -> (100L, 300L, 193L))
+      "l3_ann_pq_recall" -> (100L, 300L, 193L),
+      "l3_ann_sq_recall" -> (100L, 300L, 300L))
     Seq(LlmQueries.l3lshRecall, LlmQueries.l3ivfRecall,
-      LlmQueries.l3kmeansRecall, LlmQueries.l3pqRecall).foreach { q =>
+      LlmQueries.l3kmeansRecall, LlmQueries.l3pqRecall, LlmQueries.l3sqRecall).foreach { q =>
       val r = q.build(spark, sf01).head()
       assert((r.getLong(0), r.getLong(1), r.getLong(2)) === expect(q.name), q.name)
     }
+  }
+
+  test("SQ8 ANN with exact re-rank recovers most true nearest neighbors") {
+    val emb = Tables(spark, sf001, "embeddings")
+    val queries = emb.where($"vec_id" < 50)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 1)
+      .select(col("vec_id"), col("nn_id")).as[(Long, Long)].collect().toMap
+    val sq = Similarity.sqTopK(emb, queries, "vec_id", "embedding", k = 1, shortlist = 30)
+      .select(col("vec_id"), col("nn_id")).as[(Long, Long)].collect().toMap
+    val hits = brute.count { case (q, nn) => sq.get(q).contains(nn) }
+    val recall = hits.toDouble / brute.size
+    assert(recall > 0.8, s"recall=$recall") // 8-bit/dim + re-rank: the high-accuracy tier
+  }
+
+  test("SQ8 search is deterministic and ignores constant dimensions safely") {
+    // append a constant dimension: Δ=0 must not divide by zero or shift ranks
+    val emb = Tables(spark, sf001, "embeddings").where($"vec_id" < 100)
+      .withColumn("embedding", concat($"embedding", array(lit(7.5f))))
+    def run() = Similarity.sqTopK(emb, emb.where($"vec_id" < 10), "vec_id", "embedding",
+      k = 3, shortlist = 20)
+      .orderBy("vec_id", "rank").select("nn_id").as[Long].collect().toSeq
+    val first = run()
+    assert(first.nonEmpty && first === run())
   }
 
   test("PQ training and search are deterministic across runs") {
