@@ -22,14 +22,33 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType,
   */
 object DataSkipping {
 
-  /** One stats pass: per-file min/max/null-count for `statCols`.
-    * At production scale these rows are produced at WRITE time by the
-    * committing job (the writer has the data in hand); this one-pass
-    * collector retrofits stats onto an existing table. */
-  def collectStats(spark: SparkSession, tableDir: String, statCols: Seq[String]): DataFrame = {
+  /** Distributed bloom probe over the stats table: one sketch
+    * deserialization per stats ROW (= per file) — O(files), never touches
+    * data. Null sketch → keep the file (conservative). */
+  private val bloomProbe = udf((blob: Array[Byte], hash: Long) =>
+    blob == null ||
+      org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(blob)).mightContainLong(hash))
+
+  /** One stats pass: per-file min/max/null-count for `statCols`, plus an
+    * optional per-file BLOOM FILTER for each of `bloomCols` (over
+    * xxhash64 of the value — the same Catalyst sketch the runtime join
+    * filter uses). Blooms are the point-lookup lever min/max cannot be:
+    * on a high-cardinality unclustered column every file's [min, max]
+    * spans the whole domain and interval pruning keeps everything, while
+    * a bloom answers "could THIS value be in THIS file" at ~1% false
+    * positives for ~1 byte/row. At production scale these rows are
+    * produced at WRITE time by the committing job (the writer has the
+    * data in hand); this one-pass collector retrofits stats onto an
+    * existing table. */
+  def collectStats(spark: SparkSession, tableDir: String, statCols: Seq[String],
+      bloomCols: Seq[String] = Nil, bloomItems: Long = 1000000L,
+      bloomBits: Long = 1024L * 1024): DataFrame = {
     val aggs = statCols.flatMap(c => Seq(
       min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))) :+
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))) ++
+      bloomCols.map(c =>
+        BloomOps.bloomAgg(xxhash64(col(c)), bloomItems, bloomBits).as(s"bloom_$c")) :+
       count(lit(1L)).as("rows")
     spark.read.parquet(tableDir)
       .groupBy(input_file_name().as("file"))
@@ -65,18 +84,35 @@ object DataSkipping {
     * file that could contain a matching row — the same contract as parquet
     * row-group filtering. Handles =, <, <=, >, >=, IN, IS NULL, AND, OR with
     * literals on either side (BETWEEN arrives as two comparisons). */
-  def fileSurvives(pred: Expression, statCols: Set[String]): Column = {
+  def fileSurvives(pred: Expression, statCols: Set[String],
+      bloomCols: Set[String] = Set.empty): Column = {
     def known(name: String): Boolean = statCols.contains(name)
     def mn(c: String) = col(s"min_$c")
     def mx(c: String) = col(s"max_$c")
     def nulls(c: String) = col(s"nulls_$c")
     def l(e: Expression): Column = Bridge.column(e)
+    // Bloom probe for an equality leg: deserialize the file's sketch and
+    // test xxhash64(literal) — the literal's hash is evaluated HERE at
+    // translate time (same seed-42 hash the collector used), so the probe
+    // is (binary, const-long) per stats row. A null sketch (no non-null
+    // values in the file, or stats collected without this bloom) keeps the
+    // file — conservative like every unknown shape.
+    def bloomHit(a: String, v: Expression): Column =
+      if (!bloomCols.contains(a)) lit(true)
+      else {
+        val hash = XxHash64(Seq(v), 42L).eval(null).asInstanceOf[Long]
+        bloomProbe(col(s"bloom_$a"), lit(hash))
+      }
+    def eqCheck(a: String, v: Literal): Column = {
+      val iv = if (known(a)) mn(a) <= l(v) && mx(a) >= l(v) else lit(true)
+      iv && bloomHit(a, v)
+    }
 
     def go(e: Expression): Column = e match {
       case And(a, b) => go(a) && go(b)
       case Or(a, b) => go(a) || go(b)
-      case EqualTo(Attr(a), v: Literal) if known(a) => mn(a) <= l(v) && mx(a) >= l(v)
-      case EqualTo(v: Literal, Attr(a)) if known(a) => mn(a) <= l(v) && mx(a) >= l(v)
+      case EqualTo(Attr(a), v: Literal) if known(a) || bloomCols.contains(a) => eqCheck(a, v)
+      case EqualTo(v: Literal, Attr(a)) if known(a) || bloomCols.contains(a) => eqCheck(a, v)
       case LessThan(Attr(a), v: Literal) if known(a) => mn(a) < l(v)
       case LessThanOrEqual(Attr(a), v: Literal) if known(a) => mn(a) <= l(v)
       case GreaterThan(Attr(a), v: Literal) if known(a) => mx(a) > l(v)
@@ -86,19 +122,19 @@ object DataSkipping {
       case LessThanOrEqual(v: Literal, Attr(a)) if known(a) => mx(a) >= l(v)
       case GreaterThan(v: Literal, Attr(a)) if known(a) => mn(a) < l(v)
       case GreaterThanOrEqual(v: Literal, Attr(a)) if known(a) => mn(a) <= l(v)
-      case In(Attr(a), vs) if known(a) && vs.forall(_.isInstanceOf[Literal]) =>
+      case In(Attr(a), vs) if (known(a) || bloomCols.contains(a)) &&
+          vs.forall(_.isInstanceOf[Literal]) =>
         // empty IN-list matches nothing; foldLeft keeps that exact (and
         // avoids reduce's crash on Nil)
-        vs.foldLeft(lit(false))((acc, v) => acc || (mn(a) <= l(v) && mx(a) >= l(v)))
-      case InSet(child @ Attr(a), hset) if known(a) =>
+        vs.foldLeft(lit(false))((acc, v) => acc || eqCheck(a, v.asInstanceOf[Literal]))
+      case InSet(child @ Attr(a), hset) if known(a) || bloomCols.contains(a) =>
         // the optimizer rewrites IN-lists longer than
         // spark.sql.optimizer.inSetConversionThreshold (default 10) to
         // InSet over internal values — without this case, exactly the
         // large IN-lists stop pruning. Internal values become typed
         // Literals of the child's type.
         hset.foldLeft(lit(false)) { (acc, v) =>
-          val litV = l(Literal(v, child.dataType))
-          acc || (mn(a) <= litV && mx(a) >= litV)
+          acc || eqCheck(a, Literal(v, child.dataType))
         }
       case IsNull(Attr(a)) if known(a) => nulls(a) > 0
       case _ => lit(true) // unknown shape → cannot prune on it
@@ -114,6 +150,7 @@ object DataSkipping {
   def scan(spark: SparkSession, tableDir: String, stats: DataFrame, pred: Column)
       : (DataFrame, Long, Long) = {
     val statCols = stats.columns.collect { case c if c.startsWith("min_") => c.stripPrefix("min_") }
+    val bloomCols = stats.columns.collect { case c if c.startsWith("bloom_") => c.stripPrefix("bloom_") }
     val total = stats.count()
     // A Column is an unresolved ColumnNode tree in Spark 4; resolve it
     // against the actual table (plan-only, nothing executes) so the
@@ -122,7 +159,7 @@ object DataSkipping {
     val cond = spark.read.parquet(tableDir).where(pred)
       .queryExecution.optimizedPlan
       .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
-    val survives = cond.map(fileSurvives(_, statCols.toSet)).getOrElse(lit(true))
+    val survives = cond.map(fileSurvives(_, statCols.toSet, bloomCols.toSet)).getOrElse(lit(true))
     val survivors = stats.where(survives)
       .select("file").collect().map(_.getString(0))
     val df =

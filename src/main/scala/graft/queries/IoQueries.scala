@@ -85,6 +85,31 @@ object IoQueries {
       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
       FROM orders WHERE o_orderkey <= 1000"""))
 
+  /** Bloom-filter data skipping: a HASH-layout table (every file's
+    * [min, max] spans the whole key domain, so interval pruning keeps all
+    * files) probed by point/IN predicates on a high-cardinality string key
+    * through per-file bloom sketches. Correctness contract is the same as
+    * t_skipping_scan: the pruned scan must equal the full-scan filter;
+    * pruned-file counts are asserted in DataSkippingSpec. */
+  val tbloom = GQuery(
+    "t_bloom_skipping",
+    (s, dir) => {
+      val out = tmp("graft_bloomscan")
+      Tables(s, dir, "orders")
+        .withColumn("ok_str", concat(lit("K"), col("o_orderkey")))
+        .repartition(8, col("o_orderkey"))
+        .write.mode("overwrite").parquet(out)
+      val stats = graft.operators.DataSkipping.collectStats(s, out, Seq("o_orderkey"),
+        bloomCols = Seq("ok_str"), bloomItems = 10000L)
+      val (df, _, _) = graft.operators.DataSkipping.scan(s, out, stats,
+        col("ok_str").isin("K500", "K1500", "K-absent"))
+      df.agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+    },
+    Some("""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+      min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      FROM orders WHERE concat('K', o_orderkey) IN ('K500', 'K1500', 'K-absent')"""))
+
   /** External-Delta interop end-to-end (sources.DeltaRead): author a REAL
     * `_delta_log` over partitioned parquet written from events (exactly the
     * layout another engine's Delta writer produces — partition column only
@@ -724,7 +749,7 @@ object IoQueries {
       ORDER BY event_type"""))
 
   def all: Seq[GQuery] =
-    Seq(t1, t1orc, t2, t3, tskip, tdelta, ticeberg, tdeltaRt, ticebergRt, ticebergMor,
+    Seq(t1, t1orc, t2, t3, tskip, tbloom, tdelta, ticeberg, tdeltaRt, ticebergRt, ticebergMor,
       tdeltaDv, tdeltaUpsert, ticebergPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tcdcApply, tlakeSync)
 }

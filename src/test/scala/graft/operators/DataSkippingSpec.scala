@@ -169,6 +169,56 @@ class DataSkippingSpec extends SparkSpec {
     assert(dfNone.count() === 0L)
   }
 
+  test("bloom filters prune point lookups where min/max cannot") {
+    val d = java.nio.file.Files.createTempDirectory("graft_skip_bloom").toString
+    // HASH layout on a high-cardinality string key: every file's [min, max]
+    // spans the whole domain, so interval pruning keeps all 8 files — the
+    // exact case blooms exist for.
+    Tables(spark, sf001, "orders")
+      .withColumn("ok_str", concat(lit("K"), $"o_orderkey"))
+      .repartition(8, col("o_orderkey"))
+      .write.mode("overwrite").parquet(d)
+    val f = spark.read.parquet(d)
+
+    // min/max-only stats: point lookup keeps everything. The probed key is
+    // the MEDIAN o_orderkey — lexicographically interior, so every file's
+    // string [min, max] straddles it under the hash layout (an extreme key
+    // would let interval pruning win by accident).
+    val stPlain = DataSkipping.collectStats(spark, d, Seq("ok_str")).cache()
+    val mid = f.agg(max($"o_orderkey")).as[Long].head() / 2
+    val key = f.where($"o_orderkey" >= mid).orderBy($"o_orderkey")
+      .limit(1).select($"ok_str").as[String].head()
+    val (dfP, hitP, totalP) = DataSkipping.scan(spark, d, stPlain, col("ok_str") === key)
+    assert(hitP === totalP, "interval pruning cannot help a hash layout")
+    assert(dfP.count() === 1L)
+
+    // bloom stats: the same lookup touches ~1 file (≤2 allows an fp)
+    val st = DataSkipping.collectStats(spark, d, Seq("o_orderkey"),
+      bloomCols = Seq("ok_str"), bloomItems = 10000L).cache()
+    val (df, hit, total) = DataSkipping.scan(spark, d, st, col("ok_str") === key)
+    assert(hit <= 2, s"bloom point lookup should touch ≤2 of $total files, hit $hit")
+    assert(df.count() === 1L)
+
+    // IN over two keys from different files: union of probes, exact rows
+    val two = f.orderBy($"o_orderkey").limit(40).select($"ok_str").as[String].collect()
+      .distinct.take(2)
+    val inPred = col("ok_str").isin(two.toIndexedSeq: _*)
+    val (dfIn, hitIn, _) = DataSkipping.scan(spark, d, st, inPred)
+    assert(hitIn <= 4)
+    assert(dfIn.count() === 2L)
+
+    // absent value: at most fp files touched, zero rows back
+    val (dfNo, hitNo, _) = DataSkipping.scan(spark, d, st, col("ok_str") === "K-nope")
+    assert(hitNo <= 2)
+    assert(dfNo.count() === 0L)
+
+    // OR with an interval leg: survivors are the UNION of both prunes
+    val loKey = f.agg(min($"o_orderkey")).as[Long].head()
+    val orPred = col("ok_str") === key || col("o_orderkey") <= lit(loKey)
+    val (dfOr, _, _) = DataSkipping.scan(spark, d, st, orPred)
+    assert(dfOr.count() === f.where(orPred).count())
+  }
+
   test("long IN-lists (optimized to InSet above threshold 10) still prune") {
     // 12 clustered low keys > inSetConversionThreshold (10) → the optimizer
     // rewrites In → InSet; without the InSet translator case this read all files
