@@ -91,6 +91,13 @@ object DataSkipping {
     def mx(c: String) = col(s"max_$c")
     def nulls(c: String) = col(s"nulls_$c")
     def l(e: Expression): Column = Bridge.column(e)
+    // NULL stats keep the file: a stats source may legitimately lack a
+    // file's bounds for a column (Iceberg bounds are per-column OPTIONAL —
+    // e.g. entries re-authored by compaction), and dropping on a
+    // three-valued-NULL comparison would lose matching rows. The cost is
+    // conservative: an all-null column's file now also survives equality
+    // probes (its nulls_ count still serves IS NULL).
+    def safe(c: Column): Column = coalesce(c, lit(true))
     // Bloom probe for an equality leg: deserialize the file's sketch and
     // test xxhash64(literal) — the literal's hash is evaluated HERE at
     // translate time (same seed-42 hash the collector used), so the probe
@@ -104,7 +111,7 @@ object DataSkipping {
         bloomProbe(col(s"bloom_$a"), lit(hash))
       }
     def eqCheck(a: String, v: Literal): Column = {
-      val iv = if (known(a)) mn(a) <= l(v) && mx(a) >= l(v) else lit(true)
+      val iv = if (known(a)) safe(mn(a) <= l(v) && mx(a) >= l(v)) else lit(true)
       iv && bloomHit(a, v)
     }
 
@@ -113,15 +120,15 @@ object DataSkipping {
       case Or(a, b) => go(a) || go(b)
       case EqualTo(Attr(a), v: Literal) if known(a) || bloomCols.contains(a) => eqCheck(a, v)
       case EqualTo(v: Literal, Attr(a)) if known(a) || bloomCols.contains(a) => eqCheck(a, v)
-      case LessThan(Attr(a), v: Literal) if known(a) => mn(a) < l(v)
-      case LessThanOrEqual(Attr(a), v: Literal) if known(a) => mn(a) <= l(v)
-      case GreaterThan(Attr(a), v: Literal) if known(a) => mx(a) > l(v)
-      case GreaterThanOrEqual(Attr(a), v: Literal) if known(a) => mx(a) >= l(v)
+      case LessThan(Attr(a), v: Literal) if known(a) => safe(mn(a) < l(v))
+      case LessThanOrEqual(Attr(a), v: Literal) if known(a) => safe(mn(a) <= l(v))
+      case GreaterThan(Attr(a), v: Literal) if known(a) => safe(mx(a) > l(v))
+      case GreaterThanOrEqual(Attr(a), v: Literal) if known(a) => safe(mx(a) >= l(v))
       // literal-on-left comparisons: same interval test, flipped
-      case LessThan(v: Literal, Attr(a)) if known(a) => mx(a) > l(v)
-      case LessThanOrEqual(v: Literal, Attr(a)) if known(a) => mx(a) >= l(v)
-      case GreaterThan(v: Literal, Attr(a)) if known(a) => mn(a) < l(v)
-      case GreaterThanOrEqual(v: Literal, Attr(a)) if known(a) => mn(a) <= l(v)
+      case LessThan(v: Literal, Attr(a)) if known(a) => safe(mx(a) > l(v))
+      case LessThanOrEqual(v: Literal, Attr(a)) if known(a) => safe(mx(a) >= l(v))
+      case GreaterThan(v: Literal, Attr(a)) if known(a) => safe(mn(a) < l(v))
+      case GreaterThanOrEqual(v: Literal, Attr(a)) if known(a) => safe(mn(a) <= l(v))
       case In(Attr(a), vs) if (known(a) || bloomCols.contains(a)) &&
           vs.forall(_.isInstanceOf[Literal]) =>
         // empty IN-list matches nothing; foldLeft keeps that exact (and
@@ -136,7 +143,7 @@ object DataSkipping {
         hset.foldLeft(lit(false)) { (acc, v) =>
           acc || eqCheck(a, Literal(v, child.dataType))
         }
-      case IsNull(Attr(a)) if known(a) => nulls(a) > 0
+      case IsNull(Attr(a)) if known(a) => safe(nulls(a) > 0)
       case _ => lit(true) // unknown shape → cannot prune on it
     }
     go(pred)

@@ -110,6 +110,31 @@ object IoQueries {
       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
       FROM orders WHERE concat('K', o_orderkey) IN ('K500', 'K1500', 'K-absent')"""))
 
+  /** Iceberg manifest column bounds end-to-end: a range-clustered append
+    * records spec lower/upper_bounds per data file; scanPruned translates
+    * a value predicate against the decoded bounds and scans only the
+    * surviving files. Same invisibility contract as the other skipping
+    * queries: result equals the full-scan filter (prune counts asserted
+    * in IcebergStatsSpec). */
+  val ticebergStats = GQuery(
+    "t_iceberg_stats_prune",
+    (s, dir) => {
+      val table = tmp("graft_ice_stats") + "/tbl"
+      graft.sources.IcebergWrite.append(s,
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions(col("o_orderkey")),
+        table)
+      val (df, _, _) = graft.sources.IcebergRead.scanPruned(s, table,
+        col("o_orderkey") <= 1000L)
+      df.agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+    },
+    Some("""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+      min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      FROM orders WHERE o_orderkey <= 1000"""))
+
   /** External-Delta interop end-to-end (sources.DeltaRead): author a REAL
     * `_delta_log` over partitioned parquet written from events (exactly the
     * layout another engine's Delta writer produces — partition column only
@@ -749,7 +774,8 @@ object IoQueries {
       ORDER BY event_type"""))
 
   def all: Seq[GQuery] =
-    Seq(t1, t1orc, t2, t3, tskip, tbloom, tdelta, ticeberg, tdeltaRt, ticebergRt, ticebergMor,
+    Seq(t1, t1orc, t2, t3, tskip, tbloom, ticebergStats, tdelta, ticeberg, tdeltaRt,
+      ticebergRt, ticebergMor,
       tdeltaDv, tdeltaUpsert, ticebergPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tcdcApply, tlakeSync)
 }

@@ -264,6 +264,116 @@ object IcebergRead {
     (paths(dataMs), paths(delMs))
   }
 
+  /** Per-file column statistics of a snapshot, decoded from the
+    * manifests' `lower_bounds` / `upper_bounds` / `null_value_counts`
+    * maps (spec single-value binaries keyed by field id — the stats every
+    * real Iceberg writer records): one row per LIVE data file with
+    * `file`, `rows`, and `min_<col>` / `max_<col>` / `nulls_<col>` for
+    * each bounds-supported table column. Columns a file has no bounds
+    * for are NULL (bounds are per-column optional). O(manifests) driver
+    * metadata read; no data touched. */
+  def fileStats(spark: SparkSession, table: String, snapshotId: Long = -1L): DataFrame = {
+    val meta = mapper.readTree(metadataFile(table))
+    val resolvedId =
+      if (snapshotId >= 0) snapshotId else meta.path("current-snapshot-id").asLong(-1L)
+    val snap = meta.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong(-2L) == resolvedId)
+      .getOrElse(throw new IllegalArgumentException(s"snapshot $resolvedId not found"))
+    val schemaNode =
+      if (meta.has("schemas")) {
+        val cur = meta.path("current-schema-id").asInt(0)
+        val want = if (snap.has("schema-id")) snap.path("schema-id").asInt(cur) else cur
+        meta.path("schemas").elements().asScala.toSeq
+          .find(_.path("schema-id").asInt(-1) == want)
+          .getOrElse(throw new IllegalArgumentException(s"schema-id $want not in schemas"))
+      } else meta.path("schema")
+    val fields: Seq[(Int, String, DataType)] =
+      schemaNode.path("fields").elements().asScala.map { f =>
+        (f.path("id").asInt(-1), f.path("name").asText(),
+          fieldType(f.path("type").asText(), f.path("name").asText()))
+      }.toSeq
+    val statFields = fields.filter { case (_, _, dt) => IcebergBounds.supported(dt) }
+
+    val dataManifests: Seq[String] =
+      if (snap.has("manifest-list"))
+        avroRecords(snap.path("manifest-list").asText()).collect {
+          case r if Option(r.get("content")).forall(_.toString.toInt == 0) =>
+            r.get("manifest_path").toString
+        }
+      else snap.path("manifests").elements().asScala.map(_.asText()).toSeq
+
+    def opt(r: org.apache.avro.generic.GenericRecord, n: String): Option[AnyRef] =
+      Option(r.getSchema.getField(n)).flatMap(_ => Option(r.get(n)))
+    def kvMap(df: org.apache.avro.generic.GenericRecord, name: String): Map[Int, AnyRef] =
+      opt(df, name).map { v =>
+        v.asInstanceOf[java.util.List[_]].asScala.map { e =>
+          val r = e.asInstanceOf[org.apache.avro.generic.GenericRecord]
+          r.get("key").toString.toInt -> r.get("value")
+        }.toMap
+      }.getOrElse(Map.empty)
+    def bytesOf(v: AnyRef): Array[Byte] = v match {
+      case b: java.nio.ByteBuffer =>
+        val c = b.duplicate(); val a = new Array[Byte](c.remaining()); c.get(a); a
+      case a: Array[Byte] => a
+      case other => throw new IllegalArgumentException(s"unexpected bounds value $other")
+    }
+
+    val rows = dataManifests.flatMap { mp =>
+      avroRecords(mp).flatMap { entry =>
+        val status = opt(entry, "status").map(_.toString.toInt).getOrElse(1)
+        val df = entry.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        val content = opt(df, "content").map(_.toString.toInt).getOrElse(0)
+        if (status == 2 || content != 0) None
+        else {
+          val lower = kvMap(df, "lower_bounds")
+          val upper = kvMap(df, "upper_bounds")
+          val nulls = kvMap(df, "null_value_counts")
+          val cells = statFields.flatMap { case (id, _, dt) => Seq(
+            lower.get(id).map(b => IcebergBounds.decode(dt, bytesOf(b))).orNull,
+            upper.get(id).map(b => IcebergBounds.decode(dt, bytesOf(b))).orNull,
+            nulls.get(id).map(v => Long.box(v.toString.toLong)).orNull) }
+          Some(org.apache.spark.sql.Row.fromSeq(
+            localPath(df.get("file_path").toString) +:
+              df.get("record_count").toString.toLong +: cells))
+        }
+      }
+    }
+    val outSchema = StructType(
+      StructField("file", StringType) :: StructField("rows", LongType) ::
+        statFields.flatMap { case (_, n, dt) => Seq(
+          StructField(s"min_$n", dt), StructField(s"max_$n", dt),
+          StructField(s"nulls_$n", LongType)) }.toList)
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), outSchema)
+  }
+
+  /** Stats-pruned scan: translate `pred` into a file-survives test over
+    * [[fileStats]] (the shared [[graft.operators.DataSkipping]]
+    * translator — conservative on every shape it can't reason about and
+    * on files lacking bounds), scan ONLY surviving files through the full
+    * merge-on-read path (position/equality deletes still apply), and
+    * re-apply the exact predicate. Returns (dataframe, survivingFiles,
+    * totalFiles). This is the manifest-stats prune every Iceberg engine
+    * runs before planning a scan — at 100 TB the decision is O(files)
+    * driver work that saves reading the non-matching terabytes. */
+  def scanPruned(spark: SparkSession, table: String,
+      pred: org.apache.spark.sql.Column, snapshotId: Long = -1L)
+      : (DataFrame, Long, Long) = {
+    val stats = fileStats(spark, table, snapshotId)
+    val statCols = stats.columns.collect {
+      case c if c.startsWith("min_") => c.stripPrefix("min_") }.toSet
+    val cond = snapshot(spark, table, snapshotId).where(pred)
+      .queryExecution.optimizedPlan
+      .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+    val survives = cond.map(graft.operators.DataSkipping.fileSurvives(_, statCols))
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val total = stats.count()
+    val keep = stats.where(survives).select("file").collect().map(_.getString(0)).toSet
+    val df = snapshotImpl(spark, table, snapshotId, lineage = false,
+      keepPaths = Some(keep)).where(pred)
+    (df, keep.size.toLong, total)
+  }
+
   /** CHANGELOG between two snapshots — the read-side twin of
     * [[addsBetween]] that also reports DELETES: the table's columns plus
     * `_change_type` ('insert' | 'delete'). Works for ANY operation mix in

@@ -115,7 +115,53 @@ object IcebergWrite {
           {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$pf]}},
           {"name":"record_count","type":"long","field-id":103},
           {"name":"file_size_in_bytes","type":"long","field-id":104},
+          {"name":"null_value_counts","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k121_v122","fields":[{"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]}}],"default":null,"field-id":110},
+          {"name":"lower_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}],"default":null,"field-id":125},
+          {"name":"upper_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}],"default":null,"field-id":128},
           {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}]}}]}""")
+  }
+
+  /** Build the Avro (array-as-map) value for a bounds/counts map keyed by
+    * field id. `kv` is the k_v record schema inside the nullable union. */
+  private def kvList(fieldSchema: org.apache.avro.Schema,
+      entries: Seq[(Int, Any)]): java.util.List[org.apache.avro.generic.GenericRecord] = {
+    import org.apache.avro.generic.GenericData
+    val arr = fieldSchema.getTypes.asScala.find(_.getType != org.apache.avro.Schema.Type.NULL).get
+    val kv = arr.getElementType
+    val out = new java.util.ArrayList[org.apache.avro.generic.GenericRecord](entries.size)
+    entries.foreach { case (k, v) =>
+      val r = new GenericData.Record(kv)
+      r.put("key", k)
+      r.put("value", v)
+      out.add(r)
+    }
+    out
+  }
+
+  /** Attach per-column stats (by field id) to a data_file record: null
+    * counts always, lower/upper bounds only for columns with a non-null
+    * min/max. `stats` is column-name-keyed (min, max, nulls). */
+  private def putBounds(dfr: org.apache.avro.generic.GenericRecord,
+      dataFileSchema: org.apache.avro.Schema,
+      stats: Map[String, (Any, Any, Long)],
+      fieldIds: Map[String, Int],
+      types: Map[String, DataType]): Unit = {
+    val known = stats.toSeq.flatMap { case (c, s) =>
+      fieldIds.get(c).map(id => (c, id, s))
+    }.sortBy(_._2)
+    if (known.isEmpty) return
+    dfr.put("null_value_counts", kvList(dataFileSchema.getField("null_value_counts").schema(),
+      known.map { case (_, id, (_, _, n)) => id -> (n: Any) }))
+    val lower = known.collect { case (c, id, (mn, _, _)) if mn != null =>
+      id -> (java.nio.ByteBuffer.wrap(IcebergBounds.encode(types(c), mn)): Any)
+    }
+    val upper = known.collect { case (c, id, (_, mx, _)) if mx != null =>
+      id -> (java.nio.ByteBuffer.wrap(IcebergBounds.encode(types(c), mx)): Any)
+    }
+    if (lower.nonEmpty)
+      dfr.put("lower_bounds", kvList(dataFileSchema.getField("lower_bounds").schema(), lower))
+    if (upper.nonEmpty)
+      dfr.put("upper_bounds", kvList(dataFileSchema.getField("upper_bounds").schema(), upper))
   }
 
   private def writeAvro(path: java.nio.file.Path, schema: org.apache.avro.Schema,
@@ -181,12 +227,15 @@ object IcebergWrite {
     * transform value while the REAL columns stay inside the files
     * (Iceberg data files carry all columns; no reader-side injection
     * needed). Exact per-file record counts AND typed per-file partition
-    * values in ONE job — a real Iceberg reader trusts record_count and
-    * prunes on the partition record, so wrong values would corrupt its
-    * scan. Returns (moved path, row count, partition values) per file. */
+    * values AND per-file column min/max/null stats in ONE job — a real
+    * Iceberg reader trusts record_count, prunes on the partition record
+    * and on the bounds maps, so wrong values would corrupt its scan.
+    * Returns (moved path, row count, partition values, column stats) per
+    * file. */
   private def stageDataFiles(spark: SparkSession, df: DataFrame, table: String,
       transforms: Seq[IcebergTransforms.Transform],
-      partTypes: Seq[(String, DataType)]): Seq[(java.nio.file.Path, Long, Seq[Any])] = {
+      partTypes: Seq[(String, DataType)])
+      : Seq[(java.nio.file.Path, Long, Seq[Any], Map[String, (Any, Any, Long)])] = {
     import org.apache.spark.sql.functions.{col => fcol, count => fcount, first => ffirst, input_file_name, lit => flit}
     val stage = Files.createTempDirectory("graft_iceberg_write")
     val dupCols = transforms.map(t => s"__p_${t.fieldName}")
@@ -199,14 +248,24 @@ object IcebergWrite {
     Files.createDirectories(dataDir(table))
 
     val readBack = spark.read.parquet(stage.toString)
-    val aggCols = fcount(flit(1)).as("n") +: partTypes.map { case (c, dt) =>
+    // per-file column stats ride the SAME aggregation job as the row count
+    // and partition values: min/max/null-count for every bounds-supported
+    // data column, destined for the manifest's lower/upper_bounds maps
+    val statCols = df.schema.fields.toSeq
+      .filter(f => IcebergBounds.supported(f.dataType)).map(_.name)
+    val aggCols = (fcount(flit(1)).as("n") +: partTypes.map { case (c, dt) =>
       ffirst(fcol(s"__p_$c").cast(dt)).as(c)
-    }
+    }) ++ statCols.flatMap(c => Seq(
+      org.apache.spark.sql.functions.min(fcol(c)).as(s"__mn_$c"),
+      org.apache.spark.sql.functions.max(fcol(c)).as(s"__mx_$c"),
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(fcol(c).isNull, flit(1L)).otherwise(flit(0L)))
+        .as(s"__nl_$c")))
     // key by STAGE-RELATIVE path, not file name: partitionBy names files
     // per task, and one task writing several partition dirs reuses the
     // same name in each — a name-keyed map silently mixes their stats
     val stageRoot = stage.toRealPath().toString
-    val perFile: Map[String, (Long, Seq[Any])] = readBack
+    val perFile: Map[String, (Long, Seq[Any], Map[String, (Any, Any, Long)])] = readBack
       .groupBy(input_file_name().as("f")).agg(aggCols.head, aggCols.tail: _*)
       .collect()
       .map { r =>
@@ -216,8 +275,11 @@ object IcebergWrite {
             case v => v
           }
         }
+        val stats = statCols.map { c =>
+          c -> (r.getAs[Any](s"__mn_$c"), r.getAs[Any](s"__mx_$c"), r.getAs[Long](s"__nl_$c"))
+        }.toMap
         val full = new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath
-        (full.stripPrefix(stageRoot).stripPrefix("/"), (r.getLong(1), values))
+        (full.stripPrefix(stageRoot).stripPrefix("/"), (r.getLong(1), values, stats))
       }.toMap
 
     def walk(dir: java.io.File): Seq[java.io.File] =
@@ -229,10 +291,10 @@ object IcebergWrite {
       val rel = stage.toRealPath().relativize(f.toPath.toRealPath()).toString
       perFile.get(rel) match {
         case None => None // 0-row part file (empty upstream partition): skip
-        case Some((n, values)) =>
+        case Some((n, values, stats)) =>
           val dest = dataDir(table).resolve(s"${java.util.UUID.randomUUID()}-${f.getName}")
           Files.move(f.toPath, dest)
-          Some((dest, n, values))
+          Some((dest, n, values, stats))
       }
     }
     def rmr(f: java.io.File): Unit = {
@@ -543,9 +605,20 @@ object IcebergWrite {
       specsJson = p => if (p.isDefined) carriedSpecs(p) else (specs, 0, 999 + partitionBy.size),
       authorManifest = { snapshotId =>
         import org.apache.avro.generic.GenericData
+        // bounds keys are the TABLE's field ids: pinned ids from the prior
+        // schema when one exists, minted positional ids on creation;
+        // evolving appends only write bounds for columns whose id is known
+        // (bounds are per-column optional, so skipping is always sound)
+        val boundIds: Map[String, Int] = priorAtCheck match {
+          case Some(meta) => currentSchemaNode(meta).path("fields").elements().asScala
+            .map(f => f.path("name").asText() -> f.path("id").asInt(-1))
+            .filter(_._2 > 0).toMap
+          case None => sourceId
+        }
+        val boundTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
         val dataFileSchema = schema.getField("data_file").schema()
         val partitionSchema = dataFileSchema.getField("partition").schema()
-        val entries = dataFiles.map { case (p, nRows, values) =>
+        val entries = dataFiles.map { case (p, nRows, values, stats) =>
           val part = new GenericData.Record(partitionSchema)
           partTypes.map(_._1).zip(values).foreach { case (c, v) => part.put(c, v) }
           val dfr = new GenericData.Record(dataFileSchema)
@@ -555,6 +628,7 @@ object IcebergWrite {
           dfr.put("partition", part)
           dfr.put("record_count", nRows)
           dfr.put("file_size_in_bytes", Files.size(p))
+          putBounds(dfr, dataFileSchema, stats, boundIds, boundTypes)
           val e = new GenericData.Record(schema)
           e.put("status", 1)
           e.put("snapshot_id", snapshotId)
@@ -674,10 +748,20 @@ object IcebergWrite {
         val newFiles = stageDataFiles(spark, packed, table, transforms, partTypes)
         val schema = entrySchema(partTypes)
         import org.apache.avro.generic.GenericData
+        // fresh rewritten files get fresh bounds (ids from the carried
+        // schema); kept EXISTING entries are re-authored from the parsed
+        // subset and drop theirs — sound (bounds are optional per column),
+        // and the next rewrite of those files restores them
+        val boundIds: Map[String, Int] = currentSchemaNode(prior)
+          .path("fields").elements().asScala
+          .map(f => f.path("name").asText() -> f.path("id").asInt(-1))
+          .filter(_._2 > 0).toMap
+        val boundTypes = packed.schema.fields.map(f => f.name -> f.dataType).toMap
         val dataFileSchema = schema.getField("data_file").schema()
         val partitionSchema = dataFileSchema.getField("partition").schema()
         def entry(status: Int, snapId: Long, seq: Long, fileSeq: Long, path: String,
-            part: Seq[(String, Any)], nRows: Long, bytes: Long) = {
+            part: Seq[(String, Any)], nRows: Long, bytes: Long,
+            stats: Map[String, (Any, Any, Long)]) = {
           val pr = new GenericData.Record(partitionSchema)
           part.foreach { case (k, v) => pr.put(k, v) }
           val dfr = new GenericData.Record(dataFileSchema)
@@ -687,6 +771,7 @@ object IcebergWrite {
           dfr.put("partition", pr)
           dfr.put("record_count", nRows)
           dfr.put("file_size_in_bytes", bytes)
+          putBounds(dfr, dataFileSchema, stats, boundIds, boundTypes)
           val e = new GenericData.Record(schema)
           e.put("status", status)
           e.put("snapshot_id", snapId)
@@ -695,15 +780,16 @@ object IcebergWrite {
           e.put("data_file", dfr)
           e
         }
-        val addedEntries = newFiles.map { case (p, nRows, values) =>
+        val addedEntries = newFiles.map { case (p, nRows, values, stats) =>
           entry(1, snapshotId, snapshotId, snapshotId, p.toString,
-            partTypes.map(_._1).zip(values), nRows, Files.size(p))
+            partTypes.map(_._1).zip(values), nRows, Files.size(p), stats)
         }
         // EXISTING entries: original lineage preserved verbatim — the
         // equality-delete scoping and incremental attribution keys
         val keptEntries = keep.map { f =>
           entry(0, f.snapshotId, f.seq.getOrElse(f.snapshotId),
-            f.fileSeq.getOrElse(f.snapshotId), f.path, f.partition, f.records, f.bytes)
+            f.fileSeq.getOrElse(f.snapshotId), f.path, f.partition, f.records, f.bytes,
+            Map.empty)
         }
         val manifestPath =
           metaDir(table).resolve(s"m-$snapshotId-${java.util.UUID.randomUUID()}.avro")

@@ -1,0 +1,102 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Manifest column bounds (IcebergBounds + writer lower/upper_bounds +
+  * IcebergRead.fileStats/scanPruned): spec single-value round trips,
+  * write-side stats, and stats-pruned scans with merge-on-read deletes. */
+class IcebergStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString + "/tbl"
+
+  test("single-value binaries round-trip every supported type") {
+    val cases: Seq[(DataType, Any)] = Seq(
+      (BooleanType, true), (BooleanType, false),
+      (IntegerType, 0), (IntegerType, -42), (IntegerType, Int.MaxValue),
+      (LongType, -9999999999L), (LongType, Long.MaxValue),
+      (FloatType, -1.5f), (DoubleType, 3.141592653589793),
+      (StringType, ""), (StringType, "héllo✓"),
+      (DateType, java.sql.Date.valueOf("1969-07-20")),
+      (TimestampType, java.sql.Timestamp.valueOf("1969-12-31 23:59:59.000001")),
+      (TimestampType, ts("2024-01-15 10:30:00")))
+    cases.foreach { case (dt, v) =>
+      assert(IcebergBounds.decode(dt, IcebergBounds.encode(dt, v)) === v, s"$dt $v")
+    }
+    // spec wire format spot checks: little-endian numerics, UTF-8 strings
+    assert(IcebergBounds.encode(IntegerType, 1).toSeq === Seq[Byte](1, 0, 0, 0))
+    assert(IcebergBounds.encode(LongType, 256L).toSeq ===
+      Seq[Byte](0, 1, 0, 0, 0, 0, 0, 0))
+    assert(IcebergBounds.encode(StringType, "ab").toSeq === "ab".getBytes("UTF-8").toSeq)
+  }
+
+  test("append records per-file bounds; fileStats decodes them") {
+    val table = tmp("ice_stats")
+    val df = (1L to 400L).map(i => (i, s"n$i", i * 1.5)).toDF("id", "name", "x")
+      .repartitionByRange(4, col("id")).sortWithinPartitions(col("id"))
+    IcebergWrite.append(spark, df, table)
+
+    val st = IcebergRead.fileStats(spark, table).orderBy(col("min_id"))
+    assert(st.count() === 4L)
+    assert(st.agg(sum(col("rows"))).head().getLong(0) === 400L)
+    val first = st.head()
+    assert(first.getAs[Long]("min_id") === 1L)
+    assert(first.getAs[Long]("nulls_id") === 0L)
+    // per-file intervals are disjoint (range layout) and cover the domain
+    val ranges = st.select(col("min_id"), col("max_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ranges.forall { case (lo, hi) => lo <= hi })
+    assert(ranges.sliding(2).forall { case Array((_, h1), (l2, _)) => h1 < l2; case _ => true })
+    // string bounds decode too
+    assert(st.select(min(col("min_name"))).head().getString(0).startsWith("n"))
+  }
+
+  test("scanPruned reads only interval-surviving files, exact parity") {
+    val table = tmp("ice_prune")
+    val df = (1L to 1000L).map(i => (i, i * 2.0)).toDF("id", "v")
+      .repartitionByRange(8, col("id")).sortWithinPartitions(col("id"))
+    IcebergWrite.append(spark, df, table)
+
+    val (top, hit, total) = IcebergRead.scanPruned(spark, table, col("id") > 875L)
+    assert(total === 8L)
+    assert(hit <= 2L, s"top-eighth range should touch ≤2 of $total files, hit $hit")
+    assert(top.count() === 125L)
+
+    val (point, hitP, _) = IcebergRead.scanPruned(spark, table, col("id") === 500L)
+    assert(hitP === 1L)
+    assert(point.select(col("v")).head().getDouble(0) === 1000.0)
+
+    val (none, hitN, _) = IcebergRead.scanPruned(spark, table, col("id") > 5000L)
+    assert(hitN === 0L && none.count() === 0L)
+  }
+
+  test("stats-pruned scan still applies merge-on-read deletes") {
+    val table = tmp("ice_prune_del")
+    val df = (1L to 100L).map(i => (i, s"r$i")).toDF("id", "s")
+      .repartitionByRange(4, col("id")).sortWithinPartitions(col("id"))
+    IcebergWrite.append(spark, df, table)
+    IcebergWrite.deleteWhere(spark, table, col("id") % 10L === 0L)
+
+    val (pruned, hit, total) = IcebergRead.scanPruned(spark, table, col("id") > 50L)
+    assert(hit < total)
+    // ids 51..100 minus the deleted 60,70,80,90,100
+    assert(pruned.count() === 45L)
+  }
+
+  test("compaction re-authors kept entries without bounds — conservatively kept") {
+    val table = tmp("ice_prune_compact")
+    // two appends → small files; compact bin-packs them into one file with
+    // FRESH bounds, while any kept entries would carry none
+    IcebergWrite.append(spark, (1L to 50L).map(i => (i, i)).toDF("id", "v"), table)
+    IcebergWrite.append(spark, (51L to 100L).map(i => (i, i)).toDF("id", "v"), table)
+    IcebergWrite.compact(spark, table)
+
+    val st = IcebergRead.fileStats(spark, table)
+    assert(st.count() >= 1L)
+    val (df, hit, total) = IcebergRead.scanPruned(spark, table, col("id") <= 10L)
+    assert(hit <= total)
+    assert(df.count() === 10L)
+  }
+}
