@@ -135,6 +135,28 @@ object IoQueries {
       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
       FROM orders WHERE o_orderkey <= 1000"""))
 
+  /** Delta per-file stats end-to-end (the protocol's add.stats JSON): a
+    * range-clustered append records numRecords/minValues/maxValues/
+    * nullCount per file; scanPruned prunes files on the decoded stats and
+    * the result equals the full-scan filter — the Delta twin of
+    * t_iceberg_stats_prune (prune counts asserted in DeltaStatsSpec). */
+  val tdeltaStats = GQuery(
+    "t_delta_stats_prune",
+    (s, dir) => {
+      val table = tmp("graft_delta_stats") + "/tbl"
+      graft.sources.DeltaWrite.append(s,
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions(col("o_orderkey")),
+        table)
+      val (df, _, _) = graft.sources.DeltaRead.scanPruned(s, table,
+        col("o_orderkey") <= 1000L)
+      df.agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+    },
+    ticebergStats.oracle)
+
   /** External-Delta interop end-to-end (sources.DeltaRead): author a REAL
     * `_delta_log` over partitioned parquet written from events (exactly the
     * layout another engine's Delta writer produces — partition column only
@@ -774,8 +796,8 @@ object IoQueries {
       ORDER BY event_type"""))
 
   def all: Seq[GQuery] =
-    Seq(t1, t1orc, t2, t3, tskip, tbloom, ticebergStats, tdelta, ticeberg, tdeltaRt,
-      ticebergRt, ticebergMor,
+    Seq(t1, t1orc, t2, t3, tskip, tbloom, ticebergStats, tdeltaStats, tdelta, ticeberg,
+      tdeltaRt, ticebergRt, ticebergMor,
       tdeltaDv, tdeltaUpsert, ticebergPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tcdcApply, tlakeSync)
 }

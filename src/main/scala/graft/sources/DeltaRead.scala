@@ -34,7 +34,8 @@ object DeltaRead {
     * makes them required) + the file's deletion vector, if any. */
   case class LiveFile(path: String, partitionValues: Map[String, String],
       size: Long = 0L, modificationTime: Long = 0L,
-      dv: Option[DeletionVectors.Descriptor] = None)
+      dv: Option[DeletionVectors.Descriptor] = None,
+      stats: Option[String] = None)
 
   case class Snapshot(
       version: Long,
@@ -58,7 +59,7 @@ object DeltaRead {
 
   private val actionsDdl =
     """add STRUCT<path: STRING, partitionValues: MAP<STRING, STRING>, size: BIGINT,
-                  modificationTime: BIGINT, dataChange: BOOLEAN,
+                  modificationTime: BIGINT, dataChange: BOOLEAN, stats: STRING,
                   deletionVector: STRUCT<storageType: STRING, pathOrInlineDv: STRING,
                                          offset: INT, sizeInBytes: INT, cardinality: BIGINT>>,
        remove STRUCT<path: STRING, dataChange: BOOLEAN>,
@@ -199,14 +200,17 @@ object DeltaRead {
       val dvCol =
         if (addFields.contains("deletionVector")) col("add.deletionVector")
         else lit(null).cast(dvDdl)
+      val statsCol =
+        if (addFields.contains("stats")) col("add.stats") else lit(null).cast("string")
       cp.where(col("add").isNotNull)
         .select(col("add.path"), col("add.partitionValues"),
-          optLong("size"), optLong("modificationTime"), dvCol)
+          optLong("size"), optLong("modificationTime"), dvCol, statsCol)
         .collect().foreach { r =>
           val p = resolve(table, r.getString(0))
           live(p) = LiveFile(p,
             Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty),
-            r.getLong(2), r.getLong(3), parseDv(r, 4))
+            r.getLong(2), r.getLong(3), parseDv(r, 4),
+            if (r.isNullAt(5)) None else Some(r.getString(5)))
         }
     }
 
@@ -224,7 +228,8 @@ object DeltaRead {
           col("metaData.configuration").as("conf"),
           col("protocol.readerFeatures").as("rfeat"),
           col("add.deletionVector").as("dv"),
-          col("metaData.id").as("mid"))
+          col("metaData.id").as("mid"),
+          col("add.stats").as("st"))
         .collect()
       commit.foreach { r =>
         if (!r.isNullAt(6)) minReader = math.max(minReader, r.getInt(6))
@@ -244,7 +249,8 @@ object DeltaRead {
           val p = resolve(table, r.getString(0))
           live(p) = LiveFile(p,
             Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty),
-            r.getLong(7), r.getLong(8), parseDv(r, 11))
+            r.getLong(7), r.getLong(8), parseDv(r, 11),
+            if (r.isNullAt(13)) None else Some(r.getString(13)))
         }
       }
     }
@@ -354,6 +360,102 @@ object DeltaRead {
   /** The table as of a wall-clock timestamp (ms since epoch). */
   def snapshotAt(spark: SparkSession, table: String, timestampMs: Long): DataFrame =
     snapshot(spark, table, versionAt(spark, table, timestampMs))
+
+  /** Per-file column statistics of a snapshot, decoded from the add
+    * actions' `stats` JSON (the Delta protocol's data-skipping stats:
+    * numRecords / minValues / maxValues / nullCount): one row per live
+    * file with `file`, `rows`, and `min_<col>` / `max_<col>` /
+    * `nulls_<col>` per supported data column — NULL where a file carries
+    * no stats (stats are optional per the protocol). Column-mapped
+    * tables' stats keys are physical names; they are translated back to
+    * logical here. O(log replay) driver work; no data touched. */
+  def fileStats(spark: SparkSession, table: String, version: Long = -1L): DataFrame = {
+    val snap = snapshotInfo(spark, table, version)
+    val statFields = snap.schema.fields.toSeq
+      .filterNot(f => snap.partitionColumns.contains(f.name))
+      .filter(f => statsSupported(f.dataType))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def decode(dt: org.apache.spark.sql.types.DataType,
+        n: com.fasterxml.jackson.databind.JsonNode): Any = dt match {
+      case org.apache.spark.sql.types.BooleanType => n.asBoolean()
+      case org.apache.spark.sql.types.IntegerType => n.asInt()
+      case org.apache.spark.sql.types.LongType => n.asLong()
+      case org.apache.spark.sql.types.FloatType => n.asDouble().toFloat
+      case org.apache.spark.sql.types.DoubleType => n.asDouble()
+      case org.apache.spark.sql.types.StringType => n.asText()
+      case org.apache.spark.sql.types.DateType => java.sql.Date.valueOf(n.asText())
+      case org.apache.spark.sql.types.TimestampType =>
+        val t = n.asText()
+        val instant =
+          if (t.endsWith("Z") || t.contains("+")) java.time.OffsetDateTime.parse(t).toInstant
+          else java.time.LocalDateTime.parse(t).toInstant(java.time.ZoneOffset.UTC)
+        java.sql.Timestamp.from(instant)
+      case other => throw new IllegalArgumentException(s"no stats decoding for $other")
+    }
+    val rows = snap.files.map { f =>
+      val parsed = f.stats.map(mapper.readTree)
+      def section(name: String): com.fasterxml.jackson.databind.JsonNode =
+        parsed.map(_.path(name)).getOrElse(
+          com.fasterxml.jackson.databind.node.MissingNode.getInstance())
+      val (mins, maxs, nulls) = (section("minValues"), section("maxValues"), section("nullCount"))
+      val cells = statFields.flatMap { sf =>
+        val key = snap.physicalName(sf.name)
+        def cell(sec: com.fasterxml.jackson.databind.JsonNode, f: com.fasterxml.jackson.databind.JsonNode => Any): Any = {
+          val v = sec.path(key)
+          if (v.isMissingNode || v.isNull) null else f(v)
+        }
+        Seq(cell(mins, decode(sf.dataType, _)), cell(maxs, decode(sf.dataType, _)),
+          cell(nulls, n => Long.box(n.asLong())))
+      }
+      val n = parsed.map(_.path("numRecords").asLong(-1L)).filter(_ >= 0).map(Long.box).orNull
+      org.apache.spark.sql.Row.fromSeq(f.path +: n +: cells)
+    }
+    val outSchema = StructType(
+      StructField("file", org.apache.spark.sql.types.StringType) ::
+        StructField("rows", org.apache.spark.sql.types.LongType) ::
+        statFields.flatMap(sf => Seq(
+          StructField(s"min_${sf.name}", sf.dataType), StructField(s"max_${sf.name}", sf.dataType),
+          StructField(s"nulls_${sf.name}", org.apache.spark.sql.types.LongType))).toList)
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+  }
+
+  private[sources] def statsSupported(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.BooleanType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType => true
+      case _ => false
+    }
+
+  /** Stats-pruned scan — the Delta twin of
+    * [[IcebergRead.scanPruned]]: translate `pred` into a file-survives
+    * test over [[fileStats]] (shared [[graft.operators.DataSkipping]]
+    * translator; conservative on unknown shapes and on files without
+    * stats), scan ONLY surviving files through the full merge-on-read
+    * path (deletion vectors still applied), and re-apply the exact
+    * predicate. Returns (dataframe, survivingFiles, totalFiles). This is
+    * the protocol's data-skipping contract: the prune is O(files) driver
+    * metadata that saves scheduling a task per non-matching file. */
+  def scanPruned(spark: SparkSession, table: String,
+      pred: org.apache.spark.sql.Column, version: Long = -1L): (DataFrame, Long, Long) = {
+    val snap = snapshotInfo(spark, table, version)
+    val stats = fileStats(spark, table, version)
+    val statCols = stats.columns.collect {
+      case c if c.startsWith("min_") => c.stripPrefix("min_") }.toSet
+    val cond = snapshot(spark, table, version).where(pred)
+      .queryExecution.optimizedPlan
+      .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+    val survives = cond.map(graft.operators.DataSkipping.fileSurvives(_, statCols))
+      .getOrElse(lit(true))
+    val total = stats.count()
+    val keep = stats.where(survives).select("file").collect().map(_.getString(0)).toSet
+    val df = assembleData(spark, table,
+      snap.copy(files = snap.files.filter(f => keep(f.path))), lineage = false).where(pred)
+    (df, keep.size.toLong, total)
+  }
 
   /** Rows ADDED in versions (fromVersion, toVersion] — incremental
     * consumption of an external Delta table, the batch form of Delta's

@@ -93,12 +93,20 @@ object DeltaWrite {
   private def newTableId(): String = s"graft-${java.util.UUID.randomUUID()}"
 
   /** Stage df's rows as parquet files in the table's standard partition
-    * layout; returns (relativePath, partitionValues) per written file. */
+    * layout; returns (relativePath, partitionValues, statsJson) per
+    * written file. Stats are the protocol's data-skipping JSON
+    * (numRecords / minValues / maxValues / nullCount over the supported
+    * data columns — timestamps ISO-8601 UTC at full microseconds, never
+    * truncated, so max bounds stay exact), computed by one aggregation
+    * over the staging dir before the move. */
   private def stageFiles(df: DataFrame, table: String,
-      partitionBy: Seq[String]): Seq[(String, Map[String, String])] = {
+      partitionBy: Seq[String]): Seq[(String, Map[String, String], Option[String])] = {
     val stage = Files.createTempDirectory("graft_delta_write").toString
     val writer = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).parquet(stage)
+    val statsByPath = collectFileStats(df.sparkSession, stage,
+      df.schema.fields.toSeq.filterNot(f => partitionBy.contains(f.name))
+        .filter(f => DeltaRead.statsSupported(f.dataType)))
 
     def walk(dir: java.io.File, values: Map[String, String]): Seq[(java.io.File, Map[String, String])] =
       Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
@@ -116,9 +124,10 @@ object DeltaWrite {
       }
       val rel = (partDirs :+ f.getName).mkString("/")
       val dest = Paths.get(table, rel)
+      val stats = statsByPath.get(f.toPath.toRealPath().toString)
       Files.createDirectories(dest.getParent)
       Files.move(f.toPath, dest)
-      rel -> values
+      (rel, values, stats)
     }
     // the staging dir now holds only _SUCCESS/metadata leftovers — drop it
     def rmr(f: java.io.File): Unit = {
@@ -129,11 +138,65 @@ object DeltaWrite {
     moved
   }
 
+  /** One agg job over a staged write: per-file protocol stats JSON keyed
+    * by the file's absolute real path. */
+  private def collectFileStats(spark: SparkSession, stage: String,
+      statFields: Seq[org.apache.spark.sql.types.StructField]): Map[String, String] = {
+    import org.apache.spark.sql.functions.{col => fcol, count => fcount, input_file_name, lit => flit, max => fmax, min => fmin, sum => fsum, when => fwhen}
+    if (statFields.isEmpty) return Map.empty
+    val aggs = fcount(flit(1)).as("__n") +: statFields.flatMap(f => Seq(
+      fmin(fcol(f.name)).as(s"__mn_${f.name}"), fmax(fcol(f.name)).as(s"__mx_${f.name}"),
+      fsum(fwhen(fcol(f.name).isNull, flit(1L)).otherwise(flit(0L))).as(s"__nl_${f.name}")))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def jsonValue(dt: org.apache.spark.sql.types.DataType, v: Any): com.fasterxml.jackson.databind.JsonNode = {
+      val nf = om.getNodeFactory
+      dt match {
+        case org.apache.spark.sql.types.BooleanType => nf.booleanNode(v.asInstanceOf[Boolean])
+        case org.apache.spark.sql.types.IntegerType => nf.numberNode(v.asInstanceOf[Int])
+        case org.apache.spark.sql.types.LongType => nf.numberNode(v.asInstanceOf[Long])
+        case org.apache.spark.sql.types.FloatType => nf.numberNode(v.asInstanceOf[Float])
+        case org.apache.spark.sql.types.DoubleType => nf.numberNode(v.asInstanceOf[Double])
+        case org.apache.spark.sql.types.StringType => nf.textNode(v.asInstanceOf[String])
+        case org.apache.spark.sql.types.DateType => nf.textNode(v.toString)
+        case org.apache.spark.sql.types.TimestampType =>
+          val i = v.asInstanceOf[java.sql.Timestamp].toInstant
+          nf.textNode(java.time.format.DateTimeFormatter
+            .ofPattern("uuuu-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+            .withZone(java.time.ZoneOffset.UTC).format(i))
+        case other => throw new IllegalArgumentException(s"no stats encoding for $other")
+      }
+    }
+    spark.read.parquet(stage)
+      .groupBy(input_file_name().as("__f")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val root = om.createObjectNode()
+        root.put("numRecords", r.getAs[Long]("__n"))
+        val (mins, maxs, nulls) =
+          (root.putObject("minValues"), root.putObject("maxValues"), root.putObject("nullCount"))
+        statFields.foreach { f =>
+          val mn = r.getAs[Any](s"__mn_${f.name}")
+          val mx = r.getAs[Any](s"__mx_${f.name}")
+          if (mn != null) mins.set[com.fasterxml.jackson.databind.JsonNode](f.name, jsonValue(f.dataType, mn))
+          if (mx != null) maxs.set[com.fasterxml.jackson.databind.JsonNode](f.name, jsonValue(f.dataType, mx))
+          nulls.put(f.name, r.getAs[Long](s"__nl_${f.name}"))
+        }
+        // input_file_name is a Hadoop-Path URI string: percent-escapes in
+        // it are ENCODING (space → %20, % → %25), not disk characters —
+        // decode once to recover the literal on-disk name (Hive only
+        // escapes its own reserved set, so e.g. spaces are literal on disk)
+        val full = DeltaRead.pctDecode(
+          new org.apache.hadoop.fs.Path(r.getAs[String]("__f")).toUri.getPath)
+        java.nio.file.Paths.get(full).toRealPath().toString -> om.writeValueAsString(root)
+      }.toMap
+  }
+
   private def addAction(rel: String, values: Map[String, String], size: Long,
-      dataChange: Boolean = true): String = {
+      dataChange: Boolean = true, stats: Option[String] = None): String = {
     val pv = values.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }.mkString("{", ",", "}")
+    val st = stats.map(s => s""","stats":${jsonStr(s)}""").getOrElse("")
     s"""{"add":{"path":${jsonStr(rel)},"partitionValues":$pv,"size":$size,""" +
-      s""""modificationTime":${System.currentTimeMillis()},"dataChange":$dataChange}}"""
+      s""""modificationTime":${System.currentTimeMillis()},"dataChange":$dataChange$st}}"""
   }
 
   private def removeAction(rel: String, dataChange: Boolean): String =
@@ -195,8 +258,8 @@ object DeltaWrite {
       }
     }
     val staged = stageFiles(df, table, partitionBy)
-    val adds = staged.map { case (rel, values) =>
-      addAction(pctEncodePath(rel), values, Files.size(Paths.get(table, rel)))
+    val adds = staged.map { case (rel, values, stats) =>
+      addAction(pctEncodePath(rel), values, Files.size(Paths.get(table, rel)), stats = stats)
     }
     val header =
       if (exists) evolvedMeta.toSeq
@@ -217,8 +280,8 @@ object DeltaWrite {
       partitionBy: Seq[String] = Nil): Long = {
     require(currentVersions(table).nonEmpty, s"overwrite of non-existent table $table — use append")
     val staged = stageFiles(df, table, partitionBy)
-    val adds = staged.map { case (rel, values) =>
-      addAction(pctEncodePath(rel), values, Files.size(Paths.get(table, rel)))
+    val adds = staged.map { case (rel, values, stats) =>
+      addAction(pctEncodePath(rel), values, Files.size(Paths.get(table, rel)), stats = stats)
     }
     while (true) {
       val snap = DeltaRead.snapshotInfo(spark, table)
@@ -291,9 +354,9 @@ object DeltaWrite {
           df.repartition(nOut, snap.partitionColumns.map(fcol): _*)
         else df.repartition(nOut)
       val staged = stageFiles(packed, table, snap.partitionColumns)
-      val adds = staged.map { case (rel, values) =>
+      val adds = staged.map { case (rel, values, stats) =>
         addAction(pctEncodePath(rel), values, Files.size(Paths.get(table, rel)),
-          dataChange = false)
+          dataChange = false, stats = stats)
       }
       val removes = candidates.map { f =>
         removeAction(pctEncodePath(f.path.stripPrefix(s"${table.stripSuffix("/")}/")),
@@ -429,10 +492,14 @@ object DeltaWrite {
         s"${jsonStr(k)}:${if (v == null) "null" else jsonStr(v)}"
       }.mkString("{", ",", "}")
       val off = d.offset.get
+      // stats carried VERBATIM through the DV re-add: a deletion vector
+      // never touches the physical file, so numRecords stays the physical
+      // count and min/max stay valid (possibly non-tight) bounds
+      val st = f.stats.map(s => s""","stats":${jsonStr(s)}""").getOrElse("")
       Seq(
         s"""{"remove":{"path":${jsonStr(rel)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}""",
         s"""{"add":{"path":${jsonStr(rel)},"partitionValues":$pv,"size":${f.size},""" +
-          s""""modificationTime":${f.modificationTime},"dataChange":true,""" +
+          s""""modificationTime":${f.modificationTime},"dataChange":true$st,""" +
           s""""deletionVector":{"storageType":"u","pathOrInlineDv":${jsonStr(d.pathOrInlineDv)},""" +
           s""""offset":$off,"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}}}""")
     }
@@ -496,8 +563,8 @@ object DeltaWrite {
     val plan = dvDeletePlan(spark, table, snap0, matched)
 
     val staged = stageFiles(df, table, snap0.partitionColumns)
-    val adds = staged.map { case (rel, values) =>
-      addAction(pctEncodePath(rel), values, Files.size(Paths.get(table, rel)))
+    val adds = staged.map { case (rel, values, stats) =>
+      addAction(pctEncodePath(rel), values, Files.size(Paths.get(table, rel)), stats = stats)
     }
     plan match {
       case None => // pure insert: no DV guard needed, adds commute
@@ -548,8 +615,8 @@ object DeltaWrite {
       .select(col("_file"), col("_pos"))
     val plan = dvDeletePlan(spark, table, snap0, matched)
     val staged = stageFiles(inserts, table, snap0.partitionColumns)
-    val adds = staged.map { case (rel, values) =>
-      addAction(pctEncodePath(rel), values, Files.size(Paths.get(table, rel)))
+    val adds = staged.map { case (rel, values, stats) =>
+      addAction(pctEncodePath(rel), values, Files.size(Paths.get(table, rel)), stats = stats)
     }
     // optional high-water mark ((appId, version) txn action) riding the
     // SAME commit — sync bookkeeping is atomic with the apply
@@ -581,24 +648,25 @@ object DeltaWrite {
     val txns = DeltaRead.txnVersions(spark, table).toSeq
     val none5 = (None: Option[String], None: Option[String], None: Option[Int],
       None: Option[Int], None: Option[Long])
-    val rows = ("protocol", null: String, null: Map[String, String], null: String, null: String, 0L, 0L, 0L, none5) +:
-      ("meta", null: String, null: Map[String, String], schemaJson, null: String, 0L, 0L, 0L, none5) +:
+    val rows = ("protocol", null: String, null: Map[String, String], null: String, null: String, 0L, 0L, 0L, none5, null: String) +:
+      ("meta", null: String, null: Map[String, String], schemaJson, null: String, 0L, 0L, 0L, none5, null: String) +:
       (snap.files.map { f =>
         val rel = pctEncodePath(f.path.stripPrefix(s"${table.stripSuffix("/")}/"))
         // DV descriptors must survive into the checkpoint or a cleaned log
-        // would resurrect every DV-deleted row
+        // would resurrect every DV-deleted row; stats likewise, or replay
+        // from a checkpoint would lose every file's skipping bounds
         val dv = f.dv.map(d => (Some(d.storageType), Some(d.pathOrInlineDv),
           d.offset, Some(d.sizeInBytes), Some(d.cardinality))).getOrElse(none5)
-        ("add", rel, f.partitionValues, null: String, null: String, 0L, f.size, f.modificationTime, dv)
+        ("add", rel, f.partitionValues, null: String, null: String, 0L, f.size, f.modificationTime, dv, f.stats.orNull)
       } ++ txns.map { case (appId, v) =>
-        ("txn", null: String, null: Map[String, String], null: String, appId, v, 0L, 0L, none5)
+        ("txn", null: String, null: Map[String, String], null: String, appId, v, 0L, 0L, none5, null: String)
       })
     // add rows carry the spec-required size/modificationTime/dataChange —
     // a checkpoint whose adds lack them is rejected by stock Delta readers
     val readerFeats =
       if (snap.readerFeatures.nonEmpty) typedLit(snap.readerFeatures.toSeq.sorted)
       else lit(null).cast("array<string>")
-    val cp = rows.toDF("kind", "path", "pv", "ss", "appId", "tver", "sz", "mt", "dv").select(
+    val cp = rows.toDF("kind", "path", "pv", "ss", "appId", "tver", "sz", "mt", "dv", "st").select(
       when($"kind" === "protocol", struct(
         lit(snap.minReaderVersion).as("minReaderVersion"),
         lit(if (snap.readerFeatures.nonEmpty) 7 else 2).as("minWriterVersion"),
@@ -620,7 +688,7 @@ object DeltaWrite {
           .as("configuration"))).as("metaData"),
       when($"kind" === "add", struct($"path".as("path"), $"pv".as("partitionValues"),
         $"sz".as("size"), $"mt".as("modificationTime"),
-        lit(true).as("dataChange"),
+        lit(true).as("dataChange"), $"st".as("stats"),
         when($"dv._1".isNotNull, struct(
           $"dv._1".as("storageType"), $"dv._2".as("pathOrInlineDv"),
           $"dv._3".as("offset"), $"dv._4".as("sizeInBytes"),

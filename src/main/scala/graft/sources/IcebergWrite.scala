@@ -278,7 +278,10 @@ object IcebergWrite {
         val stats = statCols.map { c =>
           c -> (r.getAs[Any](s"__mn_$c"), r.getAs[Any](s"__mx_$c"), r.getAs[Long](s"__nl_$c"))
         }.toMap
-        val full = new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath
+        // decode Hadoop-Path URI escapes (space → %20 etc.) so the key
+        // matches the literal on-disk relative path the walk produces
+        val full = DeltaRead.pctDecode(
+          new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath)
         (full.stripPrefix(stageRoot).stripPrefix("/"), (r.getLong(1), values, stats))
       }.toMap
 
