@@ -173,6 +173,34 @@ object StreamingQueries {
     (s, dir) => StreamOps.tailLakeTotals(s, dir, "iceberg"),
     st11.oracle)
 
+  /** ST16: continuous cross-format MV maintenance — a Delta source's
+    * CHANGELOG stream (inserts AND DV-deletes) applied per micro-batch to
+    * a keyed Iceberg target across two checkpointed runs; the final MV
+    * equals the batch query over what survived at the source. */
+  val st16 = GQuery(
+    "st16_changelog_mv",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val base = java.nio.file.Files.createTempDirectory("graft_st16").toString
+      val src = s"$base/src"
+      val dst = s"$base/dst"
+      val ckpt = s"$base/ckpt"
+      val ev = graft.Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      graft.sources.DeltaWrite.append(s, ev.where(pmod(col("event_id"), lit(3)) === 0), src)
+      StreamOps.changelogApplyStream(s, src, dst, "iceberg", Seq("event_id"), ckpt)
+      graft.sources.DeltaWrite.append(s, ev.where(pmod(col("event_id"), lit(3)) === 1), src)
+      graft.sources.DeltaWrite.deleteWhere(s, src, col("event_type") === "error")
+      StreamOps.changelogApplyStream(s, src, dst, "iceberg", Seq("event_id"), ckpt)
+      graft.sources.IcebergRead.snapshot(s, dst)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+      FROM events WHERE event_id % 3 <= 1 AND event_type <> 'error'
+      GROUP BY event_type ORDER BY event_type"""))
+
   def all: Seq[GQuery] =
-    Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13, st14, st15)
+    Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13, st14, st15, st16)
 }

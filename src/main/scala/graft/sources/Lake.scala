@@ -54,6 +54,26 @@ object Lake {
         spark.read.parquet(path)
     }
 
+  /** STATS-PRUNED scan dispatch: translate a value predicate against the
+    * format's persisted per-file statistics (Delta `add.stats` JSON /
+    * Iceberg manifest bounds) and scan only surviving files, deletes
+    * still applied — (dataframe, survivingFiles, totalFiles). Plain
+    * parquet persists no stats: the scan is unpruned and reports
+    * kept == total (collect stats explicitly with
+    * [[graft.operators.DataSkipping]] for a retrofit). */
+  def scanPruned(spark: SparkSession, path: String,
+      pred: org.apache.spark.sql.Column, version: Long = -1L)
+      : (DataFrame, Long, Long) =
+    detect(spark, path) match {
+      case Delta => DeltaRead.scanPruned(spark, path, pred, version)
+      case Iceberg => IcebergRead.scanPruned(spark, path, pred, version)
+      case Parquet =>
+        require(version < 0, s"plain parquet at $path has no versions (asked for $version)")
+        val df = spark.read.parquet(path)
+        val n = df.inputFiles.length.toLong
+        (df.where(pred), n, n)
+    }
+
   /** TIMESTAMP AS OF dispatch: the table as of a wall-clock ms timestamp
     * (Delta: commit modification times; Iceberg: snapshot timestamp-ms).
     * Plain parquet has no history — refused loudly. */
@@ -140,6 +160,20 @@ object Lake {
       require(args.length == 2, "lake_scan_at(path, timestamp_ms)")
       Bridge.logicalPlan(readAt(spark,
         str(args.head, "lake_scan_at: path"), num(args(1), "lake_scan_at: timestamp_ms")))
+    })
+    // SELECT * FROM lake_scan_where('/path', 'o_orderkey <= 1000'):
+    // stats-pruned scan from pure SQL — the predicate text is parsed and
+    // translated against the format's per-file stats, so only surviving
+    // files are scanned (the predicate is ALSO applied to rows, making
+    // the prune semantically invisible)
+    Bridge.registerTableFunction(spark, "lake_scan_where", { args =>
+      require(args.length == 2 || args.length == 3,
+        "lake_scan_where(path, predicate_sql[, version])")
+      val (df, _, _) = scanPruned(spark,
+        str(args.head, "lake_scan_where: path"),
+        org.apache.spark.sql.functions.expr(str(args(1), "lake_scan_where: predicate")),
+        args.lift(2).map(num(_, "lake_scan_where: version")).getOrElse(-1L))
+      Bridge.logicalPlan(df)
     })
     // SELECT * FROM lake_changes('/path', from_version[, to_version]):
     // the changelog (insert/delete rows) between two versions, from SQL

@@ -6,7 +6,7 @@ import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLi
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.graft.StreamingShims
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** STREAMING SOURCES over the open lake formats — the read-side twin of
   * [[StreamOps.deltaSink]]/[[StreamOps.icebergSink]]: a Structured
@@ -59,6 +59,25 @@ object LakeSources {
       .option("ignoreChanges", ignoreChanges.toString)
       .load(table)
 
+  /** Tail a Delta table as a CHANGELOG stream: every micro-batch carries
+    * the table's columns plus `_change_type` ('insert' | 'delete') from
+    * [[graft.sources.DeltaRead.changesBetween]] — so ANY commit mix
+    * (appends, DV deletes, overwrites, upserts) streams through where the
+    * adds-only tail refuses. Batch 0 emits the current snapshot as
+    * inserts (the same seed convention as `Lake.sync`). Feed it to
+    * `foreachBatch(Lake.applyChanges(...))` for a continuously-maintained
+    * downstream materialized view, in either lake format. */
+  def deltaChangelog(spark: SparkSession, table: String): DataFrame =
+    spark.readStream.format(classOf[DeltaStreamSourceProvider].getName)
+      .option("changelog", "true")
+      .load(table)
+
+  /** Iceberg twin of [[deltaChangelog]]. */
+  def icebergChangelog(spark: SparkSession, table: String): DataFrame =
+    spark.readStream.format(classOf[IcebergStreamSourceProvider].getName)
+      .option("changelog", "true")
+      .load(table)
+
   private[streaming] def path(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "lake streaming source needs a table path: .load(path) or .option(\"path\", ...)"))
@@ -66,6 +85,12 @@ object LakeSources {
   private[streaming] def ignore(parameters: Map[String, String]): Boolean =
     parameters.get("ignorechanges").orElse(parameters.get("ignoreChanges"))
       .exists(_.equalsIgnoreCase("true"))
+
+  private[streaming] def changelog(parameters: Map[String, String]): Boolean =
+    parameters.get("changelog").exists(_.equalsIgnoreCase("true"))
+
+  private[streaming] val ChangeTypeField =
+    StructField("_change_type", org.apache.spark.sql.types.StringType)
 }
 
 /** Offset plumbing shared by the two lake sources: a metadata-poll
@@ -96,33 +121,47 @@ class DeltaStreamSourceProvider extends StreamSourceProvider with DataSourceRegi
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      DeltaRead.snapshot(sqlContext.sparkSession, LakeSources.path(parameters)).schema))
+    (shortName(), schema.getOrElse {
+      val base = DeltaRead.snapshot(sqlContext.sparkSession, LakeSources.path(parameters)).schema
+      if (LakeSources.changelog(parameters)) StructType(base :+ LakeSources.ChangeTypeField)
+      else base
+    })
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new DeltaStreamSource(sqlContext.sparkSession,
-      LakeSources.path(parameters), LakeSources.ignore(parameters))
+      LakeSources.path(parameters), LakeSources.ignore(parameters),
+      LakeSources.changelog(parameters))
 }
 
-/** v1 Source tailing a Delta table; offset = log version. */
+/** v1 Source tailing a Delta table; offset = log version. In `changelog`
+  * mode batches are [[DeltaRead.changesBetween]] rows (+ `_change_type`),
+  * so any commit mix streams through. */
 class DeltaStreamSource(spark: SparkSession, table: String,
-    ignoreChanges: Boolean) extends LakeSourceBase {
+    ignoreChanges: Boolean, changelog: Boolean = false) extends LakeSourceBase {
 
-  override val schema: StructType = DeltaRead.snapshot(spark, table).schema
+  override val schema: StructType = {
+    val base = DeltaRead.snapshot(spark, table).schema
+    if (changelog) StructType(base :+ LakeSources.ChangeTypeField) else base
+  }
 
   // Metadata-only poll; None before the table's first commit exists.
   override protected def latestAvailable(): Option[Long] =
     scala.util.Try(DeltaRead.snapshotInfo(spark, table).version).toOption
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    import org.apache.spark.sql.functions.lit
     val endV = StreamingShims.offsetValue(end)
     val df = start.map(StreamingShims.offsetValue) match {
+      case None if changelog =>
+        DeltaRead.snapshot(spark, table, endV).withColumn("_change_type", lit("insert"))
       case None => DeltaRead.snapshot(spark, table, endV)
       case Some(startV) if startV == endV =>
         spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           schema)
+      case Some(startV) if changelog =>
+        DeltaRead.changesBetween(spark, table, startV, endV)
       case Some(startV) =>
         DeltaRead.addsBetween(spark, table, startV, endV, ignoreChanges)
     }
@@ -135,14 +174,18 @@ class IcebergStreamSourceProvider extends StreamSourceProvider with DataSourceRe
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      IcebergRead.snapshot(sqlContext.sparkSession, LakeSources.path(parameters)).schema))
+    (shortName(), schema.getOrElse {
+      val base = IcebergRead.snapshot(sqlContext.sparkSession, LakeSources.path(parameters)).schema
+      if (LakeSources.changelog(parameters)) StructType(base :+ LakeSources.ChangeTypeField)
+      else base
+    })
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new IcebergStreamSource(sqlContext.sparkSession,
-      LakeSources.path(parameters), LakeSources.ignore(parameters))
+      LakeSources.path(parameters), LakeSources.ignore(parameters),
+      LakeSources.changelog(parameters))
 }
 
 /** v1 Source tailing an Iceberg table; offset = snapshot id (stable across
@@ -150,21 +193,29 @@ class IcebergStreamSourceProvider extends StreamSourceProvider with DataSourceRe
   * offsets for equality, and [[IcebergRead.addsBetween]] resolves the
   * (from, to] range against the table's commit lineage). */
 class IcebergStreamSource(spark: SparkSession, table: String,
-    ignoreChanges: Boolean) extends LakeSourceBase {
+    ignoreChanges: Boolean, changelog: Boolean = false) extends LakeSourceBase {
 
-  override val schema: StructType = IcebergRead.snapshot(spark, table).schema
+  override val schema: StructType = {
+    val base = IcebergRead.snapshot(spark, table).schema
+    if (changelog) StructType(base :+ LakeSources.ChangeTypeField) else base
+  }
 
   override protected def latestAvailable(): Option[Long] =
     scala.util.Try(IcebergRead.currentSnapshotId(spark, table)).toOption
       .filter(_ >= 0)
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    import org.apache.spark.sql.functions.lit
     val endId = StreamingShims.offsetValue(end)
     val df = start.map(StreamingShims.offsetValue) match {
+      case None if changelog =>
+        IcebergRead.snapshot(spark, table, endId).withColumn("_change_type", lit("insert"))
       case None => IcebergRead.snapshot(spark, table, endId)
       case Some(startId) if startId == endId =>
         spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           schema)
+      case Some(startId) if changelog =>
+        IcebergRead.changesBetween(spark, table, startId, endId)
       case Some(startId) =>
         IcebergRead.addsBetween(spark, table, startId, endId, ignoreChanges)
     }

@@ -586,6 +586,52 @@ object StreamOps {
     spark.table(drain(2)).orderBy(col("event_type"))
   }
 
+  /** CONTINUOUS MATERIALIZED-VIEW MAINTENANCE: tail `source`'s changelog
+    * stream ([[LakeSources.deltaChangelog]]/[[LakeSources.icebergChangelog]])
+    * and apply each micro-batch to the keyed `target` through
+    * [[graft.sources.Lake.applyChanges]] — the streaming form of
+    * `Lake.sync`, surviving ANY source commit mix (appends, deletes,
+    * upserts, overwrites). The first non-empty batch CREATES the target
+    * in `targetFormat` from the seed inserts (batch 0 is the source
+    * snapshot tagged 'insert'); offsets live in the engine's checkpoint.
+    * Replay safety is semantic: applyChanges deletes the batch's keys
+    * then re-inserts, so re-applying the same changelog batch is
+    * idempotent — no high-water marks needed. */
+  def changelogApplyStream(spark: SparkSession, source: String, target: String,
+      targetFormat: String, keyCols: Seq[String], checkpointDir: String): Unit = {
+    import graft.sources.{DeltaWrite, IcebergWrite, Lake}
+    val src = Lake.detect(spark, source) match {
+      case Lake.Delta => LakeSources.deltaChangelog(spark, source)
+      case Lake.Iceberg => LakeSources.icebergChangelog(spark, source)
+      case other => throw new IllegalArgumentException(
+        s"changelog stream needs a lake-format source, got $other at $source")
+    }
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val marker = targetFormat match {
+          case "delta" => "_delta_log"
+          case "iceberg" => "metadata"
+          case other => throw new IllegalArgumentException(
+            s"unsupported target format '$other' (delta | iceberg)")
+        }
+        val exists = new java.io.File(s"${target.stripSuffix("/")}/$marker").exists()
+        if (exists) Lake.applyChanges(spark, batch, target, keyCols)
+        else {
+          // seed: deletes against a not-yet-existing table are no-ops
+          val inserts = batch.where(col("_change_type") === "insert").drop("_change_type")
+          if (!inserts.isEmpty) targetFormat match {
+            case "delta" => DeltaWrite.append(spark, inserts, target)
+            case "iceberg" => IcebergWrite.append(spark, inserts, target)
+          }
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming data-quality monitor: continuous C2 validation — each
     * micro-batch is audited by [[graft.operators.Quality.check]] and the
     * per-rule violation counts land in a metrics table keyed by batch id.

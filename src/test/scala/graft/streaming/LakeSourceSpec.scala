@@ -92,6 +92,49 @@ class LakeSourceSpec extends SparkSpec {
     assert(drain(LakeSources.iceberg(spark, table), ckpt, "lakesrc_i3") === Seq.empty)
   }
 
+  test("changelog stream maintains a cross-format downstream MV through deletes") {
+    import graft.sources.{DeltaWrite, IcebergRead, Lake}
+    val base = tmp("lakesrc_cdc")
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    val ckpt = s"$base/ckpt"
+    DeltaWrite.append(spark, Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), src)
+
+    // run 1: seed batch creates the Iceberg target from the snapshot
+    StreamOps.changelogApplyStream(spark, src, dst, "iceberg", Seq("id"), ckpt)
+    assert(IcebergRead.snapshot(spark, dst).collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq === Seq((1L, 10L), (2L, 20L)))
+
+    // append + DV delete + upsert while the stream is down
+    DeltaWrite.append(spark, Seq((3L, 30L)).toDF("id", "v"), src)
+    DeltaWrite.deleteWhere(spark, src, col("id") === 1L)
+    DeltaWrite.upsert(spark, Seq((2L, 200L)).toDF("id", "v"), src, Seq("id"))
+
+    // run 2, same checkpoint: the changelog replays only the new commits
+    StreamOps.changelogApplyStream(spark, src, dst, "iceberg", Seq("id"), ckpt)
+    assert(IcebergRead.snapshot(spark, dst).collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq === Seq((2L, 200L), (3L, 30L)))
+
+    // the MV equals the source exactly
+    assert(Lake.read(spark, dst).orderBy("id").collect().toSeq ===
+      Lake.read(spark, src).orderBy("id").collect().toSeq)
+  }
+
+  test("Lake.scanPruned dispatches per format; lake_scan_where from SQL") {
+    import graft.sources.{DeltaWrite, Lake}
+    val table = tmp("lakesrc_scanpruned") + "/tbl"
+    DeltaWrite.append(spark,
+      (1L to 100L).map(i => (i, i * 2.0)).toDF("id", "v")
+        .repartitionByRange(4, col("id")).sortWithinPartitions(col("id")), table)
+    val (df, hit, total) = Lake.scanPruned(spark, table, col("id") > 80L)
+    assert(hit < total && df.count() === 20L)
+
+    Lake.registerSqlSurface(spark)
+    val viaSql = spark.sql(
+      s"SELECT count(*) AS n FROM lake_scan_where('$table', 'id > 80')").head().getLong(0)
+    assert(viaSql === 20L)
+  }
+
   test("short names resolve through DataSourceRegister") {
     val table = tmp("lakesrc_short") + "/tbl"
     DeltaWrite.append(spark, Seq((1L, 1L)).toDF("id", "v"), table)
