@@ -371,9 +371,15 @@ object DeltaRead {
     * logical here. O(log replay) driver work; no data touched. */
   def fileStats(spark: SparkSession, table: String, version: Long = -1L): DataFrame = {
     val snap = snapshotInfo(spark, table, version)
+    // partition columns join the frame as DEGENERATE intervals
+    // (min = max = the file's partition value), so partition predicates
+    // prune through the same translator as data-column predicates
+    val partFields = snap.schema.fields.toSeq
+      .filter(f => snap.partitionColumns.contains(f.name))
+      .filter(f => statsSupported(f.dataType))
     val statFields = snap.schema.fields.toSeq
       .filterNot(f => snap.partitionColumns.contains(f.name))
-      .filter(f => statsSupported(f.dataType))
+      .filter(f => statsSupported(f.dataType)) ++ partFields
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def decode(dt: org.apache.spark.sql.types.DataType,
         n: com.fasterxml.jackson.databind.JsonNode): Any = dt match {
@@ -392,22 +398,46 @@ object DeltaRead {
         java.sql.Timestamp.from(instant)
       case other => throw new IllegalArgumentException(s"no stats decoding for $other")
     }
+    val partSet = partFields.map(_.name).toSet
+    // log partition values are Hive-canonical strings; unparseable or
+    // default-partition values fall back to null (conservative keep)
+    def parsePart(dt: org.apache.spark.sql.types.DataType, s: String): Any =
+      scala.util.Try(dt match {
+        case org.apache.spark.sql.types.StringType => s
+        case org.apache.spark.sql.types.IntegerType => s.toInt
+        case org.apache.spark.sql.types.LongType => s.toLong
+        case org.apache.spark.sql.types.FloatType => s.toFloat
+        case org.apache.spark.sql.types.DoubleType => s.toDouble
+        case org.apache.spark.sql.types.BooleanType => s.toBoolean
+        case org.apache.spark.sql.types.DateType => java.sql.Date.valueOf(s)
+        case org.apache.spark.sql.types.TimestampType =>
+          java.sql.Timestamp.valueOf(s.replace("T", " "))
+        case _ => null
+      }).getOrElse(null)
     val rows = snap.files.map { f =>
       val parsed = f.stats.map(mapper.readTree)
       def section(name: String): com.fasterxml.jackson.databind.JsonNode =
         parsed.map(_.path(name)).getOrElse(
           com.fasterxml.jackson.databind.node.MissingNode.getInstance())
       val (mins, maxs, nulls) = (section("minValues"), section("maxValues"), section("nullCount"))
+      val n = parsed.map(_.path("numRecords").asLong(-1L)).filter(_ >= 0).map(Long.box).orNull
       val cells = statFields.flatMap { sf =>
         val key = snap.physicalName(sf.name)
-        def cell(sec: com.fasterxml.jackson.databind.JsonNode, f: com.fasterxml.jackson.databind.JsonNode => Any): Any = {
-          val v = sec.path(key)
-          if (v.isMissingNode || v.isNull) null else f(v)
+        if (partSet.contains(sf.name)) {
+          val v = f.partitionValues.get(key).filter(_ != null)
+            .map(parsePart(sf.dataType, _)).orNull
+          // a null partition value means EVERY row is null in that column
+          Seq(v, v, if (v == null) n else Long.box(0L))
+        } else {
+          def cell(sec: com.fasterxml.jackson.databind.JsonNode,
+              f: com.fasterxml.jackson.databind.JsonNode => Any): Any = {
+            val v = sec.path(key)
+            if (v.isMissingNode || v.isNull) null else f(v)
+          }
+          Seq(cell(mins, decode(sf.dataType, _)), cell(maxs, decode(sf.dataType, _)),
+            cell(nulls, n => Long.box(n.asLong())))
         }
-        Seq(cell(mins, decode(sf.dataType, _)), cell(maxs, decode(sf.dataType, _)),
-          cell(nulls, n => Long.box(n.asLong())))
       }
-      val n = parsed.map(_.path("numRecords").asLong(-1L)).filter(_ >= 0).map(Long.box).orNull
       org.apache.spark.sql.Row.fromSeq(f.path +: n +: cells)
     }
     val outSchema = StructType(
@@ -445,8 +475,14 @@ object DeltaRead {
     val stats = fileStats(spark, table, version)
     val statCols = stats.columns.collect {
       case c if c.startsWith("min_") => c.stripPrefix("min_") }.toSet
-    val cond = snapshot(spark, table, version).where(pred)
-      .queryExecution.optimizedPlan
+    // resolve the predicate against an EMPTY frame with the snapshot's
+    // schema, reading the ANALYZED plan: resolving against the real scan
+    // and optimizing would let Catalyst fold partition predicates into the
+    // partition-injection join's LocalRelation — correct for execution,
+    // but the Filter node (and with it the whole prune) disappears
+    val cond = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), snap.schema)
+      .where(pred).queryExecution.analyzed
       .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
     val survives = cond.map(graft.operators.DataSkipping.fileSurvives(_, statCols))
       .getOrElse(lit(true))

@@ -293,6 +293,25 @@ object IcebergRead {
           fieldType(f.path("type").asText(), f.path("name").asText()))
       }.toSeq
     val statFields = fields.filter { case (_, _, dt) => IcebergBounds.supported(dt) }
+    // IDENTITY partition fields double as degenerate [v, v] intervals when
+    // a file carries no bounds for the column (non-identity transforms —
+    // bucket/day/truncate — do not reproduce the column's value domain)
+    val identityParts: Set[String] = {
+      val specId = meta.path("default-spec-id").asInt(0)
+      meta.path("partition-specs").elements().asScala.toSeq
+        .find(_.path("spec-id").asInt(-1) == specId).toSeq
+        .flatMap(_.path("fields").elements().asScala)
+        .filter(_.path("transform").asText() == "identity")
+        .map(_.path("name").asText()).toSet
+    }
+    def partValue(dt: DataType, v: AnyRef): Any = dt match {
+      case IntegerType => v.toString.toInt
+      case LongType => v.toString.toLong
+      case StringType => v.toString
+      case DateType =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.toString.toLong))
+      case _ => null // outside the identity-partition fallback subset
+    }
 
     val dataManifests: Seq[String] =
       if (snap.has("manifest-list"))
@@ -328,10 +347,19 @@ object IcebergRead {
           val lower = kvMap(df, "lower_bounds")
           val upper = kvMap(df, "upper_bounds")
           val nulls = kvMap(df, "null_value_counts")
-          val cells = statFields.flatMap { case (id, _, dt) => Seq(
-            lower.get(id).map(b => IcebergBounds.decode(dt, bytesOf(b))).orNull,
-            upper.get(id).map(b => IcebergBounds.decode(dt, bytesOf(b))).orNull,
-            nulls.get(id).map(v => Long.box(v.toString.toLong)).orNull) }
+          val partRec = opt(df, "partition")
+            .collect { case r: org.apache.avro.generic.GenericRecord => r }
+          val cells = statFields.flatMap { case (id, name, dt) =>
+            val mn = lower.get(id).map(b => IcebergBounds.decode(dt, bytesOf(b))).orNull
+            val mx = upper.get(id).map(b => IcebergBounds.decode(dt, bytesOf(b))).orNull
+            val (mn2, mx2) =
+              if (mn == null && mx == null && identityParts.contains(name)) {
+                val pv = partRec.flatMap(r =>
+                  Option(r.getSchema.getField(name)).flatMap(_ => Option(r.get(name))))
+                  .map(partValue(dt, _)).orNull
+                (pv, pv)
+              } else (mn, mx)
+            Seq(mn2, mx2, nulls.get(id).map(v => Long.box(v.toString.toLong)).orNull) }
           Some(org.apache.spark.sql.Row.fromSeq(
             localPath(df.get("file_path").toString) +:
               df.get("record_count").toString.toLong +: cells))
@@ -362,8 +390,13 @@ object IcebergRead {
     val stats = fileStats(spark, table, snapshotId)
     val statCols = stats.columns.collect {
       case c if c.startsWith("min_") => c.stripPrefix("min_") }.toSet
-    val cond = snapshot(spark, table, snapshotId).where(pred)
-      .queryExecution.optimizedPlan
+    // analyzed plan over an empty same-schema frame: same move as the
+    // Delta twin — optimization could fold/push the predicate out of
+    // Filter shape (e.g. into a MOR join side), losing the prune
+    val cond = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        snapshot(spark, table, snapshotId).schema)
+      .where(pred).queryExecution.analyzed
       .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
     val survives = cond.map(graft.operators.DataSkipping.fileSurvives(_, statCols))
       .getOrElse(org.apache.spark.sql.functions.lit(true))

@@ -691,9 +691,17 @@ object IcebergWrite {
     val transforms = partitionBy.map(IcebergTransforms.parse)
 
     case class Live(path: String, snapshotId: Long, seq: Option[Long],
-        fileSeq: Option[Long], partition: Seq[(String, AnyRef)], records: Long, bytes: Long)
+        fileSeq: Option[Long], partition: Seq[(String, AnyRef)], records: Long, bytes: Long,
+        rawBounds: Map[String, Seq[(Int, AnyRef)]] = Map.empty)
     def opt(r: org.apache.avro.generic.GenericRecord, n: String): Option[AnyRef] =
       Option(r.getSchema.getField(n)).flatMap(_ => Option(r.get(n)))
+    // bounds/counts maps carried VERBATIM (raw field-id-keyed values) so
+    // kept EXISTING entries keep their skipping stats through the rewrite
+    def rawKv(df0: org.apache.avro.generic.GenericRecord, n: String): Seq[(Int, AnyRef)] =
+      opt(df0, n).toSeq.flatMap(_.asInstanceOf[java.util.List[_]].asScala.map { e =>
+        val r = e.asInstanceOf[org.apache.avro.generic.GenericRecord]
+        r.get("key").toString.toInt -> r.get("value")
+      })
     val manifests = priorManifests(Some(prior))
     val hasDeletes = manifests.exists(_._3 != 0)
     val entries: Seq[Live] = manifests.filter(_._3 == 0).map(_._1).flatMap { mp =>
@@ -714,7 +722,9 @@ object IcebergWrite {
             opt(e, "sequence_number").map(_.toString.toLong),
             opt(e, "file_sequence_number").map(_.toString.toLong),
             part, df0.get("record_count").toString.toLong,
-            df0.get("file_size_in_bytes").toString.toLong))
+            df0.get("file_size_in_bytes").toString.toLong,
+            Seq("null_value_counts", "lower_bounds", "upper_bounds")
+              .map(n => n -> rawKv(df0, n)).filter(_._2.nonEmpty).toMap))
         }
       }
     }
@@ -764,7 +774,8 @@ object IcebergWrite {
         val partitionSchema = dataFileSchema.getField("partition").schema()
         def entry(status: Int, snapId: Long, seq: Long, fileSeq: Long, path: String,
             part: Seq[(String, Any)], nRows: Long, bytes: Long,
-            stats: Map[String, (Any, Any, Long)]) = {
+            stats: Map[String, (Any, Any, Long)],
+            rawBounds: Map[String, Seq[(Int, AnyRef)]] = Map.empty) = {
           val pr = new GenericData.Record(partitionSchema)
           part.foreach { case (k, v) => pr.put(k, v) }
           val dfr = new GenericData.Record(dataFileSchema)
@@ -775,6 +786,10 @@ object IcebergWrite {
           dfr.put("record_count", nRows)
           dfr.put("file_size_in_bytes", bytes)
           putBounds(dfr, dataFileSchema, stats, boundIds, boundTypes)
+          rawBounds.foreach { case (n, kvs) =>
+            dfr.put(n, kvList(dataFileSchema.getField(n).schema(),
+              kvs.map { case (k, v) => k -> (v: Any) }))
+          }
           val e = new GenericData.Record(schema)
           e.put("status", status)
           e.put("snapshot_id", snapId)
@@ -792,7 +807,7 @@ object IcebergWrite {
         val keptEntries = keep.map { f =>
           entry(0, f.snapshotId, f.seq.getOrElse(f.snapshotId),
             f.fileSeq.getOrElse(f.snapshotId), f.path, f.partition, f.records, f.bytes,
-            Map.empty)
+            Map.empty, f.rawBounds)
         }
         val manifestPath =
           metaDir(table).resolve(s"m-$snapshotId-${java.util.UUID.randomUUID()}.avro")

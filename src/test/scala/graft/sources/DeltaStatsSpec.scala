@@ -63,6 +63,20 @@ class DeltaStatsSpec extends SparkSpec {
     assert(pruned.count() === 45L) // 51..100 minus 60,70,80,90,100
   }
 
+  test("partition values prune as degenerate intervals") {
+    val table = tmp("delta_part_stats")
+    DeltaWrite.append(spark,
+      ((1L to 40L).map(i => ("x", i)) ++ (41L to 80L).map(i => ("y", i)))
+        .toDF("grp", "id"), table, Seq("grp"))
+    val (df, hit, total) = DeltaRead.scanPruned(spark, table, col("grp") === "y")
+    assert(hit < total, s"partition predicate should prune ($hit of $total)")
+    assert(df.count() === 40L)
+    // combined partition + data-column predicate prunes on both
+    val (df2, hit2, _) = DeltaRead.scanPruned(spark, table,
+      col("grp") === "y" && col("id") > 100L)
+    assert(hit2 === 0L && df2.count() === 0L)
+  }
+
   test("stats survive a checkpoint replay") {
     val table = tmp("delta_stats_cp")
     DeltaWrite.append(spark,

@@ -85,18 +85,34 @@ class IcebergStatsSpec extends SparkSpec {
     assert(pruned.count() === 45L)
   }
 
-  test("compaction re-authors kept entries without bounds — conservatively kept") {
+  test("compaction: rewritten files get fresh bounds, kept entries carry theirs") {
     val table = tmp("ice_prune_compact")
-    // two appends → small files; compact bin-packs them into one file with
-    // FRESH bounds, while any kept entries would carry none
-    IcebergWrite.append(spark, (1L to 50L).map(i => (i, i)).toDF("id", "v"), table)
-    IcebergWrite.append(spark, (51L to 100L).map(i => (i, i)).toDF("id", "v"), table)
+    // partition A: two small files (rewritten); partition B: one (kept)
+    IcebergWrite.append(spark,
+      (1L to 50L).map(i => ("A", i, i)).toDF("p", "id", "v"), table, Seq("p"))
+    IcebergWrite.append(spark,
+      (51L to 100L).map(i => ("A", i, i)).toDF("p", "id", "v"), table, Seq("p"))
+    IcebergWrite.append(spark,
+      (101L to 150L).map(i => ("B", i, i)).toDF("p", "id", "v"), table, Seq("p"))
     IcebergWrite.compact(spark, table)
 
+    // every live file still has id bounds — the kept B entry carried its
+    // original maps, the rewritten A file got fresh ones
     val st = IcebergRead.fileStats(spark, table)
-    assert(st.count() >= 1L)
-    val (df, hit, total) = IcebergRead.scanPruned(spark, table, col("id") <= 10L)
-    assert(hit <= total)
-    assert(df.count() === 10L)
+    assert(st.count() >= 2L)
+    assert(st.where(col("min_id").isNull).count() === 0L)
+    val (df, hit, total) = IcebergRead.scanPruned(spark, table, col("id") >= 101L)
+    assert(hit < total, s"B-only range should skip the A file(s) ($hit of $total)")
+    assert(df.count() === 50L)
+  }
+
+  test("identity partition values prune as degenerate intervals") {
+    val table = tmp("ice_part_stats")
+    IcebergWrite.append(spark,
+      ((1L to 40L).map(i => ("x", i)) ++ (41L to 80L).map(i => ("y", i)))
+        .toDF("grp", "id"), table, Seq("grp"))
+    val (df, hit, total) = IcebergRead.scanPruned(spark, table, col("grp") === "y")
+    assert(hit < total, s"partition predicate should prune ($hit of $total)")
+    assert(df.count() === 40L)
   }
 }
