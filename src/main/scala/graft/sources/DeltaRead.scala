@@ -369,8 +369,14 @@ object DeltaRead {
     * no stats (stats are optional per the protocol). Column-mapped
     * tables' stats keys are physical names; they are translated back to
     * logical here. O(log replay) driver work; no data touched. */
-  def fileStats(spark: SparkSession, table: String, version: Long = -1L): DataFrame = {
-    val snap = snapshotInfo(spark, table, version)
+  def fileStats(spark: SparkSession, table: String, version: Long = -1L): DataFrame =
+    statsFrame(spark, snapshotInfo(spark, table, version))
+
+  /** [[fileStats]] over an already-resolved snapshot — callers holding one
+    * (scanPruned) must NOT re-resolve "current": a concurrent commit
+    * between two resolutions would build the keep-set from a different
+    * file population than the scan and silently drop rows. */
+  private def statsFrame(spark: SparkSession, snap: Snapshot): DataFrame = {
     // partition columns join the frame as DEGENERATE intervals
     // (min = max = the file's partition value), so partition predicates
     // prune through the same translator as data-column predicates
@@ -391,13 +397,19 @@ object DeltaRead {
       case org.apache.spark.sql.types.StringType => n.asText()
       case org.apache.spark.sql.types.DateType => java.sql.Date.valueOf(n.asText())
       case org.apache.spark.sql.types.TimestampType =>
+        // ISO-8601 with any offset ("...Z", "...+02:00", "...-08:00") or
+        // zoneless local form — external writers produce all three
         val t = n.asText()
-        val instant =
-          if (t.endsWith("Z") || t.contains("+")) java.time.OffsetDateTime.parse(t).toInstant
-          else java.time.LocalDateTime.parse(t).toInstant(java.time.ZoneOffset.UTC)
+        val instant = scala.util.Try(java.time.OffsetDateTime.parse(t).toInstant)
+          .getOrElse(java.time.LocalDateTime.parse(t).toInstant(java.time.ZoneOffset.UTC))
         java.sql.Timestamp.from(instant)
       case other => throw new IllegalArgumentException(s"no stats decoding for $other")
     }
+    // an unparseable external stat value keeps the file (same contract as
+    // every other unknown shape) rather than failing the whole scan
+    def safeDecode(dt: org.apache.spark.sql.types.DataType,
+        n: com.fasterxml.jackson.databind.JsonNode): Any =
+      scala.util.Try(decode(dt, n)).getOrElse(null)
     val partSet = partFields.map(_.name).toSet
     // log partition values are Hive-canonical strings; unparseable or
     // default-partition values fall back to null (conservative keep)
@@ -434,7 +446,7 @@ object DeltaRead {
             val v = sec.path(key)
             if (v.isMissingNode || v.isNull) null else f(v)
           }
-          Seq(cell(mins, decode(sf.dataType, _)), cell(maxs, decode(sf.dataType, _)),
+          Seq(cell(mins, safeDecode(sf.dataType, _)), cell(maxs, safeDecode(sf.dataType, _)),
             cell(nulls, n => Long.box(n.asLong())))
         }
       }
@@ -471,8 +483,11 @@ object DeltaRead {
     * metadata that saves scheduling a task per non-matching file. */
   def scanPruned(spark: SparkSession, table: String,
       pred: org.apache.spark.sql.Column, version: Long = -1L): (DataFrame, Long, Long) = {
+    // ONE log replay: the stats frame and the final scan share this
+    // snapshot — re-resolving "current" separately would race a
+    // concurrent commit and drop rewritten files from the scan
     val snap = snapshotInfo(spark, table, version)
-    val stats = fileStats(spark, table, version)
+    val stats = statsFrame(spark, snap)
     val statCols = stats.columns.collect {
       case c if c.startsWith("min_") => c.stripPrefix("min_") }.toSet
     // resolve the predicate against an EMPTY frame with the snapshot's

@@ -386,7 +386,8 @@ object DeltaWrite {
     * foreign files are left alone. Returns the deleted paths. Metadata
     * only: the referenced set is O(files × retained versions) from log
     * replay — no data is read. */
-  def vacuum(spark: SparkSession, table: String, retainLastVersions: Int = 1): Seq[String] = {
+  def vacuum(spark: SparkSession, table: String, retainLastVersions: Int = 1,
+      minFileAgeMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val versions = currentVersions(table)
     require(versions.nonEmpty, s"not a Delta table: $table")
     val keep = versions.takeRight(math.max(1, retainLastVersions))
@@ -404,10 +405,17 @@ object DeltaWrite {
         case f if f.isFile => Seq(f)
         case _ => Seq.empty
       }
+    // AGE GRACE (stock Delta's retention-duration rule, default 24 h): a
+    // concurrent writer stages data files into the table dir BEFORE
+    // claiming its commit; an unreferenced-but-fresh file may be exactly
+    // such an in-flight add, and deleting it would corrupt the winner's
+    // table. Only files older than the grace window are reclaimable —
+    // pass 0 only when no concurrent writers can exist.
+    val cutoff = System.currentTimeMillis() - math.max(0L, minFileAgeMs)
     walk(root.toFile).filter { f =>
       val name = f.getName
       (name.endsWith(".parquet") || name.startsWith("deletion_vector_")) &&
-        !referenced(norm(f.toPath))
+        !referenced(norm(f.toPath)) && f.lastModified() <= cutoff
     }.map { f => val p = f.getPath; f.delete(); p }
   }
 
@@ -592,11 +600,14 @@ object DeltaWrite {
     * (deduplicated, broadcast) affected-key set; executor-built DV
     * bitmaps; nothing O(table) on the driver — [[upsert]]'s cost shape
     * plus nothing. */
-  def applyChanges(spark: SparkSession, changes: DataFrame, table: String,
+  def applyChanges(spark: SparkSession, changes0: DataFrame, table: String,
       keyCols: Seq[String], txn: Option[(String, Long)] = None): Long = {
     require(currentVersions(table).nonEmpty, s"applyChanges into non-existent table $table")
-    require(changes.columns.contains("_change_type"),
+    require(changes0.columns.contains("_change_type"),
       "changes must carry _change_type ('insert' | 'delete') — the changesBetween shape")
+    // consumed three times (empty probe, DV-delete semi-join, insert
+    // write) — materialize the changelog plan once
+    val changes = changes0.localCheckpoint()
     val dataCols = changes.columns.filterNot(_ == "_change_type").toSeq
     require(keyCols.nonEmpty && keyCols.forall(dataCols.contains),
       s"key columns ${keyCols.mkString(",")} not all present in ${dataCols.mkString(",")}")

@@ -143,13 +143,19 @@ object IcebergRead {
     if (!dir.isDirectory) return Map.empty
     val meta = mapper.readTree(metadataFile(table))
     val marks = scala.collection.mutable.HashMap[String, Long]()
-    meta.path("snapshots").elements().asScala.foreach { s =>
+    // LAST-recorded wins (commit order), exactly like Delta's txn replay —
+    // NOT the numeric max: Lake.sync marks carry Iceberg SNAPSHOT IDS,
+    // which are random longs in general, so a numerically large old
+    // frontier would otherwise shadow every newer one and the sync
+    // high-water mark could never advance
+    val order = commitOrder(meta)
+    val byId = meta.path("snapshots").elements().asScala
+      .map(s => s.path("snapshot-id").asLong(-1L) -> s).toMap
+    order.flatMap(byId.get).foreach { s =>
       val sum = s.path("summary")
       val app = sum.path("graft.app-id").asText("")
-      if (app.nonEmpty && sum.has("graft.batch-id")) {
-        val b = sum.path("graft.batch-id").asText().toLong
-        marks(app) = math.max(marks.getOrElse(app, Long.MinValue), b)
-      }
+      if (app.nonEmpty && sum.has("graft.batch-id"))
+        marks(app) = sum.path("graft.batch-id").asText().toLong
     }
     marks.toMap
   }
@@ -208,10 +214,13 @@ object IcebergRead {
     * incremental consumption of an external Iceberg table.
     * `fromSnapshotId = 0` means "from the beginning". Data-manifest
     * entries carry their adding snapshot id, so only the range's files are
-    * scanned; position deletes of the `to` snapshot still apply. Snapshots
-    * whose summary operation is not an append (delete, overwrite) make
-    * adds-only reading ambiguous and are refused unless
-    * `ignoreChanges = true`. */
+    * scanned; position deletes of the `to` snapshot still apply.
+    * `replace` snapshots (compaction) are data-neutral and are SKIPPED —
+    * in-range appends whose files a later in-range replace rewrote away
+    * are read at their own snapshots, so table maintenance never loses or
+    * doubles a consumer's rows. Snapshots whose operation is anything
+    * else (delete, overwrite) make adds-only reading ambiguous and are
+    * refused unless `ignoreChanges = true`. */
   def addsBetween(spark: SparkSession, table: String, fromSnapshotId: Long,
       toSnapshotId: Long = -1L, ignoreChanges: Boolean = false): DataFrame = {
     val meta = mapper.readTree(metadataFile(table))
@@ -225,16 +234,38 @@ object IcebergRead {
       else order.indexOf(fromSnapshotId)
     require(fromPos >= 0 || fromSnapshotId == 0L,
       s"snapshot $fromSnapshotId not found (commit order: ${order.mkString(",")})")
-    val range = order.slice(fromPos + 1, toPos + 1).toSet
+    val rangeOrdered = order.slice(fromPos + 1, toPos + 1)
+    val range = rangeOrdered.toSet
     val byId = meta.path("snapshots").elements().asScala
       .map(s => s.path("snapshot-id").asLong(-1L) -> s).toMap
-    range.toSeq.sortBy(order.indexOf).foreach { id =>
-      val op = byId(id).path("summary").path("operation").asText("append")
-      require(op == "append" || ignoreChanges,
+    val ops = rangeOrdered.map(id =>
+      id -> byId(id).path("summary").path("operation").asText("append"))
+    ops.foreach { case (id, op) =>
+      // 'replace' = compaction/rewrite: data-neutral by the spec, so
+      // table maintenance must not break consumers — handled below
+      require(op == "append" || op == "replace" || ignoreChanges,
         s"snapshot $id is a '$op' commit — adds-only " +
           "reading is ambiguous; pass ignoreChanges=true to read the range's adds anyway")
     }
-    snapshotImpl(spark, table, to, lineage = false, addedIn = Some(range.contains))
+    val replaces = ops.collect { case (id, "replace") => id }.toSet
+    if (replaces.isEmpty || ignoreChanges)
+      // fast path (and the documented ignoreChanges re-emission behavior):
+      // one scan of the range's files as they exist at `to`
+      snapshotImpl(spark, table, to, lineage = false, addedIn = Some(range.contains))
+    else {
+      // a replace in range rewrote files whose ORIGINALS may have been
+      // added in-range too (and are gone from `to`'s manifests): read
+      // each append AT ITS OWN snapshot — originals still resolve there —
+      // and skip the replace snapshots' rewritten copies entirely, so
+      // nothing is lost and nothing double-emits
+      val appendsInRange = ops.collect { case (id, "append") => id }
+      if (appendsInRange.isEmpty)
+        snapshotImpl(spark, table, to, lineage = false,
+          addedIn = Some(Set.empty[Long].contains))
+      else appendsInRange.map(id =>
+        snapshotImpl(spark, table, id, lineage = false, addedIn = Some(Set(id).contains)))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    }
   }
 
   /** Live data-file and delete-file path sets of one snapshot — pure
@@ -272,6 +303,29 @@ object IcebergRead {
     * each bounds-supported table column. Columns a file has no bounds
     * for are NULL (bounds are per-column optional). O(manifests) driver
     * metadata read; no data touched. */
+  /** The schema node governing `snap` (v2 `schemas` chain honoring the
+    * snapshot's recorded schema-id; v1 inline `schema`) — shared by the
+    * plan builder and the metadata-only stats reader. */
+  private def schemaNodeFor(meta: com.fasterxml.jackson.databind.JsonNode,
+      snap: com.fasterxml.jackson.databind.JsonNode): com.fasterxml.jackson.databind.JsonNode =
+    if (meta.has("schemas")) {
+      val cur = meta.path("current-schema-id").asInt(0)
+      val want = if (snap.has("schema-id")) snap.path("schema-id").asInt(cur) else cur
+      meta.path("schemas").elements().asScala.toSeq
+        .find(_.path("schema-id").asInt(-1) == want)
+        .orElse(meta.path("schemas").elements().asScala.toSeq
+          .find(_.path("schema-id").asInt(-1) == cur))
+        .getOrElse(throw new IllegalArgumentException(s"schema-id $want not in schemas"))
+    } else meta.path("schema")
+
+  /** (field-id, name, Spark type) triples of a schema node. */
+  private def fieldTriples(
+      schemaNode: com.fasterxml.jackson.databind.JsonNode): Seq[(Int, String, DataType)] =
+    schemaNode.path("fields").elements().asScala.map { f =>
+      (f.path("id").asInt(-1), f.path("name").asText(),
+        fieldType(f.path("type").asText(), f.path("name").asText()))
+    }.toSeq
+
   def fileStats(spark: SparkSession, table: String, snapshotId: Long = -1L): DataFrame = {
     val meta = mapper.readTree(metadataFile(table))
     val resolvedId =
@@ -279,19 +333,7 @@ object IcebergRead {
     val snap = meta.path("snapshots").elements().asScala
       .find(_.path("snapshot-id").asLong(-2L) == resolvedId)
       .getOrElse(throw new IllegalArgumentException(s"snapshot $resolvedId not found"))
-    val schemaNode =
-      if (meta.has("schemas")) {
-        val cur = meta.path("current-schema-id").asInt(0)
-        val want = if (snap.has("schema-id")) snap.path("schema-id").asInt(cur) else cur
-        meta.path("schemas").elements().asScala.toSeq
-          .find(_.path("schema-id").asInt(-1) == want)
-          .getOrElse(throw new IllegalArgumentException(s"schema-id $want not in schemas"))
-      } else meta.path("schema")
-    val fields: Seq[(Int, String, DataType)] =
-      schemaNode.path("fields").elements().asScala.map { f =>
-        (f.path("id").asInt(-1), f.path("name").asText(),
-          fieldType(f.path("type").asText(), f.path("name").asText()))
-      }.toSeq
+    val fields = fieldTriples(schemaNodeFor(meta, snap))
     val statFields = fields.filter { case (_, _, dt) => IcebergBounds.supported(dt) }
     // IDENTITY partition fields double as degenerate [v, v] intervals when
     // a file carries no bounds for the column (non-identity transforms —
@@ -387,22 +429,33 @@ object IcebergRead {
   def scanPruned(spark: SparkSession, table: String,
       pred: org.apache.spark.sql.Column, snapshotId: Long = -1L)
       : (DataFrame, Long, Long) = {
-    val stats = fileStats(spark, table, snapshotId)
+    // pin "current" ONCE: the stats frame, the predicate schema, and the
+    // final scan must all see the same snapshot or a concurrent commit
+    // between resolutions silently drops rewritten files from the result
+    val meta = mapper.readTree(metadataFile(table))
+    val resolvedId =
+      if (snapshotId >= 0) snapshotId else meta.path("current-snapshot-id").asLong(-1L)
+    val snapNode = meta.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong(-2L) == resolvedId)
+      .getOrElse(throw new IllegalArgumentException(s"snapshot $resolvedId not found"))
+    val schema = StructType(fieldTriples(schemaNodeFor(meta, snapNode)).map {
+      case (_, n, dt) => StructField(n, dt)
+    })
+    val stats = fileStats(spark, table, resolvedId)
     val statCols = stats.columns.collect {
       case c if c.startsWith("min_") => c.stripPrefix("min_") }.toSet
     // analyzed plan over an empty same-schema frame: same move as the
     // Delta twin — optimization could fold/push the predicate out of
     // Filter shape (e.g. into a MOR join side), losing the prune
     val cond = spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        snapshot(spark, table, snapshotId).schema)
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
       .where(pred).queryExecution.analyzed
       .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
     val survives = cond.map(graft.operators.DataSkipping.fileSurvives(_, statCols))
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     val total = stats.count()
     val keep = stats.where(survives).select("file").collect().map(_.getString(0)).toSet
-    val df = snapshotImpl(spark, table, snapshotId, lineage = false,
+    val df = snapshotImpl(spark, table, resolvedId, lineage = false,
       keepPaths = Some(keep)).where(pred)
     (df, keep.size.toLong, total)
   }
@@ -497,16 +550,7 @@ object IcebergRead {
     // against THAT schema (the spec embeds the id per snapshot so
     // evolution doesn't rewrite history); snapshots without one — or ids
     // the chain no longer carries — fall back to the current schema.
-    val schemaNode =
-      if (meta.has("schemas")) {
-        val cur = meta.path("current-schema-id").asInt(0)
-        val want =
-          if (targetSnap.has("schema-id")) targetSnap.path("schema-id").asInt(cur) else cur
-        val schemas = meta.path("schemas").elements().asScala.toSeq
-        schemas.find(_.path("schema-id").asInt(-1) == want)
-          .orElse(schemas.find(_.path("schema-id").asInt(-1) == cur))
-          .getOrElse(throw new IllegalArgumentException(s"current-schema-id $cur not in schemas"))
-      } else meta.path("schema")
+    val schemaNode = schemaNodeFor(meta, targetSnap)
     // carry the Iceberg field ids: when the data files were written by a
     // real Iceberg engine their parquet columns have matching ids, and
     // id-based resolution survives column renames that name matching

@@ -663,15 +663,23 @@ object IcebergWrite {
     * attribution stay intact. Returns the new snapshot id, or the current
     * one unchanged when there is nothing to do.
     *
-    * Incremental consumers: [[IcebergRead.addsBetween]] refuses ranges
-    * containing a `replace` snapshot (adds-only reading cannot attribute
-    * rewritten rows); checkpoint before compacting, or switch to
-    * [[IcebergRead.changesBetween]], which reports the rewrite as
-    * delete + insert pairs. Rewritten-away files stay on disk
+    * Incremental consumers: [[IcebergRead.addsBetween]] SKIPS `replace`
+    * snapshots (data-neutral by the spec) and reads in-range appends at
+    * their own snapshots, so compacting never disturbs a tailing
+    * consumer; [[IcebergRead.changesBetween]] instead reports the rewrite
+    * as delete + insert pairs. Rewritten-away files stay on disk
     * (unreferenced) for older snapshots' time travel until expiration. */
   def compact(spark: SparkSession, table: String,
       smallFileBytes: Long = 64L << 20, targetFileBytes: Long = 128L << 20,
       zorderBy: Seq[String] = Nil): Long = {
+    // a valid table with metadata but NO snapshots yet has nothing to
+    // compact — and its current-snapshot-id (-1) would collide with the
+    // lost-race sentinel below, spinning the loop forever
+    val v0 = currentVersion(table)
+    require(v0 > 0, s"not an Iceberg table: $table")
+    val cur0 = mapper.readTree(metaDir(table).resolve(s"v$v0.metadata.json").toFile)
+      .path("current-snapshot-id").asLong(-1L)
+    if (cur0 < 0) return cur0
     // optimistic outer loop: ALL state (kept entries, candidates) derives
     // from one observed version; a concurrent commit aborts the claim
     // (expectBase) and re-derives here rather than dropping the winner
@@ -837,7 +845,7 @@ object IcebergWrite {
     * reclaimable. Foreign files under the table root are left alone.
     * Metadata-only: O(manifests) driver reads, no data scanned. */
   def expireSnapshots(spark: SparkSession, table: String,
-      retainLast: Int = 1): Seq[String] = {
+      retainLast: Int = 1, minFileAgeMs: Long = 24L * 3600 * 1000): Seq[String] = {
     while (true) {
       val base = currentVersion(table)
       require(base > 0, s"not an Iceberg table: $table")
@@ -890,8 +898,13 @@ object IcebergWrite {
       if (won) {
         Files.writeString(metaDir(table).resolve("version-hint.text"), (base + 1).toString)
         def norm(f: java.io.File): String = IcebergRead.localPath(f.getAbsolutePath)
+        // AGE GRACE (same rule as DeltaWrite.vacuum): a concurrent append
+        // stages data files under data/ BEFORE its metadata claim —
+        // fresh unreferenced files may be in-flight adds, not garbage
+        val cutoff = System.currentTimeMillis() - math.max(0L, minFileAgeMs)
         val dataDeleted = Option(dataDir(table).toFile.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isFile && f.getName.endsWith(".parquet") && !referencedData(norm(f)))
+          .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+            !referencedData(norm(f)) && f.lastModified() <= cutoff)
         val metaDeleted = Option(metaDir(table).toFile.listFiles()).getOrElse(Array.empty)
           .filter { f =>
             val n = f.getName
@@ -1030,11 +1043,15 @@ object IcebergWrite {
     * outside the delete's scope). Incremental materialized-view
     * maintenance: a downstream table follows an upstream one by applying
     * `changesBetween(lastSynced, current)` instead of full rebuilds. */
-  def applyChanges(spark: SparkSession, changes: DataFrame, table: String,
+  def applyChanges(spark: SparkSession, changes0: DataFrame, table: String,
       keyCols: Seq[String], summaryProps: Map[String, String] = Map.empty): Long = {
     import org.apache.spark.sql.functions.{col => fcol}
-    require(changes.columns.contains("_change_type"),
+    require(changes0.columns.contains("_change_type"),
       "changes must carry _change_type ('insert' | 'delete') — the changesBetween shape")
+    // the changelog plan (multi-leg union + anti join for changesBetween)
+    // is consumed three times below (empty probe, delete scan, insert
+    // write) — materialize it once
+    val changes = changes0.localCheckpoint()
     val dataCols = changes.columns.filterNot(_ == "_change_type").toSeq
     require(keyCols.nonEmpty && keyCols.forall(dataCols.contains),
       s"key columns ${keyCols.mkString(",")} not all present in ${dataCols.mkString(",")}")

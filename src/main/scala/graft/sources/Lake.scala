@@ -209,10 +209,11 @@ object Lake {
     * last `retain` snapshots first, then deletes what only they
     * referenced. Returns the deleted paths. Plain parquet has no version
     * history — nothing is ever unreferenced; refused loudly. */
-  def vacuum(spark: SparkSession, path: String, retain: Int = 1): Seq[String] =
+  def vacuum(spark: SparkSession, path: String, retain: Int = 1,
+      minFileAgeMs: Long = 24L * 3600 * 1000): Seq[String] =
     detect(spark, path) match {
-      case Delta => DeltaWrite.vacuum(spark, path, retain)
-      case Iceberg => IcebergWrite.expireSnapshots(spark, path, retain)
+      case Delta => DeltaWrite.vacuum(spark, path, retain, minFileAgeMs)
+      case Iceberg => IcebergWrite.expireSnapshots(spark, path, retain, minFileAgeMs)
       case Parquet => throw new IllegalArgumentException(
         s"plain parquet at $path has no version history to vacuum against")
     }

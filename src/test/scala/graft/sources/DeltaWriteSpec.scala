@@ -568,20 +568,22 @@ class DeltaWriteSpec extends SparkSpec {
     assert(rows(DeltaRead.snapshot(spark, table)) === expect)
 
     // retain 2 versions: the pre-compaction snapshot (and its DV) survives
-    val deleted2 = DeltaWrite.vacuum(spark, table, retainLastVersions = 2)
+    val deleted2 = DeltaWrite.vacuum(spark, table, retainLastVersions = 2, minFileAgeMs = 0L)
     assert(rows(DeltaRead.snapshot(spark, table)) === expect)
     assert(rows(DeltaRead.snapshot(spark, table, vPre)) === expect,
       "version inside the retention horizon must still time travel")
 
     // retain 1: only the compacted files remain; older reads now fail
-    val deleted1 = DeltaWrite.vacuum(spark, table)
+    val deleted1 = DeltaWrite.vacuum(spark, table, minFileAgeMs = 0L)
     assert((deleted1 ++ deleted2).nonEmpty, "compaction left unreferenced files to reclaim")
     assert(rows(DeltaRead.snapshot(spark, table)) === expect)
     assert(rows(Lake.read(spark, table, vc)) === expect)
     intercept[Exception](DeltaRead.snapshot(spark, table, vPre).collect())
     // idempotent: nothing left to reclaim
-    assert(DeltaWrite.vacuum(spark, table).isEmpty)
+    assert(DeltaWrite.vacuum(spark, table, minFileAgeMs = 0L).isEmpty)
+    // default grace: fresh unreferenced files are NOT reclaimed
+    assert(DeltaWrite.vacuum(spark, table, retainLastVersions = 1).isEmpty)
     // Lake dispatch
-    assert(Lake.vacuum(spark, table).isEmpty)
+    assert(Lake.vacuum(spark, table, minFileAgeMs = 0L).isEmpty)
   }
 }

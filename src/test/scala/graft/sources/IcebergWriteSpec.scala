@@ -242,6 +242,46 @@ class IcebergWriteSpec extends SparkSpec {
     assert(rows(IcebergRead.addsBetween(spark, table, s4)).map(_._1) === Set(4L))
   }
 
+  test("addsBetween survives a compaction in range: nothing lost, nothing doubled") {
+    val table = Files.createTempDirectory("graft_iw_inc_compact").toString
+    IcebergWrite.append(spark, (1L to 3L).map(i => (i, s"r$i")).toDF("id", "name"), table)
+    val a = IcebergRead.currentSnapshotId(spark, table)
+    IcebergWrite.append(spark, (4L to 6L).map(i => (i, s"r$i")).toDF("id", "name"), table)
+    IcebergWrite.compact(spark, table) // 'replace' — rewrites the small files
+    IcebergWrite.append(spark, (7L to 9L).map(i => (i, s"r$i")).toDF("id", "name"), table)
+    // consumer checkpointed at A: the in-range append's ORIGINAL file was
+    // rewritten away, but its rows must still arrive exactly once
+    assert(rows(IcebergRead.addsBetween(spark, table, a)).map(_._1) === (4L to 9L).toSet)
+    // replace-only range: empty batch, not an error
+    val afterAll = IcebergRead.currentSnapshotId(spark, table)
+    IcebergWrite.compact(spark, table, smallFileBytes = Long.MaxValue)
+    assert(IcebergRead.addsBetween(spark, table, afterAll).count() === 0L)
+  }
+
+  test("txnVersions: LAST mark wins in commit order, not the numeric max") {
+    val table = Files.createTempDirectory("graft_iw_txnlast").toString
+    IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "name"), table,
+      summaryProps = Map("graft.app-id" -> "sync", "graft.batch-id" -> "9000000000000000000"))
+    IcebergWrite.append(spark, Seq((2L, "b")).toDF("id", "name"), table,
+      summaryProps = Map("graft.app-id" -> "sync", "graft.batch-id" -> "42"))
+    // a random-id frontier may be numerically SMALLER than its predecessor
+    assert(IcebergRead.txnVersions(spark, table)("sync") === 42L)
+  }
+
+  test("compact on a snapshot-less table returns without spinning") {
+    val table = Files.createTempDirectory("graft_iw_nosnap").toString
+    val metaDir = new java.io.File(table, "metadata")
+    metaDir.mkdirs()
+    java.nio.file.Files.writeString(metaDir.toPath.resolve("v1.metadata.json"),
+      """{"format-version":2,"table-uuid":"t","location":"x","current-snapshot-id":-1,
+         "schemas":[{"schema-id":0,"type":"struct","fields":[
+           {"id":1,"name":"id","required":false,"type":"long"}]}],
+         "current-schema-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+         "default-spec-id":0,"snapshots":[],"snapshot-log":[]}""")
+    java.nio.file.Files.writeString(metaDir.toPath.resolve("version-hint.text"), "1")
+    assert(IcebergWrite.compact(spark, table) === -1L) // returns, no hang
+  }
+
   test("TIMESTAMP AS OF resolves to the latest commit/snapshot at or before it") {
     val ice = Files.createTempDirectory("graft_ts_ice").toString
     val t0 = System.currentTimeMillis() - 1
@@ -599,10 +639,10 @@ class IcebergWriteSpec extends SparkSpec {
     assert(rows(IcebergRead.snapshot(spark, t1, a1)) === Set((1L, "a")))
     // idempotent: a single packed file per partition is left alone
     assert(IcebergWrite.compact(spark, t1) === c1)
-    // adds-only reads refuse ranges containing the replace snapshot...
-    val e = intercept[IllegalArgumentException](IcebergRead.addsBetween(spark, t1, a1))
-    assert(e.getMessage.contains("replace"))
-    // ...but the changelog read handles them (rewrite = delete+insert pairs)
+    // adds-only reads SKIP the replace snapshot (data-neutral maintenance)
+    // and deliver the in-range appends from their own snapshots
+    assert(rows(IcebergRead.addsBetween(spark, t1, a1)).map(_._1) === Set(2L, 3L))
+    // the changelog read reports the rewrite (delete+insert pairs)
     val ch = IcebergRead.changesBetween(spark, t1, a1)
     assert(ch.where(col("_change_type") === "insert").count() === 3L)
     // appends after the compaction flow normally
@@ -656,19 +696,19 @@ class IcebergWriteSpec extends SparkSpec {
     assert(rows(IcebergRead.snapshot(spark, table)) === expect)
 
     // retain everything still present → no-op
-    assert(IcebergWrite.expireSnapshots(spark, table, retainLast = 10).isEmpty)
+    assert(IcebergWrite.expireSnapshots(spark, table, retainLast = 10, minFileAgeMs = 0L).isEmpty)
     assert(rows(IcebergRead.snapshot(spark, table, s1)) === Set((1L, "a")))
 
     // retain only the current snapshot: pre-compaction files reclaimed,
     // expired ids gone, current state intact
-    val deleted = IcebergWrite.expireSnapshots(spark, table)
+    val deleted = IcebergWrite.expireSnapshots(spark, table, minFileAgeMs = 0L)
     assert(deleted.nonEmpty, "the compacted-away originals must be reclaimable")
     assert(rows(IcebergRead.snapshot(spark, table)) === expect)
     assert(rows(IcebergRead.snapshot(spark, table, sc)) === expect)
     intercept[Exception](rows(IcebergRead.snapshot(spark, table, s1)))
     intercept[Exception](rows(IcebergRead.snapshot(spark, table, s2)))
     // idempotent; appends continue normally after expiration
-    assert(IcebergWrite.expireSnapshots(spark, table).isEmpty)
+    assert(IcebergWrite.expireSnapshots(spark, table, minFileAgeMs = 0L).isEmpty)
     IcebergWrite.append(spark, Seq((3L, "c")).toDF("id", "name"), table)
     assert(rows(IcebergRead.snapshot(spark, table)) === Set((2L, "b"), (3L, "c")))
   }
