@@ -361,6 +361,63 @@ object DeltaRead {
   def snapshotAt(spark: SparkSession, table: String, timestampMs: Long): DataFrame =
     snapshot(spark, table, versionAt(spark, table, timestampMs))
 
+  /** Commit HISTORY (DESCRIBE HISTORY analog): one row per log version —
+    * (version, timestamp_ms, operation, added_files, removed_files).
+    * Operation is classified from the commit's action mix: `create`
+    * (v0 protocol+metaData), `append` (adds only), `delete` (removes w/o
+    * adds, or DV re-adds), `overwrite` (data removes + adds), `optimize`
+    * (layout-only, every action dataChange=false), `metadata` (schema /
+    * config swap only). Driver-side line parse, O(log size); commits
+    * cleaned by retention are simply absent. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(logPath(table))
+    val hfs = fs(spark, dir)
+    require(hfs.exists(dir), s"not a Delta table (no _delta_log): $table")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rows = hfs.listStatus(dir).toSeq.collect {
+      case st if st.getPath.getName.length == 25 && st.getPath.getName.endsWith(".json") &&
+        st.getPath.getName.take(20).forall(_.isDigit) =>
+        (st.getPath.getName.take(20).toLong, st.getModificationTime, st.getPath)
+    }.sortBy(_._1).map { case (v, mtime, p) =>
+      var (adds, removes, dataAdds, dataRemoves, dvAdds) = (0L, 0L, 0L, 0L, 0L)
+      var hasMeta = false
+      var hasProtocol = false
+      val in = hfs.open(p)
+      try {
+        val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+        var line = reader.readLine()
+        while (line != null) {
+          if (line.trim.nonEmpty) {
+            val n = om.readTree(line)
+            if (n.has("add")) {
+              adds += 1
+              if (n.path("add").path("dataChange").asBoolean(true)) dataAdds += 1
+              if (n.path("add").has("deletionVector")) dvAdds += 1
+            }
+            if (n.has("remove")) {
+              removes += 1
+              if (n.path("remove").path("dataChange").asBoolean(true)) dataRemoves += 1
+            }
+            if (n.has("metaData")) hasMeta = true
+            if (n.has("protocol")) hasProtocol = true
+          }
+          line = reader.readLine()
+        }
+      } finally in.close()
+      val op =
+        if (v == 0L && hasProtocol) "create"
+        else if (adds > 0 && dataRemoves == 0 && removes > 0) "optimize"
+        else if (dvAdds > 0 && dataRemoves > 0 && adds == dvAdds) "delete"
+        else if (dataRemoves > 0 && dataAdds > 0) "overwrite"
+        else if (dataRemoves > 0) "delete"
+        else if (adds > 0) "append"
+        else "metadata"
+      (v, mtime, op, adds, removes)
+    }
+    import spark.implicits._
+    rows.toDF("version", "timestamp_ms", "operation", "added_files", "removed_files")
+  }
+
   /** Per-file column statistics of a snapshot, decoded from the add
     * actions' `stats` JSON (the Delta protocol's data-skipping stats:
     * numRecords / minValues / maxValues / nullCount): one row per live

@@ -303,6 +303,33 @@ object IcebergRead {
     * each bounds-supported table column. Columns a file has no bounds
     * for are NULL (bounds are per-column optional). O(manifests) driver
     * metadata read; no data touched. */
+  /** Snapshot HISTORY (DESCRIBE HISTORY analog): one row per snapshot in
+    * COMMIT ORDER — (version = snapshot id, timestamp_ms, operation,
+    * added_files, removed_files), file counts summed from the snapshot's
+    * manifest-list rows. O(snapshots) driver metadata; expired snapshots
+    * are simply absent. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    val meta = mapper.readTree(metadataFile(table))
+    val byId = meta.path("snapshots").elements().asScala
+      .map(s => s.path("snapshot-id").asLong(-1L) -> s).toMap
+    val rows = commitOrder(meta).flatMap(byId.get).map { s =>
+      val (added, removed) =
+        if (s.has("manifest-list"))
+          scala.util.Try {
+            val mls = avroRecords(s.path("manifest-list").asText())
+            (mls.map(r => Option(r.get("added_files_count")).map(_.toString.toLong)
+              .getOrElse(0L)).sum,
+              mls.map(r => Option(r.get("deleted_files_count")).map(_.toString.toLong)
+                .getOrElse(0L)).sum)
+          }.getOrElse((0L, 0L))
+        else (0L, 0L)
+      (s.path("snapshot-id").asLong(-1L), s.path("timestamp-ms").asLong(-1L),
+        s.path("summary").path("operation").asText("append"), added, removed)
+    }
+    import spark.implicits._
+    rows.toDF("version", "timestamp_ms", "operation", "added_files", "removed_files")
+  }
+
   /** The schema node governing `snap` (v2 `schemas` chain honoring the
     * snapshot's recorded schema-id; v1 inline `schema`) — shared by the
     * plan builder and the metadata-only stats reader. */

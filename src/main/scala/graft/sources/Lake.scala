@@ -74,6 +74,30 @@ object Lake {
         (df.where(pred), n, n)
     }
 
+  /** HISTORY dispatch (DESCRIBE HISTORY analog): one row per version /
+    * snapshot in commit order — (version, timestamp_ms, operation,
+    * added_files, removed_files). Plain parquet has no log — refused. */
+  def history(spark: SparkSession, path: String): DataFrame =
+    detect(spark, path) match {
+      case Delta => DeltaRead.history(spark, path)
+      case Iceberg => IcebergRead.history(spark, path)
+      case Parquet => throw new IllegalArgumentException(
+        s"plain parquet at $path has no commit history")
+    }
+
+  /** Per-file STATS dispatch ([[DeltaRead.fileStats]] /
+    * [[IcebergRead.fileStats]]): one row per live file with decoded
+    * min/max/null-count columns — the observability face of
+    * [[scanPruned]]. Plain parquet persists no stats — refused (use
+    * [[graft.operators.DataSkipping.collectStats]] to retrofit). */
+  def fileStats(spark: SparkSession, path: String, version: Long = -1L): DataFrame =
+    detect(spark, path) match {
+      case Delta => DeltaRead.fileStats(spark, path, version)
+      case Iceberg => IcebergRead.fileStats(spark, path, version)
+      case Parquet => throw new IllegalArgumentException(
+        s"plain parquet at $path persists no per-file stats")
+    }
+
   /** TIMESTAMP AS OF dispatch: the table as of a wall-clock ms timestamp
     * (Delta: commit modification times; Iceberg: snapshot timestamp-ms).
     * Plain parquet has no history — refused loudly. */
@@ -174,6 +198,18 @@ object Lake {
         org.apache.spark.sql.functions.expr(str(args(1), "lake_scan_where: predicate")),
         args.lift(2).map(num(_, "lake_scan_where: version")).getOrElse(-1L))
       Bridge.logicalPlan(df)
+    })
+    // SELECT * FROM lake_history('/path'): commit/snapshot history
+    Bridge.registerTableFunction(spark, "lake_history", { args =>
+      require(args.length == 1, "lake_history(path)")
+      Bridge.logicalPlan(history(spark, str(args.head, "lake_history: path")))
+    })
+    // SELECT * FROM lake_file_stats('/path'[, version]): decoded per-file
+    // min/max/null-count stats — what scanPruned prunes against
+    Bridge.registerTableFunction(spark, "lake_file_stats", { args =>
+      require(args.length == 1 || args.length == 2, "lake_file_stats(path[, version])")
+      Bridge.logicalPlan(fileStats(spark, str(args.head, "lake_file_stats: path"),
+        args.lift(1).map(num(_, "lake_file_stats: version")).getOrElse(-1L)))
     })
     // SELECT * FROM lake_changes('/path', from_version[, to_version]):
     // the changelog (insert/delete rows) between two versions, from SQL

@@ -135,6 +135,30 @@ class LakeSourceSpec extends SparkSpec {
     assert(viaSql === 20L)
   }
 
+  test("lake history and file-stats surfaces (API + SQL)") {
+    import graft.sources.{DeltaWrite, IcebergWrite, Lake}
+    val del = tmp("lakesrc_hist_d") + "/tbl"
+    DeltaWrite.append(spark, Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), del)
+    DeltaWrite.append(spark, Seq((3L, 30L)).toDF("id", "v"), del)
+    DeltaWrite.deleteWhere(spark, del, col("id") === 1L)
+    val h = Lake.history(spark, del).orderBy(col("version"))
+      .select(col("operation")).as[String].collect().toSeq
+    assert(h === Seq("create", "append", "delete"))
+
+    val ice = tmp("lakesrc_hist_i") + "/tbl"
+    IcebergWrite.append(spark, Seq((1L, 10L)).toDF("id", "v"), ice)
+    IcebergWrite.append(spark, Seq((2L, 20L)).toDF("id", "v"), ice)
+    IcebergWrite.compact(spark, ice)
+    val hi = Lake.history(spark, ice).select(col("operation")).as[String].collect().toSeq
+    assert(hi === Seq("append", "append", "replace"))
+
+    Lake.registerSqlSurface(spark)
+    assert(spark.sql(s"SELECT count(*) FROM lake_history('$del')").head().getLong(0) === 3L)
+    val stats = spark.sql(
+      s"SELECT min(min_id), max(max_id) FROM lake_file_stats('$del')").head()
+    assert(stats.getLong(0) === 1L && stats.getLong(1) === 3L)
+  }
+
   test("short names resolve through DataSourceRegister") {
     val table = tmp("lakesrc_short") + "/tbl"
     DeltaWrite.append(spark, Seq((1L, 1L)).toDF("id", "v"), table)
