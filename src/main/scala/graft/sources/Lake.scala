@@ -317,6 +317,55 @@ object Lake {
         s"plain parquet at $path cannot carry a changelog apply")
     }
 
+  /** What [[maintain]] did, for logging/metrics. */
+  final case class Maintenance(
+      format: String,
+      compacted: Boolean,
+      version: Long,
+      checkpointed: Boolean,
+      reclaimedFiles: Int)
+
+  /** One-call table MAINTENANCE driver — the routine loop a production
+    * lake runs on every table: OPTIMIZE small files (and optionally
+    * re-cluster on a z-order key set), checkpoint the Delta log once
+    * enough commits accumulate (so replay stays O(checkpoint tail)), and
+    * reclaim files beyond the retention horizon with the in-flight-writer
+    * age grace. Each step is the already-idempotent primitive, so running
+    * maintain on a schedule (or concurrently with writers) is safe;
+    * incremental consumers are undisturbed by construction — compaction
+    * commits are skipped by the adds-only tails and reported as
+    * delete+insert pairs by the changelogs. */
+  def maintain(spark: SparkSession, path: String,
+      smallFileBytes: Long = 64L << 20, targetFileBytes: Long = 128L << 20,
+      zorderBy: Seq[String] = Nil,
+      retain: Int = 7, minFileAgeMs: Long = 24L * 3600 * 1000,
+      checkpointEveryCommits: Int = 10): Maintenance =
+    detect(spark, path) match {
+      case Delta =>
+        val before = DeltaRead.snapshotInfo(spark, path).version
+        val v = DeltaWrite.compact(spark, path, smallFileBytes, targetFileBytes, zorderBy)
+        // checkpoint when the replay tail (commits past the last
+        // checkpoint) has grown beyond the cadence
+        val logDir = new java.io.File(s"${path.stripSuffix("/")}/_delta_log")
+        val names = Option(logDir.list()).getOrElse(Array.empty)
+        val lastCp = names.filter(_.endsWith(".checkpoint.parquet"))
+          .map(_.take(20).toLong).sorted.lastOption.getOrElse(-1L)
+        val tail = names.count(n => n.length == 25 && n.endsWith(".json") &&
+          n.take(20).forall(_.isDigit) && n.take(20).toLong > lastCp)
+        val doCp = tail >= checkpointEveryCommits
+        if (doCp) DeltaWrite.checkpoint(spark, path)
+        val reclaimed = DeltaWrite.vacuum(spark, path, retain, minFileAgeMs)
+        Maintenance("delta", v != before, v, doCp, reclaimed.size)
+      case Iceberg =>
+        val before = IcebergRead.currentSnapshotId(spark, path)
+        val v = IcebergWrite.compact(spark, path, smallFileBytes, targetFileBytes, zorderBy)
+        val reclaimed = IcebergWrite.expireSnapshots(spark, path, retain, minFileAgeMs)
+        Maintenance("iceberg", v != before, v, checkpointed = false, reclaimed.size)
+      case Parquet => throw new IllegalArgumentException(
+        s"plain parquet at $path has no transaction log to maintain — " +
+          "use Layout.compact for a copy-based re-layout")
+    }
+
   /** MERGE/UPSERT dispatch: key-matched rows replaced, new keys inserted —
     * Delta as one DV-delete+append commit, Iceberg as equality-delete +
     * append snapshots. Plain parquet has no transaction log — refused. */

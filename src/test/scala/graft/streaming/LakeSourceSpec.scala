@@ -159,6 +159,28 @@ class LakeSourceSpec extends SparkSpec {
     assert(stats.getLong(0) === 1L && stats.getLong(1) === 3L)
   }
 
+  test("Lake.maintain: compaction + checkpoint cadence + retention in one call") {
+    import graft.sources.{DeltaRead, DeltaWrite, IcebergWrite, Lake}
+    val del = tmp("lakesrc_maint_d") + "/tbl"
+    (1 to 12).foreach(i => DeltaWrite.append(spark, Seq((i.toLong, i.toLong)).toDF("id", "v"), del))
+    val m = Lake.maintain(spark, del, retain = 1, minFileAgeMs = 0L,
+      checkpointEveryCommits = 10)
+    assert(m.format === "delta" && m.compacted && m.checkpointed)
+    assert(m.reclaimedFiles > 0) // the 12 pre-compaction small files
+    assert(DeltaRead.snapshot(spark, del).count() === 12L)
+    // idempotent second run: nothing to compact, tail below cadence,
+    // nothing unreferenced
+    val m2 = Lake.maintain(spark, del, retain = 1, minFileAgeMs = 0L,
+      checkpointEveryCommits = 10)
+    assert(!m2.compacted && !m2.checkpointed && m2.reclaimedFiles === 0)
+
+    val ice = tmp("lakesrc_maint_i") + "/tbl"
+    (1 to 3).foreach(i => IcebergWrite.append(spark, Seq((i.toLong, i.toLong)).toDF("id", "v"), ice))
+    val mi = Lake.maintain(spark, ice, retain = 1, minFileAgeMs = 0L)
+    assert(mi.format === "iceberg" && mi.compacted && mi.reclaimedFiles > 0)
+    assert(Lake.read(spark, ice).count() === 3L)
+  }
+
   test("short names resolve through DataSourceRegister") {
     val table = tmp("lakesrc_short") + "/tbl"
     DeltaWrite.append(spark, Seq((1L, 1L)).toDF("id", "v"), table)
