@@ -350,6 +350,14 @@ object Similarity {
     val dims = corpus.select(posexplode(VectorOps.asDouble(col(vecCol))).as(Seq("pos", "x")))
       .groupBy(col("pos")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
       .orderBy(col("pos")).collect()
+    if (dims.isEmpty) // empty corpus: no ranges to learn, no neighbors
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id", corpus.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("nn_id", corpus.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("cosine", org.apache.spark.sql.types.DoubleType))))
     val lo = dims.map(_.getDouble(1))
     val delta = dims.map(r => { val d = (r.getDouble(2) - r.getDouble(1)) / 255.0
       if (d == 0.0) 1.0 else d }) // constant dims: every code 0, exact

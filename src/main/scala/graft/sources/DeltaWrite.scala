@@ -116,18 +116,23 @@ object DeltaWrite {
         case f if f.isFile && f.getName.endsWith(".parquet") => Seq(f -> values)
         case _ => Seq.empty
       }
-    val moved = walk(new java.io.File(stage), Map.empty).map { case (f, values) =>
-      // standard layout: partition dirs at the table root; path segments
-      // percent-encoded in the log exactly as the file name is on disk
-      val partDirs = partitionBy.map { c =>
-        s"$c=${pctEncode(values.getOrElse(c, ""))}"
+    val moved = walk(new java.io.File(stage), Map.empty).flatMap { case (f, values) =>
+      statsByPath.get(f.toPath.toRealPath().toString) match {
+        // 0-row part file (empty upstream partition / empty overwrite):
+        // forms no aggregation group — skip it, same as the Iceberg stager
+        case None => None
+        case stats =>
+          // standard layout: partition dirs at the table root; path
+          // segments percent-encoded in the log exactly as the disk name
+          val partDirs = partitionBy.map { c =>
+            s"$c=${pctEncode(values.getOrElse(c, ""))}"
+          }
+          val rel = (partDirs :+ f.getName).mkString("/")
+          val dest = Paths.get(table, rel)
+          Files.createDirectories(dest.getParent)
+          Files.move(f.toPath, dest)
+          Some((rel, values, stats))
       }
-      val rel = (partDirs :+ f.getName).mkString("/")
-      val dest = Paths.get(table, rel)
-      val stats = statsByPath.get(f.toPath.toRealPath().toString)
-      Files.createDirectories(dest.getParent)
-      Files.move(f.toPath, dest)
-      (rel, values, stats)
     }
     // the staging dir now holds only _SUCCESS/metadata leftovers — drop it
     def rmr(f: java.io.File): Unit = {
@@ -143,7 +148,9 @@ object DeltaWrite {
   private def collectFileStats(spark: SparkSession, stage: String,
       statFields: Seq[org.apache.spark.sql.types.StructField]): Map[String, String] = {
     import org.apache.spark.sql.functions.{col => fcol, count => fcount, input_file_name, lit => flit, max => fmax, min => fmin, sum => fsum, when => fwhen}
-    if (statFields.isEmpty) return Map.empty
+    // statFields may be empty (no supported columns): still aggregate the
+    // count — a file ABSENT from the result is exactly a 0-row part file,
+    // which stageFiles uses to skip committing empties
     val aggs = fcount(flit(1)).as("__n") +: statFields.flatMap(f => Seq(
       fmin(fcol(f.name)).as(s"__mn_${f.name}"), fmax(fcol(f.name)).as(s"__mx_${f.name}"),
       fsum(fwhen(fcol(f.name).isNull, flit(1L)).otherwise(flit(0L))).as(s"__nl_${f.name}")))

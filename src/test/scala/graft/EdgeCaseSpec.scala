@@ -50,6 +50,31 @@ class EdgeCaseSpec extends SparkSpec {
     assert(AsOfJoin.asof(l, r, Seq("k"), "ts", "rts", Seq("sid")).count() === 0L)
   }
 
+  test("sequence pattern on empty input / no stage-1 rows is empty, not an error") {
+    import graft.operators.Patterns
+    val empty = Seq.empty[(Long, java.sql.Timestamp, Long, String)].toDF("u", "ts", "id", "e")
+    val stages = Seq("a" -> (col("e") === "a"), "b" -> (col("e") === "b"))
+    assert(Patterns.sequenceMatches(empty, "u", "ts", "id", stages).count() === 0L)
+    val noStage1 = Seq((1L, ts("2024-01-01 10:00:00"), 0L, "b")).toDF("u", "ts", "id", "e")
+    assert(Patterns.sequenceMatches(noStage1, "u", "ts", "id", stages).count() === 0L)
+  }
+
+  test("SQ8 ANN on an empty corpus is empty, not an error") {
+    import graft.operators.Similarity
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.sqTopK(empty, empty, "vec_id", "embedding", k = 3).count() === 0L)
+  }
+
+  test("lake fileStats/scanPruned on an all-deleted table are empty, not an error") {
+    import graft.sources.{DeltaRead, DeltaWrite}
+    val table = java.nio.file.Files.createTempDirectory("edge_stats").toString + "/tbl"
+    DeltaWrite.append(spark, Seq((1L, 1L)).toDF("id", "v"), table)
+    DeltaWrite.overwrite(spark, Seq.empty[(Long, Long)].toDF("id", "v"), table)
+    assert(DeltaRead.fileStats(spark, table).count() === 0L)
+    val (df, hit, total) = DeltaRead.scanPruned(spark, table, col("id") === 1L)
+    assert(hit === 0L && total === 0L && df.count() === 0L)
+  }
+
   test("sessionize on empty input yields zero sessions") {
     val e = Seq.empty[(Long, java.sql.Timestamp, Long)].toDF("user_id", "ts", "event_id")
     val n = Sessionize.sessionCount(e, "user_id", "ts", "event_id", 1L).as[Option[Long]].head()
