@@ -30,6 +30,25 @@ object TextFunctions {
       i => concat_ws(" ", slice(w, i * n + 1, lit(n))))
   }
 
+  /** Overlapping sliding token windows — the retrieval/pretraining chunking
+    * step: window of `window` tokens advancing by `stride` (< window ⇒
+    * consecutive chunks share `window - stride` tokens of context). Chunk i
+    * holds tokens [i·stride, i·stride + window); chunk count is
+    * 1 + ceil(max(n − window, 0) / stride), so the final chunk always
+    * reaches the last token and no start position ≥ n is emitted. Empty
+    * text yields one empty chunk (split("") is [""]). Identity with
+    * [[tokenChunks]] when stride == window. Pure Column expression — the
+    * fan-out happens in the caller's posexplode, so chunking a 100 TB
+    * corpus is a narrow codegen'd projection with no shuffle. */
+  def slidingTokenChunks(text: Column, window: Int, stride: Int): Column = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"slidingTokenChunks needs 0 < stride <= window, got window=$window stride=$stride")
+    val w = tokens(text)
+    val extra = ceil((size(w) - window).cast("double") / stride).cast("int")
+    transform(sequence(lit(0), greatest(extra, lit(0))),
+      i => concat_ws(" ", slice(w, i * stride + 1, lit(window))))
+  }
+
   /** Non-distinct word n-grams over an ALREADY-TOKENIZED array; empty array
     * when fewer than n tokens (guards `sequence`'s descending-range behavior
     * on negative spans). The single gram builder — shingles (distinct, for

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One-pass column profiling (data-quality stats) — the reference's per-file
@@ -41,5 +42,41 @@ object Profile {
         col(s"__avg_$i").as("avg_v"))
     }
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*")).orderBy(col("col_name"))
+  }
+
+  /** Distribution-drift monitor: per-bucket population-stability-index
+    * contributions of `value` between the two slices selected by the
+    * boolean `isRef` (true = reference/baseline slice, false = current).
+    * Equal-width buckets over the FIXED range [lo, hi) (bounds are part of
+    * the monitoring contract, pinned from the reference period — deriving
+    * them per-run would make drift self-normalizing and invisible);
+    * out-of-range values clamp to the edge buckets. Per bucket:
+    * counts, fractions, and `(p_ref − p_cur) · ln(p_ref / p_cur)` in exact
+    * integer micro-units (the l26 float-determinism contract — both engines
+    * do the same IEEE double ops, then one integral rounding). Empty-on-
+    * both-sides buckets are omitted; one-sided zeros are floored at `eps`
+    * (the standard PSI guard). Total PSI = sum(psi_micro) / 1e6, left to
+    * the caller so the per-bucket attribution stays visible.
+    *
+    * Scale shape: ONE hash aggregation on the bucket key (map-side
+    * partials over the scan — the corpus is never shuffled, only ≤ nBuckets
+    * partial rows per task), then window totals over ≤ nBuckets rows.
+    * Monitoring 100 TB costs one narrow pass. */
+  def psi(df: DataFrame, value: Column, isRef: Column,
+      lo: Double, hi: Double, nBuckets: Int, eps: Double = 1e-6): DataFrame = {
+    require(nBuckets > 0 && hi > lo, s"psi needs hi > lo and nBuckets > 0")
+    val width = (hi - lo) / nBuckets
+    val bucket = least(greatest(floor((value - lo) / width), lit(0.0)),
+      lit((nBuckets - 1).toDouble)).cast("int")
+    val counts = df.select(bucket.as("bucket"), isRef.as("__ref"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("__ref"), 1L).otherwise(0L)).as("cnt_ref"),
+        sum(when(!col("__ref"), 1L).otherwise(0L)).as("cnt_cur"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pRef = greatest(col("cnt_ref") / sum(col("cnt_ref")).over(all), lit(eps))
+    val pCur = greatest(col("cnt_cur") / sum(col("cnt_cur")).over(all), lit(eps))
+    counts.select(col("bucket"), col("cnt_ref"), col("cnt_cur"),
+        round((pRef - pCur) * log(pRef / pCur) * lit(1000000.0)).cast("long").as("psi_micro"))
+      .orderBy(col("bucket"))
   }
 }

@@ -470,6 +470,32 @@ object AnalyticsQueries {
       FROM m3 WHERE epoch_us(ts3) - epoch_us(ts1) <= 86400000000
       GROUP BY user_id ORDER BY user_id"""))
 
+  /** T51 DRIFT: per-bucket PSI of `events.value` between the first half of
+    * the month (reference slice) and the rest (current slice) — the
+    * data-quality drift monitor a production feed runs per batch. Fixed
+    * bucket contract [0, 500) × 10; contributions in integer micro-units
+    * (the l26 determinism pattern). One map-side-combined aggregation on
+    * the bucket key — monitoring cost is a single narrow pass at any SF. */
+  val t51 = GQuery(
+    "t51_drift",
+    (s, dir) =>
+      Profile.psi(t(s, dir, "events"),
+        col("value"), col("ts") < lit("2024-01-15").cast("timestamp"),
+        lo = 0.0, hi = 500.0, nBuckets = 10),
+    Some("""WITH b AS (SELECT CAST(LEAST(GREATEST(floor(value / 50.0), 0), 9) AS INT) AS bucket,
+          (ts < TIMESTAMP '2024-01-15') AS is_ref FROM events),
+      c AS (SELECT bucket,
+          sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS cnt_ref,
+          sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS cnt_cur
+        FROM b GROUP BY bucket),
+      f AS (SELECT bucket, cnt_ref, cnt_cur,
+          GREATEST(CAST(cnt_ref AS DOUBLE) / CAST(sum(cnt_ref) OVER () AS DOUBLE), 1e-6) AS p_ref,
+          GREATEST(CAST(cnt_cur AS DOUBLE) / CAST(sum(cnt_cur) OVER () AS DOUBLE), 1e-6) AS p_cur
+        FROM c)
+      SELECT bucket, CAST(cnt_ref AS BIGINT) AS cnt_ref, CAST(cnt_cur AS BIGINT) AS cnt_cur,
+        CAST(round((p_ref - p_cur) * ln(p_ref / p_cur) * 1000000.0) AS BIGINT) AS psi_micro
+      FROM f ORDER BY bucket"""))
+
   val all: Seq[GQuery] =
-    Seq(t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, l23, l3ivfx, b14b, b14c)
+    Seq(t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, l23, l3ivfx, b14b, b14c)
 }

@@ -1036,9 +1036,41 @@ object LlmQueries {
         AND instr(text, 'Ƶ') = 0 AND instr(text, 'Ʒ') = 0
       ORDER BY doc_id"""))
 
+  /** L31 CHUNKING: overlapping sliding-window chunks (window 32 tokens,
+    * stride 24 → 8 tokens of shared context between neighbors) — the
+    * retrieval/pretraining document-splitting step. Chunk identity =
+    * (doc_id, chunk_idx); content is hash-gated via md5 so the verify
+    * artifact stays narrow while every token of every chunk is still
+    * checked. Plan: narrow codegen'd projection + posexplode — no shuffle
+    * until the final presentation sort. Oracle rebuilds the identical
+    * slicing with generate_series + list_slice. */
+  val l31 = GQuery(
+    "l31_chunking",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      docs.select(col("doc_id"),
+          posexplode(TextFunctions.slidingTokenChunks(col("text"), 32, 24))
+            .as(Seq("chunk_idx", "chunk_text")))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(split(col("chunk_text"), " ")).as("n_toks"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      n AS (SELECT doc_id, w,
+          GREATEST(CAST(ceil((len(w) - 32) / 24.0) AS INT), 0) AS max_i FROM t),
+      e AS (SELECT doc_id, w, unnest(range(0, max_i + 1)) AS chunk_idx FROM n),
+      c AS (SELECT doc_id, chunk_idx,
+          array_to_string(list_slice(w, chunk_idx*24 + 1, chunk_idx*24 + 32), ' ') AS chunk_text
+        FROM e)
+      SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        CAST(len(string_split(chunk_text, ' ')) AS INT) AS n_toks,
+        md5(chunk_text) AS chunk_md5
+      FROM c ORDER BY doc_id, chunk_idx"""))
+
   def all: Seq[GQuery] = Seq(l1, l2, l2brute, l2simhash, l2simhashPairs, l2cluster, l2quality,
     l2embedding, l3, l3scalable, l3lsh, l3ivf, l3kmeans, l3pq, l3sq,
-    l3lshRecall, l3ivfRecall, l3kmeansRecall, l3pqRecall, l3sqRecall, l26, l27, l28, l29, l30,
+    l3lshRecall, l3ivfRecall, l3kmeansRecall, l3pqRecall, l3sqRecall, l26, l27, l28, l29, l30, l31,
     l4langid, l5, l6, l7, l8, l9,
     l10, l11, l11b, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l24, l24b, l25)
 }

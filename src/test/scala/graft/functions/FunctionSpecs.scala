@@ -133,6 +133,29 @@ class TextFunctionsSpec extends SparkSpec {
     assert(sh(1) === Seq.empty)
   }
 
+  test("slidingTokenChunks: overlap, tail coverage, degenerate cases") {
+    def chunks(text: String, w: Int, s: Int): Seq[String] =
+      Seq(Tuple1(text)).toDF("text")
+        .select(TextFunctions.slidingTokenChunks(col("text"), w, s).as("c"))
+        .as[Seq[String]].collect().head
+    // 7 tokens, window 4, stride 2 → starts 0,2,4 (ceil((7-4)/2)=2 extra)
+    assert(chunks("a b c d e f g", 4, 2) === Seq("a b c d", "c d e f", "e f g"))
+    // shorter than the window → one (short) chunk
+    assert(chunks("a b", 4, 2) === Seq("a b"))
+    // exactly one window → one chunk, no empty tail chunk
+    assert(chunks("a b c d", 4, 2) === Seq("a b c d"))
+    // stride == window degenerates to tokenChunks' disjoint slicing
+    assert(chunks("a b c d e", 2, 2) ===
+      Seq(Tuple1("a b c d e")).toDF("text")
+        .select(TextFunctions.tokenChunks(col("text"), 2).as("c"))
+        .as[Seq[String]].collect().head)
+    // empty text → one empty chunk (split("") is [""])
+    assert(chunks("", 4, 2) === Seq(""))
+    // every token is covered by at least one chunk
+    val all = chunks("a b c d e f g h i", 4, 3)
+    assert(all.flatMap(_.split(" ")).toSet === Set("a","b","c","d","e","f","g","h","i"))
+  }
+
   test("jaccard of identical shingle sets is 1, disjoint is 0") {
     val df = Seq(("a b c d", "a b c d"), ("a b c d", "x y z w")).toDF("t1", "t2")
     val j = df.select(TextFunctions.jaccard(

@@ -28,6 +28,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.head === (("k", 2L, 0L, 2L, 1.0, 2.0, 1.5)))
   }
 
+  test("Profile.psi: identical slices give 0, shifted slices attribute drift") {
+    // ref: uniform over buckets {0,1}; cur: identical → every contrib 0
+    val same = Seq((5.0, true), (15.0, true), (5.0, false), (15.0, false))
+      .toDF("v", "ref")
+    val r0 = Profile.psi(same, col("v"), col("ref"), 0.0, 20.0, 2)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(r0 === Array((0, 1L, 1L, 0L), (1, 1L, 1L, 0L)))
+
+    // ref all in bucket 0, cur all in bucket 1 → symmetric ±contributions,
+    // each (1 - eps)·ln((1-eps)/eps) ≈ 13.8 in PSI units
+    val shifted = Seq((5.0, true), (5.0, true), (15.0, false), (15.0, false))
+      .toDF("v", "ref")
+    val r1 = Profile.psi(shifted, col("v"), col("ref"), 0.0, 20.0, 2)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(r1.map(_._1).toSeq === Seq(0, 1))
+    assert(r1(0)._4 === r1(1)._4) // symmetric
+    assert(r1(0)._4 > 13000000L && r1(0)._4 < 14000000L)
+  }
+
+  test("Profile.psi clamps out-of-range values to edge buckets") {
+    val df = Seq((-100.0, true), (999.0, true), (5.0, false), (15.0, false))
+      .toDF("v", "ref")
+    val rows = Profile.psi(df, col("v"), col("ref"), 0.0, 20.0, 2)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(rows.map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq((0, 1L, 1L), (1, 1L, 1L)))
+  }
+
   // ---- TimeSeries.gapFill ------------------------------------------------
 
   test("gapFill zero-fills counts, forward-fills measures, leaves leading gaps null") {
