@@ -268,6 +268,23 @@ object IcebergRead {
     }
   }
 
+  /** The snapshot id at most `n` commits after `fromSnapshotId` in LINEAGE
+    * order, clamped to `toSnapshotId` — the admission-control companion of
+    * [[addsBetween]] (snapshot ids are not ordered in general, so "n
+    * commits later" must resolve against the commit lineage, never id
+    * arithmetic). Degrades to `toSnapshotId` (uncapped) when either end is
+    * no longer in the lineage (e.g. expired) — deliver, don't stall. Pure
+    * metadata read; no Spark job. */
+  def advanceSnapshot(spark: SparkSession, table: String, fromSnapshotId: Long,
+      n: Int, toSnapshotId: Long): Long = {
+    require(n > 0, s"advanceSnapshot needs n > 0, got $n")
+    val order = commitOrder(mapper.readTree(metadataFile(table)))
+    val fromPos = order.indexOf(fromSnapshotId)
+    val toPos = order.indexOf(toSnapshotId)
+    if (fromPos < 0 || toPos < 0 || fromPos >= toPos) toSnapshotId
+    else order(math.min(fromPos + n, toPos))
+  }
+
   /** Live data-file and delete-file path sets of one snapshot — pure
     * metadata (manifest-list + manifests), no Spark job. */
   private def fileSets(meta: com.fasterxml.jackson.databind.JsonNode,

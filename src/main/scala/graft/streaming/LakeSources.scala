@@ -45,19 +45,27 @@ import org.apache.spark.sql.types.{StructField, StructType}
   */
 object LakeSources {
 
-  /** Tail a Delta table: `spark.readStream.format("graft-delta")`. */
+  /** Tail a Delta table: `spark.readStream.format("graft-delta")`.
+    * `maxVersionsPerBatch` bounds how many commits one micro-batch may
+    * admit (admission control — see [[LakeSourceBase]]). */
   def delta(spark: SparkSession, table: String,
-      ignoreChanges: Boolean = false): DataFrame =
-    spark.readStream.format(classOf[DeltaStreamSourceProvider].getName)
+      ignoreChanges: Boolean = false,
+      maxVersionsPerBatch: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.format(classOf[DeltaStreamSourceProvider].getName)
       .option("ignoreChanges", ignoreChanges.toString)
-      .load(table)
+    maxVersionsPerBatch.foreach(m => r.option("maxVersionsPerBatch", m.toString))
+    r.load(table)
+  }
 
   /** Tail an Iceberg table: `spark.readStream.format("graft-iceberg")`. */
   def iceberg(spark: SparkSession, table: String,
-      ignoreChanges: Boolean = false): DataFrame =
-    spark.readStream.format(classOf[IcebergStreamSourceProvider].getName)
+      ignoreChanges: Boolean = false,
+      maxVersionsPerBatch: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.format(classOf[IcebergStreamSourceProvider].getName)
       .option("ignoreChanges", ignoreChanges.toString)
-      .load(table)
+    maxVersionsPerBatch.foreach(m => r.option("maxVersionsPerBatch", m.toString))
+    r.load(table)
+  }
 
   /** Tail a Delta table as a CHANGELOG stream: every micro-batch carries
     * the table's columns plus `_change_type` ('insert' | 'delete') from
@@ -89,6 +97,14 @@ object LakeSources {
   private[streaming] def changelog(parameters: Map[String, String]): Boolean =
     parameters.get("changelog").exists(_.equalsIgnoreCase("true"))
 
+  private[streaming] def maxVersions(parameters: Map[String, String]): Option[Int] =
+    parameters.get("maxversionsperbatch").orElse(parameters.get("maxVersionsPerBatch"))
+      .map { v =>
+        val n = v.toInt
+        require(n > 0, s"maxVersionsPerBatch must be > 0, got $n")
+        n
+      }
+
   private[streaming] val ChangeTypeField =
     StructField("_change_type", org.apache.spark.sql.types.StringType)
 }
@@ -98,20 +114,75 @@ object LakeSources {
   * admission-control `latestOffset`, and [[SupportsTriggerAvailableNow]]
   * pins the poll at trigger start so `Trigger.AvailableNow` drains exactly
   * the commits that existed when the trigger fired (without this the
-  * engine falls back to single-batch execution with a warning). */
+  * engine falls back to single-batch execution with a warning).
+  *
+  * ADMISSION CONTROL (`maxVersionsPerBatch`): a stream restarting far
+  * behind the table head would otherwise plan ONE batch over the whole
+  * backlog — at 100 TB that is a week of commits in a single shuffle,
+  * exactly the state-blowup stock sources bound with maxFilesPerTrigger.
+  * With a cap, each planned batch admits at most n commits past the last
+  * planned end; the engine keeps planning batches until the head (or the
+  * AvailableNow pin) is reached. The v1 `getOffset` carries no start, so
+  * the source persists its last PLANNED end in its engine-assigned
+  * `metadataPath` (that dir exists precisely for source-private state) —
+  * the cap survives restarts. The file is best-effort: a torn/missing read
+  * degrades to one uncapped batch (deliver, never stall), and because the
+  * recorded end is at most one cap ahead of the checkpointed start, a
+  * crash between planning and commit bounds the catch-up batch at 2×cap.
+  * Batch 0's snapshot seed is one scan of the live files and is not
+  * version-cappable (it has no version range); it is planned uncapped. */
 private[streaming] trait LakeSourceBase extends Source with SupportsTriggerAvailableNow {
+  protected def spark: SparkSession
+  protected def metadataPath: String
+  protected def maxPerBatch: Option[Int]
   /** Newest committed offset value, or None before the first commit. */
   protected def latestAvailable(): Option[Long]
+  /** Offset at most `n` commits after `from` in commit order, clamped to
+    * `to` (format-specific: version arithmetic vs snapshot lineage). */
+  protected def advance(from: Long, n: Int, to: Long): Long
+  /** The batch over (start, end] — start None = initial snapshot seed. */
+  protected def buildBatch(start: Option[Long], end: Long): DataFrame
 
   @volatile private var pinned: Option[Long] = None
+  @volatile private var lastPlannedEnd: Option[Long] = None
+
+  private lazy val posFile = new org.apache.hadoop.fs.Path(metadataPath, "graft-last-end")
+  private lazy val posFs = posFile.getFileSystem(spark.sessionState.newHadoopConf())
+  private def readPos(): Option[Long] =
+    try {
+      if (metadataPath.isEmpty || !posFs.exists(posFile)) None
+      else { val in = posFs.open(posFile); try Some(in.readLong()) finally in.close() }
+    } catch { case _: Throwable => None }
+  private def writePos(v: Long): Unit =
+    if (metadataPath.nonEmpty)
+      try { val out = posFs.create(posFile, true); try out.writeLong(v) finally out.close() }
+      catch { case _: Throwable => () } // best-effort; cap degrades, stream lives
+
+  private def cappedEnd(latest: Long, start: Option[Long]): Long =
+    (maxPerBatch, start.orElse(lastPlannedEnd).orElse(readPos())) match {
+      case (Some(n), Some(from)) => advance(from, n, latest)
+      case _ => latest // uncapped, or batch 0's snapshot seed
+    }
 
   override def prepareForTriggerAvailableNow(): Unit = pinned = latestAvailable()
 
   override def getOffset: Option[V1Offset] =
-    latestAvailable().map(StreamingShims.longOffset)
+    latestAvailable().map(l => StreamingShims.longOffset(cappedEnd(l, None)))
 
-  override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset =
-    pinned.orElse(latestAvailable()).map(StreamingShims.longOffset).orNull
+  override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
+    val s = Option(start).collect { case o: V1Offset => StreamingShims.offsetValue(o) }
+    pinned.orElse(latestAvailable())
+      .map(l => StreamingShims.longOffset(cappedEnd(l, s))).orNull
+  }
+
+  final override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val endV = StreamingShims.offsetValue(end)
+    if (maxPerBatch.isDefined && !lastPlannedEnd.contains(endV)) {
+      lastPlannedEnd = Some(endV)
+      writePos(endV)
+    }
+    StreamingShims.asStreamingBatch(buildBatch(start.map(StreamingShims.offsetValue), endV))
+  }
 
   override def stop(): Unit = ()
 }
@@ -132,14 +203,17 @@ class DeltaStreamSourceProvider extends StreamSourceProvider with DataSourceRegi
       parameters: Map[String, String]): Source =
     new DeltaStreamSource(sqlContext.sparkSession,
       LakeSources.path(parameters), LakeSources.ignore(parameters),
-      LakeSources.changelog(parameters))
+      LakeSources.changelog(parameters), metadataPath,
+      LakeSources.maxVersions(parameters))
 }
 
 /** v1 Source tailing a Delta table; offset = log version. In `changelog`
   * mode batches are [[DeltaRead.changesBetween]] rows (+ `_change_type`),
   * so any commit mix streams through. */
-class DeltaStreamSource(spark: SparkSession, table: String,
-    ignoreChanges: Boolean, changelog: Boolean = false) extends LakeSourceBase {
+class DeltaStreamSource(protected val spark: SparkSession, table: String,
+    ignoreChanges: Boolean, changelog: Boolean = false,
+    protected val metadataPath: String = "",
+    protected val maxPerBatch: Option[Int] = None) extends LakeSourceBase {
 
   override val schema: StructType = {
     val base = DeltaRead.snapshot(spark, table).schema
@@ -150,22 +224,24 @@ class DeltaStreamSource(spark: SparkSession, table: String,
   override protected def latestAvailable(): Option[Long] =
     scala.util.Try(DeltaRead.snapshotInfo(spark, table).version).toOption
 
-  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+  // Delta versions are consecutive longs: plain arithmetic.
+  override protected def advance(from: Long, n: Int, to: Long): Long =
+    math.min(from + n, to)
+
+  override protected def buildBatch(start: Option[Long], end: Long): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val endV = StreamingShims.offsetValue(end)
-    val df = start.map(StreamingShims.offsetValue) match {
+    start match {
       case None if changelog =>
-        DeltaRead.snapshot(spark, table, endV).withColumn("_change_type", lit("insert"))
-      case None => DeltaRead.snapshot(spark, table, endV)
-      case Some(startV) if startV == endV =>
+        DeltaRead.snapshot(spark, table, end).withColumn("_change_type", lit("insert"))
+      case None => DeltaRead.snapshot(spark, table, end)
+      case Some(startV) if startV == end =>
         spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           schema)
       case Some(startV) if changelog =>
-        DeltaRead.changesBetween(spark, table, startV, endV)
+        DeltaRead.changesBetween(spark, table, startV, end)
       case Some(startV) =>
-        DeltaRead.addsBetween(spark, table, startV, endV, ignoreChanges)
+        DeltaRead.addsBetween(spark, table, startV, end, ignoreChanges)
     }
-    StreamingShims.asStreamingBatch(df)
   }
 }
 
@@ -185,15 +261,18 @@ class IcebergStreamSourceProvider extends StreamSourceProvider with DataSourceRe
       parameters: Map[String, String]): Source =
     new IcebergStreamSource(sqlContext.sparkSession,
       LakeSources.path(parameters), LakeSources.ignore(parameters),
-      LakeSources.changelog(parameters))
+      LakeSources.changelog(parameters), metadataPath,
+      LakeSources.maxVersions(parameters))
 }
 
 /** v1 Source tailing an Iceberg table; offset = snapshot id (stable across
   * snapshot expiration, unlike a log index — the engine only compares
   * offsets for equality, and [[IcebergRead.addsBetween]] resolves the
   * (from, to] range against the table's commit lineage). */
-class IcebergStreamSource(spark: SparkSession, table: String,
-    ignoreChanges: Boolean, changelog: Boolean = false) extends LakeSourceBase {
+class IcebergStreamSource(protected val spark: SparkSession, table: String,
+    ignoreChanges: Boolean, changelog: Boolean = false,
+    protected val metadataPath: String = "",
+    protected val maxPerBatch: Option[Int] = None) extends LakeSourceBase {
 
   override val schema: StructType = {
     val base = IcebergRead.snapshot(spark, table).schema
@@ -204,21 +283,23 @@ class IcebergStreamSource(spark: SparkSession, table: String,
     scala.util.Try(IcebergRead.currentSnapshotId(spark, table)).toOption
       .filter(_ >= 0)
 
-  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+  // Snapshot ids are not ordered — resolve "n commits later" in lineage.
+  override protected def advance(from: Long, n: Int, to: Long): Long =
+    IcebergRead.advanceSnapshot(spark, table, from, n, to)
+
+  override protected def buildBatch(start: Option[Long], end: Long): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val endId = StreamingShims.offsetValue(end)
-    val df = start.map(StreamingShims.offsetValue) match {
+    start match {
       case None if changelog =>
-        IcebergRead.snapshot(spark, table, endId).withColumn("_change_type", lit("insert"))
-      case None => IcebergRead.snapshot(spark, table, endId)
-      case Some(startId) if startId == endId =>
+        IcebergRead.snapshot(spark, table, end).withColumn("_change_type", lit("insert"))
+      case None => IcebergRead.snapshot(spark, table, end)
+      case Some(startId) if startId == end =>
         spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           schema)
       case Some(startId) if changelog =>
-        IcebergRead.changesBetween(spark, table, startId, endId)
+        IcebergRead.changesBetween(spark, table, startId, end)
       case Some(startId) =>
-        IcebergRead.addsBetween(spark, table, startId, endId, ignoreChanges)
+        IcebergRead.addsBetween(spark, table, startId, end, ignoreChanges)
     }
-    StreamingShims.asStreamingBatch(df)
   }
 }

@@ -92,6 +92,59 @@ class LakeSourceSpec extends SparkSpec {
     assert(drain(LakeSources.iceberg(spark, table), ckpt, "lakesrc_i3") === Seq.empty)
   }
 
+  test("maxVersionsPerBatch bounds catch-up batches; all rows arrive exactly once") {
+    val table = tmp("lakesrc_cap") + "/tbl"
+    val ckpt = tmp("lakesrc_cap_ckpt")
+    DeltaWrite.append(spark, Seq((0L, 1L)).toDF("id", "v"), table)
+    assert(drain(LakeSources.delta(spark, table, maxVersionsPerBatch = Some(2)),
+      ckpt, "lakesrc_c1") === Seq((0L, 1L)))
+
+    // five commits while the stream is down — an uncapped restart would
+    // plan ONE batch over the whole backlog; cap 2 needs ≥ 3
+    (1 to 5).foreach(i =>
+      DeltaWrite.append(spark, Seq((i.toLong, i * 10L)).toDF("id", "v"), table))
+    val q = LakeSources.delta(spark, table, maxVersionsPerBatch = Some(2))
+      .groupBy(col("id")).agg(sum(col("v")).as("sv"))
+      .writeStream.outputMode("complete").format("memory").queryName("lakesrc_c2")
+      .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("lakesrc_c2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(rows === (0 to 5).map(i => (i.toLong, if (i == 0) 1L else i * 10L)))
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+  }
+
+  test("iceberg cap advances by snapshot LINEAGE, not id arithmetic") {
+    val table = tmp("lakesrc_icap") + "/tbl"
+    val ckpt = tmp("lakesrc_icap_ckpt")
+    IcebergWrite.append(spark, Seq((0L, 1L)).toDF("id", "v"), table)
+    assert(drain(LakeSources.iceberg(spark, table, maxVersionsPerBatch = Some(1)),
+      ckpt, "lakesrc_ic1") === Seq((0L, 1L)))
+    (1 to 3).foreach(i =>
+      IcebergWrite.append(spark, Seq((i.toLong, i * 10L)).toDF("id", "v"), table))
+    val q = LakeSources.iceberg(spark, table, maxVersionsPerBatch = Some(1))
+      .groupBy(col("id")).agg(sum(col("v")).as("sv"))
+      .writeStream.outputMode("complete").format("memory").queryName("lakesrc_ic2")
+      .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("lakesrc_ic2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(rows === (0 to 3).map(i => (i.toLong, if (i == 0) 1L else i * 10L)))
+    // cap 1 → one commit per batch → exactly 3 data batches
+    assert(q.recentProgress.count(_.numInputRows > 0) === 3)
+
+    // advanceSnapshot: clamps at the head, degrades to `to` off-lineage
+    // history emits rows in commit (lineage) order; `version` is the id
+    val ids = graft.sources.IcebergRead.history(spark, table)
+      .select(col("version")).collect().map(_.getLong(0))
+    assert(graft.sources.IcebergRead.advanceSnapshot(spark, table, ids(0), 2, ids.last)
+      === ids(2))
+    assert(graft.sources.IcebergRead.advanceSnapshot(spark, table, ids(0), 99, ids.last)
+      === ids.last)
+    assert(graft.sources.IcebergRead.advanceSnapshot(spark, table, -42L, 1, ids.last)
+      === ids.last)
+  }
+
   test("changelog stream maintains a cross-format downstream MV through deletes") {
     import graft.sources.{DeltaWrite, IcebergRead, Lake}
     val base = tmp("lakesrc_cdc")
