@@ -418,6 +418,59 @@ object DeltaRead {
     rows.toDF("version", "timestamp_ms", "operation", "added_files", "removed_files")
   }
 
+  /** SCHEMA history: one row per column-level change across the table's
+    * lifetime — `create` rows for the initial schema, then
+    * `add_column` / `drop_column` / `retype` diffs at every version whose
+    * commit carries a metaData action with a changed schema. Name-keyed
+    * (the Delta log identifies columns by name at protocol v1; a rename
+    * surfaces as drop+add — Iceberg's field-id twin distinguishes them).
+    * O(log files) driver metadata; no data touched. */
+  def schemaHistory(spark: SparkSession, table: String): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(logPath(table))
+    val hfs = fs(spark, dir)
+    require(hfs.exists(dir), s"not a Delta table (no _delta_log): $table")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val versions = hfs.listStatus(dir).toSeq.collect {
+      case st if st.getPath.getName.length == 25 && st.getPath.getName.endsWith(".json") &&
+        st.getPath.getName.take(20).forall(_.isDigit) =>
+        (st.getPath.getName.take(20).toLong, st.getPath)
+    }.sortBy(_._1)
+    var prev: Option[Seq[(String, String)]] = None
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, String)]
+    versions.foreach { case (v, p) =>
+      var schemaStr: Option[String] = None
+      val in = hfs.open(p)
+      try {
+        val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+        var line = reader.readLine()
+        while (line != null) {
+          if (line.trim.nonEmpty) {
+            val n = om.readTree(line)
+            if (n.has("metaData")) schemaStr = Some(n.path("metaData").path("schemaString").asText())
+          }
+          line = reader.readLine()
+        }
+      } finally in.close()
+      schemaStr.foreach { s =>
+        val cols = DataType.fromJson(s).asInstanceOf[StructType]
+          .fields.toSeq.map(f => f.name -> f.dataType.simpleString)
+        prev match {
+          case None =>
+            cols.foreach { case (n, t) => out += ((v, "create", n, null, t)) }
+          case Some(old) =>
+            val (om2, nm) = (old.toMap, cols.toMap)
+            cols.collect { case (n, t) if !om2.contains(n) => out += ((v, "add_column", n, null, t)) }
+            old.collect { case (n, t) if !nm.contains(n) => out += ((v, "drop_column", n, t, null)) }
+            cols.collect { case (n, t) if om2.get(n).exists(_ != t) =>
+              out += ((v, "retype", n, om2(n), t)) }
+        }
+        prev = Some(cols)
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("version", "change", "column", "old_type", "new_type")
+  }
+
   /** Per-file column statistics of a snapshot, decoded from the add
     * actions' `stats` JSON (the Delta protocol's data-skipping stats:
     * numRecords / minValues / maxValues / nullCount): one row per live

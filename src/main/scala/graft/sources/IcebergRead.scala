@@ -347,6 +347,59 @@ object IcebergRead {
     rows.toDF("version", "timestamp_ms", "operation", "added_files", "removed_files")
   }
 
+  /** SCHEMA history: one row per column-level change across the snapshot
+    * lineage — `create` rows for the first snapshot's schema, then diffs
+    * at every snapshot whose recorded schema-id changed. Keyed by the
+    * spec's FIELD IDS, so a rename is reported as `rename_column` (same
+    * id, new name) — distinguishable from drop+add, which name-keyed
+    * formats cannot tell apart. `version` is the snapshot id (as in
+    * [[history]]). v1 metadata with a single inline schema yields just the
+    * `create` rows. O(metadata) driver work; no data touched. */
+  def schemaHistory(spark: SparkSession, table: String): DataFrame = {
+    val meta = mapper.readTree(metadataFile(table))
+    // fields as (id, name, typeText); nested types stringified compactly
+    def fields(schema: com.fasterxml.jackson.databind.JsonNode): Seq[(Int, String, String)] =
+      schema.path("fields").elements().asScala.toSeq.map { f =>
+        val t = f.path("type")
+        (f.path("id").asInt(-1), f.path("name").asText(),
+          if (t.isTextual) t.asText() else t.toString)
+      }
+    val byId = meta.path("snapshots").elements().asScala
+      .map(s => s.path("snapshot-id").asLong(-1L) -> s).toMap
+    val schemasById: Map[Int, Seq[(Int, String, String)]] =
+      if (meta.has("schemas"))
+        meta.path("schemas").elements().asScala
+          .map(s => s.path("schema-id").asInt(0) -> fields(s)).toMap
+      else Map(0 -> fields(meta.path("schema")))
+    val currentId = meta.path("current-schema-id").asInt(0)
+    var prev: Option[Seq[(Int, String, String)]] = None
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, String)]
+    commitOrder(meta).flatMap(id => byId.get(id).map(id -> _)).foreach { case (id, snap) =>
+      val sid = if (snap.has("schema-id")) snap.path("schema-id").asInt(currentId) else currentId
+      schemasById.get(sid).foreach { cols =>
+        prev match {
+          case None =>
+            cols.foreach { case (_, n, t) => out += ((id, "create", n, null, t)) }
+          case Some(old) if old != cols =>
+            val (oldById, newById) = (old.map(c => c._1 -> c).toMap, cols.map(c => c._1 -> c).toMap)
+            cols.collect { case (fid, n, t) if !oldById.contains(fid) =>
+              out += ((id, "add_column", n, null, t)) }
+            old.collect { case (fid, n, t) if !newById.contains(fid) =>
+              out += ((id, "drop_column", n, t, null)) }
+            cols.collect { case (fid, n, t) if oldById.contains(fid) =>
+              val (_, on, ot) = oldById(fid)
+              if (on != n) out += ((id, "rename_column", s"$on -> $n", ot, t))
+              else if (ot != t) out += ((id, "retype", n, ot, t))
+            }
+          case _ => () // unchanged schema
+        }
+        prev = Some(cols)
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("version", "change", "column", "old_type", "new_type")
+  }
+
   /** The schema node governing `snap` (v2 `schemas` chain honoring the
     * snapshot's recorded schema-id; v1 inline `schema`) — shared by the
     * plan builder and the metadata-only stats reader. */

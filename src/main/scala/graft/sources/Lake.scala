@@ -85,6 +85,20 @@ object Lake {
         s"plain parquet at $path has no commit history")
     }
 
+  /** SCHEMA-HISTORY dispatch: one row per column-level change in commit
+    * order — (version, change, column, old_type, new_type), change ∈
+    * create | add_column | drop_column | retype | rename_column (renames
+    * only on Iceberg, whose field ids make them distinguishable from
+    * drop+add). The drift canary for downstream consumers of a shared
+    * table. Plain parquet has no schema lineage — refused. */
+  def schemaHistory(spark: SparkSession, path: String): DataFrame =
+    detect(spark, path) match {
+      case Delta => DeltaRead.schemaHistory(spark, path)
+      case Iceberg => IcebergRead.schemaHistory(spark, path)
+      case Parquet => throw new IllegalArgumentException(
+        s"plain parquet at $path has no schema history")
+    }
+
   /** Per-file STATS dispatch ([[DeltaRead.fileStats]] /
     * [[IcebergRead.fileStats]]): one row per live file with decoded
     * min/max/null-count columns — the observability face of
@@ -203,6 +217,12 @@ object Lake {
     Bridge.registerTableFunction(spark, "lake_history", { args =>
       require(args.length == 1, "lake_history(path)")
       Bridge.logicalPlan(history(spark, str(args.head, "lake_history: path")))
+    })
+    // SELECT * FROM lake_schema_history('/path'): column-level schema
+    // changes in commit order (create/add/drop/retype/rename)
+    Bridge.registerTableFunction(spark, "lake_schema_history", { args =>
+      require(args.length == 1, "lake_schema_history(path)")
+      Bridge.logicalPlan(schemaHistory(spark, str(args.head, "lake_schema_history: path")))
     })
     // SELECT * FROM lake_file_stats('/path'[, version]): decoded per-file
     // min/max/null-count stats — what scanPruned prunes against

@@ -212,6 +212,59 @@ class LakeSourceSpec extends SparkSpec {
     assert(stats.getLong(0) === 1L && stats.getLong(1) === 3L)
   }
 
+  test("schema history reports create/add_column across formats (API + SQL)") {
+    val dt = tmp("lakesh_delta") + "/tbl"
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "name"), dt)
+    DeltaWrite.append(spark,
+      Seq((2L, "b", 1.5)).toDF("id", "name", "score"), dt, mergeSchema = true)
+    val dh = graft.sources.Lake.schemaHistory(spark, dt).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
+    assert(dh.toSeq === Seq(
+      (0L, "create", "id", null, "bigint"),
+      (0L, "create", "name", null, "string"),
+      (1L, "add_column", "score", null, "double")))
+
+    val it = tmp("lakesh_ice") + "/tbl"
+    IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "name"), it)
+    IcebergWrite.append(spark,
+      Seq((2L, "b", 1.5)).toDF("id", "name", "score"), it, mergeSchema = true)
+    val ih = graft.sources.Lake.schemaHistory(spark, it).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(ih.toSeq === Seq(
+      ("create", "id"), ("create", "name"), ("add_column", "score")))
+
+    graft.sources.Lake.registerSqlSurface(spark)
+    assert(spark.sql(s"SELECT count(*) AS c FROM lake_schema_history('$dt')")
+      .collect().head.getLong(0) === 3L)
+  }
+
+  test("iceberg schema history detects renames by field id") {
+    val dir = tmp("lakesh_ren") + "/tbl"
+    new java.io.File(dir + "/metadata").mkdirs()
+    // hand-built v2 metadata: field 2 renamed nm -> name between schemas
+    val meta = s"""{"format-version":2,"table-uuid":"u","location":"$dir","last-column-id":2,
+      "current-schema-id":1,
+      "schemas":[
+        {"schema-id":0,"type":"struct","fields":[
+          {"id":1,"name":"id","required":false,"type":"long"},
+          {"id":2,"name":"nm","required":false,"type":"string"}]},
+        {"schema-id":1,"type":"struct","fields":[
+          {"id":1,"name":"id","required":false,"type":"long"},
+          {"id":2,"name":"name","required":false,"type":"string"}]}],
+      "current-snapshot-id":11,
+      "snapshots":[
+        {"snapshot-id":10,"timestamp-ms":1,"schema-id":0,"summary":{"operation":"append"}},
+        {"snapshot-id":11,"parent-snapshot-id":10,"timestamp-ms":2,"schema-id":1,"summary":{"operation":"append"}}],
+      "snapshot-log":[{"snapshot-id":10,"timestamp-ms":1},{"snapshot-id":11,"timestamp-ms":2}]}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "metadata", "v1.metadata.json"), meta)
+    val h = graft.sources.IcebergRead.schemaHistory(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(h.toSeq === Seq(
+      (10L, "create", "id"), (10L, "create", "nm"),
+      (11L, "rename_column", "nm -> name")))
+  }
+
   test("Lake.maintain: compaction + checkpoint cadence + retention in one call") {
     import graft.sources.{DeltaRead, DeltaWrite, IcebergWrite, Lake}
     val del = tmp("lakesrc_maint_d") + "/tbl"
