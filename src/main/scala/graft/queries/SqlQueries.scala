@@ -21,6 +21,26 @@ object SqlQueries {
   def sql(name: String): String = texts(name)
 
   val texts: Map[String, String] = Map(
+    "l31_chunking" -> """SELECT doc_id, chunk_idx,
+        size(split(chunk_text, ' ')) AS n_toks, md5(chunk_text) AS chunk_md5
+      FROM documents
+      LATERAL VIEW posexplode(transform(
+        sequence(0, greatest(CAST(ceil((size(split(text, ' ')) - 32) / 24.0) AS INT), 0)),
+        i -> concat_ws(' ', slice(split(text, ' '), i * 24 + 1, 32)))) c AS chunk_idx, chunk_text
+      ORDER BY doc_id, chunk_idx""",
+    "t51_drift" -> """WITH b AS (SELECT CAST(least(greatest(floor(value / 50.0), 0), 9) AS INT) AS bucket,
+          (ts < TIMESTAMP '2024-01-15 00:00:00') AS is_ref FROM events),
+      c AS (SELECT bucket,
+          sum(CASE WHEN is_ref THEN 1L ELSE 0L END) AS cnt_ref,
+          sum(CASE WHEN NOT is_ref THEN 1L ELSE 0L END) AS cnt_cur
+        FROM b GROUP BY bucket),
+      f AS (SELECT bucket, cnt_ref, cnt_cur,
+          greatest(CAST(cnt_ref AS DOUBLE) / CAST(sum(cnt_ref) OVER () AS DOUBLE), 1e-6) AS p_ref,
+          greatest(CAST(cnt_cur AS DOUBLE) / CAST(sum(cnt_cur) OVER () AS DOUBLE), 1e-6) AS p_cur
+        FROM c)
+      SELECT bucket, cnt_ref, cnt_cur,
+        CAST(round((p_ref - p_cur) * ln(p_ref / p_cur) * 1000000.0) AS BIGINT) AS psi_micro
+      FROM f ORDER BY bucket""",
     "b1_pricing" -> """SELECT l_returnflag, l_linestatus,
       round(sum(l_quantity), 2) AS sum_qty,
       round(sum(l_extendedprice), 2) AS sum_base_price,
