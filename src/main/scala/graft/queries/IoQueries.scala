@@ -795,9 +795,46 @@ object IoQueries {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** S8c/S9c SHALLOW CLONE: build a Delta table from events (then DV-delete
+    * errors), zero-copy clone it, append clicks ONLY to the clone, and
+    * aggregate the CLONE — proving the clone carries the source's live
+    * state (incl. the deletion vector), takes independent writes, and the
+    * source's own aggregate is untouched (checked via union with the
+    * source's re-aggregation). Oracle recomputes both scopes from events. */
+  val tlakeClone = GQuery(
+    "t_lake_clone",
+    (s, dir) => {
+      val src = tmp("graft_clone_q_src") + "/tbl"
+      val dst = tmp("graft_clone_q_dst") + "/tbl"
+      val ev = Tables(s, dir, "events").select(col("event_id"), col("value"), col("event_type"))
+      graft.sources.DeltaWrite.append(s, ev.where(col("event_type").isin("click", "view", "error")), src)
+      graft.sources.DeltaWrite.deleteWhere(s, src, col("event_type") === "error")
+      graft.sources.Lake.clone(s, src, dst)
+      graft.sources.DeltaWrite.append(s,
+        ev.where(col("event_type") === "purchase"), dst)
+      def agg(table: String, scope: String) =
+        graft.sources.DeltaRead.snapshot(s, table)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+          .withColumn("scope", lit(scope))
+      agg(dst, "clone").unionByName(agg(src, "source"))
+        .select(col("scope"), col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy(col("scope"), col("event_type"))
+    },
+    Some("""WITH base AS (SELECT event_type, value FROM events
+        WHERE event_type IN ('click', 'view')),
+      clone AS (SELECT event_type, value FROM base
+        UNION ALL SELECT event_type, value FROM events WHERE event_type = 'purchase')
+      SELECT 'clone' AS scope, event_type, count(*) AS cnt,
+        round(sum(value), 2) AS sum_value FROM clone GROUP BY event_type
+      UNION ALL
+      SELECT 'source', event_type, count(*), round(sum(value), 2)
+      FROM base GROUP BY event_type
+      ORDER BY scope, event_type"""))
+
   def all: Seq[GQuery] =
     Seq(t1, t1orc, t2, t3, tskip, tbloom, ticebergStats, tdeltaStats, tdelta, ticeberg,
       tdeltaRt, ticebergRt, ticebergMor,
       tdeltaDv, tdeltaUpsert, ticebergPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
-      ticebergChanges, tdeltaCdc, tlakeCompact, tcdcApply, tlakeSync)
+      ticebergChanges, tdeltaCdc, tlakeCompact, tcdcApply, tlakeSync, tlakeClone)
 }

@@ -393,6 +393,63 @@ object DeltaWrite {
     * foreign files are left alone. Returns the deleted paths. Metadata
     * only: the referenced set is O(files × retained versions) from log
     * replay — no data is read. */
+  /** SHALLOW CLONE (zero-copy): create a NEW Delta table at `target`
+    * whose version-0 commit references the SOURCE snapshot's live data
+    * files by ABSOLUTE path — no data is copied or moved. The standard
+    * dev/test snapshotting primitive: cloning a 100 TB table is one
+    * O(files) driver-side commit. The clone is independently writable —
+    * later commits stage new files under the clone's own root, removes of
+    * cloned files just drop the reference, and vacuum only ever walks the
+    * CLONE's directory, so source data is never touched (the time-travel
+    * floor of the clone is its own version 0). DV-bearing files carry
+    * their deletion vectors: on-disk DV blobs are referenced by
+    * absolute-path ('p') descriptors, inline ('i') ones travel in the
+    * action. Stats and partition values carry verbatim. Column-mapped
+    * sources are refused (their physical-name metadata is not carried).
+    * Source vacuum is the one shared-fate hazard, as in every shallow
+    * clone design: reclaiming source files a clone still references
+    * breaks the clone, not the source. */
+  def cloneShallow(spark: SparkSession, source: String, target: String,
+      version: Long = -1L): Long = {
+    val snap = DeltaRead.snapshotInfo(spark, source, version)
+    require(snap.columnMappingMode == "none",
+      "shallow clone of a column-mapped table is not supported")
+    require(currentVersions(target).isEmpty, s"clone target already exists: $target")
+    val proto =
+      if (snap.files.exists(_.dv.isDefined))
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+      else protocolAction
+    val adds = snap.files.map { f =>
+      val pv = f.partitionValues.map { case (k, v) =>
+        s"${jsonStr(k)}:${if (v == null) "null" else jsonStr(v)}"
+      }.mkString("{", ",", "}")
+      val st = f.stats.map(s => s""","stats":${jsonStr(s)}""").getOrElse("")
+      val dv = f.dv.map { d =>
+        val abs = d.storageType match {
+          case "i" => d // inline blob travels inside the action
+          case _ => d.copy(storageType = "p",
+            pathOrInlineDv =
+              DeletionVectors.filePath(source, d).get.toAbsolutePath.toString,
+            offset = d.offset)
+        }
+        val off = abs.offset.map(o => s""""offset":$o,""").getOrElse("")
+        s""","deletionVector":{"storageType":${jsonStr(abs.storageType)},""" +
+          s""""pathOrInlineDv":${jsonStr(abs.pathOrInlineDv)},$off""" +
+          s""""sizeInBytes":${abs.sizeInBytes},"cardinality":${abs.cardinality}}"""
+      }.getOrElse("")
+      s"""{"add":{"path":${jsonStr(pctEncodePath(f.path))},"partitionValues":$pv,""" +
+        s""""size":${f.size},"modificationTime":${f.modificationTime},""" +
+        s""""dataChange":true$st$dv}}"""
+    }
+    val content = (Seq(proto,
+      metaAction(snap.schema, snap.partitionColumns, newTableId(), snap.configuration)) ++
+      adds).mkString("", "\n", "\n")
+    Files.createDirectories(logDir(target))
+    require(tryCommitAt(target, 0L, content), s"concurrent writer created $target")
+    0L
+  }
+
   def vacuum(spark: SparkSession, table: String, retainLastVersions: Int = 1,
       minFileAgeMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val versions = currentVersions(table)

@@ -48,7 +48,7 @@ object IcebergRead {
 
   /** Latest metadata JSON: `version-hint.text` if present, else the
     * highest-numbered `*.metadata.json` in `metadata/`. */
-  private def metadataFile(table: String): java.io.File = {
+  private[sources] def metadataFile(table: String): java.io.File = {
     val dir = new java.io.File(s"${table.stripSuffix("/")}/metadata")
     require(dir.isDirectory, s"not an Iceberg table (no metadata dir): $table")
     val hint = new java.io.File(dir, "version-hint.text")

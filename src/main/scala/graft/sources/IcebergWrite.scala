@@ -844,6 +844,65 @@ object IcebergWrite {
     * be live in an older retained one, so only full absence makes a file
     * reclaimable. Foreign files under the table root are left alone.
     * Metadata-only: O(manifests) driver reads, no data scanned. */
+  /** SHALLOW CLONE (zero-copy): create a NEW Iceberg table at `target`
+    * whose single snapshot is the SOURCE's chosen snapshot VERBATIM — the
+    * manifest-list, manifests, data and delete files are all referenced by
+    * their absolute source paths (Iceberg metadata carries full paths by
+    * spec, so nothing needs rewriting below the snapshot level). O(1)
+    * driver metadata write; no data or manifests copied. The clone is
+    * independently writable: later commits carry the cloned manifests and
+    * add their own under the clone's root; `expireSnapshots` on the clone
+    * derives its referenced set from the clone's own lineage, whose floor
+    * is the cloned snapshot. The schema/spec chains carry verbatim, so
+    * schema-ids recorded in cloned manifests still resolve. The metadata
+    * version number is seeded at the cloned snapshot id (sequential-id
+    * tables — ours — can then append with no id collision); external
+    * tables with non-sequential ids seed at 1 and the vanishingly-unlikely
+    * id collision is rejected by the commit's create-link. Source
+    * expiration is the one shared-fate hazard, as in every shallow-clone
+    * design. */
+  def cloneShallow(spark: SparkSession, source: String, target: String,
+      snapshotId: Long = -1L): Long = {
+    val src = mapper.readTree(IcebergRead.metadataFile(source))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val cur =
+      if (snapshotId >= 0) snapshotId else src.path("current-snapshot-id").asLong(-1L)
+    require(cur >= 0, s"source has no snapshot to clone: $source")
+    val keep = src.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong(-1L) == cur)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $cur not found in $source"))
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    // absolutize a relative manifest-list against the source root; the
+    // clone's lineage starts here, so parent linkage is dropped
+    val ml = keep.path("manifest-list").asText()
+    if (!(ml.contains("://") || ml.startsWith("/")))
+      keep.put("manifest-list", s"${source.stripSuffix("/")}/$ml")
+    keep.remove("parent-snapshot-id")
+    src.put("location", target.stripSuffix("/"))
+    src.put("table-uuid", java.util.UUID.randomUUID().toString)
+    src.put("current-snapshot-id", cur)
+    val snaps = mapper.createArrayNode(); snaps.add(keep)
+    src.set[com.fasterxml.jackson.databind.JsonNode]("snapshots", snaps)
+    val logEntry = mapper.createObjectNode()
+    logEntry.put("snapshot-id", cur)
+    logEntry.put("timestamp-ms", keep.path("timestamp-ms").asLong(0L))
+    val log = mapper.createArrayNode(); log.add(logEntry)
+    src.set[com.fasterxml.jackson.databind.JsonNode]("snapshot-log", log)
+    src.set[com.fasterxml.jackson.databind.JsonNode]("metadata-log", mapper.createArrayNode())
+    val version = if (cur >= 1 && cur <= 1000000L) cur.toInt else 1
+    val dir = metaDir(target)
+    require(currentVersion(target) == 0, s"clone target already exists: $target")
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, "meta", ".tmp")
+    try {
+      Files.writeString(tmp, mapper.writeValueAsString(src))
+      Files.createLink(dir.resolve(s"v$version.metadata.json"), tmp)
+    } finally Files.delete(tmp)
+    Files.writeString(dir.resolve("version-hint.text"), version.toString)
+    cur
+  }
+
   def expireSnapshots(spark: SparkSession, table: String,
       retainLast: Int = 1, minFileAgeMs: Long = 24L * 3600 * 1000): Seq[String] = {
     while (true) {

@@ -85,6 +85,22 @@ object Lake {
         s"plain parquet at $path has no commit history")
     }
 
+  /** SHALLOW-CLONE dispatch: zero-copy snapshot of a lake table into a
+    * NEW independently-writable table at `target` — the source's live
+    * files referenced by absolute path, nothing copied ([[DeltaWrite
+    * .cloneShallow]] / [[IcebergWrite.cloneShallow]]). `version` is a
+    * Delta log version or an Iceberg snapshot id (-1 = current). Returns
+    * the clone's first version/snapshot id. Plain parquet has no log to
+    * reference — refused (copy it, or ingest it into a lake format). */
+  def clone(spark: SparkSession, source: String, target: String,
+      version: Long = -1L): Long =
+    detect(spark, source) match {
+      case Delta => DeltaWrite.cloneShallow(spark, source, target, version)
+      case Iceberg => IcebergWrite.cloneShallow(spark, source, target, version)
+      case Parquet => throw new IllegalArgumentException(
+        s"plain parquet at $source cannot be shallow-cloned (no log)")
+    }
+
   /** SCHEMA-HISTORY dispatch: one row per column-level change in commit
     * order — (version, change, column, old_type, new_type), change ∈
     * create | add_column | drop_column | retype | rename_column (renames

@@ -1,0 +1,108 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Shallow clone (Lake.clone): zero-copy snapshot into a new table,
+  * independent writability, and no shared-fate on the clone's own
+  * maintenance. */
+class CloneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.select(col("id"), col("name")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("delta clone: zero-copy snapshot, DV carried, time travel, independent writes") {
+    val src = tmp("clone_dsrc") + "/tbl"
+    val dst = tmp("clone_ddst") + "/tbl"
+    DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name"), src)
+    DeltaWrite.append(spark, Seq((3L, "c"), (4L, "d")).toDF("id", "name"), src)
+    DeltaWrite.deleteWhere(spark, src, col("id") === 2L) // DV, not rewrite
+
+    assert(Lake.clone(spark, src, dst) === 0L)
+    // no data files under the clone root — truly zero-copy
+    def dataFiles(root: String): Seq[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(root)).map(_.getName)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+        .filterNot(_.contains("checkpoint"))
+    }
+    assert(dataFiles(s"$dst/../").forall(n => n.endsWith(".json")) ||
+      dataFiles(dst).isEmpty)
+    assert(rows(DeltaRead.snapshot(spark, dst)) === Set((1L, "a"), (3L, "c"), (4L, "d")))
+
+    // clone pinned at an EARLIER source version: pre-delete state
+    val dst0 = tmp("clone_ddst0") + "/tbl"
+    DeltaWrite.cloneShallow(spark, src, dst0, version = 1L)
+    assert(rows(DeltaRead.snapshot(spark, dst0)) ===
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+
+    // clone writes do not touch the source; source writes not the clone
+    DeltaWrite.append(spark, Seq((9L, "z")).toDF("id", "name"), dst)
+    assert(rows(DeltaRead.snapshot(spark, dst)) ===
+      Set((1L, "a"), (3L, "c"), (4L, "d"), (9L, "z")))
+    assert(rows(DeltaRead.snapshot(spark, src)) === Set((1L, "a"), (3L, "c"), (4L, "d")))
+
+    // deleting a CLONED row from the clone drops only the clone's view
+    DeltaWrite.deleteWhere(spark, dst, col("id") === 1L)
+    assert(rows(DeltaRead.snapshot(spark, dst)) === Set((3L, "c"), (4L, "d"), (9L, "z")))
+    assert(rows(DeltaRead.snapshot(spark, src)) === Set((1L, "a"), (3L, "c"), (4L, "d")))
+
+    // vacuum on the clone walks the clone's root only — source intact
+    DeltaWrite.vacuum(spark, dst, retainLastVersions = 1, minFileAgeMs = 0L)
+    assert(rows(DeltaRead.snapshot(spark, src)) === Set((1L, "a"), (3L, "c"), (4L, "d")))
+    assert(rows(DeltaRead.snapshot(spark, dst)) === Set((3L, "c"), (4L, "d"), (9L, "z")))
+  }
+
+  test("iceberg clone: verbatim snapshot reference, independent appends, MOR deletes carried") {
+    val src = tmp("clone_isrc") + "/tbl"
+    val dst = tmp("clone_idst") + "/tbl"
+    IcebergWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name"), src)
+    IcebergWrite.append(spark, Seq((3L, "c")).toDF("id", "name"), src)
+    IcebergWrite.deleteWhere(spark, src, col("id") === 2L) // position delete
+
+    val cloned = Lake.clone(spark, src, dst)
+    assert(cloned === IcebergRead.currentSnapshotId(spark, src))
+    assert(rows(IcebergRead.snapshot(spark, dst)) === Set((1L, "a"), (3L, "c")))
+    // zero-copy: the clone has no data dir of its own yet
+    assert(!new java.io.File(s"${dst.stripSuffix("/")}/data").exists())
+
+    // clone pinned at the FIRST snapshot
+    val dst0 = tmp("clone_idst0") + "/tbl"
+    val firstId = IcebergRead.history(spark, src)
+      .select(col("version")).collect().map(_.getLong(0)).head
+    IcebergWrite.cloneShallow(spark, src, dst0, snapshotId = firstId)
+    assert(rows(IcebergRead.snapshot(spark, dst0)) === Set((1L, "a"), (2L, "b")))
+
+    // independent append on the clone (no snapshot-id collision with the
+    // cloned lineage); source unchanged
+    IcebergWrite.append(spark, Seq((9L, "z")).toDF("id", "name"), dst)
+    assert(rows(IcebergRead.snapshot(spark, dst)) === Set((1L, "a"), (3L, "c"), (9L, "z")))
+    assert(rows(IcebergRead.snapshot(spark, src)) === Set((1L, "a"), (3L, "c")))
+
+    // incremental read over the clone's own lineage still works
+    val adds = IcebergRead.addsBetween(spark, dst, cloned)
+    assert(rows(adds) === Set((9L, "z")))
+  }
+
+  test("clone refuses plain parquet and existing targets") {
+    val pq = tmp("clone_pq") + "/tbl"
+    Seq((1L, "a")).toDF("id", "name").write.parquet(pq)
+    intercept[IllegalArgumentException] {
+      Lake.clone(spark, pq, tmp("clone_pq_dst") + "/tbl")
+    }
+    val src = tmp("clone_ex_src") + "/tbl"
+    val dst = tmp("clone_ex_dst") + "/tbl"
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "name"), src)
+    DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "name"), dst)
+    intercept[IllegalArgumentException] {
+      DeltaWrite.cloneShallow(spark, src, dst)
+    }
+  }
+}
