@@ -832,9 +832,50 @@ object IoQueries {
       FROM base GROUP BY event_type
       ORDER BY scope, event_type"""))
 
+  /** S8r/S9r RESTORE: stage clicks+views (the good state), append errors
+    * (the bad write), Lake.restore to the good version on BOTH formats,
+    * and aggregate both restored tables — the oracle recomputes the good
+    * state from events. Delta side also proves post-restore writability
+    * by appending signups after the restore. */
+  val tlakeRestore = GQuery(
+    "t_lake_restore",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events").select(col("event_id"), col("value"), col("event_type"))
+      val good = ev.where(col("event_type").isin("click", "view"))
+      val bad = ev.where(col("event_type") === "error")
+
+      val dt = tmp("graft_restore_q_d") + "/tbl"
+      val gv = graft.sources.DeltaWrite.append(s, good, dt)
+      graft.sources.DeltaWrite.append(s, bad, dt)
+      graft.sources.Lake.restore(s, dt, gv)
+      graft.sources.DeltaWrite.append(s, ev.where(col("event_type") === "signup"), dt)
+
+      val it = tmp("graft_restore_q_i") + "/tbl"
+      val gi = graft.sources.IcebergWrite.append(s, good, it)
+      graft.sources.IcebergWrite.append(s, bad, it)
+      graft.sources.Lake.restore(s, it, gi)
+
+      def agg(df: org.apache.spark.sql.DataFrame, fmt: String) =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+          .withColumn("fmt", lit(fmt))
+      agg(graft.sources.DeltaRead.snapshot(s, dt), "delta")
+        .unionByName(agg(graft.sources.IcebergRead.snapshot(s, it), "iceberg"))
+        .select(col("fmt"), col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy(col("fmt"), col("event_type"))
+    },
+    Some("""SELECT 'delta' AS fmt, event_type, count(*) AS cnt,
+        round(sum(value), 2) AS sum_value
+      FROM events WHERE event_type IN ('click', 'view', 'signup') GROUP BY event_type
+      UNION ALL
+      SELECT 'iceberg', event_type, count(*), round(sum(value), 2)
+      FROM events WHERE event_type IN ('click', 'view') GROUP BY event_type
+      ORDER BY fmt, event_type"""))
+
   def all: Seq[GQuery] =
     Seq(t1, t1orc, t2, t3, tskip, tbloom, ticebergStats, tdeltaStats, tdelta, ticeberg,
       tdeltaRt, ticebergRt, ticebergMor,
       tdeltaDv, tdeltaUpsert, ticebergPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
-      ticebergChanges, tdeltaCdc, tlakeCompact, tcdcApply, tlakeSync, tlakeClone)
+      ticebergChanges, tdeltaCdc, tlakeCompact, tcdcApply, tlakeSync, tlakeClone,
+      tlakeRestore)
 }

@@ -206,6 +206,15 @@ object DeltaWrite {
       s""""modificationTime":${System.currentTimeMillis()},"dataChange":$dataChange$st}}"""
   }
 
+  /** `,"deletionVector":{...}` fragment of an add action (empty offset
+    * elided — inline DVs carry none). */
+  private def dvActionJson(d: DeletionVectors.Descriptor): String = {
+    val off = d.offset.map(o => s""""offset":$o,""").getOrElse("")
+    s""","deletionVector":{"storageType":${jsonStr(d.storageType)},""" +
+      s""""pathOrInlineDv":${jsonStr(d.pathOrInlineDv)},$off""" +
+      s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+  }
+
   private def removeAction(rel: String, dataChange: Boolean): String =
     s"""{"remove":{"path":${jsonStr(rel)},"deletionTimestamp":${System.currentTimeMillis()},""" +
       s""""dataChange":$dataChange}}"""
@@ -393,6 +402,60 @@ object DeltaWrite {
     * foreign files are left alone. Returns the deleted paths. Metadata
     * only: the referenced set is O(files × retained versions) from log
     * replay — no data is read. */
+  /** RESTORE: roll the table's LIVE STATE back to `toVersion` as a NEW
+    * commit — history is preserved, so time travel to the undone versions
+    * still works (stock RESTORE TABLE semantics; the recovery path after
+    * a bad write). The commit removes files not live at the target,
+    * re-adds target files that were since removed or whose deletion
+    * vector changed (descriptors and stats verbatim — the referenced DV
+    * blobs remain on disk until vacuumed past the target), and swaps the
+    * metaData back when schema or partitioning evolved in between.
+    * Caveat shared with every RESTORE implementation: vacuum retention
+    * must still cover the restore window, or the re-added files may
+    * already be reclaimed. Idempotent at the target (restoring to the
+    * current version is a no-op returning it). O(files) driver metadata;
+    * no data moved. */
+  def restore(spark: SparkSession, table: String, toVersion: Long): Long = {
+    val tgt = DeltaRead.snapshotInfo(spark, table, toVersion)
+    while (true) {
+      val now = DeltaRead.snapshotInfo(spark, table)
+      require(toVersion <= now.version,
+        s"cannot restore $table to future version $toVersion (current ${now.version})")
+      if (toVersion == now.version) return now.version
+      val root = s"${table.stripSuffix("/")}/"
+      def rel(p: String) = pctEncodePath(p.stripPrefix(root))
+      val nowBy = now.files.map(f => f.path -> f).toMap
+      val tgtBy = tgt.files.map(f => f.path -> f).toMap
+      val dvChanged = tgt.files.filter(f => nowBy.get(f.path).exists(_.dv != f.dv))
+      val removes =
+        (now.files.filterNot(f => tgtBy.contains(f.path)) ++ dvChanged).map(f =>
+          removeAction(rel(f.path), dataChange = true))
+      val adds =
+        (tgt.files.filterNot(f => nowBy.contains(f.path)) ++ dvChanged).map { f =>
+          val pv = f.partitionValues.map { case (k, v) =>
+            s"${jsonStr(k)}:${if (v == null) "null" else jsonStr(v)}"
+          }.mkString("{", ",", "}")
+          val st = f.stats.map(s => s""","stats":${jsonStr(s)}""").getOrElse("")
+          s"""{"add":{"path":${jsonStr(rel(f.path))},"partitionValues":$pv,""" +
+            s""""size":${f.size},"modificationTime":${f.modificationTime},""" +
+            s""""dataChange":true$st${f.dv.map(dvActionJson).getOrElse("")}}}"""
+        }
+      val meta =
+        if (tgt.schema != now.schema || tgt.partitionColumns != now.partitionColumns)
+          Seq(metaAction(tgt.schema, tgt.partitionColumns,
+            if (now.metaId.nonEmpty) now.metaId else newTableId(), tgt.configuration))
+        else Seq.empty
+      val actions = meta ++ removes ++ adds
+      // live state already equals the target (e.g. only txn/no-op commits
+      // in between) — nothing to rewrite, and an actionless commit would
+      // be a blank log entry
+      if (actions.isEmpty) return now.version
+      if (tryCommitAt(table, now.version + 1, actions.mkString("", "\n", "\n")))
+        return now.version + 1
+    }
+    -1L // unreachable
+  }
+
   /** SHALLOW CLONE (zero-copy): create a NEW Delta table at `target`
     * whose version-0 commit references the SOURCE snapshot's live data
     * files by ABSOLUTE path — no data is copied or moved. The standard
@@ -426,17 +489,13 @@ object DeltaWrite {
       }.mkString("{", ",", "}")
       val st = f.stats.map(s => s""","stats":${jsonStr(s)}""").getOrElse("")
       val dv = f.dv.map { d =>
-        val abs = d.storageType match {
+        dvActionJson(d.storageType match {
           case "i" => d // inline blob travels inside the action
           case _ => d.copy(storageType = "p",
             pathOrInlineDv =
               DeletionVectors.filePath(source, d).get.toAbsolutePath.toString,
             offset = d.offset)
-        }
-        val off = abs.offset.map(o => s""""offset":$o,""").getOrElse("")
-        s""","deletionVector":{"storageType":${jsonStr(abs.storageType)},""" +
-          s""""pathOrInlineDv":${jsonStr(abs.pathOrInlineDv)},$off""" +
-          s""""sizeInBytes":${abs.sizeInBytes},"cardinality":${abs.cardinality}}"""
+        })
       }.getOrElse("")
       s"""{"add":{"path":${jsonStr(pctEncodePath(f.path))},"partitionValues":$pv,""" +
         s""""size":${f.size},"modificationTime":${f.modificationTime},""" +

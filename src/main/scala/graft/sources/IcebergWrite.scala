@@ -844,6 +844,66 @@ object IcebergWrite {
     * be live in an older retained one, so only full absence makes a file
     * reclaimable. Foreign files under the table root are left alone.
     * Metadata-only: O(manifests) driver reads, no data scanned. */
+  /** ROLLBACK: make `toSnapshotId` the current snapshot again by writing
+    * a new metadata version whose lineage is TRUNCATED at the target —
+    * post-target snapshots and their snapshot-log entries are dropped
+    * from the metadata, so commit-order resolution (and every incremental
+    * reader ranging over it) sees one consistent linear history ending at
+    * the target. The undone snapshots' data/manifest files stay on disk
+    * (older metadata versions still reference them) until
+    * [[expireSnapshots]] reclaims them. The next append's snapshot id
+    * continues from the metadata version counter, so dropped ids are
+    * never reused. O(1) driver metadata write. */
+  def rollback(spark: SparkSession, table: String, toSnapshotId: Long): Long = {
+    while (true) {
+      val base = currentVersion(table)
+      require(base > 0, s"not an Iceberg table: $table")
+      val prior = mapper.readTree(metaDir(table).resolve(s"v$base.metadata.json").toFile)
+        .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      val cur = prior.path("current-snapshot-id").asLong(-1L)
+      if (cur == toSnapshotId) return toSnapshotId // already there
+      val snaps = prior.path("snapshots").elements().asScala.toSeq
+      require(snaps.exists(_.path("snapshot-id").asLong(-1L) == toSnapshotId),
+        s"snapshot $toSnapshotId not found in $table")
+      // truncate the log at the target; keep only snapshots the kept log
+      // still references (plus any the log never covered — conservative)
+      val log = prior.path("snapshot-log").elements().asScala.toSeq
+      val cut = log.lastIndexWhere(_.path("snapshot-id").asLong(-1L) == toSnapshotId)
+      // target missing from the log (e.g. log-expired, parent-chain-only
+      // table): keep everything — conservative, order still resolvable
+      val keptLog = if (cut >= 0) log.take(cut + 1) else log
+      val keptIds = keptLog.map(_.path("snapshot-id").asLong(-1L)).toSet
+      val dropped: Set[Long] =
+        if (cut < 0) Set.empty
+        else log.map(_.path("snapshot-id").asLong(-1L)).toSet -- keptIds - toSnapshotId
+      val keptSnaps = snaps.filterNot(s => dropped(s.path("snapshot-id").asLong(-1L)))
+      val snapArr = mapper.createArrayNode()
+      keptSnaps.foreach(s => snapArr.add(s))
+      val logArr = mapper.createArrayNode()
+      keptLog.foreach(e => logArr.add(e))
+      prior.set[com.fasterxml.jackson.databind.JsonNode]("snapshots", snapArr)
+      prior.set[com.fasterxml.jackson.databind.JsonNode]("snapshot-log", logArr)
+      prior.put("current-snapshot-id", toSnapshotId)
+      prior.put("last-updated-ms", System.currentTimeMillis())
+      val version = base + 1
+      val dir = metaDir(table)
+      val tmp = Files.createTempFile(dir, "meta", ".tmp")
+      val won =
+        try {
+          Files.writeString(tmp, mapper.writeValueAsString(prior))
+          Files.createLink(dir.resolve(s"v$version.metadata.json"), tmp)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        } finally Files.delete(tmp)
+      if (won) {
+        Files.writeString(dir.resolve("version-hint.text"), version.toString)
+        return toSnapshotId
+      }
+    }
+    -1L // unreachable
+  }
+
   /** SHALLOW CLONE (zero-copy): create a NEW Iceberg table at `target`
     * whose single snapshot is the SOURCE's chosen snapshot VERBATIM — the
     * manifest-list, manifests, data and delete files are all referenced by

@@ -85,6 +85,21 @@ object Lake {
         s"plain parquet at $path has no commit history")
     }
 
+  /** RESTORE dispatch: roll the table's live state back to a prior
+    * version (Delta log version / Iceberg snapshot id) — the recovery
+    * path after a bad write. Delta restores as a NEW commit (history
+    * preserved, [[DeltaWrite.restore]]); Iceberg truncates the snapshot
+    * lineage at the target ([[IcebergWrite.rollback]]; undone files
+    * remain until expireSnapshots). Returns the now-current
+    * version/snapshot id. */
+  def restore(spark: SparkSession, path: String, version: Long): Long =
+    detect(spark, path) match {
+      case Delta => DeltaWrite.restore(spark, path, version)
+      case Iceberg => IcebergWrite.rollback(spark, path, version)
+      case Parquet => throw new IllegalArgumentException(
+        s"plain parquet at $path has no versions to restore")
+    }
+
   /** SHALLOW-CLONE dispatch: zero-copy snapshot of a lake table into a
     * NEW independently-writable table at `target` — the source's live
     * files referenced by absolute path, nothing copied ([[DeltaWrite

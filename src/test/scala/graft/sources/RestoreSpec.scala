@@ -1,0 +1,72 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** RESTORE / rollback (Lake.restore): recovery to a prior version after a
+  * bad write, with history preserved (Delta) / lineage truncated at the
+  * target (Iceberg). */
+class RestoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.select(col("id"), col("name")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("delta restore: undo bad append + DV delete; history preserved; re-add reclaimed files") {
+    val t = tmp("restore_d") + "/tbl"
+    DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name"), t)
+    val good = DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "name"), t)
+    DeltaWrite.append(spark, Seq((666L, "bad")).toDF("id", "name"), t)
+    DeltaWrite.deleteWhere(spark, t, col("id") === 1L) // bad DV delete too
+
+    val v = DeltaWrite.restore(spark, t, good)
+    assert(v === good + 3) // restore is a NEW commit on top
+    assert(rows(DeltaRead.snapshot(spark, t)) === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // time travel to the undone state still works (history preserved)
+    assert(rows(DeltaRead.snapshot(spark, t, good + 1)) ===
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (666L, "bad")))
+    // restoring to where we already are is a no-op
+    assert(DeltaWrite.restore(spark, t, v) === v)
+    // the table keeps working after restore
+    DeltaWrite.append(spark, Seq((4L, "d")).toDF("id", "name"), t)
+    assert(rows(DeltaRead.snapshot(spark, t)) ===
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
+  test("delta restore undoes schema evolution (metaData swapped back)") {
+    val t = tmp("restore_ds") + "/tbl"
+    val v0 = DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "name"), t)
+    DeltaWrite.append(spark, Seq((2L, "b", 9.5)).toDF("id", "name", "score"), t,
+      mergeSchema = true)
+    DeltaWrite.restore(spark, t, v0)
+    val snap = DeltaRead.snapshot(spark, t)
+    assert(snap.schema.fieldNames.toSeq === Seq("id", "name"))
+    assert(rows(snap) === Set((1L, "a")))
+  }
+
+  test("iceberg rollback: lineage truncated at target; appends continue; incremental reads consistent") {
+    val t = tmp("restore_i") + "/tbl"
+    IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "name"), t)
+    val good = IcebergWrite.append(spark, Seq((2L, "b")).toDF("id", "name"), t)
+    IcebergWrite.append(spark, Seq((666L, "bad")).toDF("id", "name"), t)
+
+    assert(Lake.restore(spark, t, good) === good)
+    assert(IcebergRead.currentSnapshotId(spark, t) === good)
+    assert(rows(IcebergRead.snapshot(spark, t)) === Set((1L, "a"), (2L, "b")))
+    // the dropped snapshot is gone from the lineage
+    val hist = IcebergRead.history(spark, t).select(col("version"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(!hist.contains(good + 1) && hist.last === good)
+
+    // appends continue on the rolled-back lineage with fresh ids
+    val next = IcebergWrite.append(spark, Seq((4L, "d")).toDF("id", "name"), t)
+    assert(next > good)
+    assert(rows(IcebergRead.snapshot(spark, t)) === Set((1L, "a"), (2L, "b"), (4L, "d")))
+    // incremental range over the rollback boundary: only the new append
+    assert(rows(IcebergRead.addsBetween(spark, t, good)) === Set((4L, "d")))
+  }
+}
