@@ -79,4 +79,53 @@ object Profile {
         round((pRef - pCur) * log(pRef / pCur) * lit(1000000.0)).cast("long").as("psi_micro"))
       .orderBy(col("bucket"))
   }
+
+  /** Per-bucket counts of `value` over the [[psi]] bucket contract,
+    * collected to the driver (≤ nBuckets longs) — the PINNED reference
+    * histogram a monitor compares later slices against. */
+  def bucketCounts(df: DataFrame, value: Column,
+      lo: Double, hi: Double, nBuckets: Int): Seq[Long] = {
+    require(nBuckets > 0 && hi > lo, "bucketCounts needs hi > lo and nBuckets > 0")
+    val width = (hi - lo) / nBuckets
+    val bucket = least(greatest(floor((value - lo) / width), lit(0.0)),
+      lit((nBuckets - 1).toDouble)).cast("int")
+    val got = df.select(bucket.as("bucket")).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (0 until nBuckets).map(got.getOrElse(_, 0L))
+  }
+
+  /** [[psi]] of `df`'s `value` against a PINNED reference histogram
+    * (`refCounts`, one count per bucket as from [[bucketCounts]]) — the
+    * monitoring shape where the reference period is computed once and
+    * every later slice compares against it. Unlike [[psi]], ALL buckets
+    * appear in the output (a bucket the current slice abandoned still
+    * contributes drift). One aggregation over `df` + a ≤ nBuckets-row
+    * grid join; the reference travels as a literal array, never a join
+    * side. Caller guards the empty slice (no rows → every p_cur floors at
+    * eps and the PSI is meaningless). */
+  def psiAgainst(df: DataFrame, value: Column, refCounts: Seq[Long],
+      lo: Double, hi: Double, eps: Double = 1e-6): DataFrame = {
+    val n = refCounts.size
+    require(n > 0 && hi > lo, "psiAgainst needs hi > lo and a non-empty reference")
+    val width = (hi - lo) / n
+    val bucket = least(greatest(floor((value - lo) / width), lit(0.0)),
+      lit((n - 1).toDouble)).cast("int")
+    val counts = df.select(bucket.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt_cur"))
+    val spark = df.sparkSession
+    val grid = spark.range(n).select(col("id").cast("int").as("bucket"))
+    val refArr = array(refCounts.map(lit(_)): _*)
+    val refTotal = math.max(refCounts.sum, 1L).toDouble
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val full = grid.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        element_at(refArr, col("bucket") + 1).as("cnt_ref"),
+        coalesce(col("cnt_cur"), lit(0L)).as("cnt_cur"))
+    val pRef = greatest(col("cnt_ref") / lit(refTotal), lit(eps))
+    val pCur = greatest(col("cnt_cur") / sum(col("cnt_cur")).over(all), lit(eps))
+    full.select(col("bucket"), col("cnt_ref"), col("cnt_cur"),
+        round((pRef - pCur) * log(pRef / pCur) * lit(1000000.0)).cast("long").as("psi_micro"))
+      .orderBy(col("bucket"))
+  }
 }

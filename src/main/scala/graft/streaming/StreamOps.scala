@@ -690,6 +690,57 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** DRIFT MONITOR over a landing stream: per micro-batch, the PSI of the
+    * batch's `valueCol` distribution against a reference histogram PINNED
+    * at start ([[graft.operators.Profile.bucketCounts]] of `reference`) —
+    * the feed-health check a training-data pipeline runs on every
+    * delivery. Appends (batch_id, bucket, cnt_ref, cnt_cur, psi_micro)
+    * rows to `metricsDir`; total batch PSI = sum(psi_micro)/1e6. Empty
+    * batches are skipped (their PSI is meaningless — every p_cur floors
+    * at eps). Same replay guard and single-lineage contract as
+    * [[qualityMonitorStream]]: at-least-once foreachBatch, so a batch id
+    * at/below the max already appended is not re-appended.
+    *
+    * Scale: the reference is nBuckets longs on the driver (computed once);
+    * per batch ONE map-side-combined aggregation over the batch + a
+    * ≤ nBuckets-row grid join. Monitoring adds O(batch) work, never
+    * O(history). */
+  def driftMonitorStream(spark: SparkSession, landingDir: String,
+      schema: org.apache.spark.sql.types.StructType, valueCol: String,
+      reference: DataFrame, lo: Double, hi: Double, nBuckets: Int,
+      metricsDir: String, maxFilesPerTrigger: Int = 1,
+      checkpointDir: Option[String] = None): Unit = {
+    val refCounts =
+      graft.operators.Profile.bucketCounts(reference, col(valueCol), lo, hi, nBuckets)
+    val hconf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    val metricsPath = new org.apache.hadoop.fs.Path(metricsDir)
+    val maxSeen: Long =
+      if (!metricsPath.getFileSystem(hconf).exists(metricsPath)) -1L
+      else
+        try spark.read.parquet(metricsDir)
+          .agg(coalesce(max(col("batch_id")), lit(-1L))).head().getLong(0)
+        catch { case _: org.apache.spark.sql.AnalysisException => -1L }
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > maxSeen && !batch.isEmpty) {
+          graft.operators.Profile.psiAgainst(batch, col(valueCol), refCounts, lo, hi)
+            .withColumn("batch_id", lit(batchId))
+            .coalesce(1)
+            .write.mode("append").parquet(metricsDir)
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"${metricsDir.stripSuffix("/")}_checkpoint"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** ST9: the ST6 semantics on `transformWithState` — Spark 4's
     * StatefulProcessor API (named state variables, timers, per-state TTL),
     * the successor to flatMapGroupsWithState. Requires the RocksDB state

@@ -127,6 +127,51 @@ class StreamParitySpec extends SparkSpec {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
 
+  test("streaming drift monitor: in-distribution batch ~0 PSI, shifted batch drifts") {
+    import graft.operators.Profile
+    val root = java.nio.file.Files.createTempDirectory("graft_driftmon")
+    val landing = root.resolve("landing"); java.nio.file.Files.createDirectories(landing)
+    val metrics = s"$root/metrics"
+
+    // reference: uniform over [0, 100); batch A matches it, batch B is
+    // concentrated in the top bucket
+    val ref = spark.range(1000).select((col("id") % 100).cast("double").as("v"))
+    val batchA = spark.range(500).select((col("id") % 100).cast("double").as("v"))
+    val batchB = spark.range(500).select(lit(95.0).as("v"))
+    import scala.jdk.CollectionConverters._
+    Seq(batchA -> "a.parquet", batchB -> "b.parquet").foreach { case (df, tgt) =>
+      val d = landing.resolve(tgt + ".tmp")
+      df.coalesce(1).write.parquet(d.toString)
+      val part = java.nio.file.Files.walk(d).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq.head
+      java.nio.file.Files.move(part, landing.resolve(tgt))
+      java.nio.file.Files.walk(d).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.delete)
+    }
+
+    StreamOps.driftMonitorStream(spark, landing.toString, batchA.schema, "v",
+      ref, lo = 0.0, hi = 100.0, nBuckets = 10, metricsDir = metrics)
+
+    val m = spark.read.parquet(metrics)
+    assert(m.count() === 20) // 10 buckets × 2 batches, abandoned buckets included
+    val psiByBatch = m.groupBy(col("batch_id"))
+      .agg((sum(col("psi_micro")) / 1000000.0).as("psi"))
+      .as[(Long, Double)].collect().toMap
+    assert(psiByBatch(0L) === 0.0) // identical distribution → exactly 0
+    assert(psiByBatch(1L) > 1.0)   // gross shift → strong drift signal
+    // batch PSI equals the batch-mode psiAgainst over the same data
+    val direct = Profile.psiAgainst(batchB, col("v"),
+      Profile.bucketCounts(ref, col("v"), 0.0, 100.0, 10), 0.0, 100.0)
+      .agg(sum(col("psi_micro"))).as[Long].head()
+    assert(psiByBatch(1L) === direct / 1000000.0)
+
+    // replay guard: fresh checkpoint, nothing double-appends
+    StreamOps.driftMonitorStream(spark, landing.toString, batchA.schema, "v",
+      ref, lo = 0.0, hi = 100.0, nBuckets = 10, metricsDir = metrics,
+      checkpointDir = Some(s"$root/checkpoint2"))
+    assert(spark.read.parquet(metrics).count() === 20)
+  }
+
   test("streaming heavy hitters equal the batch operator over all ingested data") {
     import graft.operators.FreqSketch
     val root = java.nio.file.Files.createTempDirectory("graft_hhstream")
