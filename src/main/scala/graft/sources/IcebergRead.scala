@@ -347,6 +347,25 @@ object IcebergRead {
     rows.toDF("version", "timestamp_ms", "operation", "added_files", "removed_files")
   }
 
+  /** Named refs (spec v2 `refs` map): name → (snapshot id, type). */
+  def refs(spark: SparkSession, table: String): Map[String, (Long, String)] = {
+    val meta = mapper.readTree(metadataFile(table))
+    Option(meta.get("refs")).map { o =>
+      o.fields().asScala.map { e =>
+        e.getKey -> ((e.getValue.path("snapshot-id").asLong(-1L),
+          e.getValue.path("type").asText("tag")))
+      }.toMap
+    }.getOrElse(Map.empty)
+  }
+
+  /** Snapshot read pinned by a named ref — `SELECT ... VERSION AS OF
+    * 'tag'` semantics. */
+  def snapshotAtRef(spark: SparkSession, table: String, ref: String): DataFrame = {
+    val id = refs(spark, table).getOrElse(ref,
+      throw new IllegalArgumentException(s"no ref '$ref' on $table"))._1
+    snapshot(spark, table, id)
+  }
+
   /** SCHEMA history: one row per column-level change across the snapshot
     * lineage — `create` rows for the first snapshot's schema, then diffs
     * at every snapshot whose recorded schema-id changed. Keyed by the

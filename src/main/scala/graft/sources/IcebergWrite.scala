@@ -844,6 +844,80 @@ object IcebergWrite {
     * be live in an older retained one, so only full absence makes a file
     * reclaimable. Foreign files under the table root are left alone.
     * Metadata-only: O(manifests) driver reads, no data scanned. */
+  /** Named REF (spec v2 `refs` map): pin `name` to a snapshot — `tag` for
+    * immutable audit/release points, `branch` for a movable head. A ref
+    * PROTECTS its snapshot from [[expireSnapshots]] and [[rollback]]
+    * (both keep ref'd snapshots in the metadata until the ref is
+    * dropped), which is the spec's retention contract and what makes tags
+    * usable as reproducibility pins for training runs. Re-setting an
+    * existing name moves it. Returns the pinned snapshot id. */
+  def setRef(spark: SparkSession, table: String, name: String,
+      snapshotId: Long = -1L, refType: String = "tag"): Long = {
+    require(refType == "tag" || refType == "branch",
+      s"ref type must be 'tag' or 'branch', got '$refType'")
+    while (true) {
+      val base = currentVersion(table)
+      require(base > 0, s"not an Iceberg table: $table")
+      val prior = mapper.readTree(metaDir(table).resolve(s"v$base.metadata.json").toFile)
+        .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      val id = if (snapshotId >= 0) snapshotId
+        else prior.path("current-snapshot-id").asLong(-1L)
+      require(prior.path("snapshots").elements().asScala
+          .exists(_.path("snapshot-id").asLong(-1L) == id),
+        s"snapshot $id not found in $table")
+      val refs = Option(prior.get("refs"))
+        .collect { case o: com.fasterxml.jackson.databind.node.ObjectNode => o }
+        .getOrElse {
+          val o = mapper.createObjectNode()
+          prior.set[com.fasterxml.jackson.databind.JsonNode]("refs", o)
+          o
+        }
+      val entry = mapper.createObjectNode()
+      entry.put("snapshot-id", id)
+      entry.put("type", refType)
+      refs.set[com.fasterxml.jackson.databind.JsonNode](name, entry)
+      prior.put("last-updated-ms", System.currentTimeMillis())
+      if (writeMetaVersion(table, base + 1, prior)) return id
+    }
+    -1L // unreachable
+  }
+
+  /** Drop a named ref; its snapshot becomes expirable again. No-op if the
+    * name is absent. */
+  def dropRef(spark: SparkSession, table: String, name: String): Unit = {
+    while (true) {
+      val base = currentVersion(table)
+      require(base > 0, s"not an Iceberg table: $table")
+      val prior = mapper.readTree(metaDir(table).resolve(s"v$base.metadata.json").toFile)
+        .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      Option(prior.get("refs")) match {
+        case Some(o: com.fasterxml.jackson.databind.node.ObjectNode) if o.has(name) =>
+          o.remove(name)
+          prior.put("last-updated-ms", System.currentTimeMillis())
+          if (writeMetaVersion(table, base + 1, prior)) return
+        case _ => return
+      }
+    }
+  }
+
+  /** Race-safe metadata-version write (create-link claim, version-hint on
+    * win) — the commit tail shared by ref edits and rollback. */
+  private def writeMetaVersion(table: String, version: Int,
+      node: com.fasterxml.jackson.databind.JsonNode): Boolean = {
+    val dir = metaDir(table)
+    val tmp = Files.createTempFile(dir, "meta", ".tmp")
+    val won =
+      try {
+        Files.writeString(tmp, mapper.writeValueAsString(node))
+        Files.createLink(dir.resolve(s"v$version.metadata.json"), tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally Files.delete(tmp)
+    if (won) Files.writeString(dir.resolve("version-hint.text"), version.toString)
+    won
+  }
+
   /** ROLLBACK: make `toSnapshotId` the current snapshot again by writing
     * a new metadata version whose lineage is TRUNCATED at the target —
     * post-target snapshots and their snapshot-log entries are dropped
@@ -873,9 +947,15 @@ object IcebergWrite {
       // table): keep everything — conservative, order still resolvable
       val keptLog = if (cut >= 0) log.take(cut + 1) else log
       val keptIds = keptLog.map(_.path("snapshot-id").asLong(-1L)).toSet
+      // named refs protect their snapshots through a rollback (tags are
+      // reproducibility pins; a rollback must not sever them)
+      val refIds: Set[Long] = Option(prior.get("refs"))
+        .map(_.elements().asScala.map(_.path("snapshot-id").asLong(-1L)).toSet)
+        .getOrElse(Set.empty)
       val dropped: Set[Long] =
         if (cut < 0) Set.empty
-        else log.map(_.path("snapshot-id").asLong(-1L)).toSet -- keptIds - toSnapshotId
+        else log.map(_.path("snapshot-id").asLong(-1L)).toSet --
+          keptIds -- refIds - toSnapshotId
       val keptSnaps = snaps.filterNot(s => dropped(s.path("snapshot-id").asLong(-1L)))
       val snapArr = mapper.createArrayNode()
       keptSnaps.foreach(s => snapArr.add(s))
@@ -885,21 +965,7 @@ object IcebergWrite {
       prior.set[com.fasterxml.jackson.databind.JsonNode]("snapshot-log", logArr)
       prior.put("current-snapshot-id", toSnapshotId)
       prior.put("last-updated-ms", System.currentTimeMillis())
-      val version = base + 1
-      val dir = metaDir(table)
-      val tmp = Files.createTempFile(dir, "meta", ".tmp")
-      val won =
-        try {
-          Files.writeString(tmp, mapper.writeValueAsString(prior))
-          Files.createLink(dir.resolve(s"v$version.metadata.json"), tmp)
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        } finally Files.delete(tmp)
-      if (won) {
-        Files.writeString(dir.resolve("version-hint.text"), version.toString)
-        return toSnapshotId
-      }
+      if (writeMetaVersion(table, base + 1, prior)) return toSnapshotId
     }
     -1L // unreachable
   }
@@ -974,7 +1040,12 @@ object IcebergWrite {
       val current = meta.path("current-snapshot-id").asLong(-1L)
       val logIds = meta.path("snapshot-log").elements().asScala
         .map(_.path("snapshot-id").asLong(-1L)).toSeq.distinct
-      val keepIds = (logIds.takeRight(math.max(1, retainLast)) :+ current).toSet
+      // named refs (tags/branches) protect their snapshots from expiration
+      // — the spec's retention contract
+      val refIds: Set[Long] = Option(meta.get("refs"))
+        .map(_.elements().asScala.map(_.path("snapshot-id").asLong(-1L)).toSet)
+        .getOrElse(Set.empty)
+      val keepIds = (logIds.takeRight(math.max(1, retainLast)) :+ current).toSet ++ refIds
       val allSnaps = meta.path("snapshots").elements().asScala.toSeq
       val (kept, expired) = allSnaps.partition(s => keepIds(s.path("snapshot-id").asLong(-1L)))
       if (expired.isEmpty) return Seq.empty

@@ -48,6 +48,40 @@ class RestoreSpec extends SparkSpec {
     assert(rows(snap) === Set((1L, "a")))
   }
 
+  test("iceberg refs: tags pin snapshots, survive rollback, and block expiration") {
+    val t = tmp("refs_i") + "/tbl"
+    IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "name"), t)
+    val v2 = IcebergWrite.append(spark, Seq((2L, "b")).toDF("id", "name"), t)
+    val v3 = IcebergWrite.append(spark, Seq((3L, "c")).toDF("id", "name"), t)
+
+    assert(IcebergWrite.setRef(spark, t, "train-run-1", v3) === v3)
+    IcebergWrite.setRef(spark, t, "head", refType = "branch") // current = v3
+    assert(IcebergRead.refs(spark, t) ===
+      Map("train-run-1" -> ((v3, "tag")), "head" -> ((v3, "branch"))))
+    assert(rows(IcebergRead.snapshotAtRef(spark, t, "train-run-1")) ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // rollback to v2: the tagged v3 stays in the metadata (still readable
+    // by ref) even though the live head moved back
+    IcebergWrite.rollback(spark, t, v2)
+    assert(rows(IcebergRead.snapshot(spark, t)) === Set((1L, "a"), (2L, "b")))
+    assert(rows(IcebergRead.snapshotAtRef(spark, t, "train-run-1")) ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // expiration keeps the tagged snapshot's files
+    IcebergWrite.expireSnapshots(spark, t, retainLast = 1, minFileAgeMs = 0L)
+    assert(rows(IcebergRead.snapshotAtRef(spark, t, "train-run-1")) ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // dropping the ref releases it: expiration can now reclaim
+    IcebergWrite.dropRef(spark, t, "train-run-1")
+    assert(!IcebergRead.refs(spark, t).contains("train-run-1"))
+    IcebergWrite.expireSnapshots(spark, t, retainLast = 1, minFileAgeMs = 0L)
+    intercept[Exception] { IcebergRead.snapshotAtRef(spark, t, "train-run-1") }
+    // the live head is untouched throughout
+    assert(rows(IcebergRead.snapshot(spark, t)) === Set((1L, "a"), (2L, "b")))
+  }
+
   test("iceberg rollback: lineage truncated at target; appends continue; incremental reads consistent") {
     val t = tmp("restore_i") + "/tbl"
     IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "name"), t)
