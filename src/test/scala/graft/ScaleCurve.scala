@@ -71,6 +71,18 @@ object ScaleCurve {
         val toks = corpus.select(explode(functions.TextFunctions.tokens(col("text"))).as("term"))
         operators.FreqSketch.heavyHitters(toks, "term", k = 50).count()
       }
+      time("sliding_chunks", n) {
+        corpus.select(col("doc_id"),
+            posexplode(functions.TextFunctions.slidingTokenChunks(col("text"), 32, 24))
+              .as(Seq("chunk_idx", "chunk_text")))
+          .select(md5(col("chunk_text"))).count()
+      }
+      time("psi_drift", n) {
+        operators.Profile.psi(
+          corpus.select(length(col("text")).cast("double").as("v"),
+            (col("doc_id") % 2 === 0).as("ref")),
+          col("v"), col("ref"), 0.0, 5000.0, 10).count()
+      }
       time("fuzzy_join_d1", n) {
         // fuzzy-join the token vocabulary against itself (names-scale input:
         // the operator's domain is distinct strings, not documents)
