@@ -244,6 +244,11 @@ object DeltaWrite {
       mergeSchema: Boolean = false): Long = {
     val exists = currentVersions(table).nonEmpty
     var evolvedMeta: Option[String] = None
+    // under column mapping the PARQUET FILES (and partition dirs / log
+    // partitionValues) carry physical names — stage with them or the read
+    // path mis-resolves renamed columns
+    var stageDf = df
+    var stageParts = partitionBy
     if (exists) {
       val snap = DeltaRead.snapshotInfo(spark, table)
       require(snap.partitionColumns == partitionBy,
@@ -272,8 +277,14 @@ object DeltaWrite {
         evolvedMeta = Some(metaAction(merged, partitionBy,
           if (snap.metaId.nonEmpty) snap.metaId else newTableId(), snap.configuration))
       }
+      if (snap.columnMappingMode == "name") {
+        val phys = snap.schema.fieldNames.map(n => n -> snap.physicalName(n)).toMap
+        stageDf = df.select(snap.schema.fieldNames.toSeq
+          .map(n => col(n).as(phys(n))): _*)
+        stageParts = partitionBy.map(phys)
+      }
     }
-    val staged = stageFiles(df, table, partitionBy)
+    val staged = stageFiles(stageDf, table, stageParts)
     val adds = staged.map { case (rel, values, stats) =>
       addAction(pctEncodePath(rel), values, Files.size(Paths.get(table, rel)), stats = stats)
     }
@@ -295,6 +306,9 @@ object DeltaWrite {
   def overwrite(spark: SparkSession, df: DataFrame, table: String,
       partitionBy: Seq[String] = Nil): Long = {
     require(currentVersions(table).nonEmpty, s"overwrite of non-existent table $table — use append")
+    require(DeltaRead.snapshotInfo(spark, table).columnMappingMode == "none",
+      "overwrite of a column-mapped table is not supported (the metaData swap " +
+        "would drop the mapping)")
     val staged = stageFiles(df, table, partitionBy)
     val adds = staged.map { case (rel, values, stats) =>
       addAction(pctEncodePath(rel), values, Files.size(Paths.get(table, rel)), stats = stats)
@@ -402,6 +416,100 @@ object DeltaWrite {
     * foreign files are left alone. Returns the deleted paths. Metadata
     * only: the referenced set is O(files × retained versions) from log
     * replay — no data is read. */
+  /** Column-mapping bootstrap: the snapshot's schema with physical names
+    * and ids assigned (IDENTITY physicals for existing columns, so no
+    * data file, partition dir, or committed partitionValues key changes
+    * meaning) plus the configuration carrying the mode. Already-mapped
+    * tables pass through unchanged. */
+  private def withMapping(snap: DeltaRead.Snapshot)
+      : (org.apache.spark.sql.types.StructType, Map[String, String]) =
+    if (snap.columnMappingMode == "name") (snap.schema, snap.configuration)
+    else {
+      val fields = snap.schema.fields.zipWithIndex.map { case (f, i) =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString("delta.columnMapping.physicalName", f.name)
+          .putLong("delta.columnMapping.id", i + 1L)
+          .build())
+      }
+      (org.apache.spark.sql.types.StructType(fields), snap.configuration ++ Map(
+        "delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> snap.schema.fields.length.toString))
+    }
+
+  /** Protocol action required for column mapping on top of the table's
+    * current protocol, or None if already sufficient: v2/v5 legacy form
+    * for plain tables, a v3/v7 `columnMapping` feature entry when the
+    * table already runs feature protocols (e.g. deletionVectors). */
+  private def mappingProtocol(snap: DeltaRead.Snapshot): Option[String] =
+    if (snap.columnMappingMode == "name") None
+    else if (snap.minReaderVersion >= 3) {
+      if (snap.readerFeatures.contains("columnMapping")) None
+      else {
+        val feats = (snap.readerFeatures + "columnMapping").toSeq.sorted
+        val fjson = feats.map(jsonStr).mkString("[", ",", "]")
+        Some(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          s""""readerFeatures":$fjson,"writerFeatures":$fjson}}""")
+      }
+    } else Some("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""")
+
+  /** RENAME a column — metadata-only under column mapping (the spec's
+    * rename mechanism): the field keeps its PHYSICAL name, only the
+    * logical name changes, so no data file is rewritten at any scale. On
+    * first use the table is bootstrapped into
+    * `delta.columnMapping.mode = name` with identity physical names
+    * (existing files and partitionValues keys stay valid verbatim).
+    * Later [[append]]s stage parquet with physical column names; the
+    * reader projects them back to logical. Works for partition columns
+    * too (their physical name is what partition dirs and log keys carry).
+    * This is what makes a rename a RENAME in [[DeltaRead.schemaHistory]]'s
+    * Iceberg twin but a metaData swap here — name-keyed history reports
+    * it as drop+add, the spec's own limitation. */
+  def renameColumn(spark: SparkSession, table: String,
+      oldName: String, newName: String): Long = {
+    while (true) {
+      val snap = DeltaRead.snapshotInfo(spark, table)
+      require(snap.schema.fieldNames.contains(oldName),
+        s"no column '$oldName' in ${snap.schema.fieldNames.mkString(",")}")
+      require(!snap.schema.fieldNames.contains(newName),
+        s"column '$newName' already exists")
+      val (mapped, conf) = withMapping(snap)
+      val renamed = org.apache.spark.sql.types.StructType(
+        mapped.fields.map(f => if (f.name == oldName) f.copy(name = newName) else f))
+      val parts = snap.partitionColumns.map(c => if (c == oldName) newName else c)
+      val content = (mappingProtocol(snap).toSeq :+
+        metaAction(renamed, parts,
+          if (snap.metaId.nonEmpty) snap.metaId else newTableId(), conf))
+        .mkString("", "\n", "\n")
+      if (tryCommitAt(table, snap.version + 1, content)) return snap.version + 1
+    }
+    -1L // unreachable
+  }
+
+  /** DROP a column — metadata-only under column mapping: the field leaves
+    * the logical schema; existing parquet files keep the physical column,
+    * which the mapped projection simply never reads. Partition columns
+    * cannot be dropped (their values live in the layout, not the files). */
+  def dropColumn(spark: SparkSession, table: String, name: String): Long = {
+    while (true) {
+      val snap = DeltaRead.snapshotInfo(spark, table)
+      require(snap.schema.fieldNames.contains(name),
+        s"no column '$name' in ${snap.schema.fieldNames.mkString(",")}")
+      require(!snap.partitionColumns.contains(name),
+        s"cannot drop partition column '$name'")
+      require(snap.schema.fields.length > 1, "cannot drop the last column")
+      val (mapped, conf) = withMapping(snap)
+      val dropped = org.apache.spark.sql.types.StructType(
+        mapped.fields.filterNot(_.name == name))
+      val content = (mappingProtocol(snap).toSeq :+
+        metaAction(dropped, snap.partitionColumns,
+          if (snap.metaId.nonEmpty) snap.metaId else newTableId(), conf))
+        .mkString("", "\n", "\n")
+      if (tryCommitAt(table, snap.version + 1, content)) return snap.version + 1
+    }
+    -1L // unreachable
+  }
+
   /** RESTORE: roll the table's LIVE STATE back to `toVersion` as a NEW
     * commit — history is preserved, so time travel to the undone versions
     * still works (stock RESTORE TABLE semantics; the recovery path after
@@ -681,6 +789,9 @@ object DeltaWrite {
     require(keyCols.nonEmpty && keyCols.forall(df.columns.contains),
       s"key columns ${keyCols.mkString(",")} not all present in ${df.columns.mkString(",")}")
     val snap0 = DeltaRead.snapshotInfo(spark, table)
+    require(snap0.columnMappingMode == "none",
+      "upsert into a column-mapped table is not supported (stage-side physical " +
+        "renames are only wired for append)")
     require(snap0.schema.fieldNames.sorted.sameElements(df.schema.fieldNames.sorted),
       s"upsert schema ${df.schema.fieldNames.mkString(",")} does not match table " +
         s"schema ${snap0.schema.fieldNames.mkString(",")}")
