@@ -662,11 +662,16 @@ object IcebergRead {
         s"snapshot $resolvedId not found (have ${allSnapshots.map(_.path("snapshot-id").asLong(0)).mkString(",")})"))
 
     // schema: v2 `schemas` + current-schema-id; v1 inline `schema`. A
-    // time-traveled snapshot that records its own schema-id resolves
-    // against THAT schema (the spec embeds the id per snapshot so
-    // evolution doesn't rewrite history); snapshots without one — or ids
-    // the chain no longer carries — fall back to the current schema.
-    val schemaNode = schemaNodeFor(meta, targetSnap)
+    // CURRENT read (-1) always uses the CURRENT schema — rename/drop are
+    // metadata-only commits that add no snapshot, so the head snapshot may
+    // still cite the pre-evolution schema-id. An explicitly TIME-TRAVELED
+    // snapshot resolves against ITS recorded schema-id (the spec embeds
+    // the id per snapshot so evolution doesn't rewrite history);
+    // snapshots without one — or ids the chain no longer carries — fall
+    // back to the current schema.
+    val schemaNode =
+      if (snapshotId >= 0) schemaNodeFor(meta, targetSnap)
+      else schemaNodeFor(meta, mapper.createObjectNode())
     // carry the Iceberg field ids: when the data files were written by a
     // real Iceberg engine their parquet columns have matching ids, and
     // id-based resolution survives column renames that name matching

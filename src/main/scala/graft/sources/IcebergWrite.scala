@@ -65,6 +65,32 @@ object IcebergWrite {
   private def metaDir(table: String) = Paths.get(table.stripSuffix("/"), "metadata")
   private def dataDir(table: String) = Paths.get(table.stripSuffix("/"), "data")
 
+  /** `df` with `parquet.field.id` metadata attached per `fieldIds` —
+    * parquet files then carry Iceberg field ids (Spark's field-id writer
+    * is on by default), enabling the spec's id-based column resolution. */
+  private def stampFieldIds(df: DataFrame, fieldIds: Map[String, Int]): DataFrame =
+    if (fieldIds.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.{col => fcol}
+      df.select(df.schema.fields.toSeq.map { f =>
+        fieldIds.get(f.name) match {
+          case Some(id) => fcol(f.name).as(f.name,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong("parquet.field.id", id.toLong).build())
+          case None => fcol(f.name)
+        }
+      }: _*)
+    }
+
+  /** The current schema's name → field-id map (empty pre-creation). */
+  private def fieldIdMap(
+      prior: Option[com.fasterxml.jackson.databind.JsonNode]): Map[String, Int] =
+    prior.map { meta =>
+      currentSchemaNode(meta).path("fields").elements().asScala
+        .map(f => f.path("name").asText() -> f.path("id").asInt(-1))
+        .filter(_._2 > 0).toMap
+    }.getOrElse(Map.empty)
+
   /** Highest committed metadata version, 0 if none. */
   private def currentVersion(table: String): Int = {
     val dir = metaDir(table)
@@ -232,11 +258,17 @@ object IcebergWrite {
     * and on the bounds maps, so wrong values would corrupt its scan.
     * Returns (moved path, row count, partition values, column stats) per
     * file. */
-  private def stageDataFiles(spark: SparkSession, df: DataFrame, table: String,
+  private def stageDataFiles(spark: SparkSession, df0: DataFrame, table: String,
       transforms: Seq[IcebergTransforms.Transform],
-      partTypes: Seq[(String, DataType)])
+      partTypes: Seq[(String, DataType)],
+      fieldIds: Map[String, Int] = Map.empty)
       : Seq[(java.nio.file.Path, Long, Seq[Any], Map[String, (Any, Any, Long)])] = {
     import org.apache.spark.sql.functions.{col => fcol, count => fcount, first => ffirst, input_file_name, lit => flit}
+    // stamp the table's Iceberg field ids into the parquet columns
+    // (parquet.field.id metadata + the default-on fieldId writer): id-based
+    // resolution is what survives column renames, and any real engine's
+    // files carry ids — ours now do too
+    val df = stampFieldIds(df0, fieldIds)
     val stage = Files.createTempDirectory("graft_iceberg_write")
     val dupCols = transforms.map(t => s"__p_${t.fieldName}")
     val stagedDf =
@@ -571,7 +603,20 @@ object IcebergWrite {
     //    per-file record counts AND typed per-file partition values in ONE
     //    job — a real Iceberg reader trusts record_count and prunes on the
     //    partition record, so wrong values would corrupt its scan.
-    val dataFiles = stageDataFiles(spark, df, table, transforms, partTypes)
+    val stageIds: Map[String, Int] = priorAtCheck match {
+      case Some(meta) =>
+        val base = fieldIdMap(priorAtCheck)
+        // evolving appends mint lastCol+1… for brand-new columns, in df
+        // order — the SAME assignment evolvedSchemas records, so file ids
+        // and schema ids can't diverge
+        val lastCol = meta.path("last-column-id")
+          .asInt(currentSchemaNode(meta).path("fields").size())
+        val newCols = df.schema.fields.toSeq.filterNot(f => base.contains(f.name))
+        base ++ newCols.zipWithIndex.map { case (f, i) => f.name -> (lastCol + i + 1) }
+      case None =>
+        df.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+    }
+    val dataFiles = stageDataFiles(spark, df, table, transforms, partTypes, stageIds)
     val rowCount = dataFiles.map(_._2).sum
 
     // 2–5. manifest (status 1 = ADDED) + list + metadata via the shared
@@ -844,6 +889,102 @@ object IcebergWrite {
     * be live in an older retained one, so only full absence makes a file
     * reclaimable. Foreign files under the table root are left alone.
     * Metadata-only: O(manifests) driver reads, no data scanned. */
+  /** RENAME a column — the spec's field-id evolution: a NEW schema joins
+    * the chain with the field's ID unchanged and only its name replaced;
+    * no data file, manifest, or delete file is touched at any scale.
+    * Files written by any Iceberg engine (including ours, which stamps
+    * parquet field ids) resolve the renamed column by id. Partition specs
+    * and equality deletes reference source-ids, so they survive verbatim.
+    * Old snapshots keep citing their old schema-id — time travel shows
+    * the old name. */
+  def renameColumn(spark: SparkSession, table: String,
+      oldName: String, newName: String): Unit =
+    evolveCurrentSchema(table, "rename", { cur =>
+      val names = cur.path("fields").elements().asScala.map(_.path("name").asText()).toSeq
+      require(names.contains(oldName), s"no column '$oldName' in ${names.mkString(",")}")
+      require(!names.contains(newName), s"column '$newName' already exists")
+      cur.path("fields").elements().asScala.map { f =>
+        if (f.path("name").asText() == oldName) {
+          val c = f.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+          c.put("name", newName)
+          c.toString
+        } else f.toString
+      }.toSeq
+    })
+
+  /** DROP a column — field-id evolution like [[renameColumn]]: the field
+    * leaves the current schema, files keep the unread bytes. Refused when
+    * the column's id is referenced by the default partition spec or by a
+    * live equality-delete file (either would dangle). */
+  def dropColumn(spark: SparkSession, table: String, name: String): Unit =
+    evolveCurrentSchema(table, "drop", { cur =>
+      val fields = cur.path("fields").elements().asScala.toSeq
+      val target = fields.find(_.path("name").asText() == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$name' in ${fields.map(_.path("name").asText()).mkString(",")}"))
+      require(fields.size > 1, "cannot drop the last column")
+      val id = target.path("id").asInt(-1)
+      val meta = mapper.readTree(IcebergRead.metadataFile(table))
+      val specRefs = meta.path("partition-specs").elements().asScala
+        .flatMap(_.path("fields").elements().asScala)
+        .map(_.path("source-id").asInt(-1)).toSet
+      require(!specRefs.contains(id),
+        s"cannot drop '$name': partition spec references field id $id")
+      require(!liveEqualityIds(table).contains(id),
+        s"cannot drop '$name': live equality-delete files reference field id $id")
+      fields.filterNot(_.path("name").asText() == name).map(_.toString)
+    })
+
+  /** Metadata-only schema commit shared by rename/drop: the builder maps
+    * the CURRENT schema node to its new field list; the result joins the
+    * schemas chain under a fresh schema-id (old snapshots keep citing
+    * theirs), and a new metadata version is claimed race-safely. */
+  private def evolveCurrentSchema(table: String, what: String,
+      newFields: com.fasterxml.jackson.databind.JsonNode => Seq[String]): Unit = {
+    while (true) {
+      val base = currentVersion(table)
+      require(base > 0, s"not an Iceberg table: $table")
+      val prior = mapper.readTree(metaDir(table).resolve(s"v$base.metadata.json").toFile)
+        .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      val cur = currentSchemaNode(prior)
+      val fields = newFields(cur)
+      val newId = prior.path("schemas").elements().asScala
+        .map(_.path("schema-id").asInt(0)).foldLeft(0)(math.max) + 1
+      val evolved = mapper.readTree(
+        s"""{"type":"struct","schema-id":$newId,"fields":[${fields.mkString(",")}]}""")
+      prior.path("schemas").asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+        .add(evolved)
+      prior.put("current-schema-id", newId)
+      prior.put("last-updated-ms", System.currentTimeMillis())
+      if (writeMetaVersion(table, base + 1, prior)) return
+    }
+  }
+
+  /** Field ids referenced by the current snapshot's live equality-delete
+    * files — O(delete manifests) driver metadata. */
+  private def liveEqualityIds(table: String): Set[Int] = {
+    val meta = mapper.readTree(IcebergRead.metadataFile(table))
+    val cur = meta.path("current-snapshot-id").asLong(-1L)
+    meta.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong(-2L) == cur).toSeq
+      .flatMap { s =>
+        if (!s.has("manifest-list")) Seq.empty
+        else IcebergRead.avroRecords(IcebergRead.localPath(s.path("manifest-list").asText()))
+          .filter(r => Option(r.get("content")).exists(_.toString.toInt == 1))
+          .map(_.get("manifest_path").toString)
+          .flatMap { mp =>
+            IcebergRead.avroRecords(IcebergRead.localPath(mp)).flatMap { e =>
+              val dfr = e.get("data_file")
+                .asInstanceOf[org.apache.avro.generic.GenericRecord]
+              Option(dfr.get("equality_ids")) match {
+                case Some(l: java.util.List[_]) => l.asScala.map(_.toString.toInt)
+                case _ => Seq.empty[Int]
+              }
+            }
+          }
+      }.toSet
+  }
+
   /** Named REF (spec v2 `refs` map): pin `name` to a snapshot — `tag` for
     * immutable audit/release points, `branch` for a movable head. A ref
     * PROTECTS its snapshot from [[expireSnapshots]] and [[rollback]]
@@ -1152,7 +1293,9 @@ object IcebergWrite {
     val nKeys = distinctKeys.count()
     require(nKeys > 0, "deleteWhereEquals with an empty key set")
     val nFiles = math.max(1L, (nKeys + maxKeysPerFile - 1) / maxKeysPerFile).toInt
-    distinctKeys.repartition(nFiles).write.mode("overwrite").parquet(stage.toString)
+    stampFieldIds(distinctKeys.repartition(nFiles),
+        keys.columns.toSeq.zip(eqIds).toMap)
+      .write.mode("overwrite").parquet(stage.toString)
     def rmr(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr); f.delete()
     }

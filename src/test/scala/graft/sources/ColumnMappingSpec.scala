@@ -82,6 +82,45 @@ class ColumnMappingSpec extends SparkSpec {
     }
   }
 
+  test("iceberg rename: field-id evolution, old files resolve by id, history reports rename") {
+    val t = tmp("imap_ren") + "/tbl"
+    IcebergWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name"), t)
+    IcebergWrite.renameColumn(spark, t, "name", "title")
+    // the pre-rename data file resolves the renamed column BY FIELD ID
+    assert(IcebergRead.snapshot(spark, t).select(col("id"), col("title"))
+      .as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+    // appends use the new logical name; both file generations read together
+    IcebergWrite.append(spark, Seq((3L, "c")).toDF("id", "title"), t)
+    assert(IcebergRead.snapshot(spark, t).select(col("id"), col("title"))
+      .as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // position delete on the renamed table
+    IcebergWrite.deleteWhere(spark, t, col("id") === 2L)
+    assert(IcebergRead.snapshot(spark, t).select(col("id"), col("title"))
+      .as[(Long, String)].collect().toSet === Set((1L, "a"), (3L, "c")))
+    // schema history: field-id keying reports a RENAME, not drop+add
+    val h = IcebergRead.schemaHistory(spark, t).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(h.contains(("rename_column", "name -> title")))
+  }
+
+  test("iceberg drop: guards on partition-spec and equality-delete references") {
+    val t = tmp("imap_drop") + "/tbl"
+    IcebergWrite.append(spark,
+      Seq((1L, "a", "g1"), (2L, "b", "g2")).toDF("id", "name", "grp"),
+      t, partitionBy = Seq("grp"))
+    intercept[IllegalArgumentException] {
+      IcebergWrite.dropColumn(spark, t, "grp") // partition source
+    }
+    IcebergWrite.deleteWhereEquals(spark, t, Seq(Tuple1("a")).toDF("name"))
+    intercept[IllegalArgumentException] {
+      IcebergWrite.dropColumn(spark, t, "name") // live equality delete
+    }
+    IcebergWrite.dropColumn(spark, t, "id") // unreferenced: fine
+    val snap = IcebergRead.snapshot(spark, t)
+    assert(snap.schema.fieldNames.toSeq === Seq("name", "grp"))
+    assert(snap.as[(String, String)].collect().toSet === Set(("b", "g2")))
+  }
+
   test("mapped tables refuse the unwired writers loudly") {
     val t = tmp("cmap_guard") + "/tbl"
     DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "name"), t)
