@@ -872,10 +872,51 @@ object IoQueries {
       FROM events WHERE event_type IN ('click', 'view') GROUP BY event_type
       ORDER BY fmt, event_type"""))
 
+  /** S8m2/S9m2 COLUMN RENAME on both formats: stage a slice of events,
+    * rename value→amount and event_type→kind (Delta boots column mapping;
+    * Iceberg evolves by field id), append MORE rows under the NEW names,
+    * and aggregate by the renamed columns — old files must resolve the
+    * renamed columns (physical-name projection / field-id resolution) and
+    * new files must land beside them. Oracle recomputes from events. */
+  val tlakeRename = GQuery(
+    "t_lake_rename",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events").select(col("event_id"), col("value"), col("event_type"))
+      val first = ev.where(col("event_type").isin("click", "view"))
+      val more = ev.where(col("event_type") === "purchase")
+        .withColumnRenamed("value", "amount").withColumnRenamed("event_type", "kind")
+
+      val dt = tmp("graft_rename_q_d") + "/tbl"
+      graft.sources.DeltaWrite.append(s, first, dt)
+      graft.sources.Lake.renameColumn(s, dt, "value", "amount")
+      graft.sources.Lake.renameColumn(s, dt, "event_type", "kind")
+      graft.sources.DeltaWrite.append(s, more, dt)
+
+      val it = tmp("graft_rename_q_i") + "/tbl"
+      graft.sources.IcebergWrite.append(s, first, it)
+      graft.sources.Lake.renameColumn(s, it, "value", "amount")
+      graft.sources.Lake.renameColumn(s, it, "event_type", "kind")
+      graft.sources.IcebergWrite.append(s, more, it)
+
+      def agg(df: org.apache.spark.sql.DataFrame, fmt: String) =
+        df.groupBy(col("kind"))
+          .agg(count(lit(1)).as("cnt"), round(sum(col("amount")), 2).as("sum_amount"))
+          .withColumn("fmt", lit(fmt))
+      agg(graft.sources.DeltaRead.snapshot(s, dt), "delta")
+        .unionByName(agg(graft.sources.IcebergRead.snapshot(s, it), "iceberg"))
+        .select(col("fmt"), col("kind"), col("cnt"), col("sum_amount"))
+        .orderBy(col("fmt"), col("kind"))
+    },
+    Some("""SELECT fmt, event_type AS kind, count(*) AS cnt,
+        round(sum(value), 2) AS sum_amount
+      FROM events CROSS JOIN (SELECT unnest(['delta', 'iceberg']) AS fmt)
+      WHERE event_type IN ('click', 'view', 'purchase')
+      GROUP BY fmt, event_type ORDER BY fmt, kind"""))
+
   def all: Seq[GQuery] =
     Seq(t1, t1orc, t2, t3, tskip, tbloom, ticebergStats, tdeltaStats, tdelta, ticeberg,
       tdeltaRt, ticebergRt, ticebergMor,
       tdeltaDv, tdeltaUpsert, ticebergPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tcdcApply, tlakeSync, tlakeClone,
-      tlakeRestore)
+      tlakeRestore, tlakeRename)
 }

@@ -85,6 +85,27 @@ object Lake {
         s"plain parquet at $path has no commit history")
     }
 
+  /** Column RENAME dispatch — metadata-only on both formats (Delta via
+    * column mapping, Iceberg via field-id schema evolution); no data file
+    * is rewritten at any scale. */
+  def renameColumn(spark: SparkSession, path: String,
+      oldName: String, newName: String): Unit =
+    detect(spark, path) match {
+      case Delta => DeltaWrite.renameColumn(spark, path, oldName, newName)
+      case Iceberg => IcebergWrite.renameColumn(spark, path, oldName, newName)
+      case Parquet => throw new IllegalArgumentException(
+        s"plain parquet at $path has no schema metadata to rename in — rewrite the files")
+    }
+
+  /** Column DROP dispatch — metadata-only twin of [[renameColumn]]. */
+  def dropColumn(spark: SparkSession, path: String, name: String): Unit =
+    detect(spark, path) match {
+      case Delta => DeltaWrite.dropColumn(spark, path, name)
+      case Iceberg => IcebergWrite.dropColumn(spark, path, name)
+      case Parquet => throw new IllegalArgumentException(
+        s"plain parquet at $path has no schema metadata to drop from — rewrite the files")
+    }
+
   /** RESTORE dispatch: roll the table's live state back to a prior
     * version (Delta log version / Iceberg snapshot id) — the recovery
     * path after a bad write. Delta restores as a NEW commit (history
