@@ -133,6 +133,48 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sliding chunks: exact cover, count law, reconstruction at stride=window") {
+    val words = Gen.listOfN(40, Gen.oneOf("a", "bb", "ccc", "dd", "e"))
+    val params = Gen.zip(words, Gen.chooseNum(1, 8), Gen.chooseNum(1, 8))
+      .map { case (w, a, b) => (w, math.max(a, b), math.min(a, b)) } // window >= stride
+    forSamples(params, n = 15) { case (ws, window, stride) =>
+      val text = ws.mkString(" ")
+      val chunks = Seq(Tuple1(text)).toDF("text")
+        .select(functions.TextFunctions.slidingTokenChunks(col("text"), window, stride).as("c"))
+        .as[Seq[String]].head()
+      val n = ws.size
+      // count law: 1 + ceil(max(n - window, 0) / stride)
+      val expected = 1 + math.max(0, math.ceil((n - window).toDouble / stride).toInt)
+      assert(chunks.size === expected, s"n=$n w=$window s=$stride")
+      // every chunk except possibly the last is exactly `window` tokens,
+      // and chunk i starts at token i*stride
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        val toks = c.split(" ", -1).toSeq
+        val start = i * stride
+        assert(toks === ws.slice(start, math.min(start + window, n)),
+          s"chunk $i, n=$n w=$window s=$stride")
+      }
+      // exact cover: concatenating stride-prefixes + last chunk rebuilds the doc
+      if (stride == window)
+        assert(chunks.mkString(" ").split(" ", -1).toSeq === ws)
+    }
+  }
+
+  test("PSI is zero on identical slices and non-negative always") {
+    val vals = Gen.listOfN(60, Gen.chooseNum(0, 99).map(_.toDouble))
+    forSamples(Gen.zip(vals, vals), n = 8) { case (a, b) =>
+      val df = (a.map((_, true)) ++ b.map((_, false))).toDF("v", "ref")
+      val rows = operators.Profile.psi(df, col("v"), col("ref"), 0.0, 100.0, 5)
+        .select(col("psi_micro")).as[Long].collect()
+      // each per-bucket contribution (p-q)ln(p/q) is non-negative
+      assert(rows.forall(_ >= 0L))
+      val same = (a.map((_, true)) ++ a.map((_, false))).toDF("v", "ref")
+      val zero = operators.Profile.psi(same, col("v"), col("ref"), 0.0, 100.0, 5)
+        .select(col("psi_micro")).as[Long].collect()
+      assert(zero.forall(_ === 0L))
+    }
+  }
+
   test("shared spans never exceed either document's token count") {
     import graft.operators.Contamination
     val word = Gen.oneOf("x", "y", "z", "w")
