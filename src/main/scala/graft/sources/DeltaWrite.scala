@@ -283,6 +283,7 @@ object DeltaWrite {
           .map(n => col(n).as(phys(n))): _*)
         stageParts = partitionBy.map(phys)
       }
+      enforceConstraints(snap, df)
     }
     val staged = stageFiles(stageDf, table, stageParts)
     val adds = staged.map { case (rel, values, stats) =>
@@ -306,9 +307,11 @@ object DeltaWrite {
   def overwrite(spark: SparkSession, df: DataFrame, table: String,
       partitionBy: Seq[String] = Nil): Long = {
     require(currentVersions(table).nonEmpty, s"overwrite of non-existent table $table — use append")
-    require(DeltaRead.snapshotInfo(spark, table).columnMappingMode == "none",
+    val snapAtCheck = DeltaRead.snapshotInfo(spark, table)
+    require(snapAtCheck.columnMappingMode == "none",
       "overwrite of a column-mapped table is not supported (the metaData swap " +
         "would drop the mapping)")
+    enforceConstraints(snapAtCheck, df)
     val staged = stageFiles(df, table, partitionBy)
     val adds = staged.map { case (rel, values, stats) =>
       addAction(pctEncodePath(rel), values, Files.size(Paths.get(table, rel)), stats = stats)
@@ -353,7 +356,7 @@ object DeltaWrite {
     * DV delete on a candidate file is never lost. */
   def compact(spark: SparkSession, table: String,
       smallFileBytes: Long = 64L << 20, targetFileBytes: Long = 128L << 20,
-      zorderBy: Seq[String] = Nil): Long = {
+      zorderBy: Seq[String] = Nil, where: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{col => fcol}
     require(currentVersions(table).nonEmpty, s"not a Delta table: $table")
     while (true) {
@@ -361,14 +364,48 @@ object DeltaWrite {
       require(snap.columnMappingMode == "none",
         "compaction under column mapping is not supported (rewritten files " +
           "would need physical-name columns)")
+      // `where` scopes maintenance to the partitions matching a predicate
+      // over the TYPED partition columns ("day = '2024-01-03'", "grp IN
+      // (...)") — at 100 TB you compact yesterday's partition, not the
+      // table. Evaluated once per distinct partition tuple (driver-tiny);
+      // membership is decided on the original log strings via an index,
+      // so cast round-trips can't mis-bucket a file.
+      val inScope: DeltaRead.LiveFile => Boolean = where match {
+        case None => _ => true
+        case Some(pred) =>
+          require(snap.partitionColumns.nonEmpty,
+            "compact(where=...) scopes by partition values — the table is unpartitioned")
+          val cols = snap.partitionColumns
+          val tuples = snap.files
+            .map(f => cols.map(c => f.partitionValues.getOrElse(c, null))).distinct
+          val schema = org.apache.spark.sql.types.StructType(
+            cols.map(c => org.apache.spark.sql.types.StructField(c,
+              org.apache.spark.sql.types.StringType)))
+          val rows = tuples.zipWithIndex.map { case (t, i) =>
+            org.apache.spark.sql.Row.fromSeq(t :+ i.toLong)
+          }
+          val sdf = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1),
+            schema.add("__idx", org.apache.spark.sql.types.LongType))
+          val keepIdx = sdf
+            .select((cols.map(c => fcol(c).cast(snap.schema(c).dataType).as(c)) :+
+              fcol("__idx")): _*)
+            .where(expr(pred)).select(fcol("__idx"))
+            .collect().map(_.getLong(0)).toSet
+          val keepTuples = tuples.zipWithIndex
+            .collect { case (t, i) if keepIdx(i.toLong) => t }.toSet
+          f => keepTuples.contains(cols.map(c => f.partitionValues.getOrElse(c, null)))
+      }
       // candidate selection is PER PARTITION: two small files in different
       // partitions cannot be merged (the rewrite would just re-emit them),
       // so a partition qualifies only with ≥2 small files or a DV to purge.
-      // ZORDER is an explicit full re-layout (every file re-clusters) —
-      // deliberately NOT idempotent: the caller asked for a rewrite.
+      // ZORDER is an explicit full re-layout (every in-scope file
+      // re-clusters) — deliberately NOT idempotent: the caller asked for a
+      // rewrite.
+      val scoped = snap.files.filter(inScope)
       val candidates =
-        if (zorderBy.nonEmpty) snap.files
-        else snap.files.groupBy(_.partitionValues).values.flatMap { fs =>
+        if (zorderBy.nonEmpty) scoped
+        else scoped.groupBy(_.partitionValues).values.flatMap { fs =>
           val small = fs.filter(f => f.size < smallFileBytes || f.dv.isDefined)
           if (small.size >= 2 || small.exists(_.dv.isDefined)) small else Nil
         }.toSeq
@@ -416,6 +453,66 @@ object DeltaWrite {
     * foreign files are left alone. Returns the deleted paths. Metadata
     * only: the referenced set is O(files × retained versions) from log
     * replay — no data is read. */
+  /** CHECK constraints (the protocol's `delta.constraints.<name>`
+    * configuration): [[addCheckConstraint]] first proves every EXISTING
+    * row satisfies the predicate (one distributed count — a constraint
+    * that the table already violates must not be installable), then
+    * commits the metaData swap; every later [[append]]/[[overwrite]]/
+    * [[upsert]] enforces all installed constraints on the incoming rows
+    * and refuses the write with per-constraint violation counts. SQL
+    * semantics: only FALSE violates (NULL passes — the standard CHECK
+    * rule, so `x > 0` admits null x unless you also constrain
+    * `x IS NOT NULL`). */
+  def addCheckConstraint(spark: SparkSession, table: String,
+      name: String, predicateSql: String): Long = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"constraint name '$name' must be [A-Za-z0-9_]+")
+    val nViol = DeltaRead.snapshot(spark, table)
+      .where(!coalesce(expr(predicateSql), lit(true))).count()
+    require(nViol == 0,
+      s"cannot add CHECK constraint '$name': $nViol existing rows violate ($predicateSql)")
+    while (true) {
+      val snap = DeltaRead.snapshotInfo(spark, table)
+      val key = s"delta.constraints.$name"
+      require(!snap.configuration.contains(key), s"constraint '$name' already exists")
+      val content = metaAction(snap.schema, snap.partitionColumns,
+        if (snap.metaId.nonEmpty) snap.metaId else newTableId(),
+        snap.configuration + (key -> predicateSql))
+      if (tryCommitAt(table, snap.version + 1, content)) return snap.version + 1
+    }
+    -1L // unreachable
+  }
+
+  /** Remove a CHECK constraint; no-op version bump refused if absent. */
+  def dropCheckConstraint(spark: SparkSession, table: String, name: String): Long = {
+    while (true) {
+      val snap = DeltaRead.snapshotInfo(spark, table)
+      val key = s"delta.constraints.$name"
+      require(snap.configuration.contains(key), s"no constraint '$name' on $table")
+      val content = metaAction(snap.schema, snap.partitionColumns,
+        if (snap.metaId.nonEmpty) snap.metaId else newTableId(),
+        snap.configuration - key)
+      if (tryCommitAt(table, snap.version + 1, content)) return snap.version + 1
+    }
+    -1L // unreachable
+  }
+
+  /** Enforce the table's installed CHECK constraints on incoming rows —
+    * called by every row-adding writer. One count job per constraint
+    * (constraints are few; the common case is zero and costs nothing). */
+  private def enforceConstraints(snap: DeltaRead.Snapshot, df: DataFrame): Unit = {
+    val installed = snap.configuration.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        k.stripPrefix("delta.constraints.") -> v
+    }
+    val violated = installed.toSeq.map { case (n, p) =>
+      (n, p, df.where(!coalesce(expr(p), lit(true))).count())
+    }.filter(_._3 > 0)
+    require(violated.isEmpty,
+      "CHECK constraint(s) violated: " + violated
+        .map { case (n, p, c) => s"$n ($c rows fail '$p')" }.mkString("; "))
+  }
+
   /** Column-mapping bootstrap: the snapshot's schema with physical names
     * and ids assigned (IDENTITY physicals for existing columns, so no
     * data file, partition dir, or committed partitionValues key changes
@@ -795,6 +892,7 @@ object DeltaWrite {
     require(snap0.schema.fieldNames.sorted.sameElements(df.schema.fieldNames.sorted),
       s"upsert schema ${df.schema.fieldNames.mkString(",")} does not match table " +
         s"schema ${snap0.schema.fieldNames.mkString(",")}")
+    enforceConstraints(snap0, df)
 
     // matched = table rows whose key tuple appears in df (null-safe)
     val lineage = DeltaRead.snapshotWithLineage(spark, table)

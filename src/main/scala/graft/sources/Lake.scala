@@ -276,6 +276,15 @@ object Lake {
       require(args.length == 1, "lake_schema_history(path)")
       Bridge.logicalPlan(schemaHistory(spark, str(args.head, "lake_schema_history: path")))
     })
+    // SELECT * FROM lake_refs('/path'): named refs (Iceberg tags/branches)
+    Bridge.registerTableFunction(spark, "lake_refs", { args =>
+      require(args.length == 1, "lake_refs(path)")
+      val p = str(args.head, "lake_refs: path")
+      import spark.implicits._
+      val rows = IcebergRead.refs(spark, p).toSeq
+        .map { case (n, (id, t)) => (n, id, t) }.sortBy(_._1)
+      Bridge.logicalPlan(rows.toDF("name", "snapshot_id", "type"))
+    })
     // SELECT * FROM lake_file_stats('/path'[, version]): decoded per-file
     // min/max/null-count stats — what scanPruned prunes against
     Bridge.registerTableFunction(spark, "lake_file_stats", { args =>
@@ -301,10 +310,13 @@ object Lake {
     * rewrite atomic — use `operators.Layout.compact` (copy-based) there. */
   def compact(spark: SparkSession, path: String,
       smallFileBytes: Long = 64L << 20, targetFileBytes: Long = 128L << 20,
-      zorderBy: Seq[String] = Nil): Long =
+      zorderBy: Seq[String] = Nil, where: Option[String] = None): Long =
     detect(spark, path) match {
-      case Delta => DeltaWrite.compact(spark, path, smallFileBytes, targetFileBytes, zorderBy)
+      case Delta =>
+        DeltaWrite.compact(spark, path, smallFileBytes, targetFileBytes, zorderBy, where)
       case Iceberg =>
+        require(where.isEmpty,
+          "partition-scoped compaction (where=...) is Delta-only for now")
         IcebergWrite.compact(spark, path, smallFileBytes, targetFileBytes, zorderBy)
       case Parquet => throw new IllegalArgumentException(
         s"plain parquet at $path has no log for an atomic rewrite — " +
