@@ -1068,9 +1068,42 @@ object LlmQueries {
         md5(chunk_text) AS chunk_md5
       FROM c ORDER BY doc_id, chunk_idx"""))
 
+  /** L32 CHUNK-LEVEL DEDUP: boilerplate detection at chunk granularity —
+    * sliding chunks shared VERBATIM by more than one document (headers,
+    * license blocks, templated spans) with doc counts and total
+    * occurrences. The chunk-granular complement of line-level dedup
+    * (l19): a chunk shared across documents is exactly the repeated-span
+    * signal pretraining filters act on. Same no-shuffle chunking
+    * projection as l31, then one hash aggregation on the chunk digest. */
+  val l32 = GQuery(
+    "l32_chunk_dedup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      docs.select(col("doc_id"),
+          posexplode(TextFunctions.slidingTokenChunks(col("text"), 32, 24))
+            .as(Seq("chunk_idx", "chunk_text")))
+        .groupBy(md5(col("chunk_text")).as("chunk_md5"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .where(col("n_docs") > 1)
+        .orderBy(col("chunk_md5"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      n AS (SELECT doc_id, w,
+          GREATEST(CAST(ceil((len(w) - 32) / 24.0) AS INT), 0) AS max_i FROM t),
+      e AS (SELECT doc_id, w, unnest(range(0, max_i + 1)) AS chunk_idx FROM n),
+      c AS (SELECT doc_id,
+          md5(array_to_string(list_slice(w, chunk_idx*24 + 1, chunk_idx*24 + 32), ' ')) AS chunk_md5
+        FROM e)
+      SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs,
+        count(*) AS n_occurrences
+      FROM c GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) > 1
+      ORDER BY chunk_md5"""))
+
   def all: Seq[GQuery] = Seq(l1, l2, l2brute, l2simhash, l2simhashPairs, l2cluster, l2quality,
     l2embedding, l3, l3scalable, l3lsh, l3ivf, l3kmeans, l3pq, l3sq,
-    l3lshRecall, l3ivfRecall, l3kmeansRecall, l3pqRecall, l3sqRecall, l26, l27, l28, l29, l30, l31,
+    l3lshRecall, l3ivfRecall, l3kmeansRecall, l3pqRecall, l3sqRecall, l26, l27, l28, l29, l30,
+    l31, l32,
     l4langid, l5, l6, l7, l8, l9,
     l10, l11, l11b, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l24, l24b, l25)
 }
