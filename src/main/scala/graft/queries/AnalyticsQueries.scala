@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GQuery, Spread, Tables}
 import graft.functions.TextFunctions
@@ -496,6 +497,33 @@ object AnalyticsQueries {
         CAST(round((p_ref - p_cur) * ln(p_ref / p_cur) * 1000000.0) AS BIGINT) AS psi_micro
       FROM f ORDER BY bucket"""))
 
+  /** T52 RANK STATISTICS: ntile / percent_rank / cume_dist per user over
+    * purchase values — the distribution-rank window family (W5's rank/
+    * dense_rank siblings). Fractions in integer micro-units (l26
+    * determinism contract: both engines compute the identical
+    * (rank−1)/(n−1) and rows≤/n rationals, one integral rounding). One
+    * window shuffle on the user key. */
+  val t52 = GQuery(
+    "t52_rank_stats",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+      t(s, dir, "events")
+        .where(col("event_type") === "purchase" && col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w) * 1000000).cast("long").as("pr_micro"),
+          round(cume_dist().over(w) * 1000000).cast("long").as("cd_micro"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT user_id, event_id,
+        ntile(4) OVER w AS quartile,
+        CAST(round(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_micro,
+        CAST(round(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_micro
+      FROM events WHERE event_type = 'purchase' AND user_id < 20
+      WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+      ORDER BY user_id, event_id"""))
+
   val all: Seq[GQuery] =
-    Seq(t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, l23, l3ivfx, b14b, b14c)
+    Seq(t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52,
+      l23, l3ivfx, b14b, b14c)
 }
