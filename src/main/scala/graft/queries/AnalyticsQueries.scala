@@ -523,7 +523,25 @@ object AnalyticsQueries {
       WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
       ORDER BY user_id, event_id"""))
 
+  /** T53 LIST AGGREGATION: collect_set → sorted csv per key (the listagg/
+    * string_agg family) + row counts — deterministic by sorting inside the
+    * aggregate before concatenation (an UNSORTED listagg is
+    * order-nondeterministic by construction on both engines). Map-side
+    * partial collect_set, one hash-agg shuffle on the key. */
+  val t53 = GQuery(
+    "t53_string_agg",
+    (s, dir) =>
+      t(s, dir, "events").where(col("user_id") < 12)
+        .groupBy(col("user_id"))
+        .agg(concat_ws(",", array_sort(collect_set(col("event_type")))).as("types"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("user_id")),
+    Some("""SELECT user_id,
+        string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+        count(*) AS cnt
+      FROM events WHERE user_id < 12 GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[GQuery] =
-    Seq(t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52,
+    Seq(t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53,
       l23, l3ivfx, b14b, b14c)
 }
