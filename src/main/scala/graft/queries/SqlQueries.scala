@@ -21,6 +21,27 @@ object SqlQueries {
   def sql(name: String): String = texts(name)
 
   val texts: Map[String, String] = Map(
+    "t52_rank_stats" -> """SELECT user_id, event_id,
+        ntile(4) OVER w AS quartile,
+        CAST(round(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_micro,
+        CAST(round(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_micro
+      FROM events WHERE event_type = 'purchase' AND user_id < 20
+      WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+      ORDER BY user_id, event_id""",
+    "t53_string_agg" -> """SELECT user_id,
+        concat_ws(',', array_sort(collect_set(event_type))) AS types,
+        count(1) AS cnt
+      FROM events WHERE user_id < 12 GROUP BY user_id ORDER BY user_id""",
+    "l32_chunk_dedup" -> """WITH c AS (
+        SELECT doc_id, chunk_text
+        FROM documents
+        LATERAL VIEW posexplode(transform(
+          sequence(0, greatest(CAST(ceil((size(split(text, ' ')) - 32) / 24.0) AS INT), 0)),
+          i -> concat_ws(' ', slice(split(text, ' '), i * 24 + 1, 32)))) v AS chunk_idx, chunk_text)
+      SELECT md5(chunk_text) AS chunk_md5,
+        count(DISTINCT doc_id) AS n_docs, count(1) AS n_occurrences
+      FROM c GROUP BY md5(chunk_text) HAVING count(DISTINCT doc_id) > 1
+      ORDER BY chunk_md5""",
     "l31_chunking" -> """SELECT doc_id, chunk_idx,
         size(split(chunk_text, ' ')) AS n_toks, md5(chunk_text) AS chunk_md5
       FROM documents
