@@ -28,6 +28,44 @@ object Sampling {
     (df.where(b >= testBuckets), df.where(b < testBuckets))
   }
 
+  /** TEMPERATURE-BASED source mixing — the pretraining reweighting step:
+    * sample so the kept corpus's source distribution follows
+    * p_s ∝ n_s^(1/τ) (τ = 1 natural, τ → ∞ uniform across sources; the
+    * multilingual/multi-source rebalancing rule popularized by the
+    * XLM-R / T5 mixing recipes) at an overall `targetFraction` of the
+    * corpus. Per-source keep rates are derived from one tiny per-source
+    * count aggregate (driver holds #sources doubles, never rows):
+    *   rate_s = min(1, c · n_s^(1/τ) / n_s),  c = targetFraction · N / Σ n_s^(1/τ)
+    * — oversampled small sources cap at keeping everything (no row
+    * duplication; the mix then slightly undershoots targetFraction,
+    * deterministically). Membership is the same md5-bucket filter as the
+    * other samplers at 1/10000 granularity: stable across runs, cluster
+    * sizes, and layouts, and a plain pushdown-friendly predicate at
+    * 100 TB. Returned thresholds column is the per-row keep bound, so the
+    * selection is auditable. */
+  def temperatureMix(df: DataFrame, sourceCol: String, keyCol: String,
+      temperature: Double, targetFraction: Double): DataFrame = {
+    require(temperature > 0, s"temperature must be > 0, got $temperature")
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction must be in (0, 1], got $targetFraction")
+    val counts: Seq[(String, Long)] = df
+      .groupBy(col(sourceCol).cast("string").as("__s"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("__s")) // fixed order → deterministic float sum
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val total = counts.map(_._2).sum.toDouble
+    val powSum = counts.map { case (_, n) => math.pow(n.toDouble, 1.0 / temperature) }.sum
+    val c = targetFraction * total / powSum
+    val thresholds: Seq[(String, Long)] = counts.map { case (s, n) =>
+      val rate = math.min(1.0, c * math.pow(n.toDouble, 1.0 / temperature) / n)
+      s -> math.floor(rate * 10000.0).toLong
+    }
+    val thr = thresholds.foldLeft(lit(-1L)) { case (acc, (s, t)) =>
+      when(col(sourceCol).cast("string") === s, lit(t)).otherwise(acc)
+    }
+    df.where(bucketOf(col(keyCol), 10000) < thr)
+  }
+
   /** Stratified sample: a different keep-fraction per stratum (e.g. balance
     * languages in a training mix), still hash-deterministic — the
     * `df.stat.sampleBy` idea without its seed/partition-layout dependence.

@@ -494,6 +494,35 @@ object LlmQueries {
       WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 20 WHEN 'zh' THEN 10 ELSE -1 END
       GROUP BY lang ORDER BY lang"""))
 
+  /** L33 TEMPERATURE MIX (τ = 2, target 50%): the pretraining source-
+    * rebalancing rule p_s ∝ n_s^(1/τ). τ = 2 makes the exponent a sqrt —
+    * IEEE-exact on both engines, so the per-source thresholds the two
+    * sides derive from their own count aggregates agree bit-for-bit and
+    * the md5-bucket membership hashes match. */
+  val l33 = GQuery(
+    "l33_temperature_mix",
+    (s, dir) => {
+      graft.operators.Sampling.temperatureMix(
+        t(s, dir, "documents"), "source", "doc_id",
+        temperature = 2.0, targetFraction = 0.5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("sampled"), min(col("doc_id")).as("first_id"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH cnt AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
+        FROM documents GROUP BY source),
+      tot AS (SELECT sum(n) AS total, sum(sqrt(n)) AS powsum FROM cnt),
+      thr AS (SELECT source,
+          CAST(floor(LEAST(1.0, (0.5 * total / powsum) * sqrt(n) / n) * 10000.0) AS BIGINT) AS t
+        FROM cnt, tot),
+      b AS (SELECT d.doc_id, d.source,
+          ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::INTEGER % 10000 AS bucket
+        FROM documents d)
+      SELECT b.source, count(*) AS sampled, min(b.doc_id) AS first_id
+      FROM b JOIN thr ON thr.source = b.source
+      WHERE b.bucket < thr.t
+      GROUP BY b.source ORDER BY b.source"""))
+
   val l12 = GQuery(
     "l12_train_test_split",
     (s, dir) => {
@@ -1105,5 +1134,5 @@ object LlmQueries {
     l3lshRecall, l3ivfRecall, l3kmeansRecall, l3pqRecall, l3sqRecall, l26, l27, l28, l29, l30,
     l31, l32,
     l4langid, l5, l6, l7, l8, l9,
-    l10, l11, l11b, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l24, l24b, l25)
+    l10, l11, l11b, l12, l33, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l24, l24b, l25)
 }

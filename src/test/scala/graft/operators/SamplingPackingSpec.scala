@@ -8,6 +8,38 @@ import org.apache.spark.sql.functions._
 class SamplingPackingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("temperatureMix upweights small sources, caps at keep-all, stays deterministic") {
+    // heavily skewed: big=2000 rows, small=40 rows
+    val df = (Seq.tabulate(2000)(i => (i.toLong, "big")) ++
+      Seq.tabulate(40)(i => (2000L + i, "small"))).toDF("id", "src")
+    val kept = Sampling.temperatureMix(df, "src", "id",
+      temperature = 2.0, targetFraction = 0.5)
+    val bySource = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rateBig = bySource("big").toDouble / 2000
+    val rateSmall = bySource.getOrElse("small", 0L).toDouble / 40
+    // τ > 1 flattens: the small source keeps a HIGHER fraction
+    assert(rateSmall > rateBig, s"small=$rateSmall big=$rateBig")
+    // overall fraction ≈ target (md5 buckets are uniform-ish; wide margin)
+    val overall = kept.count().toDouble / 2040
+    assert(overall > 0.35 && overall < 0.65, s"overall=$overall")
+    // τ = 1 degenerates to a plain uniform sample: equal rates (same
+    // threshold for every source up to floor granularity)
+    val nat = Sampling.temperatureMix(df, "src", "id",
+      temperature = 1.0, targetFraction = 0.5)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // identical per-row membership predicate → determinism across layouts
+    val again = Sampling.temperatureMix(df.repartition(7), "src", "id",
+      temperature = 2.0, targetFraction = 0.5)
+    assert(again.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      kept.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    // extreme temperature: tiny source caps at keeping everything
+    val hot = Sampling.temperatureMix(df, "src", "id",
+      temperature = 100.0, targetFraction = 0.5)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hot("small") === 40L, s"capped source keeps all rows: $hot; nat=$nat")
+  }
+
   test("trainTestSplit is disjoint and exhaustive, including NULL keys") {
     val df = (Seq.tabulate(50)(i => Some(s"k$i")) :+ Option.empty[String])
       .zipWithIndex.map { case (k, i) => (k, i) }.toDF("key", "v")
