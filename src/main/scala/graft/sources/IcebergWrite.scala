@@ -716,7 +716,7 @@ object IcebergWrite {
     * (unreferenced) for older snapshots' time travel until expiration. */
   def compact(spark: SparkSession, table: String,
       smallFileBytes: Long = 64L << 20, targetFileBytes: Long = 128L << 20,
-      zorderBy: Seq[String] = Nil): Long = {
+      zorderBy: Seq[String] = Nil, where: Option[String] = None): Long = {
     // a valid table with metadata but NO snapshots yet has nothing to
     // compact — and its current-snapshot-id (-1) would collide with the
     // lost-race sentinel below, spinning the loop forever
@@ -728,14 +728,15 @@ object IcebergWrite {
     // optimistic outer loop: ALL state (kept entries, candidates) derives
     // from one observed version; a concurrent commit aborts the claim
     // (expectBase) and re-derives here rather than dropping the winner
-    var attempt = compactOnce(spark, table, smallFileBytes, targetFileBytes, zorderBy)
+    var attempt = compactOnce(spark, table, smallFileBytes, targetFileBytes, zorderBy, where)
     while (attempt < 0)
-      attempt = compactOnce(spark, table, smallFileBytes, targetFileBytes, zorderBy)
+      attempt = compactOnce(spark, table, smallFileBytes, targetFileBytes, zorderBy, where)
     attempt
   }
 
   private def compactOnce(spark: SparkSession, table: String,
-      smallFileBytes: Long, targetFileBytes: Long, zorderBy: Seq[String]): Long = {
+      smallFileBytes: Long, targetFileBytes: Long, zorderBy: Seq[String],
+      where: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{col => fcol}
     val base = currentVersion(table)
     require(base > 0, s"not an Iceberg table: $table")
@@ -781,11 +782,72 @@ object IcebergWrite {
         }
       }
     }
+    // `where` scopes maintenance to IDENTITY partitions matching a
+    // predicate over the typed source columns (the Delta twin's contract;
+    // hidden transforms — day()/bucket()/truncate() — would need the
+    // predicate re-expressed over transform VALUES and are refused).
+    // Evaluated once per distinct partition tuple; membership keyed by
+    // index so value stringification can't mis-bucket an entry.
+    val inScope: Live => Boolean = where match {
+      case None => _ => true
+      case Some(pred) =>
+        require(transforms.nonEmpty,
+          "compact(where=...) scopes by partition values — the table is unpartitioned")
+        require(transforms.forall(_.transformString == "identity"),
+          "compact(where=...) supports identity partitions only — hidden-" +
+            "transform scoping would need the predicate over transform values")
+        import org.apache.spark.sql.functions.{col => fcol, expr => fexpr}
+        val cols = transforms.map(_.source)
+        val curSchema = currentSchemaNode(prior)
+        // only the PARTITION SOURCE columns need literal-form types —
+        // unrelated exotic columns must not block the scope
+        val sparkTypeOf: Map[String, org.apache.spark.sql.types.DataType] =
+          curSchema.path("fields").elements().asScala
+            .filter(f => cols.contains(f.path("name").asText()))
+            .map { f =>
+              f.path("name").asText() -> (f.path("type").asText() match {
+                case "long" => org.apache.spark.sql.types.LongType
+                case "int" => org.apache.spark.sql.types.IntegerType
+                case "double" => org.apache.spark.sql.types.DoubleType
+                case "string" => org.apache.spark.sql.types.StringType
+                case other => throw new IllegalArgumentException(
+                  s"compact(where=...) cannot scope on a '$other' partition column " +
+                    "(its avro partition value is not its literal form)")
+              })
+            }.toMap
+        def key(e: Live): Seq[String] =
+          e.partition.map { case (_, v) => if (v == null) null else String.valueOf(v) }
+        val tuples = entries.map(key).distinct
+        val schema = org.apache.spark.sql.types.StructType(
+          cols.map(c => org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.StringType)))
+          .add("__idx", org.apache.spark.sql.types.LongType)
+        val rows = tuples.zipWithIndex.map { case (t, i) =>
+          org.apache.spark.sql.Row.fromSeq(t :+ i.toLong)
+        }
+        val keepIdx = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+          .select((cols.map(c => fcol(c)
+            .cast(sparkTypeOf.getOrElse(c, org.apache.spark.sql.types.StringType)).as(c)) :+
+            fcol("__idx")): _*)
+          .where(fexpr(pred)).select(fcol("__idx"))
+          .collect().map(_.getLong(0)).toSet
+        val keepTuples = tuples.zipWithIndex
+          .collect { case (t, i) if keepIdx(i.toLong) => t }.toSet
+        e => keepTuples.contains(key(e))
+    }
+    val scoped = entries.filter(inScope)
     val rewrite: Seq[Live] =
-      // ZORDER = explicit full re-layout; deletes present = full rewrite
-      // purging the delete files; otherwise per-partition bin-pack
-      if (hasDeletes || zorderBy.nonEmpty) entries
-      else entries.groupBy(_.partition.map { case (k, v) => k -> String.valueOf(v) })
+      // ZORDER = explicit full re-layout (of the scope); deletes present =
+      // full rewrite purging the delete files (deletes are not
+      // partition-scopable — a delete file can span partitions, so a scoped
+      // compact with live deletes is refused below); otherwise
+      // per-partition bin-pack
+      if (hasDeletes || zorderBy.nonEmpty) {
+        require(where.isEmpty || !hasDeletes,
+          "compact(where=...) with live delete files is not supported — " +
+            "deletes can span partitions; run an unscoped compact first")
+        scoped
+      } else scoped.groupBy(_.partition.map { case (k, v) => k -> String.valueOf(v) })
         .values.flatMap { es =>
           val small = es.filter(_.bytes < smallFileBytes)
           if (small.size >= 2) small else Nil

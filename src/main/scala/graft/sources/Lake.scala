@@ -315,9 +315,7 @@ object Lake {
       case Delta =>
         DeltaWrite.compact(spark, path, smallFileBytes, targetFileBytes, zorderBy, where)
       case Iceberg =>
-        require(where.isEmpty,
-          "partition-scoped compaction (where=...) is Delta-only for now")
-        IcebergWrite.compact(spark, path, smallFileBytes, targetFileBytes, zorderBy)
+        IcebergWrite.compact(spark, path, smallFileBytes, targetFileBytes, zorderBy, where)
       case Parquet => throw new IllegalArgumentException(
         s"plain parquet at $path has no log for an atomic rewrite — " +
           "use Layout.compact to re-lay a copy")

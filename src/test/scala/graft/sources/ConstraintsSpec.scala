@@ -77,6 +77,30 @@ class ConstraintsSpec extends SparkSpec {
     }
   }
 
+  test("iceberg compact(where=...) rewrites only matching identity partitions") {
+    val t = tmp("chk_iscope") + "/tbl"
+    (1 to 2).foreach { i =>
+      IcebergWrite.append(spark,
+        Seq((i.toLong, "g1"), (i + 10L, "g2")).toDF("id", "grp"),
+        t, partitionBy = Seq("grp"))
+    }
+    def filesPer(g: String): Long =
+      IcebergRead.fileStats(spark, t).where(col("min_grp") === g).count()
+    assert(filesPer("g1") === 2 && filesPer("g2") === 2)
+    IcebergWrite.compact(spark, t, where = Some("grp = 'g1'"))
+    assert(filesPer("g1") === 1, "scoped partition compacted")
+    assert(filesPer("g2") === 2, "out-of-scope partition untouched")
+    assert(IcebergRead.snapshot(spark, t).count() === 4)
+    // hidden transforms refuse a scope predicate
+    val th = tmp("chk_iscope_h") + "/tbl"
+    IcebergWrite.append(spark,
+      Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).toDF("id", "ts"),
+      th, partitionBy = Seq("day(ts)"))
+    intercept[IllegalArgumentException] {
+      IcebergWrite.compact(spark, th, where = Some("id = 1"))
+    }
+  }
+
   test("lake_refs SQL surface lists Iceberg tags") {
     val t = tmp("chk_refs") + "/tbl"
     IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "name"), t)
