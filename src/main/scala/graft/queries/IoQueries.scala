@@ -913,10 +913,43 @@ object IoQueries {
       WHERE event_type IN ('click', 'view', 'purchase')
       GROUP BY fmt, event_type ORDER BY fmt, kind"""))
 
+  /** S10u UNIFORM EXPORT: stage events into a Delta table, export it as
+    * an ICEBERG table referencing the same files (zero copy), then
+    * aggregate the data READ THROUGH THE ICEBERG SIDE — plus an
+    * Iceberg-side append proving the export is a live table, with the
+    * Delta source re-aggregated to prove it never noticed. Oracle
+    * recomputes both scopes from events. */
+  val tlakeUniform = GQuery(
+    "t_lake_uniform",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events").select(col("event_id"), col("value"), col("event_type"))
+      val dt = tmp("graft_uniform_q_d") + "/tbl"
+      val it = tmp("graft_uniform_q_i") + "/tbl"
+      graft.sources.DeltaWrite.append(s, ev.where(col("event_type").isin("click", "view")), dt)
+      graft.sources.IcebergWrite.exportDeltaAsIceberg(s, dt, it)
+      graft.sources.IcebergWrite.append(s,
+        ev.where(col("event_type") === "purchase"), it)
+      def agg(df: org.apache.spark.sql.DataFrame, scope: String) =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+          .withColumn("scope", lit(scope))
+      agg(graft.sources.IcebergRead.snapshot(s, it), "iceberg_view")
+        .unionByName(agg(graft.sources.DeltaRead.snapshot(s, dt), "delta_source"))
+        .select(col("scope"), col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy(col("scope"), col("event_type"))
+    },
+    Some("""SELECT 'delta_source' AS scope, event_type, count(*) AS cnt,
+        round(sum(value), 2) AS sum_value
+      FROM events WHERE event_type IN ('click', 'view') GROUP BY event_type
+      UNION ALL
+      SELECT 'iceberg_view', event_type, count(*), round(sum(value), 2)
+      FROM events WHERE event_type IN ('click', 'view', 'purchase') GROUP BY event_type
+      ORDER BY scope, event_type"""))
+
   def all: Seq[GQuery] =
     Seq(t1, t1orc, t2, t3, tskip, tbloom, ticebergStats, tdeltaStats, tdelta, ticeberg,
       tdeltaRt, ticebergRt, ticebergMor,
       tdeltaDv, tdeltaUpsert, ticebergPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tcdcApply, tlakeSync, tlakeClone,
-      tlakeRestore, tlakeRename)
+      tlakeRestore, tlakeRename, tlakeUniform)
 }

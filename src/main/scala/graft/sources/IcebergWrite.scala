@@ -951,6 +951,86 @@ object IcebergWrite {
     * be live in an older retained one, so only full absence makes a file
     * reclaimable. Foreign files under the table root are left alone.
     * Metadata-only: O(manifests) driver reads, no data scanned. */
+  /** UNIFORM-STYLE EXPORT (zero-copy cross-format): create a NEW Iceberg
+    * table at `target` whose single append snapshot references the DELTA
+    * table's live parquet files by absolute path — no data copied; any
+    * Iceberg engine can now scan the Delta table's data through standard
+    * Iceberg metadata (the published Delta "UniForm" idea, re-expressed
+    * as an explicit export). Per-file record counts come from the Delta
+    * adds' stats (`numRecords`) when present, else one parquet-footer
+    * read each — O(files) driver metadata either way. Refused: DV-bearing
+    * sources (deleted rows would resurrect), column-mapped sources
+    * (physical names), nested types (writer subset), and PARTITIONED
+    * sources — Delta data files do not carry partition columns in-file,
+    * and this engine's Iceberg reader does not inject identity partition
+    * values from metadata. The export is a real Iceberg table: later
+    * IcebergWrite appends land under its own root beside the referenced
+    * Delta files; Delta-side vacuum is the shared-fate hazard, as in
+    * every zero-copy reference design. */
+  def exportDeltaAsIceberg(spark: SparkSession, source: String, target: String): Long = {
+    val snap = DeltaRead.snapshotInfo(spark, source)
+    require(currentVersion(target) == 0, s"export target already exists: $target")
+    require(snap.columnMappingMode == "none",
+      "column-mapped Delta tables are not exportable (files carry physical names)")
+    require(snap.files.forall(_.dv.isEmpty),
+      "DV-bearing Delta tables cannot be exported zero-copy — deleted rows " +
+        "would resurrect; compact (materializing DVs) first")
+    require(snap.partitionColumns.isEmpty,
+      "partitioned Delta tables are not exportable zero-copy — their data " +
+        "files do not carry the partition columns in-file")
+    require(!snap.schema.exists(f => f.dataType match {
+      case _: StructType | _: ArrayType | _: MapType => true; case _ => false
+    }), "nested column types are outside the Iceberg writer's subset")
+    def jstr(s: String) = mapper.writeValueAsString(s)
+    def recordCount(f: DeltaRead.LiveFile): Long =
+      f.stats.flatMap { s =>
+        val n = mapper.readTree(s).path("numRecords")
+        if (n.isNumber) Some(n.asLong) else None
+      }.getOrElse {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.path), spark.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }
+    val fieldsJson = snap.schema.fields.zipWithIndex.map { case (f, i) =>
+      s"""{"id":${i + 1},"name":${jstr(f.name)},"required":false,"type":${jstr(icebergType(f.dataType))}}"""
+    }.mkString(",")
+    val schema = entrySchema(Seq.empty)
+    commitSnapshot(target, "append",
+      schemasJson = _ =>
+        (s"""{"type":"struct","schema-id":0,"fields":[$fieldsJson]}""", 0, snap.schema.size),
+      specsJson = _ => ("""{"spec-id":0,"fields":[]}""", 0, 999),
+      authorManifest = { snapshotId =>
+        import org.apache.avro.generic.GenericData
+        val dataFileSchema = schema.getField("data_file").schema()
+        val partitionSchema = dataFileSchema.getField("partition").schema()
+        var rows = 0L
+        val entries = snap.files.map { f =>
+          val n = recordCount(f)
+          rows += n
+          val dfr = new GenericData.Record(dataFileSchema)
+          dfr.put("content", 0)
+          dfr.put("file_path", f.path)
+          dfr.put("file_format", "PARQUET")
+          dfr.put("partition", new GenericData.Record(partitionSchema))
+          dfr.put("record_count", n)
+          dfr.put("file_size_in_bytes",
+            if (f.size > 0) f.size else Files.size(Paths.get(f.path)))
+          val e = new GenericData.Record(schema)
+          e.put("status", 1)
+          e.put("snapshot_id", snapshotId)
+          e.put("sequence_number", snapshotId)
+          e.put("file_sequence_number", snapshotId)
+          e.put("data_file", dfr)
+          e
+        }
+        val manifestPath = metaDir(target)
+          .resolve(s"m-$snapshotId-${java.util.UUID.randomUUID()}.avro")
+        val manifestLen = writeAvro(manifestPath, schema, entries)
+        (manifestPath, manifestLen, 0, 0, snap.files.size, rows)
+      })
+  }
+
   /** RENAME a column — the spec's field-id evolution: a NEW schema joins
     * the chain with the field's ID unchanged and only its name replaced;
     * no data file, manifest, or delete file is touched at any scale.

@@ -91,6 +91,48 @@ class CloneSpec extends SparkSpec {
     assert(rows(adds) === Set((9L, "z")))
   }
 
+  test("uniform export: Iceberg metadata over a Delta table's files, zero copy") {
+    val src = tmp("uni_src") + "/tbl"
+    val dst = tmp("uni_dst") + "/tbl"
+    DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name"), src)
+    DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "name"), src)
+
+    val snapId = IcebergWrite.exportDeltaAsIceberg(spark, src, dst)
+    assert(snapId > 0)
+    // the export reads the DELTA data through ICEBERG metadata
+    assert(rows(IcebergRead.snapshot(spark, dst)) ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // zero-copy: no data dir of its own
+    assert(!new java.io.File(s"${dst.stripSuffix("/")}/data").exists())
+    // record counts in the manifests are real (stats-derived)
+    val stats = IcebergRead.fileStats(spark, dst)
+      .select(col("rows")).collect().map(_.getLong(0))
+    assert(stats.sum === 3L && stats.forall(_ > 0))
+
+    // the export is a REAL Iceberg table: appends/deletes work on it
+    IcebergWrite.append(spark, Seq((9L, "z")).toDF("id", "name"), dst)
+    IcebergWrite.deleteWhere(spark, dst, col("id") === 2L)
+    assert(rows(IcebergRead.snapshot(spark, dst)) ===
+      Set((1L, "a"), (3L, "c"), (9L, "z")))
+    // the Delta source never noticed
+    assert(rows(DeltaRead.snapshot(spark, src)) ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // refusals: DV-bearing and partitioned sources
+    val dvSrc = tmp("uni_dv") + "/tbl"
+    DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name"), dvSrc)
+    DeltaWrite.deleteWhere(spark, dvSrc, col("id") === 1L)
+    intercept[IllegalArgumentException] {
+      IcebergWrite.exportDeltaAsIceberg(spark, dvSrc, tmp("uni_dv_dst") + "/tbl")
+    }
+    val pSrc = tmp("uni_part") + "/tbl"
+    DeltaWrite.append(spark, Seq((1L, "a", "g1")).toDF("id", "name", "grp"),
+      pSrc, partitionBy = Seq("grp"))
+    intercept[IllegalArgumentException] {
+      IcebergWrite.exportDeltaAsIceberg(spark, pSrc, tmp("uni_part_dst") + "/tbl")
+    }
+  }
+
   test("clone refuses plain parquet and existing targets") {
     val pq = tmp("clone_pq") + "/tbl"
     Seq((1L, "a")).toDF("id", "name").write.parquet(pq)
