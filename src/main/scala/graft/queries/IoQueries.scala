@@ -946,10 +946,43 @@ object IoQueries {
       FROM events WHERE event_type IN ('click', 'view', 'purchase') GROUP BY event_type
       ORDER BY scope, event_type"""))
 
+  /** S10u2 UNIFORM EXPORT, reverse: stage events into a PARTITIONED
+    * Iceberg table (files carry all columns), export it as a Delta table
+    * referencing the same files, aggregate the data READ THROUGH THE
+    * DELTA SIDE, and DV-delete errors on the export only — the Iceberg
+    * source re-aggregated must still include them. */
+  val tlakeUniformRev = GQuery(
+    "t_lake_uniform_rev",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events").select(col("event_id"), col("value"), col("event_type"))
+      val it = tmp("graft_unirev_q_i") + "/tbl"
+      val dt = tmp("graft_unirev_q_d") + "/tbl"
+      graft.sources.IcebergWrite.append(s,
+        ev.where(col("event_type").isin("click", "view", "error")), it,
+        partitionBy = Seq("event_type"))
+      graft.sources.DeltaWrite.exportIcebergAsDelta(s, it, dt)
+      graft.sources.DeltaWrite.deleteWhere(s, dt, col("event_type") === "error")
+      def agg(df: org.apache.spark.sql.DataFrame, scope: String) =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+          .withColumn("scope", lit(scope))
+      agg(graft.sources.DeltaRead.snapshot(s, dt), "delta_view")
+        .unionByName(agg(graft.sources.IcebergRead.snapshot(s, it), "iceberg_source"))
+        .select(col("scope"), col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy(col("scope"), col("event_type"))
+    },
+    Some("""SELECT 'delta_view' AS scope, event_type, count(*) AS cnt,
+        round(sum(value), 2) AS sum_value
+      FROM events WHERE event_type IN ('click', 'view') GROUP BY event_type
+      UNION ALL
+      SELECT 'iceberg_source', event_type, count(*), round(sum(value), 2)
+      FROM events WHERE event_type IN ('click', 'view', 'error') GROUP BY event_type
+      ORDER BY scope, event_type"""))
+
   def all: Seq[GQuery] =
     Seq(t1, t1orc, t2, t3, tskip, tbloom, ticebergStats, tdeltaStats, tdelta, ticeberg,
       tdeltaRt, ticebergRt, ticebergMor,
       tdeltaDv, tdeltaUpsert, ticebergPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tcdcApply, tlakeSync, tlakeClone,
-      tlakeRestore, tlakeRename, tlakeUniform)
+      tlakeRestore, tlakeRename, tlakeUniform, tlakeUniformRev)
 }

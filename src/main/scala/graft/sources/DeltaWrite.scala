@@ -607,6 +607,74 @@ object DeltaWrite {
     -1L // unreachable
   }
 
+  /** UNIFORM-STYLE EXPORT, reverse direction: create a NEW Delta table at
+    * `target` whose version-0 commit references the ICEBERG table's live
+    * data files by absolute path — zero copy; any Delta reader scans the
+    * Iceberg data through a standard `_delta_log`. Iceberg data files
+    * carry ALL columns in-file (including identity partition sources), so
+    * even a PARTITIONED Iceberg table exports — as an UNPARTITIONED Delta
+    * table (the values are in the files; only partition pruning is lost).
+    * Record counts ride each add's stats as `numRecords`. Refused: MOR
+    * sources with live delete files (deleted rows would resurrect —
+    * compact first, which materializes deletes). Iceberg-side expiration
+    * is the shared-fate hazard. */
+  def exportIcebergAsDelta(spark: SparkSession, source: String, target: String): Long = {
+    require(currentVersions(target).isEmpty, s"export target already exists: $target")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = om.readTree(IcebergRead.metadataFile(source))
+    val cur = meta.path("current-snapshot-id").asLong(-1L)
+    require(cur >= 0, s"Iceberg table has no snapshot to export: $source")
+    val snap = meta.path("snapshots").elements()
+    var snapNode: com.fasterxml.jackson.databind.JsonNode = null
+    while (snap.hasNext) {
+      val s = snap.next()
+      if (s.path("snapshot-id").asLong(-2L) == cur) snapNode = s
+    }
+    require(snapNode != null, s"current snapshot $cur not found in $source")
+    // manifest list (or v1 inline manifests); refuse delete manifests
+    val manifests: Seq[(String, Int)] =
+      if (snapNode.has("manifest-list"))
+        IcebergRead.avroRecords(IcebergRead.localPath(snapNode.path("manifest-list").asText()))
+          .map { r =>
+            val content = Option(r.getSchema.getField("content"))
+              .flatMap(_ => Option(r.get("content"))).map(_.toString.toInt).getOrElse(0)
+            (r.get("manifest_path").toString, content)
+          }
+      else {
+        import scala.jdk.CollectionConverters._
+        snapNode.path("manifests").elements().asScala.map(m => (m.asText(), 0)).toSeq
+      }
+    require(manifests.forall(_._2 == 0),
+      "Iceberg table carries live DELETE files — a zero-copy Delta export " +
+        "would resurrect deleted rows; compact (materializing deletes) first")
+    val files: Seq[(String, Long, Long)] = manifests.map(_._1).flatMap { mp =>
+      IcebergRead.avroRecords(IcebergRead.localPath(mp)).flatMap { e =>
+        val status = Option(e.getSchema.getField("status"))
+          .flatMap(_ => Option(e.get("status"))).map(_.toString.toInt).getOrElse(1)
+        if (status == 2) None
+        else {
+          val dfr = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+          Some((IcebergRead.localPath(dfr.get("file_path").toString),
+            dfr.get("record_count").toString.toLong,
+            dfr.get("file_size_in_bytes").toString.toLong))
+        }
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      IcebergRead.snapshot(spark, source).schema.fields
+        .map(_.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+    val adds = files.map { case (p, n, size) =>
+      s"""{"add":{"path":${jsonStr(pctEncodePath(p))},"partitionValues":{},"size":$size,""" +
+        s""""modificationTime":${System.currentTimeMillis()},"dataChange":true,""" +
+        s""""stats":${jsonStr(s"""{"numRecords":$n}""")}}}"""
+    }
+    val content = (Seq(protocolAction, metaAction(schema, Nil, newTableId())) ++ adds)
+      .mkString("", "\n", "\n")
+    Files.createDirectories(logDir(target))
+    require(tryCommitAt(target, 0L, content), s"concurrent writer created $target")
+    0L
+  }
+
   /** RESTORE: roll the table's LIVE STATE back to `toVersion` as a NEW
     * commit — history is preserved, so time travel to the undone versions
     * still works (stock RESTORE TABLE semantics; the recovery path after

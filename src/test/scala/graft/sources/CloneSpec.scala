@@ -133,6 +133,38 @@ class CloneSpec extends SparkSpec {
     }
   }
 
+  test("uniform export reverse: Delta log over an Iceberg table's files") {
+    val src = tmp("unir_src") + "/tbl"
+    val dst = tmp("unir_dst") + "/tbl"
+    // PARTITIONED Iceberg source: files carry all columns, so the export
+    // works (as an unpartitioned Delta table)
+    IcebergWrite.append(spark,
+      Seq((1L, "a", "g1"), (2L, "b", "g2")).toDF("id", "name", "grp"),
+      src, partitionBy = Seq("grp"))
+    IcebergWrite.append(spark,
+      Seq((3L, "c", "g1")).toDF("id", "name", "grp"), src, partitionBy = Seq("grp"))
+
+    assert(DeltaWrite.exportIcebergAsDelta(spark, src, dst) === 0L)
+    assert(DeltaRead.snapshot(spark, dst).select(col("id"), col("name"), col("grp"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet ===
+      Set((1L, "a", "g1"), (2L, "b", "g2"), (3L, "c", "g1")))
+    // record counts ride the adds' stats
+    assert(DeltaRead.fileStats(spark, dst).select(col("rows"))
+      .collect().map(_.getLong(0)).sum === 3L)
+    // the export is a live Delta table: DV delete works, source untouched
+    DeltaWrite.deleteWhere(spark, dst, col("id") === 2L)
+    assert(DeltaRead.snapshot(spark, dst).count() === 2L)
+    assert(IcebergRead.snapshot(spark, src).count() === 3L)
+
+    // MOR source with live deletes refused
+    val morSrc = tmp("unir_mor") + "/tbl"
+    IcebergWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name"), morSrc)
+    IcebergWrite.deleteWhere(spark, morSrc, col("id") === 1L)
+    intercept[IllegalArgumentException] {
+      DeltaWrite.exportIcebergAsDelta(spark, morSrc, tmp("unir_mor_dst") + "/tbl")
+    }
+  }
+
   test("clone refuses plain parquet and existing targets") {
     val pq = tmp("clone_pq") + "/tbl"
     Seq((1L, "a")).toDF("id", "name").write.parquet(pq)
