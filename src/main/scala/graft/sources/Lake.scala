@@ -106,6 +106,22 @@ object Lake {
         s"plain parquet at $path has no schema metadata to drop from — rewrite the files")
     }
 
+  /** CROSS-FORMAT EXPORT dispatch (UniForm-style): re-host the source's
+    * live files under the OTHER format's metadata, zero copy —
+    * Delta→Iceberg via [[IcebergWrite.exportDeltaAsIceberg]],
+    * Iceberg→Delta via [[DeltaWrite.exportIcebergAsDelta]]. Asking for
+    * the SAME format is a [[clone]]. Returns the export's first
+    * version/snapshot id. */
+  def export(spark: SparkSession, source: String, target: String,
+      as: Format): Long =
+    (detect(spark, source), as) match {
+      case (Delta, Iceberg) => IcebergWrite.exportDeltaAsIceberg(spark, source, target)
+      case (Iceberg, Delta) => DeltaWrite.exportIcebergAsDelta(spark, source, target)
+      case (f, t) if f == t => clone(spark, source, target)
+      case (f, t) => throw new IllegalArgumentException(
+        s"no zero-copy export from $f to $t")
+    }
+
   /** RESTORE dispatch: roll the table's live state back to a prior
     * version (Delta log version / Iceberg snapshot id) — the recovery
     * path after a bad write. Delta restores as a NEW commit (history
