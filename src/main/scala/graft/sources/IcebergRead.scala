@@ -697,7 +697,8 @@ object IcebergRead {
         (rows.collect { case (p, 0) => p }, rows.collect { case (p, c) if c != 0 => p })
       } else (snap.path("manifests").elements().asScala.map(_.asText()).toSeq, Seq.empty[String])
 
-    case class MEntry(path: String, content: Int, seq: Option[Long], equalityIds: Seq[Int])
+    case class MEntry(path: String, content: Int, seq: Option[Long], equalityIds: Seq[Int],
+        partition: Map[String, Any] = Map.empty)
 
     // GenericData.Record.get THROWS on fields absent from the writer
     // schema (older/minimal manifests legitimately omit optional ones)
@@ -718,19 +719,21 @@ object IcebergRead {
             s"unexpected content=$content entry in a delete manifest; refusing")
           val fmt = df.get("file_format").toString
           require(fmt.equalsIgnoreCase("parquet"), s"unsupported Iceberg file format: $fmt")
-          // manifest-level partition pruning (data files only)
+          // partition record values (typed avro → scala) — used for
+          // manifest-level pruning AND identity-value injection below
+          val partValues: Map[String, Any] =
+            if (!expectData) Map.empty
+            else opt(df, "partition")
+              .collect { case r: org.apache.avro.generic.GenericRecord =>
+                r.getSchema.getFields.asScala.map { f =>
+                  f.name() -> (r.get(f.name()) match {
+                    case u: org.apache.avro.util.Utf8 => u.toString
+                    case v => v
+                  })
+                }.toMap
+              }.getOrElse(Map.empty)
           val kept = prune match {
-            case Some(keep) if expectData =>
-              val partValues: Map[String, Any] = opt(df, "partition")
-                .collect { case r: org.apache.avro.generic.GenericRecord =>
-                  r.getSchema.getFields.asScala.map { f =>
-                    f.name() -> (r.get(f.name()) match {
-                      case u: org.apache.avro.util.Utf8 => u.toString
-                      case v => v
-                    })
-                  }.toMap
-                }.getOrElse(Map.empty)
-              keep(partValues)
+            case Some(keep) if expectData => keep(partValues)
             case _ => true
           }
           // incremental-range filter: by the entry's adding snapshot id
@@ -754,7 +757,7 @@ object IcebergRead {
           // delete files always apply, extra ones anti-join to nothing
           val keptPath = !expectData || keepPaths.forall(_(path))
           if (kept && inRange && keptPath)
-            Some(MEntry(path, content, seq, eqIds))
+            Some(MEntry(path, content, seq, eqIds, partValues))
           else None
         }
       }
@@ -780,13 +783,15 @@ object IcebergRead {
       // renames that name matching can't); files without ids, e.g. our own
       // writer's, keep name resolution. One footer probe decides: a
       // table's data files share a writer lineage.
-      val useFieldIds = {
+      val (useFieldIds, probeColumns) = {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(liveFiles.head),
           spark.sparkContext.hadoopConfiguration)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getFileMetaData.getSchema.getFields.asScala.exists(_.getId != null)
-        finally r.close()
+        try {
+          val fs = r.getFileMetaData.getSchema.getFields.asScala
+          (fs.exists(_.getId != null), fs.map(_.getName).toSet)
+        } finally r.close()
       }
       val readSchema =
         if (useFieldIds) { spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true"); schema }
@@ -799,9 +804,55 @@ object IcebergRead {
       def norm(c: org.apache.spark.sql.Column) =
         url_decode(regexp_replace(
           regexp_replace(c, "^[a-zA-Z0-9+.-]+:(//)?", ""), "\\+", "%2B"))
-      val base = spark.read.schema(readSchema).parquet(liveFiles: _*)
+      val base0 = spark.read.schema(readSchema).parquet(liveFiles: _*)
         .withColumn("_file", norm(col("_metadata.file_path")))
         .withColumn("_pos", col("_metadata.row_index"))
+      // IDENTITY-PARTITION VALUE INJECTION (spec rule for migrated /
+      // externally-written tables): a data file may legitimately OMIT an
+      // identity-partitioned source column — the reader must produce its
+      // value from the manifest's partition record. The footer probe
+      // decides (one file; a table's data files share a writer lineage):
+      // identity source columns absent from the probe get a per-file
+      // broadcast-map coalesce; tables whose files carry all columns (ours)
+      // pay nothing.
+      val base = {
+        val specId = meta.path("default-spec-id").asInt(0)
+        val colById = schemaNode.path("fields").elements().asScala
+          .map(f => f.path("id").asInt(-1) -> f.path("name").asText()).toMap
+        // (spec partition-field name → schema column name) for identity fields
+        val identity: Seq[(String, String)] = meta.path("partition-specs").elements().asScala
+          .find(_.path("spec-id").asInt(-1) == specId).toSeq
+          .flatMap(_.path("fields").elements().asScala)
+          .filter(_.path("transform").asText() == "identity")
+          .flatMap(f => colById.get(f.path("source-id").asInt(-1))
+            .map(cn => f.path("name").asText() -> cn))
+        val missing = identity.filter { case (_, cn) => !probeColumns.contains(cn) }
+        if (missing.isEmpty) base0
+        else {
+          def castFromString(c: org.apache.spark.sql.Column, dt: DataType) = dt match {
+            case DateType => date_from_unix_date(c.cast("int"))
+            case TimestampType => timestamp_micros(c.cast("long"))
+            case TimestampNTZType => timestamp_micros(c.cast("long")).cast(TimestampNTZType)
+            case other => c.cast(other)
+          }
+          import spark.implicits._
+          val rows = dataEntries.map { e =>
+            (new org.apache.hadoop.fs.Path(e.path).toUri.getPath,
+              missing.map { case (pf, _) =>
+                e.partition.get(pf).map(String.valueOf).orNull
+              })
+          }
+          val pm = rows.toDF("_file", "__pv")
+            .select(col("_file") +: missing.zipWithIndex.map { case ((_, cn), i) =>
+              col("__pv").getItem(i).as(s"__pv_$cn")
+            }: _*)
+          val joined = base0.join(broadcast(pm), Seq("_file"), "left")
+          missing.foldLeft(joined) { case (df, (_, cn)) =>
+            val dt = schema(cn).dataType
+            df.withColumn(cn, coalesce(df(cn), castFromString(df(s"__pv_$cn"), dt)))
+          }.drop(missing.map { case (_, cn) => s"__pv_$cn" }: _*)
+        }
+      }
       val undeleted =
         if (posDeleteFiles.isEmpty) base
         else {

@@ -958,12 +958,14 @@ object IcebergWrite {
     * Iceberg metadata (the published Delta "UniForm" idea, re-expressed
     * as an explicit export). Per-file record counts come from the Delta
     * adds' stats (`numRecords`) when present, else one parquet-footer
-    * read each — O(files) driver metadata either way. Refused: DV-bearing
+    * read each — O(files) driver metadata either way. PARTITIONED sources
+    * export as identity-partitioned Iceberg: Delta files lack the
+    * partition columns in-file, but the manifests carry typed partition
+    * records and the reader's identity-value injection (the spec's
+    * migrated-table rule) produces the column. Refused: DV-bearing
     * sources (deleted rows would resurrect), column-mapped sources
-    * (physical names), nested types (writer subset), and PARTITIONED
-    * sources — Delta data files do not carry partition columns in-file,
-    * and this engine's Iceberg reader does not inject identity partition
-    * values from metadata. The export is a real Iceberg table: later
+    * (physical names), nested types (writer subset).
+    * The export is a real Iceberg table: later
     * IcebergWrite appends land under its own root beside the referenced
     * Delta files; Delta-side vacuum is the shared-fate hazard, as in
     * every zero-copy reference design. */
@@ -975,12 +977,27 @@ object IcebergWrite {
     require(snap.files.forall(_.dv.isEmpty),
       "DV-bearing Delta tables cannot be exported zero-copy — deleted rows " +
         "would resurrect; compact (materializing DVs) first")
-    require(snap.partitionColumns.isEmpty,
-      "partitioned Delta tables are not exportable zero-copy — their data " +
-        "files do not carry the partition columns in-file")
     require(!snap.schema.exists(f => f.dataType match {
       case _: StructType | _: ArrayType | _: MapType => true; case _ => false
     }), "nested column types are outside the Iceberg writer's subset")
+    // PARTITIONED sources export as identity-partitioned Iceberg: Delta
+    // data files lack the partition columns in-file, but the manifests
+    // carry typed partition records and the reader's identity-value
+    // injection produces the column — spec behavior for migrated tables.
+    val partTypes: Seq[(String, DataType)] =
+      snap.partitionColumns.map(c => c -> snap.schema(c).dataType)
+    partTypes.foreach { case (_, dt) => partitionAvroType(dt) } // type gate
+    def partValue(dt: DataType, s: String): AnyRef =
+      if (s == null) null
+      else dt match {
+        case StringType => s
+        case IntegerType => Integer.valueOf(s.toInt)
+        case LongType => java.lang.Long.valueOf(s.toLong)
+        case BooleanType => java.lang.Boolean.valueOf(s.toBoolean)
+        case DateType => Integer.valueOf(java.time.LocalDate.parse(s).toEpochDay.toInt)
+        case other => throw new IllegalArgumentException(
+          s"unsupported exported partition value type $other")
+      }
     def jstr(s: String) = mapper.writeValueAsString(s)
     def recordCount(f: DeltaRead.LiveFile): Long =
       f.stats.flatMap { s =>
@@ -995,11 +1012,18 @@ object IcebergWrite {
     val fieldsJson = snap.schema.fields.zipWithIndex.map { case (f, i) =>
       s"""{"id":${i + 1},"name":${jstr(f.name)},"required":false,"type":${jstr(icebergType(f.dataType))}}"""
     }.mkString(",")
-    val schema = entrySchema(Seq.empty)
+    val sourceId = snap.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+    val spec0Fields = snap.partitionColumns.zipWithIndex.map { case (c, i) =>
+      s"""{"name":${jstr(c)},"transform":"identity","source-id":${sourceId(c)},"field-id":${1000 + i}}"""
+    }.mkString(",")
+    val specs =
+      if (snap.partitionColumns.isEmpty) """{"spec-id":0,"fields":[]}"""
+      else s"""{"spec-id":0,"fields":[$spec0Fields]},{"spec-id":1,"fields":[]}"""
+    val schema = entrySchema(partTypes)
     commitSnapshot(target, "append",
       schemasJson = _ =>
         (s"""{"type":"struct","schema-id":0,"fields":[$fieldsJson]}""", 0, snap.schema.size),
-      specsJson = _ => ("""{"spec-id":0,"fields":[]}""", 0, 999),
+      specsJson = _ => (specs, 0, 999 + snap.partitionColumns.size),
       authorManifest = { snapshotId =>
         import org.apache.avro.generic.GenericData
         val dataFileSchema = schema.getField("data_file").schema()
@@ -1008,11 +1032,15 @@ object IcebergWrite {
         val entries = snap.files.map { f =>
           val n = recordCount(f)
           rows += n
+          val part = new GenericData.Record(partitionSchema)
+          partTypes.foreach { case (c, dt) =>
+            part.put(c, partValue(dt, f.partitionValues.get(c).orNull))
+          }
           val dfr = new GenericData.Record(dataFileSchema)
           dfr.put("content", 0)
           dfr.put("file_path", f.path)
           dfr.put("file_format", "PARQUET")
-          dfr.put("partition", new GenericData.Record(partitionSchema))
+          dfr.put("partition", part)
           dfr.put("record_count", n)
           dfr.put("file_size_in_bytes",
             if (f.size > 0) f.size else Files.size(Paths.get(f.path)))

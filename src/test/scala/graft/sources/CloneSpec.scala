@@ -118,19 +118,30 @@ class CloneSpec extends SparkSpec {
     assert(rows(DeltaRead.snapshot(spark, src)) ===
       Set((1L, "a"), (2L, "b"), (3L, "c")))
 
-    // refusals: DV-bearing and partitioned sources
+    // refusal: DV-bearing source
     val dvSrc = tmp("uni_dv") + "/tbl"
     DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name"), dvSrc)
     DeltaWrite.deleteWhere(spark, dvSrc, col("id") === 1L)
     intercept[IllegalArgumentException] {
       IcebergWrite.exportDeltaAsIceberg(spark, dvSrc, tmp("uni_dv_dst") + "/tbl")
     }
+  }
+
+  test("uniform export of a PARTITIONED Delta table: identity values injected from manifests") {
     val pSrc = tmp("uni_part") + "/tbl"
-    DeltaWrite.append(spark, Seq((1L, "a", "g1")).toDF("id", "name", "grp"),
+    val pDst = tmp("uni_part_dst") + "/tbl"
+    DeltaWrite.append(spark,
+      Seq((1L, "a", "g1"), (2L, "b", "g2"), (3L, "c", "g1")).toDF("id", "name", "grp"),
       pSrc, partitionBy = Seq("grp"))
-    intercept[IllegalArgumentException] {
-      IcebergWrite.exportDeltaAsIceberg(spark, pSrc, tmp("uni_part_dst") + "/tbl")
-    }
+    IcebergWrite.exportDeltaAsIceberg(spark, pSrc, pDst)
+    // Delta data files LACK grp in-file; the Iceberg read must inject it
+    // from the manifests' identity partition records
+    val got = IcebergRead.snapshot(spark, pDst)
+      .select(col("id"), col("name"), col("grp")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set((1L, "a", "g1"), (2L, "b", "g2"), (3L, "c", "g1")))
+    // partition-pruned scan through the Iceberg side matches
+    assert(IcebergRead.snapshot(spark, pDst).where(col("grp") === "g1").count() === 2L)
   }
 
   test("uniform export reverse: Delta log over an Iceberg table's files") {
