@@ -607,6 +607,65 @@ object DeltaWrite {
     -1L // unreachable
   }
 
+  /** CONVERT TO DELTA, in place: write a `_delta_log` INTO an existing
+    * plain-parquet directory whose version-0 adds reference the files
+    * already there (relative paths) — the classic zero-rewrite migration.
+    * Hive-partitioned layouts convert with their partition values parsed
+    * from the `k=v` directory components (Hive-escaped names decoded;
+    * `__HIVE_DEFAULT_PARTITION__` → null), and the schema comes from
+    * Spark's standard partition-discovering read, so partition columns
+    * get their inferred types exactly as a reader of the plain directory
+    * would see them. Record counts ride each add's stats via one footer
+    * read per file — O(files) driver metadata, no data pass. After
+    * conversion the directory IS a Delta table: appends, DV deletes,
+    * constraints, clone, export all apply. */
+  def convertParquet(spark: SparkSession, dir: String,
+      partitionBy: Seq[String] = Nil): Long = {
+    require(currentVersions(dir).isEmpty, s"$dir already has a _delta_log")
+    val root = new java.io.File(dir.stripSuffix("/"))
+    require(root.isDirectory, s"not a directory: $dir")
+    val df = spark.read.parquet(dir)
+    val schema = df.schema
+    partitionBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column '$c' not in discovered schema ${schema.fieldNames.mkString(",")}"))
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq
+        .filterNot(_.getName.startsWith("_")).filterNot(_.getName.startsWith("."))
+        .flatMap(walk)
+      else Seq(f)
+    val files = walk(root).filter(_.getName.endsWith(".parquet"))
+    require(files.nonEmpty, s"no parquet files under $dir")
+    val adds = files.map { f =>
+      val rel = root.toPath.relativize(f.toPath).toString
+      val pv: Map[String, String] = rel.split("/").dropRight(1)
+        .filter(_.contains("=")).map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null else DeltaRead.pctDecode(v))
+        }.toMap.view.filterKeys(partitionBy.contains).toMap
+      require(pv.keySet == partitionBy.toSet,
+        s"file $rel does not sit under all partition dirs ${partitionBy.mkString(",")}")
+      val n = {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          spark.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }
+      val pvJson = partitionBy.map { c =>
+        val v = pv(c)
+        s"${jsonStr(c)}:${if (v == null) "null" else jsonStr(v)}"
+      }.mkString("{", ",", "}")
+      s"""{"add":{"path":${jsonStr(pctEncodePath(rel))},"partitionValues":$pvJson,""" +
+        s""""size":${f.length},"modificationTime":${f.lastModified},"dataChange":true,""" +
+        s""""stats":${jsonStr(s"""{"numRecords":$n}""")}}}"""
+    }
+    val content = (Seq(protocolAction,
+      metaAction(schema, partitionBy, newTableId())) ++ adds).mkString("", "\n", "\n")
+    Files.createDirectories(logDir(dir))
+    require(tryCommitAt(dir, 0L, content), s"concurrent writer created a log at $dir")
+    0L
+  }
+
   /** UNIFORM-STYLE EXPORT, reverse direction: create a NEW Delta table at
     * `target` whose version-0 commit references the ICEBERG table's live
     * data files by absolute path — zero copy; any Delta reader scans the

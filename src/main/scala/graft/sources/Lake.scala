@@ -106,6 +106,14 @@ object Lake {
         s"plain parquet at $path has no schema metadata to drop from — rewrite the files")
     }
 
+  /** CONVERT TO DELTA dispatch: in-place zero-rewrite migration of a
+    * plain-parquet directory ([[DeltaWrite.convertParquet]]). To continue
+    * into Iceberg, compose with [[export]] — the classic
+    * parquet → Delta → Iceberg chain, no byte ever copied. */
+  def convert(spark: SparkSession, dir: String,
+      partitionBy: Seq[String] = Nil): Long =
+    DeltaWrite.convertParquet(spark, dir, partitionBy)
+
   /** CROSS-FORMAT EXPORT dispatch (UniForm-style): re-host the source's
     * live files under the OTHER format's metadata, zero copy —
     * Delta→Iceberg via [[IcebergWrite.exportDeltaAsIceberg]],

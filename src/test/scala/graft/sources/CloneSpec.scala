@@ -176,6 +176,57 @@ class CloneSpec extends SparkSpec {
     }
   }
 
+  test("convert to delta in place, then the full zero-copy chain to Iceberg") {
+    val dir = tmp("convert_pq") + "/tbl"
+    Seq((1L, "a", "g1"), (2L, "b", "g2"), (3L, "c", "g1")).toDF("id", "name", "grp")
+      .write.partitionBy("grp").parquet(dir)
+
+    assert(DeltaWrite.convertParquet(spark, dir, partitionBy = Seq("grp")) === 0L)
+    val got = DeltaRead.snapshot(spark, dir)
+      .select(col("id"), col("name"), col("grp")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set((1L, "a", "g1"), (2L, "b", "g2"), (3L, "c", "g1")))
+    // per-file record counts landed in stats
+    assert(DeltaRead.fileStats(spark, dir).select(col("rows"))
+      .collect().map(_.getLong(0)).sum === 3L)
+    // the directory IS a Delta table now: DV delete + append work
+    DeltaWrite.deleteWhere(spark, dir, col("id") === 2L)
+    DeltaWrite.append(spark, Seq((4L, "d", "g2")).toDF("id", "name", "grp"),
+      dir, partitionBy = Seq("grp"))
+    assert(DeltaRead.snapshot(spark, dir).count() === 3L)
+
+    // converting twice refuses
+    intercept[IllegalArgumentException] {
+      DeltaWrite.convertParquet(spark, dir, partitionBy = Seq("grp"))
+    }
+
+    // FULL CHAIN: plain parquet → Delta (in place) → Iceberg (zero copy).
+    // The DV from the delete blocks the export — compact materializes it.
+    DeltaWrite.compact(spark, dir, smallFileBytes = Long.MaxValue)
+    val ice = tmp("convert_ice") + "/tbl"
+    IcebergWrite.exportDeltaAsIceberg(spark, dir, ice)
+    assert(IcebergRead.snapshot(spark, ice)
+      .select(col("id"), col("name"), col("grp")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet ===
+      Set((1L, "a", "g1"), (3L, "c", "g1"), (4L, "d", "g2")))
+  }
+
+  test("convert unpartitioned parquet; null partition value handling") {
+    val dir = tmp("convert_flat") + "/tbl"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name").write.parquet(dir)
+    DeltaWrite.convertParquet(spark, dir)
+    assert(rows(DeltaRead.snapshot(spark, dir)) === Set((1L, "a"), (2L, "b")))
+
+    val dirN = tmp("convert_null") + "/tbl"
+    Seq((1L, "a", Some("g1")), (2L, "b", Option.empty[String]))
+      .toDF("id", "name", "grp").write.partitionBy("grp").parquet(dirN)
+    DeltaWrite.convertParquet(spark, dirN, partitionBy = Seq("grp"))
+    val got = DeltaRead.snapshot(spark, dirN)
+      .select(col("id"), col("grp")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(got === Set((1L, Some("g1")), (2L, None)))
+  }
+
   test("clone refuses plain parquet and existing targets") {
     val pq = tmp("clone_pq") + "/tbl"
     Seq((1L, "a")).toDF("id", "name").write.parquet(pq)
