@@ -979,10 +979,34 @@ object IoQueries {
       FROM events WHERE event_type IN ('click', 'view', 'error') GROUP BY event_type
       ORDER BY scope, event_type"""))
 
+  /** S8cv CONVERT TO DELTA: lay events out as hive-partitioned plain
+    * parquet, convert IN PLACE (zero rewrite), DV-delete the error
+    * partition's rows through the now-Delta table, and aggregate —
+    * proving the converted log references the original files correctly
+    * (partition values from dir names, counts from footers) and that the
+    * directory became a fully writable Delta table. */
+  val tlakeConvert = GQuery(
+    "t_lake_convert",
+    (s, dir) => {
+      val pq = tmp("graft_convert_q") + "/tbl"
+      Tables(s, dir, "events").select(col("event_id"), col("value"), col("event_type"))
+        .where(col("event_type").isin("click", "view", "error"))
+        .write.partitionBy("event_type").parquet(pq)
+      graft.sources.Lake.convert(s, pq, partitionBy = Seq("event_type"))
+      graft.sources.DeltaWrite.deleteWhere(s, pq, col("event_type") === "error")
+      graft.sources.DeltaRead.snapshot(s, pq)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY event_type ORDER BY event_type"""))
+
   def all: Seq[GQuery] =
     Seq(t1, t1orc, t2, t3, tskip, tbloom, ticebergStats, tdeltaStats, tdelta, ticeberg,
       tdeltaRt, ticebergRt, ticebergMor,
       tdeltaDv, tdeltaUpsert, ticebergPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tcdcApply, tlakeSync, tlakeClone,
-      tlakeRestore, tlakeRename, tlakeUniform, tlakeUniformRev)
+      tlakeRestore, tlakeRename, tlakeUniform, tlakeUniformRev, tlakeConvert)
 }
