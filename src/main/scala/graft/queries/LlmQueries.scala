@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GQuery, Tables}
 import graft.functions.{TextFunctions, VectorOps}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Retrieval, Similarity}
 
 /** L1–L7 + extended LLM-pipeline ops (SURVEY.md §2.10): dedup (exact,
   * MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine), similarity
@@ -1129,10 +1129,106 @@ object LlmQueries {
       FROM c GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) > 1
       ORDER BY chunk_md5"""))
 
+  /** L34 BM25 RETRIEVAL: Okapi BM25 top-20 for a fixed 3-term query over
+    * the documents corpus — the lexical leg of RAG retrieval / targeted
+    * training-data selection. Plan shape ([[graft.operators.Retrieval]]):
+    * one codegen'd projection for per-term tfs, one broadcast stats row,
+    * one TakeOrdered — no shuffle touches document text at any corpus
+    * size. Oracle derives the identical Lucene-form scores; arithmetic is
+    * written in the same association order on both sides so the 6-dp
+    * rounded scores hash-match. */
+  private val bm25Terms = Seq("vector", "window", "hash")
+  val l34 = GQuery(
+    "l34_bm25_topk",
+    (s, dir) =>
+      Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text", bm25Terms,
+          k = 20, k1 = 1.2, b = 0.75)
+        .select(col("doc_id"), col("rank"), round(col("score"), 6).as("score"))
+        .orderBy(col("rank")),
+    Some {
+      val tfCols = bm25Terms.indices.map(i =>
+        s"""CAST(len(list_filter(string_split(text, ' '), x -> x = '${bm25Terms(i)}')) AS DOUBLE) AS tf_$i""")
+        .mkString(",\n    ")
+      val dfCols = bm25Terms.indices.map(i =>
+        s"sum(CASE WHEN tf_$i > 0 THEN 1.0 ELSE 0.0 END) AS df_$i").mkString(",\n    ")
+      val contribs = bm25Terms.indices.map(i =>
+        s"ln(1.0 + (n - df_$i + 0.5) / (df_$i + 0.5)) * (tf_$i * (1.2 + 1.0)) / (tf_$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))")
+        .mkString(" +\n    ")
+      s"""WITH pt AS (SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+        $tfCols
+      FROM documents),
+      st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl,
+        $dfCols
+      FROM pt),
+      sc AS (SELECT doc_id,
+        $contribs AS score
+      FROM pt CROSS JOIN st WHERE score > 0),
+      rk AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank, score FROM sc)
+      SELECT doc_id, CAST(rank AS INT) AS rank, round(score, 6) AS score
+      FROM rk WHERE rank <= 20 ORDER BY rank"""
+    })
+
+  /** L35 HYBRID RETRIEVAL (RRF): reciprocal-rank fusion of the BM25
+    * lexical ranking (l34's construction, top-50) with a cosine vector
+    * ranking against embedding 0 (l3's construction, top-50), joined on
+    * the fixtures' aligned doc_id/vec_id space. RRF is rank-only
+    * (`Σ 1/(60+rank)`) — the standard way to mix systems whose raw scores
+    * are incomparable. Fusion shuffles only the 100 (id, rank) rows. */
+  val l35 = GQuery(
+    "l35_hybrid_rrf",
+    (s, dir) => {
+      val bm = Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        bm25Terms, k = 50, k1 = 1.2, b = 0.75)
+      val emb = t(s, dir, "embeddings")
+      val vec = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") === 0),
+          "vec_id", "embedding", k = 50)
+        .select(col("nn_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(bm.select(col("doc_id"), col("rank")), vec),
+          "doc_id", "rank", k = 10, k0 = 60)
+        .select(col("doc_id"), col("rank"), round(col("rrf"), 6).as("rrf"), col("lists"))
+        .orderBy(col("rank"))
+    },
+    Some {
+      val tfCols = bm25Terms.indices.map(i =>
+        s"""CAST(len(list_filter(string_split(text, ' '), x -> x = '${bm25Terms(i)}')) AS DOUBLE) AS tf_$i""")
+        .mkString(",\n    ")
+      val dfCols = bm25Terms.indices.map(i =>
+        s"sum(CASE WHEN tf_$i > 0 THEN 1.0 ELSE 0.0 END) AS df_$i").mkString(",\n    ")
+      val contribs = bm25Terms.indices.map(i =>
+        s"ln(1.0 + (n - df_$i + 0.5) / (df_$i + 0.5)) * (tf_$i * (1.2 + 1.0)) / (tf_$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))")
+        .mkString(" +\n    ")
+      s"""WITH pt AS (SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+        $tfCols
+      FROM documents),
+      st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl,
+        $dfCols
+      FROM pt),
+      sc AS (SELECT doc_id,
+        $contribs AS score
+      FROM pt CROSS JOIN st WHERE score > 0),
+      bm AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc
+             QUALIFY rank <= 50),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      nrm AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      pairs AS (SELECT c.vec_id AS doc_id,
+          list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+        FROM nrm q JOIN nrm c ON q.vec_id <> c.vec_id WHERE q.vec_id = 0),
+      vr AS (SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank FROM pairs
+             QUALIFY rank <= 50),
+      contrib AS (SELECT doc_id, 1.0 / (60.0 + CAST(rank AS DOUBLE)) AS c FROM bm
+                  UNION ALL SELECT doc_id, 1.0 / (60.0 + CAST(rank AS DOUBLE)) AS c FROM vr),
+      fused AS (SELECT doc_id, sum(c) AS rrf, count(*) AS lists FROM contrib GROUP BY doc_id),
+      rk AS (SELECT doc_id, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank, rrf, lists FROM fused)
+      SELECT doc_id, CAST(rank AS INT) AS rank, round(rrf, 6) AS rrf, lists
+      FROM rk WHERE rank <= 10 ORDER BY rank"""
+    })
+
   def all: Seq[GQuery] = Seq(l1, l2, l2brute, l2simhash, l2simhashPairs, l2cluster, l2quality,
     l2embedding, l3, l3scalable, l3lsh, l3ivf, l3kmeans, l3pq, l3sq,
     l3lshRecall, l3ivfRecall, l3kmeansRecall, l3pqRecall, l3sqRecall, l26, l27, l28, l29, l30,
-    l31, l32,
+    l31, l32, l34, l35,
     l4langid, l5, l6, l7, l8, l9,
     l10, l11, l11b, l12, l33, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l24, l24b, l25)
 }
