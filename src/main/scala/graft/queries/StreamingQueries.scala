@@ -201,6 +201,40 @@ object StreamingQueries {
       FROM events WHERE event_id % 3 <= 1 AND event_type <> 'error'
       GROUP BY event_type ORDER BY event_type"""))
 
+  /** ST18: incremental AGGREGATE MV — per-key (count, sum) maintained from
+    * a Delta source's changelog by ADDITIVE deltas across two checkpointed
+    * runs (exactly-once via Delta txn marks; measures in integer cents so
+    * the incremental accumulation is bit-exact regardless of batch
+    * boundaries). The final view must equal the from-scratch aggregation
+    * over what survived at the source. */
+  val st18 = GQuery(
+    "st18_aggregate_mv",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val base = java.nio.file.Files.createTempDirectory("graft_st18").toString
+      val src = s"$base/src"
+      val dst = s"$base/mv"
+      val ckpt = s"$base/ckpt"
+      val ev = graft.Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      def run(): Unit = StreamOps.aggregateMvStream(s, src, dst, Seq("event_type"),
+        Seq("sum_cents" -> round(col("value") * 100)), appId = "st18_mv", checkpointDir = ckpt)
+      graft.sources.DeltaWrite.append(s, ev.where(pmod(col("event_id"), lit(3)) === 0), src)
+      run()
+      graft.sources.DeltaWrite.append(s, ev.where(pmod(col("event_id"), lit(3)) === 1), src)
+      graft.sources.DeltaWrite.deleteWhere(s, src, col("event_type") === "error")
+      run()
+      graft.sources.DeltaRead.snapshot(s, dst)
+        .select(col("event_type"), col("mv_cnt").as("cnt"),
+          round(col("sum_cents") / 100.0, 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS cnt,
+      round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
+      FROM events WHERE event_id % 3 <= 1 AND event_type <> 'error'
+      GROUP BY event_type ORDER BY event_type"""))
+
   def all: Seq[GQuery] =
-    Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13, st14, st15, st16)
+    Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13, st14, st15, st16,
+      st18)
 }

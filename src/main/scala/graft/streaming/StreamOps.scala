@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
 
@@ -623,6 +623,91 @@ object StreamOps {
             case "delta" => DeltaWrite.append(spark, inserts, target)
             case "iceberg" => IcebergWrite.append(spark, inserts, target)
           }
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** ST18 — INCREMENTAL AGGREGATE materialized view: maintain a per-key
+    * aggregate table over a lake source's changelog stream without ever
+    * recomputing history. Each micro-batch reduces to per-key DELTAS
+    * (`+measure` for inserts, `−measure` for deletes — one
+    * map-side-combined aggregation over the batch), which merge additively
+    * into the Delta `target`; a key whose maintained row count reaches 0
+    * disappears from the view. Per batch the work is O(batch + touched
+    * keys): the merge joins the tiny delta frame against the view and
+    * rewrites only the touched keys through
+    * [[graft.sources.DeltaWrite.applyChanges]] (delete-then-insert on key,
+    * copy-on-write on just the affected files).
+    *
+    * Unlike the row-level MV ([[changelogApplyStream]]), additive
+    * application is NOT replay-idempotent — applying a batch's deltas
+    * twice double-counts. Exactly-once therefore rides Delta's `txn`
+    * action: every merge commit records (appId, batchId), the high-water
+    * mark is read once at stream start, and a replayed batch (foreachBatch
+    * is at-least-once) is skipped at/below it.
+    *
+    * `measures` are (name, long-valued expression over source rows);
+    * additivity over ± signs is what makes the maintenance exact, so
+    * float measures must be pre-scaled to integer micro-units by the
+    * caller (the engine-wide l26 determinism contract) — the view then
+    * equals a from-scratch aggregation BIT-EXACTLY regardless of batch
+    * boundaries, which floating-point accumulation could not promise. A
+    * `mv_cnt` row count is always maintained alongside (it decides key
+    * liveness). */
+  def aggregateMvStream(spark: SparkSession, source: String, target: String,
+      keyCols: Seq[String], measures: Seq[(String, Column)], appId: String,
+      checkpointDir: String): Unit = {
+    import graft.sources.{DeltaRead, DeltaWrite, Lake}
+    require(measures.nonEmpty, "aggregateMvStream needs at least one measure")
+    val src = Lake.detect(spark, source) match {
+      case Lake.Delta => LakeSources.deltaChangelog(spark, source)
+      case Lake.Iceberg => LakeSources.icebergChangelog(spark, source)
+      case other => throw new IllegalArgumentException(
+        s"aggregate MV needs a lake-format source, got $other at $source")
+    }
+    val exists0 = new java.io.File(s"${target.stripSuffix("/")}/_delta_log").exists()
+    // read ONCE at start; within a run batches are sequential, so a driver
+    // var tracks the high-water mark without rescanning the log per batch
+    var highWater: Long =
+      if (exists0) DeltaRead.txnVersions(spark, target).getOrElse(appId, -1L) else -1L
+    val allMeasures = ("mv_cnt", lit(1L)) +: measures
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > highWater) {
+          val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+          val aggs = allMeasures.map { case (n, e) => sum(sign * e.cast("long")).as(n) }
+          val delta = batch.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+          val exists = new java.io.File(s"${target.stripSuffix("/")}/_delta_log").exists()
+          val merged =
+            if (!exists) delta
+            else {
+              val cur = DeltaRead.snapshot(spark, target).as("c")
+              val d = delta.as("d")
+              // null-safe key equality: NULL keys are legal group keys
+              val cond = keyCols.map(c => d(c) <=> cur(c)).reduce(_ && _)
+              d.join(cur, cond, "left").select(
+                keyCols.map(d(_)) ++ allMeasures.map { case (n, _) =>
+                  (coalesce(cur(n), lit(0L)) + d(n)).as(n)
+                }: _*)
+            }
+          if (!exists) {
+            val live = merged.where(col("mv_cnt") > 0)
+            if (!live.isEmpty)
+              DeltaWrite.append(spark, live, target, txn = Some((appId, batchId)))
+          } else {
+            // delete-then-insert by key: touched keys drop their old row;
+            // only keys still live re-insert. One commit, one txn mark.
+            val changes = merged.withColumn("_change_type",
+              when(col("mv_cnt") > 0, lit("insert")).otherwise(lit("delete")))
+            DeltaWrite.applyChanges(spark, changes, target, keyCols,
+              txn = Some((appId, batchId)))
+          }
+          highWater = batchId
         }
         ()
       }

@@ -173,6 +173,59 @@ class LakeSourceSpec extends SparkSpec {
       Lake.read(spark, src).orderBy("id").collect().toSeq)
   }
 
+  test("aggregate MV: additive maintenance through appends, deletes, upserts") {
+    import graft.sources.{DeltaRead, DeltaWrite}
+    val base = tmp("lakesrc_aggmv")
+    val src = s"$base/src"
+    val mv = s"$base/mv"
+    val ckpt = s"$base/ckpt"
+    def run(): Unit = StreamOps.aggregateMvStream(spark, src, mv, Seq("grp"),
+      Seq("sum_v" -> col("v")), appId = "spec_mv", checkpointDir = ckpt)
+    def view(): Seq[(String, Long, Long)] =
+      DeltaRead.snapshot(spark, mv).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+
+    DeltaWrite.append(spark,
+      Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 5L)).toDF("grp", "id", "v"), src)
+    run()
+    assert(view() === Seq(("a", 2L, 30L), ("b", 1L, 5L)))
+
+    // while the stream is down: new group, delete ALL of b, upsert one a-row
+    DeltaWrite.append(spark, Seq(("c", 4L, 7L)).toDF("grp", "id", "v"), src)
+    DeltaWrite.deleteWhere(spark, src, col("grp") === "b")
+    DeltaWrite.upsert(spark, Seq(("a", 2L, 200L)).toDF("grp", "id", "v"), src, Seq("id"))
+    run()
+    // b vanished (mv_cnt hit 0); a's sum reflects the upsert delta
+    assert(view() === Seq(("a", 2L, 210L), ("c", 1L, 7L)))
+
+    // replay guard: re-running with the SAME checkpoint applies nothing new
+    run()
+    assert(view() === Seq(("a", 2L, 210L), ("c", 1L, 7L)))
+
+    // the MV always equals the from-scratch aggregation of the source
+    val fresh = graft.sources.Lake.read(spark, src)
+      .groupBy(col("grp")).agg(count(lit(1)).as("mv_cnt"), sum(col("v")).as("sum_v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(view() === fresh)
+  }
+
+  test("aggregate MV: txn marks make a replayed batch a no-op") {
+    import graft.sources.{DeltaRead, DeltaWrite}
+    val base = tmp("lakesrc_aggmv_txn")
+    val src = s"$base/src"
+    val mv = s"$base/mv"
+    DeltaWrite.append(spark, Seq(("a", 1L, 10L)).toDF("grp", "id", "v"), src)
+    StreamOps.aggregateMvStream(spark, src, mv, Seq("grp"),
+      Seq("sum_v" -> col("v")), appId = "txn_mv", checkpointDir = s"$base/ckpt1")
+    // a FRESH checkpoint replays batch 0 (the full snapshot) — the recorded
+    // (appId, batchId) mark must drop it instead of double-counting
+    StreamOps.aggregateMvStream(spark, src, mv, Seq("grp"),
+      Seq("sum_v" -> col("v")), appId = "txn_mv", checkpointDir = s"$base/ckpt2")
+    assert(DeltaRead.snapshot(spark, mv).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("a", 1L, 10L)))
+  }
+
   test("Lake.scanPruned dispatches per format; lake_scan_where from SQL") {
     import graft.sources.{DeltaWrite, Lake}
     val table = tmp("lakesrc_scanpruned") + "/tbl"
