@@ -637,19 +637,20 @@ object StreamOps {
     * recomputing history. Each micro-batch reduces to per-key DELTAS
     * (`+measure` for inserts, `−measure` for deletes — one
     * map-side-combined aggregation over the batch), which merge additively
-    * into the Delta `target`; a key whose maintained row count reaches 0
-    * disappears from the view. Per batch the work is O(batch + touched
-    * keys): the merge joins the tiny delta frame against the view and
-    * rewrites only the touched keys through
-    * [[graft.sources.DeltaWrite.applyChanges]] (delete-then-insert on key,
-    * copy-on-write on just the affected files).
+    * into the `target` (Delta or Iceberg per `targetFormat`); a key whose
+    * maintained row count reaches 0 disappears from the view. Per batch
+    * the work is O(batch + touched keys): the merge joins the tiny delta
+    * frame against the view and rewrites only the touched keys through
+    * the format's `applyChanges` (delete-then-insert on key,
+    * copy-on-write/MOR on just the affected files).
     *
     * Unlike the row-level MV ([[changelogApplyStream]]), additive
     * application is NOT replay-idempotent — applying a batch's deltas
-    * twice double-counts. Exactly-once therefore rides Delta's `txn`
-    * action: every merge commit records (appId, batchId), the high-water
-    * mark is read once at stream start, and a replayed batch (foreachBatch
-    * is at-least-once) is skipped at/below it.
+    * twice double-counts. Exactly-once therefore rides the format's
+    * idempotency ledger (Delta `txn` action; Iceberg `graft.*`
+    * snapshot-summary marks): every merge commit records (appId, batchId),
+    * the high-water mark is read once at stream start, and a replayed
+    * batch (foreachBatch is at-least-once) is skipped at/below it.
     *
     * `measures` are (name, long-valued expression over source rows);
     * additivity over ± signs is what makes the maintenance exact, so
@@ -661,8 +662,8 @@ object StreamOps {
     * liveness). */
   def aggregateMvStream(spark: SparkSession, source: String, target: String,
       keyCols: Seq[String], measures: Seq[(String, Column)], appId: String,
-      checkpointDir: String): Unit = {
-    import graft.sources.{DeltaRead, DeltaWrite, Lake}
+      checkpointDir: String, targetFormat: String = "delta"): Unit = {
+    import graft.sources.{DeltaRead, DeltaWrite, IcebergRead, IcebergWrite, Lake}
     require(measures.nonEmpty, "aggregateMvStream needs at least one measure")
     val src = Lake.detect(spark, source) match {
       case Lake.Delta => LakeSources.deltaChangelog(spark, source)
@@ -670,11 +671,35 @@ object StreamOps {
       case other => throw new IllegalArgumentException(
         s"aggregate MV needs a lake-format source, got $other at $source")
     }
-    val exists0 = new java.io.File(s"${target.stripSuffix("/")}/_delta_log").exists()
+    // per-format dispatch: existence marker, snapshot read, seed append,
+    // merge commit, and where the (appId, batchId) exactly-once mark lives
+    // (Delta: txn action; Iceberg: graft.* snapshot-summary ledger).
+    val isDelta = targetFormat match {
+      case "delta" => true
+      case "iceberg" => false
+      case other => throw new IllegalArgumentException(
+        s"unsupported target format '$other' (delta | iceberg)")
+    }
+    val marker = if (isDelta) "_delta_log" else "metadata"
+    def exists(): Boolean =
+      new java.io.File(s"${target.stripSuffix("/")}/$marker").exists()
+    def readMv(): DataFrame =
+      if (isDelta) DeltaRead.snapshot(spark, target) else IcebergRead.snapshot(spark, target)
+    def seed(live: DataFrame, batchId: Long): Unit =
+      if (isDelta) DeltaWrite.append(spark, live, target, txn = Some((appId, batchId)))
+      else IcebergWrite.append(spark, live, target,
+        summaryProps = Map("graft.app-id" -> appId, "graft.batch-id" -> batchId.toString))
+    def merge(changes: DataFrame, batchId: Long): Unit =
+      if (isDelta) DeltaWrite.applyChanges(spark, changes, target, keyCols,
+        txn = Some((appId, batchId)))
+      else IcebergWrite.applyChanges(spark, changes, target, keyCols,
+        summaryProps = Map("graft.app-id" -> appId, "graft.batch-id" -> batchId.toString))
     // read ONCE at start; within a run batches are sequential, so a driver
     // var tracks the high-water mark without rescanning the log per batch
     var highWater: Long =
-      if (exists0) DeltaRead.txnVersions(spark, target).getOrElse(appId, -1L) else -1L
+      if (!exists()) -1L
+      else if (isDelta) DeltaRead.txnVersions(spark, target).getOrElse(appId, -1L)
+      else IcebergRead.txnVersions(spark, target).getOrElse(appId, -1L)
     val allMeasures = ("mv_cnt", lit(1L)) +: measures
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -682,11 +707,11 @@ object StreamOps {
           val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
           val aggs = allMeasures.map { case (n, e) => sum(sign * e.cast("long")).as(n) }
           val delta = batch.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-          val exists = new java.io.File(s"${target.stripSuffix("/")}/_delta_log").exists()
+          val tableLive = exists()
           val merged =
-            if (!exists) delta
+            if (!tableLive) delta
             else {
-              val cur = DeltaRead.snapshot(spark, target).as("c")
+              val cur = readMv().as("c")
               val d = delta.as("d")
               // null-safe key equality: NULL keys are legal group keys
               val cond = keyCols.map(c => d(c) <=> cur(c)).reduce(_ && _)
@@ -695,17 +720,15 @@ object StreamOps {
                   (coalesce(cur(n), lit(0L)) + d(n)).as(n)
                 }: _*)
             }
-          if (!exists) {
+          if (!tableLive) {
             val live = merged.where(col("mv_cnt") > 0)
-            if (!live.isEmpty)
-              DeltaWrite.append(spark, live, target, txn = Some((appId, batchId)))
+            if (!live.isEmpty) seed(live, batchId)
           } else {
             // delete-then-insert by key: touched keys drop their old row;
             // only keys still live re-insert. One commit, one txn mark.
             val changes = merged.withColumn("_change_type",
               when(col("mv_cnt") > 0, lit("insert")).otherwise(lit("delete")))
-            DeltaWrite.applyChanges(spark, changes, target, keyCols,
-              txn = Some((appId, batchId)))
+            merge(changes, batchId)
           }
           highWater = batchId
         }

@@ -209,6 +209,34 @@ class LakeSourceSpec extends SparkSpec {
     assert(view() === fresh)
   }
 
+  test("aggregate MV: Iceberg target with snapshot-summary replay marks") {
+    import graft.sources.{DeltaWrite, IcebergRead}
+    val base = tmp("lakesrc_aggmv_ice")
+    val src = s"$base/src"
+    val mv = s"$base/mv"
+    val ckpt = s"$base/ckpt"
+    def run(): Unit = StreamOps.aggregateMvStream(spark, src, mv, Seq("grp"),
+      Seq("sum_v" -> col("v")), appId = "ice_mv", checkpointDir = ckpt,
+      targetFormat = "iceberg")
+    def view(): Seq[(String, Long, Long)] =
+      IcebergRead.snapshot(spark, mv).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+
+    DeltaWrite.append(spark,
+      Seq(("a", 1L, 10L), ("b", 2L, 20L)).toDF("grp", "id", "v"), src)
+    run()
+    assert(view() === Seq(("a", 1L, 10L), ("b", 1L, 20L)))
+    DeltaWrite.deleteWhere(spark, src, col("grp") === "b")
+    DeltaWrite.append(spark, Seq(("a", 3L, 5L)).toDF("grp", "id", "v"), src)
+    run()
+    assert(view() === Seq(("a", 2L, 15L)))
+    // fresh checkpoint replays from batch 0: the summary marks drop it all
+    StreamOps.aggregateMvStream(spark, src, mv, Seq("grp"),
+      Seq("sum_v" -> col("v")), appId = "ice_mv", checkpointDir = s"$base/ckpt2",
+      targetFormat = "iceberg")
+    assert(view() === Seq(("a", 2L, 15L)))
+  }
+
   test("aggregate MV: txn marks make a replayed batch a no-op") {
     import graft.sources.{DeltaRead, DeltaWrite}
     val base = tmp("lakesrc_aggmv_txn")
