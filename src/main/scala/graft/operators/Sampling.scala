@@ -66,6 +66,22 @@ object Sampling {
     df.where(bucketOf(col(keyCol), 10000) < thr)
   }
 
+  /** WEIGHT-PROPORTIONAL sampling ("soft filtering", the DCLM-style
+    * quality-weighted keep): each row survives with probability
+    * `prob` (a per-row column, clamped to [0, 1]) — e.g. keep documents
+    * proportionally to a quality score instead of a hard threshold.
+    * Deterministic via the engine's md5-bucket device at `granularity`
+    * (row kept iff bucket(key) < ⌊prob·granularity⌋, the same floor
+    * convention as [[temperatureMix]]: exact keep rates undershoot by
+    * < 1/granularity, deterministically). Stable across runs, cluster
+    * sizes, and layouts; a plain predicate, so it pushes down and a
+    * higher-probability pass always keeps a SUPERSET of a lower one
+    * (same key ⇒ same bucket). */
+  def weightedSample(df: DataFrame, keyCol: String, prob: Column,
+      granularity: Int = 10000): DataFrame =
+    df.where(bucketOf(col(keyCol), granularity) <
+      floor(least(greatest(prob, lit(0.0)), lit(1.0)) * granularity))
+
   /** Stratified sample: a different keep-fraction per stratum (e.g. balance
     * languages in a training mix), still hash-deterministic — the
     * `df.stat.sampleBy` idea without its seed/partition-layout dependence.

@@ -523,6 +523,29 @@ object LlmQueries {
       WHERE b.bucket < thr.t
       GROUP BY b.source ORDER BY b.source"""))
 
+  /** L36 WEIGHTED SAMPLING: quality-proportional "soft filtering" — keep
+    * probability rises linearly with document length (capped at 1), so
+    * longer documents survive more often without a hard cutoff. The
+    * md5-bucket device makes the sample a plain pushdown predicate that is
+    * bit-stable across runs/layouts; per-language kept counts + character
+    * mass are the auditable output. */
+  val l36 = GQuery(
+    "l36_weighted_sampling",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val p = col("n_chars") / lit(2000.0)
+      graft.operators.Sampling.weightedSample(d, "doc_id", p)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("sampled"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH b AS (SELECT doc_id, lang, n_chars,
+        ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 10000 AS bucket,
+        CAST(floor(LEAST(1.0, GREATEST(n_chars / 2000.0, 0.0)) * 10000) AS BIGINT) AS thr
+      FROM documents)
+      SELECT lang, count(*) AS sampled, sum(n_chars) AS sum_chars
+      FROM b WHERE bucket < thr GROUP BY lang ORDER BY lang"""))
+
   val l12 = GQuery(
     "l12_train_test_split",
     (s, dir) => {
@@ -1230,5 +1253,5 @@ object LlmQueries {
     l3lshRecall, l3ivfRecall, l3kmeansRecall, l3pqRecall, l3sqRecall, l26, l27, l28, l29, l30,
     l31, l32, l34, l35,
     l4langid, l5, l6, l7, l8, l9,
-    l10, l11, l11b, l12, l33, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l24, l24b, l25)
+    l10, l11, l11b, l12, l33, l36, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l24, l24b, l25)
 }

@@ -40,6 +40,28 @@ class SamplingPackingSpec extends SparkSpec {
     assert(hot("small") === 40L, s"capped source keeps all rows: $hot; nat=$nat")
   }
 
+  test("weightedSample: p=1 keeps all, p=0 keeps none, rate tracks p, monotone supersets") {
+    val df = Seq.tabulate(4000)(i => (i.toLong, (i % 100).toDouble / 100)).toDF("id", "p")
+    assert(Sampling.weightedSample(df, "id", lit(1.0)).count() === 4000L)
+    assert(Sampling.weightedSample(df, "id", lit(0.0)).count() === 0L)
+    // out-of-range probabilities clamp instead of erroring
+    assert(Sampling.weightedSample(df, "id", lit(7.5)).count() === 4000L)
+    assert(Sampling.weightedSample(df, "id", lit(-3.0)).count() === 0L)
+    // fixed p=0.3: empirical rate near 0.3 (md5 buckets uniform-ish)
+    val r = Sampling.weightedSample(df, "id", lit(0.3)).count().toDouble / 4000
+    assert(r > 0.2 && r < 0.4, s"rate=$r")
+    // per-row p: kept(p) ⊆ kept(min(1, 2p)) — same key ⇒ same bucket
+    val low = Sampling.weightedSample(df, "id", col("p"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val high = Sampling.weightedSample(df, "id", col("p") * 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(low.subsetOf(high), s"${(low -- high).size} rows lost when p doubled")
+    // layout-independent: repartitioning changes nothing
+    val re = Sampling.weightedSample(df.repartition(7), "id", col("p"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(re === low)
+  }
+
   test("trainTestSplit is disjoint and exhaustive, including NULL keys") {
     val df = (Seq.tabulate(50)(i => Some(s"k$i")) :+ Option.empty[String])
       .zipWithIndex.map { case (k, i) => (k, i) }.toDF("key", "v")
