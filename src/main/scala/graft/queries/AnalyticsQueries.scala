@@ -541,7 +541,35 @@ object AnalyticsQueries {
         count(*) AS cnt
       FROM events WHERE user_id < 12 GROUP BY user_id ORDER BY user_id"""))
 
+  /** T54 BIVARIATE STATISTICS: the correlation/regression aggregate family
+    * (corr, covar_pop, regr_slope, regr_intercept) per group — A-family
+    * siblings of the moment aggregates. Both engines accumulate stable
+    * co-moments; rounding is chosen per statistic for cross-engine float
+    * agreement (ratios of co-moments — corr, slope — are precise to ~1e-12
+    * and round at 6 dp; raw co-moments — covariance, intercept — carry
+    * summation-order noise up to ~1e-4 at this magnitude and round at
+    * 2 dp). One map-side-combined aggregation, no extra pass. */
+  val t54 = GQuery(
+    "t54_corr_stats",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
+          round(covar_pop(col("l_extendedprice"), col("l_quantity")), 2).as("covar_pq"),
+          round(expr("regr_slope(l_extendedprice, l_quantity)"), 6).as("slope"),
+          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 2).as("icept"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+        round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+        round(covar_pop(l_extendedprice, l_quantity), 2) AS covar_pq,
+        round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept,
+        count(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Seq[GQuery] =
-    Seq(t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53,
+    Seq(t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
       l23, l3ivfx, b14b, b14c)
 }
