@@ -43,16 +43,32 @@ object DataSkipping {
     * existing table. */
   def collectStats(spark: SparkSession, tableDir: String, statCols: Seq[String],
       bloomCols: Seq[String] = Nil, bloomItems: Long = 1000000L,
-      bloomBits: Long = 1024L * 1024): DataFrame = {
+      bloomBits: Long = 1024L * 1024, tokenBloomCols: Seq[String] = Nil): DataFrame = {
     val aggs = statCols.flatMap(c => Seq(
       min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))) ++
       bloomCols.map(c =>
         BloomOps.bloomAgg(xxhash64(col(c)), bloomItems, bloomBits).as(s"bloom_$c")) :+
       count(lit(1L)).as("rows")
-    spark.read.parquet(tableDir)
+    val base = spark.read.parquet(tableDir)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+    // TOKEN blooms (`bloom_tokens_<c>`): a bloom over every WHITESPACE
+    // TOKEN of a text column — the text-search lever the value bloom is
+    // not: "which files could contain documents with this term" for
+    // `array_contains(split(c, ' '), term)` predicates, the full-text
+    // skipping idea log engines use. The token fan-out changes row
+    // cardinality, so each token bloom is its own exploded aggregation
+    // (still one linear pass per column) joined back on file.
+    tokenBloomCols.foldLeft(base) { (acc, c) =>
+      val tb = spark.read.parquet(tableDir)
+        .select(input_file_name().as("file"),
+          explode_outer(split(col(c), " ")).as("__tok"))
+        .groupBy(col("file"))
+        .agg(BloomOps.bloomAgg(xxhash64(col("__tok")), bloomItems, bloomBits)
+          .as(s"bloom_tokens_$c"))
+      acc.join(tb, Seq("file"), "left")
+    }
   }
 
   /** Column attribute by name. Also sees through WIDENING numeric casts
@@ -85,7 +101,8 @@ object DataSkipping {
     * row-group filtering. Handles =, <, <=, >, >=, IN, IS NULL, AND, OR with
     * literals on either side (BETWEEN arrives as two comparisons). */
   def fileSurvives(pred: Expression, statCols: Set[String],
-      bloomCols: Set[String] = Set.empty): Column = {
+      bloomCols: Set[String] = Set.empty,
+      tokenBloomCols: Set[String] = Set.empty): Column = {
     def known(name: String): Boolean = statCols.contains(name)
     def mn(c: String) = col(s"min_$c")
     def mx(c: String) = col(s"max_$c")
@@ -114,10 +131,28 @@ object DataSkipping {
       val iv = if (known(a)) safe(mn(a) <= l(v) && mx(a) >= l(v)) else lit(true)
       iv && bloomHit(a, v)
     }
+    // The engine-wide whitespace tokenization as the OPTIMIZER sees it:
+    // split(c, " ")[ with any limit literal] over a token-bloomed column.
+    // Matching this exact shape is what keeps the probe SOUND — a matching
+    // row holds the literal as a complete token, and every complete token
+    // of the file was inserted in the sketch. (A raw substring `contains`
+    // can match across token boundaries and is deliberately NOT pruned.)
+    object TokensOf {
+      def unapply(e: Expression): Option[String] = e match {
+        case StringSplit(Attr(a), Literal(sep, _), _: Literal)
+            if tokenBloomCols.contains(a) && String.valueOf(sep) == " " => Some(a)
+        case _ => None
+      }
+    }
+    def tokenBloomHit(a: String, v: Expression): Column = {
+      val hash = XxHash64(Seq(v), 42L).eval(null).asInstanceOf[Long]
+      bloomProbe(col(s"bloom_tokens_$a"), lit(hash))
+    }
 
     def go(e: Expression): Column = e match {
       case And(a, b) => go(a) && go(b)
       case Or(a, b) => go(a) || go(b)
+      case ArrayContains(TokensOf(a), v: Literal) => tokenBloomHit(a, v)
       case EqualTo(Attr(a), v: Literal) if known(a) || bloomCols.contains(a) => eqCheck(a, v)
       case EqualTo(v: Literal, Attr(a)) if known(a) || bloomCols.contains(a) => eqCheck(a, v)
       case LessThan(Attr(a), v: Literal) if known(a) => safe(mn(a) < l(v))
@@ -157,7 +192,11 @@ object DataSkipping {
   def scan(spark: SparkSession, tableDir: String, stats: DataFrame, pred: Column)
       : (DataFrame, Long, Long) = {
     val statCols = stats.columns.collect { case c if c.startsWith("min_") => c.stripPrefix("min_") }
-    val bloomCols = stats.columns.collect { case c if c.startsWith("bloom_") => c.stripPrefix("bloom_") }
+    val tokenBloomCols = stats.columns.collect {
+      case c if c.startsWith("bloom_tokens_") => c.stripPrefix("bloom_tokens_") }
+    val bloomCols = stats.columns.collect {
+      case c if c.startsWith("bloom_") && !c.startsWith("bloom_tokens_") =>
+        c.stripPrefix("bloom_") }
     val total = stats.count()
     // A Column is an unresolved ColumnNode tree in Spark 4; resolve it
     // against the actual table (plan-only, nothing executes) so the
@@ -166,7 +205,9 @@ object DataSkipping {
     val cond = spark.read.parquet(tableDir).where(pred)
       .queryExecution.optimizedPlan
       .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
-    val survives = cond.map(fileSurvives(_, statCols.toSet, bloomCols.toSet)).getOrElse(lit(true))
+    val survives = cond
+      .map(fileSurvives(_, statCols.toSet, bloomCols.toSet, tokenBloomCols.toSet))
+      .getOrElse(lit(true))
     val survivors = stats.where(survives)
       .select("file").collect().map(_.getString(0))
     val df =

@@ -110,6 +110,31 @@ object IoQueries {
       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
       FROM orders WHERE concat('K', o_orderkey) IN ('K500', 'K1500', 'K-absent')"""))
 
+  /** Token-bloom text-search skipping: per-file blooms over every
+    * whitespace token of `text` answer "which files could contain a
+    * document with this term" — full-text file pruning where min/max and
+    * value blooms are useless (every file's text domain overlaps). Same
+    * invisibility contract as the other skipping queries: the pruned scan
+    * re-applies the exact predicate, so the result equals the full-scan
+    * filter; prune counts are asserted in DataSkippingSpec. */
+  val ttokens = GQuery(
+    "t_token_skipping",
+    (s, dir) => {
+      val out = tmp("graft_tokscan")
+      Tables(s, dir, "documents")
+        .repartitionByRange(50, col("doc_id"))
+        .write.mode("overwrite").parquet(out)
+      val stats = graft.operators.DataSkipping.collectStats(s, out, Seq("doc_id"),
+        tokenBloomCols = Seq("text"), bloomItems = 100000L)
+      val (df, _, _) = graft.operators.DataSkipping.scan(s, out, stats,
+        array_contains(split(col("text"), " "), "dup"))
+      df.agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    },
+    Some("""SELECT count(*) AS n, sum(n_chars) AS sum_chars,
+      min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM documents WHERE list_contains(string_split(text, ' '), 'dup')"""))
+
   /** Iceberg manifest column bounds end-to-end: a range-clustered append
     * records spec lower/upper_bounds per data file; scanPruned translates
     * a value predicate against the decoded bounds and scans only the
@@ -1004,7 +1029,7 @@ object IoQueries {
       GROUP BY event_type ORDER BY event_type"""))
 
   def all: Seq[GQuery] =
-    Seq(t1, t1orc, t2, t3, tskip, tbloom, ticebergStats, tdeltaStats, tdelta, ticeberg,
+    Seq(t1, t1orc, t2, t3, tskip, tbloom, ttokens, ticebergStats, tdeltaStats, tdelta, ticeberg,
       tdeltaRt, ticebergRt, ticebergMor,
       tdeltaDv, tdeltaUpsert, ticebergPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tcdcApply, tlakeSync, tlakeClone,

@@ -219,6 +219,56 @@ class DataSkippingSpec extends SparkSpec {
     assert(dfOr.count() === f.where(orPred).count())
   }
 
+  test("token blooms prune text-search predicates; substring contains never prunes") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_skip_tok").toString
+    // 20 files × 50 docs of common filler; the needle token lives in ONE file
+    val docs = (0 until 1000).map { i =>
+      val needle = if (i >= 100 && i < 105) " zebrahash" else ""
+      (i.toLong, s"alpha beta gamma delta$needle epsilon")
+    }.toDF("id", "text")
+    docs.repartitionByRange(20, $"id").write.mode("overwrite").parquet(d)
+    val st = DataSkipping.collectStats(spark, d, Seq("id"),
+      tokenBloomCols = Seq("text"), bloomItems = 10000L).cache()
+
+    // token search: split + array_contains — prunes to ~1 file, exact rows
+    val pred = array_contains(split($"text", " "), "zebrahash")
+    val (df, hit, total) = DataSkipping.scan(spark, d, st, pred)
+    assert(total === 20L)
+    assert(hit <= 2, s"token search should touch ≤2 of $total files, hit $hit")
+    assert(df.select("id").as[Long].collect().sorted.toSeq === (100L until 105L))
+
+    // absent token: nothing (or fp-few) read, zero rows
+    val (dfNo, hitNo, _) = DataSkipping.scan(spark, d, st,
+      array_contains(split($"text", " "), "no-such-token"))
+    assert(hitNo <= 2)
+    assert(dfNo.count() === 0L)
+
+    // common token: every file legitimately survives, result exact
+    val (dfAll, hitAll, _) = DataSkipping.scan(spark, d, st,
+      array_contains(split($"text", " "), "beta"))
+    assert(hitAll === 20L)
+    assert(dfAll.count() === 1000L)
+
+    // substring contains can cross token boundaries → deliberately NOT
+    // pruned (conservative: all files kept, rows exact)
+    val (dfSub, hitSub, _) = DataSkipping.scan(spark, d, st, $"text".contains("zebra"))
+    assert(hitSub === 20L)
+    assert(dfSub.count() === 5L)
+
+    // a non-space separator is NOT our tokenization → no pruning either
+    val (dfSep, hitSep, _) = DataSkipping.scan(spark, d, st,
+      array_contains(split($"text", ","), "zebrahash"))
+    assert(hitSep === 20L)
+    assert(dfSep.count() === 0L)
+
+    // AND with an interval leg composes: both prunes intersect
+    val (dfAnd, hitAnd, _) = DataSkipping.scan(spark, d, st,
+      pred && $"id" < lit(500L))
+    assert(hitAnd <= 2)
+    assert(dfAnd.count() === 5L)
+  }
+
   test("long IN-lists (optimized to InSet above threshold 10) still prune") {
     // 12 clustered low keys > inSetConversionThreshold (10) → the optimizer
     // rewrites In → InSet; without the InSet translator case this read all files
