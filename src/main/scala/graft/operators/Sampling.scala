@@ -66,6 +66,17 @@ object Sampling {
     df.where(bucketOf(col(keyCol), 10000) < thr)
   }
 
+  /** EPOCH SHUFFLE key: the training-order randomization step — a stable
+    * pseudo-random global order from md5(seed ∥ key). Sorting (or
+    * range-partition-writing) by this key "shuffles" the corpus
+    * deterministically: the order is a pure function of (seed, key), so it
+    * is identical across runs, cluster sizes, and layouts, and a new
+    * epoch is just a new seed — no state, no RNG, no seed+partition
+    * dependence like `df.orderBy(rand(seed))`. At 100 TB the epoch write
+    * is one range-partitioned sort on this key. */
+  def epochShuffleKey(key: Column, seed: String): Column =
+    md5(concat(lit(s"$seed-"), key.cast("string")))
+
   /** WEIGHT-PROPORTIONAL sampling ("soft filtering", the DCLM-style
     * quality-weighted keep): each row survives with probability
     * `prob` (a per-row column, clamped to [0, 1]) — e.g. keep documents

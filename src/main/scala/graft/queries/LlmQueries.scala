@@ -546,6 +546,30 @@ object LlmQueries {
       SELECT lang, count(*) AS sampled, sum(n_chars) AS sum_chars
       FROM b WHERE bucket < thr GROUP BY lang ORDER BY lang"""))
 
+  /** L37 EPOCH SHUFFLE: deterministic training-order randomization —
+    * global order by md5(epoch-seed ∥ doc_id), identical across runs and
+    * cluster layouts (unlike rand(seed), which is partition-dependent).
+    * The head of epoch 42's order is the auditable output; a full epoch
+    * write is the same key through a range-partitioned sort. */
+  val l37 = GQuery(
+    "l37_corpus_shuffle",
+    (s, dir) => {
+      val key = graft.operators.Sampling.epochShuffleKey(col("doc_id"), "ep42")
+      val ord = Seq(col("shuffle_key").asc, col("doc_id").asc)
+      t(s, dir, "documents")
+        .select(col("doc_id"), key.as("shuffle_key"))
+        .orderBy(ord: _*)
+        .limit(25)
+        .withColumn("pos", row_number().over(Window.orderBy(ord: _*)))
+        .select(col("pos"), col("doc_id"), col("shuffle_key"))
+    },
+    Some("""WITH h AS (SELECT doc_id,
+        md5('ep42-' || CAST(doc_id AS VARCHAR)) AS shuffle_key FROM documents),
+      r AS (SELECT doc_id, shuffle_key,
+        row_number() OVER (ORDER BY shuffle_key, doc_id) AS pos FROM h)
+      SELECT CAST(pos AS INT) AS pos, doc_id, shuffle_key
+      FROM r WHERE pos <= 25 ORDER BY pos"""))
+
   val l12 = GQuery(
     "l12_train_test_split",
     (s, dir) => {
@@ -1253,5 +1277,5 @@ object LlmQueries {
     l3lshRecall, l3ivfRecall, l3kmeansRecall, l3pqRecall, l3sqRecall, l26, l27, l28, l29, l30,
     l31, l32, l34, l35,
     l4langid, l5, l6, l7, l8, l9,
-    l10, l11, l11b, l12, l33, l36, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l24, l24b, l25)
+    l10, l11, l11b, l12, l33, l36, l37, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l24, l24b, l25)
 }

@@ -21,6 +21,43 @@ object SqlQueries {
   def sql(name: String): String = texts(name)
 
   val texts: Map[String, String] = Map(
+    "t54_corr_stats" -> """SELECT l_returnflag,
+        round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+        round(covar_pop(l_extendedprice, l_quantity), 2) AS covar_pq,
+        round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept,
+        count(1) AS cnt
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "l34_bm25_topk" -> """WITH pt AS (SELECT doc_id,
+        CAST(size(split(text, ' ')) AS DOUBLE) AS dl,
+        CAST(size(filter(split(text, ' '), x -> x = 'vector')) AS DOUBLE) AS tf_0,
+        CAST(size(filter(split(text, ' '), x -> x = 'window')) AS DOUBLE) AS tf_1,
+        CAST(size(filter(split(text, ' '), x -> x = 'hash')) AS DOUBLE) AS tf_2
+      FROM documents),
+      st AS (SELECT CAST(count(1) AS DOUBLE) AS n, sum(dl) AS sumdl,
+        sum(CASE WHEN tf_0 > 0 THEN 1.0D ELSE 0.0D END) AS df_0,
+        sum(CASE WHEN tf_1 > 0 THEN 1.0D ELSE 0.0D END) AS df_1,
+        sum(CASE WHEN tf_2 > 0 THEN 1.0D ELSE 0.0D END) AS df_2
+      FROM pt),
+      sc AS (SELECT doc_id,
+        ln(1.0D + (n - df_0 + 0.5D) / (df_0 + 0.5D)) * (tf_0 * (1.2D + 1.0D)) / (tf_0 + 1.2D * (1.0D - 0.75D + 0.75D * dl / (sumdl / n))) +
+        ln(1.0D + (n - df_1 + 0.5D) / (df_1 + 0.5D)) * (tf_1 * (1.2D + 1.0D)) / (tf_1 + 1.2D * (1.0D - 0.75D + 0.75D * dl / (sumdl / n))) +
+        ln(1.0D + (n - df_2 + 0.5D) / (df_2 + 0.5D)) * (tf_2 * (1.2D + 1.0D)) / (tf_2 + 1.2D * (1.0D - 0.75D + 0.75D * dl / (sumdl / n))) AS score
+      FROM pt CROSS JOIN st),
+      scf AS (SELECT doc_id, score FROM sc WHERE score > 0D),
+      rk AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank, score FROM scf)
+      SELECT doc_id, rank, round(score, 6) AS score FROM rk WHERE rank <= 20 ORDER BY rank""",
+    "l36_weighted_sampling" -> """WITH b AS (SELECT lang, n_chars,
+        pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT), 10000) AS bucket,
+        floor(least(greatest(n_chars / 2000.0D, 0.0D), 1.0D) * 10000) AS thr
+      FROM documents)
+      SELECT lang, count(1) AS sampled, sum(n_chars) AS sum_chars
+      FROM b WHERE bucket < thr GROUP BY lang ORDER BY lang""",
+    "l37_corpus_shuffle" -> """WITH h AS (SELECT doc_id,
+        md5(concat('ep42-', CAST(doc_id AS STRING))) AS shuffle_key FROM documents),
+      r AS (SELECT doc_id, shuffle_key,
+        row_number() OVER (ORDER BY shuffle_key, doc_id) AS pos FROM h)
+      SELECT pos, doc_id, shuffle_key FROM r WHERE pos <= 25 ORDER BY pos""",
     "t52_rank_stats" -> """SELECT user_id, event_id,
         ntile(4) OVER w AS quartile,
         CAST(round(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_micro,
