@@ -569,7 +569,45 @@ object AnalyticsQueries {
         count(*) AS cnt
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** T55 PAGERANK: link-analysis centrality over the customer–supplier
+    * bipartite trade graph (edges both directions so no node dangles),
+    * 6 fixed iterations in exact long micro-unit arithmetic
+    * ([[graft.operators.Graph.pageRank]]) — bit-identical across
+    * partitionings and engines, so the oracle replays the identical
+    * integer recurrence as 6 unrolled CTE steps. */
+  val t55 = GQuery(
+    "t55_pagerank",
+    (s, dir) => {
+      val ol = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), (col("l_suppkey") + 1000000L).as("supp"))
+        .distinct()
+      val edges = ol.select(col("cust").as("src"), col("supp").as("dst"))
+        .union(ol.select(col("supp").as("src"), col("cust").as("dst")))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 6)
+        .orderBy(col("rank").desc, col("node"))
+        .limit(20)
+        .select(col("node"), col("rank").as("rank_micro"))
+    },
+    Some {
+      val steps = (1 to 6).map { k =>
+        s"""c$k AS (SELECT e.dst AS node, sum(r${k - 1}.rank // d.deg) AS s
+          FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node JOIN d ON e.src = d.src
+          GROUP BY e.dst),
+        r$k AS (SELECT n.node, CAST(150000 + (850000 * coalesce(c$k.s, 0)) // 1000000 AS BIGINT) AS rank
+          FROM n LEFT JOIN c$k ON n.node = c$k.node)"""
+      }.mkString(",\n        ")
+      s"""WITH b AS (SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        e AS (SELECT cust AS src, supp AS dst FROM b UNION SELECT supp, cust FROM b),
+        n AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+        d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM n),
+        $steps
+        SELECT node, rank AS rank_micro FROM r6 ORDER BY rank_micro DESC, node LIMIT 20"""
+    })
+
   val all: Seq[GQuery] =
-    Seq(t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
+    Seq(t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54, t55,
       l23, l3ivfx, b14b, b14c)
 }

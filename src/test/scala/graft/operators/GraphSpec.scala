@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Fixed-point PageRank (SURVEY.md §2.14 T55): hand-checkable structures
+  * and the exactness properties the micro-unit arithmetic promises. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("a 2-cycle is a fixed point: every node keeps exactly 1_000_000") {
+    // outdeg 1 both ways: r = 150000 + 850000*1000000 div 1000000 = 1000000
+    val r = ranks(Seq((1L, 2L), (2L, 1L)), iters = 5)
+    assert(r === Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("star graph: the hub outranks the (identical) leaves") {
+    val edges = (1L to 5L).flatMap(i => Seq((i, 0L), (0L, i)))
+    val r = ranks(edges, iters = 8)
+    assert((1L to 5L).map(r).toSet.size === 1, "symmetric leaves must tie exactly")
+    assert(r(0L) > r(1L))
+    // closed system with damping: total mass stays near N·1e6 (integral
+    // division leaks at most 1 micro-unit per in-edge per iteration)
+    assert(math.abs(r.values.sum - 6000000L) < 100L)
+  }
+
+  test("dangling node receives mass but redistributes none (documented variant)") {
+    // 1 -> 2 -> 3, 3 dangling: total mass decays, no error, 3 still ranked
+    val r = ranks(Seq((1L, 2L), (2L, 3L)), iters = 4)
+    assert(r.keySet === Set(1L, 2L, 3L))
+    assert(r(1L) === 150000L) // no in-edges: floor at (1-d)·base
+    assert(r(3L) > r(1L))
+  }
+
+  test("multigraph edges are deduplicated, results partition-invariant") {
+    val edges = Seq((1L, 2L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+    val a = ranks(edges, iters = 6)
+    val b = Graph.pageRank(edges.toDF("src", "dst").repartition(7), "src", "dst", 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b, "fixed-point ranks must be bit-identical across layouts")
+    assert(a === ranks(edges.distinct, iters = 6))
+  }
+}
