@@ -32,31 +32,41 @@ object Graph {
     * function of the input (and the oracle replayable).
     *
     * Scale shape: per iteration ONE join of edges against the rank frame
-    * on src (both sides hash-partitioned on the same key — with edges
-    * pre-partitioned by src the join reuses one partitioning across all K
-    * iterations) + ONE aggregation on dst; the rank frame is O(nodes),
-    * orders of magnitude smaller than edges. `localCheckpoint` per
-    * iteration cuts the growing lineage so plan analysis stays O(1) per
-    * round instead of O(K). Edges are deduplicated defensively — PageRank
-    * over a multigraph double-counts contributions.
+    * on src + ONE aggregation on dst. The rank frame is O(nodes) — orders
+    * of magnitude smaller than edges — so with `broadcastRanks` (default)
+    * the join is a broadcast-hash over the stationary edge frame and the
+    * only shuffle per round is the dst aggregation. (The explicit hint
+    * matters: checkpointed frames lose size statistics, and the planner
+    * would otherwise sort-merge the full edge set every iteration.) For
+    * graphs whose rank frame exceeds executor memory (web-scale), pass
+    * `broadcastRanks = false`: the joins become co-partitioned shuffles
+    * on src, the classic Pregel layout. `localCheckpoint` per iteration
+    * cuts the growing lineage so plan analysis stays O(1) per round
+    * instead of O(K). Edges are deduplicated defensively — PageRank over
+    * a multigraph double-counts contributions.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int): DataFrame = {
+      iterations: Int, broadcastRanks: Boolean = true): DataFrame = {
     require(iterations >= 1, s"pageRank needs >= 1 iteration, got $iterations")
     val spark = edges.sparkSession
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val bc: DataFrame => DataFrame = if (broadcastRanks) broadcast else identity
+    // rank div deg is stationary per src across the join — fold outdeg into
+    // the rank frame ONCE per round so the edge join is a single hash probe
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1000000L))
     for (_ <- 1 to iterations) {
+      val sending = ranks.withColumnRenamed("node", "src")
+        .join(bc(outdeg), Seq("src"), "left")
+        .select(col("src"), expr("rank div deg").as("c"))
+        .where(col("c").isNotNull) // dangling nodes send nothing
       val contrib = e
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outdeg, "src")
-        .select(col("dst").as("node"), expr("rank div deg").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
+        .join(bc(sending), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("s"))
+      ranks = nodes.join(bc(contrib), Seq("node"), "left")
         .select(col("node"),
           (lit(150000L) + expr("850000 * coalesce(s, 0L) div 1000000")).as("rank"))
         .localCheckpoint()

@@ -578,12 +578,16 @@ object AnalyticsQueries {
   val t55 = GQuery(
     "t55_pagerank",
     (s, dir) => {
-      val ol = t(s, dir, "orders")
-        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      // both directions fanned out in ONE pass over the join (a union of
+      // two selects would recompute the 600k-row join per branch); the
+      // operator's own dedup collapses repeats in a single shuffle
+      val edges = graft.Spread.ifNarrow(t(s, dir, "orders"))
+        .join(graft.Spread.ifNarrow(t(s, dir, "lineitem")), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("cust"), (col("l_suppkey") + 1000000L).as("supp"))
-        .distinct()
-      val edges = ol.select(col("cust").as("src"), col("supp").as("dst"))
-        .union(ol.select(col("supp").as("src"), col("cust").as("dst")))
+        .select(explode(array(
+          struct(col("cust").as("src"), col("supp").as("dst")),
+          struct(col("supp").as("src"), col("cust").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 6)
         .orderBy(col("rank").desc, col("node"))
         .limit(20)
