@@ -520,6 +520,34 @@ object IoQueries {
       SELECT 'full', count(*), round(sum(value), 2) FROM events
       ORDER BY scope"""))
 
+  /** S9pe: Iceberg PARTITION-SPEC EVOLUTION end-to-end — first half of the
+    * events appended under identity(event_type), the spec evolved
+    * (metadata-only) to day(ts), second half appended under the new
+    * layout; scans and MOR deletes must span both spec generations
+    * transparently. Oracle = the same slices over the raw events. */
+  val ticebergSpecEvo = GQuery(
+    "t_iceberg_spec_evo",
+    (s, dir) => {
+      val table = tmp("graft_ice_specevo_q")
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("value"), col("event_type"), col("ts"))
+      graft.sources.IcebergWrite.append(s,
+        ev.where(pmod(col("event_id"), lit(2)) === 0), table,
+        partitionBy = Seq("event_type"))
+      graft.sources.IcebergWrite.evolvePartitionSpec(s, table, Seq("day(ts)"))
+      graft.sources.IcebergWrite.append(s,
+        ev.where(pmod(col("event_id"), lit(2)) === 1), table,
+        partitionBy = Seq("day(ts)"))
+      graft.sources.IcebergWrite.deleteWhere(s, table, col("event_type") === "error")
+      graft.sources.IcebergRead.snapshot(s, table)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+      FROM events WHERE event_type <> 'error'
+      GROUP BY event_type ORDER BY event_type"""))
+
   /** S8i: incremental Delta consumption — three append commits from event
     * slices, then addsBetween(v0) reads ONLY the later two commits' files
     * (the batch form of Delta's streaming source). Oracle recomputes the
@@ -1029,7 +1057,7 @@ object IoQueries {
       GROUP BY event_type ORDER BY event_type"""))
 
   def all: Seq[GQuery] =
-    Seq(t1, t1orc, t2, t3, tskip, tbloom, ttokens, ticebergStats, tdeltaStats, tdelta, ticeberg,
+    Seq(t1, t1orc, t2, t3, tskip, tbloom, ttokens, ticebergStats, ticebergSpecEvo, tdeltaStats, tdelta, ticeberg,
       tdeltaRt, ticebergRt, ticebergMor,
       tdeltaDv, tdeltaUpsert, ticebergPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tcdcApply, tlakeSync, tlakeClone,

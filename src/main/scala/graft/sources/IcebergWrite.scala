@@ -687,9 +687,61 @@ object IcebergWrite {
         }
         val manifestPath = metaDir(table).resolve(s"m-$snapshotId-${java.util.UUID.randomUUID()}.avro")
         val manifestLen = writeAvro(manifestPath, schema, entries)
-        (manifestPath, manifestLen, 0, 0, dataFiles.size, rowCount)
+        // tag the manifest with the table's CURRENT default spec (not a
+        // hardcoded 0): after partition-spec evolution new manifests must
+        // cite the spec their partition records are shaped by, while
+        // carried pre-evolution manifests keep citing theirs
+        val manifestSpecId =
+          priorAtCheck.map(_.path("default-spec-id").asInt(0)).getOrElse(0)
+        (manifestPath, manifestLen, 0, manifestSpecId, dataFiles.size, rowCount)
       },
       summaryProps = summaryProps)
+  }
+
+  /** PARTITION-SPEC EVOLUTION (the spec's marquee capability): a NEW spec
+    * joins `partition-specs` under a fresh spec-id and becomes the
+    * default — a METADATA-ONLY commit; no data file, manifest, or
+    * snapshot is touched at any scale. Files already written keep their
+    * original spec (their manifests cite its id), future appends must
+    * stage under the new layout (`append`'s partitioning pin now resolves
+    * to the new spec), and reads span both generations transparently —
+    * this writer's data files carry every source column in-file, so no
+    * reader-side reconciliation is needed across specs. Partition
+    * field-ids continue from `last-partition-id` (globally unique across
+    * specs, per spec). `newPartitionBy` entries are the same transform
+    * strings `append` takes ("col", "day(col)", "bucket(16, col)", …);
+    * empty = evolve to unpartitioned. */
+  def evolvePartitionSpec(spark: SparkSession, table: String,
+      newPartitionBy: Seq[String]): Unit = {
+    def jstr(s: String) = mapper.writeValueAsString(s)
+    while (true) {
+      val base = currentVersion(table)
+      require(base > 0, s"not an Iceberg table: $table")
+      val prior = mapper.readTree(metaDir(table).resolve(s"v$base.metadata.json").toFile)
+        .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      require(priorPartitionBy(prior) != newPartitionBy,
+        s"table is already partitioned by $newPartitionBy")
+      val cur = currentSchemaNode(prior)
+      val idByName = cur.path("fields").elements().asScala
+        .map(f => f.path("name").asText() -> f.path("id").asInt(-1)).toMap
+      val transforms = newPartitionBy.map(IcebergTransforms.parse)
+      transforms.foreach(t => require(idByName.contains(t.source),
+        s"partition source '${t.source}' not in schema ${idByName.keys.mkString(",")}"))
+      val specIds = prior.path("partition-specs").elements().asScala
+        .map(_.path("spec-id").asInt(0)).toSeq
+      val newSpecId = (specIds :+ 0).max + 1
+      val lastPartId = prior.path("last-partition-id").asInt(999)
+      val fields = transforms.zipWithIndex.map { case (t, i) =>
+        s"""{"name":${jstr(t.fieldName)},"transform":${jstr(t.transformString)},"source-id":${idByName(t.source)},"field-id":${lastPartId + 1 + i}}"""
+      }.mkString(",")
+      prior.path("partition-specs")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+        .add(mapper.readTree(s"""{"spec-id":$newSpecId,"fields":[$fields]}"""))
+      prior.put("default-spec-id", newSpecId)
+      prior.put("last-partition-id", lastPartId + transforms.size)
+      prior.put("last-updated-ms", System.currentTimeMillis())
+      if (writeMetaVersion(table, base + 1, prior)) return
+    }
   }
 
   /** OPTIMIZE / rewrite-data-files: a `replace` snapshot that bin-packs

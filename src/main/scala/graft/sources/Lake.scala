@@ -345,6 +345,24 @@ object Lake {
           "use Layout.compact to re-lay a copy")
     }
 
+  /** PARTITION-SPEC EVOLUTION dispatch: Iceberg changes its default spec
+    * as a metadata-only commit ([[IcebergWrite.evolvePartitionSpec]]);
+    * the Delta protocol has no equivalent — repartitioning a Delta table
+    * is a data rewrite (overwrite with the new partitionBy), so asking
+    * for the cheap form is refused loudly rather than silently rewriting
+    * terabytes. */
+  def evolvePartitionSpec(spark: SparkSession, path: String,
+      newPartitionBy: Seq[String]): Unit =
+    detect(spark, path) match {
+      case Iceberg => IcebergWrite.evolvePartitionSpec(spark, path, newPartitionBy)
+      case Delta => throw new IllegalArgumentException(
+        s"Delta at $path has no metadata-only partition evolution — " +
+          "changing a Delta table's partitioning is a rewrite " +
+          "(overwrite with the new partitionBy)")
+      case Parquet => throw new IllegalArgumentException(
+        s"plain parquet at $path has no partition spec to evolve")
+    }
+
   /** VACUUM dispatch: physically reclaim files no retained version /
     * snapshot references — the cleanup half [[compact]] defers. Delta
     * keeps the last `retain` log versions; Iceberg expires all but the

@@ -204,6 +204,64 @@ class IcebergWriteSpec extends SparkSpec {
     assert(got === ((1L to 9L).filter(_ != 3L).map(i => (i, "v1")).toSet + ((3L, "v2")) + ((10L, "v2"))))
   }
 
+  test("partition-spec evolution: new default spec, old files keep theirs, reads span both") {
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    val table = Files.createTempDirectory("graft_iw_specevo").toString
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    IcebergWrite.append(spark, (1L to 6L).map(i => (i, s"g${i % 2}")).toDF("id", "grp"),
+      table, partitionBy = Seq("grp"))
+
+    // evolve to bucket(4, id): metadata-only (no new snapshot, no data move)
+    val filesBefore = Files.walk(Paths.get(table, "data")).iterator().asScala
+      .count(p => p.toString.endsWith(".parquet"))
+    IcebergWrite.evolvePartitionSpec(spark, table, Seq("bucket(4, id)"))
+    val meta = mapper.readTree(
+      Paths.get(table, "metadata", "v2.metadata.json").toFile)
+    assert(meta.path("default-spec-id").asInt(-1) > 0)
+    val specs = meta.path("partition-specs").elements().asScala.toSeq
+    assert(specs.exists(s => s.path("fields").elements().asScala
+      .exists(_.path("transform").asText() == "bucket[4]")))
+    assert(meta.path("snapshots").size() === 1, "evolution must not add a snapshot")
+    assert(Files.walk(Paths.get(table, "data")).iterator().asScala
+      .count(p => p.toString.endsWith(".parquet")) === filesBefore)
+
+    // old partitioning now refused; the new one accepted
+    intercept[IllegalArgumentException](
+      IcebergWrite.append(spark, Seq((7L, "g1")).toDF("id", "grp"), table,
+        partitionBy = Seq("grp")))
+    IcebergWrite.append(spark, Seq((7L, "g1"), (8L, "g0")).toDF("id", "grp"), table,
+      partitionBy = Seq("bucket(4, id)"))
+
+    // reads span both spec generations; time travel sees the old world
+    assert(IcebergRead.snapshot(spark, table).select("id").as[Long].collect().sorted
+      === (1L to 8L))
+    assert(IcebergRead.snapshot(spark, table, snapshotId = 1L)
+      .select("id").as[Long].collect().sorted === (1L to 6L))
+
+    // new manifests cite the evolved spec id; carried ones keep spec 0
+    val v3 = mapper.readTree(Paths.get(table, "metadata", "v3.metadata.json").toFile)
+    val mlPath = v3.path("snapshots").elements().asScala.toSeq.last
+      .path("manifest-list").asText()
+    val specIds = IcebergRead.avroRecords(mlPath)
+      .map(_.get("partition_spec_id").toString.toInt).toSet
+    assert(specIds === Set(0, v3.path("default-spec-id").asInt(-1)))
+
+    // MOR delete still works across the mixed-spec table
+    IcebergWrite.deleteWhere(spark, table, col("id") === 2L)
+    assert(IcebergRead.snapshot(spark, table).select("id").as[Long].collect().sorted
+      === (1L to 8L).filter(_ != 2L))
+
+    // upsert re-derives the CURRENT (evolved) partitioning
+    IcebergWrite.upsert(spark, Seq((5L, "gX")).toDF("id", "grp"), table, Seq("id"))
+    assert(IcebergRead.snapshot(spark, table).where(col("id") === 5L)
+      .select("grp").as[String].head() === "gX")
+
+    // no-op evolution refused
+    intercept[IllegalArgumentException](
+      IcebergWrite.evolvePartitionSpec(spark, table, Seq("bucket(4, id)")))
+  }
+
   test("table-uuid is minted once and carried forward verbatim") {
     val table = Files.createTempDirectory("graft_iw_uuid").toString
     IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "name"), table)
