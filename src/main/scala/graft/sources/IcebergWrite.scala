@@ -390,6 +390,11 @@ object IcebergWrite {
       val (schemas, currentSchemaId, lastColumnId) = schemasJson(prior)
       val (specs, defaultSpecId, lastPartitionId) = specsJson(prior)
       val priorSnaps = prior.toSeq.flatMap(_.path("snapshots").elements().asScala.map(_.toString))
+      // refs carried VERBATIM: tags/branches live in table metadata, and a
+      // template that omitted them silently dropped every pin on the next
+      // append (caught by the refs-survive-appends spec)
+      val priorRefs = prior.flatMap(p => Option(p.get("refs")).map(_.toString))
+        .getOrElse("{}")
       val now = System.currentTimeMillis()
       // spec: the table UUID is minted ONCE at table creation and carried
       // forward verbatim — engines validate UUID continuity on metadata
@@ -422,6 +427,7 @@ object IcebergWrite {
            |"last-partition-id":$lastPartitionId,
            |"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
            |"properties":{},
+           |"refs":$priorRefs,
            |"current-snapshot-id":$snapshotId,
            |"snapshot-log":[${(priorLog :+ logEntry).mkString(",")}],
            |"snapshots":[${(priorSnaps :+ snapJson).mkString(",")}]}"""

@@ -82,6 +82,23 @@ class RestoreSpec extends SparkSpec {
     assert(rows(IcebergRead.snapshot(spark, t)) === Set((1L, "a"), (2L, "b")))
   }
 
+  test("iceberg refs survive snapshot commits (append, delete, upsert, compact)") {
+    // regression: the snapshot-commit metadata template once omitted the
+    // refs map, so the first append after setRef silently dropped every pin
+    val t = tmp("refs_surv") + "/tbl"
+    IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "name"), t)
+    val v1 = IcebergRead.refs(spark, t) // no refs yet
+    assert(v1.isEmpty)
+    IcebergWrite.setRef(spark, t, "pin", refType = "tag")
+    IcebergWrite.append(spark, Seq((2L, "b")).toDF("id", "name"), t)
+    assert(IcebergRead.refs(spark, t).contains("pin"), "append dropped refs")
+    IcebergWrite.deleteWhere(spark, t, col("id") === 2L)
+    assert(IcebergRead.refs(spark, t).contains("pin"), "deleteWhere dropped refs")
+    IcebergWrite.upsert(spark, Seq((1L, "a2")).toDF("id", "name"), t, Seq("id"))
+    assert(IcebergRead.refs(spark, t).contains("pin"), "upsert dropped refs")
+    assert(rows(IcebergRead.snapshotAtRef(spark, t, "pin")) === Set((1L, "a")))
+  }
+
   test("iceberg rollback: lineage truncated at target; appends continue; incremental reads consistent") {
     val t = tmp("restore_i") + "/tbl"
     IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "name"), t)
