@@ -548,6 +548,54 @@ object IoQueries {
       FROM events WHERE event_type <> 'error'
       GROUP BY event_type ORDER BY event_type"""))
 
+  /** S9wap: Iceberg WRITE-AUDIT-PUBLISH end-to-end — half the events land
+    * as a published append, the other half (pre-filtered of 'error' rows,
+    * the "audit" in miniature) as a STAGED snapshot on a branch: the head
+    * must not see the stage, the branch must, and after fastForward the
+    * table equals the union. Oracle = the same two slices over raw
+    * events. */
+  val ticebergWap = GQuery(
+    "t_iceberg_wap",
+    (s, dir) => {
+      val table = tmp("graft_ice_wap_q")
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("value"), col("event_type"))
+      graft.sources.IcebergWrite.append(s,
+        ev.where(pmod(col("event_id"), lit(2)) === 0), table)
+      graft.sources.IcebergWrite.appendStaged(s,
+        ev.where(pmod(col("event_id"), lit(2)) === 1 && col("event_type") =!= "error"),
+        table, branch = "audit")
+      val headPreP = graft.sources.IcebergRead.snapshot(s, table)
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .withColumn("scope", lit("head_pre_publish"))
+      val branch = graft.sources.IcebergRead.snapshotAtRef(s, table, "audit")
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .withColumn("scope", lit("audit_branch"))
+      // materialize the pre-publish scopes BEFORE the head moves (plans
+      // are lazy; without this the union would read post-publish state)
+      val pre = headPreP.unionByName(branch).localCheckpoint()
+      graft.sources.IcebergWrite.fastForward(s, table, "audit")
+      val post = graft.sources.IcebergRead.snapshot(s, table)
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .withColumn("scope", lit("head_published"))
+      pre.unionByName(post)
+        .select(col("scope"), col("cnt"), col("sum_value"))
+        .orderBy(col("scope"))
+    },
+    Some("""WITH pub AS (SELECT * FROM events WHERE event_id % 2 = 0),
+      stg AS (SELECT * FROM events WHERE event_id % 2 = 1 AND event_type <> 'error')
+      SELECT 'audit_branch' AS scope,
+        (SELECT count(*) FROM pub) + (SELECT count(*) FROM stg) AS cnt,
+        round((SELECT sum(value) FROM pub) + (SELECT sum(value) FROM stg), 2) AS sum_value
+      UNION ALL
+      SELECT 'head_pre_publish', (SELECT count(*) FROM pub),
+        round((SELECT sum(value) FROM pub), 2)
+      UNION ALL
+      SELECT 'head_published',
+        (SELECT count(*) FROM pub) + (SELECT count(*) FROM stg),
+        round((SELECT sum(value) FROM pub) + (SELECT sum(value) FROM stg), 2)
+      ORDER BY scope"""))
+
   /** S8i: incremental Delta consumption — three append commits from event
     * slices, then addsBetween(v0) reads ONLY the later two commits' files
     * (the batch form of Delta's streaming source). Oracle recomputes the
@@ -1057,7 +1105,7 @@ object IoQueries {
       GROUP BY event_type ORDER BY event_type"""))
 
   def all: Seq[GQuery] =
-    Seq(t1, t1orc, t2, t3, tskip, tbloom, ttokens, ticebergStats, ticebergSpecEvo, tdeltaStats, tdelta, ticeberg,
+    Seq(t1, t1orc, t2, t3, tskip, tbloom, ttokens, ticebergStats, ticebergSpecEvo, ticebergWap, tdeltaStats, tdelta, ticeberg,
       tdeltaRt, ticebergRt, ticebergMor,
       tdeltaDv, tdeltaUpsert, ticebergPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tcdcApply, tlakeSync, tlakeClone,

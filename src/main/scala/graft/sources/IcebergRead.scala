@@ -198,6 +198,13 @@ object IcebergRead {
       at = byId(at).path("parent-snapshot-id").asLong(-1L)
     }
     if (chain.toSet == ids.toSet) return chain
+    // STAGED-snapshot exclusion (write-audit-publish): a snapshot present
+    // in `snapshots` but neither in the log nor on the current parent
+    // chain is staged, not published — commit order covers the published
+    // lineage only. When the log and the chain agree with EACH OTHER, the
+    // extra ids are exactly the stages; trusting the log here cannot drop
+    // a published commit (that would have to be in the chain).
+    if (chain.nonEmpty && chain.toSet == fromLog.toSet) return fromLog
     // timestamp fallback: unambiguous only when strictly increasing
     val stamped = snaps.map(s => (s.path("snapshot-id").asLong(-1L),
       s.path("timestamp-ms").asLong(-1L))).sortBy(_._2)

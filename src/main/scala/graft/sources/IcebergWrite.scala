@@ -361,7 +361,8 @@ object IcebergWrite {
       summaryProps: Map[String, String] = Map.empty,
       carryPrior: Seq[(String, Long, Int, Int)] => Seq[(String, Long, Int, Int)] =
         identity,
-      expectBase: Option[Int] = None): Long = {
+      expectBase: Option[Int] = None,
+      stagedRef: Option[String] = None): Long = {
     def jstr(s: String) = mapper.writeValueAsString(s)
     while (true) {
       // expectBase: the caller derived state (e.g. compaction's kept-entry
@@ -392,9 +393,19 @@ object IcebergWrite {
       val priorSnaps = prior.toSeq.flatMap(_.path("snapshots").elements().asScala.map(_.toString))
       // refs carried VERBATIM: tags/branches live in table metadata, and a
       // template that omitted them silently dropped every pin on the next
-      // append (caught by the refs-survive-appends spec)
-      val priorRefs = prior.flatMap(p => Option(p.get("refs")).map(_.toString))
-        .getOrElse("{}")
+      // append (caught by the refs-survive-appends spec). A STAGED commit
+      // (write-audit-publish) additionally points its audit branch here.
+      val priorRefs: com.fasterxml.jackson.databind.node.ObjectNode =
+        prior.flatMap(p => Option(p.get("refs")))
+          .collect { case o: com.fasterxml.jackson.databind.node.ObjectNode => o.deepCopy() }
+          .getOrElse(mapper.createObjectNode())
+      stagedRef.foreach { name =>
+        require(prior.isDefined, "cannot stage a snapshot on a non-existent table")
+        val r = mapper.createObjectNode()
+        r.put("snapshot-id", snapshotId)
+        r.put("type", "branch")
+        priorRefs.set[com.fasterxml.jackson.databind.JsonNode](name, r)
+      }
       val now = System.currentTimeMillis()
       // spec: the table UUID is minted ONCE at table creation and carried
       // forward verbatim — engines validate UUID continuity on metadata
@@ -427,9 +438,17 @@ object IcebergWrite {
            |"last-partition-id":$lastPartitionId,
            |"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
            |"properties":{},
-           |"refs":$priorRefs,
-           |"current-snapshot-id":$snapshotId,
-           |"snapshot-log":[${(priorLog :+ logEntry).mkString(",")}],
+           |"refs":${mapper.writeValueAsString(priorRefs)},
+           |"current-snapshot-id":${
+             // STAGED: the snapshot joins `snapshots` and its branch ref,
+             // but the table's head and commit order are untouched —
+             // current readers and incremental consumers (which range over
+             // snapshot-log) cannot see it until fastForward publishes
+             if (stagedRef.isDefined)
+               prior.map(_.path("current-snapshot-id").asLong(-1L)).getOrElse(-1L)
+             else snapshotId},
+           |"snapshot-log":[${
+             (if (stagedRef.isDefined) priorLog else priorLog :+ logEntry).mkString(",")}],
            |"snapshots":[${(priorSnaps :+ snapJson).mkString(",")}]}"""
           .stripMargin.replaceAll("\n", "")
 
@@ -550,7 +569,8 @@ object IcebergWrite {
     * key — the ledger streaming sinks use for exactly-once batch marks. */
   def append(spark: SparkSession, df: DataFrame, table: String,
       partitionBy: Seq[String] = Nil, mergeSchema: Boolean = false,
-      summaryProps: Map[String, String] = Map.empty): Long = {
+      summaryProps: Map[String, String] = Map.empty,
+      stagedTo: Option[String] = None): Long = {
     require(!df.schema.exists(f => f.dataType match {
       case _: StructType | _: ArrayType | _: MapType => true; case _ => false
     }), "nested column types are outside the Iceberg writer's subset")
@@ -701,7 +721,68 @@ object IcebergWrite {
           priorAtCheck.map(_.path("default-spec-id").asInt(0)).getOrElse(0)
         (manifestPath, manifestLen, 0, manifestSpecId, dataFiles.size, rowCount)
       },
-      summaryProps = summaryProps)
+      summaryProps = summaryProps,
+      stagedRef = stagedTo)
+  }
+
+  /** WRITE-AUDIT-PUBLISH, write step: append `df` as a STAGED snapshot —
+    * it joins the snapshot list and `branch` points at it, but the
+    * table's head and snapshot-log are untouched, so current readers and
+    * incremental consumers see nothing. Audit by reading the branch
+    * ([[IcebergRead.snapshotAtRef]]); the branch ref protects the staged
+    * files from [[expireSnapshots]] while the audit runs. Publish with
+    * [[fastForward]] — or walk away and [[dropRef]], and expiration
+    * reclaims the stage. */
+  def appendStaged(spark: SparkSession, df: DataFrame, table: String,
+      branch: String, partitionBy: Seq[String] = Nil,
+      summaryProps: Map[String, String] = Map.empty): Long =
+    append(spark, df, table, partitionBy, mergeSchema = false,
+      summaryProps = summaryProps, stagedTo = Some(branch))
+
+  /** WRITE-AUDIT-PUBLISH, publish step: fast-forward the table's head to
+    * `branch`'s staged snapshot — metadata-only (the staged snapshot
+    * already holds the full manifest list). Refused unless the staged
+    * snapshot's parent IS the current head (a linear fast-forward): if
+    * main advanced while the audit ran, the stage is stale and must be
+    * re-written against the new head rather than silently dropping the
+    * interleaved commits. The publish appends the snapshot-log entry, so
+    * incremental consumers see exactly one new commit at publish time —
+    * never the unaudited intermediate state. */
+  def fastForward(spark: SparkSession, table: String, branch: String,
+      dropBranch: Boolean = true): Long = {
+    while (true) {
+      val base = currentVersion(table)
+      require(base > 0, s"not an Iceberg table: $table")
+      val prior = mapper.readTree(metaDir(table).resolve(s"v$base.metadata.json").toFile)
+        .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      val refs = Option(prior.get("refs"))
+        .collect { case o: com.fasterxml.jackson.databind.node.ObjectNode => o }
+        .getOrElse(throw new IllegalArgumentException(s"no refs on $table"))
+      val refNode = Option(refs.get(branch)).getOrElse(
+        throw new IllegalArgumentException(s"no ref '$branch' on $table"))
+      require(refNode.path("type").asText() == "branch",
+        s"'$branch' is a ${refNode.path("type").asText()}, not a branch")
+      val staged = refNode.path("snapshot-id").asLong(-1L)
+      val head = prior.path("current-snapshot-id").asLong(-1L)
+      if (staged == head) return staged // already published
+      val snapNode = prior.path("snapshots").elements().asScala
+        .find(_.path("snapshot-id").asLong(-2L) == staged)
+        .getOrElse(throw new IllegalArgumentException(
+          s"branch '$branch' points at unknown snapshot $staged"))
+      require(snapNode.path("parent-snapshot-id").asLong(-1L) == head,
+        s"cannot fast-forward: staged snapshot $staged was written against " +
+          s"parent ${snapNode.path("parent-snapshot-id").asLong(-1L)} but the head " +
+          s"is now $head — main advanced during the audit; re-stage against it")
+      prior.put("current-snapshot-id", staged)
+      prior.path("snapshot-log")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+        .add(mapper.readTree(
+          s"""{"timestamp-ms":${System.currentTimeMillis()},"snapshot-id":$staged}"""))
+      if (dropBranch) refs.remove(branch)
+      prior.put("last-updated-ms", System.currentTimeMillis())
+      if (writeMetaVersion(table, base + 1, prior)) return staged
+    }
+    -1L // unreachable
   }
 
   /** PARTITION-SPEC EVOLUTION (the spec's marquee capability): a NEW spec

@@ -99,6 +99,47 @@ class RestoreSpec extends SparkSpec {
     assert(rows(IcebergRead.snapshotAtRef(spark, t, "pin")) === Set((1L, "a")))
   }
 
+  test("iceberg write-audit-publish: staged snapshot invisible until fastForward") {
+    val t = tmp("wap_i") + "/tbl"
+    IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "name"), t)
+    val v1adds = IcebergRead.changesBetween(spark, t, 0L, 1L).count()
+
+    // WRITE: stage on an audit branch — head, log, incremental all unmoved
+    val staged = IcebergWrite.appendStaged(spark,
+      Seq((2L, "b"), (3L, "c")).toDF("id", "name"), t, branch = "audit")
+    assert(rows(IcebergRead.snapshot(spark, t)) === Set((1L, "a")),
+      "staged write must not move the head")
+    assert(IcebergRead.changesBetween(spark, t, 0L).count() === v1adds,
+      "incremental consumers must not see the stage")
+
+    // AUDIT: the branch read sees main + the staged rows
+    assert(rows(IcebergRead.snapshotAtRef(spark, t, "audit")) ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // the branch ref protects the staged files from expiration mid-audit
+    IcebergWrite.expireSnapshots(spark, t, retainLast = 1, minFileAgeMs = 0L)
+    assert(rows(IcebergRead.snapshotAtRef(spark, t, "audit")) ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // PUBLISH: head fast-forwards, exactly one new commit appears
+    assert(IcebergWrite.fastForward(spark, t, "audit") === staged)
+    assert(rows(IcebergRead.snapshot(spark, t)) === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(!IcebergRead.refs(spark, t).contains("audit"), "publish drops the branch")
+    // post-publish appends continue normally
+    IcebergWrite.append(spark, Seq((4L, "d")).toDF("id", "name"), t)
+    assert(rows(IcebergRead.snapshot(spark, t)).size === 4)
+
+    // STALE STAGE: main advances during the audit → publish refused
+    IcebergWrite.appendStaged(spark, Seq((5L, "e")).toDF("id", "name"), t, "audit2")
+    IcebergWrite.append(spark, Seq((6L, "f")).toDF("id", "name"), t)
+    val ex = intercept[IllegalArgumentException](
+      IcebergWrite.fastForward(spark, t, "audit2"))
+    assert(ex.getMessage.contains("re-stage"))
+    // abandoned stage: drop the branch, expiration reclaims it
+    IcebergWrite.dropRef(spark, t, "audit2")
+    assert(rows(IcebergRead.snapshot(spark, t)) ===
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (6L, "f")))
+  }
+
   test("iceberg rollback: lineage truncated at target; appends continue; incremental reads consistent") {
     val t = tmp("restore_i") + "/tbl"
     IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "name"), t)
