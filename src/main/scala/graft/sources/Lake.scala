@@ -261,11 +261,24 @@ object Lake {
       case other => throw new IllegalArgumentException(
         s"$what must be an integer literal, got $other")
     }
+    // second argument: a NUMBER is VERSION AS OF n; a STRING is VERSION AS
+    // OF 'ref' — an Iceberg tag/branch name resolved through the refs map
+    // (Delta has no named refs; a string there is refused loudly)
     def scanOf(name: String, reader: (String, Long) => DataFrame): Unit =
       Bridge.registerTableFunction(spark, name, { args =>
-        require(args.length == 1 || args.length == 2, s"$name(path[, version])")
-        val version = args.lift(1).map(num(_, s"$name: version")).getOrElse(-1L)
-        Bridge.logicalPlan(reader(str(args.head, s"$name: path"), version))
+        require(args.length == 1 || args.length == 2, s"$name(path[, version | 'ref'])")
+        val path = str(args.head, s"$name: path")
+        val df = args.lift(1) match {
+          case Some(Literal(v, org.apache.spark.sql.types.StringType)) if v != null =>
+            detect(spark, path) match {
+              case Iceberg => IcebergRead.snapshotAtRef(spark, path, v.toString)
+              case other => throw new IllegalArgumentException(
+                s"$name: ref-name reads need an Iceberg table, got $other at $path")
+            }
+          case Some(e) => reader(path, num(e, s"$name: version"))
+          case None => reader(path, -1L)
+        }
+        Bridge.logicalPlan(df)
       })
     scanOf("delta_scan", (p, v) => DeltaRead.snapshot(spark, p, v))
     scanOf("iceberg_scan", (p, v) => IcebergRead.snapshot(spark, p, v))

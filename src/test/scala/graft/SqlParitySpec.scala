@@ -82,5 +82,12 @@ class SqlParitySpec extends SparkSpec {
     assert(ids(spark.sql(s"SELECT * FROM lake_scan_at('$ice', $now)")) === Seq(1L, 2L, 3L))
     // errors surface loudly: non-literal / wrong arity
     intercept[Exception](spark.sql(s"SELECT * FROM delta_scan(42)").collect())
+    // VERSION AS OF 'ref': a string second argument resolves an Iceberg
+    // tag/branch name; Delta (no named refs) refuses it loudly
+    graft.sources.IcebergWrite.setRef(spark, ice, "pin", s0)
+    assert(ids(spark.sql(s"SELECT * FROM iceberg_scan('$ice', 'pin')")) === Seq(1L, 2L))
+    assert(ids(spark.sql(s"SELECT * FROM lake_scan('$ice', 'pin')")) === Seq(1L, 2L))
+    intercept[Exception](spark.sql(s"SELECT * FROM lake_scan('$delta', 'pin')").collect())
+    intercept[Exception](spark.sql(s"SELECT * FROM iceberg_scan('$ice', 'nope')").collect())
   }
 }
