@@ -611,7 +611,67 @@ object AnalyticsQueries {
         SELECT node, rank AS rank_micro FROM r6 ORDER BY rank_micro DESC, node LIMIT 20"""
     })
 
+  /** T57 TIME-WEIGHTED AVERAGE: the irregular-series mean that weights
+    * each observation by how long it was in force (Σ v·Δt / Σ Δt, Δt to
+    * the next event per key) — the TWAP/telemetry-average op a plain AVG
+    * gets wrong on uneven sampling. One window shuffle for the lead, one
+    * aggregation; Δt in exact long µs, the ratio rounded at 6 dp (ratios
+    * of co-moments are precise to ~1e-12 cross-engine). */
+  val t57 = GQuery(
+    "t57_twap",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .where(col("user_id") < 40)
+        .select(col("user_id"), col("value"), unix_micros(col("ts")).as("tsu"),
+          lead(unix_micros(col("ts")), 1).over(w).as("nxtu"))
+        .where(col("nxtu").isNotNull)
+        .select(col("user_id"), col("value"), (col("nxtu") - col("tsu")).as("dt_us"))
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("value") * col("dt_us")) / sum(col("dt_us")), 6).as("twap"),
+          count(lit(1)).as("n_intervals"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH s AS (SELECT user_id, ts, value, event_id,
+        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events WHERE user_id < 40),
+      w AS (SELECT user_id, value,
+        CAST(epoch_us(nxt) - epoch_us(ts) AS BIGINT) AS dt_us
+      FROM s WHERE nxt IS NOT NULL)
+      SELECT user_id, round(sum(value * dt_us) / sum(dt_us), 6) AS twap,
+        count(*) AS n_intervals
+      FROM w GROUP BY user_id ORDER BY user_id"""))
+
+  /** T58 OHLC BARS: per-(key, day) open/high/low/close downsampling — the
+    * financial/telemetry bar aggregation. Open/close are min_by/max_by on
+    * a zero-padded (epoch-µs, event_id) composite string key, so ties on
+    * ts stay deterministic cross-engine (lexicographic == numeric under
+    * the padding); one map-side-combined aggregation, no window. */
+  val t58 = GQuery(
+    "t58_ohlc",
+    (s, dir) => {
+      val ordKey = format_string("%020d-%010d", unix_micros(col("ts")), col("event_id"))
+      t(s, dir, "events")
+        .where(col("user_id") < 8)
+        .groupBy(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(min_by(col("value"), ordKey).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), ordKey).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_id"), col("day"))
+    },
+    Some("""SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        arg_min(value, printf('%020d-%010d', epoch_us(ts), event_id)) AS open,
+        max(value) AS high, min(value) AS low,
+        arg_max(value, printf('%020d-%010d', epoch_us(ts), event_id)) AS close,
+        count(*) AS n
+      FROM events WHERE user_id < 8
+      GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+      ORDER BY user_id, day"""))
+
   val all: Seq[GQuery] =
     Seq(t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54, t55,
+      t57, t58,
       l23, l3ivfx, b14b, b14c)
 }
