@@ -15,6 +15,10 @@ object LlmQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  // shared by the retrieval queries (l34/l35/l38); declared first — object
+  // vals initialize in declaration order and l38 precedes l34 in the file
+  private val bm25Terms = Seq("vector", "window", "hash")
+
   // Shared oracle CTE: distinct 3-gram shingles per document.
   private val shingleCte =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -569,6 +573,83 @@ object LlmQueries {
         row_number() OVER (ORDER BY shuffle_key, doc_id) AS pos FROM h)
       SELECT CAST(pos AS INT) AS pos, doc_id, shuffle_key
       FROM r WHERE pos <= 25 ORDER BY pos"""))
+
+  /** L38 RAG CONTEXT ASSEMBLY: the full retrieval path composed end to
+    * end — sliding-window chunking (l31's construction), BM25 scored at
+    * CHUNK granularity (l34's arithmetic over the chunk corpus), a
+    * per-document diversity cap (max 2 chunks per doc, so one long
+    * boilerplate doc can't monopolize the context), and a running token
+    * budget (cumulative chunk tokens ≤ 192) — exactly what a retriever
+    * hands an LLM. Plan shape: the chunk fan-out is a no-shuffle
+    * projection + posexplode; BM25 adds one broadcast stats row; the cap
+    * and budget are two windows over the ≤ top-k bounded candidate set. */
+  val l38 = GQuery(
+    "l38_rag_context",
+    (s, dir) => {
+      val chunks = t(s, dir, "documents").select(col("doc_id"),
+          posexplode(TextFunctions.slidingTokenChunks(col("text"), 32, 24))
+            .as(Seq("chunk_idx", "chunk_text")))
+        .select((col("doc_id") * 10000 + col("chunk_idx")).as("cid"),
+          col("doc_id"), col("chunk_idx"), col("chunk_text"))
+      val scored = graft.operators.Retrieval
+        .bm25Scored(chunks, "cid", "chunk_text", bm25Terms, k1 = 1.2, b = 0.75)
+        .join(chunks, "cid")
+      val perDoc = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("cid"))
+      val ord = Window.orderBy(col("score").desc, col("cid"))
+      scored
+        .withColumn("doc_rank", row_number().over(perDoc))
+        .where(col("doc_rank") <= 2)
+        .withColumn("rank", row_number().over(ord))
+        .where(col("rank") <= 10)
+        .withColumn("n_toks", size(TextFunctions.tokens(col("chunk_text"))))
+        .withColumn("cum_toks", sum(col("n_toks")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .where(col("cum_toks") <= 192)
+        .select(col("rank"), col("doc_id"), col("chunk_idx"),
+          round(col("score"), 6).as("score"),
+          col("n_toks").cast("long").as("n_toks"), col("cum_toks"))
+        .orderBy(col("rank"))
+    },
+    Some {
+      val tfCols = bm25Terms.indices.map(i =>
+        s"""CAST(len(list_filter(string_split(chunk_text, ' '), x -> x = '${bm25Terms(i)}')) AS DOUBLE) AS tf_$i""")
+        .mkString(",\n    ")
+      val dfCols = bm25Terms.indices.map(i =>
+        s"sum(CASE WHEN tf_$i > 0 THEN 1.0 ELSE 0.0 END) AS df_$i").mkString(",\n    ")
+      val contribs = bm25Terms.indices.map(i =>
+        s"ln(1.0 + (n - df_$i + 0.5) / (df_$i + 0.5)) * (tf_$i * (1.2 + 1.0)) / (tf_$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))")
+        .mkString(" +\n    ")
+      s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      nn AS (SELECT doc_id, w,
+          GREATEST(CAST(ceil((len(w) - 32) / 24.0) AS INT), 0) AS max_i FROM t0),
+      ee AS (SELECT doc_id, w, unnest(range(0, max_i + 1)) AS chunk_idx FROM nn),
+      ch AS (SELECT doc_id * 10000 + chunk_idx AS cid, doc_id, chunk_idx,
+          array_to_string(list_slice(w, chunk_idx*24 + 1, chunk_idx*24 + 32), ' ') AS chunk_text
+        FROM ee),
+      pt AS (SELECT cid, doc_id, chunk_idx, chunk_text,
+        CAST(len(string_split(chunk_text, ' ')) AS DOUBLE) AS dl,
+        $tfCols
+      FROM ch),
+      st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl,
+        $dfCols
+      FROM pt),
+      sc AS (SELECT cid, doc_id, chunk_idx, chunk_text,
+        $contribs AS score
+      FROM pt CROSS JOIN st WHERE score > 0),
+      capped AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cid) AS doc_rank
+        FROM sc QUALIFY doc_rank <= 2),
+      ranked AS (SELECT *, row_number() OVER (ORDER BY score DESC, cid) AS rank
+        FROM capped QUALIFY rank <= 10),
+      budg AS (SELECT rank, doc_id, chunk_idx, score,
+          CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_toks,
+          sum(CAST(len(string_split(chunk_text, ' ')) AS BIGINT))
+            OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+        FROM ranked)
+      SELECT CAST(rank AS INT) AS rank, doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        round(score, 6) AS score, n_toks, cum_toks
+      FROM budg WHERE cum_toks <= 192 ORDER BY rank"""
+    })
 
   val l12 = GQuery(
     "l12_train_test_split",
@@ -1184,7 +1265,6 @@ object LlmQueries {
     * size. Oracle derives the identical Lucene-form scores; arithmetic is
     * written in the same association order on both sides so the 6-dp
     * rounded scores hash-match. */
-  private val bm25Terms = Seq("vector", "window", "hash")
   val l34 = GQuery(
     "l34_bm25_topk",
     (s, dir) =>
@@ -1277,5 +1357,5 @@ object LlmQueries {
     l3lshRecall, l3ivfRecall, l3kmeansRecall, l3pqRecall, l3sqRecall, l26, l27, l28, l29, l30,
     l31, l32, l34, l35,
     l4langid, l5, l6, l7, l8, l9,
-    l10, l11, l11b, l12, l33, l36, l37, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l24, l24b, l25)
+    l10, l11, l11b, l12, l33, l36, l37, l38, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l24, l24b, l25)
 }
