@@ -31,13 +31,18 @@ object ScaleCurve {
     copies.foldLeft(base.select(col("doc_id"), col("text")))(_ unionAll _)
   }
 
+  // set from main's args: run only the named ops (empty = all)
+  private var only: Set[String] = Set.empty
+
   private def time(label: String, nDocs: Long)(body: => Long): Unit = {
+    if (only.nonEmpty && !only(label)) return
     val t0 = System.nanoTime()
     val rows = body
     println(f"CURVE $label%-22s n_docs=$nDocs%7d  ${(System.nanoTime() - t0) / 1e9}%7.1fs  rows=$rows")
   }
 
   def main(args: Array[String]): Unit = {
+    only = args.toSet
     val spark = GraftSession.create()
     spark.sparkContext.setLogLevel("ERROR")
     val base = Tables(spark, "/root/testdata/sf0.1", "documents")
@@ -82,6 +87,19 @@ object ScaleCurve {
           corpus.select(length(col("text")).cast("double").as("v"),
             (col("doc_id") % 2 === 0).as("ref")),
           col("v"), col("ref"), 0.0, 5000.0, 10).count()
+      }
+      time("bm25_scored", n) {
+        operators.Retrieval.bm25Scored(corpus, "doc_id", "text",
+          Seq("vector", "window", "hash")).count()
+      }
+      time("pagerank_4it", n) {
+        // synthetic 8-regular digraph over the doc ids: edge count grows
+        // linearly with the corpus, so the curve isolates the per-iteration
+        // join+agg machinery
+        val edges = corpus.select(col("doc_id").as("src"))
+          .crossJoin(spark.range(1, 9).select(col("id").as("k")))
+          .select(col("src"), ((col("src") * 31 + col("k")) % lit(n)).as("dst"))
+        operators.Graph.pageRank(edges, "src", "dst", iterations = 4).count()
       }
       time("fuzzy_join_d1", n) {
         // fuzzy-join the token vocabulary against itself (names-scale input:
