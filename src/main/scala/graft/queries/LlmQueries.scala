@@ -651,6 +651,61 @@ object LlmQueries {
       FROM budg WHERE cum_toks <= 192 ORDER BY rank"""
     })
 
+  /** L39 LEAKAGE-SAFE SPLIT: train/test splitting at near-dup-CLUSTER
+    * granularity — every document in a MinHash cluster lands on the same
+    * side (split unit = the cluster's component id, singletons their own
+    * id), so a test document can never have a near-duplicate in train.
+    * The `crossing_pairs` column PROVES the property: near-dup pairs
+    * whose sides differ — 0 by construction, and the oracle re-derives
+    * the same 0 from its own recursive-CTE clusters. The doc-level split
+    * (l12) cannot promise this. */
+  val l39 = GQuery(
+    "l39_leakage_safe_split",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val comp = Dedup.nearDupComponents(d, "doc_id", "text", threshold = 0.8)
+        .select(col("id").as("doc_id"), col("component"))
+      val unit = d.select(col("doc_id")).join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("unit"))
+      val sided = unit.withColumn("is_test",
+        TextFunctions.hashBucket(col("unit"), 100) < 10)
+      val pairs = Dedup.minhashNearDupPairs(d, "doc_id", "text", threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      val crossing = pairs
+        .join(sided.select(col("doc_id").as("id_a"), col("is_test").as("ta")), "id_a")
+        .join(sided.select(col("doc_id").as("id_b"), col("is_test").as("tb")), "id_b")
+        .where(col("ta") =!= col("tb"))
+        .agg(count(lit(1)).as("crossing_pairs"))
+      sided.agg(
+        sum(when(!col("is_test"), 1L).otherwise(0L)).cast("long").as("train_docs"),
+        sum(when(col("is_test"), 1L).otherwise(0L)).cast("long").as("test_docs"))
+        .crossJoin(crossing)
+    },
+    Some(s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+      edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE r.a <> e.b
+      ),
+      comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+      u AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS unit
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+      sided AS (SELECT doc_id,
+          (('0x' || substring(md5(CAST(unit AS VARCHAR)), 1, 4))::INTEGER % 100) < 10 AS is_test
+        FROM u)
+      SELECT
+        (SELECT count(*) FROM sided WHERE NOT is_test) AS train_docs,
+        (SELECT count(*) FROM sided WHERE is_test) AS test_docs,
+        (SELECT count(*) FROM p
+          JOIN sided sa ON p.id_a = sa.doc_id
+          JOIN sided sb ON p.id_b = sb.doc_id
+          WHERE sa.is_test <> sb.is_test) AS crossing_pairs"""))
+
   val l12 = GQuery(
     "l12_train_test_split",
     (s, dir) => {
@@ -1357,5 +1412,5 @@ object LlmQueries {
     l3lshRecall, l3ivfRecall, l3kmeansRecall, l3pqRecall, l3sqRecall, l26, l27, l28, l29, l30,
     l31, l32, l34, l35,
     l4langid, l5, l6, l7, l8, l9,
-    l10, l11, l11b, l12, l33, l36, l37, l38, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l24, l24b, l25)
+    l10, l11, l11b, l12, l33, l36, l37, l38, l39, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l24, l24b, l25)
 }
