@@ -58,6 +58,21 @@ object SqlQueries {
       r AS (SELECT doc_id, shuffle_key,
         row_number() OVER (ORDER BY shuffle_key, doc_id) AS pos FROM h)
       SELECT pos, doc_id, shuffle_key FROM r WHERE pos <= 25 ORDER BY pos""",
+    "t57_twap" -> """WITH s AS (SELECT user_id, value,
+        unix_micros(ts) AS tsu,
+        lead(unix_micros(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxtu
+      FROM events WHERE user_id < 40)
+      SELECT user_id, round(sum(value * (nxtu - tsu)) / sum(nxtu - tsu), 6) AS twap,
+        count(1) AS n_intervals
+      FROM s WHERE nxtu IS NOT NULL GROUP BY user_id ORDER BY user_id""",
+    "t58_ohlc" -> """SELECT user_id, to_date(date_trunc('day', ts)) AS day,
+        min_by(value, format_string('%020d-%010d', unix_micros(ts), event_id)) AS open,
+        max(value) AS high, min(value) AS low,
+        max_by(value, format_string('%020d-%010d', unix_micros(ts), event_id)) AS close,
+        count(1) AS n
+      FROM events WHERE user_id < 8
+      GROUP BY user_id, to_date(date_trunc('day', ts))
+      ORDER BY user_id, day""",
     "t52_rank_stats" -> """SELECT user_id, event_id,
         ntile(4) OVER w AS quartile,
         CAST(round(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_micro,
