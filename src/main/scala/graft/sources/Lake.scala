@@ -376,6 +376,27 @@ object Lake {
         s"plain parquet at $path has no partition spec to evolve")
     }
 
+  /** WRITE-AUDIT-PUBLISH dispatch: stage an append on an audit branch /
+    * publish it by fast-forwarding the head — Iceberg-only (branch refs
+    * are an Iceberg metadata concept; the Delta protocol has no staged
+    * snapshots, so the WAP pattern there is a shallow clone audited and
+    * merged explicitly). */
+  def appendStaged(spark: SparkSession, df: DataFrame, path: String,
+      branch: String): Long =
+    detect(spark, path) match {
+      case Iceberg => IcebergWrite.appendStaged(spark, df, path, branch)
+      case other => throw new IllegalArgumentException(
+        s"write-audit-publish needs an Iceberg table (branch refs), got $other at $path — " +
+          "for Delta, audit on a shallow clone and apply explicitly")
+    }
+
+  def fastForward(spark: SparkSession, path: String, branch: String): Long =
+    detect(spark, path) match {
+      case Iceberg => IcebergWrite.fastForward(spark, path, branch)
+      case other => throw new IllegalArgumentException(
+        s"fastForward needs an Iceberg table (branch refs), got $other at $path")
+    }
+
   /** VACUUM dispatch: physically reclaim files no retained version /
     * snapshot references — the cleanup half [[compact]] defers. Delta
     * keeps the last `retain` log versions; Iceberg expires all but the

@@ -138,6 +138,15 @@ class RestoreSpec extends SparkSpec {
     IcebergWrite.dropRef(spark, t, "audit2")
     assert(rows(IcebergRead.snapshot(spark, t)) ===
       Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (6L, "f")))
+
+    // Lake dispatch: Iceberg passes through; Delta is refused loudly
+    Lake.appendStaged(spark, Seq((7L, "g")).toDF("id", "name"), t, "audit3")
+    assert(Lake.fastForward(spark, t, "audit3") > 0)
+    assert(rows(IcebergRead.snapshot(spark, t)).size === 6)
+    val d = tmp("wap_d") + "/tbl"
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "name"), d)
+    intercept[IllegalArgumentException](
+      Lake.appendStaged(spark, Seq((2L, "b")).toDF("id", "name"), d, "x"))
   }
 
   test("iceberg rollback: lineage truncated at target; appends continue; incremental reads consistent") {
