@@ -53,20 +53,24 @@ object DataSkipping {
     val base = spark.read.parquet(tableDir)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
-    // TOKEN blooms (`bloom_tokens_<c>`): a bloom over every WHITESPACE
+    // TOKEN blooms (`tokbloom_<c>`): a bloom over every WHITESPACE
     // TOKEN of a text column — the text-search lever the value bloom is
     // not: "which files could contain documents with this term" for
     // `array_contains(split(c, ' '), term)` predicates, the full-text
     // skipping idea log engines use. The token fan-out changes row
     // cardinality, so each token bloom is its own exploded aggregation
-    // (still one linear pass per column) joined back on file.
+    // (still one linear pass per column) joined back on file. The prefix
+    // is deliberately disjoint from the value blooms' `bloom_` — a value
+    // bloom over a column literally named `tokens_x` must never be
+    // reclassified as a token bloom over `x` (that would probe equality
+    // predicates against the wrong sketch and prune unsoundly).
     tokenBloomCols.foldLeft(base) { (acc, c) =>
       val tb = spark.read.parquet(tableDir)
         .select(input_file_name().as("file"),
           explode_outer(split(col(c), " ")).as("__tok"))
         .groupBy(col("file"))
         .agg(BloomOps.bloomAgg(xxhash64(col("__tok")), bloomItems, bloomBits)
-          .as(s"bloom_tokens_$c"))
+          .as(s"tokbloom_$c"))
       acc.join(tb, Seq("file"), "left")
     }
   }
@@ -132,21 +136,28 @@ object DataSkipping {
       iv && bloomHit(a, v)
     }
     // The engine-wide whitespace tokenization as the OPTIMIZER sees it:
-    // split(c, " ")[ with any limit literal] over a token-bloomed column.
-    // Matching this exact shape is what keeps the probe SOUND — a matching
-    // row holds the literal as a complete token, and every complete token
-    // of the file was inserted in the sketch. (A raw substring `contains`
-    // can match across token boundaries and is deliberately NOT pruned.)
+    // split(c, " ") with a NON-POSITIVE limit literal (the analyzer fills
+    // -1 for the two-arg form) over a token-bloomed column. Matching this
+    // exact shape is what keeps the probe SOUND — a matching row holds the
+    // literal as a complete token, and every complete token of the file
+    // was inserted in the sketch. A POSITIVE limit is deliberately NOT
+    // matched: split's final element then keeps the remainder WITH
+    // separators (limit=1 yields the whole text), so array_contains could
+    // match a multi-word element whose hash was never inserted — pruning
+    // on it would silently drop matching files. (A raw substring
+    // `contains` can match across token boundaries and is likewise NOT
+    // pruned.)
     object TokensOf {
       def unapply(e: Expression): Option[String] = e match {
-        case StringSplit(Attr(a), Literal(sep, _), _: Literal)
-            if tokenBloomCols.contains(a) && String.valueOf(sep) == " " => Some(a)
+        case StringSplit(Attr(a), Literal(sep, _), Literal(lim, _))
+            if tokenBloomCols.contains(a) && String.valueOf(sep) == " " &&
+              lim.asInstanceOf[Number].intValue <= 0 => Some(a)
         case _ => None
       }
     }
     def tokenBloomHit(a: String, v: Expression): Column = {
       val hash = XxHash64(Seq(v), 42L).eval(null).asInstanceOf[Long]
-      bloomProbe(col(s"bloom_tokens_$a"), lit(hash))
+      bloomProbe(col(s"tokbloom_$a"), lit(hash))
     }
 
     def go(e: Expression): Column = e match {
@@ -193,10 +204,9 @@ object DataSkipping {
       : (DataFrame, Long, Long) = {
     val statCols = stats.columns.collect { case c if c.startsWith("min_") => c.stripPrefix("min_") }
     val tokenBloomCols = stats.columns.collect {
-      case c if c.startsWith("bloom_tokens_") => c.stripPrefix("bloom_tokens_") }
+      case c if c.startsWith("tokbloom_") => c.stripPrefix("tokbloom_") }
     val bloomCols = stats.columns.collect {
-      case c if c.startsWith("bloom_") && !c.startsWith("bloom_tokens_") =>
-        c.stripPrefix("bloom_") }
+      case c if c.startsWith("bloom_") => c.stripPrefix("bloom_") }
     val total = stats.count()
     // A Column is an unresolved ColumnNode tree in Spark 4; resolve it
     // against the actual table (plan-only, nothing executes) so the

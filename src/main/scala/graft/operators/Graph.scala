@@ -66,9 +66,16 @@ object Graph {
       val contrib = e
         .join(bc(sending), "src")
         .groupBy(col("dst").as("node")).agg(sum(col("c")).as("s"))
+      // ⌊850000·s / 1e6⌋ computed WITHOUT the wide intermediate: the naive
+      // product overflows Long once a node's in-mass s exceeds ~1.08e13
+      // (reachable on the web-scale graphs the broadcastRanks=false path
+      // exists for). Split s = q·1e6 + r: the quotient term is exact and
+      // the remainder product is bounded by 850000·999999 < 2^40.
       ranks = nodes.join(bc(contrib), Seq("node"), "left")
         .select(col("node"),
-          (lit(150000L) + expr("850000 * coalesce(s, 0L) div 1000000")).as("rank"))
+          (lit(150000L) + expr(
+            "coalesce(s, 0L) div 1000000 * 850000 + coalesce(s, 0L) % 1000000 * 850000 div 1000000"))
+            .as("rank"))
         .localCheckpoint()
     }
     ranks

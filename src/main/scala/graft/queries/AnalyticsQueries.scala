@@ -598,7 +598,8 @@ object AnalyticsQueries {
         s"""c$k AS (SELECT e.dst AS node, sum(r${k - 1}.rank // d.deg) AS s
           FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node JOIN d ON e.src = d.src
           GROUP BY e.dst),
-        r$k AS (SELECT n.node, CAST(150000 + (850000 * coalesce(c$k.s, 0)) // 1000000 AS BIGINT) AS rank
+        r$k AS (SELECT n.node, CAST(150000 + coalesce(c$k.s, 0) // 1000000 * 850000
+            + coalesce(c$k.s, 0) % 1000000 * 850000 // 1000000 AS BIGINT) AS rank
           FROM n LEFT JOIN c$k ON n.node = c$k.node)"""
       }.mkString(",\n        ")
       s"""WITH b AS (SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp

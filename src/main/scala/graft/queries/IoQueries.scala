@@ -131,7 +131,7 @@ object IoQueries {
       df.agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
     },
-    Some("""SELECT count(*) AS n, sum(n_chars) AS sum_chars,
+    Some("""SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
       min(doc_id) AS min_id, max(doc_id) AS max_id
       FROM documents WHERE list_contains(string_split(text, ' '), 'dup')"""))
 

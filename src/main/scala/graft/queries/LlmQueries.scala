@@ -547,7 +547,7 @@ object LlmQueries {
         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 10000 AS bucket,
         CAST(floor(LEAST(1.0, GREATEST(n_chars / 2000.0, 0.0)) * 10000) AS BIGINT) AS thr
       FROM documents)
-      SELECT lang, count(*) AS sampled, sum(n_chars) AS sum_chars
+      SELECT lang, count(*) AS sampled, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM b WHERE bucket < thr GROUP BY lang ORDER BY lang"""))
 
   /** L37 EPOCH SHUFFLE: deterministic training-order randomization —
@@ -643,8 +643,8 @@ object LlmQueries {
         FROM capped QUALIFY rank <= 10),
       budg AS (SELECT rank, doc_id, chunk_idx, score,
           CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_toks,
-          sum(CAST(len(string_split(chunk_text, ' ')) AS BIGINT))
-            OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+          CAST(sum(CAST(len(string_split(chunk_text, ' ')) AS BIGINT))
+            OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
         FROM ranked)
       SELECT CAST(rank AS INT) AS rank, doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
         round(score, 6) AS score, n_toks, cum_toks

@@ -650,7 +650,10 @@ object StreamOps {
     * idempotency ledger (Delta `txn` action; Iceberg `graft.*`
     * snapshot-summary marks): every merge commit records (appId, batchId),
     * the high-water mark is read once at stream start, and a replayed
-    * batch (foreachBatch is at-least-once) is skipped at/below it.
+    * batch (foreachBatch is at-least-once) is skipped at/below it. Batch
+    * ids are scoped to ONE checkpoint lineage: a fresh checkpointDir with
+    * a reused appId is rejected at start (see the guard below) — new
+    * lineage, new appId.
     *
     * `measures` are (name, long-valued expression over source rows);
     * additivity over ± signs is what makes the maintenance exact, so
@@ -700,6 +703,23 @@ object StreamOps {
       if (!exists()) -1L
       else if (isDelta) DeltaRead.txnVersions(spark, target).getOrElse(appId, -1L)
       else IcebergRead.txnVersions(spark, target).getOrElse(appId, -1L)
+    // Batch ids are only meaningful within ONE checkpoint lineage (the
+    // standard foreachBatch txn caveat): a FRESH checkpointDir renumbers
+    // batches from 0, so marks left by a previous checkpoint would make the
+    // guard skip genuinely NEW source changes that land in replayed
+    // low-numbered batches — forever and silently. Detect that exact
+    // configuration (no committed offsets yet, but the target already holds
+    // marks for this appId) and refuse loudly instead.
+    val hasOffsets = {
+      val off = new java.io.File(s"${checkpointDir.stripSuffix("/")}/offsets")
+      off.exists() && off.listFiles() != null && off.listFiles().nonEmpty
+    }
+    if (!hasOffsets && highWater >= 0L)
+      throw new IllegalStateException(
+        s"aggregateMvStream: target $target already holds exactly-once marks for " +
+          s"appId '$appId' up to batch $highWater, but checkpoint $checkpointDir is fresh " +
+          "(batch ids would restart at 0 and new changes in replayed batch numbers would be " +
+          "skipped). Resume with the original checkpointDir, or use a new appId for a new lineage.")
     val allMeasures = ("mv_cnt", lit(1L)) +: measures
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -267,6 +267,49 @@ class DataSkippingSpec extends SparkSpec {
       pred && $"id" < lit(500L))
     assert(hitAnd <= 2)
     assert(dfAnd.count() === 5L)
+
+    // a POSITIVE limit literal is NOT our tokenization: split(text, ' ', 2)
+    // leaves "gamma delta epsilon..." (separators included) in the last
+    // element — array_contains can then match multi-word elements never
+    // inserted in the sketch, so pruning must refuse (all files kept).
+    val (dfLim, hitLim, _) = DataSkipping.scan(spark, d, st,
+      array_contains(split($"text", " ", 2), "alpha"))
+    assert(hitLim === 20L, "positive-limit split must not prune")
+    assert(dfLim.count() === 1000L)
+    // limit=1 is the extreme case: the single element IS the whole text
+    val (dfLim1, hitLim1, _) = DataSkipping.scan(spark, d, st,
+      array_contains(split($"text", " ", 1), "alpha beta gamma delta epsilon"))
+    assert(hitLim1 === 20L)
+    assert(dfLim1.count() === 995L)
+  }
+
+  test("a value bloom over a column named tokens_x is never mistaken for a token bloom") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_skip_collide").toString
+    // `tokens_x` holds opaque values; `x` holds text. A value bloom over
+    // tokens_x produces stat column bloom_tokens_x — with the old shared
+    // prefix, scan() reclassified it as a TOKEN bloom for column `x` and
+    // probed token predicates on x against the WRONG sketch (unsound).
+    val rows = (0 until 400).map { i =>
+      val tag = if (i >= 50 && i < 55) "needle" else s"v$i"
+      (i.toLong, tag, if (i >= 200 && i < 205) "rare words here" else "common words here")
+    }.toDF("id", "tokens_x", "x")
+    rows.repartitionByRange(8, $"id").write.mode("overwrite").parquet(d)
+    val st = DataSkipping.collectStats(spark, d, Seq("id"),
+      bloomCols = Seq("tokens_x"), bloomItems = 10000L).cache()
+
+    // the value bloom on tokens_x still prunes equality probes on tokens_x
+    val (dfEq, hitEq, total) = DataSkipping.scan(spark, d, st, $"tokens_x" === "needle")
+    assert(total === 8L)
+    assert(hitEq <= 2, s"value bloom should prune ($hitEq of $total)")
+    assert(dfEq.count() === 5L)
+
+    // a token predicate on `x` has NO token bloom → must keep all files,
+    // and the result stays exact
+    val predTok = array_contains(split($"x", " "), "rare")
+    val (dfTok, hitTok, _) = DataSkipping.scan(spark, d, st, predTok)
+    assert(hitTok === 8L, "no token bloom on x: nothing may prune")
+    assert(dfTok.count() === 5L)
   }
 
   test("long IN-lists (optimized to InSet above threshold 10) still prune") {

@@ -37,6 +37,20 @@ class GraphSpec extends SparkSpec {
     assert(r(3L) > r(1L))
   }
 
+  test("damping arithmetic is exact far beyond the naive Long-product overflow") {
+    // the update step's old form `850000 * s div 1000000` wrapped negative
+    // once in-mass s exceeded ~1.08e13 (reachable on web-scale graphs);
+    // the split form must match BigInt arithmetic across that threshold
+    val masses = Seq(0L, 999999L, 1000000L, 10845624119L * 1000L,
+      12000000000000L, 500000000000000000L, Long.MaxValue / 850000L * 900L)
+    val got = masses.toDF("s")
+      .select(expr(
+        "coalesce(s, 0L) div 1000000 * 850000 + coalesce(s, 0L) % 1000000 * 850000 div 1000000"))
+      .as[Long].collect()
+    val want = masses.map(s => (BigInt(850000) * s / 1000000).toLong)
+    assert(got.toSeq === want)
+  }
+
   test("multigraph edges are deduplicated, results partition-invariant") {
     val edges = Seq((1L, 2L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
     val a = ranks(edges, iters = 6)

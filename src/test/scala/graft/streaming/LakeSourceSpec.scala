@@ -230,14 +230,22 @@ class LakeSourceSpec extends SparkSpec {
     DeltaWrite.append(spark, Seq(("a", 3L, 5L)).toDF("grp", "id", "v"), src)
     run()
     assert(view() === Seq(("a", 2L, 15L)))
-    // fresh checkpoint replays from batch 0: the summary marks drop it all
-    StreamOps.aggregateMvStream(spark, src, mv, Seq("grp"),
-      Seq("sum_v" -> col("v")), appId = "ice_mv", checkpointDir = s"$base/ckpt2",
-      targetFormat = "iceberg")
+    // a fresh checkpoint with the SAME appId renumbers batches from 0 —
+    // the summary marks would then silently skip genuinely new changes, so
+    // the start-time guard must refuse the configuration outright
+    val ex = intercept[IllegalStateException] {
+      StreamOps.aggregateMvStream(spark, src, mv, Seq("grp"),
+        Seq("sum_v" -> col("v")), appId = "ice_mv", checkpointDir = s"$base/ckpt2",
+        targetFormat = "iceberg")
+    }
+    assert(ex.getMessage.contains("new appId"))
+    assert(view() === Seq(("a", 2L, 15L)))
+    // resuming with the ORIGINAL checkpoint (no new source changes) is a no-op
+    run()
     assert(view() === Seq(("a", 2L, 15L)))
   }
 
-  test("aggregate MV: txn marks make a replayed batch a no-op") {
+  test("aggregate MV: a fresh checkpoint reusing an appId is refused; new appId double-counts nothing") {
     import graft.sources.{DeltaRead, DeltaWrite}
     val base = tmp("lakesrc_aggmv_txn")
     val src = s"$base/src"
@@ -245,10 +253,20 @@ class LakeSourceSpec extends SparkSpec {
     DeltaWrite.append(spark, Seq(("a", 1L, 10L)).toDF("grp", "id", "v"), src)
     StreamOps.aggregateMvStream(spark, src, mv, Seq("grp"),
       Seq("sum_v" -> col("v")), appId = "txn_mv", checkpointDir = s"$base/ckpt1")
-    // a FRESH checkpoint replays batch 0 (the full snapshot) — the recorded
-    // (appId, batchId) mark must drop it instead of double-counting
+    // a FRESH checkpoint renumbers batches from 0 while the target already
+    // holds (txn_mv, 0): skipping by mark would lose any NEW changes that
+    // land in replayed batch numbers, so the guard refuses at start
+    val ex = intercept[IllegalStateException] {
+      StreamOps.aggregateMvStream(spark, src, mv, Seq("grp"),
+        Seq("sum_v" -> col("v")), appId = "txn_mv", checkpointDir = s"$base/ckpt2")
+    }
+    assert(ex.getMessage.contains("txn_mv"))
+    assert(DeltaRead.snapshot(spark, mv).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("a", 1L, 10L)))
+    // the same-checkpoint replay path still dedups: re-run with ckpt1 applies nothing
     StreamOps.aggregateMvStream(spark, src, mv, Seq("grp"),
-      Seq("sum_v" -> col("v")), appId = "txn_mv", checkpointDir = s"$base/ckpt2")
+      Seq("sum_v" -> col("v")), appId = "txn_mv", checkpointDir = s"$base/ckpt1")
     assert(DeltaRead.snapshot(spark, mv).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
       Seq(("a", 1L, 10L)))

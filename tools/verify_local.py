@@ -14,6 +14,40 @@ import duckdb
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
+# DuckDB types that no Spark result can ever produce: an oracle column with
+# one of these hash-splits against the driver's typed canonicalizer even when
+# every VALUE matches (e.g. un-cast sum(BIGINT) -> HUGEINT). Round-8 shipped
+# three such bugs; this lint makes the class impossible to re-commit.
+NON_SPARK_TYPES = ("HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER",
+                   "USMALLINT", "UTINYINT", "INT128", "UINT128")
+
+# Benign cross-engine pairs the driver's canonicalizer treats as equal
+# (empirically: CORRECTNESS_r08 hash-greens rank()'s BIGINT vs Spark's
+# INTEGER, and lake `version` INTEGER vs BIGINT — integer WIDTH is not
+# hashed, only the int-vs-int128/decimal class is).
+TYPE_EQUIV = [{"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+              {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}]
+
+def type_lint(name, s_cols, s_types, o_cols, o_types):
+    """Return a list of lint failures for oracle/spark result types."""
+    errs = []
+    o_by_name = dict(zip(o_cols, [str(t) for t in o_types]))
+    s_by_name = dict(zip(s_cols, [str(t) for t in s_types]))
+    for c, ot in o_by_name.items():
+        if any(bad in ot.upper() for bad in NON_SPARK_TYPES) or \
+                (ot.upper().startswith("DECIMAL") and
+                 not s_by_name.get(c, "").upper().startswith("DECIMAL")):
+            errs.append(f"oracle column {c} has non-Spark type {ot} "
+                        f"(wrap in CAST(... AS BIGINT)/matching Spark type)")
+            continue
+        st = s_by_name.get(c)
+        if st is None or st == ot:
+            continue
+        if any(st in eq and ot in eq for eq in TYPE_EQUIV):
+            continue
+        errs.append(f"column {c} type mismatch spark={st} oracle={ot}")
+    return errs
+
 def canon(v):
     if v is None:
         return "\\N"
@@ -58,6 +92,11 @@ def main(sf_dir, out_dir):
             continue
         if sorted(s_cols) != sorted(o_cols):
             print(f"FAIL  {name}: schema mismatch spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+            n_fail += 1
+            continue
+        lint = type_lint(name, s_cols, spark_rel.types, o_cols, o_rel.types)
+        if lint:
+            print(f"FAIL  {name}: type lint: " + "; ".join(lint))
             n_fail += 1
             continue
         s_idx = [s_cols.index(c) for c in sorted(s_cols)]
