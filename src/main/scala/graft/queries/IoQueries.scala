@@ -803,6 +803,111 @@ object IoQueries {
       GROUP BY fmt, event_type
       ORDER BY fmt, event_type"""))
 
+  /** PARTITION-SCOPED OVERWRITE (replaceWhere) on BOTH formats: events
+    * partitioned by event_type, the 'click' partition backfilled with
+    * recomputed rows (values doubled) in ONE atomic scoped commit —
+    * the daily-backfill idiom. The `untouched` column PROVES the scope:
+    * it compares the other partitions' physical file sets before/after
+    * (Delta log paths / Iceberg manifest paths) — a replaceWhere that
+    * rewrote (or dropped) a non-matching partition breaks the hash. */
+  val tlakeReplaceWhere = GQuery(
+    "t_lake_replace_where",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events").select(col("event_id"), col("value"), col("event_type"))
+      val backfill = ev.where(col("event_type") === "click")
+        .withColumn("value", col("value") * 2)
+      def otherFilesDelta(t: String): Set[String] =
+        graft.sources.DeltaRead.snapshotInfo(s, t).files
+          .filterNot(_.partitionValues.get("event_type").contains("click"))
+          .map(_.path).toSet
+      def otherFilesIceberg(t: String): Set[String] =
+        graft.sources.IcebergRead.fileStats(s, t)
+          .where(col("min_event_type") =!= "click")
+          .select("file").collect().map(_.getString(0)).toSet
+
+      val dT = tmp("graft_rw_d_q") + "/tbl"
+      graft.sources.DeltaWrite.append(s, ev, dT, partitionBy = Seq("event_type"))
+      val dBefore = otherFilesDelta(dT)
+      graft.sources.Lake.replaceWhere(s, backfill, dT, "event_type = 'click'")
+      val dUntouched = otherFilesDelta(dT) == dBefore && dBefore.nonEmpty
+
+      val iT = tmp("graft_rw_i_q") + "/tbl"
+      graft.sources.IcebergWrite.append(s, ev, iT, partitionBy = Seq("event_type"))
+      val iBefore = otherFilesIceberg(iT)
+      graft.sources.Lake.replaceWhere(s, backfill, iT, "event_type = 'click'")
+      val iUntouched = otherFilesIceberg(iT) == iBefore && iBefore.nonEmpty
+
+      def agg(t: String, fmt: String, untouched: Boolean) =
+        graft.sources.Lake.read(s, t)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+          .withColumn("fmt", lit(fmt)).withColumn("untouched", lit(untouched))
+      agg(dT, "delta", dUntouched).unionByName(agg(iT, "iceberg", iUntouched))
+        .select(col("fmt"), col("event_type"), col("cnt"), col("sum_value"), col("untouched"))
+        .orderBy(col("fmt"), col("event_type"))
+    },
+    Some("""SELECT fmt, event_type, count(*) AS cnt,
+        round(sum(CASE WHEN event_type = 'click' THEN value * 2 ELSE value END), 2)
+          AS sum_value,
+        true AS untouched
+      FROM (SELECT 'delta' AS fmt FROM range(1) UNION ALL SELECT 'iceberg') fmts
+      CROSS JOIN events
+      GROUP BY fmt, event_type
+      ORDER BY fmt, event_type"""))
+
+  /** SQL DML statement surface over BOTH formats (Lake.sql): DELETE,
+    * UPDATE, and MERGE-shaped upsert driven through statement TEXT against
+    * path-addressed lake tables — the MERGE's USING source reads the table
+    * itself through the registered `lake_scan` table function, so the
+    * whole round is lake-to-lake pure SQL. The oracle recomputes the end
+    * state from source rows: errors deleted, click values doubled, view
+    * values zeroed by the matched-update leg, one 'merged' row inserted
+    * per purchase by the not-matched leg. */
+  val tlakeSqlDml = GQuery(
+    "t_lake_sql_dml",
+    (s, dir) => {
+      graft.sources.Lake.registerSqlSurface(s)
+      val ev = Tables(s, dir, "events").select(col("event_id"), col("value"), col("event_type"))
+      def run(t: String): Unit = {
+        graft.sources.Lake.sql(s, s"DELETE FROM '$t' WHERE event_type = 'error'")
+        graft.sources.Lake.sql(s, s"UPDATE '$t' SET value = value * 2 WHERE event_type = 'click'")
+        graft.sources.Lake.sql(s, s"MERGE INTO '$t' USING (" +
+          s"SELECT event_id, 0.0D AS value, event_type FROM lake_scan('$t') " +
+          "WHERE event_type = 'view' " +
+          s"UNION ALL SELECT event_id + 10000000, 1.0D, 'merged' FROM lake_scan('$t') " +
+          "WHERE event_type = 'purchase') ON (event_id)")
+      }
+      val dT = tmp("graft_dml_d_q") + "/tbl"
+      graft.sources.DeltaWrite.append(s, ev, dT)
+      run(dT)
+      val iT = tmp("graft_dml_i_q") + "/tbl"
+      graft.sources.IcebergWrite.append(s, ev, iT)
+      run(iT)
+      def agg(t: String, fmt: String) =
+        graft.sources.Lake.read(s, t)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+          .withColumn("fmt", lit(fmt))
+      agg(dT, "delta").unionByName(agg(iT, "iceberg"))
+        .select(col("fmt"), col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy(col("fmt"), col("event_type"))
+    },
+    Some("""WITH base AS (
+        SELECT event_id, value, event_type FROM events WHERE event_type <> 'error'),
+      modified AS (
+        SELECT event_id,
+          CASE WHEN event_type = 'click' THEN value * 2
+               WHEN event_type = 'view' THEN 0.0 ELSE value END AS value,
+          event_type
+        FROM base
+        UNION ALL
+        SELECT event_id + 10000000, 1.0, 'merged' FROM base WHERE event_type = 'purchase')
+      SELECT fmt, event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+      FROM (SELECT 'delta' AS fmt FROM range(1) UNION ALL SELECT 'iceberg') fmts
+      CROSS JOIN modified
+      GROUP BY fmt, event_type
+      ORDER BY fmt, event_type"""))
+
   /** CDC APPLY, cross-format both ways: a target table in the OTHER
     * format is seeded from the source's first snapshot, the source then
     * evolves (append + merge-on-read delete), and one
@@ -1108,6 +1213,7 @@ object IoQueries {
     Seq(t1, t1orc, t2, t3, tskip, tbloom, ttokens, ticebergStats, ticebergSpecEvo, ticebergWap, tdeltaStats, tdelta, ticeberg,
       tdeltaRt, ticebergRt, ticebergMor,
       tdeltaDv, tdeltaUpsert, ticebergPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
-      ticebergChanges, tdeltaCdc, tlakeCompact, tcdcApply, tlakeSync, tlakeClone,
+      ticebergChanges, tdeltaCdc, tlakeCompact, tlakeReplaceWhere, tlakeSqlDml,
+      tcdcApply, tlakeSync, tlakeClone,
       tlakeRestore, tlakeRename, tlakeUniform, tlakeUniformRev, tlakeConvert)
 }

@@ -333,6 +333,134 @@ object DeltaWrite {
     -1L // unreachable
   }
 
+  /** Which live files fall in the partitions matching `pred` (a predicate
+    * over the TYPED partition columns, e.g. "day = '2024-01-03'"):
+    * evaluated once per distinct partition tuple (driver-tiny); membership
+    * is decided on the original log strings via an index, so cast
+    * round-trips can't mis-bucket a file. Shared by [[compact]]'s scoped
+    * maintenance and [[replaceWhere]]'s scoped overwrite. */
+  private def scopeByPartition(spark: SparkSession, snap: DeltaRead.Snapshot,
+      pred: String, what: String): DeltaRead.LiveFile => Boolean = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    require(snap.partitionColumns.nonEmpty,
+      s"$what scopes by partition values — the table is unpartitioned")
+    val cols = snap.partitionColumns
+    val tuples = snap.files
+      .map(f => cols.map(c => f.partitionValues.getOrElse(c, null))).distinct
+    val schema = org.apache.spark.sql.types.StructType(
+      cols.map(c => org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.StringType)))
+    val rows = tuples.zipWithIndex.map { case (t, i) =>
+      org.apache.spark.sql.Row.fromSeq(t :+ i.toLong)
+    }
+    val sdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      schema.add("__idx", org.apache.spark.sql.types.LongType))
+    val keepIdx = sdf
+      .select((cols.map(c => fcol(c).cast(snap.schema(c).dataType).as(c)) :+
+        fcol("__idx")): _*)
+      .where(expr(pred)).select(fcol("__idx"))
+      .collect().map(_.getLong(0)).toSet
+    val keepTuples = tuples.zipWithIndex
+      .collect { case (t, i) if keepIdx(i.toLong) => t }.toSet
+    f => keepTuples.contains(cols.map(c => f.partitionValues.getOrElse(c, null)))
+  }
+
+  /** PARTITION-SCOPED OVERWRITE (`replaceWhere`): atomically swap the
+    * partitions matching `where` (a predicate over the typed partition
+    * columns) for `df`'s rows — the daily-backfill idiom ("recompute
+    * 2024-01-03 and replace just that day") that whole-table [[overwrite]]
+    * cannot express without rewriting everything. One commit: removes for
+    * every live file in a matching partition + adds for the staged rows;
+    * files in non-matching partitions are untouched (asserted by the
+    * t_lake_replace_where file-count oracle). Every incoming row must
+    * itself satisfy `where` — rows outside the replaced scope would
+    * otherwise silently double with their still-live copies (the standard
+    * replaceWhere contract, enforced with one distributed count).
+    *
+    * At 100 TB this is the only sane backfill: cost scales with the
+    * replaced partitions, and concurrent appends to OTHER partitions are
+    * retried around optimistically (the remove set re-derives per
+    * attempt, exactly like [[overwrite]]). */
+  def replaceWhere(spark: SparkSession, df: DataFrame, table: String,
+      where: String): Long = {
+    require(currentVersions(table).nonEmpty,
+      s"replaceWhere on non-existent table $table — use append")
+    val snap0 = DeltaRead.snapshotInfo(spark, table)
+    require(snap0.columnMappingMode == "none",
+      "replaceWhere on a column-mapped table is not supported (staging would " +
+        "need physical-name columns)")
+    require(snap0.schema.fieldNames.sorted.sameElements(df.schema.fieldNames.sorted),
+      s"replaceWhere schema ${df.schema.fieldNames.mkString(",")} does not match " +
+        s"table schema ${snap0.schema.fieldNames.mkString(",")}")
+    enforceConstraints(snap0, df)
+    val strays = df.where(!coalesce(expr(where), lit(false))).count()
+    require(strays == 0L,
+      s"replaceWhere: $strays incoming row(s) do not satisfy '$where' — rows " +
+        "outside the replaced scope would duplicate their live copies")
+    val staged = stageFiles(df, table, snap0.partitionColumns)
+    val adds = staged.map { case (rel, values, stats) =>
+      addAction(pctEncodePath(rel), values, Files.size(Paths.get(table, rel)), stats = stats)
+    }
+    while (true) {
+      val snap = DeltaRead.snapshotInfo(spark, table)
+      val inScope = scopeByPartition(spark, snap, where, "replaceWhere")
+      val removes = snap.files.filter(inScope).map { f =>
+        removeAction(pctEncodePath(f.path.stripPrefix(s"${table.stripSuffix("/")}/")),
+          dataChange = true)
+      }
+      if (tryCommitAt(table, snap.version + 1,
+          (removes ++ adds).mkString("", "\n", "\n")))
+        return snap.version + 1
+    }
+    -1L // unreachable
+  }
+
+  /** SQL-UPDATE: rows of the current snapshot matching `condition` get
+    * `assignments` applied — ONE atomic commit (matched rows DV-deleted,
+    * their updated images appended), so readers see every row's old or
+    * new state, never a mix and never a missing row. No key columns
+    * needed: matching is positional (file, pos), the same machinery as
+    * [[deleteWhere]]. Returns the committed version (unchanged when
+    * nothing matched — no commit).
+    *
+    * Scale: one distributed lineage scan finds matches; the updated
+    * images are one scan of the MATCHED rows only (cost scales with the
+    * update's selectivity, not the table); executor-built DV bitmaps as
+    * in every MoR path here. */
+  def updateWhere(spark: SparkSession, table: String,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      condition: org.apache.spark.sql.Column): Long = {
+    require(assignments.nonEmpty, "updateWhere with no assignments")
+    val snap0 = DeltaRead.snapshotInfo(spark, table)
+    require(snap0.columnMappingMode == "none",
+      "updateWhere on a column-mapped table is not supported (staging would " +
+        "need physical-name columns)")
+    val cols = snap0.schema.fieldNames.toSet
+    assignments.foreach { case (c, _) => require(cols.contains(c),
+      s"updateWhere: assigned column '$c' is not in the table schema") }
+    val lineage = DeltaRead.snapshotWithLineage(spark, table)
+    val matched = lineage.where(condition).select(col("_file"), col("_pos"))
+    dvDeletePlan(spark, table, snap0, matched) match {
+      case None => snap0.version // nothing matched: no commit
+      case Some((dvActions, dvAt0, affectedPaths)) =>
+        // updated images: the matched rows with assignments applied, in
+        // table-schema order and types (an assignment must not retype)
+        val byName = assignments.toMap
+        val updated0 = DeltaRead.snapshot(spark, table).where(condition)
+        val updated = updated0.select(snap0.schema.fields.toSeq.map { f =>
+          byName.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
+        }: _*)
+        enforceConstraints(snap0, updated)
+        val staged = stageFiles(updated, table, snap0.partitionColumns)
+        val adds = staged.map { case (rel, values, stats) =>
+          addAction(pctEncodePath(rel), values, Files.size(Paths.get(table, rel)), stats = stats)
+        }
+        commitDvGuarded(spark, table, (dvActions ++ adds).mkString("", "\n", "\n"),
+          dvAt0, affectedPaths)
+    }
+  }
+
   /** OPTIMIZE: bin-pack small files (and materialize deletion vectors)
     * into `targetFileBytes`-sized files, committed as a LAYOUT-ONLY
     * change — every remove and add carries `dataChange=false`, so
@@ -367,35 +495,10 @@ object DeltaWrite {
       // `where` scopes maintenance to the partitions matching a predicate
       // over the TYPED partition columns ("day = '2024-01-03'", "grp IN
       // (...)") — at 100 TB you compact yesterday's partition, not the
-      // table. Evaluated once per distinct partition tuple (driver-tiny);
-      // membership is decided on the original log strings via an index,
-      // so cast round-trips can't mis-bucket a file.
-      val inScope: DeltaRead.LiveFile => Boolean = where match {
-        case None => _ => true
-        case Some(pred) =>
-          require(snap.partitionColumns.nonEmpty,
-            "compact(where=...) scopes by partition values — the table is unpartitioned")
-          val cols = snap.partitionColumns
-          val tuples = snap.files
-            .map(f => cols.map(c => f.partitionValues.getOrElse(c, null))).distinct
-          val schema = org.apache.spark.sql.types.StructType(
-            cols.map(c => org.apache.spark.sql.types.StructField(c,
-              org.apache.spark.sql.types.StringType)))
-          val rows = tuples.zipWithIndex.map { case (t, i) =>
-            org.apache.spark.sql.Row.fromSeq(t :+ i.toLong)
-          }
-          val sdf = spark.createDataFrame(
-            spark.sparkContext.parallelize(rows, 1),
-            schema.add("__idx", org.apache.spark.sql.types.LongType))
-          val keepIdx = sdf
-            .select((cols.map(c => fcol(c).cast(snap.schema(c).dataType).as(c)) :+
-              fcol("__idx")): _*)
-            .where(expr(pred)).select(fcol("__idx"))
-            .collect().map(_.getLong(0)).toSet
-          val keepTuples = tuples.zipWithIndex
-            .collect { case (t, i) if keepIdx(i.toLong) => t }.toSet
-          f => keepTuples.contains(cols.map(c => f.partitionValues.getOrElse(c, null)))
-      }
+      // table.
+      val inScope: DeltaRead.LiveFile => Boolean =
+        where.map(scopeByPartition(spark, snap, _, "compact(where=...)"))
+          .getOrElse(_ => true)
       // candidate selection is PER PARTITION: two small files in different
       // partitions cannot be merged (the rewrite would just re-emit them),
       // so a partition qualifies only with ≥2 small files or a DV to purge.

@@ -873,23 +873,21 @@ object IcebergWrite {
     attempt
   }
 
-  private def compactOnce(spark: SparkSession, table: String,
-      smallFileBytes: Long, targetFileBytes: Long, zorderBy: Seq[String],
-      where: Option[String] = None): Long = {
-    import org.apache.spark.sql.functions.{col => fcol}
-    val base = currentVersion(table)
-    require(base > 0, s"not an Iceberg table: $table")
-    val prior = mapper.readTree(metaDir(table).resolve(s"v$base.metadata.json").toFile)
-    val partitionBy = priorPartitionBy(prior)
-    val transforms = partitionBy.map(IcebergTransforms.parse)
+  /** A live data-file manifest entry with its lineage and carried raw
+    * stats — the unit [[compactOnce]] and [[replaceWhere]] re-author
+    * manifests from. */
+  private case class LiveEntry(path: String, snapshotId: Long, seq: Option[Long],
+      fileSeq: Option[Long], partition: Seq[(String, AnyRef)], records: Long, bytes: Long,
+      rawBounds: Map[String, Seq[(Int, AnyRef)]] = Map.empty)
 
-    case class Live(path: String, snapshotId: Long, seq: Option[Long],
-        fileSeq: Option[Long], partition: Seq[(String, AnyRef)], records: Long, bytes: Long,
-        rawBounds: Map[String, Seq[(Int, AnyRef)]] = Map.empty)
+  /** Parse every live data-file entry out of `prior`'s data manifests —
+    * (entries, whether any DELETE manifest is live). Bounds/counts maps
+    * are carried VERBATIM (raw field-id-keyed values) so kept entries keep
+    * their skipping stats through a rewrite. */
+  private def liveDataEntries(prior: com.fasterxml.jackson.databind.JsonNode,
+      what: String): (Seq[LiveEntry], Boolean) = {
     def opt(r: org.apache.avro.generic.GenericRecord, n: String): Option[AnyRef] =
       Option(r.getSchema.getField(n)).flatMap(_ => Option(r.get(n)))
-    // bounds/counts maps carried VERBATIM (raw field-id-keyed values) so
-    // kept EXISTING entries keep their skipping stats through the rewrite
     def rawKv(df0: org.apache.avro.generic.GenericRecord, n: String): Seq[(Int, AnyRef)] =
       opt(df0, n).toSeq.flatMap(_.asInstanceOf[java.util.List[_]].asScala.map { e =>
         val r = e.asInstanceOf[org.apache.avro.generic.GenericRecord]
@@ -897,7 +895,7 @@ object IcebergWrite {
       })
     val manifests = priorManifests(Some(prior))
     val hasDeletes = manifests.exists(_._3 != 0)
-    val entries: Seq[Live] = manifests.filter(_._3 == 0).map(_._1).flatMap { mp =>
+    val entries: Seq[LiveEntry] = manifests.filter(_._3 == 0).map(_._1).flatMap { mp =>
       IcebergRead.avroRecords(mp).flatMap { e =>
         val status = opt(e, "status").map(_.toString.toInt).getOrElse(1)
         if (status == 2) None
@@ -907,10 +905,10 @@ object IcebergWrite {
             .collect { case r: org.apache.avro.generic.GenericRecord =>
               r.getSchema.getFields.asScala.map(f => f.name() -> r.get(f.name())).toSeq
             }.getOrElse(Seq.empty)
-          Some(Live(df0.get("file_path").toString,
+          Some(LiveEntry(df0.get("file_path").toString,
             opt(e, "snapshot_id").map(_.toString.toLong).getOrElse(
               throw new IllegalArgumentException(
-                "manifest entry lacks snapshot_id (inherited ids) — compaction " +
+                s"manifest entry lacks snapshot_id (inherited ids) — $what " +
                   "must carry explicit entry lineage; refusing")),
             opt(e, "sequence_number").map(_.toString.toLong),
             opt(e, "file_sequence_number").map(_.toString.toLong),
@@ -921,61 +919,82 @@ object IcebergWrite {
         }
       }
     }
-    // `where` scopes maintenance to IDENTITY partitions matching a
-    // predicate over the typed source columns (the Delta twin's contract;
-    // hidden transforms — day()/bucket()/truncate() — would need the
-    // predicate re-expressed over transform VALUES and are refused).
-    // Evaluated once per distinct partition tuple; membership keyed by
-    // index so value stringification can't mis-bucket an entry.
-    val inScope: Live => Boolean = where match {
+    (entries, hasDeletes)
+  }
+
+  /** Which live entries fall in the IDENTITY partitions matching `pred`
+    * (a predicate over the typed source columns — the Delta twin's
+    * contract; hidden transforms — day()/bucket()/truncate() — would need
+    * the predicate re-expressed over transform VALUES and are refused).
+    * Evaluated once per distinct partition tuple; membership keyed by
+    * index so value stringification can't mis-bucket an entry. */
+  private def identityScope(spark: SparkSession,
+      prior: com.fasterxml.jackson.databind.JsonNode, entries: Seq[LiveEntry],
+      pred: String, transforms: Seq[IcebergTransforms.Transform],
+      what: String): LiveEntry => Boolean = {
+    require(transforms.nonEmpty,
+      s"$what scopes by partition values — the table is unpartitioned")
+    require(transforms.forall(_.transformString == "identity"),
+      s"$what supports identity partitions only — hidden-" +
+        "transform scoping would need the predicate over transform values")
+    import org.apache.spark.sql.functions.{col => fcol, expr => fexpr}
+    val cols = transforms.map(_.source)
+    val curSchema = currentSchemaNode(prior)
+    // only the PARTITION SOURCE columns need literal-form types —
+    // unrelated exotic columns must not block the scope
+    val sparkTypeOf: Map[String, org.apache.spark.sql.types.DataType] =
+      curSchema.path("fields").elements().asScala
+        .filter(f => cols.contains(f.path("name").asText()))
+        .map { f =>
+          f.path("name").asText() -> (f.path("type").asText() match {
+            case "long" => org.apache.spark.sql.types.LongType
+            case "int" => org.apache.spark.sql.types.IntegerType
+            case "double" => org.apache.spark.sql.types.DoubleType
+            case "string" => org.apache.spark.sql.types.StringType
+            case other => throw new IllegalArgumentException(
+              s"$what cannot scope on a '$other' partition column " +
+                "(its avro partition value is not its literal form)")
+          })
+        }.toMap
+    def key(e: LiveEntry): Seq[String] =
+      e.partition.map { case (_, v) => if (v == null) null else String.valueOf(v) }
+    val tuples = entries.map(key).distinct
+    val schema = org.apache.spark.sql.types.StructType(
+      cols.map(c => org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.StringType)))
+      .add("__idx", org.apache.spark.sql.types.LongType)
+    val rows = tuples.zipWithIndex.map { case (t, i) =>
+      org.apache.spark.sql.Row.fromSeq(t :+ i.toLong)
+    }
+    val keepIdx = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .select((cols.map(c => fcol(c)
+        .cast(sparkTypeOf.getOrElse(c, org.apache.spark.sql.types.StringType)).as(c)) :+
+        fcol("__idx")): _*)
+      .where(fexpr(pred)).select(fcol("__idx"))
+      .collect().map(_.getLong(0)).toSet
+    val keepTuples = tuples.zipWithIndex
+      .collect { case (t, i) if keepIdx(i.toLong) => t }.toSet
+    e => keepTuples.contains(key(e))
+  }
+
+  private def compactOnce(spark: SparkSession, table: String,
+      smallFileBytes: Long, targetFileBytes: Long, zorderBy: Seq[String],
+      where: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    val base = currentVersion(table)
+    require(base > 0, s"not an Iceberg table: $table")
+    val prior = mapper.readTree(metaDir(table).resolve(s"v$base.metadata.json").toFile)
+    val partitionBy = priorPartitionBy(prior)
+    val transforms = partitionBy.map(IcebergTransforms.parse)
+
+    val (entries, hasDeletes) = liveDataEntries(prior, "compaction")
+    val inScope: LiveEntry => Boolean = where match {
       case None => _ => true
       case Some(pred) =>
-        require(transforms.nonEmpty,
-          "compact(where=...) scopes by partition values — the table is unpartitioned")
-        require(transforms.forall(_.transformString == "identity"),
-          "compact(where=...) supports identity partitions only — hidden-" +
-            "transform scoping would need the predicate over transform values")
-        import org.apache.spark.sql.functions.{col => fcol, expr => fexpr}
-        val cols = transforms.map(_.source)
-        val curSchema = currentSchemaNode(prior)
-        // only the PARTITION SOURCE columns need literal-form types —
-        // unrelated exotic columns must not block the scope
-        val sparkTypeOf: Map[String, org.apache.spark.sql.types.DataType] =
-          curSchema.path("fields").elements().asScala
-            .filter(f => cols.contains(f.path("name").asText()))
-            .map { f =>
-              f.path("name").asText() -> (f.path("type").asText() match {
-                case "long" => org.apache.spark.sql.types.LongType
-                case "int" => org.apache.spark.sql.types.IntegerType
-                case "double" => org.apache.spark.sql.types.DoubleType
-                case "string" => org.apache.spark.sql.types.StringType
-                case other => throw new IllegalArgumentException(
-                  s"compact(where=...) cannot scope on a '$other' partition column " +
-                    "(its avro partition value is not its literal form)")
-              })
-            }.toMap
-        def key(e: Live): Seq[String] =
-          e.partition.map { case (_, v) => if (v == null) null else String.valueOf(v) }
-        val tuples = entries.map(key).distinct
-        val schema = org.apache.spark.sql.types.StructType(
-          cols.map(c => org.apache.spark.sql.types.StructField(c,
-            org.apache.spark.sql.types.StringType)))
-          .add("__idx", org.apache.spark.sql.types.LongType)
-        val rows = tuples.zipWithIndex.map { case (t, i) =>
-          org.apache.spark.sql.Row.fromSeq(t :+ i.toLong)
-        }
-        val keepIdx = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
-          .select((cols.map(c => fcol(c)
-            .cast(sparkTypeOf.getOrElse(c, org.apache.spark.sql.types.StringType)).as(c)) :+
-            fcol("__idx")): _*)
-          .where(fexpr(pred)).select(fcol("__idx"))
-          .collect().map(_.getLong(0)).toSet
-        val keepTuples = tuples.zipWithIndex
-          .collect { case (t, i) if keepIdx(i.toLong) => t }.toSet
-        e => keepTuples.contains(key(e))
+        identityScope(spark, prior, entries, pred, transforms, "compact(where=...)")
     }
     val scoped = entries.filter(inScope)
-    val rewrite: Seq[Live] =
+    val rewrite: Seq[LiveEntry] =
       // ZORDER = explicit full re-layout (of the scope); deletes present =
       // full rewrite purging the delete files (deletes are not
       // partition-scopable — a delete file can span partitions, so a scoped
@@ -1011,68 +1030,158 @@ object IcebergWrite {
     commitSnapshot(table, "replace",
       schemasJson = carriedSchemas,
       specsJson = carriedSpecs,
-      authorManifest = { snapshotId =>
-        val newFiles = stageDataFiles(spark, packed, table, transforms, partTypes)
-        val schema = entrySchema(partTypes)
-        import org.apache.avro.generic.GenericData
-        // fresh rewritten files get fresh bounds (ids from the carried
-        // schema); kept EXISTING entries are re-authored from the parsed
-        // subset and drop theirs — sound (bounds are optional per column),
-        // and the next rewrite of those files restores them
-        val boundIds: Map[String, Int] = currentSchemaNode(prior)
-          .path("fields").elements().asScala
-          .map(f => f.path("name").asText() -> f.path("id").asInt(-1))
-          .filter(_._2 > 0).toMap
-        val boundTypes = packed.schema.fields.map(f => f.name -> f.dataType).toMap
-        val dataFileSchema = schema.getField("data_file").schema()
-        val partitionSchema = dataFileSchema.getField("partition").schema()
-        def entry(status: Int, snapId: Long, seq: Long, fileSeq: Long, path: String,
-            part: Seq[(String, Any)], nRows: Long, bytes: Long,
-            stats: Map[String, (Any, Any, Long)],
-            rawBounds: Map[String, Seq[(Int, AnyRef)]] = Map.empty) = {
-          val pr = new GenericData.Record(partitionSchema)
-          part.foreach { case (k, v) => pr.put(k, v) }
-          val dfr = new GenericData.Record(dataFileSchema)
-          dfr.put("content", 0)
-          dfr.put("file_path", path)
-          dfr.put("file_format", "PARQUET")
-          dfr.put("partition", pr)
-          dfr.put("record_count", nRows)
-          dfr.put("file_size_in_bytes", bytes)
-          putBounds(dfr, dataFileSchema, stats, boundIds, boundTypes)
-          rawBounds.foreach { case (n, kvs) =>
-            dfr.put(n, kvList(dataFileSchema.getField(n).schema(),
-              kvs.map { case (k, v) => k -> (v: Any) }))
-          }
-          val e = new GenericData.Record(schema)
-          e.put("status", status)
-          e.put("snapshot_id", snapId)
-          e.put("sequence_number", seq)
-          e.put("file_sequence_number", fileSeq)
-          e.put("data_file", dfr)
-          e
-        }
-        val addedEntries = newFiles.map { case (p, nRows, values, stats) =>
-          entry(1, snapshotId, snapshotId, snapshotId, p.toString,
-            partTypes.map(_._1).zip(values), nRows, Files.size(p), stats)
-        }
-        // EXISTING entries: original lineage preserved verbatim — the
-        // equality-delete scoping and incremental attribution keys
-        val keptEntries = keep.map { f =>
-          entry(0, f.snapshotId, f.seq.getOrElse(f.snapshotId),
-            f.fileSeq.getOrElse(f.snapshotId), f.path, f.partition, f.records, f.bytes,
-            Map.empty, f.rawBounds)
-        }
-        val manifestPath =
-          metaDir(table).resolve(s"m-$snapshotId-${java.util.UUID.randomUUID()}.avro")
-        val manifestLen = writeAvro(manifestPath, schema, keptEntries ++ addedEntries)
-        (manifestPath, manifestLen, 0, prior.path("default-spec-id").asInt(0),
-          newFiles.size, newFiles.map(_._2).sum)
-      },
+      authorManifest =
+        authorKeptPlusNew(spark, table, prior, keep, packed, transforms, partTypes),
       // the new manifest carries every live data file; prior data
       // manifests are dropped, and delete manifests too when purged
       carryPrior = _ => Nil,
       expectBase = Some(base))
+  }
+
+  /** Author ONE manifest holding `keep`'s existing entries (lineage and
+    * raw bounds preserved verbatim — the equality-delete scoping and
+    * incremental attribution keys) plus fresh entries for `packed`'s
+    * staged files (fresh bounds from the carried schema) — the
+    * manifest-rewrite core [[compactOnce]] and [[replaceWhere]] share.
+    * Returns commitSnapshot's authorManifest tuple. */
+  private def authorKeptPlusNew(spark: SparkSession, table: String,
+      prior: com.fasterxml.jackson.databind.JsonNode, keep: Seq[LiveEntry],
+      packed: DataFrame, transforms: Seq[IcebergTransforms.Transform],
+      partTypes: Seq[(String, DataType)])(snapshotId: Long)
+      : (java.nio.file.Path, Long, Int, Int, Int, Long) = {
+    // stamp the table's field ids into the fresh files (same as append's
+    // staging) — id-expecting readers refuse id-less parquet
+    val newFiles = stageDataFiles(spark, packed, table, transforms, partTypes,
+      fieldIdMap(Some(prior)))
+    val schema = entrySchema(partTypes)
+    import org.apache.avro.generic.GenericData
+    // fresh rewritten files get fresh bounds (ids from the carried
+    // schema); kept EXISTING entries are re-authored from the parsed
+    // subset with their raw bounds carried verbatim
+    val boundIds: Map[String, Int] = currentSchemaNode(prior)
+      .path("fields").elements().asScala
+      .map(f => f.path("name").asText() -> f.path("id").asInt(-1))
+      .filter(_._2 > 0).toMap
+    val boundTypes = packed.schema.fields.map(f => f.name -> f.dataType).toMap
+    val dataFileSchema = schema.getField("data_file").schema()
+    val partitionSchema = dataFileSchema.getField("partition").schema()
+    def entry(status: Int, snapId: Long, seq: Long, fileSeq: Long, path: String,
+        part: Seq[(String, Any)], nRows: Long, bytes: Long,
+        stats: Map[String, (Any, Any, Long)],
+        rawBounds: Map[String, Seq[(Int, AnyRef)]] = Map.empty) = {
+      val pr = new GenericData.Record(partitionSchema)
+      part.foreach { case (k, v) => pr.put(k, v) }
+      val dfr = new GenericData.Record(dataFileSchema)
+      dfr.put("content", 0)
+      dfr.put("file_path", path)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("partition", pr)
+      dfr.put("record_count", nRows)
+      dfr.put("file_size_in_bytes", bytes)
+      putBounds(dfr, dataFileSchema, stats, boundIds, boundTypes)
+      rawBounds.foreach { case (n, kvs) =>
+        dfr.put(n, kvList(dataFileSchema.getField(n).schema(),
+          kvs.map { case (k, v) => k -> (v: Any) }))
+      }
+      val e = new GenericData.Record(schema)
+      e.put("status", status)
+      e.put("snapshot_id", snapId)
+      e.put("sequence_number", seq)
+      e.put("file_sequence_number", fileSeq)
+      e.put("data_file", dfr)
+      e
+    }
+    val addedEntries = newFiles.map { case (p, nRows, values, stats) =>
+      entry(1, snapshotId, snapshotId, snapshotId, p.toString,
+        partTypes.map(_._1).zip(values), nRows, Files.size(p), stats)
+    }
+    val keptEntries = keep.map { f =>
+      entry(0, f.snapshotId, f.seq.getOrElse(f.snapshotId),
+        f.fileSeq.getOrElse(f.snapshotId), f.path, f.partition, f.records, f.bytes,
+        Map.empty, f.rawBounds)
+    }
+    val manifestPath =
+      metaDir(table).resolve(s"m-$snapshotId-${java.util.UUID.randomUUID()}.avro")
+    val manifestLen = writeAvro(manifestPath, schema, keptEntries ++ addedEntries)
+    (manifestPath, manifestLen, 0, prior.path("default-spec-id").asInt(0),
+      newFiles.size, newFiles.map(_._2).sum)
+  }
+
+  /** PARTITION-SCOPED OVERWRITE (`replaceWhere`), the [[DeltaWrite
+    * .replaceWhere]] twin over IDENTITY partitions: one `overwrite`
+    * snapshot whose single manifest carries every out-of-scope entry
+    * verbatim (lineage + raw bounds) plus the staged incoming files —
+    * files in non-matching partitions are untouched on disk AND keep their
+    * manifest lineage. Every incoming row must satisfy `where` (one
+    * distributed count), or rows outside the replaced scope would double
+    * with their still-live copies. Live delete files are refused (a
+    * delete file can span partitions — compact first, same rule as scoped
+    * maintenance). Optimistic via expectBase: a concurrent commit
+    * re-derives the kept set rather than dropping the winner's files. */
+  def replaceWhere(spark: SparkSession, df: DataFrame, table: String,
+      where: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce => fcoalesce, expr => fexpr, lit => flit, not => fnot}
+    require(currentVersion(table) > 0, s"not an Iceberg table: $table")
+    val strays = df.where(fnot(fcoalesce(fexpr(where), flit(false)))).count()
+    require(strays == 0L,
+      s"replaceWhere: $strays incoming row(s) do not satisfy '$where' — rows " +
+        "outside the replaced scope would duplicate their live copies")
+    var attempt = replaceWhereOnce(spark, df, table, where)
+    while (attempt < 0) attempt = replaceWhereOnce(spark, df, table, where)
+    attempt
+  }
+
+  private def replaceWhereOnce(spark: SparkSession, df: DataFrame, table: String,
+      where: String): Long = {
+    val base = currentVersion(table)
+    val prior = mapper.readTree(metaDir(table).resolve(s"v$base.metadata.json").toFile)
+    val partitionBy = priorPartitionBy(prior)
+    val transforms = partitionBy.map(IcebergTransforms.parse)
+    val (entries, hasDeletes) = liveDataEntries(prior, "replaceWhere")
+    require(!hasDeletes,
+      "replaceWhere with live delete files is not supported — a delete file " +
+        "can span partitions; run a compact to materialize deletes first")
+    val inScope = identityScope(spark, prior, entries, where, transforms, "replaceWhere")
+    val keep = entries.filterNot(inScope)
+    val partTypes: Seq[(String, DataType)] =
+      transforms.map(t => t.fieldName -> t.resultType(df.schema(t.source).dataType))
+    commitSnapshot(table, "overwrite",
+      schemasJson = carriedSchemas,
+      specsJson = carriedSpecs,
+      authorManifest =
+        authorKeptPlusNew(spark, table, prior, keep, df, transforms, partTypes),
+      carryPrior = _ => Nil,
+      expectBase = Some(base))
+  }
+
+  /** SQL-UPDATE, the [[DeltaWrite.updateWhere]] twin: rows matching
+    * `condition` get `assignments` applied — a position-delete snapshot
+    * for the old images, then an append of the updated ones (the same
+    * two-snapshot lineage as [[upsert]]; the append's higher sequence
+    * number keeps its own rows outside the delete's scope). The updated
+    * images are materialized BEFORE the delete commits (the scan must see
+    * the pre-delete rows). Returns the final snapshot id (unchanged when
+    * nothing matched — no commit). Cost scales with the update's
+    * selectivity: one lineage scan to match, one scan of matched rows to
+    * stage, no data file rewritten. */
+  def updateWhere(spark: SparkSession, table: String,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      condition: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    require(assignments.nonEmpty, "updateWhere with no assignments")
+    val prior = readPrior(table)
+    require(prior.isDefined, s"not an Iceberg table: $table")
+    val snapDf = IcebergRead.snapshot(spark, table)
+    val byName = assignments.toMap
+    val cols = snapDf.schema.fieldNames.toSet
+    assignments.foreach { case (c, _) => require(cols.contains(c),
+      s"updateWhere: assigned column '$c' is not in the table schema") }
+    val updated = snapDf.where(condition).select(snapDf.schema.fields.toSeq.map { f =>
+      byName.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(fcol(f.name))
+    }: _*).localCheckpoint()
+    if (updated.isEmpty) return prior.get.path("current-snapshot-id").asLong(-1L)
+    deleteWhere(spark, table, condition)
+    append(spark, updated, table, partitionBy = priorPartitionBy(prior.get))
   }
 
   /** EXPIRE SNAPSHOTS + physical cleanup: drop all but the last

@@ -535,4 +535,126 @@ object Lake {
       case Parquet => throw new IllegalArgumentException(
         s"plain parquet at $path cannot carry an upsert")
     }
+
+  /** SQL-UPDATE dispatch: rows matching `condition` get `assignments`
+    * applied — Delta as ONE DV-delete+append commit, Iceberg as a
+    * position-delete + append snapshot pair. No keys needed (matching is
+    * positional). Plain parquet has no transaction log — refused. */
+  def updateWhere(spark: SparkSession, path: String,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      condition: org.apache.spark.sql.Column): Long =
+    detect(spark, path) match {
+      case Delta => DeltaWrite.updateWhere(spark, path, assignments, condition)
+      case Iceberg => IcebergWrite.updateWhere(spark, path, assignments, condition)
+      case Parquet => throw new IllegalArgumentException(
+        s"plain parquet at $path cannot carry an update")
+    }
+
+  /** PARTITION-SCOPED OVERWRITE dispatch (`replaceWhere`): atomically swap
+    * the partitions matching `where` for `df`'s rows — the daily-backfill
+    * idiom. Both formats require the predicate to resolve over the
+    * (identity-)partition columns and every incoming row to satisfy it.
+    * Plain parquet has no log for an atomic swap — refused. */
+  def replaceWhere(spark: SparkSession, df: DataFrame, path: String,
+      where: String): Long =
+    detect(spark, path) match {
+      case Delta => DeltaWrite.replaceWhere(spark, df, path, where)
+      case Iceberg => IcebergWrite.replaceWhere(spark, df, path, where)
+      case Parquet => throw new IllegalArgumentException(
+        s"plain parquet at $path cannot carry an atomic partition overwrite")
+    }
+
+  // ---------------------------------------------------------------- SQL DML
+
+  /** Split `s` on top-level commas (commas inside parens or single-quoted
+    * strings don't split) — the SET-clause item splitter. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        cur += c
+        if (c == '\'') inStr = false
+      } else c match {
+        case '\'' => inStr = true; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.result(); cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    if (cur.nonEmpty) out += cur.result()
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** SQL DML over path-addressed lake tables — the statement surface a
+    * SQL-first user reaches for, each text dispatching to the format's
+    * transactional primitive (never a blind rewrite):
+    *
+    * {{{ DELETE FROM '<path>' WHERE <pred>
+    *     UPDATE '<path>' SET c1 = e1[, c2 = e2 ...] [WHERE <pred>]
+    *     MERGE INTO '<path>' USING (<select ...>) ON (k1[, k2 ...])
+    *     INSERT INTO '<path>' <select ...>
+    *     INSERT OVERWRITE '<path>' [REPLACE WHERE <pred>] <select ...> }}}
+    *
+    * MERGE is the WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN
+    * INSERT * shape (replace matched keys with the source row, insert new
+    * keys) — the CDC-merge idiom [[upsert]] implements; the ON clause
+    * names the key COLUMNS (null-safe equality), not an arbitrary
+    * predicate. Predicates and expressions are standard Spark SQL texts
+    * (`functions.expr`); the USING / INSERT source is any SELECT the
+    * session can run (including over the registered lake table functions,
+    * so lake-to-lake MERGE is one statement). Returns the committed
+    * version / snapshot id. */
+  def sql(spark: SparkSession, statement: String): Long = {
+    import org.apache.spark.sql.functions.expr
+    val s = statement.trim.stripSuffix(";").trim
+    val Delete = """(?is)DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+)""".r
+    val Update = """(?is)UPDATE\s+'([^']+)'\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?""".r
+    val Merge = """(?is)MERGE\s+INTO\s+'([^']+)'\s+USING\s+\((.+)\)\s+ON\s+\(?\s*([\w\s,]+?)\s*\)?""".r
+    val Insert = """(?is)INSERT\s+INTO\s+'([^']+)'\s+(.+)""".r
+    val InsertOverwriteReplace =
+      """(?is)INSERT\s+OVERWRITE\s+'([^']+)'\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\s.+|FROM\s.+|TABLE\s.+|VALUES\s.+)""".r
+    val InsertOverwrite = """(?is)INSERT\s+OVERWRITE\s+'([^']+)'\s+(.+)""".r
+    s match {
+      case Delete(path, pred) =>
+        deleteWhere(spark, path, expr(pred))
+      case Merge(path, source, keys) =>
+        upsert(spark, spark.sql(source), path,
+          keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      case InsertOverwriteReplace(path, pred, source) =>
+        replaceWhere(spark, spark.sql(source), path, pred)
+      case InsertOverwrite(path, source) =>
+        detect(spark, path) match {
+          case Delta => DeltaWrite.overwrite(spark, spark.sql(source), path)
+          case other => throw new IllegalArgumentException(
+            s"INSERT OVERWRITE (whole-table) is wired for Delta; got $other at $path — " +
+              "use INSERT OVERWRITE ... REPLACE WHERE for scoped, or the API")
+        }
+      case Insert(path, source) =>
+        detect(spark, path) match {
+          case Delta => DeltaWrite.append(spark, spark.sql(source), path)
+          case Iceberg => IcebergWrite.append(spark, spark.sql(source), path)
+          case other => throw new IllegalArgumentException(
+            s"INSERT INTO needs a lake table, got $other at $path")
+        }
+      case Update(path, setClause, predOrNull) =>
+        val assignments = splitTopLevel(setClause).map { item =>
+          val eq = item.indexOf('=')
+          require(eq > 0, s"malformed SET item '$item' (expected col = expr)")
+          (item.take(eq).trim, expr(item.drop(eq + 1).trim))
+        }
+        val cond = Option(predOrNull).map(expr)
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        updateWhere(spark, path, assignments, cond)
+      case other => throw new IllegalArgumentException(
+        "unrecognized lake DML statement (expected DELETE FROM / UPDATE / " +
+          s"MERGE INTO / INSERT [OVERWRITE] over a quoted path): $other")
+    }
+  }
 }
