@@ -56,6 +56,20 @@ object Similarity {
         count(lit(1)).as("pairs"),
         coalesce(sum(col("hit")), lit(0)).cast("long").as("hits"))
 
+  /** [[recallCounts]] reduced to a THRESHOLD gate: (queries, pairs,
+    * recall_ok) where recall_ok ⇔ hits/pairs ≥ minRecall — the driver-
+    * visible contract for approximate tiers. Unlike a committed hit
+    * constant, the gate survives a testdata regeneration: the threshold is
+    * a design parameter of the tier (with margin below its measured
+    * recall), not a pin of one dataset's exact hit count. Compared in
+    * exact integers (hits·10⁶ ≥ ⌊minRecall·10⁶⌋·pairs) so the boolean is
+    * bit-stable across engines and layouts. */
+  def recallGate(ann: DataFrame, brute: DataFrame, minRecall: Double): DataFrame =
+    recallCounts(ann, brute).select(
+      col("queries"), col("pairs"),
+      (col("hits") * lit(1000000L) >=
+        lit(math.round(minRecall * 1e6)) * col("pairs")).as("recall_ok"))
+
   /** Deterministic pseudo-random hyperplane weight in [-1, 1): seeded by
     * (table, plane, dim) through xxhash64 — reproducible across runs and
     * cluster sizes. */

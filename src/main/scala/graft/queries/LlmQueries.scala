@@ -271,17 +271,18 @@ object LlmQueries {
     },
     None)
 
-  // Driver-visible ANN recall (round-4 verdict #4): the approximate tiers
-  // are no_oracle by design, but their RECALL against the in-Spark
-  // brute-force top-k is a deterministic integer — data, seeds, and
-  // training schedules are all fixed — so each tier emits a count query:
-  // (queries, ground-truth pairs, hits). DuckDB recomputes queries/pairs
-  // from its own brute-force top-3; `hits` is the committed constant this
-  // build produces (pinned at sf0.01, the driver's gate SF; any drift in
-  // seeding, training, or candidate generation surfaces as a hash
-  // mismatch). Recall THRESHOLDS stay asserted in SimilaritySpec; hit
-  // stability across partition counts is asserted there too.
-  private def annRecallOracle(whereQ: String, hits: Long): String =
+  // Driver-visible ANN recall (round-4 verdict #4, un-pinned round 9):
+  // the approximate tiers are no_oracle by design, but their RECALL
+  // against the in-Spark brute-force top-k is checkable — each tier emits
+  // (queries, ground-truth pairs, recall_ok), where recall_ok is the
+  // in-query hits/pairs ratio gated against the tier's design threshold
+  // (Similarity.recallGate). DuckDB recomputes queries/pairs from its own
+  // brute-force top-3 and asserts recall_ok literally true — so the gate
+  // survives a testdata regeneration (no dataset-pinned hit constants
+  // anywhere), while a tier whose recall collapses below its contract
+  // still hash-fails. Exact hit determinism across partition counts stays
+  // asserted in SimilaritySpec.
+  private def annRecallOracle(whereQ: String): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
       pairs AS (SELECT q.vec_id, c.vec_id AS nn_id,
@@ -292,7 +293,7 @@ object LlmQueries {
         FROM pairs)
       SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS queries,
              CAST(count(*) AS BIGINT) AS pairs,
-             CAST($hits AS BIGINT) AS hits
+             true AS recall_ok
       FROM ranked WHERE rank <= 3"""
 
   private def brute3(s: SparkSession, dir: String, maxQ: Option[Long] = None) = {
@@ -301,38 +302,41 @@ object LlmQueries {
     Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3)
   }
 
+  // Per-tier thresholds: comfortably under each tier's measured sf0.01
+  // recall (lsh 0.065, ivf 0.31, kmeans 0.64, pq 0.64, sq 1.0) yet high
+  // enough that a broken bucketing/training/shortlist still fails.
   val l3lshRecall = GQuery(
     "l3_ann_lsh_recall",
-    (s, dir) => Similarity.recallCounts(
+    (s, dir) => Similarity.recallGate(
       Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 3),
-      brute3(s, dir)),
-    Some(annRecallOracle("", 98L)))
+      brute3(s, dir), minRecall = 0.04),
+    Some(annRecallOracle("")))
 
   val l3ivfRecall = GQuery(
     "l3_ann_ivf_recall",
-    (s, dir) => Similarity.recallCounts(
+    (s, dir) => Similarity.recallGate(
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", "label", k = 3),
-      brute3(s, dir)),
-    Some(annRecallOracle("", 464L)))
+      brute3(s, dir), minRecall = 0.2),
+    Some(annRecallOracle("")))
 
   val l3kmeansRecall = GQuery(
     "l3_ann_kmeans_recall",
-    (s, dir) => Similarity.recallCounts(
+    (s, dir) => Similarity.recallGate(
       Similarity.ivfTopKTrained(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 3, nCells = 16, nProbe = 4),
-      brute3(s, dir)),
-    Some(annRecallOracle("", 960L)))
+      brute3(s, dir), minRecall = 0.45),
+    Some(annRecallOracle("")))
 
   val l3pqRecall = GQuery(
     "l3_ann_pq_recall",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.recallCounts(
+      Similarity.recallGate(
         Similarity.pqTopK(emb, emb.where(col("vec_id") < 100), "vec_id", "embedding",
           k = 3, m = 8, kCodes = 16, shortlist = 30, iters = 3),
-        brute3(s, dir, maxQ = Some(100L)))
+        brute3(s, dir, maxQ = Some(100L)), minRecall = 0.45)
     },
-    Some(annRecallOracle("WHERE q.vec_id < 100", 193L)))
+    Some(annRecallOracle("WHERE q.vec_id < 100")))
 
   /** SQ8 scalar-quantization ANN (approximate by design → rows-only; the
     * recall twin below is the hash gate). */
@@ -351,12 +355,12 @@ object LlmQueries {
     "l3_ann_sq_recall",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.recallCounts(
+      Similarity.recallGate(
         Similarity.sqTopK(emb, emb.where(col("vec_id") < 100), "vec_id", "embedding",
           k = 3, shortlist = 30),
-        brute3(s, dir, maxQ = Some(100L)))
+        brute3(s, dir, maxQ = Some(100L)), minRecall = 0.9)
     },
-    Some(annRecallOracle("WHERE q.vec_id < 100", 300L)))
+    Some(annRecallOracle("WHERE q.vec_id < 100")))
 
   /** Statistical-LM quality scoring (CCNet-style perplexity proxy): MLE
     * bigram model trained on the corpus, per-doc mean log-prob in exact
