@@ -69,6 +69,10 @@ object BenchQueries {
       // dim-collapse to literals, 2-job forms) all land within ±40 ms of
       // this one — the constant is structural, amortizes to zero at real
       // scale, and does not depend on the join shape chosen here.
+      // Round-9 re-probe (median-of-9): star 325 ms < this 346 ms < rest —
+      // star's 21 ms is session noise AND it broadcasts the unreduced
+      // multi-region orders subset, strictly worse at 100 TB. Floor
+      // declared irreducible; full table in PLANS.md §b2.
       val small = t(s, dir, "region").filter(col("r_name") === "ASIA")
         .join(t(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
         .join(t(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))

@@ -426,6 +426,51 @@ object FunctionQueries {
         array_to_string(list_sort(ai, 'DESC')[1:5], ',') AS top5_desc
       FROM a ORDER BY vec_id LIMIT 100"""))
 
+  /** F6 MAP functions over REAL data (closing the "test-only" gap): a
+    * map<string,bigint> column built from the events props JSON
+    * (from_json), widened with a second entry (map_concat +
+    * map_from_arrays), then exercised through the F6 surface —
+    * element_at, map_keys (sorted to pin iteration order), size,
+    * transform_values, map_filter, map_values + aggregate — all reduced
+    * to SCALAR columns so the hash compare is map-layout-independent.
+    * The oracle recomputes each scalar from the JSON directly (maps are
+    * the Spark-side representation under test; the SEMANTICS are what
+    * must match). Pure codegen projections — no shuffle beyond the
+    * final order. */
+  val t59map = GQuery(
+    "t59_map_functions",
+    (s, dir) => {
+      val m = from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType))
+      t(s, dir, "events")
+        .withColumn("m",
+          map_concat(m, map_from_arrays(array(lit("uid")), array(col("user_id")))))
+        .select(
+          col("event_id"),
+          element_at(col("m"), "k").as("k_val"),
+          element_at(col("m"), "uid").as("uid_val"),
+          coalesce(element_at(col("m"), "absent"), lit(-1L)).as("missing_val"),
+          size(col("m")).as("n_keys"),
+          concat_ws(",", array_sort(map_keys(col("m")))).as("keys_csv"),
+          element_at(transform_values(col("m"), (_, v) => v * 2L), "k").as("k_doubled"),
+          size(map_filter(col("m"), (_, v) => v >= 50L)).as("n_big"),
+          aggregate(map_values(col("m")), lit(0L), (acc, v) => acc + v).as("sum_vals"))
+        .where(col("event_id") < 100)
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+        CAST(props->>'$.k' AS BIGINT) AS k_val,
+        user_id AS uid_val,
+        CAST(-1 AS BIGINT) AS missing_val,
+        2 AS n_keys,
+        'k,uid' AS keys_csv,
+        CAST(props->>'$.k' AS BIGINT) * 2 AS k_doubled,
+        (CASE WHEN CAST(props->>'$.k' AS BIGINT) >= 50 THEN 1 ELSE 0 END
+          + CASE WHEN user_id >= 50 THEN 1 ELSE 0 END) AS n_big,
+        CAST(props->>'$.k' AS BIGINT) + user_id AS sum_vals
+      FROM events WHERE event_id < 100 ORDER BY event_id"""))
+
   def all: Seq[GQuery] = Seq(t26, t26b, t26c, t26d, t26e, t27, t28, t29, t29b, t29explode,
-    t16b, t16c, tUdaf, tMultimodal, tFromJson, tVariant)
+    t16b, t16c, tUdaf, tMultimodal, tFromJson, tVariant, t59map)
 }

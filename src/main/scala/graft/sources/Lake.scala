@@ -609,8 +609,12 @@ object Lake {
     * predicate. Predicates and expressions are standard Spark SQL texts
     * (`functions.expr`); the USING / INSERT source is any SELECT the
     * session can run (including over the registered lake table functions,
-    * so lake-to-lake MERGE is one statement). Returns the committed
-    * version / snapshot id. */
+    * so lake-to-lake MERGE is one statement). CTAS:
+    *
+    * {{{ CREATE TABLE '<path>' USING {delta | iceberg}
+    *       [PARTITIONED BY (c1[, c2 ...])] AS <select ...> }}}
+    *
+    * Returns the committed version / snapshot id. */
   def sql(spark: SparkSession, statement: String): Long = {
     import org.apache.spark.sql.functions.expr
     val s = statement.trim.stripSuffix(";").trim
@@ -621,7 +625,19 @@ object Lake {
     val InsertOverwriteReplace =
       """(?is)INSERT\s+OVERWRITE\s+'([^']+)'\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\s.+|FROM\s.+|TABLE\s.+|VALUES\s.+)""".r
     val InsertOverwrite = """(?is)INSERT\s+OVERWRITE\s+'([^']+)'\s+(.+)""".r
+    val Ctas =
+      """(?is)CREATE\s+TABLE\s+'([^']+)'\s+USING\s+(\w+)\s*(?:PARTITIONED\s+BY\s+\(([\w\s,]+)\)\s*)?AS\s+(.+)""".r
     s match {
+      case Ctas(path, format, partsOrNull, source) =>
+        val parts = Option(partsOrNull).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val df = spark.sql(source)
+        format.toLowerCase match {
+          case "delta" => DeltaWrite.append(spark, df, path, partitionBy = parts)
+          case "iceberg" => IcebergWrite.append(spark, df, path, partitionBy = parts)
+          case other => throw new IllegalArgumentException(
+            s"CREATE TABLE USING $other: supported formats are delta | iceberg")
+        }
       case Delete(path, pred) =>
         deleteWhere(spark, path, expr(pred))
       case Merge(path, source, keys) =>

@@ -101,6 +101,53 @@ object ScaleCurve {
           .select(col("src"), ((col("src") * 31 + col("k")) % lit(n)).as("dst"))
         operators.Graph.pageRank(edges, "src", "dst", iterations = 4).count()
       }
+      time("rag_assembly", n) {
+        // l38's full shape: chunk fan-out → chunk-granularity BM25 (one
+        // broadcast stats row) → per-doc cap + rank + token-budget windows
+        // over the bounded candidate set. The corpus-side work must scale
+        // linearly; the windows see ≤ top-k rows at every size.
+        import org.apache.spark.sql.expressions.Window
+        val chunks = corpus.select(col("doc_id"),
+            posexplode(functions.TextFunctions.slidingTokenChunks(col("text"), 32, 24))
+              .as(Seq("chunk_idx", "chunk_text")))
+          .select((col("doc_id") * 10000 + col("chunk_idx")).as("cid"),
+            col("doc_id"), col("chunk_idx"), col("chunk_text"))
+        val scored = operators.Retrieval
+          .bm25Scored(chunks, "cid", "chunk_text", Seq("vector", "window", "hash"),
+            k1 = 1.2, b = 0.75)
+          .join(chunks, "cid")
+        val perDoc = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("cid"))
+        val ord = Window.orderBy(col("score").desc, col("cid"))
+        scored.withColumn("doc_rank", row_number().over(perDoc))
+          .where(col("doc_rank") <= 2)
+          .withColumn("rank", row_number().over(ord))
+          .where(col("rank") <= 10)
+          .withColumn("n_toks", size(functions.TextFunctions.tokens(col("chunk_text"))))
+          .withColumn("cum_toks", sum(col("n_toks")).over(
+            ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .where(col("cum_toks") <= 192)
+          .count()
+      }
+      // token blooms: one-pass collect cost vs the prune it buys. Layout
+      // (range-clustered parquet write) is prep, not the measured op.
+      val tokDir = java.nio.file.Files.createTempDirectory("graft_curve_tok").toString
+      if (only.isEmpty || only("token_bloom_collect") || only("token_bloom_probe"))
+        corpus.repartitionByRange(64, col("doc_id"))
+          .write.mode("overwrite").parquet(tokDir)
+      var tokStats: DataFrame = null
+      time("token_bloom_collect", n) {
+        tokStats = operators.DataSkipping.collectStats(spark, tokDir, Seq("doc_id"),
+          tokenBloomCols = Seq("text"), bloomItems = 200000L).localCheckpoint()
+        tokStats.count()
+      }
+      time("token_bloom_probe", n) {
+        // absent term: rows reported = files KEPT (false positives only) —
+        // the prune benefit is total - rows, the probe cost is the wall time
+        val (_, hit, _) = operators.DataSkipping.scan(spark, tokDir, tokStats,
+          array_contains(split(col("text"), " "), "graftabsenttoken"))
+        hit
+      }
       time("fuzzy_join_d1", n) {
         // fuzzy-join the token vocabulary against itself (names-scale input:
         // the operator's domain is distinct strings, not documents)

@@ -154,6 +154,47 @@ class LakeDmlSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Lake.sql(spark, "TRUNCATE '/nope'") }
   }
 
+  test("Lake.sql CTAS creates both formats; a partitioned CTAS lays out partition dirs") {
+    val base = tmp("graft_dml_ctas")
+    val dT = s"$base/d"
+    Lake.sql(spark, s"CREATE TABLE '$dT' USING delta AS " +
+      "SELECT * FROM VALUES (1L, 'a', 1.5D), (2L, 'b', 2.5D) AS s(id, grp, v)")
+    assert(Lake.detect(spark, dT) === Lake.Delta)
+    assert(Lake.read(spark, dT).as[(Long, String, Double)].collect().toSet ===
+      Set((1L, "a", 1.5), (2L, "b", 2.5)))
+
+    val iT = s"$base/i"
+    Lake.sql(spark, s"CREATE TABLE '$iT' USING iceberg PARTITIONED BY (grp) AS " +
+      "SELECT * FROM VALUES (3L, 'x', 0.5D), (4L, 'y', 1.0D) AS s(id, grp, v)")
+    assert(Lake.detect(spark, iT) === Lake.Iceberg)
+    assert(Lake.read(spark, iT).as[(Long, String, Double)].collect().toSet ===
+      Set((3L, "x", 0.5), (4L, "y", 1.0)))
+    // identity partitioning took: pruned metadata read sees one partition
+    assert(Lake.readPruned(spark, iT, pv => pv.get("grp").contains("x"))
+      .as[(Long, String, Double)].collect().toSet === Set((3L, "x", 0.5)))
+
+    intercept[IllegalArgumentException] {
+      Lake.sql(spark, s"CREATE TABLE '$base/h' USING hudi AS SELECT 1 AS x")
+    }
+  }
+
+  test("Delta replaceWhere races: a concurrent append to ANOTHER partition survives") {
+    // the staged adds are fixed; the REMOVE set re-derives per attempt, so
+    // a commit that lands between snapshot read and claim must not be lost
+    val t = tmp("graft_dml_race") + "/tbl"
+    DeltaWrite.append(spark,
+      dayRows("d1", 1L to 2L, 1.0).union(dayRows("d2", 3L to 4L, 2.0)),
+      t, partitionBy = Seq("day"))
+    val racer = new Thread(() =>
+      DeltaWrite.append(spark, dayRows("d2", 5L to 6L, 2.0), t, partitionBy = Seq("day")))
+    racer.start()
+    DeltaWrite.replaceWhere(spark, dayRows("d1", 11L to 12L, 9.0), t, "day = 'd1'")
+    racer.join()
+    // whatever the interleaving: d1 is exactly the backfill, d2 holds all 4 rows
+    assert(contents(t) ===
+      ((11L to 12L).map(i => (i, "d1", 9.0)) ++ (3L to 6L).map(i => (i, "d2", 2.0))).toSet)
+  }
+
   test("Lake.sql drives the same DML on Iceberg; INSERT OVERWRITE REPLACE WHERE backfills") {
     val t = tmp("graft_dml_sqli") + "/tbl"
     IcebergWrite.append(spark,
