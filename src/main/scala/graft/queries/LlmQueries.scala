@@ -1411,10 +1411,103 @@ object LlmQueries {
       FROM rk WHERE rank <= 10 ORDER BY rank"""
     })
 
+  /** L40 IN-ENGINE CLASSIFIER TRAINING: distill an expensive labeling
+    * pass (here the l6-style quality heuristic) into a LINEAR filter the
+    * engine can then apply to the full corpus at scan speed — fixed-point
+    * full-batch gradient descent with a hard-sigmoid link
+    * ([[graft.operators.LinearModel]]), 5 steps from zero weights over
+    * (bias, capped token count, stopword ratio, capped avg word length).
+    * Every step is one map-side-combined integer aggregation; weights are
+    * O(features) driver state — the classic distributed GD layout, and
+    * the integer arithmetic makes training BIT-IDENTICAL across
+    * partitionings and engines, so the oracle replays the whole schedule
+    * as 5 unrolled CTE iterations (the t55 fixed-point convention applied
+    * to model training). Output: learned micro-unit weights + the
+    * confusion counts of the trained filter against its teacher labels. */
+  val l40 = GQuery(
+    "l40_quality_classifier",
+    (s, dir) => {
+      import graft.operators.LinearModel
+      val stopArr = array(enStop.map(lit): _*)
+      val base = t(s, dir, "documents")
+        .withColumn("nt", size(split(col("text"), " ")).cast("long"))
+        .withColumn("ns",
+          size(filter(split(col("text"), " "), tk => array_contains(stopArr, tk))).cast("long"))
+        .withColumn("awl", col("n_chars").cast("long") - (col("nt") - 1L))
+      val feats = base
+        .withColumn("x0", lit(1000000L))
+        .withColumn("x1", least(lit(1000000L), col("nt") * 500L))
+        .withColumn("x2", expr("ns * 1000000L div nt"))
+        .withColumn("x3", least(lit(1000000L), expr("awl * 1000000L div (nt * 12L)")))
+        .withColumn("y", when(
+          (when(col("nt").between(20L, 2000L), lit(400000L)).otherwise(lit(0L)) +
+            when(col("awl").between(col("nt") * 2L, col("nt") * 12L), lit(300000L))
+              .otherwise(lit(0L)) +
+            expr("ns * 300000L div nt")) >= 400000L, lit(1000000L)).otherwise(lit(0L)))
+        .localCheckpoint() // features consumed 5× by training + once by eval
+      val xs = Seq("x0", "x1", "x2", "x3").map(col)
+      val w = LinearModel.trainLogistic(feats, xs, col("y"), iterations = 5)
+      val p = LinearModel.hardSigmoidMicro(LinearModel.scoreMicro(w, xs))
+      val pred = (p >= 500000L).cast("long")
+      val label = (col("y") === 1000000L).cast("long")
+      feats.agg(
+        count(lit(1)).as("n"),
+        sum(label).as("label_pos"),
+        sum(pred).as("pred_pos"),
+        sum(when(pred === label, 1L).otherwise(0L)).as("agree"))
+        .select(Seq("w_bias", "w_len", "w_stop", "w_wlen").zip(w)
+          .map { case (nm, v) => lit(v).as(nm) } ++
+          Seq(col("n"), col("label_pos"), col("pred_pos"), col("agree")): _*)
+    },
+    Some {
+      val steps = (1 to 5).map { k =>
+        s"""p$k AS (SELECT x0, x1, x2, x3, y,
+            GREATEST(0, LEAST(1000000, 500000 +
+              ((w0*x0 + w1*x1 + w2*x2 + w3*x3) // 1000000) // 4)) AS p
+          FROM x CROSS JOIN i${k - 1}),
+        g$k AS (SELECT sum((y - p) * x0 // 1000000) AS g0,
+            sum((y - p) * x1 // 1000000) AS g1,
+            sum((y - p) * x2 // 1000000) AS g2,
+            sum((y - p) * x3 // 1000000) AS g3, count(*) AS n
+          FROM p$k),
+        i$k AS (SELECT w0 + g0 // n AS w0, w1 + g1 // n AS w1,
+            w2 + g2 // n AS w2, w3 + g3 // n AS w3
+          FROM i${k - 1} CROSS JOIN g$k)"""
+      }.mkString(",\n        ")
+      s"""WITH f AS (SELECT
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+          CAST(len(list_filter(string_split(text, ' '),
+            tk -> list_contains($enStopSql, tk))) AS BIGINT) AS ns,
+          CAST(n_chars AS BIGINT) - (CAST(len(string_split(text, ' ')) AS BIGINT) - 1) AS awl
+        FROM documents),
+        x AS (SELECT CAST(1000000 AS BIGINT) AS x0,
+          LEAST(1000000, nt * 500) AS x1,
+          ns * 1000000 // nt AS x2,
+          LEAST(1000000, awl * 1000000 // (nt * 12)) AS x3,
+          CASE WHEN (CASE WHEN nt BETWEEN 20 AND 2000 THEN 400000 ELSE 0 END
+              + CASE WHEN awl BETWEEN 2 * nt AND 12 * nt THEN 300000 ELSE 0 END
+              + ns * 300000 // nt) >= 400000 THEN 1000000 ELSE 0 END AS y
+        FROM f),
+        i0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+          CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+        $steps,
+        ev AS (SELECT x.*, GREATEST(0, LEAST(1000000, 500000 +
+            ((w0*x0 + w1*x1 + w2*x2 + w3*x3) // 1000000) // 4)) AS p
+          FROM x CROSS JOIN i5)
+      SELECT CAST(i5.w0 AS BIGINT) AS w_bias, CAST(i5.w1 AS BIGINT) AS w_len,
+        CAST(i5.w2 AS BIGINT) AS w_stop, CAST(i5.w3 AS BIGINT) AS w_wlen,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN y = 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS label_pos,
+        CAST(sum(CASE WHEN p >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS pred_pos,
+        CAST(sum(CASE WHEN (p >= 500000) = (y = 1000000) THEN 1 ELSE 0 END) AS BIGINT) AS agree
+      FROM ev CROSS JOIN i5 GROUP BY i5.w0, i5.w1, i5.w2, i5.w3"""
+    })
+
   def all: Seq[GQuery] = Seq(l1, l2, l2brute, l2simhash, l2simhashPairs, l2cluster, l2quality,
     l2embedding, l3, l3scalable, l3lsh, l3ivf, l3kmeans, l3pq, l3sq,
     l3lshRecall, l3ivfRecall, l3kmeansRecall, l3pqRecall, l3sqRecall, l26, l27, l28, l29, l30,
     l31, l32, l34, l35,
     l4langid, l5, l6, l7, l8, l9,
-    l10, l11, l11b, l12, l33, l36, l37, l38, l39, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l24, l24b, l25)
+    l10, l11, l11b, l12, l33, l36, l37, l38, l39, l40, l13, l14, l15, l16, l17, l18, l19, l20,
+    l21, l22, l24, l24b, l25)
 }
