@@ -520,6 +520,52 @@ object IoQueries {
       SELECT 'full', count(*), round(sum(value), 2) FROM events
       ORDER BY scope"""))
 
+  /** S9h: the REMAINING hidden-partitioning transforms end-to-end —
+    * `hour(ts)` + `truncate(1, event_type)` in one spec (partition records
+    * carry the epoch-hour ordinal and the 1-codepoint prefix; manifest
+    * prunes mirror row predicates exactly), and `month(ts)` on a second
+    * table with both a hit and a guaranteed-miss month ordinal. Oracle
+    * recomputes every scope from the raw events. Epoch anchors: 2024-01-01
+    * = day 19723, so 2024-01-02 06:00 UTC = hour 19724*24+6 = 473382;
+    * 2024-01 = month (2024-1970)*12 = 648. */
+  val ticebergHiddenPart = GQuery(
+    "t_iceberg_hidden_part",
+    (s, dir) => {
+      val table = tmp("graft_iceberght_q")
+      val ev = Tables(s, dir, "events")
+        .where(col("ts") < lit("2024-01-04 00:00:00").cast("timestamp"))
+        .select(col("event_id"), col("value"), col("ts"), col("event_type"))
+      graft.sources.IcebergWrite.append(s, ev, table,
+        partitionBy = Seq("hour(ts)", "truncate(1, event_type)"))
+      def agg(df: org.apache.spark.sql.DataFrame, scope: String) =
+        df.agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+          .withColumn("scope", lit(scope))
+      val hourPruned = agg(graft.sources.IcebergRead.snapshotPruned(s, table,
+        pv => pv("ts_hour").asInstanceOf[Int] < 473382), "hour_pruned")
+      val truncPruned = agg(graft.sources.IcebergRead.snapshotPruned(s, table,
+        pv => pv("event_type_trunc") == "c"), "trunc_pruned")
+      val tableM = tmp("graft_icebergmo_q")
+      val evAll = Tables(s, dir, "events").select(col("event_id"), col("value"), col("ts"))
+      graft.sources.IcebergWrite.append(s, evAll, tableM, partitionBy = Seq("month(ts)"))
+      val monthHit = agg(graft.sources.IcebergRead.snapshotPruned(s, tableM,
+        pv => pv("ts_month") == 648), "month_hit")
+      val monthMiss = agg(graft.sources.IcebergRead.snapshotPruned(s, tableM,
+        pv => pv("ts_month") == 649), "month_miss")
+      hourPruned.unionByName(truncPruned).unionByName(monthHit).unionByName(monthMiss)
+        .select(col("scope"), col("cnt"), col("sum_value"))
+        .orderBy(col("scope"))
+    },
+    Some("""SELECT 'hour_pruned' AS scope, count(*) AS cnt, round(sum(value), 2) AS sum_value
+      FROM events WHERE ts < TIMESTAMP '2024-01-02 06:00:00'
+      UNION ALL
+      SELECT 'month_hit', count(*), round(sum(value), 2) FROM events
+      UNION ALL
+      SELECT 'month_miss', count(*), round(sum(value), 2) FROM events WHERE false
+      UNION ALL
+      SELECT 'trunc_pruned', count(*), round(sum(value), 2)
+      FROM events WHERE ts < TIMESTAMP '2024-01-04 00:00:00' AND event_type LIKE 'c%'
+      ORDER BY scope"""))
+
   /** S9pe: Iceberg PARTITION-SPEC EVOLUTION end-to-end — first half of the
     * events appended under identity(event_type), the spec evolved
     * (metadata-only) to day(ts), second half appended under the new
@@ -1212,7 +1258,7 @@ object IoQueries {
   def all: Seq[GQuery] =
     Seq(t1, t1orc, t2, t3, tskip, tbloom, ttokens, ticebergStats, ticebergSpecEvo, ticebergWap, tdeltaStats, tdelta, ticeberg,
       tdeltaRt, ticebergRt, ticebergMor,
-      tdeltaDv, tdeltaUpsert, ticebergPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
+      tdeltaDv, tdeltaUpsert, ticebergPart, ticebergHiddenPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tlakeReplaceWhere, tlakeSqlDml,
       tcdcApply, tlakeSync, tlakeClone,
       tlakeRestore, tlakeRename, tlakeUniform, tlakeUniformRev, tlakeConvert)

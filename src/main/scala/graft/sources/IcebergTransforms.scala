@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Iceberg HIDDEN-PARTITIONING transforms (spec §Partition Transforms):
-  * `identity`, `day`, `bucket[N]`, `truncate[W]` — the transforms real
-  * Iceberg tables overwhelmingly partition by. [[IcebergWrite.append]]
+  * `identity`, `hour`, `day`, `month`, `year`, `bucket[N]`, `truncate[W]`
+  * — the full transform set of the v2 spec. [[IcebergWrite.append]]
   * parses `partitionBy` strings ("col", "day(col)", "bucket(16, col)",
   * "truncate(4, col)") into these, evaluates them at write time, and
   * records them in the table's partition-spec JSON so ANY Iceberg engine
@@ -124,6 +124,56 @@ private[sources] object IcebergTransforms {
     }
   }
 
+  /** `hour(ts)`: hours from 1970-01-01 00:00 UTC (an int; floor-divide so
+    * pre-1970 instants land on the correct negative ordinal). Timestamp
+    * sources only — the spec does not define hour() over dates. */
+  case class Hour(source: String) extends Transform {
+    def fieldName: String = s"${source}_hour"
+    def transformString = "hour"
+    def resultType(srcType: DataType): DataType = IntegerType
+    def column(c: Column, srcType: DataType): Column = srcType match {
+      case TimestampType => floor(unix_timestamp(c) / 3600L).cast(IntegerType)
+      case TimestampNTZType =>
+        floor(unix_timestamp(c.cast(TimestampType)) / 3600L).cast(IntegerType)
+      case other => throw new IllegalArgumentException(
+        s"hour() needs a timestamp source, got $other for '$source'")
+    }
+  }
+
+  /** `month(ts)`: months from 1970-01 — `(year-1970)*12 + (month-1)`,
+    * sign-correct for pre-1970 (1969-12 → -1). UTC fields for timestamps
+    * (the session runs UTC), calendar fields for dates. */
+  case class Month(source: String) extends Transform {
+    def fieldName: String = s"${source}_month"
+    def transformString = "month"
+    def resultType(srcType: DataType): DataType = IntegerType
+    def column(c: Column, srcType: DataType): Column = {
+      val v = srcType match {
+        case DateType | TimestampType => c
+        case TimestampNTZType => c.cast(TimestampType)
+        case other => throw new IllegalArgumentException(
+          s"month() needs a date/timestamp source, got $other for '$source'")
+      }
+      ((year(v) - lit(1970)) * lit(12) + (month(v) - lit(1))).cast(IntegerType)
+    }
+  }
+
+  /** `year(ts)`: years from 1970 (an int — 2024 → 54, 1969 → -1). */
+  case class Year(source: String) extends Transform {
+    def fieldName: String = s"${source}_year"
+    def transformString = "year"
+    def resultType(srcType: DataType): DataType = IntegerType
+    def column(c: Column, srcType: DataType): Column = {
+      val v = srcType match {
+        case DateType | TimestampType => c
+        case TimestampNTZType => c.cast(TimestampType)
+        case other => throw new IllegalArgumentException(
+          s"year() needs a date/timestamp source, got $other for '$source'")
+      }
+      (year(v) - lit(1970)).cast(IntegerType)
+    }
+  }
+
   case class Bucket(n: Int, source: String) extends Transform {
     require(n > 0, s"bucket($n, $source): N must be positive")
     def fieldName: String = s"${source}_bucket"
@@ -174,18 +224,25 @@ private[sources] object IcebergTransforms {
   private val BucketRe = """bucket\(\s*(\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)""".r
   private val TruncRe = """truncate\(\s*(\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)""".r
   private val DayRe = """days?\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)""".r
+  private val HourRe = """hours?\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)""".r
+  private val MonthRe = """months?\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)""".r
+  private val YearRe = """years?\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)""".r
   private val IdentRe = """(?:identity\(\s*)?([A-Za-z_][A-Za-z0-9_]*)\s*\)?""".r
 
-  /** Parse a `partitionBy` entry: bare column = identity; `day(c)` /
-    * `days(c)`; `bucket(n, c)`; `truncate(w, c)`. */
+  /** Parse a `partitionBy` entry: bare column = identity; `hour(c)` /
+    * `day(c)` / `month(c)` / `year(c)` (plural forms accepted, matching
+    * Iceberg's SQL aliases); `bucket(n, c)`; `truncate(w, c)`. */
   def parse(s: String): Transform = s.trim match {
     case BucketRe(n, c) => Bucket(n.toInt, c)
     case TruncRe(w, c) => Truncate(w.toInt, c)
     case DayRe(c) => Day(c)
+    case HourRe(c) => Hour(c)
+    case MonthRe(c) => Month(c)
+    case YearRe(c) => Year(c)
     case IdentRe(c) if !s.contains("(") || s.trim.startsWith("identity(") => Identity(c)
     case other => throw new IllegalArgumentException(
-      s"unparseable partition transform '$other' " +
-        "(supported: col, identity(col), day(col), bucket(n, col), truncate(w, col))")
+      s"unparseable partition transform '$other' (supported: col, identity(col), " +
+        "hour(col), day(col), month(col), year(col), bucket(n, col), truncate(w, col))")
   }
 
   /** Reconstruct the `partitionBy` string for a spec-JSON transform —
@@ -197,6 +254,9 @@ private[sources] object IcebergTransforms {
     transformString match {
       case "identity" => sourceCol
       case "day" => s"day($sourceCol)"
+      case "hour" => s"hour($sourceCol)"
+      case "month" => s"month($sourceCol)"
+      case "year" => s"year($sourceCol)"
       case B(n) => s"bucket($n, $sourceCol)"
       case T(w) => s"truncate($w, $sourceCol)"
       case other => throw new IllegalArgumentException(

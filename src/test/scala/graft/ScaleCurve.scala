@@ -141,6 +141,11 @@ object ScaleCurve {
           tokenBloomCols = Seq("text"), bloomItems = 200000L).localCheckpoint()
         tokStats.count()
       }
+      // probe-only runs still need the stats frame; build it outside time()
+      // so the probe measurement stays a probe measurement (not collect+probe)
+      if (tokStats == null && (only.isEmpty || only("token_bloom_probe")))
+        tokStats = operators.DataSkipping.collectStats(spark, tokDir, Seq("doc_id"),
+          tokenBloomCols = Seq("text"), bloomItems = 200000L).localCheckpoint()
       time("token_bloom_probe", n) {
         // absent term: rows reported = files KEPT (false positives only) —
         // the prune benefit is total - rows, the probe cost is the wall time

@@ -118,12 +118,40 @@ class IcebergWriteSpec extends SparkSpec {
     assert(parse("days(ts)") === Day("ts"))
     assert(parse("bucket(16, id)") === Bucket(16, "id"))
     assert(parse("truncate(4, name)") === Truncate(4, "name"))
-    for (s <- Seq("grp", "day(ts)", "bucket(16, id)", "truncate(4, name)")) {
+    assert(parse("hour(ts)") === Hour("ts"))
+    assert(parse("hours(ts)") === Hour("ts"))
+    assert(parse("month(ts)") === Month("ts"))
+    assert(parse("year(ts)") === Year("ts"))
+    for (s <- Seq("grp", "day(ts)", "hour(ts)", "month(ts)", "year(ts)",
+        "bucket(16, id)", "truncate(4, name)")) {
       val t = parse(s)
       assert(parse(unparse(t.transformString, t.source)) === t)
     }
-    intercept[IllegalArgumentException](parse("month(ts)"))
+    intercept[IllegalArgumentException](parse("decade(ts)"))
     intercept[IllegalArgumentException](parse("bucket(0, id)"))
+  }
+
+  test("hour/month/year transform ordinals match the spec's epoch anchors") {
+    import IcebergTransforms._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      java.sql.Timestamp.valueOf("1970-01-01 00:30:00"), // h 0, m 0, y 0
+      java.sql.Timestamp.valueOf("1970-01-02 03:00:00"), // h 27
+      java.sql.Timestamp.valueOf("1969-12-31 23:00:00"), // h -1, m -1, y -1
+      java.sql.Timestamp.valueOf("2024-03-15 12:00:00")
+    ).toDF("ts")
+    def vals(t: Transform): Seq[Int] =
+      df.select(t.column(col("ts"), org.apache.spark.sql.types.TimestampType))
+        .collect().map(_.getInt(0)).toSeq
+    assert(vals(Hour("ts")) === Seq(0, 27, -1, 474660))
+    assert(vals(Month("ts")) === Seq(0, 0, -1, (2024 - 1970) * 12 + 2))
+    assert(vals(Year("ts")) === Seq(0, 0, -1, 54))
+    // dates: month/year defined, hour refused
+    val dd = Seq(java.sql.Date.valueOf("1969-12-15")).toDF("d")
+    assert(dd.select(Month("d").column(col("d"), org.apache.spark.sql.types.DateType))
+      .collect().head.getInt(0) === -1)
+    intercept[IllegalArgumentException](
+      Hour("d").column(col("d"), org.apache.spark.sql.types.DateType))
   }
 
   test("transform-partitioned append: spec JSON, typed records, pruning never scans rejected buckets") {
