@@ -102,8 +102,8 @@ object DataSkipping {
     * columns. Conservative by construction: any sub-expression we cannot
     * reason about maps to `true` (keep the file), so pruning never drops a
     * file that could contain a matching row — the same contract as parquet
-    * row-group filtering. Handles =, <, <=, >, >=, IN, IS NULL, AND, OR with
-    * literals on either side (BETWEEN arrives as two comparisons). */
+    * row-group filtering. Handles =, <, <=, >, >=, IN, IS [NOT] NULL, AND,
+    * OR with literals on either side (BETWEEN arrives as two comparisons). */
   def fileSurvives(pred: Expression, statCols: Set[String],
       bloomCols: Set[String] = Set.empty,
       tokenBloomCols: Set[String] = Set.empty): Column = {
@@ -190,6 +190,10 @@ object DataSkipping {
           acc || eqCheck(a, Literal(v, child.dataType))
         }
       case IsNull(Attr(a)) if known(a) => safe(nulls(a) > 0)
+      // a file of ONLY nulls can never satisfy IS NOT NULL — the `rows`
+      // column every stats source carries (collectStats, Delta add.stats,
+      // Iceberg manifest record_count) makes this a pure metadata test
+      case IsNotNull(Attr(a)) if known(a) => safe(nulls(a) < col("rows"))
       case _ => lit(true) // unknown shape → cannot prune on it
     }
     go(pred)

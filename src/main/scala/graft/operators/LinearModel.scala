@@ -53,7 +53,17 @@ object LinearModel {
   /** Train `iterations` full-batch steps from zero weights. `features`
     * must be LONG micro-unit columns (caller scales; keep |x| ≤ ~10⁶ so
     * per-row products fit comfortably), `label` a LONG in {0, 1000000}.
-    * Returns the micro-unit weight per feature, in order. */
+    * Returns the micro-unit weight per feature, in order.
+    *
+    * Latency shape: iterations are SEQUENTIAL by construction — each step
+    * is one aggregation job over the checkpointed frame whose result
+    * feeds the next step's plan, so wall time is K × (one agg job), the
+    * irreducible dependency chain of full-batch GD. Throughput per job is
+    * the map-side-combined sum (scales with cores); K is the knob to
+    * tune, not parallelism. A step whose every weight delta is zero ends
+    * training early (pure driver check, no extra job): the update is
+    * deterministic, so all remaining iterations would repeat the same
+    * no-op — the replaying oracle sees identical weights either way. */
   def trainLogistic(df: DataFrame, features: Seq[Column], label: Column,
       iterations: Int, lrNum: Long = 1L, lrDen: Long = 1L): Seq[Long] = {
     require(iterations >= 1 && features.nonEmpty && lrNum > 0 && lrDen > 0)
@@ -62,7 +72,9 @@ object LinearModel {
     val cols = features.zipWithIndex.map { case (f, i) => f.cast("long").as(s"x$i") }
     val frame = df.select(cols :+ label.cast("long").as("y"): _*).localCheckpoint()
     var w = Seq.fill(features.length)(0L)
-    for (_ <- 1 to iterations) {
+    var it = 0
+    var converged = false
+    while (it < iterations && !converged) {
       val z = scoreMicro(w, features.indices.map(i => col(s"x$i")))
       val err = col("y") - hardSigmoidMicro(z)
       // per-row div 10⁶ BEFORE the sum: bounded terms, overflow-safe sums
@@ -72,9 +84,10 @@ object LinearModel {
       val row = frame.agg(aggs.head, aggs.tail: _*).head()
       val n = row.getLong(features.length)
       require(n > 0, "trainLogistic on an empty frame")
-      w = w.zipWithIndex.map { case (wi, i) =>
-        wi + row.getLong(i) * lrNum / (n * lrDen)
-      }
+      val deltas = w.indices.map(i => row.getLong(i) * lrNum / (n * lrDen))
+      converged = deltas.forall(_ == 0L)
+      w = w.zip(deltas).map { case (wi, d) => wi + d }
+      it += 1
     }
     w
   }

@@ -85,6 +85,37 @@ object IoQueries {
       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
       FROM orders WHERE o_orderkey <= 1000"""))
 
+  /** Null-count data skipping: IS NULL / IS NOT NULL probes pruned on the
+    * per-file null counts — an all-null file can never satisfy IS NOT
+    * NULL (nulls == rows), a null-free file never IS NULL. The nullable
+    * column is derived from o_orderkey so the range layout clusters nulls
+    * into whole files; prune counts are asserted in DataSkippingSpec, the
+    * oracle pins the visible results. */
+  val tnullskip = GQuery(
+    "t_null_skipping",
+    (s, dir) => {
+      val out = tmp("graft_nullskip")
+      Tables(s, dir, "orders")
+        .withColumn("v", when(col("o_orderkey") > 2000, col("o_totalprice")))
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.mode("overwrite").parquet(out)
+      val stats = graft.operators.DataSkipping.collectStats(s, out, Seq("o_orderkey", "v"))
+      val (nn, _, _) = graft.operators.DataSkipping.scan(s, out, stats, col("v").isNotNull)
+      val (nl, _, _) = graft.operators.DataSkipping.scan(s, out, stats, col("v").isNull)
+      val a = nn.agg(count(lit(1)).as("n"), round(sum(col("v")), 2).as("total"))
+        .withColumn("scope", lit("not_null"))
+      val b = nl.agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .withColumn("scope", lit("null_rows"))
+      a.unionByName(b).select(col("scope"), col("n"), col("total")).orderBy(col("scope"))
+    },
+    Some("""SELECT 'not_null' AS scope, count(*) AS n,
+        round(sum(o_totalprice), 2) AS total FROM orders WHERE o_orderkey > 2000
+      UNION ALL
+      SELECT 'null_rows', count(*), round(sum(o_totalprice), 2)
+      FROM orders WHERE o_orderkey <= 2000
+      ORDER BY scope"""))
+
   /** Bloom-filter data skipping: a HASH-layout table (every file's
     * [min, max] spans the whole key domain, so interval pruning keeps all
     * files) probed by point/IN predicates on a high-cardinality string key
@@ -954,6 +985,57 @@ object IoQueries {
       GROUP BY fmt, event_type
       ORDER BY fmt, event_type"""))
 
+  /** SQL MAINTENANCE statement surface over BOTH formats (Lake.sql /
+    * Lake.sqlFrame): CTAS seeds, INSERT INTO extends, a junk append is
+    * rolled back with `RESTORE ... VERSION AS OF`, `OPTIMIZE` bin-packs
+    * the small files (data unchanged, file count strictly drops),
+    * `VACUUM ... RETAIN 1 VERSIONS FORCE` physically reclaims the
+    * rolled-back + pre-compaction files, and `DESCRIBE HISTORY` still
+    * answers — every step through statement TEXT. The oracle recomputes
+    * the surviving data from the raw events; the maintenance effects ride
+    * as in-query boolean gates (file count dropped / files deleted /
+    * history non-empty) the oracle pins to TRUE. */
+  val tlakeSqlMaintenance = GQuery(
+    "t_lake_sql_maintenance",
+    (s, dir) => {
+      Tables(s, dir, "events").select(col("event_id"), col("value"), col("ts"))
+        .createOrReplaceTempView("graft_maint_events")
+      def run(fmt: String): org.apache.spark.sql.DataFrame = {
+        val t = tmp(s"graft_sqlmnt_${fmt}_q") + "/tbl"
+        graft.sources.Lake.sql(s, s"CREATE TABLE '$t' USING $fmt AS " +
+          "SELECT * FROM graft_maint_events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'")
+        val vGood = graft.sources.Lake.sql(s, s"INSERT INTO '$t' " +
+          "SELECT * FROM graft_maint_events WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' " +
+          "AND ts < TIMESTAMP '2024-01-15 00:00:00'")
+        graft.sources.Lake.sql(s, s"INSERT INTO '$t' " +
+          "SELECT event_id, value * 1000 AS value, ts FROM graft_maint_events " +
+          "WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'")
+        graft.sources.Lake.sql(s, s"RESTORE '$t' TO VERSION AS OF $vGood")
+        val filesBefore = graft.sources.Lake.fileStats(s, t).count()
+        graft.sources.Lake.sql(s, s"OPTIMIZE '$t'")
+        val filesAfter = graft.sources.Lake.fileStats(s, t).count()
+        val deleted = graft.sources.Lake.sql(s, s"VACUUM '$t' RETAIN 1 VERSIONS FORCE")
+        val hist = graft.sources.Lake.sqlFrame(s, s"DESCRIBE HISTORY '$t'").count()
+        graft.sources.Lake.read(s, t)
+          .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+          .withColumn("scope", lit(fmt))
+          .withColumn("compacted", lit(filesAfter < filesBefore))
+          .withColumn("vacuumed", lit(deleted > 0))
+          .withColumn("has_history", lit(hist >= 1))
+      }
+      run("delta").unionByName(run("iceberg"))
+        .select(col("scope"), col("cnt"), col("sum_value"),
+          col("compacted"), col("vacuumed"), col("has_history"))
+        .orderBy(col("scope"))
+    },
+    Some("""SELECT fmt AS scope, count(*) AS cnt, round(sum(value), 2) AS sum_value,
+        true AS compacted, true AS vacuumed, true AS has_history
+      FROM (SELECT 'delta' AS fmt FROM range(1) UNION ALL SELECT 'iceberg') fmts
+      CROSS JOIN events
+      WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY fmt
+      ORDER BY scope"""))
+
   /** CDC APPLY, cross-format both ways: a target table in the OTHER
     * format is seeded from the source's first snapshot, the source then
     * evolves (append + merge-on-read delete), and one
@@ -1256,10 +1338,11 @@ object IoQueries {
       GROUP BY event_type ORDER BY event_type"""))
 
   def all: Seq[GQuery] =
-    Seq(t1, t1orc, t2, t3, tskip, tbloom, ttokens, ticebergStats, ticebergSpecEvo, ticebergWap, tdeltaStats, tdelta, ticeberg,
+    Seq(t1, t1orc, t2, t3, tskip, tnullskip, tbloom, ttokens, ticebergStats, ticebergSpecEvo, ticebergWap, tdeltaStats, tdelta, ticeberg,
       tdeltaRt, ticebergRt, ticebergMor,
       tdeltaDv, tdeltaUpsert, ticebergPart, ticebergHiddenPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tlakeReplaceWhere, tlakeSqlDml,
+      tlakeSqlMaintenance,
       tcdcApply, tlakeSync, tlakeClone,
       tlakeRestore, tlakeRename, tlakeUniform, tlakeUniformRev, tlakeConvert)
 }

@@ -402,10 +402,25 @@ object DeltaWrite {
     val adds = staged.map { case (rel, values, stats) =>
       addAction(pctEncodePath(rel), values, Files.size(Paths.get(table, rel)), stats = stats)
     }
+    // the replacement was computed against snap0's state — files another
+    // writer commits INTO the replaced scope after that are rows the
+    // caller never saw, and silently removing them would be last-writer-
+    // wins data loss; conflict-fail instead (out-of-scope concurrent
+    // appends still retry around harmlessly)
+    val scopeAt0 = snap0.files.filter(
+      scopeByPartition(spark, snap0, where, "replaceWhere")).map(_.path).toSet
     while (true) {
       val snap = DeltaRead.snapshotInfo(spark, table)
       val inScope = scopeByPartition(spark, snap, where, "replaceWhere")
-      val removes = snap.files.filter(inScope).map { f =>
+      val inScopeFiles = snap.files.filter(inScope)
+      val newcomers = inScopeFiles.filterNot(f => scopeAt0.contains(f.path))
+      if (newcomers.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"replaceWhere('$where') conflicts with a concurrent write into the " +
+            s"replaced scope: ${newcomers.size} file(s) newer than the staging-time " +
+            s"snapshot (v${snap0.version}) match the predicate (e.g. " +
+            s"${newcomers.head.path}) — re-derive the replacement and retry")
+      val removes = inScopeFiles.map { f =>
         removeAction(pctEncodePath(f.path.stripPrefix(s"${table.stripSuffix("/")}/")),
           dataChange = true)
       }

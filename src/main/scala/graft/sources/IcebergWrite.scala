@@ -345,6 +345,12 @@ object IcebergWrite {
     else Some(mapper.readTree(metaDir(table).resolve(s"v$v.metadata.json").toFile))
   }
 
+  /** The table's default-spec partitioning as append-ready `partitionBy`
+    * strings — what an INSERT INTO inherits. Empty for an unpartitioned
+    * (or nonexistent) table. */
+  def currentPartitionBy(spark: SparkSession, table: String): Seq[String] =
+    readPrior(table).map(priorPartitionBy).getOrElse(Seq.empty)
+
   /** Optimistic-claim commit shared by [[append]] and [[deleteWhere]]:
     * each attempt re-reads the prior state (so a lost race carries the
     * winner's snapshots forward), authors this snapshot's manifest +
@@ -1122,6 +1128,14 @@ object IcebergWrite {
       where: String): Long = {
     import org.apache.spark.sql.functions.{coalesce => fcoalesce, expr => fexpr, lit => flit, not => fnot}
     require(currentVersion(table) > 0, s"not an Iceberg table: $table")
+    // same field-name pinning as the Delta twin: a frame with extra /
+    // missing / renamed columns would stage files whose schema silently
+    // diverges from the table metadata (id-mapped readers surface nulls)
+    val tableFields = currentSchemaNode(readPrior(table).get).path("fields")
+      .elements().asScala.map(_.path("name").asText()).toSeq
+    require(tableFields.sorted == df.schema.fieldNames.toSeq.sorted,
+      s"replaceWhere schema ${df.schema.fieldNames.mkString(",")} does not match " +
+        s"table schema ${tableFields.mkString(",")}")
     val strays = df.where(fnot(fcoalesce(fexpr(where), flit(false)))).count()
     require(strays == 0L,
       s"replaceWhere: $strays incoming row(s) do not satisfy '$where' — rows " +
@@ -1155,33 +1169,102 @@ object IcebergWrite {
   }
 
   /** SQL-UPDATE, the [[DeltaWrite.updateWhere]] twin: rows matching
-    * `condition` get `assignments` applied — a position-delete snapshot
-    * for the old images, then an append of the updated ones (the same
-    * two-snapshot lineage as [[upsert]]; the append's higher sequence
-    * number keeps its own rows outside the delete's scope). The updated
-    * images are materialized BEFORE the delete commits (the scan must see
-    * the pre-delete rows). Returns the final snapshot id (unchanged when
-    * nothing matched — no commit). Cost scales with the update's
-    * selectivity: one lineage scan to match, one scan of matched rows to
-    * stage, no data file rewritten. */
+    * `condition` get `assignments` applied — ONE atomic `overwrite`
+    * snapshot whose manifest list carries BOTH a position-delete manifest
+    * for the old images and a data manifest for the updated ones (the
+    * single-commit row-delta shape of the spec), so a crash can never
+    * leave rows deleted with their updated images uncommitted. Position
+    * deletes cite old (file, pos) pairs explicitly, so the same-sequence
+    * staged files are never in their scope. Optimistic: a concurrent
+    * commit between match and claim aborts the attempt (expectBase) and
+    * the whole update re-derives against the new state. Returns the final
+    * snapshot id (unchanged when nothing matched — no commit). Cost
+    * scales with the update's selectivity: one lineage scan to match, one
+    * scan of matched rows to stage, no data file rewritten. */
   def updateWhere(spark: SparkSession, table: String,
       assignments: Seq[(String, org.apache.spark.sql.Column)],
       condition: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.{col => fcol}
     require(assignments.nonEmpty, "updateWhere with no assignments")
-    val prior = readPrior(table)
-    require(prior.isDefined, s"not an Iceberg table: $table")
-    val snapDf = IcebergRead.snapshot(spark, table)
-    val byName = assignments.toMap
-    val cols = snapDf.schema.fieldNames.toSet
-    assignments.foreach { case (c, _) => require(cols.contains(c),
-      s"updateWhere: assigned column '$c' is not in the table schema") }
-    val updated = snapDf.where(condition).select(snapDf.schema.fields.toSeq.map { f =>
-      byName.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(fcol(f.name))
-    }: _*).localCheckpoint()
-    if (updated.isEmpty) return prior.get.path("current-snapshot-id").asLong(-1L)
-    deleteWhere(spark, table, condition)
-    append(spark, updated, table, partitionBy = priorPartitionBy(prior.get))
+    while (true) {
+      val base = currentVersion(table)
+      val prior = readPrior(table)
+      require(prior.isDefined, s"not an Iceberg table: $table")
+      val snapDf = IcebergRead.snapshot(spark, table)
+      val byName = assignments.toMap
+      val cols = snapDf.schema.fieldNames.toSet
+      assignments.foreach { case (c, _) => require(cols.contains(c),
+        s"updateWhere: assigned column '$c' is not in the table schema") }
+      val updated = snapDf.where(condition).select(snapDf.schema.fields.toSeq.map { f =>
+        byName.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(fcol(f.name))
+      }: _*).localCheckpoint()
+      if (updated.isEmpty) return prior.get.path("current-snapshot-id").asLong(-1L)
+
+      // old images → sorted (file_path, pos) delete parquet, exactly like
+      // [[deleteWhere]]'s staging
+      val matched = IcebergRead.snapshotWithLineage(spark, table)
+        .where(condition)
+        .select(fcol("_file").as("file_path"), fcol("_pos").as("pos"))
+      val stage = Files.createTempDirectory("graft_iceberg_update")
+      matched.repartition(1).sortWithinPartitions("file_path", "pos")
+        .write.mode("overwrite").parquet(stage.toString)
+      def rmr(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr); f.delete()
+      }
+      val stagedFiles = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).toSeq
+      val nDeleted = spark.read.parquet(stage.toString).count()
+      Files.createDirectories(dataDir(table))
+      val deleteFile = dataDir(table).resolve(s"delete-${java.util.UUID.randomUUID()}.parquet")
+      Files.move(stagedFiles.head.toPath, deleteFile)
+      rmr(stage.toFile)
+
+      val (emptySpecId, mintEmptySpec) = emptySpecFor(prior.get)
+      val partitionBy = priorPartitionBy(prior.get)
+      val transforms = partitionBy.map(IcebergTransforms.parse)
+      val partTypes: Seq[(String, DataType)] =
+        transforms.map(t => t.fieldName -> t.resultType(updated.schema(t.source).dataType))
+      // the delete manifest is authored inside authorManifest (it needs
+      // the snapshot id) and joins the manifest list through carryPrior —
+      // one list, one snapshot, both halves atomic
+      var deleteManifest: (String, Long, Int, Int) = null
+      val committed = commitSnapshot(table, "overwrite",
+        schemasJson = carriedSchemas,
+        specsJson = p => {
+          val (specs, defaultId, lastPartId) = carriedSpecs(p)
+          if (!mintEmptySpec) (specs, defaultId, lastPartId)
+          else (s"""$specs,{"spec-id":$emptySpecId,"fields":[]}""", defaultId, lastPartId)
+        },
+        authorManifest = { snapshotId =>
+          import org.apache.avro.generic.GenericData
+          val schema = entrySchema(Seq.empty)
+          val dataFileSchema = schema.getField("data_file").schema()
+          val partitionSchema = dataFileSchema.getField("partition").schema()
+          val dfr = new GenericData.Record(dataFileSchema)
+          dfr.put("content", 1) // POSITION_DELETES
+          dfr.put("file_path", deleteFile.toString)
+          dfr.put("file_format", "PARQUET")
+          dfr.put("partition", new GenericData.Record(partitionSchema))
+          dfr.put("record_count", nDeleted)
+          dfr.put("file_size_in_bytes", Files.size(deleteFile))
+          val e = new GenericData.Record(schema)
+          e.put("status", 1)
+          e.put("snapshot_id", snapshotId)
+          e.put("sequence_number", snapshotId)
+          e.put("file_sequence_number", snapshotId)
+          e.put("data_file", dfr)
+          val dmPath = metaDir(table).resolve(s"m-$snapshotId-${java.util.UUID.randomUUID()}.avro")
+          val dmLen = writeAvro(dmPath, schema, Seq(e))
+          deleteManifest = (dmPath.toString, dmLen, 1, emptySpecId)
+          authorKeptPlusNew(spark, table, prior.get, Seq.empty, updated,
+            transforms, partTypes)(snapshotId)
+        },
+        carryPrior = ms => ms :+ deleteManifest,
+        expectBase = Some(base))
+      if (committed >= 0) return committed
+      Files.deleteIfExists(deleteFile) // lost the race: re-derive everything
+    }
+    -1L // unreachable
   }
 
   /** EXPIRE SNAPSHOTS + physical cleanup: drop all but the last

@@ -592,6 +592,59 @@ object Lake {
     out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  /** First top-level occurrence of word `kw` in `s` at or after `from`:
+    * case-insensitive, whole-word, outside single-quoted strings and
+    * parens. Scans quote/paren STATE from position 0 (so `from` may point
+    * anywhere), reports only matches at/after `from`. -1 when absent —
+    * the keyword locator that makes the DML grammar literal-safe
+    * (`SET note = 'a WHERE b'` no longer mis-splits). */
+  private def topLevelKeyword(s: String, kw: String, from: Int = 0): Int = {
+    val u = s.toUpperCase(java.util.Locale.ROOT)
+    val k = kw.toUpperCase(java.util.Locale.ROOT)
+    def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (i >= from && depth == 0 && u.startsWith(k, i) &&
+              (i == 0 || !isWord(s.charAt(i - 1))) &&
+              (i + k.length == s.length || !isWord(s.charAt(i + k.length))))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Index of the ')' matching the '(' at `open`, skipping quoted
+    * strings; -1 if unbalanced. */
+  private def matchingParen(s: String, open: Int): Int = {
+    require(open >= 0 && open < s.length && s.charAt(open) == '(',
+      s"expected '(' at $open in: $s")
+    var depth = 0
+    var inStr = false
+    var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
   /** SQL DML over path-addressed lake tables — the statement surface a
     * SQL-first user reaches for, each text dispatching to the format's
     * transactional primitive (never a blind rewrite):
@@ -601,6 +654,23 @@ object Lake {
     *     MERGE INTO '<path>' USING (<select ...>) ON (k1[, k2 ...])
     *     INSERT INTO '<path>' <select ...>
     *     INSERT OVERWRITE '<path>' [REPLACE WHERE <pred>] <select ...> }}}
+    *
+    * plus the MAINTENANCE statements (dispatching to [[compact]] /
+    * [[vacuum]] / [[restore]]):
+    *
+    * {{{ OPTIMIZE '<path>' [WHERE <pred>] [ZORDER BY (c1[, c2 ...])]
+    *     VACUUM '<path>' [RETAIN n VERSIONS] [FORCE]
+    *     RESTORE '<path>' [TO] VERSION AS OF n }}}
+    *
+    * VACUUM returns the number of files deleted (its natural scalar;
+    * [[sqlFrame]] returns the deleted paths as rows); `FORCE` drops the
+    * 24 h min-file-age guard — the test/recovery escape hatch, like
+    * disabling Delta's retention-duration check. `DESCRIBE HISTORY` is a
+    * result-set statement — use [[sqlFrame]].
+    *
+    * Statement bodies are scanned quote-aware ([[topLevelKeyword]] /
+    * [[matchingParen]]): keywords inside string literals or parenthesized
+    * subexpressions never split a clause.
     *
     * MERGE is the WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN
     * INSERT * shape (replace matched keys with the source row, insert new
@@ -618,19 +688,38 @@ object Lake {
   def sql(spark: SparkSession, statement: String): Long = {
     import org.apache.spark.sql.functions.expr
     val s = statement.trim.stripSuffix(";").trim
+    // statement HEADS (verb, quoted path) carry no user expressions, so
+    // anchored regexes are safe there; BODIES (predicates, SET lists,
+    // USING sources) are split only by quote/paren-aware scans
     val Delete = """(?is)DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+)""".r
-    val Update = """(?is)UPDATE\s+'([^']+)'\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?""".r
-    val Merge = """(?is)MERGE\s+INTO\s+'([^']+)'\s+USING\s+\((.+)\)\s+ON\s+\(?\s*([\w\s,]+?)\s*\)?""".r
+    val UpdateHead = """(?is)UPDATE\s+'([^']+)'\s+SET\s+(.+)""".r
+    val MergeHead = """(?is)MERGE\s+INTO\s+'([^']+)'\s+USING\s*(\(.*)""".r
+    val OnTail = """(?is)\s*ON\s+\(?\s*([\w\s,]+?)\s*\)?\s*""".r
     val Insert = """(?is)INSERT\s+INTO\s+'([^']+)'\s+(.+)""".r
-    val InsertOverwriteReplace =
-      """(?is)INSERT\s+OVERWRITE\s+'([^']+)'\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\s.+|FROM\s.+|TABLE\s.+|VALUES\s.+)""".r
     val InsertOverwrite = """(?is)INSERT\s+OVERWRITE\s+'([^']+)'\s+(.+)""".r
-    val Ctas =
-      """(?is)CREATE\s+TABLE\s+'([^']+)'\s+USING\s+(\w+)\s*(?:PARTITIONED\s+BY\s+\(([\w\s,]+)\)\s*)?AS\s+(.+)""".r
+    val ReplaceWhereHead = """(?is)REPLACE\s+WHERE\s+(.+)""".r
+    val CtasHead = """(?is)CREATE\s+TABLE\s+'([^']+)'\s+USING\s+(\w+)\s+(.+)""".r
+    val PartitionedHead = """(?is)PARTITIONED\s+BY\s*(\(.*)""".r
+    val AsTail = """(?is)\s*AS\s+(.+)""".r
+    val Optimize = """(?is)OPTIMIZE\s+'([^']+)'\s*(.*)""".r
+    val Vacuum = """(?is)VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(FORCE)?\s*""".r
+    val Restore = """(?is)RESTORE\s+'([^']+)'\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*""".r
+    val ZorderTail = """(?is)\s*BY\s*\(([\w\s,]+)\)\s*""".r
     s match {
-      case Ctas(path, format, partsOrNull, source) =>
-        val parts = Option(partsOrNull).toSeq
-          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      case CtasHead(path, format, body) =>
+        val (parts, selectTail) = body.trim match {
+          case PartitionedHead(fromParen) =>
+            val close = matchingParen(fromParen, 0)
+            require(close > 0, s"unbalanced PARTITIONED BY parens in: $s")
+            (fromParen.substring(1, close).split(",").map(_.trim)
+              .filter(_.nonEmpty).toSeq, fromParen.substring(close + 1))
+          case other => (Seq.empty[String], other)
+        }
+        val source = selectTail match {
+          case AsTail(src) => src
+          case other => throw new IllegalArgumentException(
+            s"CREATE TABLE: expected AS <select>, got: $other")
+        }
         val df = spark.sql(source)
         format.toLowerCase match {
           case "delta" => DeltaWrite.append(spark, df, path, partitionBy = parts)
@@ -638,39 +727,115 @@ object Lake {
           case other => throw new IllegalArgumentException(
             s"CREATE TABLE USING $other: supported formats are delta | iceberg")
         }
+      case Optimize(path, body) =>
+        val b = body.trim
+        val zIdx = topLevelKeyword(b, "ZORDER")
+        val (pred, zorderPart) =
+          if (b.isEmpty) (None, "")
+          else if (topLevelKeyword(b, "WHERE") == 0)
+            (Some(b.substring(5, if (zIdx >= 0) zIdx else b.length).trim),
+              if (zIdx >= 0) b.substring(zIdx) else "")
+          else if (zIdx == 0) (None, b)
+          else throw new IllegalArgumentException(
+            s"OPTIMIZE: expected [WHERE <pred>] [ZORDER BY (cols)], got: $b")
+        val zorderBy = zorderPart match {
+          case "" => Seq.empty[String]
+          case z => z.substring("ZORDER".length) match {
+            case ZorderTail(cols) =>
+              cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            case other => throw new IllegalArgumentException(
+              s"OPTIMIZE: expected ZORDER BY (cols), got: ZORDER$other")
+          }
+        }
+        compact(spark, path, zorderBy = zorderBy, where = pred)
+      case Vacuum(path, retainOrNull, forceOrNull) =>
+        val retain = Option(retainOrNull).map(_.toInt).getOrElse(1)
+        val age = if (forceOrNull != null) 0L else 24L * 3600 * 1000
+        vacuum(spark, path, retain, age).size.toLong
+      case Restore(path, version) =>
+        restore(spark, path, version.toLong)
       case Delete(path, pred) =>
         deleteWhere(spark, path, expr(pred))
-      case Merge(path, source, keys) =>
-        upsert(spark, spark.sql(source), path,
-          keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      case InsertOverwriteReplace(path, pred, source) =>
-        replaceWhere(spark, spark.sql(source), path, pred)
-      case InsertOverwrite(path, source) =>
-        detect(spark, path) match {
-          case Delta => DeltaWrite.overwrite(spark, spark.sql(source), path)
+      case MergeHead(path, fromParen) =>
+        val close = matchingParen(fromParen, 0)
+        require(close > 0, s"unbalanced USING (...) parens in: $s")
+        val source = fromParen.substring(1, close)
+        val keys = fromParen.substring(close + 1) match {
+          case OnTail(k) => k.split(",").map(_.trim).filter(_.nonEmpty).toSeq
           case other => throw new IllegalArgumentException(
-            s"INSERT OVERWRITE (whole-table) is wired for Delta; got $other at $path — " +
-              "use INSERT OVERWRITE ... REPLACE WHERE for scoped, or the API")
+            s"MERGE INTO: expected ON (k1[, k2 ...]) after USING (...), got: $other")
+        }
+        upsert(spark, spark.sql(source), path, keys)
+      case InsertOverwrite(path, body) =>
+        body.trim match {
+          case ReplaceWhereHead(predAndSource) =>
+            // the replacement source starts at the first top-level query
+            // keyword — SELECT inside the predicate's parens or literals
+            // never splits here
+            val srcIdx = Seq("SELECT", "FROM", "TABLE", "VALUES")
+              .map(topLevelKeyword(predAndSource, _)).filter(_ > 0) match {
+              case Nil => throw new IllegalArgumentException(
+                "INSERT OVERWRITE ... REPLACE WHERE: no SELECT/FROM/TABLE/VALUES " +
+                  s"source found after the predicate in: $s")
+              case idxs => idxs.min
+            }
+            replaceWhere(spark, spark.sql(predAndSource.substring(srcIdx)), path,
+              predAndSource.substring(0, srcIdx).trim)
+          case source =>
+            detect(spark, path) match {
+              case Delta => DeltaWrite.overwrite(spark, spark.sql(source), path)
+              case other => throw new IllegalArgumentException(
+                s"INSERT OVERWRITE (whole-table) is wired for Delta; got $other at $path — " +
+                  "use INSERT OVERWRITE ... REPLACE WHERE for scoped, or the API")
+            }
         }
       case Insert(path, source) =>
+        // appends INHERIT the table's partitioning (the writers refuse a
+        // partitionBy mismatch; a SQL user never restates the layout)
         detect(spark, path) match {
-          case Delta => DeltaWrite.append(spark, spark.sql(source), path)
-          case Iceberg => IcebergWrite.append(spark, spark.sql(source), path)
+          case Delta => DeltaWrite.append(spark, spark.sql(source), path,
+            partitionBy = DeltaRead.snapshotInfo(spark, path).partitionColumns)
+          case Iceberg => IcebergWrite.append(spark, spark.sql(source), path,
+            partitionBy = IcebergWrite.currentPartitionBy(spark, path))
           case other => throw new IllegalArgumentException(
             s"INSERT INTO needs a lake table, got $other at $path")
         }
-      case Update(path, setClause, predOrNull) =>
+      case UpdateHead(path, body) =>
+        val whereIdx = topLevelKeyword(body, "WHERE")
+        val (setClause, predOpt) =
+          if (whereIdx < 0) (body, None)
+          else (body.substring(0, whereIdx), Some(body.substring(whereIdx + 5)))
         val assignments = splitTopLevel(setClause).map { item =>
           val eq = item.indexOf('=')
           require(eq > 0, s"malformed SET item '$item' (expected col = expr)")
           (item.take(eq).trim, expr(item.drop(eq + 1).trim))
         }
-        val cond = Option(predOrNull).map(expr)
+        val cond = predOpt.map(p => expr(p.trim))
           .getOrElse(org.apache.spark.sql.functions.lit(true))
         updateWhere(spark, path, assignments, cond)
       case other => throw new IllegalArgumentException(
-        "unrecognized lake DML statement (expected DELETE FROM / UPDATE / " +
-          s"MERGE INTO / INSERT [OVERWRITE] over a quoted path): $other")
+        "unrecognized lake statement (expected DELETE FROM / UPDATE / MERGE INTO / " +
+          "INSERT [OVERWRITE] / CREATE TABLE / OPTIMIZE / VACUUM / RESTORE " +
+          s"over a quoted path): $other")
+    }
+  }
+
+  /** Result-set statement surface: `DESCRIBE HISTORY '<path>'` returns
+    * the commit history frame; `VACUUM ...` returns the deleted paths
+    * (one `path` row each); every other statement executes via [[sql]]
+    * and returns its committed version as a single-row `version` frame. */
+  def sqlFrame(spark: SparkSession, statement: String): DataFrame = {
+    import spark.implicits._
+    val s = statement.trim.stripSuffix(";").trim
+    val DescribeHistory = """(?is)DESCRIBE\s+HISTORY\s+'([^']+)'\s*""".r
+    val Vacuum = """(?is)VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(FORCE)?\s*""".r
+    s match {
+      case DescribeHistory(path) => history(spark, path)
+      case Vacuum(path, retainOrNull, forceOrNull) =>
+        val retain = Option(retainOrNull).map(_.toInt).getOrElse(1)
+        val age = if (forceOrNull != null) 0L else 24L * 3600 * 1000
+        vacuum(spark, path, retain, age).toDF("path")
+      case other => Seq(sql(spark, other)).toDF("version")
     }
   }
 }

@@ -20,6 +20,38 @@ class DataSkippingSpec extends SparkSpec {
 
   private def full = spark.read.parquet(dir)
 
+  test("IS NULL / IS NOT NULL prune on null counts: all-null and no-null files drop") {
+    val d = java.nio.file.Files.createTempDirectory("graft_skip_null").toString
+    // 4 files: two all-null in `v`, one mixed, one null-free — laid out by
+    // a null-clustering key so the null counts differ per file
+    (0L until 400L).map { i =>
+      val v: java.lang.Long = if (i < 200) null else if (i < 250 && i % 5 == 0) null else i
+      (i, v)
+    }.toDF("id", "v")
+      .repartitionByRange(4, col("id")).sortWithinPartitions(col("id"))
+      .write.mode("overwrite").parquet(d)
+    val st = DataSkipping.collectStats(spark, d, Seq("id", "v"))
+    val total = st.count()
+    assert(total === 4L)
+
+    // IS NOT NULL: the all-null files can never match
+    val (nn, nnKept, nnTotal) = DataSkipping.scan(spark, d, st, col("v").isNotNull)
+    assert(nnTotal === total && nnKept < total, s"IS NOT NULL kept $nnKept of $nnTotal")
+    assert(nn.count() === spark.read.parquet(d).where(col("v").isNotNull).count())
+
+    // IS NULL: the null-free files can never match
+    val (nl, nlKept, _) = DataSkipping.scan(spark, d, st, col("v").isNull)
+    assert(nlKept < total, s"IS NULL kept $nlKept of $total")
+    assert(nl.count() === spark.read.parquet(d).where(col("v").isNull).count())
+
+    // conjunction: IS NOT NULL leg prunes, range leg prunes further
+    val (cj, cjKept, _) = DataSkipping.scan(spark, d, st,
+      col("v").isNotNull && col("id") >= 300L)
+    assert(cjKept <= nnKept)
+    assert(cj.count() === spark.read.parquet(d)
+      .where(col("v").isNotNull && col("id") >= 300L).count())
+  }
+
   test("stats cover every file and all rows") {
     val nFiles = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
     assert(stats.count() === nFiles.toLong)

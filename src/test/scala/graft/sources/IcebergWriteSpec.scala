@@ -143,7 +143,8 @@ class IcebergWriteSpec extends SparkSpec {
     def vals(t: Transform): Seq[Int] =
       df.select(t.column(col("ts"), org.apache.spark.sql.types.TimestampType))
         .collect().map(_.getInt(0)).toSeq
-    assert(vals(Hour("ts")) === Seq(0, 27, -1, 474660))
+    // 2024-03-15 = epoch day 19797 (leap year) → hour 19797*24 + 12
+    assert(vals(Hour("ts")) === Seq(0, 27, -1, 475140))
     assert(vals(Month("ts")) === Seq(0, 0, -1, (2024 - 1970) * 12 + 2))
     assert(vals(Year("ts")) === Seq(0, 0, -1, 54))
     // dates: month/year defined, hour refused

@@ -3,6 +3,17 @@ package graft.sources
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
+/** Latches for the in-scope replaceWhere race test (local mode: UDFs run
+  * in-process, so plain JVM statics coordinate the two writers). */
+object ReplaceWhereRaceGate {
+  @volatile var replEvaluating = new java.util.concurrent.CountDownLatch(1)
+  @volatile var appendDone = new java.util.concurrent.CountDownLatch(1)
+  def reset(): Unit = {
+    replEvaluating = new java.util.concurrent.CountDownLatch(1)
+    appendDone = new java.util.concurrent.CountDownLatch(1)
+  }
+}
+
 /** Partition-scoped overwrite (replaceWhere), positional UPDATE, and the
   * SQL DML statement surface (Lake.sql) over both lake formats. */
 class LakeDmlSpec extends SparkSpec {
@@ -115,7 +126,10 @@ class LakeDmlSpec extends SparkSpec {
     val t = tmp("graft_dml_iup") + "/tbl"
     IcebergWrite.append(spark, dayRows("d1", 1L to 4L, 1.0), t)
     val s0 = IcebergRead.currentSnapshotId(spark, t)
-    IcebergWrite.updateWhere(spark, t, Seq("value" -> ($"value" + 0.5)), $"id" <= 2L)
+    val v = IcebergWrite.updateWhere(spark, t, Seq("value" -> ($"value" + 0.5)), $"id" <= 2L)
+    // ONE atomic snapshot carries the position-deletes AND the updated
+    // images — a crash can never observe the delete without the update
+    assert(v === s0 + 1, "updateWhere must be ONE snapshot")
     assert(contents(t) ===
       ((1L to 2L).map(i => (i, "d1", 1.5)) ++ (3L to 4L).map(i => (i, "d1", 1.0))).toSet)
     // pre-update snapshot still serves the old rows
@@ -195,6 +209,56 @@ class LakeDmlSpec extends SparkSpec {
       ((11L to 12L).map(i => (i, "d1", 9.0)) ++ (3L to 6L).map(i => (i, "d2", 2.0))).toSet)
   }
 
+  test("Iceberg replaceWhere pins the schema: extra / missing columns are refused before staging") {
+    val t = tmp("graft_dml_irs") + "/tbl"
+    IcebergWrite.append(spark, dayRows("d1", 1L to 2L, 1.0), t, partitionBy = Seq("day"))
+    // extra column
+    intercept[IllegalArgumentException] {
+      IcebergWrite.replaceWhere(spark,
+        dayRows("d1", 11L to 12L, 9.0).withColumn("extra", lit(1)), t, "day = 'd1'")
+    }
+    // missing column
+    intercept[IllegalArgumentException] {
+      IcebergWrite.replaceWhere(spark,
+        dayRows("d1", 11L to 12L, 9.0).drop("value"), t, "day = 'd1'")
+    }
+    // table untouched by the refusals
+    assert(contents(t) === (1L to 2L).map(i => (i, "d1", 1.0)).toSet)
+  }
+
+  test("Delta replaceWhere conflict-fails a concurrent append INTO the replaced scope") {
+    val t = tmp("graft_dml_race_in") + "/tbl"
+    DeltaWrite.append(spark,
+      dayRows("d1", 1L to 2L, 1.0).union(dayRows("d2", 3L to 4L, 2.0)),
+      t, partitionBy = Seq("day"))
+    // gate the replacement's own evaluation: the racer's in-scope append
+    // commits strictly between replaceWhere's staging-time snapshot and
+    // its commit attempt — the exact window where silently removing the
+    // racer's file would be data loss
+    ReplaceWhereRaceGate.reset()
+    val gated = udf { (i: Long) =>
+      ReplaceWhereRaceGate.replEvaluating.countDown()
+      ReplaceWhereRaceGate.appendDone.await(20, java.util.concurrent.TimeUnit.SECONDS)
+      i
+    }
+    val repl = dayRows("d1", 11L to 12L, 9.0)
+      .withColumn("id", gated($"id")).select("id", "day", "value")
+    val racer = new Thread(() => {
+      ReplaceWhereRaceGate.replEvaluating.await(20, java.util.concurrent.TimeUnit.SECONDS)
+      DeltaWrite.append(spark, dayRows("d1", 21L to 22L, 5.0), t, partitionBy = Seq("day"))
+      ReplaceWhereRaceGate.appendDone.countDown()
+    })
+    racer.start()
+    intercept[java.util.ConcurrentModificationException] {
+      DeltaWrite.replaceWhere(spark, repl, t, "day = 'd1'")
+    }
+    racer.join()
+    // no commit happened: every pre-existing and concurrent row survives
+    assert(contents(t) ===
+      ((1L to 2L).map(i => (i, "d1", 1.0)) ++ (21L to 22L).map(i => (i, "d1", 5.0)) ++
+        (3L to 4L).map(i => (i, "d2", 2.0))).toSet)
+  }
+
   test("Lake.sql drives the same DML on Iceberg; INSERT OVERWRITE REPLACE WHERE backfills") {
     val t = tmp("graft_dml_sqli") + "/tbl"
     IcebergWrite.append(spark,
@@ -216,5 +280,95 @@ class LakeDmlSpec extends SparkSpec {
     Lake.sql(spark, s"INSERT OVERWRITE '$t' REPLACE WHERE day = 'd2' " +
       "SELECT * FROM VALUES (30L, 'd2', 9.0D), (31L, 'd2', 9.0D) AS s(id, day, value)")
     assert(contents(t) === Set((1L, "d1", 5.0), (30L, "d2", 9.0), (31L, "d2", 9.0)))
+  }
+
+  test("Lake.sql is literal-safe: keywords inside string literals never split clauses") {
+    val t = tmp("graft_dml_lit") + "/tbl"
+    DeltaWrite.append(spark, Seq((1L, "x"), (2L, "y")).toDF("id", "note"), t)
+    def notes: Set[(Long, String)] = Lake.read(spark, t).as[(Long, String)].collect().toSet
+
+    // WHERE inside a SET literal stays in the assignment; the real WHERE
+    // after it still scopes the update
+    Lake.sql(spark, s"UPDATE '$t' SET note = 'a WHERE b' WHERE id = 1")
+    assert(notes === Set((1L, "a WHERE b"), (2L, "y")))
+
+    // literal with an unbalanced '(' and the word SET — neither confuses
+    // the assignment splitter or the clause scanner
+    Lake.sql(spark, s"UPDATE '$t' SET note = 'SET (x, WHERE' WHERE id = 2")
+    assert(notes === Set((1L, "a WHERE b"), (2L, "SET (x, WHERE")))
+
+    // MERGE USING source whose SELECT carries ' ON ' and ')' in a literal
+    Lake.sql(spark,
+      s"MERGE INTO '$t' USING (SELECT 3L AS id, 'a ON (b' AS note) ON (id)")
+    assert(notes === Set((1L, "a WHERE b"), (2L, "SET (x, WHERE"), (3L, "a ON (b")))
+
+    // DELETE predicate matching on a literal that contains WHERE
+    Lake.sql(spark, s"DELETE FROM '$t' WHERE note = 'a WHERE b'")
+    assert(notes.map(_._1) === Set(2L, 3L))
+
+    // REPLACE WHERE predicate whose literal contains SELECT: the source
+    // split must land on the real top-level SELECT (partition-scoped op →
+    // a note-partitioned table)
+    val tp = tmp("graft_dml_litp") + "/tbl"
+    DeltaWrite.append(spark, Seq((1L, "keep"), (2L, "SELECT x")).toDF("id", "note"),
+      tp, partitionBy = Seq("note"))
+    Lake.sql(spark, s"INSERT OVERWRITE '$tp' REPLACE WHERE note = 'SELECT x' " +
+      "SELECT 5L AS id, 'SELECT x' AS note")
+    assert(Lake.read(spark, tp).as[(Long, String)].collect().toSet ===
+      Set((1L, "keep"), (5L, "SELECT x")))
+  }
+
+  test("Lake.sql maintenance: OPTIMIZE / VACUUM / RESTORE / DESCRIBE HISTORY on both formats") {
+    for (fmt <- Seq("delta", "iceberg")) {
+      val t = tmp(s"graft_dml_mnt_$fmt") + "/tbl"
+      Lake.sql(spark, s"CREATE TABLE '$t' USING $fmt AS " +
+        "SELECT * FROM VALUES (1L, 1.0D), (2L, 2.0D) AS s(id, v)")
+      val vGood = Lake.sql(spark, s"INSERT INTO '$t' SELECT 3L AS id, 3.0D AS v")
+      Lake.sql(spark, s"INSERT INTO '$t' SELECT 99L AS id, 99.0D AS v")
+      def ids: Set[Long] = Lake.read(spark, t).as[(Long, Double)].collect().map(_._1).toSet
+
+      // RESTORE rolls the bad append back
+      Lake.sql(spark, s"RESTORE '$t' TO VERSION AS OF $vGood")
+      assert(ids === Set(1L, 2L, 3L), s"$fmt restore")
+
+      // OPTIMIZE bin-packs the two small files; data unchanged
+      val filesBefore = Lake.fileStats(spark, t).count()
+      Lake.sql(spark, s"OPTIMIZE '$t'")
+      assert(Lake.fileStats(spark, t).count() < filesBefore, s"$fmt optimize")
+      assert(ids === Set(1L, 2L, 3L))
+
+      // DESCRIBE HISTORY returns the commit frame (result-set statement);
+      // checked BEFORE vacuum — retain-1 expiry prunes Iceberg's lineage
+      assert(Lake.sqlFrame(spark, s"DESCRIBE HISTORY '$t'").count() >= 2L, s"$fmt history")
+
+      // VACUUM FORCE reclaims the rolled-back + pre-compaction files
+      val deleted = Lake.sql(spark, s"VACUUM '$t' RETAIN 1 VERSIONS FORCE")
+      assert(deleted > 0, s"$fmt vacuum deleted")
+      assert(ids === Set(1L, 2L, 3L))
+      assert(Lake.sqlFrame(spark, s"DESCRIBE HISTORY '$t'").count() >= 1L, s"$fmt history post-vacuum")
+      // sqlFrame on a mutation returns the version as a single row
+      val vf = Lake.sqlFrame(spark, s"INSERT INTO '$t' SELECT 4L AS id, 4.0D AS v")
+      assert(vf.columns.toSeq === Seq("version") && vf.count() === 1L)
+    }
+
+    // WHERE + ZORDER form parses and dispatches (partition-scoped → a
+    // partitioned table)
+    val z = tmp("graft_dml_mnt_z") + "/tbl"
+    Lake.sql(spark, s"CREATE TABLE '$z' USING delta PARTITIONED BY (p) AS " +
+      "SELECT * FROM VALUES (1L, 1.0D, 'a'), (2L, 2.0D, 'b') AS s(id, v, p)")
+    Lake.sql(spark, s"INSERT INTO '$z' SELECT 9L AS id, 9.0D AS v, 'a' AS p")
+    Lake.sql(spark, s"OPTIMIZE '$z' WHERE p = 'a' ZORDER BY (id, v)")
+    assert(Lake.read(spark, z).count() === 3L)
+
+    // refusals: garbage OPTIMIZE tail, maintenance over plain parquet
+    intercept[IllegalArgumentException] {
+      Lake.sql(spark, s"OPTIMIZE '$z' SORT BY (id)")
+    }
+    val p = tmp("graft_dml_mnt_p")
+    Seq((1L, 1.0)).toDF("id", "v").write.mode("overwrite").parquet(p)
+    intercept[IllegalArgumentException] { Lake.sql(spark, s"VACUUM '$p' FORCE") }
+    intercept[IllegalArgumentException] {
+      Lake.sql(spark, s"RESTORE '$p' TO VERSION AS OF 0")
+    }
   }
 }
