@@ -105,4 +105,54 @@ object Sampling {
     }
     df.where(b < keep)
   }
+
+  /** EXACTLY-k-per-stratum sample — the balanced-evaluation-set builder
+    * ("1000 docs per language", not a fraction): rank rows inside each
+    * stratum by [[epochShuffleKey]]'s `md5(seed-key)` (a pure function of
+    * (seed, key): identical across runs, layouts, cluster sizes, and
+    * engines; ties — md5 collisions — break toward the smaller key) and
+    * keep the first k.
+    * Strata with fewer than k rows keep everything. A new seed is a fresh
+    * independent draw, like [[epochShuffleKey]].
+    *
+    * Scale shape: the obvious `row_number` window would shuffle the WHOLE
+    * corpus to rank it; instead a per-stratum count (one tiny agg, driver
+    * holds #strata longs) sets a 16-bit hash-prefix threshold keeping
+    * ~8k expected candidates, and only candidates shuffle into the
+    * ranking window. The prefilter is provably lossless when ≥ k
+    * candidates survive — every candidate's full hash sorts BELOW every
+    * non-candidate's (the prefix dominates the lexicographic order), so
+    * the top-k are always inside — and the rare stratum where fewer than
+    * k survive (tiny strata, pathological skew) falls back to ranking all
+    * its rows. Result is bit-identical to the naive window either way. */
+  def fixedKPerStratum(df: DataFrame, stratumCol: String, keyCol: String,
+      k: Int, seed: String = "k"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val h = epochShuffleKey(col(keyCol), seed)
+    // per-stratum row counts → prefix thresholds (0..65536); 8× slack
+    // makes a lossy prefilter astronomically unlikely, and the candidate
+    // count CHECK below makes even that case correct, not just unlikely
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    val threshold = counts.foldLeft(lit(65536L)) { case (acc, (s, n)) =>
+      val t = math.min(65536L, (65536L * 8L * k + n - 1) / math.max(n, 1L))
+      when(col(stratumCol) === s, lit(t)).otherwise(acc)
+    }
+    val prefix = conv(substring(h, 1, 4), 16, 10).cast("long")
+    val cand = df.withColumn("__h", h).withColumn("__pfx", prefix)
+    val candidates = cand.where(col("__pfx") < threshold)
+    val enough = candidates.groupBy(col(stratumCol)).agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= k).select(col(stratumCol)).collect().map(_.get(0)).toSet
+    val pool = cand.where(
+      counts.keys.foldLeft(lit(false)) { (acc, s) =>
+        when(col(stratumCol) === s,
+          if (enough(s)) col("__pfx") < threshold else lit(true)).otherwise(acc)
+      })
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__h"), col(keyCol))
+    pool.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .drop("__h", "__pfx", "__rk")
+  }
 }

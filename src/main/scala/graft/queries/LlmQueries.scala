@@ -578,6 +578,27 @@ object LlmQueries {
       SELECT CAST(pos AS INT) AS pos, doc_id, shuffle_key
       FROM r WHERE pos <= 25 ORDER BY pos"""))
 
+  /** L41 EXACTLY-k-PER-STRATUM sample: the balanced-evaluation-set
+    * builder — exactly 3 documents per language, chosen by the
+    * deterministic md5(seed-key) order (not a fraction, not an RNG). The
+    * operator's hash-prefix prefilter bounds the ranking shuffle to ~8k
+    * candidates per stratum at any corpus size and is provably lossless,
+    * so the oracle is the NAIVE window over everything — hash-matching it
+    * proves the scale path computes the identical sample. */
+  val l41 = GQuery(
+    "l41_fixed_k_sample",
+    (s, dir) => {
+      graft.operators.Sampling.fixedKPerStratum(
+          t(s, dir, "documents"), "lang", "doc_id", k = 3, seed = "l41")
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+    Some("""WITH r AS (SELECT lang, doc_id,
+        row_number() OVER (PARTITION BY lang
+          ORDER BY md5('l41-' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+      SELECT lang, doc_id FROM r WHERE rk <= 3 ORDER BY lang, doc_id"""))
+
   /** L38 RAG CONTEXT ASSEMBLY: the full retrieval path composed end to
     * end — sliding-window chunking (l31's construction), BM25 scored at
     * CHUNK granularity (l34's arithmetic over the chunk corpus), a
@@ -1508,6 +1529,6 @@ object LlmQueries {
     l3lshRecall, l3ivfRecall, l3kmeansRecall, l3pqRecall, l3sqRecall, l26, l27, l28, l29, l30,
     l31, l32, l34, l35,
     l4langid, l5, l6, l7, l8, l9,
-    l10, l11, l11b, l12, l33, l36, l37, l38, l39, l40, l13, l14, l15, l16, l17, l18, l19, l20,
+    l10, l11, l11b, l12, l33, l36, l37, l38, l39, l40, l41, l13, l14, l15, l16, l17, l18, l19, l20,
     l21, l22, l24, l24b, l25)
 }

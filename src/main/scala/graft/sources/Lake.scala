@@ -655,12 +655,16 @@ object Lake {
     *     INSERT INTO '<path>' <select ...>
     *     INSERT OVERWRITE '<path>' [REPLACE WHERE <pred>] <select ...> }}}
     *
-    * plus the MAINTENANCE statements (dispatching to [[compact]] /
-    * [[vacuum]] / [[restore]]):
+    * plus the MAINTENANCE / MIGRATION statements (dispatching to
+    * [[compact]] / [[vacuum]] / [[restore]] / [[convert]] / [[clone]] /
+    * [[export]]):
     *
     * {{{ OPTIMIZE '<path>' [WHERE <pred>] [ZORDER BY (c1[, c2 ...])]
     *     VACUUM '<path>' [RETAIN n VERSIONS] [FORCE]
-    *     RESTORE '<path>' [TO] VERSION AS OF n }}}
+    *     RESTORE '<path>' [TO] VERSION AS OF n
+    *     CONVERT TO DELTA '<dir>' [PARTITIONED BY (c1[, c2 ...])]
+    *     CREATE TABLE '<target>' SHALLOW CLONE '<source>' [VERSION AS OF n]
+    *     EXPORT '<source>' TO {delta | iceberg} '<target>' }}}
     *
     * VACUUM returns the number of files deleted (its natural scalar;
     * [[sqlFrame]] returns the deleted paths as rows); `FORCE` drops the
@@ -705,7 +709,26 @@ object Lake {
     val Vacuum = """(?is)VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(FORCE)?\s*""".r
     val Restore = """(?is)RESTORE\s+'([^']+)'\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*""".r
     val ZorderTail = """(?is)\s*BY\s*\(([\w\s,]+)\)\s*""".r
+    val Convert =
+      """(?is)CONVERT\s+TO\s+DELTA\s+'([^']+)'\s*(?:PARTITIONED\s+BY\s*\(([\w\s,]+)\)\s*)?""".r
+    val CloneStmt =
+      """(?is)CREATE\s+TABLE\s+'([^']+)'\s+SHALLOW\s+CLONE\s+'([^']+)'\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*)?""".r
+    val Export = """(?is)EXPORT\s+'([^']+)'\s+TO\s+(\w+)\s+'([^']+)'\s*""".r
     s match {
+      case Convert(dir, partsOrNull) =>
+        convert(spark, dir, Option(partsOrNull).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+      case CloneStmt(target, source, versionOrNull) =>
+        clone(spark, source, target,
+          Option(versionOrNull).map(_.toLong).getOrElse(-1L))
+      case Export(source, fmt, target) =>
+        val as = fmt.toLowerCase match {
+          case "delta" => Delta
+          case "iceberg" => Iceberg
+          case other => throw new IllegalArgumentException(
+            s"EXPORT ... TO $other: supported formats are delta | iceberg")
+        }
+        export(spark, source, target, as)
       case CtasHead(path, format, body) =>
         val (parts, selectTail) = body.trim match {
           case PartitionedHead(fromParen) =>

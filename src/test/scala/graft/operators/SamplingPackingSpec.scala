@@ -62,6 +62,28 @@ class SamplingPackingSpec extends SparkSpec {
     assert(re === low)
   }
 
+  test("fixedKPerStratum equals the naive full window; tiny strata keep all; relayout-stable") {
+    import org.apache.spark.sql.expressions.Window
+    // 2000 rows across two strata forces the hash-prefix prefilter path
+    // (threshold ≈ 16·65536/1000 per stratum); the tiny stratum exercises
+    // the keep-everything fallback
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
+      .union(Seq((9999L, "tiny")).toDF("id", "s"))
+    val got = Sampling.fixedKPerStratum(df, "s", "id", k = 2, seed = "t")
+      .select("s", "id").as[(String, Long)].collect().toSet
+    val naive = df
+      .withColumn("__h", Sampling.epochShuffleKey(col("id"), "t"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("s")).orderBy(col("__h"), col("id"))))
+      .where(col("__rk") <= 2).select("s", "id").as[(String, Long)].collect().toSet
+    assert(got === naive, "prefilter must be lossless")
+    assert(got.count(_._1 == "a") === 2 && got.count(_._1 == "b") === 2)
+    assert(got.contains(("tiny", 9999L)), "strata with < k rows keep everything")
+    val relaid = Sampling.fixedKPerStratum(df.repartition(13), "s", "id", 2, "t")
+      .select("s", "id").as[(String, Long)].collect().toSet
+    assert(relaid === got, "sample must not depend on the physical layout")
+  }
+
   test("trainTestSplit is disjoint and exhaustive, including NULL keys") {
     val df = (Seq.tabulate(50)(i => Some(s"k$i")) :+ Option.empty[String])
       .zipWithIndex.map { case (k, i) => (k, i) }.toDF("key", "v")

@@ -282,6 +282,33 @@ class LakeDmlSpec extends SparkSpec {
     assert(contents(t) === Set((1L, "d1", 5.0), (30L, "d2", 9.0), (31L, "d2", 9.0)))
   }
 
+  test("Lake.sql migration statements: CONVERT TO DELTA, SHALLOW CLONE, EXPORT") {
+    val base = tmp("graft_dml_mig")
+    val pq = s"$base/pq"
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "day", "value")
+      .write.mode("overwrite").parquet(pq)
+    Lake.sql(spark, s"CONVERT TO DELTA '$pq'")
+    assert(Lake.detect(spark, pq) === Lake.Delta)
+    assert(contents(pq) === Set((1L, "a", 1.0), (2L, "b", 2.0)))
+
+    Lake.sql(spark, s"CREATE TABLE '$base/cl' SHALLOW CLONE '$pq'")
+    assert(Lake.detect(spark, s"$base/cl") === Lake.Delta)
+    assert(contents(s"$base/cl") === contents(pq))
+
+    Lake.sql(spark, s"EXPORT '$pq' TO iceberg '$base/ice'")
+    assert(Lake.detect(spark, s"$base/ice") === Lake.Iceberg)
+    assert(contents(s"$base/ice") === contents(pq))
+
+    // clone pinned at the pre-append version sees the old state
+    DeltaWrite.append(spark, Seq((3L, "c", 3.0)).toDF("id", "day", "value"), pq)
+    Lake.sql(spark, s"CREATE TABLE '$base/cl0' SHALLOW CLONE '$pq' VERSION AS OF 0")
+    assert(contents(s"$base/cl0") === Set((1L, "a", 1.0), (2L, "b", 2.0)))
+
+    intercept[IllegalArgumentException] {
+      Lake.sql(spark, s"EXPORT '$pq' TO hudi '$base/h'")
+    }
+  }
+
   test("Lake.sql is literal-safe: keywords inside string literals never split clauses") {
     val t = tmp("graft_dml_lit") + "/tbl"
     DeltaWrite.append(spark, Seq((1L, "x"), (2L, "y")).toDF("id", "note"), t)
