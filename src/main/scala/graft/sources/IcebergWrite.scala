@@ -1772,13 +1772,37 @@ object IcebergWrite {
     * through a single task (the default bounds a file to roughly the
     * spec's recommended manifest-entry granularity). */
   def deleteWhereEquals(spark: SparkSession, table: String, keys: DataFrame,
-      maxKeysPerFile: Long = 4000000L): Long = {
+      maxKeysPerFile: Long = 4000000L,
+      summaryProps: Map[String, String] = Map.empty): Long = {
     val prior0 = readPrior(table)
     require(prior0.isDefined, s"not an Iceberg table: $table")
     val (emptySpecId, mintEmptySpec) = emptySpecFor(prior0.get)
+    val (deleteFiles, eqIds) =
+      stageEqualityDeletes(spark, table, prior0.get, keys, maxKeysPerFile)
+    commitSnapshot(table, "delete",
+      schemasJson = carriedSchemas,
+      specsJson = prior => {
+        val (specs, defaultId, lastPartId) = carriedSpecs(prior)
+        if (!mintEmptySpec) (specs, defaultId, lastPartId)
+        else (s"""$specs,{"spec-id":$emptySpecId,"fields":[]}""", defaultId, lastPartId)
+      },
+      authorManifest = { snapshotId =>
+        val (p, len) = equalityDeleteManifest(table, deleteFiles, eqIds, snapshotId)
+        (p, len, 1, emptySpecId, deleteFiles.size, 0L)
+      },
+      summaryProps = summaryProps)
+  }
+
+  /** Resolve `keys`' columns to Iceberg field ids and stage the DISTINCT
+    * key rows as equality-delete parquet files under data/ — the staging
+    * half [[deleteWhereEquals]] and [[rowDeltaCommit]] share. Returns
+    * (delete files with exact record counts, key field ids). */
+  private def stageEqualityDeletes(spark: SparkSession, table: String,
+      prior: com.fasterxml.jackson.databind.JsonNode, keys: DataFrame,
+      maxKeysPerFile: Long): (Seq[(java.nio.file.Path, Long)], Seq[Int]) = {
     // key columns → Iceberg field ids from the current schema
-    val cur = prior0.get.path("schemas").elements().asScala
-      .find(_.path("schema-id").asInt(-1) == prior0.get.path("current-schema-id").asInt(0))
+    val cur = prior.path("schemas").elements().asScala
+      .find(_.path("schema-id").asInt(-1) == prior.path("current-schema-id").asInt(0))
       .getOrElse(sys.error(s"malformed metadata in $table"))
     val idByName = cur.path("fields").elements().asScala
       .map(f => f.path("name").asText() -> f.path("id").asInt(-1)).toMap
@@ -1792,7 +1816,7 @@ object IcebergWrite {
     // by its own task and stays individually scannable.
     val distinctKeys = keys.distinct()
     val nKeys = distinctKeys.count()
-    require(nKeys > 0, "deleteWhereEquals with an empty key set")
+    require(nKeys > 0, "equality delete with an empty key set")
     val nFiles = math.max(1L, (nKeys + maxKeysPerFile - 1) / maxKeysPerFile).toInt
     stampFieldIds(distinctKeys.repartition(nFiles),
         keys.columns.toSeq.zip(eqIds).toMap)
@@ -1802,7 +1826,7 @@ object IcebergWrite {
     }
     // exact per-file record counts (the manifest's record_count is load-
     // bearing for real readers) in one metadata-cheap job over the stage
-    import org.apache.spark.sql.functions.{col => fcol, count => fcount, input_file_name, lit => flit}
+    import org.apache.spark.sql.functions.{count => fcount, input_file_name, lit => flit}
     val perFileCounts: Map[String, Long] = spark.read.parquet(stage.toString)
       .groupBy(input_file_name().as("f")).agg(fcount(flit(1)).as("n"))
       .collect()
@@ -1818,65 +1842,111 @@ object IcebergWrite {
       (dest, perFileCounts(f.getName))
     }
     rmr(stage.toFile)
+    (deleteFiles, eqIds)
+  }
 
+  /** Author the ONE equality-delete manifest for `deleteFiles` (content=2
+    * entries carrying the key field ids). Returns (path, length). */
+  private def equalityDeleteManifest(table: String,
+      deleteFiles: Seq[(java.nio.file.Path, Long)], eqIds: Seq[Int],
+      snapshotId: Long): (java.nio.file.Path, Long) = {
+    import org.apache.avro.generic.GenericData
     val schema = entrySchema(Seq.empty)
-    commitSnapshot(table, "delete",
+    val dataFileSchema = schema.getField("data_file").schema()
+    val partitionSchema = dataFileSchema.getField("partition").schema()
+    val entries = deleteFiles.map { case (path, n) =>
+      val dfr = new GenericData.Record(dataFileSchema)
+      dfr.put("content", 2) // EQUALITY_DELETES
+      dfr.put("file_path", path.toString)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("partition", new GenericData.Record(partitionSchema))
+      dfr.put("record_count", n)
+      dfr.put("file_size_in_bytes", Files.size(path))
+      dfr.put("equality_ids",
+        java.util.Arrays.asList(eqIds.map(Integer.valueOf): _*))
+      val e = new GenericData.Record(schema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", snapshotId)
+      e.put("file_sequence_number", snapshotId)
+      e.put("data_file", dfr)
+      e
+    }
+    val manifestPath = metaDir(table).resolve(s"m-$snapshotId-${java.util.UUID.randomUUID()}.avro")
+    (manifestPath, writeAvro(manifestPath, schema, entries))
+  }
+
+  /** ONE `overwrite` snapshot carrying the equality-delete manifest for
+    * `keys` AND the data manifest for `rows` — the spec's single-commit
+    * row delta, shared by [[upsert]] and [[applyChanges]]. The deletes
+    * reach only STRICTLY-older files (data sequence < the delete's, the
+    * spec's ordering rule), so the staged rows at the same sequence are
+    * never in their own delete's scope — and a crash can no longer land
+    * the delete without the rows. */
+  private def rowDeltaCommit(spark: SparkSession, table: String,
+      prior: com.fasterxml.jackson.databind.JsonNode, keys: DataFrame,
+      rows: DataFrame, summaryProps: Map[String, String]): Long = {
+    val (emptySpecId, mintEmptySpec) = emptySpecFor(prior)
+    // the same field-name + type pinning append performs — this path
+    // stages data files without going through it
+    val declared = currentSchemaNode(prior).path("fields").elements().asScala
+      .map(f => f.path("name").asText() -> f.path("type").asText()).toMap
+    require(declared.keys.toSeq.sorted == rows.schema.fieldNames.toSeq.sorted,
+      s"upsert schema ${rows.schema.fieldNames.mkString(",")} does not match " +
+        s"table schema ${declared.keys.toSeq.sorted.mkString(",")}")
+    rows.schema.fields.foreach(f =>
+      require(declared(f.name) == icebergType(f.dataType),
+        s"upsert column '${f.name}' type ${icebergType(f.dataType)} does not " +
+          s"match table's ${declared(f.name)}"))
+    val (deleteFiles, eqIds) =
+      stageEqualityDeletes(spark, table, prior, keys, 4000000L)
+    val partitionBy = priorPartitionBy(prior)
+    val transforms = partitionBy.map(IcebergTransforms.parse)
+    val partTypes: Seq[(String, DataType)] =
+      transforms.map(t => t.fieldName -> t.resultType(rows.schema(t.source).dataType))
+    var deleteManifest: (String, Long, Int, Int) = null
+    commitSnapshot(table, "overwrite",
       schemasJson = carriedSchemas,
-      specsJson = prior => {
-        val (specs, defaultId, lastPartId) = carriedSpecs(prior)
+      specsJson = p => {
+        val (specs, defaultId, lastPartId) = carriedSpecs(p)
         if (!mintEmptySpec) (specs, defaultId, lastPartId)
         else (s"""$specs,{"spec-id":$emptySpecId,"fields":[]}""", defaultId, lastPartId)
       },
       authorManifest = { snapshotId =>
-        import org.apache.avro.generic.GenericData
-        val dataFileSchema = schema.getField("data_file").schema()
-        val partitionSchema = dataFileSchema.getField("partition").schema()
-        val entries = deleteFiles.map { case (path, n) =>
-          val dfr = new GenericData.Record(dataFileSchema)
-          dfr.put("content", 2) // EQUALITY_DELETES
-          dfr.put("file_path", path.toString)
-          dfr.put("file_format", "PARQUET")
-          dfr.put("partition", new GenericData.Record(partitionSchema))
-          dfr.put("record_count", n)
-          dfr.put("file_size_in_bytes", Files.size(path))
-          dfr.put("equality_ids",
-            java.util.Arrays.asList(eqIds.map(Integer.valueOf): _*))
-          val e = new GenericData.Record(schema)
-          e.put("status", 1)
-          e.put("snapshot_id", snapshotId)
-          e.put("sequence_number", snapshotId)
-          e.put("file_sequence_number", snapshotId)
-          e.put("data_file", dfr)
-          e
-        }
-        val manifestPath = metaDir(table).resolve(s"m-$snapshotId-${java.util.UUID.randomUUID()}.avro")
-        val manifestLen = writeAvro(manifestPath, schema, entries)
-        (manifestPath, manifestLen, 1, emptySpecId, deleteFiles.size, 0L)
-      })
+        val (dmPath, dmLen) = equalityDeleteManifest(table, deleteFiles, eqIds, snapshotId)
+        deleteManifest = (dmPath.toString, dmLen, 1, emptySpecId)
+        authorKeptPlusNew(spark, table, prior, Seq.empty, rows,
+          transforms, partTypes)(snapshotId)
+      },
+      carryPrior = ms => ms :+ deleteManifest,
+      summaryProps = summaryProps)
   }
 
-  /** UPSERT: equality-delete the incoming keys, then append the incoming
-    * rows. Two snapshots; the append's HIGHER sequence number keeps its
-    * own rows outside the delete's scope (equality deletes only reach
-    * strictly-older files — the spec's ordering rule), so replacing and
-    * inserting in one call is safe without rewriting any file. */
+  /** UPSERT: equality-delete the incoming keys AND append the incoming
+    * rows in ONE atomic `overwrite` snapshot ([[rowDeltaCommit]]) — no
+    * data file rewritten, no torn delete-without-rows state at any crash
+    * point. */
   def upsert(spark: SparkSession, df: DataFrame, table: String,
       keyCols: Seq[String]): Long = {
     import org.apache.spark.sql.functions.{col => fcol}
     val prior = readPrior(table)
     require(prior.isDefined, s"upsert into non-existent table $table — use append")
-    deleteWhereEquals(spark, table, df.select(keyCols.map(fcol): _*))
-    append(spark, df, table, partitionBy = priorPartitionBy(prior.get))
+    require(keyCols.nonEmpty && keyCols.forall(df.columns.contains),
+      s"key columns ${keyCols.mkString(",")} not all present in ${df.columns.mkString(",")}")
+    rowDeltaCommit(spark, table, prior.get,
+      df.select(keyCols.map(fcol): _*), df, Map.empty)
   }
 
   /** Apply a CHANGELOG (rows + `_change_type`, the [[IcebergRead.changesBetween]]
-    * shape) to a KEYED table: equality-delete every affected key, then
-    * append the change set's insert rows — delete-only keys vanish,
-    * updated keys swap, new keys insert (the same two-snapshot lineage as
-    * [[upsert]]; the append's fresh sequence number keeps its own rows
-    * outside the delete's scope). Incremental materialized-view
-    * maintenance: a downstream table follows an upstream one by applying
-    * `changesBetween(lastSynced, current)` instead of full rebuilds. */
+    * shape) to a KEYED table: equality-delete every affected key and
+    * append the change set's insert rows in ONE atomic snapshot
+    * ([[rowDeltaCommit]]) — delete-only keys vanish, updated keys swap,
+    * new keys insert; an all-delete changelog commits a plain equality
+    * delete. Incremental materialized-view maintenance: a downstream
+    * table follows an upstream one by applying
+    * `changesBetween(lastSynced, current)` instead of full rebuilds. The
+    * high-water mark (summaryProps ledger) rides the same single commit,
+    * so bookkeeping is atomic with the data. */
   def applyChanges(spark: SparkSession, changes0: DataFrame, table: String,
       keyCols: Seq[String], summaryProps: Map[String, String] = Map.empty): Long = {
     import org.apache.spark.sql.functions.{col => fcol}
@@ -1894,13 +1964,11 @@ object IcebergWrite {
     val affected = changes.select(keyCols.map(fcol): _*).distinct()
     // empty changelog = already in sync: no commit at all
     if (affected.isEmpty) return prior.get.path("current-snapshot-id").asLong(-1L)
-    deleteWhereEquals(spark, table, affected)
-    // the high-water mark (summaryProps ledger) rides the FINAL append:
-    // a crash between delete and append leaves no mark, and the re-sync's
-    // delete+append over the same changelog is idempotent
-    append(spark,
-      changes.where(fcol("_change_type") === "insert").select(dataCols.map(fcol): _*),
-      table, partitionBy = priorPartitionBy(prior.get), summaryProps = summaryProps)
+    val inserts = changes.where(fcol("_change_type") === "insert")
+      .select(dataCols.map(fcol): _*)
+    if (inserts.isEmpty)
+      deleteWhereEquals(spark, table, affected, summaryProps = summaryProps)
+    else rowDeltaCommit(spark, table, prior.get, affected, inserts, summaryProps)
   }
 
   /** Merge-on-read DELETE: rows of the CURRENT snapshot matching

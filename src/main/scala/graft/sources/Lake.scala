@@ -666,6 +666,17 @@ object Lake {
     *     CREATE TABLE '<target>' SHALLOW CLONE '<source>' [VERSION AS OF n]
     *     EXPORT '<source>' TO {delta | iceberg} '<target>' }}}
     *
+    * and the ALTER TABLE family ([[renameColumn]] / [[dropColumn]] /
+    * [[DeltaWrite.addCheckConstraint]] / Iceberg
+    * [[IcebergWrite.evolvePartitionSpec]] — each metadata-only, no data
+    * file rewritten at any scale):
+    *
+    * {{{ ALTER TABLE '<path>' RENAME COLUMN a TO b
+    *     ALTER TABLE '<path>' DROP COLUMN a
+    *     ALTER TABLE '<path>' ADD CONSTRAINT name CHECK (<pred>)
+    *     ALTER TABLE '<path>' DROP CONSTRAINT name
+    *     ALTER TABLE '<path>' SET PARTITION SPEC (t1[, t2 ...]) }}}
+    *
     * VACUUM returns the number of files deleted (its natural scalar;
     * [[sqlFrame]] returns the deleted paths as rows); `FORCE` drops the
     * 24 h min-file-age guard — the test/recovery escape hatch, like
@@ -714,7 +725,57 @@ object Lake {
     val CloneStmt =
       """(?is)CREATE\s+TABLE\s+'([^']+)'\s+SHALLOW\s+CLONE\s+'([^']+)'\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*)?""".r
     val Export = """(?is)EXPORT\s+'([^']+)'\s+TO\s+(\w+)\s+'([^']+)'\s*""".r
+    val AlterRename =
+      """(?is)ALTER\s+TABLE\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*""".r
+    val AlterDropCol = """(?is)ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*""".r
+    val AlterAddConstraint =
+      """(?is)ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*(\(.*)""".r
+    val AlterDropConstraint =
+      """(?is)ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*""".r
+    // the spec list may itself contain parens (bucket(4, id), day(ts)) —
+    // capture from the open paren and split top-level
+    val AlterSetSpec =
+      """(?is)ALTER\s+TABLE\s+'([^']+)'\s+SET\s+PARTITION\s+SPEC\s*(\(.*)""".r
+    // post-statement version for the metadata-only ALTERs whose dispatch
+    // returns Unit (Delta: new log version; Iceberg schema evolution bumps
+    // metadata without a snapshot — report the unchanged head)
+    def versionOf(path: String): Long = detect(spark, path) match {
+      case Delta => DeltaRead.snapshotInfo(spark, path).version
+      case Iceberg => IcebergRead.currentSnapshotId(spark, path)
+      case Parquet => -1L
+    }
     s match {
+      case AlterRename(path, oldName, newName) =>
+        renameColumn(spark, path, oldName, newName)
+        versionOf(path)
+      case AlterDropCol(path, name) =>
+        dropColumn(spark, path, name)
+        versionOf(path)
+      case AlterAddConstraint(path, name, fromParen) =>
+        val close = matchingParen(fromParen, 0)
+        require(close > 0, s"unbalanced CHECK (...) parens in: $s")
+        require(fromParen.substring(close + 1).trim.isEmpty,
+          s"unexpected trailing text after CHECK (...) in: $s")
+        detect(spark, path) match {
+          case Delta => DeltaWrite.addCheckConstraint(spark, path, name,
+            fromParen.substring(1, close))
+          case other => throw new IllegalArgumentException(
+            s"ADD CONSTRAINT is a Delta protocol feature (delta.constraints.*), got $other at $path")
+        }
+      case AlterDropConstraint(path, name) =>
+        detect(spark, path) match {
+          case Delta => DeltaWrite.dropCheckConstraint(spark, path, name)
+          case other => throw new IllegalArgumentException(
+            s"DROP CONSTRAINT is a Delta protocol feature, got $other at $path")
+        }
+      case AlterSetSpec(path, fromParen) =>
+        val close = matchingParen(fromParen, 0)
+        require(close > 0, s"unbalanced SET PARTITION SPEC parens in: $s")
+        require(fromParen.substring(close + 1).trim.isEmpty,
+          s"unexpected trailing text after SET PARTITION SPEC (...) in: $s")
+        evolvePartitionSpec(spark, path,
+          splitTopLevel(fromParen.substring(1, close)))
+        versionOf(path)
       case Convert(dir, partsOrNull) =>
         convert(spark, dir, Option(partsOrNull).toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
@@ -838,7 +899,8 @@ object Lake {
         updateWhere(spark, path, assignments, cond)
       case other => throw new IllegalArgumentException(
         "unrecognized lake statement (expected DELETE FROM / UPDATE / MERGE INTO / " +
-          "INSERT [OVERWRITE] / CREATE TABLE / OPTIMIZE / VACUUM / RESTORE " +
+          "INSERT [OVERWRITE] / CREATE TABLE [AS | SHALLOW CLONE] / OPTIMIZE / " +
+          "VACUUM / RESTORE / CONVERT TO DELTA / EXPORT / ALTER TABLE " +
           s"over a quoted path): $other")
     }
   }

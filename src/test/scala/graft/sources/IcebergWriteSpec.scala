@@ -464,9 +464,11 @@ class IcebergWriteSpec extends SparkSpec {
     IcebergWrite.append(spark,
       Seq((1L, "v1"), (2L, "v1"), (3L, "v1"), (4L, "v1")).toDF("id", "name"), table)
 
-    // upsert: replace ids 2,3 and insert 5 — no data file rewritten
-    IcebergWrite.upsert(spark,
+    // upsert: replace ids 2,3 and insert 5 — no data file rewritten, ONE
+    // atomic snapshot (equality-delete + data manifests in one commit)
+    val su = IcebergWrite.upsert(spark,
       Seq((2L, "v2"), (3L, "v2"), (5L, "v2")).toDF("id", "name"), table, Seq("id"))
+    assert(su === 2L, "upsert must be ONE snapshot")
     assert(rows(IcebergRead.snapshot(spark, table)) ===
       Set((1L, "v1"), (2L, "v2"), (3L, "v2"), (4L, "v1"), (5L, "v2")))
     // pre-upsert snapshot still sees the original values (time travel)

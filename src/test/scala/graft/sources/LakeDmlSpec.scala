@@ -309,6 +309,41 @@ class LakeDmlSpec extends SparkSpec {
     }
   }
 
+  test("Lake.sql ALTER TABLE family: rename/drop column, constraints, partition-spec evolution") {
+    // Delta: rename + constraints (metadata-only; constraint then enforced)
+    val dT = tmp("graft_dml_alt_d") + "/tbl"
+    DeltaWrite.append(spark, Seq((1L, 2.0), (2L, 3.0)).toDF("id", "v"), dT)
+    Lake.sql(spark, s"ALTER TABLE '$dT' RENAME COLUMN v TO score")
+    assert(Lake.read(spark, dT).columns.toSet === Set("id", "score"))
+    Lake.sql(spark, s"ALTER TABLE '$dT' ADD CONSTRAINT pos CHECK (score > 0)")
+    intercept[IllegalArgumentException] {
+      DeltaWrite.append(spark, Seq((3L, -1.0)).toDF("id", "score"), dT)
+    }
+    Lake.sql(spark, s"ALTER TABLE '$dT' DROP CONSTRAINT pos")
+    DeltaWrite.append(spark, Seq((3L, -1.0)).toDF("id", "score"), dT)
+    assert(Lake.read(spark, dT).count() === 3L)
+
+    // Iceberg: drop column + partition-spec evolution (transforms with
+    // nested parens must parse through the top-level splitter)
+    val iT = tmp("graft_dml_alt_i") + "/tbl"
+    IcebergWrite.append(spark,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "grp", "v"), iT)
+    Lake.sql(spark, s"ALTER TABLE '$iT' DROP COLUMN v")
+    assert(Lake.read(spark, iT).columns.toSet === Set("id", "grp"))
+    Lake.sql(spark, s"ALTER TABLE '$iT' SET PARTITION SPEC (grp, bucket(4, id))")
+    IcebergWrite.append(spark, Seq((3L, "c")).toDF("id", "grp"), iT,
+      partitionBy = Seq("grp", "bucket(4, id)"))
+    assert(Lake.read(spark, iT).count() === 3L)
+
+    // refusals: constraints are Delta-protocol, spec evolution Iceberg-only
+    intercept[IllegalArgumentException] {
+      Lake.sql(spark, s"ALTER TABLE '$iT' ADD CONSTRAINT c CHECK (id > 0)")
+    }
+    intercept[IllegalArgumentException] {
+      Lake.sql(spark, s"ALTER TABLE '$dT' SET PARTITION SPEC (id)")
+    }
+  }
+
   test("Lake.sql is literal-safe: keywords inside string literals never split clauses") {
     val t = tmp("graft_dml_lit") + "/tbl"
     DeltaWrite.append(spark, Seq((1L, "x"), (2L, "y")).toDF("id", "note"), t)
