@@ -80,4 +80,43 @@ object Graph {
     }
     ranks
   }
+
+  /** PER-NODE TRIANGLE COUNTS over an UNDIRECTED edge set — the graph-
+    * cohesion primitive (community signal; divide by d(v)·(d(v)−1)/2 for
+    * the local clustering coefficient). Input edges are canonicalized
+    * (direction ignored, self-loops dropped, duplicates collapsed);
+    * output is (node, tri_cnt) for every node on ≥ 1 triangle.
+    *
+    * Scale shape: the classic DEGREE-ORDERED ORIENTATION — each
+    * undirected edge points from its smaller (degree, id) endpoint, so
+    * every triangle {x ≺ y ≺ z} is found exactly once as the path
+    * x→y→z closed by x→z. Both joins are plain equi-joins and the wedge
+    * fan-out is bounded by FORWARD degrees (≤ O(√E) on any graph) — a
+    * hub's O(d²) wedge explosion cannot happen, which is what makes the
+    * count feasible on power-law graphs at scale. No windows, no
+    * cross-joins; cost O(Σ d⁺(v)²) = O(E^1.5) worst case. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint() // consumed three times below: cut the shared lineage
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+      .join(oriented.as("e3"), col("x") === col("e3.u") && col("z") === col("e3.v"),
+        "left_semi")
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
+  }
 }

@@ -671,8 +671,53 @@ object AnalyticsQueries {
       GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
       ORDER BY user_id, day"""))
 
+  /** T60 TRIANGLE COUNTS: graph cohesion over the co-supplier graph
+    * (suppliers sharing an order are adjacent; shared pairs across orders
+    * collapse) via [[graft.operators.Graph.triangleCounts]]'s
+    * degree-ordered orientation — every triangle found exactly once as a
+    * forward path closed by a semi join, wedge fan-out bounded by forward
+    * degrees (the O(E^1.5) classic), no windows or cross-joins. The
+    * oracle replays the identical orientation and closure in SQL. */
+  val t60 = GQuery(
+    "t60_triangles",
+    (s, dir) => {
+      // deterministic 1-in-20 order sample: the raw co-occurrence graph is
+      // near-complete (every supplier pair eventually shares some order),
+      // and a near-complete graph makes ANY triangle algorithm Θ(n³) — the
+      // sparsifier keeps the graph's density realistic, not the operator
+      val li = graft.Spread.ifNarrow(t(s, dir, "lineitem"))
+        .where(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("s1"), col("y.sk").as("s2"))
+      graft.operators.Graph.triangleCounts(edges, "s1", "s2")
+        .orderBy(col("tri_cnt").desc, col("node"))
+        .limit(20)
+        .select(col("node"), col("tri_cnt"))
+    },
+    Some("""WITH pr AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+        WHERE x.l_orderkey % 20 = 0),
+      deg AS (SELECT n, count(*) AS d FROM (
+          SELECT a AS n FROM pr UNION ALL SELECT b FROM pr) GROUP BY n),
+      o AS (SELECT
+          CASE WHEN da.d < db.d OR (da.d = db.d AND pr.a < pr.b) THEN pr.a ELSE pr.b END AS u,
+          CASE WHEN da.d < db.d OR (da.d = db.d AND pr.a < pr.b) THEN pr.b ELSE pr.a END AS v
+        FROM pr JOIN deg da ON da.n = pr.a JOIN deg db ON db.n = pr.b),
+      tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM o e1 JOIN o e2 ON e1.v = e2.u
+        WHERE EXISTS (SELECT 1 FROM o e3 WHERE e3.u = e1.u AND e3.v = e2.v)),
+      pernode AS (SELECT node, count(*) AS tri_cnt FROM (
+          SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+        GROUP BY node)
+      SELECT node, tri_cnt FROM pernode ORDER BY tri_cnt DESC, node LIMIT 20"""))
+
   val all: Seq[GQuery] =
     Seq(t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54, t55,
-      t57, t58,
+      t57, t58, t60,
       l23, l3ivfx, b14b, b14c)
 }

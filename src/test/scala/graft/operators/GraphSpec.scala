@@ -59,4 +59,27 @@ class GraphSpec extends SparkSpec {
     assert(a === b, "fixed-point ranks must be bit-identical across layouts")
     assert(a === ranks(edges.distinct, iters = 6))
   }
+
+  private def tris(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangleCounts(edges.toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangleCounts: K4 has 4 triangles with every node on 3; squares have none") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(tris(k4) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(tris(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))) === Map.empty)
+  }
+
+  test("triangleCounts ignores direction, duplicates, and self-loops; layout-invariant") {
+    // one triangle {1,2,3} fed as a directed multigraph mess + a self-loop
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L),
+      (1L, 3L), (1L, 3L), (2L, 2L))
+    assert(tris(messy) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val relaid = Graph.triangleCounts(messy.toDF("s", "d").repartition(7), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(relaid === tris(messy))
+    // hub + one closing edge: exactly the triangles through the closure
+    val hub = (2L to 20L).map(i => (1L, i)) :+ ((2L, 3L))
+    assert(tris(hub) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }
