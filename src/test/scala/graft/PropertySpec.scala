@@ -391,6 +391,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Lake.sql UPDATE round-trips keyword-laden literals: the scanner never mis-splits") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prop_dml").toString + "/tbl"
+    graft.sources.DeltaWrite.append(spark,
+      (1L to 12L).map(i => (i, "init")).toDF("id", "note"), dir)
+    // literals built from the scanner's own keywords + unbalanced parens —
+    // exactly the inputs a bare-keyword regex split mangles
+    val tokens = Gen.oneOf("WHERE", "SET", "ON", "SELECT", "FROM", "VALUES",
+      "(", ")", ",", "AND", "zz")
+    val litGen = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, tokens))
+      .map(_.mkString(" "))
+    var id = 0L
+    forSamples(litGen, n = 10) { lit =>
+      id += 1
+      graft.sources.Lake.sql(spark, s"UPDATE '$dir' SET note = '$lit' WHERE id = $id")
+      val got = graft.sources.Lake.read(spark, dir).where(col("id") === id)
+        .select("note").as[String].head()
+      assert(got === lit, s"literal mangled: '$lit' -> '$got'")
+      // only the targeted row changed
+      assert(graft.sources.Lake.read(spark, dir)
+        .where(col("id") =!= id && col("note") =!= "init").count() === id - 1)
+    }
+  }
+
   test("BPE encoding is lossless and token count never exceeds char count") {
     import graft.functions.Bpe
     val texts = Gen.listOf(Gen.oneOf("a", "b", "c", "ab", " ")).map(_.mkString)
