@@ -133,11 +133,13 @@ object Sampling {
     // per-stratum row counts → prefix thresholds (0..65536); 8× slack
     // makes a lossy prefilter astronomically unlikely, and the candidate
     // count CHECK below makes even that case correct, not just unlikely
+    // NULL-SAFE stratum matching throughout (<=>): a NULL stratum is a
+    // stratum like any other — plain === would silently drop its rows
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.get(0) -> r.getLong(1)).toMap
     val threshold = counts.foldLeft(lit(65536L)) { case (acc, (s, n)) =>
       val t = math.min(65536L, (65536L * 8L * k + n - 1) / math.max(n, 1L))
-      when(col(stratumCol) === s, lit(t)).otherwise(acc)
+      when(col(stratumCol) <=> lit(s), lit(t)).otherwise(acc)
     }
     val prefix = conv(substring(h, 1, 4), 16, 10).cast("long")
     val cand = df.withColumn("__h", h).withColumn("__pfx", prefix)
@@ -146,7 +148,7 @@ object Sampling {
       .where(col("__c") >= k).select(col(stratumCol)).collect().map(_.get(0)).toSet
     val pool = cand.where(
       counts.keys.foldLeft(lit(false)) { (acc, s) =>
-        when(col(stratumCol) === s,
+        when(col(stratumCol) <=> lit(s),
           if (enough(s)) col("__pfx") < threshold else lit(true)).otherwise(acc)
       })
     val w = Window.partitionBy(col(stratumCol))

@@ -458,16 +458,24 @@ object IcebergRead {
       .getOrElse(throw new IllegalArgumentException(s"snapshot $resolvedId not found"))
     val fields = fieldTriples(schemaNodeFor(meta, snap))
     val statFields = fields.filter { case (_, _, dt) => IcebergBounds.supported(dt) }
-    // IDENTITY partition fields double as degenerate [v, v] intervals when
-    // a file carries no bounds for the column (non-identity transforms —
-    // bucket/day/truncate — do not reproduce the column's value domain)
-    val identityParts: Set[String] = {
+    // partition values double as SOURCE-COLUMN intervals when a file
+    // carries no bounds for the column: identity → the degenerate [v, v],
+    // and the TIME transforms (hour/day/month/year) plus integer
+    // truncate[w] each cover an exact value range — so an EXTERNAL
+    // engine's bound-less files still prune on time/range predicates
+    // through the hidden partitioning (real Iceberg's partition-predicate
+    // projection). bucket and string truncate reproduce no usable
+    // interval. Real bounds, when present, win (they are tighter).
+    val partFieldFor: Map[String, (String, String)] = { // source col → (transform, part field)
       val specId = meta.path("default-spec-id").asInt(0)
+      val srcName = fields.map { case (id, n, _) => id -> n }.toMap
       meta.path("partition-specs").elements().asScala.toSeq
         .find(_.path("spec-id").asInt(-1) == specId).toSeq
         .flatMap(_.path("fields").elements().asScala)
-        .filter(_.path("transform").asText() == "identity")
-        .map(_.path("name").asText()).toSet
+        .flatMap { f =>
+          srcName.get(f.path("source-id").asInt(-1)).map(src =>
+            src -> (f.path("transform").asText(), f.path("name").asText()))
+        }.toMap
     }
     def partValue(dt: DataType, v: AnyRef): Any = dt match {
       case IntegerType => v.toString.toInt
@@ -476,6 +484,51 @@ object IcebergRead {
       case DateType =>
         java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.toString.toLong))
       case _ => null // outside the identity-partition fallback subset
+    }
+    def tsOf(us: Long): java.sql.Timestamp =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+    def dateOf(epochDay: Long): java.sql.Date =
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(epochDay))
+    val TruncT = """truncate\[(\d+)\]""".r
+    // inclusive [lo, hi] interval a transform value covers for its source
+    def derivedInterval(transform: String, dt: DataType, v: AnyRef): (Any, Any) = {
+      def monthSpan(m: Int): (java.time.LocalDate, java.time.LocalDate) = {
+        val start = java.time.LocalDate.of(1970 + Math.floorDiv(m, 12),
+          Math.floorMod(m, 12) + 1, 1)
+        (start, start.plusMonths(1))
+      }
+      (transform, dt) match {
+        case ("identity", _) => val pv = partValue(dt, v); (pv, pv)
+        case ("hour", TimestampType) =>
+          val h = v.toString.toLong
+          (tsOf(h * 3600000000L), tsOf((h + 1) * 3600000000L - 1))
+        case ("day", TimestampType) =>
+          val d = v.toString.toLong
+          (tsOf(d * 86400000000L), tsOf((d + 1) * 86400000000L - 1))
+        case ("day", DateType) =>
+          val dd = dateOf(v.toString.toLong); (dd, dd)
+        case ("month", TimestampType) =>
+          val (s, n) = monthSpan(v.toString.toInt)
+          (tsOf(s.toEpochDay * 86400000000L), tsOf(n.toEpochDay * 86400000000L - 1))
+        case ("month", DateType) =>
+          val (s, n) = monthSpan(v.toString.toInt)
+          (dateOf(s.toEpochDay), dateOf(n.toEpochDay - 1))
+        case ("year", TimestampType) =>
+          val y = 1970 + v.toString.toInt
+          val s = java.time.LocalDate.of(y, 1, 1)
+          val n = java.time.LocalDate.of(y + 1, 1, 1)
+          (tsOf(s.toEpochDay * 86400000000L), tsOf(n.toEpochDay * 86400000000L - 1))
+        case ("year", DateType) =>
+          val y = 1970 + v.toString.toInt
+          (java.sql.Date.valueOf(java.time.LocalDate.of(y, 1, 1)),
+            java.sql.Date.valueOf(java.time.LocalDate.of(y, 12, 31)))
+        case (TruncT(w), IntegerType) =>
+          val lo = v.toString.toInt; (lo, lo + w.toInt - 1)
+        case (TruncT(w), LongType) =>
+          val lo = v.toString.toLong; (lo, lo + w.toLong - 1)
+        case _ => (null, null) // bucket / string truncate: keep conservative
+      }
     }
 
     val dataManifests: Seq[String] =
@@ -518,11 +571,12 @@ object IcebergRead {
             val mn = lower.get(id).map(b => IcebergBounds.decode(dt, bytesOf(b))).orNull
             val mx = upper.get(id).map(b => IcebergBounds.decode(dt, bytesOf(b))).orNull
             val (mn2, mx2) =
-              if (mn == null && mx == null && identityParts.contains(name)) {
-                val pv = partRec.flatMap(r =>
-                  Option(r.getSchema.getField(name)).flatMap(_ => Option(r.get(name))))
-                  .map(partValue(dt, _)).orNull
-                (pv, pv)
+              if (mn == null && mx == null) {
+                partFieldFor.get(name).flatMap { case (transform, fieldName) =>
+                  partRec.flatMap(r => Option(r.getSchema.getField(fieldName))
+                    .flatMap(_ => Option(r.get(fieldName))))
+                    .map(derivedInterval(transform, dt, _))
+                }.getOrElse((null, null))
               } else (mn, mx)
             Seq(mn2, mx2, nulls.get(id).map(v => Long.box(v.toString.toLong)).orNull) }
           Some(org.apache.spark.sql.Row.fromSeq(

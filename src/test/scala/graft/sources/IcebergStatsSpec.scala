@@ -115,4 +115,65 @@ class IcebergStatsSpec extends SparkSpec {
     assert(hit < total, s"partition predicate should prune ($hit of $total)")
     assert(df.count() === 40L)
   }
+
+  /** Strip lower/upper_bounds from every manifest entry — simulates an
+    * external engine that writes partition records but no column bounds. */
+  private def stripBounds(table: String): Unit = {
+    import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    val metaDir = new java.io.File(s"$table/metadata")
+    metaDir.listFiles().filter(f => f.getName.startsWith("m-") &&
+        f.getName.endsWith(".avro")).foreach { f =>
+      val reader = new DataFileReader[GenericRecord](f, new GenericDatumReader[GenericRecord]())
+      val schema = reader.getSchema
+      val recs = new scala.collection.mutable.ArrayBuffer[GenericRecord]
+      while (reader.hasNext) {
+        val r = reader.next()
+        val df = r.get("data_file").asInstanceOf[GenericRecord]
+        if (df.getSchema.getField("lower_bounds") != null) df.put("lower_bounds", null)
+        if (df.getSchema.getField("upper_bounds") != null) df.put("upper_bounds", null)
+        recs += r
+      }
+      reader.close()
+      val out = new java.io.File(f.getParentFile, f.getName + ".tmp")
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, out)
+      recs.foreach(w.append)
+      w.close()
+      require(f.delete() && out.renameTo(f), s"manifest rewrite failed for $f")
+    }
+  }
+
+  test("hidden time transforms prune bound-less external files (partition-predicate projection)") {
+    // 4 hours of data, hour(ts)-partitioned; bounds then stripped so ONLY
+    // the partition records can prune — the external-engine shape
+    val table = tmp("ice_hour_noband")
+    val rows = (0 until 240).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-05 ${10 + i / 60}%02d:${i % 60}%02d:00"))
+    }
+    IcebergWrite.append(spark, rows.toDF("id", "ts"), table, Seq("hour(ts)"))
+    stripBounds(table)
+    // sanity: the stripped table has no ts bounds left
+    val st = IcebergRead.fileStats(spark, table)
+    assert(st.count() === 4L)
+    val pred = col("ts") < java.sql.Timestamp.valueOf("2024-01-05 12:00:00")
+    val (df, hit, total) = IcebergRead.scanPruned(spark, table, pred)
+    assert(total === 4L && hit === 2L,
+      s"hour partition projection should keep exactly the 2 matching files ($hit of $total)")
+    assert(df.count() === 120L)
+    // boundary exactness: a predicate cutting INSIDE an hour keeps that file
+    val (df2, hit2, _) = IcebergRead.scanPruned(spark, table,
+      col("ts") <= java.sql.Timestamp.valueOf("2024-01-05 12:30:00"))
+    assert(hit2 === 3L && df2.count() === 151L)
+  }
+
+  test("integer truncate partition values prune bound-less files as [v, v+w-1]") {
+    val table = tmp("ice_trunc_noband")
+    IcebergWrite.append(spark, (0L until 100L).map(i => (i, s"r$i")).toDF("id", "s"),
+      table, Seq("truncate(25, id)"))
+    stripBounds(table)
+    val (df, hit, total) = IcebergRead.scanPruned(spark, table, col("id") >= 75L)
+    assert(total === 4L && hit === 1L, s"truncate projection should prune ($hit of $total)")
+    assert(df.count() === 25L)
+  }
 }
