@@ -716,8 +716,42 @@ object AnalyticsQueries {
         GROUP BY node)
       SELECT node, tri_cnt FROM pernode ORDER BY tri_cnt DESC, node LIMIT 20"""))
 
+  /** T61 BOUNDED-HOP BFS: shortest hop distance from a seed set (nation-0
+    * suppliers) over the sparsified co-supplier graph, ≤ 3 hops, via
+    * [[graft.operators.Graph.hopDistances]]'s frontier BFS — per round
+    * one broadcast equi-join of the stationary edge frame plus one
+    * anti-join against the settled set, edges never shuffled. The oracle
+    * is DuckDB's recursive CTE over the same graph: hash-matching it
+    * proves the iterative frontier plan computes exactly the fixpoint
+    * semantics a SQL user would write. */
+  val t61 = GQuery(
+    "t61_bfs_hops",
+    (s, dir) => {
+      val li = graft.Spread.ifNarrow(t(s, dir, "lineitem"))
+        .where(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("s1"), col("y.sk").as("s2")).distinct()
+      val seeds = t(s, dir, "supplier")
+        .where(col("s_nationkey") === 0).select(col("s_suppkey"))
+      graft.operators.Graph.hopDistances(edges, "s1", "s2", seeds, "s_suppkey", 3)
+        .orderBy(col("node"))
+    },
+    Some("""WITH RECURSIVE pr AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+        WHERE x.l_orderkey % 20 = 0),
+      e AS (SELECT a AS src, b AS dst FROM pr UNION ALL SELECT b, a FROM pr),
+      bfs AS (
+        SELECT s_suppkey AS node, 0 AS dist FROM supplier WHERE s_nationkey = 0
+        UNION
+        SELECT e.dst, bfs.dist + 1 FROM bfs JOIN e ON e.src = bfs.node
+        WHERE bfs.dist < 3)
+      SELECT node, min(dist) AS dist FROM bfs GROUP BY node ORDER BY node"""))
+
   val all: Seq[GQuery] =
     Seq(t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54, t55,
-      t57, t58, t60,
+      t57, t58, t60, t61,
       l23, l3ivfx, b14b, b14c)
 }

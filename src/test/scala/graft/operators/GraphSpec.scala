@@ -82,4 +82,44 @@ class GraphSpec extends SparkSpec {
     val hub = (2L to 20L).map(i => (1L, i)) :+ ((2L, 3L))
     assert(tris(hub) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  private def hops(edges: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int,
+      undirected: Boolean = true): Map[Long, Int] =
+    Graph.hopDistances(edges.toDF("s", "d"), "s", "d",
+        seeds.toDF("n"), "n", maxHops, undirected)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  test("hopDistances: path graph measures hops, bound truncates, seeds at 0") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(hops(path, Seq(1L), 10) ===
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+    assert(hops(path, Seq(1L), 2) === Map(1L -> 0, 2L -> 1, 3L -> 2))
+    assert(hops(path, Seq(1L), 0) === Map(1L -> 0))
+  }
+
+  test("hopDistances: min distance wins with multiple seeds; shortcut beats long way") {
+    // cycle 1-2-3-4-5-6-1 plus chord 1-4: node 4 is 1 hop via the chord
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 1L), (1L, 4L))
+    assert(hops(cyc, Seq(1L), 6) ===
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 2, 6L -> 1))
+    // two seeds: every node takes the closer one
+    assert(hops(Seq((1L, 2L), (2L, 3L), (3L, 4L)), Seq(1L, 4L), 5) ===
+      Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 0))
+  }
+
+  test("hopDistances: directed edges, isolated seeds, unreachable nodes, layouts") {
+    // directed 1->2->3 with a back-edge 3->1: from 2, only forward reach
+    assert(hops(Seq((1L, 2L), (2L, 3L), (3L, 1L)), Seq(2L), 5, undirected = false) ===
+      Map(2L -> 0, 3L -> 1, 1L -> 2))
+    // a seed with no edges still appears; disconnected node 9 never does
+    assert(hops(Seq((1L, 2L), (9L, 10L)), Seq(1L, 7L), 3) ===
+      Map(1L -> 0, 7L -> 0, 2L -> 1))
+    // layout invariance + shuffle (non-broadcast) path equality
+    val edges = (1L to 40L).map(i => (i, i % 7 + 100L)) ++ Seq((100L, 101L), (101L, 102L))
+    val base = hops(edges, Seq(1L), 3)
+    val relaid = Graph.hopDistances(edges.toDF("s", "d").repartition(11), "s", "d",
+        Seq(1L).toDF("n"), "n", 3, undirected = true, broadcastFrontier = false)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(relaid === base)
+  }
 }
