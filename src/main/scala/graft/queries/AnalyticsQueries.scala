@@ -750,8 +750,65 @@ object AnalyticsQueries {
         WHERE bfs.dist < 3)
       SELECT node, min(dist) AS dist FROM bfs GROUP BY node ORDER BY node"""))
 
+  /** T62 EWMA + ANOMALY SCREEN: per-user exponentially-weighted moving
+    * average (α = 0.25 over the last 8 observations) and the 50 events
+    * deviating most from their own smoothed history — the telemetry
+    * anomaly-triage primitive. The recursive EWMA is re-expressed as an
+    * EXPLICIT 8-term lag polynomial so it is a pure window computation
+    * (one shuffle on user_id, no self-joins, no per-row lists) AND
+    * bit-identical cross-engine: every coefficient (1-α)^k and every
+    * partial-window normalizer Σ(1-α)^k is an exactly-representable
+    * binary fraction written as a literal, additions run in one fixed
+    * left-to-right order on both sides, so the doubles match to the last
+    * ulp before rounding. */
+  val t62 = GQuery(
+    "t62_ewma_anomaly",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cs = Seq(1.0, 0.75, 0.5625, 0.421875, 0.31640625, 0.2373046875,
+        0.177978515625, 0.13348388671875)
+      val num = cs.zipWithIndex.map { case (c, k) =>
+        (if (k == 0) col("value")
+         else coalesce(lag(col("value"), k).over(w), lit(0.0))) * lit(c)
+      }.reduce(_ + _)
+      val den = expr("""CASE least(rn, 8) WHEN 1 THEN 1.0 WHEN 2 THEN 1.75
+        WHEN 3 THEN 2.3125 WHEN 4 THEN 2.734375 WHEN 5 THEN 3.05078125
+        WHEN 6 THEN 3.2880859375 WHEN 7 THEN 3.466064453125
+        ELSE 3.59954833984375 END""")
+      t(s, dir, "events").where(col("user_id") < 20)
+        .withColumn("rn", row_number().over(w)).withColumn("num", num)
+        .withColumn("ewma_raw", col("num") / den)
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 6).as("value"),
+          round(col("ewma_raw"), 6).as("ewma"),
+          round(abs(col("value") - col("ewma_raw")), 6).as("dev"))
+        .orderBy(col("dev").desc, col("user_id"), col("event_id"))
+        .limit(50)
+    },
+    Some("""WITH s AS (
+        SELECT user_id, event_id, value, row_number() OVER w AS rn,
+          value * 1.0
+            + (lag(value, 1, 0.0) OVER w) * 0.75
+            + (lag(value, 2, 0.0) OVER w) * 0.5625
+            + (lag(value, 3, 0.0) OVER w) * 0.421875
+            + (lag(value, 4, 0.0) OVER w) * 0.31640625
+            + (lag(value, 5, 0.0) OVER w) * 0.2373046875
+            + (lag(value, 6, 0.0) OVER w) * 0.177978515625
+            + (lag(value, 7, 0.0) OVER w) * 0.13348388671875 AS num
+        FROM events WHERE user_id < 20
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+      e AS (SELECT user_id, event_id, value,
+          num / (CASE least(rn, 8) WHEN 1 THEN 1.0 WHEN 2 THEN 1.75
+            WHEN 3 THEN 2.3125 WHEN 4 THEN 2.734375 WHEN 5 THEN 3.05078125
+            WHEN 6 THEN 3.2880859375 WHEN 7 THEN 3.466064453125
+            ELSE 3.59954833984375 END) AS ewma_raw
+        FROM s)
+      SELECT user_id, event_id, round(value, 6) AS value,
+        round(ewma_raw, 6) AS ewma, round(abs(value - ewma_raw), 6) AS dev
+      FROM e ORDER BY dev DESC, user_id, event_id LIMIT 50"""))
+
   val all: Seq[GQuery] =
     Seq(t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54, t55,
-      t57, t58, t60, t61,
+      t57, t58, t60, t61, t62,
       l23, l3ivfx, b14b, b14c)
 }
