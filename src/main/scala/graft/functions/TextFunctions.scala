@@ -147,6 +147,38 @@ object TextFunctions {
     regexp_replace(noIp, longDigitPattern, "<NUMBER>")
   }
 
+  /** Deflate-compressed length of the text's UTF-8 encoding (raw deflate,
+    * level 6, no zlib header) — the building block of the compression-
+    * ratio quality signal. NULL in → NULL out. A Scala UDF by necessity
+    * (Spark has no built-in compressor); the work is a stateless per-row
+    * deflate, so it pipelines inside the scan stage like any projection
+    * and shuffles nothing. Deterministic for a given JRE's zlib; NOT
+    * bit-reproducible across engines, so oracle coverage is the
+    * accuracy-gate twin (l42) plus TextStatsSpec. */
+  val deflateLength: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      if (s == null) null
+      else {
+        val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(6, true)
+        d.setInput(bytes); d.finish()
+        val buf = new Array[Byte](8192)
+        var n = 0L
+        while (!d.finished()) n += d.deflate(buf)
+        d.end()
+        java.lang.Long.valueOf(n)
+      }
+    }
+
+  /** Compression-ratio quality signal (CCNet/Gopher-style): deflated
+    * bytes / raw UTF-8 bytes. Natural prose lands roughly 0.3–0.6,
+    * repeated boilerplate far lower, random junk near (or, for short
+    * strings, slightly above) 1 — so both tails are filter candidates.
+    * NULL or empty text → NULL. */
+  def compressionRatio(text: Column): Column =
+    when(octet_length(text) > 0,
+      deflateLength(text).cast("double") / octet_length(text).cast("double"))
+
   /** Deterministic hash-bucket assignment in [0, buckets): stable across
     * runs and cluster layouts (content-derived, never rand()). md5-based so
     * the DuckDB oracle reproduces it: bucket = first 4 hex digits mod n.

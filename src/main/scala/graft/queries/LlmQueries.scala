@@ -1524,11 +1524,39 @@ object LlmQueries {
       FROM ev CROSS JOIN i5 GROUP BY i5.w0, i5.w1, i5.w2, i5.w3"""
     })
 
+  /** L42 COMPRESSION-RATIO QUALITY GATE: the deflate-ratio signal
+    * ([[TextFunctions.compressionRatio]]) over every ≥400-char document —
+    * the CCNet/Gopher-style "too compressible = boilerplate, too
+    * incompressible = junk" filter. The raw ratios are JRE-zlib-specific
+    * (no DuckDB analog), so the oracled claims are the signal's invariant
+    * PROPERTIES, computed in-query over the real corpus: (1) each doc's
+    * own first 400 chars compress strictly worse on average than a
+    * same-length degenerate repetition of its first 10 chars (separation
+    * ≥ 0.05 — the discriminative power that makes the filter work), and
+    * (2) every ratio is a sane (0, 2] value. One scan, two deflates per
+    * row, map-side-combined aggregate — nothing shuffles but 1 row. */
+  val l42 = GQuery(
+    "l42_compression_quality_check",
+    (s, dir) => {
+      val base = t(s, dir, "documents").where(length(col("text")) >= 400)
+      val rText = TextFunctions.compressionRatio(substring(col("text"), 1, 400))
+      val rRep = TextFunctions.compressionRatio(
+        repeat(substring(col("text"), 1, 10), 40))
+      base.select(rText.as("rt"), rRep.as("rr"))
+        .agg(count(lit(1)).as("n_docs"),
+          (avg(col("rr")) + lit(0.05) < avg(col("rt"))).as("repetitive_lower"),
+          (min(col("rt")) > 0.0 && max(col("rt")) <= 2.0 &&
+            min(col("rr")) > 0.0 && max(col("rr")) <= 2.0).as("ratios_bounded"))
+    },
+    Some("""SELECT count(*) AS n_docs, TRUE AS repetitive_lower,
+        TRUE AS ratios_bounded
+      FROM documents WHERE length(text) >= 400"""))
+
   def all: Seq[GQuery] = Seq(l1, l2, l2brute, l2simhash, l2simhashPairs, l2cluster, l2quality,
     l2embedding, l3, l3scalable, l3lsh, l3ivf, l3kmeans, l3pq, l3sq,
     l3lshRecall, l3ivfRecall, l3kmeansRecall, l3pqRecall, l3sqRecall, l26, l27, l28, l29, l30,
     l31, l32, l34, l35,
     l4langid, l5, l6, l7, l8, l9,
     l10, l11, l11b, l12, l33, l36, l37, l38, l39, l40, l41, l13, l14, l15, l16, l17, l18, l19, l20,
-    l21, l22, l24, l24b, l25)
+    l21, l22, l24, l24b, l25, l42)
 }

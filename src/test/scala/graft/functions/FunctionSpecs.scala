@@ -222,4 +222,43 @@ class TextFunctionsSpec extends SparkSpec {
     assert(extract("  <p>\n\ta   b\n</p>  ") === "a b")
     assert(extract("no markup at all") === "no markup at all")
   }
+
+  private def ratios(texts: Seq[String]): Seq[Option[Double]] =
+    texts.map(Tuple1(_)).toDF("text")
+      .select(TextFunctions.compressionRatio(col("text")).as("r"))
+      .as[Option[Double]].collect().toSeq
+
+  test("compressionRatio: repetition compresses below prose below random; null/empty → null") {
+    val rep = "abcabcabc " * 60
+    val prose = ("the quick brown fox jumps over the lazy dog and then " +
+      "discusses compression ratios with a mildly interested cat ") * 5
+    val junk = (1 to 60).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"seed$i".getBytes("UTF-8")).map("%02x".format(_)).mkString).mkString
+    val Seq(Some(rRep), Some(rProse), Some(rJunk), none, empty) =
+      ratios(Seq(rep, prose, junk, null, ""))
+    assert(rRep < rProse && rProse < rJunk,
+      s"ordering violated: rep=$rRep prose=$rProse junk=$rJunk")
+    assert(rRep < 0.1 && rJunk > 0.4)
+    assert(none.isEmpty && empty.isEmpty)
+    // matches a hand-rolled Deflater of the same bytes
+    val d = new java.util.zip.Deflater(6, true)
+    val bytes = prose.getBytes("UTF-8")
+    d.setInput(bytes); d.finish()
+    val buf = new Array[Byte](1 << 16)
+    var n = 0L
+    while (!d.finished()) n += d.deflate(buf)
+    d.end()
+    assert(rProse === n.toDouble / bytes.length)
+  }
+
+  test("compressionRatio is layout-invariant and multi-byte-safe") {
+    val texts = (1 to 40).map(i => s"doc $i " + ("përmbajtje e përsëritur ü " * i))
+    val a = texts.map(Tuple1(_)).toDF("text").repartition(1)
+      .select(TextFunctions.compressionRatio(col("text")).as("r")).as[Double].collect().sorted
+    val b = texts.map(Tuple1(_)).toDF("text").repartition(13)
+      .select(TextFunctions.compressionRatio(col("text")).as("r")).as[Double].collect().sorted
+    assert(a.toSeq === b.toSeq)
+    assert(a.forall(r => r > 0.0 && r <= 2.0))
+  }
 }
