@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** PERSISTED IVF vector index — the ANN lifecycle the in-memory tiers in
+  * [[Similarity]] deliberately skip: train the coarse quantizer ONCE,
+  * lay the corpus out on disk clustered by cell, then serve every future
+  * query (and ingest every future batch) without touching the trained
+  * structure. At 100 TB the index build is a multi-hour job; queries are
+  * not allowed to repeat it, and a probe must read nProbe/nCells of the
+  * data, not all of it.
+  *
+  * On-disk layout (plain parquet — readable by any engine):
+  *   dir/centroids/    (cell INT, centroid ARRAY<DOUBLE>) — one tiny file
+  *   dir/vectors/      cell=<c>/part-*.parquet (id, vec) — PARTITIONED
+  *                     by cell, so a probe's cell subset prunes at the
+  *                     DIRECTORY level (Spark partition pruning; no file
+  *                     of an unprobed cell is ever opened)
+  *
+  * Scale shape: [[build]] is one k-means training (sample-able upstream),
+  * one broadcast-centroid assignment pass, one shuffle by cell for the
+  * clustered write. [[query]] broadcasts the O(nCells) centroid frame,
+  * ranks cells per query map-side, collects only the probed CELL IDS to
+  * the driver (≤ nCells ints — the surviving-file-list pattern), scans
+  * the pruned partitions once, and bounds the shuffle to k rows per
+  * query via the top-k window. [[add]] assigns new vectors with the
+  * FROZEN quantizer and appends to the cell dirs — no rebuild, no
+  * rewrite of existing data. */
+object VectorIndex {
+
+  /** Train nCells k-means centroids (deterministic seeded init, see
+    * [[Similarity.kmeansCentroids]]), assign every corpus vector, write
+    * the cell-clustered layout. Overwrites any index at `dir`. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      nCells: Int = 16, iters: Int = 5): Unit = {
+    val cents = Similarity.kmeansCentroids(corpus, idCol, vecCol, nCells, iters)
+      .localCheckpoint()
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    writeAssigned(corpus.select(col(idCol), col(vecCol)), idCol, vecCol,
+      cents, dir, overwrite = true)
+  }
+
+  /** Incremental ingest: assign `batch` with the index's FROZEN
+    * quantizer and append into the cell dirs. Cheap by construction —
+    * one broadcast assignment pass + an append-only clustered write;
+    * nothing existing is read or rewritten. (Re-[[build]] when drift
+    * makes the frozen centroids a bad fit.) */
+  def add(spark: SparkSession, dir: String, batch: DataFrame,
+      idCol: String, vecCol: String): Unit =
+    writeAssigned(batch.select(col(idCol), col(vecCol)), idCol, vecCol,
+      spark.read.parquet(s"$dir/centroids"), dir, overwrite = false)
+
+  private def writeAssigned(vecs: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, dir: String, overwrite: Boolean): Unit =
+    Similarity.assignCells(vecs, vecCol, cents)
+      .select(col(idCol), col(vecCol), col("__cell").as("cell"))
+      .repartition(col("cell")) // few files per cell dir, not one per task
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("cell").parquet(s"$dir/vectors")
+
+  /** Top-k cosine neighbors from the persisted index: per query the
+    * nProbe closest cells by centroid cosine (ties toward the lower cell
+    * id), then exact scoring INSIDE the probed cells only. Self-matches
+    * (same id) excluded, matching [[Similarity.bruteForceTopK]]. With
+    * nProbe ≥ nCells the result is exactly brute force. Output:
+    * (vec_id, rank, nn_id, cosine). */
+  def query(spark: SparkSession, dir: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .withColumn("cent_n", VectorOps.norm(col("centroid")))
+    val q = queries
+      .select(col(idCol).as("q_id"), VectorOps.asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", VectorOps.norm(col("qv")))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val wCell = Window.partitionBy(col("q_id"))
+      .orderBy(col("cell_cos").desc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qv"), col("qn"), col("cell"),
+        (VectorOps.dot(col("qv"), col("centroid")) / (col("qn") * col("cent_n")))
+          .as("cell_cos"))
+      .withColumn("cr", row_number().over(wCell))
+      .where(col("cr") <= nProbe)
+      .select(col("q_id"), col("qv"), col("qn"), col("cell"))
+      .localCheckpoint() // consumed twice: probed-cell list + the join
+    // driver-side metadata only: the union of probed cell ids (≤ nCells
+    // ints) — the IN-list below is what Spark's partition pruning turns
+    // into a directory-level skip of every unprobed cell
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val members = spark.read.parquet(s"$dir/vectors")
+      .where(col("cell").isin(probedCells.map(Int.box): _*))
+      .select(col("cell"), col(idCol).as("c_id"),
+        VectorOps.asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", VectorOps.norm(col("cv")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id").asc)
+    probes.join(members, Seq("cell"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id").as("vec_id"), col("rank"), col("c_id").as("nn_id"), col("cosine"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GQuery, Tables}
 import graft.functions.{TextFunctions, VectorOps}
-import graft.operators.{Dedup, Retrieval, Similarity}
+import graft.operators.{Dedup, Retrieval, Similarity, VectorIndex}
 
 /** L1–L7 + extended LLM-pipeline ops (SURVEY.md §2.10): dedup (exact,
   * MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine), similarity
@@ -1524,6 +1524,42 @@ object LlmQueries {
       FROM ev CROSS JOIN i5 GROUP BY i5.w0, i5.w1, i5.w2, i5.w3"""
     })
 
+  /** L43 PERSISTED VECTOR INDEX, exhaustive probe: build the on-disk
+    * cell-partitioned IVF layout ([[VectorIndex]]), then query it with
+    * nProbe = nCells — exhaustive probing must reproduce brute-force
+    * top-k EXACTLY, so this hash-matches the same oracle as
+    * `l3_ann_brute_topk`: a wrong assignment, a dropped cell dir, or a
+    * vector lost in the clustered write all surface as a hash mismatch.
+    * The pruning/recall half is the l43_vector_index_recall twin. */
+  val l43 = GQuery(
+    "l43_vector_index_exhaustive",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("graft_vidx_q").toString + "/idx"
+      VectorIndex.build(emb, "vec_id", "embedding", idx, nCells = 8, iters = 3)
+      VectorIndex.query(s, idx, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nProbe = 8)
+        .select(col("vec_id"), col("rank"), col("nn_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("vec_id"), col("rank"))
+    },
+    l3.oracle) // identical semantics → identical oracle as l3_ann_brute_topk
+
+  /** L43 recall twin: nProbe = 2 of 16 cells reads ~1/8 of the corpus
+    * per query (directory-level pruning, proven physically in
+    * VectorIndexSpec) — the gate asserts the recall that partial probing
+    * must still clear. */
+  val l43recall = GQuery(
+    "l43_vector_index_recall",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("graft_vidx_r").toString + "/idx"
+      VectorIndex.build(emb, "vec_id", "embedding", idx, nCells = 16, iters = 5)
+      Similarity.recallGate(
+        VectorIndex.query(s, idx, emb, "vec_id", "embedding", k = 3, nProbe = 2),
+        brute3(s, dir), minRecall = 0.25)
+    },
+    Some(annRecallOracle("")))
+
   /** L42 COMPRESSION-RATIO QUALITY GATE: the deflate-ratio signal
     * ([[TextFunctions.compressionRatio]]) over every ≥400-char document —
     * the CCNet/Gopher-style "too compressible = boilerplate, too
@@ -1558,5 +1594,5 @@ object LlmQueries {
     l31, l32, l34, l35,
     l4langid, l5, l6, l7, l8, l9,
     l10, l11, l11b, l12, l33, l36, l37, l38, l39, l40, l41, l13, l14, l15, l16, l17, l18, l19, l20,
-    l21, l22, l24, l24b, l25, l42)
+    l21, l22, l24, l24b, l25, l42, l43, l43recall)
 }

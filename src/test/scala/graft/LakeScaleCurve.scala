@@ -43,7 +43,10 @@ object LakeScaleCurve {
       s.range(nRows).select(col("id"), (col("id") % nDays).as("day"),
         (col("id") * 37 % 1000).cast("double").as("value"))
 
-    for (files <- Seq(128, 256, 512, 1024); fmt <- Seq("delta", "iceberg")) {
+    val skipFiles = only("logonly"); val skipLog = only("filesonly")
+    only -= "logonly"; only -= "filesonly"
+
+    for (files <- Seq(128, 256, 512, 1024) if !skipFiles; fmt <- Seq("delta", "iceberg")) {
       val dir = tmp(s"graft_lakecurve_${fmt}_$files")
       // `files` data files in ONE commit: files/nDays tasks × nDays
       // partition dirs; constant data volume throughout
@@ -93,7 +96,7 @@ object LakeScaleCurve {
     // commit-count axis: snapshot/state load over a long log (the replay
     // the file-count rows above cannot isolate — 2 commits each). One
     // file per commit keeps the file axis constant-per-commit.
-    for (commits <- Seq(25, 50, 100, 200); fmt <- Seq("delta", "iceberg")) {
+    for (commits <- Seq(25, 50, 100, 200) if !skipLog; fmt <- Seq("delta", "iceberg")) {
       val dir = tmp(s"graft_lakecurve_log_${fmt}_$commits")
       val slice = nRows / 200
       for (c <- 0 until commits) {
@@ -108,6 +111,14 @@ object LakeScaleCurve {
       }
       time("log_history", fmt, commits) {
         sources.Lake.history(spark, dir).count()
+      }
+      // Delta's answer to unbounded replay: checkpoint (Lake.maintain's
+      // cadence does this automatically) — replay drops to O(tail)
+      if (fmt == "delta") {
+        sources.DeltaWrite.checkpoint(spark, dir)
+        time("log_replay_ckpt", fmt, commits) {
+          sources.Lake.fileStats(spark, dir).count()
+        }
       }
     }
     spark.stop()

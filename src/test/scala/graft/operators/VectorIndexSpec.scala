@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Persisted IVF index (SURVEY.md §2.15 L43): exhaustive-probe equality
+  * with brute force, PHYSICAL partition pruning, rebuild-free ingest,
+  * and build determinism across input layouts. */
+class VectorIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(n: Int, dim: Int = 4) =
+    (0 until n).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => math.sin(i * 13 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/idx"
+
+  private def collected(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long)] =
+    df.select(col("vec_id"), col("rank"), col("nn_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+
+  test("exhaustive probe equals brute force; queries never rebuild") {
+    val c = corpus(40)
+    val dir = tmp("graft_vidx")
+    VectorIndex.build(c, "vec_id", "embedding", dir, nCells = 4, iters = 3)
+    val brute = collected(
+      Similarity.bruteForceTopK(c, c.where(col("vec_id") < 8), "vec_id", "embedding", k = 3))
+    val idx = collected(
+      VectorIndex.query(spark, dir, c.where(col("vec_id") < 8), "vec_id", "embedding",
+        k = 3, nProbe = 4))
+    assert(idx === brute)
+    // second query against the same index — no build step in between
+    val again = collected(
+      VectorIndex.query(spark, dir, c.where(col("vec_id") < 8), "vec_id", "embedding",
+        k = 3, nProbe = 4))
+    assert(again === brute)
+  }
+
+  test("probes prune at the directory level: unprobed cell dirs are never read") {
+    val c = corpus(60)
+    val dir = tmp("graft_vidx_prune")
+    VectorIndex.build(c, "vec_id", "embedding", dir, nCells = 6, iters = 3)
+    val oneQ = c.where(col("vec_id") === 5L)
+    val before = collected(
+      VectorIndex.query(spark, dir, oneQ, "vec_id", "embedding", k = 3, nProbe = 1))
+    assert(before.nonEmpty)
+    // which single cell does vec 5 probe? — the cell its own vector lives
+    // in (it is its own nearest centroid's member); learn it from disk
+    val cellOf5 = spark.read.parquet(s"$dir/vectors")
+      .where(col("vec_id") === 5L).select(col("cell")).head().getInt(0)
+    // physically delete every OTHER cell's data files: if the query ever
+    // touched an unprobed directory it would now fail or change results
+    val vecRoot = new java.io.File(s"$dir/vectors")
+    vecRoot.listFiles().filter(f => f.isDirectory && f.getName != s"cell=$cellOf5")
+      .foreach { d =>
+        d.listFiles().foreach(f => assert(f.delete(), s"couldn't delete $f"))
+        assert(d.delete(), s"couldn't delete $d")
+      }
+    val after = collected(
+      VectorIndex.query(spark, dir, oneQ, "vec_id", "embedding", k = 3, nProbe = 1))
+    assert(after === before,
+      "nProbe=1 results must be identical with every unprobed cell dir gone")
+  }
+
+  test("add() ingests without rebuild: frozen quantizer, exhaustive parity") {
+    val all = corpus(50)
+    val first = all.where(col("vec_id") < 30)
+    val second = all.where(col("vec_id") >= 30)
+    val dir = tmp("graft_vidx_add")
+    VectorIndex.build(first, "vec_id", "embedding", dir, nCells = 4, iters = 3)
+    val centsBefore = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect().toSeq
+    VectorIndex.add(spark, dir, second, "vec_id", "embedding")
+    // quantizer untouched by ingest
+    assert(spark.read.parquet(s"$dir/centroids").orderBy("cell").collect().toSeq
+      === centsBefore)
+    // exhaustive query over the grown index == brute force over the union
+    val brute = collected(
+      Similarity.bruteForceTopK(all, all.where(col("vec_id") < 6), "vec_id", "embedding", k = 3))
+    val idx = collected(
+      VectorIndex.query(spark, dir, all.where(col("vec_id") < 6), "vec_id", "embedding",
+        k = 3, nProbe = 4))
+    assert(idx === brute)
+  }
+
+  test("build is deterministic across input layouts") {
+    val c = corpus(40)
+    val d1 = tmp("graft_vidx_a")
+    val d2 = tmp("graft_vidx_b")
+    VectorIndex.build(c, "vec_id", "embedding", d1, nCells = 4, iters = 3)
+    VectorIndex.build(c.repartition(13), "vec_id", "embedding", d2, nCells = 4, iters = 3)
+    val a = spark.read.parquet(s"$d1/vectors").select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = spark.read.parquet(s"$d2/vectors").select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a === b, "cell assignment must not depend on the input layout")
+  }
+}
