@@ -590,7 +590,86 @@ object RelationalQueries {
       TRY_CAST('2024-13-45' AS DATE) AS bad_date
       FROM orders ORDER BY o_orderkey LIMIT 100"""))
 
+  /** T63 LOCAL SUPPLIER VOLUME (the TPC-H Q5 shape): 6-way star join
+    * with the classic second equi-condition — the supplying and buying
+    * nation must coincide (`c_nationkey = s_nationkey`), which no single
+    * join key carries. Plan shape for 100 TB: region⋈nation⋈customer⋈
+    * filtered-orders reduce into one SMALL frame that is broadcast
+    * against lineitem (the only big-table probe), then supplier (a dim)
+    * is broadcast too with the nation-match as the second join
+    * condition — lineitem is scanned once and never shuffled; the only
+    * exchange is the final tiny n_name rollup. */
+  val t63 = GQuery(
+    "t63_local_supplier_volume",
+    (s, dir) => {
+      val revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val small = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+        .join(t(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
+        .join(t(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("n_name"), col("c_nationkey"), col("o_orderkey"))
+      t(s, dir, "lineitem")
+        .join(broadcast(small), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(revenue), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM region
+      JOIN nation ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      JOIN orders ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      WHERE r_name = 'EUROPE'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name ORDER BY revenue DESC, n_name"""))
+
+  /** T64 TOP RETURNED-REVENUE CUSTOMERS (the TPC-H Q10 shape): which
+    * customers returned the most revenue in a window — fact-side filter
+    * (`l_returnflag = 'R'`) FIRST, per-customer rollup on the reduced
+    * fact, dims (customer, nation) broadcast-joined AFTER the
+    * aggregation so the shuffle carries one row per customer, not one
+    * per lineitem; top-20 is a TakeOrdered, not a global sort. */
+  val t64 = GQuery(
+    "t64_returned_revenue",
+    (s, dir) => {
+      val revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val perCust = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+            .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(revenue), 2).as("revenue"))
+      perCust
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"), col("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name, n_name,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+
   def all: Seq[GQuery] = Seq(t4, t5, t6, t7, t8, t9, t9b, t10, t10b, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t19b, t20, t21, t22, t23, t24, t25, t30, t31,
-    t32, t33, t34, t35, t36, t37, t38, t39)
+    t32, t33, t34, t35, t36, t37, t38, t39, t63, t64)
 }
