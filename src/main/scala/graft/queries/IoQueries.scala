@@ -1337,8 +1337,48 @@ object IoQueries {
       FROM events WHERE event_type IN ('click', 'view')
       GROUP BY event_type ORDER BY event_type"""))
 
+  /** S12m METADATA-ONLY COUNTS: `Lake.rowCount` + `Lake.partitionSummary`
+    * answer count(*) and SHOW PARTITIONS from the log/manifests alone —
+    * zero data files opened (at 100 TB: driver milliseconds, not a
+    * cluster job). The oracle recomputes the same numbers from the DATA,
+    * so a stale or wrong metadata fold hash-mismatches. Delta side also
+    * DV-deletes a slice first: live counts must subtract DV cardinalities
+    * exactly; Iceberg side proves the manifest fold. `from_metadata`
+    * asserts in-band that neither path silently fell back to a scan. */
+  val tmetaCounts = GQuery(
+    "t_metadata_counts",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          pmod(col("user_id"), lit(8)).as("bucket"))
+      val dtbl = tmp("graft_meta_delta") + "/tbl"
+      graft.sources.DeltaWrite.append(s, ev, dtbl, partitionBy = Seq("bucket"))
+      graft.sources.DeltaWrite.deleteWhere(s, dtbl, col("event_type") === "click")
+      val itbl = tmp("graft_meta_ice") + "/tbl"
+      graft.sources.IcebergWrite.append(s,
+        ev.where(col("event_type") =!= "click"), itbl, Seq("bucket"))
+      def one(fmt: String, tbl: String) = {
+        val (cnt, fromMeta) = graft.sources.Lake.rowCount(s, tbl)
+        graft.sources.Lake.partitionSummary(s, tbl)
+          .select(lit(fmt).as("fmt"), col("partition"), col("n_rows"),
+            lit(cnt).as("total_rows"), lit(fromMeta).as("from_metadata"))
+      }
+      one("delta", dtbl).unionByName(one("iceberg", itbl))
+        .orderBy(col("fmt"), col("partition"))
+    },
+    Some("""WITH f AS (SELECT user_id % 8 AS bucket FROM events
+        WHERE event_type <> 'click'),
+      p AS (SELECT concat('bucket=', CAST(bucket AS VARCHAR)) AS "partition",
+          count(*) AS n_rows FROM f GROUP BY 1)
+      SELECT 'delta' AS fmt, "partition", n_rows,
+        (SELECT count(*) FROM f) AS total_rows, TRUE AS from_metadata FROM p
+      UNION ALL
+      SELECT 'iceberg', "partition", n_rows,
+        (SELECT count(*) FROM f), TRUE FROM p
+      ORDER BY fmt, "partition""""))
+
   def all: Seq[GQuery] =
-    Seq(t1, t1orc, t2, t3, tskip, tnullskip, tbloom, ttokens, ticebergStats, ticebergSpecEvo, ticebergWap, tdeltaStats, tdelta, ticeberg,
+    Seq(t1, t1orc, t2, t3, tmetaCounts, tskip, tnullskip, tbloom, ttokens, ticebergStats, ticebergSpecEvo, ticebergWap, tdeltaStats, tdelta, ticeberg,
       tdeltaRt, ticebergRt, ticebergMor,
       tdeltaDv, tdeltaUpsert, ticebergPart, ticebergHiddenPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tlakeReplaceWhere, tlakeSqlDml,

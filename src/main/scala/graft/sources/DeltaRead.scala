@@ -573,6 +573,61 @@ object DeltaRead {
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
   }
 
+  private def numRecordsOf(f: LiveFile): Option[Long] =
+    f.stats.flatMap { s =>
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(s).path("numRecords")
+      if (n.isMissingNode || n.isNull) None else Some(n.asLong())
+    }
+
+  /** Metadata-only EXACT row count: Σ numRecords − Σ DV cardinality over
+    * the snapshot's live files — a driver-side log fold, zero data files
+    * opened (at 100 TB: milliseconds instead of a cluster-wide counting
+    * job). Deletion vectors subtract exactly (their cardinality is part
+    * of the descriptor). None when any file lacks `numRecords` (stats
+    * are optional per the protocol; external writers may omit them) —
+    * callers fall back to a scan. */
+  def countFromMetadata(spark: SparkSession, table: String,
+      version: Long = -1L): Option[Long] = {
+    val counts = snapshotInfo(spark, table, version).files
+      .map(f => numRecordsOf(f).map(_ - f.dv.map(_.cardinality).getOrElse(0L)))
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+  }
+
+  /** SHOW PARTITIONS analog, metadata-only: one row per distinct
+    * partition value — (partition, n_files, n_rows, bytes) with
+    * `partition` rendered canonically as `col=value/col2=value2` in the
+    * table's partition-column order ("" for an unpartitioned table).
+    * Row counts are live (DV cardinalities subtracted per file). Refused
+    * when a live file lacks `numRecords` — a partial summary would read
+    * as a complete one. */
+  def partitionSummary(spark: SparkSession, table: String,
+      version: Long = -1L): DataFrame = {
+    val snap = snapshotInfo(spark, table, version)
+    val grouped = snap.files.groupBy { f =>
+      snap.partitionColumns.map { c =>
+        s"$c=${f.partitionValues.get(snap.physicalName(c)).filter(_ != null).getOrElse("null")}"
+      }.mkString("/")
+    }
+    val rows = grouped.toSeq.map { case (p, fs) =>
+      val live = fs.map { f =>
+        val n = numRecordsOf(f).getOrElse(throw new IllegalArgumentException(
+          s"partitionSummary: ${f.path} carries no numRecords stats — " +
+            "a partial summary would read as a complete one"))
+        n - f.dv.map(_.cardinality).getOrElse(0L)
+      }
+      org.apache.spark.sql.Row(p, fs.size.toLong, live.sum, fs.map(_.size).sum)
+    }.sortBy(_.getString(0))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(
+        StructField("partition", org.apache.spark.sql.types.StringType) ::
+          StructField("n_files", org.apache.spark.sql.types.LongType) ::
+          StructField("n_rows", org.apache.spark.sql.types.LongType) ::
+          StructField("bytes", org.apache.spark.sql.types.LongType) :: Nil))
+  }
+
   private[sources] def statsSupported(dt: org.apache.spark.sql.types.DataType): Boolean =
     dt match {
       case org.apache.spark.sql.types.BooleanType | org.apache.spark.sql.types.IntegerType |

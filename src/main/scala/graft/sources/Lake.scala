@@ -188,6 +188,38 @@ object Lake {
         s"plain parquet at $path persists no per-file stats")
     }
 
+  /** METADATA-ONLY COUNT dispatch: the table's exact row count from the
+    * transaction log / manifests alone — zero data files opened, so at
+    * 100 TB a `count(*)` answers in driver milliseconds instead of a
+    * cluster-wide job. Falls back to a counting scan (and says so in the
+    * Boolean) when metadata cannot be exact: a Delta file without
+    * `numRecords`, an Iceberg snapshot with live merge-on-read deletes,
+    * or plain parquet (no log at all). Returns (count, fromMetadata). */
+  def rowCount(spark: SparkSession, path: String,
+      version: Long = -1L): (Long, Boolean) = {
+    val meta = detect(spark, path) match {
+      case Delta => DeltaRead.countFromMetadata(spark, path, version)
+      case Iceberg => IcebergRead.countFromMetadata(spark, path, version)
+      case Parquet => None
+    }
+    meta.map((_, true)).getOrElse((read(spark, path, version).count(), false))
+  }
+
+  /** SHOW PARTITIONS dispatch, metadata-only: one row per distinct
+    * partition value — (partition `col=value/...`, n_files, n_rows,
+    * bytes). Delta subtracts DV cardinalities (counts are live); Iceberg
+    * refuses under live delete files (compact first). Plain parquet has
+    * no authoritative per-file metadata — refused. */
+  def partitionSummary(spark: SparkSession, path: String,
+      version: Long = -1L): DataFrame =
+    detect(spark, path) match {
+      case Delta => DeltaRead.partitionSummary(spark, path, version)
+      case Iceberg => IcebergRead.partitionSummary(spark, path, version)
+      case Parquet => throw new IllegalArgumentException(
+        s"plain parquet at $path persists no per-file row counts — " +
+          "read and group instead")
+    }
+
   /** TIMESTAMP AS OF dispatch: the table as of a wall-clock ms timestamp
     * (Delta: commit modification times; Iceberg: snapshot timestamp-ms).
     * Plain parquet has no history — refused loudly. */

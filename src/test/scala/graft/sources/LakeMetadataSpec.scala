@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Metadata-only row counts and partition summaries (SURVEY.md §2.15
+  * S12m): exactness against the data, DV subtraction, fallback and
+  * refusal edges the oracled query can't reach. */
+class LakeMetadataSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString + "/tbl"
+
+  private def sample = (0L until 300L)
+    .map(i => (i, i % 3, s"r$i")).toDF("id", "p", "s")
+
+  test("rowCount from metadata matches the data on both formats; DVs subtract") {
+    val d = tmp("lm_delta")
+    DeltaWrite.append(spark, sample, d, partitionBy = Seq("p"))
+    assert(Lake.rowCount(spark, d) === ((300L, true)))
+    DeltaWrite.deleteWhere(spark, d, col("id") % 10 === 0L)
+    assert(Lake.rowCount(spark, d) === ((270L, true)),
+      "DV cardinalities must subtract without a scan")
+    assert(DeltaRead.snapshot(spark, d).count() === 270L)
+
+    val i = tmp("lm_ice")
+    IcebergWrite.append(spark, sample, i, Seq("p"))
+    assert(Lake.rowCount(spark, i) === ((300L, true)))
+    // live position deletes make metadata inexact → counting-scan fallback
+    IcebergWrite.deleteWhere(spark, i, col("id") < 30L)
+    assert(Lake.rowCount(spark, i) === ((270L, false)),
+      "Iceberg with live deletes must fall back to a scan")
+    // compaction materializes the deletes → metadata is exact again
+    IcebergWrite.compact(spark, i, smallFileBytes = Long.MaxValue)
+    assert(Lake.rowCount(spark, i) === ((270L, true)))
+  }
+
+  test("partitionSummary matches a data group-by; refusals where inexact") {
+    val d = tmp("lm_psum_delta")
+    DeltaWrite.append(spark, sample, d, partitionBy = Seq("p"))
+    DeltaWrite.deleteWhere(spark, d, col("p") === 1L && col("id") < 100L)
+    val got = Lake.partitionSummary(spark, d)
+      .select(col("partition"), col("n_rows"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = DeltaRead.snapshot(spark, d).groupBy(col("p")).count()
+      .collect().map(r => s"p=${r.getLong(0)}" -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(got.values.sum === Lake.rowCount(spark, d)._1)
+
+    val i = tmp("lm_psum_ice")
+    IcebergWrite.append(spark, sample, i, Seq("p"))
+    IcebergWrite.deleteWhere(spark, i, col("id") < 30L)
+    intercept[IllegalArgumentException](Lake.partitionSummary(spark, i))
+
+    val pq = tmp("lm_psum_parquet")
+    sample.write.parquet(pq)
+    intercept[IllegalArgumentException](Lake.partitionSummary(spark, pq))
+    assert(Lake.rowCount(spark, pq) === ((300L, false)),
+      "plain parquet counts by scanning")
+  }
+
+  test("unpartitioned tables summarize as one '' partition") {
+    val d = tmp("lm_unpart")
+    DeltaWrite.append(spark, sample, d)
+    val rows = Lake.partitionSummary(spark, d).collect()
+    assert(rows.length === 1 && rows.head.getString(0) === "" &&
+      rows.head.getLong(2) === 300L)
+    val i = tmp("lm_unpart_ice")
+    IcebergWrite.append(spark, sample, i)
+    val irows = Lake.partitionSummary(spark, i).collect()
+    assert(irows.length === 1 && irows.head.getString(0) === "" &&
+      irows.head.getLong(2) === 300L)
+  }
+}
