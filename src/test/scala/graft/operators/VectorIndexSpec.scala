@@ -86,6 +86,36 @@ class VectorIndexSpec extends SparkSpec {
     assert(idx === brute)
   }
 
+  test("streaming ingest: the index follows a stream via foreachBatch add()") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = corpus(48)
+    val seed = all.where(col("vec_id") < 16)
+    val dir = tmp("graft_vidx_stream")
+    VectorIndex.build(seed, "vec_id", "embedding", dir, nCells = 4, iters = 3)
+    val rest = all.where(col("vec_id") >= 16)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = stream.toDF().toDF("vec_id", "embedding").writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        VectorIndex.add(spark, dir, batch, "vec_id", "embedding")
+      }
+      .option("checkpointLocation", tmp("graft_vidx_stream_ckpt"))
+      .start()
+    stream.addData(rest.take(16).toSeq)
+    stream.addData(rest.drop(16).toSeq)
+    q.processAllAvailable(); q.stop()
+    val brute = collected(
+      Similarity.bruteForceTopK(all, all.where(col("vec_id") < 6), "vec_id", "embedding", k = 3))
+    val idx = collected(
+      VectorIndex.query(spark, dir, all.where(col("vec_id") < 6), "vec_id", "embedding",
+        k = 3, nProbe = 4))
+    assert(idx === brute,
+      "stream-ingested index must answer exactly like a batch-built one")
+  }
+
   test("build is deterministic across input layouts") {
     val c = corpus(40)
     val d1 = tmp("graft_vidx_a")
