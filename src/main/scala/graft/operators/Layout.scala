@@ -71,4 +71,60 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
   }
+
+  /** 2-D HILBERT index of two numeric columns (the locality-tighter
+    * alternative to [[zvalue]]: consecutive Hilbert cells are always
+    * grid-adjacent, where the Morton curve jumps across the key space at
+    * every power-of-two boundary — so Hilbert-clustered files cover
+    * tighter hyper-rectangles and range filters prune a little better on
+    * the same budget). Classic bit-level construction (Hamilton's xy2d):
+    * per level, the quadrant digit joins `d` and the frame rotates.
+    *
+    * Implementation note: the per-level rotation rewrites BOTH x and y
+    * in terms of both — as one nested Column expression the tree would
+    * grow 3^bits nodes, so [[withHilbertValue]] materializes each level
+    * as a projection (named columns re-used, total plan size linear in
+    * `bits`, all of it codegen'd arithmetic — no UDF). */
+  def withHilbertValue(df: DataFrame, xCol: String, yCol: String,
+      out: String, bits: Int = 12): DataFrame = {
+    require(2 * bits <= 62, s"hilbert needs 2*$bits d-bits; must fit a long")
+    val aggs = Seq(min(col(xCol)), max(col(xCol)), min(col(yCol)), max(col(yCol)))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    val hx = scaled(col(xCol), lit(stats.get(0)), lit(stats.get(1)), bits)
+    val hy = scaled(col(yCol), lit(stats.get(2)), lit(stats.get(3)), bits)
+    val n1 = lit((1L << bits) - 1) // reflection uses the FULL grid size
+    var cur = df.withColumn("__hx", hx).withColumn("__hy", hy)
+      .withColumn(out, lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = lit(1L << i)
+      val rx = when(col("__hx").bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
+      val ry = when(col("__hy").bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
+      val nd = col(out) + s * s * ((lit(3L) * rx).bitwiseXOR(ry))
+      val refl = rx === 1 // && ry === 0, but the rewrite is gated on ry below
+      val nx = when(ry === 0, when(refl, n1 - col("__hy")).otherwise(col("__hy")))
+        .otherwise(col("__hx"))
+      val ny = when(ry === 0, when(refl, n1 - col("__hx")).otherwise(col("__hx")))
+        .otherwise(col("__hy"))
+      cur = cur.withColumn("__nx", nx).withColumn("__ny", ny).withColumn(out, nd)
+        .withColumn("__hx", col("__nx")).withColumn("__hy", col("__ny"))
+        .drop("__nx", "__ny")
+    }
+    cur.drop("__hx", "__hy")
+  }
+
+  /** [[zcluster]]'s Hilbert twin: range-partition into `targetFiles`
+    * curve-contiguous partitions, sort within each. One stats pass + one
+    * shuffle, identical cost shape to z-clustering. */
+  def hilbertCluster(df: DataFrame, xCol: String, yCol: String,
+      targetFiles: Int, bits: Int = 12): DataFrame =
+    withHilbertValue(df, xCol, yCol, "__h", bits)
+      .repartitionByRange(targetFiles, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+
+  /** [[zorderWrite]]'s Hilbert twin. */
+  def hilbertWrite(df: DataFrame, xCol: String, yCol: String, path: String,
+      targetFiles: Int, bits: Int = 12): Unit =
+    hilbertCluster(df, xCol, yCol, targetFiles, bits)
+      .write.mode("overwrite").parquet(path)
 }

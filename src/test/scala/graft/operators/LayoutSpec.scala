@@ -48,4 +48,62 @@ class LayoutSpec extends SparkSpec {
     val zCust = filesHit(fileRanges(zDir, "o_custkey"), medCust)
     assert(zCust <= 8, s"z-order should also skip files on custkey (hit $zCust)")
   }
+
+  /** Driver-side reference xy2d (Hamilton's classic loop). */
+  private def refHilbert(bits: Int, x0: Long, y0: Long): Long = {
+    var (x, y, d) = (x0, y0, 0L)
+    val n = 1L << bits
+    var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  test("hilbert value: a true space-filling curve (each step grid-adjacent), matches reference") {
+    val bits = 3 // the full 8×8 grid, exhaustively
+    val grid = (for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y)).toDF("x", "y")
+    val got = Layout.withHilbertValue(grid, "x", "y", "d", bits)
+      .select(col("x"), col("y"), col("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // bijective onto 0..63 and every consecutive pair of cells adjacent —
+    // the locality property Morton order does NOT have
+    assert(got.map(_._3).sorted.toSeq === (0L until 64L))
+    val byD = got.sortBy(_._3)
+    byD.sliding(2).foreach { case Array((x1, y1, _), (x2, y2, _)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
+        s"curve jumped from ($x1,$y1) to ($x2,$y2)")
+    }
+    got.foreach { case (x, y, d) => assert(d === refHilbert(bits, x, y)) }
+  }
+
+  test("hilbert layout prunes both dimensions, at least as tightly as z-order on average") {
+    val orders = Tables(spark, sf001, "orders")
+    val hDir = java.nio.file.Files.createTempDirectory("graft_hilbert").toString
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder_cmp").toString
+    Layout.hilbertWrite(orders, "o_custkey", "o_totalprice", hDir, targetFiles = 16)
+    Layout.zorderWrite(orders, Seq("o_custkey", "o_totalprice"), zDir, targetFiles = 16)
+    assert(spark.read.parquet(hDir).count() === orders.count())
+
+    def avgHit(dir: String, c: String, pts: Seq[Double]): Double = {
+      val ranges = fileRanges(dir, c)
+      pts.map(v => filesHit(ranges, v)).sum.toDouble / pts.size
+    }
+    val pricePts = orders.stat.approxQuantile("o_totalprice",
+      Array(0.1, 0.3, 0.5, 0.7, 0.9), 0.01).toSeq
+    val custPts = orders.stat.approxQuantile("o_custkey",
+      Array(0.1, 0.3, 0.5, 0.7, 0.9), 0.01).toSeq
+    val hAvg = avgHit(hDir, "o_totalprice", pricePts) + avgHit(hDir, "o_custkey", custPts)
+    val zAvg = avgHit(zDir, "o_totalprice", pricePts) + avgHit(zDir, "o_custkey", custPts)
+    assert(hAvg <= 16.0, s"hilbert point queries should skip most files (avg $hAvg of 32)")
+    assert(hAvg <= zAvg + 2.0,
+      s"hilbert locality should be in z-order's class or better (h=$hAvg z=$zAvg)")
+  }
 }
