@@ -82,6 +82,38 @@ object DeltaRead {
         if (d.isNullAt(4)) 0L else d.getLong(4)))
     }
 
+  private def parseDvNode(
+      n: com.fasterxml.jackson.databind.JsonNode): Option[DeletionVectors.Descriptor] =
+    if (n == null || n.isMissingNode || n.isNull) None
+    else Some(DeletionVectors.Descriptor(
+      n.path("storageType").asText(), n.path("pathOrInlineDv").asText(),
+      if (n.has("offset") && !n.path("offset").isNull) Some(n.path("offset").asInt())
+      else None,
+      n.path("sizeInBytes").asInt(0), n.path("cardinality").asLong(0L)))
+
+  /** One commit's action objects, parsed ON THE DRIVER (Jackson over the
+    * hadoop stream). A commit JSON is a handful of KB of metadata;
+    * replaying a long log through per-commit `spark.read.json` JOBS costs
+    * ~40 ms of scheduler floor EACH — O(commits) Spark jobs for zero
+    * distributed work. Driver parsing makes log replay a pure metadata
+    * fold, the shape every production Delta reader uses. */
+  private def commitActionNodes(hfs: org.apache.hadoop.fs.FileSystem,
+      table: String, v: Long): Seq[com.fasterxml.jackson.databind.JsonNode] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val p = new org.apache.hadoop.fs.Path(s"${logPath(table)}/${f"$v%020d"}.json")
+    val in = hfs.open(p)
+    try {
+      val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+      Iterator.continually(reader.readLine()).takeWhile(_ != null)
+        .filter(_.trim.nonEmpty).map(om.readTree).toList
+    } finally in.close()
+  }
+
+  private def nodeStr(n: com.fasterxml.jackson.databind.JsonNode, f: String): String = {
+    val v = n.path(f)
+    if (v.isMissingNode || v.isNull) null else v.asText()
+  }
+
   private def logPath(table: String) = s"${table.stripSuffix("/")}/_delta_log"
 
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
@@ -216,41 +248,53 @@ object DeltaRead {
 
     val pending = commitVersions.filter(v => v > fromCheckpoint.getOrElse(-1L) && v <= target)
     pending.foreach { v =>
-      val commit = spark.read.schema(StructType.fromDDL(actionsDdl))
-        .json(s"${logPath(table)}/${f"$v%020d"}.json")
-        .select(col("add.path").as("ap"), col("add.partitionValues").as("pv"),
-          col("remove.path").as("rp"),
-          col("metaData.schemaString").as("ss"), col("metaData.partitionColumns").as("pc"),
-          col("metaData.format.provider").as("fp"),
-          col("protocol.minReaderVersion").as("mrv"),
-          coalesce(col("add.size"), lit(0L)).as("sz"),
-          coalesce(col("add.modificationTime"), lit(0L)).as("mt"),
-          col("metaData.configuration").as("conf"),
-          col("protocol.readerFeatures").as("rfeat"),
-          col("add.deletionVector").as("dv"),
-          col("metaData.id").as("mid"),
-          col("add.stats").as("st"))
-        .collect()
-      commit.foreach { r =>
-        if (!r.isNullAt(6)) minReader = math.max(minReader, r.getInt(6))
-        if (!r.isNullAt(10)) readerFeatures ++= r.getSeq[String](10)
-        if (!r.isNullAt(3) || !r.isNullAt(5))
-          applyMeta(if (r.isNullAt(12)) null else r.getString(12),
-            if (r.isNullAt(3)) null else r.getString(3),
-            if (r.isNullAt(4)) Seq.empty else r.getSeq[String](4).toSeq,
-            if (r.isNullAt(5)) null else r.getString(5),
-            if (r.isNullAt(9)) Map.empty else r.getMap[String, String](9).toMap)
+      val actions = commitActionNodes(hfs, table, v)
+      actions.foreach { a =>
+        val pr = a.path("protocol")
+        if (!pr.isMissingNode && !pr.isNull) {
+          minReader = math.max(minReader, pr.path("minReaderVersion").asInt(1))
+          if (pr.has("readerFeatures") && !pr.path("readerFeatures").isNull)
+            readerFeatures ++= pr.path("readerFeatures").elements().asScala.map(_.asText())
+        }
+        val md = a.path("metaData")
+        if (!md.isMissingNode && !md.isNull) {
+          val provider = {
+            val p = md.path("format").path("provider")
+            if (p.isMissingNode || p.isNull) null else p.asText()
+          }
+          if (md.has("schemaString") || provider != null)
+            applyMeta(nodeStr(md, "id"), nodeStr(md, "schemaString"),
+              if (md.has("partitionColumns") && !md.path("partitionColumns").isNull)
+                md.path("partitionColumns").elements().asScala.map(_.asText()).toSeq
+              else Seq.empty,
+              provider,
+              if (md.has("configuration") && !md.path("configuration").isNull)
+                md.path("configuration").fields().asScala
+                  .map(e => e.getKey -> e.getValue.asText()).toMap
+              else Map.empty)
+        }
       }
       // removes first, then adds: a commit that rewrites a file (remove+add
       // of the same path) must leave it live
-      commit.foreach(r => if (!r.isNullAt(2)) live.remove(resolve(table, r.getString(2))))
-      commit.foreach { r =>
-        if (!r.isNullAt(0)) {
-          val p = resolve(table, r.getString(0))
-          live(p) = LiveFile(p,
-            Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty),
-            r.getLong(7), r.getLong(8), parseDv(r, 11),
-            if (r.isNullAt(13)) None else Some(r.getString(13)))
+      actions.foreach { a =>
+        val rm = a.path("remove")
+        if (!rm.isMissingNode && !rm.isNull && rm.has("path"))
+          live.remove(resolve(table, rm.path("path").asText()))
+      }
+      actions.foreach { a =>
+        val ad = a.path("add")
+        if (!ad.isMissingNode && !ad.isNull && ad.has("path")) {
+          val p = resolve(table, ad.path("path").asText())
+          val pv: Map[String, String] =
+            if (ad.has("partitionValues") && !ad.path("partitionValues").isNull)
+              ad.path("partitionValues").fields().asScala
+                .map(e => e.getKey ->
+                  (if (e.getValue.isNull) null else e.getValue.asText())).toMap
+            else Map.empty
+          live(p) = LiveFile(p, pv,
+            ad.path("size").asLong(0L), ad.path("modificationTime").asLong(0L),
+            parseDvNode(ad.path("deletionVector")),
+            Option(nodeStr(ad, "stats")))
         }
       }
     }
@@ -306,13 +350,14 @@ object DeltaRead {
           .collect().foreach(r => marks(r.getString(0)) = r.getLong(1))
     }
     commitVersions.filter(_ > fromCheckpoint.getOrElse(-1L)).foreach { v =>
-      spark.read.schema(StructType.fromDDL("txn STRUCT<appId: STRING, version: BIGINT>"))
-        .json(s"${logPath(table)}/${f"$v%020d"}.json")
-        .where(col("txn").isNotNull).select(col("txn.appId"), col("txn.version"))
-        .collect().foreach { r =>
-          val prev = marks.getOrElse(r.getString(0), Long.MinValue)
-          marks(r.getString(0)) = math.max(prev, r.getLong(1))
+      commitActionNodes(hfs, table, v).foreach { a =>
+        val t = a.path("txn")
+        if (!t.isMissingNode && !t.isNull && t.has("appId")) {
+          val app = t.path("appId").asText()
+          marks(app) = math.max(marks.getOrElse(app, Long.MinValue),
+            t.path("version").asLong(Long.MinValue))
         }
+      }
     }
     marks.toMap
   }
