@@ -34,42 +34,70 @@ object VectorIndex {
 
   /** Train nCells k-means centroids (deterministic seeded init, see
     * [[Similarity.kmeansCentroids]]), assign every corpus vector, write
-    * the cell-clustered layout. Overwrites any index at `dir`. */
+    * the cell-clustered layout. Overwrites any index at `dir`.
+    *
+    * `format = "delta"` backs the vector store with a Delta table
+    * instead of plain parquet: every [[add]] becomes an ATOMIC commit
+    * (a crash mid-ingest can never leave a reader seeing half a batch),
+    * concurrent adds serialize through optimistic commits, and the index
+    * is VERSIONED — [[query]]'s `version` parameter answers from any
+    * past state of the corpus (point-in-time ANN). Probe pruning is the
+    * same: Delta's log-level partition pruning replaces the directory
+    * skip. */
   def build(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
-      nCells: Int = 16, iters: Int = 5): Unit = {
+      nCells: Int = 16, iters: Int = 5, format: String = "parquet"): Unit = {
+    require(format == "parquet" || format == "delta",
+      s"unsupported index format '$format' (parquet | delta)")
     val cents = Similarity.kmeansCentroids(corpus, idCol, vecCol, nCells, iters)
       .localCheckpoint()
     cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    // a rebuild replaces the store outright (writeAssigned appends)
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr); f.delete()
+    }
+    rmr(new java.io.File(s"$dir/vectors"))
     writeAssigned(corpus.select(col(idCol), col(vecCol)), idCol, vecCol,
-      cents, dir, overwrite = true)
+      cents, dir, format)
   }
 
   /** Incremental ingest: assign `batch` with the index's FROZEN
-    * quantizer and append into the cell dirs. Cheap by construction —
+    * quantizer and append into the cell layout. Cheap by construction —
     * one broadcast assignment pass + an append-only clustered write;
-    * nothing existing is read or rewritten. (Re-[[build]] when drift
-    * makes the frozen centroids a bad fit.) */
+    * nothing existing is read or rewritten. One atomic commit per batch
+    * on a Delta-backed index. (Re-[[build]] when drift makes the frozen
+    * centroids a bad fit.) */
   def add(spark: SparkSession, dir: String, batch: DataFrame,
-      idCol: String, vecCol: String): Unit =
+      idCol: String, vecCol: String): Unit = {
+    val format = graft.sources.Lake.detect(spark, s"$dir/vectors") match {
+      case graft.sources.Lake.Delta => "delta"
+      case _ => "parquet"
+    }
     writeAssigned(batch.select(col(idCol), col(vecCol)), idCol, vecCol,
-      spark.read.parquet(s"$dir/centroids"), dir, overwrite = false)
+      spark.read.parquet(s"$dir/centroids"), dir, format)
+  }
 
   private def writeAssigned(vecs: DataFrame, idCol: String, vecCol: String,
-      cents: DataFrame, dir: String, overwrite: Boolean): Unit =
-    Similarity.assignCells(vecs, vecCol, cents)
+      cents: DataFrame, dir: String, format: String): Unit = {
+    val assigned = Similarity.assignCells(vecs, vecCol, cents)
       .select(col(idCol), col(vecCol), col("__cell").as("cell"))
-      .repartition(col("cell")) // few files per cell dir, not one per task
-      .write.mode(if (overwrite) "overwrite" else "append")
-      .partitionBy("cell").parquet(s"$dir/vectors")
+      .repartition(col("cell")) // few files per cell, not one per task
+    if (format == "delta")
+      graft.sources.DeltaWrite.append(vecs.sparkSession, assigned,
+        s"$dir/vectors", partitionBy = Seq("cell"))
+    else assigned.write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+  }
 
   /** Top-k cosine neighbors from the persisted index: per query the
     * nProbe closest cells by centroid cosine (ties toward the lower cell
     * id), then exact scoring INSIDE the probed cells only. Self-matches
     * (same id) excluded, matching [[Similarity.bruteForceTopK]]. With
     * nProbe ≥ nCells the result is exactly brute force. Output:
-    * (vec_id, rank, nn_id, cosine). */
+    * (vec_id, rank, nn_id, cosine). On a Delta-backed index `version`
+    * time-travels the corpus (point-in-time ANN — "what were the
+    * neighbors before yesterday's ingest"); refused on plain parquet. */
   def query(spark: SparkSession, dir: String, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 2,
+      version: Long = -1L): DataFrame = {
     val cents = spark.read.parquet(s"$dir/centroids")
       .withColumn("cent_n", VectorOps.norm(col("centroid")))
     val q = queries
@@ -91,7 +119,21 @@ object VectorIndex {
     // into a directory-level skip of every unprobed cell
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val members = spark.read.parquet(s"$dir/vectors")
+    val probedSet = probedCells.map(_.toString).toSet
+    val store = s"$dir/vectors"
+    val scan = graft.sources.Lake.detect(spark, store) match {
+      case graft.sources.Lake.Delta =>
+        // log-level partition pruning (the keep callback sees the log's
+        // partitionValues strings) — unprobed cells' files never listed
+        graft.sources.DeltaRead.snapshotPruned(spark, store,
+          pv => pv.get("cell").exists(probedSet), version)
+      case _ =>
+        require(version < 0,
+          s"a plain-parquet index at $dir has no versions (asked for $version) — " +
+            "build with format=\"delta\" for point-in-time queries")
+        spark.read.parquet(store)
+    }
+    val members = scan
       .where(col("cell").isin(probedCells.map(Int.box): _*))
       .select(col("cell"), col(idCol).as("c_id"),
         VectorOps.asDouble(col(vecCol)).as("cv"))

@@ -116,6 +116,39 @@ class VectorIndexSpec extends SparkSpec {
       "stream-ingested index must answer exactly like a batch-built one")
   }
 
+  test("delta-backed index: atomic versioned ingest, point-in-time queries") {
+    val all = corpus(50)
+    val first = all.where(col("vec_id") < 30)
+    val dir = tmp("graft_vidx_delta")
+    VectorIndex.build(first, "vec_id", "embedding", dir, nCells = 4, iters = 3,
+      format = "delta")
+    val store = s"$dir/vectors"
+    assert(graft.sources.Lake.detect(spark, store) === graft.sources.Lake.Delta)
+    val v0 = graft.sources.DeltaRead.snapshotInfo(spark, store).version
+    VectorIndex.add(spark, dir, all.where(col("vec_id") >= 30), "vec_id", "embedding")
+    assert(graft.sources.DeltaRead.snapshotInfo(spark, store).version === v0 + 1,
+      "one ingest batch = one atomic commit")
+
+    val q6 = all.where(col("vec_id") < 6)
+    // current state == brute force over the union
+    assert(collected(VectorIndex.query(spark, dir, q6, "vec_id", "embedding",
+        k = 3, nProbe = 4)) ===
+      collected(Similarity.bruteForceTopK(all, q6, "vec_id", "embedding", k = 3)))
+    // point-in-time: version v0 answers as if the ingest never happened
+    assert(collected(VectorIndex.query(spark, dir, q6, "vec_id", "embedding",
+        k = 3, nProbe = 4, version = v0)) ===
+      collected(Similarity.bruteForceTopK(first, q6, "vec_id", "embedding", k = 3)))
+    // probe pruning survives the Delta path too: fewer cells, same top cell
+    assert(collected(VectorIndex.query(spark, dir, q6, "vec_id", "embedding",
+      k = 3, nProbe = 1)).nonEmpty)
+    // plain-parquet indexes refuse time travel loudly
+    val pdir = tmp("graft_vidx_plain")
+    VectorIndex.build(first, "vec_id", "embedding", pdir, nCells = 4, iters = 3)
+    intercept[IllegalArgumentException](
+      VectorIndex.query(spark, pdir, q6, "vec_id", "embedding",
+        k = 3, nProbe = 4, version = 0L).collect())
+  }
+
   test("build is deterministic across input layouts") {
     val c = corpus(40)
     val d1 = tmp("graft_vidx_a")
