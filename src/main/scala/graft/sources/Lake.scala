@@ -938,16 +938,24 @@ object Lake {
   }
 
   /** Result-set statement surface: `DESCRIBE HISTORY '<path>'` returns
-    * the commit history frame; `VACUUM ...` returns the deleted paths
-    * (one `path` row each); every other statement executes via [[sql]]
-    * and returns its committed version as a single-row `version` frame. */
+    * the commit history frame; `SHOW PARTITIONS '<path>'` the metadata-
+    * only [[partitionSummary]]; `SELECT COUNT(*) FROM '<path>'` the
+    * metadata-first [[rowCount]] as a (count, from_metadata) row;
+    * `VACUUM ...` returns the deleted paths (one `path` row each); every
+    * other statement executes via [[sql]] and returns its committed
+    * version as a single-row `version` frame. */
   def sqlFrame(spark: SparkSession, statement: String): DataFrame = {
     import spark.implicits._
     val s = statement.trim.stripSuffix(";").trim
     val DescribeHistory = """(?is)DESCRIBE\s+HISTORY\s+'([^']+)'\s*""".r
+    val ShowPartitions = """(?is)SHOW\s+PARTITIONS\s+'([^']+)'\s*""".r
+    val CountStar = """(?is)SELECT\s+COUNT\s*\(\s*\*\s*\)\s+FROM\s+'([^']+)'\s*""".r
     val Vacuum = """(?is)VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(FORCE)?\s*""".r
     s match {
       case DescribeHistory(path) => history(spark, path)
+      case ShowPartitions(path) => partitionSummary(spark, path)
+      case CountStar(path) =>
+        Seq(rowCount(spark, path)).toDF("count", "from_metadata")
       case Vacuum(path, retainOrNull, forceOrNull) =>
         val retain = Option(retainOrNull).map(_.toInt).getOrElse(1)
         val age = if (forceOrNull != null) 0L else 24L * 3600 * 1000

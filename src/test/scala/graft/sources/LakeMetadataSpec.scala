@@ -60,6 +60,17 @@ class LakeMetadataSpec extends SparkSpec {
       "plain parquet counts by scanning")
   }
 
+  test("SQL surface: SHOW PARTITIONS and SELECT COUNT(*) dispatch to metadata") {
+    val d = tmp("lm_sql")
+    DeltaWrite.append(spark, sample, d, partitionBy = Seq("p"))
+    DeltaWrite.deleteWhere(spark, d, col("id") % 10 === 0L)
+    val parts = Lake.sqlFrame(spark, s"SHOW PARTITIONS '$d'")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(parts.keySet === Set("p=0", "p=1", "p=2") && parts.values.sum === 270L)
+    val cnt = Lake.sqlFrame(spark, s"SELECT COUNT(*) FROM '$d'").head()
+    assert(cnt.getLong(0) === 270L && cnt.getBoolean(1) === true)
+  }
+
   test("unpartitioned tables summarize as one '' partition") {
     val d = tmp("lm_unpart")
     DeltaWrite.append(spark, sample, d)
