@@ -450,6 +450,22 @@ object IcebergRead {
     }.toSeq
 
   def fileStats(spark: SparkSession, table: String, snapshotId: Long = -1L): DataFrame = {
+    val (df, bucketModuli) = fileStatsFull(spark, table, snapshotId)
+    if (bucketModuli.isEmpty) df
+    else df.drop(bucketModuli.keys.map(src => s"__pb_$src").toSeq: _*)
+  }
+
+  /** [[fileStats]] plus, for every default-spec `bucket[n]` partition
+    * field, a hidden `__pb_<sourceCol>` column carrying the file's
+    * partition bucket ordinal (null when the entry's manifest was written
+    * under a DIFFERENT spec — a foreign/evolved table may reuse a field
+    * name with another transform, so decoding it under this spec would
+    * prune wrongly). Returns the moduli map (source col → n) so
+    * [[scanPruned]] can project equality/IN probes through the writer's
+    * Murmur3 bucket function — the spec's partition-predicate projection
+    * for the one transform that yields no [lo, hi] interval. */
+  private[sources] def fileStatsFull(spark: SparkSession, table: String,
+      snapshotId: Long = -1L): (DataFrame, Map[String, Int]) = {
     val meta = mapper.readTree(metadataFile(table))
     val resolvedId =
       if (snapshotId >= 0) snapshotId else meta.path("current-snapshot-id").asLong(-1L)
@@ -466,17 +482,28 @@ object IcebergRead {
     // through the hidden partitioning (real Iceberg's partition-predicate
     // projection). bucket and string truncate reproduce no usable
     // interval. Real bounds, when present, win (they are tighter).
+    val defaultSpecId = meta.path("default-spec-id").asInt(0)
+    val nSpecs = meta.path("partition-specs").elements().asScala.size
     val partFieldFor: Map[String, (String, String)] = { // source col → (transform, part field)
-      val specId = meta.path("default-spec-id").asInt(0)
       val srcName = fields.map { case (id, n, _) => id -> n }.toMap
       meta.path("partition-specs").elements().asScala.toSeq
-        .find(_.path("spec-id").asInt(-1) == specId).toSeq
+        .find(_.path("spec-id").asInt(-1) == defaultSpecId).toSeq
         .flatMap(_.path("fields").elements().asScala)
         .flatMap { f =>
           srcName.get(f.path("source-id").asInt(-1)).map(src =>
             src -> (f.path("transform").asText(), f.path("name").asText()))
         }.toMap
     }
+    val BucketT = """bucket\[(\d+)\]""".r
+    // bucket[n] partition fields of the default spec over hashable source
+    // types: their per-file ordinals ride along as __pb_ columns
+    val bucketFields: Seq[(String, String, Int)] = // (source col, part field, n)
+      fields.collect { case (_, name, dt)
+          if Seq(IntegerType, LongType, StringType, DateType).contains(dt) =>
+        partFieldFor.get(name).collect {
+          case (BucketT(n), pf) => (name, pf, n.toInt) }
+      }.flatten
+    val bucketModuli = bucketFields.map { case (src, _, n) => src -> n }.toMap
     def partValue(dt: DataType, v: AnyRef): Any = dt match {
       case IntegerType => v.toString.toInt
       case LongType => v.toString.toLong
@@ -531,13 +558,26 @@ object IcebergRead {
       }
     }
 
-    val dataManifests: Seq[String] =
+    // (manifest path, spec-id its entries were written under): manifest-
+    // list records carry partition_spec_id; a v1 inline manifest list
+    // doesn't, so trust it only when the table defines a single spec.
+    // Derived partition intervals/buckets are decoded ONLY for entries
+    // whose spec IS the default spec partFieldFor was built from — an
+    // evolved or foreign spec may bind the same field NAME to a different
+    // transform, and decoding under the wrong transform would produce a
+    // wrong interval and an unsafe prune.
+    val dataManifests: Seq[(String, Int)] =
       if (snap.has("manifest-list"))
         avroRecords(snap.path("manifest-list").asText()).collect {
           case r if Option(r.get("content")).forall(_.toString.toInt == 0) =>
-            r.get("manifest_path").toString
+            (r.get("manifest_path").toString,
+              Option(r.getSchema.getField("partition_spec_id"))
+                .flatMap(_ => Option(r.get("partition_spec_id")))
+                .map(_.toString.toInt)
+                .getOrElse(if (nSpecs <= 1) defaultSpecId else -1))
         }
-      else snap.path("manifests").elements().asScala.map(_.asText()).toSeq
+      else snap.path("manifests").elements().asScala.map(p =>
+        (p.asText(), if (nSpecs <= 1) defaultSpecId else -1)).toSeq
 
     def opt(r: org.apache.avro.generic.GenericRecord, n: String): Option[AnyRef] =
       Option(r.getSchema.getField(n)).flatMap(_ => Option(r.get(n)))
@@ -555,7 +595,8 @@ object IcebergRead {
       case other => throw new IllegalArgumentException(s"unexpected bounds value $other")
     }
 
-    val rows = dataManifests.flatMap { mp =>
+    val rows = dataManifests.flatMap { case (mp, mSpecId) =>
+      val derivable = mSpecId == defaultSpecId
       avroRecords(mp).flatMap { entry =>
         val status = opt(entry, "status").map(_.toString.toInt).getOrElse(1)
         val df = entry.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
@@ -567,31 +608,39 @@ object IcebergRead {
           val nulls = kvMap(df, "null_value_counts")
           val partRec = opt(df, "partition")
             .collect { case r: org.apache.avro.generic.GenericRecord => r }
+          def partField(fieldName: String): Option[AnyRef] =
+            partRec.flatMap(r => Option(r.getSchema.getField(fieldName))
+              .flatMap(_ => Option(r.get(fieldName))))
           val cells = statFields.flatMap { case (id, name, dt) =>
             val mn = lower.get(id).map(b => IcebergBounds.decode(dt, bytesOf(b))).orNull
             val mx = upper.get(id).map(b => IcebergBounds.decode(dt, bytesOf(b))).orNull
             val (mn2, mx2) =
-              if (mn == null && mx == null) {
+              if (mn == null && mx == null && derivable) {
                 partFieldFor.get(name).flatMap { case (transform, fieldName) =>
-                  partRec.flatMap(r => Option(r.getSchema.getField(fieldName))
-                    .flatMap(_ => Option(r.get(fieldName))))
-                    .map(derivedInterval(transform, dt, _))
+                  partField(fieldName).map(derivedInterval(transform, dt, _))
                 }.getOrElse((null, null))
               } else (mn, mx)
             Seq(mn2, mx2, nulls.get(id).map(v => Long.box(v.toString.toLong)).orNull) }
+          val pbCells = bucketFields.map { case (_, pf, _) =>
+            if (!derivable) null
+            else partField(pf).map(v => Int.box(v.toString.toInt)).orNull
+          }
           Some(org.apache.spark.sql.Row.fromSeq(
             localPath(df.get("file_path").toString) +:
-              df.get("record_count").toString.toLong +: cells))
+              df.get("record_count").toString.toLong +: (cells ++ pbCells)))
         }
       }
     }
     val outSchema = StructType(
       StructField("file", StringType) :: StructField("rows", LongType) ::
-        statFields.flatMap { case (_, n, dt) => Seq(
+        (statFields.flatMap { case (_, n, dt) => Seq(
           StructField(s"min_$n", dt), StructField(s"max_$n", dt),
-          StructField(s"nulls_$n", LongType)) }.toList)
-    spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), outSchema)
+          StructField(s"nulls_$n", LongType)) } ++
+          bucketFields.map { case (src, _, _) =>
+            StructField(s"__pb_$src", IntegerType) }).toList)
+    (spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), outSchema),
+      bucketModuli)
   }
 
   /** Live data-entry summaries of a snapshot, straight from the
@@ -699,7 +748,7 @@ object IcebergRead {
     val schema = StructType(fieldTriples(schemaNodeFor(meta, snapNode)).map {
       case (_, n, dt) => StructField(n, dt)
     })
-    val stats = fileStats(spark, table, resolvedId)
+    val (stats, bucketModuli) = fileStatsFull(spark, table, resolvedId)
     val statCols = stats.columns.collect {
       case c if c.startsWith("min_") => c.stripPrefix("min_") }.toSet
     // analyzed plan over an empty same-schema frame: same move as the
@@ -711,11 +760,76 @@ object IcebergRead {
       .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
     val survives = cond.map(graft.operators.DataSkipping.fileSurvives(_, statCols))
       .getOrElse(org.apache.spark.sql.functions.lit(true))
+    // bucket[n] partition-predicate projection rides as an extra conjunct:
+    // min/max intervals can't express a bucket, but an equality/IN probe
+    // CAN be hashed with the writer's transform and compared to each
+    // file's partition ordinal
+    val bucketKeep = cond.map(bucketProjection(_, bucketModuli))
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
     val total = stats.count()
-    val keep = stats.where(survives).select("file").collect().map(_.getString(0)).toSet
+    val keep = stats.where(survives && bucketKeep)
+      .select("file").collect().map(_.getString(0)).toSet
     val df = snapshotImpl(spark, table, resolvedId, lineage = false,
       keepPaths = Some(keep)).where(pred)
     (df, keep.size.toLong, total)
+  }
+
+  /** Partition-predicate projection for `bucket[n]` transforms: a
+    * top-level equality/IN conjunct on a bucket-partitioned source column
+    * keeps only files whose partition bucket ordinal equals the probe
+    * value's bucket under the writer's Murmur3 transform — the spec FIXES
+    * that hash ([[IcebergTransforms.murmur3]]), so the projection is
+    * valid for tables written by any conforming engine. Only top-level
+    * AND legs are projected; every other shape — and any file whose
+    * `__pb_` ordinal is null (different-spec entry, missing partition
+    * record) — keeps the file, conservative like
+    * [[graft.operators.DataSkipping.fileSurvives]]. This is the one
+    * transform [[fileStats]]' derived intervals cannot cover: a bucket
+    * ordinal maps to no [lo, hi] source range, so without projection an
+    * external bucket-partitioned table with stripped bounds full-scans
+    * under point lookups. */
+  private def bucketProjection(pred: org.apache.spark.sql.catalyst.expressions.Expression,
+      moduli: Map[String, Int]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, In, Literal}
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    if (moduli.isEmpty) return lit(true)
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    // the probe value's bucket, hashed exactly as the writer hashed the
+    // column (ints widen to the 8-byte long form; dates hash epoch days;
+    // strings hash UTF-8) — None for shapes/types outside the projection
+    def bucketOf(name: String, v: Any, dt: DataType): Option[Int] = {
+      val h = (dt, v) match {
+        case (_, null) => None
+        case (IntegerType, i: Int) => Some(IcebergTransforms.hashLong(i.toLong))
+        case (LongType, l: Long) => Some(IcebergTransforms.hashLong(l))
+        case (DateType, d: Int) => Some(IcebergTransforms.hashLong(d.toLong))
+        case (StringType, s) => Some(IcebergTransforms.hashString(s.toString))
+        case _ => None
+      }
+      h.map(IcebergTransforms.bucketValue(_, moduli(name)))
+    }
+    def eqKeep(name: String, v: Any, dt: DataType): org.apache.spark.sql.Column =
+      bucketOf(name, v, dt)
+        .map(b => coalesce(col(s"__pb_$name") === lit(b), lit(true)))
+        .getOrElse(lit(true))
+    val legs = conjuncts(pred).map {
+      case EqualTo(a: AttributeReference, Literal(v, dt)) if moduli.contains(a.name) =>
+        eqKeep(a.name, v, dt)
+      case EqualTo(Literal(v, dt), a: AttributeReference) if moduli.contains(a.name) =>
+        eqKeep(a.name, v, dt)
+      case In(a: AttributeReference, vs) if moduli.contains(a.name) &&
+          vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val bs = vs.map { case Literal(v, dt) => bucketOf(a.name, v, dt) }
+        if (bs.exists(_.isEmpty)) lit(true)
+        else coalesce(
+          col(s"__pb_${a.name}").isin(bs.flatten.distinct.map(Int.box): _*), lit(true))
+      case _ => lit(true)
+    }
+    legs.reduce(_ && _)
   }
 
   /** CHANGELOG between two snapshots — the read-side twin of

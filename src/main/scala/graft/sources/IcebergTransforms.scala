@@ -115,10 +115,12 @@ private[sources] object IcebergTransforms {
       // pre-1970 instants land on the correct (negative) ordinal too
       case TimestampType => floor(unix_timestamp(c) / 86400L).cast(IntegerType)
       // NTZ (Iceberg `timestamp` without zone): the spec's day ordinal is
-      // over the stored wall-clock value — reinterpret as UTC to reuse the
-      // epoch-second path (identical µs under a UTC session).
+      // over the stored wall-clock value. to_date over NTZ reads the wall
+      // clock directly — no cast through TimestampType, which would
+      // reinterpret via spark.sql.session.timeZone and shift the ordinal
+      // under any non-UTC session.
       case TimestampNTZType =>
-        floor(unix_timestamp(c.cast(TimestampType)) / 86400L).cast(IntegerType)
+        datediff(to_date(c), to_date(lit("1970-01-01")))
       case other => throw new IllegalArgumentException(
         s"day() needs a date/timestamp source, got $other for '$source'")
     }
@@ -133,45 +135,58 @@ private[sources] object IcebergTransforms {
     def resultType(srcType: DataType): DataType = IntegerType
     def column(c: Column, srcType: DataType): Column = srcType match {
       case TimestampType => floor(unix_timestamp(c) / 3600L).cast(IntegerType)
+      // NTZ wall clock: day ordinal × 24 + wall hour — to_date/hour over
+      // NTZ never consult the session timezone (a cast through
+      // TimestampType would)
       case TimestampNTZType =>
-        floor(unix_timestamp(c.cast(TimestampType)) / 3600L).cast(IntegerType)
+        (datediff(to_date(c), to_date(lit("1970-01-01"))).cast(LongType) * 24L +
+          hour(c)).cast(IntegerType)
       case other => throw new IllegalArgumentException(
         s"hour() needs a timestamp source, got $other for '$source'")
     }
   }
 
+  /** Session-TZ-independent UTC civil date of a transform source: dates
+    * pass through (pure calendar values); timestamps — UTC instants — go
+    * through epoch-day arithmetic and `date_add` from the epoch, so the
+    * `year()`/`month()` field extraction downstream runs over DateType
+    * and never consults `spark.sql.session.timeZone`; NTZ reads the wall
+    * clock via `to_date` (no zone involved). The spec defines the time
+    * transforms in UTC — this keeps partition ordinals spec-correct even
+    * when a caller's session runs a non-UTC timezone (a `year(ts)` over
+    * TimestampType would silently use the session zone). */
+  private def utcCivilDate(c: Column, srcType: DataType, what: String): Column =
+    srcType match {
+      case DateType => c
+      case TimestampType => date_add(to_date(lit("1970-01-01")),
+        floor(unix_timestamp(c) / 86400L).cast(IntegerType))
+      case TimestampNTZType => to_date(c)
+      case other => throw new IllegalArgumentException(
+        s"$what needs a date/timestamp source, got $other")
+    }
+
   /** `month(ts)`: months from 1970-01 — `(year-1970)*12 + (month-1)`,
-    * sign-correct for pre-1970 (1969-12 → -1). UTC fields for timestamps
-    * (the session runs UTC), calendar fields for dates. */
+    * sign-correct for pre-1970 (1969-12 → -1). UTC calendar fields via
+    * [[utcCivilDate]] (spec-correct under any session timezone). */
   case class Month(source: String) extends Transform {
     def fieldName: String = s"${source}_month"
     def transformString = "month"
     def resultType(srcType: DataType): DataType = IntegerType
     def column(c: Column, srcType: DataType): Column = {
-      val v = srcType match {
-        case DateType | TimestampType => c
-        case TimestampNTZType => c.cast(TimestampType)
-        case other => throw new IllegalArgumentException(
-          s"month() needs a date/timestamp source, got $other for '$source'")
-      }
-      ((year(v) - lit(1970)) * lit(12) + (month(v) - lit(1))).cast(IntegerType)
+      val d = utcCivilDate(c, srcType, s"month() for '$source'")
+      ((year(d) - lit(1970)) * lit(12) + (month(d) - lit(1))).cast(IntegerType)
     }
   }
 
-  /** `year(ts)`: years from 1970 (an int — 2024 → 54, 1969 → -1). */
+  /** `year(ts)`: years from 1970 (an int — 2024 → 54, 1969 → -1). UTC
+    * calendar fields via [[utcCivilDate]]. */
   case class Year(source: String) extends Transform {
     def fieldName: String = s"${source}_year"
     def transformString = "year"
     def resultType(srcType: DataType): DataType = IntegerType
-    def column(c: Column, srcType: DataType): Column = {
-      val v = srcType match {
-        case DateType | TimestampType => c
-        case TimestampNTZType => c.cast(TimestampType)
-        case other => throw new IllegalArgumentException(
-          s"year() needs a date/timestamp source, got $other for '$source'")
-      }
-      (year(v) - lit(1970)).cast(IntegerType)
-    }
+    def column(c: Column, srcType: DataType): Column =
+      (year(utcCivilDate(c, srcType, s"year() for '$source'")) - lit(1970))
+        .cast(IntegerType)
   }
 
   case class Bucket(n: Int, source: String) extends Transform {

@@ -176,4 +176,71 @@ class IcebergStatsSpec extends SparkSpec {
     assert(total === 4L && hit === 1L, s"truncate projection should prune ($hit of $total)")
     assert(df.count() === 25L)
   }
+
+  test("bucket partition projection prunes equality/IN probes on bound-less files") {
+    val table = tmp("ice_bucket_noband")
+    IcebergWrite.append(spark, (0L until 100L).map(i => (i, s"r$i")).toDF("id", "s"),
+      table, Seq("bucket(4, id)"))
+    stripBounds(table)
+    def bucketOf(i: Long) =
+      IcebergTransforms.bucketValue(IcebergTransforms.hashLong(i), 4)
+    // files per bucket value, from the manifest summaries (several input
+    // partitions feed each bucket, so a bucket holds >1 file)
+    val filesIn: Map[Int, Long] = IcebergRead.partitionSummary(spark, table)
+      .collect().map(r => r.getString(0).stripPrefix("id_bucket=").toInt ->
+        r.getAs[Long]("n_files")).toMap
+    val total0 = filesIn.values.sum
+    // equality probe: only the probe value's bucket survives — the one
+    // transform min/max intervals can never express
+    val (df, hit, total) = IcebergRead.scanPruned(spark, table, col("id") === 7L)
+    assert(total === total0 && hit === filesIn(bucketOf(7L)),
+      s"bucket projection should keep exactly the probe's bucket ($hit of $total)")
+    assert(hit < total)
+    assert(df.count() === 1L)
+    // IN probe: the union of the probe values' buckets
+    val probes = Seq(7L, 8L, 9L)
+    val wantFiles = probes.map(bucketOf).distinct.map(filesIn).sum
+    val (df2, hit2, _) = IcebergRead.scanPruned(spark, table, col("id").isin(probes: _*))
+    assert(hit2 === wantFiles, s"IN should keep $wantFiles files, kept $hit2")
+    assert(df2.count() === 3L)
+    // a range probe cannot project through a hash bucket — conservative
+    val (df3, hit3, _) = IcebergRead.scanPruned(spark, table, col("id") >= 75L)
+    assert(hit3 === total0 && df3.count() === 25L)
+  }
+
+  test("derived partition values are NOT decoded for entries of a non-default spec") {
+    val table = tmp("ice_spec_gate")
+    IcebergWrite.append(spark, (0L until 100L).map(i => (i, s"r$i")).toDF("id", "s"),
+      table, Seq("truncate(25, id)"))
+    stripBounds(table)
+    // surgery: a second spec REUSES the field name "id_trunc" bound to a
+    // DIFFERENT transform (identity) and becomes the default — the
+    // foreign/evolved-table shape where name-based resolution would
+    // decode the spec-0 entries' value 0 as identity [0, 0] instead of
+    // truncate [0, 24] and wrongly prune the file holding id = 10
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    val metaDir = new java.io.File(s"$table/metadata")
+    val v = java.nio.file.Files.readString(
+      new java.io.File(metaDir, "version-hint.text").toPath).trim
+    val metaFile = new java.io.File(metaDir, s"v$v.metadata.json")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(metaFile).asInstanceOf[ObjectNode]
+    val specs = root.withArray("partition-specs")
+    val srcId = specs.get(0).path("fields").get(0).path("source-id").asInt()
+    val spec1 = om.createObjectNode()
+    spec1.put("spec-id", 1)
+    val f1 = spec1.withArray("fields").addObject()
+    f1.put("name", "id_trunc"); f1.put("transform", "identity")
+    f1.put("source-id", srcId); f1.put("field-id", 1001)
+    specs.add(spec1)
+    root.put("default-spec-id", 1)
+    java.nio.file.Files.write(metaFile.toPath, om.writeValueAsBytes(root))
+    // id = 10 lives in the truncate partition valued 0; with the spec-id
+    // gate the bound-less spec-0 entries stay conservative (all 4 kept),
+    // and the row is found — without it the file would be pruned away
+    val (df, hit, total) = IcebergRead.scanPruned(spark, table, col("id") === 10L)
+    assert(total === 4L && hit === 4L,
+      s"spec-mismatched entries must stay conservative ($hit of $total)")
+    assert(df.count() === 1L)
+  }
 }

@@ -155,6 +155,43 @@ class IcebergWriteSpec extends SparkSpec {
       Hour("d").column(col("d"), org.apache.spark.sql.types.DateType))
   }
 
+  test("time transforms are session-timezone-independent (spec defines them in UTC)") {
+    import IcebergTransforms._
+    import org.apache.spark.sql.functions.{col, to_timestamp_ntz, lit}
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    // instants fixed up-front (JVM-TZ-anchored construction, unaffected
+    // by the session conf switched below)
+    val tsDf = Seq(
+      java.sql.Timestamp.valueOf("1970-01-02 03:00:00"),
+      java.sql.Timestamp.valueOf("1969-12-31 23:00:00"),
+      java.sql.Timestamp.valueOf("2024-03-15 12:00:00")
+    ).toDF("ts")
+    // NTZ built from wall-clock strings — to_timestamp_ntz never
+    // consults the session timezone, so the stored values are identical
+    // under both sessions
+    val ntzDf = Seq("1970-01-02 03:00:00", "1969-12-31 23:00:00", "2024-03-15 12:00:00")
+      .toDF("s").select(to_timestamp_ntz(col("s")).as("ts"))
+    val transforms: Seq[Transform] =
+      Seq(Hour("ts"), Day("ts"), Month("ts"), Year("ts"))
+    def ordinals(df: org.apache.spark.sql.DataFrame,
+        dt: org.apache.spark.sql.types.DataType): Seq[Seq[Int]] =
+      transforms.map(t => df.select(t.column(col("ts"), dt).cast("int"))
+        .collect().map(_.getInt(0)).toSeq)
+    val utcTs = ordinals(tsDf, TimestampType)
+    val utcNtz = ordinals(ntzDf, TimestampNTZType)
+    // spec anchors under UTC, first: hour 27/-1/475140 etc.
+    assert(utcTs.head === Seq(27, -1, 475140))
+    assert(utcTs(2) === Seq(0, -1, (2024 - 1970) * 12 + 2))
+    val saved = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      assert(ordinals(tsDf, TimestampType) === utcTs,
+        "TimestampType transform ordinals must not follow the session timezone")
+      assert(ordinals(ntzDf, TimestampNTZType) === utcNtz,
+        "NTZ transform ordinals must not follow the session timezone")
+    } finally spark.conf.set("spark.sql.session.timeZone", saved)
+  }
+
   test("transform-partitioned append: spec JSON, typed records, pruning never scans rejected buckets") {
     import org.apache.spark.sql.functions.col
     import scala.jdk.CollectionConverters._
