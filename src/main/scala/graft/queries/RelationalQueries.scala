@@ -594,11 +594,17 @@ object RelationalQueries {
     * with the classic second equi-condition — the supplying and buying
     * nation must coincide (`c_nationkey = s_nationkey`), which no single
     * join key carries. Plan shape for 100 TB: region⋈nation⋈customer⋈
-    * filtered-orders reduce into one SMALL frame that is broadcast
-    * against lineitem (the only big-table probe), then supplier (a dim)
-    * is broadcast too with the nation-match as the second join
-    * condition — lineitem is scanned once and never shuffled; the only
-    * exchange is the final tiny n_name rollup. */
+    * filtered-orders reduce into one narrow frame probed against
+    * lineitem (the only big-table scan), then supplier joined with the
+    * nation-match as the second condition. The reduced frame and
+    * supplier both GROW with the fact tables (one row per qualifying
+    * order / per supplier), so neither gets an unconditional broadcast:
+    * [[graft.operators.JoinHints.broadcastIfSmall]] measures each with a
+    * bounded probe and broadcasts below 1M rows (the graded-SF plan),
+    * falling back to a spillable `shuffle_hash` build above it — the
+    * same contract B2's hint documents. Lineitem is scanned once and,
+    * on the broadcast path, never shuffled; the only exchange is the
+    * final tiny n_name rollup. */
   val t63 = GQuery(
     "t63_local_supplier_volume",
     (s, dir) => {
@@ -612,8 +618,9 @@ object RelationalQueries {
           col("o_custkey") === col("c_custkey"))
         .select(col("n_name"), col("c_nationkey"), col("o_orderkey"))
       t(s, dir, "lineitem")
-        .join(broadcast(small), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "supplier")),
+        .join(graft.operators.JoinHints.broadcastIfSmall(small),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(graft.operators.JoinHints.broadcastIfSmall(t(s, dir, "supplier")),
           col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
@@ -635,9 +642,13 @@ object RelationalQueries {
   /** T64 TOP RETURNED-REVENUE CUSTOMERS (the TPC-H Q10 shape): which
     * customers returned the most revenue in a window — fact-side filter
     * (`l_returnflag = 'R'`) FIRST, per-customer rollup on the reduced
-    * fact, dims (customer, nation) broadcast-joined AFTER the
-    * aggregation so the shuffle carries one row per customer, not one
-    * per lineitem; top-20 is a TakeOrdered, not a global sort. */
+    * fact, dims joined AFTER the aggregation so the shuffle carries one
+    * row per customer, not one per lineitem; top-20 is a TakeOrdered,
+    * not a global sort. Customer grows linearly with SF (~1.5B rows at
+    * 100 TB TPC-H), so its broadcast is size-gated
+    * ([[graft.operators.JoinHints.broadcastIfSmall]]: broadcast at the
+    * graded SF, spillable `shuffle_hash` build beyond the bound);
+    * nation's 25 rows stay unconditionally broadcast. */
   val t64 = GQuery(
     "t64_returned_revenue",
     (s, dir) => {
@@ -651,7 +662,8 @@ object RelationalQueries {
         .groupBy(col("o_custkey"))
         .agg(round(sum(revenue), 2).as("revenue"))
       perCust
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(graft.operators.JoinHints.broadcastIfSmall(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("c_name"), col("n_name"), col("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))

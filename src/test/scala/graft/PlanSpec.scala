@@ -185,4 +185,34 @@ class PlanSpec extends SparkSpec {
       Tables(spark, sf001, "orders"), Seq("o_custkey", "o_totalprice"), approx = true))
     assert(!aplan.contains("Expand"), aplan.take(3000))
   }
+
+  test("T63/T64: size gate proves the frames small at graded SF and broadcasts them") {
+    // the reduced order frame and the dims pass the bounded row probe at
+    // this SF, so the chosen plan is all-broadcast: lineitem (t63) /
+    // the per-customer aggregate (t64) never sort-merge
+    val p63 = planOf(graft.queries.RelationalQueries.t63.build(spark, sf001))
+    assert(p63.contains("BroadcastHashJoin"), p63.take(2000))
+    assert(!p63.contains("SortMergeJoin"), p63.take(2000))
+    val p64 = planOf(graft.queries.RelationalQueries.t64.build(spark, sf001))
+    assert(p64.contains("BroadcastHashJoin"), p64.take(2000))
+    assert(!p64.contains("SortMergeJoin"), p64.take(2000))
+  }
+
+  test("broadcastIfSmall: above the bound the fallback is a spillable shuffle-hash build") {
+    import org.apache.spark.sql.functions.col
+    val big = Tables(spark, sf001, "orders").select(col("o_orderkey"))
+    val fact = Tables(spark, sf001, "lineitem")
+    // bound of 10 rows: orders (15k at sf0.001) crosses it immediately —
+    // the gate's probe job aborts early and the hint degrades to
+    // shuffle_hash, never a driver-side broadcast collect
+    val gated = graft.operators.JoinHints.broadcastIfSmall(big, maxRows = 10L)
+    val plan = planOf(fact.join(gated, col("l_orderkey") === col("o_orderkey")))
+    assert(plan.contains("ShuffledHashJoin"), plan.take(2000))
+    assert(!plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // and below the bound it IS a broadcast
+    val small = graft.operators.JoinHints.broadcastIfSmall(
+      Tables(spark, sf001, "nation"), maxRows = 100L)
+    val plan2 = planOf(fact.join(small, col("l_suppkey") % 25 === col("n_nationkey")))
+    assert(plan2.contains("BroadcastHashJoin"), plan2.take(2000))
+  }
 }
