@@ -51,11 +51,13 @@ object VectorIndex {
     val cents = Similarity.kmeansCentroids(corpus, idCol, vecCol, nCells, iters)
       .localCheckpoint()
     cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    // a rebuild replaces the store outright (writeAssigned appends)
-    def rmr(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr); f.delete()
-    }
-    rmr(new java.io.File(s"$dir/vectors"))
+    // a rebuild replaces the store outright (writeAssigned appends).
+    // Hadoop-FS delete, NOT java.io.File: on HDFS/S3 a local-FS rm
+    // silently no-ops and the rebuild would append fresh cells over the
+    // stale store — a correctness hazard, not a perf one.
+    val store = new org.apache.hadoop.fs.Path(s"$dir/vectors")
+    val fs = store.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(store)) fs.delete(store, true)
     writeAssigned(corpus.select(col(idCol), col(vecCol)), idCol, vecCol,
       cents, dir, format)
   }
@@ -75,6 +77,50 @@ object VectorIndex {
     writeAssigned(batch.select(col(idCol), col(vecCol)), idCol, vecCol,
       spark.read.parquet(s"$dir/centroids"), dir, format)
   }
+
+  /** Remove every indexed vector matching `pred` in ONE atomic commit —
+    * the other half of the ingest lifecycle (revoked documents, GDPR
+    * erasure, re-embedding a corpus slice before re-[[add]]). Dispatches
+    * to the Delta store's MoR delete ([[graft.sources.DeltaWrite
+    * .deleteWhere]]): matched rows get deletion-vector bitmaps, no data
+    * file is rewritten, and probe pruning is untouched — the cell layout
+    * never changes. Refused on a plain-parquet index (no transactional
+    * delete exists there; rebuild instead, or build with
+    * format="delta"). Returns the committed Delta version. */
+  def removeWhere(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column): Long = {
+    requireDelta(spark, dir, "removeWhere")
+    graft.sources.DeltaWrite.deleteWhere(spark, s"$dir/vectors", pred)
+  }
+
+  /** [[removeWhere]] sugar for the common case: delete these vector ids. */
+  def remove(spark: SparkSession, dir: String, ids: Seq[Long],
+      idCol: String): Long =
+    removeWhere(spark, dir, col(idCol).isin(ids.map(Long.box): _*))
+
+  /** Idempotent ingest: assign `batch` with the FROZEN quantizer and
+    * MERGE it into the Delta-backed store keyed on `idCol` — an id that
+    * already exists is REPLACED (its old row DV-deleted and the new row
+    * appended, one atomic commit — even when the new embedding lands in
+    * a different cell), a new id is a plain insert. This is what makes
+    * re-ingest safe: [[add]] is append-only and would silently duplicate
+    * a re-embedded id inside its cell. Refused on plain parquet (no
+    * keyed merge without a log). Returns the committed Delta version. */
+  def upsert(spark: SparkSession, dir: String, batch: DataFrame,
+      idCol: String, vecCol: String): Long = {
+    requireDelta(spark, dir, "upsert")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val assigned = Similarity.assignCells(
+        batch.select(col(idCol), col(vecCol)), vecCol, cents)
+      .select(col(idCol), col(vecCol), col("__cell").as("cell"))
+      .repartition(col("cell"))
+    graft.sources.DeltaWrite.upsert(spark, assigned, s"$dir/vectors", Seq(idCol))
+  }
+
+  private def requireDelta(spark: SparkSession, dir: String, op: String): Unit =
+    require(graft.sources.Lake.detect(spark, s"$dir/vectors") == graft.sources.Lake.Delta,
+      s"$op needs a Delta-backed index (transactional keyed delete/merge); " +
+        s"the index at $dir is plain parquet — rebuild with format=\"delta\"")
 
   private def writeAssigned(vecs: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame, dir: String, format: String): Unit = {

@@ -1560,6 +1560,40 @@ object LlmQueries {
     },
     Some(annRecallOracle("")))
 
+  /** L43 INDEX LIFECYCLE: the delete/re-ingest half of the persisted
+    * index — build Delta-backed, [[VectorIndex.removeWhere]] a corpus
+    * slice (one atomic DV-delete commit), [[VectorIndex.upsert]] a batch
+    * of ALREADY-INDEXED ids (idempotent re-ingest — [[VectorIndex.add]]
+    * would duplicate them), then probe exhaustively. The result must
+    * hash-match brute-force top-k over exactly the surviving corpus: a
+    * removed vector surfacing as a neighbor, or a duplicated upsert id
+    * (same nn twice at two ranks), each break the hash. */
+  val l43lifecycle = GQuery(
+    "l43_vector_index_lifecycle",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("graft_vidx_l").toString + "/idx"
+      VectorIndex.build(emb, "vec_id", "embedding", idx, nCells = 8, iters = 3,
+        format = "delta")
+      VectorIndex.removeWhere(s, idx, col("vec_id") >= 300L)
+      VectorIndex.upsert(s, idx, emb.where(col("vec_id") < 10), "vec_id", "embedding")
+      VectorIndex.query(s, idx, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nProbe = 8)
+        .select(col("vec_id"), col("rank"), col("nn_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("vec_id"), col("rank"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE vec_id < 300),
+      n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      pairs AS (SELECT q.vec_id, c.vec_id AS nn_id,
+          list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+        FROM n q JOIN n c ON q.vec_id <> c.vec_id WHERE q.vec_id < 10),
+      ranked AS (SELECT vec_id, nn_id, cosine,
+          row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nn_id) AS rank
+        FROM pairs)
+      SELECT vec_id, rank, nn_id, round(cosine, 4) AS cosine
+      FROM ranked WHERE rank <= 5 ORDER BY vec_id, rank"""))
+
   /** L42 COMPRESSION-RATIO QUALITY GATE: the deflate-ratio signal
     * ([[TextFunctions.compressionRatio]]) over every ≥400-char document —
     * the CCNet/Gopher-style "too compressible = boilerplate, too
@@ -1594,5 +1628,5 @@ object LlmQueries {
     l31, l32, l34, l35,
     l4langid, l5, l6, l7, l8, l9,
     l10, l11, l11b, l12, l33, l36, l37, l38, l39, l40, l41, l13, l14, l15, l16, l17, l18, l19, l20,
-    l21, l22, l24, l24b, l25, l42, l43, l43recall)
+    l21, l22, l24, l24b, l25, l42, l43, l43recall, l43lifecycle)
 }

@@ -149,6 +149,86 @@ class VectorIndexSpec extends SparkSpec {
         k = 3, nProbe = 4, version = 0L).collect())
   }
 
+  test("rebuild replaces the store: no stale cells survive (hadoop FS delete)") {
+    val a = corpus(40)
+    val b = corpus(70).where(col("vec_id") >= 40) // disjoint ids 40..69
+    for (fmt <- Seq("parquet", "delta")) {
+      val dir = tmp(s"graft_vidx_rebuild_$fmt")
+      VectorIndex.build(a, "vec_id", "embedding", dir, nCells = 4, iters = 3, format = fmt)
+      VectorIndex.build(b, "vec_id", "embedding", dir, nCells = 4, iters = 3, format = fmt)
+      // every queryable vector comes from the SECOND corpus: a rebuild
+      // that appended over stale cells would surface ids < 40 here
+      val q = b.where(col("vec_id") < 46)
+      val idx = collected(VectorIndex.query(spark, dir, q, "vec_id", "embedding",
+        k = 3, nProbe = 4))
+      assert(idx === collected(
+        Similarity.bruteForceTopK(b, q, "vec_id", "embedding", k = 3)),
+        s"$fmt rebuild must answer exactly like a fresh build over the new corpus")
+      assert(idx.forall(_._3 >= 40L), s"$fmt rebuild left stale pre-rebuild vectors behind")
+    }
+  }
+
+  test("remove() deletes vectors transactionally; parquet indexes refuse") {
+    val all = corpus(50)
+    val dir = tmp("graft_vidx_remove")
+    VectorIndex.build(all, "vec_id", "embedding", dir, nCells = 4, iters = 3,
+      format = "delta")
+    val store = s"$dir/vectors"
+    val v0 = graft.sources.DeltaRead.snapshotInfo(spark, store).version
+    val v1 = VectorIndex.removeWhere(spark, dir, col("vec_id") >= 30L)
+    assert(v1 === v0 + 1, "one delete = one atomic commit")
+    val kept = all.where(col("vec_id") < 30)
+    val q = all.where(col("vec_id") < 6)
+    val idx = collected(VectorIndex.query(spark, dir, q, "vec_id", "embedding",
+      k = 3, nProbe = 4))
+    assert(idx === collected(
+      Similarity.bruteForceTopK(kept, q, "vec_id", "embedding", k = 3)))
+    assert(idx.forall(_._3 < 30L), "a removed vector surfaced as a neighbor")
+    // id-list sugar
+    VectorIndex.remove(spark, dir, Seq(5L), "vec_id")
+    assert(collected(VectorIndex.query(spark, dir, q, "vec_id", "embedding",
+      k = 3, nProbe = 4)).forall(_._3 != 5L))
+    // and the pre-delete state stays queryable (point-in-time)
+    assert(collected(VectorIndex.query(spark, dir, q, "vec_id", "embedding",
+        k = 3, nProbe = 4, version = v0)) ===
+      collected(Similarity.bruteForceTopK(all, q, "vec_id", "embedding", k = 3)))
+    val pdir = tmp("graft_vidx_remove_plain")
+    VectorIndex.build(all, "vec_id", "embedding", pdir, nCells = 4, iters = 3)
+    intercept[IllegalArgumentException](
+      VectorIndex.removeWhere(spark, pdir, col("vec_id") >= 30L))
+  }
+
+  test("upsert() re-ingests an existing id without duplicating it") {
+    val all = corpus(40)
+    val dir = tmp("graft_vidx_upsert")
+    VectorIndex.build(all, "vec_id", "embedding", dir, nCells = 4, iters = 3,
+      format = "delta")
+    // re-embed ids 0..5 with very different vectors (they may well land in
+    // a different cell — the merge must still leave exactly one row per id)
+    val reem = (0 until 6).map { i =>
+      (i.toLong, Array.tabulate(4)(d => math.cos(i * 29 + d * 11).toFloat))
+    }.toDF("vec_id", "embedding")
+    VectorIndex.upsert(spark, dir, reem, "vec_id", "embedding")
+    val store = graft.sources.DeltaRead.snapshot(spark, s"$dir/vectors")
+    assert(store.count() === 40L, "upsert duplicated or dropped rows")
+    assert(store.groupBy(col("vec_id")).count().where(col("count") > 1).count() === 0L,
+      "an upserted id appears more than once in the store")
+    // the index answers over the UPDATED corpus
+    val updated = reem.unionByName(all.where(col("vec_id") >= 6))
+    val q = updated.where(col("vec_id") < 6)
+    assert(collected(VectorIndex.query(spark, dir, q, "vec_id", "embedding",
+        k = 3, nProbe = 4)) ===
+      collected(Similarity.bruteForceTopK(updated, q, "vec_id", "embedding", k = 3)))
+    // idempotence: upserting the SAME batch again changes nothing
+    VectorIndex.upsert(spark, dir, reem, "vec_id", "embedding")
+    assert(graft.sources.DeltaRead.snapshot(spark, s"$dir/vectors").count() === 40L)
+    intercept[IllegalArgumentException] {
+      val pdir = tmp("graft_vidx_upsert_plain")
+      VectorIndex.build(all, "vec_id", "embedding", pdir, nCells = 4, iters = 3)
+      VectorIndex.upsert(spark, pdir, reem, "vec_id", "embedding")
+    }
+  }
+
   test("build is deterministic across input layouts") {
     val c = corpus(40)
     val d1 = tmp("graft_vidx_a")
