@@ -29,5 +29,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // pin the JVM default zone too: test fixtures built via
+  // java.sql.Timestamp.valueOf interpret wall-clock strings in the JVM
+  // zone — absolute-ordinal asserts (IcebergWriteSpec) must not depend
+  // on the host's /etc/localtime
+  "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -617,6 +617,11 @@ object RelationalQueries {
               col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
           col("o_custkey") === col("c_custkey"))
         .select(col("n_name"), col("c_nationkey"), col("o_orderkey"))
+        // lazy checkpoint: the 4-way reduction materializes ONCE (on the
+        // gate's probe) and both the probe and the join read the cached
+        // partitions — without it the reduction would run twice (probe +
+        // join), a full extra pass at 100 TB
+        .localCheckpoint(false)
       t(s, dir, "lineitem")
         .join(graft.operators.JoinHints.broadcastIfSmall(small),
           col("l_orderkey") === col("o_orderkey"))
@@ -662,6 +667,9 @@ object RelationalQueries {
         .groupBy(col("o_custkey"))
         .agg(round(sum(revenue), 2).as("revenue"))
       perCust
+        // no checkpoint here: customer is a RAW SCAN — recomputing it for
+        // the gate's probe is one column-pruned read, cheaper than
+        // materializing the table (contrast t63's derived reduction)
         .join(graft.operators.JoinHints.broadcastIfSmall(t(s, dir, "customer")),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
