@@ -1036,6 +1036,62 @@ object IoQueries {
       GROUP BY fmt
       ORDER BY scope"""))
 
+  /** SQL SELECT statement surface over BOTH formats (Lake.sqlFrame): the
+    * read half of the path-addressed statement story — `SELECT cols FROM
+    * '<path>' [VERSION AS OF n] [WHERE pred] [ORDER BY ...] [LIMIT n]`.
+    * Two legs per format: a VERSION-pinned read with a WHERE (dispatched
+    * through the stats-pruned scan) must see ONLY the first commit's
+    * rows even though a second commit has landed; an ORDER BY + LIMIT
+    * leg returns the current head's top rows. The oracle recomputes both
+    * from raw events. */
+  val tlakeSqlSelect = GQuery(
+    "t_lake_sql_select",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events").select(col("event_id"), col("value"), col("event_type"))
+      def run(fmt: String): org.apache.spark.sql.DataFrame = {
+        val t = tmp(s"graft_sqlsel_${fmt}_q") + "/tbl"
+        val base = ev.where(col("event_type") =!= "error")
+        val late = ev.where(col("event_type") === "error")
+        val v0 =
+          if (fmt == "delta") graft.sources.DeltaWrite.append(s, base, t)
+          else graft.sources.IcebergWrite.append(s, base, t)
+        if (fmt == "delta") graft.sources.DeltaWrite.append(s, late, t)
+        else graft.sources.IcebergWrite.append(s, late, t)
+        // pinned + predicate: must answer from commit v0 alone, with the
+        // WHERE going through scanPruned (per-file stats skip first)
+        val pinned = graft.sources.Lake.sqlFrame(s,
+          s"SELECT event_type, value FROM '$t' VERSION AS OF $v0 WHERE value >= 50.0")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+          .withColumn("leg", lit("pinned"))
+        // current head + ORDER BY/LIMIT: the five smallest error ids
+        val top = graft.sources.Lake.sqlFrame(s,
+          s"SELECT event_id, value, event_type FROM '$t' " +
+            "WHERE event_type = 'error' ORDER BY event_id ASC LIMIT 5")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+          .withColumn("leg", lit("limit5"))
+        pinned.unionByName(top).withColumn("fmt", lit(fmt))
+      }
+      run("delta").unionByName(run("iceberg"))
+        .select(col("fmt"), col("leg"), col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy(col("fmt"), col("leg"), col("event_type"))
+    },
+    Some("""WITH legs AS (
+        SELECT 'pinned' AS leg, event_type, count(*) AS cnt,
+          round(sum(value), 2) AS sum_value
+        FROM events WHERE event_type <> 'error' AND value >= 50.0
+        GROUP BY event_type
+        UNION ALL
+        SELECT 'limit5', event_type, count(*), round(sum(value), 2)
+        FROM (SELECT event_type, value FROM events
+              WHERE event_type = 'error' ORDER BY event_id ASC LIMIT 5)
+        GROUP BY event_type)
+      SELECT fmt, leg, event_type, cnt, sum_value
+      FROM (SELECT 'delta' AS fmt FROM range(1) UNION ALL SELECT 'iceberg') fmts
+      CROSS JOIN legs
+      ORDER BY fmt, leg, event_type"""))
+
   /** CDC APPLY, cross-format both ways: a target table in the OTHER
     * format is seeded from the source's first snapshot, the source then
     * evolves (append + merge-on-read delete), and one
@@ -1382,7 +1438,7 @@ object IoQueries {
       tdeltaRt, ticebergRt, ticebergMor,
       tdeltaDv, tdeltaUpsert, ticebergPart, ticebergHiddenPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tlakeReplaceWhere, tlakeSqlDml,
-      tlakeSqlMaintenance,
+      tlakeSqlMaintenance, tlakeSqlSelect,
       tcdcApply, tlakeSync, tlakeClone,
       tlakeRestore, tlakeRename, tlakeUniform, tlakeUniformRev, tlakeConvert)
 }

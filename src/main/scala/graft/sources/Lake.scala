@@ -735,6 +735,8 @@ object Lake {
   def sql(spark: SparkSession, statement: String): Long = {
     import org.apache.spark.sql.functions.expr
     val s = statement.trim.stripSuffix(";").trim
+    require(!s.toUpperCase(java.util.Locale.ROOT).matches("(?s)(SELECT|DESCRIBE|SHOW)\\b.*"),
+      s"result-set statement — use sqlFrame: $s")
     // statement HEADS (verb, quoted path) carry no user expressions, so
     // anchored regexes are safe there; BODIES (predicates, SET lists,
     // USING sources) are split only by quote/paren-aware scans
@@ -940,17 +942,33 @@ object Lake {
   /** Result-set statement surface: `DESCRIBE HISTORY '<path>'` returns
     * the commit history frame; `SHOW PARTITIONS '<path>'` the metadata-
     * only [[partitionSummary]]; `SELECT COUNT(*) FROM '<path>'` the
-    * metadata-first [[rowCount]] as a (count, from_metadata) row;
+    * metadata-first [[rowCount]] as a (count, from_metadata) row; general
+    * reads as
+    *
+    * {{{ SELECT <cols> FROM '<path>' [VERSION AS OF n] [WHERE <pred>]
+    *       [ORDER BY e1 [ASC|DESC][, ...]] [LIMIT n] }}}
+    *
+    * — the SQL-first read a user expects next to the DML: the path is
+    * format-detected, `VERSION AS OF` time-travels (Delta log version /
+    * Iceberg snapshot id; refused loudly on plain parquet), and a WHERE
+    * predicate goes through [[scanPruned]], so persisted per-file stats
+    * (Delta add.stats / Iceberg manifest bounds) skip files BEFORE the
+    * scan — the statement is as prune-aware as the API call. Clause
+    * bodies are scanned quote/paren-aware like the DML ([[topLevelKeyword]]):
+    * a `WHERE note = 'ORDER BY x'` never mis-splits.
+    *
     * `VACUUM ...` returns the deleted paths (one `path` row each); every
     * other statement executes via [[sql]] and returns its committed
     * version as a single-row `version` frame. */
   def sqlFrame(spark: SparkSession, statement: String): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.functions.expr
     val s = statement.trim.stripSuffix(";").trim
     val DescribeHistory = """(?is)DESCRIBE\s+HISTORY\s+'([^']+)'\s*""".r
     val ShowPartitions = """(?is)SHOW\s+PARTITIONS\s+'([^']+)'\s*""".r
     val CountStar = """(?is)SELECT\s+COUNT\s*\(\s*\*\s*\)\s+FROM\s+'([^']+)'\s*""".r
     val Vacuum = """(?is)VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(FORCE)?\s*""".r
+    val SelectHead = """(?is)SELECT\s+(.+)""".r
     s match {
       case DescribeHistory(path) => history(spark, path)
       case ShowPartitions(path) => partitionSummary(spark, path)
@@ -960,6 +978,60 @@ object Lake {
         val retain = Option(retainOrNull).map(_.toInt).getOrElse(1)
         val age = if (forceOrNull != null) 0L else 24L * 3600 * 1000
         vacuum(spark, path, retain, age).toDF("path")
+      case SelectHead(body) =>
+        val fromIdx = topLevelKeyword(body, "FROM")
+        require(fromIdx > 0, s"SELECT: no top-level FROM in: $s")
+        val cols = splitTopLevel(body.substring(0, fromIdx))
+        require(cols.nonEmpty, s"SELECT: empty column list in: $s")
+        val PathHead = """(?s)\s*'([^']+)'\s*(.*)""".r
+        val (path, tail0) = body.substring(fromIdx + 4) match {
+          case PathHead(p, t) => (p, t.trim)
+          case other => throw new IllegalArgumentException(
+            s"SELECT ... FROM expects a quoted table path, got: $other")
+        }
+        val VersionHead = """(?is)VERSION\s+AS\s+OF\s+(\d+)\s*(.*)""".r
+        val (version, tail) = tail0 match {
+          case VersionHead(v, rest) => (v.toLong, rest.trim)
+          case _ => (-1L, tail0)
+        }
+        // clause markers in canonical order; each body slice ends where
+        // the next present clause begins
+        val whereIdx = topLevelKeyword(tail, "WHERE")
+        val orderIdx = topLevelKeyword(tail, "ORDER")
+        val limitIdx = topLevelKeyword(tail, "LIMIT")
+        val present = Seq(whereIdx, orderIdx, limitIdx).filter(_ >= 0)
+        require(present == present.sorted && (present.isEmpty || present.min == 0 ||
+            tail.substring(0, present.min).trim.isEmpty),
+          s"SELECT: expected [WHERE <pred>] [ORDER BY ...] [LIMIT n], got: $tail")
+        def sliceEnd(from: Int) =
+          present.filter(_ > from).minOption.getOrElse(tail.length)
+        val pred = if (whereIdx < 0) None
+          else Some(tail.substring(whereIdx + 5, sliceEnd(whereIdx)).trim)
+        // a WHERE goes through the stats-pruned scan: file skipping via
+        // the format's persisted bounds, THEN the residual filter
+        val base = pred match {
+          case Some(p) => scanPruned(spark, path, expr(p), version)._1
+          case None => read(spark, path, version)
+        }
+        val projected =
+          if (cols == Seq("*")) base else base.selectExpr(cols: _*)
+        val ordered = if (orderIdx < 0) projected else {
+          val byIdx = topLevelKeyword(tail, "BY", orderIdx)
+          require(byIdx > orderIdx, s"SELECT: ORDER without BY in: $tail")
+          val items = splitTopLevel(tail.substring(byIdx + 2, sliceEnd(orderIdx)))
+          require(items.nonEmpty, s"SELECT: empty ORDER BY in: $tail")
+          projected.orderBy(items.map { item =>
+            val u = item.toUpperCase(java.util.Locale.ROOT)
+            if (u.endsWith(" DESC")) expr(item.dropRight(5).trim).desc
+            else if (u.endsWith(" ASC")) expr(item.dropRight(4).trim).asc
+            else expr(item)
+          }: _*)
+        }
+        if (limitIdx < 0) ordered else {
+          val n = tail.substring(limitIdx + 5).trim
+          require(n.matches("""\d+"""), s"SELECT: LIMIT expects a number, got: $n")
+          ordered.limit(n.toInt)
+        }
       case other => Seq(sql(spark, other)).toDF("version")
     }
   }

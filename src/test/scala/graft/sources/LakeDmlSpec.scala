@@ -380,6 +380,53 @@ class LakeDmlSpec extends SparkSpec {
       Set((1L, "keep"), (5L, "SELECT x")))
   }
 
+  test("Lake.sqlFrame SELECT: projection, version pin, literal-safe WHERE, ORDER/LIMIT, refusals") {
+    val t = tmp("graft_sel") + "/tbl"
+    val v0 = DeltaWrite.append(spark,
+      Seq((1L, "a", 10.0), (2L, "ORDER BY x", 20.0), (3L, "c", 30.0))
+        .toDF("id", "note", "value"), t)
+    DeltaWrite.append(spark, Seq((4L, "d", 40.0)).toDF("id", "note", "value"), t)
+
+    // star projection over the current head
+    assert(Lake.sqlFrame(spark, s"SELECT * FROM '$t'").count() === 4L)
+    // version pin: the second commit's row is invisible
+    assert(Lake.sqlFrame(spark, s"SELECT id FROM '$t' VERSION AS OF $v0")
+      .as[Long].collect().toSet === Set(1L, 2L, 3L))
+    // WHERE whose literal contains ORDER BY — the clause scanner must not
+    // split inside it; expression projection works
+    assert(Lake.sqlFrame(spark,
+        s"SELECT id, value * 2 AS dbl FROM '$t' WHERE note = 'ORDER BY x'")
+      .as[(Long, Double)].collect().toSeq === Seq((2L, 40.0)))
+    // ORDER BY DESC + LIMIT
+    assert(Lake.sqlFrame(spark,
+        s"SELECT id FROM '$t' ORDER BY value DESC LIMIT 2")
+      .as[Long].collect().toSeq === Seq(4L, 3L))
+    // all clauses together, pinned
+    assert(Lake.sqlFrame(spark,
+        s"SELECT id FROM '$t' VERSION AS OF $v0 WHERE value >= 20.0 " +
+          "ORDER BY id ASC LIMIT 1")
+      .as[Long].collect().toSeq === Seq(2L))
+    // iceberg: same grammar, snapshot-id pin
+    val ti = tmp("graft_sel_i") + "/tbl"
+    val s0 = IcebergWrite.append(spark,
+      Seq((1L, 1.0), (2L, 2.0)).toDF("id", "value"), ti)
+    IcebergWrite.append(spark, Seq((3L, 3.0)).toDF("id", "value"), ti)
+    assert(Lake.sqlFrame(spark,
+        s"SELECT id FROM '$ti' VERSION AS OF $s0 ORDER BY id").as[Long]
+      .collect().toSeq === Seq(1L, 2L))
+    // refusals: SELECT through the version-returning surface; clause
+    // order violations; version pin on plain parquet; junk LIMIT
+    intercept[IllegalArgumentException](Lake.sql(spark, s"SELECT * FROM '$t'"))
+    intercept[IllegalArgumentException](
+      Lake.sqlFrame(spark, s"SELECT id FROM '$t' LIMIT 2 WHERE id = 1"))
+    intercept[IllegalArgumentException](
+      Lake.sqlFrame(spark, s"SELECT id FROM '$t' LIMIT two"))
+    val plain = tmp("graft_sel_p") + "/tbl"
+    Seq((1L, 1.0)).toDF("id", "value").write.parquet(plain)
+    intercept[IllegalArgumentException](
+      Lake.sqlFrame(spark, s"SELECT id FROM '$plain' VERSION AS OF 0").collect())
+  }
+
   test("Lake.sql maintenance: OPTIMIZE / VACUUM / RESTORE / DESCRIBE HISTORY on both formats") {
     for (fmt <- Seq("delta", "iceberg")) {
       val t = tmp(s"graft_dml_mnt_$fmt") + "/tbl"
