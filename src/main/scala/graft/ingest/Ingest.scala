@@ -38,7 +38,8 @@ case class CatalogEntry(
 
 /** Java-serializable carrier for a Hadoop Configuration (which is Writable
   * but not Serializable) — Spark's own equivalent is private[spark]. */
-private class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Configuration)
+private[graft] class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
     extends Serializable {
   private def writeObject(out: java.io.ObjectOutputStream): Unit = {
     out.defaultWriteObject()

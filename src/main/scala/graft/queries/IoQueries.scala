@@ -50,6 +50,44 @@ object IoQueries {
     Some("""SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Avro container-file round-trip through [[graft.sources.AvroIo]]
+    * (hand-rolled on the Avro core API — no spark-avro module on this
+    * classpath): nation written as one OCF per partition and read back,
+    * plus an events leg exercising the timestamp-micros logical type and
+    * a multi-file layout. Hash-matching the original proves the
+    * schema/value mapping loses nothing either direction. */
+  val t1avro = GQuery(
+    "t_avro_roundtrip",
+    (s, dir) => {
+      val nation = Tables(s, dir, "nation")
+      val out = tmp("graft_t1_avro")
+      graft.sources.AvroIo.write(nation, out)
+      graft.sources.AvroIo.read(s, out)
+        .orderBy(col("n_nationkey"))
+    },
+    Some("SELECT * FROM nation ORDER BY n_nationkey"))
+
+  /** Avro leg two: a MULTI-FILE layout (4 writer partitions → 4 OCFs,
+    * file-granular read tasks) carrying the timestamp-micros logical
+    * type; the aggregate (incl. max(ts) rendered as text) hash-matches
+    * the parquet original, so the µs epoch mapping is exact both ways. */
+  val t2avro = GQuery(
+    "t_avro_events",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("value"), col("event_type"))
+      val out = tmp("graft_t2_avro_ev")
+      graft.sources.AvroIo.write(ev.repartition(4), out)
+      graft.sources.AvroIo.read(s, out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("max_ts"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value,
+        strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f') AS max_ts
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   /** ORC round-trip (BASELINE.json names Parquet/ORC as the storage pair;
     * DuckDB reads the oracle from the original parquet — content identical). */
   val t1orc = GQuery(
@@ -1434,7 +1472,7 @@ object IoQueries {
       ORDER BY fmt, "partition""""))
 
   def all: Seq[GQuery] =
-    Seq(t1, t1orc, t2, t3, tmetaCounts, tskip, tnullskip, tbloom, ttokens, ticebergStats, ticebergSpecEvo, ticebergWap, tdeltaStats, tdelta, ticeberg,
+    Seq(t1, t1orc, t1avro, t2avro, t2, t3, tmetaCounts, tskip, tnullskip, tbloom, ttokens, ticebergStats, ticebergSpecEvo, ticebergWap, tdeltaStats, tdelta, ticeberg,
       tdeltaRt, ticebergRt, ticebergMor,
       tdeltaDv, tdeltaUpsert, ticebergPart, ticebergHiddenPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tlakeReplaceWhere, tlakeSqlDml,
