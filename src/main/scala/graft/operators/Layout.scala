@@ -112,19 +112,98 @@ object Layout {
     cur.drop("__hx", "__hy")
   }
 
+  /** N-DIMENSIONAL Hilbert index (Skilling's transpose construction —
+    * "Programming the Hilbert curve", AIP Conf. Proc. 707, 2004): the
+    * same strict locality as the 2-D form ([[withHilbertValue]]) for ANY
+    * column count `zcluster` accepts, so the maintenance surface never
+    * has to fall back to Morton for 3+ clustering columns.
+    *
+    * Construction, all pure codegen'd bit arithmetic (no UDF): scale each
+    * column to `bits`-bit ranks, run Skilling's per-level invert/exchange
+    * sweep (each (level, axis) step materialized as its own projection —
+    * plan size linear in `bits * n`, same trick as the 2-D form), apply
+    * the closed-form Gray encode (cumulative XOR down the axes) and the
+    * trailing-axis correction mask, then bit-interleave the transposed
+    * axes MSB-first into one long. `n * bits` must be ≤ 62. */
+  def withHilbertValueN(df: DataFrame, cols: Seq[String], out: String,
+      bits: Int = 12): DataFrame = {
+    val n = cols.size
+    require(n >= 2, s"hilbert needs ≥2 columns, got $cols")
+    require(n * bits <= 62, s"hilbert needs $n*$bits d-bits; must fit a long")
+    val aggs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    def ax(j: Int) = col(s"__ha$j")
+    var cur = cols.zipWithIndex.foldLeft(df) { case (d, (c, j)) =>
+      d.withColumn(s"__ha$j",
+        scaled(col(c), lit(stats.get(2 * j)), lit(stats.get(2 * j + 1)), bits))
+    }
+    // inverse-undo sweep: Q = 2^(bits-1) … 2; per axis, invert axis 0 when
+    // the Q-bit is set, else swap the low P bits of axis 0 and axis j
+    for (lvl <- (bits - 1) to 1 by -1; j <- 0 until n) {
+      val q = lit(1L << lvl)
+      val p = lit((1L << lvl) - 1L)
+      val cond = ax(j).bitwiseAND(q) > 0
+      if (j == 0) {
+        cur = cur.withColumn("__ha0",
+          when(cond, ax(0).bitwiseXOR(p)).otherwise(ax(0)))
+      } else {
+        val t = when(cond, lit(0L))
+          .otherwise(ax(0).bitwiseXOR(ax(j)).bitwiseAND(p))
+        cur = cur
+          .withColumn("__ht", t)
+          .withColumn("__ha0",
+            when(cond, ax(0).bitwiseXOR(p)).otherwise(ax(0).bitwiseXOR(col("__ht"))))
+          .withColumn(s"__ha$j",
+            when(cond, ax(j)).otherwise(ax(j).bitwiseXOR(col("__ht"))))
+          .drop("__ht")
+      }
+    }
+    // Gray encode: in-place X[j] ^= X[j-1] has the closed form
+    // X[j]' = X[0] ^ … ^ X[j] — one projection
+    val grayed = (0 until n).map(j => (0 to j).map(ax).reduce(_.bitwiseXOR(_)))
+    cur = (0 until n).foldLeft(cur) { (d, j) =>
+      d.withColumn(s"__hg$j", grayed(j))
+    }
+    def gx(j: Int) = col(s"__hg$j")
+    // trailing-axis correction: t = XOR of (Q-1) for every Q-bit set in
+    // the LAST grayed axis; applied to every axis
+    val tMask = (1 until bits).map { lvl =>
+      when(gx(n - 1).bitwiseAND(lit(1L << lvl)) > 0, lit((1L << lvl) - 1L))
+        .otherwise(lit(0L))
+    }.reduceOption(_.bitwiseXOR(_)).getOrElse(lit(0L))
+    cur = cur.withColumn("__hm", tMask)
+    // interleave the transposed axes MSB-first: bit L of axis j lands at
+    // index-bit L*n + (n-1-j)
+    val h = (for (lvl <- 0 until bits; j <- 0 until n) yield
+      shiftleft(shiftright(gx(j).bitwiseXOR(col("__hm")), lvl).bitwiseAND(lit(1L)),
+        lvl * n + (n - 1 - j))).reduce(_.bitwiseOR(_))
+    cur.withColumn(out, h)
+      .drop((0 until n).map(j => s"__ha$j") ++ (0 until n).map(j => s"__hg$j")
+        :+ "__hm": _*)
+  }
+
   /** [[zcluster]]'s Hilbert twin: range-partition into `targetFiles`
     * curve-contiguous partitions, sort within each. One stats pass + one
-    * shuffle, identical cost shape to z-clustering. */
-  def hilbertCluster(df: DataFrame, xCol: String, yCol: String,
-      targetFiles: Int, bits: Int = 12): DataFrame =
-    withHilbertValue(df, xCol, yCol, "__h", bits)
-      .repartitionByRange(targetFiles, col("__h"))
+    * shuffle, identical cost shape to z-clustering. Two columns use the
+    * proven 2-D construction; 3+ the N-D transpose form. */
+  def hilbertCluster(df: DataFrame, hCols: Seq[String], targetFiles: Int,
+      bits: Int): DataFrame = {
+    val withH =
+      if (hCols.size == 2) withHilbertValue(df, hCols.head, hCols(1), "__h", bits)
+      else withHilbertValueN(df, hCols, "__h", bits)
+    withH.repartitionByRange(targetFiles, col("__h"))
       .sortWithinPartitions(col("__h"))
       .drop("__h")
+  }
+
+  /** 2-arg compatibility form of [[hilbertCluster]]. */
+  def hilbertCluster(df: DataFrame, xCol: String, yCol: String,
+      targetFiles: Int, bits: Int = 12): DataFrame =
+    hilbertCluster(df, Seq(xCol, yCol), targetFiles, bits)
 
   /** [[zorderWrite]]'s Hilbert twin. */
   def hilbertWrite(df: DataFrame, xCol: String, yCol: String, path: String,
       targetFiles: Int, bits: Int = 12): Unit =
-    hilbertCluster(df, xCol, yCol, targetFiles, bits)
+    hilbertCluster(df, Seq(xCol, yCol), targetFiles, bits)
       .write.mode("overwrite").parquet(path)
 }

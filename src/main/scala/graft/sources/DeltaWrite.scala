@@ -499,8 +499,11 @@ object DeltaWrite {
     * DV delete on a candidate file is never lost. */
   def compact(spark: SparkSession, table: String,
       smallFileBytes: Long = 64L << 20, targetFileBytes: Long = 128L << 20,
-      zorderBy: Seq[String] = Nil, where: Option[String] = None): Long = {
+      zorderBy: Seq[String] = Nil, where: Option[String] = None,
+      curve: String = "z"): Long = {
     import org.apache.spark.sql.functions.{col => fcol}
+    require(curve == "z" || curve == "hilbert",
+      s"unknown clustering curve '$curve' (z | hilbert)")
     require(currentVersions(table).nonEmpty, s"not a Delta table: $table")
     while (true) {
       val snap = DeltaRead.snapshotInfo(spark, table)
@@ -534,7 +537,9 @@ object DeltaWrite {
       val nOut = math.max(1,
         math.ceil(candidates.map(_.size).sum.toDouble / targetFileBytes).toInt)
       val packed =
-        if (zorderBy.nonEmpty) graft.operators.Layout.zcluster(df, zorderBy, nOut)
+        if (zorderBy.nonEmpty && curve == "hilbert")
+          graft.operators.Layout.hilbertCluster(df, zorderBy, nOut, bits = 12)
+        else if (zorderBy.nonEmpty) graft.operators.Layout.zcluster(df, zorderBy, nOut)
         else if (snap.partitionColumns.nonEmpty)
           df.repartition(nOut, snap.partitionColumns.map(fcol): _*)
         else df.repartition(nOut)

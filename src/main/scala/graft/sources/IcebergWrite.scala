@@ -861,7 +861,10 @@ object IcebergWrite {
     * (unreferenced) for older snapshots' time travel until expiration. */
   def compact(spark: SparkSession, table: String,
       smallFileBytes: Long = 64L << 20, targetFileBytes: Long = 128L << 20,
-      zorderBy: Seq[String] = Nil, where: Option[String] = None): Long = {
+      zorderBy: Seq[String] = Nil, where: Option[String] = None,
+      curve: String = "z"): Long = {
+    require(curve == "z" || curve == "hilbert",
+      s"unknown clustering curve '$curve' (z | hilbert)")
     // a valid table with metadata but NO snapshots yet has nothing to
     // compact — and its current-snapshot-id (-1) would collide with the
     // lost-race sentinel below, spinning the loop forever
@@ -873,9 +876,9 @@ object IcebergWrite {
     // optimistic outer loop: ALL state (kept entries, candidates) derives
     // from one observed version; a concurrent commit aborts the claim
     // (expectBase) and re-derives here rather than dropping the winner
-    var attempt = compactOnce(spark, table, smallFileBytes, targetFileBytes, zorderBy, where)
+    var attempt = compactOnce(spark, table, smallFileBytes, targetFileBytes, zorderBy, where, curve)
     while (attempt < 0)
-      attempt = compactOnce(spark, table, smallFileBytes, targetFileBytes, zorderBy, where)
+      attempt = compactOnce(spark, table, smallFileBytes, targetFileBytes, zorderBy, where, curve)
     attempt
   }
 
@@ -985,7 +988,7 @@ object IcebergWrite {
 
   private def compactOnce(spark: SparkSession, table: String,
       smallFileBytes: Long, targetFileBytes: Long, zorderBy: Seq[String],
-      where: Option[String] = None): Long = {
+      where: Option[String] = None, curve: String = "z"): Long = {
     import org.apache.spark.sql.functions.{col => fcol}
     val base = currentVersion(table)
     require(base > 0, s"not an Iceberg table: $table")
@@ -1026,7 +1029,9 @@ object IcebergWrite {
     val nOut = math.max(1,
       math.ceil(rewrite.map(_.bytes).sum.toDouble / targetFileBytes).toInt)
     val packed =
-      if (zorderBy.nonEmpty) graft.operators.Layout.zcluster(df, zorderBy, nOut)
+      if (zorderBy.nonEmpty && curve == "hilbert")
+        graft.operators.Layout.hilbertCluster(df, zorderBy, nOut, bits = 12)
+      else if (zorderBy.nonEmpty) graft.operators.Layout.zcluster(df, zorderBy, nOut)
       else if (transforms.nonEmpty)
         df.repartition(nOut, transforms.map(t => fcol(t.source)): _*)
       else df.repartition(nOut)

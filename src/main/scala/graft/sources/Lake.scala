@@ -379,12 +379,15 @@ object Lake {
     * rewrite atomic — use `operators.Layout.compact` (copy-based) there. */
   def compact(spark: SparkSession, path: String,
       smallFileBytes: Long = 64L << 20, targetFileBytes: Long = 128L << 20,
-      zorderBy: Seq[String] = Nil, where: Option[String] = None): Long =
+      zorderBy: Seq[String] = Nil, where: Option[String] = None,
+      curve: String = "z"): Long =
     detect(spark, path) match {
       case Delta =>
-        DeltaWrite.compact(spark, path, smallFileBytes, targetFileBytes, zorderBy, where)
+        DeltaWrite.compact(spark, path, smallFileBytes, targetFileBytes, zorderBy, where,
+          curve)
       case Iceberg =>
-        IcebergWrite.compact(spark, path, smallFileBytes, targetFileBytes, zorderBy, where)
+        IcebergWrite.compact(spark, path, smallFileBytes, targetFileBytes, zorderBy, where,
+          curve)
       case Parquet => throw new IllegalArgumentException(
         s"plain parquet at $path has no log for an atomic rewrite — " +
           "use Layout.compact to re-lay a copy")
@@ -691,7 +694,7 @@ object Lake {
     * [[compact]] / [[vacuum]] / [[restore]] / [[convert]] / [[clone]] /
     * [[export]]):
     *
-    * {{{ OPTIMIZE '<path>' [WHERE <pred>] [ZORDER BY (c1[, c2 ...])]
+    * {{{ OPTIMIZE '<path>' [WHERE <pred>] [ZORDER BY (c1[, c2 ...]) | HILBERT BY (c1, c2[, ...])]
     *     VACUUM '<path>' [RETAIN n VERSIONS] [FORCE]
     *     RESTORE '<path>' [TO] VERSION AS OF n
     *     CONVERT TO DELTA '<dir>' [PARTITIONED BY (c1[, c2 ...])]
@@ -848,24 +851,29 @@ object Lake {
       case Optimize(path, body) =>
         val b = body.trim
         val zIdx = topLevelKeyword(b, "ZORDER")
-        val (pred, zorderPart) =
+        val hIdx = topLevelKeyword(b, "HILBERT")
+        require(zIdx < 0 || hIdx < 0,
+          s"OPTIMIZE: pick ZORDER BY or HILBERT BY, not both: $b")
+        val (kw, kIdx) = if (hIdx >= 0) ("HILBERT", hIdx) else ("ZORDER", zIdx)
+        val (pred, clusterPart) =
           if (b.isEmpty) (None, "")
           else if (topLevelKeyword(b, "WHERE") == 0)
-            (Some(b.substring(5, if (zIdx >= 0) zIdx else b.length).trim),
-              if (zIdx >= 0) b.substring(zIdx) else "")
-          else if (zIdx == 0) (None, b)
+            (Some(b.substring(5, if (kIdx >= 0) kIdx else b.length).trim),
+              if (kIdx >= 0) b.substring(kIdx) else "")
+          else if (kIdx == 0) (None, b)
           else throw new IllegalArgumentException(
-            s"OPTIMIZE: expected [WHERE <pred>] [ZORDER BY (cols)], got: $b")
-        val zorderBy = zorderPart match {
+            s"OPTIMIZE: expected [WHERE <pred>] [ZORDER BY (cols) | HILBERT BY (cols)], got: $b")
+        val clusterBy = clusterPart match {
           case "" => Seq.empty[String]
-          case z => z.substring("ZORDER".length) match {
+          case z => z.substring(kw.length) match {
             case ZorderTail(cols) =>
               cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
             case other => throw new IllegalArgumentException(
-              s"OPTIMIZE: expected ZORDER BY (cols), got: ZORDER$other")
+              s"OPTIMIZE: expected $kw BY (cols), got: $kw$other")
           }
         }
-        compact(spark, path, zorderBy = zorderBy, where = pred)
+        compact(spark, path, zorderBy = clusterBy, where = pred,
+          curve = if (hIdx >= 0) "hilbert" else "z")
       case Vacuum(path, retainOrNull, forceOrNull) =>
         val retain = Option(retainOrNull).map(_.toInt).getOrElse(1)
         val age = if (forceOrNull != null) 0L else 24L * 3600 * 1000

@@ -1,7 +1,9 @@
 package graft.operators
 
 import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 class LayoutSpec extends SparkSpec {
   import spark.implicits._
@@ -82,6 +84,43 @@ class LayoutSpec extends SparkSpec {
         s"curve jumped from ($x1,$y1) to ($x2,$y2)")
     }
     got.foreach { case (x, y, d) => assert(d === refHilbert(bits, x, y)) }
+  }
+
+  test("N-D hilbert: exhaustive bijection + unit steps in 2-D, 3-D and 4-D") {
+    // (dims, bits): full grids of 256–512 cells, exhaustively
+    for ((dims, bits) <- Seq((2, 3), (3, 2), (3, 3), (4, 2))) {
+      val n = 1L << bits
+      val names = (0 until dims).map(j => s"c$j")
+      val points = (0L until math.round(math.pow(n.toDouble, dims.toDouble))).map { i =>
+        Row.fromSeq((0 until dims).map(j =>
+          (i >> (bits * j)) & (n - 1)))
+      }
+      val grid = spark.createDataFrame(
+        spark.sparkContext.parallelize(points, 4),
+        StructType(names.map(StructField(_, LongType, nullable = false))))
+      val got = Layout.withHilbertValueN(grid, names, "d", bits)
+        .select((names :+ "d").map(col): _*)
+        .collect().map(r => (names.indices.map(r.getLong), r.getLong(dims)))
+      val total = got.length.toLong
+      assert(got.map(_._2).sorted.toSeq === (0L until total),
+        s"$dims-D/$bits-bit hilbert must be bijective onto 0..${total - 1}")
+      got.sortBy(_._2).sliding(2).foreach { case Array((a, _), (b, _)) =>
+        val manhattan = a.zip(b).map { case (u, v) => math.abs(u - v) }.sum
+        assert(manhattan === 1L,
+          s"$dims-D curve jumped from $a to $b (distance $manhattan)")
+      }
+    }
+  }
+
+  test("hilbertCluster accepts 3+ columns and preserves the data exactly") {
+    val orders = Tables(spark, sf001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+    val clustered = Layout.hilbertCluster(orders,
+      Seq("o_custkey", "o_totalprice", "o_orderdate"), targetFiles = 8, bits = 8)
+    assert(clustered.columns.toSeq === orders.columns.toSeq)
+    assert(clustered.count() === orders.count())
+    assert(clustered.agg(sum(col("o_orderkey"))).head().getLong(0) ===
+      orders.agg(sum(col("o_orderkey"))).head().getLong(0))
   }
 
   test("hilbert layout prunes both dimensions, at least as tightly as z-order on average") {

@@ -380,6 +380,34 @@ class LakeDmlSpec extends SparkSpec {
       Set((1L, "keep"), (5L, "SELECT x")))
   }
 
+  test("OPTIMIZE ... HILBERT BY re-clusters on the Hilbert curve, both formats") {
+    def mk(fmt: String): String = {
+      val t = tmp(s"graft_hil_$fmt") + "/tbl"
+      val df = spark.range(4000).selectExpr("id",
+        "CAST(id % 61 AS DOUBLE) AS x", "CAST((id * 37) % 53 AS DOUBLE) AS y",
+        "CAST((id * 17) % 47 AS DOUBLE) AS z")
+        .repartition(8) // several small files so the rewrite has work
+      if (fmt == "delta") DeltaWrite.append(spark, df, t)
+      else IcebergWrite.append(spark, df, t)
+      t
+    }
+    for (fmt <- Seq("delta", "iceberg")) {
+      val t = mk(fmt)
+      val before = Lake.read(spark, t).agg(sum(col("id"))).head().getLong(0)
+      // 3 clustering columns — the N-D curve the 2-D form can't serve
+      Lake.sql(spark, s"OPTIMIZE '$t' HILBERT BY (x, y, z)")
+      assert(Lake.read(spark, t).agg(sum(col("id"))).head().getLong(0) === before,
+        s"$fmt: hilbert re-cluster must not change the data")
+      assert(Lake.read(spark, t).count() === 4000L)
+    }
+    // refusals: both curves at once; unknown curve through the API
+    val t = mk("delta")
+    intercept[IllegalArgumentException](
+      Lake.sql(spark, s"OPTIMIZE '$t' ZORDER BY (x) HILBERT BY (y)"))
+    intercept[IllegalArgumentException](
+      Lake.compact(spark, t, zorderBy = Seq("x", "y"), curve = "peano"))
+  }
+
   test("Lake.sqlFrame SELECT: projection, version pin, literal-safe WHERE, ORDER/LIMIT, refusals") {
     val t = tmp("graft_sel") + "/tbl"
     val v0 = DeltaWrite.append(spark,
