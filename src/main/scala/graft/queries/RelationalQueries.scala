@@ -689,7 +689,152 @@ object RelationalQueries {
       GROUP BY c_custkey, c_name, n_name
       ORDER BY revenue DESC, c_custkey LIMIT 20"""))
 
+  /** T65 PRIORITY COUNT OF LATE ORDERS (the TPC-H Q4 shape): orders in a
+    * half-year window with at least one lineitem shipping >60 days after
+    * order date, counted per priority. Written as a correlated EXISTS on
+    * PURPOSE — the query-surface story here is Catalyst's decorrelation
+    * (`RewritePredicateSubquery`): the subquery becomes ONE left-semi
+    * join on `l_orderkey` whose join condition carries the non-equi
+    * date-shift predicate, so lineitem is scanned once and each order
+    * row survives at most once (no EXISTS re-execution per row, no
+    * fan-out to dedupe). At 100 TB the date window prunes orders before
+    * the shuffle and the semi join's build/stream sides both reduce
+    * map-side; the final rollup shuffles five groups. */
+  val t65 = GQuery(
+    "t65_exists_late_orders",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""SELECT o_orderpriority, count(*) AS cnt
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS cnt
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-07-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** T66 SMALL-QUANTITY REVENUE (the TPC-H Q17 shape): revenue from
+    * lineitems under 20% of their part's average quantity, one brand.
+    * The correlated SCALAR subquery is the point:
+    * `RewriteCorrelatedScalarSubquery` turns the per-row "avg for THIS
+    * part" into ONE grouped aggregate over lineitem keyed on
+    * `l_partkey`, joined back — lineitem is scanned twice (outer +
+    * aggregate), never once per row, and the aggregate side reduces
+    * map-side to one row per part before its shuffle. The brand filter
+    * cannot prune the aggregate side (the average is over ALL lineitems
+    * of the part, only resolvable per part), so at 100 TB the aggregate
+    * input is the full fact — exactly the documented Q17 cost, with the
+    * partial agg as the lever. */
+  val t66 = GQuery(
+    "t66_scalar_subquery_qty",
+    (s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      t(s, dir, "part").createOrReplaceTempView("part")
+      s.sql("""SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l JOIN part ON p_partkey = l.l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                              FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""")
+    },
+    Some("""SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+      FROM lineitem l JOIN part ON p_partkey = l.l_partkey
+      WHERE p_brand = 'Brand#23'
+        AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                            FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)"""))
+
+  /** T67 SOLE LATE SUPPLIER (the TPC-H Q21 shape): suppliers who were
+    * the ONLY late shipper on a finished multi-supplier order ("late" =
+    * shipped >60 days after order date; the fixtures carry no
+    * commit/receipt dates). Doubly-correlated: an EXISTS (some OTHER
+    * supplier on the order) and a NOT EXISTS (no OTHER supplier late) —
+    * the NOT EXISTS predicate references the OUTER order's date, which
+    * decorrelation must carry into the anti-join condition. Plan:
+    * `RewritePredicateSubquery` plans one left-semi and one left-anti
+    * join, both keyed on `l_orderkey` with the `<>`-supplier and
+    * date-shift residuals in the join condition — three scans of
+    * lineitem total (outer + two subqueries), zero per-row re-execution,
+    * and every join is an equi-join on the order key so AQE's skew
+    * handling applies to hot orders. */
+  val t67 = GQuery(
+    "t67_only_late_supplier",
+    (s, dir) => {
+      t(s, dir, "supplier").createOrReplaceTempView("supplier")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""SELECT s_name, count(*) AS numwait FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""")
+    },
+    Some("""SELECT s_name, count(*) AS numwait FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""))
+
+  /** T68 DORMANT HIGH-BALANCE CUSTOMERS (the TPC-H Q22 shape):
+    * above-average-balance customers with no order since 2000, rolled up
+    * by segment. Two subquery forms in one query: the UNCORRELATED
+    * scalar (global positive-balance average) plans as a one-row
+    * subquery result broadcast into the filter — computed once, never
+    * per row; the correlated NOT EXISTS decorrelates to a left-anti join
+    * on `o_custkey` against the date-filtered orders. At 100 TB the
+    * anti join's right side is pruned by the date predicate BEFORE its
+    * shuffle, and the scalar's aggregate is one map-side-combined pass
+    * over customer. */
+  val t68 = GQuery(
+    "t68_dormant_customers",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT c_mktsegment, count(*) AS numcust,
+          round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS numcust,
+        round(sum(c_acctbal), 2) AS totacctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-01-01')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   def all: Seq[GQuery] = Seq(t4, t5, t6, t7, t8, t9, t9b, t10, t10b, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t19b, t20, t21, t22, t23, t24, t25, t30, t31,
-    t32, t33, t34, t35, t36, t37, t38, t39, t63, t64)
+    t32, t33, t34, t35, t36, t37, t38, t39, t63, t64, t65, t66, t67, t68)
 }

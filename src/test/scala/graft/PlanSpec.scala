@@ -198,6 +198,26 @@ class PlanSpec extends SparkSpec {
     assert(!p64.contains("SortMergeJoin"), p64.take(2000))
   }
 
+  test("T65–T68: subqueries decorrelate — semi/anti joins, never per-row re-execution") {
+    // EXISTS → one LeftSemi with the non-equi date residual in the condition
+    val p65 = planOf(graft.queries.RelationalQueries.t65.build(spark, sf001))
+    assert(p65.contains("LeftSemi"), p65.take(3000))
+    assert(!p65.contains("CartesianProduct") && !p65.contains("BroadcastNestedLoop"),
+      p65.take(3000))
+    // correlated scalar avg → ONE grouped aggregate joined back: exactly
+    // two lineitem scans (outer + aggregate), not one per row
+    val p66 = planOf(graft.queries.RelationalQueries.t66.build(spark, sf001))
+    val final66 = p66.split("== Initial Plan ==").head
+    assert(final66.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem")) === 2, p66.take(4000))
+    // EXISTS + NOT EXISTS → one LeftSemi and one LeftAnti on the order key
+    val p67 = planOf(graft.queries.RelationalQueries.t67.build(spark, sf001))
+    assert(p67.contains("LeftSemi") && p67.contains("LeftAnti"), p67.take(3000))
+    // uncorrelated scalar stays a one-row subquery; NOT EXISTS → LeftAnti
+    val p68 = planOf(graft.queries.RelationalQueries.t68.build(spark, sf001))
+    assert(p68.contains("LeftAnti") && p68.contains("Subquery"), p68.take(3000))
+  }
+
   test("broadcastIfSmall: above the bound the fallback is a spillable shuffle-hash build") {
     import org.apache.spark.sql.functions.col
     val big = Tables(spark, sf001, "orders").select(col("o_orderkey"))
