@@ -834,7 +834,97 @@ object RelationalQueries {
                           AND o_orderdate >= TIMESTAMP '2000-01-01')
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** T69 ROLLING BIVARIATE CORRELATION (W15): per-supplier correlation of
+    * price vs quantity over a 7-row sliding frame — the bivariate twin of
+    * W7's moving average, the shape behind rolling beta / factor drift
+    * monitors. One window shuffle on `l_suppkey` (real key, thousands of
+    * partitions at scale — never a global or 3-group window), frame state
+    * is the co-moment accumulator, then one map-side-combined rollup per
+    * supplier. Frames shorter than 2 rows (partition heads) yield NULL in
+    * both engines and fall out of avg/count identically. */
+  val t69 = GQuery(
+    "t69_rolling_corr",
+    (s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(-6, 0)
+      // corr spelled out as covar_samp/(sx·sy) with an explicit
+      // zero-variance guard: Spark's corr aggregate divides by the
+      // co-moment product, which under ANSI mode THROWS on a
+      // constant-valued frame (quantity is discrete — same-value runs
+      // happen); DuckDB's corr returns NULL there. The guarded form is
+      // NULL in both engines for n<2 (covar_samp NULL) and zero
+      // variance, and the (n−1) factors cancel so it IS corr.
+      val cv = covar_samp(col("l_extendedprice"), col("l_quantity")).over(w)
+      val sx = stddev_samp(col("l_extendedprice")).over(w)
+      val sy = stddev_samp(col("l_quantity")).over(w)
+      t(s, dir, "lineitem")
+        .withColumn("rc", when(sx > 0 && sy > 0, cv / (sx * sy)))
+        .groupBy(col("l_suppkey"))
+        .agg(round(avg(col("rc")), 6).as("avg_rc"),
+          round(max(col("rc")), 6).as("max_rc"),
+          count(col("rc")).as("n_frames"))
+        .orderBy(col("l_suppkey"))
+    },
+    Some("""SELECT l_suppkey, round(avg(rc), 6) AS avg_rc,
+        round(max(rc), 6) AS max_rc, count(rc) AS n_frames
+      FROM (SELECT l_suppkey,
+              CASE WHEN sx > 0 AND sy > 0 THEN cv / (sx * sy) END AS rc
+            FROM (SELECT l_suppkey,
+              covar_samp(l_extendedprice, l_quantity) OVER w AS cv,
+              stddev_samp(l_extendedprice) OVER w AS sx,
+              stddev_samp(l_quantity) OVER w AS sy
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_suppkey
+              ORDER BY l_shipdate, l_orderkey, l_linenumber
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))) t
+      GROUP BY l_suppkey ORDER BY l_suppkey"""))
+
+  /** T70 MOVING MEDIAN (W16): per-customer median order value over the
+    * last 5 orders — an ORDER-STATISTIC frame aggregate, the robust
+    * counterpart of W7's moving average (one outlier order shifts an
+    * average, not a median). Spark's exact `percentile` aggregate runs
+    * as a window function over the 5-row frame; one window shuffle on
+    * the customer key, frame state ≤5 rows, then a per-customer rollup.
+    * FULL frames only (`row_number ≥ 5`, same window order): an odd
+    * frame's median is an exact data value in both engines, whereas a
+    * 2/4-row frame interpolates the two middle 2-dp prices — midpoints
+    * land EXACTLY on x.xx5 rounding ties, where a 1-ulp cross-engine
+    * difference flips round(…,2) (measured: 15/1500 rows flaked before
+    * the full-frame restriction). The rollup SUMS the medians rather
+    * than averaging them for the same reason: a sum of 2-dp values is a
+    * 2-dp decimal (FP noise ~1e-9 rounds away), while dividing by the
+    * frame count manufactures fresh x.xx5 ties (measured: 6/1451). */
+  val t70 = GQuery(
+    "t70_moving_median",
+    (s, dir) => {
+      val ord = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val w = ord.rowsBetween(-4, 0)
+      t(s, dir, "orders")
+        .withColumn("mm", expr("percentile(o_totalprice, 0.5D)").over(w))
+        .withColumn("rn", row_number().over(ord))
+        .where(col("rn") >= 5)
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("mm")), 2).as("sum_mm"),
+          round(max(col("mm")), 2).as("max_mm"),
+          count(lit(1)).as("n_frames"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey, round(sum(mm), 2) AS sum_mm,
+        round(max(mm), 2) AS max_mm, count(*) AS n_frames
+      FROM (SELECT o_custkey,
+              median(o_totalprice) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mm,
+              row_number() OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+            FROM orders) t
+      WHERE rn >= 5
+      GROUP BY o_custkey ORDER BY o_custkey"""))
+
   def all: Seq[GQuery] = Seq(t4, t5, t6, t7, t8, t9, t9b, t10, t10b, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t19b, t20, t21, t22, t23, t24, t25, t30, t31,
-    t32, t33, t34, t35, t36, t37, t38, t39, t63, t64, t65, t66, t67, t68)
+    t32, t33, t34, t35, t36, t37, t38, t39, t63, t64, t65, t66, t67, t68,
+    t69, t70)
 }
