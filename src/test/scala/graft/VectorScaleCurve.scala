@@ -49,6 +49,10 @@ object VectorScaleCurve {
     def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
       p match {
         case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        // AQE wraps materialized stages as LEAVES — children is Nil, the
+        // real subtree hangs off .plan
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => scans(r.child)
         case f: FileSourceScanExec => Seq(f)
         case other =>
           other.children.flatMap(scans) ++

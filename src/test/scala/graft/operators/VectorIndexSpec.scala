@@ -97,6 +97,12 @@ class VectorIndexSpec extends SparkSpec {
     val rest = all.where(col("vec_id") >= 16)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val stream = MemoryStream[(Long, Array[Float])]
+    // enqueue BEFORE start: AvailableNow snapshots its end offsets when the
+    // query starts, so data added after start() can race the snapshot and
+    // the query terminates having ingested nothing (observed flake under a
+    // loaded parallel suite; deterministic either way with data queued first)
+    stream.addData(rest.take(16).toSeq)
+    stream.addData(rest.drop(16).toSeq)
     val q = stream.toDF().toDF("vec_id", "embedding").writeStream
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -104,8 +110,6 @@ class VectorIndexSpec extends SparkSpec {
       }
       .option("checkpointLocation", tmp("graft_vidx_stream_ckpt"))
       .start()
-    stream.addData(rest.take(16).toSeq)
-    stream.addData(rest.drop(16).toSeq)
     q.processAllAvailable(); q.stop()
     val brute = collected(
       Similarity.bruteForceTopK(all, all.where(col("vec_id") < 6), "vec_id", "embedding", k = 3))
