@@ -162,5 +162,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(Bridge.functionDescription("jaccard_sim",
       classOf[JaccardSim], VectorExpressions.jaccardBuilder))
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
+    ext.injectOptimizerRule(_ => graft.plans.MvRoutingRule)
   }
 }

@@ -807,8 +807,133 @@ object AnalyticsQueries {
         round(ewma_raw, 6) AS ewma, round(abs(value - ewma_raw), 6) AS dev
       FROM e ORDER BY dev DESC, user_id, event_id LIMIT 50"""))
 
+  /** T71 TRANSPARENT MV ROUTING (A20): the aggregate is written against
+    * the BASE lineitem table; [[graft.plans.MvRoutingRule]] re-plans it
+    * against a freshly-built (flag, status, shipdate) rollup MV — the
+    * oracle aggregates the base in DuckDB, so a hash match proves the
+    * routed answer equals the base answer end-to-end (sum/count/avg/max
+    * re-derived from MV partials, key filter re-applied per MV group).
+    * MvRoutingSpec carries the physical proof the MV is what's scanned,
+    * plus every bail path. At 100 TB this plan reads |key tuples| MV
+    * rows instead of the fact table. */
+  val t71 = GQuery(
+    "t71_mv_rollup_routing",
+    (s, dir) => {
+      // registry hygiene: the MV is built over a COPY of the base file in
+      // /tmp, not the shared testdata path — registering the real path
+      // would transparently re-route every other gate query aggregating
+      // lineitem (correct, but the gate should test each plan as written)
+      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_mv_li_" +
+        Integer.toHexString(dir.hashCode)
+      val base = s"$stage/base/lineitem.parquet"
+      val mvDir = s"$stage/mv"
+      val src = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+      val dst = new org.apache.hadoop.fs.Path(base)
+      val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(dst.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, true,
+        s.sparkContext.hadoopConfiguration)
+      graft.plans.Mv.create(s, base, mvDir,
+        keys = Seq("l_returnflag", "l_linestatus", "l_shipdate"),
+        measures = Seq("l_quantity", "l_extendedprice"))
+      s.read.parquet(base)
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("cnt"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(max(col("l_extendedprice")), 2).as("max_price"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt,
+        round(avg(l_extendedprice), 4) AS avg_price,
+        round(max(l_extendedprice), 2) AS max_price
+      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** T72 GEO NEAREST JOIN (J13): nearest supplier site per customer site
+    * over deterministic key-derived coordinates (the fixtures carry no
+    * geography; identical integer/float arithmetic on both engines makes
+    * the derivation an oracle-safe column). The engine side is
+    * [[graft.operators.GeoOps.nearest]] — a 3×3 grid-cell EQUI-join with
+    * a per-row exactness certificate and an all-pairs fallback for only
+    * the uncertified rows — while the oracle is the brute-force cross
+    * join it must reproduce row-for-row. GeoSpec proves exactness on the
+    * hard cases (date line, empty cells, polar certificate collapse). */
+  val t72 = GQuery(
+    "t72_geo_nearest",
+    (s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        ((col("c_custkey") * 37 % 1700) / lit(10.0) - 85.0).as("clat"),
+        ((col("c_custkey") * 91 % 3600) / lit(10.0) - 180.0).as("clon"))
+      val supp = t(s, dir, "supplier").select(col("s_suppkey"),
+        ((col("s_suppkey") * 53 % 1700) / lit(10.0) - 85.0).as("slat"),
+        ((col("s_suppkey") * 131 % 3600) / lit(10.0) - 180.0).as("slon"))
+      graft.operators.GeoOps.nearest(cust, "c_custkey", "clat", "clon",
+          supp, "s_suppkey", "slat", "slon", cellDeg = 30.0)
+        .select(col("c_custkey"), col("nearest_s_suppkey"),
+          round(col("km"), 3).as("km"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""WITH c AS (SELECT c_custkey,
+        (c_custkey*37 % 1700)/10.0 - 85.0 AS clat,
+        (c_custkey*91 % 3600)/10.0 - 180.0 AS clon FROM customer),
+      s AS (SELECT s_suppkey,
+        (s_suppkey*53 % 1700)/10.0 - 85.0 AS slat,
+        (s_suppkey*131 % 3600)/10.0 - 180.0 AS slon FROM supplier),
+      d AS (SELECT c_custkey, s_suppkey,
+        2*6371.0088*asin(sqrt(pow(sin(radians(slat-clat)/2),2)
+          + cos(radians(clat))*cos(radians(slat))*pow(sin(radians(slon-clon)/2),2))) AS km
+        FROM c CROSS JOIN s),
+      r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY km, s_suppkey) AS rn
+        FROM d)
+      SELECT c_custkey, s_suppkey AS nearest_s_suppkey, round(km, 3) AS km
+      FROM r WHERE rn = 1 ORDER BY c_custkey"""))
+
+  /** T73 GEO RADIUS JOIN (J13r): suppliers within 2000 km of each
+    * customer site, rolled up per customer (count + nearest-in-radius
+    * distance). The engine side is [[graft.operators.GeoOps.withinRadius]]
+    * — the 3×3 grid-cell equi-join with the static per-left-row
+    * certificate (out-of-window lower bound ≥ radius) and the all-pairs
+    * fallback for only uncertified (high-latitude) rows, so at 100 TB the
+    * pair volume tracks cell occupancy, never |L|·|R|. The derived global
+    * coordinates put ~half the customers above the 30°-cell certificate
+    * latitude, so BOTH paths carry graded rows. Oracle = the brute-force
+    * cross-join filter it must reproduce pair-for-pair (a missing or
+    * duplicated pair breaks cnt and the hash). */
+  val t73 = GQuery(
+    "t73_geo_radius",
+    (s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        ((col("c_custkey") * 37 % 1700) / lit(10.0) - 85.0).as("clat"),
+        ((col("c_custkey") * 91 % 3600) / lit(10.0) - 180.0).as("clon"))
+      val supp = t(s, dir, "supplier").select(col("s_suppkey"),
+        ((col("s_suppkey") * 53 % 1700) / lit(10.0) - 85.0).as("slat"),
+        ((col("s_suppkey") * 131 % 3600) / lit(10.0) - 180.0).as("slon"))
+      graft.operators.GeoOps.withinRadius(cust, "c_custkey", "clat", "clon",
+          supp, "s_suppkey", "slat", "slon", radiusKm = 2000.0, cellDeg = 30.0)
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n_near"), round(min(col("km")), 3).as("min_km"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""WITH c AS (SELECT c_custkey,
+        (c_custkey*37 % 1700)/10.0 - 85.0 AS clat,
+        (c_custkey*91 % 3600)/10.0 - 180.0 AS clon FROM customer),
+      s AS (SELECT s_suppkey,
+        (s_suppkey*53 % 1700)/10.0 - 85.0 AS slat,
+        (s_suppkey*131 % 3600)/10.0 - 180.0 AS slon FROM supplier),
+      d AS (SELECT c_custkey, s_suppkey,
+        2*6371.0088*asin(sqrt(pow(sin(radians(slat-clat)/2),2)
+          + cos(radians(clat))*cos(radians(slat))*pow(sin(radians(slon-clon)/2),2))) AS km
+        FROM c CROSS JOIN s)
+      SELECT c_custkey, count(*) AS n_near, round(min(km), 3) AS min_km
+      FROM d WHERE km <= 2000.0
+      GROUP BY c_custkey ORDER BY c_custkey"""))
+
   val all: Seq[GQuery] =
     Seq(t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54, t55,
-      t57, t58, t60, t61, t62,
+      t57, t58, t60, t61, t62, t71, t72, t73,
       l23, l3ivfx, b14b, b14c)
 }

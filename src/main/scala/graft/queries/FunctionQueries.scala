@@ -471,6 +471,38 @@ object FunctionQueries {
         CAST(props->>'$.k' AS BIGINT) + user_id AS sum_vals
       FROM events WHERE event_id < 100 ORDER BY event_id"""))
 
+  /** L44 URL PARSING (F10): `parse_url` host/path/query-param extraction —
+    * the column family behind domain-level corpus curation (per-domain
+    * caps, blocklists, ref-tracking). The fixtures carry no URLs, so the
+    * query synthesizes one per document from its own columns; the oracle
+    * then computes each extracted component CONSTRUCTIVELY (host =
+    * source‖'.example.com', …) — a hash match proves Spark's parser
+    * recovers exactly the parts the construction injected. All per-row
+    * string work is codegen'd into the scan; the rollup shuffles one row
+    * per host. */
+  val l44 = GQuery(
+    "l44_url_parse",
+    (s, dir) => {
+      val url = concat(lit("https://"), col("source"), lit(".example.com/"),
+        col("lang"), lit("/doc-"), col("doc_id").cast("string"),
+        lit("?ref=r"), (col("doc_id") % 7).cast("string"))
+      t(s, dir, "documents")
+        .withColumn("u", url)
+        .select(
+          expr("parse_url(u, 'HOST')").as("host"),
+          expr("parse_url(u, 'PATH')").as("path"),
+          expr("parse_url(u, 'QUERY', 'ref')").as("ref"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("ref")).as("n_refs"),
+          sum(length(col("path"))).as("sum_path_len"))
+        .orderBy(col("host"))
+    },
+    Some("""SELECT source || '.example.com' AS host, count(*) AS n_docs,
+        count(DISTINCT 'r' || CAST(doc_id % 7 AS VARCHAR)) AS n_refs,
+        CAST(sum(length('/' || lang || '/doc-' || CAST(doc_id AS VARCHAR))) AS BIGINT) AS sum_path_len
+      FROM documents GROUP BY 1 ORDER BY host"""))
+
   def all: Seq[GQuery] = Seq(t26, t26b, t26c, t26d, t26e, t27, t28, t29, t29b, t29explode,
-    t16b, t16c, tUdaf, tMultimodal, tFromJson, tVariant, t59map)
+    t16b, t16c, tUdaf, tMultimodal, tFromJson, tVariant, t59map, l44)
 }

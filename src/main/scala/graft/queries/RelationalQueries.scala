@@ -923,8 +923,87 @@ object RelationalQueries {
       WHERE rn >= 5
       GROUP BY o_custkey ORDER BY o_custkey"""))
 
+  /** T74 TOP QUARTERLY SUPPLIER (the TPC-H Q15 shape): the supplier(s)
+    * whose Q1-1996 shipped revenue equals the maximum over all suppliers
+    * — the "view + scalar max over the view" pattern. The subquery
+    * surface under test: the CTE is referenced twice (join input and the
+    * scalar's aggregate) and Spark INLINES it, so the plan is two
+    * map-side-combined aggregations over the date-pruned fact — each one
+    * shuffles one row per supplier — with the max as a ONE-ROW broadcast
+    * into the filter, never a per-row re-execution; the supplier dim
+    * then broadcasts onto the one-row-per-supplier revenue side. Revenue
+    * is rounded to 2 dp BEFORE the max/equality compare in BOTH engines
+    * so the tie set is decided on identical decimals, not on 1-ulp FP
+    * noise. At 100 TB the shape holds (the fact is scanned twice — the
+    * documented Q15 cost; caching the rollup is the caller's lever). */
+  val t74 = GQuery(
+    "t74_top_supplier",
+    (s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      t(s, dir, "supplier").createOrReplaceTempView("supplier")
+      s.sql("""WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey""")
+    },
+    Some("""WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+          round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      ORDER BY s_suppkey"""))
+
+  /** T75 LARGE-VOLUME ORDERS (the TPC-H Q18 shape): orders whose total
+    * lineitem quantity exceeds 150, with customer detail and the
+    * quantity rollup repeated in the outer query. The IN-subquery over a
+    * GROUPED HAVING is the point: Spark decorrelates it to a left-semi
+    * join against the one-row-per-order aggregate — the fact reduces
+    * map-side to |orders| rows BEFORE the semi join's shuffle, and the
+    * HAVING prunes that to the handful of heavy orders, so the
+    * semi-join build side is tiny and AQE broadcasts it. Quantities are
+    * integer-valued, so the >150 threshold and the output sum are exact
+    * in both engines. The outer re-aggregation then groups the few
+    * surviving orders; customer broadcasts onto them. */
+  val t75 = GQuery(
+    "t75_large_volume_orders",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+          round(sum(l_quantity), 2) AS total_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")
+    },
+    Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        round(sum(l_quantity), 2) AS total_qty
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+      GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""))
+
   def all: Seq[GQuery] = Seq(t4, t5, t6, t7, t8, t9, t9b, t10, t10b, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t19b, t20, t21, t22, t23, t24, t25, t30, t31,
     t32, t33, t34, t35, t36, t37, t38, t39, t63, t64, t65, t66, t67, t68,
-    t69, t70)
+    t69, t70, t74, t75)
 }

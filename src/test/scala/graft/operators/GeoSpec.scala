@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** GeoOps: haversine sanity, and the grid nearest-join's EXACTNESS — the
+  * certificate + fallback construction must reproduce the brute-force
+  * all-pairs answer row-for-row at any cell size, including the designed
+  * hard cases (date-line wrap, empty neighborhoods, polar latitudes
+  * where the longitude certificate collapses). */
+class GeoSpec extends SparkSpec {
+
+  private def brute(l: DataFrame, r: DataFrame): Seq[(Long, Long, Double)] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lid")).orderBy(col("km"), col("rid"))
+    l.crossJoin(r)
+      .withColumn("km", GeoOps.haversineKm(col("llat"), col("llon"), col("rlat"), col("rlon")))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("lid"), col("rid"), col("km"))
+      .collect().toSeq.map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).sorted
+  }
+
+  private def grid(l: DataFrame, r: DataFrame, cellDeg: Double): Seq[(Long, Long, Double)] =
+    GeoOps.nearest(l, "lid", "llat", "llon", r, "rid", "rlat", "rlon", cellDeg)
+      .collect().toSeq.map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).sorted
+
+  private def pts(rows: Seq[(Long, Double, Double)], p: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF(s"${p}id", s"${p}lat", s"${p}lon")
+  }
+
+  test("haversine: known city distance within 1 km") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((48.8566, 2.3522, 51.5074, -0.1278)).toDF("a", "b", "c", "d")
+      .select(GeoOps.haversineKm(col("a"), col("b"), col("c"), col("d")))
+      .collect()(0).getDouble(0)
+    assert(math.abs(d - 343.5) < 1.0, s"Paris-London came out $d km")
+  }
+
+  test("grid nearest equals brute force on derived global coords, multiple cell sizes") {
+    val l = pts((1L to 300L).map(i => (i, (i * 37 % 1700) / 10.0 - 85.0,
+      (i * 91 % 3600) / 10.0 - 180.0)), "l")
+    val r = pts((1L to 40L).map(i => (i, (i * 53 % 1700) / 10.0 - 85.0,
+      (i * 131 % 3600) / 10.0 - 180.0)), "r")
+    val exact = brute(l, r)
+    for (cell <- Seq(5.0, 15.0, 45.0))
+      assert(grid(l, r, cell) === exact, s"cellDeg=$cell diverged from brute force")
+  }
+
+  test("date-line wrap: neighbor across ±180 found by the grid path") {
+    val l = pts(Seq((1L, 10.0, -179.5)), "l")
+    val r = pts(Seq((1L, 10.0, 179.5), (2L, 10.0, 0.0)), "r")
+    val out = grid(l, r, 10.0)
+    assert(out.map(t => (t._1, t._2)) === Seq((1L, 1L)))
+    assert(out.head._3 < 120.0) // ~110 km across the line, not half the globe
+  }
+
+  test("empty neighborhood falls back and still finds the global nearest") {
+    val l = pts(Seq((1L, 0.0, 0.0)), "l")
+    val r = pts(Seq((7L, 60.0, 120.0)), "r") // far outside any 3×3 at 5°
+    assert(grid(l, r, 5.0).map(t => (t._1, t._2)) === Seq((1L, 7L)))
+  }
+
+  test("polar latitudes (collapsed certificate) stay exact") {
+    val l = pts(Seq((1L, 88.0, 10.0), (2L, -88.5, -170.0)), "l")
+    val r = pts((1L to 12L).map(i => (i, 86.0 + (i % 5) * 0.8,
+      i * 30.0 - 180.0)), "r")
+    assert(grid(l, r, 3.0) === brute(l, r))
+  }
+
+  private def bruteRadius(l: DataFrame, r: DataFrame, radius: Double): Seq[(Long, Long)] =
+    l.crossJoin(r)
+      .withColumn("km", GeoOps.haversineKm(col("llat"), col("llon"), col("rlat"), col("rlon")))
+      .where(col("km") <= radius)
+      .select(col("lid"), col("rid"))
+      .collect().toSeq.map(x => (x.getLong(0), x.getLong(1))).sorted
+
+  private def gridRadius(l: DataFrame, r: DataFrame, radius: Double,
+      cellDeg: Double): Seq[(Long, Long)] =
+    GeoOps.withinRadius(l, "lid", "llat", "llon", r, "rid", "rlat", "rlon",
+        radius, cellDeg)
+      .collect().toSeq.map(x => (x.getLong(0), x.getLong(1))).sorted
+
+  test("withinRadius equals brute force: pair sets identical, no duplicates") {
+    val l = pts((1L to 300L).map(i => (i, (i * 37 % 1700) / 10.0 - 85.0,
+      (i * 91 % 3600) / 10.0 - 180.0)), "l")
+    val r = pts((1L to 40L).map(i => (i, (i * 53 % 1700) / 10.0 - 85.0,
+      (i * 131 % 3600) / 10.0 - 180.0)), "r")
+    for ((radius, cell) <- Seq((500.0, 10.0), (1500.0, 20.0), (3000.0, 45.0))) {
+      val exact = bruteRadius(l, r, radius)
+      val got = gridRadius(l, r, radius, cell)
+      assert(got === exact, s"radius=$radius cell=$cell diverged")
+      assert(got.distinct === got, s"radius=$radius cell=$cell emitted duplicates")
+    }
+  }
+
+  test("withinRadius: date-line pair found, polar rows exact via fallback") {
+    val l = pts(Seq((1L, 10.0, -179.8), (2L, 87.0, 0.0)), "l")
+    val r = pts(Seq((1L, 10.0, 179.8), (2L, 87.0, 179.0), (3L, 10.0, 0.0)), "r")
+    // r2 is ~660 km from l2 straight over the pole — lon cells far apart,
+    // only the uncertified fallback path can pair them
+    assert(gridRadius(l, r, 700.0, 10.0) === bruteRadius(l, r, 700.0))
+  }
+
+  test("withinRadius refuses a radius wider than the lat window") {
+    val l = pts(Seq((1L, 0.0, 0.0)), "l")
+    intercept[IllegalArgumentException] {
+      GeoOps.withinRadius(l, "lid", "llat", "llon", l, "lid", "llat", "llon",
+        radiusKm = 2000.0, cellDeg = 5.0)
+    }
+  }
+}
