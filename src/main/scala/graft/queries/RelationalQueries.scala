@@ -1002,8 +1002,276 @@ object RelationalQueries {
       GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""))
 
+  /** T76 SHIPPING PRIORITY (the TPC-H Q3 shape): top-10 unshipped orders
+    * by revenue for one market segment. Plan for 100 TB: the
+    * segment-filtered customer reduces date-filtered orders FIRST — that
+    * derived (orderkey, orderdate) frame is lazily checkpointed so the
+    * size-gate probe and the join read one materialization — then probes
+    * the shipdate-filtered fact as a broadcast (graded SF) or spillable
+    * shuffle_hash build (beyond the gate). Revenue is rounded to 2 dp
+    * BEFORE the ordering in both engines: products are 4-dp decimals
+    * whose double sums agree far above a cent, while the raw sums can
+    * differ by an ulp across engines and flip the top-10 cut. Top-10 is
+    * a TakeOrdered over the per-order rollup, never a global sort. */
+  val t76 = GQuery(
+    "t76_shipping_priority",
+    (s, dir) => {
+      val revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val cutoff = lit("1998-06-30").cast("timestamp")
+      val openOrders = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+        .join(t(s, dir, "orders").filter(col("o_orderdate") < cutoff),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .localCheckpoint(false) // probe + join share one materialization
+      t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+        .join(graft.operators.JoinHints.broadcastIfSmall(openOrders),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(revenue), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey, o_orderdate,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-06-30'
+        AND l_shipdate > TIMESTAMP '1998-06-30'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
+  /** T77 FORECAST REVENUE CHANGE (the TPC-H Q6 shape): what revenue
+    * would appear if low-quantity discounts in one year were dropped —
+    * a single-table filter + global aggregate, THE pushdown litmus: all
+    * three predicates (shipdate range, discount band, quantity cap)
+    * reach the parquet scan as PushedFilters over a 3-column ReadSchema,
+    * the sum combines map-side, and ONE row crosses the wire. At 100 TB
+    * this query's cost is the pruned scan and nothing else. */
+  val t77 = GQuery(
+    "t77_forecast_revenue",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.04, 0.06) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue")),
+    Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24"""))
+
+  /** T78 VOLUME SHIPPING (the TPC-H Q7 shape): bilateral trade volume
+    * between two nations by year. Join-ORDER is the scale story: the
+    * supplier⋈nation frame filtered to the two nations broadcasts onto
+    * the shipdate-pruned fact FIRST (cutting it to ~2/|nations| before
+    * anything shuffles), the surviving lineitems then shuffle-join
+    * orders on the order key (the one unavoidable fact-fact exchange),
+    * and customer — gated, it grows with SF — resolves the buying
+    * nation last, with the cross-pair disjunction applied as a residual
+    * filter. Year extraction and the pair predicate are codegen'd; the
+    * rollup shuffles |pairs|×|years| rows. */
+  val t78 = GQuery(
+    "t78_volume_shipping",
+    (s, dir) => {
+      val volume = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val suppNations = t(s, dir, "supplier")
+        .join(t(s, dir, "nation").filter(col("n_name").isin("NATION_1", "NATION_2")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val custNations = t(s, dir, "customer")
+        .join(t(s, dir, "nation").filter(col("n_name").isin("NATION_1", "NATION_2")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(graft.operators.JoinHints.broadcastIfSmall(suppNations),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(graft.operators.JoinHints.broadcastIfSmall(custNations),
+          col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(volume), 2).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+    Some("""SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+      FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              year(l_shipdate) AS l_year,
+              l_extendedprice * (1 - l_discount) AS volume
+            FROM supplier
+            JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year"""))
+
+  /** T79 NATIONAL MARKET SHARE (the TPC-H Q8 shape): one nation's share
+    * of a part type's volume sold into a region, by year. The
+    * conditional-fraction aggregate (`sum(case)/sum`) rides ONE rollup;
+    * join order mirrors selectivity — the type-filtered part (1/|types|)
+    * broadcasts onto the fact first, then orders (date-pruned,
+    * fact-fact shuffle), then the gated customer limited to the region's
+    * nations, then the 1-row-per-supplier nation tag. The share divides
+    * two same-group sums, so cross-engine FP agrees to ~1e-15
+    * relatively; rounded at 6 dp. */
+  val t79 = GQuery(
+    "t79_market_share",
+    (s, dir) => {
+      val volume = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val regionCust = t(s, dir, "customer")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val suppNation = t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      t(s, dir, "lineitem")
+        .join(graft.operators.JoinHints.broadcastIfSmall(
+            t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+              .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+            .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(graft.operators.JoinHints.broadcastIfSmall(regionCust),
+          col("o_custkey") === col("c_custkey"))
+        .join(graft.operators.JoinHints.broadcastIfSmall(suppNation),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", volume).otherwise(0.0)) /
+            sum(volume), 6).as("mkt_share"))
+        .orderBy(col("o_year"))
+    },
+    Some("""SELECT o_year,
+        round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+          / sum(volume), 6) AS mkt_share
+      FROM (SELECT year(o_orderdate) AS o_year,
+              l_extendedprice * (1 - l_discount) AS volume,
+              n2.n_name AS supp_nation
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01') all_nations
+      GROUP BY o_year ORDER BY o_year"""))
+
+  /** T80 CUSTOMER ORDER DISTRIBUTION (the TPC-H Q13 shape): how many
+    * customers placed exactly k qualifying orders, including k=0 — the
+    * left-outer + double-aggregation shape. Orders pre-aggregate to one
+    * row per customer BEFORE the outer join (the join carries |customers|
+    * rows, never |orders|), nulls from the outer side coalesce to 0, and
+    * the second rollup shuffles one row per distinct count. At 100 TB
+    * both aggregations combine map-side; nothing holds per-order state
+    * past the first partial. */
+  val t80 = GQuery(
+    "t80_cust_order_dist",
+    (s, dir) => {
+      val perCust = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("c_count"))
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""SELECT c_count, count(*) AS custdist
+      FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+              AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey) c_orders
+      GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""))
+
+  /** T81 PROMO REVENUE SHARE (the TPC-H Q14 shape): percent of one
+    * month's revenue from promo-type parts. Part carries only the join
+    * key and the type tag, and grows with SF, so its broadcast is gated;
+    * the month filter prunes the fact at the scan; the conditional
+    * percentage is two sums in ONE map-side-combined global aggregate —
+    * 1 row out. Rounded at 6 dp (the division's cross-engine agreement
+    * is relative ~1e-15, far inside 6 dp). */
+  val t81 = GQuery(
+    "t81_promo_revenue",
+    (s, dir) => {
+      val volume = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .join(graft.operators.JoinHints.broadcastIfSmall(
+            t(s, dir, "part").select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", volume).otherwise(0.0)) /
+          sum(volume), 6).as("promo_revenue"))
+    },
+    Some("""SELECT round(100.0 *
+        sum(CASE WHEN p_type = 'PROMO'
+            THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'"""))
+
+  /** T82 DISJUNCTIVE-PREDICATE JOIN (the TPC-H Q19 shape): revenue from
+    * three OR'd (brand, size-band, quantity-band) clause groups — the
+    * classic test that an OR of conjunctions still JOINS ON THE KEY:
+    * Catalyst keeps `l_partkey = p_partkey` as the equi-condition (hash
+    * join, never a nested loop) and evaluates the disjunction as a
+    * post-join residual; the part-only disjuncts (brand ∨ brand ∨ brand)
+    * additionally prune the build side. Quantity bands are integer-
+    * valued; revenue rounds at 2 dp. */
+  val t82 = GQuery(
+    "t82_disjunctive_join",
+    (s, dir) => {
+      val q = col("l_quantity"); val sz = col("p_size"); val b = col("p_brand")
+      val clauses =
+        (b === "Brand#12" && sz.between(1, 5) && q.between(1, 11)) ||
+        (b === "Brand#23" && sz.between(1, 10) && q.between(10, 20)) ||
+        (b === "Brand#34" && sz.between(1, 15) && q.between(20, 30))
+      t(s, dir, "lineitem")
+        .join(graft.operators.JoinHints.broadcastIfSmall(
+            t(s, dir, "part").filter(b.isin("Brand#12", "Brand#23", "Brand#34"))
+              .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("l_partkey") === col("p_partkey") && clauses)
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    },
+    Some("""SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+             AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+             AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 20 AND 30)"""))
+
   def all: Seq[GQuery] = Seq(t4, t5, t6, t7, t8, t9, t9b, t10, t10b, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t19b, t20, t21, t22, t23, t24, t25, t30, t31,
     t32, t33, t34, t35, t36, t37, t38, t39, t63, t64, t65, t66, t67, t68,
-    t69, t70, t74, t75)
+    t69, t70, t74, t75, t76, t77, t78, t79, t80, t81, t82)
 }

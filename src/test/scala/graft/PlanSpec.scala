@@ -235,4 +235,38 @@ class PlanSpec extends SparkSpec {
     val plan2 = planOf(fact.join(small, col("l_suppkey") % 25 === col("n_nationkey")))
     assert(plan2.contains("BroadcastHashJoin"), plan2.take(2000))
   }
+
+  test("T77: all three Q6 predicates reach the parquet scan; 3-column ReadSchema") {
+    val plan = planOf(graft.queries.RelationalQueries.t77.build(spark, sf001))
+    val scan = plan.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem")).getOrElse("")
+    assert(scan.contains("l_shipdate") && scan.contains("GreaterThanOrEqual"), scan)
+    assert(scan.contains("l_discount") && scan.contains("l_quantity"), scan)
+    val readSchema = scan.substring(scan.indexOf("ReadSchema"))
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_tax"),
+      readSchema)
+  }
+
+  test("T82: OR-of-conjunctions join stays a hash join on the part key") {
+    val df = graft.queries.RelationalQueries.t82.build(spark, sf001)
+    df.collect() // AQE: final plan
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("ShuffledHashJoin"),
+      plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      plan.take(3000))
+  }
+
+  test("T76/T78/T79: TPC-H star shapes broadcast the reduced frames, no sort-merge") {
+    for (q <- Seq(graft.queries.RelationalQueries.t76,
+        graft.queries.RelationalQueries.t79)) {
+      val p = planOf(q.build(spark, sf001))
+      assert(p.contains("BroadcastHashJoin"), s"${q.name}: ${p.take(2000)}")
+      assert(!p.contains("SortMergeJoin"), s"${q.name}: ${p.take(2000)}")
+    }
+    // t78 keeps the one declared fact-fact exchange (lineitem⋈orders); the
+    // nation-tagged dims must still broadcast
+    val p78 = planOf(graft.queries.RelationalQueries.t78.build(spark, sf001))
+    assert(p78.contains("BroadcastHashJoin"), p78.take(2000))
+  }
 }
