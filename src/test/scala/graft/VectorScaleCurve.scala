@@ -114,7 +114,9 @@ object VectorScaleCurve {
       for (nProbe <- Seq(1, 4, nCells)) {
         val q1 = VectorIndex.query(spark, dir, one, "vec_id", "embedding",
           k = 10, nProbe = nProbe)
-        q1.count()
+        // execute q1's OWN QueryExecution: count() would plan a separate
+        // aggregate and leave this plan's scan metrics at zero
+        q1.collect()
         println(f"VECCURVE files_1q_np$nProbe%02d          fmt=$fmt%-7s n=$n%6d  " +
           f"${filesRead(q1)}%4d of $storeFiles%4d store files")
       }
