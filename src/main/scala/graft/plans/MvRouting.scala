@@ -4,7 +4,7 @@ import scala.collection.concurrent.TrieMap
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
@@ -51,12 +51,18 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object Mv {
 
-  /** A registered MV: base path (the scan relation's qualified root), the
+  /** A registered MV: base path (the scan relation's qualified root — for
+    * a Delta base, the snapshot relation's first data file, which changes
+    * whenever the table does and so doubles as a staleness key), the
     * recorded base file listing (path:len:mtime), key/measure columns,
     * and the MV's analyzed relation (instantiated fresh per rewrite so
-    * attribute ids never collide). */
+    * attribute ids never collide). `format` is "parquet" (path base,
+    * full-rebuild refresh) or "delta" (versioned base, incremental
+    * refresh); `baseVersion` is the Delta version the MV reflects. */
   final case class MvDef(basePath: String, mvPath: String, keys: Seq[String],
-      measures: Seq[String], baseFiles: Seq[String], relation: LogicalRelation)
+      measures: Seq[String], baseFiles: Seq[String], relation: LogicalRelation,
+      format: String = "parquet", baseTable: String = "", baseVersion: Long = -1L,
+      dataDir: String = "data")
 
   private val registry = TrieMap.empty[String, MvDef]
 
@@ -91,6 +97,30 @@ object Mv {
         min(col(m)).as(s"min_$m"), max(col(m)).as(s"max_$m"))
     } :+ count(lit(1)).as("cnt_star")
 
+  private def writeMeta(spark: SparkSession, mvPath: String, basePath: String,
+      keys: Seq[String], measures: Seq[String], baseFiles: Seq[String],
+      format: String, baseTable: String, baseVersion: Long, dataDir: String): Unit = {
+    val meta = mapper.createObjectNode()
+    meta.put("base_path", basePath)
+    meta.put("base_format", format)
+    meta.put("base_table", baseTable)
+    meta.put("base_version", baseVersion)
+    meta.put("data_dir", dataDir)
+    val ka = meta.putArray("keys"); keys.foreach(ka.add)
+    val ma = meta.putArray("measures"); measures.foreach(ma.add)
+    val fa = meta.putArray("base_files"); baseFiles.foreach(fa.add)
+    val metaPath = new Path(s"$mvPath/_mv_meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
+    finally out.close()
+  }
+
+  private def rollup(base: DataFrame, keys: Seq[String], measures: Seq[String]): DataFrame = {
+    val aggs = measureAggs(measures)
+    base.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Build (or rebuild) the rollup MV for `basePath` at `mvPath`: ONE
     * map-side-combined aggregation pass over the base, written as plain
     * parquet, plus a meta document recording the derivation and the base
@@ -100,20 +130,82 @@ object Mv {
     require(keys.nonEmpty && measures.nonEmpty, "MV needs keys and measures")
     val base = spark.read.parquet(basePath)
     val rel = baseRelation(base)
-    val aggs = measureAggs(measures)
-    base.groupBy(keys.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
-      .write.mode("overwrite").parquet(s"$mvPath/data")
-    val meta = mapper.createObjectNode()
-    meta.put("base_path", rootOf(rel))
-    val ka = meta.putArray("keys"); keys.foreach(ka.add)
-    val ma = meta.putArray("measures"); measures.foreach(ma.add)
-    val fa = meta.putArray("base_files"); listing(rel).foreach(fa.add)
-    val metaPath = new Path(s"$mvPath/_mv_meta.json")
-    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(metaPath, true)
-    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
-    finally out.close()
+    rollup(base, keys, measures).write.mode("overwrite").parquet(s"$mvPath/data")
+    writeMeta(spark, mvPath, rootOf(rel), keys, measures, listing(rel),
+      "parquet", basePath, -1L, "data")
+    register(spark, mvPath)
+  }
+
+  /** Build the rollup MV over a DELTA table's current snapshot. The meta
+    * records the snapshot VERSION, which is what makes [[refreshIncremental]]
+    * possible; the routing key is the snapshot relation's root (its first
+    * live data file), so any base commit changes the key and silently
+    * disables routing until a refresh re-registers. Routing then works for
+    * snapshots that plan as a bare parquet relation (no deletion vectors,
+    * unpartitioned) — DV'd or partitioned snapshots read through joins the
+    * conservative unwrap refuses, so they simply never route. */
+  def createDelta(spark: SparkSession, table: String, mvPath: String,
+      keys: Seq[String], measures: Seq[String]): MvDef = {
+    require(keys.nonEmpty && measures.nonEmpty, "MV needs keys and measures")
+    val ver = graft.sources.DeltaRead.snapshotInfo(spark, table).version
+    val base = graft.sources.DeltaRead.snapshot(spark, table, ver)
+    val rel = baseRelation(base)
+    val dataDir = s"data_v$ver"
+    rollup(base, keys, measures).write.mode("overwrite").parquet(s"$mvPath/$dataDir")
+    writeMeta(spark, mvPath, rootOf(rel), keys, measures, listing(rel),
+      "delta", table, ver, dataDir)
+    register(spark, mvPath)
+  }
+
+  /** INCREMENTAL refresh for a Delta-backed MV — the maintenance cost
+    * tracks WHAT CHANGED, never the base size:
+    *
+    *   1. the change feed between the recorded and current versions
+    *      ([[graft.sources.DeltaRead.changesBetween]] — file-granularity
+    *      snapshot diff, so an append-only range reads only the new files),
+    *   2. the AFFECTED GROUPS = distinct key tuples in the feed (a shuffle
+    *      over changed rows only, lazily checkpointed so the three
+    *      consumers below share one materialization),
+    *   3. those groups are recomputed EXACTLY, from the current snapshot
+    *      semi-joined (null-safe) to the affected keys — full-group
+    *      recompute is what keeps min/max correct under deletes, where
+    *      pure +/- delta algebra cannot retract an extremum,
+    *   4. every other MV row is carried over byte-for-byte via the
+    *      anti-join twin — unaffected groups are never touched,
+    *   5. the new rows land in a fresh versioned data dir, the meta flips
+    *      to it, and the old dir is deleted LAST — a reader racing the
+    *      refresh still resolves a complete store.
+    *
+    * No-op (re-register only) when the base hasn't moved. At 100 TB the
+    * recompute leg prunes to the affected groups' files wherever the key
+    * correlates with layout (partitioning/clustering), and steps 1–2 touch
+    * only changed data regardless. */
+  def refreshIncremental(spark: SparkSession, mvPath: String): MvDef = {
+    val d = register(spark, mvPath)
+    require(d.format == "delta",
+      s"incremental refresh needs a delta base; ${d.mvPath} records '${d.format}' " +
+        "(use refresh() for a full rebuild)")
+    val cur = graft.sources.DeltaRead.snapshotInfo(spark, d.baseTable).version
+    if (cur == d.baseVersion) return d
+    val changes = graft.sources.DeltaRead
+      .changesBetween(spark, d.baseTable, d.baseVersion, cur)
+    val affected = changes.select(d.keys.map(col): _*).distinct()
+      .toDF(d.keys.map(k => s"__k_$k"): _*)
+      .localCheckpoint(false) // three consumers, one materialization
+    val snap = graft.sources.DeltaRead.snapshot(spark, d.baseTable, cur)
+    val rel = baseRelation(snap)
+    def keyCond(df: DataFrame): Column =
+      d.keys.map(k => df(k) <=> affected(s"__k_$k")).reduce(_ && _)
+    val recomputed = rollup(
+      snap.join(affected, keyCond(snap), "left_semi"), d.keys, d.measures)
+    val oldMv = spark.read.parquet(s"$mvPath/${d.dataDir}")
+    val kept = oldMv.join(affected, keyCond(oldMv), "left_anti")
+    val dataDir = s"data_v$cur"
+    kept.unionByName(recomputed).write.mode("overwrite").parquet(s"$mvPath/$dataDir")
+    writeMeta(spark, mvPath, rootOf(rel), d.keys, d.measures, listing(rel),
+      "delta", d.baseTable, cur, dataDir)
+    val old = new Path(s"$mvPath/${d.dataDir}")
+    old.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(old, true)
     register(spark, mvPath)
   }
 
@@ -130,19 +222,29 @@ object Mv {
       while (it.hasNext) b += it.next().asText()
       b.result()
     }
-    val rel = baseRelation(spark.read.parquet(s"$mvPath/data"))
+    def str(f: String, dflt: String): String =
+      Option(meta.get(f)).map(_.asText()).getOrElse(dflt)
+    val dataDir = str("data_dir", "data")
+    val rel = baseRelation(spark.read.parquet(s"$mvPath/$dataDir"))
     val d = MvDef(meta.get("base_path").asText(), mvPath, strs("keys"),
-      strs("measures"), strs("base_files"), rel)
+      strs("measures"), strs("base_files"), rel,
+      format = str("base_format", "parquet"), baseTable = str("base_table", ""),
+      baseVersion = Option(meta.get("base_version")).map(_.asLong()).getOrElse(-1L),
+      dataDir = dataDir)
     registry.put(d.basePath, d)
     d
   }
 
   /** Rebuild an existing MV from its own meta document (same base, keys,
     * measures) — the maintenance verb that brings a stale MV back into
-    * routing after base churn. One aggregation pass, re-registers. */
+    * routing after base churn. One full aggregation pass, re-registers;
+    * prefer [[refreshIncremental]] for delta bases, where cost tracks the
+    * change feed instead. */
   def refresh(spark: SparkSession, mvPath: String): MvDef = {
     val d = register(spark, mvPath) // read the recorded derivation
-    create(spark, d.basePath, mvPath, d.keys, d.measures)
+    val src = if (d.baseTable.nonEmpty) d.baseTable else d.basePath
+    if (d.format == "delta") createDelta(spark, src, mvPath, d.keys, d.measures)
+    else create(spark, src, mvPath, d.keys, d.measures)
   }
 
   /** Drop the registration whose base or MV path matches. */
@@ -162,15 +264,32 @@ object Mv {
 object MvRoutingRule extends Rule[LogicalPlan] {
 
   /** Strip attribute-only Projects / deterministic Filters down to the
-    * base relation, accumulating filter conditions. */
-  private def unwrap(p: LogicalPlan): Option[(LogicalRelation, Seq[Expression])] =
+    * base relation, accumulating filter conditions plus a visible-id →
+    * relation-attribute map. A Project entry may be a bare attribute or a
+    * NO-OP alias (`Alias(a, n)` with `n == a's underlying name` — the
+    * shape `DeltaRead.snapshot`'s final select plans); a RENAMING alias
+    * bails, since routing a renamed column by its new name would bind it
+    * to a different MV column. */
+  private def unwrap(p: LogicalPlan)
+      : Option[(LogicalRelation, Seq[Expression], Map[ExprId, Attribute])] =
     p match {
-      case r: LogicalRelation => Some((r, Nil))
+      case r: LogicalRelation =>
+        Some((r, Nil, r.output.map(a => a.exprId -> a).toMap))
       case Filter(cond, child) if cond.deterministic &&
           !SubqueryExpression.hasSubquery(cond) =>
-        unwrap(child).map { case (r, cs) => (r, cond +: cs) }
-      case Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
-        unwrap(child)
+        unwrap(child).map { case (r, cs, m) => (r, cond +: cs, m) }
+      case Project(exprs, child) =>
+        unwrap(child).flatMap { case (r, cs, m) =>
+          val entries = exprs.map {
+            case a: AttributeReference =>
+              m.get(a.exprId).map(u => a.exprId -> u)
+            case al @ Alias(a: AttributeReference, n) =>
+              m.get(a.exprId).filter(_.name == n).map(u => al.exprId -> u)
+            case _ => None
+          }
+          if (entries.forall(_.isDefined)) Some((r, cs, m ++ entries.flatten))
+          else None
+        }
       case _ => None
     }
 
@@ -233,15 +352,19 @@ object MvRoutingRule extends Rule[LogicalPlan] {
     plan.transform {
       case agg @ Aggregate(groupings, aggExprs, child, _) =>
         val routed = for {
-          (rel, conds) <- unwrap(child)
+          (rel, conds, visible) <- unwrap(child)
           path <- basePathOf(rel)
           d <- Mv.lookup(path)
           if Mv.listing(rel) == d.baseFiles // freshness gate, in-memory
           // fresh MV relation instance per rewrite — ids never collide
           mvRel = d.relation.newInstance()
           mvByName = mvRel.output.map(a => a.name -> a).toMap
-          keyFor = rel.output.filter(a => d.keys.contains(a.name))
-            .flatMap(a => mvByName.get(a.name).map(a.exprId -> _)).toMap
+          // every visible id (relation attrs AND their no-op aliases) of a
+          // key column binds to the MV's column of the same name
+          keyFor = visible.collect {
+            case (id, u) if d.keys.contains(u.name) && mvByName.contains(u.name) =>
+              id -> mvByName(u.name)
+          }
           if groupings.forall {
             case a: AttributeReference => keyFor.contains(a.exprId)
             case _ => false

@@ -853,6 +853,50 @@ object AnalyticsQueries {
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""))
 
+  /** T83 INCREMENTAL MV MAINTENANCE (A20i): the lifecycle t71 routes one
+    * snapshot of — a Delta base is MV'd at v0, a second slice lands at
+    * v1, and [[graft.plans.Mv.refreshIncremental]] folds the CHANGE FEED
+    * into the MV: affected groups recomputed exactly from the current
+    * snapshot (semi-joined to the feed's distinct keys), every other MV
+    * row carried over untouched (MvRoutingSpec proves the carry-over
+    * physically via a surviving tamper, and the delete-retracts-min/max
+    * case). The query then aggregates the BASE — routed onto the
+    * refreshed MV — while the oracle aggregates full lineitem in DuckDB:
+    * a hash match proves base == slice₀ ∪ slice₁ == routed MV end to
+    * end. At 100 TB the refresh reads the new files plus the affected
+    * groups' footprint, never the table. */
+  val t83 = GQuery(
+    "t83_mv_incremental",
+    (s, dir) => {
+      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_mvinc_" +
+        Integer.toHexString(dir.hashCode)
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true) // fresh lifecycle every run — appends must not stack
+      val tbl = s"$stage/tbl"
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_linestatus"), col("l_quantity"), col("l_extendedprice"))
+      graft.sources.DeltaWrite.append(s, li.where(col("l_linestatus") === "F"), tbl)
+      graft.plans.Mv.createDelta(s, tbl, s"$stage/mv",
+        keys = Seq("l_returnflag", "l_linestatus"),
+        measures = Seq("l_quantity", "l_extendedprice"))
+      graft.sources.DeltaWrite.append(s, li.where(col("l_linestatus") =!= "F"), tbl)
+      graft.plans.Mv.refreshIncremental(s, s"$stage/mv")
+      graft.sources.DeltaRead.snapshot(s, tbl)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("cnt"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(min(col("l_quantity")), 2).as("min_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt,
+        round(avg(l_extendedprice), 4) AS avg_price,
+        round(min(l_quantity), 2) AS min_qty
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
   /** T72 GEO NEAREST JOIN (J13): nearest supplier site per customer site
     * over deterministic key-derived coordinates (the fixtures carry no
     * geography; identical integer/float arithmetic on both engines makes
@@ -934,6 +978,6 @@ object AnalyticsQueries {
 
   val all: Seq[GQuery] =
     Seq(t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54, t55,
-      t57, t58, t60, t61, t62, t71, t72, t73,
+      t57, t58, t60, t61, t62, t71, t72, t73, t83,
       l23, l3ivfx, b14b, b14c)
 }

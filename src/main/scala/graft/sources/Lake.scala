@@ -701,6 +701,16 @@ object Lake {
     *     CREATE TABLE '<target>' SHALLOW CLONE '<source>' [VERSION AS OF n]
     *     EXPORT '<source>' TO {delta | iceberg} '<target>' }}}
     *
+    * and the MATERIALIZED VIEW lifecycle (dispatching to
+    * [[graft.plans.Mv]] — the transparent-routing rollups; REFRESH is
+    * INCREMENTAL for delta bases unless FULL is given, always a rebuild
+    * for parquet bases, and returns the base version the MV now
+    * reflects; DROP deletes the store and the registration):
+    *
+    * {{{ CREATE MATERIALIZED VIEW '<mvPath>' ON '<basePath>' KEYS (k1[, k2 ...]) MEASURES (m1[, m2 ...])
+    *     REFRESH MATERIALIZED VIEW '<mvPath>' [FULL]
+    *     DROP MATERIALIZED VIEW '<mvPath>' }}}
+    *
     * and the ALTER TABLE family ([[renameColumn]] / [[dropColumn]] /
     * [[DeltaWrite.addCheckConstraint]] / Iceberg
     * [[IcebergWrite.evolvePartitionSpec]] — each metadata-only, no data
@@ -757,6 +767,10 @@ object Lake {
     val Vacuum = """(?is)VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(FORCE)?\s*""".r
     val Restore = """(?is)RESTORE\s+'([^']+)'\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*""".r
     val ZorderTail = """(?is)\s*BY\s*\(([\w\s,]+)\)\s*""".r
+    val MvCreate =
+      """(?is)CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+ON\s+'([^']+)'\s+KEYS\s*\(([\w\s,]+)\)\s+MEASURES\s*\(([\w\s,]+)\)\s*""".r
+    val MvRefresh = """(?is)REFRESH\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*(FULL)?\s*""".r
+    val MvDrop = """(?is)DROP\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*""".r
     val Convert =
       """(?is)CONVERT\s+TO\s+DELTA\s+'([^']+)'\s*(?:PARTITIONED\s+BY\s*\(([\w\s,]+)\)\s*)?""".r
     val CloneStmt =
@@ -813,6 +827,32 @@ object Lake {
         evolvePartitionSpec(spark, path,
           splitTopLevel(fromParen.substring(1, close)))
         versionOf(path)
+      case MvCreate(mvPath, basePath, keysCsv, measuresCsv) =>
+        def cols(cs: String) =
+          cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val d = detect(spark, basePath) match {
+          case Delta => graft.plans.Mv.createDelta(spark, basePath, mvPath,
+            cols(keysCsv), cols(measuresCsv))
+          case Parquet => graft.plans.Mv.create(spark, basePath, mvPath,
+            cols(keysCsv), cols(measuresCsv))
+          case Iceberg => throw new IllegalArgumentException(
+            "CREATE MATERIALIZED VIEW: iceberg bases are not wired to the " +
+              "MV change feed yet — supported bases are delta | parquet")
+        }
+        d.baseVersion
+      case MvRefresh(mvPath, fullOrNull) =>
+        // FULL forces a rebuild; otherwise delta bases refresh from the
+        // change feed and parquet bases (no feed) rebuild
+        val d0 = graft.plans.Mv.register(spark, mvPath)
+        val d = if (fullOrNull != null || d0.format != "delta")
+          graft.plans.Mv.refresh(spark, mvPath)
+        else graft.plans.Mv.refreshIncremental(spark, mvPath)
+        d.baseVersion
+      case MvDrop(mvPath) =>
+        graft.plans.Mv.unregister(mvPath)
+        val p = new org.apache.hadoop.fs.Path(mvPath)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        -1L
       case Convert(dir, partsOrNull) =>
         convert(spark, dir, Option(partsOrNull).toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))

@@ -147,6 +147,162 @@ class MvRoutingSpec extends SparkSpec {
     }
   }
 
+  // ---- incremental maintenance over a Delta base ----
+
+  private val dKeys = Seq("l_returnflag", "l_linestatus")
+  private val dMeasures = Seq("l_quantity", "l_extendedprice")
+
+  private def deltaBase(): String = {
+    val dir = tmp("mv_dbase") + "/tbl"
+    graft.sources.DeltaWrite.append(spark,
+      spark.read.parquet(s"$sf001/lineitem.parquet")
+        .select(dKeys.map(col) ++ dMeasures.map(col): _*)
+        .where(col("l_linestatus") === "F"), dir)
+    dir
+  }
+
+  private def deltaAgg(table: String) =
+    graft.sources.DeltaRead.snapshot(spark, table)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("s"), count(lit(1)).as("c"),
+        round(min(col("l_quantity")), 2).as("mn"),
+        round(max(col("l_extendedprice")), 2).as("mx"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** The stored MV rows, canonicalized for comparison (6-dp on the double
+    * partials — carried-over vs recomputed sums may re-associate). */
+  private def mvRows(d: Mv.MvDef): Seq[Seq[Any]] =
+    spark.read.parquet(s"${d.mvPath}/${d.dataDir}")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("sum_l_quantity"), 6), col("cnt_l_quantity"),
+        round(col("min_l_quantity"), 6), round(col("max_l_extendedprice"), 6),
+        col("cnt_star"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+      .collect().toSeq.map(_.toSeq)
+
+  private def expectedMvRows(table: String): Seq[Seq[Any]] =
+    graft.sources.DeltaRead.snapshot(spark, table)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 6).as("sq"),
+        count(col("l_quantity")).as("cq"),
+        round(min(col("l_quantity")), 6).as("mnq"),
+        round(max(col("l_extendedprice")), 6).as("mxp"),
+        count(lit(1)).as("cs"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+      .collect().toSeq.map(_.toSeq)
+
+  test("delta base: routes at build version; append disables; incremental refresh re-enables") {
+    val table = deltaBase()
+    val mv = tmp("mv_didx") + "/mv"
+    val d0 = Mv.createDelta(spark, table, mv, dKeys, dMeasures)
+    try {
+      assert(scannedLocations(deltaAgg(table)).contains(mv),
+        "clean snapshot should route")
+      graft.sources.DeltaWrite.append(spark,
+        spark.read.parquet(s"$sf001/lineitem.parquet")
+          .select(dKeys.map(col) ++ dMeasures.map(col): _*)
+          .where(col("l_linestatus") === "O"), table)
+      // the new snapshot's relation key differs → lookup miss, no stale rows
+      val after = deltaAgg(table)
+      // NOT-contains on the exact mv path: a bare "/mv" would false-match
+      // the base's own /tmp/mv_dbase… directory name
+      assert(!scannedLocations(after).contains(mv),
+        "stale MV must not serve the appended snapshot")
+      val expected = after.collect().toSeq.map(_.toSeq)
+      val d1 = Mv.refreshIncremental(spark, mv)
+      assert(d1.baseVersion > d0.baseVersion)
+      val routed = deltaAgg(table)
+      assert(scannedLocations(routed).contains(mv), "refreshed MV routes again")
+      assert(routed.collect().toSeq.map(_.toSeq) === expected)
+      // idempotent no-op when the base hasn't moved
+      assert(Mv.refreshIncremental(spark, mv).baseVersion === d1.baseVersion)
+    } finally Mv.clearRegistry()
+  }
+
+  test("incremental refresh carries unaffected groups over untouched (tamper survives)") {
+    val table = deltaBase() // groups (*, F) only
+    val mv = tmp("mv_didx2") + "/mv"
+    val d0 = Mv.createDelta(spark, table, mv, dKeys, dMeasures)
+    try {
+      // tamper the stored partial of ONE group that the coming change feed
+      // does not touch: if refresh recomputed it, the tamper would be
+      // repaired — its survival is physical proof of the carry-over leg
+      val store = s"$mv/${d0.dataDir}"
+      val tampered = spark.read.parquet(store)
+        .withColumn("sum_l_quantity",
+          when(col("l_returnflag") === "R", lit(-999999.0))
+            .otherwise(col("sum_l_quantity")))
+        .localCheckpoint(true)
+      tampered.write.mode("overwrite").parquet(store)
+      graft.sources.DeltaWrite.append(spark,
+        spark.read.parquet(s"$sf001/lineitem.parquet")
+          .select(dKeys.map(col) ++ dMeasures.map(col): _*)
+          .where(col("l_linestatus") === "O"), table) // affects (*, O) only
+      val d1 = Mv.refreshIncremental(spark, mv)
+      val rows = mvRows(d1)
+      val exp = expectedMvRows(table)
+      val rF = rows.find(r => r.head == "R" && r(1) == "F").get
+      assert(rF(2) === -999999.0, s"unaffected (R,F) group was recomputed: $rF")
+      // every OTHER row (the O groups, and untampered F groups) is correct
+      assert(rows.filterNot(r => r.head == "R" && r(1) == "F") ===
+        exp.filterNot(r => r.head == "R" && r(1) == "F"))
+    } finally Mv.clearRegistry()
+  }
+
+  test("incremental refresh after a delete retracts min/max (full-group recompute)") {
+    val table = deltaBase()
+    val mv = tmp("mv_didx3") + "/mv"
+    Mv.createDelta(spark, table, mv, dKeys, dMeasures)
+    try {
+      // delete the heavy tail of one group — pure +/- delta algebra could
+      // fix sum/count but NOT retract the group's max; the group recompute
+      // must
+      val cut = graft.sources.DeltaRead.snapshot(spark, table)
+        .where(col("l_returnflag") === "A")
+        .agg(expr("percentile(l_extendedprice, 0.9)")).collect()(0).getDouble(0)
+      graft.sources.DeltaWrite.deleteWhere(spark, table,
+        col("l_returnflag") === "A" && col("l_extendedprice") >= cut)
+      val d1 = Mv.refreshIncremental(spark, mv)
+      assert(mvRows(d1) === expectedMvRows(table))
+    } finally Mv.clearRegistry()
+  }
+
+  test("SQL statement lifecycle: CREATE / REFRESH / DROP MATERIALIZED VIEW") {
+    val table = deltaBase()
+    val mv = tmp("mv_dsql") + "/mv"
+    try {
+      val v0 = graft.sources.Lake.sql(spark,
+        s"CREATE MATERIALIZED VIEW '$mv' ON '$table' " +
+          "KEYS (l_returnflag, l_linestatus) MEASURES (l_quantity, l_extendedprice)")
+      assert(v0 === 0L)
+      assert(scannedLocations(deltaAgg(table)).contains(mv))
+      graft.sources.DeltaWrite.append(spark,
+        spark.read.parquet(s"$sf001/lineitem.parquet")
+          .select(dKeys.map(col) ++ dMeasures.map(col): _*)
+          .where(col("l_linestatus") === "O"), table)
+      val v1 = graft.sources.Lake.sql(spark, s"REFRESH MATERIALIZED VIEW '$mv'")
+      assert(v1 === 1L)
+      val routed = deltaAgg(table)
+      assert(scannedLocations(routed).contains(mv))
+      spark.conf.set("spark.graft.mv.routing", "false")
+      val expected = try deltaAgg(table).collect() finally
+        spark.conf.set("spark.graft.mv.routing", "true")
+      assert(routed.collect().toSeq.map(_.toSeq) === expected.toSeq.map(_.toSeq))
+      graft.sources.Lake.sql(spark, s"DROP MATERIALIZED VIEW '$mv'")
+      assert(!scannedLocations(deltaAgg(table)).contains(mv), "dropped MV must not route")
+      val p = new org.apache.hadoop.fs.Path(mv)
+      assert(!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+        "DROP deletes the store")
+    } finally Mv.clearRegistry()
+  }
+
+  test("refreshIncremental refuses a parquet-format MV") {
+    withMv(keys, measures) { (_, mv) =>
+      val e = intercept[IllegalArgumentException](Mv.refreshIncremental(spark, mv))
+      assert(e.getMessage.contains("delta"), e.getMessage)
+    }
+  }
+
   test("routed output keeps attribute ids — downstream operators resolve") {
     withMv(keys, measures) { (base, _) =>
       val a = spark.read.parquet(base)
