@@ -117,6 +117,24 @@ object VectorIndex {
     graft.sources.DeltaWrite.upsert(spark, assigned, s"$dir/vectors", Seq(idCol))
   }
 
+  /** Pay down the small-file debt a stream of [[add]] batches accrues:
+    * every ingest appends a few files per cell, so after N batches a
+    * probe opens O(N) files per probed cell. Dispatches to the Delta
+    * store's per-partition bin-pack ([[graft.sources.DeltaWrite
+    * .compact]]): files merge only WITHIN their cell (the clustered
+    * layout — and therefore probe pruning — is untouched), deletion
+    * vectors from [[removeWhere]]/[[upsert]] are materialized away, the
+    * rewrite is one atomic layout-only commit (dataChange=false, so
+    * streaming readers skip it), and time travel still reaches
+    * pre-compaction versions. Refused on plain parquet: a staged
+    * directory swap has a torn-reader window no log can close there —
+    * re-[[build]] instead (same IO, and the quantizer refresh is free).
+    * Returns the committed Delta version. */
+  def compact(spark: SparkSession, dir: String): Long = {
+    requireDelta(spark, dir, "compact")
+    graft.sources.DeltaWrite.compact(spark, s"$dir/vectors")
+  }
+
   private def requireDelta(spark: SparkSession, dir: String, op: String): Unit =
     require(graft.sources.Lake.detect(spark, s"$dir/vectors") == graft.sources.Lake.Delta,
       s"$op needs a Delta-backed index (transactional keyed delete/merge); " +

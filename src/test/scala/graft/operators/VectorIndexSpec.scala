@@ -233,6 +233,43 @@ class VectorIndexSpec extends SparkSpec {
     }
   }
 
+  test("compact() bin-packs cells: fewer files, pruning intact, answers unchanged") {
+    val all = corpus(60)
+    val dir = tmp("graft_vidx_compact")
+    VectorIndex.build(all.where(col("vec_id") < 30), "vec_id", "embedding", dir,
+      nCells = 4, iters = 3, format = "delta")
+    // a stream of small ingests: each appends its own files into the cells
+    for (lo <- Seq(30, 40, 50))
+      VectorIndex.add(spark, dir,
+        all.where(col("vec_id") >= lo && col("vec_id") < lo + 10), "vec_id", "embedding")
+    def liveFiles(): Int =
+      graft.sources.DeltaRead.snapshotInfo(spark, s"$dir/vectors").files.size
+    val before = liveFiles()
+    val q = all.where(col("vec_id") < 8)
+    val exhaustiveBefore = collected(
+      VectorIndex.query(spark, dir, q, "vec_id", "embedding", k = 3, nProbe = 4))
+    val prunedBefore = collected(
+      VectorIndex.query(spark, dir, q, "vec_id", "embedding", k = 3, nProbe = 1))
+    VectorIndex.compact(spark, dir)
+    val after = liveFiles()
+    assert(after < before, s"compaction must shrink the store: $before -> $after")
+    assert(after <= 4, s"one packed file per cell expected, got $after")
+    // answers unchanged on both the exhaustive and the pruned path
+    assert(collected(VectorIndex.query(spark, dir, q, "vec_id", "embedding",
+      k = 3, nProbe = 4)) === exhaustiveBefore)
+    assert(collected(VectorIndex.query(spark, dir, q, "vec_id", "embedding",
+      k = 3, nProbe = 1)) === prunedBefore)
+    // layout-only commit: time travel still reaches the pre-compaction state
+    val verNow = graft.sources.DeltaRead.snapshotInfo(spark, s"$dir/vectors").version
+    assert(collected(VectorIndex.query(spark, dir, q, "vec_id", "embedding",
+      k = 3, nProbe = 4, version = verNow - 1)) === exhaustiveBefore)
+    // plain parquet refuses (no atomic layout swap without a log)
+    val pdir = tmp("graft_vidx_compact_pq")
+    VectorIndex.build(all, "vec_id", "embedding", pdir, nCells = 4, iters = 3)
+    val e = intercept[IllegalArgumentException](VectorIndex.compact(spark, pdir))
+    assert(e.getMessage.contains("Delta-backed"), e.getMessage)
+  }
+
   test("build is deterministic across input layouts") {
     val c = corpus(40)
     val d1 = tmp("graft_vidx_a")
