@@ -136,32 +136,65 @@ object Mv {
     register(spark, mvPath)
   }
 
-  /** Build the rollup MV over a DELTA table's current snapshot. The meta
-    * records the snapshot VERSION, which is what makes [[refreshIncremental]]
+  /** The per-format lake adapter [[createVersioned]]/[[refreshIncremental]]
+    * dispatch through: current version id, snapshot at a version, and the
+    * insert/delete change feed between two versions. */
+  private case class Feed(
+      current: (SparkSession, String) => Long,
+      snapshotAt: (SparkSession, String, Long) => DataFrame,
+      changes: (SparkSession, String, Long, Long) => DataFrame)
+
+  private def feedFor(format: String): Feed = format match {
+    case "delta" => Feed(
+      (s, t) => graft.sources.DeltaRead.snapshotInfo(s, t).version,
+      (s, t, v) => graft.sources.DeltaRead.snapshot(s, t, v),
+      (s, t, a, b) => graft.sources.DeltaRead.changesBetween(s, t, a, b))
+    case "iceberg" => Feed(
+      (s, t) => graft.sources.IcebergRead.currentSnapshotId(s, t),
+      (s, t, v) => graft.sources.IcebergRead.snapshot(s, t, v),
+      (s, t, a, b) => graft.sources.IcebergRead.changesBetween(s, t, a, b))
+    case other => throw new IllegalArgumentException(
+      s"no incremental change feed for '$other' bases (delta | iceberg)")
+  }
+
+  /** Build the rollup MV over a VERSIONED lake table's current snapshot
+    * (`format` = "delta" | "iceberg"). The meta records the snapshot
+    * VERSION / snapshot id, which is what makes [[refreshIncremental]]
     * possible; the routing key is the snapshot relation's root (its first
     * live data file), so any base commit changes the key and silently
     * disables routing until a refresh re-registers. Routing then works for
     * snapshots that plan as a bare parquet relation (no deletion vectors,
     * unpartitioned) — DV'd or partitioned snapshots read through joins the
     * conservative unwrap refuses, so they simply never route. */
-  def createDelta(spark: SparkSession, table: String, mvPath: String,
-      keys: Seq[String], measures: Seq[String]): MvDef = {
+  def createVersioned(spark: SparkSession, table: String, mvPath: String,
+      keys: Seq[String], measures: Seq[String], format: String): MvDef = {
     require(keys.nonEmpty && measures.nonEmpty, "MV needs keys and measures")
-    val ver = graft.sources.DeltaRead.snapshotInfo(spark, table).version
-    val base = graft.sources.DeltaRead.snapshot(spark, table, ver)
+    val feed = feedFor(format)
+    val ver = feed.current(spark, table)
+    val base = feed.snapshotAt(spark, table, ver)
     val rel = baseRelation(base)
     val dataDir = s"data_v$ver"
     rollup(base, keys, measures).write.mode("overwrite").parquet(s"$mvPath/$dataDir")
     writeMeta(spark, mvPath, rootOf(rel), keys, measures, listing(rel),
-      "delta", table, ver, dataDir)
+      format, table, ver, dataDir)
     register(spark, mvPath)
   }
 
-  /** INCREMENTAL refresh for a Delta-backed MV — the maintenance cost
-    * tracks WHAT CHANGED, never the base size:
+  /** [[createVersioned]] over a Delta base. */
+  def createDelta(spark: SparkSession, table: String, mvPath: String,
+      keys: Seq[String], measures: Seq[String]): MvDef =
+    createVersioned(spark, table, mvPath, keys, measures, "delta")
+
+  /** [[createVersioned]] over an Iceberg base. */
+  def createIceberg(spark: SparkSession, table: String, mvPath: String,
+      keys: Seq[String], measures: Seq[String]): MvDef =
+    createVersioned(spark, table, mvPath, keys, measures, "iceberg")
+
+  /** INCREMENTAL refresh for a lake-backed MV (delta or iceberg) — the
+    * maintenance cost tracks WHAT CHANGED, never the base size:
     *
     *   1. the change feed between the recorded and current versions
-    *      ([[graft.sources.DeltaRead.changesBetween]] — file-granularity
+    *      (`changesBetween` on either format — file-granularity
     *      snapshot diff, so an append-only range reads only the new files),
     *   2. the AFFECTED GROUPS = distinct key tuples in the feed (a shuffle
     *      over changed rows only, lazily checkpointed so the three
@@ -182,17 +215,17 @@ object Mv {
     * only changed data regardless. */
   def refreshIncremental(spark: SparkSession, mvPath: String): MvDef = {
     val d = register(spark, mvPath)
-    require(d.format == "delta",
-      s"incremental refresh needs a delta base; ${d.mvPath} records '${d.format}' " +
-        "(use refresh() for a full rebuild)")
-    val cur = graft.sources.DeltaRead.snapshotInfo(spark, d.baseTable).version
+    require(d.format == "delta" || d.format == "iceberg",
+      s"incremental refresh needs a versioned lake base; ${d.mvPath} records " +
+        s"'${d.format}' (use refresh() for a full rebuild)")
+    val feed = feedFor(d.format)
+    val cur = feed.current(spark, d.baseTable)
     if (cur == d.baseVersion) return d
-    val changes = graft.sources.DeltaRead
-      .changesBetween(spark, d.baseTable, d.baseVersion, cur)
+    val changes = feed.changes(spark, d.baseTable, d.baseVersion, cur)
     val affected = changes.select(d.keys.map(col): _*).distinct()
       .toDF(d.keys.map(k => s"__k_$k"): _*)
       .localCheckpoint(false) // three consumers, one materialization
-    val snap = graft.sources.DeltaRead.snapshot(spark, d.baseTable, cur)
+    val snap = feed.snapshotAt(spark, d.baseTable, cur)
     val rel = baseRelation(snap)
     def keyCond(df: DataFrame): Column =
       d.keys.map(k => df(k) <=> affected(s"__k_$k")).reduce(_ && _)
@@ -203,7 +236,7 @@ object Mv {
     val dataDir = s"data_v$cur"
     kept.unionByName(recomputed).write.mode("overwrite").parquet(s"$mvPath/$dataDir")
     writeMeta(spark, mvPath, rootOf(rel), d.keys, d.measures, listing(rel),
-      "delta", d.baseTable, cur, dataDir)
+      d.format, d.baseTable, cur, dataDir)
     val old = new Path(s"$mvPath/${d.dataDir}")
     old.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(old, true)
     register(spark, mvPath)
@@ -243,8 +276,8 @@ object Mv {
   def refresh(spark: SparkSession, mvPath: String): MvDef = {
     val d = register(spark, mvPath) // read the recorded derivation
     val src = if (d.baseTable.nonEmpty) d.baseTable else d.basePath
-    if (d.format == "delta") createDelta(spark, src, mvPath, d.keys, d.measures)
-    else create(spark, src, mvPath, d.keys, d.measures)
+    if (d.format == "parquet") create(spark, src, mvPath, d.keys, d.measures)
+    else createVersioned(spark, src, mvPath, d.keys, d.measures, d.format)
   }
 
   /** Drop the registration whose base or MV path matches. */

@@ -835,16 +835,15 @@ object Lake {
             cols(keysCsv), cols(measuresCsv))
           case Parquet => graft.plans.Mv.create(spark, basePath, mvPath,
             cols(keysCsv), cols(measuresCsv))
-          case Iceberg => throw new IllegalArgumentException(
-            "CREATE MATERIALIZED VIEW: iceberg bases are not wired to the " +
-              "MV change feed yet — supported bases are delta | parquet")
+          case Iceberg => graft.plans.Mv.createIceberg(spark, basePath, mvPath,
+            cols(keysCsv), cols(measuresCsv))
         }
         d.baseVersion
       case MvRefresh(mvPath, fullOrNull) =>
-        // FULL forces a rebuild; otherwise delta bases refresh from the
-        // change feed and parquet bases (no feed) rebuild
+        // FULL forces a rebuild; otherwise lake bases (delta/iceberg)
+        // refresh from their change feed and parquet bases (no feed) rebuild
         val d0 = graft.plans.Mv.register(spark, mvPath)
-        val d = if (fullOrNull != null || d0.format != "delta")
+        val d = if (fullOrNull != null || d0.format == "parquet")
           graft.plans.Mv.refresh(spark, mvPath)
         else graft.plans.Mv.refreshIncremental(spark, mvPath)
         d.baseVersion
