@@ -1,35 +1,44 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Geospatial primitives: haversine distance as pure column arithmetic
-  * (codegen'd, no UDF) and an EXACT nearest-neighbor join that scales —
-  * the all-pairs cross join a naive nearest computes is replaced by a
-  * grid-cell equi-join with a per-row soundness certificate:
+  * (codegen'd, no UDF) and EXACT nearest-neighbor / radius joins that
+  * scale — the all-pairs cross join the naive definitions compute is
+  * replaced by a SPHERICAL BAND GRID equi-join with a uniform per-row
+  * soundness certificate:
   *
-  *   1. bucket both sides into `cellDeg`-degree grid cells (longitude
-  *      cells wrap modulo 360° so the date line is an ordinary neighbor
-  *      boundary; latitude cells clamp at the poles),
-  *   2. candidate pairs = left row × right rows in its 3×3 neighbor
-  *      cells — an equi-join on the cell key, so candidate volume tracks
-  *      cell occupancy, never |L|·|R|,
-  *   3. CERTIFICATE: a point anywhere in the center cell is ≥ one full
-  *      cell width from the 3×3 window's boundary, so if the best
-  *      candidate's distance ≤ that width (in km, with the longitude
-  *      width scaled by the window's worst-case cos(lat) — conservative),
-  *      nothing outside the window can beat it: the grid answer is
-  *      PROVABLY exact for that row,
-  *   4. rows without a certificate (empty neighborhood, or best candidate
-  *      too far, or high latitude where the lon guarantee collapses) fall
-  *      back to the exact all-pairs pass — correctness never depends on
-  *      the grid, only speed does. With `cellDeg` sized to the right
-  *      side's density the fallback fraction is ~0; the fallback input is
-  *      only those rows, not the corpus.
+  *   - latitude splits into `cellDeg`-degree BANDS; within each band,
+  *     longitude splits into cells whose angular width grows with
+  *     latitude (width = 2·asin(sin(cellDeg/2) / cos(φmax + cellDeg)),
+  *     φmax = the band's poleward edge) so a cell's KM width never
+  *     shrinks below one band height — near the poles a band collapses
+  *     to ONE cell covering all longitudes;
+  *   - candidate pairs = left row × right rows in its 3×3 (band, cell)
+  *     neighborhood (longitude wraps, so the date line is an ordinary
+  *     cell boundary) — an equi-join on the (band, cell) key, so
+  *     candidate volume tracks cell occupancy, never |L|·|R|;
+  *   - UNIFORM CERTIFICATE (independent of latitude, the point of the
+  *     band construction): any point outside the 3×3 window is at least
+  *     `cellDeg`·[[GeoOps.KmPerDeg]] km away. Out-of-window in latitude
+  *     means ≥ one full band of separation (d ≥ R·Δφ); out-of-window in
+  *     longitude inside a neighbor band b means wrapped Δλ > that band's
+  *     cell width W_b, and haversine gives d ≥ 2R·asin(cos φmax_b ·
+  *     sin(W_b/2)) ≥ 2R·asin(sin(cellDeg/2)) = cellDeg·KmPerDeg by the
+  *     width choice. Conversely a partner WITHIN that distance is proven
+  *     inside the window: both endpoints' latitudes are ≤ φmax_b +
+  *     cellDeg (bands are ±1), so Δλ ≤ W_b — which is why the width
+  *     formula pads cos by one extra band.
   *
-  * Ties break on (distance, right id) in BOTH paths, so the result is
-  * deterministic and identical to the brute-force definition row-for-row.
+  * [[withinRadius]] therefore needs NO fallback (radius is `require`d
+  * ≤ one cell width in km, so the grid candidates are complete for every
+  * row); [[nearest]] falls back to the exact all-pairs pass only for
+  * rows whose true nearest neighbor is farther than one cell width —
+  * the data-density knob `cellDeg` controls, never a correctness
+  * parameter. Ties break on (distance, right id) in all paths, so the
+  * results are deterministic and identical to the brute-force
+  * definitions row-for-row.
   */
 object GeoOps {
 
@@ -48,98 +57,122 @@ object GeoOps {
     lit(2 * EarthRadiusKm) * asin(sqrt(a))
   }
 
+  /** Per-band longitude cell counts for `cellDeg` bands: band b spans
+    * [b·cellDeg − 90, (b+1)·cellDeg − 90); its cell count makes each
+    * cell's angular width ≥ 2·asin(sin(cellDeg/2)/cos(φmax + cellDeg))
+    * (1 cell when the padded cos can't support it — the polar caps).
+    * O(180/cellDeg) ints, embedded as an array literal → codegen'd
+    * lookup, no join. */
+  private[operators] def bandCellCounts(cellDeg: Double): Array[Int] = {
+    val nBands = math.ceil(180.0 / cellDeg).toInt
+    val halfCell = math.sin(math.toRadians(cellDeg) / 2)
+    Array.tabulate(nBands) { b =>
+      val lo = b * cellDeg - 90.0
+      val hi = math.min(90.0, lo + cellDeg)
+      val phiMax = math.max(math.abs(lo), math.abs(hi))
+      val padded = math.min(90.0, phiMax + cellDeg)
+      val c = math.cos(math.toRadians(padded))
+      if (c <= halfCell) 1
+      else math.max(1, math.floor(math.Pi / math.asin(halfCell / c)).toInt)
+    }
+  }
+
+  private def bandOf(lat: Column, cellDeg: Double, nBands: Int): Column =
+    least(floor((lat + 90.0) / cellDeg).cast("int"), lit(nBands - 1))
+
+  /** (band, cell) key columns for a point, via the band→cellCount array. */
+  private def keyOf(lat: Column, lon: Column, cellDeg: Double,
+      counts: Array[Int]): (Column, Column) = {
+    val b = bandOf(lat, cellDeg, counts.length)
+    val nx = element_at(array(counts.map(lit(_)): _*), b + 1)
+    val cx = pmod(floor((lon + 180.0) / 360.0 * nx).cast("int"), nx)
+    (b, cx)
+  }
+
+  /** The ≤9 distinct (band, cell) probe keys of a left point: bands ±1
+    * (clamped at the poles), and within each band the cell indices
+    * covering lon ± one of THAT band's cells (wrapping). array_distinct
+    * before explode — a polar band with < 3 cells would otherwise emit
+    * duplicate keys and double-count pairs. */
+  private def probeKeys(lat: Column, lon: Column, cellDeg: Double,
+      counts: Array[Int]): Column = {
+    val nBands = counts.length
+    val b0 = bandOf(lat, cellDeg, nBands)
+    val keys = for (dy <- -1 to 1; dx <- -1 to 1) yield {
+      val b = b0 + dy
+      val nx = element_at(array(counts.map(lit(_)): _*), b + 1)
+      val cx = pmod(floor((lon + 180.0) / 360.0 * nx).cast("int") + dx, nx)
+      when(b >= 0 && b < nBands, struct(b.as("band"), cx.as("cx")))
+        .otherwise(lit(null))
+    }
+    array_distinct(filter(array(keys: _*), _.isNotNull))
+  }
+
   /** Exact nearest right-neighbor per left row.
     *
     * @param left     rows to resolve; must carry a unique `leftId`
     * @param right    candidate set (id, lat, lon)
-    * @param cellDeg  grid cell width in degrees — the density knob: cells
-    *                 should be sized so a typical nearest neighbor is
-    *                 within one cell width
+    * @param cellDeg  band height in degrees — the density knob: size it
+    *                 so a typical nearest neighbor is within one cell
+    *                 width (cellDeg·[[KmPerDeg]] km); rows whose nearest
+    *                 is farther fall back to the exact all-pairs pass
     * Output: (leftId columns…, nearest right id, `km`). */
   def nearest(left: DataFrame, leftId: String, latL: String, lonL: String,
       right: DataFrame, rightId: String, latR: String, lonR: String,
       cellDeg: Double): DataFrame = {
     require(cellDeg > 0 && cellDeg <= 90, s"cellDeg $cellDeg out of (0, 90]")
-    val nx = math.ceil(360.0 / cellDeg).toInt
-    def cy(lat: Column) = floor((lat + 90.0) / cellDeg).cast("int")
-    def cx(lon: Column) = pmod(floor((lon + 180.0) / cellDeg).cast("int"), lit(nx))
+    val counts = bandCellCounts(cellDeg)
 
     val l = left.select(col(leftId).as("__lid"),
       col(latL).cast("double").as("__llat"), col(lonL).cast("double").as("__llon"))
+    val (rb, rcx) = keyOf(col("__rlat"), col("__rlon"), cellDeg, counts)
     val r = right.select(col(rightId).as("__rid"),
       col(latR).cast("double").as("__rlat"), col(lonR).cast("double").as("__rlon"))
-      .withColumn("__cy", cy(col("__rlat")))
-      .withColumn("__cx", cx(col("__rlon")))
+      .withColumn("__band", rb).withColumn("__cx", rcx)
 
-    // left fans out to its 3×3 neighborhood (lon wraps, lat rows outside
-    // [0, 180/cellDeg) are simply empty); right stays one row per point
-    val offsets = array((for (dy <- -1 to 1; dx <- -1 to 1)
-      yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)
     val lCells = l
-      .withColumn("__o", explode(offsets))
-      .withColumn("__cy", cy(col("__llat")) + col("__o.dy"))
-      .withColumn("__cx", pmod(cx(col("__llon")) + col("__o.dx"), lit(nx)))
-      .drop("__o")
+      .withColumn("__k", explode(probeKeys(col("__llat"), col("__llon"), cellDeg, counts)))
+      .withColumn("__band", col("__k.band"))
+      .withColumn("__cx", col("__k.cx"))
+      .drop("__k")
 
-    val w = Window.partitionBy(col("__lid")).orderBy(col("km"), col("__rid"))
-    val best = lCells.join(r, Seq("__cy", "__cx"))
+    // argmin as a PARTIAL-AGGREGABLE min(struct(km, rid)) — combines
+    // map-side, so the shuffle carries one row per left id instead of
+    // sorting the full candidate set (a row_number window would); the
+    // struct's lexicographic order IS the (distance, right id) tie-break
+    def argmin(cands: DataFrame): DataFrame = cands
       .withColumn("km",
         haversineKm(col("__llat"), col("__llon"), col("__rlat"), col("__rlon")))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .select(col("__lid"), col("__llat"), col("__llon"), col("__rid"), col("km"))
+      .groupBy(col("__lid"))
+      .agg(min(struct(col("km"), col("__rid"))).as("__b"))
+      .select(col("__lid"), col("__b.__rid").as("__rid"), col("__b.km").as("km"))
 
-    // soundness certificate: distance from anywhere in the center cell to
-    // the 3×3 boundary is ≥ one cell width — cellDeg·111 km in latitude,
-    // cos-scaled by the window's worst-case |lat| in longitude (the span
-    // reaches |lat| + 2·cellDeg; capped below 90° so cos > 0 — beyond the
-    // cap the certificate is 0 and the row falls back)
-    val worstLat = least(abs(col("__llat")) + lit(2 * cellDeg), lit(89.999))
-    val guarantee = lit(cellDeg * KmPerDeg) * least(lit(1.0), cos(radians(worstLat)))
-    val certified = best.where(col("km") <= guarantee)
-      .select(col("__lid"), col("__rid"), col("km"))
+    // lazy checkpoint: `best` feeds BOTH the certified filter and the
+    // unresolved anti-join — without it the grid join would execute twice
+    val best = argmin(lCells.join(r, Seq("__band", "__cx"))).localCheckpoint(false)
 
-    // exact fallback for uncertified rows ONLY: all-pairs vs the right
-    // side (broadcast when small; the fraction of rows here is the knob
-    // cellDeg controls, not a correctness parameter)
+    // uniform certificate: out-of-window points are ≥ one cell width away
+    // at EVERY latitude (see object doc) — a best candidate at or under
+    // that distance is provably the global nearest
+    val certified = best.where(col("km") <= cellDeg * KmPerDeg)
+
+    // exact fallback ONLY for rows with no candidate within one cell
+    // width (sparse data / empty neighborhoods) — never a latitude class
     val unresolved = l.join(certified.select(col("__lid")), Seq("__lid"), "left_anti")
-    val fallback = unresolved.crossJoin(r.drop("__cy", "__cx"))
-      .withColumn("km",
-        haversineKm(col("__llat"), col("__llon"), col("__rlat"), col("__rlon")))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .select(col("__lid"), col("__rid"), col("km"))
+    val fallback = argmin(unresolved.crossJoin(r.drop("__band", "__cx")))
 
     certified.unionAll(fallback)
       .select(col("__lid").as(leftId), col("__rid").as(s"nearest_$rightId"),
         col("km"))
   }
 
-  /** Exact distance join: every (left, right) pair within `radiusKm`.
-    * The naive definition is |L|·|R| haversine evaluations; here the
-    * candidate set is the same 3×3 grid-cell equi-join as [[nearest]],
-    * made EXACT by a per-LEFT-ROW certificate that is static in the
-    * row's latitude (no candidate inspection needed):
-    *
-    *   - latitude is globally safe by construction: a pair within r km
-    *     differs by ≤ r/[[KmPerDeg]] degrees of latitude, and the
-    *     `require` pins cellDeg ≥ that, so the partner's lat cell is
-    *     within ±1 always;
-    *   - longitude: from haversine, d ≥ 2R·asin(cos φmax · sin(Δλ/2))
-    *     with φmax the larger |lat| of the pair — bounded by
-    *     |latL| + cellDeg (the partner is ≤ one lat cell away). A
-    *     partner OUTSIDE the 3×3 window has wrapped Δλ > cellDeg, hence
-    *     d ≥ 2R·asin(cos(|latL|+cellDeg)·sin(cellDeg/2)); when that
-    *     bound ≥ r, no out-of-window point can be within r and the grid
-    *     candidates are complete for the row.
-    *
-    * Left rows failing the bound (high latitudes, where lon degrees
-    * shrink in km) go to the exact all-pairs fallback — correctness
-    * never depends on the grid; the certified fraction is what cellDeg
-    * tunes. Pairs are emitted exactly once: the two paths partition the
-    * LEFT side, and in the grid path a right row lives in exactly one
-    * cell while a left row probes 9 distinct cells (nx ≥ 4, so the
-    * wrapped offsets never alias).
+  /** Exact distance join: every (left, right) pair within `radiusKm` —
+    * NO fallback path: the `require` pins the radius at or under one
+    * cell width in km, and the uniform certificate (object doc) proves
+    * every partner within that distance sits inside the left row's 3×3
+    * (band, cell) window, at every latitude including the poles. Pairs
+    * are emitted exactly once: a right row lives in exactly ONE cell and
+    * the left row's probe-key set is array_distinct'ed.
     *
     * Output: one row per qualifying pair — (leftId, rightId, `km`). */
   def withinRadius(left: DataFrame, leftId: String, latL: String, lonL: String,
@@ -147,43 +180,27 @@ object GeoOps {
       radiusKm: Double, cellDeg: Double): DataFrame = {
     require(cellDeg > 0 && cellDeg <= 90, s"cellDeg $cellDeg out of (0, 90]")
     require(radiusKm > 0 && radiusKm <= cellDeg * KmPerDeg,
-      s"radiusKm $radiusKm exceeds one lat cell (${cellDeg * KmPerDeg} km) — " +
+      s"radiusKm $radiusKm exceeds one cell width (${cellDeg * KmPerDeg} km) — " +
         "raise cellDeg so the 3x3 window covers the radius")
-    val nx = math.ceil(360.0 / cellDeg).toInt
-    def cy(lat: Column) = floor((lat + 90.0) / cellDeg).cast("int")
-    def cx(lon: Column) = pmod(floor((lon + 180.0) / cellDeg).cast("int"), lit(nx))
+    val counts = bandCellCounts(cellDeg)
 
     val l = left.select(col(leftId).as("__lid"),
       col(latL).cast("double").as("__llat"), col(lonL).cast("double").as("__llon"))
+    val (rb, rcx) = keyOf(col("__rlat"), col("__rlon"), cellDeg, counts)
     val r = right.select(col(rightId).as("__rid"),
       col(latR).cast("double").as("__rlat"), col(lonR).cast("double").as("__rlon"))
+      .withColumn("__band", rb).withColumn("__cx", rcx)
 
-    // static per-row certificate: out-of-window lower bound ≥ radius
-    val phiMax = least(abs(col("__llat")) + lit(cellDeg), lit(89.999))
-    val outOfWindowKm = lit(2 * EarthRadiusKm) *
-      asin(cos(radians(phiMax)) * sin(lit(math.toRadians(cellDeg) / 2)))
-    val lTagged = l.withColumn("__cert", outOfWindowKm >= radiusKm)
+    val lCells = l
+      .withColumn("__k", explode(probeKeys(col("__llat"), col("__llon"), cellDeg, counts)))
+      .withColumn("__band", col("__k.band"))
+      .withColumn("__cx", col("__k.cx"))
+      .drop("__k")
 
-    val offsets = array((for (dy <- -1 to 1; dx <- -1 to 1)
-      yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)
-    val lCells = lTagged.where(col("__cert"))
-      .withColumn("__o", explode(offsets))
-      .withColumn("__cy", cy(col("__llat")) + col("__o.dy"))
-      .withColumn("__cx", pmod(cx(col("__llon")) + col("__o.dx"), lit(nx)))
-      .drop("__o", "__cert")
-    val rCells = r.withColumn("__cy", cy(col("__rlat")))
-      .withColumn("__cx", cx(col("__rlon")))
-
-    val dist = haversineKm(col("__llat"), col("__llon"), col("__rlat"), col("__rlon"))
-    val gridPairs = lCells.join(rCells, Seq("__cy", "__cx"))
-      .withColumn("km", dist).where(col("km") <= radiusKm)
-
-    val fallbackPairs = lTagged.where(!col("__cert")).drop("__cert")
-      .crossJoin(r)
-      .withColumn("km", dist).where(col("km") <= radiusKm)
-
-    gridPairs.select(col("__lid"), col("__rid"), col("km"))
-      .unionAll(fallbackPairs.select(col("__lid"), col("__rid"), col("km")))
+    lCells.join(r, Seq("__band", "__cx"))
+      .withColumn("km",
+        haversineKm(col("__llat"), col("__llon"), col("__rlat"), col("__rlon")))
+      .where(col("km") <= radiusKm)
       .select(col("__lid").as(leftId), col("__rid").as(rightId), col("km"))
   }
 }

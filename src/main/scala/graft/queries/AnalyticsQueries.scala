@@ -901,11 +901,14 @@ object AnalyticsQueries {
     * over deterministic key-derived coordinates (the fixtures carry no
     * geography; identical integer/float arithmetic on both engines makes
     * the derivation an oracle-safe column). The engine side is
-    * [[graft.operators.GeoOps.nearest]] — a 3×3 grid-cell EQUI-join with
-    * a per-row exactness certificate and an all-pairs fallback for only
-    * the uncertified rows — while the oracle is the brute-force cross
-    * join it must reproduce row-for-row. GeoSpec proves exactness on the
-    * hard cases (date line, empty cells, polar certificate collapse). */
+    * [[graft.operators.GeoOps.nearest]] — a 3×3 spherical-band-grid
+    * EQUI-join (per-band longitude cell widths keep the exactness
+    * certificate uniform at every latitude; polar bands are one cell)
+    * with a map-side-combined min(struct) argmin and an all-pairs
+    * fallback only for rows whose nearest exceeds one cell width —
+    * while the oracle is the brute-force cross join it must reproduce
+    * row-for-row. GeoSpec proves exactness on the hard cases (date
+    * line, empty cells, polar bands). */
   val t72 = GQuery(
     "t72_geo_nearest",
     (s, dir) => {
@@ -916,7 +919,7 @@ object AnalyticsQueries {
         ((col("s_suppkey") * 53 % 1700) / lit(10.0) - 85.0).as("slat"),
         ((col("s_suppkey") * 131 % 3600) / lit(10.0) - 180.0).as("slon"))
       graft.operators.GeoOps.nearest(cust, "c_custkey", "clat", "clon",
-          supp, "s_suppkey", "slat", "slon", cellDeg = 30.0)
+          supp, "s_suppkey", "slat", "slon", cellDeg = 15.0)
         .select(col("c_custkey"), col("nearest_s_suppkey"),
           round(col("km"), 3).as("km"))
         .orderBy(col("c_custkey"))
@@ -939,14 +942,13 @@ object AnalyticsQueries {
   /** T73 GEO RADIUS JOIN (J13r): suppliers within 2000 km of each
     * customer site, rolled up per customer (count + nearest-in-radius
     * distance). The engine side is [[graft.operators.GeoOps.withinRadius]]
-    * — the 3×3 grid-cell equi-join with the static per-left-row
-    * certificate (out-of-window lower bound ≥ radius) and the all-pairs
-    * fallback for only uncertified (high-latitude) rows, so at 100 TB the
-    * pair volume tracks cell occupancy, never |L|·|R|. The derived global
-    * coordinates put ~half the customers above the 30°-cell certificate
-    * latitude, so BOTH paths carry graded rows. Oracle = the brute-force
-    * cross-join filter it must reproduce pair-for-pair (a missing or
-    * duplicated pair breaks cnt and the hash). */
+    * — the 3×3 spherical-band-grid equi-join whose uniform certificate
+    * (out-of-window ≥ one cell width ≥ radius, at every latitude — polar
+    * bands are one all-longitude cell) removes the fallback entirely: at
+    * 100 TB the pair volume tracks cell occupancy, never |L|·|R|, and no
+    * latitude class degrades. Oracle = the brute-force cross-join filter
+    * it must reproduce pair-for-pair (a missing or duplicated pair
+    * breaks cnt and the hash). */
   val t73 = GQuery(
     "t73_geo_radius",
     (s, dir) => {

@@ -5,11 +5,11 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** GeoOps: haversine sanity, and the grid nearest-join's EXACTNESS — the
-  * certificate + fallback construction must reproduce the brute-force
-  * all-pairs answer row-for-row at any cell size, including the designed
-  * hard cases (date-line wrap, empty neighborhoods, polar latitudes
-  * where the longitude certificate collapses). */
+/** GeoOps: haversine sanity, and the band-grid joins' EXACTNESS — the
+  * spherical band construction must reproduce the brute-force all-pairs
+  * answer row-for-row at any cell size, including the designed hard
+  * cases (date-line wrap, empty neighborhoods, polar bands collapsing
+  * to a single all-longitude cell). */
 class GeoSpec extends SparkSpec {
 
   private def brute(l: DataFrame, r: DataFrame): Seq[(Long, Long, Double)] = {
@@ -65,7 +65,7 @@ class GeoSpec extends SparkSpec {
     assert(grid(l, r, 5.0).map(t => (t._1, t._2)) === Seq((1L, 7L)))
   }
 
-  test("polar latitudes (collapsed certificate) stay exact") {
+  test("polar latitudes (single-cell bands) stay exact") {
     val l = pts(Seq((1L, 88.0, 10.0), (2L, -88.5, -170.0)), "l")
     val r = pts((1L to 12L).map(i => (i, 86.0 + (i % 5) * 0.8,
       i * 30.0 - 180.0)), "r")
@@ -98,11 +98,12 @@ class GeoSpec extends SparkSpec {
     }
   }
 
-  test("withinRadius: date-line pair found, polar rows exact via fallback") {
+  test("withinRadius: date-line pair found, polar over-the-pole pair found") {
     val l = pts(Seq((1L, 10.0, -179.8), (2L, 87.0, 0.0)), "l")
     val r = pts(Seq((1L, 10.0, 179.8), (2L, 87.0, 179.0), (3L, 10.0, 0.0)), "r")
-    // r2 is ~660 km from l2 straight over the pole — lon cells far apart,
-    // only the uncertified fallback path can pair them
+    // r2 is ~660 km from l2 straight over the pole — fixed-width lon cells
+    // would put them far apart; the polar band is ONE cell, so the grid
+    // path pairs them directly (withinRadius has no fallback to hide in)
     assert(gridRadius(l, r, 700.0, 10.0) === bruteRadius(l, r, 700.0))
   }
 
