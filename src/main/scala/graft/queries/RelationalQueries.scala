@@ -1270,8 +1270,56 @@ object RelationalQueries {
          OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
              AND l_quantity BETWEEN 20 AND 30)"""))
 
+  /** T84 PIVOT (O9): long→wide reshaping — revenue by return flag
+    * pivoted into one column per line status. The VALUES ARE DECLARED
+    * (`pivot(col, Seq(...))`), the scale-relevant form: Spark otherwise
+    * runs an extra distinct-values job and caps at
+    * `spark.sql.pivotMaxValues`; with declared values the plan is ONE
+    * map-side-combined aggregate whose output width is fixed at compile
+    * time — exactly the manual sum(CASE…) expansion the oracle spells,
+    * no second pass, no shuffle beyond the rollup's. */
+  val t84 = GQuery(
+    "t84_pivot",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+        round(sum(CASE WHEN l_linestatus = 'F'
+          THEN l_extendedprice * (1 - l_discount) END), 2) AS F,
+        round(sum(CASE WHEN l_linestatus = 'O'
+          THEN l_extendedprice * (1 - l_discount) END), 2) AS O
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** T85 UNPIVOT (O10): wide→long reshaping — part's numeric attributes
+    * melted into (attribute, value) rows. `unpivot` is a zero-shuffle
+    * per-row expansion (each input row emits one row per value column,
+    * inside the scan stage's codegen — the Expand operator), so at
+    * 100 TB it costs exactly the width multiplier, never an exchange;
+    * the rollup after it is the only shuffle. */
+  val t85 = GQuery(
+    "t85_unpivot",
+    (s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast("double").as("p_size"))
+        .unpivot(Array(col("p_partkey")), Array(col("p_retailprice"), col("p_size")),
+          "attribute", "value")
+        .groupBy(col("attribute"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total"),
+          round(max(col("value")), 2).as("max_v"))
+        .orderBy(col("attribute")),
+    Some("""SELECT attribute, count(*) AS cnt, round(sum(value), 2) AS total,
+        round(max(value), 2) AS max_v
+      FROM (SELECT 'p_retailprice' AS attribute, p_retailprice AS value FROM part
+            UNION ALL
+            SELECT 'p_size', CAST(p_size AS DOUBLE) FROM part) u
+      GROUP BY attribute ORDER BY attribute"""))
+
   def all: Seq[GQuery] = Seq(t4, t5, t6, t7, t8, t9, t9b, t10, t10b, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t19b, t20, t21, t22, t23, t24, t25, t30, t31,
     t32, t33, t34, t35, t36, t37, t38, t39, t63, t64, t65, t66, t67, t68,
-    t69, t70, t74, t75, t76, t77, t78, t79, t80, t81, t82)
+    t69, t70, t74, t75, t76, t77, t78, t79, t80, t81, t82, t84, t85)
 }
