@@ -66,7 +66,9 @@ object Mv {
 
   private val registry = TrieMap.empty[String, MvDef]
 
-  private def mapper = new ObjectMapper()
+  // thread-safe after construction; building one per meta read/write would
+  // redo Jackson's module scan every time
+  private val mapper = new ObjectMapper()
 
   private def baseRelation(df: DataFrame): LogicalRelation =
     df.queryExecution.analyzed.collectFirst { case r: LogicalRelation => r }
@@ -177,7 +179,22 @@ object Mv {
     rollup(base, keys, measures).write.mode("overwrite").parquet(s"$mvPath/$dataDir")
     writeMeta(spark, mvPath, rootOf(rel), keys, measures, listing(rel),
       format, table, ver, dataDir)
+    // a REBUILD over an existing MV (refresh / REFRESH ... FULL) must not
+    // leak the previous versioned dir — delete stale data_v* LAST, after
+    // the meta flip, so a racing reader still resolves a complete store
+    dropStaleDataDirs(spark, mvPath, keep = dataDir)
     register(spark, mvPath)
+  }
+
+  private def dropStaleDataDirs(spark: SparkSession, mvPath: String,
+      keep: String): Unit = {
+    val root = new Path(mvPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("data_v") && n != keep)
+        fs.delete(st.getPath, true)
+    }
   }
 
   /** [[createVersioned]] over a Delta base. */
@@ -368,7 +385,14 @@ object MvRoutingRule extends Rule[LogicalPlan] {
     * node structurally. None anywhere = the whole aggregate bails. */
   private def rewriteExpr(e: Expression, keyFor: Map[ExprId, Attribute],
       mvCol: String => Option[Attribute]): Option[Expression] = e match {
-    case ae: AggregateExpression => rewriteCall(ae, mvCol)
+    // TYPE-PRESERVATION gate: the rewritten call must carry the original
+    // call's exact dataType. Decimal aggregates widen per-input (base
+    // sum(dec(p,s)) = dec(p+10,s) but sum over the MV partial would be
+    // dec(p+20,s); avg(decimal) is decimal while the 0/0-guarded rewrite
+    // is double) — the Alias keeps the original exprId, so a type change
+    // would poison downstream attribute copies. Mismatch = bail to base.
+    case ae: AggregateExpression =>
+      rewriteCall(ae, mvCol).filter(_.dataType == ae.dataType)
     case a: AttributeReference => keyFor.get(a.exprId)
     case other if other.deterministic && !SubqueryExpression.hasSubquery(other) =>
       if (other.children.isEmpty) Some(other)

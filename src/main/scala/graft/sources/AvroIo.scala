@@ -49,8 +49,13 @@ object AvroIo {
       if (rows.isEmpty && part != 0) Iterator.single(0L)
       else {
         val schema = new Schema.Parser().parse(avroJson)
+        // overwrite=true: a RETRIED task (executor loss, speculative copy)
+        // reuses the same (partition, job-uuid) name — create(…, false)
+        // would throw FileAlreadyExistsException on every retry attempt and
+        // turn a transient failure permanent. Rewriting the deterministic
+        // name is idempotent: last attempt wins with identical content.
         val file = new Path(dir, f"part-$part%05d-$uuid.avro")
-        val os = file.getFileSystem(hconf.value.value).create(file, false)
+        val os = file.getFileSystem(hconf.value.value).create(file, true)
         val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
         w.create(schema, os) // DataFileWriter closes the stream
         var n = 0L

@@ -538,7 +538,10 @@ object DeltaWrite {
         math.ceil(candidates.map(_.size).sum.toDouble / targetFileBytes).toInt)
       val packed =
         if (zorderBy.nonEmpty && curve == "hilbert")
-          graft.operators.Layout.hilbertCluster(df, zorderBy, nOut, bits = 12)
+          // bits scale down with column count (n*bits must fit a long's 62
+          // usable bits) — a fixed 12 would refuse HILBERT BY over >5 columns
+          graft.operators.Layout.hilbertCluster(df, zorderBy, nOut,
+            bits = math.min(12, 62 / zorderBy.length))
         else if (zorderBy.nonEmpty) graft.operators.Layout.zcluster(df, zorderBy, nOut)
         else if (snap.partitionColumns.nonEmpty)
           df.repartition(nOut, snap.partitionColumns.map(fcol): _*)

@@ -1030,7 +1030,10 @@ object IcebergWrite {
       math.ceil(rewrite.map(_.bytes).sum.toDouble / targetFileBytes).toInt)
     val packed =
       if (zorderBy.nonEmpty && curve == "hilbert")
-        graft.operators.Layout.hilbertCluster(df, zorderBy, nOut, bits = 12)
+        // bits scale down with column count (n*bits must fit a long's 62
+          // usable bits) — a fixed 12 would refuse HILBERT BY over >5 columns
+          graft.operators.Layout.hilbertCluster(df, zorderBy, nOut,
+            bits = math.min(12, 62 / zorderBy.length))
       else if (zorderBy.nonEmpty) graft.operators.Layout.zcluster(df, zorderBy, nOut)
       else if (transforms.nonEmpty)
         df.repartition(nOut, transforms.map(t => fcol(t.source)): _*)

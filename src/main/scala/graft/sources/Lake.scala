@@ -1047,8 +1047,14 @@ object Lake {
         val orderIdx = topLevelKeyword(tail, "ORDER")
         val limitIdx = topLevelKeyword(tail, "LIMIT")
         val present = Seq(whereIdx, orderIdx, limitIdx).filter(_ >= 0)
-        require(present == present.sorted && (present.isEmpty || present.min == 0 ||
-            tail.substring(0, present.min).trim.isEmpty),
+        // refuse loudly on anything this dialect doesn't implement: with no
+        // recognized clause the whole tail must be empty (a GROUP BY, or a
+        // non-numeric VERSION AS OF that fell through, would otherwise be
+        // silently DROPPED and return a wrong result set), and with clauses
+        // present nothing may precede the first one
+        require(present == present.sorted &&
+            (if (present.isEmpty) tail.trim.isEmpty
+             else present.min == 0 || tail.substring(0, present.min).trim.isEmpty),
           s"SELECT: expected [WHERE <pred>] [ORDER BY ...] [LIMIT n], got: $tail")
         def sliceEnd(from: Int) =
           present.filter(_ > from).minOption.getOrElse(tail.length)

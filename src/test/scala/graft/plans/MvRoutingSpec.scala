@@ -68,10 +68,13 @@ class MvRoutingSpec extends SparkSpec {
   }
 
   test("global aggregate (no grouping) routes; empty filter match keeps count=0") {
-    withMv(keys, measures) { (base, _) =>
+    withMv(keys, measures) { (base, mv) =>
       val g = spark.read.parquet(base)
         .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("s"))
-      assert(scannedLocations(g).contains("/mv"),
+      // assert on the exact mv path — the base's own /tmp/mv_base… dir name
+      // contains the substring "/mv", which would make a bare contains("/mv")
+      // pass even with routing broken
+      assert(scannedLocations(g).contains(mv),
         "global aggregate should route")
       val r = g.collect()(0)
       spark.conf.set("spark.graft.mv.routing", "false")
@@ -84,7 +87,7 @@ class MvRoutingSpec extends SparkSpec {
       val e = spark.read.parquet(base)
         .where(col("l_shipdate") < lit("1900-01-01").cast("timestamp"))
         .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("s"))
-      assert(scannedLocations(e).contains("/mv"))
+      assert(scannedLocations(e).contains(mv))
       val row = e.collect()(0)
       assert(row.getLong(0) === 0L && row.isNullAt(1))
     }
@@ -118,16 +121,25 @@ class MvRoutingSpec extends SparkSpec {
   }
 
   test("stale base (in-place overwrite, same path) disables routing") {
-    withMv(keys, measures) { (base, _) =>
-      // overwrite the base file with DIFFERENT content at the same path:
-      // a path-only fingerprint would still match; len+mtime must not
-      val other = new java.io.File(s"$sf001/orders.parquet")
+    withMv(keys, measures) { (base, mv) =>
+      // overwrite the base file with DIFFERENT same-schema content at the
+      // same path (the sf0.01 lineitem): a path-only fingerprint would
+      // still match; len+mtime must not. Grouping stays on MV KEYS so the
+      // rewrite reaches the freshness gate instead of bailing earlier —
+      // a non-key grouping would pass this test with the gate deleted.
+      val other = new java.io.File(s"$sf01/lineitem.parquet")
       Files.copy(other.toPath, new java.io.File(base).toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       val q = spark.read.parquet(base)
-        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("c"))
-      assert(scannedLocations(q).contains("lineitem.parquet"),
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("c"))
+      val plan = scannedLocations(q)
+      assert(plan.contains("lineitem.parquet") && !plan.contains(mv),
         "stale MV must not serve the query")
+      // and the served answer is the NEW content's, not the MV's snapshot
+      val fresh = spark.read.parquet(s"$sf01/lineitem.parquet")
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("c"))
+        .collect().map(_.toSeq).toSet
+      assert(q.collect().map(_.toSeq).toSet === fresh)
     }
   }
 
@@ -143,7 +155,7 @@ class MvRoutingSpec extends SparkSpec {
       Mv.refresh(spark, mv)
       val back = spark.read.parquet(base)
         .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))
-      assert(scannedLocations(back).contains("/mv"))
+      assert(scannedLocations(back).contains(mv))
     }
   }
 
@@ -338,13 +350,13 @@ class MvRoutingSpec extends SparkSpec {
   }
 
   test("routed output keeps attribute ids — downstream operators resolve") {
-    withMv(keys, measures) { (base, _) =>
+    withMv(keys, measures) { (base, mv) =>
       val a = spark.read.parquet(base)
         .groupBy(col("l_returnflag")).agg(round(sum(col("l_quantity")), 2).as("s"))
       val dim = spark.createDataFrame(Seq(("A", "accept"), ("R", "reject")))
         .toDF("l_returnflag", "label")
       val joined = a.join(dim, Seq("l_returnflag")).orderBy(col("l_returnflag"))
-      assert(scannedLocations(joined).contains("/mv"))
+      assert(scannedLocations(joined).contains(mv))
       assert(joined.collect().length === 2)
     }
   }
