@@ -77,8 +77,17 @@ object GeoOps {
     }
   }
 
-  private def bandOf(lat: Column, cellDeg: Double, nBands: Int): Column =
-    least(floor((lat + 90.0) / cellDeg).cast("int"), lit(nBands - 1))
+  private def bandOf(lat: Column, cellDeg: Double, nBands: Int): Column = {
+    // Clamp to the valid domain first: a lat outside [-90, 90] would
+    // produce a band index outside [0, nBands), and element_at resolves a
+    // NEGATIVE index from the END of the counts array — silently assigning
+    // a wrong cell count and voiding the exactness certificate. Clamped,
+    // an out-of-domain point keys into the nearest polar band; the
+    // distance predicate still sees the raw coordinates, so garbage input
+    // degrades to garbage distances, never to a wrong index.
+    val cl = greatest(lit(-90.0), least(lit(90.0), lat))
+    least(floor((cl + 90.0) / cellDeg).cast("int"), lit(nBands - 1))
+  }
 
   /** (band, cell) key columns for a point, via the band→cellCount array. */
   private def keyOf(lat: Column, lon: Column, cellDeg: Double,

@@ -62,7 +62,11 @@ object Mv {
   final case class MvDef(basePath: String, mvPath: String, keys: Seq[String],
       measures: Seq[String], baseFiles: Seq[String], relation: LogicalRelation,
       format: String = "parquet", baseTable: String = "", baseVersion: Long = -1L,
-      dataDir: String = "data")
+      dataDir: String = "data") {
+    /** Digest of `baseFiles`, computed once at registration — the routing
+      * rule compares this against the live relation's memoized digest. */
+    lazy val baseFp: String = Mv.fingerprint(baseFiles)
+  }
 
   private val registry = TrieMap.empty[String, MvDef]
 
@@ -75,13 +79,40 @@ object Mv {
       .getOrElse(throw new IllegalArgumentException(
         "MV base must be a file-backed table (no LogicalRelation found)"))
 
-  /** path:len:mtime per file, sorted — the freshness fingerprint. The
-    * FileIndex has this listing in memory already. */
+  /** path:len:mtime per file, sorted — the freshness listing recorded in
+    * the meta document. The FileIndex has this in memory already. */
   private[plans] def listing(rel: LogicalRelation): Seq[String] = rel.relation match {
     case h: HadoopFsRelation =>
       h.location.listFiles(Nil, Nil).flatMap(_.files)
         .map(f => s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
         .sorted.toSeq
+    case other => throw new IllegalArgumentException(
+      s"MV base must be file-backed, got ${other.getClass.getSimpleName}")
+  }
+
+  /** 128-bit digest of a listing — what the routing rule actually
+    * compares. Separator byte between entries so adjacent strings can't
+    * alias ("ab","c" vs "a","bc"). */
+  private[plans] def fingerprint(files: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    files.foreach { f => md.update(f.getBytes("UTF-8")); md.update(0: Byte) }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Memoized listing fingerprint per FileIndex INSTANCE: a FileIndex's
+    * materialized listing is fixed once built (each query plans a fresh
+    * scan, so a changed table arrives as a new instance), which makes it
+    * sound to hash the O(files) listing ONCE per relation and compare
+    * 32-char digests on every subsequent freshness check — the rule runs
+    * in the operator-optimization fixed point, so at millions of files
+    * the per-Aggregate re-sort was a real planning tax. Weak identity
+    * keys: entries die with the FileIndex. */
+  private val fpCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[AnyRef, String]())
+
+  private[plans] def fingerprintOf(rel: LogicalRelation): String = rel.relation match {
+    case h: HadoopFsRelation =>
+      fpCache.computeIfAbsent(h.location, _ => fingerprint(listing(rel)))
     case other => throw new IllegalArgumentException(
       s"MV base must be file-backed, got ${other.getClass.getSimpleName}")
   }
@@ -254,9 +285,15 @@ object Mv {
     kept.unionByName(recomputed).write.mode("overwrite").parquet(s"$mvPath/$dataDir")
     writeMeta(spark, mvPath, rootOf(rel), d.keys, d.measures, listing(rel),
       d.format, d.baseTable, cur, dataDir)
+    // delete the old dir LAST, after register() flips the in-JVM registry
+    // entry to the new dir — a concurrently planned routed query that
+    // already resolved the stale MvDef.relation would otherwise hit
+    // FileNotFoundException in the delete-to-register window (the same
+    // delete-last ordering createVersioned documents)
+    val out = register(spark, mvPath)
     val old = new Path(s"$mvPath/${d.dataDir}")
     old.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(old, true)
-    register(spark, mvPath)
+    out
   }
 
   /** Register an existing MV (reads its meta document) so the routing
@@ -412,7 +449,10 @@ object MvRoutingRule extends Rule[LogicalPlan] {
           (rel, conds, visible) <- unwrap(child)
           path <- basePathOf(rel)
           d <- Mv.lookup(path)
-          if Mv.listing(rel) == d.baseFiles // freshness gate, in-memory
+          // freshness gate: O(1)-per-check digest compare — the listing is
+          // hashed once per FileIndex instance (Mv.fingerprintOf memoizes),
+          // once per registration for the recorded side (MvDef.baseFp)
+          if Mv.fingerprintOf(rel) == d.baseFp
           // fresh MV relation instance per rewrite — ids never collide
           mvRel = d.relation.newInstance()
           mvByName = mvRel.output.map(a => a.name -> a).toMap

@@ -1130,6 +1130,115 @@ object IoQueries {
       CROSS JOIN legs
       ORDER BY fmt, leg, event_type"""))
 
+  /** FULL SQL over lake paths (Lake.sqlFrame → delegateSelect): statements
+    * BEYOND the single-table path dialect run whole through Spark SQL over
+    * version-pinned temp views. Two legs per format: a GROUP BY aggregate
+    * with VERSION AS OF + WHERE in ONE statement (must answer from the
+    * first commit alone — proves the pin rides into the delegated scan),
+    * and a lake-to-lake JOIN between two quoted paths with a grouped
+    * weighted sum (proves multi-reference rewriting). The oracle
+    * recomputes both legs from raw events. */
+  val tlakeSqlAgg = GQuery(
+    "t_lake_sql_agg",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events").select(col("event_id"), col("value"), col("event_type"))
+      def run(fmt: String): org.apache.spark.sql.DataFrame = {
+        val t = tmp(s"graft_sqlagg_${fmt}_q") + "/tbl"
+        val dim = tmp(s"graft_sqlagg_${fmt}_dim") + "/tbl"
+        val base = ev.where(col("event_type") =!= "error")
+        val late = ev.where(col("event_type") === "error")
+        val v0 =
+          if (fmt == "delta") graft.sources.DeltaWrite.append(s, base, t)
+          else graft.sources.IcebergWrite.append(s, base, t)
+        if (fmt == "delta") graft.sources.DeltaWrite.append(s, late, t)
+        else graft.sources.IcebergWrite.append(s, late, t)
+        val dimDf = base.select(col("event_type")).distinct()
+          .withColumn("w", length(col("event_type")).cast("double"))
+        if (fmt == "delta") graft.sources.DeltaWrite.append(s, dimDf, dim)
+        else graft.sources.IcebergWrite.append(s, dimDf, dim)
+        // GROUP BY + VERSION AS OF + WHERE, one statement: only commit
+        // v0's rows may answer even though the error append has landed
+        val pinned = graft.sources.Lake.sqlFrame(s,
+          s"SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value " +
+            s"FROM '$t' VERSION AS OF $v0 WHERE value >= 25.0 GROUP BY event_type")
+          .withColumn("leg", lit("agg_pinned"))
+        // lake-to-lake join at the current head: the dim carries only
+        // non-error types, so the join re-excludes the late commit
+        val joined = graft.sources.Lake.sqlFrame(s,
+          s"SELECT e.event_type, count(*) AS cnt, " +
+            s"round(sum(e.value * d.w), 2) AS sum_value " +
+            s"FROM '$t' e JOIN '$dim' d ON e.event_type = d.event_type " +
+            s"GROUP BY e.event_type")
+          .withColumn("leg", lit("agg_join"))
+        pinned.unionByName(joined).withColumn("fmt", lit(fmt))
+      }
+      run("delta").unionByName(run("iceberg"))
+        .select(col("fmt"), col("leg"), col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy(col("fmt"), col("leg"), col("event_type"))
+    },
+    Some("""WITH legs AS (
+        SELECT 'agg_pinned' AS leg, event_type, count(*) AS cnt,
+          round(sum(value), 2) AS sum_value
+        FROM events WHERE event_type <> 'error' AND value >= 25.0
+        GROUP BY event_type
+        UNION ALL
+        SELECT 'agg_join', e.event_type, count(*),
+          round(sum(e.value * length(e.event_type)), 2)
+        FROM events e
+        JOIN (SELECT DISTINCT event_type FROM events WHERE event_type <> 'error') d
+          ON e.event_type = d.event_type
+        GROUP BY e.event_type)
+      SELECT fmt, leg, event_type, cnt, sum_value
+      FROM (SELECT 'delta' AS fmt FROM range(1) UNION ALL SELECT 'iceberg') fmts
+      CROSS JOIN legs
+      ORDER BY fmt, leg, event_type"""))
+
+  /** `ALTER TABLE ... ADD COLUMN` through statement text (Lake.sql →
+    * [[graft.sources.Lake.addColumn]]): metadata-only schema evolution on
+    * BOTH formats. Per format: seed (event_id, value), ADD COLUMN tag
+    * string, append rows CARRYING the new column, then verify old rows
+    * read NULL for it, new rows keep their tag, and time travel to the
+    * pre-ALTER version shows the OLD schema (boolean gate the oracle pins
+    * false). */
+  val tlakeSqlAlterAdd = GQuery(
+    "t_lake_sql_alter_add",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events").select(col("event_id"), col("value"), col("event_type"))
+      def run(fmt: String): org.apache.spark.sql.DataFrame = {
+        val t = tmp(s"graft_sqladdc_${fmt}_q") + "/tbl"
+        val base = ev.where(col("event_type") =!= "error")
+          .select(col("event_id"), col("value"))
+        val late = ev.where(col("event_type") === "error")
+          .select(col("event_id"), col("value"), lit("late").as("tag"))
+        val v0 =
+          if (fmt == "delta") graft.sources.DeltaWrite.append(s, base, t)
+          else graft.sources.IcebergWrite.append(s, base, t)
+        graft.sources.Lake.sql(s, s"ALTER TABLE '$t' ADD COLUMN tag string")
+        if (fmt == "delta") graft.sources.DeltaWrite.append(s, late, t)
+        else graft.sources.IcebergWrite.append(s, late, t)
+        val oldHasTag = graft.sources.Lake.read(s, t, v0).columns.contains("tag")
+        // coalesce the NULL group key: Spark sorts NULLS FIRST, DuckDB
+        // NULLS LAST — a null sort key would hash-mismatch on row order
+        graft.sources.Lake.read(s, t)
+          .groupBy(coalesce(col("tag"), lit("untagged")).as("tag"))
+          .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+          .withColumn("fmt", lit(fmt))
+          .withColumn("old_schema_has_tag", lit(oldHasTag))
+      }
+      run("delta").unionByName(run("iceberg"))
+        .select(col("fmt"), col("tag"), col("cnt"), col("sum_value"),
+          col("old_schema_has_tag"))
+        .orderBy(col("fmt"), col("tag"))
+    },
+    Some("""SELECT fmt,
+        CASE WHEN event_type = 'error' THEN 'late' ELSE 'untagged' END AS tag,
+        count(*) AS cnt, round(sum(value), 2) AS sum_value,
+        false AS old_schema_has_tag
+      FROM (SELECT 'delta' AS fmt FROM range(1) UNION ALL SELECT 'iceberg') fmts
+      CROSS JOIN events
+      GROUP BY fmt, tag
+      ORDER BY fmt, tag"""))
+
   /** CDC APPLY, cross-format both ways: a target table in the OTHER
     * format is seeded from the source's first snapshot, the source then
     * evolves (append + merge-on-read delete), and one
@@ -1476,7 +1585,7 @@ object IoQueries {
       tdeltaRt, ticebergRt, ticebergMor,
       tdeltaDv, tdeltaUpsert, ticebergPart, ticebergHiddenPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tlakeReplaceWhere, tlakeSqlDml,
-      tlakeSqlMaintenance, tlakeSqlSelect,
+      tlakeSqlMaintenance, tlakeSqlSelect, tlakeSqlAgg, tlakeSqlAlterAdd,
       tcdcApply, tlakeSync, tlakeClone,
       tlakeRestore, tlakeRename, tlakeUniform, tlakeUniformRev, tlakeConvert)
 }

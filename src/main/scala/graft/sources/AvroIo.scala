@@ -49,15 +49,24 @@ object AvroIo {
       if (rows.isEmpty && part != 0) Iterator.single(0L)
       else {
         val schema = new Schema.Parser().parse(avroJson)
-        // overwrite=true: a RETRIED task (executor loss, speculative copy)
-        // reuses the same (partition, job-uuid) name — create(…, false)
-        // would throw FileAlreadyExistsException on every retry attempt and
-        // turn a transient failure permanent. Rewriting the deterministic
-        // name is idempotent: last attempt wins with identical content.
+        // Write-to-temp + rename: the FINAL name is deterministic per
+        // (partition, job-uuid) so a retried task converges, but the bytes
+        // land under an ATTEMPT-unique temp name first. Two concurrent
+        // attempts of the same task (speculation, a zombie executor after
+        // repartition) must never share an output stream — Avro OCF embeds
+        // a per-writer random 16-byte sync marker, so interleaved writes
+        // would corrupt the file unreadably. Each attempt writes its own
+        // temp file in full, then renames over the final name; the rename
+        // is a single FS metadata op, so the final path only ever holds one
+        // attempt's complete bytes, and a late zombie rename re-installs an
+        // equivalent complete file rather than tearing a live one.
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val fsx = new Path(dir).getFileSystem(hconf.value.value)
         val file = new Path(dir, f"part-$part%05d-$uuid.avro")
-        val os = file.getFileSystem(hconf.value.value).create(file, true)
+        val tmp = new Path(dir, f".part-$part%05d-$uuid-attempt$attempt.avro.tmp")
         val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
-        w.create(schema, os) // DataFileWriter closes the stream
+        w.create(schema, fsx.create(tmp, true)) // DataFileWriter closes the stream
         var n = 0L
         try rows.foreach { row =>
           val rec = new GenericData.Record(schema)
@@ -69,6 +78,11 @@ object AvroIo {
           w.append(rec)
           n += 1
         } finally w.close()
+        fsx.delete(file, false) // clear a prior attempt's output, if any
+        if (!fsx.rename(tmp, file)) {
+          fsx.delete(tmp, false)
+          throw new java.io.IOException(s"AvroIo: rename $tmp -> $file failed")
+        }
         Iterator.single(n)
       }
     }.collect() // O(partitions) longs — driver-side metadata only

@@ -106,6 +106,40 @@ object Lake {
         s"plain parquet at $path has no schema metadata to drop from — rewrite the files")
     }
 
+  /** Column ADD dispatch — metadata-only on both formats: commits an
+    * EMPTY evolving append (zero staged data files, so the commit carries
+    * only the evolved schema) of the table's schema plus the new nullable
+    * column, through the same `mergeSchema` machinery API evolution uses
+    * ([[DeltaWrite.append]] / [[IcebergWrite.append]]). No data file is
+    * rewritten at any scale; existing rows read NULL for the new column,
+    * and time travel to a pre-ADD version shows the old schema. `sqlType`
+    * is a Spark DDL type string (`string`, `decimal(10,2)`, …). Returns
+    * the committed version / snapshot id. */
+  def addColumn(spark: SparkSession, path: String, name: String,
+      sqlType: String): Long = {
+    val cur = read(spark, path)
+    require(!cur.columns.contains(name),
+      s"ADD COLUMN: '$name' already exists at $path")
+    val dt = org.apache.spark.sql.types.DataType.fromDDL(sqlType)
+    val evolved = org.apache.spark.sql.types.StructType(cur.schema.fields :+
+      org.apache.spark.sql.types.StructField(name, dt, nullable = true))
+    // one EMPTY partition (not zero): the stagers write a schema-bearing
+    // 0-row part file, which they then skip committing — so the commit
+    // carries the evolved metadata and no add entries
+    val empty = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1), evolved)
+    detect(spark, path) match {
+      case Delta => DeltaWrite.append(spark, empty, path,
+        partitionBy = DeltaRead.snapshotInfo(spark, path).partitionColumns,
+        mergeSchema = true)
+      case Iceberg => IcebergWrite.append(spark, empty, path,
+        partitionBy = IcebergWrite.currentPartitionBy(spark, path),
+        mergeSchema = true)
+      case Parquet => throw new IllegalArgumentException(
+        s"plain parquet at $path has no schema metadata to evolve — rewrite the files")
+    }
+  }
+
   /** CONVERT TO DELTA dispatch: in-place zero-rewrite migration of a
     * plain-parquet directory ([[DeltaWrite.convertParquet]]). To continue
     * into Iceberg, compose with [[export]] — the classic
@@ -718,6 +752,7 @@ object Lake {
     *
     * {{{ ALTER TABLE '<path>' RENAME COLUMN a TO b
     *     ALTER TABLE '<path>' DROP COLUMN a
+    *     ALTER TABLE '<path>' ADD COLUMN name <ddl-type>
     *     ALTER TABLE '<path>' ADD CONSTRAINT name CHECK (<pred>)
     *     ALTER TABLE '<path>' DROP CONSTRAINT name
     *     ALTER TABLE '<path>' SET PARTITION SPEC (t1[, t2 ...]) }}}
@@ -779,6 +814,9 @@ object Lake {
     val AlterRename =
       """(?is)ALTER\s+TABLE\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*""".r
     val AlterDropCol = """(?is)ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*""".r
+    // the DDL type may carry parens/commas (decimal(10,2)) — capture the rest
+    val AlterAddCol =
+      """(?is)ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+)\s+([\w(),\s]+?)\s*""".r
     val AlterAddConstraint =
       """(?is)ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*(\(.*)""".r
     val AlterDropConstraint =
@@ -802,6 +840,8 @@ object Lake {
       case AlterDropCol(path, name) =>
         dropColumn(spark, path, name)
         versionOf(path)
+      case AlterAddCol(path, name, typeDdl) =>
+        addColumn(spark, path, name, typeDdl.trim)
       case AlterAddConstraint(path, name, fromParen) =>
         val close = matchingParen(fromParen, 0)
         require(close > 0, s"unbalanced CHECK (...) parens in: $s")
@@ -848,9 +888,15 @@ object Lake {
         else graft.plans.Mv.refreshIncremental(spark, mvPath)
         d.baseVersion
       case MvDrop(mvPath) =>
-        graft.plans.Mv.unregister(mvPath)
+        // validate the target IS an MV store before the recursive delete —
+        // a typo'd (or hostile) path must never remove arbitrary data
         val p = new org.apache.hadoop.fs.Path(mvPath)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(fs.exists(new org.apache.hadoop.fs.Path(p, "_mv_meta.json")),
+          s"DROP MATERIALIZED VIEW: no _mv_meta.json under $mvPath — " +
+            "not an MV store, refusing to delete")
+        graft.plans.Mv.unregister(mvPath)
+        fs.delete(p, true)
         -1L
       case Convert(dir, partsOrNull) =>
         convert(spark, dir, Option(partsOrNull).toSeq
@@ -1004,6 +1050,14 @@ object Lake {
     * bodies are scanned quote/paren-aware like the DML ([[topLevelKeyword]]):
     * a `WHERE note = 'ORDER BY x'` never mis-splits.
     *
+    * SELECTs BEYOND that single-table dialect — GROUP BY, aggregates,
+    * joins (including lake-to-lake: every `FROM|JOIN '<path>' [VERSION AS
+    * OF n]` reference resolves), subqueries, set operations, window
+    * functions — run in FULL through Spark SQL via [[delegateSelect]]:
+    * each path reference becomes a temp view over its version-pinned
+    * scan and the whole statement delegates, so MV routing and every
+    * other optimizer hook apply to statement-text queries too.
+    *
     * `VACUUM ...` returns the deleted paths (one `path` row each); every
     * other statement executes via [[sql]] and returns its committed
     * version as a single-row `version` frame. */
@@ -1026,66 +1080,172 @@ object Lake {
         val age = if (forceOrNull != null) 0L else 24L * 3600 * 1000
         vacuum(spark, path, retain, age).toDF("path")
       case SelectHead(body) =>
-        val fromIdx = topLevelKeyword(body, "FROM")
-        require(fromIdx > 0, s"SELECT: no top-level FROM in: $s")
-        val cols = splitTopLevel(body.substring(0, fromIdx))
-        require(cols.nonEmpty, s"SELECT: empty column list in: $s")
-        val PathHead = """(?s)\s*'([^']+)'\s*(.*)""".r
-        val (path, tail0) = body.substring(fromIdx + 4) match {
-          case PathHead(p, t) => (p, t.trim)
-          case other => throw new IllegalArgumentException(
-            s"SELECT ... FROM expects a quoted table path, got: $other")
-        }
-        val VersionHead = """(?is)VERSION\s+AS\s+OF\s+(\d+)\s*(.*)""".r
-        val (version, tail) = tail0 match {
-          case VersionHead(v, rest) => (v.toLong, rest.trim)
-          case _ => (-1L, tail0)
-        }
-        // clause markers in canonical order; each body slice ends where
-        // the next present clause begins
-        val whereIdx = topLevelKeyword(tail, "WHERE")
-        val orderIdx = topLevelKeyword(tail, "ORDER")
-        val limitIdx = topLevelKeyword(tail, "LIMIT")
-        val present = Seq(whereIdx, orderIdx, limitIdx).filter(_ >= 0)
-        // refuse loudly on anything this dialect doesn't implement: with no
-        // recognized clause the whole tail must be empty (a GROUP BY, or a
-        // non-numeric VERSION AS OF that fell through, would otherwise be
-        // silently DROPPED and return a wrong result set), and with clauses
-        // present nothing may precede the first one
-        require(present == present.sorted &&
-            (if (present.isEmpty) tail.trim.isEmpty
-             else present.min == 0 || tail.substring(0, present.min).trim.isEmpty),
-          s"SELECT: expected [WHERE <pred>] [ORDER BY ...] [LIMIT n], got: $tail")
-        def sliceEnd(from: Int) =
-          present.filter(_ > from).minOption.getOrElse(tail.length)
-        val pred = if (whereIdx < 0) None
-          else Some(tail.substring(whereIdx + 5, sliceEnd(whereIdx)).trim)
-        // a WHERE goes through the stats-pruned scan: file skipping via
-        // the format's persisted bounds, THEN the residual filter
-        val base = pred match {
-          case Some(p) => scanPruned(spark, path, expr(p), version)._1
-          case None => read(spark, path, version)
-        }
-        val projected =
-          if (cols == Seq("*")) base else base.selectExpr(cols: _*)
-        val ordered = if (orderIdx < 0) projected else {
-          val byIdx = topLevelKeyword(tail, "BY", orderIdx)
-          require(byIdx > orderIdx, s"SELECT: ORDER without BY in: $tail")
-          val items = splitTopLevel(tail.substring(byIdx + 2, sliceEnd(orderIdx)))
-          require(items.nonEmpty, s"SELECT: empty ORDER BY in: $tail")
-          projected.orderBy(items.map { item =>
-            val u = item.toUpperCase(java.util.Locale.ROOT)
-            if (u.endsWith(" DESC")) expr(item.dropRight(5).trim).desc
-            else if (u.endsWith(" ASC")) expr(item.dropRight(4).trim).asc
-            else expr(item)
-          }: _*)
-        }
-        if (limitIdx < 0) ordered else {
-          val n = tail.substring(limitIdx + 5).trim
-          require(n.matches("""\d+"""), s"SELECT: LIMIT expects a number, got: $n")
-          ordered.limit(n.toInt)
-        }
+        simpleSelect(spark, body).getOrElse(delegateSelect(spark, s))
       case other => Seq(sql(spark, other)).toDF("version")
     }
+  }
+
+  /** The single-table FAST PATH of the SELECT surface: `SELECT <cols>
+    * FROM '<path>' [VERSION AS OF n] [WHERE <pred>] [ORDER BY ...]
+    * [LIMIT n]`. A WHERE goes through [[scanPruned]] so the format's
+    * persisted per-file stats (Delta add.stats / Iceberg manifest bounds)
+    * skip files BEFORE the scan. Returns None — never throws on shape —
+    * when the statement is beyond this dialect (GROUP BY, joins,
+    * subqueries in FROM, set ops, expression LIMIT …): the caller then
+    * delegates the full statement to Spark SQL via [[delegateSelect]]. */
+  private def simpleSelect(spark: SparkSession, body: String): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.expr
+    val fromIdx = topLevelKeyword(body, "FROM")
+    if (fromIdx <= 0) return None
+    val cols = splitTopLevel(body.substring(0, fromIdx))
+    if (cols.isEmpty) return None
+    if (cols.head.toUpperCase(java.util.Locale.ROOT).startsWith("DISTINCT"))
+      return None // SELECT DISTINCT is the delegated dialect
+    val PathHead = """(?s)\s*'([^']+)'\s*(.*)""".r
+    val (path, tail0) = body.substring(fromIdx + 4) match {
+      case PathHead(p, t) => (p, t.trim)
+      case _ => return None // FROM target is not a quoted path (subquery, view)
+    }
+    val VersionHead = """(?is)VERSION\s+AS\s+OF\s+(\d+)\s*(.*)""".r
+    val (version, tail) = tail0 match {
+      case VersionHead(v, rest) => (v.toLong, rest.trim)
+      case _ => (-1L, tail0)
+    }
+    // any clause beyond [WHERE][ORDER BY][LIMIT] disqualifies the fast
+    // path OUTRIGHT — a GROUP BY after the WHERE would otherwise be
+    // swallowed into the predicate text
+    if (Seq("GROUP", "HAVING", "JOIN", "UNION", "INTERSECT", "EXCEPT",
+        "WINDOW", "QUALIFY").exists(kw => topLevelKeyword(tail, kw) >= 0))
+      return None
+    // clause markers in canonical order; each body slice ends where the
+    // next present clause begins. Any unrecognized tail text (a table
+    // alias, a non-numeric VERSION AS OF that fell through) means the
+    // statement is NOT this dialect — never silently dropped.
+    val whereIdx = topLevelKeyword(tail, "WHERE")
+    val orderIdx = topLevelKeyword(tail, "ORDER")
+    val limitIdx = topLevelKeyword(tail, "LIMIT")
+    val present = Seq(whereIdx, orderIdx, limitIdx).filter(_ >= 0)
+    if (!(present == present.sorted &&
+        (if (present.isEmpty) tail.trim.isEmpty
+         else present.min == 0 || tail.substring(0, present.min).trim.isEmpty)))
+      return None
+    def sliceEnd(from: Int) =
+      present.filter(_ > from).minOption.getOrElse(tail.length)
+    val pred = if (whereIdx < 0) None
+      else Some(tail.substring(whereIdx + 5, sliceEnd(whereIdx)).trim)
+    // a WHERE goes through the stats-pruned scan: file skipping via the
+    // format's persisted bounds, THEN the residual filter
+    val base = pred match {
+      case Some(p) => scanPruned(spark, path, expr(p), version)._1
+      case None => read(spark, path, version)
+    }
+    val projected =
+      if (cols == Seq("*")) base else base.selectExpr(cols: _*)
+    val ordered = if (orderIdx < 0) projected else {
+      val byIdx = topLevelKeyword(tail, "BY", orderIdx)
+      if (byIdx <= orderIdx) return None
+      val items = splitTopLevel(tail.substring(byIdx + 2, sliceEnd(orderIdx)))
+      if (items.isEmpty) return None
+      projected.orderBy(items.map { item =>
+        val u = item.toUpperCase(java.util.Locale.ROOT)
+        if (u.endsWith(" DESC")) expr(item.dropRight(5).trim).desc
+        else if (u.endsWith(" ASC")) expr(item.dropRight(4).trim).asc
+        else expr(item)
+      }: _*)
+    }
+    if (limitIdx < 0) Some(ordered) else {
+      val n = tail.substring(limitIdx + 5).trim
+      if (!n.matches("""\d+""")) return None
+      Some(ordered.limit(n.toInt))
+    }
+  }
+
+  /** A `FROM|JOIN '<path>' [VERSION AS OF n]` table reference found in a
+    * statement: the span [start, end) covers the quoted path plus its
+    * version clause (the keyword stays in place when rewriting). */
+  private final case class TableRef(start: Int, end: Int, path: String, version: Long)
+
+  /** Quote-aware scan for table references at ANY paren depth (subqueries
+    * included): a FROM/JOIN inside a string literal never matches, so a
+    * predicate like `WHERE note = ' FROM x '` cannot conjure one. The
+    * dialect reserves the `FROM|JOIN '<literal>'` sequence for table
+    * paths — a genuine string literal directly after FROM/JOIN is not
+    * valid SQL anyway. */
+  private def tableRefs(s: String): Seq[TableRef] = {
+    def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    val VersionTail = """(?is)^\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+    val out = Seq.newBuilder[TableRef]
+    var i = 0
+    var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { inStr = true; i += 1 }
+      else if (Character.isLetter(c) && (i == 0 || !isWord(s.charAt(i - 1)))) {
+        var j = i
+        while (j < s.length && isWord(s.charAt(j))) j += 1
+        val w = s.substring(i, j).toUpperCase(java.util.Locale.ROOT)
+        var next = j
+        if (w == "FROM" || w == "JOIN") {
+          var k = j
+          while (k < s.length && Character.isWhitespace(s.charAt(k))) k += 1
+          if (k < s.length && s.charAt(k) == '\'') {
+            val close = s.indexOf('\'', k + 1)
+            if (close > 0) {
+              val path = s.substring(k + 1, close)
+              val end = VersionTail.findPrefixMatchOf(s.substring(close + 1)) match {
+                case Some(m) =>
+                  out += TableRef(k, close + 1 + m.end, path, m.group(1).toLong)
+                  close + 1 + m.end
+                case None =>
+                  out += TableRef(k, close + 1, path, -1L)
+                  close + 1
+              }
+              next = end
+            }
+          }
+        }
+        i = next
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** GENERAL SELECT over lake paths — any statement beyond the
+    * [[simpleSelect]] dialect (GROUP BY, aggregates, joins, subqueries,
+    * set operations, DISTINCT, HAVING, window functions …) delegates to
+    * Spark SQL: each table reference found by [[tableRefs]] is registered
+    * as a temp view over the format-detected, VERSION-pinned scan (view
+    * names are content-addressed on (path, version), so repeated
+    * statements reuse them), the statement text is rewritten to name the
+    * views, and the full statement runs through `spark.sql`.
+    *
+    * Because the views resolve to the exact relations the API reads plan,
+    * downstream optimizer hooks compose: a statement-text aggregate over
+    * a base registered with [[graft.plans.Mv]] routes to its MV exactly
+    * like the DataFrame twin (the routing rule runs after
+    * EliminateSubqueryAliases, so the view alias is gone by then). At
+    * scale the scan behaves like any API read — Catalyst pushes filters
+    * and prunes columns into it; the fast path's extra file-level stats
+    * pruning applies only to the single-table dialect, where the
+    * predicate is cleanly attributable to one table. */
+  private def delegateSelect(spark: SparkSession, statement: String): DataFrame = {
+    val refs = tableRefs(statement)
+    require(refs.nonEmpty,
+      "SELECT over lake paths: no FROM|JOIN '<path>' table reference " +
+        s"found in: $statement")
+    val sb = new java.lang.StringBuilder
+    var pos = 0
+    refs.foreach { r =>
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${r.path}@${r.version}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      val view = s"graft_lake_$key"
+      read(spark, r.path, r.version).createOrReplaceTempView(view)
+      sb.append(statement.substring(pos, r.start)).append(view)
+      pos = r.end
+    }
+    sb.append(statement.substring(pos))
+    spark.sql(sb.toString)
   }
 }

@@ -342,6 +342,34 @@ class MvRoutingSpec extends SparkSpec {
     } finally Mv.clearRegistry()
   }
 
+  test("statement-text aggregate over a lake path routes to the MV") {
+    withMv(keys, measures) { (base, mv) =>
+      // the delegated SELECT resolves to the same relation the API read
+      // plans, so MvRoutingRule fires on statement text too
+      val stmt = s"SELECT l_returnflag, round(sum(l_quantity), 2) AS s, " +
+        s"count(*) AS c FROM '$base' GROUP BY l_returnflag ORDER BY l_returnflag"
+      val routed = graft.sources.Lake.sqlFrame(spark, stmt)
+      val plan = scannedLocations(routed)
+      assert(plan.contains(mv) && !plan.contains("lineitem.parquet"), plan.take(2000))
+      spark.conf.set("spark.graft.mv.routing", "false")
+      val baseline = try graft.sources.Lake.sqlFrame(spark, stmt)
+        .collect().toSeq.map(_.toSeq)
+      finally spark.conf.set("spark.graft.mv.routing", "true")
+      assert(routed.collect().toSeq.map(_.toSeq) === baseline)
+    }
+  }
+
+  test("DROP MATERIALIZED VIEW refuses a path that is not an MV store") {
+    val victim = tmp("mv_victim")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(victim, "precious.txt"), "do not delete")
+    val e = intercept[IllegalArgumentException](
+      graft.sources.Lake.sql(spark, s"DROP MATERIALIZED VIEW '$victim'"))
+    assert(e.getMessage.contains("_mv_meta.json"), e.getMessage)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(victim, "precious.txt")), "target must survive")
+  }
+
   test("refreshIncremental refuses a parquet-format MV") {
     withMv(keys, measures) { (_, mv) =>
       val e = intercept[IllegalArgumentException](Mv.refreshIncremental(spark, mv))

@@ -344,6 +344,44 @@ class LakeDmlSpec extends SparkSpec {
     }
   }
 
+  test("Lake.sql ALTER TABLE ADD COLUMN: metadata-only evolution on both formats") {
+    for (fmt <- Seq("delta", "iceberg")) {
+      val t = tmp(s"graft_dml_addc_$fmt") + "/tbl"
+      val seed = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+      val v0 = if (fmt == "delta") DeltaWrite.append(spark, seed, t)
+        else IcebergWrite.append(spark, seed, t)
+      val filesBefore = Lake.read(spark, t).inputFiles.toSet
+
+      Lake.sql(spark, s"ALTER TABLE '$t' ADD COLUMN tag string")
+      // metadata-only: no data file rewritten, old rows read NULL
+      assert(Lake.read(spark, t).inputFiles.toSet === filesBefore,
+        s"$fmt: ADD COLUMN must not rewrite data files")
+      assert(Lake.read(spark, t).columns === Array("id", "v", "tag"))
+      assert(Lake.read(spark, t).where(col("tag").isNull).count() === 2L)
+
+      // appends may now carry the column; old rows stay NULL
+      val late = Seq((3L, 3.0, "x")).toDF("id", "v", "tag")
+      if (fmt == "delta") DeltaWrite.append(spark, late, t)
+      else IcebergWrite.append(spark, late, t)
+      assert(Lake.read(spark, t).where(col("tag") === "x").count() === 1L)
+      assert(Lake.read(spark, t).where(col("tag").isNull).count() === 2L)
+
+      // time travel to the pre-ALTER version shows the OLD schema
+      assert(Lake.read(spark, t, v0).columns === Array("id", "v"))
+      // decimal DDL types (parens/commas) parse through the grammar
+      Lake.sql(spark, s"ALTER TABLE '$t' ADD COLUMN amt decimal(10,2)")
+      assert(Lake.read(spark, t).columns.last === "amt")
+      // duplicate column refused
+      intercept[IllegalArgumentException](
+        Lake.sql(spark, s"ALTER TABLE '$t' ADD COLUMN tag string"))
+    }
+    // plain parquet has no schema metadata to evolve
+    val plain = tmp("graft_dml_addc_p") + "/tbl"
+    Seq((1L, 1.0)).toDF("id", "v").write.parquet(plain)
+    intercept[IllegalArgumentException](
+      Lake.sql(spark, s"ALTER TABLE '$plain' ADD COLUMN tag string"))
+  }
+
   test("Lake.sql is literal-safe: keywords inside string literals never split clauses") {
     val t = tmp("graft_dml_lit") + "/tbl"
     DeltaWrite.append(spark, Seq((1L, "x"), (2L, "y")).toDF("id", "note"), t)
@@ -442,17 +480,54 @@ class LakeDmlSpec extends SparkSpec {
     assert(Lake.sqlFrame(spark,
         s"SELECT id FROM '$ti' VERSION AS OF $s0 ORDER BY id").as[Long]
       .collect().toSeq === Seq(1L, 2L))
-    // refusals: SELECT through the version-returning surface; clause
-    // order violations; version pin on plain parquet; junk LIMIT
+    // refusals: SELECT through the version-returning surface; version pin
+    // on plain parquet. Malformed clause shapes fall past the fast path to
+    // the Spark SQL delegation, which refuses them with parse errors —
+    // still loud, never a silently-dropped clause.
     intercept[IllegalArgumentException](Lake.sql(spark, s"SELECT * FROM '$t'"))
-    intercept[IllegalArgumentException](
+    intercept[org.apache.spark.sql.AnalysisException](
       Lake.sqlFrame(spark, s"SELECT id FROM '$t' LIMIT 2 WHERE id = 1"))
-    intercept[IllegalArgumentException](
+    intercept[org.apache.spark.sql.AnalysisException](
       Lake.sqlFrame(spark, s"SELECT id FROM '$t' LIMIT two"))
     val plain = tmp("graft_sel_p") + "/tbl"
     Seq((1L, 1.0)).toDF("id", "value").write.parquet(plain)
     intercept[IllegalArgumentException](
       Lake.sqlFrame(spark, s"SELECT id FROM '$plain' VERSION AS OF 0").collect())
+  }
+
+  test("Lake.sqlFrame delegates beyond the path dialect: GROUP BY, joins, subqueries") {
+    val t = tmp("graft_delg") + "/tbl"
+    val v0 = DeltaWrite.append(spark,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+        .toDF("id", "grp", "value"), t)
+    DeltaWrite.append(spark, Seq((4L, "a", 40.0)).toDF("id", "grp", "value"), t)
+    val dim = tmp("graft_delg_dim") + "/tbl"
+    IcebergWrite.append(spark, Seq(("a", 2.0), ("b", 3.0)).toDF("grp", "w"), dim)
+
+    // GROUP BY + VERSION AS OF + WHERE in one statement: answers from the
+    // pinned snapshot only (id=4 invisible)
+    assert(Lake.sqlFrame(spark,
+        s"SELECT grp, count(*) AS c, sum(value) AS s FROM '$t' VERSION AS OF $v0 " +
+          "WHERE value > 5.0 GROUP BY grp ORDER BY grp")
+      .as[(String, Long, Double)].collect().toSeq ===
+      Seq(("a", 2L, 40.0), ("b", 1L, 20.0)))
+
+    // lake-to-lake JOIN across FORMATS (delta fact × iceberg dim), head
+    assert(Lake.sqlFrame(spark,
+        s"SELECT e.grp, sum(e.value * d.w) AS ws FROM '$t' e " +
+          s"JOIN '$dim' d ON e.grp = d.grp GROUP BY e.grp ORDER BY e.grp")
+      .as[(String, Double)].collect().toSeq ===
+      Seq(("a", 160.0), ("b", 60.0)))
+
+    // subquery + DISTINCT delegate too; a FROM inside a string literal is
+    // NOT a table reference (quote-aware scan)
+    assert(Lake.sqlFrame(spark,
+        s"SELECT DISTINCT grp FROM '$t' WHERE value > " +
+          s"(SELECT min(value) FROM '$t') AND grp <> ' FROM bogus ' ORDER BY grp")
+      .as[String].collect().toSeq === Seq("a", "b"))
+
+    // no table reference at all → loud refusal, not a silent session query
+    intercept[IllegalArgumentException](Lake.sqlFrame(spark, "SELECT 1 AS x"))
   }
 
   test("Lake.sql maintenance: OPTIMIZE / VACUUM / RESTORE / DESCRIBE HISTORY on both formats") {
