@@ -308,6 +308,18 @@ object Similarity {
     * whose id equals the query id. Pass false when `queries` is a separate
     * frame whose ids merely share the corpus id space — otherwise a true
     * nearest neighbor with a colliding id is silently dropped. */
+  /** Per-query ADC lookup table: the exact dot of each normalized query
+    * subvector with each codebook centroid — (q_id, sub, cell, partial).
+    * m × kCodes rows per query: broadcast-sized for any real query batch.
+    * Public so the persisted index ([[VectorIndex.queryPq]]) scores
+    * against on-disk codes with the same arithmetic as [[pqTopK]]. */
+  def pqLut(queries: DataFrame, idCol: String, vecCol: String,
+      cb: DataFrame, m: Int): DataFrame =
+    subvectors(queries, idCol, vecCol, m)
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("__pid").as("q_id"), col("sub"), col("cell"),
+        VectorOps.dot(col("sv"), col("centroid")).as("partial"))
+
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, m: Int = 8, kCodes: Int = 16, shortlist: Int = 50, iters: Int = 5,
       excludeSelf: Boolean = true): DataFrame = {
@@ -319,10 +331,7 @@ object Similarity {
       .select(col("c_id"), col("pos").as("sub"), col("col").as("cell"))
     // per-query ADC table: exact dot of each normalized subquery with each
     // codebook centroid (queries are few; the table is broadcast-sized)
-    val lut = subvectors(queries, idCol, vecCol, m)
-      .join(broadcast(cb), Seq("sub"))
-      .select(col("__pid").as("q_id"), col("sub"), col("cell"),
-        VectorOps.dot(col("sv"), col("centroid")).as("partial"))
+    val lut = pqLut(queries, idCol, vecCol, cb, m)
     val scored = enc.join(broadcast(lut), Seq("sub", "cell"))
       .groupBy(col("q_id"), col("c_id"))
       .agg(sum(col("partial")).as("approx_cos"))

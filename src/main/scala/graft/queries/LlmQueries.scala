@@ -1594,6 +1594,30 @@ object LlmQueries {
       SELECT vec_id, rank, nn_id, round(cosine, 4) AS cosine
       FROM ranked WHERE rank <= 5 ORDER BY vec_id, rank"""))
 
+  /** L43 PQ TIER: the persisted index's compressed probe path — built
+    * ICEBERG-backed (so the correctness gate covers the second lake
+    * format end-to-end: list-typed vector and codes columns through the
+    * iceberg writer, manifest-level probe pruning) with PQ codes
+    * persisted beside every vector. [[VectorIndex.queryPq]] ADC-scores a
+    * CODES-ONLY scan of the probed cells (the float vectors' column
+    * chunks never leave disk — the ~(d·8)/(m·4) probe-IO cut) and exactly
+    * re-ranks the shortlist from full vectors by id pushdown.
+    * Approximate by design → the oracled claim is the recall gate,
+    * thresholded under the in-memory PQ tier's measured floor. */
+  val l43pqRecall = GQuery(
+    "l43_vector_index_pq_recall",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("graft_vidx_pq").toString + "/idx"
+      VectorIndex.build(emb, "vec_id", "embedding", idx, nCells = 8, iters = 3,
+        format = "iceberg", pqM = 8, pqCodes = 16)
+      Similarity.recallGate(
+        VectorIndex.queryPq(s, idx, emb.where(col("vec_id") < 100), "vec_id",
+          "embedding", k = 3, nProbe = 4, shortlist = 30),
+        brute3(s, dir, maxQ = Some(100L)), minRecall = 0.4)
+    },
+    Some(annRecallOracle("WHERE q.vec_id < 100")))
+
   /** L42 COMPRESSION-RATIO QUALITY GATE: the deflate-ratio signal
     * ([[TextFunctions.compressionRatio]]) over every ≥400-char document —
     * the CCNet/Gopher-style "too compressible = boilerplate, too
@@ -1628,5 +1652,5 @@ object LlmQueries {
     l31, l32, l34, l35,
     l4langid, l5, l6, l7, l8, l9,
     l10, l11, l11b, l12, l33, l36, l37, l38, l39, l40, l41, l13, l14, l15, l16, l17, l18, l19, l20,
-    l21, l22, l24, l24b, l25, l42, l43, l43recall, l43lifecycle)
+    l21, l22, l24, l24b, l25, l42, l43, l43recall, l43lifecycle, l43pqRecall)
 }

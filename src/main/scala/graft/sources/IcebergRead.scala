@@ -72,23 +72,31 @@ object IcebergRead {
     try reader.iterator().asScala.toList finally reader.close()
   }
 
-  private def fieldType(t: String, name: String): DataType = t match {
-    case "boolean" => BooleanType
-    case "int" => IntegerType
-    case "long" => LongType
-    case "float" => FloatType
-    case "double" => DoubleType
-    case "string" => StringType
-    case "date" => DateType
-    case "timestamp" | "timestamptz" => TimestampType
-    case "binary" => BinaryType
-    case dec if dec.startsWith("decimal(") =>
-      val Array(p, s) = dec.stripPrefix("decimal(").stripSuffix(")").split(",").map(_.trim.toInt)
-      DecimalType(p, s)
-    case other => throw new IllegalArgumentException(
-      s"unsupported Iceberg column type '$other' for field '$name' " +
-        "(nested/complex types are outside this reader's subset)")
-  }
+  /** Spark type for a metadata "type" node: primitives arrive as JSON
+    * strings, list types as the spec's object form (element-id / element /
+    * element-required) → ArrayType. */
+  private def fieldType(t: com.fasterxml.jackson.databind.JsonNode,
+      name: String): DataType =
+    if (t.isObject && t.path("type").asText() == "list")
+      ArrayType(fieldType(t.path("element"), name),
+        containsNull = !t.path("element-required").asBoolean(false))
+    else t.asText() match {
+      case "boolean" => BooleanType
+      case "int" => IntegerType
+      case "long" => LongType
+      case "float" => FloatType
+      case "double" => DoubleType
+      case "string" => StringType
+      case "date" => DateType
+      case "timestamp" | "timestamptz" => TimestampType
+      case "binary" => BinaryType
+      case dec if dec.startsWith("decimal(") =>
+        val Array(p, s) = dec.stripPrefix("decimal(").stripSuffix(")").split(",").map(_.trim.toInt)
+        DecimalType(p, s)
+      case other => throw new IllegalArgumentException(
+        s"unsupported Iceberg column type '$other' for field '$name' " +
+          "(struct/map types are outside this reader's subset)")
+    }
 
   /** Current snapshot restricted to `paths` (position/equality deletes
     * still applied) — the writer's compaction reads its rewrite
@@ -446,7 +454,7 @@ object IcebergRead {
       schemaNode: com.fasterxml.jackson.databind.JsonNode): Seq[(Int, String, DataType)] =
     schemaNode.path("fields").elements().asScala.map { f =>
       (f.path("id").asInt(-1), f.path("name").asText(),
-        fieldType(f.path("type").asText(), f.path("name").asText()))
+        fieldType(f.path("type"), f.path("name").asText()))
     }.toSeq
 
   def fileStats(spark: SparkSession, table: String, snapshotId: Long = -1L): DataFrame = {
@@ -936,7 +944,7 @@ object IcebergRead {
       val md = new MetadataBuilder()
         .putLong("parquet.field.id", f.path("id").asLong(-1L)).build()
       StructField(f.path("name").asText(),
-        fieldType(f.path("type").asText(), f.path("name").asText()),
+        fieldType(f.path("type"), f.path("name").asText()),
         nullable = !f.path("required").asBoolean(false), metadata = md)
     }.toSeq)
 

@@ -46,8 +46,33 @@ object IcebergWrite {
     case TimestampNTZType => "timestamp"
     case BinaryType => "binary"
     case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    // canonical TEXT form for the schema-pinning compare; the metadata
+    // JSON form is an object — see icebergTypeJson
+    case ArrayType(elem, _) => s"list<${icebergType(elem)}>"
     case other => throw new IllegalArgumentException(
       s"unsupported column type for Iceberg write: $other (primitive-type subset)")
+  }
+
+  /** Canonical text of a metadata "type" node — the compare form the
+    * schema pinning uses against [[icebergType]]. A primitive type is a
+    * JSON string; a list type is an OBJECT (where `asText()` returns ""
+    * and a naive compare would break). */
+  private def typeText(n: com.fasterxml.jackson.databind.JsonNode): String =
+    if (n.isObject && n.path("type").asText() == "list")
+      s"list<${typeText(n.path("element"))}>"
+    else n.asText()
+
+  /** JSON value for a field's "type": primitives as the quoted string,
+    * `array<primitive>` as the spec's list object with a freshly minted
+    * element-id from `nextId` — element ids live in the SAME id space as
+    * column ids and count toward last-column-id, so callers allocate all
+    * top-level ids first (keeping the data-file id stamping derivable
+    * without parsing this JSON) and hand the counter over for elements. */
+  private def icebergTypeJson(dt: DataType, nextId: () => Int): String = dt match {
+    case ArrayType(elem, containsNull) =>
+      val eid = nextId()
+      s"""{"type":"list","element-id":$eid,"element":${icebergTypeJson(elem, nextId)},"element-required":${!containsNull}}"""
+    case other => mapper.writeValueAsString(icebergType(other))
   }
 
   /** Avro type for a partition value (dates as epoch-day ints, the spec's
@@ -511,14 +536,17 @@ object IcebergWrite {
     val priorSchemas = meta.path("schemas").elements().asScala.map(_.toString).toSeq
     val curFields = cur.path("fields").elements().asScala.map(_.toString).toSeq
     val lastCol = meta.path("last-column-id").asInt(cur.path("fields").size())
+    // top-level ids lastCol+1..lastCol+n (the SAME assignment the stager's
+    // stageIds mirrors); list element-ids mint after them
+    val idCounter = new java.util.concurrent.atomic.AtomicInteger(lastCol + newCols.size)
     val minted = newCols.zipWithIndex.map { case (f, i) =>
-      s"""{"id":${lastCol + i + 1},"name":${jstr(f.name)},"required":false,"type":${jstr(icebergType(f.dataType))}}"""
+      s"""{"id":${lastCol + i + 1},"name":${jstr(f.name)},"required":false,"type":${icebergTypeJson(f.dataType, () => idCounter.incrementAndGet())}}"""
     }
     val newId = meta.path("schemas").elements().asScala
       .map(_.path("schema-id").asInt(0)).foldLeft(0)(math.max) + 1
     val evolved =
       s"""{"type":"struct","schema-id":$newId,"fields":[${(curFields ++ minted).mkString(",")}]}"""
-    ((priorSchemas :+ evolved).mkString(","), newId, lastCol + newCols.size)
+    ((priorSchemas :+ evolved).mkString(","), newId, idCounter.get())
   }
 
   /** partition-specs carried verbatim from prior metadata. */
@@ -578,8 +606,14 @@ object IcebergWrite {
       summaryProps: Map[String, String] = Map.empty,
       stagedTo: Option[String] = None): Long = {
     require(!df.schema.exists(f => f.dataType match {
-      case _: StructType | _: ArrayType | _: MapType => true; case _ => false
-    }), "nested column types are outside the Iceberg writer's subset")
+      case ArrayType(elem, _) => elem match {
+        case _: StructType | _: ArrayType | _: MapType => true
+        case _ => false // arrays of primitives map to the spec's list type
+      }
+      case _: StructType | _: MapType => true
+      case _ => false
+    }), "struct/map and nested-array column types are outside the Iceberg " +
+      "writer's subset (arrays of primitives are supported)")
     val transforms = partitionBy.map(IcebergTransforms.parse)
     require(transforms.forall(t => df.columns.contains(t.source)),
       s"partition source columns ${transforms.map(_.source).mkString(",")} " +
@@ -599,7 +633,7 @@ object IcebergWrite {
     priorAtCheck.foreach { meta =>
       val cur = currentSchemaNode(meta)
       val priorTypes = cur.path("fields").elements().asScala
-        .map(f => f.path("name").asText() -> f.path("type").asText()).toSeq
+        .map(f => f.path("name").asText() -> typeText(f.path("type"))).toSeq
       val dfTypes = df.schema.fields.map(f => f.name -> icebergType(f.dataType)).toSeq
       val priorNames = priorTypes.map(_._1).toSet
       val newCols = dfTypes.filterNot(t => priorNames.contains(t._1))
@@ -654,9 +688,13 @@ object IcebergWrite {
     // 2–5. manifest (status 1 = ADDED) + list + metadata via the shared
     // optimistic claim loop
     def jstr(s: String) = mapper.writeValueAsString(s)
+    // top-level ids 1..n positionally (what sourceId/stageIds mirror);
+    // list ELEMENT ids mint after them, so last-column-id covers both
+    val idCounter = new java.util.concurrent.atomic.AtomicInteger(df.schema.size)
     val appendFields = df.schema.fields.zipWithIndex.map { case (f, i) =>
-      s"""{"id":${i + 1},"name":${jstr(f.name)},"required":false,"type":${jstr(icebergType(f.dataType))}}"""
+      s"""{"id":${i + 1},"name":${jstr(f.name)},"required":false,"type":${icebergTypeJson(f.dataType, () => idCounter.incrementAndGet())}}"""
     }.mkString(",")
+    val creationLastColumnId = idCounter.get()
     val sourceId = df.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
     val spec0Fields = transforms.zipWithIndex.map { case (t, i) =>
       s"""{"name":"${t.fieldName}","transform":"${t.transformString}","source-id":${sourceId(t.source)},"field-id":${1000 + i}}"""
@@ -674,7 +712,8 @@ object IcebergWrite {
       // new schema to the chain
       schemasJson = p => p match {
         case None =>
-          (s"""{"type":"struct","schema-id":0,"fields":[$appendFields]}""", 0, df.schema.size)
+          (s"""{"type":"struct","schema-id":0,"fields":[$appendFields]}""", 0,
+            creationLastColumnId)
         case Some(meta) =>
           val names = currentSchemaNode(meta).path("fields").elements().asScala
             .map(_.path("name").asText()).toSet
@@ -1348,8 +1387,9 @@ object IcebergWrite {
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try r.getRecordCount finally r.close()
       }
+    val exportIds = new java.util.concurrent.atomic.AtomicInteger(snap.schema.size)
     val fieldsJson = snap.schema.fields.zipWithIndex.map { case (f, i) =>
-      s"""{"id":${i + 1},"name":${jstr(f.name)},"required":false,"type":${jstr(icebergType(f.dataType))}}"""
+      s"""{"id":${i + 1},"name":${jstr(f.name)},"required":false,"type":${icebergTypeJson(f.dataType, () => exportIds.incrementAndGet())}}"""
     }.mkString(",")
     val sourceId = snap.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
     val spec0Fields = snap.partitionColumns.zipWithIndex.map { case (c, i) =>
@@ -1361,7 +1401,8 @@ object IcebergWrite {
     val schema = entrySchema(partTypes)
     commitSnapshot(target, "append",
       schemasJson = _ =>
-        (s"""{"type":"struct","schema-id":0,"fields":[$fieldsJson]}""", 0, snap.schema.size),
+        (s"""{"type":"struct","schema-id":0,"fields":[$fieldsJson]}""", 0,
+          exportIds.get()),
       specsJson = _ => (specs, 0, 999 + snap.partitionColumns.size),
       authorManifest = { snapshotId =>
         import org.apache.avro.generic.GenericData
@@ -1898,7 +1939,7 @@ object IcebergWrite {
     // the same field-name + type pinning append performs — this path
     // stages data files without going through it
     val declared = currentSchemaNode(prior).path("fields").elements().asScala
-      .map(f => f.path("name").asText() -> f.path("type").asText()).toMap
+      .map(f => f.path("name").asText() -> typeText(f.path("type"))).toMap
     require(declared.keys.toSeq.sorted == rows.schema.fieldNames.toSeq.sorted,
       s"upsert schema ${rows.schema.fieldNames.mkString(",")} does not match " +
         s"table schema ${declared.keys.toSeq.sorted.mkString(",")}")

@@ -74,6 +74,22 @@ object VectorScaleCurve {
     copies.foldLeft(base)(_ unionAll _)
   }
 
+  /** Total executor input bytes for `body` (task input metrics summed by
+    * a listener; the bus drains asynchronously — the short sleep is fine
+    * for an ad-hoc probe). What column pruning saves shows up HERE, not
+    * in `filesSize` (which counts whole files). */
+  private def bytesRead(spark: SparkSession)(body: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) acc.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try { body; Thread.sleep(800) }
+    finally spark.sparkContext.removeSparkListener(listener)
+    acc.get()
+  }
+
   def main(args: Array[String]): Unit = {
     val formats = if (args.nonEmpty) args.toSeq else Seq("parquet", "delta")
     val spark = GraftSession.create()
@@ -124,6 +140,38 @@ object VectorScaleCurve {
         time(f"query64_nprobe_$nProbe%02d", fmt, n) {
           VectorIndex.query(spark, dir, panel, "vec_id", "embedding",
             k = 10, nProbe = nProbe).count()
+        }
+      }
+
+      // PQ axis (delta tiers only — one format suffices for the IO claim):
+      // probe BYTES for the same 64-query panel at nProbe=4, float path vs
+      // the codes-only ADC phase, plus end-to-end queryPq wall time. The
+      // ADC phase is measured alone (adcShortlist) because that is the
+      // part whose IO the codes cut; queryPq's re-rank adds the shortlist
+      // vector fetch on top.
+      if (fmt == "delta") {
+        val pdir = tmp(s"graft_veccurve_pq_$n")
+        time("build_pq_m16", fmt, n) {
+          VectorIndex.build(corpus, "vec_id", "embedding", pdir,
+            nCells = nCells, format = fmt, pqM = 16, pqCodes = 16)
+        }
+        val (probes, cells) = VectorIndex.coarseProbes(spark, pdir, panel,
+          "vec_id", "embedding", nProbe = 4)
+        val floatBytes = bytesRead(spark) {
+          VectorIndex.query(spark, pdir, panel, "vec_id", "embedding",
+            k = 10, nProbe = 4).count()
+        }
+        val adcBytes = bytesRead(spark) {
+          VectorIndex.adcShortlist(spark, pdir, panel, "vec_id", "embedding",
+            shortlist = 50, version = -1L, probes = probes,
+            probedCells = cells).count()
+        }
+        println(f"VECCURVE pq_probe_bytes       fmt=$fmt%-7s n=$n%6d  " +
+          f"adc=${adcBytes / 1024}%8dKiB float=${floatBytes / 1024}%8dKiB " +
+          f"ratio=${floatBytes.toDouble / math.max(1, adcBytes)}%5.1fx")
+        time("querypq64_nprobe_04", fmt, n) {
+          VectorIndex.queryPq(spark, pdir, panel, "vec_id", "embedding",
+            k = 10, nProbe = 4, shortlist = 50).count()
         }
       }
     }

@@ -267,7 +267,122 @@ class VectorIndexSpec extends SparkSpec {
     val pdir = tmp("graft_vidx_compact_pq")
     VectorIndex.build(all, "vec_id", "embedding", pdir, nCells = 4, iters = 3)
     val e = intercept[IllegalArgumentException](VectorIndex.compact(spark, pdir))
-    assert(e.getMessage.contains("Delta-backed"), e.getMessage)
+    assert(e.getMessage.contains("lake-backed"), e.getMessage)
+  }
+
+  test("iceberg-backed index: the full lifecycle on the other lake format") {
+    val all = corpus(50)
+    val first = all.where(col("vec_id") < 30)
+    val dir = tmp("graft_vidx_ice")
+    VectorIndex.build(first, "vec_id", "embedding", dir, nCells = 4, iters = 3,
+      format = "iceberg")
+    val store = s"$dir/vectors"
+    assert(graft.sources.Lake.detect(spark, store) === graft.sources.Lake.Iceberg)
+    val s0 = graft.sources.IcebergRead.currentSnapshotId(spark, store)
+
+    // atomic versioned ingest + point-in-time queries
+    VectorIndex.add(spark, dir, all.where(col("vec_id") >= 30), "vec_id", "embedding")
+    val q6 = all.where(col("vec_id") < 6)
+    assert(collected(VectorIndex.query(spark, dir, q6, "vec_id", "embedding",
+        k = 3, nProbe = 4)) ===
+      collected(Similarity.bruteForceTopK(all, q6, "vec_id", "embedding", k = 3)))
+    assert(collected(VectorIndex.query(spark, dir, q6, "vec_id", "embedding",
+        k = 3, nProbe = 4, version = s0)) ===
+      collected(Similarity.bruteForceTopK(first, q6, "vec_id", "embedding", k = 3)))
+
+    // transactional remove (position deletes), then upsert without duplication
+    VectorIndex.removeWhere(spark, dir, col("vec_id") >= 40L)
+    val kept = all.where(col("vec_id") < 40)
+    assert(collected(VectorIndex.query(spark, dir, q6, "vec_id", "embedding",
+        k = 3, nProbe = 4)) ===
+      collected(Similarity.bruteForceTopK(kept, q6, "vec_id", "embedding", k = 3)))
+    val reem = (0 until 6).map { i =>
+      (i.toLong, Array.tabulate(4)(d => math.cos(i * 29 + d * 11).toFloat))
+    }.toDF("vec_id", "embedding")
+    VectorIndex.upsert(spark, dir, reem, "vec_id", "embedding")
+    val snap = graft.sources.IcebergRead.snapshot(spark, store)
+    assert(snap.count() === 40L, "upsert duplicated or dropped rows")
+    assert(snap.groupBy(col("vec_id")).count().where(col("count") > 1).count() === 0L)
+    val updated = reem.unionByName(kept.where(col("vec_id") >= 6))
+    assert(collected(VectorIndex.query(spark, dir, q6, "vec_id", "embedding",
+        k = 3, nProbe = 4)) ===
+      collected(Similarity.bruteForceTopK(updated, q6, "vec_id", "embedding", k = 3)))
+
+    // compaction bin-packs within cells and materializes the deletes away
+    val exhaustive = collected(VectorIndex.query(spark, dir, q6, "vec_id", "embedding",
+      k = 3, nProbe = 4))
+    VectorIndex.compact(spark, dir)
+    assert(collected(VectorIndex.query(spark, dir, q6, "vec_id", "embedding",
+      k = 3, nProbe = 4)) === exhaustive)
+
+    // rebuild replaces the store outright (no stale cells)
+    val b = corpus(70).where(col("vec_id") >= 40)
+    VectorIndex.build(b, "vec_id", "embedding", dir, nCells = 4, iters = 3,
+      format = "iceberg")
+    val qb = b.where(col("vec_id") < 46)
+    val idx = collected(VectorIndex.query(spark, dir, qb, "vec_id", "embedding",
+      k = 3, nProbe = 4))
+    assert(idx === collected(Similarity.bruteForceTopK(b, qb, "vec_id", "embedding", k = 3)))
+    assert(idx.forall(_._3 >= 40L), "iceberg rebuild left stale vectors behind")
+  }
+
+  test("PQ tier: codes persist beside vectors, probes read codes only, re-rank is exact") {
+    val all = corpus(60, dim = 8)
+    val dir = tmp("graft_vidx_pq")
+    VectorIndex.build(all, "vec_id", "embedding", dir, nCells = 4, iters = 3,
+      format = "delta", pqM = 4, pqCodes = 8)
+    // codes persisted beside every vector, m ints each
+    val store = graft.sources.DeltaRead.snapshot(spark, s"$dir/vectors")
+    assert(store.columns.toSet === Set("vec_id", "embedding", "cell", "codes"))
+    assert(store.where(size(col("codes")) =!= 4).count() === 0L)
+
+    val q = all.where(col("vec_id") < 8)
+    // shortlist >= corpus + exhaustive probe ⇒ the exact re-rank sees every
+    // candidate: results must EQUAL brute force (the ADC order only decides
+    // what enters the shortlist)
+    val pq = VectorIndex.queryPq(spark, dir, q, "vec_id", "embedding",
+      k = 3, nProbe = 4, shortlist = 60)
+    assert(collected(pq) ===
+      collected(Similarity.bruteForceTopK(all, q, "vec_id", "embedding", k = 3)))
+
+    // PHYSICAL proof the ADC probe never reads the float vectors: the
+    // shortlist phase's scan has a codes-bearing ReadSchema WITHOUT the
+    // embedding column (parquet is columnar — an unread column's chunks
+    // stay on disk, which is the probe-IO cut). Asserted on the phase's
+    // own plan, since queryPq's checkpoint hides it from the final plan.
+    val (probes, cells) = VectorIndex.coarseProbes(spark, dir, q,
+      "vec_id", "embedding", nProbe = 4)
+    val sl = VectorIndex.adcShortlist(spark, dir, q, "vec_id", "embedding",
+      shortlist = 8, version = -1L, probes = probes, probedCells = cells)
+    sl.collect()
+    val scans = sl.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.exists(l => l.contains("codes") && !l.contains("embedding")),
+      s"no codes-only scan in:\n${scans.mkString("\n")}")
+
+    // a tight shortlist is approximate: gate recall instead of equality
+    val tight = VectorIndex.queryPq(spark, dir, q, "vec_id", "embedding",
+      k = 3, nProbe = 4, shortlist = 8)
+    val brute = Similarity.bruteForceTopK(all, q, "vec_id", "embedding", k = 3)
+    val gate = Similarity.recallGate(tight, brute, minRecall = 0.7)
+    assert(gate.head().getBoolean(gate.columns.indexOf("recall_ok")),
+      "PQ recall below the tier's gate")
+
+    // ingest keeps encoding with the FROZEN codebooks
+    VectorIndex.add(spark, dir,
+      (60 until 70).map(i => (i.toLong,
+        Array.tabulate(8)(d => math.sin(i * 13 + d * 7).toFloat))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val grown = graft.sources.DeltaRead.snapshot(spark, s"$dir/vectors")
+    assert(grown.where(col("codes").isNull).count() === 0L,
+      "an ingested batch landed without codes")
+
+    // a non-PQ index refuses queryPq loudly
+    val plain = tmp("graft_vidx_pq_plain")
+    VectorIndex.build(all, "vec_id", "embedding", plain, nCells = 4, iters = 3)
+    val e = intercept[IllegalArgumentException](
+      VectorIndex.queryPq(spark, plain, q, "vec_id", "embedding", k = 3))
+    assert(e.getMessage.contains("codebooks"), e.getMessage)
   }
 
   test("build is deterministic across input layouts") {

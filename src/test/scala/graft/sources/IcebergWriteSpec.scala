@@ -553,14 +553,53 @@ class IcebergWriteSpec extends SparkSpec {
     assert(IcebergRead.snapshot(spark, table).count() === before)
   }
 
-  test("schema mismatch and nested types are refused loudly") {
+  test("schema mismatch and unsupported nested types are refused loudly") {
     val table = Files.createTempDirectory("graft_iw_s").toString
     IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "name"), table)
     intercept[IllegalArgumentException](
       IcebergWrite.append(spark, Seq((1L, "a", 2.0)).toDF("id", "name", "x"), table))
+    // arrays of primitives are supported (list type); NESTED arrays,
+    // structs, and maps stay outside the subset
     intercept[IllegalArgumentException](
-      IcebergWrite.append(spark, Seq((1L, Seq("a"))).toDF("id", "arr"),
+      IcebergWrite.append(spark, Seq((1L, Seq(Seq("a")))).toDF("id", "arr"),
         Files.createTempDirectory("graft_iw_n").toString))
+    intercept[IllegalArgumentException](
+      IcebergWrite.append(spark, Seq((1L, Map("k" -> "v"))).toDF("id", "m"),
+        Files.createTempDirectory("graft_iw_n2").toString))
+  }
+
+  test("arrays of primitives round-trip as the spec's list type") {
+    val table = Files.createTempDirectory("graft_iw_list").toString
+    val df = Seq(
+      (1L, Seq(1.0f, 2.5f), Seq(10L, 20L, 30L)),
+      (2L, Seq.empty[Float], Seq(40L))
+    ).toDF("id", "fvec", "lvec")
+    IcebergWrite.append(spark, df, table)
+    val back = IcebergRead.snapshot(spark, table)
+    assert(back.schema("fvec").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    assert(back.orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getSeq[Float](1).toList, r.getSeq[Long](2).toList)).toSeq ===
+      Seq((1L, List(1.0f, 2.5f), List(10L, 20L, 30L)), (2L, List(), List(40L))))
+    // the metadata records the list type with minted element-ids counted
+    // in last-column-id (3 top-level + 2 elements)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Files.list(java.nio.file.Paths.get(table, "metadata"))
+        .filter(_.toString.endsWith(".metadata.json")).findFirst().get()))
+    assert(meta.contains("\"type\":\"list\"") && meta.contains("element-id"))
+    assert(meta.contains("\"last-column-id\":5"), meta.take(400))
+    // schema pinning still bites: same names, different ELEMENT type
+    intercept[IllegalArgumentException](
+      IcebergWrite.append(spark,
+        Seq((3L, Seq(1.0), Seq(1L))).toDF("id", "fvec", "lvec"), table))
+    // evolution can ADD a list column; old rows read NULL
+    IcebergWrite.append(spark,
+      Seq((3L, Seq(9.0f), Seq(9L), Seq(1, 2))).toDF("id", "fvec", "lvec", "codes"),
+      table, mergeSchema = true)
+    val evolved = IcebergRead.snapshot(spark, table)
+    assert(evolved.where(evolved("codes").isNull).count() === 2L)
+    assert(evolved.where(evolved("id") === 3L).select(evolved("codes")).head()
+      .getSeq[Int](0).toList === List(1, 2))
   }
 
   test("concurrent appenders lose no snapshots and keep a linear version history") {
