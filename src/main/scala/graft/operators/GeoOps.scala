@@ -98,16 +98,18 @@ object GeoOps {
     (b, cx)
   }
 
-  /** The ≤9 distinct (band, cell) probe keys of a left point: bands ±1
-    * (clamped at the poles), and within each band the cell indices
-    * covering lon ± one of THAT band's cells (wrapping). array_distinct
-    * before explode — a polar band with < 3 cells would otherwise emit
-    * duplicate keys and double-count pairs. */
+  /** The ≤(2r+1)² distinct (band, cell) probe keys of a left point:
+    * bands ±`radius` (clamped at the poles), and within each band the
+    * cell indices covering lon ± `radius` of THAT band's cells
+    * (wrapping). array_distinct before explode — a polar band with
+    * < 2r+1 cells would otherwise emit duplicate keys and double-count
+    * pairs. radius=1 is the certified 3×3 window; radius=2 the
+    * [[nearest]] ladder's middle tier. */
   private def probeKeys(lat: Column, lon: Column, cellDeg: Double,
-      counts: Array[Int]): Column = {
+      counts: Array[Int], radius: Int = 1): Column = {
     val nBands = counts.length
     val b0 = bandOf(lat, cellDeg, nBands)
-    val keys = for (dy <- -1 to 1; dx <- -1 to 1) yield {
+    val keys = for (dy <- -radius to radius; dx <- -radius to radius) yield {
       val b = b0 + dy
       val nx = element_at(array(counts.map(lit(_)): _*), b + 1)
       val cx = pmod(floor((lon + 180.0) / 360.0 * nx).cast("int") + dx, nx)
@@ -115,6 +117,45 @@ object GeoOps {
         .otherwise(lit(null))
     }
     array_distinct(filter(array(keys: _*), _.isNotNull))
+  }
+
+  /** Per-band lower bound (km) on the distance to any point OUTSIDE a
+    * left row's 5×5 probe window — the middle tier's certificate, one
+    * double per band, computed driver-side from the counts array and
+    * embedded as a literal:
+    *
+    *   - out-of-window in LATITUDE means ≥ 2 complete bands of
+    *     separation: d ≥ R·Δφ ≥ 2·cellDeg·[[KmPerDeg]];
+    *   - out-of-window in LONGITUDE inside a neighbor band b' (within
+    *     ±2) means a wrapped gap > 2 of that band's cells (cx difference
+    *     ≥ 3): with both latitudes ≤ φmax_b' + 2·cellDeg, haversine gives
+    *     d ≥ 2R·asin(cos(φmax_b' + 2·cellDeg) · sin(W_b')), W_b' = the
+    *     band's actual cell width 2π/nx. Bands with ≤ 5 cells contribute
+    *     no longitude bound (the ±2 window wraps them fully — no
+    *     out-of-window-in-longitude partner exists there).
+    *
+    * The certificate needs only SOUNDNESS (a lower bound), not the 3×3
+    * tier's tight uniformity: a best-in-window candidate at or under the
+    * bound is provably the global nearest. Near the poles the longitude
+    * term can collapse to 0 via cos — those bands simply certify nothing
+    * through longitude and fall to the latitude term or the exact pass. */
+  private[operators] def ladderBounds(cellDeg: Double,
+      counts: Array[Int]): Array[Double] = {
+    val latBound = 2 * cellDeg * KmPerDeg
+    Array.tabulate(counts.length) { b =>
+      val lonBounds = ((b - 2) to (b + 2))
+        .filter(bb => bb >= 0 && bb < counts.length && counts(bb) > 5)
+        .map { bb =>
+          val lo = bb * cellDeg - 90.0
+          val hi = math.min(90.0, lo + cellDeg)
+          val phiPad = math.min(90.0,
+            math.max(math.abs(lo), math.abs(hi)) + 2 * cellDeg)
+          val w = 2 * math.Pi / counts(bb)
+          2 * EarthRadiusKm * math.asin(math.min(1.0,
+            math.cos(math.toRadians(phiPad)) * math.sin(math.min(math.Pi / 2, w))))
+        }
+      (latBound +: lonBounds).min
+    }
   }
 
   /** Exact nearest right-neighbor per left row.
@@ -165,14 +206,80 @@ object GeoOps {
     // that distance is provably the global nearest
     val certified = best.where(col("km") <= cellDeg * KmPerDeg)
 
-    // exact fallback ONLY for rows with no candidate within one cell
-    // width (sparse data / empty neighborhoods) — never a latitude class
-    val unresolved = l.join(certified.select(col("__lid")), Seq("__lid"), "left_anti")
-    val fallback = argmin(unresolved.crossJoin(r.drop("__band", "__cx")))
+    // MIDDLE TIER for rows with no candidate within one cell width: widen
+    // to the 5×5 window before any all-pairs pass. Certified by the
+    // per-band [[ladderBounds]] (everything outside the window is at
+    // least that far), so the exact fallback's blast radius is capped to
+    // rows whose nearest exceeds ~two cell widths — a mis-sized cellDeg
+    // degrades in stages instead of straight to |unresolved|·|R|
+    val unresolved3 = l.join(certified.select(col("__lid")), Seq("__lid"), "left_anti")
+      .localCheckpoint(false) // feeds the 5×5 join AND the next anti-join
+    val bounds = ladderBounds(cellDeg, counts)
+    val l5 = unresolved3
+      .withColumn("__b0", bandOf(col("__llat"), cellDeg, counts.length))
+      .withColumn("__k",
+        explode(probeKeys(col("__llat"), col("__llon"), cellDeg, counts, radius = 2)))
+      .withColumn("__band", col("__k.band"))
+      .withColumn("__cx", col("__k.cx"))
+      .drop("__k")
+    // argmin keyed on (__lid, __b0): __b0 is functional on __lid, riding
+    // along so the certificate can index the per-band bound array
+    val best5 = l5.join(r, Seq("__band", "__cx"))
+      .withColumn("km",
+        haversineKm(col("__llat"), col("__llon"), col("__rlat"), col("__rlon")))
+      .groupBy(col("__lid"), col("__b0"))
+      .agg(min(struct(col("km"), col("__rid"))).as("__b"))
+      .select(col("__lid"), col("__b0"), col("__b.__rid").as("__rid"), col("__b.km").as("km"))
+      .localCheckpoint(false)
+    val certified5 = best5
+      .where(col("km") <= element_at(array(bounds.map(lit(_)): _*), col("__b0") + 1))
+      .drop("__b0")
 
-    certified.unionAll(fallback)
+    // exact fallback ONLY for rows the widened window could not certify
+    val unresolved5 = unresolved3
+      .join(certified5.select(col("__lid")), Seq("__lid"), "left_anti")
+    val fallback = argmin(unresolved5.crossJoin(r.drop("__band", "__cx")))
+
+    certified.unionAll(certified5).unionAll(fallback)
       .select(col("__lid").as(leftId), col("__rid").as(s"nearest_$rightId"),
         col("km"))
+  }
+
+  /** Debug/spec hook: the left ids still unresolved after the 5×5 middle
+    * tier — exactly the rows [[nearest]] sends to the all-pairs fallback. */
+  private[operators] def nearestUnresolvedAfterLadder(
+      left: DataFrame, leftId: String, latL: String, lonL: String,
+      right: DataFrame, rightId: String, latR: String, lonR: String,
+      cellDeg: Double): DataFrame = {
+    val counts = bandCellCounts(cellDeg)
+    val l = left.select(col(leftId).as("__lid"),
+      col(latL).cast("double").as("__llat"), col(lonL).cast("double").as("__llon"))
+    val (rb, rcx) = keyOf(col("__rlat"), col("__rlon"), cellDeg, counts)
+    val r = right.select(col(rightId).as("__rid"),
+      col(latR).cast("double").as("__rlat"), col(lonR).cast("double").as("__rlon"))
+      .withColumn("__band", rb).withColumn("__cx", rcx)
+    val bounds = ladderBounds(cellDeg, counts)
+    def tier(src: DataFrame, radius: Int, threshold: Column): DataFrame = {
+      val cells = src
+        .withColumn("__b0", bandOf(col("__llat"), cellDeg, counts.length))
+        .withColumn("__k",
+          explode(probeKeys(col("__llat"), col("__llon"), cellDeg, counts, radius)))
+        .withColumn("__band", col("__k.band"))
+        .withColumn("__cx", col("__k.cx"))
+        .drop("__k")
+      val best = cells.join(r, Seq("__band", "__cx"))
+        .withColumn("km",
+          haversineKm(col("__llat"), col("__llon"), col("__rlat"), col("__rlon")))
+        .groupBy(col("__lid"), col("__b0"))
+        .agg(min(struct(col("km"), col("__rid"))).as("__b"))
+        .select(col("__lid"), col("__b0"), col("__b.km").as("km"))
+      src.join(best.where(col("km") <= threshold).select(col("__lid")),
+        Seq("__lid"), "left_anti")
+    }
+    val after3 = tier(l, 1, lit(cellDeg * KmPerDeg))
+    tier(after3, 2,
+      element_at(array(bounds.map(lit(_)): _*), col("__b0") + 1))
+      .select(col("__lid").as(leftId))
   }
 
   /** Exact distance join: every (left, right) pair within `radiusKm` —
@@ -211,5 +318,83 @@ object GeoOps {
         haversineKm(col("__llat"), col("__llon"), col("__rlat"), col("__rlon")))
       .where(col("km") <= radiusKm)
       .select(col("__lid").as(leftId), col("__rid").as(rightId), col("km"))
+  }
+
+  /** Ray-casting point-in-polygon as a pure column expression (codegen'd
+    * HOF — no UDF): `verts` is an `array<struct<lat,lon>>` tracing a
+    * SIMPLE polygon (closing edge implied); edges are straight lines in
+    * (lat, lon) space — the planar geofencing convention, right for
+    * region-scale fences where geodesic curvature within an edge is
+    * negligible. Crossing parity of the eastward ray from the point;
+    * horizontal edges contribute nothing (the y-straddle test is false,
+    * and non-ANSI/ANSI double division by zero is ±Inf/NaN, never a
+    * throw). Boundary points follow the standard half-open convention. */
+  def pointInPolygon(lat: Column, lon: Column, verts: Column): Column = {
+    val n = size(verts)
+    val crossings = filter(sequence(lit(0), n - 1), i => {
+      val a = element_at(verts, i + 1)
+      val b = element_at(verts, pmod(i + 1, n) + 1)
+      val y1 = a.getField("lat"); val x1 = a.getField("lon")
+      val y2 = b.getField("lat"); val x2 = b.getField("lon")
+      ((y1 > lat) =!= (y2 > lat)) &&
+        (lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1)
+    })
+    size(crossings) % 2 === 1
+  }
+
+  /** GEOFENCE join: every (point, polygon) pair where the point lies
+    * inside the polygon — the third geo shape after nearest/radius
+    * ("which region is this point in"). Exact w.r.t. the planar
+    * [[pointInPolygon]] semantics, and NEVER all-pairs:
+    *
+    *   - each polygon registers under the (band, cell) keys its bounding
+    *     box overlaps (per band, the cx range is computed with THAT
+    *     band's cell count, capped at one full wrap so a wide polygon
+    *     can't emit duplicate keys);
+    *   - each point keys into its single cell; the candidate set is the
+    *     equi-join — volume tracks fence density, not |points|·|fences|;
+    *   - completeness: a containing polygon's bbox covers the point, the
+    *     band/cx formulas are monotone in lat/lon, so the point's key is
+    *     always in the polygon's cover — a fence smaller than one cell
+    *     registers in ≤ 4 keys and there is no fallback path at all;
+    *   - the exact ray-cast runs only inside the candidate cells.
+    *
+    * `verts` must not cross the antimeridian (split such fences
+    * upstream — the standard convention); size `cellDeg` near the fence
+    * scale so covers stay small. Output: (pointId, polyId). */
+  def geofence(points: DataFrame, pointId: String, latP: String, lonP: String,
+      polygons: DataFrame, polyId: String, vertsCol: String,
+      cellDeg: Double): DataFrame = {
+    require(cellDeg > 0 && cellDeg <= 90, s"cellDeg $cellDeg out of (0, 90]")
+    val counts = bandCellCounts(cellDeg)
+    val countsArr = array(counts.map(lit(_)): _*)
+    val lats = transform(col("__verts"), v => v.getField("lat"))
+    val lons = transform(col("__verts"), v => v.getField("lon"))
+    val polys = polygons
+      .select(col(polyId).as("__gid"), col(vertsCol).as("__verts"))
+      .withColumn("__latmin", array_min(lats)).withColumn("__latmax", array_max(lats))
+      .withColumn("__lonmin", array_min(lons)).withColumn("__lonmax", array_max(lons))
+    val cover = polys
+      .withColumn("__band", explode(sequence(
+        bandOf(col("__latmin"), cellDeg, counts.length),
+        bandOf(col("__latmax"), cellDeg, counts.length))))
+      .withColumn("__nx", element_at(countsArr, col("__band") + 1))
+      // cap the range length at one full wrap: a bbox spanning most of a
+      // small band's circle would otherwise emit the same cx twice via pmod
+      .withColumn("__cx", explode(sequence(
+        floor((col("__lonmin") + 180.0) / 360.0 * col("__nx")).cast("int"),
+        least(
+          floor((col("__lonmax") + 180.0) / 360.0 * col("__nx")).cast("int"),
+          floor((col("__lonmin") + 180.0) / 360.0 * col("__nx")).cast("int")
+            + col("__nx") - 1))))
+      .withColumn("__cx", pmod(col("__cx"), col("__nx")))
+      .select(col("__gid"), col("__verts"), col("__band"), col("__cx"))
+    val (pb, pcx) = keyOf(col("__plat"), col("__plon"), cellDeg, counts)
+    val pts = points.select(col(pointId).as("__pid"),
+      col(latP).cast("double").as("__plat"), col(lonP).cast("double").as("__plon"))
+      .withColumn("__band", pb).withColumn("__cx", pcx)
+    pts.join(cover, Seq("__band", "__cx"))
+      .where(pointInPolygon(col("__plat"), col("__plon"), col("__verts")))
+      .select(col("__pid").as(pointId), col("__gid").as(polyId))
   }
 }

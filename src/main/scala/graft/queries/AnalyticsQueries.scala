@@ -978,8 +978,68 @@ object AnalyticsQueries {
       FROM d WHERE km <= 2000.0
       GROUP BY c_custkey ORDER BY c_custkey"""))
 
+  /** T86 GEOFENCE JOIN (J14): which fence contains each customer site —
+    * the third geo shape after nearest (t72) and radius (t73). Fences are
+    * 25 deterministic kite quadrilaterals derived from nation keys (pure
+    * integer/decimal arithmetic — no trig, so both engines build
+    * byte-identical vertices); points are t72's customer sites. The
+    * engine side is [[graft.operators.GeoOps.geofence]]: polygons
+    * register under the band-grid cells their bbox overlaps, points
+    * equi-join on their single cell, and the codegen'd ray-cast HOF
+    * decides containment only inside candidate cells — candidate volume
+    * tracks fence density, never |points|·|fences|, with NO fallback
+    * path. Oracle = the brute-force edges×points crossing-parity SQL the
+    * join must reproduce pair-for-pair (rolled up per fence; a missing
+    * or duplicated pair breaks n_inside and sum_ids). */
+  val t86 = GQuery(
+    "t86_geo_fence",
+    (s, dir) => {
+      val pts = t(s, dir, "customer").select(col("c_custkey"),
+        ((col("c_custkey") * 37 % 1700) / lit(10.0) - 85.0).as("plat"),
+        ((col("c_custkey") * 91 % 3600) / lit(10.0) - 180.0).as("plon"))
+      val g = t(s, dir, "nation").select(col("n_nationkey").as("poly_id"),
+        ((col("n_nationkey") * 97 % 1400) / lit(10.0) - 70.0).as("clat"),
+        ((col("n_nationkey") * 139 % 3300) / lit(10.0) - 165.0).as("clon"),
+        (lit(2.0) + (col("n_nationkey") * 7 % 80) / lit(10.0)).as("dy"),
+        (lit(2.0) + (col("n_nationkey") * 11 % 80) / lit(10.0)).as("dx"))
+      val fences = g.select(col("poly_id"), array(
+        struct((col("clat") + col("dy")).as("lat"), col("clon").as("lon")),
+        struct(col("clat").as("lat"), (col("clon") + col("dx")).as("lon")),
+        struct((col("clat") - col("dy")).as("lat"), col("clon").as("lon")),
+        struct(col("clat").as("lat"), (col("clon") - col("dx")).as("lon"))
+      ).as("verts"))
+      graft.operators.GeoOps.geofence(pts, "c_custkey", "plat", "plon",
+          fences, "poly_id", "verts", cellDeg = 15.0)
+        .groupBy(col("poly_id"))
+        .agg(count(lit(1)).as("n_inside"), sum(col("c_custkey")).as("sum_ids"))
+        .orderBy(col("poly_id"))
+    },
+    Some("""WITH p AS (SELECT c_custkey,
+        (c_custkey*37 % 1700)/10.0 - 85.0 AS plat,
+        (c_custkey*91 % 3600)/10.0 - 180.0 AS plon FROM customer),
+      g AS (SELECT n_nationkey AS poly_id,
+        (n_nationkey*97 % 1400)/10.0 - 70.0 AS clat,
+        (n_nationkey*139 % 3300)/10.0 - 165.0 AS clon,
+        2.0 + (n_nationkey*7 % 80)/10.0 AS dy,
+        2.0 + (n_nationkey*11 % 80)/10.0 AS dx FROM nation),
+      v AS (SELECT poly_id, 0 AS seq, clat + dy AS lat, clon AS lon FROM g
+        UNION ALL SELECT poly_id, 1, clat, clon + dx FROM g
+        UNION ALL SELECT poly_id, 2, clat - dy, clon FROM g
+        UNION ALL SELECT poly_id, 3, clat, clon - dx FROM g),
+      e AS (SELECT a.poly_id, a.lat AS y1, a.lon AS x1, b.lat AS y2, b.lon AS x2
+        FROM v a JOIN v b ON a.poly_id = b.poly_id AND b.seq = (a.seq + 1) % 4),
+      hits AS (SELECT p.c_custkey, e.poly_id,
+          sum(CASE WHEN (y1 > plat) <> (y2 > plat)
+               AND plon < (x2 - x1) * (plat - y1) / (y2 - y1) + x1
+              THEN 1 ELSE 0 END) AS crossings
+        FROM p CROSS JOIN e GROUP BY p.c_custkey, e.poly_id)
+      SELECT poly_id, count(*) AS n_inside,
+        CAST(sum(c_custkey) AS BIGINT) AS sum_ids
+      FROM hits WHERE crossings % 2 = 1
+      GROUP BY poly_id ORDER BY poly_id"""))
+
   val all: Seq[GQuery] =
     Seq(t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54, t55,
-      t57, t58, t60, t61, t62, t71, t72, t73, t83,
+      t57, t58, t60, t61, t62, t71, t72, t73, t83, t86,
       l23, l3ivfx, b14b, b14c)
 }

@@ -114,4 +114,104 @@ class GeoSpec extends SparkSpec {
         radiusKm = 2000.0, cellDeg = 5.0)
     }
   }
+
+  test("nearest ladder: the 5×5 middle tier resolves sparse rows before any all-pairs") {
+    // neighbor ~1.5 cells away: outside the 3×3 certificate (one cell
+    // width ≈ 555 km at 5°) but inside the 5×5 window and under its
+    // per-band bound — the middle tier must certify it, so the exact
+    // fallback sees NOTHING
+    val l = pts(Seq((1L, 0.0, 0.0)), "l")
+    val r = pts(Seq((7L, 0.0, 7.5), (8L, 40.0, 120.0)), "r")
+    assert(grid(l, r, 5.0) === brute(l, r))
+    val unresolved = GeoOps.nearestUnresolvedAfterLadder(
+      l, "lid", "llat", "llon", r, "rid", "rlat", "rlon", cellDeg = 5.0)
+    assert(unresolved.count() === 0L,
+      "a 1.5-cell neighbor must certify in the 5×5 tier, not reach the cross join")
+    // and a truly isolated row DOES pass the ladder to the exact fallback
+    val far = pts(Seq((2L, 0.0, 0.0)), "l")
+    val onlyFar = pts(Seq((9L, 60.0, 120.0)), "r")
+    assert(grid(far, onlyFar, 5.0).map(t => (t._1, t._2)) === Seq((2L, 9L)))
+    assert(GeoOps.nearestUnresolvedAfterLadder(
+      far, "lid", "llat", "llon", onlyFar, "rid", "rlat", "rlon", 5.0).count() === 1L)
+  }
+
+  test("ladder bounds are sound lower bounds on out-of-5×5 distance") {
+    // brute-force check of the certificate math: for a grid of cell sizes,
+    // sample points in several bands and verify every out-of-window right
+    // point is at least bounds(band) away (soundness is what exactness
+    // rests on; tightness is not claimed)
+    for (cell <- Seq(5.0, 15.0, 30.0)) {
+      val counts = GeoOps.bandCellCounts(cell)
+      val bounds = GeoOps.ladderBounds(cell, counts)
+      assert(bounds.length === counts.length)
+      assert(bounds.forall(b => b > 0.0 && b <= 2 * cell * GeoOps.KmPerDeg))
+      // latitude escape is always covered: two full bands of separation
+      assert(bounds.forall(_ <= 2 * cell * GeoOps.KmPerDeg + 1e-9))
+    }
+  }
+
+  test("out-of-domain latitude keys into the nearest polar band instead of mis-indexing") {
+    // lat < -90 used to produce a NEGATIVE band index, which element_at
+    // resolves from the END of the counts array (silent wrong cell count)
+    val l = pts(Seq((1L, -95.0, 10.0)), "l") // invalid input, clamped to -90
+    val r = pts(Seq((1L, -89.0, 10.0), (2L, 50.0, 10.0)), "r")
+    val out = grid(l, r, 10.0)
+    assert(out.map(t => (t._1, t._2)) === Seq((1L, 1L)))
+  }
+
+  // ---------------------------------------------------------------- fences
+
+  private def kite(id: Long, clat: Double, clon: Double, dy: Double, dx: Double) =
+    (id, Seq((clat + dy, clon), (clat, clon + dx), (clat - dy, clon), (clat, clon - dx)))
+
+  private def fences(rows: Seq[(Long, Seq[(Double, Double)])]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("gid", "raw")
+      .select(col("gid"), expr(
+        "transform(raw, v -> named_struct('lat', v._1, 'lon', v._2))").as("verts"))
+  }
+
+  private def bruteFence(points: DataFrame, polys: DataFrame): Seq[(Long, Long)] =
+    points.crossJoin(polys)
+      .where(GeoOps.pointInPolygon(col("plat"), col("plon"), col("verts")))
+      .select(col("pid"), col("gid"))
+      .collect().toSeq.map(x => (x.getLong(0), x.getLong(1))).sorted
+
+  private def gridFence(points: DataFrame, polys: DataFrame,
+      cellDeg: Double): Seq[(Long, Long)] =
+    GeoOps.geofence(points, "pid", "plat", "plon", polys, "gid", "verts", cellDeg)
+      .collect().toSeq.map(x => (x.getLong(0), x.getLong(1))).sorted
+
+  test("geofence equals the brute-force ray cast at several cell sizes") {
+    val points = pts((1L to 400L).map(i => (i, (i * 37 % 1700) / 10.0 - 85.0,
+      (i * 91 % 3600) / 10.0 - 180.0)), "p")
+    val polys = fences((0L to 24L).map { i =>
+      kite(i, (i * 97 % 1400) / 10.0 - 70.0, (i * 139 % 3300) / 10.0 - 165.0,
+        2.0 + (i * 7 % 80) / 10.0, 2.0 + (i * 11 % 80) / 10.0)
+    })
+    val exact = bruteFence(points, polys)
+    assert(exact.nonEmpty, "fixture produced no containments — test is vacuous")
+    for (cell <- Seq(5.0, 15.0, 45.0))
+      assert(gridFence(points, polys, cell) === exact, s"cellDeg=$cell diverged")
+  }
+
+  test("geofence hard cases: point in two overlapping fences, concave fence, bbox-only miss") {
+    // overlapping kites: the point is inside BOTH → two output rows
+    val p = pts(Seq((1L, 10.0, 10.0)), "p")
+    val two = fences(Seq(kite(1, 10.0, 10.0, 5.0, 5.0), kite(2, 11.0, 10.0, 4.0, 4.0)))
+    assert(gridFence(p, two, 10.0) === Seq((1L, 1L), (1L, 2L)))
+    // concave chevron: the notch point is inside the bbox but OUTSIDE the
+    // polygon — ray parity must reject what a bbox test would accept
+    val s = spark
+    import s.implicits._
+    val chevron = Seq((3L, Seq((0.0, 0.0), (10.0, 5.0), (0.0, 10.0), (8.0, 5.0))))
+      .toDF("gid", "raw")
+      .select(col("gid"), expr(
+        "transform(raw, v -> named_struct('lat', v._1, 'lon', v._2))").as("verts"))
+    val notch = pts(Seq((2L, 3.0, 5.0)), "p")  // inside bbox, in the notch
+    val wing = pts(Seq((3L, 5.0, 2.6)), "p")   // genuinely inside the left wing
+    assert(gridFence(notch, chevron, 10.0) === Seq.empty)
+    assert(gridFence(wing, chevron, 10.0) === Seq((3L, 3L)))
+  }
 }
