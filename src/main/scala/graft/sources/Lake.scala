@@ -265,6 +265,17 @@ object Lake {
         s"plain parquet at $path has no version history for TIMESTAMP AS OF")
     }
 
+  /** Resolve a wall-clock ms timestamp to the version/snapshot id
+    * current at that instant — what lets TIMESTAMP AS OF flow through
+    * every version-parameterized path (pruned scans, temp views). */
+  def versionAt(spark: SparkSession, path: String, timestampMs: Long): Long =
+    detect(spark, path) match {
+      case Delta => DeltaRead.versionAt(spark, path, timestampMs)
+      case Iceberg => IcebergRead.snapshotIdAt(spark, path, timestampMs)
+      case Parquet => throw new IllegalArgumentException(
+        s"plain parquet at $path has no version history for TIMESTAMP AS OF")
+    }
+
   /** Incremental-read dispatch: rows added after `fromVersion` (Delta log
     * version / Iceberg snapshot id), scanning only the new files. Plain
     * parquet has no commit history — refused loudly. */
@@ -1086,7 +1097,8 @@ object Lake {
   }
 
   /** The single-table FAST PATH of the SELECT surface: `SELECT <cols>
-    * FROM '<path>' [VERSION AS OF n] [WHERE <pred>] [ORDER BY ...]
+    * FROM '<path>' [VERSION AS OF n | TIMESTAMP AS OF epoch_ms]
+    * [WHERE <pred>] [ORDER BY ...]
     * [LIMIT n]`. A WHERE goes through [[scanPruned]] so the format's
     * persisted per-file stats (Delta add.stats / Iceberg manifest bounds)
     * skip files BEFORE the scan. Returns None — never throws on shape —
@@ -1107,8 +1119,12 @@ object Lake {
       case _ => return None // FROM target is not a quoted path (subquery, view)
     }
     val VersionHead = """(?is)VERSION\s+AS\s+OF\s+(\d+)\s*(.*)""".r
+    val TimestampHead = """(?is)TIMESTAMP\s+AS\s+OF\s+(\d+)\s*(.*)""".r
     val (version, tail) = tail0 match {
       case VersionHead(v, rest) => (v.toLong, rest.trim)
+      // epoch-ms pin resolves to the version current at that instant,
+      // then flows through the same pruned-scan machinery
+      case TimestampHead(ts, rest) => (versionAt(spark, path, ts.toLong), rest.trim)
       case _ => (-1L, tail0)
     }
     // any clause beyond [WHERE][ORDER BY][LIMIT] disqualifies the fast
@@ -1160,10 +1176,12 @@ object Lake {
     }
   }
 
-  /** A `FROM|JOIN '<path>' [VERSION AS OF n]` table reference found in a
-    * statement: the span [start, end) covers the quoted path plus its
-    * version clause (the keyword stays in place when rewriting). */
-  private final case class TableRef(start: Int, end: Int, path: String, version: Long)
+  /** A `FROM|JOIN '<path>' [VERSION AS OF n | TIMESTAMP AS OF ms]` table
+    * reference found in a statement: the span [start, end) covers the
+    * quoted path plus its pin clause (the keyword stays in place when
+    * rewriting). `atMs` is -1 unless a TIMESTAMP pin was given. */
+  private final case class TableRef(start: Int, end: Int, path: String,
+      version: Long, atMs: Long = -1L)
 
   /** Quote-aware scan for table references at ANY paren depth (subqueries
     * included): a FROM/JOIN inside a string literal never matches, so a
@@ -1174,6 +1192,7 @@ object Lake {
   private def tableRefs(s: String): Seq[TableRef] = {
     def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
     val VersionTail = """(?is)^\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+    val TimestampTail = """(?is)^\s+TIMESTAMP\s+AS\s+OF\s+(\d+)""".r
     val out = Seq.newBuilder[TableRef]
     var i = 0
     var inStr = false
@@ -1193,13 +1212,19 @@ object Lake {
             val close = s.indexOf('\'', k + 1)
             if (close > 0) {
               val path = s.substring(k + 1, close)
-              val end = VersionTail.findPrefixMatchOf(s.substring(close + 1)) match {
+              val rest = s.substring(close + 1)
+              val end = VersionTail.findPrefixMatchOf(rest) match {
                 case Some(m) =>
                   out += TableRef(k, close + 1 + m.end, path, m.group(1).toLong)
                   close + 1 + m.end
-                case None =>
-                  out += TableRef(k, close + 1, path, -1L)
-                  close + 1
+                case None => TimestampTail.findPrefixMatchOf(rest) match {
+                  case Some(m) =>
+                    out += TableRef(k, close + 1 + m.end, path, -1L, m.group(1).toLong)
+                    close + 1 + m.end
+                  case None =>
+                    out += TableRef(k, close + 1, path, -1L)
+                    close + 1
+                }
               }
               next = end
             }
@@ -1237,11 +1262,14 @@ object Lake {
     val sb = new java.lang.StringBuilder
     var pos = 0
     refs.foreach { r =>
+      // a TIMESTAMP pin resolves to its version first, so the view name
+      // stays content-addressed on what is actually read
+      val v = if (r.atMs >= 0) versionAt(spark, r.path, r.atMs) else r.version
       val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"${r.path}@${r.version}".getBytes("UTF-8"))
+        .digest(s"${r.path}@$v".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(16)
       val view = s"graft_lake_$key"
-      read(spark, r.path, r.version).createOrReplaceTempView(view)
+      read(spark, r.path, v).createOrReplaceTempView(view)
       sb.append(statement.substring(pos, r.start)).append(view)
       pos = r.end
     }

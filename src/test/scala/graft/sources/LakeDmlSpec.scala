@@ -530,6 +530,29 @@ class LakeDmlSpec extends SparkSpec {
     intercept[IllegalArgumentException](Lake.sqlFrame(spark, "SELECT 1 AS x"))
   }
 
+  test("Lake.sqlFrame TIMESTAMP AS OF pins both the fast path and delegated statements") {
+    val t = tmp("graft_tsof") + "/tbl"
+    DeltaWrite.append(spark, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), t)
+    Thread.sleep(20)
+    val tMid = System.currentTimeMillis()
+    Thread.sleep(20)
+    DeltaWrite.append(spark, Seq((3L, 30.0)).toDF("id", "v"), t)
+    // fast path: projection + ORDER BY
+    assert(Lake.sqlFrame(spark,
+        s"SELECT id FROM '$t' TIMESTAMP AS OF $tMid ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L))
+    // delegated: GROUP BY over the pinned snapshot
+    assert(Lake.sqlFrame(spark,
+        s"SELECT id % 2 AS par, count(*) AS c FROM '$t' TIMESTAMP AS OF $tMid " +
+          "GROUP BY id % 2 ORDER BY par")
+      .as[(Long, Long)].collect().toSeq === Seq((0L, 1L), (1L, 1L)))
+    // plain parquet refuses the pin loudly
+    val plain = tmp("graft_tsof_p") + "/tbl"
+    Seq((1L, 1.0)).toDF("id", "v").write.parquet(plain)
+    intercept[IllegalArgumentException](
+      Lake.sqlFrame(spark, s"SELECT id FROM '$plain' TIMESTAMP AS OF $tMid"))
+  }
+
   test("Lake.sql maintenance: OPTIMIZE / VACUUM / RESTORE / DESCRIBE HISTORY on both formats") {
     for (fmt <- Seq("delta", "iceberg")) {
       val t = tmp(s"graft_dml_mnt_$fmt") + "/tbl"
