@@ -1011,13 +1011,32 @@ object Lake {
                   "use INSERT OVERWRITE ... REPLACE WHERE for scoped, or the API")
             }
         }
-      case Insert(path, source) =>
+      case Insert(path, body0) =>
+        // optional COLUMN LIST: `INSERT INTO '<p>' (c1, c2) <source>` maps
+        // the source's columns POSITIONALLY onto the named ones — what
+        // makes `VALUES (…)` sources (whose columns are col1, col2, …)
+        // usable without a SELECT … AS wrapper
+        val ColList = """(?s)\s*\(([\w\s,]+)\)\s+(.+)""".r
+        val (source, renameTo) = body0 match {
+          // a parenthesized SELECT source is not a column list
+          case ColList(cols, rest)
+              if !cols.trim.toUpperCase(java.util.Locale.ROOT).startsWith("SELECT") =>
+            (rest, cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          case _ => (body0, Seq.empty[String])
+        }
+        val src0 = spark.sql(source)
+        val src = if (renameTo.isEmpty) src0 else {
+          require(renameTo.length == src0.columns.length,
+            s"INSERT INTO (${renameTo.mkString(", ")}): column list names " +
+              s"${renameTo.length} columns but the source has ${src0.columns.length}")
+          src0.toDF(renameTo: _*)
+        }
         // appends INHERIT the table's partitioning (the writers refuse a
         // partitionBy mismatch; a SQL user never restates the layout)
         detect(spark, path) match {
-          case Delta => DeltaWrite.append(spark, spark.sql(source), path,
+          case Delta => DeltaWrite.append(spark, src, path,
             partitionBy = DeltaRead.snapshotInfo(spark, path).partitionColumns)
-          case Iceberg => IcebergWrite.append(spark, spark.sql(source), path,
+          case Iceberg => IcebergWrite.append(spark, src, path,
             partitionBy = IcebergWrite.currentPartitionBy(spark, path))
           case other => throw new IllegalArgumentException(
             s"INSERT INTO needs a lake table, got $other at $path")
@@ -1044,7 +1063,9 @@ object Lake {
   }
 
   /** Result-set statement surface: `DESCRIBE HISTORY '<path>'` returns
-    * the commit history frame; `SHOW PARTITIONS '<path>'` the metadata-
+    * the commit history frame; `DESCRIBE '<path>' [VERSION AS OF n]` the
+    * (version-pinnable) schema as (col_name, data_type, nullable) rows;
+    * `SHOW PARTITIONS '<path>'` the metadata-
     * only [[partitionSummary]]; `SELECT COUNT(*) FROM '<path>'` the
     * metadata-first [[rowCount]] as a (count, from_metadata) row; general
     * reads as
@@ -1077,12 +1098,22 @@ object Lake {
     import org.apache.spark.sql.functions.expr
     val s = statement.trim.stripSuffix(";").trim
     val DescribeHistory = """(?is)DESCRIBE\s+HISTORY\s+'([^']+)'\s*""".r
+    val Describe =
+      """(?is)DESCRIBE\s+'([^']+)'\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*)?""".r
     val ShowPartitions = """(?is)SHOW\s+PARTITIONS\s+'([^']+)'\s*""".r
     val CountStar = """(?is)SELECT\s+COUNT\s*\(\s*\*\s*\)\s+FROM\s+'([^']+)'\s*""".r
     val Vacuum = """(?is)VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(FORCE)?\s*""".r
     val SelectHead = """(?is)SELECT\s+(.+)""".r
     s match {
       case DescribeHistory(path) => history(spark, path)
+      case Describe(path, versionOrNull) =>
+        // schema listing, version-pinnable (time travel shows the OLD
+        // schema on lake tables) — metadata-only on the lake formats
+        val v = Option(versionOrNull).map(_.toLong).getOrElse(-1L)
+        read(spark, path, v).schema.fields.toSeq
+          .map(f => (f.name, f.dataType.sql.toLowerCase(java.util.Locale.ROOT),
+            f.nullable))
+          .toDF("col_name", "data_type", "nullable")
       case ShowPartitions(path) => partitionSummary(spark, path)
       case CountStar(path) =>
         Seq(rowCount(spark, path)).toDF("count", "from_metadata")

@@ -74,20 +74,32 @@ object VectorScaleCurve {
     copies.foldLeft(base)(_ unionAll _)
   }
 
-  /** Total executor input bytes for `body` (task input metrics summed by
-    * a listener; the bus drains asynchronously — the short sleep is fine
-    * for an ad-hoc probe). What column pruning saves shows up HERE, not
-    * in `filesSize` (which counts whole files). */
-  private def bytesRead(spark: SparkSession)(body: => Unit): Long = {
-    val acc = new java.util.concurrent.atomic.AtomicLong(0)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (t.taskMetrics != null) acc.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+  /** Per-top-level-column COMPRESSED bytes across every parquet file of
+    * the store, summed from the footers' column-chunk metadata — the
+    * exact, static measure of what a column-pruned scan reads (task
+    * inputMetrics under-report on the local-FS scheme and would only
+    * muddy the claim). Nested paths (codes.list.element) roll up to
+    * their root column. */
+  private def columnBytes(spark: SparkSession, dir: String): Map[String, Long] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet") && !f.toString.contains("_delta_log"))
+        files += f
     }
-    spark.sparkContext.addSparkListener(listener)
-    try { body; Thread.sleep(800) }
-    finally spark.sparkContext.removeSparkListener(listener)
-    acc.get()
+    import scala.jdk.CollectionConverters._
+    files.flatMap { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try r.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala.map { c =>
+        c.getPath.toDotString.split('.').head -> c.getTotalSize
+      }).toList
+      finally r.close()
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
   }
 
   def main(args: Array[String]): Unit = {
@@ -155,17 +167,15 @@ object VectorScaleCurve {
           VectorIndex.build(corpus, "vec_id", "embedding", pdir,
             nCells = nCells, format = fmt, pqM = 16, pqCodes = 16)
         }
-        val (probes, cells) = VectorIndex.coarseProbes(spark, pdir, panel,
-          "vec_id", "embedding", nProbe = 4)
-        val floatBytes = bytesRead(spark) {
-          VectorIndex.query(spark, pdir, panel, "vec_id", "embedding",
-            k = 10, nProbe = 4).count()
-        }
-        val adcBytes = bytesRead(spark) {
-          VectorIndex.adcShortlist(spark, pdir, panel, "vec_id", "embedding",
-            shortlist = 50, version = -1L, probes = probes,
-            probedCells = cells).count()
-        }
+        // probe-IO claim from the STORE LAYOUT itself: per-cell, an ADC
+        // probe reads the (id, codes) column chunks where the float path
+        // reads (id, embedding) — the footers say exactly how many bytes
+        // each is (same files, same probed cells, so the per-cell ratio
+        // IS the probe-IO ratio)
+        val cb = columnBytes(spark, s"$pdir/vectors")
+        val idB = cb.getOrElse("vec_id", 0L)
+        val adcBytes = idB + cb.getOrElse("codes", 0L)
+        val floatBytes = idB + cb.getOrElse("embedding", 0L)
         println(f"VECCURVE pq_probe_bytes       fmt=$fmt%-7s n=$n%6d  " +
           f"adc=${adcBytes / 1024}%8dKiB float=${floatBytes / 1024}%8dKiB " +
           f"ratio=${floatBytes.toDouble / math.max(1, adcBytes)}%5.1fx")

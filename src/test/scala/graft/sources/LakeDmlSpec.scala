@@ -553,6 +553,24 @@ class LakeDmlSpec extends SparkSpec {
       Lake.sqlFrame(spark, s"SELECT id FROM '$plain' TIMESTAMP AS OF $tMid"))
   }
 
+  test("Lake.sqlFrame DESCRIBE and INSERT INTO with a column list") {
+    val t = tmp("graft_desc") + "/tbl"
+    val v0 = DeltaWrite.append(spark, Seq((1L, 1.0)).toDF("id", "v"), t)
+    Lake.sql(spark, s"ALTER TABLE '$t' ADD COLUMN tag string")
+    // current schema lists the evolved column; the pinned one doesn't
+    assert(Lake.sqlFrame(spark, s"DESCRIBE '$t'")
+      .as[(String, String, Boolean)].collect().toSeq ===
+      Seq(("id", "bigint", true), ("v", "double", true), ("tag", "string", true)))
+    assert(Lake.sqlFrame(spark, s"DESCRIBE '$t' VERSION AS OF $v0")
+      .select("col_name").as[String].collect().toSeq === Seq("id", "v"))
+    // VALUES sources become insertable via the positional column list
+    Lake.sql(spark, s"INSERT INTO '$t' (id, v, tag) VALUES (2, 4.0, 'x')")
+    assert(Lake.read(spark, t).where(col("tag") === "x").count() === 1L)
+    // arity mismatch is loud
+    intercept[IllegalArgumentException](
+      Lake.sql(spark, s"INSERT INTO '$t' (id, v) VALUES (3, 5.0, 'y')"))
+  }
+
   test("Lake.sql maintenance: OPTIMIZE / VACUUM / RESTORE / DESCRIBE HISTORY on both formats") {
     for (fmt <- Seq("delta", "iceberg")) {
       val t = tmp(s"graft_dml_mnt_$fmt") + "/tbl"
