@@ -245,6 +245,79 @@ object GeoOps {
         col("km"))
   }
 
+  /** Exact K nearest right neighbors per left row — the top-k
+    * generalization of [[nearest]], same band grid, same certificate
+    * ladder. Per tier the aggregation is the bounded
+    * [[graft.functions.TopKAggregator]] (each partition emits at most k
+    * candidates per left id, so O(|L|·k) rows cross the shuffle — never
+    * the full candidate set a row_number window would sort); a tier
+    * CERTIFIES a row when it found at least k in-window candidates and
+    * the k-th distance is at or under the tier's bound — every
+    * out-of-window point is then provably no closer than any of the k.
+    * Rows with fewer than k in-window candidates ride the ladder down to
+    * the exact all-pairs pass (which returns however many exist). Right
+    * ids must be integral (the bounded buffer is (long, double)).
+    * Output: (leftId, rank 1..k, rightId, km); ties (km, right id) —
+    * row-for-row the brute-force answer. */
+  def nearestK(left: DataFrame, leftId: String, latL: String, lonL: String,
+      right: DataFrame, rightId: String, latR: String, lonR: String,
+      k: Int, cellDeg: Double): DataFrame = {
+    import graft.functions.TopKAggregator
+    require(cellDeg > 0 && cellDeg <= 90, s"cellDeg $cellDeg out of (0, 90]")
+    require(k >= 1, s"k $k must be >= 1")
+    val ridType = right.schema(rightId).dataType
+    require(ridType == org.apache.spark.sql.types.LongType ||
+        ridType == org.apache.spark.sql.types.IntegerType,
+      s"nearestK right id '$rightId' must be integral, got $ridType " +
+        "(the bounded top-k buffer is (long, double))")
+    val counts = bandCellCounts(cellDeg)
+    val bounds = ladderBounds(cellDeg, counts)
+    val topk = udaf(new TopKAggregator(k), TopKAggregator.inputEncoder)
+
+    val l = left.select(col(leftId).as("__lid"),
+      col(latL).cast("double").as("__llat"), col(lonL).cast("double").as("__llon"))
+    val (rb, rcx) = keyOf(col("__rlat"), col("__rlon"), cellDeg, counts)
+    val r = right.select(col(rightId).cast("long").as("__rid"),
+      col(latR).cast("double").as("__rlat"), col(lonR).cast("double").as("__rlon"))
+      .withColumn("__band", rb).withColumn("__cx", rcx)
+
+    // top-k per left id; score = -km so the DESC aggregator ranks by
+    // ascending distance, ids ASC on ties — the brute-force order
+    def best(cands: DataFrame): DataFrame = cands
+      .withColumn("km",
+        haversineKm(col("__llat"), col("__llon"), col("__rlat"), col("__rlon")))
+      .groupBy(col("__lid"), col("__b0"))
+      .agg(topk(col("__rid"), -col("km")).as("__nn"))
+    def gridTier(src: DataFrame, radius: Int): DataFrame = best(
+      src.withColumn("__b0", bandOf(col("__llat"), cellDeg, counts.length))
+        .withColumn("__k",
+          explode(probeKeys(col("__llat"), col("__llon"), cellDeg, counts, radius)))
+        .withColumn("__band", col("__k.band"))
+        .withColumn("__cx", col("__k.cx"))
+        .drop("__k")
+        .join(r, Seq("__band", "__cx")))
+    // certified iff k candidates exist in-window AND the k-th is at or
+    // under the tier bound: nothing outside the window can displace any
+    def certify(tier: DataFrame, bound: Column): DataFrame =
+      tier.where(size(col("__nn")) >= k &&
+        -element_at(col("__nn"), k).getField("score") <= bound)
+
+    val c3 = certify(gridTier(l, 1), lit(cellDeg * KmPerDeg)).localCheckpoint(false)
+    val u3 = l.join(c3.select(col("__lid")), Seq("__lid"), "left_anti")
+      .localCheckpoint(false)
+    val boundsArr = array(bounds.map(lit(_)): _*)
+    val c5 = certify(gridTier(u3, 2), element_at(boundsArr, col("__b0") + 1))
+      .localCheckpoint(false)
+    val u5 = u3.join(c5.select(col("__lid")), Seq("__lid"), "left_anti")
+    val fb = best(u5.crossJoin(r.drop("__band", "__cx"))
+      .withColumn("__b0", lit(0)))
+
+    c3.unionAll(c5).unionAll(fb)
+      .select(col("__lid"), posexplode(col("__nn")))
+      .select(col("__lid").as(leftId), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as(rightId), (-col("col.score")).as("km"))
+  }
+
   /** Debug/spec hook: the left ids still unresolved after the 5×5 middle
     * tier — exactly the rows [[nearest]] sends to the all-pairs fallback. */
   private[operators] def nearestUnresolvedAfterLadder(

@@ -978,6 +978,44 @@ object AnalyticsQueries {
       FROM d WHERE km <= 2000.0
       GROUP BY c_custkey ORDER BY c_custkey"""))
 
+  /** T88 GEO K-NN JOIN (J13k): the 3 nearest supplier sites per customer
+    * site — [[graft.operators.GeoOps.nearestK]], the top-k generalization
+    * of t72's nearest. Per tier the bounded TopKAggregator carries k rows
+    * per customer across the shuffle (never the candidate set), a row
+    * certifies when its k-th in-window distance clears the tier bound,
+    * and only uncertifiable rows descend the 3×3 → 5×5 → exact ladder.
+    * Oracle = the brute-force cross join + row_number ≤ 3 the operator
+    * must reproduce row-for-row. */
+  val t88 = GQuery(
+    "t88_geo_knn",
+    (s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        ((col("c_custkey") * 37 % 1700) / lit(10.0) - 85.0).as("clat"),
+        ((col("c_custkey") * 91 % 3600) / lit(10.0) - 180.0).as("clon"))
+      val supp = t(s, dir, "supplier").select(col("s_suppkey"),
+        ((col("s_suppkey") * 53 % 1700) / lit(10.0) - 85.0).as("slat"),
+        ((col("s_suppkey") * 131 % 3600) / lit(10.0) - 180.0).as("slon"))
+      graft.operators.GeoOps.nearestK(cust, "c_custkey", "clat", "clon",
+          supp, "s_suppkey", "slat", "slon", k = 3, cellDeg = 15.0)
+        .select(col("c_custkey"), col("rank"), col("s_suppkey"),
+          round(col("km"), 3).as("km"))
+        .orderBy(col("c_custkey"), col("rank"))
+    },
+    Some("""WITH c AS (SELECT c_custkey,
+        (c_custkey*37 % 1700)/10.0 - 85.0 AS clat,
+        (c_custkey*91 % 3600)/10.0 - 180.0 AS clon FROM customer),
+      s AS (SELECT s_suppkey,
+        (s_suppkey*53 % 1700)/10.0 - 85.0 AS slat,
+        (s_suppkey*131 % 3600)/10.0 - 180.0 AS slon FROM supplier),
+      d AS (SELECT c_custkey, s_suppkey,
+        2*6371.0088*asin(sqrt(pow(sin(radians(slat-clat)/2),2)
+          + cos(radians(clat))*cos(radians(slat))*pow(sin(radians(slon-clon)/2),2))) AS km
+        FROM c CROSS JOIN s),
+      r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY km, s_suppkey) AS rn
+        FROM d)
+      SELECT c_custkey, CAST(rn AS INT) AS rank, s_suppkey, round(km, 3) AS km
+      FROM r WHERE rn <= 3 ORDER BY c_custkey, rank"""))
+
   /** T86 GEOFENCE JOIN (J14): which fence contains each customer site —
     * the third geo shape after nearest (t72) and radius (t73). Fences are
     * 25 deterministic kite quadrilaterals derived from nation keys (pure
@@ -1040,6 +1078,6 @@ object AnalyticsQueries {
 
   val all: Seq[GQuery] =
     Seq(t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54, t55,
-      t57, t58, t60, t61, t62, t71, t72, t73, t83, t86,
+      t57, t58, t60, t61, t62, t71, t72, t73, t83, t86, t88,
       l23, l3ivfx, b14b, b14c)
 }

@@ -1193,6 +1193,52 @@ object IoQueries {
       CROSS JOIN legs
       ORDER BY fmt, leg, event_type"""))
 
+  /** THE COMPOSITION GATE for the delegated SQL surface: TPC-H Q3 (t76's
+    * shape) as ONE statement of text over three LAKE PATHS — customer and
+    * orders in Delta, lineitem in Iceberg, so the statement exercises
+    * cross-format lake-to-lake joins, the quote-aware multi-reference
+    * rewrite, GROUP BY/ORDER/LIMIT delegation, and the scan machinery of
+    * both formats in a single query a reference user would actually
+    * write. The oracle is t76's DuckDB text over the raw tables: the lake
+    * round-trip plus delegation must be value-invisible. */
+  val tlakeTpchSql = GQuery(
+    "t87_lake_tpch_sql",
+    (s, dir) => {
+      val stage = tmp("graft_t87_q")
+      val cust = s"$stage/customer"
+      val ord = s"$stage/orders"
+      val li = s"$stage/lineitem"
+      graft.sources.DeltaWrite.append(s,
+        Tables(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")), cust)
+      graft.sources.DeltaWrite.append(s,
+        Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate")), ord)
+      graft.sources.IcebergWrite.append(s,
+        Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount"), col("l_shipdate")), li)
+      graft.sources.Lake.sqlFrame(s,
+        s"""SELECT l.l_orderkey, o.o_orderdate,
+              round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM '$cust' c
+            JOIN '$ord' o ON c.c_custkey = o.o_custkey
+            JOIN '$li' l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-30'
+              AND l.l_shipdate > TIMESTAMP '1998-06-30'
+            GROUP BY l.l_orderkey, o.o_orderdate
+            ORDER BY revenue DESC, l.l_orderkey LIMIT 10""")
+    },
+    Some("""SELECT l_orderkey, o_orderdate,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-06-30'
+        AND l_shipdate > TIMESTAMP '1998-06-30'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
   /** `ALTER TABLE ... ADD COLUMN` through statement text (Lake.sql →
     * [[graft.sources.Lake.addColumn]]): metadata-only schema evolution on
     * BOTH formats. Per format: seed (event_id, value), ADD COLUMN tag
@@ -1585,7 +1631,7 @@ object IoQueries {
       tdeltaRt, ticebergRt, ticebergMor,
       tdeltaDv, tdeltaUpsert, ticebergPart, ticebergHiddenPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tlakeReplaceWhere, tlakeSqlDml,
-      tlakeSqlMaintenance, tlakeSqlSelect, tlakeSqlAgg, tlakeSqlAlterAdd,
+      tlakeSqlMaintenance, tlakeSqlSelect, tlakeSqlAgg, tlakeSqlAlterAdd, tlakeTpchSql,
       tcdcApply, tlakeSync, tlakeClone,
       tlakeRestore, tlakeRename, tlakeUniform, tlakeUniformRev, tlakeConvert)
 }

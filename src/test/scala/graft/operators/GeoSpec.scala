@@ -159,6 +159,34 @@ class GeoSpec extends SparkSpec {
     assert(out.map(t => (t._1, t._2)) === Seq((1L, 1L)))
   }
 
+  private def bruteK(l: DataFrame, r: DataFrame, k: Int): Seq[(Long, Int, Long, Double)] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lid")).orderBy(col("km"), col("rid"))
+    l.crossJoin(r)
+      .withColumn("km", GeoOps.haversineKm(col("llat"), col("llon"), col("rlat"), col("rlon")))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("lid"), col("rn"), col("rid"), round(col("km"), 6).as("km"))
+      .collect().toSeq.map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getDouble(3))).sorted
+  }
+
+  private def gridK(l: DataFrame, r: DataFrame, k: Int,
+      cellDeg: Double): Seq[(Long, Int, Long, Double)] =
+    GeoOps.nearestK(l, "lid", "llat", "llon", r, "rid", "rlat", "rlon", k, cellDeg)
+      .select(col("lid"), col("rank"), col("rid"), round(col("km"), 6).as("km"))
+      .collect().toSeq.map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getDouble(3))).sorted
+
+  test("nearestK equals brute-force top-k at several cell sizes, ladder and fallback included") {
+    val l = pts((1L to 200L).map(i => (i, (i * 37 % 1700) / 10.0 - 85.0,
+      (i * 91 % 3600) / 10.0 - 180.0)), "l")
+    val r = pts((1L to 30L).map(i => (i, (i * 53 % 1700) / 10.0 - 85.0,
+      (i * 131 % 3600) / 10.0 - 180.0)), "r")
+    for (cell <- Seq(5.0, 15.0, 45.0))
+      assert(gridK(l, r, 3, cell) === bruteK(l, r, 3), s"cellDeg=$cell diverged")
+    // k larger than |R| returns exactly what exists, still exact
+    val fewR = pts(Seq((1L, 10.0, 10.0), (2L, 60.0, -120.0)), "r")
+    assert(gridK(l, fewR, 5, 15.0) === bruteK(l, fewR, 5))
+  }
+
   // ---------------------------------------------------------------- fences
 
   private def kite(id: Long, clat: Double, clon: Double, dy: Double, dx: Double) =
