@@ -160,26 +160,43 @@ object DataSkipping {
       bloomProbe(col(s"tokbloom_$a"), lit(hash))
     }
 
+    // Literal OR a foldable cast of one: an ANALYZED-but-not-optimized
+    // predicate (the shape the pruned-scan entry points hand over) carries
+    // the analyzer's type-coercion casts unfolded — `id >= 1000` over a
+    // bigint column arrives as GreaterThanOrEqual(id, Cast(1000, bigint)),
+    // and matching only bare Literals silently stops pruning on exactly
+    // the most common comparisons. Folding evaluates the SAME expression
+    // the runtime comparison would (same value, same dataType), so the
+    // bound test stays exact; an eval that throws (ANSI cast overflow)
+    // just declines to prune.
+    object Lit {
+      def unapply(e: Expression): Option[Literal] = e match {
+        case v: Literal => Some(v)
+        case c: Cast if c.foldable && c.deterministic =>
+          scala.util.Try(Literal(c.eval(null), c.dataType)).toOption
+        case _ => None
+      }
+    }
     def go(e: Expression): Column = e match {
       case And(a, b) => go(a) && go(b)
       case Or(a, b) => go(a) || go(b)
-      case ArrayContains(TokensOf(a), v: Literal) => tokenBloomHit(a, v)
-      case EqualTo(Attr(a), v: Literal) if known(a) || bloomCols.contains(a) => eqCheck(a, v)
-      case EqualTo(v: Literal, Attr(a)) if known(a) || bloomCols.contains(a) => eqCheck(a, v)
-      case LessThan(Attr(a), v: Literal) if known(a) => safe(mn(a) < l(v))
-      case LessThanOrEqual(Attr(a), v: Literal) if known(a) => safe(mn(a) <= l(v))
-      case GreaterThan(Attr(a), v: Literal) if known(a) => safe(mx(a) > l(v))
-      case GreaterThanOrEqual(Attr(a), v: Literal) if known(a) => safe(mx(a) >= l(v))
+      case ArrayContains(TokensOf(a), Lit(v)) => tokenBloomHit(a, v)
+      case EqualTo(Attr(a), Lit(v)) if known(a) || bloomCols.contains(a) => eqCheck(a, v)
+      case EqualTo(Lit(v), Attr(a)) if known(a) || bloomCols.contains(a) => eqCheck(a, v)
+      case LessThan(Attr(a), Lit(v)) if known(a) => safe(mn(a) < l(v))
+      case LessThanOrEqual(Attr(a), Lit(v)) if known(a) => safe(mn(a) <= l(v))
+      case GreaterThan(Attr(a), Lit(v)) if known(a) => safe(mx(a) > l(v))
+      case GreaterThanOrEqual(Attr(a), Lit(v)) if known(a) => safe(mx(a) >= l(v))
       // literal-on-left comparisons: same interval test, flipped
-      case LessThan(v: Literal, Attr(a)) if known(a) => safe(mx(a) > l(v))
-      case LessThanOrEqual(v: Literal, Attr(a)) if known(a) => safe(mx(a) >= l(v))
-      case GreaterThan(v: Literal, Attr(a)) if known(a) => safe(mn(a) < l(v))
-      case GreaterThanOrEqual(v: Literal, Attr(a)) if known(a) => safe(mn(a) <= l(v))
+      case LessThan(Lit(v), Attr(a)) if known(a) => safe(mx(a) > l(v))
+      case LessThanOrEqual(Lit(v), Attr(a)) if known(a) => safe(mx(a) >= l(v))
+      case GreaterThan(Lit(v), Attr(a)) if known(a) => safe(mn(a) < l(v))
+      case GreaterThanOrEqual(Lit(v), Attr(a)) if known(a) => safe(mn(a) <= l(v))
       case In(Attr(a), vs) if (known(a) || bloomCols.contains(a)) &&
-          vs.forall(_.isInstanceOf[Literal]) =>
+          vs.forall(Lit.unapply(_).isDefined) =>
         // empty IN-list matches nothing; foldLeft keeps that exact (and
         // avoids reduce's crash on Nil)
-        vs.foldLeft(lit(false))((acc, v) => acc || eqCheck(a, v.asInstanceOf[Literal]))
+        vs.foldLeft(lit(false))((acc, v) => acc || eqCheck(a, Lit.unapply(v).get))
       case InSet(child @ Attr(a), hset) if known(a) || bloomCols.contains(a) =>
         // the optimizer rewrites IN-lists longer than
         // spark.sql.optimizer.inSetConversionThreshold (default 10) to

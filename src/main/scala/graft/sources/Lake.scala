@@ -1290,21 +1290,55 @@ object Lake {
     require(refs.nonEmpty,
       "SELECT over lake paths: no FROM|JOIN '<path>' table reference " +
         s"found in: $statement")
+    // SINGLE-table statements keep file-level stats pruning: when the
+    // outer WHERE parses to a deterministic predicate that resolves
+    // against the table, the view is built over scanPruned — persisted
+    // per-file stats skip files before the delegated plan ever sees them.
+    // The statement's own WHERE re-applies the filter (idempotent, which
+    // is why non-deterministic predicates are excluded), and anything
+    // unresolvable (aliases, subqueries) just falls back to the full
+    // scan — pruning is an optimization, never a semantic dependency.
+    val prunePred: Option[org.apache.spark.sql.Column] =
+      if (refs.length != 1) None
+      else outerWhereText(statement).flatMap { p =>
+        scala.util.Try(org.apache.spark.sql.functions.expr(p)).toOption
+          .filter(c => org.apache.spark.sql.graft.Bridge.expression(c).deterministic)
+      }
     val sb = new java.lang.StringBuilder
     var pos = 0
     refs.foreach { r =>
       // a TIMESTAMP pin resolves to its version first, so the view name
       // stays content-addressed on what is actually read
       val v = if (r.atMs >= 0) versionAt(spark, r.path, r.atMs) else r.version
+      val scan = prunePred.flatMap(p =>
+        scala.util.Try(scanPruned(spark, r.path, p, v)._1).toOption)
+        .getOrElse(read(spark, r.path, v))
+      val pruneTag = if (prunePred.isDefined) "p" else ""
       val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"${r.path}@$v".getBytes("UTF-8"))
+        .digest(s"${r.path}@$v@$pruneTag${outerWhereText(statement).getOrElse("")}"
+          .getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(16)
       val view = s"graft_lake_$key"
-      read(spark, r.path, v).createOrReplaceTempView(view)
+      scan.createOrReplaceTempView(view)
       sb.append(statement.substring(pos, r.start)).append(view)
       pos = r.end
     }
     sb.append(statement.substring(pos))
     spark.sql(sb.toString)
+  }
+
+  /** The outer WHERE clause's text, when the statement has one at the
+    * TOP level (quote/paren-aware — a WHERE inside a subquery or string
+    * literal never matches): the slice from WHERE to the next top-level
+    * clause keyword. */
+  private def outerWhereText(statement: String): Option[String] = {
+    val whereIdx = topLevelKeyword(statement, "WHERE")
+    if (whereIdx < 0) return None
+    val end = Seq("GROUP", "HAVING", "ORDER", "LIMIT", "WINDOW", "QUALIFY",
+        "UNION", "INTERSECT", "EXCEPT")
+      .map(kw => topLevelKeyword(statement, kw, whereIdx))
+      .filter(_ > whereIdx)
+      .minOption.getOrElse(statement.length)
+    Some(statement.substring(whereIdx + 5, end).trim).filter(_.nonEmpty)
   }
 }
