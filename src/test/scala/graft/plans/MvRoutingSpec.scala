@@ -359,6 +359,24 @@ class MvRoutingSpec extends SparkSpec {
     }
   }
 
+  test("statement-text aggregate over a DELTA base routes to its MV") {
+    val table = deltaBase()
+    val mv = tmp("mv_dsql_stmt") + "/mv"
+    try {
+      Mv.createDelta(spark, table, mv, Seq("l_returnflag"), Seq("l_quantity"))
+      val stmt = s"SELECT l_returnflag, round(sum(l_quantity), 2) AS s " +
+        s"FROM '$table' GROUP BY l_returnflag ORDER BY l_returnflag"
+      val routed = graft.sources.Lake.sqlFrame(spark, stmt)
+      assert(scannedLocations(routed).contains(mv),
+        "a delegated statement over a Delta base must route to the MV")
+      spark.conf.set("spark.graft.mv.routing", "false")
+      val baseline = try graft.sources.Lake.sqlFrame(spark, stmt)
+        .collect().toSeq.map(_.toSeq)
+      finally spark.conf.set("spark.graft.mv.routing", "true")
+      assert(routed.collect().toSeq.map(_.toSeq) === baseline)
+    } finally Mv.clearRegistry()
+  }
+
   test("DROP MATERIALIZED VIEW refuses a path that is not an MV store") {
     val victim = tmp("mv_victim")
     java.nio.file.Files.writeString(

@@ -528,6 +528,14 @@ class LakeDmlSpec extends SparkSpec {
 
     // no table reference at all → loud refusal, not a silent session query
     intercept[IllegalArgumentException](Lake.sqlFrame(spark, "SELECT 1 AS x"))
+
+    // SELF-JOIN ACROSS VERSIONS of one path in one statement — the
+    // time-travel diff query (what changed since v0): each reference gets
+    // its own content-addressed view, so the two pins never collide
+    assert(Lake.sqlFrame(spark,
+        s"SELECT b.id FROM '$t' b LEFT JOIN '$t' VERSION AS OF $v0 a " +
+          "ON a.id = b.id WHERE a.id IS NULL ORDER BY b.id")
+      .as[Long].collect().toSeq === Seq(4L))
   }
 
   test("delegated single-table statements keep file-level stats pruning") {
