@@ -234,7 +234,37 @@ object StreamingQueries {
       FROM events WHERE event_id % 3 <= 1 AND event_type <> 'error'
       GROUP BY event_type ORDER BY event_type"""))
 
+  /** ST19: streaming geofence — the J14 grid join applied verbatim to a
+    * streaming points frame (stateless stream-static equi-join on the
+    * (band, cell) key + codegen'd ray cast). Oracle = the batch
+    * crossing-parity SQL over the same derived sites. */
+  val st19 = GQuery(
+    "st19_stream_geofence",
+    (s, dir) => StreamOps.streamingGeofence(s, dir),
+    Some("""WITH p AS (SELECT event_id,
+        (user_id*37 % 1700)/10.0 - 85.0 AS plat,
+        (user_id*91 % 3600)/10.0 - 180.0 AS plon FROM events),
+      g AS (SELECT n_nationkey AS poly_id,
+        (n_nationkey*97 % 1400)/10.0 - 70.0 AS clat,
+        (n_nationkey*139 % 3300)/10.0 - 165.0 AS clon,
+        2.0 + (n_nationkey*7 % 80)/10.0 AS dy,
+        2.0 + (n_nationkey*11 % 80)/10.0 AS dx FROM nation),
+      v AS (SELECT poly_id, 0 AS seq, clat + dy AS lat, clon AS lon FROM g
+        UNION ALL SELECT poly_id, 1, clat, clon + dx FROM g
+        UNION ALL SELECT poly_id, 2, clat - dy, clon FROM g
+        UNION ALL SELECT poly_id, 3, clat, clon - dx FROM g),
+      e AS (SELECT a.poly_id, a.lat AS y1, a.lon AS x1, b.lat AS y2, b.lon AS x2
+        FROM v a JOIN v b ON a.poly_id = b.poly_id AND b.seq = (a.seq + 1) % 4),
+      hits AS (SELECT p.event_id, e.poly_id,
+          sum(CASE WHEN (y1 > plat) <> (y2 > plat)
+               AND plon < (x2 - x1) * (plat - y1) / (y2 - y1) + x1
+              THEN 1 ELSE 0 END) AS crossings
+        FROM p CROSS JOIN e GROUP BY p.event_id, e.poly_id)
+      SELECT poly_id, count(*) AS n_events
+      FROM hits WHERE crossings % 2 = 1
+      GROUP BY poly_id ORDER BY poly_id"""))
+
   def all: Seq[GQuery] =
     Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13, st14, st15, st16,
-      st18)
+      st18, st19)
 }

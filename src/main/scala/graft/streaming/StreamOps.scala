@@ -274,6 +274,40 @@ object StreamOps {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** ST19: STREAMING GEOFENCE enrichment — the band-grid join's shape is
+    * exactly what makes containment streamable: Structured Streaming
+    * forbids arbitrary non-equi stream-static conditions, but the grid
+    * reduces point-in-polygon to a stateless EQUI-join on (band, cell)
+    * against the static fence cover plus a per-row codegen'd ray-cast
+    * filter — [[graft.operators.GeoOps.geofence]] applied verbatim to a
+    * streaming points frame. Event sites derive from user_id; fences are
+    * t86's kite fixtures; Complete-mode rollup of contained events per
+    * fence. At any event rate the stream side carries one key per event
+    * and no state store exists at all. */
+  def streamingGeofence(spark: SparkSession, sfDir: String): DataFrame = {
+    val fences = graft.Tables(spark, sfDir, "nation").select(
+        col("n_nationkey").as("poly_id"),
+        ((col("n_nationkey") * 97 % 1400) / lit(10.0) - 70.0).as("clat"),
+        ((col("n_nationkey") * 139 % 3300) / lit(10.0) - 165.0).as("clon"),
+        (lit(2.0) + (col("n_nationkey") * 7 % 80) / lit(10.0)).as("dy"),
+        (lit(2.0) + (col("n_nationkey") * 11 % 80) / lit(10.0)).as("dx"))
+      .select(col("poly_id"), array(
+        struct((col("clat") + col("dy")).as("lat"), col("clon").as("lon")),
+        struct(col("clat").as("lat"), (col("clon") + col("dx")).as("lon")),
+        struct((col("clat") - col("dy")).as("lat"), col("clon").as("lon")),
+        struct(col("clat").as("lat"), (col("clon") - col("dx")).as("lon"))
+      ).as("verts"))
+    val pts = eventsStream(spark, sfDir).select(col("event_id"),
+      ((col("user_id") * 37 % 1700) / lit(10.0) - 85.0).as("plat"),
+      ((col("user_id") * 91 % 3600) / lit(10.0) - 180.0).as("plon"))
+    val contained = graft.operators.GeoOps.geofence(pts, "event_id",
+      "plat", "plon", fences, "poly_id", "verts", cellDeg = 15.0)
+    val agg = contained.groupBy(col("poly_id"))
+      .agg(count(lit(1)).as("n_events"))
+    runToTable(spark, agg, "st19_geofence_sink", OutputMode.Complete())
+      .orderBy(col("poly_id"))
+  }
+
   /** ST8: `dropDuplicatesWithinWatermark` — dedup where duplicate events
     * may arrive up to the watermark delay apart, without keeping unbounded
     * key state (unlike plain `dropDuplicates`, state for a key is dropped
