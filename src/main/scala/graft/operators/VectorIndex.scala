@@ -184,6 +184,49 @@ object VectorIndex {
     graft.sources.Lake.compact(spark, s"$dir/vectors")
   }
 
+  /** Keep the index in sync with a LAKE-BACKED corpus table (the source
+    * of truth the embeddings live in) — the vector-index twin of the MV's
+    * incremental refresh: fold the corpus's change feed
+    * (sinceVersion, current] into the index. 'delete' rows remove their
+    * ids (chunked transactional MoR deletes; the id list is driver-side
+    * metadata bounded by the feed's delete count); 'insert' rows upsert
+    * with the FROZEN quantizer (and codebooks, on a PQ index) — an id
+    * appearing on both legs is an UPDATE and nets to the upsert, and a
+    * rewrite commit's delete+insert pair for an unchanged row degenerates
+    * to an idempotent re-upsert. Maintenance cost tracks WHAT CHANGED in
+    * the corpus, never its size: the feed is a file-granularity snapshot
+    * diff on both formats. No-op when the corpus hasn't moved. Returns
+    * the corpus version the index now reflects. */
+  def syncFromChanges(spark: SparkSession, dir: String, corpusTable: String,
+      idCol: String, vecCol: String, sinceVersion: Long): Long = {
+    requireLake(spark, dir, "syncFromChanges")
+    val (cur, feed) = graft.sources.Lake.detect(spark, corpusTable) match {
+      case graft.sources.Lake.Delta =>
+        (graft.sources.DeltaRead.snapshotInfo(spark, corpusTable).version,
+          (a: Long, b: Long) => graft.sources.DeltaRead.changesBetween(spark, corpusTable, a, b))
+      case graft.sources.Lake.Iceberg =>
+        (graft.sources.IcebergRead.currentSnapshotId(spark, corpusTable),
+          (a: Long, b: Long) => graft.sources.IcebergRead.changesBetween(spark, corpusTable, a, b))
+      case other => throw new IllegalArgumentException(
+        s"syncFromChanges needs a versioned lake corpus (change feed); got $other at $corpusTable")
+    }
+    if (cur == sinceVersion) return cur
+    val changes = feed(sinceVersion, cur)
+      .select(col(idCol), col(vecCol), col("_change_type"))
+      .localCheckpoint(false) // both legs read it
+    val ins = changes.where(col("_change_type") === "insert")
+      .select(col(idCol), col(vecCol))
+    val delOnly = changes.where(col("_change_type") === "delete")
+      .select(col(idCol)).distinct()
+      .join(ins.select(col(idCol)), Seq(idCol), "left_anti")
+    val delIds = delOnly.collect().map(_.get(0))
+    delIds.grouped(50000).foreach { chunk =>
+      removeWhere(spark, dir, col(idCol).isin(chunk.toSeq: _*))
+    }
+    if (!ins.isEmpty) upsert(spark, dir, ins, idCol, vecCol)
+    cur
+  }
+
   private def requireLake(spark: SparkSession, dir: String, op: String): Unit =
     require(storeFormat(spark, dir) != "parquet",
       s"$op needs a lake-backed index (transactional keyed delete/merge); " +

@@ -1618,6 +1618,56 @@ object LlmQueries {
     },
     Some(annRecallOracle("WHERE q.vec_id < 100")))
 
+  /** L43 INDEX-CORPUS SYNC: the pipeline verb tying the index to its
+    * source-of-truth table — embeddings land in a Delta corpus, the index
+    * builds from snapshot v0, the corpus then mutates (slice deleted, a
+    * batch RE-EMBEDDED via upsert — element-wise +1.0, which SHIFTS
+    * cosine geometry, unlike a scale factor), and ONE
+    * [[VectorIndex.syncFromChanges]] folds the change feed in: deletes
+    * out, updates replaced, cost tracking the feed. The exhaustive probe
+    * must hash-match brute force over the corpus's CURRENT state — a
+    * stale vector, surviving deleted id, or duplicated update each break
+    * the hash. */
+  val l43sync = GQuery(
+    "l43_vector_index_sync",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corp = java.nio.file.Files.createTempDirectory("graft_vidx_sc").toString + "/corpus"
+      val v0 = graft.sources.DeltaWrite.append(s, emb, corp)
+      val idx = java.nio.file.Files.createTempDirectory("graft_vidx_s").toString + "/idx"
+      VectorIndex.build(graft.sources.DeltaRead.snapshot(s, corp),
+        "vec_id", "embedding", idx, nCells = 8, iters = 3, format = "delta")
+      graft.sources.DeltaWrite.deleteWhere(s, corp, col("vec_id") >= 300L)
+      graft.sources.DeltaWrite.upsert(s,
+        emb.where(col("vec_id") < 10)
+          .select(col("vec_id"), transform(col("embedding"), x => x + 1.0f).as("embedding"),
+            col("label")),
+        corp, Seq("vec_id"))
+      VectorIndex.syncFromChanges(s, idx, corp, "vec_id", "embedding", v0)
+      val cur = graft.sources.DeltaRead.snapshot(s, corp)
+      VectorIndex.query(s, idx, cur.where(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nProbe = 8)
+        .select(col("vec_id"), col("rank"), col("nn_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("vec_id"), col("rank"))
+    },
+    Some("""WITH e AS (SELECT vec_id,
+        CASE WHEN vec_id < 10
+          -- the +1 happens in FLOAT32 exactly like the engine side (both
+          -- widen to double only afterwards) — double-side addition would
+          -- differ in the low bits and can flip near-tie ranks
+          THEN (list_transform(embedding, x -> x + CAST(1.0 AS FLOAT)))::DOUBLE[]
+          ELSE embedding::DOUBLE[] END AS v
+      FROM embeddings WHERE vec_id < 300),
+      n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      pairs AS (SELECT q.vec_id, c.vec_id AS nn_id,
+          list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+        FROM n q JOIN n c ON q.vec_id <> c.vec_id WHERE q.vec_id < 10),
+      ranked AS (SELECT vec_id, nn_id, cosine,
+          row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nn_id) AS rank
+        FROM pairs)
+      SELECT vec_id, rank, nn_id, round(cosine, 4) AS cosine
+      FROM ranked WHERE rank <= 5 ORDER BY vec_id, rank"""))
+
   /** L42 COMPRESSION-RATIO QUALITY GATE: the deflate-ratio signal
     * ([[TextFunctions.compressionRatio]]) over every ≥400-char document —
     * the CCNet/Gopher-style "too compressible = boilerplate, too
@@ -1652,5 +1702,5 @@ object LlmQueries {
     l31, l32, l34, l35,
     l4langid, l5, l6, l7, l8, l9,
     l10, l11, l11b, l12, l33, l36, l37, l38, l39, l40, l41, l13, l14, l15, l16, l17, l18, l19, l20,
-    l21, l22, l24, l24b, l25, l42, l43, l43recall, l43lifecycle, l43pqRecall)
+    l21, l22, l24, l24b, l25, l42, l43, l43recall, l43lifecycle, l43pqRecall, l43sync)
 }

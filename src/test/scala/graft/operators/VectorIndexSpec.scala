@@ -385,6 +385,42 @@ class VectorIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("codebooks"), e.getMessage)
   }
 
+  test("syncFromChanges folds a corpus change feed: deletes out, updates replaced, inserts in") {
+    val all = corpus(50)
+    // the corpus lives in a Delta table — the source of truth
+    val corp = tmp("graft_vidx_sync_corpus")
+    val v0 = graft.sources.DeltaWrite.append(spark, all.where(col("vec_id") < 40), corp)
+    val dir = tmp("graft_vidx_sync")
+    VectorIndex.build(graft.sources.DeltaRead.snapshot(spark, corp),
+      "vec_id", "embedding", dir, nCells = 4, iters = 3, format = "delta")
+
+    // corpus evolves: delete a slice, UPDATE ids 0..5 (re-embed), insert new
+    graft.sources.DeltaWrite.deleteWhere(spark, corp, col("vec_id") >= 30L)
+    val reem = (0 until 6).map { i =>
+      (i.toLong, Array.tabulate(4)(d => math.cos(i * 29 + d * 11).toFloat))
+    }.toDF("vec_id", "embedding")
+    graft.sources.DeltaWrite.upsert(spark, reem, corp, Seq("vec_id"))
+    graft.sources.DeltaWrite.append(spark, all.where(col("vec_id") >= 40), corp)
+
+    val cur = VectorIndex.syncFromChanges(spark, dir, corp, "vec_id", "embedding", v0)
+    assert(cur === graft.sources.DeltaRead.snapshotInfo(spark, corp).version)
+
+    // the index answers exactly like brute force over the CURRENT corpus
+    val current = graft.sources.DeltaRead.snapshot(spark, corp)
+    val q = current.where(col("vec_id") < 6)
+    assert(collected(VectorIndex.query(spark, dir, q, "vec_id", "embedding",
+        k = 3, nProbe = 4)) ===
+      collected(Similarity.bruteForceTopK(current, q, "vec_id", "embedding", k = 3)))
+    // no duplicated ids, no surviving deleted ids
+    val store = graft.sources.DeltaRead.snapshot(spark, s"$dir/vectors")
+    assert(store.groupBy(col("vec_id")).count().where(col("count") > 1).count() === 0L)
+    assert(store.where(col("vec_id") >= 30L && col("vec_id") < 40L).count() === 0L)
+    // no-op when the corpus hasn't moved
+    val verBefore = graft.sources.DeltaRead.snapshotInfo(spark, s"$dir/vectors").version
+    VectorIndex.syncFromChanges(spark, dir, corp, "vec_id", "embedding", cur)
+    assert(graft.sources.DeltaRead.snapshotInfo(spark, s"$dir/vectors").version === verBefore)
+  }
+
   test("build is deterministic across input layouts") {
     val c = corpus(40)
     val d1 = tmp("graft_vidx_a")
