@@ -187,16 +187,20 @@ object VectorIndex {
   /** Keep the index in sync with a LAKE-BACKED corpus table (the source
     * of truth the embeddings live in) — the vector-index twin of the MV's
     * incremental refresh: fold the corpus's change feed
-    * (sinceVersion, current] into the index. 'delete' rows remove their
-    * ids (chunked transactional MoR deletes; the id list is driver-side
-    * metadata bounded by the feed's delete count); 'insert' rows upsert
-    * with the FROZEN quantizer (and codebooks, on a PQ index) — an id
-    * appearing on both legs is an UPDATE and nets to the upsert, and a
-    * rewrite commit's delete+insert pair for an unchanged row degenerates
-    * to an idempotent re-upsert. Maintenance cost tracks WHAT CHANGED in
-    * the corpus, never its size: the feed is a file-granularity snapshot
-    * diff on both formats. No-op when the corpus hasn't moved. Returns
-    * the corpus version the index now reflects. */
+    * (sinceVersion, current] into the index as ONE changelog apply
+    * ([[graft.sources.Lake.applyChanges]]): every affected id's current
+    * index row is MoR-deleted and the insert-leg rows land re-assigned
+    * under the FROZEN quantizer (and re-encoded with the frozen
+    * codebooks, on a PQ index) — delete-only ids vanish, updated ids
+    * swap atomically even when the new embedding moves them to a
+    * different cell, and a rewrite commit's delete+insert pair for an
+    * unchanged row degenerates to an idempotent re-apply. Everything is
+    * distributed (the apply is a semi-join against the broadcast
+    * affected-key set; nothing O(feed) on the driver), cost tracks WHAT
+    * CHANGED in the corpus (the feed is a file-granularity snapshot diff
+    * on both formats), and a reader sees the old or the new index state
+    * of every id, never a mix. No-op when the corpus hasn't moved.
+    * Returns the corpus version the index now reflects. */
   def syncFromChanges(spark: SparkSession, dir: String, corpusTable: String,
       idCol: String, vecCol: String, sinceVersion: Long): Long = {
     requireLake(spark, dir, "syncFromChanges")
@@ -213,17 +217,26 @@ object VectorIndex {
     if (cur == sinceVersion) return cur
     val changes = feed(sinceVersion, cur)
       .select(col(idCol), col(vecCol), col("_change_type"))
-      .localCheckpoint(false) // both legs read it
-    val ins = changes.where(col("_change_type") === "insert")
-      .select(col(idCol), col(vecCol))
-    val delOnly = changes.where(col("_change_type") === "delete")
-      .select(col(idCol)).distinct()
-      .join(ins.select(col(idCol)), Seq(idCol), "left_anti")
-    val delIds = delOnly.collect().map(_.get(0))
-    delIds.grouped(50000).foreach { chunk =>
-      removeWhere(spark, dir, col(idCol).isin(chunk.toSeq: _*))
-    }
-    if (!ins.isEmpty) upsert(spark, dir, ins, idCol, vecCol)
+    val cb = codebooksOf(spark, dir)
+    // insert-leg rows carry the store's derived columns; delete-leg rows
+    // only contribute their KEY to the apply — the placeholder cell/codes
+    // never land in the store, they just satisfy the changelog schema
+    val ins = withCodes(
+      Similarity.assignCells(
+          changes.where(col("_change_type") === "insert")
+            .select(col(idCol), col(vecCol)), vecCol,
+          spark.read.parquet(s"$dir/centroids"))
+        .select(col(idCol), col(vecCol), col("__cell").as("cell")),
+      idCol, vecCol, cb)
+      .withColumn("_change_type", lit("insert"))
+    val delBase = changes.where(col("_change_type") === "delete")
+      .select(col(idCol), col(vecCol), lit(-1).as("cell"))
+    val del = (if (cb.isDefined)
+        delBase.withColumn("codes", lit(null).cast("array<int>"))
+      else delBase)
+      .withColumn("_change_type", lit("delete"))
+    graft.sources.Lake.applyChanges(spark, ins.unionByName(del),
+      s"$dir/vectors", Seq(idCol))
     cur
   }
 
