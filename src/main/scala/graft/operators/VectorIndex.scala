@@ -38,8 +38,9 @@ import graft.functions.VectorOps
   * codebooks train at build time and every vector's m codes persist
   * BESIDE it in the cell layout. A probe then reads the (id, codes)
   * columns only — parquet is columnar, so the float vectors' bytes never
-  *  leave disk during scoring (codes are m ints vs d doubles: a 10–64×
-  * probe-IO cut at embedding dimensions that matter) — ADC-scores the
+  * leave disk during scoring (measured ~20× fewer compressed bytes at
+  * d=64/m=16, SCALING.md round 13; higher dimensions widen it) —
+  * ADC-scores the
   * codes against a broadcast per-query lookup table, and exactly
   * re-ranks only the SHORTLIST from full vectors fetched by an id
   * pushdown. The frozen codebooks are part of the index contract exactly
@@ -400,7 +401,8 @@ object VectorIndex {
   /** Top-k from the PQ tier: the coarse probe is identical to [[query]],
     * but scoring inside the probed cells reads ONLY the (id, codes)
     * columns — parquet column pruning leaves the float vectors on disk,
-    * so probe IO shrinks by ~(d·8)/(m·4) (32× at d=256, m=16) — and runs
+    * so probe IO shrinks to the codes chunks (measured ~20× fewer
+    * compressed bytes at d=64/m=16; ~(d·8)/(m·4) raw) — and runs
     * ADC against the broadcast per-query lookup table
     * ([[Similarity.pqLut]]: m × pqCodes exact sub-dots per query). The
     * top-`shortlist` candidates per query are then re-ranked EXACTLY
