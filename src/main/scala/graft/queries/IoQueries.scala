@@ -1239,6 +1239,30 @@ object IoQueries {
       GROUP BY l_orderkey, o_orderdate
       ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
 
+  /** WINDOW FUNCTIONS through the delegated lake SQL (the statement shape
+    * after joins/aggregates a SQL-first user writes next): top-3 events
+    * per type by value via `row_number() OVER (...)` in a subquery, in
+    * ONE statement over a Delta path. Proves the delegation handles
+    * window specs + derived-table nesting; the oracle is the identical
+    * DuckDB text over raw events. */
+  val tlakeSqlWindow = GQuery(
+    "t_lake_sql_window",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events").select(col("event_id"), col("value"), col("event_type"))
+      val t = tmp("graft_sqlwin_q") + "/tbl"
+      graft.sources.DeltaWrite.append(s, ev, t)
+      graft.sources.Lake.sqlFrame(s,
+        s"SELECT event_type, event_id, rnk FROM (" +
+          s"SELECT event_type, event_id, row_number() OVER " +
+          s"(PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk " +
+          s"FROM '$t') WHERE rnk <= 3 ORDER BY event_type, rnk")
+    },
+    Some("""SELECT event_type, event_id, CAST(rnk AS INT) AS rnk FROM (
+        SELECT event_type, event_id, row_number() OVER
+          (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
+        FROM events) t
+      WHERE rnk <= 3 ORDER BY event_type, rnk"""))
+
   /** `ALTER TABLE ... ADD COLUMN` through statement text (Lake.sql →
     * [[graft.sources.Lake.addColumn]]): metadata-only schema evolution on
     * BOTH formats. Per format: seed (event_id, value), ADD COLUMN tag
@@ -1632,6 +1656,7 @@ object IoQueries {
       tdeltaDv, tdeltaUpsert, ticebergPart, ticebergHiddenPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tlakeReplaceWhere, tlakeSqlDml,
       tlakeSqlMaintenance, tlakeSqlSelect, tlakeSqlAgg, tlakeSqlAlterAdd, tlakeTpchSql,
+      tlakeSqlWindow,
       tcdcApply, tlakeSync, tlakeClone,
       tlakeRestore, tlakeRename, tlakeUniform, tlakeUniformRev, tlakeConvert)
 }

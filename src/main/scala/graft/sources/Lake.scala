@@ -1101,6 +1101,7 @@ object Lake {
     val Describe =
       """(?is)DESCRIBE\s+'([^']+)'\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*)?""".r
     val ShowPartitions = """(?is)SHOW\s+PARTITIONS\s+'([^']+)'\s*""".r
+    val ShowTables = """(?is)SHOW\s+TABLES\s+IN\s+'([^']+)'\s*""".r
     val CountStar = """(?is)SELECT\s+COUNT\s*\(\s*\*\s*\)\s+FROM\s+'([^']+)'\s*""".r
     val Vacuum = """(?is)VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(FORCE)?\s*""".r
     val SelectHead = """(?is)SELECT\s+(.+)""".r
@@ -1115,6 +1116,31 @@ object Lake {
             f.nullable))
           .toDF("col_name", "data_type", "nullable")
       case ShowPartitions(path) => partitionSummary(spark, path)
+      case ShowTables(root) =>
+        // directory-as-catalog listing: every child dir that LOOKS like a
+        // table (a lake log/metadata, or parquet files directly under it),
+        // with its detected format and current version — metadata-only
+        val rootP = new org.apache.hadoop.fs.Path(root)
+        val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(fs.exists(rootP), s"SHOW TABLES IN: no such directory $root")
+        val rows = fs.listStatus(rootP).filter(_.isDirectory).toSeq.flatMap { st =>
+          // address children through the CALLER's path form (listStatus
+          // returns qualified file:/ URIs the local-path readers reject)
+          val name = st.getPath.getName
+          val child = s"${root.stripSuffix("/")}/$name"
+          detect(spark, child) match {
+            case Delta => Some((name, "delta",
+              DeltaRead.snapshotInfo(spark, child).version))
+            case Iceberg => Some((name, "iceberg",
+              IcebergRead.currentSnapshotId(spark, child)))
+            case Parquet =>
+              if (fs.listStatus(st.getPath).exists(f =>
+                  f.isFile && f.getPath.getName.endsWith(".parquet")))
+                Some((name, "parquet", -1L))
+              else None // not a table directory
+          }
+        }.sortBy(_._1)
+        rows.toDF("table", "format", "version")
       case CountStar(path) =>
         Seq(rowCount(spark, path)).toDF("count", "from_metadata")
       case Vacuum(path, retainOrNull, forceOrNull) =>
@@ -1125,6 +1151,36 @@ object Lake {
         simpleSelect(spark, body).getOrElse(delegateSelect(spark, s))
       case other => Seq(sql(spark, other)).toDF("version")
     }
+  }
+
+  /** Multi-statement SCRIPT runner — the migration idiom (CTAS + INSERTs
+    * + ALTERs + OPTIMIZE + a final SELECT) in one call: split on
+    * top-level `;` (quote-aware — a `;` inside a string literal never
+    * splits), execute each statement in order through [[sqlFrame]]
+    * (side-effecting statements run eagerly; interior SELECTs execute and
+    * are discarded), and return the LAST statement's frame as the
+    * script's result. */
+  def sqlScript(spark: SparkSession, script: String): DataFrame = {
+    val stmts = splitStatements(script)
+    require(stmts.nonEmpty, "sqlScript: no statements in the script")
+    stmts.init.foreach(s => sqlFrame(spark, s).collect())
+    sqlFrame(spark, stmts.last)
+  }
+
+  /** Quote-aware split on `;`: literal-internal semicolons stay put;
+    * empty fragments (trailing `;`, blank lines between) drop. */
+  private def splitStatements(script: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new java.lang.StringBuilder
+    var inStr = false
+    script.foreach { c =>
+      if (inStr) { if (c == '\'') inStr = false; cur.append(c) }
+      else if (c == '\'') { inStr = true; cur.append(c) }
+      else if (c == ';') { out += cur.toString; cur.setLength(0) }
+      else cur.append(c)
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 
   /** The single-table FAST PATH of the SELECT surface: `SELECT <cols>

@@ -582,6 +582,34 @@ class LakeDmlSpec extends SparkSpec {
       Lake.sqlFrame(spark, s"SELECT id FROM '$plain' TIMESTAMP AS OF $tMid"))
   }
 
+  test("Lake.sqlScript runs multi-statement scripts; SHOW TABLES lists a directory catalog") {
+    val root = tmp("graft_script")
+    val t = s"$root/sales"
+    // a migration script: CTAS, two INSERTs (one with a literal ';'),
+    // an ALTER, and a final SELECT as the script's result
+    val out = Lake.sqlScript(spark,
+      s"""CREATE TABLE '$t' USING delta AS SELECT 1L AS id, 'a;b' AS note;
+          INSERT INTO '$t' (id, note) VALUES (2, 'x');
+          ALTER TABLE '$t' ADD COLUMN v double;
+          INSERT INTO '$t' (id, note, v) VALUES (3, 'y', 9.5);
+          SELECT id, note FROM '$t' ORDER BY id;""")
+    assert(out.as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a;b"), (2L, "x"), (3L, "y")))
+    assert(Lake.read(spark, t).count() === 3L)
+
+    // SHOW TABLES over the directory: formats + versions, metadata-only
+    IcebergWrite.append(spark, Seq((1L, 1.0)).toDF("id", "v"), s"$root/ice")
+    Seq((1L, 1.0)).toDF("id", "v").write.parquet(s"$root/plain")
+    new java.io.File(s"$root/not_a_table").mkdirs() // excluded
+    val tables = Lake.sqlFrame(spark, s"SHOW TABLES IN '$root'")
+      .as[(String, String, Long)].collect().toSeq
+    assert(tables.map(x => (x._1, x._2)) ===
+      Seq(("ice", "iceberg"), ("plain", "parquet"), ("sales", "delta")))
+    assert(tables.find(_._1 == "sales").get._3 >= 3L, "delta version after 4 commits")
+    intercept[IllegalArgumentException](
+      Lake.sqlFrame(spark, s"SHOW TABLES IN '$root/nope'"))
+  }
+
   test("Lake.sqlFrame DESCRIBE and INSERT INTO with a column list") {
     val t = tmp("graft_desc") + "/tbl"
     val v0 = DeltaWrite.append(spark, Seq((1L, 1.0)).toDF("id", "v"), t)
