@@ -1066,7 +1066,9 @@ object Lake {
     * the commit history frame; `DESCRIBE '<path>' [VERSION AS OF n]` the
     * (version-pinnable) schema as (col_name, data_type, nullable) rows;
     * `SHOW PARTITIONS '<path>'` the metadata-
-    * only [[partitionSummary]]; `SELECT COUNT(*) FROM '<path>'` the
+    * only [[partitionSummary]]; `SHOW TABLES IN '<dir>'` the
+    * directory-as-catalog listing (table, format, version) of every child
+    * that is a table; `SELECT COUNT(*) FROM '<path>'` the
     * metadata-first [[rowCount]] as a (count, from_metadata) row; general
     * reads as
     *
