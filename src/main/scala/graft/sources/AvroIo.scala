@@ -78,10 +78,19 @@ object AvroIo {
           w.append(rec)
           n += 1
         } finally w.close()
-        fsx.delete(file, false) // clear a prior attempt's output, if any
-        if (!fsx.rename(tmp, file)) {
+        // Install without a pre-delete: the final name only ever receives
+        // COMPLETE files (every attempt writes its temp in full first), so
+        // an existing final is a prior attempt's equivalent output — adopt
+        // it. A delete-then-rename pair here would race two live attempts
+        // of the same task: A's delete after B's successful rename leaves
+        // a window where the reported-committed file is gone. Rename
+        // failure is likewise tolerated iff the destination exists (the
+        // loser of the race is already satisfied, not a retry).
+        if (fsx.exists(file)) fsx.delete(tmp, false)
+        else if (!fsx.rename(tmp, file)) {
           fsx.delete(tmp, false)
-          throw new java.io.IOException(s"AvroIo: rename $tmp -> $file failed")
+          if (!fsx.exists(file))
+            throw new java.io.IOException(s"AvroIo: rename $tmp -> $file failed")
         }
         Iterator.single(n)
       }

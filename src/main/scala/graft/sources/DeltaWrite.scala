@@ -104,9 +104,21 @@ object DeltaWrite {
     val stage = Files.createTempDirectory("graft_delta_write").toString
     val writer = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).parquet(stage)
-    val statsByPath = collectFileStats(df.sparkSession, stage,
-      df.schema.fields.toSeq.filterNot(f => partitionBy.contains(f.name))
-        .filter(f => DeltaRead.statsSupported(f.dataType)))
+    // an empty PARTITIONED write lays down no part file at all (there is
+    // no partition value to write under) — nothing staged, and the stats
+    // read-back below would fail schema inference on the empty dir. The
+    // schema-only commit (CREATE TABLE (schema), ADD COLUMN) rides on the
+    // metadata action alone.
+    def anyParquet(dir: java.io.File): Boolean =
+      Option(dir.listFiles()).getOrElse(Array.empty).exists {
+        case d if d.isDirectory => anyParquet(d)
+        case f => f.getName.endsWith(".parquet")
+      }
+    val statsByPath =
+      if (!anyParquet(new java.io.File(stage))) Map.empty[String, String]
+      else collectFileStats(df.sparkSession, stage,
+        df.schema.fields.toSeq.filterNot(f => partitionBy.contains(f.name))
+          .filter(f => DeltaRead.statsSupported(f.dataType)))
 
     def walk(dir: java.io.File, values: Map[String, String]): Seq[(java.io.File, Map[String, String])] =
       Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap {

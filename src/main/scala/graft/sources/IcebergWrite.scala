@@ -304,6 +304,23 @@ object IcebergWrite {
     stagedDf.write.mode("overwrite").partitionBy(dupCols: _*).parquet(stage.toString)
     Files.createDirectories(dataDir(table))
 
+    // an empty PARTITIONED write stages no part file at all (no partition
+    // value to write under): nothing to read back or move — the
+    // schema-only commit (CREATE TABLE (schema), ADD COLUMN) carries just
+    // the evolved metadata
+    def anyStaged(dir: java.io.File): Boolean =
+      Option(dir.listFiles()).getOrElse(Array.empty).exists {
+        case d if d.isDirectory => anyStaged(d)
+        case f => f.getName.endsWith(".parquet")
+      }
+    if (!anyStaged(stage.toFile)) {
+      def rmr0(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr0); f.delete()
+      }
+      rmr0(stage.toFile)
+      return Seq.empty
+    }
+
     val readBack = spark.read.parquet(stage.toString)
     // per-file column stats ride the SAME aggregation job as the row count
     // and partition values: min/max/null-count for every bounds-supported

@@ -741,10 +741,20 @@ object Lake {
     *
     * {{{ OPTIMIZE '<path>' [WHERE <pred>] [ZORDER BY (c1[, c2 ...]) | HILBERT BY (c1, c2[, ...])]
     *     VACUUM '<path>' [RETAIN n VERSIONS] [FORCE]
-    *     RESTORE '<path>' [TO] VERSION AS OF n
+    *     RESTORE '<path>' [TO] {VERSION AS OF n | TIMESTAMP AS OF <ts>}
     *     CONVERT TO DELTA '<dir>' [PARTITIONED BY (c1[, c2 ...])]
-    *     CREATE TABLE '<target>' SHALLOW CLONE '<source>' [VERSION AS OF n]
-    *     EXPORT '<source>' TO {delta | iceberg} '<target>' }}}
+    *     CREATE TABLE '<target>' SHALLOW CLONE '<source>' [VERSION AS OF n | TIMESTAMP AS OF <ts>]
+    *     CREATE TABLE '<path>' (c1 TYPE[, c2 TYPE ...]) USING {delta | iceberg} [PARTITIONED BY (...)]
+    *     EXPORT '<source>' TO {delta | iceberg} '<target>'
+    *     USE '<dir>'   |   USE DEFAULT }}}
+    *
+    * `<ts>` is epoch milliseconds or a quoted `'yyyy-MM-dd[ HH:mm:ss]'` /
+    * ISO-8601 literal (UTC when no zone is given — [[parseTsLiteral]]).
+    * `USE '<dir>'` sets the session's directory catalog: bare FROM/JOIN
+    * identifiers in SELECT statements then resolve to `<dir>/<name>`
+    * through the same format detection SHOW TABLES uses (`USE DEFAULT`
+    * clears it). Column-schema CREATE TABLE commits an empty
+    * schema-bearing append — a zero-data-file table ready for INSERT.
     *
     * and the MATERIALIZED VIEW lifecycle (dispatching to
     * [[graft.plans.Mv]] — the transparent-routing rollups; REFRESH is
@@ -812,6 +822,16 @@ object Lake {
     val Optimize = """(?is)OPTIMIZE\s+'([^']+)'\s*(.*)""".r
     val Vacuum = """(?is)VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(FORCE)?\s*""".r
     val Restore = """(?is)RESTORE\s+'([^']+)'\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*""".r
+    val RestoreAt =
+      """(?is)RESTORE\s+'([^']+)'\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+(?:(\d+)|'([^']+)')\s*""".r
+    val Use = """(?is)USE\s+'([^']+)'\s*""".r
+    val UseDefault = """(?is)USE\s+DEFAULT\s*""".r
+    // column-schema DDL: CREATE TABLE '<p>' (c1 TYPE, ...) USING fmt
+    // [PARTITIONED BY (...)] — the '(' directly after the path is what
+    // separates it from CTAS (whose head is USING) and SHALLOW CLONE
+    val CreateSchema = """(?is)CREATE\s+TABLE\s+'([^']+)'\s*(\(.*)""".r
+    val CreateUsingTail =
+      """(?is)\s*USING\s+(\w+)\s*(?:PARTITIONED\s+BY\s*\(([\w\s,]+)\)\s*)?""".r
     val ZorderTail = """(?is)\s*BY\s*\(([\w\s,]+)\)\s*""".r
     val MvCreate =
       """(?is)CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+ON\s+'([^']+)'\s+KEYS\s*\(([\w\s,]+)\)\s+MEASURES\s*\(([\w\s,]+)\)\s*""".r
@@ -820,7 +840,7 @@ object Lake {
     val Convert =
       """(?is)CONVERT\s+TO\s+DELTA\s+'([^']+)'\s*(?:PARTITIONED\s+BY\s*\(([\w\s,]+)\)\s*)?""".r
     val CloneStmt =
-      """(?is)CREATE\s+TABLE\s+'([^']+)'\s+SHALLOW\s+CLONE\s+'([^']+)'\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*)?""".r
+      """(?is)CREATE\s+TABLE\s+'([^']+)'\s+SHALLOW\s+CLONE\s+'([^']+)'\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*|TIMESTAMP\s+AS\s+OF\s+(?:(\d+)|'([^']+)')\s*)?""".r
     val Export = """(?is)EXPORT\s+'([^']+)'\s+TO\s+(\w+)\s+'([^']+)'\s*""".r
     val AlterRename =
       """(?is)ALTER\s+TABLE\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*""".r
@@ -912,9 +932,12 @@ object Lake {
       case Convert(dir, partsOrNull) =>
         convert(spark, dir, Option(partsOrNull).toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
-      case CloneStmt(target, source, versionOrNull) =>
-        clone(spark, source, target,
-          Option(versionOrNull).map(_.toLong).getOrElse(-1L))
+      case CloneStmt(target, source, versionOrNull, tsNumOrNull, tsStrOrNull) =>
+        val v = Option(versionOrNull).map(_.toLong)
+          .orElse(Option(tsNumOrNull).orElse(Option(tsStrOrNull))
+            .map(t => versionAt(spark, source, parseTsLiteral(t))))
+          .getOrElse(-1L)
+        clone(spark, source, target, v)
       case Export(source, fmt, target) =>
         val as = fmt.toLowerCase match {
           case "delta" => Delta
@@ -923,6 +946,38 @@ object Lake {
             s"EXPORT ... TO $other: supported formats are delta | iceberg")
         }
         export(spark, source, target, as)
+      case CreateSchema(path, fromParen) =>
+        // column-schema DDL — an EMPTY table with the declared schema,
+        // committed as a schema-bearing zero-row append (the same
+        // mechanism addColumn uses): the first statement of a migration
+        // script, no data file written at any scale
+        val close = matchingParen(fromParen, 0)
+        require(close > 0, s"unbalanced column-list parens in: $s")
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          fromParen.substring(1, close))
+        val (format, parts) = fromParen.substring(close + 1) match {
+          case CreateUsingTail(fmt, partsOrNull) =>
+            (fmt.toLowerCase(java.util.Locale.ROOT), Option(partsOrNull).toSeq
+              .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+          case other => throw new IllegalArgumentException(
+            s"CREATE TABLE (schema): expected USING {delta | iceberg} " +
+              s"[PARTITIONED BY (...)], got: $other")
+        }
+        parts.foreach(p => require(schema.fieldNames.contains(p),
+          s"CREATE TABLE: partition column '$p' not in the declared schema"))
+        val tp = new org.apache.hadoop.fs.Path(path)
+        val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(!tfs.exists(tp) || tfs.listStatus(tp).isEmpty,
+          s"CREATE TABLE: $path already exists and is not empty")
+        val empty = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            Seq.empty[org.apache.spark.sql.Row], 1), schema)
+        format match {
+          case "delta" => DeltaWrite.append(spark, empty, path, partitionBy = parts)
+          case "iceberg" => IcebergWrite.append(spark, empty, path, partitionBy = parts)
+          case other => throw new IllegalArgumentException(
+            s"CREATE TABLE USING $other: supported formats are delta | iceberg")
+        }
       case CtasHead(path, format, body) =>
         val (parts, selectTail) = body.trim match {
           case PartitionedHead(fromParen) =>
@@ -937,7 +992,7 @@ object Lake {
           case other => throw new IllegalArgumentException(
             s"CREATE TABLE: expected AS <select>, got: $other")
         }
-        val df = spark.sql(source)
+        val df = sourceFrame(spark, source)
         format.toLowerCase match {
           case "delta" => DeltaWrite.append(spark, df, path, partitionBy = parts)
           case "iceberg" => IcebergWrite.append(spark, df, path, partitionBy = parts)
@@ -976,6 +1031,20 @@ object Lake {
         vacuum(spark, path, retain, age).size.toLong
       case Restore(path, version) =>
         restore(spark, path, version.toLong)
+      case RestoreAt(path, tsNumOrNull, tsStrOrNull) =>
+        val ms = parseTsLiteral(
+          if (tsNumOrNull != null) tsNumOrNull else tsStrOrNull)
+        restore(spark, path, versionAt(spark, path, ms))
+      case Use(dir) =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(fs.exists(p) && fs.getFileStatus(p).isDirectory,
+          s"USE: no such directory $dir")
+        spark.conf.set(UseDirKey, dir)
+        -1L
+      case UseDefault() =>
+        spark.conf.unset(UseDirKey)
+        -1L
       case Delete(path, pred) =>
         deleteWhere(spark, path, expr(pred))
       case MergeHead(path, fromParen) =>
@@ -987,7 +1056,7 @@ object Lake {
           case other => throw new IllegalArgumentException(
             s"MERGE INTO: expected ON (k1[, k2 ...]) after USING (...), got: $other")
         }
-        upsert(spark, spark.sql(source), path, keys)
+        upsert(spark, sourceFrame(spark, source), path, keys)
       case InsertOverwrite(path, body) =>
         body.trim match {
           case ReplaceWhereHead(predAndSource) =>
@@ -1001,11 +1070,11 @@ object Lake {
                   s"source found after the predicate in: $s")
               case idxs => idxs.min
             }
-            replaceWhere(spark, spark.sql(predAndSource.substring(srcIdx)), path,
+            replaceWhere(spark, sourceFrame(spark, predAndSource.substring(srcIdx)), path,
               predAndSource.substring(0, srcIdx).trim)
           case source =>
             detect(spark, path) match {
-              case Delta => DeltaWrite.overwrite(spark, spark.sql(source), path)
+              case Delta => DeltaWrite.overwrite(spark, sourceFrame(spark, source), path)
               case other => throw new IllegalArgumentException(
                 s"INSERT OVERWRITE (whole-table) is wired for Delta; got $other at $path — " +
                   "use INSERT OVERWRITE ... REPLACE WHERE for scoped, or the API")
@@ -1024,7 +1093,7 @@ object Lake {
             (rest, cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           case _ => (body0, Seq.empty[String])
         }
-        val src0 = spark.sql(source)
+        val src0 = sourceFrame(spark, source)
         val src = if (renameTo.isEmpty) src0 else {
           require(renameTo.length == src0.columns.length,
             s"INSERT INTO (${renameTo.mkString(", ")}): column list names " +
@@ -1056,9 +1125,9 @@ object Lake {
         updateWhere(spark, path, assignments, cond)
       case other => throw new IllegalArgumentException(
         "unrecognized lake statement (expected DELETE FROM / UPDATE / MERGE INTO / " +
-          "INSERT [OVERWRITE] / CREATE TABLE [AS | SHALLOW CLONE] / OPTIMIZE / " +
-          "VACUUM / RESTORE / CONVERT TO DELTA / EXPORT / ALTER TABLE " +
-          s"over a quoted path): $other")
+          "INSERT [OVERWRITE] / CREATE TABLE [(schema) | AS | SHALLOW CLONE] / " +
+          "OPTIMIZE / VACUUM / RESTORE / CONVERT TO DELTA / EXPORT / ALTER TABLE / " +
+          s"USE over a quoted path): $other")
     }
   }
 
@@ -1101,7 +1170,7 @@ object Lake {
     val s = statement.trim.stripSuffix(";").trim
     val DescribeHistory = """(?is)DESCRIBE\s+HISTORY\s+'([^']+)'\s*""".r
     val Describe =
-      """(?is)DESCRIBE\s+'([^']+)'\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*)?""".r
+      """(?is)DESCRIBE\s+'([^']+)'\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*|TIMESTAMP\s+AS\s+OF\s+(?:(\d+)|'([^']+)')\s*)?""".r
     val ShowPartitions = """(?is)SHOW\s+PARTITIONS\s+'([^']+)'\s*""".r
     val ShowTables = """(?is)SHOW\s+TABLES\s+IN\s+'([^']+)'\s*""".r
     val CountStar = """(?is)SELECT\s+COUNT\s*\(\s*\*\s*\)\s+FROM\s+'([^']+)'\s*""".r
@@ -1109,10 +1178,13 @@ object Lake {
     val SelectHead = """(?is)SELECT\s+(.+)""".r
     s match {
       case DescribeHistory(path) => history(spark, path)
-      case Describe(path, versionOrNull) =>
-        // schema listing, version-pinnable (time travel shows the OLD
-        // schema on lake tables) — metadata-only on the lake formats
-        val v = Option(versionOrNull).map(_.toLong).getOrElse(-1L)
+      case Describe(path, versionOrNull, tsNumOrNull, tsStrOrNull) =>
+        // schema listing, version- or timestamp-pinnable (time travel
+        // shows the OLD schema on lake tables) — metadata-only
+        val v = Option(versionOrNull).map(_.toLong)
+          .orElse(Option(tsNumOrNull).orElse(Option(tsStrOrNull))
+            .map(t => versionAt(spark, path, parseTsLiteral(t))))
+          .getOrElse(-1L)
         read(spark, path, v).schema.fields.toSeq
           .map(f => (f.name, f.dataType.sql.toLowerCase(java.util.Locale.ROOT),
             f.nullable))
@@ -1136,9 +1208,17 @@ object Lake {
             case Iceberg => Some((name, "iceberg",
               IcebergRead.currentSnapshotId(spark, child)))
             case Parquet =>
-              if (fs.listStatus(st.getPath).exists(f =>
-                  f.isFile && f.getPath.getName.endsWith(".parquet")))
-                Some((name, "parquet", -1L))
+              // a parquet TABLE is either flat (.parquet files directly
+              // under it) or hive-partitioned (key=value subdirectories
+              // holding .parquet files — one level is enough to classify)
+              val children = fs.listStatus(st.getPath)
+              val flat = children.exists(f =>
+                f.isFile && f.getPath.getName.endsWith(".parquet"))
+              def partitioned = children.exists(d =>
+                d.isDirectory && d.getPath.getName.contains("=") &&
+                  fs.listStatus(d.getPath).exists(f =>
+                    f.isFile && f.getPath.getName.endsWith(".parquet")))
+              if (flat || partitioned) Some((name, "parquet", -1L))
               else None // not a table directory
           }
         }.sortBy(_._1)
@@ -1156,30 +1236,46 @@ object Lake {
   }
 
   /** Multi-statement SCRIPT runner — the migration idiom (CTAS + INSERTs
-    * + ALTERs + OPTIMIZE + a final SELECT) in one call: split on
+    * + ALTERs + USE + OPTIMIZE + a final SELECT) in one call: split on
     * top-level `;` (quote-aware — a `;` inside a string literal never
-    * splits), execute each statement in order through [[sqlFrame]]
-    * (side-effecting statements run eagerly; interior SELECTs execute and
-    * are discarded), and return the LAST statement's frame as the
-    * script's result. */
+    * splits, including behind `''` escapes), run each statement in order
+    * through [[sqlFrame]], and return the LAST statement's frame as the
+    * script's result. Side-effecting statements (DML, DDL, maintenance)
+    * execute eagerly inside sqlFrame itself; an interior result-set
+    * statement (a mid-script SELECT/DESCRIBE/SHOW) is merely PLANNED and
+    * its frame discarded — no job runs and nothing is materialized to the
+    * driver, so a large mid-script SELECT costs metadata, not memory. */
   def sqlScript(spark: SparkSession, script: String): DataFrame = {
     val stmts = splitStatements(script)
     require(stmts.nonEmpty, "sqlScript: no statements in the script")
-    stmts.init.foreach(s => sqlFrame(spark, s).collect())
+    stmts.init.foreach(s => sqlFrame(spark, s))
     sqlFrame(spark, stmts.last)
   }
 
-  /** Quote-aware split on `;`: literal-internal semicolons stay put;
-    * empty fragments (trailing `;`, blank lines between) drop. */
+  /** Quote-aware split on `;`: literal-internal semicolons stay put
+    * (including behind doubled-quote escapes — `'it''s; fine'` is ONE
+    * literal, the `''` does not flip the in-string state); empty
+    * fragments (trailing `;`, blank lines between) drop. */
   private def splitStatements(script: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new java.lang.StringBuilder
     var inStr = false
-    script.foreach { c =>
-      if (inStr) { if (c == '\'') inStr = false; cur.append(c) }
+    var i = 0
+    while (i < script.length) {
+      val c = script.charAt(i)
+      if (inStr) {
+        cur.append(c)
+        if (c == '\'') {
+          // peek: '' is an escaped quote INSIDE the literal, not its end
+          if (i + 1 < script.length && script.charAt(i + 1) == '\'') {
+            cur.append('\''); i += 1
+          } else inStr = false
+        }
+      }
       else if (c == '\'') { inStr = true; cur.append(c) }
       else if (c == ';') { out += cur.toString; cur.setLength(0) }
       else cur.append(c)
+      i += 1
     }
     out += cur.toString
     out.result().map(_.trim).filter(_.nonEmpty)
@@ -1208,12 +1304,18 @@ object Lake {
       case _ => return None // FROM target is not a quoted path (subquery, view)
     }
     val VersionHead = """(?is)VERSION\s+AS\s+OF\s+(\d+)\s*(.*)""".r
-    val TimestampHead = """(?is)TIMESTAMP\s+AS\s+OF\s+(\d+)\s*(.*)""".r
+    val TimestampHead = """(?is)TIMESTAMP\s+AS\s+OF\s+(?:(\d+)|'([^']+)')\s*(.*)""".r
     val (version, tail) = tail0 match {
       case VersionHead(v, rest) => (v.toLong, rest.trim)
-      // epoch-ms pin resolves to the version current at that instant,
-      // then flows through the same pruned-scan machinery
-      case TimestampHead(ts, rest) => (versionAt(spark, path, ts.toLong), rest.trim)
+      // a timestamp pin (epoch ms or a quoted timestamp literal) resolves
+      // to the version current at that instant, then flows through the
+      // same pruned-scan machinery; an unparseable literal is not this
+      // dialect — delegate rather than throw
+      case TimestampHead(num, str, rest) =>
+        scala.util.Try(parseTsLiteral(if (num != null) num else str)).toOption match {
+          case Some(ms) => (versionAt(spark, path, ms), rest.trim)
+          case None => return None
+        }
       case _ => (-1L, tail0)
     }
     // any clause beyond [WHERE][ORDER BY][LIMIT] disqualifies the fast
@@ -1239,24 +1341,41 @@ object Lake {
     val pred = if (whereIdx < 0) None
       else Some(tail.substring(whereIdx + 5, sliceEnd(whereIdx)).trim)
     // a WHERE goes through the stats-pruned scan: file skipping via the
-    // format's persisted bounds, THEN the residual filter
+    // format's persisted bounds, THEN the residual filter. A predicate
+    // this dialect cannot express (a subquery over a quoted path parses
+    // to garbage or fails analysis) must DELEGATE, never throw — the
+    // contract is "returns None on shape", and [[delegateSelect]] can
+    // often run the very statement the fast path cannot.
     val base = pred match {
-      case Some(p) => scanPruned(spark, path, expr(p), version)._1
+      case Some(p) =>
+        scala.util.Try(scanPruned(spark, path, expr(p), version)._1) match {
+          case scala.util.Success(df) => df
+          case scala.util.Failure(_) => return None
+        }
       case None => read(spark, path, version)
     }
+    // projection/ordering expressions beyond the dialect (scalar
+    // subqueries, unresolvable texts) likewise fall through to delegation
     val projected =
-      if (cols == Seq("*")) base else base.selectExpr(cols: _*)
+      if (cols == Seq("*")) base
+      else scala.util.Try(base.selectExpr(cols: _*)) match {
+        case scala.util.Success(df) => df
+        case scala.util.Failure(_) => return None
+      }
     val ordered = if (orderIdx < 0) projected else {
       val byIdx = topLevelKeyword(tail, "BY", orderIdx)
       if (byIdx <= orderIdx) return None
       val items = splitTopLevel(tail.substring(byIdx + 2, sliceEnd(orderIdx)))
       if (items.isEmpty) return None
-      projected.orderBy(items.map { item =>
+      scala.util.Try(projected.orderBy(items.map { item =>
         val u = item.toUpperCase(java.util.Locale.ROOT)
         if (u.endsWith(" DESC")) expr(item.dropRight(5).trim).desc
         else if (u.endsWith(" ASC")) expr(item.dropRight(4).trim).asc
         else expr(item)
-      }: _*)
+      }: _*)) match {
+        case scala.util.Success(df) => df
+        case scala.util.Failure(_) => return None
+      }
     }
     if (limitIdx < 0) Some(ordered) else {
       val n = tail.substring(limitIdx + 5).trim
@@ -1265,30 +1384,111 @@ object Lake {
     }
   }
 
-  /** A `FROM|JOIN '<path>' [VERSION AS OF n | TIMESTAMP AS OF ms]` table
-    * reference found in a statement: the span [start, end) covers the
-    * quoted path plus its pin clause (the keyword stays in place when
-    * rewriting). `atMs` is -1 unless a TIMESTAMP pin was given. */
+  /** Parse a TIMESTAMP AS OF literal: bare digits are epoch MILLISECONDS
+    * (the original integer form); anything else is an ISO-8601 /
+    * `yyyy-MM-dd[ HH:mm:ss[.SSS]]` timestamp string, read as UTC when no
+    * zone is given — the form a SQL user actually writes. */
+  private[sources] def parseTsLiteral(ts: String): Long = {
+    val t = ts.trim
+    if (t.matches("""\d+""")) t.toLong
+    else {
+      val iso0 = if (t.contains("T")) t else t.replace(" ", "T")
+      val iso = if (iso0.contains("T")) iso0 else iso0 + "T00:00:00"
+      scala.util.Try(java.time.Instant.parse(iso).toEpochMilli).getOrElse(
+        java.time.LocalDateTime.parse(iso)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    }
+  }
+
+  /** A `FROM|JOIN <table> [VERSION AS OF n | TIMESTAMP AS OF ts]` table
+    * reference found in a statement — a quoted path, or (under `USE`) a
+    * bare identifier the directory catalog resolves. The span
+    * [start, end) covers the path/name plus its pin clause (the FROM/JOIN
+    * keyword stays in place when rewriting). `atMs` is -1 unless a
+    * TIMESTAMP pin was given. `depth` is the paren depth the reference
+    * sits at (0 = the statement's own query block; >0 = inside a derived
+    * table/subquery). `alias` is the reference's effective qualifier —
+    * the explicit `[AS] a` alias when present, else the bare identifier
+    * itself; `aliasInText` says whether that token already exists in the
+    * statement (a bare name WITHOUT an explicit alias must be re-aliased
+    * when its text is replaced by a view name, or qualified columns like
+    * `events.v` would stop resolving). */
   private final case class TableRef(start: Int, end: Int, path: String,
-      version: Long, atMs: Long = -1L)
+      version: Long, atMs: Long = -1L, depth: Int = 0,
+      alias: Option[String] = None, aliasInText: Boolean = false)
+
+  /** Words that may follow a table reference but can never BE its alias —
+    * the clause keywords the alias parse must not swallow. */
+  private val NonAliasWords: Set[String] = Set(
+    "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "ON", "JOIN", "LEFT",
+    "RIGHT", "FULL", "INNER", "CROSS", "OUTER", "UNION", "INTERSECT",
+    "EXCEPT", "WINDOW", "QUALIFY", "USING", "NATURAL", "SEMI", "ANTI",
+    "LATERAL", "VERSION", "TIMESTAMP", "SELECT", "FROM", "AND", "OR")
 
   /** Quote-aware scan for table references at ANY paren depth (subqueries
     * included): a FROM/JOIN inside a string literal never matches, so a
     * predicate like `WHERE note = ' FROM x '` cannot conjure one. The
     * dialect reserves the `FROM|JOIN '<literal>'` sequence for table
     * paths — a genuine string literal directly after FROM/JOIN is not
-    * valid SQL anyway. */
-  private def tableRefs(s: String): Seq[TableRef] = {
+    * valid SQL anyway, and a path that turns out NOT to be a table
+    * directory (`EXTRACT(YEAR FROM '2026-01-01')`) is filtered by the
+    * caller, leaving the literal untouched for Spark to parse.
+    * `resolveBare` maps a bare identifier after FROM/JOIN to a table path
+    * (the `USE '<dir>'` catalog) — None leaves the word alone (a temp
+    * view, a CTE name, a function call). */
+  private def tableRefs(s: String,
+      resolveBare: String => Option[String] = _ => None): Seq[TableRef] = {
     def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
     val VersionTail = """(?is)^\s+VERSION\s+AS\s+OF\s+(\d+)""".r
-    val TimestampTail = """(?is)^\s+TIMESTAMP\s+AS\s+OF\s+(\d+)""".r
+    val TimestampTail = """(?is)^\s+TIMESTAMP\s+AS\s+OF\s+(?:(\d+)|'([^']+)')""".r
+    // the explicit [AS] alias following a reference, if any — recorded as
+    // the ref's qualifier, never consumed from the text
+    def aliasAfter(from: Int): Option[String] = {
+      var k = from
+      while (k < s.length && Character.isWhitespace(s.charAt(k))) k += 1
+      var p = k
+      while (p < s.length && isWord(s.charAt(p))) p += 1
+      if (p == k) return None
+      var w = s.substring(k, p)
+      if (w.toUpperCase(java.util.Locale.ROOT) == "AS") {
+        var k2 = p
+        while (k2 < s.length && Character.isWhitespace(s.charAt(k2))) k2 += 1
+        var p2 = k2
+        while (p2 < s.length && isWord(s.charAt(p2))) p2 += 1
+        if (p2 == k2) return None
+        w = s.substring(k2, p2)
+      }
+      Some(w).filterNot(a =>
+        NonAliasWords.contains(a.toUpperCase(java.util.Locale.ROOT)) ||
+          !Character.isLetter(a.charAt(0)))
+    }
+    // the pin tail after a path/name ending at `after`: returns
+    // (end-of-span, version, atMs)
+    def pinTail(after: Int): (Int, Long, Long) = {
+      val rest = s.substring(after)
+      VersionTail.findPrefixMatchOf(rest) match {
+        case Some(m) => (after + m.end, m.group(1).toLong, -1L)
+        case None => TimestampTail.findPrefixMatchOf(rest) match {
+          case Some(m) =>
+            val lit = if (m.group(1) != null) m.group(1) else m.group(2)
+            scala.util.Try(parseTsLiteral(lit)).toOption match {
+              case Some(ms) => (after + m.end, -1L, ms)
+              case None => (after, -1L, -1L) // unparseable: not a pin
+            }
+          case None => (after, -1L, -1L)
+        }
+      }
+    }
     val out = Seq.newBuilder[TableRef]
     var i = 0
     var inStr = false
+    var depth = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (inStr) { if (c == '\'') inStr = false; i += 1 }
       else if (c == '\'') { inStr = true; i += 1 }
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
       else if (Character.isLetter(c) && (i == 0 || !isWord(s.charAt(i - 1)))) {
         var j = i
         while (j < s.length && isWord(s.charAt(j))) j += 1
@@ -1301,21 +1501,31 @@ object Lake {
             val close = s.indexOf('\'', k + 1)
             if (close > 0) {
               val path = s.substring(k + 1, close)
-              val rest = s.substring(close + 1)
-              val end = VersionTail.findPrefixMatchOf(rest) match {
-                case Some(m) =>
-                  out += TableRef(k, close + 1 + m.end, path, m.group(1).toLong)
-                  close + 1 + m.end
-                case None => TimestampTail.findPrefixMatchOf(rest) match {
-                  case Some(m) =>
-                    out += TableRef(k, close + 1 + m.end, path, -1L, m.group(1).toLong)
-                    close + 1 + m.end
-                  case None =>
-                    out += TableRef(k, close + 1, path, -1L)
-                    close + 1
-                }
-              }
+              val (end, v, ms) = pinTail(close + 1)
+              val al = aliasAfter(end)
+              out += TableRef(k, end, path, v, ms, depth, al, al.isDefined)
               next = end
+            }
+          } else if (k < s.length && Character.isLetter(s.charAt(k))) {
+            // bare identifier: a table name under the USE'd directory —
+            // but never a function call (`FROM range(10)`)
+            var p = k
+            while (p < s.length && isWord(s.charAt(p))) p += 1
+            var q = p
+            while (q < s.length && Character.isWhitespace(s.charAt(q))) q += 1
+            val name = s.substring(k, p)
+            val isCall = q < s.length && s.charAt(q) == '('
+            if (!isCall &&
+                !NonAliasWords.contains(name.toUpperCase(java.util.Locale.ROOT))) {
+              resolveBare(name) match {
+                case Some(path) =>
+                  val (end, v, ms) = pinTail(p)
+                  val explicit = aliasAfter(end)
+                  out += TableRef(k, end, path, v, ms, depth,
+                    explicit.orElse(Some(name)), explicit.isDefined)
+                  next = end
+                case None => // not a catalog table: leave the word alone
+              }
             }
           }
         }
@@ -1330,9 +1540,14 @@ object Lake {
     * set operations, DISTINCT, HAVING, window functions …) delegates to
     * Spark SQL: each table reference found by [[tableRefs]] is registered
     * as a temp view over the format-detected, VERSION-pinned scan (view
-    * names are content-addressed on (path, version), so repeated
-    * statements reuse them), the statement text is rewritten to name the
-    * views, and the full statement runs through `spark.sql`.
+    * names are content-addressed on (path, version, pruning predicate),
+    * so repeated statements reuse them), the statement text is rewritten
+    * to name the views, and the full statement runs through `spark.sql`.
+    * Under `USE '<dir>'`, bare identifiers resolve through the directory
+    * catalog the same way (re-aliased to their own name so qualified
+    * columns keep resolving); a `FROM '<literal>'` that is NOT a table
+    * directory (`EXTRACT(YEAR FROM '2026-01-01')`) is left untouched for
+    * Spark to parse as the literal it is.
     *
     * Because the views resolve to the exact relations the API reads plan,
     * downstream optimizer hooks compose: a statement-text aggregate over
@@ -1340,50 +1555,196 @@ object Lake {
     * like the DataFrame twin (the routing rule runs after
     * EliminateSubqueryAliases, so the view alias is gone by then). At
     * scale the scan behaves like any API read — Catalyst pushes filters
-    * and prunes columns into it; the fast path's extra file-level stats
-    * pruning applies only to the single-table dialect, where the
-    * predicate is cleanly attributable to one table. */
+    * and prunes columns into it — and the manifest/add-stats FILE tier
+    * composes on top: [[pruneConjuncts]] splits the statement's own
+    * top-level WHERE into conjuncts, attributes each to the single
+    * depth-0 reference it touches, and builds that reference's view over
+    * [[scanPruned]] — so a multi-path TPC-H-shaped join skips files on
+    * EVERY side, not just in single-table statements. Pruning is an
+    * optimization, never a semantic dependency: the statement's WHERE
+    * re-applies every conjunct, only deterministic subquery-free
+    * conjuncts participate, references inside derived tables are never
+    * pre-filtered (their query block computes over its OWN rows — a
+    * window function there must see the unfiltered table), and set
+    * operations or outer joins at the top level disable attribution
+    * entirely (a null-tolerant conjunct pushed below a LEFT JOIN's
+    * nullable side would change results). */
+  /** The statement's RESOLVED table references: quoted paths and
+    * USE-catalog bare names that exist as directories. A `FROM
+    * '<literal>'` whose path is no directory is a genuine string literal
+    * in function position — excluded, its text left untouched. */
+  private def resolvedRefs(spark: SparkSession, statement: String): Seq[TableRef] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def isDir(p: String): Boolean = scala.util.Try {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).getFileStatus(hp).isDirectory
+    }.getOrElse(false)
+    val useDir = spark.conf.getOption(UseDirKey).map(_.stripSuffix("/"))
+    def resolveBare(w: String): Option[String] =
+      useDir.map(d => s"$d/$w").filter(isDir)
+    tableRefs(statement, resolveBare).filter(r => isDir(r.path))
+  }
+
+  /** A DML statement's SELECT source: lake-path / USE-catalog references
+    * delegate like any statement-text SELECT, so `INSERT INTO '<a>'
+    * SELECT ... FROM '<b>'` (and MERGE USING, CTAS) are lake-to-lake in
+    * one statement; a source with no such reference (VALUES, temp views,
+    * the lake_scan TVFs) runs through plain `spark.sql`. */
+  private def sourceFrame(spark: SparkSession, source: String): DataFrame =
+    if (resolvedRefs(spark, source).isEmpty) spark.sql(source)
+    else delegateSelect(spark, source)
+
   private def delegateSelect(spark: SparkSession, statement: String): DataFrame = {
-    val refs = tableRefs(statement)
+    val refs = resolvedRefs(spark, statement)
     require(refs.nonEmpty,
       "SELECT over lake paths: no FROM|JOIN '<path>' table reference " +
+        "or USE-catalog table name " +
         s"found in: $statement")
-    // SINGLE-table statements keep file-level stats pruning: when the
-    // outer WHERE parses to a deterministic predicate that resolves
-    // against the table, the view is built over scanPruned — persisted
-    // per-file stats skip files before the delegated plan ever sees them.
-    // The statement's own WHERE re-applies the filter (idempotent, which
-    // is why non-deterministic predicates are excluded), and anything
-    // unresolvable (aliases, subqueries) just falls back to the full
-    // scan — pruning is an optimization, never a semantic dependency.
-    val prunePred: Option[org.apache.spark.sql.Column] =
-      if (refs.length != 1) None
-      else outerWhereText(statement).flatMap { p =>
-        scala.util.Try(org.apache.spark.sql.functions.expr(p)).toOption
-          .filter(c => org.apache.spark.sql.graft.Bridge.expression(c).deterministic)
-      }
+    val conjuncts = pruneConjuncts(spark, statement, refs)
     val sb = new java.lang.StringBuilder
     var pos = 0
-    refs.foreach { r =>
+    refs.zipWithIndex.foreach { case (r, idx) =>
       // a TIMESTAMP pin resolves to its version first, so the view name
       // stays content-addressed on what is actually read
       val v = if (r.atMs >= 0) versionAt(spark, r.path, r.atMs) else r.version
-      val scan = prunePred.flatMap(p =>
-        scala.util.Try(scanPruned(spark, r.path, p, v)._1).toOption)
-        .getOrElse(read(spark, r.path, v))
-      val pruneTag = if (prunePred.isDefined) "p" else ""
+      val myConj = conjuncts.getOrElse(idx, Nil)
+      val scan =
+        if (myConj.isEmpty) read(spark, r.path, v)
+        else {
+          val pred = myConj.map(_._2).reduce(_ && _)
+          scala.util.Try(scanPruned(spark, r.path, pred, v)._1)
+            .getOrElse(read(spark, r.path, v))
+        }
       val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"${r.path}@$v@$pruneTag${outerWhereText(statement).getOrElse("")}"
+        .digest(s"${r.path}@$v@${myConj.map(_._1).mkString("&")}"
           .getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(16)
       val view = s"graft_lake_$key"
       scan.createOrReplaceTempView(view)
       sb.append(statement.substring(pos, r.start)).append(view)
+      // a bare name without an explicit alias was the qualifier for its
+      // columns — keep it resolvable by re-aliasing the view to it
+      if (!r.aliasInText && r.alias.isDefined)
+        sb.append(" AS ").append(r.alias.get)
       pos = r.end
     }
     sb.append(statement.substring(pos))
     spark.sql(sb.toString)
   }
+
+  /** Attribute the statement's top-level WHERE conjuncts to the single
+    * depth-0 table reference each touches — the file-stats pruning tier
+    * for delegated multi-table SQL. Returns ref-index → its (text,
+    * stripped-qualifier Column) conjuncts; refs absent from the map scan
+    * in full. Soundness gates (see [[delegateSelect]] doc): depth-0 refs
+    * only, no top-level set ops or outer joins, deterministic
+    * subquery-free conjuncts, every attribute owned by exactly one ref. */
+  private def pruneConjuncts(spark: SparkSession, statement: String,
+      refs: Seq[TableRef]): Map[Int, Seq[(String, org.apache.spark.sql.Column)]] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.graft.Bridge
+    // LEFT/RIGHT/FULL here also matches the string functions LEFT()/
+    // RIGHT() in top-level clauses — a false positive only DISABLES an
+    // optimization, never changes results
+    val safe = Seq("UNION", "INTERSECT", "EXCEPT", "LEFT", "RIGHT", "FULL")
+      .forall(kw => topLevelKeyword(statement, kw) < 0)
+    val targets = refs.zipWithIndex.filter(_._1.depth == 0)
+    if (!safe || targets.isEmpty) return Map.empty
+    val whereText = outerWhereText(statement).getOrElse(return Map.empty)
+    // lowercased column sets per target, from metadata-only schema reads
+    val colSets: Map[Int, Set[String]] = targets.flatMap { case (r, i) =>
+      scala.util.Try {
+        val v = if (r.atMs >= 0) versionAt(spark, r.path, r.atMs) else r.version
+        i -> read(spark, r.path, v).schema.fieldNames
+          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      }.toOption
+    }.toMap
+    def ownerOf(parts: Seq[String]): Option[Int] = parts match {
+      case Seq(c0) =>
+        val c = c0.toLowerCase(java.util.Locale.ROOT)
+        val owners = colSets.filter(_._2.contains(c)).keys.toSeq
+        if (owners.length == 1) Some(owners.head) else None
+      case Seq(q, c0) =>
+        val c = c0.toLowerCase(java.util.Locale.ROOT)
+        targets.collectFirst {
+          case (r, i) if r.alias.exists(_.equalsIgnoreCase(q)) &&
+            colSets.get(i).exists(_.contains(c)) => i
+        }
+      case _ => None
+    }
+    splitConjuncts(whereText).flatMap { text =>
+      // parse EAGERLY (functions.expr defers parsing to analysis, hiding
+      // the attribute/subquery structure this attribution needs)
+      scala.util.Try(Bridge.parseExpression(spark, text)).toOption.flatMap { e =>
+        val hasSubquery = e.find(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])
+          .isDefined
+        // determinism on the UNRESOLVED tree is provisional (an unresolved
+        // function reports its children's flag); the authoritative check
+        // runs on the ANALYZED filter below
+        if (hasSubquery || !e.deterministic) None
+        else {
+          val attrs = e.collect { case a: UnresolvedAttribute => a.nameParts }
+          val owners = attrs.map(ownerOf).distinct
+          owners match {
+            case Seq(Some(i)) =>
+              // strip the (single, verified) qualifier so the predicate
+              // binds against the bare scan
+              val stripped = e.transform {
+                case a: UnresolvedAttribute if a.nameParts.length == 2 =>
+                  UnresolvedAttribute(a.nameParts.tail)
+              }
+              val col = Bridge.column(stripped)
+              // analyze against the ref's relation: resolves functions, so
+              // the determinism check is authoritative; failures drop the
+              // conjunct (pruning is an optimization)
+              val r = refs(i)
+              val ok = scala.util.Try {
+                val v = if (r.atMs >= 0) versionAt(spark, r.path, r.atMs)
+                  else r.version
+                val analyzed = read(spark, r.path, v).where(col)
+                  .queryExecution.analyzed
+                analyzed match {
+                  case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+                    f.condition.deterministic
+                  case _ => false
+                }
+              }.getOrElse(false)
+              if (ok) Some(i -> (text, col)) else None
+            case _ => None // cross-ref, unowned, or attribute-free conjunct
+          }
+        }
+      }
+    }.groupBy(_._1).map { case (i, kvs) => i -> kvs.map(_._2) }
+  }
+
+  /** Split a predicate text on its top-level ANDs (quote/paren-aware),
+    * keeping each `BETWEEN lo AND hi`'s AND glued to its BETWEEN. */
+  private[sources] def splitConjuncts(pred: String): Seq[String] = {
+    def positions(kw: String): Seq[Int] = {
+      val b = Seq.newBuilder[Int]
+      var i = topLevelKeyword(pred, kw)
+      while (i >= 0) { b += i; i = topLevelKeyword(pred, kw, i + kw.length) }
+      b.result()
+    }
+    val splits = Seq.newBuilder[Int]
+    var pendingBetween = 0
+    (positions("BETWEEN").map((_, true)) ++ positions("AND").map((_, false)))
+      .sortBy(_._1).foreach {
+        case (_, true) => pendingBetween += 1
+        case (i, false) =>
+          if (pendingBetween > 0) pendingBetween -= 1 else splits += i
+      }
+    val bounds = splits.result()
+    (0 +: bounds.map(_ + 3)).zip(bounds :+ pred.length)
+      .map { case (a, b) => pred.substring(a, b).trim }
+      .filter(_.nonEmpty)
+  }
+
+  /** The spark-conf key `USE '<dir>'` stores the current directory
+    * catalog under (session-scoped; bare FROM/JOIN identifiers resolve
+    * against it). */
+  private[sources] val UseDirKey = "graft.sql.use_dir"
 
   /** The outer WHERE clause's text, when the statement has one at the
     * TOP level (quote/paren-aware — a WHERE inside a subquery or string

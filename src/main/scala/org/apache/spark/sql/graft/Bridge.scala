@@ -12,6 +12,14 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Parse an expression TEXT to its catalyst tree eagerly. `functions
+    * .expr` wraps the text in a lazy `ColumnNodeExpression(SqlExpression)`
+    * that only parses at analysis — useless for callers that need to
+    * inspect attributes/subqueries BEFORE resolution. */
+  def parseExpression(spark: SparkSession, text: String): Expression =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.sqlParser.parseExpression(text)
+
   /** Uncorrelated scalar subquery over a one-row/one-column DataFrame —
     * the form expressions like `BloomFilterMightContain` require for their
     * non-literal inputs (executed once, value shipped to every task). */

@@ -681,4 +681,219 @@ class LakeDmlSpec extends SparkSpec {
       Lake.sql(spark, s"RESTORE '$p' TO VERSION AS OF 0")
     }
   }
+
+  // ------------------------------------------- round-14 SELECT-surface work
+
+  test("outer WHERE never pre-filters a table inside a derived table") {
+    val t = tmp("graft_subqwin") + "/tbl"
+    DeltaWrite.append(spark,
+      Seq((1L, 10.0), (6L, 20.0), (7L, 30.0)).toDF("x", "v"), t)
+    // the window total must be computed over ALL rows (60.0), with the
+    // outer x > 5 applied only to the derived table's output — pushing it
+    // into the scan would silently change the window result
+    val out = Lake.sqlFrame(spark,
+      s"SELECT x, total FROM (SELECT x, sum(v) OVER () AS total FROM '$t') t " +
+        "WHERE x > 5 ORDER BY x")
+    assert(out.as[(Long, Double)].collect().toSeq ===
+      Seq((6L, 60.0), (7L, 60.0)))
+    // same statement with an inner aggregate: the outer WHERE on the
+    // aggregate's output must not shrink the aggregate's input
+    val agg = Lake.sqlFrame(spark,
+      s"SELECT c FROM (SELECT count(*) AS c FROM '$t') t WHERE c > 0")
+    assert(agg.as[Long].collect().toSeq === Seq(3L))
+  }
+
+  test("fast-path WHERE carrying a subquery delegates instead of throwing") {
+    val t = tmp("graft_fastsub") + "/tbl"
+    DeltaWrite.append(spark,
+      Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("grp", "v"), t)
+    // shape-matches the single-table fast path, but the predicate carries
+    // a subquery over a quoted path the fast path cannot express — the
+    // contract is None-and-delegate, never a ParseException
+    val out = Lake.sqlFrame(spark,
+      s"SELECT grp FROM '$t' WHERE v > (SELECT min(v) FROM '$t') ORDER BY grp")
+    assert(out.as[String].collect().toSeq === Seq("b", "c"))
+  }
+
+  test("FROM inside a function call is a literal, not a table reference") {
+    val t = tmp("graft_extract") + "/tbl"
+    DeltaWrite.append(spark, Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"), t)
+    val out = Lake.sqlFrame(spark,
+      s"SELECT EXTRACT(YEAR FROM '2026-01-01') AS y, count(*) AS c FROM '$t' GROUP BY 1")
+    assert(out.as[(Int, Long)].collect().toSeq === Seq((2026, 2L)))
+    // a statement whose ONLY candidate reference is a non-table literal
+    // still refuses loudly (nothing resolves)
+    intercept[IllegalArgumentException](Lake.sqlFrame(spark,
+      "SELECT EXTRACT(YEAR FROM '2026-01-01') AS y GROUP BY 1"))
+  }
+
+  test("per-alias file-stats pruning reaches BOTH sides of a two-path join") {
+    val a = tmp("graft_prune2a") + "/tbl"
+    val b = tmp("graft_prune2b") + "/tbl"
+    // two commits per table with DISJOINT key ranges -> per-file stats
+    // that a range conjunct can prune against
+    DeltaWrite.append(spark, (1L to 100L).map(i => (i, i * 1.0)).toDF("id", "v")
+      .repartition(1), a)
+    DeltaWrite.append(spark, (1000L to 1100L).map(i => (i, i * 1.0)).toDF("id", "v")
+      .repartition(1), a)
+    IcebergWrite.append(spark, (1L to 100L).map(i => (i, i * 2.0)).toDF("id", "w")
+      .repartition(1), b)
+    IcebergWrite.append(spark, (1000L to 1100L).map(i => (i, i * 2.0)).toDF("id", "w")
+      .repartition(1), b)
+    val fullFiles = Lake.read(spark, a).inputFiles.length +
+      Lake.read(spark, b).inputFiles.length
+    assert(fullFiles >= 4)
+    val joined = Lake.sqlFrame(spark,
+      s"SELECT count(*) AS c, sum(x.v * y.w) AS s FROM '$a' x JOIN '$b' y " +
+        "ON x.id = y.id WHERE x.id >= 1000 AND y.id >= 1000 GROUP BY x.id >= 1000")
+    assert(joined.as[(Long, Double)].collect().toSeq ===
+      Seq((101L, (1000L to 1100L).map(i => i * 1.0 * i * 2.0).sum)))
+    assert(joined.inputFiles.length <= fullFiles - 2,
+      "each side's WHERE conjunct must prune that side's files")
+  }
+
+  test("WHERE conjuncts are NOT pushed below an outer join's nullable side") {
+    val a = tmp("graft_ojsafe_a") + "/tbl"
+    val b = tmp("graft_ojsafe_b") + "/tbl"
+    DeltaWrite.append(spark, Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"), a)
+    DeltaWrite.append(spark, Seq((2L, 20.0)).toDF("id", "w"), b)
+    // the anti-join-via-LEFT idiom: pre-filtering b with `w IS NULL`
+    // (null-TOLERANT) would empty b and wrongly return BOTH ids
+    val out = Lake.sqlFrame(spark,
+      s"SELECT x.id FROM '$a' x LEFT JOIN '$b' y ON x.id = y.id " +
+        "WHERE y.w IS NULL ORDER BY x.id")
+    assert(out.as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("TIMESTAMP AS OF accepts timestamp literals everywhere versions pin") {
+    // the literal parser: ISO-8601, space-separated, date-only - all UTC
+    assert(Lake.parseTsLiteral("1700000000123") === 1700000000123L)
+    assert(Lake.parseTsLiteral("2026-08-15 10:00:00") ===
+      java.time.LocalDateTime.of(2026, 8, 15, 10, 0, 0)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    assert(Lake.parseTsLiteral("2026-08-15") ===
+      java.time.LocalDate.of(2026, 8, 15).atStartOfDay
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    assert(Lake.parseTsLiteral("2026-08-15T10:00:00Z") ===
+      Lake.parseTsLiteral("2026-08-15 10:00:00"))
+
+    val t = tmp("graft_tslit") + "/tbl"
+    val v0 = DeltaWrite.append(spark, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), t)
+    Thread.sleep(20)
+    val mid = java.time.Instant.ofEpochMilli(System.currentTimeMillis()).toString
+    Thread.sleep(20)
+    DeltaWrite.append(spark, Seq((3L, 30.0)).toDF("id", "v"), t)
+
+    // fast path + delegated statements take the string pin
+    assert(Lake.sqlFrame(spark,
+        s"SELECT id FROM '$t' TIMESTAMP AS OF '$mid' ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L))
+    assert(Lake.sqlFrame(spark,
+        s"SELECT id % 2 AS par, count(*) AS c FROM '$t' TIMESTAMP AS OF '$mid' " +
+          "GROUP BY id % 2 ORDER BY par")
+      .as[(Long, Long)].collect().toSeq === Seq((0L, 1L), (1L, 1L)))
+    // DESCRIBE, SHALLOW CLONE, RESTORE take it too
+    assert(Lake.sqlFrame(spark, s"DESCRIBE '$t' TIMESTAMP AS OF '$mid'").count() === 2L)
+    val c = tmp("graft_tslit_c") + "/tbl"
+    Lake.sql(spark, s"CREATE TABLE '$c' SHALLOW CLONE '$t' TIMESTAMP AS OF '$mid'")
+    assert(Lake.read(spark, c).count() === 2L)
+    Lake.sql(spark, s"RESTORE '$t' TIMESTAMP AS OF '$mid'")
+    assert(Lake.read(spark, t).count() === 2L)
+    assert(Lake.read(spark, t, v0).count() === 2L)
+  }
+
+  test("CREATE TABLE with a column schema creates an empty insertable table") {
+    for (fmt <- Seq("delta", "iceberg")) {
+      val t = tmp(s"graft_ddl_$fmt") + "/tbl"
+      Lake.sql(spark,
+        s"CREATE TABLE '$t' (id BIGINT, note STRING, v DECIMAL(10,2)) " +
+          s"USING $fmt PARTITIONED BY (note)")
+      // empty but fully described: schema (incl. the parenthesized
+      // decimal) and zero rows
+      assert(Lake.sqlFrame(spark, s"DESCRIBE '$t'")
+        .as[(String, String, Boolean)].collect().toSeq ===
+        Seq(("id", "bigint", true), ("note", "string", true),
+          ("v", "decimal(10,2)", true)), fmt)
+      assert(Lake.read(spark, t).count() === 0L, fmt)
+      // INSERT inherits the declared partitioning; round trip reads back
+      Lake.sql(spark, s"INSERT INTO '$t' SELECT CAST(1 AS BIGINT) AS id, " +
+        "'x' AS note, CAST(9.5 AS DECIMAL(10,2)) AS v")
+      assert(Lake.sqlFrame(spark, s"SELECT id, note FROM '$t'")
+        .as[(Long, String)].collect().toSeq === Seq((1L, "x")), fmt)
+      // re-creating over a non-empty table is refused
+      intercept[IllegalArgumentException](Lake.sql(spark,
+        s"CREATE TABLE '$t' (id BIGINT) USING $fmt"))
+      // a partition column outside the schema is refused
+      intercept[IllegalArgumentException](Lake.sql(spark,
+        s"CREATE TABLE '${t}_bad' (id BIGINT) USING $fmt PARTITIONED BY (nope)"))
+    }
+  }
+
+  test("USE directory catalog: bare FROM/JOIN identifiers resolve to tables") {
+    val root = tmp("graft_use")
+    DeltaWrite.append(spark,
+      Seq(("a", 10.0), ("a", 30.0), ("b", 20.0)).toDF("grp", "v"), s"$root/ev")
+    IcebergWrite.append(spark, Seq(("a", 2.0), ("b", 3.0)).toDF("grp", "w"),
+      s"$root/dims")
+    Lake.sql(spark, s"USE '$root'")
+    try {
+      // bare names with aliases, cross-format join through the catalog
+      assert(Lake.sqlFrame(spark,
+          "SELECT e.grp, sum(e.v * d.w) AS s FROM ev e JOIN dims d " +
+            "ON e.grp = d.grp GROUP BY e.grp ORDER BY e.grp")
+        .as[(String, Double)].collect().toSeq ===
+        Seq(("a", 80.0), ("b", 60.0)))
+      // a bare name WITHOUT an alias keeps working as its own qualifier
+      assert(Lake.sqlFrame(spark,
+          "SELECT ev.grp FROM ev WHERE ev.v > 15 ORDER BY ev.grp")
+        .as[String].collect().toSeq === Seq("a", "b"))
+      // scripts mix USE, quoted paths, and bare names
+      val out = Lake.sqlScript(spark,
+        s"""CREATE TABLE '$root/tot' USING delta AS
+              SELECT grp, sum(v) AS tv FROM ev GROUP BY grp;
+            SELECT t.grp, t.tv, d.w FROM tot t JOIN '$root/dims' d
+              ON t.grp = d.grp ORDER BY t.grp;""")
+      assert(out.as[(String, Double, Double)].collect().toSeq ===
+        Seq(("a", 40.0, 2.0), ("b", 20.0, 3.0)))
+      // an identifier that is NOT a catalog table is left for Spark (temp view)
+      Seq((1L, 1.0)).toDF("id", "x").createOrReplaceTempView("graft_use_tv")
+      assert(Lake.sqlFrame(spark,
+          "SELECT count(*) AS c FROM ev JOIN graft_use_tv ON 1 = 1")
+        .as[Long].collect().toSeq === Seq(3L))
+    } finally Lake.sql(spark, "USE DEFAULT")
+    // the catalog is cleared: the bare name no longer resolves
+    intercept[IllegalArgumentException](
+      Lake.sqlFrame(spark, "SELECT grp FROM ev GROUP BY grp"))
+    // USE of a missing directory is loud
+    intercept[IllegalArgumentException](Lake.sql(spark, s"USE '$root/nope'"))
+  }
+
+  test("sqlScript plans but never materializes interior result-set statements") {
+    val t = tmp("graft_script_lazy") + "/tbl"
+    DeltaWrite.append(spark, Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"), t)
+    // raise_error would fire on ANY execution of the interior SELECT -
+    // the script must plan it, discard the frame, and move on
+    val out = Lake.sqlScript(spark,
+      s"""SELECT raise_error('interior SELECT must not execute') AS boom FROM '$t';
+          SELECT count(*) AS c FROM '$t';""")
+    assert(out.as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("script literals with doubled-quote escapes never split statements") {
+    val t = tmp("graft_script_esc") + "/tbl"
+    val out = Lake.sqlScript(spark,
+      s"""CREATE TABLE '$t' USING delta AS SELECT 1L AS id, 'it''s; fine' AS note;
+          SELECT id, note FROM '$t' ORDER BY id;""")
+    assert(out.as[(Long, String)].collect().toSeq === Seq((1L, "it's; fine")))
+  }
+
+  test("SHOW TABLES classifies hive-partitioned plain parquet as a table") {
+    val root = tmp("graft_show_hive")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "p", "v")
+      .write.partitionBy("p").parquet(s"$root/hive_tbl")
+    new java.io.File(s"$root/not_a_table/sub").mkdirs() // still excluded
+    val tables = Lake.sqlFrame(spark, s"SHOW TABLES IN '$root'")
+      .as[(String, String, Long)].collect().toSeq
+    assert(tables.map(x => (x._1, x._2)) === Seq(("hive_tbl", "parquet")))
+  }
 }
