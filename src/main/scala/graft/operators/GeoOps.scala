@@ -432,9 +432,11 @@ object GeoOps {
     *     registers in ≤ 4 keys and there is no fallback path at all;
     *   - the exact ray-cast runs only inside the candidate cells.
     *
-    * `verts` must not cross the antimeridian (split such fences
-    * upstream — the standard convention); size `cellDeg` near the fence
-    * scale so covers stay small. Output: (pointId, polyId). */
+    * `verts` must not cross the antimeridian — run crossing fences
+    * through [[splitAtAntimeridian]] first (the two clipped halves
+    * together match exactly the points the original spherical fence
+    * contains); size `cellDeg` near the fence scale so covers stay small.
+    * Output: (pointId, polyId). */
   def geofence(points: DataFrame, pointId: String, latP: String, lonP: String,
       polygons: DataFrame, polyId: String, vertsCol: String,
       cellDeg: Double): DataFrame = {
@@ -469,5 +471,90 @@ object GeoOps {
     pts.join(cover, Seq("__band", "__cx"))
       .where(pointInPolygon(col("__plat"), col("__plon"), col("__verts")))
       .select(col("__pid").as(pointId), col("__gid").as(polyId))
+  }
+
+  /** Split one polygon's vertex lists at the antimeridian. A polygon
+    * CROSSES when some edge's longitude jump exceeds 180° (the short-way
+    * convention: an edge 170° → −170° runs through ±180, not around the
+    * globe). Longitudes are first unwrapped into one continuous chain,
+    * then the polygon is Sutherland–Hodgman-clipped against the single
+    * seam meridian inside its span, and each half is shifted by a
+    * constant multiple of 360° back into [−180°, 180°] — the seam edge
+    * lands at +180 on the west half and −180 on the east half, so neither
+    * output crosses. Non-crossing polygons pass through unchanged; parts
+    * degenerating below 3 vertices drop. The total unwrapped span must
+    * stay under 360° (a fence is a region, not a globe wrap). */
+  private[operators] def splitLonLat(lats: Seq[Double], lons: Seq[Double])
+      : Seq[(Seq[Double], Seq[Double])] = {
+    val n = lats.length
+    if (n < 3) return Seq((lats, lons))
+    val crosses = (0 until n).exists { i =>
+      math.abs(lons((i + 1) % n) - lons(i)) > 180.0
+    }
+    if (!crosses) return Seq((lats, lons))
+    val ux = new Array[Double](n)
+    ux(0) = lons.head
+    for (i <- 1 until n) {
+      var d = lons(i) - lons(i - 1)
+      while (d > 180.0) d -= 360.0
+      while (d <= -180.0) d += 360.0
+      ux(i) = ux(i - 1) + d
+    }
+    // the closing edge must also take the short way, or the "polygon" is
+    // not a simple region in unwrapped space
+    require(math.abs(ux(0) - ux(n - 1)) <= 180.0,
+      "splitAtAntimeridian: closing edge spans more than 180 degrees")
+    val lo = ux.min; val hi = ux.max
+    require(hi - lo < 360.0,
+      s"splitAtAntimeridian: polygon spans ${hi - lo} degrees of longitude")
+    val seams = {
+      val kLo = math.ceil((lo - 180.0) / 360.0).toInt
+      val kHi = math.floor((hi - 180.0) / 360.0).toInt
+      (kLo to kHi).map(m => 180.0 + 360.0 * m).filter(b => b > lo && b < hi)
+    }
+    if (seams.isEmpty) { // unwrap alone removed the jump (span < 360, no seam inside)
+      val shift = 360.0 * math.round((lo + hi) / 2 / 360.0)
+      return Seq((lats, ux.toSeq.map(_ - shift)))
+    }
+    val seam = seams.head
+    def clip(keep: Double => Boolean): (Seq[Double], Seq[Double]) = {
+      val outLat = Seq.newBuilder[Double]; val outLon = Seq.newBuilder[Double]
+      for (i <- 0 until n) {
+        val j = (i + 1) % n
+        val (y1, x1) = (lats(i), ux(i)); val (y2, x2) = (lats(j), ux(j))
+        if (keep(x1)) { outLat += y1; outLon += x1 }
+        if (keep(x1) != keep(x2)) {
+          val t = (seam - x1) / (x2 - x1)
+          outLat += y1 + t * (y2 - y1); outLon += seam
+        }
+      }
+      (outLat.result(), outLon.result())
+    }
+    val m = math.round((seam - 180.0) / 360.0)
+    val west = clip(_ <= seam) // seam edge at +180 after the shift
+    val east = clip(_ >= seam) // seam edge at −180 after the shift
+    Seq((west, -360.0 * m), (east, -360.0 * (m + 1))).collect {
+      case ((pl, px), shift) if pl.length >= 3 => (pl, px.map(_ + shift))
+    }
+  }
+
+  /** Antimeridian-safe fence preprocessing for [[geofence]]: each polygon
+    * crossing ±180° splits into its two clipped halves (same `polyId`,
+    * one row per half); non-crossing polygons pass through unchanged. A
+    * point inside the original spherical fence is inside EXACTLY one
+    * half (the seam itself follows each half's half-open edge
+    * convention), so `geofence(points, …, splitAtAntimeridian(fences,
+    * "verts"), …)` is the crossing-tolerant join with no duplicate
+    * pairs. The scalar UDF runs on the FENCES side only — the small
+    * dimension table; the points side stays pure column arithmetic. */
+  def splitAtAntimeridian(polygons: DataFrame, vertsCol: String): DataFrame = {
+    val split = udf((lats: Seq[Double], lons: Seq[Double]) => splitLonLat(lats, lons))
+    polygons
+      .withColumn("__part", explode(split(
+        transform(col(vertsCol), _.getField("lat")),
+        transform(col(vertsCol), _.getField("lon")))))
+      .withColumn(vertsCol, zip_with(col("__part._1"), col("__part._2"),
+        (la, lo) => struct(la.as("lat"), lo.as("lon"))))
+      .drop("__part")
   }
 }

@@ -1309,6 +1309,83 @@ object IoQueries {
       GROUP BY fmt, tag
       ORDER BY fmt, tag"""))
 
+  /** Column-schema `CREATE TABLE` DDL (Lake.sql → empty schema-bearing
+    * commit): per format, CREATE a partitioned empty table from a typed
+    * column list, verify it reads back EMPTY with the declared schema,
+    * INSERT the events rows through statement text (inheriting the
+    * declared partitioning), and aggregate the result — the
+    * migration-script opening move (CREATE, then INSERT) end-to-end. The
+    * oracle recomputes the aggregate from raw events and pins
+    * `was_empty` true. */
+  val tlakeCreateTable = GQuery(
+    "t89_lake_create_table",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("value"), col("event_type"))
+      ev.createOrReplaceTempView("graft_t89_ev")
+      def run(fmt: String): org.apache.spark.sql.DataFrame = {
+        val t = tmp(s"graft_t89_${fmt}_q") + "/tbl"
+        graft.sources.Lake.sql(s,
+          s"CREATE TABLE '$t' (event_id BIGINT, value DOUBLE, event_type STRING) " +
+            s"USING $fmt PARTITIONED BY (event_type)")
+        val emptyCnt = graft.sources.Lake.read(s, t).count()
+        graft.sources.Lake.sql(s,
+          s"INSERT INTO '$t' SELECT CAST(event_id AS BIGINT) AS event_id, " +
+            "CAST(value AS DOUBLE) AS value, event_type FROM graft_t89_ev")
+        graft.sources.Lake.sqlFrame(s,
+          s"SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value " +
+            s"FROM '$t' GROUP BY event_type")
+          .withColumn("fmt", lit(fmt))
+          .withColumn("was_empty", lit(emptyCnt == 0L))
+      }
+      run("delta").unionByName(run("iceberg"))
+        .select(col("fmt"), col("event_type"), col("cnt"), col("sum_value"),
+          col("was_empty"))
+        .orderBy(col("fmt"), col("event_type"))
+    },
+    Some("""SELECT fmt, event_type, count(*) AS cnt,
+        round(sum(value), 2) AS sum_value, true AS was_empty
+      FROM (SELECT 'delta' AS fmt FROM range(1) UNION ALL SELECT 'iceberg') fmts
+      CROSS JOIN events
+      GROUP BY fmt, event_type
+      ORDER BY fmt, event_type"""))
+
+  /** `USE '<dir>'` directory catalog: bare FROM/JOIN identifiers resolve
+    * to `<dir>/<name>` through the same detection SHOW TABLES uses. The
+    * query stages events (Delta) and a type-weight dim (Iceberg) under
+    * one directory, USEs it, and runs a bare-name cross-format join with
+    * a WHERE whose per-alias conjunct rides the stats-pruned scan —
+    * database-feeling SQL over path-addressed tables. The catalog is
+    * cleared (USE DEFAULT) after analysis; the plan stays bound to the
+    * resolved views. */
+  val tlakeUseCatalog = GQuery(
+    "t90_lake_use_catalog",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("value"), col("event_type"))
+      val root = tmp("graft_t90_q")
+      graft.sources.DeltaWrite.append(s, ev, s"$root/events_delta")
+      graft.sources.IcebergWrite.append(s,
+        ev.select(col("event_type")).distinct()
+          .withColumn("w", length(col("event_type")).cast("double")),
+        s"$root/type_dims")
+      graft.sources.Lake.sql(s, s"USE '$root'")
+      try graft.sources.Lake.sqlFrame(s,
+        "SELECT e.event_type, count(*) AS cnt, " +
+          "round(sum(e.value * d.w), 2) AS sum_value " +
+          "FROM events_delta e JOIN type_dims d ON e.event_type = d.event_type " +
+          "WHERE e.value >= 10.0 GROUP BY e.event_type ORDER BY e.event_type")
+      finally graft.sources.Lake.sql(s, "USE DEFAULT")
+    },
+    Some("""SELECT e.event_type, count(*) AS cnt,
+        round(sum(e.value * length(e.event_type)), 2) AS sum_value
+      FROM events e
+      JOIN (SELECT DISTINCT event_type FROM events) d
+        ON e.event_type = d.event_type
+      WHERE e.value >= 10.0
+      GROUP BY e.event_type
+      ORDER BY e.event_type"""))
+
   /** CDC APPLY, cross-format both ways: a target table in the OTHER
     * format is seeded from the source's first snapshot, the source then
     * evolves (append + merge-on-read delete), and one
@@ -1656,7 +1733,7 @@ object IoQueries {
       tdeltaDv, tdeltaUpsert, ticebergPart, ticebergHiddenPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tlakeReplaceWhere, tlakeSqlDml,
       tlakeSqlMaintenance, tlakeSqlSelect, tlakeSqlAgg, tlakeSqlAlterAdd, tlakeTpchSql,
-      tlakeSqlWindow,
+      tlakeSqlWindow, tlakeCreateTable, tlakeUseCatalog,
       tcdcApply, tlakeSync, tlakeClone,
       tlakeRestore, tlakeRename, tlakeUniform, tlakeUniformRev, tlakeConvert)
 }

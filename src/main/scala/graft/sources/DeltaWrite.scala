@@ -272,6 +272,18 @@ object DeltaWrite {
           s"append schema ${df.schema.fieldNames.mkString(",")} does not match table " +
             s"schema ${snap.schema.fieldNames.mkString(",")}" +
             (if (newCols.nonEmpty) " (pass mergeSchema=true to evolve)" else ""))
+        // names AND types: a same-named column of another type (decimal
+        // into double, int into bigint) would stage a file the table
+        // schema later MISREADS — decimal unscaled longs surface as
+        // garbage doubles. Refuse loudly; callers cast first (the SQL
+        // INSERT surface conforms automatically).
+        snap.schema.fields.foreach { f =>
+          val in = df.schema(f.name).dataType
+          require(in == f.dataType,
+            s"append column '${f.name}' type $in does not match table's " +
+              s"${f.dataType} — cast before appending (a mismatched file " +
+              "would be misread under the table schema)")
+        }
       } else {
         require(snap.columnMappingMode == "none",
           "schema evolution under column mapping is not supported (new fields " +

@@ -744,17 +744,23 @@ object Lake {
     *     RESTORE '<path>' [TO] {VERSION AS OF n | TIMESTAMP AS OF <ts>}
     *     CONVERT TO DELTA '<dir>' [PARTITIONED BY (c1[, c2 ...])]
     *     CREATE TABLE '<target>' SHALLOW CLONE '<source>' [VERSION AS OF n | TIMESTAMP AS OF <ts>]
-    *     CREATE TABLE '<path>' (c1 TYPE[, c2 TYPE ...]) USING {delta | iceberg} [PARTITIONED BY (...)]
+    *     CREATE TABLE [IF NOT EXISTS] '<path>' (c1 TYPE[, c2 TYPE ...]) USING {delta | iceberg} [PARTITIONED BY (...)]
+    *     DROP TABLE [IF EXISTS] '<path>'
     *     EXPORT '<source>' TO {delta | iceberg} '<target>'
     *     USE '<dir>'   |   USE DEFAULT }}}
     *
     * `<ts>` is epoch milliseconds or a quoted `'yyyy-MM-dd[ HH:mm:ss]'` /
     * ISO-8601 literal (UTC when no zone is given — [[parseTsLiteral]]).
-    * `USE '<dir>'` sets the session's directory catalog: bare FROM/JOIN
-    * identifiers in SELECT statements then resolve to `<dir>/<name>`
-    * through the same format detection SHOW TABLES uses (`USE DEFAULT`
-    * clears it). Column-schema CREATE TABLE commits an empty
-    * schema-bearing append — a zero-data-file table ready for INSERT.
+    * `USE '<dir>'` sets the session's directory catalog: bare identifiers
+    * resolve to `<dir>/<name>` through the same format detection SHOW
+    * TABLES uses — in FROM/JOIN positions of any SELECT ([[tableRefs]])
+    * AND in statement heads (`DELETE FROM t` / `INSERT INTO t` /
+    * `OPTIMIZE t` / `DESCRIBE t` / `DROP TABLE t` / `CREATE TABLE t (…)`
+    * … — [[resolveBareHead]]); `USE DEFAULT` clears it. Column-schema
+    * CREATE TABLE commits an empty schema-bearing append — a
+    * zero-data-file table ready for INSERT; DROP TABLE refuses any path
+    * that does not classify as a table (lake log/metadata, flat parquet,
+    * or hive-partitioned parquet).
     *
     * and the MATERIALIZED VIEW lifecycle (dispatching to
     * [[graft.plans.Mv]] — the transparent-routing rollups; REFRESH is
@@ -803,7 +809,7 @@ object Lake {
     * Returns the committed version / snapshot id. */
   def sql(spark: SparkSession, statement: String): Long = {
     import org.apache.spark.sql.functions.expr
-    val s = statement.trim.stripSuffix(";").trim
+    val s = resolveBareHead(spark, statement.trim.stripSuffix(";").trim)
     require(!s.toUpperCase(java.util.Locale.ROOT).matches("(?s)(SELECT|DESCRIBE|SHOW)\\b.*"),
       s"result-set statement — use sqlFrame: $s")
     // statement HEADS (verb, quoted path) carry no user expressions, so
@@ -829,7 +835,9 @@ object Lake {
     // column-schema DDL: CREATE TABLE '<p>' (c1 TYPE, ...) USING fmt
     // [PARTITIONED BY (...)] — the '(' directly after the path is what
     // separates it from CTAS (whose head is USING) and SHALLOW CLONE
-    val CreateSchema = """(?is)CREATE\s+TABLE\s+'([^']+)'\s*(\(.*)""".r
+    val CreateSchema =
+      """(?is)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?'([^']+)'\s*(\(.*)""".r
+    val DropTable = """(?is)DROP\s+TABLE\s+(IF\s+EXISTS\s+)?'([^']+)'\s*""".r
     val CreateUsingTail =
       """(?is)\s*USING\s+(\w+)\s*(?:PARTITIONED\s+BY\s*\(([\w\s,]+)\)\s*)?""".r
     val ZorderTail = """(?is)\s*BY\s*\(([\w\s,]+)\)\s*""".r
@@ -864,6 +872,24 @@ object Lake {
       case Iceberg => IcebergRead.currentSnapshotId(spark, path)
       case Parquet => -1L
     }
+    // standard INSERT/MERGE semantics: source columns match the table's
+    // by NAME (any order) and implicitly CAST to the declared types —
+    // `VALUES (1, 1.5)` inserts into (BIGINT, DOUBLE) without explicit
+    // casts. The writers themselves REFUSE type mismatches (a mismatched
+    // parquet file would be misread under the table schema — decimal
+    // unscaled longs surfacing as garbage doubles); this is the cast
+    // layer statement text is expected to provide.
+    def conformTo(path: String, df: DataFrame): DataFrame =
+      scala.util.Try(read(spark, path).schema).toOption match {
+        case None => df // unreadable target: the dispatch below refuses properly
+        case Some(target) =>
+          val extra = df.columns.filterNot(c => target.fieldNames.contains(c))
+          if (extra.nonEmpty) df // evolving/garbage source: the writer judges
+          else df.select(target.fields.toSeq
+            .filter(f => df.columns.contains(f.name))
+            .map(f => org.apache.spark.sql.functions.col(f.name)
+              .cast(f.dataType).as(f.name)): _*)
+      }
     s match {
       case AlterRename(path, oldName, newName) =>
         renameColumn(spark, path, oldName, newName)
@@ -946,7 +972,32 @@ object Lake {
             s"EXPORT ... TO $other: supported formats are delta | iceberg")
         }
         export(spark, source, target, as)
-      case CreateSchema(path, fromParen) =>
+      case DropTable(ifExistsOrNull, path) =>
+        val tp = new org.apache.hadoop.fs.Path(path)
+        val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!tfs.exists(tp)) {
+          require(ifExistsOrNull != null, s"DROP TABLE: no such table $path")
+          -1L
+        } else {
+          // validate the target IS a table before the recursive delete —
+          // a typo'd (or hostile) path must never remove arbitrary data.
+          // Same classification as SHOW TABLES: a lake log/metadata, flat
+          // .parquet files, or hive key=value partition dirs holding them.
+          val looksLikeTable = detect(spark, path) != Parquet || {
+            val children = tfs.listStatus(tp)
+            children.exists(f =>
+              f.isFile && f.getPath.getName.endsWith(".parquet")) ||
+              children.exists(d =>
+                d.isDirectory && d.getPath.getName.contains("=") &&
+                  tfs.listStatus(d.getPath).exists(f =>
+                    f.isFile && f.getPath.getName.endsWith(".parquet")))
+          }
+          require(looksLikeTable,
+            s"DROP TABLE: $path is not a table directory, refusing to delete")
+          tfs.delete(tp, true)
+          -1L
+        }
+      case CreateSchema(ifNotExistsOrNull, path, fromParen) =>
         // column-schema DDL — an EMPTY table with the declared schema,
         // committed as a schema-bearing zero-row append (the same
         // mechanism addColumn uses): the first statement of a migration
@@ -967,7 +1018,10 @@ object Lake {
           s"CREATE TABLE: partition column '$p' not in the declared schema"))
         val tp = new org.apache.hadoop.fs.Path(path)
         val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        require(!tfs.exists(tp) || tfs.listStatus(tp).isEmpty,
+        val occupied = tfs.exists(tp) && tfs.listStatus(tp).nonEmpty
+        if (occupied && ifNotExistsOrNull != null)
+          return versionOf(path) // standard IF NOT EXISTS no-op
+        require(!occupied,
           s"CREATE TABLE: $path already exists and is not empty")
         val empty = spark.createDataFrame(
           spark.sparkContext.parallelize(
@@ -1056,7 +1110,7 @@ object Lake {
           case other => throw new IllegalArgumentException(
             s"MERGE INTO: expected ON (k1[, k2 ...]) after USING (...), got: $other")
         }
-        upsert(spark, sourceFrame(spark, source), path, keys)
+        upsert(spark, conformTo(path, sourceFrame(spark, source)), path, keys)
       case InsertOverwrite(path, body) =>
         body.trim match {
           case ReplaceWhereHead(predAndSource) =>
@@ -1070,11 +1124,11 @@ object Lake {
                   s"source found after the predicate in: $s")
               case idxs => idxs.min
             }
-            replaceWhere(spark, sourceFrame(spark, predAndSource.substring(srcIdx)), path,
+            replaceWhere(spark, conformTo(path, sourceFrame(spark, predAndSource.substring(srcIdx))), path,
               predAndSource.substring(0, srcIdx).trim)
           case source =>
             detect(spark, path) match {
-              case Delta => DeltaWrite.overwrite(spark, sourceFrame(spark, source), path)
+              case Delta => DeltaWrite.overwrite(spark, conformTo(path, sourceFrame(spark, source)), path)
               case other => throw new IllegalArgumentException(
                 s"INSERT OVERWRITE (whole-table) is wired for Delta; got $other at $path — " +
                   "use INSERT OVERWRITE ... REPLACE WHERE for scoped, or the API")
@@ -1100,12 +1154,13 @@ object Lake {
               s"${renameTo.length} columns but the source has ${src0.columns.length}")
           src0.toDF(renameTo: _*)
         }
+        val conformed = conformTo(path, src)
         // appends INHERIT the table's partitioning (the writers refuse a
         // partitionBy mismatch; a SQL user never restates the layout)
         detect(spark, path) match {
-          case Delta => DeltaWrite.append(spark, src, path,
+          case Delta => DeltaWrite.append(spark, conformed, path,
             partitionBy = DeltaRead.snapshotInfo(spark, path).partitionColumns)
-          case Iceberg => IcebergWrite.append(spark, src, path,
+          case Iceberg => IcebergWrite.append(spark, conformed, path,
             partitionBy = IcebergWrite.currentPartitionBy(spark, path))
           case other => throw new IllegalArgumentException(
             s"INSERT INTO needs a lake table, got $other at $path")
@@ -1132,12 +1187,13 @@ object Lake {
   }
 
   /** Result-set statement surface: `DESCRIBE HISTORY '<path>'` returns
-    * the commit history frame; `DESCRIBE '<path>' [VERSION AS OF n]` the
-    * (version-pinnable) schema as (col_name, data_type, nullable) rows;
+    * the commit history frame; `DESCRIBE '<path>' [VERSION AS OF n |
+    * TIMESTAMP AS OF <ts>]` the (pinnable) schema as (col_name,
+    * data_type, nullable) rows;
     * `SHOW PARTITIONS '<path>'` the metadata-
-    * only [[partitionSummary]]; `SHOW TABLES IN '<dir>'` the
+    * only [[partitionSummary]]; `SHOW TABLES [IN '<dir>']` the
     * directory-as-catalog listing (table, format, version) of every child
-    * that is a table; `SELECT COUNT(*) FROM '<path>'` the
+    * that is a table (the bare form lists the `USE`'d catalog); `SELECT COUNT(*) FROM '<path>'` the
     * metadata-first [[rowCount]] as a (count, from_metadata) row; general
     * reads as
     *
@@ -1155,11 +1211,13 @@ object Lake {
     *
     * SELECTs BEYOND that single-table dialect — GROUP BY, aggregates,
     * joins (including lake-to-lake: every `FROM|JOIN '<path>' [VERSION AS
-    * OF n]` reference resolves), subqueries, set operations, window
+    * OF n | TIMESTAMP AS OF <ts>]` reference resolves, as do bare
+    * identifiers under `USE '<dir>'`), subqueries, set operations, window
     * functions — run in FULL through Spark SQL via [[delegateSelect]]:
     * each path reference becomes a temp view over its version-pinned
-    * scan and the whole statement delegates, so MV routing and every
-    * other optimizer hook apply to statement-text queries too.
+    * scan (per-alias WHERE conjuncts riding [[scanPruned]] —
+    * [[pruneConjuncts]]) and the whole statement delegates, so MV routing
+    * and every other optimizer hook apply to statement-text queries too.
     *
     * `VACUUM ...` returns the deleted paths (one `path` row each); every
     * other statement executes via [[sql]] and returns its committed
@@ -1167,12 +1225,12 @@ object Lake {
   def sqlFrame(spark: SparkSession, statement: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions.expr
-    val s = statement.trim.stripSuffix(";").trim
+    val s = resolveBareHead(spark, statement.trim.stripSuffix(";").trim)
     val DescribeHistory = """(?is)DESCRIBE\s+HISTORY\s+'([^']+)'\s*""".r
     val Describe =
       """(?is)DESCRIBE\s+'([^']+)'\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*|TIMESTAMP\s+AS\s+OF\s+(?:(\d+)|'([^']+)')\s*)?""".r
     val ShowPartitions = """(?is)SHOW\s+PARTITIONS\s+'([^']+)'\s*""".r
-    val ShowTables = """(?is)SHOW\s+TABLES\s+IN\s+'([^']+)'\s*""".r
+    val ShowTables = """(?is)SHOW\s+TABLES(?:\s+IN\s+'([^']+)')?\s*""".r
     val CountStar = """(?is)SELECT\s+COUNT\s*\(\s*\*\s*\)\s+FROM\s+'([^']+)'\s*""".r
     val Vacuum = """(?is)VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(FORCE)?\s*""".r
     val SelectHead = """(?is)SELECT\s+(.+)""".r
@@ -1190,10 +1248,16 @@ object Lake {
             f.nullable))
           .toDF("col_name", "data_type", "nullable")
       case ShowPartitions(path) => partitionSummary(spark, path)
-      case ShowTables(root) =>
+      case ShowTables(rootOrNull) =>
         // directory-as-catalog listing: every child dir that LOOKS like a
-        // table (a lake log/metadata, or parquet files directly under it),
-        // with its detected format and current version — metadata-only
+        // table (a lake log/metadata, or parquet files directly under it,
+        // flat or hive-partitioned), with its detected format and current
+        // version — metadata-only. A bare `SHOW TABLES` lists the USE'd
+        // catalog directory.
+        val root = Option(rootOrNull)
+          .orElse(spark.conf.getOption(UseDirKey))
+          .getOrElse(throw new IllegalArgumentException(
+            "SHOW TABLES: no directory given and no USE '<dir>' catalog set"))
         val rootP = new org.apache.hadoop.fs.Path(root)
         val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
         require(fs.exists(rootP), s"SHOW TABLES IN: no such directory $root")
@@ -1282,14 +1346,15 @@ object Lake {
   }
 
   /** The single-table FAST PATH of the SELECT surface: `SELECT <cols>
-    * FROM '<path>' [VERSION AS OF n | TIMESTAMP AS OF epoch_ms]
+    * FROM '<path>' [VERSION AS OF n | TIMESTAMP AS OF {epoch_ms | '<ts>'}]
     * [WHERE <pred>] [ORDER BY ...]
     * [LIMIT n]`. A WHERE goes through [[scanPruned]] so the format's
     * persisted per-file stats (Delta add.stats / Iceberg manifest bounds)
     * skip files BEFORE the scan. Returns None — never throws on shape —
     * when the statement is beyond this dialect (GROUP BY, joins,
-    * subqueries in FROM, set ops, expression LIMIT …): the caller then
-    * delegates the full statement to Spark SQL via [[delegateSelect]]. */
+    * subqueries in FROM or in the predicate, set ops, expression LIMIT,
+    * scalar subqueries in the projection …): the caller then delegates
+    * the full statement to Spark SQL via [[delegateSelect]]. */
   private def simpleSelect(spark: SparkSession, body: String): Option[DataFrame] = {
     import org.apache.spark.sql.functions.expr
     val fromIdx = topLevelKeyword(body, "FROM")
@@ -1570,19 +1635,21 @@ object Lake {
     * entirely (a null-tolerant conjunct pushed below a LEFT JOIN's
     * nullable side would change results). */
   /** The statement's RESOLVED table references: quoted paths and
-    * USE-catalog bare names that exist as directories. A `FROM
-    * '<literal>'` whose path is no directory is a genuine string literal
-    * in function position — excluded, its text left untouched. */
+    * USE-catalog bare names that EXIST on the filesystem (a directory, or
+    * a single parquet file — both are tables `spark.read` accepts). A
+    * `FROM '<literal>'` whose path does not exist is a genuine string
+    * literal in function position (`EXTRACT(YEAR FROM '2026-01-01')`) —
+    * excluded, its text left untouched for Spark to parse. */
   private def resolvedRefs(spark: SparkSession, statement: String): Seq[TableRef] = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    def isDir(p: String): Boolean = scala.util.Try {
+    def exists(p: String): Boolean = scala.util.Try {
       val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(hconf).getFileStatus(hp).isDirectory
+      hp.getFileSystem(hconf).exists(hp)
     }.getOrElse(false)
     val useDir = spark.conf.getOption(UseDirKey).map(_.stripSuffix("/"))
     def resolveBare(w: String): Option[String] =
-      useDir.map(d => s"$d/$w").filter(isDir)
-    tableRefs(statement, resolveBare).filter(r => isDir(r.path))
+      useDir.map(d => s"$d/$w").filter(exists)
+    tableRefs(statement, resolveBare).filter(r => exists(r.path))
   }
 
   /** A DML statement's SELECT source: lake-path / USE-catalog references
@@ -1745,6 +1812,40 @@ object Lake {
     * catalog under (session-scoped; bare FROM/JOIN identifiers resolve
     * against it). */
   private[sources] val UseDirKey = "graft.sql.use_dir"
+
+  /** Under `USE '<dir>'`, rewrite a bare table name in a statement's HEAD
+    * position (`DELETE FROM t`, `INSERT INTO t …`, `OPTIMIZE t`,
+    * `DESCRIBE t`, …) to its quoted catalog path — the DML/maintenance
+    * half of bare-name resolution ([[tableRefs]] covers FROM/JOIN
+    * positions inside SELECTs). Existing statements are untouched: no USE
+    * set, an already-quoted path, or a name that is not a directory under
+    * the catalog all pass through unchanged. `CREATE TABLE name` resolves
+    * WITHOUT the existence check (the table is about to be created). */
+  private def resolveBareHead(spark: SparkSession, s: String): String = {
+    val useDir = spark.conf.getOption(UseDirKey).map(_.stripSuffix("/"))
+      .getOrElse(return s)
+    // CREATE and DROP resolve UNCONDITIONALLY: the target may not exist
+    // yet (CREATE) or may already be gone (DROP IF EXISTS) — the
+    // statement's own existence handling is the right layer for both
+    val CreateHead = ("""(?is)^(CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?|""" +
+      """DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?)([A-Za-z_]\w*)\b(.*)""").r
+    val Head = ("""(?is)^((?:DELETE\s+FROM|UPDATE|MERGE\s+INTO|INSERT\s+INTO|""" +
+      """INSERT\s+OVERWRITE|OPTIMIZE|VACUUM|RESTORE|DESCRIBE\s+HISTORY|DESCRIBE|""" +
+      """SHOW\s+PARTITIONS|ALTER\s+TABLE|""" +
+      """REFRESH\s+MATERIALIZED\s+VIEW|DROP\s+MATERIALIZED\s+VIEW)\s+)""" +
+      """([A-Za-z_]\w*)\b(.*)""").r
+    def isDir(p: String): Boolean = scala.util.Try {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(hp).isDirectory
+    }.getOrElse(false)
+    s match {
+      case CreateHead(head, name, rest) => s"$head'$useDir/$name'$rest"
+      case Head(head, name, rest) if isDir(s"$useDir/$name") =>
+        s"$head'$useDir/$name'$rest"
+      case _ => s
+    }
+  }
 
   /** The outer WHERE clause's text, when the statement has one at the
     * TOP level (quote/paren-aware — a WHERE inside a subquery or string

@@ -242,4 +242,65 @@ class GeoSpec extends SparkSpec {
     assert(gridFence(notch, chevron, 10.0) === Seq.empty)
     assert(gridFence(wing, chevron, 10.0) === Seq((3L, 3L)))
   }
+
+  test("splitAtAntimeridian: date-line fences match points on BOTH sides, exactly once") {
+    // a kite straddling the date line: center lon 180, wings at 175 / -175
+    val s2 = spark
+    import s2.implicits._
+    val raw = Seq((1L, Seq((5.0, 175.0), (0.0, -175.0), (-5.0, 175.0), (0.0, 177.0))),
+      (2L, Seq((20.0, 10.0), (25.0, 15.0), (20.0, 20.0), (15.0, 15.0)))) // non-crossing passthrough
+      .toDF("gid", "raw")
+      .select(col("gid"), expr(
+        "transform(raw, v -> named_struct('lat', v._1, 'lon', v._2))").as("verts"))
+    val split = GeoOps.splitAtAntimeridian(raw, "verts")
+    // crossing fence -> two halves; non-crossing fence -> one unchanged row
+    assert(split.groupBy("gid").count().orderBy("gid")
+      .as[(Long, Long)].collect().toSeq === Seq((1L, 2L), (2L, 1L)))
+    // no output vertex list crosses: every edge jump stays under 180
+    val jumps = split.select(expr(
+      """aggregate(sequence(0, size(verts) - 1), 0D, (acc, i) ->
+           greatest(acc, abs(element_at(verts, i + 1).lon -
+             element_at(verts, CAST(pmod(i + 1, size(verts)) AS INT) + 1).lon)))"""))
+      .as[Double].collect()
+    assert(jumps.forall(_ <= 180.0), s"split halves still cross: ${jumps.toSeq}")
+
+    // geofence over the split fences: west-side, east-side, seam-adjacent
+    // inside points match ONCE; outside points never
+    val points = pts(Seq(
+      (1L, 0.0, 178.0),   // inside, west of the seam
+      (2L, 0.0, -178.0),  // inside, east of the seam
+      (3L, 0.0, 179.999), // inside, hugging the seam
+      (4L, 0.0, 170.0),   // west of the fence entirely
+      (5L, 8.0, 180.0),   // north of the fence
+      (6L, 17.0, 15.0)    // inside the non-crossing fence
+    ), "p")
+    val got = GeoOps.geofence(points, "pid", "plat", "plon",
+      GeoOps.splitAtAntimeridian(raw, "verts"), "gid", "verts", 10.0)
+      .collect().toSeq.map(x => (x.getLong(0), x.getLong(1))).sorted
+    assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L), (6L, 2L)))
+
+    // the splitter is exact w.r.t. the spherical fence: brute-force ray
+    // cast in a LOCAL frame shifted so the fence is contiguous agrees
+    val shifted = Seq((1L, Seq((5.0, -5.0), (0.0, 5.0), (-5.0, -5.0), (0.0, -3.0))))
+      .toDF("gid", "raw")
+      .select(col("gid"), expr(
+        "transform(raw, v -> named_struct('lat', v._1, 'lon', v._2))").as("verts"))
+    val shiftedPts = pts(Seq((1L, 0.0, -2.0), (2L, 0.0, 2.0), (3L, 0.0, -0.001),
+      (4L, 0.0, -10.0), (5L, 8.0, 0.0)), "p")
+    val local = bruteFence(shiftedPts, shifted).map(_._1)
+    assert(got.filter(_._2 == 1L).map(_._1) === local,
+      "split-fence matches must equal the contiguous-frame ray cast")
+  }
+
+  test("splitLonLat degenerate and refusal cases") {
+    // non-crossing passthrough is IDENTITY (no unwrap drift)
+    assert(GeoOps.splitLonLat(Seq(1.0, 2.0, 3.0), Seq(10.0, 20.0, 15.0)) ===
+      Seq((Seq(1.0, 2.0, 3.0), Seq(10.0, 20.0, 15.0))))
+    // a polygon wrapping more than 360 degrees is refused loudly
+    intercept[IllegalArgumentException] {
+      GeoOps.splitLonLat(Seq(0.0, 10.0, 0.0, -10.0, 0.0, 10.0),
+        Seq(0.0, 120.0, -120.0, 0.0, 120.0, -120.0))
+    }
+  }
 }
+

@@ -887,6 +887,64 @@ class LakeDmlSpec extends SparkSpec {
     assert(out.as[(Long, String)].collect().toSeq === Seq((1L, "it's; fine")))
   }
 
+
+  test("bare-name DML under USE: full statement lifecycle plus DROP TABLE") {
+    val root = tmp("graft_use_dml")
+    Lake.sql(spark, s"USE '$root'")
+    try {
+      // CREATE resolves a bare target unconditionally (it does not exist yet)
+      Lake.sql(spark, "CREATE TABLE sales (id BIGINT, v DOUBLE) USING delta")
+      Lake.sql(spark, "INSERT INTO sales (id, v) VALUES (1, 1.5), (2, 2.5), (9, 99.0)")
+      Lake.sql(spark, "UPDATE sales SET v = v + 0.5 WHERE id = 2")
+      Lake.sql(spark, "DELETE FROM sales WHERE id = 9")
+      assert(Lake.sqlFrame(spark, "SELECT id, v FROM sales ORDER BY id")
+        .as[(Long, Double)].collect().toSeq === Seq((1L, 1.5), (2L, 3.0)))
+      // result-set heads resolve bare names too
+      assert(Lake.sqlFrame(spark, "DESCRIBE sales")
+        .select("col_name").as[String].collect().toSeq === Seq("id", "v"))
+      assert(Lake.sqlFrame(spark, "DESCRIBE HISTORY sales").count() >= 3L)
+      Lake.sql(spark, "OPTIMIZE sales")
+      // IF NOT EXISTS over the occupied table is a no-op, never a clobber
+      Lake.sql(spark, "CREATE TABLE IF NOT EXISTS sales (id BIGINT) USING delta")
+      assert(Lake.read(spark, s"$root/sales").count() === 2L)
+      // bare SHOW TABLES lists the USE'd catalog
+      assert(Lake.sqlFrame(spark, "SHOW TABLES")
+        .select("table").as[String].collect().toSeq === Seq("sales"))
+      // DROP TABLE removes it from the catalog; IF EXISTS tolerates absence
+      Lake.sql(spark, "DROP TABLE sales")
+      assert(Lake.sqlFrame(spark, s"SHOW TABLES IN '$root'").count() === 0L)
+      Lake.sql(spark, "DROP TABLE IF EXISTS sales")
+      intercept[IllegalArgumentException](Lake.sql(spark, "DROP TABLE sales"))
+      // DROP TABLE refuses a directory that is not a table
+      new java.io.File(s"$root/not_a_table/keep.txt").getParentFile.mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$root/not_a_table/keep.txt"), "x")
+      intercept[IllegalArgumentException](Lake.sql(spark, "DROP TABLE not_a_table"))
+      assert(new java.io.File(s"$root/not_a_table/keep.txt").exists())
+    } finally Lake.sql(spark, "USE DEFAULT")
+    // without USE, a bare head no longer resolves, and bare SHOW TABLES
+    // has no catalog to list
+    intercept[IllegalArgumentException](Lake.sql(spark, "DELETE FROM sales WHERE id = 1"))
+    intercept[IllegalArgumentException](Lake.sqlFrame(spark, "SHOW TABLES"))
+  }
+
+
+  test("Delta append refuses a same-named column of another type") {
+    val t = tmp("graft_typepin") + "/tbl"
+    DeltaWrite.append(spark, Seq((1L, 1.0)).toDF("id", "v"), t)
+    // decimal staged into a double column would be MISREAD (unscaled longs
+    // as doubles) — the writer must refuse, not stage
+    val ex = intercept[IllegalArgumentException] {
+      DeltaWrite.append(spark,
+        Seq((2, BigDecimal("2.5"))).toDF("id", "v"), t)
+    }
+    assert(ex.getMessage.contains("cast before appending"))
+    // the SQL surface conforms automatically: VALUES literals land typed
+    Lake.sql(spark, s"INSERT INTO '$t' (id, v) VALUES (2, 2.5)")
+    assert(Lake.read(spark, t).orderBy("id").as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 1.0), (2L, 2.5)))
+  }
+
   test("SHOW TABLES classifies hive-partitioned plain parquet as a table") {
     val root = tmp("graft_show_hive")
     Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "p", "v")
