@@ -1386,6 +1386,64 @@ object IoQueries {
       GROUP BY e.event_type
       ORDER BY e.event_type"""))
 
+  /** FULL MERGE with ordered WHEN clauses (Lake.sql → [[graft.sources
+    * .Lake.mergeInto]]): per format, events seed the target, a source of
+    * overlapping keys plus brand-new shifted keys drives one statement —
+    * matched error rows DELETE, other matched rows UPDATE (value +=
+    * src_value), unmatched rows INSERT — all as ONE atomic commit. The
+    * oracle recomputes the merged end state from raw events with the
+    * identical set algebra. */
+  val tlakeMergeFull = GQuery(
+    "t91_lake_merge_full",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("value"), col("event_type"))
+      def run(fmt: String): org.apache.spark.sql.DataFrame = {
+        val t = tmp(s"graft_t91_${fmt}_q") + "/tbl"
+        if (fmt == "delta") graft.sources.DeltaWrite.append(s, ev, t)
+        else graft.sources.IcebergWrite.append(s, ev, t)
+        ev.where(col("event_id") % 5 === 0)
+          .union(ev.where(col("event_id") % 7 === 0)
+            .select((col("event_id") + 100000000L).as("event_id"),
+              (col("value") * 2).as("value"), col("event_type")))
+          .createOrReplaceTempView("graft_t91_src")
+        graft.sources.Lake.sql(s,
+          s"""MERGE INTO '$t' USING (SELECT * FROM graft_t91_src) ON (event_id)
+              WHEN MATCHED AND event_type = 'error' THEN DELETE
+              WHEN MATCHED THEN UPDATE SET value = value + src_value
+              WHEN NOT MATCHED THEN INSERT *""")
+        graft.sources.Lake.read(s, t)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+          .withColumn("fmt", lit(fmt))
+      }
+      run("delta").unionByName(run("iceberg"))
+        .select(col("fmt"), col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy(col("fmt"), col("event_type"))
+    },
+    Some("""WITH src AS (
+        SELECT event_id, value, event_type FROM events WHERE event_id % 5 = 0
+        UNION ALL
+        SELECT event_id + 100000000, value * 2, event_type FROM events
+        WHERE event_id % 7 = 0),
+      tgt AS (SELECT event_id, value, event_type FROM events),
+      merged AS (
+        SELECT t.* FROM tgt t
+        WHERE t.event_id NOT IN (SELECT event_id FROM src)
+        UNION ALL
+        SELECT t.event_id, t.value + s.value, t.event_type
+        FROM tgt t JOIN src s USING (event_id)
+        WHERE t.event_type <> 'error'
+        UNION ALL
+        SELECT s.* FROM src s
+        WHERE s.event_id NOT IN (SELECT event_id FROM tgt))
+      SELECT fmt, event_type, count(*) AS cnt,
+        round(sum(value), 2) AS sum_value
+      FROM (SELECT 'delta' AS fmt FROM range(1) UNION ALL SELECT 'iceberg') fmts
+      CROSS JOIN merged
+      GROUP BY fmt, event_type
+      ORDER BY fmt, event_type"""))
+
   /** CDC APPLY, cross-format both ways: a target table in the OTHER
     * format is seeded from the source's first snapshot, the source then
     * evolves (append + merge-on-read delete), and one
@@ -1733,7 +1791,7 @@ object IoQueries {
       tdeltaDv, tdeltaUpsert, ticebergPart, ticebergHiddenPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tlakeReplaceWhere, tlakeSqlDml,
       tlakeSqlMaintenance, tlakeSqlSelect, tlakeSqlAgg, tlakeSqlAlterAdd, tlakeTpchSql,
-      tlakeSqlWindow, tlakeCreateTable, tlakeUseCatalog,
+      tlakeSqlWindow, tlakeCreateTable, tlakeUseCatalog, tlakeMergeFull,
       tcdcApply, tlakeSync, tlakeClone,
       tlakeRestore, tlakeRename, tlakeUniform, tlakeUniformRev, tlakeConvert)
 }

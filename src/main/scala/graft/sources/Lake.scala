@@ -555,6 +555,95 @@ object Lake {
         s"plain parquet at $path cannot carry a changelog apply")
     }
 
+  /** One WHEN clause of a full MERGE ([[mergeInto]]). */
+  sealed trait MergeAction
+  /** `WHEN MATCHED … THEN DELETE`. */
+  case object MergeDelete extends MergeAction
+  /** `WHEN MATCHED … THEN UPDATE SET c = e, …`; an EMPTY assignment list
+    * is `UPDATE SET *` — the source row replaces the target row. */
+  final case class MergeUpdate(
+      assignments: Seq[(String, org.apache.spark.sql.Column)]) extends MergeAction
+
+  /** FULL MERGE: the general `WHEN` form over a keyed lake table —
+    * matched clauses evaluate IN ORDER (first whose condition fires wins,
+    * rows matching no clause are untouched), the not-matched clause
+    * inserts new keys. The whole merge applies as ONE atomic commit per
+    * format through [[applyChanges]] (Delta: DV-delete + append in one
+    * commit; Iceberg: one row-delta snapshot): every produced change row
+    * retracts its key and inserts its new image, so readers see the old
+    * or the new state of every key, never a mix.
+    *
+    * Expression contexts: matched conditions and UPDATE SET values see
+    * the TARGET row's columns by their bare names and the source row's as
+    * `src_<name>`; the not-matched condition sees the SOURCE row's
+    * columns bare (no target row exists). `UPDATE SET *` replaces the
+    * matched target row with the source row (the CDC idiom [[upsert]]
+    * implements unconditionally).
+    *
+    * The source must carry exactly the table's columns (cast upstream —
+    * the SQL surface conforms automatically) and UNIQUE keys: a source
+    * key matching twice would make the merge order-dependent, so
+    * duplicates are refused loudly (one cheap aggregation over the
+    * source, which is the small side of a merge by construction).
+    *
+    * @param matched     ordered (condition, action) WHEN MATCHED clauses
+    * @param notMatched  Some(condition) = `WHEN NOT MATCHED [AND cond]
+    *                    THEN INSERT *`; None = no insert clause
+    * Returns the committed version / snapshot id. */
+  def mergeInto(spark: SparkSession, path: String, source: DataFrame,
+      keys: Seq[String],
+      matched: Seq[(Option[org.apache.spark.sql.Column], MergeAction)],
+      notMatched: Option[Option[org.apache.spark.sql.Column]]): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(matched.nonEmpty || notMatched.nonEmpty,
+      "MERGE: at least one WHEN clause required")
+    val tgt = read(spark, path)
+    val cols = tgt.columns.toSeq
+    require(source.columns.sorted.sameElements(cols.sorted),
+      s"MERGE source columns ${source.columns.mkString(",")} do not match " +
+        s"table columns ${cols.mkString(",")}")
+    require(keys.nonEmpty && keys.forall(cols.contains),
+      s"MERGE keys ${keys.mkString(",")} not all present in ${cols.mkString(",")}")
+    val src = source.localCheckpoint(false) // read twice (dup guard + join)
+    val dup = src.groupBy(keys.map(col): _*).count()
+      .where(col("count") > 1).limit(1).count()
+    require(dup == 0,
+      "MERGE source carries duplicate key rows — ambiguous (dedupe upstream)")
+    val srcP = src.select(cols.map(c => col(c).as(s"src_$c")): _*)
+    val joined = tgt.join(srcP,
+      keys.map(k => col(k) <=> col(s"src_$k")).reduce(_ && _), "inner")
+    val pieces = Seq.newBuilder[DataFrame]
+    var remaining: org.apache.spark.sql.Column = lit(true)
+    matched.foreach { case (condOpt, action) =>
+      val fire = remaining && condOpt.getOrElse(lit(true))
+      action match {
+        case MergeDelete =>
+          pieces += joined.where(fire)
+            .select(cols.map(col) :+ lit("delete").as("_change_type"): _*)
+        case MergeUpdate(Nil) => // SET *: the source row replaces the target's
+          pieces += joined.where(fire)
+            .select(cols.map(c => col(s"src_$c").as(c)) :+
+              lit("insert").as("_change_type"): _*)
+        case MergeUpdate(assigns) =>
+          val byName = assigns.toMap
+          require(assigns.forall { case (c, _) => cols.contains(c) },
+            s"MERGE UPDATE SET names unknown columns ${assigns.map(_._1).mkString(",")}")
+          pieces += joined.where(fire)
+            .select(cols.map(c => byName.getOrElse(c, col(c)).as(c)) :+
+              lit("insert").as("_change_type"): _*)
+      }
+      remaining = remaining && !condOpt.getOrElse(lit(true))
+    }
+    notMatched.foreach { condOpt =>
+      val tgtKeys = tgt.select(keys.map(col): _*)
+      val unmatched = src.join(tgtKeys,
+        keys.map(k => src(k) <=> tgtKeys(k)).reduce(_ && _), "left_anti")
+      pieces += unmatched.where(condOpt.getOrElse(lit(true)))
+        .select(cols.map(col) :+ lit("insert").as("_change_type"): _*)
+    }
+    applyChanges(spark, pieces.result().reduce(_ unionByName _), path, keys)
+  }
+
   /** What [[maintain]] did, for logging/metrics. */
   final case class Maintenance(
       format: String,
@@ -794,14 +883,26 @@ object Lake {
     * [[matchingParen]]): keywords inside string literals or parenthesized
     * subexpressions never split a clause.
     *
-    * MERGE is the WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN
-    * INSERT * shape (replace matched keys with the source row, insert new
-    * keys) — the CDC-merge idiom [[upsert]] implements; the ON clause
-    * names the key COLUMNS (null-safe equality), not an arbitrary
-    * predicate. Predicates and expressions are standard Spark SQL texts
-    * (`functions.expr`); the USING / INSERT source is any SELECT the
-    * session can run (including over the registered lake table functions,
-    * so lake-to-lake MERGE is one statement). CTAS:
+    * MERGE without WHEN clauses is the CDC default — UPDATE SET * every
+    * matched key, INSERT * every new one ([[upsert]]). With WHEN clauses
+    * it is the FULL form ([[mergeInto]]):
+    *
+    * {{{ MERGE INTO '<path>' USING (<select ...>) ON (k1[, k2 ...])
+    *       [WHEN MATCHED [AND <cond>] THEN {UPDATE SET * | UPDATE SET c = e[, ...] | DELETE}]...
+    *       [WHEN NOT MATCHED [AND <cond>] THEN INSERT *] }}}
+    *
+    * — matched clauses fire in statement order (first match wins, rows
+    * matching none are untouched), everything applies as ONE atomic
+    * commit. Matched conditions and SET values see the target row's
+    * columns bare and the source row's as `src_<name>`; the not-matched
+    * condition sees the source row bare. A CASE expression inside a merge
+    * condition must be parenthesized (its WHEN/THEN would otherwise split
+    * the clause scan). The ON clause names the key COLUMNS (null-safe
+    * equality), not an arbitrary predicate. Predicates and expressions
+    * are standard Spark SQL texts (`functions.expr`); the USING / INSERT
+    * source is any SELECT the session can run (including over quoted lake
+    * paths and the registered lake table functions, so lake-to-lake MERGE
+    * is one statement). CTAS:
     *
     * {{{ CREATE TABLE '<path>' USING {delta | iceberg}
     *       [PARTITIONED BY (c1[, c2 ...])] AS <select ...> }}}
@@ -1105,12 +1206,73 @@ object Lake {
         val close = matchingParen(fromParen, 0)
         require(close > 0, s"unbalanced USING (...) parens in: $s")
         val source = fromParen.substring(1, close)
-        val keys = fromParen.substring(close + 1) match {
+        val tail = fromParen.substring(close + 1)
+        // WHEN clauses (if any) follow the ON key list
+        val whenIdx = topLevelKeyword(tail, "WHEN")
+        val onPart = if (whenIdx < 0) tail else tail.substring(0, whenIdx)
+        val keys = onPart match {
           case OnTail(k) => k.split(",").map(_.trim).filter(_.nonEmpty).toSeq
           case other => throw new IllegalArgumentException(
             s"MERGE INTO: expected ON (k1[, k2 ...]) after USING (...), got: $other")
         }
-        upsert(spark, conformTo(path, sourceFrame(spark, source)), path, keys)
+        val src = conformTo(path, sourceFrame(spark, source))
+        if (whenIdx < 0) upsert(spark, src, path, keys) // the CDC default shape
+        else {
+          // parse the ordered WHEN clause list: each clause spans to the
+          // next top-level WHEN; inside, the top-level THEN splits the
+          // head (MATCHED | NOT MATCHED, optional AND <cond>) from the
+          // action (UPDATE SET * | UPDATE SET a = e, … | DELETE | INSERT *)
+          val text = tail.substring(whenIdx)
+          val starts = {
+            val b = Seq.newBuilder[Int]
+            var i = topLevelKeyword(text, "WHEN")
+            while (i >= 0) { b += i; i = topLevelKeyword(text, "WHEN", i + 4) }
+            b.result()
+          }
+          val slices = starts.zip(starts.drop(1) :+ text.length)
+            .map { case (a, b) => text.substring(a + 4, b).trim }
+          val matchedB = Seq.newBuilder[(Option[org.apache.spark.sql.Column], MergeAction)]
+          var notMatched: Option[Option[org.apache.spark.sql.Column]] = None
+          slices.foreach { clause =>
+            val thenIdx = topLevelKeyword(clause, "THEN")
+            require(thenIdx > 0, s"MERGE: WHEN clause without THEN: $clause")
+            val head = clause.substring(0, thenIdx).trim
+            val action = clause.substring(thenIdx + 4).trim
+            val andIdx = topLevelKeyword(head, "AND")
+            val kind = (if (andIdx < 0) head else head.substring(0, andIdx)).trim
+              .toUpperCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+            val cond = if (andIdx < 0) None
+              else Some(expr(head.substring(andIdx + 3).trim))
+            val u = action.toUpperCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+            kind match {
+              case "MATCHED" =>
+                require(notMatched.isEmpty,
+                  "MERGE: WHEN MATCHED clauses must precede WHEN NOT MATCHED")
+                if (u == "DELETE") matchedB += cond -> MergeDelete
+                else if (u == "UPDATE SET *") matchedB += cond -> MergeUpdate(Nil)
+                else if (u.startsWith("UPDATE SET ")) {
+                  val assigns = splitTopLevel(
+                    action.substring(action.toUpperCase(java.util.Locale.ROOT)
+                      .indexOf("SET") + 3)).map { item =>
+                    val eq = item.indexOf('=')
+                    require(eq > 0, s"malformed SET item '$item' (expected col = expr)")
+                    (item.take(eq).trim, expr(item.drop(eq + 1).trim))
+                  }
+                  require(assigns.nonEmpty, s"MERGE: empty UPDATE SET list in: $clause")
+                  matchedB += cond -> MergeUpdate(assigns)
+                } else throw new IllegalArgumentException(
+                  s"MERGE: expected UPDATE SET … or DELETE after WHEN MATCHED THEN, got: $action")
+              case "NOT MATCHED" =>
+                require(notMatched.isEmpty, "MERGE: at most one WHEN NOT MATCHED clause")
+                require(u == "INSERT *",
+                  s"MERGE: expected INSERT * after WHEN NOT MATCHED THEN, got: $action")
+                notMatched = Some(cond)
+              case other => throw new IllegalArgumentException(
+                s"MERGE: expected WHEN [NOT] MATCHED, got: WHEN $other")
+            }
+          }
+          mergeInto(spark, path, src, keys, matchedB.result(), notMatched)
+        }
       case InsertOverwrite(path, body) =>
         body.trim match {
           case ReplaceWhereHead(predAndSource) =>

@@ -945,6 +945,65 @@ class LakeDmlSpec extends SparkSpec {
       Seq((1L, 1.0), (2L, 2.5)))
   }
 
+
+  test("full MERGE: ordered WHEN clauses, conditional update/delete/insert, one commit") {
+    for (fmt <- Seq("delta", "iceberg")) {
+      val t = tmp(s"graft_merge_$fmt") + "/tbl"
+      val seed = Seq((1L, 10.0, "keep"), (2L, 20.0, "bump"),
+        (3L, 30.0, "drop"), (4L, 40.0, "stay")).toDF("id", "v", "note")
+      if (fmt == "delta") DeltaWrite.append(spark, seed, t)
+      else IcebergWrite.append(spark, seed, t)
+      val vBefore = if (fmt == "delta") DeltaRead.snapshotInfo(spark, t).version
+        else IcebergRead.history(spark, t).count()
+      // source: id=2 (bump), id=3 (drop), id=5 (new), id=6 (new but filtered)
+      Seq((2L, 5.0, "bump"), (3L, 0.0, "drop"), (5L, 50.0, "new"), (6L, -1.0, "new"))
+        .toDF("id", "v", "note").createOrReplaceTempView("graft_merge_src")
+      Lake.sql(spark,
+        s"""MERGE INTO '$t' USING (SELECT * FROM graft_merge_src) ON (id)
+            WHEN MATCHED AND note = 'drop' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET v = v + src_v
+            WHEN NOT MATCHED AND v > 0 THEN INSERT *""")
+      // id=1,4 untouched (matched nothing? 1 and 4 not in source), id=2
+      // updated 20+5, id=3 deleted, id=5 inserted, id=6 filtered out
+      assert(Lake.read(spark, t).orderBy("id").as[(Long, Double, String)]
+        .collect().toSeq ===
+        Seq((1L, 10.0, "keep"), (2L, 25.0, "bump"),
+          (4L, 40.0, "stay"), (5L, 50.0, "new")), fmt)
+      // ONE commit carried the whole merge
+      if (fmt == "delta")
+        assert(DeltaRead.snapshotInfo(spark, t).version === vBefore + 1, fmt)
+      else assert(IcebergRead.history(spark, t).count() === vBefore + 1, fmt)
+    }
+
+    // clause ORDER decides: delete-first vs update-first on the same rows
+    val t2 = tmp("graft_merge_order") + "/tbl"
+    DeltaWrite.append(spark, Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"), t2)
+    Seq((1L, 100.0), (2L, 100.0)).toDF("id", "v")
+      .createOrReplaceTempView("graft_merge_src2")
+    Lake.sql(spark,
+      s"""MERGE INTO '$t2' USING (SELECT * FROM graft_merge_src2) ON (id)
+          WHEN MATCHED AND id = 1 THEN UPDATE SET *
+          WHEN MATCHED THEN DELETE""")
+    assert(Lake.read(spark, t2).orderBy("id").as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 100.0)))
+
+    // duplicate source keys are refused loudly (ambiguous merge)
+    Seq((1L, 1.0), (1L, 2.0)).toDF("id", "v")
+      .createOrReplaceTempView("graft_merge_dup")
+    val ex = intercept[IllegalArgumentException](Lake.sql(spark,
+      s"""MERGE INTO '$t2' USING (SELECT * FROM graft_merge_dup) ON (id)
+          WHEN MATCHED THEN DELETE"""))
+    assert(ex.getMessage.contains("duplicate key"))
+
+    // the no-WHEN form is still the CDC upsert
+    Seq((1L, 7.0), (9L, 9.0)).toDF("id", "v")
+      .createOrReplaceTempView("graft_merge_cdc")
+    Lake.sql(spark,
+      s"MERGE INTO '$t2' USING (SELECT * FROM graft_merge_cdc) ON (id)")
+    assert(Lake.read(spark, t2).orderBy("id").as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 7.0), (9L, 9.0)))
+  }
+
   test("SHOW TABLES classifies hive-partitioned plain parquet as a table") {
     val root = tmp("graft_show_hive")
     Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "p", "v")
