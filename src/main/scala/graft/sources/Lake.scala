@@ -589,13 +589,20 @@ object Lake {
     * @param matched     ordered (condition, action) WHEN MATCHED clauses
     * @param notMatched  Some(condition) = `WHEN NOT MATCHED [AND cond]
     *                    THEN INSERT *`; None = no insert clause
+    * @param notMatchedBySource ordered (condition, action) `WHEN NOT
+    *                    MATCHED BY SOURCE` clauses over TARGET rows with
+    *                    no source match — the deletion-sync form
+    *                    (conditions/SET values see the target row bare;
+    *                    there is no source row)
     * Returns the committed version / snapshot id. */
   def mergeInto(spark: SparkSession, path: String, source: DataFrame,
       keys: Seq[String],
       matched: Seq[(Option[org.apache.spark.sql.Column], MergeAction)],
-      notMatched: Option[Option[org.apache.spark.sql.Column]]): Long = {
+      notMatched: Option[Option[org.apache.spark.sql.Column]],
+      notMatchedBySource: Seq[(Option[org.apache.spark.sql.Column], MergeAction)] =
+        Nil): Long = {
     import org.apache.spark.sql.functions.{col, lit}
-    require(matched.nonEmpty || notMatched.nonEmpty,
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "MERGE: at least one WHEN clause required")
     val tgt = read(spark, path)
     val cols = tgt.columns.toSeq
@@ -610,36 +617,60 @@ object Lake {
     require(dup == 0,
       "MERGE source carries duplicate key rows — ambiguous (dedupe upstream)")
     val srcP = src.select(cols.map(c => col(c).as(s"src_$c")): _*)
-    val joined = tgt.join(srcP,
+    // several clauses slice the SAME matched frame — checkpoint it lazily
+    // so the changelog union executes ONE join, not one per clause (the
+    // matched set is bounded by the source, the small side of a merge)
+    val joined0 = tgt.join(srcP,
       keys.map(k => col(k) <=> col(s"src_$k")).reduce(_ && _), "inner")
+    val joined = if (matched.length > 1) joined0.localCheckpoint(false) else joined0
     val pieces = Seq.newBuilder[DataFrame]
-    var remaining: org.apache.spark.sql.Column = lit(true)
-    matched.foreach { case (condOpt, action) =>
-      val fire = remaining && condOpt.getOrElse(lit(true))
-      action match {
-        case MergeDelete =>
-          pieces += joined.where(fire)
-            .select(cols.map(col) :+ lit("delete").as("_change_type"): _*)
-        case MergeUpdate(Nil) => // SET *: the source row replaces the target's
-          pieces += joined.where(fire)
-            .select(cols.map(c => col(s"src_$c").as(c)) :+
-              lit("insert").as("_change_type"): _*)
-        case MergeUpdate(assigns) =>
-          val byName = assigns.toMap
-          require(assigns.forall { case (c, _) => cols.contains(c) },
-            s"MERGE UPDATE SET names unknown columns ${assigns.map(_._1).mkString(",")}")
-          pieces += joined.where(fire)
-            .select(cols.map(c => byName.getOrElse(c, col(c)).as(c)) :+
-              lit("insert").as("_change_type"): _*)
+    def firstMatchWins(frame: DataFrame,
+        clauses: Seq[(Option[org.apache.spark.sql.Column], MergeAction)],
+        updateBase: String => org.apache.spark.sql.Column): Unit = {
+      var remaining: org.apache.spark.sql.Column = lit(true)
+      clauses.foreach { case (condOpt, action) =>
+        val fire = remaining && condOpt.getOrElse(lit(true))
+        action match {
+          case MergeDelete =>
+            pieces += frame.where(fire)
+              .select(cols.map(col) :+ lit("delete").as("_change_type"): _*)
+          case MergeUpdate(Nil) => // SET *: the source row replaces the target's
+            pieces += frame.where(fire)
+              .select(cols.map(c => updateBase(c).as(c)) :+
+                lit("insert").as("_change_type"): _*)
+          case MergeUpdate(assigns) =>
+            val byName = assigns.toMap
+            require(assigns.forall { case (c, _) => cols.contains(c) },
+              s"MERGE UPDATE SET names unknown columns ${assigns.map(_._1).mkString(",")}")
+            pieces += frame.where(fire)
+              .select(cols.map(c => byName.getOrElse(c, col(c)).as(c)) :+
+                lit("insert").as("_change_type"): _*)
+        }
+        remaining = remaining && !condOpt.getOrElse(lit(true))
       }
-      remaining = remaining && !condOpt.getOrElse(lit(true))
     }
+    firstMatchWins(joined, matched, c => col(s"src_$c"))
     notMatched.foreach { condOpt =>
       val tgtKeys = tgt.select(keys.map(col): _*)
       val unmatched = src.join(tgtKeys,
         keys.map(k => src(k) <=> tgtKeys(k)).reduce(_ && _), "left_anti")
       pieces += unmatched.where(condOpt.getOrElse(lit(true)))
         .select(cols.map(col) :+ lit("insert").as("_change_type"): _*)
+    }
+    if (notMatchedBySource.nonEmpty) {
+      require(notMatchedBySource.forall {
+        case (_, MergeUpdate(Nil)) => false // no source row to SET * from
+        case _ => true
+      }, "MERGE: WHEN NOT MATCHED BY SOURCE cannot UPDATE SET * (no source row)")
+      val srcKeys = src.select(keys.map(col): _*)
+      // orphans can be nearly the WHOLE target (deletion-sync of a stale
+      // table) — checkpoint only when several clauses would re-run the
+      // anti-join; a single clause streams through unmaterialized
+      val orphans0 = tgt.join(srcKeys,
+        keys.map(k => tgt(k) <=> srcKeys(k)).reduce(_ && _), "left_anti")
+      val orphans = if (notMatchedBySource.length > 1)
+        orphans0.localCheckpoint(false) else orphans0
+      firstMatchWins(orphans, notMatchedBySource, col)
     }
     applyChanges(spark, pieces.result().reduce(_ unionByName _), path, keys)
   }
@@ -889,7 +920,8 @@ object Lake {
     *
     * {{{ MERGE INTO '<path>' USING (<select ...>) ON (k1[, k2 ...])
     *       [WHEN MATCHED [AND <cond>] THEN {UPDATE SET * | UPDATE SET c = e[, ...] | DELETE}]...
-    *       [WHEN NOT MATCHED [AND <cond>] THEN INSERT *] }}}
+    *       [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]
+    *       [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN {UPDATE SET c = e[, ...] | DELETE}]... }}}
     *
     * — matched clauses fire in statement order (first match wins, rows
     * matching none are untouched), everything applies as ONE atomic
@@ -1232,6 +1264,7 @@ object Lake {
           val slices = starts.zip(starts.drop(1) :+ text.length)
             .map { case (a, b) => text.substring(a + 4, b).trim }
           val matchedB = Seq.newBuilder[(Option[org.apache.spark.sql.Column], MergeAction)]
+          val orphanB = Seq.newBuilder[(Option[org.apache.spark.sql.Column], MergeAction)]
           var notMatched: Option[Option[org.apache.spark.sql.Column]] = None
           slices.foreach { clause =>
             val thenIdx = topLevelKeyword(clause, "THEN")
@@ -1244,34 +1277,38 @@ object Lake {
             val cond = if (andIdx < 0) None
               else Some(expr(head.substring(andIdx + 3).trim))
             val u = action.toUpperCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+            def updateOrDelete(what: String)
+                : (Option[org.apache.spark.sql.Column], MergeAction) = {
+              if (u == "DELETE") cond -> MergeDelete
+              else if (u == "UPDATE SET *") cond -> MergeUpdate(Nil)
+              else if (u.startsWith("UPDATE SET ")) {
+                val assigns = splitTopLevel(
+                  action.substring(action.toUpperCase(java.util.Locale.ROOT)
+                    .indexOf("SET") + 3)).map { item =>
+                  val eq = item.indexOf('=')
+                  require(eq > 0, s"malformed SET item '$item' (expected col = expr)")
+                  (item.take(eq).trim, expr(item.drop(eq + 1).trim))
+                }
+                require(assigns.nonEmpty, s"MERGE: empty UPDATE SET list in: $clause")
+                cond -> MergeUpdate(assigns)
+              } else throw new IllegalArgumentException(
+                s"MERGE: expected UPDATE SET … or DELETE after WHEN $what THEN, got: $action")
+            }
             kind match {
-              case "MATCHED" =>
-                require(notMatched.isEmpty,
-                  "MERGE: WHEN MATCHED clauses must precede WHEN NOT MATCHED")
-                if (u == "DELETE") matchedB += cond -> MergeDelete
-                else if (u == "UPDATE SET *") matchedB += cond -> MergeUpdate(Nil)
-                else if (u.startsWith("UPDATE SET ")) {
-                  val assigns = splitTopLevel(
-                    action.substring(action.toUpperCase(java.util.Locale.ROOT)
-                      .indexOf("SET") + 3)).map { item =>
-                    val eq = item.indexOf('=')
-                    require(eq > 0, s"malformed SET item '$item' (expected col = expr)")
-                    (item.take(eq).trim, expr(item.drop(eq + 1).trim))
-                  }
-                  require(assigns.nonEmpty, s"MERGE: empty UPDATE SET list in: $clause")
-                  matchedB += cond -> MergeUpdate(assigns)
-                } else throw new IllegalArgumentException(
-                  s"MERGE: expected UPDATE SET … or DELETE after WHEN MATCHED THEN, got: $action")
+              case "MATCHED" => matchedB += updateOrDelete("MATCHED")
+              case "NOT MATCHED BY SOURCE" =>
+                orphanB += updateOrDelete("NOT MATCHED BY SOURCE")
               case "NOT MATCHED" =>
                 require(notMatched.isEmpty, "MERGE: at most one WHEN NOT MATCHED clause")
                 require(u == "INSERT *",
                   s"MERGE: expected INSERT * after WHEN NOT MATCHED THEN, got: $action")
                 notMatched = Some(cond)
               case other => throw new IllegalArgumentException(
-                s"MERGE: expected WHEN [NOT] MATCHED, got: WHEN $other")
+                s"MERGE: expected WHEN [NOT] MATCHED [BY SOURCE], got: WHEN $other")
             }
           }
-          mergeInto(spark, path, src, keys, matchedB.result(), notMatched)
+          mergeInto(spark, path, src, keys, matchedB.result(), notMatched,
+            orphanB.result())
         }
       case InsertOverwrite(path, body) =>
         body.trim match {

@@ -1004,6 +1004,32 @@ class LakeDmlSpec extends SparkSpec {
       Seq((1L, 7.0), (9L, 9.0)))
   }
 
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE: deletion-sync and orphan updates") {
+    val t = tmp("graft_merge_nmbs") + "/tbl"
+    DeltaWrite.append(spark,
+      Seq((1L, 1.0, "a"), (2L, 2.0, "b"), (3L, 3.0, "b"), (4L, 4.0, "stale"))
+        .toDF("id", "v", "note"), t)
+    Seq((1L, 10.0, "a")).toDF("id", "v", "note")
+      .createOrReplaceTempView("graft_nmbs_src")
+    // sync: matched replaces, orphans with note='stale' delete, other
+    // orphans get flagged — one statement, one commit
+    val vBefore = DeltaRead.snapshotInfo(spark, t).version
+    Lake.sql(spark,
+      s"""MERGE INTO '$t' USING (SELECT * FROM graft_nmbs_src) ON (id)
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED BY SOURCE AND note = 'stale' THEN DELETE
+          WHEN NOT MATCHED BY SOURCE THEN UPDATE SET note = 'orphan'""")
+    assert(DeltaRead.snapshotInfo(spark, t).version === vBefore + 1)
+    assert(Lake.read(spark, t).orderBy("id").as[(Long, Double, String)]
+      .collect().toSeq ===
+      Seq((1L, 10.0, "a"), (2L, 2.0, "orphan"), (3L, 3.0, "orphan")))
+    // SET * is meaningless without a source row
+    intercept[IllegalArgumentException](Lake.sql(spark,
+      s"""MERGE INTO '$t' USING (SELECT * FROM graft_nmbs_src) ON (id)
+          WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *"""))
+  }
+
   test("SHOW TABLES classifies hive-partitioned plain parquet as a table") {
     val root = tmp("graft_show_hive")
     Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "p", "v")
