@@ -943,7 +943,7 @@ object Lake {
   def sql(spark: SparkSession, statement: String): Long = {
     import org.apache.spark.sql.functions.expr
     val s = resolveBareHead(spark, statement.trim.stripSuffix(";").trim)
-    require(!s.toUpperCase(java.util.Locale.ROOT).matches("(?s)(SELECT|DESCRIBE|SHOW)\\b.*"),
+    require(!s.toUpperCase(java.util.Locale.ROOT).matches("(?s)(SELECT|WITH|DESCRIBE|SHOW)\\b.*"),
       s"result-set statement — use sqlFrame: $s")
     // statement HEADS (verb, quoted path) carry no user expressions, so
     // anchored regexes are safe there; BODIES (predicates, SET lists,
@@ -1408,7 +1408,8 @@ object Lake {
     * bodies are scanned quote/paren-aware like the DML ([[topLevelKeyword]]):
     * a `WHERE note = 'ORDER BY x'` never mis-splits.
     *
-    * SELECTs BEYOND that single-table dialect — GROUP BY, aggregates,
+    * SELECTs BEYOND that single-table dialect (including CTE-headed
+    * `WITH … SELECT` statements) — GROUP BY, aggregates,
     * joins (including lake-to-lake: every `FROM|JOIN '<path>' [VERSION AS
     * OF n | TIMESTAMP AS OF <ts>]` reference resolves, as do bare
     * identifiers under `USE '<dir>'`), subqueries, set operations, window
@@ -1433,6 +1434,7 @@ object Lake {
     val CountStar = """(?is)SELECT\s+COUNT\s*\(\s*\*\s*\)\s+FROM\s+'([^']+)'\s*""".r
     val Vacuum = """(?is)VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(FORCE)?\s*""".r
     val SelectHead = """(?is)SELECT\s+(.+)""".r
+    val WithHead = """(?is)WITH\s+.+""".r
     s match {
       case DescribeHistory(path) => history(spark, path)
       case Describe(path, versionOrNull, tsNumOrNull, tsStrOrNull) =>
@@ -1494,6 +1496,9 @@ object Lake {
         vacuum(spark, path, retain, age).toDF("path")
       case SelectHead(body) =>
         simpleSelect(spark, body).getOrElse(delegateSelect(spark, s))
+      case WithHead() =>
+        // CTE-headed SELECT: always beyond the fast path — delegate whole
+        delegateSelect(spark, s)
       case other => Seq(sql(spark, other)).toDF("version")
     }
   }
@@ -1820,11 +1825,13 @@ object Lake {
     * EliminateSubqueryAliases, so the view alias is gone by then). At
     * scale the scan behaves like any API read — Catalyst pushes filters
     * and prunes columns into it — and the manifest/add-stats FILE tier
-    * composes on top: [[pruneConjuncts]] splits the statement's own
-    * top-level WHERE into conjuncts, attributes each to the single
-    * depth-0 reference it touches, and builds that reference's view over
-    * [[scanPruned]] — so a multi-path TPC-H-shaped join skips files on
-    * EVERY side, not just in single-table statements. Pruning is an
+    * composes on top: [[pruneConjuncts]] splits each query
+    * BLOCK's own top-level WHERE into conjuncts (the statement's for
+    * depth-0 references, the enclosing derived table's/CTE's for nested
+    * ones), attributes each to the single reference of that block it
+    * touches, and builds that reference's view over [[scanPruned]] — so a
+    * multi-path TPC-H-shaped join skips files on EVERY side, and a
+    * filtered CTE/derived table prunes from inside its own block. Pruning is an
     * optimization, never a semantic dependency: the statement's WHERE
     * re-applies every conjunct, only deterministic subquery-free
     * conjuncts participate, references inside derived tables are never
@@ -1866,7 +1873,21 @@ object Lake {
       "SELECT over lake paths: no FROM|JOIN '<path>' table reference " +
         "or USE-catalog table name " +
         s"found in: $statement")
-    val conjuncts = pruneConjuncts(spark, statement, refs)
+    // BLOCK-LOCAL pruning: each reference is attributed conjuncts from its
+    // OWN query block's WHERE — the statement's for depth-0 refs, the
+    // enclosing derived table's/CTE's for nested ones. A block's own WHERE
+    // already filters that block's rows, so pruning with it is the same
+    // filter applied earlier — never the cross-block leak the depth gate
+    // exists to prevent.
+    val pairs = parenPairs(statement)
+    def blockOf(pos: Int): (Int, Int) =
+      pairs.filter(p => p._1 < pos && pos < p._2)
+        .minByOption(p => p._2 - p._1).getOrElse((-1, statement.length))
+    val conjuncts: Map[Int, Seq[(String, org.apache.spark.sql.Column)]] =
+      refs.zipWithIndex.groupBy { case (r, _) => blockOf(r.start) }
+        .flatMap { case ((bs, be), group) =>
+          pruneConjuncts(spark, statement.substring(bs + 1, be), group)
+        }
     val sb = new java.lang.StringBuilder
     var pos = 0
     refs.zipWithIndex.foreach { case (r, idx) =>
@@ -1898,27 +1919,52 @@ object Lake {
     spark.sql(sb.toString)
   }
 
-  /** Attribute the statement's top-level WHERE conjuncts to the single
-    * depth-0 table reference each touches — the file-stats pruning tier
-    * for delegated multi-table SQL. Returns ref-index → its (text,
-    * stripped-qualifier Column) conjuncts; refs absent from the map scan
-    * in full. Soundness gates (see [[delegateSelect]] doc): depth-0 refs
-    * only, no top-level set ops or outer joins, deterministic
-    * subquery-free conjuncts, every attribute owned by exactly one ref. */
-  private def pruneConjuncts(spark: SparkSession, statement: String,
-      refs: Seq[TableRef]): Map[Int, Seq[(String, org.apache.spark.sql.Column)]] = {
+  /** Quote-aware matching-paren pairs of a statement — the block map
+    * [[delegateSelect]] groups references by. */
+  private def parenPairs(s: String): Seq[(Int, Int)] = {
+    val out = Seq.newBuilder[(Int, Int)]
+    var stack = List.empty[Int]
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') stack ::= i
+      else if (c == ')') stack match {
+        case open :: rest => out += ((open, i)); stack = rest
+        case Nil =>
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Attribute one query BLOCK's top-level WHERE conjuncts to the single
+    * table reference each touches — the file-stats pruning tier for
+    * delegated SQL. `blockText` is the block's own text (the whole
+    * statement, or the inside of a derived table's/CTE's parens) and
+    * `refs` the (reference, global-index) pairs whose INNERMOST block it
+    * is — each is at the block's own top level by construction. Returns
+    * global-index → (text, stripped-qualifier Column) conjuncts; refs
+    * absent from the map scan in full. Soundness gates (see
+    * [[delegateSelect]] doc): no block-level set ops or outer joins,
+    * deterministic subquery-free conjuncts, every attribute owned by
+    * exactly one of the block's refs. */
+  private def pruneConjuncts(spark: SparkSession, blockText: String,
+      refs: Seq[(TableRef, Int)]): Map[Int, Seq[(String, org.apache.spark.sql.Column)]] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.graft.Bridge
     // LEFT/RIGHT/FULL here also matches the string functions LEFT()/
     // RIGHT() in top-level clauses — a false positive only DISABLES an
     // optimization, never changes results
     val safe = Seq("UNION", "INTERSECT", "EXCEPT", "LEFT", "RIGHT", "FULL")
-      .forall(kw => topLevelKeyword(statement, kw) < 0)
-    val targets = refs.zipWithIndex.filter(_._1.depth == 0)
-    if (!safe || targets.isEmpty) return Map.empty
-    val whereText = outerWhereText(statement).getOrElse(return Map.empty)
+      .forall(kw => topLevelKeyword(blockText, kw) < 0)
+    if (!safe || refs.isEmpty) return Map.empty
+    val whereText = outerWhereText(blockText).getOrElse(return Map.empty)
+    val byIdx = refs.map { case (r, i) => i -> r }.toMap
     // lowercased column sets per target, from metadata-only schema reads
-    val colSets: Map[Int, Set[String]] = targets.flatMap { case (r, i) =>
+    val colSets: Map[Int, Set[String]] = refs.flatMap { case (r, i) =>
       scala.util.Try {
         val v = if (r.atMs >= 0) versionAt(spark, r.path, r.atMs) else r.version
         i -> read(spark, r.path, v).schema.fieldNames
@@ -1932,7 +1978,7 @@ object Lake {
         if (owners.length == 1) Some(owners.head) else None
       case Seq(q, c0) =>
         val c = c0.toLowerCase(java.util.Locale.ROOT)
-        targets.collectFirst {
+        refs.collectFirst {
           case (r, i) if r.alias.exists(_.equalsIgnoreCase(q)) &&
             colSets.get(i).exists(_.contains(c)) => i
         }
@@ -1964,7 +2010,7 @@ object Lake {
               // analyze against the ref's relation: resolves functions, so
               // the determinism check is authoritative; failures drop the
               // conjunct (pruning is an optimization)
-              val r = refs(i)
+              val r = byIdx(i)
               val ok = scala.util.Try {
                 val v = if (r.atMs >= 0) versionAt(spark, r.path, r.atMs)
                   else r.version

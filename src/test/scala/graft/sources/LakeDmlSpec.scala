@@ -1030,6 +1030,30 @@ class LakeDmlSpec extends SparkSpec {
           WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *"""))
   }
 
+
+  test("block-local pruning: a derived table's own WHERE prunes its scan") {
+    val t = tmp("graft_blockprune") + "/tbl"
+    DeltaWrite.append(spark, (1L to 100L).map(i => (i, i * 1.0)).toDF("id", "v")
+      .repartition(1), t)
+    DeltaWrite.append(spark, (1000L to 1100L).map(i => (i, i * 1.0)).toDF("id", "v")
+      .repartition(1), t)
+    val all = Lake.read(spark, t).inputFiles.length
+    assert(all >= 2)
+    // the WHERE lives INSIDE the derived table — its file pruning must
+    // still engage (the block's own filter, applied one tier earlier)
+    val out = Lake.sqlFrame(spark,
+      s"SELECT mx FROM (SELECT max(v) AS mx FROM '$t' WHERE id >= 1000) x")
+    assert(out.as[Double].collect().toSeq === Seq(1100.0))
+    assert(out.inputFiles.length < all,
+      "the derived table's own WHERE must prune its files")
+    // and a CTE body prunes the same way
+    val cte = Lake.sqlFrame(spark,
+      s"WITH big AS (SELECT id, v FROM '$t' WHERE id >= 1000) " +
+        "SELECT count(*) AS c FROM big WHERE v > 0")
+    assert(cte.as[Long].collect().toSeq === Seq(101L))
+    assert(cte.inputFiles.length < all)
+  }
+
   test("SHOW TABLES classifies hive-partitioned plain parquet as a table") {
     val root = tmp("graft_show_hive")
     Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "p", "v")
