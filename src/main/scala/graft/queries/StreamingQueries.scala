@@ -238,6 +238,54 @@ object StreamingQueries {
     * streaming points frame (stateless stream-static equi-join on the
     * (band, cell) key + codegen'd ray cast). Oracle = the batch
     * crossing-parity SQL over the same derived sites. */
+
+  /** ST20: streaming full MERGE — an adds-only command stream drives one
+    * conditional merge per micro-batch into a keyed Delta state table
+    * (delete commands retract, updates replace, unknown non-error keys
+    * insert), across two checkpointed runs. Oracle = the same set algebra
+    * recomputed from raw events. */
+  val st20 = GQuery(
+    "st20_stream_merge",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val base = java.nio.file.Files.createTempDirectory("graft_st20").toString
+      val src = s"$base/cmds"
+      val dst = s"$base/state"
+      val ckpt = s"$base/ckpt"
+      val ev = graft.Tables(s, dir, "events")
+        .select(col("event_id"), col("value"), col("event_type"))
+      // the maintained table seeds with the even keys; commands carry
+      // DOUBLED values so every applied merge is visible in the sums
+      graft.sources.DeltaWrite.append(s, ev.where(pmod(col("event_id"), lit(2)) === 0), dst)
+      val cmds = ev.select(col("event_id"),
+        (col("value") * 2).as("value"), col("event_type"))
+      val matched = Seq(
+        (Some(expr("event_type = 'error'")), graft.sources.Lake.MergeDelete),
+        (Option.empty[org.apache.spark.sql.Column],
+          graft.sources.Lake.MergeUpdate(Nil)))
+      val notMatched = Some(Some(expr("event_type <> 'error'")))
+      def run(): Unit = StreamOps.mergeStream(s, src, dst, "delta",
+        Seq("event_id"), matched, notMatched, ckpt)
+      graft.sources.DeltaWrite.append(s, cmds.where(pmod(col("event_id"), lit(3)) === 0), src)
+      run()
+      graft.sources.DeltaWrite.append(s, cmds.where(pmod(col("event_id"), lit(3)) === 1), src)
+      run()
+      graft.sources.Lake.read(s, dst)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH t0 AS (SELECT event_id, value, event_type FROM events
+        WHERE event_id % 2 = 0),
+      cmds AS (SELECT event_id, value * 2 AS value, event_type FROM events
+        WHERE event_id % 3 <= 1),
+      merged AS (
+        SELECT * FROM t0 WHERE event_id NOT IN (SELECT event_id FROM cmds)
+        UNION ALL
+        SELECT * FROM cmds WHERE event_type <> 'error')
+      SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+      FROM merged GROUP BY event_type ORDER BY event_type"""))
+
   val st19 = GQuery(
     "st19_stream_geofence",
     (s, dir) => StreamOps.streamingGeofence(s, dir),
@@ -266,5 +314,5 @@ object StreamingQueries {
 
   def all: Seq[GQuery] =
     Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13, st14, st15, st16,
-      st18, st19)
+      st18, st19, st20)
 }

@@ -666,6 +666,62 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** ST20 — STREAMING MERGE sink: a lake source's adds-only stream drives
+    * a full MERGE ([[graft.sources.Lake.mergeInto]] — ordered WHEN
+    * MATCHED update/delete clauses + NOT MATCHED insert) into a keyed
+    * target per micro-batch, each batch ONE atomic commit. The streaming
+    * CDC shape with conditional logic: delete commands retract, updates
+    * replace, unknown keys insert — all from one statement-shaped clause
+    * set. A missing target is seeded EMPTY from the first batch's schema,
+    * so the first merge itself populates it through the same clause
+    * semantics (everything lands as not-matched).
+    *
+    * Replay safety is SEMANTIC, like [[changelogApplyStream]]: foreachBatch
+    * is at-least-once, so the clause set must be idempotent — UPDATE SET *,
+    * DELETE, and INSERT * all are (re-merging an applied batch reproduces
+    * the same state; the INSERT's keys exist by then, so it no-ops).
+    * Additive updates (`SET v = v + src_v`) are NOT replay-safe here —
+    * maintain additive state with the LEDGERED [[aggregateMvStream]]
+    * instead. */
+  def mergeStream(spark: SparkSession, source: String, target: String,
+      targetFormat: String, keys: Seq[String],
+      matched: Seq[(Option[org.apache.spark.sql.Column], graft.sources.Lake.MergeAction)],
+      notMatched: Option[Option[org.apache.spark.sql.Column]],
+      checkpointDir: String): Unit = {
+    import graft.sources.{DeltaWrite, IcebergWrite, Lake}
+    val src = Lake.detect(spark, source) match {
+      case Lake.Delta => LakeSources.delta(spark, source)
+      case Lake.Iceberg => LakeSources.iceberg(spark, source)
+      case other => throw new IllegalArgumentException(
+        s"merge stream needs a lake-format source, got $other at $source")
+    }
+    val marker = targetFormat match {
+      case "delta" => "_delta_log"
+      case "iceberg" => "metadata"
+      case other => throw new IllegalArgumentException(
+        s"unsupported target format '$other' (delta | iceberg)")
+    }
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          if (!new java.io.File(s"${target.stripSuffix("/")}/$marker").exists()) {
+            // seed the target EMPTY with the stream's schema: the merge
+            // below then applies its own not-matched semantics to batch 0
+            targetFormat match {
+              case "delta" => DeltaWrite.append(spark, batch.limit(0), target)
+              case "iceberg" => IcebergWrite.append(spark, batch.limit(0), target)
+            }
+          }
+          Lake.mergeInto(spark, target, batch, keys, matched, notMatched)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** ST18 — INCREMENTAL AGGREGATE materialized view: maintain a per-key
     * aggregate table over a lake source's changelog stream without ever
     * recomputing history. Each micro-batch reduces to per-key DELTAS
