@@ -1188,6 +1188,38 @@ object IcebergWrite {
     * delete file can span partitions — compact first, same rule as scoped
     * maintenance). Optimistic via expectBase: a concurrent commit
     * re-derives the kept set rather than dropping the winner's files. */
+  /** Whole-table OVERWRITE: one atomic `overwrite` snapshot replacing ALL
+    * live data (and any live delete files — nothing they scoped survives)
+    * with `df` — the INSERT OVERWRITE twin of [[DeltaWrite.overwrite]].
+    * Same schema pinning as [[replaceWhere]]; prior snapshots stay
+    * time-travelable until expireSnapshots. Optimistic like the other
+    * commits: a raced claim re-derives against the new head. */
+  def overwrite(spark: SparkSession, df: DataFrame, table: String): Long = {
+    require(currentVersion(table) > 0, s"not an Iceberg table: $table")
+    val tableFields = currentSchemaNode(readPrior(table).get).path("fields")
+      .elements().asScala.map(_.path("name").asText()).toSeq
+    require(tableFields.sorted == df.schema.fieldNames.toSeq.sorted,
+      s"overwrite schema ${df.schema.fieldNames.mkString(",")} does not match " +
+        s"table schema ${tableFields.mkString(",")}")
+    var v = -1L
+    while (v < 0) {
+      val base = currentVersion(table)
+      val prior = mapper.readTree(metaDir(table).resolve(s"v$base.metadata.json").toFile)
+      val partitionBy = priorPartitionBy(prior)
+      val transforms = partitionBy.map(IcebergTransforms.parse)
+      val partTypes: Seq[(String, DataType)] =
+        transforms.map(t => t.fieldName -> t.resultType(df.schema(t.source).dataType))
+      v = commitSnapshot(table, "overwrite",
+        schemasJson = carriedSchemas,
+        specsJson = carriedSpecs,
+        authorManifest =
+          authorKeptPlusNew(spark, table, prior, Nil, df, transforms, partTypes),
+        carryPrior = _ => Nil,
+        expectBase = Some(base))
+    }
+    v
+  }
+
   def replaceWhere(spark: SparkSession, df: DataFrame, table: String,
       where: String): Long = {
     import org.apache.spark.sql.functions.{coalesce => fcoalesce, expr => fexpr, lit => flit, not => fnot}

@@ -943,7 +943,7 @@ object Lake {
   def sql(spark: SparkSession, statement: String): Long = {
     import org.apache.spark.sql.functions.expr
     val s = resolveBareHead(spark, statement.trim.stripSuffix(";").trim)
-    require(!s.toUpperCase(java.util.Locale.ROOT).matches("(?s)(SELECT|WITH|DESCRIBE|SHOW)\\b.*"),
+    require(!s.toUpperCase(java.util.Locale.ROOT).matches("(?s)(SELECT|WITH|DESCRIBE|SHOW|EXPLAIN)\\b.*"),
       s"result-set statement — use sqlFrame: $s")
     // statement HEADS (verb, quoted path) carry no user expressions, so
     // anchored regexes are safe there; BODIES (predicates, SET lists,
@@ -1328,9 +1328,9 @@ object Lake {
           case source =>
             detect(spark, path) match {
               case Delta => DeltaWrite.overwrite(spark, conformTo(path, sourceFrame(spark, source)), path)
+              case Iceberg => IcebergWrite.overwrite(spark, conformTo(path, sourceFrame(spark, source)), path)
               case other => throw new IllegalArgumentException(
-                s"INSERT OVERWRITE (whole-table) is wired for Delta; got $other at $path — " +
-                  "use INSERT OVERWRITE ... REPLACE WHERE for scoped, or the API")
+                s"INSERT OVERWRITE (whole-table) needs a lake table, got $other at $path")
             }
         }
       case Insert(path, body0) =>
@@ -1393,8 +1393,10 @@ object Lake {
     * only [[partitionSummary]]; `SHOW TABLES [IN '<dir>']` the
     * directory-as-catalog listing (table, format, version) of every child
     * that is a table (the bare form lists the `USE`'d catalog); `SELECT COUNT(*) FROM '<path>'` the
-    * metadata-first [[rowCount]] as a (count, from_metadata) row; general
-    * reads as
+    * metadata-first [[rowCount]] as a (count, from_metadata) row;
+    * `EXPLAIN [FORMATTED | EXTENDED] <select>` the plan text as `plan`
+    * rows (SELECT/WITH only — explaining a mutation would execute it);
+    * general reads as
     *
     * {{{ SELECT <cols> FROM '<path>' [VERSION AS OF n] [WHERE <pred>]
     *       [ORDER BY e1 [ASC|DESC][, ...]] [LIMIT n] }}}
@@ -1435,6 +1437,7 @@ object Lake {
     val Vacuum = """(?is)VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(FORCE)?\s*""".r
     val SelectHead = """(?is)SELECT\s+(.+)""".r
     val WithHead = """(?is)WITH\s+.+""".r
+    val Explain = """(?is)EXPLAIN\s+(FORMATTED\s+|EXTENDED\s+)?(.+)""".r
     s match {
       case DescribeHistory(path) => history(spark, path)
       case Describe(path, versionOrNull, tsNumOrNull, tsStrOrNull) =>
@@ -1494,6 +1497,19 @@ object Lake {
         val retain = Option(retainOrNull).map(_.toInt).getOrElse(1)
         val age = if (forceOrNull != null) 0L else 24L * 3600 * 1000
         vacuum(spark, path, retain, age).toDF("path")
+      case Explain(modeOrNull, body) =>
+        // plan observability for the statement surface: EXPLAIN builds the
+        // inner SELECT's frame (result-set statements only — explaining a
+        // mutation would EXECUTE it) and returns the plan text as rows
+        require(body.trim.toUpperCase(java.util.Locale.ROOT)
+            .matches("(?s)(SELECT|WITH)\\b.*"),
+          s"EXPLAIN takes a SELECT/WITH statement, got: $body")
+        val mode = Option(modeOrNull).map(_.trim.toLowerCase(java.util.Locale.ROOT))
+          .getOrElse("simple")
+        val inner = sqlFrame(spark, body)
+        inner.queryExecution
+          .explainString(org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+          .split("\n").toSeq.toDF("plan")
       case SelectHead(body) =>
         simpleSelect(spark, body).getOrElse(delegateSelect(spark, s))
       case WithHead() =>

@@ -1054,6 +1054,32 @@ class LakeDmlSpec extends SparkSpec {
     assert(cte.inputFiles.length < all)
   }
 
+
+  test("INSERT OVERWRITE replaces an Iceberg table whole; EXPLAIN shows plans") {
+    val t = tmp("graft_iow") + "/tbl"
+    IcebergWrite.append(spark, Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"), t)
+    val v0 = IcebergRead.currentSnapshotId(spark, t)
+    Lake.sql(spark,
+      s"INSERT OVERWRITE '$t' SELECT * FROM VALUES (7L, 7.5D), (8L, 8.5D) AS s(id, v)")
+    assert(Lake.read(spark, t).orderBy("id").as[(Long, Double)].collect().toSeq ===
+      Seq((7L, 7.5), (8L, 8.5)))
+    // prior snapshot still time-travelable
+    assert(Lake.read(spark, t, v0).orderBy("id").as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 1.0), (2L, 2.0)))
+    // schema pinning holds
+    intercept[IllegalArgumentException](Lake.sql(spark,
+      s"INSERT OVERWRITE '$t' SELECT 1L AS id"))
+
+    // EXPLAIN returns the plan as rows and never executes the statement
+    val plan = Lake.sqlFrame(spark, s"EXPLAIN FORMATTED SELECT id FROM '$t' WHERE v > 8")
+      .as[String].collect().mkString("\n")
+    assert(plan.contains("Scan") || plan.contains("Filter"), plan.take(500))
+    // explaining a mutation is refused (it would execute)
+    intercept[IllegalArgumentException](
+      Lake.sqlFrame(spark, s"EXPLAIN DELETE FROM '$t' WHERE id = 7"))
+    assert(Lake.read(spark, t).count() === 2L)
+  }
+
   test("SHOW TABLES classifies hive-partitioned plain parquet as a table") {
     val root = tmp("graft_show_hive")
     Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "p", "v")
