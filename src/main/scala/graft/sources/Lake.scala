@@ -1899,24 +1899,32 @@ object Lake {
     def blockOf(pos: Int): (Int, Int) =
       pairs.filter(p => p._1 < pos && pos < p._2)
         .minByOption(p => p._2 - p._1).getOrElse((-1, statement.length))
-    val conjuncts: Map[Int, Seq[(String, org.apache.spark.sql.Column)]] =
-      refs.zipWithIndex.groupBy { case (r, _) => blockOf(r.start) }
-        .flatMap { case ((bs, be), group) =>
-          pruneConjuncts(spark, statement.substring(bs + 1, be), group)
-        }
-    val sb = new java.lang.StringBuilder
-    var pos = 0
-    refs.zipWithIndex.foreach { case (r, idx) =>
+    // resolve each reference's version and base scan ONCE — conjunct
+    // attribution, the analyzed-determinism check, and the unpruned
+    // fallback all reuse it, so a statement costs O(refs) log replays,
+    // not O(refs x conjuncts)
+    val resolved: Seq[(TableRef, Long, DataFrame)] = refs.map { r =>
       // a TIMESTAMP pin resolves to its version first, so the view name
       // stays content-addressed on what is actually read
       val v = if (r.atMs >= 0) versionAt(spark, r.path, r.atMs) else r.version
+      (r, v, read(spark, r.path, v))
+    }
+    val conjuncts: Map[Int, Seq[(String, org.apache.spark.sql.Column)]] =
+      resolved.zipWithIndex.groupBy { case ((r, _, _), _) => blockOf(r.start) }
+        .flatMap { case ((bs, be), group) =>
+          pruneConjuncts(spark, statement.substring(bs + 1, be),
+            group.map { case ((r, _, df), i) => (r, i, df) })
+        }
+    val sb = new java.lang.StringBuilder
+    var pos = 0
+    resolved.zipWithIndex.foreach { case ((r, v, base), idx) =>
       val myConj = conjuncts.getOrElse(idx, Nil)
       val scan =
-        if (myConj.isEmpty) read(spark, r.path, v)
+        if (myConj.isEmpty) base
         else {
           val pred = myConj.map(_._2).reduce(_ && _)
           scala.util.Try(scanPruned(spark, r.path, pred, v)._1)
-            .getOrElse(read(spark, r.path, v))
+            .getOrElse(base)
         }
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(s"${r.path}@$v@${myConj.map(_._1).mkString("&")}"
@@ -1968,7 +1976,8 @@ object Lake {
     * deterministic subquery-free conjuncts, every attribute owned by
     * exactly one of the block's refs. */
   private def pruneConjuncts(spark: SparkSession, blockText: String,
-      refs: Seq[(TableRef, Int)]): Map[Int, Seq[(String, org.apache.spark.sql.Column)]] = {
+      refs: Seq[(TableRef, Int, DataFrame)])
+      : Map[Int, Seq[(String, org.apache.spark.sql.Column)]] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.graft.Bridge
     // LEFT/RIGHT/FULL here also matches the string functions LEFT()/
@@ -1978,14 +1987,11 @@ object Lake {
       .forall(kw => topLevelKeyword(blockText, kw) < 0)
     if (!safe || refs.isEmpty) return Map.empty
     val whereText = outerWhereText(blockText).getOrElse(return Map.empty)
-    val byIdx = refs.map { case (r, i) => i -> r }.toMap
-    // lowercased column sets per target, from metadata-only schema reads
-    val colSets: Map[Int, Set[String]] = refs.flatMap { case (r, i) =>
-      scala.util.Try {
-        val v = if (r.atMs >= 0) versionAt(spark, r.path, r.atMs) else r.version
-        i -> read(spark, r.path, v).schema.fieldNames
-          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-      }.toOption
+    val byIdx = refs.map { case (_, i, df) => i -> df }.toMap
+    // lowercased column sets per target, from the already-resolved scans
+    val colSets: Map[Int, Set[String]] = refs.flatMap { case (_, i, df) =>
+      scala.util.Try(i -> df.schema.fieldNames
+        .map(_.toLowerCase(java.util.Locale.ROOT)).toSet).toOption
     }.toMap
     def ownerOf(parts: Seq[String]): Option[Int] = parts match {
       case Seq(c0) =>
@@ -1995,7 +2001,7 @@ object Lake {
       case Seq(q, c0) =>
         val c = c0.toLowerCase(java.util.Locale.ROOT)
         refs.collectFirst {
-          case (r, i) if r.alias.exists(_.equalsIgnoreCase(q)) &&
+          case (r, i, _) if r.alias.exists(_.equalsIgnoreCase(q)) &&
             colSets.get(i).exists(_.contains(c)) => i
         }
       case _ => None
@@ -2026,13 +2032,8 @@ object Lake {
               // analyze against the ref's relation: resolves functions, so
               // the determinism check is authoritative; failures drop the
               // conjunct (pruning is an optimization)
-              val r = byIdx(i)
               val ok = scala.util.Try {
-                val v = if (r.atMs >= 0) versionAt(spark, r.path, r.atMs)
-                  else r.version
-                val analyzed = read(spark, r.path, v).where(col)
-                  .queryExecution.analyzed
-                analyzed match {
+                byIdx(i).where(col).queryExecution.analyzed match {
                   case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
                     f.condition.deterministic
                   case _ => false
