@@ -867,7 +867,8 @@ object Lake {
     *     CREATE TABLE [IF NOT EXISTS] '<path>' (c1 TYPE[, c2 TYPE ...]) USING {delta | iceberg} [PARTITIONED BY (...)]
     *     DROP TABLE [IF EXISTS] '<path>'
     *     EXPORT '<source>' TO {delta | iceberg} '<target>'
-    *     USE '<dir>'   |   USE DEFAULT }}}
+    *     USE '<dir>'   |   USE DEFAULT
+    *     CREATE [OR REPLACE] VIEW <name> AS <select>   |   DROP VIEW [IF EXISTS] <name> }}}
     *
     * `<ts>` is epoch milliseconds or a quoted `'yyyy-MM-dd[ HH:mm:ss]'` /
     * ISO-8601 literal (UTC when no zone is given — [[parseTsLiteral]]).
@@ -876,7 +877,11 @@ object Lake {
     * TABLES uses — in FROM/JOIN positions of any SELECT ([[tableRefs]])
     * AND in statement heads (`DELETE FROM t` / `INSERT INTO t` /
     * `OPTIMIZE t` / `DESCRIBE t` / `DROP TABLE t` / `CREATE TABLE t (…)`
-    * … — [[resolveBareHead]]); `USE DEFAULT` clears it. Column-schema
+    * … — [[resolveBareHead]]); `USE DEFAULT` clears it. Catalog VIEWs store one
+    * result-set statement as `<dir>/<name>.view.sql` (validated by
+    * planning at CREATE) and expand at QUERY time against the current
+    * catalog — they may reference tables and other views by bare name; a
+    * cycle dies at a depth cap, loudly. Column-schema
     * CREATE TABLE commits an empty schema-bearing append — a
     * zero-data-file table ready for INSERT; DROP TABLE refuses any path
     * that does not classify as a table (lake log/metadata, flat parquet,
@@ -965,6 +970,11 @@ object Lake {
       """(?is)RESTORE\s+'([^']+)'\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+(?:(\d+)|'([^']+)')\s*""".r
     val Use = """(?is)USE\s+'([^']+)'\s*""".r
     val UseDefault = """(?is)USE\s+DEFAULT\s*""".r
+    // catalog VIEWs: one saved result-set statement per <name>.view.sql
+    // under the USE'd directory, expanded at query time by bare name
+    val CreateView =
+      """(?is)CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([A-Za-z_]\w*)\s+AS\s+(.+)""".r
+    val DropView = """(?is)DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*""".r
     // column-schema DDL: CREATE TABLE '<p>' (c1 TYPE, ...) USING fmt
     // [PARTITIONED BY (...)] — the '(' directly after the path is what
     // separates it from CTAS (whose head is USING) and SHALLOW CLONE
@@ -1232,6 +1242,37 @@ object Lake {
       case UseDefault() =>
         spark.conf.unset(UseDirKey)
         -1L
+      case CreateView(orReplaceOrNull, name, body) =>
+        val dir = spark.conf.getOption(UseDirKey).map(_.stripSuffix("/"))
+          .getOrElse(throw new IllegalArgumentException(
+            "CREATE VIEW: no USE '<dir>' catalog set (views live in the catalog)"))
+        require(body.trim.toUpperCase(java.util.Locale.ROOT)
+            .matches("(?s)(SELECT|WITH)\\b.*"),
+          s"CREATE VIEW: the body must be a SELECT/WITH statement, got: $body")
+        val f = new org.apache.hadoop.fs.Path(s"$dir/$name.view.sql")
+        val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(orReplaceOrNull != null || !fs.exists(f),
+          s"CREATE VIEW: $name already exists (use CREATE OR REPLACE VIEW)")
+        // validate by PLANNING the body now (no execution) — a broken view
+        // should fail its author, not its readers
+        scala.util.Try(sqlFrame(spark, body)) match {
+          case scala.util.Failure(e) => throw new IllegalArgumentException(
+            s"CREATE VIEW $name: body does not plan: ${e.getMessage}")
+          case _ =>
+        }
+        val out = fs.create(f, true)
+        try out.write(body.trim.getBytes("UTF-8")) finally out.close()
+        -1L
+      case DropView(ifExistsOrNull, name) =>
+        val dir = spark.conf.getOption(UseDirKey).map(_.stripSuffix("/"))
+          .getOrElse(throw new IllegalArgumentException(
+            "DROP VIEW: no USE '<dir>' catalog set"))
+        val f = new org.apache.hadoop.fs.Path(s"$dir/$name.view.sql")
+        val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(f))
+          require(ifExistsOrNull != null, s"DROP VIEW: no such view $name")
+        else fs.delete(f, false)
+        -1L
       case Delete(path, pred) =>
         deleteWhere(spark, path, expr(pred))
       case MergeHead(path, fromParen) =>
@@ -1392,7 +1433,8 @@ object Lake {
     * `SHOW PARTITIONS '<path>'` the metadata-
     * only [[partitionSummary]]; `SHOW TABLES [IN '<dir>']` the
     * directory-as-catalog listing (table, format, version) of every child
-    * that is a table (the bare form lists the `USE`'d catalog); `SELECT COUNT(*) FROM '<path>'` the
+    * that is a table — stored views listed with format `view` (the bare
+    * form lists the `USE`'d catalog); `SELECT COUNT(*) FROM '<path>'` the
     * metadata-first [[rowCount]] as a (count, from_metadata) row;
     * `EXPLAIN [FORMATTED | EXTENDED] <select>` the plan text as `plan`
     * rows (SELECT/WITH only — explaining a mutation would execute it);
@@ -1465,7 +1507,11 @@ object Lake {
         val rootP = new org.apache.hadoop.fs.Path(root)
         val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
         require(fs.exists(rootP), s"SHOW TABLES IN: no such directory $root")
-        val rows = fs.listStatus(rootP).filter(_.isDirectory).toSeq.flatMap { st =>
+        val views = fs.listStatus(rootP)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".view.sql"))
+          .toSeq.map(f =>
+            (f.getPath.getName.stripSuffix(".view.sql"), "view", -1L))
+        val rows = views ++ fs.listStatus(rootP).filter(_.isDirectory).toSeq.flatMap { st =>
           // address children through the CALLER's path form (listStatus
           // returns qualified file:/ URIs the local-path readers reject)
           val name = st.getPath.getName
@@ -1869,8 +1915,11 @@ object Lake {
       hp.getFileSystem(hconf).exists(hp)
     }.getOrElse(false)
     val useDir = spark.conf.getOption(UseDirKey).map(_.stripSuffix("/"))
-    def resolveBare(w: String): Option[String] =
-      useDir.map(d => s"$d/$w").filter(exists)
+    // a bare name is a TABLE directory first, a stored VIEW second
+    def resolveBare(w: String): Option[String] = useDir.flatMap { d =>
+      Some(s"$d/$w").filter(exists)
+        .orElse(Some(s"$d/$w.view.sql").filter(exists))
+    }
     tableRefs(statement, resolveBare).filter(r => exists(r.path))
   }
 
@@ -1904,13 +1953,20 @@ object Lake {
     // fallback all reuse it, so a statement costs O(refs) log replays,
     // not O(refs x conjuncts)
     val resolved: Seq[(TableRef, Long, DataFrame)] = refs.map { r =>
-      // a TIMESTAMP pin resolves to its version first, so the view name
-      // stays content-addressed on what is actually read
-      val v = if (r.atMs >= 0) versionAt(spark, r.path, r.atMs) else r.version
-      (r, v, read(spark, r.path, v))
+      if (r.path.endsWith(".view.sql")) (r, -1L, viewFrame(spark, r.path))
+      else {
+        // a TIMESTAMP pin resolves to its version first, so the view name
+        // stays content-addressed on what is actually read
+        val v = if (r.atMs >= 0) versionAt(spark, r.path, r.atMs) else r.version
+        (r, v, read(spark, r.path, v))
+      }
     }
     val conjuncts: Map[Int, Seq[(String, org.apache.spark.sql.Column)]] =
-      resolved.zipWithIndex.groupBy { case ((r, _, _), _) => blockOf(r.start) }
+      resolved.zipWithIndex
+        // stored views have no file-stats tier (their text re-applies its
+        // own WHERE when expanded) — never a pruning target
+        .filter { case ((r, _, _), _) => !r.path.endsWith(".view.sql") }
+        .groupBy { case ((r, _, _), _) => blockOf(r.start) }
         .flatMap { case ((bs, be), group) =>
           pruneConjuncts(spark, statement.substring(bs + 1, be),
             group.map { case ((r, _, df), i) => (r, i, df) })
@@ -2074,6 +2130,31 @@ object Lake {
     * catalog under (session-scoped; bare FROM/JOIN identifiers resolve
     * against it). */
   private[sources] val UseDirKey = "graft.sql.use_dir"
+
+  private val viewDepth = new ThreadLocal[Integer] {
+    override def initialValue: Integer = 0
+  }
+
+  /** Expand a stored catalog VIEW (`<dir>/<name>.view.sql` — one saved
+    * result-set statement) into its frame. Views expand at QUERY time
+    * against the CURRENT catalog (bare names inside the text resolve
+    * through the active `USE`), and may reference other views; a depth
+    * cap turns accidental cycles into a loud error instead of a stack
+    * overflow. */
+  private def viewFrame(spark: SparkSession, file: String): DataFrame = {
+    val d = viewDepth.get
+    require(d < 16, s"view expansion deeper than 16 — cyclic views? at $file")
+    viewDepth.set(d + 1)
+    try sqlFrame(spark, readTextFile(spark, file))
+    finally viewDepth.set(d)
+  }
+
+  private def readTextFile(spark: SparkSession, file: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(file)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(hp)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
 
   /** Under `USE '<dir>'`, rewrite a bare table name in a statement's HEAD
     * position (`DELETE FROM t`, `INSERT INTO t …`, `OPTIMIZE t`,

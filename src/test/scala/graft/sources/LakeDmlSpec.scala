@@ -1080,6 +1080,51 @@ class LakeDmlSpec extends SparkSpec {
     assert(Lake.read(spark, t).count() === 2L)
   }
 
+
+  test("catalog VIEWs: stored statements expand by bare name at query time") {
+    val root = tmp("graft_views")
+    DeltaWrite.append(spark,
+      Seq(("a", 10.0), ("a", 30.0), ("b", 20.0)).toDF("grp", "v"), s"$root/ev")
+    Lake.sql(spark, s"USE '$root'")
+    try {
+      // a view over a bare table name, then a view over THAT view
+      Lake.sql(spark, "CREATE VIEW totals AS SELECT grp, sum(v) AS s FROM ev GROUP BY grp")
+      Lake.sql(spark, "CREATE VIEW big_totals AS SELECT grp, s FROM totals WHERE s > 25")
+      assert(Lake.sqlFrame(spark, "SELECT grp, s FROM big_totals ORDER BY grp")
+        .as[(String, Double)].collect().toSeq === Seq(("a", 40.0)))
+      // views join with tables; SHOW TABLES lists both kinds
+      assert(Lake.sqlFrame(spark,
+          "SELECT t.grp, count(*) AS c FROM ev e JOIN totals t ON e.grp = t.grp " +
+            "GROUP BY t.grp ORDER BY t.grp")
+        .as[(String, Long)].collect().toSeq === Seq(("a", 2L), ("b", 1L)))
+      assert(Lake.sqlFrame(spark, "SHOW TABLES")
+        .as[(String, String, Long)].collect().toSeq.map(x => (x._1, x._2)).sorted ===
+        Seq(("big_totals", "view"), ("ev", "delta"), ("totals", "view")))
+      // OR REPLACE re-points; plain CREATE over an existing view refuses
+      intercept[IllegalArgumentException](Lake.sql(spark,
+        "CREATE VIEW totals AS SELECT grp FROM ev"))
+      Lake.sql(spark, "CREATE OR REPLACE VIEW big_totals AS " +
+        "SELECT grp, s FROM totals WHERE s > 5")
+      assert(Lake.sqlFrame(spark, "SELECT count(*) AS c FROM big_totals")
+        .as[Long].collect().toSeq === Seq(2L))
+      // a body that does not plan fails its AUTHOR, loudly
+      intercept[IllegalArgumentException](Lake.sql(spark,
+        "CREATE VIEW broken AS SELECT nope FROM ev"))
+      // cycles die at the depth cap, not by stack overflow: re-point
+      // big_totals at a self-reference (valid at CREATE: it plans against
+      // the OLD stored text)
+      Lake.sql(spark, "CREATE OR REPLACE VIEW big_totals AS SELECT grp, s FROM big_totals")
+      val ex = intercept[Exception](
+        Lake.sqlFrame(spark, "SELECT * FROM big_totals").collect())
+      assert(ex.getMessage.contains("view expansion"))
+      // DROP VIEW removes it from the catalog
+      Lake.sql(spark, "DROP VIEW big_totals")
+      Lake.sql(spark, "DROP VIEW IF EXISTS big_totals")
+      intercept[IllegalArgumentException](Lake.sql(spark, "DROP VIEW big_totals"))
+      assert(Lake.sqlFrame(spark, "SHOW TABLES").count() === 2L)
+    } finally Lake.sql(spark, "USE DEFAULT")
+  }
+
   test("SHOW TABLES classifies hive-partitioned plain parquet as a table") {
     val root = tmp("graft_show_hive")
     Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "p", "v")
