@@ -1811,57 +1811,88 @@ object Lake {
       }
     }
     val out = Seq.newBuilder[TableRef]
+    // one reference (quoted path or resolvable bare name) starting exactly
+    // at `k`; None leaves the text alone
+    def refAt(k: Int, depth: Int): Option[(TableRef, Int)] = {
+      if (k < s.length && s.charAt(k) == '\'') {
+        val close = s.indexOf('\'', k + 1)
+        if (close <= 0) None
+        else {
+          val path = s.substring(k + 1, close)
+          val (end, v, ms) = pinTail(close + 1)
+          val al = aliasAfter(end)
+          Some((TableRef(k, end, path, v, ms, depth, al, al.isDefined), end))
+        }
+      } else if (k < s.length && Character.isLetter(s.charAt(k))) {
+        // bare identifier: a table name under the USE'd directory — but
+        // never a function call (`FROM range(10)`)
+        var p = k
+        while (p < s.length && isWord(s.charAt(p))) p += 1
+        var q = p
+        while (q < s.length && Character.isWhitespace(s.charAt(q))) q += 1
+        val name = s.substring(k, p)
+        val isCall = q < s.length && s.charAt(q) == '('
+        if (isCall ||
+            NonAliasWords.contains(name.toUpperCase(java.util.Locale.ROOT))) None
+        else resolveBare(name).map { path =>
+          val (end, v, ms) = pinTail(p)
+          val explicit = aliasAfter(end)
+          (TableRef(k, end, path, v, ms, depth,
+            explicit.orElse(Some(name)), explicit.isDefined), end)
+        }
+      } else None
+    }
     var i = 0
     var inStr = false
     var depth = 0
+    // FROM-list continuation: after a reference (and at most its [AS]
+    // alias words), a comma at the SAME depth introduces the next one —
+    // `FROM 'a' x, 'b' y` (the implicit cross join)
+    var afterRef = false
+    var refDepth = 0
+    var aliasBudget = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (inStr) { if (c == '\'') inStr = false; i += 1 }
-      else if (c == '\'') { inStr = true; i += 1 }
-      else if (c == '(') { depth += 1; i += 1 }
-      else if (c == ')') { depth -= 1; i += 1 }
+      else if (c == '\'') { inStr = true; afterRef = false; i += 1 }
+      else if (c == '(') { depth += 1; afterRef = false; i += 1 }
+      else if (c == ')') { depth -= 1; afterRef = false; i += 1 }
+      else if (c == ',' && afterRef && depth == refDepth) {
+        var k = i + 1
+        while (k < s.length && Character.isWhitespace(s.charAt(k))) k += 1
+        refAt(k, depth) match {
+          case Some((r, end)) =>
+            out += r
+            aliasBudget = 2
+            i = end
+          case None => afterRef = false; i += 1
+        }
+      }
       else if (Character.isLetter(c) && (i == 0 || !isWord(s.charAt(i - 1)))) {
         var j = i
         while (j < s.length && isWord(s.charAt(j))) j += 1
         val w = s.substring(i, j).toUpperCase(java.util.Locale.ROOT)
         var next = j
         if (w == "FROM" || w == "JOIN") {
+          afterRef = false
           var k = j
           while (k < s.length && Character.isWhitespace(s.charAt(k))) k += 1
-          if (k < s.length && s.charAt(k) == '\'') {
-            val close = s.indexOf('\'', k + 1)
-            if (close > 0) {
-              val path = s.substring(k + 1, close)
-              val (end, v, ms) = pinTail(close + 1)
-              val al = aliasAfter(end)
-              out += TableRef(k, end, path, v, ms, depth, al, al.isDefined)
+          refAt(k, depth) match {
+            case Some((r, end)) =>
+              out += r
+              afterRef = true; refDepth = depth; aliasBudget = 2
               next = end
-            }
-          } else if (k < s.length && Character.isLetter(s.charAt(k))) {
-            // bare identifier: a table name under the USE'd directory —
-            // but never a function call (`FROM range(10)`)
-            var p = k
-            while (p < s.length && isWord(s.charAt(p))) p += 1
-            var q = p
-            while (q < s.length && Character.isWhitespace(s.charAt(q))) q += 1
-            val name = s.substring(k, p)
-            val isCall = q < s.length && s.charAt(q) == '('
-            if (!isCall &&
-                !NonAliasWords.contains(name.toUpperCase(java.util.Locale.ROOT))) {
-              resolveBare(name) match {
-                case Some(path) =>
-                  val (end, v, ms) = pinTail(p)
-                  val explicit = aliasAfter(end)
-                  out += TableRef(k, end, path, v, ms, depth,
-                    explicit.orElse(Some(name)), explicit.isDefined)
-                  next = end
-                case None => // not a catalog table: leave the word alone
-              }
-            }
+            case None =>
           }
+        } else if (afterRef) {
+          // the ref's optional [AS] alias may sit between it and a comma;
+          // anything else (a clause keyword, a third word) ends the list
+          if (aliasBudget > 0 && !NonAliasWords.contains(w)) aliasBudget -= 1
+          else afterRef = false
         }
         i = next
-      } else i += 1
+      } else if (Character.isWhitespace(c)) i += 1
+      else { afterRef = false; i += 1 }
     }
     out.result()
   }

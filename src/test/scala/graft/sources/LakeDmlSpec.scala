@@ -1125,6 +1125,36 @@ class LakeDmlSpec extends SparkSpec {
     } finally Lake.sql(spark, "USE DEFAULT")
   }
 
+
+  test("comma FROM lists: implicit joins over quoted and catalog names, pruned per side") {
+    val a = tmp("graft_comma_a") + "/tbl"
+    val b = tmp("graft_comma_b") + "/tbl"
+    DeltaWrite.append(spark, (1L to 100L).map(i => (i, i * 1.0)).toDF("id", "v")
+      .repartition(1), a)
+    DeltaWrite.append(spark, (1000L to 1100L).map(i => (i, i * 1.0)).toDF("id", "v")
+      .repartition(1), a)
+    IcebergWrite.append(spark, (1L to 100L).map(i => (i, i * 2.0)).toDF("id", "w")
+      .repartition(1), b)
+    IcebergWrite.append(spark, (1000L to 1100L).map(i => (i, i * 2.0)).toDF("id", "w")
+      .repartition(1), b)
+    val fullFiles = Lake.read(spark, a).inputFiles.length +
+      Lake.read(spark, b).inputFiles.length
+    val joined = Lake.sqlFrame(spark,
+      s"SELECT count(*) AS c FROM '$a' x, '$b' y " +
+        "WHERE x.id = y.id AND x.id >= 1000 AND y.id >= 1000")
+    assert(joined.as[Long].collect().toSeq === Seq(101L))
+    assert(joined.inputFiles.length <= fullFiles - 2,
+      "comma-join sides must each prune on their own conjunct")
+    // a comma list inside a SELECT projection is NOT a continuation
+    assert(Lake.sqlFrame(spark,
+        s"SELECT id, v FROM '$a' WHERE id <= 2 ORDER BY id")
+      .as[(Long, Double)].collect().toSeq === Seq((1L, 1.0), (2L, 2.0)))
+    // IN-lists and function args after the ref never conjure a reference
+    assert(Lake.sqlFrame(spark,
+        s"SELECT count(*) AS c FROM '$a' t WHERE t.id IN (1, 2, 3)")
+      .as[Long].collect().toSeq === Seq(3L))
+  }
+
   test("SHOW TABLES classifies hive-partitioned plain parquet as a table") {
     val root = tmp("graft_show_hive")
     Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "p", "v")
