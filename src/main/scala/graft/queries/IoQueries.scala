@@ -1444,6 +1444,38 @@ object IoQueries {
       GROUP BY fmt, event_type
       ORDER BY fmt, event_type"""))
 
+  /** Catalog VIEWs end-to-end (Lake.sql CREATE VIEW → bare-name
+    * expansion): events land in a Delta table under a catalog directory,
+    * a VIEW stores the per-type rollup, a second VIEW filters the first,
+    * and the query reads the view-over-view by bare name — all statement
+    * text. The oracle recomputes the nested aggregation from raw
+    * events. */
+  val tlakeViews = GQuery(
+    "t92_lake_views",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("value"), col("event_type"))
+      val root = tmp("graft_t92_q")
+      graft.sources.DeltaWrite.append(s, ev, s"$root/events_delta")
+      graft.sources.Lake.sql(s, s"USE '$root'")
+      try {
+        graft.sources.Lake.sql(s,
+          "CREATE VIEW type_rollup AS SELECT event_type, count(*) AS cnt, " +
+            "round(sum(value), 2) AS sum_value FROM events_delta " +
+            "WHERE value >= 5.0 GROUP BY event_type")
+        graft.sources.Lake.sql(s,
+          "CREATE VIEW busy_types AS SELECT event_type, cnt, sum_value " +
+            "FROM type_rollup WHERE cnt >= 10")
+        graft.sources.Lake.sqlFrame(s,
+          "SELECT event_type, cnt, sum_value FROM busy_types ORDER BY event_type")
+      } finally graft.sources.Lake.sql(s, "USE DEFAULT")
+    },
+    Some("""SELECT event_type, cnt, sum_value FROM (
+        SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        FROM events WHERE value >= 5.0 GROUP BY event_type) t
+      WHERE cnt >= 10
+      ORDER BY event_type"""))
+
   /** CDC APPLY, cross-format both ways: a target table in the OTHER
     * format is seeded from the source's first snapshot, the source then
     * evolves (append + merge-on-read delete), and one
@@ -1791,7 +1823,7 @@ object IoQueries {
       tdeltaDv, tdeltaUpsert, ticebergPart, ticebergHiddenPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tlakeReplaceWhere, tlakeSqlDml,
       tlakeSqlMaintenance, tlakeSqlSelect, tlakeSqlAgg, tlakeSqlAlterAdd, tlakeTpchSql,
-      tlakeSqlWindow, tlakeCreateTable, tlakeUseCatalog, tlakeMergeFull,
+      tlakeSqlWindow, tlakeCreateTable, tlakeUseCatalog, tlakeMergeFull, tlakeViews,
       tcdcApply, tlakeSync, tlakeClone,
       tlakeRestore, tlakeRename, tlakeUniform, tlakeUniformRev, tlakeConvert)
 }

@@ -1484,12 +1484,18 @@ object Lake {
       case DescribeHistory(path) => history(spark, path)
       case Describe(path, versionOrNull, tsNumOrNull, tsStrOrNull) =>
         // schema listing, version- or timestamp-pinnable (time travel
-        // shows the OLD schema on lake tables) — metadata-only
+        // shows the OLD schema on lake tables) — metadata-only; a stored
+        // VIEW describes the schema its text plans to (never pinnable)
         val v = Option(versionOrNull).map(_.toLong)
           .orElse(Option(tsNumOrNull).orElse(Option(tsStrOrNull))
             .map(t => versionAt(spark, path, parseTsLiteral(t))))
           .getOrElse(-1L)
-        read(spark, path, v).schema.fields.toSeq
+        val rel =
+          if (path.endsWith(".view.sql")) {
+            require(v < 0, s"DESCRIBE: a stored view has no versions ($path)")
+            viewFrame(spark, path)
+          } else read(spark, path, v)
+        rel.schema.fields.toSeq
           .map(f => (f.name, f.dataType.sql.toLowerCase(java.util.Locale.ROOT),
             f.nullable))
           .toDF("col_name", "data_type", "nullable")
@@ -2213,10 +2219,20 @@ object Lake {
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .getFileStatus(hp).isDirectory
     }.getOrElse(false)
+    def isFile(p: String): Boolean = scala.util.Try {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(hp).isFile
+    }.getOrElse(false)
     s match {
       case CreateHead(head, name, rest) => s"$head'$useDir/$name'$rest"
       case Head(head, name, rest) if isDir(s"$useDir/$name") =>
         s"$head'$useDir/$name'$rest"
+      // DESCRIBE also reaches stored views (schema from planning the text)
+      case Head(head, name, rest)
+          if head.trim.toUpperCase(java.util.Locale.ROOT) == "DESCRIBE" &&
+            isFile(s"$useDir/$name.view.sql") =>
+        s"$head'$useDir/$name.view.sql'$rest"
       case _ => s
     }
   }

@@ -1117,6 +1117,11 @@ class LakeDmlSpec extends SparkSpec {
       val ex = intercept[Exception](
         Lake.sqlFrame(spark, "SELECT * FROM big_totals").collect())
       assert(ex.getMessage.contains("view expansion"))
+      // DESCRIBE reaches stored views (schema from planning the text)
+      Lake.sql(spark, "CREATE OR REPLACE VIEW big_totals AS " +
+        "SELECT grp, s FROM totals WHERE s > 5")
+      assert(Lake.sqlFrame(spark, "DESCRIBE big_totals")
+        .select("col_name").as[String].collect().toSeq === Seq("grp", "s"))
       // DROP VIEW removes it from the catalog
       Lake.sql(spark, "DROP VIEW big_totals")
       Lake.sql(spark, "DROP VIEW IF EXISTS big_totals")
