@@ -1475,7 +1475,19 @@ object Lake {
       """(?is)DESCRIBE\s+'([^']+)'\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*|TIMESTAMP\s+AS\s+OF\s+(?:(\d+)|'([^']+)')\s*)?""".r
     val ShowPartitions = """(?is)SHOW\s+PARTITIONS\s+'([^']+)'\s*""".r
     val ShowTables = """(?is)SHOW\s+TABLES(?:\s+IN\s+'([^']+)')?\s*""".r
-    val CountStar = """(?is)SELECT\s+COUNT\s*\(\s*\*\s*\)\s+FROM\s+'([^']+)'\s*""".r
+    val CountStar =
+      """(?is)SELECT\s+COUNT\s*\(\s*\*\s*\)\s+FROM\s+(?:'([^']+)'|([A-Za-z_]\w*))\s*""".r
+    // a bare COUNT(*) target resolves through the USE catalog (table
+    // DIRECTORIES only — views and temp views fall to the SELECT path)
+    def catalogDir(bare: String): Option[String] =
+      Option(bare).flatMap { n =>
+        spark.conf.getOption(UseDirKey).map(d => s"${d.stripSuffix("/")}/$n")
+          .filter(p => scala.util.Try {
+            val hp = new org.apache.hadoop.fs.Path(p)
+            hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .getFileStatus(hp).isDirectory
+          }.getOrElse(false))
+      }
     val Vacuum = """(?is)VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(FORCE)?\s*""".r
     val SelectHead = """(?is)SELECT\s+(.+)""".r
     val WithHead = """(?is)WITH\s+.+""".r
@@ -1543,8 +1555,10 @@ object Lake {
           }
         }.sortBy(_._1)
         rows.toDF("table", "format", "version")
-      case CountStar(path) =>
-        Seq(rowCount(spark, path)).toDF("count", "from_metadata")
+      case CountStar(pathOrNull, bareOrNull)
+          if pathOrNull != null || catalogDir(bareOrNull).isDefined =>
+        val p = Option(pathOrNull).getOrElse(catalogDir(bareOrNull).get)
+        Seq(rowCount(spark, p)).toDF("count", "from_metadata")
       case Vacuum(path, retainOrNull, forceOrNull) =>
         val retain = Option(retainOrNull).map(_.toInt).getOrElse(1)
         val age = if (forceOrNull != null) 0L else 24L * 3600 * 1000

@@ -910,6 +910,9 @@ class LakeDmlSpec extends SparkSpec {
       // bare SHOW TABLES lists the USE'd catalog
       assert(Lake.sqlFrame(spark, "SHOW TABLES")
         .select("table").as[String].collect().toSeq === Seq("sales"))
+      // bare COUNT(*) reaches the metadata-only count like its quoted twin
+      assert(Lake.sqlFrame(spark, "SELECT COUNT(*) FROM sales")
+        .as[(Long, Boolean)].collect().toSeq === Seq((2L, true)))
       // DROP TABLE removes it from the catalog; IF EXISTS tolerates absence
       Lake.sql(spark, "DROP TABLE sales")
       assert(Lake.sqlFrame(spark, s"SHOW TABLES IN '$root'").count() === 0L)
