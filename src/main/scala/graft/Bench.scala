@@ -89,9 +89,12 @@ object Bench {
     // DAG, broadcast-job launches, collect round trips). Sub-30 ms-baseline
     // queries (b6, b15, …) sit at this floor: their wall time is
     // scheduling constant, not work, and the floor is what a bigger SF
-    // amortizes away. Median of 5 after 1 warm-up; a query whose empty
-    // input is degenerate (should not happen) reports -1 rather than
-    // aborting the bench.
+    // amortizes away. Statistic: 3rd-fastest of 9 after 1 warm-up — the
+    // SAME lower-trim the timed pass uses (a median-of-5 floor paired
+    // with a trimmed timed pass measured floor_ratio 0.93 in round 14:
+    // the floor is supposed to be a lower bound, so the statistics must
+    // match). A query whose empty input is degenerate (should not
+    // happen) reports -1 rather than aborting the bench.
     val emptyDir = s"$benchDir-empty"
     Tables.names.foreach { n =>
       try Tables(spark, runDir, n).limit(0).write.mode("overwrite")
@@ -103,7 +106,7 @@ object Bench {
     val floors = suite.map { q =>
       val f = scala.util.Try {
         q.build(spark, emptyDir).collect()
-        val runs = (1 to 5).map { _ =>
+        val runs = (1 to 9).map { _ =>
           val t0 = System.nanoTime()
           q.build(spark, emptyDir).collect()
           (System.nanoTime() - t0) / 1e6

@@ -1444,6 +1444,72 @@ object IoQueries {
       GROUP BY fmt, event_type
       ORDER BY fmt, event_type"""))
 
+  /** MERGE three-valued-logic fall-through (SURVEY §2 S11mg hardening):
+    * the target carries a NULLable `note` column and the first WHEN
+    * clause's condition (`note = 'drop'`) evaluates NULL for a third of
+    * the matched rows — standard MERGE semantics fall those rows through
+    * to the next clause (the unconditional UPDATE), they are NOT exempt.
+    * The oracle recomputes the end state with `IS DISTINCT FROM` set
+    * algebra, so a regression to bare `!cond` accumulation (NULL
+    * poisoning `remaining`) hash-mismatches immediately. */
+  val tlakeMergeNullCond = GQuery(
+    "t93_lake_merge_null_cond",
+    (s, dir) => {
+      val base = Tables(s, dir, "events")
+        .select(col("event_id"), col("value"),
+          when(col("event_id") % 3 === 0, lit(null).cast("string"))
+            .when(col("event_id") % 3 === 1, lit("drop"))
+            .otherwise(lit("keep")).as("note"))
+      def run(fmt: String): org.apache.spark.sql.DataFrame = {
+        val t = tmp(s"graft_t93_${fmt}_q") + "/tbl"
+        if (fmt == "delta") graft.sources.DeltaWrite.append(s, base, t)
+        else graft.sources.IcebergWrite.append(s, base, t)
+        base.where(col("event_id") % 2 === 0)
+          .select(col("event_id"), (col("value") * 3).as("value"), col("note"))
+          .union(base.where(col("event_id") % 7 === 0)
+            .select((col("event_id") + 100000000L).as("event_id"),
+              col("value"), col("note")))
+          .createOrReplaceTempView("graft_t93_src")
+        graft.sources.Lake.sql(s,
+          s"""MERGE INTO '$t' USING (SELECT * FROM graft_t93_src) ON (event_id)
+              WHEN MATCHED AND note = 'drop' THEN DELETE
+              WHEN MATCHED THEN UPDATE SET value = value + src_value
+              WHEN NOT MATCHED THEN INSERT *""")
+        graft.sources.Lake.read(s, t)
+          .groupBy(coalesce(col("note"), lit("~null~")).as("note"))
+          .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+          .withColumn("fmt", lit(fmt))
+      }
+      run("delta").unionByName(run("iceberg"))
+        .select(col("fmt"), col("note"), col("cnt"), col("sum_value"))
+        .orderBy(col("fmt"), col("note"))
+    },
+    Some("""WITH base AS (
+        SELECT event_id, value,
+          CASE WHEN event_id % 3 = 0 THEN NULL
+               WHEN event_id % 3 = 1 THEN 'drop' ELSE 'keep' END AS note
+        FROM events),
+      src AS (
+        SELECT event_id, value * 3 AS value, note FROM base WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT event_id + 100000000, value, note FROM base WHERE event_id % 7 = 0),
+      merged AS (
+        SELECT b.* FROM base b
+        WHERE b.event_id NOT IN (SELECT event_id FROM src)
+        UNION ALL
+        SELECT b.event_id, b.value + s.value, b.note
+        FROM base b JOIN src s USING (event_id)
+        WHERE b.note IS DISTINCT FROM 'drop'
+        UNION ALL
+        SELECT s.* FROM src s
+        WHERE s.event_id NOT IN (SELECT event_id FROM base))
+      SELECT fmt, coalesce(note, '~null~') AS note, count(*) AS cnt,
+        round(sum(value), 2) AS sum_value
+      FROM (SELECT 'delta' AS fmt FROM range(1) UNION ALL SELECT 'iceberg') fmts
+      CROSS JOIN merged
+      GROUP BY fmt, 2
+      ORDER BY fmt, note"""))
+
   /** Catalog VIEWs end-to-end (Lake.sql CREATE VIEW → bare-name
     * expansion): events land in a Delta table under a catalog directory,
     * a VIEW stores the per-type rollup, a second VIEW filters the first,
@@ -1823,7 +1889,7 @@ object IoQueries {
       tdeltaDv, tdeltaUpsert, ticebergPart, ticebergHiddenPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tlakeReplaceWhere, tlakeSqlDml,
       tlakeSqlMaintenance, tlakeSqlSelect, tlakeSqlAgg, tlakeSqlAlterAdd, tlakeTpchSql,
-      tlakeSqlWindow, tlakeCreateTable, tlakeUseCatalog, tlakeMergeFull, tlakeViews,
+      tlakeSqlWindow, tlakeCreateTable, tlakeUseCatalog, tlakeMergeFull, tlakeMergeNullCond, tlakeViews,
       tcdcApply, tlakeSync, tlakeClone,
       tlakeRestore, tlakeRename, tlakeUniform, tlakeUniformRev, tlakeConvert)
 }

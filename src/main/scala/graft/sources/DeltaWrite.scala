@@ -469,8 +469,10 @@ object DeltaWrite {
     * in every MoR path here. */
   def updateWhere(spark: SparkSession, table: String,
       assignments: Seq[(String, org.apache.spark.sql.Column)],
-      condition: org.apache.spark.sql.Column): Long = {
+      condition: org.apache.spark.sql.Column,
+      alias: Option[String] = None): Long = {
     require(assignments.nonEmpty, "updateWhere with no assignments")
+    def scoped(df: DataFrame): DataFrame = alias.map(df.as(_)).getOrElse(df)
     val snap0 = DeltaRead.snapshotInfo(spark, table)
     require(snap0.columnMappingMode == "none",
       "updateWhere on a column-mapped table is not supported (staging would " +
@@ -479,14 +481,14 @@ object DeltaWrite {
     assignments.foreach { case (c, _) => require(cols.contains(c),
       s"updateWhere: assigned column '$c' is not in the table schema") }
     val lineage = DeltaRead.snapshotWithLineage(spark, table)
-    val matched = lineage.where(condition).select(col("_file"), col("_pos"))
+    val matched = scoped(lineage).where(condition).select(col("_file"), col("_pos"))
     dvDeletePlan(spark, table, snap0, matched) match {
       case None => snap0.version // nothing matched: no commit
       case Some((dvActions, dvAt0, affectedPaths)) =>
         // updated images: the matched rows with assignments applied, in
         // table-schema order and types (an assignment must not retype)
         val byName = assignments.toMap
-        val updated0 = DeltaRead.snapshot(spark, table).where(condition)
+        val updated0 = scoped(DeltaRead.snapshot(spark, table)).where(condition)
         val updated = updated0.select(snap0.schema.fields.toSeq.map { f =>
           byName.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
         }: _*)
@@ -1040,9 +1042,13 @@ object DeltaWrite {
     * old + new positions (decoded driver-side — O(that file's deletions),
     * not O(data)). */
   def deleteWhere(spark: SparkSession, table: String,
-      condition: org.apache.spark.sql.Column): Long = {
+      condition: org.apache.spark.sql.Column,
+      alias: Option[String] = None): Long = {
     val snap0 = DeltaRead.snapshotInfo(spark, table)
-    val matched = DeltaRead.snapshotWithLineage(spark, table)
+    // an alias names the target for the condition's qualified /
+    // subquery-correlated references (DELETE FROM '<p>' t WHERE … t.id …)
+    def scoped(df: DataFrame): DataFrame = alias.map(df.as(_)).getOrElse(df)
+    val matched = scoped(DeltaRead.snapshotWithLineage(spark, table))
       .where(condition).select(col("_file"), col("_pos"))
     dvDeletePlan(spark, table, snap0, matched) match {
       case None => snap0.version

@@ -1279,9 +1279,11 @@ object IcebergWrite {
     * scan of matched rows to stage, no data file rewritten. */
   def updateWhere(spark: SparkSession, table: String,
       assignments: Seq[(String, org.apache.spark.sql.Column)],
-      condition: org.apache.spark.sql.Column): Long = {
+      condition: org.apache.spark.sql.Column,
+      alias: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{col => fcol}
     require(assignments.nonEmpty, "updateWhere with no assignments")
+    def scoped(df: DataFrame): DataFrame = alias.map(df.as(_)).getOrElse(df)
     while (true) {
       val base = currentVersion(table)
       val prior = readPrior(table)
@@ -1291,14 +1293,15 @@ object IcebergWrite {
       val cols = snapDf.schema.fieldNames.toSet
       assignments.foreach { case (c, _) => require(cols.contains(c),
         s"updateWhere: assigned column '$c' is not in the table schema") }
-      val updated = snapDf.where(condition).select(snapDf.schema.fields.toSeq.map { f =>
-        byName.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(fcol(f.name))
-      }: _*).localCheckpoint()
+      val updated = scoped(snapDf).where(condition)
+        .select(snapDf.schema.fields.toSeq.map { f =>
+          byName.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(fcol(f.name))
+        }: _*).localCheckpoint()
       if (updated.isEmpty) return prior.get.path("current-snapshot-id").asLong(-1L)
 
       // old images → sorted (file_path, pos) delete parquet, exactly like
       // [[deleteWhere]]'s staging
-      val matched = IcebergRead.snapshotWithLineage(spark, table)
+      val matched = scoped(IcebergRead.snapshotWithLineage(spark, table))
         .where(condition)
         .select(fcol("_file").as("file_path"), fcol("_pos").as("pos"))
       val stage = Files.createTempDirectory("graft_iceberg_update")
@@ -2084,8 +2087,12 @@ object IcebergWrite {
     * (path, pos) tuples — O(deleted rows) — come back through the single
     * delete-file write. */
   def deleteWhere(spark: SparkSession, table: String,
-      condition: org.apache.spark.sql.Column): Long = {
+      condition: org.apache.spark.sql.Column,
+      alias: Option[String] = None): Long = {
     import org.apache.spark.sql.functions._
+    // an alias names the target for the condition's qualified /
+    // subquery-correlated references (DELETE FROM '<p>' t WHERE … t.id …)
+    def scoped(df: DataFrame): DataFrame = alias.map(df.as(_)).getOrElse(df)
     val prior0 = readPrior(table)
     require(prior0.isDefined, s"not an Iceberg table: $table")
     // position deletes are partition-less: cite an existing EMPTY spec, or
@@ -2095,7 +2102,7 @@ object IcebergWrite {
 
     // one scan: matched rows → (file_path, pos), written sorted by
     // (path, pos) as the spec recommends for delete files
-    val matched = IcebergRead.snapshotWithLineage(spark, table)
+    val matched = scoped(IcebergRead.snapshotWithLineage(spark, table))
       .where(condition)
       .select(col("_file").as("file_path"), col("_pos").as("pos"))
     val stage = Files.createTempDirectory("graft_iceberg_delete")

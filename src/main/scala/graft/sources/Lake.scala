@@ -306,10 +306,11 @@ object Lake {
     * position deletes. Plain parquet has no transaction log to carry a
     * delete — refused loudly. */
   def deleteWhere(spark: SparkSession, path: String,
-      condition: org.apache.spark.sql.Column): Long =
+      condition: org.apache.spark.sql.Column,
+      alias: Option[String] = None): Long =
     detect(spark, path) match {
-      case Delta => DeltaWrite.deleteWhere(spark, path, condition)
-      case Iceberg => IcebergWrite.deleteWhere(spark, path, condition)
+      case Delta => DeltaWrite.deleteWhere(spark, path, condition, alias)
+      case Iceberg => IcebergWrite.deleteWhere(spark, path, condition, alias)
       case Parquet => throw new IllegalArgumentException(
         s"plain parquet at $path cannot carry a merge-on-read delete")
     }
@@ -629,6 +630,12 @@ object Lake {
         updateBase: String => org.apache.spark.sql.Column): Unit = {
       var remaining: org.apache.spark.sql.Column = lit(true)
       clauses.foreach { case (condOpt, action) =>
+        // 3VL: a clause FIRES only when its condition is TRUE, and a row
+        // FALLS THROUGH to the next clause when the condition is FALSE *or
+        // NULL* — so the "no earlier clause fired" accumulator must negate
+        // under coalesce(cond, false); bare `!cond` would turn a NULL
+        // condition into a NULL `remaining` and silently exempt the row
+        // from every later clause (incl. an unconditional final UPDATE)
         val fire = remaining && condOpt.getOrElse(lit(true))
         action match {
           case MergeDelete =>
@@ -646,7 +653,9 @@ object Lake {
               .select(cols.map(c => byName.getOrElse(c, col(c)).as(c)) :+
                 lit("insert").as("_change_type"): _*)
         }
-        remaining = remaining && !condOpt.getOrElse(lit(true))
+        remaining = remaining &&
+          !org.apache.spark.sql.functions.coalesce(
+            condOpt.getOrElse(lit(true)), lit(false))
       }
     }
     firstMatchWins(joined, matched, c => col(s"src_$c"))
@@ -742,10 +751,11 @@ object Lake {
     * positional). Plain parquet has no transaction log — refused. */
   def updateWhere(spark: SparkSession, path: String,
       assignments: Seq[(String, org.apache.spark.sql.Column)],
-      condition: org.apache.spark.sql.Column): Long =
+      condition: org.apache.spark.sql.Column,
+      alias: Option[String] = None): Long =
     detect(spark, path) match {
-      case Delta => DeltaWrite.updateWhere(spark, path, assignments, condition)
-      case Iceberg => IcebergWrite.updateWhere(spark, path, assignments, condition)
+      case Delta => DeltaWrite.updateWhere(spark, path, assignments, condition, alias)
+      case Iceberg => IcebergWrite.updateWhere(spark, path, assignments, condition, alias)
       case Parquet => throw new IllegalArgumentException(
         s"plain parquet at $path cannot carry an update")
     }
@@ -953,8 +963,8 @@ object Lake {
     // statement HEADS (verb, quoted path) carry no user expressions, so
     // anchored regexes are safe there; BODIES (predicates, SET lists,
     // USING sources) are split only by quote/paren-aware scans
-    val Delete = """(?is)DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+)""".r
-    val UpdateHead = """(?is)UPDATE\s+'([^']+)'\s+SET\s+(.+)""".r
+    val Delete = """(?is)DELETE\s+FROM\s+'([^']+)'(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s+WHERE\s+(.+)""".r
+    val UpdateHead = """(?is)UPDATE\s+'([^']+)'(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s+SET\s+(.+)""".r
     val MergeHead = """(?is)MERGE\s+INTO\s+'([^']+)'\s+USING\s*(\(.*)""".r
     val OnTail = """(?is)\s*ON\s+\(?\s*([\w\s,]+?)\s*\)?\s*""".r
     val Insert = """(?is)INSERT\s+INTO\s+'([^']+)'\s+(.+)""".r
@@ -1273,8 +1283,8 @@ object Lake {
           require(ifExistsOrNull != null, s"DROP VIEW: no such view $name")
         else fs.delete(f, false)
         -1L
-      case Delete(path, pred) =>
-        deleteWhere(spark, path, expr(pred))
+      case Delete(path, aliasOrNull, pred) =>
+        deleteWhere(spark, path, resolvePredicate(spark, pred), Option(aliasOrNull))
       case MergeHead(path, fromParen) =>
         val close = matchingParen(fromParen, 0)
         require(close > 0, s"unbalanced USING (...) parens in: $s")
@@ -1316,7 +1326,7 @@ object Lake {
             val kind = (if (andIdx < 0) head else head.substring(0, andIdx)).trim
               .toUpperCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
             val cond = if (andIdx < 0) None
-              else Some(expr(head.substring(andIdx + 3).trim))
+              else Some(resolvePredicate(spark, head.substring(andIdx + 3).trim))
             val u = action.toUpperCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
             def updateOrDelete(what: String)
                 : (Option[org.apache.spark.sql.Column], MergeAction) = {
@@ -1405,7 +1415,7 @@ object Lake {
           case other => throw new IllegalArgumentException(
             s"INSERT INTO needs a lake table, got $other at $path")
         }
-      case UpdateHead(path, body) =>
+      case UpdateHead(path, aliasOrNull, body) =>
         val whereIdx = topLevelKeyword(body, "WHERE")
         val (setClause, predOpt) =
           if (whereIdx < 0) (body, None)
@@ -1415,9 +1425,9 @@ object Lake {
           require(eq > 0, s"malformed SET item '$item' (expected col = expr)")
           (item.take(eq).trim, expr(item.drop(eq + 1).trim))
         }
-        val cond = predOpt.map(p => expr(p.trim))
+        val cond = predOpt.map(p => resolvePredicate(spark, p.trim))
           .getOrElse(org.apache.spark.sql.functions.lit(true))
-        updateWhere(spark, path, assignments, cond)
+        updateWhere(spark, path, assignments, cond, Option(aliasOrNull))
       case other => throw new IllegalArgumentException(
         "unrecognized lake statement (expected DELETE FROM / UPDATE / MERGE INTO / " +
           "INSERT [OVERWRITE] / CREATE TABLE [(schema) | AS | SHALLOW CLONE] / " +
@@ -1982,6 +1992,53 @@ object Lake {
   private def sourceFrame(spark: SparkSession, source: String): DataFrame =
     if (resolvedRefs(spark, source).isEmpty) spark.sql(source)
     else delegateSelect(spark, source)
+
+  /** Bind a DML predicate (DELETE/UPDATE WHERE, MERGE WHEN conditions)
+    * that may carry SUBQUERIES over lake references — `DELETE FROM '<t>'
+    * WHERE k IN (SELECT k FROM '<dim>')`, `... WHERE EXISTS (SELECT 1
+    * FROM dim d WHERE d.k = k)` under a `USE` catalog. Each quoted-path /
+    * bare-catalog-name reference inside the predicate text resolves to a
+    * content-addressed temp view (version/timestamp pins honored, stored
+    * views expanded) and the text is spliced, exactly like
+    * [[delegateSelect]]'s FROM rewrite — so when the writer's
+    * `.where(cond)` is analyzed against the target scan, every name in
+    * the subquery resolves through the session catalog. IN / NOT IN /
+    * EXISTS / scalar and target-correlated subqueries all bind this way
+    * (the analyzer resolves outer references against the target scan).
+    * A predicate with no lake references stays a plain `expr` — temp-view
+    * subqueries already resolve without help. Subquery scans are
+    * evaluated by Spark per statement (typically a broadcast semi-join
+    * against the target); file-stats pruning is not attributed through
+    * predicate subqueries — correctness only needs names to resolve. */
+  private def resolvePredicate(spark: SparkSession, pred: String)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.expr
+    val refs = resolvedRefs(spark, pred)
+    if (refs.isEmpty) expr(pred)
+    else {
+      val sb = new java.lang.StringBuilder
+      var pos = 0
+      refs.foreach { r =>
+        val frame =
+          if (r.path.endsWith(".view.sql")) viewFrame(spark, r.path)
+          else {
+            val v = if (r.atMs >= 0) versionAt(spark, r.path, r.atMs) else r.version
+            read(spark, r.path, v)
+          }
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${r.path}@${r.version}@${r.atMs}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16)
+        val view = s"graft_lake_$key"
+        frame.createOrReplaceTempView(view)
+        sb.append(pred, pos, r.start).append(view)
+        if (!r.aliasInText && r.alias.isDefined)
+          sb.append(" AS ").append(r.alias.get)
+        pos = r.end
+      }
+      sb.append(pred, pos, pred.length)
+      expr(sb.toString)
+    }
+  }
 
   private def delegateSelect(spark: SparkSession, statement: String): DataFrame = {
     val refs = resolvedRefs(spark, statement)

@@ -1008,6 +1008,111 @@ class LakeDmlSpec extends SparkSpec {
   }
 
 
+  test("DML WHERE subqueries: IN/EXISTS/NOT IN over temp views, lake paths, USE names") {
+    for (fmt <- Seq("delta", "iceberg")) {
+      val root = tmp(s"graft_dml_subq_$fmt")
+      val fact = s"$root/fact"
+      val seed = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (5L, 50.0)).toDF("id", "v")
+      if (fmt == "delta") DeltaWrite.append(spark, seed, fact)
+      else IcebergWrite.append(spark, seed, fact)
+      // dim lives as the OTHER format — the subquery scan is format-detected
+      val dim = s"$root/dim"
+      val dimDf = Seq((1L, "a"), (3L, "c"), (9L, "z")).toDF("id", "s")
+      if (fmt == "delta") IcebergWrite.append(spark, dimDf, dim)
+      else DeltaWrite.append(spark, dimDf, dim)
+
+      // IN over a quoted lake path
+      Lake.sql(spark, s"DELETE FROM '$fact' WHERE id IN (SELECT id FROM '$dim' WHERE s = 'a')")
+      assert(Lake.read(spark, fact).orderBy("id").as[(Long, Double)].collect().toSeq ===
+        Seq((2L, 20.0), (3L, 30.0), (5L, 50.0)), fmt)
+
+      // correlated EXISTS with a target alias (DELETE FROM '<p>' t WHERE …)
+      Lake.sql(spark,
+        s"DELETE FROM '$fact' t WHERE EXISTS (SELECT 1 FROM '$dim' d WHERE d.id = t.id)")
+      assert(Lake.read(spark, fact).orderBy("id").as[(Long, Double)].collect().toSeq ===
+        Seq((2L, 20.0), (5L, 50.0)), fmt)
+
+      // NOT IN over a temp view, through UPDATE … AS t
+      Seq(2L).toDF("id").createOrReplaceTempView("graft_subq_keep")
+      Lake.sql(spark,
+        s"UPDATE '$fact' AS t SET v = 0 WHERE t.id NOT IN (SELECT id FROM graft_subq_keep)")
+      assert(Lake.read(spark, fact).orderBy("id").as[(Long, Double)].collect().toSeq ===
+        Seq((2L, 20.0), (5L, 0.0)), fmt)
+
+      // bare USE-catalog name inside the subquery
+      Lake.sql(spark, s"USE '$root'")
+      try {
+        Lake.sql(spark, s"UPDATE '$fact' SET v = 1 WHERE id IN (SELECT id FROM dim)")
+        // dim has ids {1,3,9}; fact has {2,5} — nothing matches, no change
+        assert(Lake.read(spark, fact).orderBy("id").as[(Long, Double)].collect().toSeq ===
+          Seq((2L, 20.0), (5L, 0.0)), fmt)
+        Lake.sql(spark, s"DELETE FROM '$fact' WHERE id NOT IN (SELECT id FROM dim)")
+        assert(Lake.read(spark, fact).count() === 0L, fmt)
+      } finally Lake.sql(spark, "USE DEFAULT")
+    }
+
+    // a scalar subquery in a MERGE WHEN condition resolves lake refs too
+    val root = tmp("graft_merge_subq")
+    DeltaWrite.append(spark, Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"), s"$root/t")
+    DeltaWrite.append(spark, Seq((1L, 1.5)).toDF("id", "cut"), s"$root/cuts")
+    Seq((1L, 100.0), (2L, 200.0)).toDF("id", "v")
+      .createOrReplaceTempView("graft_merge_subq_src")
+    Lake.sql(spark,
+      s"""MERGE INTO '$root/t' USING (SELECT * FROM graft_merge_subq_src) ON (id)
+          WHEN MATCHED AND v > (SELECT max(cut) FROM '$root/cuts') THEN DELETE
+          WHEN MATCHED THEN UPDATE SET v = src_v""")
+    assert(Lake.read(spark, s"$root/t").orderBy("id").as[(Long, Double)]
+      .collect().toSeq === Seq((1L, 100.0)))
+  }
+
+
+  test("MERGE 3VL: a NULL-evaluating WHEN condition falls through, not exempts") {
+    // Rows whose first clause condition evaluates NULL (note IS NULL, so
+    // `note = 'drop'` is NULL) must be caught by the later unconditional
+    // UPDATE — the first-match-wins accumulator may not poison to NULL.
+    for (fmt <- Seq("delta", "iceberg")) {
+      val t = tmp(s"graft_merge_3vl_$fmt") + "/tbl"
+      val seed = Seq((1L, 10.0, Some("keep")), (2L, 20.0, None),
+        (3L, 30.0, Some("drop")), (4L, 40.0, None))
+        .toDF("id", "v", "note")
+      if (fmt == "delta") DeltaWrite.append(spark, seed, t)
+      else IcebergWrite.append(spark, seed, t)
+      Seq((1L, 1.0, Some("keep")), (2L, 2.0, None), (3L, 3.0, None),
+        (5L, 50.0, None)).toDF("id", "v", "note")
+        .createOrReplaceTempView("graft_merge_3vl_src")
+      Lake.sql(spark,
+        s"""MERGE INTO '$t' USING (SELECT * FROM graft_merge_3vl_src) ON (id)
+            WHEN MATCHED AND note = 'drop' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET v = v + src_v
+            WHEN NOT MATCHED THEN INSERT *""")
+      // id=2 (target note NULL → cond NULL → falls through to UPDATE): 22.0
+      // id=3 (target note 'drop' → cond TRUE): deleted
+      // id=1 updated, id=4 untouched, id=5 inserted
+      assert(Lake.read(spark, t).orderBy("id")
+        .as[(Long, Double, Option[String])].collect().toSeq ===
+        Seq((1L, 11.0, Some("keep")), (2L, 22.0, None),
+          (4L, 40.0, None), (5L, 50.0, None)), fmt)
+    }
+
+    // same 3VL rule on the NOT MATCHED BY SOURCE chain: an orphan whose
+    // first clause condition is NULL still reaches the later clause
+    val t2 = tmp("graft_merge_3vl_nmbs") + "/tbl"
+    DeltaWrite.append(spark,
+      Seq((1L, 1.0, Some("a")), (2L, 2.0, None), (3L, 3.0, Some("stale")))
+        .toDF("id", "v", "note"), t2)
+    Seq((1L, 10.0, Some("a"))).toDF("id", "v", "note")
+      .createOrReplaceTempView("graft_merge_3vl_nmbs_src")
+    Lake.sql(spark,
+      s"""MERGE INTO '$t2' USING (SELECT * FROM graft_merge_3vl_nmbs_src) ON (id)
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED BY SOURCE AND note = 'stale' THEN DELETE
+          WHEN NOT MATCHED BY SOURCE THEN UPDATE SET note = 'orphan'""")
+    assert(Lake.read(spark, t2).orderBy("id")
+      .as[(Long, Double, Option[String])].collect().toSeq ===
+      Seq((1L, 10.0, Some("a")), (2L, 2.0, Some("orphan"))))
+  }
+
+
   test("MERGE WHEN NOT MATCHED BY SOURCE: deletion-sync and orphan updates") {
     val t = tmp("graft_merge_nmbs") + "/tbl"
     DeltaWrite.append(spark,
