@@ -648,7 +648,7 @@ object StreamOps {
           case other => throw new IllegalArgumentException(
             s"unsupported target format '$other' (delta | iceberg)")
         }
-        val exists = new java.io.File(s"${target.stripSuffix("/")}/$marker").exists()
+        val exists = fsExists(spark, s"${target.stripSuffix("/")}/$marker")
         if (exists) Lake.applyChanges(spark, batch, target, keyCols)
         else {
           // seed: deletes against a not-yet-existing table are no-ops
@@ -683,6 +683,14 @@ object StreamOps {
     * Additive updates (`SET v = v + src_v`) are NOT replay-safe here —
     * maintain additive state with the LEDGERED [[aggregateMvStream]]
     * instead. */
+  /** Scheme-agnostic existence probe — streaming sinks may target
+    * `hdfs://`/`s3a://` paths, where a `java.io.File` probe silently
+    * evaluates false and would re-seed an existing table. */
+  private def fsExists(spark: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
   def mergeStream(spark: SparkSession, source: String, target: String,
       targetFormat: String, keys: Seq[String],
       matched: Seq[(Option[org.apache.spark.sql.Column], graft.sources.Lake.MergeAction)],
@@ -704,7 +712,7 @@ object StreamOps {
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          if (!new java.io.File(s"${target.stripSuffix("/")}/$marker").exists()) {
+          if (!fsExists(spark, s"${target.stripSuffix("/")}/$marker")) {
             // seed the target EMPTY with the stream's schema: the merge
             // below then applies its own not-matched semantics to batch 0
             targetFormat match {
@@ -775,7 +783,7 @@ object StreamOps {
     }
     val marker = if (isDelta) "_delta_log" else "metadata"
     def exists(): Boolean =
-      new java.io.File(s"${target.stripSuffix("/")}/$marker").exists()
+      fsExists(spark, s"${target.stripSuffix("/")}/$marker")
     def readMv(): DataFrame =
       if (isDelta) DeltaRead.snapshot(spark, target) else IcebergRead.snapshot(spark, target)
     def seed(live: DataFrame, batchId: Long): Unit =
@@ -801,8 +809,9 @@ object StreamOps {
     // configuration (no committed offsets yet, but the target already holds
     // marks for this appId) and refuse loudly instead.
     val hasOffsets = {
-      val off = new java.io.File(s"${checkpointDir.stripSuffix("/")}/offsets")
-      off.exists() && off.listFiles() != null && off.listFiles().nonEmpty
+      val off = new org.apache.hadoop.fs.Path(s"${checkpointDir.stripSuffix("/")}/offsets")
+      val fs = off.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(off) && fs.listStatus(off).nonEmpty
     }
     if (!hasOffsets && highWater >= 0L)
       throw new IllegalStateException(
