@@ -1201,6 +1201,15 @@ object IcebergWrite {
     require(tableFields.sorted == df.schema.fieldNames.toSeq.sorted,
       s"overwrite schema ${df.schema.fieldNames.mkString(",")} does not match " +
         s"table schema ${tableFields.mkString(",")}")
+    // names AND types (the Delta append pin's twin): a same-named column
+    // of another type would stage parquet the table schema later MISREADS
+    IcebergRead.snapshot(spark, table).schema.fields.foreach { f =>
+      val in = df.schema(f.name).dataType
+      require(in == f.dataType,
+        s"overwrite column '${f.name}' type $in does not match table's " +
+          s"${f.dataType} — cast before writing (a mismatched file " +
+          "would be misread under the table schema)")
+    }
     var v = -1L
     while (v < 0) {
       val base = currentVersion(table)

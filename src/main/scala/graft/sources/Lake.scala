@@ -587,6 +587,14 @@ object Lake {
     * duplicates are refused loudly (one cheap aggregation over the
     * source, which is the small side of a merge by construction).
     *
+    * With `evolveSchema` (the `MERGE WITH SCHEMA EVOLUTION` statement)
+    * the column pin lifts both ways, the standard CDC-with-evolution
+    * idiom: a source column the target lacks first EXTENDS the target
+    * schema (a nullable metadata-only commit per column — existing rows
+    * read NULL there); a target column the source lacks keeps the
+    * TARGET's value under `UPDATE SET *` and lands NULL under `INSERT *`.
+    * Source columns are cast to the (evolved) target types.
+    *
     * @param matched     ordered (condition, action) WHEN MATCHED clauses
     * @param notMatched  Some(condition) = `WHEN NOT MATCHED [AND cond]
     *                    THEN INSERT *`; None = no insert clause
@@ -595,29 +603,57 @@ object Lake {
     *                    no source match — the deletion-sync form
     *                    (conditions/SET values see the target row bare;
     *                    there is no source row)
+    * @param evolveSchema lift the exact-column pin: extend the target
+    *                    with new source columns, keep/NULL missing ones
     * Returns the committed version / snapshot id. */
   def mergeInto(spark: SparkSession, path: String, source: DataFrame,
       keys: Seq[String],
       matched: Seq[(Option[org.apache.spark.sql.Column], MergeAction)],
       notMatched: Option[Option[org.apache.spark.sql.Column]],
       notMatchedBySource: Seq[(Option[org.apache.spark.sql.Column], MergeAction)] =
-        Nil): Long = {
+        Nil,
+      evolveSchema: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{col, lit}
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "MERGE: at least one WHEN clause required")
-    val tgt = read(spark, path)
+    val tgt0 = read(spark, path)
+    val extras = source.schema.fields.toSeq
+      .filterNot(f => tgt0.columns.contains(f.name))
+    if (!evolveSchema)
+      require(source.columns.sorted.sameElements(tgt0.columns.sorted),
+        s"MERGE source columns ${source.columns.mkString(",")} do not match " +
+          s"table columns ${tgt0.columns.mkString(",")} " +
+          "(use MERGE WITH SCHEMA EVOLUTION to evolve)")
+    else
+      // each new source column extends the target schema BEFORE the merge
+      // (nullable, metadata-only commit) — the changelog below then speaks
+      // the evolved schema for every piece
+      extras.foreach(f => addColumn(spark, path, f.name, f.dataType.sql))
+    val tgt = if (evolveSchema && extras.nonEmpty) read(spark, path) else tgt0
     val cols = tgt.columns.toSeq
-    require(source.columns.sorted.sameElements(cols.sorted),
-      s"MERGE source columns ${source.columns.mkString(",")} do not match " +
-        s"table columns ${cols.mkString(",")}")
     require(keys.nonEmpty && keys.forall(cols.contains),
       s"MERGE keys ${keys.mkString(",")} not all present in ${cols.mkString(",")}")
-    val src = source.localCheckpoint(false) // read twice (dup guard + join)
+    require(keys.forall(source.columns.contains),
+      s"MERGE keys ${keys.mkString(",")} not all present in the source")
+    val srcCols = source.columns.toSet
+    // under evolution the source speaks the evolved target's types; the
+    // exact-pin path stays cast-free (the SQL surface conformed already,
+    // API callers pinned by the require above)
+    val source1 = if (!evolveSchema) source
+      else source.select(source.columns.toSeq.map { c =>
+        col(c).cast(tgt.schema(c).dataType).as(c) }: _*)
+    val src = source1.localCheckpoint(false) // read twice (dup guard + join)
     val dup = src.groupBy(keys.map(col): _*).count()
       .where(col("count") > 1).limit(1).count()
     require(dup == 0,
       "MERGE source carries duplicate key rows — ambiguous (dedupe upstream)")
-    val srcP = src.select(cols.map(c => col(c).as(s"src_$c")): _*)
+    val srcP = src.select(src.columns.toSeq.map(c => col(c).as(s"src_$c")): _*)
+    // evolution contexts: a target column the source lacks keeps the
+    // TARGET's value under UPDATE SET * and lands NULL under INSERT *
+    def srcOrKeep(c: String): org.apache.spark.sql.Column =
+      if (srcCols(c)) col(s"src_$c") else col(c)
+    def srcOrNull(c: String): org.apache.spark.sql.Column =
+      if (srcCols(c)) col(c) else lit(null).cast(tgt.schema(c).dataType)
     // several clauses slice the SAME matched frame — checkpoint it lazily
     // so the changelog union executes ONE join, not one per clause (the
     // matched set is bounded by the source, the small side of a merge)
@@ -658,13 +694,14 @@ object Lake {
             condOpt.getOrElse(lit(true)), lit(false))
       }
     }
-    firstMatchWins(joined, matched, c => col(s"src_$c"))
+    firstMatchWins(joined, matched, srcOrKeep)
     notMatched.foreach { condOpt =>
       val tgtKeys = tgt.select(keys.map(col): _*)
       val unmatched = src.join(tgtKeys,
         keys.map(k => src(k) <=> tgtKeys(k)).reduce(_ && _), "left_anti")
       pieces += unmatched.where(condOpt.getOrElse(lit(true)))
-        .select(cols.map(col) :+ lit("insert").as("_change_type"): _*)
+        .select(cols.map(c => srcOrNull(c).as(c)) :+
+          lit("insert").as("_change_type"): _*)
     }
     if (notMatchedBySource.nonEmpty) {
       require(notMatchedBySource.forall {
@@ -713,8 +750,11 @@ object Lake {
         val v = DeltaWrite.compact(spark, path, smallFileBytes, targetFileBytes, zorderBy)
         // checkpoint when the replay tail (commits past the last
         // checkpoint) has grown beyond the cadence
-        val logDir = new java.io.File(s"${path.stripSuffix("/")}/_delta_log")
-        val names = Option(logDir.list()).getOrElse(Array.empty)
+        val logDir = new org.apache.hadoop.fs.Path(s"${path.stripSuffix("/")}/_delta_log")
+        val lfs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val names: Array[String] =
+          if (!lfs.exists(logDir)) Array.empty
+          else lfs.listStatus(logDir).map(_.getPath.getName)
         val lastCp = names.filter(_.endsWith(".checkpoint.parquet"))
           .map(_.take(20).toLong).sorted.lastOption.getOrElse(-1L)
         val tail = names.count(n => n.length == 25 && n.endsWith(".json") &&
@@ -965,7 +1005,8 @@ object Lake {
     // USING sources) are split only by quote/paren-aware scans
     val Delete = """(?is)DELETE\s+FROM\s+'([^']+)'(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s+WHERE\s+(.+)""".r
     val UpdateHead = """(?is)UPDATE\s+'([^']+)'(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s+SET\s+(.+)""".r
-    val MergeHead = """(?is)MERGE\s+INTO\s+'([^']+)'\s+USING\s*(\(.*)""".r
+    val MergeHead =
+      """(?is)MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+'([^']+)'\s+USING\s*(\(.*)""".r
     val OnTail = """(?is)\s*ON\s+\(?\s*([\w\s,]+?)\s*\)?\s*""".r
     val Insert = """(?is)INSERT\s+INTO\s+'([^']+)'\s+(.+)""".r
     val InsertOverwrite = """(?is)INSERT\s+OVERWRITE\s+'([^']+)'\s+(.+)""".r
@@ -983,8 +1024,9 @@ object Lake {
     // catalog VIEWs: one saved result-set statement per <name>.view.sql
     // under the USE'd directory, expanded at query time by bare name
     val CreateView =
-      """(?is)CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([A-Za-z_]\w*)\s+AS\s+(.+)""".r
-    val DropView = """(?is)DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*""".r
+      """(?is)CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(?:([A-Za-z_]\w*)|'([^']+)')\s+AS\s+(.+)""".r
+    val DropView =
+      """(?is)DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(?:([A-Za-z_]\w*)|'([^']+)')\s*""".r
     // column-schema DDL: CREATE TABLE '<p>' (c1 TYPE, ...) USING fmt
     // [PARTITIONED BY (...)] — the '(' directly after the path is what
     // separates it from CTAS (whose head is USING) and SHALLOW CLONE
@@ -1040,8 +1082,21 @@ object Lake {
           if (extra.nonEmpty) df // evolving/garbage source: the writer judges
           else df.select(target.fields.toSeq
             .filter(f => df.columns.contains(f.name))
-            .map(f => org.apache.spark.sql.functions.col(f.name)
-              .cast(f.dataType).as(f.name)): _*)
+            .map { f =>
+              import org.apache.spark.sql.functions.{col, lit, when, raise_error}
+              val c = col(f.name)
+              if (df.schema(f.name).dataType == f.dataType) c
+              else {
+                // store-assignment, not silent truncation: a non-NULL value
+                // the cast NULLs ('abc' into BIGINT, an overflowing decimal)
+                // is refused loudly instead of landing as NULL
+                val casted = c.cast(f.dataType)
+                when(c.isNotNull && casted.isNull,
+                  raise_error(lit(s"cannot cast column ${f.name} to " +
+                    s"${f.dataType.sql} for $path — cast or filter upstream")))
+                  .otherwise(casted).as(f.name)
+              }
+            }: _*)
       }
     s match {
       case AlterRename(path, oldName, newName) =>
@@ -1252,14 +1307,22 @@ object Lake {
       case UseDefault() =>
         spark.conf.unset(UseDirKey)
         -1L
-      case CreateView(orReplaceOrNull, name, body) =>
-        val dir = spark.conf.getOption(UseDirKey).map(_.stripSuffix("/"))
-          .getOrElse(throw new IllegalArgumentException(
-            "CREATE VIEW: no USE '<dir>' catalog set (views live in the catalog)"))
+      case CreateView(orReplaceOrNull, nameOrNull, pathOrNull, body) =>
+        // a quoted path stores the view NEXT TO the tables it reads — no
+        // USE catalog needed; the bare form stays catalog-addressed
+        val viewPath = Option(pathOrNull).map(_.stripSuffix("/"))
+          .getOrElse {
+            val dir = spark.conf.getOption(UseDirKey).map(_.stripSuffix("/"))
+              .getOrElse(throw new IllegalArgumentException(
+                "CREATE VIEW <name>: no USE '<dir>' catalog set " +
+                  "(use CREATE VIEW '<dir>/<name>' to store by path)"))
+            s"$dir/$nameOrNull"
+          }
+        val name = viewPath.substring(viewPath.lastIndexOf('/') + 1)
         require(body.trim.toUpperCase(java.util.Locale.ROOT)
             .matches("(?s)(SELECT|WITH)\\b.*"),
           s"CREATE VIEW: the body must be a SELECT/WITH statement, got: $body")
-        val f = new org.apache.hadoop.fs.Path(s"$dir/$name.view.sql")
+        val f = new org.apache.hadoop.fs.Path(s"$viewPath.view.sql")
         val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
         require(orReplaceOrNull != null || !fs.exists(f),
           s"CREATE VIEW: $name already exists (use CREATE OR REPLACE VIEW)")
@@ -1273,11 +1336,16 @@ object Lake {
         val out = fs.create(f, true)
         try out.write(body.trim.getBytes("UTF-8")) finally out.close()
         -1L
-      case DropView(ifExistsOrNull, name) =>
-        val dir = spark.conf.getOption(UseDirKey).map(_.stripSuffix("/"))
-          .getOrElse(throw new IllegalArgumentException(
-            "DROP VIEW: no USE '<dir>' catalog set"))
-        val f = new org.apache.hadoop.fs.Path(s"$dir/$name.view.sql")
+      case DropView(ifExistsOrNull, nameOrNull, pathOrNull) =>
+        val viewPath = Option(pathOrNull).map(_.stripSuffix("/")).getOrElse {
+          val dir = spark.conf.getOption(UseDirKey).map(_.stripSuffix("/"))
+            .getOrElse(throw new IllegalArgumentException(
+              "DROP VIEW <name>: no USE '<dir>' catalog set " +
+                "(use DROP VIEW '<dir>/<name>' to drop by path)"))
+          s"$dir/$nameOrNull"
+        }
+        val name = viewPath.substring(viewPath.lastIndexOf('/') + 1)
+        val f = new org.apache.hadoop.fs.Path(s"$viewPath.view.sql")
         val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(f))
           require(ifExistsOrNull != null, s"DROP VIEW: no such view $name")
@@ -1285,7 +1353,8 @@ object Lake {
         -1L
       case Delete(path, aliasOrNull, pred) =>
         deleteWhere(spark, path, resolvePredicate(spark, pred), Option(aliasOrNull))
-      case MergeHead(path, fromParen) =>
+      case MergeHead(evoOrNull, path, fromParen) =>
+        val evolve = evoOrNull != null
         val close = matchingParen(fromParen, 0)
         require(close > 0, s"unbalanced USING (...) parens in: $s")
         val source = fromParen.substring(1, close)
@@ -1299,7 +1368,14 @@ object Lake {
             s"MERGE INTO: expected ON (k1[, k2 ...]) after USING (...), got: $other")
         }
         val src = conformTo(path, sourceFrame(spark, source))
-        if (whenIdx < 0) upsert(spark, src, path, keys) // the CDC default shape
+        if (whenIdx < 0) {
+          // the CDC default shape; with evolution it is the same clause
+          // pair spelled through the evolving merge
+          if (evolve) mergeInto(spark, path, src, keys,
+            matched = Seq((None, MergeUpdate(Nil))),
+            notMatched = Some(None), evolveSchema = true)
+          else upsert(spark, src, path, keys)
+        }
         else {
           // parse the ordered WHEN clause list: each clause spans to the
           // next top-level WHEN; inside, the top-level THEN splits the
@@ -1359,7 +1435,7 @@ object Lake {
             }
           }
           mergeInto(spark, path, src, keys, matchedB.result(), notMatched,
-            orphanB.result())
+            orphanB.result(), evolveSchema = evolve)
         }
       case InsertOverwrite(path, body) =>
         body.trim match {
@@ -1486,7 +1562,8 @@ object Lake {
     val ShowPartitions = """(?is)SHOW\s+PARTITIONS\s+'([^']+)'\s*""".r
     val ShowTables = """(?is)SHOW\s+TABLES(?:\s+IN\s+'([^']+)')?\s*""".r
     val CountStar =
-      """(?is)SELECT\s+COUNT\s*\(\s*\*\s*\)\s+FROM\s+(?:'([^']+)'|([A-Za-z_]\w*))\s*""".r
+      ("""(?is)SELECT\s+COUNT\s*\(\s*\*\s*\)\s+FROM\s+(?:'([^']+)'|([A-Za-z_]\w*))""" +
+        """\s*(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*""").r
     // a bare COUNT(*) target resolves through the USE catalog (table
     // DIRECTORIES only — views and temp views fall to the SELECT path)
     def catalogDir(bare: String): Option[String] =
@@ -1565,10 +1642,16 @@ object Lake {
           }
         }.sortBy(_._1)
         rows.toDF("table", "format", "version")
-      case CountStar(pathOrNull, bareOrNull)
+      case CountStar(pathOrNull, bareOrNull, verOrNull, tsOrNull)
           if pathOrNull != null || catalogDir(bareOrNull).isDefined =>
         val p = Option(pathOrNull).getOrElse(catalogDir(bareOrNull).get)
-        Seq(rowCount(spark, p)).toDF("count", "from_metadata")
+        // a pin folds from that snapshot's metadata exactly like the head
+        // (rowCount resolves any version's totalRecords minus DVs)
+        val v =
+          if (verOrNull != null) verOrNull.toLong
+          else if (tsOrNull != null) versionAt(spark, p, parseTsLiteral(tsOrNull))
+          else -1L
+        Seq(rowCount(spark, p, v)).toDF("count", "from_metadata")
       case Vacuum(path, retainOrNull, forceOrNull) =>
         val retain = Option(retainOrNull).map(_.toInt).getOrElse(1)
         val age = if (forceOrNull != null) 0L else 24L * 3600 * 1000
@@ -1663,6 +1746,16 @@ object Lake {
     val (path, tail0) = body.substring(fromIdx + 4) match {
       case PathHead(p, t) => (p, t.trim)
       case _ => return None // FROM target is not a quoted path (subquery, view)
+    }
+    // a stored view's `.view.sql` twin is the delegated dialect (its text
+    // must expand) — never a direct read
+    locally {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      def hExists(p: String) = scala.util.Try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(hconf).exists(hp)
+      }.getOrElse(false)
+      if (!hExists(path) && hExists(s"$path.view.sql")) return None
     }
     val VersionHead = """(?is)VERSION\s+AS\s+OF\s+(\d+)\s*(.*)""".r
     val TimestampHead = """(?is)TIMESTAMP\s+AS\s+OF\s+(?:(\d+)|'([^']+)')\s*(.*)""".r
@@ -1981,7 +2074,16 @@ object Lake {
       Some(s"$d/$w").filter(exists)
         .orElse(Some(s"$d/$w.view.sql").filter(exists))
     }
-    tableRefs(statement, resolveBare).filter(r => exists(r.path))
+    tableRefs(statement, resolveBare).flatMap { r =>
+      if (exists(r.path)) Some(r)
+      // a quoted path whose directory is absent but whose `.view.sql`
+      // twin exists reads the STORED VIEW by path — the catalog-free
+      // counterpart of bare-name view expansion (a genuine string
+      // literal after FROM stays excluded: its twin cannot exist)
+      else if (!r.path.endsWith(".view.sql") && exists(s"${r.path}.view.sql"))
+        Some(r.copy(path = s"${r.path}.view.sql"))
+      else None
+    }
   }
 
   /** A DML statement's SELECT source: lake-path / USE-catalog references
@@ -2081,6 +2183,7 @@ object Lake {
         }
     val sb = new java.lang.StringBuilder
     var pos = 0
+    val registered = Seq.newBuilder[PrunedView]
     resolved.zipWithIndex.foreach { case ((r, v, base), idx) =>
       val myConj = conjuncts.getOrElse(idx, Nil)
       val scan =
@@ -2096,6 +2199,8 @@ object Lake {
         .map("%02x".format(_)).mkString.take(16)
       val view = s"graft_lake_$key"
       scan.createOrReplaceTempView(view)
+      if (!r.path.endsWith(".view.sql"))
+        registered += PrunedView(view, r.path, v, myConj, scan)
       sb.append(statement.substring(pos, r.start)).append(view)
       // a bare name without an explicit alias was the qualifier for its
       // columns — keep it resolvable by re-aliasing the view to it
@@ -2104,8 +2209,136 @@ object Lake {
       pos = r.end
     }
     sb.append(statement.substring(pos))
-    spark.sql(sb.toString)
+    val text = sb.toString
+    val df0 = spark.sql(text)
+    joinDerivedPrune(spark, df0, text, registered.result())
   }
+
+  /** One delegated reference's registered temp view — the handle
+    * [[joinDerivedPrune]] re-prunes through. */
+  private final case class PrunedView(view: String, path: String, version: Long,
+      conjuncts: Seq[(String, org.apache.spark.sql.Column)], scan: DataFrame)
+
+  /** JOIN-DERIVED manifest pruning — the skipping tier S11ppm's per-alias
+    * conjuncts cannot reach: a selective DIM-side filter never shrinks the
+    * FACT side's file set through its own WHERE, so the Q3-shape join
+    * still opens every fact file that survives the fact's own conjuncts.
+    * This pass walks the OPTIMIZED logical plan for equi-join conditions
+    * between two delegated scans, computes the small side's join-key
+    * min/max (ONE tiny agg over its already-pruned, conjunct-filtered
+    * rows), feeds `key BETWEEN lo AND hi` through the same [[scanPruned]]
+    * file-stats translator on the big side, and re-registers that side's
+    * view — the manifest-tier analog of Spark's partition-level DPP for
+    * path-addressed tables.
+    *
+    * Soundness (pruning-only — every gate failure keeps the original
+    * plan): only `EqualTo` keys (never null-safe `<=>`, whose NULL keys
+    * match and would escape min/max bounds); join types where dropped
+    * rows provably cannot contribute — INNER/LeftSemi (either side),
+    * LeftOuter (the non-preserved right side only), RightOuter (left);
+    * both key attributes must reach the join UNALIASED from their leaf
+    * scans (exprId match); a view name registered by two references is
+    * never re-pruned (re-registration would leak one occurrence's bounds
+    * into the other); bounds from an EMPTY dim skip (never fabricate a
+    * false predicate). The dim side must be broadcast-scale (≤128 MB of
+    * surviving files) and the fact ≥4× larger — below that the extra
+    * snapshot replay and agg job cost more than the files they skip. */
+  private def joinDerivedPrune(spark: SparkSession, df0: DataFrame,
+      text: String, views: Seq[PrunedView]): DataFrame = scala.util.Try {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    import org.apache.spark.sql.catalyst.plans.{InnerLike, LeftOuter, LeftSemi, RightOuter}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.functions.{col, lit, max, min}
+    if (views.length < 2) return df0
+    val single = views.groupBy(_.view).collect { case (_, Seq(one)) => one }
+      .map(v => v.view -> v).toMap
+    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val byPath = single.values.map(v => norm(v.path) -> v).toMap
+    // leaf scan of an attribute: the LogicalRelation whose output still
+    // carries the attr's exprId (an aliased/derived key never matches)
+    def ownerOf(plan: LogicalPlan, a: AttributeReference): Option[PrunedView] =
+      plan.collectFirst {
+        case lr: LogicalRelation if lr.output.exists(_.exprId == a.exprId) => lr
+      }.flatMap { lr =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.headOption.map(p => norm(p.toString))
+              .flatMap(f => byPath.toSeq.filter { case (root, _) =>
+                f == root || f.startsWith(root + "/") }
+                // nested table roots: the MOST SPECIFIC match owns the file
+                .sortBy(-_._1.length).headOption.map(_._2))
+          case _ => None
+        }
+      }
+    val plan = df0.queryExecution.optimizedPlan
+    def splitAnd(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        splitAnd(l) ++ splitAnd(r)
+      case other => Seq(other)
+    }
+    // (dim view+key, fact view+key) candidates; at most a handful per
+    // statement — each costs one agg job + one snapshot replay
+    val candidates = Seq.newBuilder[((PrunedView, String), (PrunedView, String))]
+    plan.foreach {
+      case j: Join =>
+        j.condition.toSeq.flatMap(splitAnd).foreach {
+          case EqualTo(a: AttributeReference, b: AttributeReference) =>
+            val (la, lb) = (ownerOf(j.left, a).map((_, a.name)),
+              ownerOf(j.right, b).map((_, b.name)))
+            val (ra, rb) = (ownerOf(j.left, b).map((_, b.name)),
+              ownerOf(j.right, a).map((_, a.name)))
+            val sides = (la, lb) match {
+              case (Some(l), Some(r)) => Some((l, r))
+              case _ => (ra, rb) match {
+                case (Some(l), Some(r)) => Some((l, r))
+                case _ => None
+              }
+            }
+            sides.foreach { case (left, right) =>
+              if (left._1.path != right._1.path) j.joinType match {
+                case _: InnerLike | LeftSemi =>
+                  candidates += ((left, right)); candidates += ((right, left))
+                case LeftOuter => candidates += ((left, right)) // prune right
+                case RightOuter => candidates += ((right, left)) // prune left
+                case _ =>
+              }
+            }
+          case _ =>
+        }
+      case _ =>
+    }
+    def bytesOf(v: PrunedView): Long = scala.util.Try(
+      v.scan.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    ).getOrElse(Long.MaxValue)
+    val MaxDimBytes = 128L * 1024 * 1024
+    var pruned = 0
+    val repruned = scala.collection.mutable.Set.empty[String]
+    candidates.result().distinct.foreach { case ((dim, dimKey), (fact, factKey)) =>
+      if (pruned < 4 && !repruned.contains(fact.view)) {
+        val (dimB, factB) = (bytesOf(dim), bytesOf(fact))
+        if (dimB <= MaxDimBytes && factB >= 4 * dimB) scala.util.Try {
+          val dimRows = dim.conjuncts.map(_._2)
+            .foldLeft(dim.scan)((d, c) => d.where(c))
+          val row = dimRows.agg(min(col(dimKey)), max(col(dimKey))).head()
+          if (!row.isNullAt(0) && !row.isNullAt(1)) {
+            val bounds = col(factKey) >= lit(row.get(0)) &&
+              col(factKey) <= lit(row.get(1))
+            val pred = (fact.conjuncts.map(_._2) :+ bounds).reduce(_ && _)
+            val before = fact.scan.inputFiles.length
+            val scan = scanPruned(spark, fact.path, pred, fact.version)._1
+            // re-register only a genuine win: re-analysis is not free
+            if (scan.inputFiles.length < before) {
+              scan.createOrReplaceTempView(fact.view)
+              repruned += fact.view
+              pruned += 1
+            }
+          }
+        }
+      }
+    }
+    if (pruned == 0) df0 else spark.sql(text)
+  }.getOrElse(df0)
 
   /** Quote-aware matching-paren pairs of a statement — the block map
     * [[delegateSelect]] groups references by. */

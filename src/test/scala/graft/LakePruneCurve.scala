@@ -66,6 +66,41 @@ object LakePruneCurve {
       println(f"[prune-curve] top-1/$frac%d: files $prunedFiles%d/$totalFiles%d, " +
         f"stmt(pruned) $tPruned%.0f ms vs api(full-scan) $tFull%.0f ms, rows=${r1.getLong(0)}%d")
     }
+
+    // JOIN-DERIVED tier (round 15): the filter sits ONLY on the dim side
+    // (orders) — lineitem has no conjunct of its own, so per-alias pruning
+    // cannot touch it; only the dim's join-key min/max fed through the
+    // fact's file stats can. Files opened on the FACT side is the claim.
+    val liFiles = graft.sources.Lake.read(spark, li).inputFiles.length
+    for (frac <- Seq(8, 4, 2)) {
+      val cut = maxKey - maxKey / frac
+      val stmt =
+        s"""SELECT count(*) AS c, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev
+            FROM '$li' l JOIN '$ord' o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey >= $cut
+            GROUP BY o.o_orderkey >= $cut"""
+      graft.sources.Lake.sqlFrame(spark, stmt).collect() // warm
+      val t0 = System.nanoTime()
+      val pruned = graft.sources.Lake.sqlFrame(spark, stmt)
+      val r1 = pruned.collect()(0)
+      val tPruned = (System.nanoTime() - t0) / 1e6
+      val factOpened = pruned.inputFiles.count(_.contains("/lineitem/"))
+      def apiRun() = {
+        val l = graft.sources.Lake.read(spark, li)
+        val o = graft.sources.Lake.read(spark, ord).where(col("o_orderkey") >= cut)
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .agg(count(lit(1)).as("c"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("rev"))
+      }
+      apiRun().collect()
+      val t1 = System.nanoTime()
+      val r2 = apiRun().collect()(0)
+      val tFull = (System.nanoTime() - t1) / 1e6
+      require(r1.getLong(0) == r2.getLong(0) && r1.getDouble(1) == r2.getDouble(1),
+        s"join-derived pruned/unpruned divergence: $r1 vs $r2")
+      println(f"[prune-curve-jd] dim top-1/$frac%d: fact files $factOpened%d/$liFiles%d, " +
+        f"stmt $tPruned%.0f ms vs api(full-fact-scan) $tFull%.0f ms, rows=${r1.getLong(0)}%d")
+    }
     spark.stop()
   }
 }

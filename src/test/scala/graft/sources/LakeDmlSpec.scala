@@ -752,6 +752,52 @@ class LakeDmlSpec extends SparkSpec {
       "each side's WHERE conjunct must prune that side's files")
   }
 
+  test("join-derived pruning: a selective dim WHERE shrinks the fact's file set") {
+    val fact = tmp("graft_jdp_fact") + "/tbl"
+    val dim = tmp("graft_jdp_dim") + "/tbl"
+    // fact: 8 range-clustered commits (disjoint id ranges -> per-file
+    // stats a derived bound can prune against); ~every file >4x the dim
+    (0L until 8L).foreach { b =>
+      DeltaWrite.append(spark,
+        (b * 1000L until (b * 1000L + 1000L))
+          .map(i => (i, i * 1.0, (i * 2654435761L).toHexString * 4))
+          .toDF("id", "v", "pad").repartition(1), fact)
+    }
+    // dim: small, with a selective filter column
+    IcebergWrite.append(spark,
+      (0L until 8000L by 100L).map(i => (i, if (i < 1000L) "hot" else "cold"))
+        .toDF("id", "seg").repartition(1), dim)
+    val factFiles = Lake.read(spark, fact).inputFiles.length
+    assert(factFiles >= 8)
+
+    // the dim's OWN WHERE is selective (ids < 1000); the fact has no
+    // conjunct of its own — only the join-derived bound can prune it
+    val q = Lake.sqlFrame(spark,
+      s"SELECT count(*) AS c, CAST(sum(f.v) AS BIGINT) AS s FROM '$fact' f " +
+        s"JOIN '$dim' d ON f.id = d.id WHERE d.seg = 'hot'")
+    assert(q.as[(Long, Long)].collect().toSeq ===
+      Seq((10L, (0L until 1000L by 100L).sum)))
+    assert(q.inputFiles.filter(_.contains("graft_jdp_fact")).length <= 2,
+      "dim bounds must prune the fact side to the matching range files")
+
+    // soundness: a FULL OUTER join must NOT prune either side
+    val fo = Lake.sqlFrame(spark,
+      s"SELECT count(*) AS c FROM '$fact' f FULL OUTER JOIN " +
+        s"(SELECT id FROM '$dim' WHERE seg = 'hot') d ON f.id = d.id")
+    assert(fo.as[Long].collect().head === 8000L)
+    assert(fo.inputFiles.filter(_.contains("graft_jdp_fact")).length === factFiles,
+      "outer joins keep every file")
+
+    // soundness: LEFT JOIN preserves the left side whole, prunes only right
+    val lj = Lake.sqlFrame(spark,
+      s"SELECT count(*) AS c, count(d.id) AS m FROM '$fact' f LEFT JOIN " +
+        s"(SELECT id FROM '$dim' WHERE seg = 'hot') d ON f.id = d.id")
+    assert(lj.as[(Long, Long)].collect().toSeq === Seq((8000L, 10L)))
+    assert(lj.inputFiles.filter(_.contains("graft_jdp_fact")).length === factFiles,
+      "the preserved side of a LEFT JOIN keeps every file")
+  }
+
+
   test("WHERE conjuncts are NOT pushed below an outer join's nullable side") {
     val a = tmp("graft_ojsafe_a") + "/tbl"
     val b = tmp("graft_ojsafe_b") + "/tbl"
@@ -1005,6 +1051,143 @@ class LakeDmlSpec extends SparkSpec {
       s"MERGE INTO '$t2' USING (SELECT * FROM graft_merge_cdc) ON (id)")
     assert(Lake.read(spark, t2).orderBy("id").as[(Long, Double)].collect().toSeq ===
       Seq((1L, 7.0), (9L, 9.0)))
+  }
+
+
+  test("MERGE WITH SCHEMA EVOLUTION: new columns extend, missing keep/NULL") {
+    for (fmt <- Seq("delta", "iceberg")) {
+      val t = tmp(s"graft_merge_evo_$fmt") + "/tbl"
+      val seed = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      if (fmt == "delta") DeltaWrite.append(spark, seed, t)
+      else IcebergWrite.append(spark, seed, t)
+      val vBefore =
+        if (fmt == "delta") DeltaRead.snapshotInfo(spark, t).version
+        else -1L
+
+      // source carries a NEW column `tag` and MISSES `v`
+      Seq((2L, "hot"), (3L, "new")).toDF("id", "tag")
+        .createOrReplaceTempView(s"graft_evo_src_$fmt")
+      // plain MERGE refuses the shape loudly
+      val ex = intercept[IllegalArgumentException](Lake.sql(spark,
+        s"""MERGE INTO '$t' USING (SELECT * FROM graft_evo_src_$fmt) ON (id)
+            WHEN MATCHED THEN UPDATE SET *"""))
+      assert(ex.getMessage.contains("SCHEMA EVOLUTION"), fmt)
+
+      Lake.sql(spark,
+        s"""MERGE WITH SCHEMA EVOLUTION INTO '$t'
+            USING (SELECT * FROM graft_evo_src_$fmt) ON (id)
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""")
+      // id=1 untouched (NULL tag); id=2 updated — keeps v (source misses
+      // it), gains tag; id=3 inserted with NULL v
+      assert(Lake.read(spark, t).orderBy("id")
+        .as[(Long, Option[Double], Option[String])].collect().toSeq ===
+        Seq((1L, Some(10.0), None), (2L, Some(20.0), Some("hot")),
+          (3L, None, Some("new"))), fmt)
+
+      // time travel: the PRE-evolution version still reads the old schema
+      if (fmt == "delta")
+        assert(Lake.read(spark, t, vBefore).columns.toSeq === Seq("id", "v"), fmt)
+      else {
+        // history rows are in commit order; the first snapshot pre-dates
+        // the evolving merge
+        val firstSnap = IcebergRead.history(spark, t)
+          .select("version").as[Long].collect().head
+        assert(IcebergRead.snapshot(spark, t, firstSnap).columns.toSeq ===
+          Seq("id", "v"), fmt)
+      }
+    }
+
+    // the no-WHEN evolving form is the evolving CDC upsert
+    val t2 = tmp("graft_merge_evo_cdc") + "/tbl"
+    DeltaWrite.append(spark, Seq((1L, 1.0)).toDF("id", "v"), t2)
+    Seq((1L, 9.9, "x"), (2L, 2.0, "y")).toDF("id", "v", "w")
+      .createOrReplaceTempView("graft_evo_cdc_src")
+    Lake.sql(spark,
+      s"MERGE WITH SCHEMA EVOLUTION INTO '$t2' " +
+        "USING (SELECT * FROM graft_evo_cdc_src) ON (id)")
+    assert(Lake.read(spark, t2).orderBy("id")
+      .as[(Long, Double, String)].collect().toSeq ===
+      Seq((1L, 9.9, "x"), (2L, 2.0, "y")))
+  }
+
+
+  test("quoted-path views: CREATE/read/DROP by path, no USE catalog") {
+    val root = tmp("graft_view_path")
+    DeltaWrite.append(spark,
+      Seq((1L, 5.0), (2L, 25.0), (3L, 50.0)).toDF("id", "v"), s"$root/base")
+    Lake.sql(spark,
+      s"CREATE VIEW '$root/big' AS SELECT id, v FROM '$root/base' WHERE v >= 20.0")
+    // read by quoted path — the .view.sql twin resolves the reference
+    assert(Lake.sqlFrame(spark,
+      s"SELECT id FROM '$root/big' ORDER BY id").as[Long].collect().toSeq ===
+      Seq(2L, 3L))
+    // composes inside joins and pins are irrelevant to the literal filter
+    assert(Lake.sqlFrame(spark,
+      s"SELECT count(*) AS n FROM '$root/base' b JOIN '$root/big' g ON b.id = g.id")
+      .as[Long].collect().toSeq === Seq(2L))
+    // OR REPLACE by path; duplicate refused without it
+    intercept[IllegalArgumentException](Lake.sql(spark,
+      s"CREATE VIEW '$root/big' AS SELECT 1 AS one"))
+    Lake.sql(spark,
+      s"CREATE OR REPLACE VIEW '$root/big' AS SELECT id FROM '$root/base' WHERE v < 20.0")
+    assert(Lake.sqlFrame(spark, s"SELECT id FROM '$root/big'").as[Long]
+      .collect().toSeq === Seq(1L))
+    Lake.sql(spark, s"DROP VIEW '$root/big'")
+    intercept[Exception](Lake.sqlFrame(spark, s"SELECT id FROM '$root/big'"))
+    Lake.sql(spark, s"DROP VIEW IF EXISTS '$root/big'") // tolerated
+  }
+
+
+  test("pinned COUNT(*) folds from that snapshot's metadata") {
+    val t = tmp("graft_count_pin") + "/tbl"
+    DeltaWrite.append(spark, (1L to 10L).toDF("id"), t)
+    DeltaWrite.append(spark, (11L to 15L).toDF("id"), t)
+    Lake.sql(spark, s"DELETE FROM '$t' WHERE id <= 2")
+    def count(sqlText: String): (Long, Boolean) =
+      Lake.sqlFrame(spark, sqlText).as[(Long, Boolean)].collect().head
+    assert(count(s"SELECT COUNT(*) FROM '$t'") === ((13L, true)))
+    assert(count(s"SELECT COUNT(*) FROM '$t' VERSION AS OF 0") === ((10L, true)))
+    assert(count(s"SELECT COUNT(*) FROM '$t' VERSION AS OF 1") === ((15L, true)))
+
+    val ti = tmp("graft_count_pin_i") + "/tbl"
+    IcebergWrite.append(spark, (1L to 7L).toDF("id"), ti)
+    IcebergWrite.append(spark, (8L to 9L).toDF("id"), ti)
+    val firstSnap = IcebergRead.history(spark, ti)
+      .select("version").as[Long].collect().head
+    assert(count(s"SELECT COUNT(*) FROM '$ti' VERSION AS OF $firstSnap") ===
+      ((7L, true)))
+    assert(count(s"SELECT COUNT(*) FROM '$ti'") === ((9L, true)))
+  }
+
+
+  test("INSERT refuses an uncastable value loudly instead of landing NULL") {
+    val t = tmp("graft_loud_cast") + "/tbl"
+    DeltaWrite.append(spark, Seq((1L, 1.0)).toDF("id", "v"), t)
+    // under ANSI (the session default) Spark's own cast throws; with ANSI
+    // off the conformTo raise_error guard fires — loud either way, never a
+    // silent NULL
+    val ex = intercept[Exception](Lake.sql(spark,
+      s"INSERT INTO '$t' SELECT 'abc' AS id, 2.0D AS v"))
+    val all = (Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(e => String.valueOf(e.getMessage)).mkString("\n"))
+    assert(all.contains("cannot cast column id") ||
+      all.contains("CAST_INVALID_INPUT"))
+    // castable values still conform silently
+    Lake.sql(spark, s"INSERT INTO '$t' SELECT '7' AS id, 2.0D AS v")
+    assert(Lake.read(spark, t).orderBy("id").as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 1.0), (7L, 2.0)))
+  }
+
+
+  test("Iceberg overwrite pins column TYPES, not just names") {
+    val t = tmp("graft_ice_ovw_pin") + "/tbl"
+    IcebergWrite.append(spark, Seq((1L, 1.0)).toDF("id", "v"), t)
+    val ex = intercept[IllegalArgumentException](IcebergWrite.overwrite(spark,
+      Seq((2L, java.math.BigDecimal.valueOf(2.5))).toDF("id", "v"), t))
+    assert(ex.getMessage.contains("cast before writing"))
+    IcebergWrite.overwrite(spark, Seq((2L, 2.5)).toDF("id", "v"), t)
+    assert(Lake.read(spark, t).as[(Long, Double)].collect().toSeq === Seq((2L, 2.5)))
   }
 
 
