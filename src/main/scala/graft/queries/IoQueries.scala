@@ -1510,6 +1510,63 @@ object IoQueries {
       GROUP BY fmt, 2
       ORDER BY fmt, note"""))
 
+  /** MERGE WITH SCHEMA EVOLUTION end-to-end (SURVEY §2 S11mg): the
+    * source carries a NEW `tag` column and MISSES `value` — the target
+    * extends (nullable), matched rows KEEP their value and gain the tag,
+    * new keys insert with NULL value. The oracle recomputes the evolved
+    * end state from raw events with explicit keep/NULL set algebra. */
+  val tlakeMergeEvolve = GQuery(
+    "t94_lake_merge_evolve",
+    (s, dir) => {
+      val base = Tables(s, dir, "events")
+        .select(col("event_id"), col("value"))
+      def run(fmt: String): org.apache.spark.sql.DataFrame = {
+        val t = tmp(s"graft_t94_${fmt}_q") + "/tbl"
+        if (fmt == "delta") graft.sources.DeltaWrite.append(s, base, t)
+        else graft.sources.IcebergWrite.append(s, base, t)
+        Tables(s, dir, "events")
+          .where(col("event_id") % 4 === 0)
+          .select(col("event_id"), col("event_type").as("tag"))
+          .union(Tables(s, dir, "events").where(col("event_id") % 9 === 0)
+            .select((col("event_id") + 100000000L).as("event_id"),
+              col("event_type").as("tag")))
+          .createOrReplaceTempView("graft_t94_src")
+        graft.sources.Lake.sql(s,
+          s"""MERGE WITH SCHEMA EVOLUTION INTO '$t'
+              USING (SELECT * FROM graft_t94_src) ON (event_id)
+              WHEN MATCHED THEN UPDATE SET *
+              WHEN NOT MATCHED THEN INSERT *""")
+        graft.sources.Lake.read(s, t)
+          .groupBy(coalesce(col("tag"), lit("~none~")).as("tag"))
+          .agg(count(lit(1)).as("cnt"),
+            round(sum(coalesce(col("value"), lit(0.0))), 2).as("sum_value"))
+          .withColumn("fmt", lit(fmt))
+      }
+      run("delta").unionByName(run("iceberg"))
+        .select(col("fmt"), col("tag"), col("cnt"), col("sum_value"))
+        .orderBy(col("fmt"), col("tag"))
+    },
+    Some("""WITH base AS (SELECT event_id, value FROM events),
+      src AS (
+        SELECT event_id, event_type AS tag FROM events WHERE event_id % 4 = 0
+        UNION ALL
+        SELECT event_id + 100000000, event_type FROM events WHERE event_id % 9 = 0),
+      merged AS (
+        SELECT b.event_id, b.value, NULL AS tag FROM base b
+        WHERE b.event_id NOT IN (SELECT event_id FROM src)
+        UNION ALL
+        SELECT b.event_id, b.value, s.tag
+        FROM base b JOIN src s USING (event_id)
+        UNION ALL
+        SELECT s.event_id, NULL, s.tag FROM src s
+        WHERE s.event_id NOT IN (SELECT event_id FROM base))
+      SELECT fmt, coalesce(tag, '~none~') AS tag, count(*) AS cnt,
+        round(sum(coalesce(value, 0)), 2) AS sum_value
+      FROM (SELECT 'delta' AS fmt FROM range(1) UNION ALL SELECT 'iceberg') fmts
+      CROSS JOIN merged
+      GROUP BY fmt, 2
+      ORDER BY fmt, tag"""))
+
   /** Catalog VIEWs end-to-end (Lake.sql CREATE VIEW → bare-name
     * expansion): events land in a Delta table under a catalog directory,
     * a VIEW stores the per-type rollup, a second VIEW filters the first,
@@ -1889,7 +1946,7 @@ object IoQueries {
       tdeltaDv, tdeltaUpsert, ticebergPart, ticebergHiddenPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tlakeReplaceWhere, tlakeSqlDml,
       tlakeSqlMaintenance, tlakeSqlSelect, tlakeSqlAgg, tlakeSqlAlterAdd, tlakeTpchSql,
-      tlakeSqlWindow, tlakeCreateTable, tlakeUseCatalog, tlakeMergeFull, tlakeMergeNullCond, tlakeViews,
+      tlakeSqlWindow, tlakeCreateTable, tlakeUseCatalog, tlakeMergeFull, tlakeMergeNullCond, tlakeMergeEvolve, tlakeViews,
       tcdcApply, tlakeSync, tlakeClone,
       tlakeRestore, tlakeRename, tlakeUniform, tlakeUniformRev, tlakeConvert)
 }

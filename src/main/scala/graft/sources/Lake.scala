@@ -605,6 +605,11 @@ object Lake {
     *                    there is no source row)
     * @param evolveSchema lift the exact-column pin: extend the target
     *                    with new source columns, keep/NULL missing ones
+    * @param notMatchedValues explicit `INSERT (cols) VALUES (exprs)`
+    *                    assignments for the not-matched clause (the
+    *                    expressions see the SOURCE row bare); empty =
+    *                    `INSERT *`. Unassigned target columns land NULL;
+    *                    every merge key must be assigned
     * Returns the committed version / snapshot id. */
   def mergeInto(spark: SparkSession, path: String, source: DataFrame,
       keys: Seq[String],
@@ -612,7 +617,8 @@ object Lake {
       notMatched: Option[Option[org.apache.spark.sql.Column]],
       notMatchedBySource: Seq[(Option[org.apache.spark.sql.Column], MergeAction)] =
         Nil,
-      evolveSchema: Boolean = false): Long = {
+      evolveSchema: Boolean = false,
+      notMatchedValues: Seq[(String, org.apache.spark.sql.Column)] = Nil): Long = {
     import org.apache.spark.sql.functions.{col, lit}
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "MERGE: at least one WHEN clause required")
@@ -696,11 +702,23 @@ object Lake {
     }
     firstMatchWins(joined, matched, srcOrKeep)
     notMatched.foreach { condOpt =>
+      val insertCol: String => org.apache.spark.sql.Column =
+        if (notMatchedValues.isEmpty) srcOrNull
+        else {
+          val byName = notMatchedValues.toMap
+          require(notMatchedValues.forall { case (c, _) => cols.contains(c) },
+            "MERGE INSERT column list names unknown columns " +
+              notMatchedValues.map(_._1).mkString(","))
+          require(keys.forall(byName.contains),
+            s"MERGE INSERT column list must assign every merge key (${keys.mkString(",")})")
+          c => byName.get(c).map(_.cast(tgt.schema(c).dataType))
+            .getOrElse(lit(null).cast(tgt.schema(c).dataType))
+        }
       val tgtKeys = tgt.select(keys.map(col): _*)
       val unmatched = src.join(tgtKeys,
         keys.map(k => src(k) <=> tgtKeys(k)).reduce(_ && _), "left_anti")
       pieces += unmatched.where(condOpt.getOrElse(lit(true)))
-        .select(cols.map(c => srcOrNull(c).as(c)) :+
+        .select(cols.map(c => insertCol(c).as(c)) :+
           lit("insert").as("_change_type"): _*)
     }
     if (notMatchedBySource.nonEmpty) {
@@ -1352,7 +1370,7 @@ object Lake {
         else fs.delete(f, false)
         -1L
       case Delete(path, aliasOrNull, pred) =>
-        deleteWhere(spark, path, resolvePredicate(spark, pred), Option(aliasOrNull))
+        deleteWhere(spark, path, resolveExpr(spark, pred), Option(aliasOrNull))
       case MergeHead(evoOrNull, path, fromParen) =>
         val evolve = evoOrNull != null
         val close = matchingParen(fromParen, 0)
@@ -1393,6 +1411,7 @@ object Lake {
           val matchedB = Seq.newBuilder[(Option[org.apache.spark.sql.Column], MergeAction)]
           val orphanB = Seq.newBuilder[(Option[org.apache.spark.sql.Column], MergeAction)]
           var notMatched: Option[Option[org.apache.spark.sql.Column]] = None
+          var notMatchedVals: Seq[(String, org.apache.spark.sql.Column)] = Nil
           slices.foreach { clause =>
             val thenIdx = topLevelKeyword(clause, "THEN")
             require(thenIdx > 0, s"MERGE: WHEN clause without THEN: $clause")
@@ -1402,7 +1421,7 @@ object Lake {
             val kind = (if (andIdx < 0) head else head.substring(0, andIdx)).trim
               .toUpperCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
             val cond = if (andIdx < 0) None
-              else Some(resolvePredicate(spark, head.substring(andIdx + 3).trim))
+              else Some(resolveExpr(spark, head.substring(andIdx + 3).trim))
             val u = action.toUpperCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
             def updateOrDelete(what: String)
                 : (Option[org.apache.spark.sql.Column], MergeAction) = {
@@ -1414,7 +1433,7 @@ object Lake {
                     .indexOf("SET") + 3)).map { item =>
                   val eq = item.indexOf('=')
                   require(eq > 0, s"malformed SET item '$item' (expected col = expr)")
-                  (item.take(eq).trim, expr(item.drop(eq + 1).trim))
+                  (item.take(eq).trim, resolveExpr(spark, item.drop(eq + 1).trim))
                 }
                 require(assigns.nonEmpty, s"MERGE: empty UPDATE SET list in: $clause")
                 cond -> MergeUpdate(assigns)
@@ -1427,15 +1446,42 @@ object Lake {
                 orphanB += updateOrDelete("NOT MATCHED BY SOURCE")
               case "NOT MATCHED" =>
                 require(notMatched.isEmpty, "MERGE: at most one WHEN NOT MATCHED clause")
-                require(u == "INSERT *",
-                  s"MERGE: expected INSERT * after WHEN NOT MATCHED THEN, got: $action")
-                notMatched = Some(cond)
+                if (u == "INSERT *") notMatched = Some(cond)
+                else if (u.startsWith("INSERT")) {
+                  // INSERT (c1, c2, …) VALUES (e1, e2, …) — expressions see
+                  // the SOURCE row bare; unassigned columns land NULL
+                  val rest = action.substring(
+                    action.toUpperCase(java.util.Locale.ROOT).indexOf("INSERT") + 6).trim
+                  require(rest.startsWith("("),
+                    s"MERGE: expected INSERT * or INSERT (cols) VALUES (exprs), got: $action")
+                  val close = matchingParen(rest, 0)
+                  require(close > 0, s"MERGE INSERT: unbalanced column list in: $action")
+                  val colNames = splitTopLevel(rest.substring(1, close))
+                    .map(_.trim).filter(_.nonEmpty)
+                  val tail2 = rest.substring(close + 1).trim
+                  require(tail2.toUpperCase(java.util.Locale.ROOT).startsWith("VALUES"),
+                    s"MERGE INSERT: expected VALUES (...) after the column list in: $action")
+                  val vals = tail2.substring(6).trim
+                  require(vals.startsWith("("),
+                    s"MERGE INSERT: expected ( after VALUES in: $action")
+                  val vClose = matchingParen(vals, 0)
+                  require(vClose > 0 && vals.substring(vClose + 1).trim.isEmpty,
+                    s"MERGE INSERT: unbalanced or trailing text after VALUES (...) in: $action")
+                  val exprs = splitTopLevel(vals.substring(1, vClose))
+                    .map(t => resolveExpr(spark, t.trim))
+                  require(colNames.length == exprs.length && colNames.nonEmpty,
+                    s"MERGE INSERT: ${colNames.length} columns vs ${exprs.length} values")
+                  notMatched = Some(cond)
+                  notMatchedVals = colNames.zip(exprs)
+                } else throw new IllegalArgumentException(
+                  s"MERGE: expected INSERT * or INSERT (cols) VALUES (exprs), got: $action")
               case other => throw new IllegalArgumentException(
                 s"MERGE: expected WHEN [NOT] MATCHED [BY SOURCE], got: WHEN $other")
             }
           }
           mergeInto(spark, path, src, keys, matchedB.result(), notMatched,
-            orphanB.result(), evolveSchema = evolve)
+            orphanB.result(), evolveSchema = evolve,
+            notMatchedValues = notMatchedVals)
         }
       case InsertOverwrite(path, body) =>
         body.trim match {
@@ -1499,9 +1545,11 @@ object Lake {
         val assignments = splitTopLevel(setClause).map { item =>
           val eq = item.indexOf('=')
           require(eq > 0, s"malformed SET item '$item' (expected col = expr)")
-          (item.take(eq).trim, expr(item.drop(eq + 1).trim))
+          // SET values take scalar subqueries (over lake refs too):
+          // `SET v = (SELECT max(x) FROM '<dim>')`
+          (item.take(eq).trim, resolveExpr(spark, item.drop(eq + 1).trim))
         }
-        val cond = predOpt.map(p => resolvePredicate(spark, p.trim))
+        val cond = predOpt.map(p => resolveExpr(spark, p.trim))
           .getOrElse(org.apache.spark.sql.functions.lit(true))
         updateWhere(spark, path, assignments, cond, Option(aliasOrNull))
       case other => throw new IllegalArgumentException(
@@ -1557,6 +1605,7 @@ object Lake {
     import org.apache.spark.sql.functions.expr
     val s = resolveBareHead(spark, statement.trim.stripSuffix(";").trim)
     val DescribeHistory = """(?is)DESCRIBE\s+HISTORY\s+'([^']+)'\s*""".r
+    val DescribeDetail = """(?is)DESCRIBE\s+DETAIL\s+'([^']+)'\s*""".r
     val Describe =
       """(?is)DESCRIBE\s+'([^']+)'\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*|TIMESTAMP\s+AS\s+OF\s+(?:(\d+)|'([^']+)')\s*)?""".r
     val ShowPartitions = """(?is)SHOW\s+PARTITIONS\s+'([^']+)'\s*""".r
@@ -1581,6 +1630,44 @@ object Lake {
     val Explain = """(?is)EXPLAIN\s+(FORMATTED\s+|EXTENDED\s+)?(.+)""".r
     s match {
       case DescribeHistory(path) => history(spark, path)
+      case DescribeDetail(path) =>
+        // one table-level metadata row (the operational "how big / how
+        // laid out" check) — log/manifest-only on lake formats, a
+        // FileSystem listing on plain parquet; an Iceberg table with live
+        // MoR deletes reports -1 counts (metadata would overstate)
+        val fmt = detect(spark, path)
+        val (version, numFiles, bytes, partCols) = fmt match {
+          case Delta =>
+            val sn = DeltaRead.snapshotInfo(spark, path)
+            (sn.version, sn.files.length.toLong, sn.files.map(_.size).sum,
+              sn.partitionColumns)
+          case Iceberg =>
+            val v = IcebergRead.currentSnapshotId(spark, path)
+            val (nf, b) = scala.util.Try {
+              val r = IcebergRead.partitionSummary(spark, path)
+                .agg(org.apache.spark.sql.functions.sum(
+                  org.apache.spark.sql.functions.col("n_files")),
+                  org.apache.spark.sql.functions.sum(
+                    org.apache.spark.sql.functions.col("bytes"))).head()
+              (r.getLong(0), r.getLong(1))
+            }.getOrElse((-1L, -1L))
+            (v, nf, b, IcebergWrite.currentPartitionBy(spark, path))
+          case Parquet =>
+            val hp = new org.apache.hadoop.fs.Path(path)
+            val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val it = hfs.listFiles(hp, true)
+            var n = 0L; var b = 0L
+            while (it.hasNext) {
+              val st = it.next()
+              if (st.getPath.getName.endsWith(".parquet")) { n += 1; b += st.getLen }
+            }
+            (-1L, n, b, Seq.empty[String])
+        }
+        val nCols = read(spark, path).schema.size
+        Seq((fmt.toString.toLowerCase(java.util.Locale.ROOT), path, version,
+          numFiles, bytes, partCols.mkString(","), nCols))
+          .toDF("format", "location", "version", "num_files", "size_bytes",
+            "partition_columns", "num_columns")
       case Describe(path, versionOrNull, tsNumOrNull, tsStrOrNull) =>
         // schema listing, version- or timestamp-pinnable (time travel
         // shows the OLD schema on lake tables) — metadata-only; a stored
@@ -2095,7 +2182,8 @@ object Lake {
     if (resolvedRefs(spark, source).isEmpty) spark.sql(source)
     else delegateSelect(spark, source)
 
-  /** Bind a DML predicate (DELETE/UPDATE WHERE, MERGE WHEN conditions)
+  /** Bind a DML expression (DELETE/UPDATE WHERE predicates, MERGE WHEN
+    * conditions, UPDATE/MERGE SET values)
     * that may carry SUBQUERIES over lake references — `DELETE FROM '<t>'
     * WHERE k IN (SELECT k FROM '<dim>')`, `... WHERE EXISTS (SELECT 1
     * FROM dim d WHERE d.k = k)` under a `USE` catalog. Each quoted-path /
@@ -2112,7 +2200,7 @@ object Lake {
     * evaluated by Spark per statement (typically a broadcast semi-join
     * against the target); file-stats pruning is not attributed through
     * predicate subqueries — correctness only needs names to resolve. */
-  private def resolvePredicate(spark: SparkSession, pred: String)
+  private def resolveExpr(spark: SparkSession, pred: String)
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.expr
     val refs = resolvedRefs(spark, pred)

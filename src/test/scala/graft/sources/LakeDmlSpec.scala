@@ -1249,6 +1249,55 @@ class LakeDmlSpec extends SparkSpec {
   }
 
 
+  test("MERGE INSERT (cols) VALUES, SET-value subqueries, DESCRIBE DETAIL") {
+    val root = tmp("graft_misc15")
+    val t = s"$root/t"
+    DeltaWrite.append(spark,
+      Seq((1L, 1.0, "a"), (2L, 2.0, "b")).toDF("id", "v", "note"), t)
+
+    // MERGE INSERT column list: unassigned columns land NULL, expressions
+    // see the source row
+    Seq((2L, 20.0, "x"), (5L, 50.0, "y")).toDF("id", "v", "note")
+      .createOrReplaceTempView("graft_misc_src")
+    Lake.sql(spark,
+      s"""MERGE INTO '$t' USING (SELECT * FROM graft_misc_src) ON (id)
+          WHEN MATCHED THEN UPDATE SET v = src_v
+          WHEN NOT MATCHED THEN INSERT (id, v) VALUES (id, v * 2)""")
+    assert(Lake.read(spark, t).orderBy("id")
+      .as[(Long, Double, Option[String])].collect().toSeq ===
+      Seq((1L, 1.0, Some("a")), (2L, 20.0, Some("b")), (5L, 100.0, None)))
+    // a column list that misses the merge key is refused
+    val exk = intercept[IllegalArgumentException](Lake.sql(spark,
+      s"""MERGE INTO '$t' USING (SELECT * FROM graft_misc_src) ON (id)
+          WHEN NOT MATCHED THEN INSERT (v) VALUES (v)"""))
+    assert(exk.getMessage.contains("every merge key"))
+
+    // UPDATE SET value from a scalar subquery over a lake path
+    DeltaWrite.append(spark, Seq((1L, 7.5)).toDF("id", "cut"), s"$root/cuts")
+    Lake.sql(spark,
+      s"UPDATE '$t' SET v = (SELECT max(cut) FROM '$root/cuts') WHERE id = 1")
+    assert(Lake.read(spark, t).where($"id" === 1L).as[(Long, Double, Option[String])]
+      .collect().head._2 === 7.5)
+
+    // DESCRIBE DETAIL: one metadata row per format
+    val d = Lake.sqlFrame(spark, s"DESCRIBE DETAIL '$t'")
+      .as[(String, String, Long, Long, Long, String, Int)].collect().head
+    assert(d._1 === "delta" && d._3 >= 2L && d._4 >= 1L && d._5 > 0L &&
+      d._7 === 3)
+    val ti = s"$root/ti"
+    IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "s"), ti,
+      partitionBy = Seq("s"))
+    val di = Lake.sqlFrame(spark, s"DESCRIBE DETAIL '$ti'")
+      .as[(String, String, Long, Long, Long, String, Int)].collect().head
+    assert(di._1 === "iceberg" && di._4 === 1L && di._5 > 0L && di._6 === "s")
+    val tp = s"$root/tp"
+    Seq((1L, 2L)).toDF("a", "b").write.parquet(tp)
+    val dp = Lake.sqlFrame(spark, s"DESCRIBE DETAIL '$tp'")
+      .as[(String, String, Long, Long, Long, String, Int)].collect().head
+    assert(dp._1 === "parquet" && dp._3 === -1L && dp._4 >= 1L && dp._7 === 2)
+  }
+
+
   test("MERGE 3VL: a NULL-evaluating WHEN condition falls through, not exempts") {
     // Rows whose first clause condition evaluates NULL (note IS NULL, so
     // `note = 'drop'` is NULL) must be caught by the later unconditional
