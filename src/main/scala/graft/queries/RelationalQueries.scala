@@ -1318,8 +1318,249 @@ object RelationalQueries {
             SELECT 'p_size', CAST(p_size AS DOUBLE) FROM part) u
       GROUP BY attribute ORDER BY attribute"""))
 
+  /** T95 MINIMUM-COST SUPPLIER (the TPC-H Q2 shape, adapted — no
+    * partsupp table, so a part's "cost quotes" are its lineitems and the
+    * quote is the raw `l_extendedprice` column): for each SMALL-type part
+    * under size 10, the supplier(s) whose line attains the part's MINIMUM
+    * price. Plan for 100 TB: the aggregate-then-join-back idiom — the
+    * per-part min is a tiny (partkey, min) frame that broadcasts back
+    * onto the part-filtered fact, so the fact shuffles ONCE for the agg
+    * and never for the match; the join-back equality compares the RAW
+    * stored column (no float arithmetic → bit-identical across engines).
+    * Supplier and part dims broadcast. */
+  val t95 = GQuery(
+    "t95_min_cost_supplier",
+    (s, dir) => {
+      val parts = t(s, dir, "part")
+        .filter(col("p_type") === "SMALL" && col("p_size") < 10)
+        .select(col("p_partkey"), col("p_name"))
+      val quotes = t(s, dir, "lineitem")
+        .join(graft.operators.JoinHints.broadcastIfSmall(parts),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("l_suppkey"),
+          col("l_extendedprice"))
+      val mins = quotes.groupBy(col("p_partkey").as("m_partkey"))
+        .agg(min(col("l_extendedprice")).as("min_price"))
+      quotes.join(graft.operators.JoinHints.broadcastIfSmall(mins),
+          col("p_partkey") === col("m_partkey") &&
+            col("l_extendedprice") === col("min_price"))
+        .join(graft.operators.JoinHints.broadcastIfSmall(
+          t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"),
+          round(col("min_price"), 2).as("min_price"))
+        .orderBy(col("p_partkey"), col("s_name"))
+        .limit(100)
+    },
+    Some("""WITH quotes AS (
+        SELECT p_partkey, p_name, l_suppkey, l_extendedprice
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type = 'SMALL' AND p_size < 10),
+      mins AS (SELECT p_partkey AS m_partkey, min(l_extendedprice) AS min_price
+               FROM quotes GROUP BY 1)
+      SELECT p_partkey, p_name, s_name, round(min_price, 2) AS min_price
+      FROM quotes
+      JOIN mins ON p_partkey = m_partkey AND l_extendedprice = min_price
+      JOIN supplier ON l_suppkey = s_suppkey
+      ORDER BY p_partkey, s_name LIMIT 100"""))
+
+  /** T96 PRODUCT-TYPE PROFIT (the TPC-H Q9 shape, adapted — supply cost
+    * proxied by a deterministic per-line formula over p_retailprice since
+    * partsupp does not exist): profit by nation and order year over parts
+    * whose name starts with 'small'. Plan for 100 TB: lineitem is the
+    * only fact — part (name-filtered), supplier, nation broadcast;
+    * orders joins on the fact's orderkey (the one shuffle pair);
+    * aggregation is partial-then-final on (nation, year). The amount is
+    * computed in EXACT integer 10⁻⁴-dollar units (2-dp money × integer
+    * percent × integer quantity) — double summation order flipped a
+    * cent at this group count, and exact integers cannot. */
+  val t96 = GQuery(
+    "t96_product_profit",
+    (s, dir) => {
+      val amount = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long")) -
+        round(col("p_retailprice") * 100).cast("long") *
+          col("l_quantity").cast("long") * lit(10L)
+      t(s, dir, "lineitem")
+        .join(graft.operators.JoinHints.broadcastIfSmall(
+          t(s, dir, "part").filter(col("p_name").startsWith("small"))
+            .select(col("p_partkey"), col("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(graft.operators.JoinHints.broadcastIfSmall(
+          t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(graft.operators.JoinHints.broadcastIfSmall(
+          t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(amount) / 10000.0, 2).as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+    Some("""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        round(CAST(sum(
+          CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l_discount * 100) AS BIGINT))
+          - CAST(round(p_retailprice * 100) AS BIGINT)
+            * CAST(l_quantity AS BIGINT) * 10) AS BIGINT) / 10000.0, 2) AS profit
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE p_name LIKE 'small%'
+      GROUP BY 1, 2 ORDER BY nation, o_year DESC"""))
+
+  /** T97 IMPORTANT STOCK (the TPC-H Q11 shape, adapted — a part's "stock
+    * held by a nation" is the total quantity its suppliers shipped):
+    * parts whose quantity from NATION_3's suppliers exceeds a FRACTION of
+    * that nation's grand total — the grouped-agg-vs-global-scalar HAVING.
+    * Plan for 100 TB: ONE shuffle groups the nation-filtered fact by
+    * partkey; the global total re-aggregates the per-part partials (never
+    * a second fact scan) and broadcasts as a one-row cross join into the
+    * filter. Quantities are small integers in doubles — the sums are
+    * EXACT in both engines, so the threshold cut cannot flip on
+    * summation order. */
+  val t97 = GQuery(
+    "t97_important_stock",
+    (s, dir) => {
+      val slice = t(s, dir, "lineitem")
+        .join(graft.operators.JoinHints.broadcastIfSmall(
+          t(s, dir, "supplier").join(
+            t(s, dir, "nation").filter(col("n_name") === "NATION_3"),
+            col("s_nationkey") === col("n_nationkey"))
+            .select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .localCheckpoint(false) // per-part rollup feeds BOTH the total and the cut
+      val total = slice.agg(sum(col("qty")).as("total_qty"))
+      slice.crossJoin(broadcast(total))
+        .filter(col("qty") > col("total_qty") * lit(0.002))
+        .select(col("l_partkey"), round(col("qty"), 2).as("qty"))
+        .orderBy(col("qty").desc, col("l_partkey"))
+        .limit(100)
+    },
+    Some("""WITH slice AS (
+        SELECT l_partkey, sum(l_quantity) AS qty
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY 1)
+      SELECT l_partkey, round(qty, 2) AS qty FROM slice
+      WHERE qty > (SELECT sum(qty) FROM slice) * 0.002
+      ORDER BY qty DESC, l_partkey LIMIT 100"""))
+
+  /** T98 SHIPPING PRIORITY SPLIT (the TPC-H Q12 shape, adapted —
+    * l_returnflag stands in for the missing l_shipmode): per flag, how
+    * many 1996-shipped lines belong to URGENT/HIGH orders vs the rest —
+    * the conditional-count (CASE-sum) aggregation. Plan for 100 TB: the
+    * date filter pushes to the fact scan; orders projects two columns
+    * into the join; counts are exact integers. */
+  val t98 = GQuery(
+    "t98_priority_split",
+    (s, dir) => {
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_returnflag"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** T99 SUPPLIER COUNT BY PART SLICE (the TPC-H Q16 shape, adapted —
+    * the part⇄supplier relation is "shipped at least one line"): DISTINCT
+    * suppliers per (brand, type, size) over a brand/type/size slice,
+    * excluding a name-pattern supplier blacklist via NOT IN. Plan for
+    * 100 TB: the blacklist subquery is a tiny broadcast anti-join (never
+    * a driver collect); the distinct-count shuffles once on the group
+    * keys with the suppkey carried; counts are exact. */
+  val t99 = GQuery(
+    "t99_supplier_count",
+    (s, dir) => {
+      val bad = t(s, dir, "supplier")
+        .filter(col("s_name").endsWith("7")).select(col("s_suppkey"))
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(graft.operators.JoinHints.broadcastIfSmall(bad),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(graft.operators.JoinHints.broadcastIfSmall(
+          t(s, dir, "part").filter(col("p_brand") =!= "Brand#1" &&
+            !col("p_type").startsWith("PROMO") && col("p_size") <= 15)
+            .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+        .limit(100)
+    },
+    Some("""SELECT p_brand, p_type, p_size,
+        count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%' AND p_size <= 15
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_name LIKE '%7')
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 100"""))
+
+  /** T100 EXCESS SHIPPERS (the TPC-H Q20 shape, adapted): suppliers who
+    * shipped MORE than a quantity threshold of 'red'-named parts in 1996
+    * — the nested-IN idiom (supplier IN ⟨grouped HAVING subquery over a
+    * part-filtered fact⟩). Plan for 100 TB: the inner subquery reduces
+    * the fact to a per-supplier quantity rollup over the name-filtered
+    * parts (broadcast dim), the HAVING keeps a small key set, and the
+    * outer supplier table semi-joins against it — quantities are exact
+    * integer sums, so the threshold cut is engine-stable. */
+  val t100 = GQuery(
+    "t100_excess_shippers",
+    (s, dir) => {
+      val redParts = t(s, dir, "part")
+        .filter(col("p_name").startsWith("red")).select(col("p_partkey"))
+      val heavy = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(graft.operators.JoinHints.broadcastIfSmall(redParts),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 50)
+      t(s, dir, "supplier")
+        .join(graft.operators.JoinHints.broadcastIfSmall(heavy),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""SELECT s_suppkey, s_name FROM supplier
+      WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'red%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey HAVING sum(l_quantity) > 50)
+      ORDER BY s_suppkey"""))
+
   def all: Seq[GQuery] = Seq(t4, t5, t6, t7, t8, t9, t9b, t10, t10b, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t19b, t20, t21, t22, t23, t24, t25, t30, t31,
     t32, t33, t34, t35, t36, t37, t38, t39, t63, t64, t65, t66, t67, t68,
-    t69, t70, t74, t75, t76, t77, t78, t79, t80, t81, t82, t84, t85)
+    t69, t70, t74, t75, t76, t77, t78, t79, t80, t81, t82, t84, t85,
+    t95, t96, t97, t98, t99, t100)
 }
