@@ -286,6 +286,58 @@ object StreamingQueries {
       SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
       FROM merged GROUP BY event_type ORDER BY event_type"""))
 
+  /** ST21: streaming MERGE WITH SCHEMA EVOLUTION — the command stream's
+    * SCHEMA evolves mid-stream (run 2's batches carry a new `tag` column
+    * the state table does not have): the merge extends the target
+    * (nullable), matched rows gain the tag, pre-evolution rows read NULL.
+    * Oracle = the same two-step set algebra over raw events. */
+  val st21 = GQuery(
+    "st21_stream_merge_evolve",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val base = java.nio.file.Files.createTempDirectory("graft_st21").toString
+      val (src, dst, ckpt) = (s"$base/cmds", s"$base/state", s"$base/ckpt")
+      val ev = graft.Tables(s, dir, "events")
+        .select(col("event_id"), col("value"), col("event_type"))
+      graft.sources.DeltaWrite.append(s,
+        ev.where(pmod(col("event_id"), lit(2)) === 0)
+          .select(col("event_id"), col("value")), dst)
+      val matched = Seq((Option.empty[org.apache.spark.sql.Column],
+        graft.sources.Lake.MergeUpdate(Nil)))
+      def run(): Unit = StreamOps.mergeStream(s, src, dst, "delta",
+        Seq("event_id"), matched, Some(None), ckpt, evolveSchema = true)
+      // run 1: commands in the state table's own 2-column shape
+      graft.sources.DeltaWrite.append(s,
+        ev.where(pmod(col("event_id"), lit(3)) === 0)
+          .select(col("event_id"), (col("value") * 2).as("value")), src)
+      run()
+      // run 2: the command stream EVOLVES — a new tag column appears
+      graft.sources.DeltaWrite.append(s,
+        ev.where(pmod(col("event_id"), lit(3)) === 1)
+          .select(col("event_id"), (col("value") * 2).as("value"),
+            col("event_type").as("tag")), src, mergeSchema = true)
+      run()
+      graft.sources.Lake.read(s, dst)
+        .groupBy(coalesce(col("tag"), lit("~none~")).as("tag"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("tag"))
+    },
+    Some("""WITH t0 AS (SELECT event_id, value, NULL AS tag FROM events
+        WHERE event_id % 2 = 0),
+      c1 AS (SELECT event_id, value * 2 AS value, NULL AS tag FROM events
+        WHERE event_id % 3 = 0),
+      c2 AS (SELECT event_id, value * 2 AS value, event_type AS tag FROM events
+        WHERE event_id % 3 = 1),
+      m1 AS (
+        SELECT * FROM t0 WHERE event_id NOT IN (SELECT event_id FROM c1)
+        UNION ALL SELECT * FROM c1),
+      m2 AS (
+        SELECT * FROM m1 WHERE event_id NOT IN (SELECT event_id FROM c2)
+        UNION ALL SELECT * FROM c2)
+      SELECT coalesce(tag, '~none~') AS tag, count(*) AS cnt,
+        round(sum(value), 2) AS sum_value
+      FROM m2 GROUP BY 1 ORDER BY tag"""))
+
   val st19 = GQuery(
     "st19_stream_geofence",
     (s, dir) => StreamOps.streamingGeofence(s, dir),
@@ -314,5 +366,5 @@ object StreamingQueries {
 
   def all: Seq[GQuery] =
     Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13, st14, st15, st16,
-      st18, st19, st20)
+      st18, st19, st20, st21)
 }

@@ -253,7 +253,8 @@ object DeltaWrite {
     * names assigned). */
   def append(spark: SparkSession, df: DataFrame, table: String,
       partitionBy: Seq[String] = Nil, txn: Option[(String, Long)] = None,
-      mergeSchema: Boolean = false): Long = {
+      mergeSchema: Boolean = false,
+      txns: Seq[(String, Long)] = Nil): Long = {
     val exists = currentVersions(table).nonEmpty
     var evolvedMeta: Option[String] = None
     // under column mapping the PARQUET FILES (and partition dirs / log
@@ -316,7 +317,7 @@ object DeltaWrite {
     val header =
       if (exists) evolvedMeta.toSeq
       else Seq(protocolAction, metaAction(df.schema, partitionBy, newTableId()))
-    val txnAction = txn.toSeq.map { case (appId, v) =>
+    val txnAction = (txn.toSeq ++ txns).map { case (appId, v) =>
       s"""{"txn":{"appId":${jsonStr(appId)},"version":$v,"lastUpdated":${System.currentTimeMillis()}}}"""
     }
     val content = (header ++ txnAction ++ adds).mkString("", "\n", "\n")

@@ -168,6 +168,23 @@ object IcebergRead {
     marks.toMap
   }
 
+  /** COPY INTO's ingested-file ledger: every `graft.copied` snapshot
+    * summary's comma-separated file ids, across ALL snapshots still in
+    * the metadata. Horizon caveat (documented at the statement): expiring
+    * a snapshot drops its summary, so files older than the retention
+    * window would re-ingest — on Delta the txn-action ledger is
+    * checkpoint-durable instead. */
+  def copyLedger(spark: SparkSession, table: String): Set[String] = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"${table.stripSuffix("/")}/metadata")
+    val hfs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(metaPath)) return Set.empty
+    val meta = mapper.readTree(metadataFile(table))
+    meta.path("snapshots").elements().asScala.flatMap { s =>
+      s.path("summary").path("graft.copied").asText("")
+        .split(",").filter(_.nonEmpty)
+    }.toSet
+  }
+
   /** [[snapshot]] with PARTITION PRUNING at the manifest level: `keep`
     * sees each data file's partition record as (field name → value;
     * strings decoded, dates as epoch-day ints) and files it rejects never

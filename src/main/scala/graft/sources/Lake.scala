@@ -739,6 +739,86 @@ object Lake {
     applyChanges(spark, pieces.result().reduce(_ unionByName _), path, keys)
   }
 
+  /** IDEMPOTENT FILE INGESTION — the `COPY INTO '<table>' FROM '<dir>'
+    * FORMAT {parquet|csv|json}` statement: list the source directory's
+    * data files, skip every file already recorded in the table's ingest
+    * LEDGER, read only the new ones, conform them to the table schema
+    * (names required, types cast — uncastable values fail loudly through
+    * the append), and commit rows + ledger marks ATOMICALLY, so a re-run
+    * after any crash ingests each file exactly once. The ledger rides the
+    * table's own commit machinery: Delta txn actions (one
+    * `graft-copy:<md5(path)>` appId per file — carried into checkpoints,
+    * durable forever); Iceberg snapshot-summary `graft.copied` id lists
+    * (horizon = snapshot retention: expiring a snapshot drops its
+    * summary, so keep retention above the re-delivery window). Hidden
+    * files (`_`/`.` prefixes) and other-format extensions are skipped;
+    * appends inherit the table's partitioning. Returns (committed
+    * version, files ingested). */
+  def copyInto(spark: SparkSession, path: String, srcDir: String,
+      format: String): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val fmt = format.trim.toLowerCase(java.util.Locale.ROOT)
+    require(Set("parquet", "csv", "json").contains(fmt),
+      s"COPY INTO FORMAT must be parquet | csv | json, got: $format")
+    val dirPath = new org.apache.hadoop.fs.Path(srcDir)
+    val hfs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(hfs.exists(dirPath), s"COPY INTO: source directory not found: $srcDir")
+    val wanted: String => Boolean = fmt match {
+      case "parquet" => _.endsWith(".parquet")
+      case "csv" => _.endsWith(".csv")
+      case "json" => n => n.endsWith(".json") || n.endsWith(".jsonl")
+    }
+    val files = hfs.listStatus(dirPath).toSeq
+      .filter(st => st.isFile && wanted(st.getPath.getName) &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+      .map(_.getPath)
+    def fid(p: org.apache.hadoop.fs.Path): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(p.toUri.getPath.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+    val fmtKind = detect(spark, path)
+    val ledger: Set[String] = fmtKind match {
+      case Delta => DeltaRead.txnVersions(spark, path).keySet
+        .collect { case k if k.startsWith("graft-copy:") =>
+          k.stripPrefix("graft-copy:") }
+      case Iceberg => IcebergRead.copyLedger(spark, path)
+      case Parquet => throw new IllegalArgumentException(
+        s"COPY INTO needs a lake table (the ledger rides its commits), got parquet at $path")
+    }
+    val fresh = files.filterNot(p => ledger.contains(fid(p)))
+    if (fresh.isEmpty) return (versionOf(spark, path), 0L)
+    val names = fresh.map(_.toString)
+    val raw = fmt match {
+      case "parquet" => spark.read.parquet(names: _*)
+      case "csv" => spark.read.option("header", "true").csv(names: _*)
+      case "json" => spark.read.json(names: _*)
+    }
+    val target = read(spark, path).schema
+    val missing = target.fieldNames.filterNot(raw.columns.contains)
+    require(missing.isEmpty,
+      s"COPY INTO: source files miss table columns ${missing.mkString(",")} " +
+        s"(have ${raw.columns.mkString(",")})")
+    val conformed = raw.select(target.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    val v = fmtKind match {
+      case Delta => DeltaWrite.append(spark, conformed, path,
+        partitionBy = DeltaRead.snapshotInfo(spark, path).partitionColumns,
+        txns = fresh.map(p => (s"graft-copy:${fid(p)}", 1L)))
+      case Iceberg => IcebergWrite.append(spark, conformed, path,
+        partitionBy = IcebergWrite.currentPartitionBy(spark, path),
+        summaryProps = Map("graft.copied" -> fresh.map(fid).mkString(",")))
+      case Parquet => throw new IllegalStateException("unreachable")
+    }
+    (v, fresh.length.toLong)
+  }
+
+  private def versionOf(spark: SparkSession, path: String): Long =
+    detect(spark, path) match {
+      case Delta => DeltaRead.snapshotInfo(spark, path).version
+      case Iceberg => IcebergRead.currentSnapshotId(spark, path)
+      case Parquet => -1L
+    }
+
   /** What [[maintain]] did, for logging/metrics. */
   final case class Maintenance(
       format: String,
@@ -1022,6 +1102,8 @@ object Lake {
     // anchored regexes are safe there; BODIES (predicates, SET lists,
     // USING sources) are split only by quote/paren-aware scans
     val Delete = """(?is)DELETE\s+FROM\s+'([^']+)'(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s+WHERE\s+(.+)""".r
+    val CopyInto =
+      """(?is)COPY\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s+FORMAT\s+(\w+)\s*""".r
     val UpdateHead = """(?is)UPDATE\s+'([^']+)'(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s+SET\s+(.+)""".r
     val MergeHead =
       """(?is)MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+'([^']+)'\s+USING\s*(\(.*)""".r
@@ -1369,6 +1451,8 @@ object Lake {
           require(ifExistsOrNull != null, s"DROP VIEW: no such view $name")
         else fs.delete(f, false)
         -1L
+      case CopyInto(path, srcDir, fmt) =>
+        copyInto(spark, path, srcDir, fmt)._1
       case Delete(path, aliasOrNull, pred) =>
         deleteWhere(spark, path, resolveExpr(spark, pred), Option(aliasOrNull))
       case MergeHead(evoOrNull, path, fromParen) =>
@@ -1554,6 +1638,7 @@ object Lake {
         updateWhere(spark, path, assignments, cond, Option(aliasOrNull))
       case other => throw new IllegalArgumentException(
         "unrecognized lake statement (expected DELETE FROM / UPDATE / MERGE INTO / " +
+          "COPY INTO / " +
           "INSERT [OVERWRITE] / CREATE TABLE [(schema) | AS | SHALLOW CLONE] / " +
           "OPTIMIZE / VACUUM / RESTORE / CONVERT TO DELTA / EXPORT / ALTER TABLE / " +
           s"USE over a quoted path): $other")
@@ -1627,6 +1712,7 @@ object Lake {
     val Vacuum = """(?is)VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(FORCE)?\s*""".r
     val SelectHead = """(?is)SELECT\s+(.+)""".r
     val WithHead = """(?is)WITH\s+.+""".r
+    val ExplainFiles = """(?is)EXPLAIN\s+FILES\s+(.+)""".r
     val Explain = """(?is)EXPLAIN\s+(FORMATTED\s+|EXTENDED\s+)?(.+)""".r
     s match {
       case DescribeHistory(path) => history(spark, path)
@@ -1743,6 +1829,29 @@ object Lake {
         val retain = Option(retainOrNull).map(_.toInt).getOrElse(1)
         val age = if (forceOrNull != null) 0L else 24L * 3600 * 1000
         vacuum(spark, path, retain, age).toDF("path")
+      case ExplainFiles(body) =>
+        // skipping observability: per referenced table, how many files the
+        // planned statement actually OPENS vs the snapshot's total — the
+        // "did pruning fire" check an operator runs before trusting a
+        // statement at 100 TB. Plans only, never executes the query.
+        require(body.trim.toUpperCase(java.util.Locale.ROOT)
+            .matches("(?s)(SELECT|WITH)\\b.*"),
+          s"EXPLAIN FILES takes a SELECT/WITH statement, got: $body")
+        val refs = resolvedRefs(spark, body)
+          .filterNot(_.path.endsWith(".view.sql"))
+        require(refs.nonEmpty,
+          s"EXPLAIN FILES: no lake table references found in: $body")
+        val opened = sqlFrame(spark, body).inputFiles
+        def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+        val rows = refs.map(r => (r.path, r.version, r.atMs)).distinct
+          .map { case (p, ver, atMs) =>
+            val root = norm(p)
+            val v = if (atMs >= 0) versionAt(spark, p, atMs) else ver
+            val total = read(spark, p, v).inputFiles.length.toLong
+            val n = opened.map(norm).count(f => f == root || f.startsWith(root + "/"))
+            (p, n.toLong, total)
+          }
+        rows.toDF("table", "files_opened", "files_total")
       case Explain(modeOrNull, body) =>
         // plan observability for the statement surface: EXPLAIN builds the
         // inner SELECT's frame (result-set statements only — explaining a

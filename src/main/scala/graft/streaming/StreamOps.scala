@@ -695,7 +695,8 @@ object StreamOps {
       targetFormat: String, keys: Seq[String],
       matched: Seq[(Option[org.apache.spark.sql.Column], graft.sources.Lake.MergeAction)],
       notMatched: Option[Option[org.apache.spark.sql.Column]],
-      checkpointDir: String): Unit = {
+      checkpointDir: String,
+      evolveSchema: Boolean = false): Unit = {
     import graft.sources.{DeltaWrite, IcebergWrite, Lake}
     val src = Lake.detect(spark, source) match {
       case Lake.Delta => LakeSources.delta(spark, source)
@@ -720,7 +721,8 @@ object StreamOps {
               case "iceberg" => IcebergWrite.append(spark, batch.limit(0), target)
             }
           }
-          Lake.mergeInto(spark, target, batch, keys, matched, notMatched)
+          Lake.mergeInto(spark, target, batch, keys, matched, notMatched,
+            evolveSchema = evolveSchema)
         }
         ()
       }

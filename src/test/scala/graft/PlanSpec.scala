@@ -269,4 +269,31 @@ class PlanSpec extends SparkSpec {
     val p78 = planOf(graft.queries.RelationalQueries.t78.build(spark, sf001))
     assert(p78.contains("BroadcastHashJoin"), p78.take(2000))
   }
+
+  test("T95–T100: completion-deck shapes broadcast dims, never nested-loop") {
+    import graft.queries.RelationalQueries._
+    for (q <- Seq(t95, t96, t99, t100)) {
+      val p = planOf(q.build(spark, sf001))
+      assert(p.contains("BroadcastHashJoin"), s"${q.name}: ${p.take(2000)}")
+      assert(!p.contains("BroadcastNestedLoop"), s"${q.name}: ${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"), s"${q.name}: ${p.take(2000)}")
+    }
+    // t97's dim join hides inside its localCheckpoint (Scan ExistingRDD);
+    // the visible plan is the per-part rollup crossed with the ONE-ROW
+    // total as an IdentityBroadcast — that nested-loop is the declared
+    // scalar-threshold shape, not a join regression
+    val p97 = planOf(graft.queries.RelationalQueries.t97.build(spark, sf001))
+    assert(p97.contains("IdentityBroadcastMode"), p97.take(3000))
+    // t98's date filter reaches the fact scan as a pushed filter
+    val p98 = planOf(graft.queries.RelationalQueries.t98.build(spark, sf001))
+    assert(p98.contains("PushedFilters: [IsNotNull(l_shipdate)"), p98.take(3000))
+    // t100's IN-subquery runs as a semi join, never per-row re-execution
+    val p100 = planOf(graft.queries.RelationalQueries.t100.build(spark, sf001))
+    assert(p100.contains("LeftSemi"), p100.take(3000))
+    // t95's join-back of the per-part min frame is a broadcast, and the
+    // aggregation beneath it is map-side partial
+    val p95 = planOf(graft.queries.RelationalQueries.t95.build(spark, sf001))
+    assert(p95.contains("partial_min") || p95.contains("HashAggregate"),
+      p95.take(3000))
+  }
 }

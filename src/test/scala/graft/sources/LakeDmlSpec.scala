@@ -798,6 +798,89 @@ class LakeDmlSpec extends SparkSpec {
   }
 
 
+  test("COPY INTO ingests each source file exactly once, both formats") {
+    for (fmt <- Seq("delta", "iceberg")) {
+      val root = tmp(s"graft_copy_$fmt")
+      val t = s"$root/tbl"
+      val inbox = s"$root/inbox"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inbox))
+      val seed = Seq((0L, 0.0)).toDF("id", "v")
+      if (fmt == "delta") DeltaWrite.append(spark, seed, t)
+      else IcebergWrite.append(spark, seed, t)
+
+      def drop(name: String, rows: Seq[(Long, Double)]): Unit =
+        rows.toDF("id", "v").coalesce(1).write.mode("overwrite")
+          .json(s"$root/stage_$name") // stage then move ONE stable file in
+          .ensuring { _ =>
+            val part = new java.io.File(s"$root/stage_$name").listFiles()
+              .find(_.getName.endsWith(".json")).get
+            java.nio.file.Files.move(part.toPath,
+              java.nio.file.Paths.get(s"$inbox/$name.json"))
+            true
+          }
+      drop("a", Seq((1L, 1.0), (2L, 2.0)))
+      drop("b", Seq((3L, 3.0)))
+      Lake.sql(spark, s"COPY INTO '$t' FROM '$inbox' FORMAT json")
+      assert(Lake.read(spark, t).count() === 4L, fmt)
+
+      // re-run with NOTHING new: pure no-op (no duplicate rows)
+      Lake.sql(spark, s"COPY INTO '$t' FROM '$inbox' FORMAT json")
+      assert(Lake.read(spark, t).count() === 4L, fmt)
+
+      // a new file lands next to the already-ingested ones: only IT loads
+      drop("c", Seq((4L, 4.0)))
+      Lake.sql(spark, s"COPY INTO '$t' FROM '$inbox' FORMAT json")
+      assert(Lake.read(spark, t).orderBy("id").as[(Long, Double)]
+        .collect().toSeq ===
+        (0L to 4L).map(i => (i, i * 1.0)), fmt)
+
+      // hidden/foreign files are never read; missing columns refuse loudly
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$inbox/_hidden.json"), """{"id":9,"v":9.0}""")
+      Lake.sql(spark, s"COPY INTO '$t' FROM '$inbox' FORMAT json")
+      assert(Lake.read(spark, t).count() === 5L, fmt)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$inbox/bad.json"), """{"id":10}""")
+      val ex = intercept[IllegalArgumentException](
+        Lake.sql(spark, s"COPY INTO '$t' FROM '$inbox' FORMAT json"))
+      assert(ex.getMessage.contains("miss table columns"), fmt)
+    }
+    // the ledger survives a Delta checkpoint (txn actions are carried)
+    val root = tmp("graft_copy_cp")
+    val t = s"$root/tbl"
+    DeltaWrite.append(spark, Seq((0L, 0.0)).toDF("id", "v"), t)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/in"))
+    Seq((1L, 1.0)).toDF("id", "v").coalesce(1).write.json(s"$root/stage")
+    val part = new java.io.File(s"$root/stage").listFiles()
+      .find(_.getName.endsWith(".json")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$root/in/x.json"))
+    Lake.sql(spark, s"COPY INTO '$t' FROM '$root/in' FORMAT json")
+    DeltaWrite.checkpoint(spark, t)
+    Lake.sql(spark, s"COPY INTO '$t' FROM '$root/in' FORMAT json")
+    assert(Lake.read(spark, t).count() === 2L)
+  }
+
+
+  test("EXPLAIN FILES reports opened-vs-total per referenced table") {
+    val t = tmp("graft_explain_files") + "/tbl"
+    // two commits with disjoint ranges -> a range WHERE prunes one file
+    DeltaWrite.append(spark, (1L to 100L).map(i => (i, i * 1.0)).toDF("id", "v")
+      .repartition(1), t)
+    DeltaWrite.append(spark, (1000L to 1100L).map(i => (i, i * 1.0)).toDF("id", "v")
+      .repartition(1), t)
+    val r = Lake.sqlFrame(spark,
+      s"EXPLAIN FILES SELECT sum(v) AS s FROM '$t' WHERE id >= 1000")
+      .as[(String, Long, Long)].collect().head
+    assert(r._3 >= 2L && r._2 < r._3,
+      s"pruned scan must open fewer files: $r")
+    // the statement was planned, not executed — and a mutation is refused
+    intercept[IllegalArgumentException](Lake.sqlFrame(spark,
+      s"EXPLAIN FILES DELETE FROM '$t' WHERE id = 1"))
+    assert(Lake.read(spark, t).count() === 201L)
+  }
+
+
   test("WHERE conjuncts are NOT pushed below an outer join's nullable side") {
     val a = tmp("graft_ojsafe_a") + "/tbl"
     val b = tmp("graft_ojsafe_b") + "/tbl"
