@@ -385,6 +385,17 @@ object Lake {
       require(args.length == 1, "lake_history(path)")
       Bridge.logicalPlan(history(spark, str(args.head, "lake_history: path")))
     })
+    // SELECT * FROM lake_changes('/path', from[, to]): the changelog
+    // between two versions/snapshot ids — the table's columns plus
+    // _change_type ('insert' | 'delete'), CDC consumption from pure SQL
+    Bridge.registerTableFunction(spark, "lake_changes", { args =>
+      require(args.length == 2 || args.length == 3,
+        "lake_changes(path, from_version[, to_version])")
+      Bridge.logicalPlan(changesBetween(spark,
+        str(args.head, "lake_changes: path"),
+        num(args(1), "lake_changes: from_version"),
+        args.lift(2).map(num(_, "lake_changes: to_version")).getOrElse(-1L)))
+    })
     // SELECT * FROM lake_schema_history('/path'): column-level schema
     // changes in commit order (create/add/drop/retype/rename)
     Bridge.registerTableFunction(spark, "lake_schema_history", { args =>
@@ -1104,6 +1115,7 @@ object Lake {
     val Delete = """(?is)DELETE\s+FROM\s+'([^']+)'(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s+WHERE\s+(.+)""".r
     val CopyInto =
       """(?is)COPY\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s+FORMAT\s+(\w+)\s*""".r
+    val Truncate = """(?is)TRUNCATE\s+(?:TABLE\s+)?'([^']+)'\s*""".r
     val UpdateHead = """(?is)UPDATE\s+'([^']+)'(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s+SET\s+(.+)""".r
     val MergeHead =
       """(?is)MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+'([^']+)'\s+USING\s*(\(.*)""".r
@@ -1453,6 +1465,20 @@ object Lake {
         -1L
       case CopyInto(path, srcDir, fmt) =>
         copyInto(spark, path, srcDir, fmt)._1
+      case Truncate(path) =>
+        // remove every row in ONE commit, keep schema/partitioning/history
+        // (time travel still reads the pre-truncate data) — an overwrite
+        // with the empty frame of the table's own schema
+        val fmt = detect(spark, path)
+        require(fmt != Parquet,
+          s"TRUNCATE needs a lake table (plain parquet has no transaction log), got $path")
+        val empty = spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
+          read(spark, path).schema)
+        fmt match {
+          case Delta => DeltaWrite.overwrite(spark, empty, path)
+          case _ => IcebergWrite.overwrite(spark, empty, path)
+        }
       case Delete(path, aliasOrNull, pred) =>
         deleteWhere(spark, path, resolveExpr(spark, pred), Option(aliasOrNull))
       case MergeHead(evoOrNull, path, fromParen) =>
@@ -1694,6 +1720,7 @@ object Lake {
     val Describe =
       """(?is)DESCRIBE\s+'([^']+)'\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*|TIMESTAMP\s+AS\s+OF\s+(?:(\d+)|'([^']+)')\s*)?""".r
     val ShowPartitions = """(?is)SHOW\s+PARTITIONS\s+'([^']+)'\s*""".r
+    val ShowCreate = """(?is)SHOW\s+CREATE\s+TABLE\s+'([^']+)'\s*""".r
     val ShowTables = """(?is)SHOW\s+TABLES(?:\s+IN\s+'([^']+)')?\s*""".r
     val CountStar =
       ("""(?is)SELECT\s+COUNT\s*\(\s*\*\s*\)\s+FROM\s+(?:'([^']+)'|([A-Za-z_]\w*))""" +
@@ -1716,6 +1743,24 @@ object Lake {
     val Explain = """(?is)EXPLAIN\s+(FORMATTED\s+|EXTENDED\s+)?(.+)""".r
     s match {
       case DescribeHistory(path) => history(spark, path)
+      case ShowCreate(path) =>
+        // the re-runnable DDL of the table as it stands — column schema,
+        // format, partitioning — exactly the CreateSchema dialect, so the
+        // emitted statement recreates the shape via Lake.sql verbatim
+        val fmt = detect(spark, path)
+        require(fmt != Parquet,
+          s"SHOW CREATE TABLE needs a lake table, got plain parquet at $path")
+        val schema = read(spark, path).schema
+        val parts = fmt match {
+          case Delta => DeltaRead.snapshotInfo(spark, path).partitionColumns
+          case _ => IcebergWrite.currentPartitionBy(spark, path)
+        }
+        val cols = schema.fields.map(f => s"${f.name} ${f.dataType.sql}")
+          .mkString(", ")
+        val stmt = s"CREATE TABLE '$path' ($cols) USING " +
+          fmt.toString.toLowerCase(java.util.Locale.ROOT) +
+          (if (parts.isEmpty) "" else s" PARTITIONED BY (${parts.mkString(", ")})")
+        Seq(stmt).toDF("create_statement")
       case DescribeDetail(path) =>
         // one table-level metadata row (the operational "how big / how
         // laid out" check) — log/manifest-only on lake formats, a

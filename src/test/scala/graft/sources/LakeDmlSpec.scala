@@ -798,6 +798,50 @@ class LakeDmlSpec extends SparkSpec {
   }
 
 
+  test("TRUNCATE, SHOW CREATE TABLE, lake_changes TVF") {
+    for (fmt <- Seq("delta", "iceberg")) {
+      val root = tmp(s"graft_trunc_$fmt")
+      val t = s"$root/tbl"
+      val seed = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "grp", "v")
+      if (fmt == "delta") DeltaWrite.append(spark, seed, t, partitionBy = Seq("grp"))
+      else IcebergWrite.append(spark, seed, t, partitionBy = Seq("grp"))
+
+      // SHOW CREATE TABLE emits the CreateSchema dialect — re-runnable DDL
+      val ddl = Lake.sqlFrame(spark, s"SHOW CREATE TABLE '$t'")
+        .as[String].collect().head
+      assert(ddl.contains(s"USING $fmt") && ddl.contains("PARTITIONED BY (grp)")
+        && ddl.contains("id BIGINT"), ddl)
+      val clonePath = s"$root/clone"
+      Lake.sql(spark, ddl.replace(s"'$t'", s"'$clonePath'"))
+      assert(Lake.read(spark, clonePath).schema === Lake.read(spark, t).schema, fmt)
+
+      // TRUNCATE: one commit empties the rows, schema + history survive
+      Lake.sql(spark, s"TRUNCATE TABLE '$t'")
+      assert(Lake.read(spark, t).count() === 0L, fmt)
+      assert(Lake.read(spark, t).columns.toSeq === Seq("id", "grp", "v"), fmt)
+      // an INSERT into the truncated table keeps the partition layout
+      Lake.sql(spark, s"INSERT INTO '$t' SELECT 3L AS id, 'c' AS grp, 3.0D AS v")
+      assert(Lake.read(spark, t).as[(Long, String, Double)].collect().toSeq ===
+        Seq((3L, "c", 3.0)), fmt)
+    }
+    // time travel still reads pre-truncate rows (Delta version pin)
+    val t2 = tmp("graft_trunc_tt") + "/tbl"
+    DeltaWrite.append(spark, Seq((1L, 1.0)).toDF("id", "v"), t2)
+    val v0 = DeltaRead.snapshotInfo(spark, t2).version
+    Lake.sql(spark, s"TRUNCATE '$t2'")
+    assert(Lake.read(spark, t2).count() === 0L)
+    assert(Lake.read(spark, t2, v0).count() === 1L)
+
+    // lake_changes TVF: the changelog between two versions from pure SQL
+    Lake.sql(spark, s"INSERT INTO '$t2' SELECT 9L AS id, 9.0D AS v")
+    Lake.registerSqlSurface(spark)
+    val ch = spark.sql(
+      s"SELECT _change_type, id FROM lake_changes('$t2', $v0) ORDER BY id")
+      .as[(String, Long)].collect().toSeq
+    assert(ch === Seq(("delete", 1L), ("insert", 9L)))
+  }
+
+
   test("COPY INTO ingests each source file exactly once, both formats") {
     for (fmt <- Seq("delta", "iceberg")) {
       val root = tmp(s"graft_copy_$fmt")
