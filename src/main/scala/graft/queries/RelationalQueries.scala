@@ -1437,7 +1437,7 @@ object RelationalQueries {
         .localCheckpoint(false) // per-part rollup feeds BOTH the total and the cut
       val total = slice.agg(sum(col("qty")).as("total_qty"))
       slice.crossJoin(broadcast(total))
-        .filter(col("qty") > col("total_qty") * lit(0.002))
+        .filter(col("qty") > col("total_qty") * lit(0.0002))
         .select(col("l_partkey"), round(col("qty"), 2).as("qty"))
         .orderBy(col("qty").desc, col("l_partkey"))
         .limit(100)
@@ -1450,7 +1450,7 @@ object RelationalQueries {
         WHERE n_name = 'NATION_3'
         GROUP BY 1)
       SELECT l_partkey, round(qty, 2) AS qty FROM slice
-      WHERE qty > (SELECT sum(qty) FROM slice) * 0.002
+      WHERE qty > (SELECT sum(qty) FROM slice) * 0.0002
       ORDER BY qty DESC, l_partkey LIMIT 100"""))
 
   /** T98 SHIPPING PRIORITY SPLIT (the TPC-H Q12 shape, adapted —

@@ -381,6 +381,37 @@ object DeltaRead {
   def snapshotWithLineage(spark: SparkSession, table: String, version: Long = -1L): DataFrame =
     snapshotImpl(spark, table, version, lineage = true)
 
+  /** [[snapshotWithLineage]] restricted to the files whose persisted
+    * stats can satisfy `pred` — the DML matching tier: a `DELETE/UPDATE …
+    * WHERE` only OPENS files the predicate can touch, so the positional
+    * delete of one day never scans the year. Pruning-only: a skipped
+    * file can produce no matched positions by the stats' soundness, and
+    * any failure — unresolvable predicate (subqueries, target aliases),
+    * missing stats — falls back to the full lineage scan. Unlike
+    * [[scanPruned]] the predicate is NOT applied to rows here; the
+    * caller's own `.where` does that (its conditions may carry
+    * subqueries the empty-frame resolution cannot see). */
+  def lineagePruned(spark: SparkSession, table: String,
+      pred: org.apache.spark.sql.Column): DataFrame = scala.util.Try {
+    val snap = snapshotInfo(spark, table)
+    val stats = statsFrame(spark, snap)
+    val statCols = stats.columns.collect {
+      case c if c.startsWith("min_") => c.stripPrefix("min_") }.toSet
+    val cond = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), snap.schema)
+      .where(pred).queryExecution.analyzed
+      .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+    cond match {
+      case None => snapshotImpl(spark, table, -1L, lineage = true)
+      case Some(c) =>
+        val keep = stats
+          .where(graft.operators.DataSkipping.fileSurvives(c, statCols))
+          .select("file").collect().map(_.getString(0)).toSet
+        assembleData(spark, table,
+          snap.copy(files = snap.files.filter(f => keep(f.path))), lineage = true)
+    }
+  }.getOrElse(snapshotWithLineage(spark, table))
+
   /** Latest version whose commit is at or before `timestampMs` (TIMESTAMP
     * AS OF semantics, from the commit files' modification times — the
     * filesystem-table convention stock Delta uses absent in-commit

@@ -481,7 +481,9 @@ object DeltaWrite {
     val cols = snap0.schema.fieldNames.toSet
     assignments.foreach { case (c, _) => require(cols.contains(c),
       s"updateWhere: assigned column '$c' is not in the table schema") }
-    val lineage = DeltaRead.snapshotWithLineage(spark, table)
+    // stats-pruned lineage: matched positions AND updated images read the
+    // same pruned file set — files the predicate cannot touch never open
+    val lineage = DeltaRead.lineagePruned(spark, table, condition)
     val matched = scoped(lineage).where(condition).select(col("_file"), col("_pos"))
     dvDeletePlan(spark, table, snap0, matched) match {
       case None => snap0.version // nothing matched: no commit
@@ -489,7 +491,7 @@ object DeltaWrite {
         // updated images: the matched rows with assignments applied, in
         // table-schema order and types (an assignment must not retype)
         val byName = assignments.toMap
-        val updated0 = scoped(DeltaRead.snapshot(spark, table)).where(condition)
+        val updated0 = scoped(lineage).where(condition)
         val updated = updated0.select(snap0.schema.fields.toSeq.map { f =>
           byName.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
         }: _*)
@@ -1049,7 +1051,8 @@ object DeltaWrite {
     // an alias names the target for the condition's qualified /
     // subquery-correlated references (DELETE FROM '<p>' t WHERE … t.id …)
     def scoped(df: DataFrame): DataFrame = alias.map(df.as(_)).getOrElse(df)
-    val matched = scoped(DeltaRead.snapshotWithLineage(spark, table))
+    // stats-pruned lineage: only files the predicate can touch are opened
+    val matched = scoped(DeltaRead.lineagePruned(spark, table, condition))
       .where(condition).select(col("_file"), col("_pos"))
     dvDeletePlan(spark, table, snap0, matched) match {
       case None => snap0.version

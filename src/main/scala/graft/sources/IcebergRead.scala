@@ -140,6 +140,39 @@ object IcebergRead {
   def snapshotAt(spark: SparkSession, table: String, timestampMs: Long): DataFrame =
     snapshot(spark, table, snapshotIdAt(spark, table, timestampMs))
 
+  /** [[snapshotWithLineage]] restricted to files whose manifest bounds
+    * can satisfy `pred` — the Delta twin's DML matching tier (see
+    * DeltaRead.lineagePruned): pruning-only, predicate NOT applied to
+    * rows, any failure falls back to the full lineage scan. The bucket
+    * partition-predicate projection rides along like [[scanPruned]]. */
+  def lineagePruned(spark: SparkSession, table: String,
+      pred: org.apache.spark.sql.Column): DataFrame = scala.util.Try {
+    val meta = mapper.readTree(metadataFile(table))
+    val resolvedId = meta.path("current-snapshot-id").asLong(-1L)
+    val snapNode = meta.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong(-2L) == resolvedId)
+      .getOrElse(throw new IllegalArgumentException(s"snapshot $resolvedId not found"))
+    val schema = StructType(fieldTriples(schemaNodeFor(meta, snapNode)).map {
+      case (_, n, dt) => StructField(n, dt)
+    })
+    val (stats, bucketModuli) = fileStatsFull(spark, table, resolvedId)
+    val statCols = stats.columns.collect {
+      case c if c.startsWith("min_") => c.stripPrefix("min_") }.toSet
+    val cond = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      .where(pred).queryExecution.analyzed
+      .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+    cond match {
+      case None => snapshotWithLineage(spark, table)
+      case Some(c) =>
+        val survives = graft.operators.DataSkipping.fileSurvives(c, statCols)
+        val bucketKeep = bucketProjection(c, bucketModuli)
+        val keep = stats.where(survives && bucketKeep)
+          .select("file").collect().map(_.getString(0)).toSet
+        snapshotImpl(spark, table, -1L, lineage = true, keepPaths = Some(keep))
+    }
+  }.getOrElse(snapshotWithLineage(spark, table))
+
   /** Streaming-sink high-water marks from the snapshot-summary ledger:
     * for each appId recorded via `graft.app-id`, the max `graft.batch-id`
     * across all snapshots — the Iceberg twin of Delta's `txn` actions

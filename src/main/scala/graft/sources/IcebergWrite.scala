@@ -1302,7 +1302,10 @@ object IcebergWrite {
       val cols = snapDf.schema.fieldNames.toSet
       assignments.foreach { case (c, _) => require(cols.contains(c),
         s"updateWhere: assigned column '$c' is not in the table schema") }
-      val updated = scoped(snapDf).where(condition)
+      // matched positions AND updated images read ONE stats-pruned
+      // lineage frame — files the predicate cannot touch never open
+      val pruned = IcebergRead.lineagePruned(spark, table, condition)
+      val updated = scoped(pruned).where(condition)
         .select(snapDf.schema.fields.toSeq.map { f =>
           byName.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(fcol(f.name))
         }: _*).localCheckpoint()
@@ -1310,7 +1313,7 @@ object IcebergWrite {
 
       // old images → sorted (file_path, pos) delete parquet, exactly like
       // [[deleteWhere]]'s staging
-      val matched = scoped(IcebergRead.snapshotWithLineage(spark, table))
+      val matched = scoped(pruned)
         .where(condition)
         .select(fcol("_file").as("file_path"), fcol("_pos").as("pos"))
       val stage = Files.createTempDirectory("graft_iceberg_update")
@@ -2111,7 +2114,8 @@ object IcebergWrite {
 
     // one scan: matched rows → (file_path, pos), written sorted by
     // (path, pos) as the spec recommends for delete files
-    val matched = scoped(IcebergRead.snapshotWithLineage(spark, table))
+    // stats-pruned lineage: only files the predicate can touch are opened
+    val matched = scoped(IcebergRead.lineagePruned(spark, table, condition))
       .where(condition)
       .select(col("_file").as("file_path"), col("_pos").as("pos"))
     val stage = Files.createTempDirectory("graft_iceberg_delete")

@@ -798,6 +798,52 @@ class LakeDmlSpec extends SparkSpec {
   }
 
 
+  test("DML matching prunes target files by stats; subquery/alias fall back whole") {
+    for (fmt <- Seq("delta", "iceberg")) {
+      val t = tmp(s"graft_dmlprune_$fmt") + "/tbl"
+      // two commits with DISJOINT id ranges -> per-file stats
+      def add(rows: Seq[(Long, Double)]): Unit = {
+        val df = rows.toDF("id", "v").repartition(1)
+        if (fmt == "delta") DeltaWrite.append(spark, df, t)
+        else IcebergWrite.append(spark, df, t)
+      }
+      add((1L to 100L).map(i => (i, i * 1.0)))
+      add((1000L to 1100L).map(i => (i, i * 1.0)))
+
+      // the pruned lineage frame OPENS only the matching range's file
+      import org.apache.spark.sql.functions.expr
+      val pruned =
+        if (fmt == "delta") DeltaRead.lineagePruned(spark, t, expr("id >= 1000"))
+        else IcebergRead.lineagePruned(spark, t, expr("id >= 1000"))
+      val full =
+        if (fmt == "delta") DeltaRead.snapshotWithLineage(spark, t)
+        else IcebergRead.snapshotWithLineage(spark, t)
+      assert(full.inputFiles.length >= 2, fmt)
+      assert(pruned.inputFiles.length < full.inputFiles.length,
+        s"$fmt: DML matching must skip files the predicate cannot touch")
+
+      // a predicate the empty-frame resolution can't see (subquery) falls
+      // back to the FULL scan — never a silent partial match
+      Seq(1020L).toDF("id").createOrReplaceTempView("graft_dmlprune_keys")
+      val fb =
+        if (fmt == "delta") DeltaRead.lineagePruned(spark, t,
+          expr("id IN (SELECT id FROM graft_dmlprune_keys)"))
+        else IcebergRead.lineagePruned(spark, t,
+          expr("id IN (SELECT id FROM graft_dmlprune_keys)"))
+      assert(fb.inputFiles.length === full.inputFiles.length, fmt)
+
+      // end to end: the pruned DELETE/UPDATE produce the right rows
+      Lake.sql(spark, s"DELETE FROM '$t' WHERE id >= 1050")
+      assert(Lake.read(spark, t).count() === 150L, fmt)
+      Lake.sql(spark, s"UPDATE '$t' SET v = 0 WHERE id >= 1000")
+      assert(Lake.read(spark, t).where($"v" === 0.0).count() === 50L, fmt)
+      // and the subquery shape still matches through the fallback
+      Lake.sql(spark, s"DELETE FROM '$t' WHERE id IN (SELECT id FROM graft_dmlprune_keys)")
+      assert(Lake.read(spark, t).count() === 149L, fmt)
+    }
+  }
+
+
   test("TRUNCATE, SHOW CREATE TABLE, lake_changes TVF") {
     for (fmt <- Seq("delta", "iceberg")) {
       val root = tmp(s"graft_trunc_$fmt")
