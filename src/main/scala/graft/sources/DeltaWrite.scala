@@ -997,7 +997,8 @@ object DeltaWrite {
   }
 
   def vacuum(spark: SparkSession, table: String, retainLastVersions: Int = 1,
-      minFileAgeMs: Long = 24L * 3600 * 1000): Seq[String] = {
+      minFileAgeMs: Long = 24L * 3600 * 1000,
+      dryRun: Boolean = false): Seq[String] = {
     val versions = currentVersions(table)
     require(versions.nonEmpty, s"not a Delta table: $table")
     val keep = versions.takeRight(math.max(1, retainLastVersions))
@@ -1026,7 +1027,7 @@ object DeltaWrite {
       val name = f.getName
       (name.endsWith(".parquet") || name.startsWith("deletion_vector_")) &&
         !referenced(norm(f.toPath)) && f.lastModified() <= cutoff
-    }.map { f => val p = f.getPath; f.delete(); p }
+    }.map { f => val p = f.getPath; if (!dryRun) f.delete(); p }
   }
 
   /** Merge-on-read DELETE via deletion vectors: rows of the CURRENT

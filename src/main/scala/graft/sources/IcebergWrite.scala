@@ -1785,7 +1785,8 @@ object IcebergWrite {
   }
 
   def expireSnapshots(spark: SparkSession, table: String,
-      retainLast: Int = 1, minFileAgeMs: Long = 24L * 3600 * 1000): Seq[String] = {
+      retainLast: Int = 1, minFileAgeMs: Long = 24L * 3600 * 1000,
+      dryRun: Boolean = false): Seq[String] = {
     while (true) {
       val base = currentVersion(table)
       require(base > 0, s"not an Iceberg table: $table")
@@ -1831,6 +1832,23 @@ object IcebergWrite {
         .filter(e => keepIds(e.path("snapshot-id").asLong(-1L)))
         .foreach(logArr.add)
       newMeta.put("last-updated-ms", System.currentTimeMillis())
+      // DRY RUN: report what WOULD expire/delete without touching the
+      // metadata chain or any file (the age grace applies as in the
+      // real pass, so the report matches what a real run would reclaim)
+      if (dryRun) {
+        def normD(f: java.io.File): String = IcebergRead.localPath(f.getAbsolutePath)
+        val cutoffD = System.currentTimeMillis() - math.max(0L, minFileAgeMs)
+        val dataWould = Option(dataDir(table).toFile.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+            !referencedData(normD(f)) && f.lastModified() <= cutoffD)
+        val metaWould = Option(metaDir(table).toFile.listFiles()).getOrElse(Array.empty)
+          .filter { f =>
+            val n = f.getName
+            (n.startsWith("m-") || n.startsWith("snap-")) && n.endsWith(".avro") &&
+              !keptManifests(normD(f)) && !keptLists(normD(f))
+          }
+        return (dataWould ++ metaWould).map(_.getPath).toSeq
+      }
       val tmp = Files.createTempFile(metaDir(table), "meta", ".tmp")
       val won =
         try {

@@ -496,10 +496,11 @@ object Lake {
     * referenced. Returns the deleted paths. Plain parquet has no version
     * history — nothing is ever unreferenced; refused loudly. */
   def vacuum(spark: SparkSession, path: String, retain: Int = 1,
-      minFileAgeMs: Long = 24L * 3600 * 1000): Seq[String] =
+      minFileAgeMs: Long = 24L * 3600 * 1000,
+      dryRun: Boolean = false): Seq[String] =
     detect(spark, path) match {
-      case Delta => DeltaWrite.vacuum(spark, path, retain, minFileAgeMs)
-      case Iceberg => IcebergWrite.expireSnapshots(spark, path, retain, minFileAgeMs)
+      case Delta => DeltaWrite.vacuum(spark, path, retain, minFileAgeMs, dryRun)
+      case Iceberg => IcebergWrite.expireSnapshots(spark, path, retain, minFileAgeMs, dryRun)
       case Parquet => throw new IllegalArgumentException(
         s"plain parquet at $path has no version history to vacuum against")
     }
@@ -1115,7 +1116,8 @@ object Lake {
     val Delete = """(?is)DELETE\s+FROM\s+'([^']+)'(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s+WHERE\s+(.+)""".r
     val CopyInto =
       """(?is)COPY\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s+FORMAT\s+(\w+)\s*""".r
-    val Truncate = """(?is)TRUNCATE\s+(?:TABLE\s+)?'([^']+)'\s*""".r
+    val Truncate =
+      """(?is)(?:TRUNCATE\s+(?:TABLE\s+)?|DELETE\s+FROM\s+)'([^']+)'\s*""".r
     val UpdateHead = """(?is)UPDATE\s+'([^']+)'(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s+SET\s+(.+)""".r
     val MergeHead =
       """(?is)MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+'([^']+)'\s+USING\s*(\(.*)""".r
@@ -1127,7 +1129,7 @@ object Lake {
     val PartitionedHead = """(?is)PARTITIONED\s+BY\s*(\(.*)""".r
     val AsTail = """(?is)\s*AS\s+(.+)""".r
     val Optimize = """(?is)OPTIMIZE\s+'([^']+)'\s*(.*)""".r
-    val Vacuum = """(?is)VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(FORCE)?\s*""".r
+    val Vacuum = """(?is)VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(?:(FORCE)\s*)?(DRY\s+RUN)?\s*""".r
     val Restore = """(?is)RESTORE\s+'([^']+)'\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*""".r
     val RestoreAt =
       """(?is)RESTORE\s+'([^']+)'\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+(?:(\d+)|'([^']+)')\s*""".r
@@ -1399,10 +1401,10 @@ object Lake {
         }
         compact(spark, path, zorderBy = clusterBy, where = pred,
           curve = if (hIdx >= 0) "hilbert" else "z")
-      case Vacuum(path, retainOrNull, forceOrNull) =>
+      case Vacuum(path, retainOrNull, forceOrNull, dryOrNull) =>
         val retain = Option(retainOrNull).map(_.toInt).getOrElse(1)
         val age = if (forceOrNull != null) 0L else 24L * 3600 * 1000
-        vacuum(spark, path, retain, age).size.toLong
+        vacuum(spark, path, retain, age, dryRun = dryOrNull != null).size.toLong
       case Restore(path, version) =>
         restore(spark, path, version.toLong)
       case RestoreAt(path, tsNumOrNull, tsStrOrNull) =>
@@ -1736,7 +1738,7 @@ object Lake {
               .getFileStatus(hp).isDirectory
           }.getOrElse(false))
       }
-    val Vacuum = """(?is)VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(FORCE)?\s*""".r
+    val Vacuum = """(?is)VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(?:(FORCE)\s*)?(DRY\s+RUN)?\s*""".r
     val SelectHead = """(?is)SELECT\s+(.+)""".r
     val WithHead = """(?is)WITH\s+.+""".r
     val ExplainFiles = """(?is)EXPLAIN\s+FILES\s+(.+)""".r
@@ -1870,10 +1872,12 @@ object Lake {
           else if (tsOrNull != null) versionAt(spark, p, parseTsLiteral(tsOrNull))
           else -1L
         Seq(rowCount(spark, p, v)).toDF("count", "from_metadata")
-      case Vacuum(path, retainOrNull, forceOrNull) =>
+      case Vacuum(path, retainOrNull, forceOrNull, dryOrNull) =>
         val retain = Option(retainOrNull).map(_.toInt).getOrElse(1)
         val age = if (forceOrNull != null) 0L else 24L * 3600 * 1000
-        vacuum(spark, path, retain, age).toDF("path")
+        // DRY RUN reports the reclaim set without deleting a byte — the
+        // look-before-you-leap check for a retention change
+        vacuum(spark, path, retain, age, dryRun = dryOrNull != null).toDF("path")
       case ExplainFiles(body) =>
         // skipping observability: per referenced table, how many files the
         // planned statement actually OPENS vs the snapshot's total — the

@@ -885,6 +885,35 @@ class LakeDmlSpec extends SparkSpec {
       s"SELECT _change_type, id FROM lake_changes('$t2', $v0) ORDER BY id")
       .as[(String, Long)].collect().toSeq
     assert(ch === Seq(("delete", 1L), ("insert", 9L)))
+
+    // bare DELETE FROM (no WHERE) = delete every row, one commit
+    Lake.sql(spark, s"DELETE FROM '$t2'")
+    assert(Lake.read(spark, t2).count() === 0L)
+
+    // VACUUM DRY RUN reports the reclaim set WITHOUT deleting a byte
+    val would = Lake.sqlFrame(spark, s"VACUUM '$t2' FORCE DRY RUN")
+      .as[String].collect()
+    assert(would.nonEmpty) // truncated + rewritten files are unreferenced
+    assert(would.forall(p => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(p))), "dry run must not delete")
+    val reclaimed = Lake.sqlFrame(spark, s"VACUUM '$t2' FORCE")
+      .as[String].collect()
+    assert(reclaimed.sorted.toSeq === would.sorted.toSeq,
+      "the dry-run report IS the real run's reclaim set")
+    assert(would.forall(p => !java.nio.file.Files.exists(
+      java.nio.file.Paths.get(p))))
+
+    // Iceberg twin
+    val t3 = tmp("graft_vac_dry_i") + "/tbl"
+    IcebergWrite.append(spark, Seq((1L, 1.0)).toDF("id", "v"), t3)
+    IcebergWrite.overwrite(spark, Seq((2L, 2.0)).toDF("id", "v"), t3)
+    val wouldI = Lake.sqlFrame(spark, s"VACUUM '$t3' FORCE DRY RUN")
+      .as[String].collect()
+    assert(wouldI.nonEmpty)
+    assert(wouldI.forall(p => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(p))), "dry run must not delete")
+    assert(Lake.read(spark, t3).as[(Long, Double)].collect().toSeq ===
+      Seq((2L, 2.0)))
   }
 
 
