@@ -2759,9 +2759,10 @@ object Lake {
     // statement's own existence handling is the right layer for both
     val CreateHead = ("""(?is)^(CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?|""" +
       """DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?)([A-Za-z_]\w*)\b(.*)""").r
-    val Head = ("""(?is)^((?:DELETE\s+FROM|UPDATE|MERGE\s+INTO|INSERT\s+INTO|""" +
-      """INSERT\s+OVERWRITE|OPTIMIZE|VACUUM|RESTORE|DESCRIBE\s+HISTORY|DESCRIBE|""" +
-      """SHOW\s+PARTITIONS|ALTER\s+TABLE|""" +
+    val Head = ("""(?is)^((?:DELETE\s+FROM|UPDATE|MERGE\s+(?:WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO|INSERT\s+INTO|""" +
+      """INSERT\s+OVERWRITE|OPTIMIZE|VACUUM|RESTORE|DESCRIBE\s+HISTORY|DESCRIBE\s+DETAIL|DESCRIBE|""" +
+      """SHOW\s+PARTITIONS|SHOW\s+CREATE\s+TABLE|ALTER\s+TABLE|""" +
+      """TRUNCATE\s+TABLE|TRUNCATE|COPY\s+INTO|""" +
       """REFRESH\s+MATERIALIZED\s+VIEW|DROP\s+MATERIALIZED\s+VIEW)\s+)""" +
       """([A-Za-z_]\w*)\b(.*)""").r
     def isDir(p: String): Boolean = scala.util.Try {

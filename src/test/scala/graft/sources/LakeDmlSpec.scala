@@ -1161,6 +1161,20 @@ class LakeDmlSpec extends SparkSpec {
       // bare COUNT(*) reaches the metadata-only count like its quoted twin
       assert(Lake.sqlFrame(spark, "SELECT COUNT(*) FROM sales")
         .as[(Long, Boolean)].collect().toSeq === Seq((2L, true)))
+      // round-15 heads resolve bare names too
+      assert(Lake.sqlFrame(spark, "DESCRIBE DETAIL sales")
+        .select("format").as[String].collect().head === "delta")
+      assert(Lake.sqlFrame(spark, "SHOW CREATE TABLE sales")
+        .as[String].collect().head.contains("USING delta"))
+      val inbox = s"$root/inbox"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inbox))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$inbox/d.json"), """{"id":7,"v":7.0}""")
+      Lake.sql(spark, s"COPY INTO sales FROM '$inbox' FORMAT json")
+      assert(Lake.read(spark, s"$root/sales").count() === 3L)
+      Lake.sql(spark, "TRUNCATE TABLE sales")
+      assert(Lake.read(spark, s"$root/sales").count() === 0L)
+      Lake.sql(spark, "INSERT INTO sales (id, v) VALUES (1, 1.5), (2, 3.0)")
       // DROP TABLE removes it from the catalog; IF EXISTS tolerates absence
       Lake.sql(spark, "DROP TABLE sales")
       assert(Lake.sqlFrame(spark, s"SHOW TABLES IN '$root'").count() === 0L)
