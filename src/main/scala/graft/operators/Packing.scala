@@ -15,18 +15,51 @@ import org.apache.spark.sql.functions._
   * same arithmetic). True bin packing is sequential; don't do it on 100 TB.
   *
   * SCALE: an unpartitioned ordered window funnels everything into ONE task —
-  * fine for the oracle-checked global form on test data, wrong at corpus
-  * scale. [[withBinSharded]] is the 100 TB path: partition the window by a
-  * shard key (e.g. a hash-bucket of the id) so each shard packs its own bins
-  * in parallel; packing never needs to cross shards, since any shard's bins
-  * are valid context windows on their own.
+  * [[withBin]] keeps that form only as the tiny-input oracle shape.
+  * [[withBinDistributed]] computes the IDENTICAL global assignment as a
+  * two-pass distributed prefix sum (range-shard → per-shard totals →
+  * per-shard offset + local window), so the exact semantics survive 100 TB.
+  * [[withBinSharded]] is the alternative relaxation: one independent bin
+  * sequence per shard key, when bins need not be globally numbered.
   */
 object Packing {
 
   /** Global single-sequence packing (exact, single ordered window — the
-    * oracle shape; use [[withBinSharded]] beyond one-executor data sizes). */
+    * oracle shape; use [[withBinDistributed]] beyond one-task data sizes). */
   def withBin(df: DataFrame, orderCol: String, tokenCol: Column, budget: Int): DataFrame =
     binned(df, Window.orderBy(col(orderCol)), tokenCol, budget)
+
+  /** Distributed EXACT global packing — same output as [[withBin]], no
+    * one-task window. Classic two-pass prefix sum: range-partition by
+    * `orderCol` (contiguous ordered shards; RangePartitioner's ids are
+    * range-ordered, so shard p holds keys strictly below shard p+1), sum
+    * tokens per shard, collect the O(shards) totals to the driver, turn
+    * them into per-shard running offsets, then compute each shard's local
+    * ordered cumsum in parallel and add its offset. `localCheckpoint` pins
+    * the shard assignment so both passes see the same partitioning. */
+  def withBinDistributed(df: DataFrame, orderCol: String, tokenCol: Column,
+      budget: Int, shards: Int = 0): DataFrame = {
+    val n = math.max(1, if (shards > 0) shards
+      else df.sparkSession.sparkContext.defaultParallelism)
+    val sharded = df
+      .repartitionByRange(n, col(orderCol))
+      .withColumn("__tokens", tokenCol)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = sharded.groupBy(col("__pid"))
+      .agg(sum(col("__tokens")).cast("long").as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // O(shards) rows
+    val offsets = (0 until n).map { p =>
+      p -> (0 until p).map(totals.getOrElse(_, 0L)).sum
+    }.toMap
+    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sharded
+      .withColumn("__cum",
+        sum(col("__tokens")).over(w) + element_at(typedLit(offsets), col("__pid")))
+      .withColumn("bin", floor((col("__cum") - col("__tokens")) / budget).cast("long"))
+      .drop("__pid")
+  }
 
   /** Sharded packing: one independent bin sequence per `shardCols` value,
     * all shards packed in parallel. `bin` is unique within a shard; the
@@ -46,9 +79,10 @@ object Packing {
       .withColumn("bin", floor((col("__cum") - col("__tokens")) / budget).cast("long"))
   }
 
-  /** Bin summary: docs per bin and total tokens per bin. */
+  /** Bin summary: docs per bin and total tokens per bin. Runs the
+    * distributed exact form — output is identical to the global window. */
   def packSummary(df: DataFrame, orderCol: String, tokenCol: Column, budget: Int): DataFrame =
-    withBin(df, orderCol, tokenCol, budget)
+    withBinDistributed(df, orderCol, tokenCol, budget)
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("docs"), sum(col("__tokens")).as("tokens"))
       .orderBy(col("bin"))

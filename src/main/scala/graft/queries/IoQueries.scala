@@ -1567,6 +1567,52 @@ object IoQueries {
       GROUP BY fmt, 2
       ORDER BY fmt, tag"""))
 
+  /** POST-RENAME MERGE (SURVEY §2 S8m2 DML): events land in a Delta
+    * table, `value` is RENAMED to `amount` (metadata-only — the table
+    * boots into column mapping, no file rewritten), then a full MERGE
+    * runs through statement text against the RENAMED schema: matched
+    * keys double their amount, new keys insert. Proves the whole
+    * post-rename DML path (logical-name source → physical-name staging →
+    * mapped read-back); the oracle recomputes the end state from raw
+    * events with set algebra under the new column name. */
+  val tlakeMergeRenamed = GQuery(
+    "t101_lake_merge_renamed",
+    (s, dir) => {
+      val t = tmp("graft_t101_q") + "/tbl"
+      graft.sources.DeltaWrite.append(s,
+        Tables(s, dir, "events").select(col("event_id"), col("value")), t)
+      graft.sources.Lake.sql(s,
+        s"ALTER TABLE '$t' RENAME COLUMN value TO amount")
+      Tables(s, dir, "events")
+        .where(col("event_id") % 5 === 0)
+        .select(col("event_id"), (col("value") * 2).as("amount"))
+        .union(Tables(s, dir, "events").where(col("event_id") % 7 === 0)
+          .select((col("event_id") + 200000000L).as("event_id"),
+            col("value").as("amount")))
+        .createOrReplaceTempView("graft_t101_src")
+      graft.sources.Lake.sql(s,
+        s"""MERGE INTO '$t' USING (SELECT * FROM graft_t101_src) ON (event_id)
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""")
+      graft.sources.Lake.read(s, t)
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("amount")), 2).as("sum_amount"),
+          count(when(col("event_id") >= 200000000L, 1)).as("inserted"))
+    },
+    Some("""WITH base AS (SELECT event_id, value FROM events),
+      src AS (
+        SELECT event_id, value * 2 AS amount FROM events WHERE event_id % 5 = 0
+        UNION ALL
+        SELECT event_id + 200000000, value FROM events WHERE event_id % 7 = 0),
+      merged AS (
+        SELECT b.event_id, b.value AS amount FROM base b
+        WHERE b.event_id NOT IN (SELECT event_id FROM src)
+        UNION ALL
+        SELECT s.event_id, s.amount FROM src s)
+      SELECT count(*) AS cnt, round(sum(amount), 2) AS sum_amount,
+        count(CASE WHEN event_id >= 200000000 THEN 1 END) AS inserted
+      FROM merged"""))
+
   /** Catalog VIEWs end-to-end (Lake.sql CREATE VIEW → bare-name
     * expansion): events land in a Delta table under a catalog directory,
     * a VIEW stores the per-type rollup, a second VIEW filters the first,
@@ -1946,7 +1992,7 @@ object IoQueries {
       tdeltaDv, tdeltaUpsert, ticebergPart, ticebergHiddenPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tlakeReplaceWhere, tlakeSqlDml,
       tlakeSqlMaintenance, tlakeSqlSelect, tlakeSqlAgg, tlakeSqlAlterAdd, tlakeTpchSql,
-      tlakeSqlWindow, tlakeCreateTable, tlakeUseCatalog, tlakeMergeFull, tlakeMergeNullCond, tlakeMergeEvolve, tlakeViews,
+      tlakeSqlWindow, tlakeCreateTable, tlakeUseCatalog, tlakeMergeFull, tlakeMergeNullCond, tlakeMergeEvolve, tlakeMergeRenamed, tlakeViews,
       tcdcApply, tlakeSync, tlakeClone,
       tlakeRestore, tlakeRename, tlakeUniform, tlakeUniformRev, tlakeConvert)
 }

@@ -606,8 +606,12 @@ object LlmQueries {
     * boilerplate doc can't monopolize the context), and a running token
     * budget (cumulative chunk tokens ≤ 192) — exactly what a retriever
     * hands an LLM. Plan shape: the chunk fan-out is a no-shuffle
-    * projection + posexplode; BM25 adds one broadcast stats row; the cap
-    * and budget are two windows over the ≤ top-k bounded candidate set. */
+    * projection + posexplode; BM25 adds one broadcast stats row; the
+    * per-doc cap is a doc-partitioned window; then a TakeOrderedAndProject
+    * (`orderBy.limit(25)`, top-k per partition then a 25-row driver merge,
+    * the l37 shape) bounds the candidate stream BEFORE the global rank /
+    * running-budget windows, so the only unpartitioned windows in the plan
+    * run over ≤ 25 rows at any corpus size — never a one-task global sort. */
   val l38 = GQuery(
     "l38_rag_context",
     (s, dir) => {
@@ -625,6 +629,10 @@ object LlmQueries {
       scored
         .withColumn("doc_rank", row_number().over(perDoc))
         .where(col("doc_rank") <= 2)
+        // Lossless prefilter: rank ≤ 10 survivors are necessarily within
+        // the top 25 by (score desc, cid), so the limit can't drop them.
+        .orderBy(col("score").desc, col("cid"))
+        .limit(25)
         .withColumn("rank", row_number().over(ord))
         .where(col("rank") <= 10)
         .withColumn("n_toks", size(TextFunctions.tokens(col("chunk_text"))))

@@ -115,6 +115,15 @@ object AvroIo {
     val files = fs.listStatus(root).map(_.getPath)
       .filter(_.getName.endsWith(".avro")).map(_.toString).sorted
     require(files.nonEmpty, s"no .avro files under $dir")
+    readFiles(spark, files.toSeq)
+  }
+
+  /** Read an explicit list of `.avro` container files (schema from the
+    * first; all must share it) — the COPY INTO per-file ingest path. */
+  def readFiles(spark: SparkSession, fileList: Seq[String]): DataFrame = {
+    require(fileList.nonEmpty, "readFiles: empty file list")
+    val files = fileList.sorted
+    val fs = new Path(files.head).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val avroSchema = {
       val in = fs.open(new Path(files.head))
       val s = new DataFileStream(in, new GenericDatumReader[GenericRecord]())

@@ -333,11 +333,26 @@ object DeltaWrite {
       partitionBy: Seq[String] = Nil): Long = {
     require(currentVersions(table).nonEmpty, s"overwrite of non-existent table $table — use append")
     val snapAtCheck = DeltaRead.snapshotInfo(spark, table)
-    require(snapAtCheck.columnMappingMode == "none",
-      "overwrite of a column-mapped table is not supported (the metaData swap " +
-        "would drop the mapping)")
+    val mapped = snapAtCheck.columnMappingMode == "name"
+    if (mapped) {
+      // supported under column mapping for the SAME logical shape (the
+      // TRUNCATE/backfill/merge path): stage under physical names, keep
+      // the mapped metaData verbatim. A schema- or partition-CHANGING
+      // overwrite would need physical-name assignment for new columns —
+      // still refused loudly.
+      require(snapAtCheck.schema.fieldNames.sorted
+          .sameElements(df.schema.fieldNames.sorted) &&
+          snapAtCheck.schema.fields.forall(f =>
+            df.schema(f.name).dataType == f.dataType) &&
+          partitionBy == snapAtCheck.partitionColumns,
+        "overwrite of a column-mapped table must keep the table's schema " +
+          "and partitioning (schema-changing overwrite would need " +
+          "physical-name assignment)")
+    }
     enforceConstraints(snapAtCheck, df)
-    val staged = stageFiles(df, table, partitionBy)
+    val (sdf, sparts) =
+      if (mapped) toPhysical(snapAtCheck, df) else (df, partitionBy)
+    val staged = stageFiles(sdf, table, sparts)
     val adds = staged.map { case (rel, values, stats) =>
       addAction(pctEncodePath(rel), values, Files.size(Paths.get(table, rel)), stats = stats)
     }
@@ -349,8 +364,12 @@ object DeltaWrite {
       }
       // metaData swap keeps the STABLE table id + configuration (the spec's
       // continuity rule); only the schema/partitioning may change, and the
-      // schema change is safe because every old file is removed here
-      val content = (Seq(metaAction(df.schema, partitionBy,
+      // schema change is safe because every old file is removed here.
+      // Under mapping the schema is the snapshot's own (physical-name
+      // metadata preserved) — df's logical schema lacks the mapping.
+      val content = (Seq(metaAction(
+        if (mapped) snap.schema else df.schema,
+        if (mapped) snap.partitionColumns else partitionBy,
         if (snap.metaId.nonEmpty) snap.metaId else newTableId(),
         snap.configuration)) ++ removes ++ adds).mkString("", "\n", "\n")
       if (tryCommitAt(table, snap.version + 1, content)) return snap.version + 1
@@ -364,14 +383,30 @@ object DeltaWrite {
     * is decided on the original log strings via an index, so cast
     * round-trips can't mis-bucket a file. Shared by [[compact]]'s scoped
     * maintenance and [[replaceWhere]]'s scoped overwrite. */
+  /** Stage-side physical projection for column-mapped tables: data files,
+    * partition dirs, per-file stats and partitionValues keys all carry
+    * PHYSICAL names; the metaData schema maps them back to logical at
+    * read. Identity for unmapped tables. `df` must carry exactly the
+    * table's logical columns (any order — the projection also pins
+    * table-schema order). Returns (stagedDf, stagePartitionColumns). */
+  private def toPhysical(snap: DeltaRead.Snapshot, df: DataFrame)
+      : (DataFrame, Seq[String]) =
+    if (snap.columnMappingMode != "name") (df, snap.partitionColumns)
+    else (df.select(snap.schema.fieldNames.toSeq
+        .map(n => col(n).as(snap.physicalName(n))): _*),
+      snap.partitionColumns.map(snap.physicalName))
+
   private def scopeByPartition(spark: SparkSession, snap: DeltaRead.Snapshot,
       pred: String, what: String): DeltaRead.LiveFile => Boolean = {
     import org.apache.spark.sql.functions.{col => fcol}
     require(snap.partitionColumns.nonEmpty,
       s"$what scopes by partition values — the table is unpartitioned")
     val cols = snap.partitionColumns
+    // committed partitionValues keys are PHYSICAL names under mapping
+    val key: String => String =
+      if (snap.columnMappingMode == "name") snap.physicalName else identity
     val tuples = snap.files
-      .map(f => cols.map(c => f.partitionValues.getOrElse(c, null))).distinct
+      .map(f => cols.map(c => f.partitionValues.getOrElse(key(c), null))).distinct
     val schema = org.apache.spark.sql.types.StructType(
       cols.map(c => org.apache.spark.sql.types.StructField(c,
         org.apache.spark.sql.types.StringType)))
@@ -388,7 +423,7 @@ object DeltaWrite {
       .collect().map(_.getLong(0)).toSet
     val keepTuples = tuples.zipWithIndex
       .collect { case (t, i) if keepIdx(i.toLong) => t }.toSet
-    f => keepTuples.contains(cols.map(c => f.partitionValues.getOrElse(c, null)))
+    f => keepTuples.contains(cols.map(c => f.partitionValues.getOrElse(key(c), null)))
   }
 
   /** PARTITION-SCOPED OVERWRITE (`replaceWhere`): atomically swap the
@@ -412,9 +447,6 @@ object DeltaWrite {
     require(currentVersions(table).nonEmpty,
       s"replaceWhere on non-existent table $table — use append")
     val snap0 = DeltaRead.snapshotInfo(spark, table)
-    require(snap0.columnMappingMode == "none",
-      "replaceWhere on a column-mapped table is not supported (staging would " +
-        "need physical-name columns)")
     require(snap0.schema.fieldNames.sorted.sameElements(df.schema.fieldNames.sorted),
       s"replaceWhere schema ${df.schema.fieldNames.mkString(",")} does not match " +
         s"table schema ${snap0.schema.fieldNames.mkString(",")}")
@@ -423,7 +455,8 @@ object DeltaWrite {
     require(strays == 0L,
       s"replaceWhere: $strays incoming row(s) do not satisfy '$where' — rows " +
         "outside the replaced scope would duplicate their live copies")
-    val staged = stageFiles(df, table, snap0.partitionColumns)
+    val (sdf, sparts) = toPhysical(snap0, df)
+    val staged = stageFiles(sdf, table, sparts)
     val adds = staged.map { case (rel, values, stats) =>
       addAction(pctEncodePath(rel), values, Files.size(Paths.get(table, rel)), stats = stats)
     }
@@ -475,9 +508,6 @@ object DeltaWrite {
     require(assignments.nonEmpty, "updateWhere with no assignments")
     def scoped(df: DataFrame): DataFrame = alias.map(df.as(_)).getOrElse(df)
     val snap0 = DeltaRead.snapshotInfo(spark, table)
-    require(snap0.columnMappingMode == "none",
-      "updateWhere on a column-mapped table is not supported (staging would " +
-        "need physical-name columns)")
     val cols = snap0.schema.fieldNames.toSet
     assignments.foreach { case (c, _) => require(cols.contains(c),
       s"updateWhere: assigned column '$c' is not in the table schema") }
@@ -496,7 +526,8 @@ object DeltaWrite {
           byName.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
         }: _*)
         enforceConstraints(snap0, updated)
-        val staged = stageFiles(updated, table, snap0.partitionColumns)
+        val (sUpd, sParts) = toPhysical(snap0, updated)
+        val staged = stageFiles(sUpd, table, sParts)
         val adds = staged.map { case (rel, values, stats) =>
           addAction(pctEncodePath(rel), values, Files.size(Paths.get(table, rel)), stats = stats)
         }
@@ -536,9 +567,6 @@ object DeltaWrite {
     require(currentVersions(table).nonEmpty, s"not a Delta table: $table")
     while (true) {
       val snap = DeltaRead.snapshotInfo(spark, table)
-      require(snap.columnMappingMode == "none",
-        "compaction under column mapping is not supported (rewritten files " +
-          "would need physical-name columns)")
       // `where` scopes maintenance to the partitions matching a predicate
       // over the TYPED partition columns ("day = '2024-01-03'", "grp IN
       // (...)") — at 100 TB you compact yesterday's partition, not the
@@ -575,7 +603,8 @@ object DeltaWrite {
         else if (snap.partitionColumns.nonEmpty)
           df.repartition(nOut, snap.partitionColumns.map(fcol): _*)
         else df.repartition(nOut)
-      val staged = stageFiles(packed, table, snap.partitionColumns)
+      val (sPacked, sParts) = toPhysical(snap, packed)
+      val staged = stageFiles(sPacked, table, sParts)
       val adds = staged.map { case (rel, values, stats) =>
         addAction(pctEncodePath(rel), values, Files.size(Paths.get(table, rel)),
           dataChange = false, stats = stats)
@@ -954,21 +983,30 @@ object DeltaWrite {
     * floor of the clone is its own version 0). DV-bearing files carry
     * their deletion vectors: on-disk DV blobs are referenced by
     * absolute-path ('p') descriptors, inline ('i') ones travel in the
-    * action. Stats and partition values carry verbatim. Column-mapped
-    * sources are refused (their physical-name metadata is not carried).
+    * action. Stats and partition values carry verbatim; a column-mapped
+    * source's mapping carries whole (schema metadata + configuration +
+    * protocol feature), so post-rename tables clone like any other.
     * Source vacuum is the one shared-fate hazard, as in every shallow
     * clone design: reclaiming source files a clone still references
     * breaks the clone, not the source. */
   def cloneShallow(spark: SparkSession, source: String, target: String,
       version: Long = -1L): Long = {
     val snap = DeltaRead.snapshotInfo(spark, source, version)
-    require(snap.columnMappingMode == "none",
-      "shallow clone of a column-mapped table is not supported")
     require(currentVersions(target).isEmpty, s"clone target already exists: $target")
+    // column mapping carries over whole: the metaData action below copies
+    // the source's schema (physical-name metadata included) and its
+    // configuration (mode + maxColumnId); partitionValues keys are
+    // physical in both tables, so the adds stay valid verbatim
+    val needsCm = snap.columnMappingMode == "name"
     val proto =
-      if (snap.files.exists(_.dv.isDefined))
-        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-          """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+      if (snap.files.exists(_.dv.isDefined)) {
+        val feats = (Seq("deletionVectors") ++
+          (if (needsCm) Seq("columnMapping") else Nil)).sorted
+        val fjson = feats.map(jsonStr).mkString("[", ",", "]")
+        s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          s""""readerFeatures":$fjson,"writerFeatures":$fjson}}"""
+      } else if (needsCm)
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
       else protocolAction
     val adds = snap.files.map { f =>
       val pv = f.partitionValues.map { case (k, v) =>
@@ -1174,9 +1212,6 @@ object DeltaWrite {
     require(keyCols.nonEmpty && keyCols.forall(df.columns.contains),
       s"key columns ${keyCols.mkString(",")} not all present in ${df.columns.mkString(",")}")
     val snap0 = DeltaRead.snapshotInfo(spark, table)
-    require(snap0.columnMappingMode == "none",
-      "upsert into a column-mapped table is not supported (stage-side physical " +
-        "renames are only wired for append)")
     require(snap0.schema.fieldNames.sorted.sameElements(df.schema.fieldNames.sorted),
       s"upsert schema ${df.schema.fieldNames.mkString(",")} does not match table " +
         s"schema ${snap0.schema.fieldNames.mkString(",")}")
@@ -1190,7 +1225,8 @@ object DeltaWrite {
       .select(col("_file"), col("_pos"))
     val plan = dvDeletePlan(spark, table, snap0, matched)
 
-    val staged = stageFiles(df, table, snap0.partitionColumns)
+    val (sdf, sparts) = toPhysical(snap0, df)
+    val staged = stageFiles(sdf, table, sparts)
     val adds = staged.map { case (rel, values, stats) =>
       addAction(pctEncodePath(rel), values, Files.size(Paths.get(table, rel)), stats = stats)
     }
@@ -1245,7 +1281,8 @@ object DeltaWrite {
     val matched = lineage.join(affected, cond, "left_semi")
       .select(col("_file"), col("_pos"))
     val plan = dvDeletePlan(spark, table, snap0, matched)
-    val staged = stageFiles(inserts, table, snap0.partitionColumns)
+    val (sIns, sParts) = toPhysical(snap0, inserts)
+    val staged = stageFiles(sIns, table, sParts)
     val adds = staged.map { case (rel, values, stats) =>
       addAction(pctEncodePath(rel), values, Files.size(Paths.get(table, rel)), stats = stats)
     }

@@ -418,16 +418,6 @@ object Lake {
       Bridge.logicalPlan(fileStats(spark, str(args.head, "lake_file_stats: path"),
         args.lift(1).map(num(_, "lake_file_stats: version")).getOrElse(-1L)))
     })
-    // SELECT * FROM lake_changes('/path', from_version[, to_version]):
-    // the changelog (insert/delete rows) between two versions, from SQL
-    Bridge.registerTableFunction(spark, "lake_changes", { args =>
-      require(args.length == 2 || args.length == 3,
-        "lake_changes(path, from_version[, to_version])")
-      Bridge.logicalPlan(changesBetween(spark,
-        str(args.head, "lake_changes: path"),
-        num(args(1), "lake_changes: from_version"),
-        args.lift(2).map(num(_, "lake_changes: to_version")).getOrElse(-1L)))
-    })
   }
 
   /** OPTIMIZE dispatch: bin-pack small files and materialize merge-on-read
@@ -642,29 +632,58 @@ object Lake {
         s"MERGE source columns ${source.columns.mkString(",")} do not match " +
           s"table columns ${tgt0.columns.mkString(",")} " +
           "(use MERGE WITH SCHEMA EVOLUTION to evolve)")
-    else
-      // each new source column extends the target schema BEFORE the merge
-      // (nullable, metadata-only commit) — the changelog below then speaks
-      // the evolved schema for every piece
-      extras.foreach(f => addColumn(spark, path, f.name, f.dataType.sql))
-    val tgt = if (evolveSchema && extras.nonEmpty) read(spark, path) else tgt0
-    val cols = tgt.columns.toSeq
+    // EVERY validation — key presence, clause column checks, and the
+    // duplicate-source-key job — runs BEFORE any schema-evolution commit:
+    // a refused (or crashed-in-validation) merge must not leave the target
+    // permanently evolved with no data change. The evolved column set and
+    // types are known without committing (an added column carries the
+    // source's own type), so the checks and the source cast use them.
+    val evolvedSchema = org.apache.spark.sql.types.StructType(
+      tgt0.schema.fields ++ extras)
+    val cols = evolvedSchema.fieldNames.toSeq
     require(keys.nonEmpty && keys.forall(cols.contains),
       s"MERGE keys ${keys.mkString(",")} not all present in ${cols.mkString(",")}")
     require(keys.forall(source.columns.contains),
       s"MERGE keys ${keys.mkString(",")} not all present in the source")
+    (matched ++ notMatchedBySource).foreach {
+      case (_, MergeUpdate(assigns)) if assigns.nonEmpty =>
+        require(assigns.forall { case (c, _) => cols.contains(c) },
+          s"MERGE UPDATE SET names unknown columns ${assigns.map(_._1).mkString(",")}")
+      case _ => ()
+    }
+    require(notMatchedBySource.forall {
+      case (_, MergeUpdate(Nil)) => false
+      case _ => true
+    }, "MERGE: WHEN NOT MATCHED BY SOURCE cannot UPDATE SET * (no source row)")
+    if (notMatchedValues.nonEmpty) {
+      require(notMatchedValues.forall { case (c, _) => cols.contains(c) },
+        "MERGE INSERT column list names unknown columns " +
+          notMatchedValues.map(_._1).mkString(","))
+      require(keys.forall(notMatchedValues.toMap.contains),
+        s"MERGE INSERT column list must assign every merge key (${keys.mkString(",")})")
+    }
     val srcCols = source.columns.toSet
     // under evolution the source speaks the evolved target's types; the
     // exact-pin path stays cast-free (the SQL surface conformed already,
     // API callers pinned by the require above)
     val source1 = if (!evolveSchema) source
       else source.select(source.columns.toSeq.map { c =>
-        col(c).cast(tgt.schema(c).dataType).as(c) }: _*)
+        col(c).cast(evolvedSchema(c).dataType).as(c) }: _*)
     val src = source1.localCheckpoint(false) // read twice (dup guard + join)
     val dup = src.groupBy(keys.map(col): _*).count()
       .where(col("count") > 1).limit(1).count()
     require(dup == 0,
       "MERGE source carries duplicate key rows — ambiguous (dedupe upstream)")
+    // all checks green — only now evolve: each new source column extends
+    // the target schema (nullable, metadata-only commit per column), then
+    // the changelog below speaks the evolved schema for every piece.
+    // Remaining non-atomicity is schema-vs-data: the metadata commits are
+    // separate from the data commit, so a crash BETWEEN them leaves an
+    // evolved-but-unmerged table (benign: added columns are nullable and
+    // empty), and concurrent readers can observe the intermediate schema.
+    if (evolveSchema)
+      extras.foreach(f => addColumn(spark, path, f.name, f.dataType.sql))
+    val tgt = if (evolveSchema && extras.nonEmpty) read(spark, path) else tgt0
     val srcP = src.select(src.columns.toSeq.map(c => col(c).as(s"src_$c")): _*)
     // evolution contexts: a target column the source lacks keeps the
     // TARGET's value under UPDATE SET * and lands NULL under INSERT *
@@ -752,26 +771,36 @@ object Lake {
   }
 
   /** IDEMPOTENT FILE INGESTION — the `COPY INTO '<table>' FROM '<dir>'
-    * FORMAT {parquet|csv|json}` statement: list the source directory's
-    * data files, skip every file already recorded in the table's ingest
-    * LEDGER, read only the new ones, conform them to the table schema
-    * (names required, types cast — uncastable values fail loudly through
-    * the append), and commit rows + ledger marks ATOMICALLY, so a re-run
-    * after any crash ingests each file exactly once. The ledger rides the
-    * table's own commit machinery: Delta txn actions (one
-    * `graft-copy:<md5(path)>` appId per file — carried into checkpoints,
-    * durable forever); Iceberg snapshot-summary `graft.copied` id lists
-    * (horizon = snapshot retention: expiring a snapshot drops its
-    * summary, so keep retention above the re-delivery window). Hidden
-    * files (`_`/`.` prefixes) and other-format extensions are skipped;
-    * appends inherit the table's partitioning. Returns (committed
-    * version, files ingested). */
+    * FORMAT {parquet|csv|json|avro} [WITH SCHEMA EVOLUTION]` statement:
+    * list the source directory's data files, skip every file VERSION
+    * already recorded in the table's ingest LEDGER, read only the new
+    * ones, conform them to the table schema (names required, types cast —
+    * uncastable values fail loudly through the append), and commit rows +
+    * ledger marks ATOMICALLY, so a re-run after any crash ingests each
+    * file exactly once. A file's ledger id hashes `path@mtime@length`, so
+    * a source file OVERWRITTEN IN PLACE is a new version and re-ingests
+    * (its previously loaded rows remain — COPY INTO appends, it never
+    * retracts; an unchanged path is never double-loaded). The ledger rides
+    * the table's own commit machinery: Delta txn actions (one
+    * `graft-copy:<id>` appId per file — carried into checkpoints, durable
+    * forever); Iceberg snapshot-summary `graft.copied` id lists (horizon =
+    * snapshot retention: expiring a snapshot drops its summary, so keep
+    * retention above the re-delivery window). NOTE the ledger is read once
+    * at statement start: two COPY INTO runs racing on the SAME table can
+    * both see a file unmarked and double-ingest it — run one loader per
+    * table (the commit machinery serializes writers, not this statement).
+    * With `evolve` (`WITH SCHEMA EVOLUTION`) source columns the table
+    * lacks EXTEND the schema first (nullable metadata-only commits, after
+    * all validations — existing rows read NULL there). Hidden files
+    * (`_`/`.` prefixes) and other-format extensions are skipped; appends
+    * inherit the table's partitioning. Returns (committed version, files
+    * ingested). */
   def copyInto(spark: SparkSession, path: String, srcDir: String,
-      format: String): (Long, Long) = {
+      format: String, evolve: Boolean = false): (Long, Long) = {
     import org.apache.spark.sql.functions.col
     val fmt = format.trim.toLowerCase(java.util.Locale.ROOT)
-    require(Set("parquet", "csv", "json").contains(fmt),
-      s"COPY INTO FORMAT must be parquet | csv | json, got: $format")
+    require(Set("parquet", "csv", "json", "avro").contains(fmt),
+      s"COPY INTO FORMAT must be parquet | csv | json | avro, got: $format")
     val dirPath = new org.apache.hadoop.fs.Path(srcDir)
     val hfs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(hfs.exists(dirPath), s"COPY INTO: source directory not found: $srcDir")
@@ -779,14 +808,17 @@ object Lake {
       case "parquet" => _.endsWith(".parquet")
       case "csv" => _.endsWith(".csv")
       case "json" => n => n.endsWith(".json") || n.endsWith(".jsonl")
+      case "avro" => _.endsWith(".avro")
     }
     val files = hfs.listStatus(dirPath).toSeq
       .filter(st => st.isFile && wanted(st.getPath.getName) &&
         !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
-      .map(_.getPath)
-    def fid(p: org.apache.hadoop.fs.Path): String =
+    // path@mtime@len: an in-place overwrite is a NEW version (re-ingests);
+    // the same bytes at the same path never load twice
+    def fid(st: org.apache.hadoop.fs.FileStatus): String =
       java.security.MessageDigest.getInstance("MD5")
-        .digest(p.toUri.getPath.getBytes("UTF-8"))
+        .digest(s"${st.getPath.toUri.getPath}@${st.getModificationTime}@${st.getLen}"
+          .getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(16)
     val fmtKind = detect(spark, path)
     val ledger: Set[String] = fmtKind match {
@@ -797,25 +829,35 @@ object Lake {
       case Parquet => throw new IllegalArgumentException(
         s"COPY INTO needs a lake table (the ledger rides its commits), got parquet at $path")
     }
-    val fresh = files.filterNot(p => ledger.contains(fid(p)))
+    val fresh = files.filterNot(st => ledger.contains(fid(st)))
     if (fresh.isEmpty) return (versionOf(spark, path), 0L)
-    val names = fresh.map(_.toString)
+    val names = fresh.map(_.getPath.toString)
     val raw = fmt match {
       case "parquet" => spark.read.parquet(names: _*)
       case "csv" => spark.read.option("header", "true").csv(names: _*)
       case "json" => spark.read.json(names: _*)
+      case "avro" => AvroIo.readFiles(spark, names)
     }
-    val target = read(spark, path).schema
-    val missing = target.fieldNames.filterNot(raw.columns.contains)
+    val target0 = read(spark, path).schema
+    val missing = target0.fieldNames.filterNot(raw.columns.contains)
     require(missing.isEmpty,
       s"COPY INTO: source files miss table columns ${missing.mkString(",")} " +
         s"(have ${raw.columns.mkString(",")})")
+    val extras = raw.schema.fields.toSeq
+      .filterNot(f => target0.fieldNames.contains(f.name))
+    require(evolve || extras.isEmpty,
+      s"COPY INTO: source files carry extra columns ${extras.map(_.name).mkString(",")} " +
+        "(use COPY INTO ... WITH SCHEMA EVOLUTION to extend the table)")
+    // validations done — evolve only now (same contract as MERGE WITH
+    // SCHEMA EVOLUTION: a refused copy never leaves the schema changed)
+    if (evolve) extras.foreach(f => addColumn(spark, path, f.name, f.dataType.sql))
+    val target = org.apache.spark.sql.types.StructType(target0.fields ++ extras)
     val conformed = raw.select(target.fields.toSeq.map(f =>
       col(f.name).cast(f.dataType).as(f.name)): _*)
     val v = fmtKind match {
       case Delta => DeltaWrite.append(spark, conformed, path,
         partitionBy = DeltaRead.snapshotInfo(spark, path).partitionColumns,
-        txns = fresh.map(p => (s"graft-copy:${fid(p)}", 1L)))
+        txns = fresh.map(st => (s"graft-copy:${fid(st)}", 1L)))
       case Iceberg => IcebergWrite.append(spark, conformed, path,
         partitionBy = IcebergWrite.currentPartitionBy(spark, path),
         summaryProps = Map("graft.copied" -> fresh.map(fid).mkString(",")))
@@ -1115,7 +1157,7 @@ object Lake {
     // USING sources) are split only by quote/paren-aware scans
     val Delete = """(?is)DELETE\s+FROM\s+'([^']+)'(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s+WHERE\s+(.+)""".r
     val CopyInto =
-      """(?is)COPY\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s+FORMAT\s+(\w+)\s*""".r
+      """(?is)COPY\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s+FORMAT\s+(\w+)\s*(WITH\s+SCHEMA\s+EVOLUTION\s*)?""".r
     val Truncate =
       """(?is)(?:TRUNCATE\s+(?:TABLE\s+)?|DELETE\s+FROM\s+)'([^']+)'\s*""".r
     val UpdateHead = """(?is)UPDATE\s+'([^']+)'(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s+SET\s+(.+)""".r
@@ -1465,8 +1507,8 @@ object Lake {
           require(ifExistsOrNull != null, s"DROP VIEW: no such view $name")
         else fs.delete(f, false)
         -1L
-      case CopyInto(path, srcDir, fmt) =>
-        copyInto(spark, path, srcDir, fmt)._1
+      case CopyInto(path, srcDir, fmt, evolveOrNull) =>
+        copyInto(spark, path, srcDir, fmt, evolve = evolveOrNull != null)._1
       case Truncate(path) =>
         // remove every row in ONE commit, keep schema/partitioning/history
         // (time travel still reads the pre-truncate data) — an overwrite
@@ -1882,7 +1924,9 @@ object Lake {
         // skipping observability: per referenced table, how many files the
         // planned statement actually OPENS vs the snapshot's total — the
         // "did pruning fire" check an operator runs before trusting a
-        // statement at 100 TB. Plans only, never executes the query.
+        // statement at 100 TB. Never executes the QUERY; it does run
+        // joinDerivedPrune's bounded dim-side min/max probe, since the
+        // join-derived file cut is exactly what this statement reports.
         require(body.trim.toUpperCase(java.util.Locale.ROOT)
             .matches("(?s)(SELECT|WITH)\\b.*"),
           s"EXPLAIN FILES takes a SELECT/WITH statement, got: $body")
@@ -1904,13 +1948,16 @@ object Lake {
       case Explain(modeOrNull, body) =>
         // plan observability for the statement surface: EXPLAIN builds the
         // inner SELECT's frame (result-set statements only — explaining a
-        // mutation would EXECUTE it) and returns the plan text as rows
+        // mutation would EXECUTE it) and returns the plan text as rows.
+        // planOnly suppresses joinDerivedPrune's dim-side bounds probe —
+        // EXPLAIN runs zero Spark jobs, so its plan can differ from the
+        // executed one exactly by that manifest re-prune (fewer files)
         require(body.trim.toUpperCase(java.util.Locale.ROOT)
             .matches("(?s)(SELECT|WITH)\\b.*"),
           s"EXPLAIN takes a SELECT/WITH statement, got: $body")
         val mode = Option(modeOrNull).map(_.trim.toLowerCase(java.util.Locale.ROOT))
           .getOrElse("simple")
-        val inner = sqlFrame(spark, body)
+        val inner = planOnly.withValue(true)(sqlFrame(spark, body))
         inner.queryExecution
           .explainString(org.apache.spark.sql.execution.ExplainMode.fromString(mode))
           .split("\n").toSeq.toDF("plan")
@@ -2463,7 +2510,16 @@ object Lake {
   /** One delegated reference's registered temp view — the handle
     * [[joinDerivedPrune]] re-prunes through. */
   private final case class PrunedView(view: String, path: String, version: Long,
-      conjuncts: Seq[(String, org.apache.spark.sql.Column)], scan: DataFrame)
+    conjuncts: Seq[(String, org.apache.spark.sql.Column)], scan: DataFrame)
+
+  /** True while building a frame for EXPLAIN — [[joinDerivedPrune]]'s
+    * dim-side bounds probe is a real (bounded) Spark job, and EXPLAIN
+    * promises not to run ANY job, so the probe is skipped under it. */
+  private val planOnly = new scala.util.DynamicVariable[Boolean](false)
+
+  /** Count of executed dim-side bounds probes — observability for specs
+    * (EXPLAIN must leave it unchanged; an executed join SELECT moves it). */
+  private[sources] val jdpProbeCount = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** JOIN-DERIVED manifest pruning — the skipping tier S11ppm's per-alias
     * conjuncts cannot reach: a selective DIM-side filter never shrinks the
@@ -2492,6 +2548,7 @@ object Lake {
   private def joinDerivedPrune(spark: SparkSession, df0: DataFrame,
       text: String, views: Seq[PrunedView]): DataFrame = scala.util.Try {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression}
+    if (planOnly.value) return df0 // EXPLAIN runs no jobs, not even the probe
     import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
     import org.apache.spark.sql.catalyst.plans.{InnerLike, LeftOuter, LeftSemi, RightOuter}
     import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -2566,6 +2623,7 @@ object Lake {
         if (dimB <= MaxDimBytes && factB >= 4 * dimB) scala.util.Try {
           val dimRows = dim.conjuncts.map(_._2)
             .foldLeft(dim.scan)((d, c) => d.where(c))
+          jdpProbeCount.incrementAndGet()
           val row = dimRows.agg(min(col(dimKey)), max(col(dimKey))).head()
           if (!row.isNullAt(0) && !row.isNullAt(1)) {
             val bounds = col(factKey) >= lit(row.get(0)) &&

@@ -296,4 +296,38 @@ class PlanSpec extends SparkSpec {
     assert(p95.contains("partial_min") || p95.contains("HashAggregate"),
       p95.take(3000))
   }
+
+  /** Repo-wide scale lint (the sweep that would have caught l38's r15
+    * global rank window): every UNPARTITIONED Window in every declared
+    * query must sit above a bounded input — a `limit` (TakeOrdered shape),
+    * a grand-total aggregate (1 row), or a local relation. A global window
+    * over an unbounded stream funnels the whole corpus into ONE task at
+    * 100 TB. Whitelisted names carry the documented reason in place. */
+  test("lint: no unpartitioned Window over an unbounded input, any query") {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    // Each entry = (query, why the global window's input is bounded anyway)
+    val whitelist: Map[String, String] = Map(
+      "t21_moving_avg" -> ("input = one row per calendar day (Aggregate on " +
+        "date_trunc('day')); bounded by the date domain, not the corpus"),
+      "t51_drift" -> ("input = one row per clamped histogram bucket " +
+        "(FLOOR least/greatest into a fixed bucket count)"))
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: GlobalLimit | _: LocalLimit => true
+      case _: LocalRelation | _: OneRowRelation => true
+      case a: Aggregate if a.groupingExpressions.isEmpty => true
+      case other => other.children.nonEmpty && other.children.forall(bounded)
+    }
+    val flagged = scala.collection.mutable.ArrayBuffer[String]()
+    for (q <- Registry.all if !whitelist.contains(q.name)) {
+      val plan =
+        try q.build(spark, sf001).queryExecution.optimizedPlan
+        catch { case _: Throwable => null } // build-time env issues → other specs own them
+      if (plan != null) plan.foreach {
+        case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) =>
+          flagged += s"${q.name}: global Window over unbounded input\n${w.treeString.take(800)}"
+        case _ => ()
+      }
+    }
+    assert(flagged.isEmpty, flagged.mkString("\n---\n"))
+  }
 }

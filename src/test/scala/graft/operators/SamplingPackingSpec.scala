@@ -110,4 +110,18 @@ class SamplingPackingSpec extends SparkSpec {
     val plan = sharded.queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"), plan.take(1500))
   }
+
+  test("distributed packing equals the exact global window, any shard count") {
+    val docs = (1 to 137).map(i => (i.toLong, 30L + (i * 7) % 11)).toDF("id", "toks")
+    val exact = Packing.withBin(docs, "id", col("toks"), budget = 100)
+      .select(col("id"), col("__cum"), col("bin")).collect().toSet
+    for (n <- Seq(1, 3, 8)) {
+      val dist = Packing.withBinDistributed(docs, "id", col("toks"), budget = 100, shards = n)
+        .select(col("id"), col("__cum"), col("bin"))
+      assert(dist.collect().toSet === exact, s"shards=$n")
+      // the window must be partitioned by the shard id, never SinglePartition
+      val plan = dist.queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"), s"shards=$n: ${plan.take(1500)}")
+    }
+  }
 }

@@ -121,18 +121,90 @@ class ColumnMappingSpec extends SparkSpec {
     assert(snap.as[(String, String)].collect().toSet === Set(("b", "g2")))
   }
 
-  test("mapped tables refuse the unwired writers loudly") {
-    val t = tmp("cmap_guard") + "/tbl"
-    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "name"), t)
+  test("post-rename DML: upsert/overwrite/updateWhere/compact on a mapped table") {
+    val t = tmp("cmap_dml") + "/tbl"
+    DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name"), t)
     DeltaWrite.renameColumn(spark, t, "name", "title")
+
+    // upsert speaks LOGICAL names; staged files carry physical ones
+    DeltaWrite.upsert(spark, Seq((2L, "B!"), (3L, "c")).toDF("id", "title"),
+      t, Seq("id"))
+    assert(DeltaRead.snapshot(spark, t).orderBy("id")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "B!"), (3L, "c")))
+
+    // positional UPDATE stages updated images physically
+    DeltaWrite.updateWhere(spark, t,
+      Seq("title" -> upper(col("title"))), col("id") === 1L)
+    assert(DeltaRead.snapshot(spark, t).where(col("id") === 1L)
+      .select(col("title")).as[String].head() === "A")
+
+    // compaction rewrites mapped files without breaking resolution
+    DeltaWrite.compact(spark, t, smallFileBytes = Long.MaxValue)
+    assert(DeltaRead.snapshot(spark, t).orderBy("id")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "A"), (2L, "B!"), (3L, "c")))
+    // second rename AFTER physical-named rewrites still resolves
+    DeltaWrite.renameColumn(spark, t, "title", "label")
+    assert(DeltaRead.snapshot(spark, t).columns.toSeq === Seq("id", "label"))
+
+    // same-shape overwrite keeps the mapping; schema-changing one refuses
+    DeltaWrite.overwrite(spark, Seq((9L, "z")).toDF("id", "label"), t)
+    assert(DeltaRead.snapshot(spark, t).as[(Long, String)].collect().toSeq ===
+      Seq((9L, "z")))
+    assert(DeltaRead.snapshotInfo(spark, t).columnMappingMode === "name")
     intercept[IllegalArgumentException] {
-      DeltaWrite.overwrite(spark, Seq((9L, "z")).toDF("id", "title"), t)
+      DeltaWrite.overwrite(spark, Seq((9L, "z", 1.0)).toDF("id", "label", "x"), t)
     }
-    intercept[IllegalArgumentException] {
-      DeltaWrite.upsert(spark, Seq((9L, "z")).toDF("id", "title"), t, Seq("id"))
-    }
-    intercept[IllegalArgumentException] {
-      DeltaWrite.cloneShallow(spark, t, tmp("cmap_guard_dst") + "/tbl")
-    }
+  }
+
+  test("post-rename replaceWhere on a renamed PARTITION column") {
+    val t = tmp("cmap_rw") + "/tbl"
+    DeltaWrite.append(spark,
+      Seq((1L, 1.0, "g1"), (2L, 2.0, "g2"), (3L, 3.0, "g2")).toDF("id", "v", "grp"),
+      t, partitionBy = Seq("grp"))
+    DeltaWrite.renameColumn(spark, t, "grp", "segment")
+    val before = DeltaRead.snapshotInfo(spark, t).files
+      .filterNot(_.partitionValues.values.exists(_ == "g2")).map(_.path).toSet
+    DeltaWrite.replaceWhere(spark,
+      Seq((20L, 20.0, "g2")).toDF("id", "v", "segment"), t, "segment = 'g2'")
+    val snap = DeltaRead.snapshotInfo(spark, t)
+    // untouched partition's files survive verbatim; scope swapped whole
+    assert(before.subsetOf(snap.files.map(_.path).toSet))
+    assert(DeltaRead.snapshot(spark, t).orderBy("id")
+      .as[(Long, Double, String)].collect().toSeq ===
+      Seq((1L, 1.0, "g1"), (20L, 20.0, "g2")))
+  }
+
+  test("shallow clone carries the column mapping whole") {
+    val src = tmp("cmap_clone_src") + "/tbl"
+    val dst = tmp("cmap_clone_dst") + "/tbl"
+    DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name"), src)
+    DeltaWrite.renameColumn(spark, src, "name", "title")
+    DeltaWrite.deleteWhere(spark, src, col("id") === 2L) // DV travels too
+    DeltaWrite.cloneShallow(spark, src, dst)
+    val snap = DeltaRead.snapshotInfo(spark, dst)
+    assert(snap.columnMappingMode === "name")
+    assert(DeltaRead.snapshot(spark, dst).select(col("id"), col("title"))
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a")))
+    // clone evolves independently: rename in the clone, source untouched
+    DeltaWrite.renameColumn(spark, dst, "title", "label")
+    assert(DeltaRead.snapshot(spark, dst).columns.toSeq === Seq("id", "label"))
+    assert(DeltaRead.snapshot(spark, src).columns.toSeq === Seq("id", "title"))
+  }
+
+  test("post-rename MERGE through statement text") {
+    val t = tmp("cmap_merge") + "/tbl"
+    DeltaWrite.append(spark, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), t)
+    DeltaWrite.renameColumn(spark, t, "v", "amount")
+    Seq((2L, 99.0), (3L, 30.0)).toDF("id", "amount")
+      .createOrReplaceTempView("cmap_merge_src")
+    Lake.sql(spark,
+      s"""MERGE INTO '$t' USING (SELECT * FROM cmap_merge_src) ON (id)
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+    assert(Lake.read(spark, t).orderBy("id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
   }
 }

@@ -1327,6 +1327,96 @@ class LakeDmlSpec extends SparkSpec {
       Seq((1L, 9.9, "x"), (2L, 2.0, "y")))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: a refused merge never evolves the schema") {
+    for (fmt <- Seq("delta", "iceberg")) {
+      val t = tmp(s"graft_merge_evo_guard_$fmt") + "/tbl"
+      val seed = Seq((1L, 10.0)).toDF("id", "v")
+      if (fmt == "delta") DeltaWrite.append(spark, seed, t)
+      else IcebergWrite.append(spark, seed, t)
+      // duplicate source keys → the merge refuses; the NEW column `tag`
+      // must NOT have been committed to the target schema
+      Seq((1L, "a"), (1L, "b")).toDF("id", "tag")
+        .createOrReplaceTempView(s"graft_evo_guard_src_$fmt")
+      val ex = intercept[IllegalArgumentException](Lake.sql(spark,
+        s"""MERGE WITH SCHEMA EVOLUTION INTO '$t'
+            USING (SELECT * FROM graft_evo_guard_src_$fmt) ON (id)
+            WHEN MATCHED THEN UPDATE SET *"""))
+      assert(ex.getMessage.contains("duplicate key"), fmt)
+      assert(Lake.read(spark, t).columns.toSeq === Seq("id", "v"), fmt)
+      // same for a bad SET-column reference under evolution
+      Seq((1L, "a")).toDF("id", "tag")
+        .createOrReplaceTempView(s"graft_evo_guard_src2_$fmt")
+      val ex2 = intercept[IllegalArgumentException](Lake.sql(spark,
+        s"""MERGE WITH SCHEMA EVOLUTION INTO '$t'
+            USING (SELECT * FROM graft_evo_guard_src2_$fmt) ON (id)
+            WHEN MATCHED THEN UPDATE SET nope = 1"""))
+      assert(ex2.getMessage.contains("unknown columns"), fmt)
+      assert(Lake.read(spark, t).columns.toSeq === Seq("id", "v"), fmt)
+    }
+  }
+
+  test("COPY INTO: overwritten source file re-ingests as a new version") {
+    val root = tmp("graft_copy_mtime")
+    val t = s"$root/tbl"
+    val inbox = s"$root/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inbox))
+    DeltaWrite.append(spark, Seq((0L, 0.0)).toDF("id", "v"), t)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$inbox/a.json"), """{"id":1,"v":1.0}""")
+    Lake.sql(spark, s"COPY INTO '$t' FROM '$inbox' FORMAT json")
+    assert(Lake.read(spark, t).count() === 2L)
+    // same path, same bytes: no-op
+    Lake.sql(spark, s"COPY INTO '$t' FROM '$inbox' FORMAT json")
+    assert(Lake.read(spark, t).count() === 2L)
+    // overwrite IN PLACE with new content (different length ⇒ different
+    // fid even within mtime granularity): the new version re-ingests;
+    // previously loaded rows remain (COPY INTO appends, never retracts)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$inbox/a.json"), """{"id":22,"v":22.0}""")
+    Lake.sql(spark, s"COPY INTO '$t' FROM '$inbox' FORMAT json")
+    assert(Lake.read(spark, t).orderBy("id").as[(Long, Double)]
+      .collect().toSeq === Seq((0L, 0.0), (1L, 1.0), (22L, 22.0)))
+  }
+
+  test("COPY INTO WITH SCHEMA EVOLUTION extends the table; plain refuses") {
+    val root = tmp("graft_copy_evo")
+    val t = s"$root/tbl"
+    val inbox = s"$root/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inbox))
+    DeltaWrite.append(spark, Seq((0L, 0.0)).toDF("id", "v"), t)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$inbox/a.json"),
+      """{"id":1,"v":1.0,"tag":"x"}""")
+    // plain COPY INTO refuses extra columns loudly — and the refusal must
+    // not have evolved the schema
+    val ex = intercept[IllegalArgumentException](
+      Lake.sql(spark, s"COPY INTO '$t' FROM '$inbox' FORMAT json"))
+    assert(ex.getMessage.contains("extra columns"))
+    assert(Lake.read(spark, t).columns.toSeq === Seq("id", "v"))
+    Lake.sql(spark,
+      s"COPY INTO '$t' FROM '$inbox' FORMAT json WITH SCHEMA EVOLUTION")
+    assert(Lake.read(spark, t).orderBy("id")
+      .as[(Long, Double, Option[String])].collect().toSeq ===
+      Seq((0L, 0.0, None), (1L, 1.0, Some("x"))))
+    // exactly-once still holds for the evolved file
+    Lake.sql(spark,
+      s"COPY INTO '$t' FROM '$inbox' FORMAT json WITH SCHEMA EVOLUTION")
+    assert(Lake.read(spark, t).count() === 2L)
+  }
+
+  test("COPY INTO FORMAT avro ingests container files exactly once") {
+    val root = tmp("graft_copy_avro")
+    val t = s"$root/tbl"
+    val inbox = s"$root/in"
+    IcebergWrite.append(spark, Seq((0L, 0.0)).toDF("id", "v"), t)
+    AvroIo.write(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"), inbox)
+    Lake.sql(spark, s"COPY INTO '$t' FROM '$inbox' FORMAT avro")
+    assert(Lake.read(spark, t).orderBy("id").as[(Long, Double)]
+      .collect().toSeq === Seq((0L, 0.0), (1L, 1.0), (2L, 2.0)))
+    Lake.sql(spark, s"COPY INTO '$t' FROM '$inbox' FORMAT avro") // no-op
+    assert(Lake.read(spark, t).count() === 3L)
+  }
+
 
   test("quoted-path views: CREATE/read/DROP by path, no USE catalog") {
     val root = tmp("graft_view_path")
@@ -1634,6 +1724,31 @@ class LakeDmlSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Lake.sqlFrame(spark, s"EXPLAIN DELETE FROM '$t' WHERE id = 7"))
     assert(Lake.read(spark, t).count() === 2L)
+  }
+
+  test("EXPLAIN never runs joinDerivedPrune's dim-bounds probe; execution does") {
+    // the probe is a real Spark job — EXPLAIN (plans only) must suppress
+    // it, while the executed twin of the same statement pays it and prunes
+    val root = tmp("graft_explain_nojob")
+    // many fact files keyed apart so the probe passes its size gates
+    (0L until 8L).foreach { k =>
+      DeltaWrite.append(spark,
+        (1L to 2000L).map(i => (k * 10000 + i, k, i * 1.0)).toDF("id", "k", "v"),
+        s"$root/fact")
+    }
+    DeltaWrite.append(spark, Seq((3L, "three")).toDF("k", "name"), s"$root/dim")
+    val stmt = s"""SELECT f.id, d.name FROM '$root/fact' f
+        JOIN '$root/dim' d ON f.k = d.k WHERE d.name = 'three'"""
+    val before = Lake.jdpProbeCount.get()
+    val plan = Lake.sqlFrame(spark, s"EXPLAIN $stmt")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plan.nonEmpty)
+    assert(Lake.jdpProbeCount.get() === before,
+      "EXPLAIN executed the join-derived-prune bounds probe")
+    // the executed statement DOES probe (same shape, jobs allowed)
+    assert(Lake.sqlFrame(spark, stmt).count() === 2000L)
+    assert(Lake.jdpProbeCount.get() > before,
+      "executed join SELECT never reached the bounds probe (gate drift?)")
   }
 
 
