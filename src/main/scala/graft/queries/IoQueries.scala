@@ -1613,6 +1613,38 @@ object IoQueries {
         count(CASE WHEN event_id >= 200000000 THEN 1 END) AS inserted
       FROM merged"""))
 
+  /** STORAGE-PARTITIONED JOIN end-to-end (SURVEY §2 S9bj): orders and
+    * customer land in two Iceberg tables both `bucket(8, o_custkey)`-
+    * partitioned, then join through the co-partitioned reader
+    * ([[graft.operators.BucketedJoin]]) — zero exchanges, bucket i vs
+    * bucket i only (narrow zip; the BucketingSpec asserts the no-shuffle
+    * lineage, this query oracles the RESULT). At 100 TB this is the one
+    * plan that joins two facts without the fact-fact exchange. The oracle
+    * is the plain DuckDB join. */
+  val tbucketJoin = GQuery(
+    "t102_bucket_join",
+    (s, dir) => {
+      val root = tmp("graft_t102_q")
+      graft.sources.IcebergWrite.append(s,
+        Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")),
+        s"$root/orders", partitionBy = Seq("bucket(8, o_custkey)"))
+      graft.sources.IcebergWrite.append(s,
+        Tables(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment")),
+        s"$root/customer", partitionBy = Seq("bucket(8, o_custkey)"))
+      graft.operators.BucketedJoin.coBucketedJoin(s,
+          s"$root/orders", s"$root/customer", "o_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment, count(*) AS cnt,
+        round(sum(o_totalprice), 2) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   /** Catalog VIEWs end-to-end (Lake.sql CREATE VIEW → bare-name
     * expansion): events land in a Delta table under a catalog directory,
     * a VIEW stores the per-type rollup, a second VIEW filters the first,
@@ -1992,7 +2024,7 @@ object IoQueries {
       tdeltaDv, tdeltaUpsert, ticebergPart, ticebergHiddenPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tlakeReplaceWhere, tlakeSqlDml,
       tlakeSqlMaintenance, tlakeSqlSelect, tlakeSqlAgg, tlakeSqlAlterAdd, tlakeTpchSql,
-      tlakeSqlWindow, tlakeCreateTable, tlakeUseCatalog, tlakeMergeFull, tlakeMergeNullCond, tlakeMergeEvolve, tlakeMergeRenamed, tlakeViews,
+      tlakeSqlWindow, tlakeCreateTable, tlakeUseCatalog, tlakeMergeFull, tlakeMergeNullCond, tlakeMergeEvolve, tlakeMergeRenamed, tbucketJoin, tlakeViews,
       tcdcApply, tlakeSync, tlakeClone,
       tlakeRestore, tlakeRename, tlakeUniform, tlakeUniformRev, tlakeConvert)
 }

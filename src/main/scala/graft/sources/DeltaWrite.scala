@@ -647,6 +647,21 @@ object DeltaWrite {
     * semantics: only FALSE violates (NULL passes — the standard CHECK
     * rule, so `x > 0` admits null x unless you also constrain
     * `x IS NOT NULL`). */
+  /** SET table properties — one metadata-only commit merging `props` into
+    * the configuration (which every later commit carries forward). The
+    * ANALYZE-stats persistence slot; same mechanism as CHECK constraints. */
+  def setProperties(spark: SparkSession, table: String,
+      props: Map[String, String]): Long = {
+    while (true) {
+      val snap = DeltaRead.snapshotInfo(spark, table)
+      val content = metaAction(snap.schema, snap.partitionColumns,
+        if (snap.metaId.nonEmpty) snap.metaId else newTableId(),
+        snap.configuration ++ props)
+      if (tryCommitAt(table, snap.version + 1, content)) return snap.version + 1
+    }
+    -1L // unreachable
+  }
+
   def addCheckConstraint(spark: SparkSession, table: String,
       name: String, predicateSql: String): Long = {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),

@@ -106,6 +106,14 @@ object IcebergRead {
     snapshotImpl(spark, table, -1L, lineage = false, keepPaths = Some(paths))
 
   /** Current snapshot id — the incremental-read / sync frontier. */
+  /** The metadata's table `properties` map (ANALYZE stats live here). */
+  def tableProperties(spark: SparkSession, table: String): Map[String, String] = {
+    val meta = mapper.readTree(metadataFile(table))
+    Option(meta.get("properties")).toSeq
+      .flatMap(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()))
+      .toMap
+  }
+
   def currentSnapshotId(spark: SparkSession, table: String): Long =
     mapper.readTree(metadataFile(table)).path("current-snapshot-id").asLong(-1L)
 
@@ -512,6 +520,26 @@ object IcebergRead {
     if (bucketModuli.isEmpty) df
     else df.drop(bucketModuli.keys.map(src => s"__pb_$src").toSeq: _*)
   }
+
+  /** Co-bucketed-layout probe for storage-partitioned joins: when the
+    * CURRENT snapshot's default spec `bucket[n]`-partitions `key`, every
+    * live data file carries a decodable bucket ordinal (same-spec entry),
+    * and NO delete file is live (a bucket-local reader cannot apply
+    * merge-on-read deletes), returns (n, bucket ordinal → file paths).
+    * None on any miss — callers fall back to the shuffled plan. */
+  def bucketLayout(spark: SparkSession, table: String, key: String)
+      : Option[(Int, Map[Int, Seq[String]])] = scala.util.Try {
+    val (_, hasDeletes) = entrySummaries(table, currentSnapshotId(spark, table))
+    if (hasDeletes) return None
+    val (stats, moduli) = fileStatsFull(spark, table)
+    val n = moduli.getOrElse(key, return None)
+    val rows = stats.select(org.apache.spark.sql.functions.col("file"),
+      org.apache.spark.sql.functions.col(s"__pb_$key")).collect()
+    if (rows.exists(_.isNullAt(1))) return None // foreign-spec entry: bail
+    val byBucket = rows.groupBy(_.getInt(1))
+      .map { case (b, rs) => b -> rs.map(_.getString(0)).toSeq }
+    Some((n, byBucket))
+  }.toOption.flatten
 
   /** [[fileStats]] plus, for every default-spec `bucket[n]` partition
     * field, a hidden `__pb_<sourceCol>` column carrying the file's

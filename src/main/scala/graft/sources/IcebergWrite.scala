@@ -455,6 +455,11 @@ object IcebergWrite {
         priorRefs.set[com.fasterxml.jackson.databind.JsonNode](name, r)
       }
       val now = System.currentTimeMillis()
+      // table properties carried VERBATIM like refs — a template that
+      // wrote {} silently dropped ANALYZE stats (and any user property)
+      // on the next data commit
+      val priorProps = prior.flatMap(p => Option(p.get("properties")))
+        .map(_.toString).getOrElse("{}")
       // spec: the table UUID is minted ONCE at table creation and carried
       // forward verbatim — engines validate UUID continuity on metadata
       // refresh and reject a table whose UUID churns between versions
@@ -485,7 +490,7 @@ object IcebergWrite {
            |"default-spec-id":$defaultSpecId,"partition-specs":[$specs],
            |"last-partition-id":$lastPartitionId,
            |"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
-           |"properties":{},
+           |"properties":$priorProps,
            |"refs":${mapper.writeValueAsString(priorRefs)},
            |"current-snapshot-id":${
              // STAGED: the snapshot joins `snapshots` and its branch ref,
@@ -1569,6 +1574,25 @@ object IcebergWrite {
       prior.path("schemas").asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
         .add(evolved)
       prior.put("current-schema-id", newId)
+      prior.put("last-updated-ms", System.currentTimeMillis())
+      if (writeMetaVersion(table, base + 1, prior)) return
+    }
+  }
+
+  /** SET table properties — a metadata-only version bump (no snapshot):
+    * merges `props` into the metadata's `properties` object, which data
+    * commits now carry verbatim. The ANALYZE-stats persistence slot. */
+  def setProperties(spark: SparkSession, table: String,
+      props: Map[String, String]): Unit = {
+    while (true) {
+      val base = currentVersion(table)
+      require(base > 0, s"not an Iceberg table: $table")
+      val prior = mapper.readTree(metaDir(table).resolve(s"v$base.metadata.json").toFile)
+        .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      val node = Option(prior.get("properties"))
+        .collect { case o: com.fasterxml.jackson.databind.node.ObjectNode => o }
+        .getOrElse { val o = mapper.createObjectNode(); prior.set[com.fasterxml.jackson.databind.JsonNode]("properties", o); o }
+      props.foreach { case (k, v) => node.put(k, v) }
       prior.put("last-updated-ms", System.currentTimeMillis())
       if (writeMetaVersion(table, base + 1, prior)) return
     }

@@ -418,6 +418,18 @@ object Lake {
       Bridge.logicalPlan(fileStats(spark, str(args.head, "lake_file_stats: path"),
         args.lift(1).map(num(_, "lake_file_stats: version")).getOrElse(-1L)))
     })
+    // SELECT * FROM bucket_join('/left', '/right', 'key'): the
+    // storage-partitioned join over two co-bucketed Iceberg tables —
+    // zero exchanges when both sides are bucket(n, key) with equal n
+    // (graft.operators.BucketedJoin; refuses loudly when the layouts
+    // don't cooperate, so a caller falls back to the shuffled JOIN)
+    Bridge.registerTableFunction(spark, "bucket_join", { args =>
+      require(args.length == 3, "bucket_join(left_path, right_path, key)")
+      Bridge.logicalPlan(graft.operators.BucketedJoin.coBucketedJoin(spark,
+        str(args(0), "bucket_join: left_path"),
+        str(args(1), "bucket_join: right_path"),
+        str(args(2), "bucket_join: key")))
+    })
   }
 
   /** OPTIMIZE dispatch: bin-pack small files and materialize merge-on-read
@@ -866,6 +878,94 @@ object Lake {
     (v, fresh.length.toLong)
   }
 
+  /** Parsed ANALYZE TABLE statistics of a lake table. `bytes` is the sum
+    * of live data-file sizes at analyze time; `ndv` is approximate
+    * (HyperLogLog++). `version` records the analyzed snapshot so readers
+    * can judge staleness. */
+  final case class TableStats(rows: Long, bytes: Long, version: Long,
+      ndv: Map[String, Long], nulls: Map[String, Long])
+
+  private val statsKey = "graft.stats"
+
+  /** `ANALYZE TABLE '<path>' COMPUTE STATISTICS` — ONE aggregate pass over
+    * the table (count + per-atomic-column approximate NDV and null count,
+    * all partial/map-side combined) persisted into the table's OWN
+    * metadata: Delta configuration / Iceberg table properties, both
+    * carried forward by every later commit. These are the numbers that
+    * make the delegated-SQL planner's size gates principled instead of
+    * heuristic: [[delegateSelect]] turns `rows/bytes × Π 1/ndv(eq-col)`
+    * into a broadcast decision a raw file-size threshold cannot see
+    * (a big table with a selective equality filter IS broadcast-scale).
+    * Stats are a snapshot-stamped estimate, not a constraint — re-run
+    * after large writes; consumers check the stamped version. */
+  def analyzeTable(spark: SparkSession, path: String): Long = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, col, count, lit, sum, when}
+    require(detect(spark, path) != Parquet,
+      s"ANALYZE TABLE needs a lake table (stats ride its metadata), got parquet at $path")
+    val df = read(spark, path)
+    val cols = df.schema.fields.toSeq.filter(_.dataType match {
+      case _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType |
+           _: org.apache.spark.sql.types.StructType |
+           org.apache.spark.sql.types.BinaryType => false
+      case _ => true
+    })
+    val aggs = count(lit(1)).as("__rows") +: cols.flatMap(f => Seq(
+      approx_count_distinct(col(f.name)).as(s"__ndv_${f.name}"),
+      sum(when(col(f.name).isNull, 1L).otherwise(0L)).cast("long")
+        .as(s"__nulls_${f.name}")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val bytes = {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      df.inputFiles.map { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(hconf).getFileStatus(hp).getLen
+      }.sum
+    }
+    def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val colJson = cols.zipWithIndex.map { case (f, i) =>
+      val nulls = if (row.isNullAt(2 + 2 * i)) 0L else row.getLong(2 + 2 * i)
+      s"${jq(f.name)}:{${jq("ndv")}:${row.getLong(1 + 2 * i)},${jq("nulls")}:$nulls}"
+    }.mkString("{", ",", "}")
+    // version stamp = what versionOf reports right AFTER this statement:
+    // Delta's properties commit claims head+1 (a racing interleaved commit
+    // makes the stamp mismatch → consumers safely ignore the stats);
+    // Iceberg's metadata-only bump leaves the snapshot id untouched. A
+    // later DATA commit moves the head past the stamp either way, which
+    // is exactly the staleness signal the broadcast gate checks.
+    val stamped = detect(spark, path) match {
+      case Delta => versionOf(spark, path) + 1
+      case _ => versionOf(spark, path)
+    }
+    val json = s"""{"rows":${row.getLong(0)},"bytes":$bytes,""" +
+      s""""version":$stamped,"cols":$colJson}"""
+    detect(spark, path) match {
+      case Delta => DeltaWrite.setProperties(spark, path, Map(statsKey -> json))
+      case Iceberg =>
+        IcebergWrite.setProperties(spark, path, Map(statsKey -> json)); versionOf(spark, path)
+      case Parquet => throw new IllegalStateException("unreachable")
+    }
+  }
+
+  /** The persisted [[analyzeTable]] stats of a table, if any. */
+  def tableStats(spark: SparkSession, path: String): Option[TableStats] = scala.util.Try {
+    val jsonOpt = detect(spark, path) match {
+      case Delta => DeltaRead.snapshotInfo(spark, path).configuration.get(statsKey)
+      case Iceberg => IcebergRead.tableProperties(spark, path).get(statsKey)
+      case Parquet => None
+    }
+    jsonOpt.map { j =>
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(j)
+      import scala.jdk.CollectionConverters._
+      val cols = Option(n.get("cols")).toSeq
+        .flatMap(_.properties().asScala.map(e => e.getKey -> e.getValue))
+      TableStats(n.path("rows").asLong(0), n.path("bytes").asLong(0),
+        n.path("version").asLong(-1),
+        cols.map { case (k, v) => k -> v.path("ndv").asLong(0) }.toMap,
+        cols.map { case (k, v) => k -> v.path("nulls").asLong(0) }.toMap)
+    }
+  }.toOption.flatten
+
   private def versionOf(spark: SparkSession, path: String): Long =
     detect(spark, path) match {
       case Delta => DeltaRead.snapshotInfo(spark, path).version
@@ -1160,6 +1260,8 @@ object Lake {
       """(?is)COPY\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s+FORMAT\s+(\w+)\s*(WITH\s+SCHEMA\s+EVOLUTION\s*)?""".r
     val Truncate =
       """(?is)(?:TRUNCATE\s+(?:TABLE\s+)?|DELETE\s+FROM\s+)'([^']+)'\s*""".r
+    val Analyze =
+      """(?is)ANALYZE\s+TABLE\s+'([^']+)'\s*(?:COMPUTE\s+STATISTICS\s*)?(?:FOR\s+ALL\s+COLUMNS\s*)?""".r
     val UpdateHead = """(?is)UPDATE\s+'([^']+)'(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s+SET\s+(.+)""".r
     val MergeHead =
       """(?is)MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+'([^']+)'\s+USING\s*(\(.*)""".r
@@ -1509,6 +1611,8 @@ object Lake {
         -1L
       case CopyInto(path, srcDir, fmt, evolveOrNull) =>
         copyInto(spark, path, srcDir, fmt, evolve = evolveOrNull != null)._1
+      case Analyze(path) =>
+        analyzeTable(spark, path)
       case Truncate(path) =>
         // remove every row in ONE commit, keep schema/partitioning/history
         // (time travel still reads the pre-truncate data) — an overwrite
@@ -2479,13 +2583,20 @@ object Lake {
     val registered = Seq.newBuilder[PrunedView]
     resolved.zipWithIndex.foreach { case ((r, v, base), idx) =>
       val myConj = conjuncts.getOrElse(idx, Nil)
-      val scan =
+      val scan0 =
         if (myConj.isEmpty) base
         else {
           val pred = myConj.map(_._2).reduce(_ && _)
           scala.util.Try(scanPruned(spark, r.path, pred, v)._1)
             .getOrElse(base)
         }
+      // ANALYZE-stats broadcast gate: a big table with a selective
+      // equality filter IS broadcast-scale even when its file size alone
+      // says shuffle — the persisted rows/bytes/NDV make that decision
+      // principled where the 4 MB file threshold cannot see past the scan
+      val scan =
+        if (r.path.endsWith(".view.sql")) scan0
+        else statsBroadcastHint(spark, r.path, v, scan0, myConj.map(_._1))
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(s"${r.path}@$v@${myConj.map(_._1).mkString("&")}"
           .getBytes("UTF-8"))
@@ -2516,6 +2627,53 @@ object Lake {
     * dim-side bounds probe is a real (bounded) Spark job, and EXPLAIN
     * promises not to run ANY job, so the probe is skipped under it. */
   private val planOnly = new scala.util.DynamicVariable[Boolean](false)
+
+  /** The [[analyzeTable]]-stats broadcast decision for one delegated
+    * reference: estimated surviving bytes = analyzed bytes × Π selectivity
+    * of the reference's own equality/IN conjuncts (`1/ndv`, `k/ndv` —
+    * ranges and everything else count 1.0, conservative), broadcast-hint
+    * the scan when that estimate fits the session's autoBroadcast
+    * threshold. Sound by construction: a hint never changes results, only
+    * the join strategy; stats must be stamped at the CURRENT version
+    * (and match an explicit pin) or the heuristic plan stands — stale
+    * stats must not broadcast a table that grew. */
+  private def statsBroadcastHint(spark: SparkSession, path: String,
+      version: Long, scan: DataFrame, conjunctTexts: Seq[String]): DataFrame = {
+    val stats = tableStats(spark, path).getOrElse(return scan)
+    val head = versionOf(spark, path)
+    if (stats.version != head || (version >= 0 && version != head)) return scan
+    val threshold = scala.util.Try(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold")))
+      .getOrElse(-1L)
+    if (threshold <= 0 || stats.bytes <= threshold) return scan // Catalyst's call
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, In, Literal}
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def sel(e: Expression): Double = e match {
+      case EqualTo(l, _: Literal) =>
+        nameOf(l).flatMap(stats.ndv.get).filter(_ > 0).map(1.0 / _).getOrElse(1.0)
+      case EqualTo(_: Literal, r) =>
+        nameOf(r).flatMap(stats.ndv.get).filter(_ > 0).map(1.0 / _).getOrElse(1.0)
+      case In(v, list) if list.forall(_.isInstanceOf[Literal]) =>
+        nameOf(v).flatMap(stats.ndv.get).filter(_ > 0)
+          .map(n => math.min(1.0, list.size.toDouble / n)).getOrElse(1.0)
+      case And(l, r) => sel(l) * sel(r)
+      case _ => 1.0
+    }
+    val s = conjunctTexts.map { t =>
+      scala.util.Try(sel(
+        org.apache.spark.sql.graft.Bridge.parseExpression(spark, t)))
+        .getOrElse(1.0)
+    }.product
+    if (stats.bytes * s <= threshold)
+      org.apache.spark.sql.functions.broadcast(scan)
+    else scan
+  }
 
   /** Count of executed dim-side bounds probes — observability for specs
     * (EXPLAIN must leave it unchanged; an executed join SELECT moves it). */
@@ -2820,7 +2978,7 @@ object Lake {
     val Head = ("""(?is)^((?:DELETE\s+FROM|UPDATE|MERGE\s+(?:WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO|INSERT\s+INTO|""" +
       """INSERT\s+OVERWRITE|OPTIMIZE|VACUUM|RESTORE|DESCRIBE\s+HISTORY|DESCRIBE\s+DETAIL|DESCRIBE|""" +
       """SHOW\s+PARTITIONS|SHOW\s+CREATE\s+TABLE|ALTER\s+TABLE|""" +
-      """TRUNCATE\s+TABLE|TRUNCATE|COPY\s+INTO|""" +
+      """TRUNCATE\s+TABLE|TRUNCATE|COPY\s+INTO|ANALYZE\s+TABLE|""" +
       """REFRESH\s+MATERIALIZED\s+VIEW|DROP\s+MATERIALIZED\s+VIEW)\s+)""" +
       """([A-Za-z_]\w*)\b(.*)""").r
     def isDir(p: String): Boolean = scala.util.Try {

@@ -41,4 +41,54 @@ class BucketingSpec extends SparkSpec {
       assert(plan.contains("SelectedBucketsCount"), plan.take(2000))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4m")
   }
+
+  test("co-bucketed ICEBERG tables join shuffle-free and match the shuffled twin") {
+    import graft.operators.BucketedJoin
+    import graft.sources.{IcebergRead, IcebergWrite, Lake}
+    val root = java.nio.file.Files.createTempDirectory("graft_spj").toString
+    val orders = Tables(spark, sf001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val customer = Tables(spark, sf001, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_acctbal"))
+    IcebergWrite.append(spark, orders, s"$root/orders",
+      partitionBy = Seq("bucket(8, o_custkey)"))
+    IcebergWrite.append(spark, customer, s"$root/customer",
+      partitionBy = Seq("bucket(8, o_custkey)"))
+
+    assert(BucketedJoin.coBucketed(spark, s"$root/orders", s"$root/customer",
+      "o_custkey"))
+    val joined = BucketedJoin.coBucketedJoin(spark,
+      s"$root/orders", s"$root/customer", "o_custkey")
+    // the whole lineage is narrow: no ShuffledRDD anywhere below the join
+    val lineage = joined.rdd.toDebugString
+    assert(!lineage.contains("ShuffledRDD"), lineage.take(2000))
+    assert(joined.rdd.getNumPartitions === 8)
+
+    // result set identical to the ordinary shuffled join
+    val expected = IcebergRead.snapshot(spark, s"$root/orders")
+      .join(IcebergRead.snapshot(spark, s"$root/customer"), "o_custkey")
+      .select(joined.columns.map(col): _*)
+    assert(joined.count() === expected.count())
+    assert(joined.exceptAll(expected).isEmpty && expected.exceptAll(joined).isEmpty)
+
+    // SQL surface: the bucket_join TVF plans the same shuffle-free shape
+    Lake.registerSqlSurface(spark)
+    val viaSql = spark.sql(
+      s"""SELECT count(*) AS cnt, round(sum(o_totalprice * c_acctbal), 2) AS x
+          FROM bucket_join('$root/orders', '$root/customer', 'o_custkey')""")
+      .collect().head
+    val exp = expected.agg(count(lit(1)), round(sum(col("o_totalprice") * col("c_acctbal")), 2))
+      .collect().head
+    assert(viaSql.getLong(0) === exp.getLong(0))
+    assert(math.abs(viaSql.getDouble(1) - exp.getDouble(1)) < 1e-6)
+
+    // guards: unequal n and deleted rows both refuse (fall back to shuffle)
+    IcebergWrite.append(spark, customer, s"$root/cust4",
+      partitionBy = Seq("bucket(4, o_custkey)"))
+    intercept[IllegalArgumentException](BucketedJoin.coBucketedJoin(spark,
+      s"$root/orders", s"$root/cust4", "o_custkey"))
+    IcebergWrite.deleteWhere(spark, s"$root/customer", col("o_custkey") === 1L)
+    assert(!BucketedJoin.coBucketed(spark, s"$root/orders", s"$root/customer",
+      "o_custkey"))
+  }
 }
