@@ -179,6 +179,37 @@ object IoQueries {
       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
       FROM orders WHERE concat('K', o_orderkey) IN ('K500', 'K1500', 'K-absent')"""))
 
+  /** PERSISTED bloom skipping on a Delta table: the table opts into
+    * per-file bloom sketches (`ALTER TABLE … SET BLOOM FILTER (ok_str)` →
+    * the extended `graftBloom` key in each add action's stats), the data
+    * lands HASH-laid-out (every file's [min, max] spans the whole key
+    * domain — interval pruning keeps everything), and a point/IN
+    * statement over the lake path prunes through the sketches persisted
+    * in the LOG — no side stats table, stock-reader-compatible. Same
+    * invisibility contract as t_bloom_skipping (its plain-layout twin):
+    * the pruned scan re-applies the exact predicate, so the result equals
+    * the full-scan filter; prune-file counts asserted in DeltaBloomSpec. */
+  val tdeltaBloom = GQuery(
+    "t_delta_bloom_skipping",
+    (s, dir) => {
+      val t = tmp("graft_deltabloom_q") + "/tbl"
+      val src = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("ok_str", concat(lit("K"), col("o_orderkey")))
+        .repartition(8, col("o_orderkey"))
+      graft.sources.DeltaWrite.append(s, src.limit(0), t) // schema-only seed
+      graft.sources.Lake.sql(s,
+        s"ALTER TABLE '$t' SET BLOOM FILTER (ok_str)")
+      graft.sources.DeltaWrite.append(s, src, t)
+      graft.sources.Lake.sqlFrame(s,
+        s"""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+            min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+            FROM '$t' WHERE ok_str IN ('K500', 'K1500', 'K-absent')""")
+    },
+    Some("""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+      min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      FROM orders WHERE concat('K', o_orderkey) IN ('K500', 'K1500', 'K-absent')"""))
+
   /** Token-bloom text-search skipping: per-file blooms over every
     * whitespace token of `text` answer "which files could contain a
     * document with this term" — full-text file pruning where min/max and
@@ -2019,7 +2050,7 @@ object IoQueries {
       ORDER BY fmt, "partition""""))
 
   def all: Seq[GQuery] =
-    Seq(t1, t1orc, t1avro, t2avro, t2, t3, tmetaCounts, tskip, tnullskip, tbloom, ttokens, ticebergStats, ticebergSpecEvo, ticebergWap, tdeltaStats, tdelta, ticeberg,
+    Seq(t1, t1orc, t1avro, t2avro, t2, t3, tmetaCounts, tskip, tnullskip, tbloom, tdeltaBloom, ttokens, ticebergStats, ticebergSpecEvo, ticebergWap, tdeltaStats, tdelta, ticeberg,
       tdeltaRt, ticebergRt, ticebergMor,
       tdeltaDv, tdeltaUpsert, ticebergPart, ticebergHiddenPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tlakeReplaceWhere, tlakeSqlDml,

@@ -397,6 +397,8 @@ object DeltaRead {
     val stats = statsFrame(spark, snap)
     val statCols = stats.columns.collect {
       case c if c.startsWith("min_") => c.stripPrefix("min_") }.toSet
+    val bloomCols = stats.columns.collect {
+      case c if c.startsWith("bloom_") => c.stripPrefix("bloom_") }.toSet
     val cond = spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), snap.schema)
       .where(pred).queryExecution.analyzed
@@ -405,7 +407,7 @@ object DeltaRead {
       case None => snapshotImpl(spark, table, -1L, lineage = true)
       case Some(c) =>
         val keep = stats
-          .where(graft.operators.DataSkipping.fileSurvives(c, statCols))
+          .where(graft.operators.DataSkipping.fileSurvives(c, statCols, bloomCols))
           .select("file").collect().map(_.getString(0)).toSet
         assembleData(spark, table,
           snap.copy(files = snap.files.filter(f => keep(f.path))), lineage = true)
@@ -612,6 +614,13 @@ object DeltaRead {
           java.sql.Timestamp.valueOf(s.replace("T", " "))
         case _ => null
       }).getOrElse(null)
+    // persisted per-file blooms (the `graftBloom` extended stats key —
+    // written by stageFiles for the table's `graft.bloom.columns`): each
+    // opted-in EXISTING column gets a `bloom_<name>` binary column the
+    // fileSurvives translator probes for =/IN where [min,max] can't help
+    val bloomFields = snap.configuration.get("graft.bloom.columns").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .flatMap(n => snap.schema.fields.find(_.name == n))
     val rows = snap.files.map { f =>
       val parsed = f.stats.map(mapper.readTree)
       def section(name: String): com.fasterxml.jackson.databind.JsonNode =
@@ -636,14 +645,24 @@ object DeltaRead {
             cell(nulls, n => Long.box(n.asLong())))
         }
       }
-      org.apache.spark.sql.Row.fromSeq(f.path +: n +: cells)
+      val bloomCells = bloomFields.map { bf =>
+        val v = section("graftBloom").path(snap.physicalName(bf.name))
+        // missing sketch (file written before the opt-in, or by a foreign
+        // writer) → null → conservative keep in the probe
+        if (v.isMissingNode || v.isNull) null
+        else scala.util.Try(java.util.Base64.getDecoder.decode(v.asText()))
+          .getOrElse(null)
+      }
+      org.apache.spark.sql.Row.fromSeq(f.path +: n +: (cells ++ bloomCells))
     }
     val outSchema = StructType(
       StructField("file", org.apache.spark.sql.types.StringType) ::
         StructField("rows", org.apache.spark.sql.types.LongType) ::
-        statFields.flatMap(sf => Seq(
+        (statFields.flatMap(sf => Seq(
           StructField(s"min_${sf.name}", sf.dataType), StructField(s"max_${sf.name}", sf.dataType),
-          StructField(s"nulls_${sf.name}", org.apache.spark.sql.types.LongType))).toList)
+          StructField(s"nulls_${sf.name}", org.apache.spark.sql.types.LongType))) ++
+          bloomFields.map(bf =>
+            StructField(s"bloom_${bf.name}", org.apache.spark.sql.types.BinaryType))).toList)
     spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
@@ -731,6 +750,8 @@ object DeltaRead {
     val stats = statsFrame(spark, snap)
     val statCols = stats.columns.collect {
       case c if c.startsWith("min_") => c.stripPrefix("min_") }.toSet
+    val bloomCols = stats.columns.collect {
+      case c if c.startsWith("bloom_") => c.stripPrefix("bloom_") }.toSet
     // resolve the predicate against an EMPTY frame with the snapshot's
     // schema, reading the ANALYZED plan: resolving against the real scan
     // and optimizing would let Catalyst fold partition predicates into the
@@ -740,7 +761,8 @@ object DeltaRead {
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), snap.schema)
       .where(pred).queryExecution.analyzed
       .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
-    val survives = cond.map(graft.operators.DataSkipping.fileSurvives(_, statCols))
+    val survives = cond.map(
+      graft.operators.DataSkipping.fileSurvives(_, statCols, bloomCols))
       .getOrElse(lit(true))
     val total = stats.count()
     val keep = stats.where(survives).select("file").collect().map(_.getString(0)).toSet

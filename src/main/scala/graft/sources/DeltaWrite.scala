@@ -114,11 +114,22 @@ object DeltaWrite {
         case d if d.isDirectory => anyParquet(d)
         case f => f.getName.endsWith(".parquet")
       }
+    // persisted per-file blooms: the table opts in via the
+    // `graft.bloom.columns` property (ALTER TABLE … SET BLOOM FILTER) —
+    // point/IN predicates on high-NDV columns then prune where [min,max]
+    // spans the whole domain. Config names LOGICAL columns; the staged
+    // frame speaks physical under column mapping, so translate here.
+    val bloomCols: Seq[String] = scala.util.Try {
+      val snap = DeltaRead.snapshotInfo(df.sparkSession, table)
+      snap.configuration.get("graft.bloom.columns").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        .map(snap.physicalName)
+    }.getOrElse(Nil).filter(df.columns.contains)
     val statsByPath =
       if (!anyParquet(new java.io.File(stage))) Map.empty[String, String]
       else collectFileStats(df.sparkSession, stage,
         df.schema.fields.toSeq.filterNot(f => partitionBy.contains(f.name))
-          .filter(f => DeltaRead.statsSupported(f.dataType)))
+          .filter(f => DeltaRead.statsSupported(f.dataType)), bloomCols)
 
     def walk(dir: java.io.File, values: Map[String, String]): Seq[(java.io.File, Map[String, String])] =
       Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
@@ -156,16 +167,21 @@ object DeltaWrite {
   }
 
   /** One agg job over a staged write: per-file protocol stats JSON keyed
-    * by the file's absolute real path. */
+    * by the file's absolute real path. `bloomFields` adds a per-file
+    * xxhash64(seed 42) bloom sketch per named column under the extended
+    * `graftBloom` stats key (base64; stock readers ignore unknown keys). */
   private def collectFileStats(spark: SparkSession, stage: String,
-      statFields: Seq[org.apache.spark.sql.types.StructField]): Map[String, String] = {
-    import org.apache.spark.sql.functions.{col => fcol, count => fcount, input_file_name, lit => flit, max => fmax, min => fmin, sum => fsum, when => fwhen}
+      statFields: Seq[org.apache.spark.sql.types.StructField],
+      bloomFields: Seq[String] = Nil): Map[String, String] = {
+    import org.apache.spark.sql.functions.{col => fcol, count => fcount, input_file_name, lit => flit, max => fmax, min => fmin, sum => fsum, when => fwhen, xxhash64}
     // statFields may be empty (no supported columns): still aggregate the
     // count — a file ABSENT from the result is exactly a 0-row part file,
     // which stageFiles uses to skip committing empties
-    val aggs = fcount(flit(1)).as("__n") +: statFields.flatMap(f => Seq(
+    val aggs = (fcount(flit(1)).as("__n") +: statFields.flatMap(f => Seq(
       fmin(fcol(f.name)).as(s"__mn_${f.name}"), fmax(fcol(f.name)).as(s"__mx_${f.name}"),
-      fsum(fwhen(fcol(f.name).isNull, flit(1L)).otherwise(flit(0L))).as(s"__nl_${f.name}")))
+      fsum(fwhen(fcol(f.name).isNull, flit(1L)).otherwise(flit(0L))).as(s"__nl_${f.name}")))) ++
+      bloomFields.map(c => graft.operators.BloomOps
+        .bloomAgg(xxhash64(fcol(c)), 1000000L, 1024L * 1024).as(s"__bl_$c"))
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     def jsonValue(dt: org.apache.spark.sql.types.DataType, v: Any): com.fasterxml.jackson.databind.JsonNode = {
       val nf = om.getNodeFactory
@@ -199,6 +215,14 @@ object DeltaWrite {
           if (mn != null) mins.set[com.fasterxml.jackson.databind.JsonNode](f.name, jsonValue(f.dataType, mn))
           if (mx != null) maxs.set[com.fasterxml.jackson.databind.JsonNode](f.name, jsonValue(f.dataType, mx))
           nulls.put(f.name, r.getAs[Long](s"__nl_${f.name}"))
+        }
+        if (bloomFields.nonEmpty) {
+          val blooms = root.putObject("graftBloom")
+          bloomFields.foreach { c =>
+            val blob = r.getAs[Array[Byte]](s"__bl_$c")
+            if (blob != null)
+              blooms.put(c, java.util.Base64.getEncoder.encodeToString(blob))
+          }
         }
         // input_file_name is a Hadoop-Path URI string: percent-escapes in
         // it are ENCODING (space → %20, % → %25), not disk characters —

@@ -1317,6 +1317,8 @@ object Lake {
     // capture from the open paren and split top-level
     val AlterSetSpec =
       """(?is)ALTER\s+TABLE\s+'([^']+)'\s+SET\s+PARTITION\s+SPEC\s*(\(.*)""".r
+    val AlterSetBloom =
+      """(?is)ALTER\s+TABLE\s+'([^']+)'\s+SET\s+BLOOM\s+FILTER\s*\(([\w\s,]*)\)\s*""".r
     // post-statement version for the metadata-only ALTERs whose dispatch
     // returns Unit (Delta: new log version; Iceberg schema evolution bumps
     // metadata without a snapshot — report the unchanged head)
@@ -1381,6 +1383,23 @@ object Lake {
           case Delta => DeltaWrite.dropCheckConstraint(spark, path, name)
           case other => throw new IllegalArgumentException(
             s"DROP CONSTRAINT is a Delta protocol feature, got $other at $path")
+        }
+      case AlterSetBloom(path, colList) =>
+        // opt FUTURE writes into per-file bloom sketches on the named
+        // columns (the extended `graftBloom` stats key): point/IN
+        // predicates then prune high-NDV columns whose [min,max] spans
+        // the domain. Empty list = drop the opt-in. Existing files keep
+        // null sketches (conservative keep) until rewritten (OPTIMIZE).
+        val cols = colList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val schema = read(spark, path).schema
+        cols.foreach(c => require(schema.fieldNames.contains(c),
+          s"SET BLOOM FILTER: no column '$c' in ${schema.fieldNames.mkString(",")}"))
+        detect(spark, path) match {
+          case Delta => DeltaWrite.setProperties(spark, path,
+            Map("graft.bloom.columns" -> cols.mkString(",")))
+          case other => throw new IllegalArgumentException(
+            "SET BLOOM FILTER persists sketches in Delta add.stats " +
+              s"(graftBloom key) — not supported for $other at $path")
         }
       case AlterSetSpec(path, fromParen) =>
         val close = matchingParen(fromParen, 0)
