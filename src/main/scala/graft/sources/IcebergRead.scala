@@ -106,6 +106,23 @@ object IcebergRead {
     snapshotImpl(spark, table, -1L, lineage = false, keepPaths = Some(paths))
 
   /** Current snapshot id — the incremental-read / sync frontier. */
+  /** Per-file bloom sketches from the `metadata/blooms-*.json` sidecars
+    * ([[IcebergWrite]] writes one per staged batch when the table opts in
+    * via the `graft.bloom.columns` property): file path → column →
+    * sketch bytes. Orphaned entries (rewritten-away files) are inert —
+    * consumers join by live file path. */
+  private[sources] def bloomSidecars(table: String): Map[String, Map[String, Array[Byte]]] = {
+    val dir = metadataFile(table).getParentFile
+    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.getName.startsWith("blooms-") && f.getName.endsWith(".json"))
+      .flatMap { f =>
+        mapper.readTree(f).properties().asScala.map { e =>
+          e.getKey -> e.getValue.properties().asScala.map(c =>
+            c.getKey -> java.util.Base64.getDecoder.decode(c.getValue.asText())).toMap
+        }
+      }.toMap
+  }
+
   /** The metadata's table `properties` map (ANALYZE stats live here). */
   def tableProperties(spark: SparkSession, table: String): Map[String, String] = {
     val meta = mapper.readTree(metadataFile(table))
@@ -834,9 +851,32 @@ object IcebergRead {
     val schema = StructType(fieldTriples(schemaNodeFor(meta, snapNode)).map {
       case (_, n, dt) => StructField(n, dt)
     })
-    val (stats, bucketModuli) = fileStatsFull(spark, table, resolvedId)
-    val statCols = stats.columns.collect {
+    val (stats0, bucketModuli) = fileStatsFull(spark, table, resolvedId)
+    val statCols = stats0.columns.collect {
       case c if c.startsWith("min_") => c.stripPrefix("min_") }.toSet
+    // sidecar bloom sketches join the stats frame as bloom_<col> columns
+    // (opt-in property; missing sketch = null = conservative keep) — the
+    // =/IN tier for hash layouts whose [min,max] spans the domain
+    val bloomColNames = tableProperties(spark, table).get("graft.bloom.columns")
+      .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .filter(schema.fieldNames.contains)
+    val (stats, bloomSet) =
+      if (bloomColNames.isEmpty) (stats0, Set.empty[String])
+      else {
+        val side = bloomSidecars(table)
+        if (side.isEmpty) (stats0, Set.empty[String])
+        else {
+          def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+          val normSide = side.map { case (k, v) => norm(k) -> v }
+          val added = bloomColNames.foldLeft(stats0) { (df, c) =>
+            val look = org.apache.spark.sql.functions.udf((f: String) =>
+              normSide.get(norm(f)).flatMap(_.get(c)).orNull)
+            df.withColumn(s"bloom_$c",
+              look(org.apache.spark.sql.functions.col("file")))
+          }
+          (added, bloomColNames.toSet)
+        }
+      }
     // analyzed plan over an empty same-schema frame: same move as the
     // Delta twin — optimization could fold/push the predicate out of
     // Filter shape (e.g. into a MOR join side), losing the prune
@@ -844,7 +884,8 @@ object IcebergRead {
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
       .where(pred).queryExecution.analyzed
       .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
-    val survives = cond.map(graft.operators.DataSkipping.fileSurvives(_, statCols))
+    val survives = cond.map(
+      graft.operators.DataSkipping.fileSurvives(_, statCols, bloomSet))
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     // bucket[n] partition-predicate projection rides as an extra conjunct:
     // min/max intervals can't express a bucket, but an equality/IN probe

@@ -327,22 +327,41 @@ object IcebergWrite {
     // data column, destined for the manifest's lower/upper_bounds maps
     val statCols = df.schema.fields.toSeq
       .filter(f => IcebergBounds.supported(f.dataType)).map(_.name)
-    val aggCols = (fcount(flit(1)).as("n") +: partTypes.map { case (c, dt) =>
+    // per-file bloom sketches (opt-in via `graft.bloom.columns` table
+    // property) ride the same job; they land in a SIDECAR json under
+    // metadata/ — the manifest avro schema has no bloom slot
+    val bloomCols: Seq[String] = scala.util.Try {
+      readPrior(table).flatMap(p => Option(p.get("properties")))
+        .map(_.path("graft.bloom.columns").asText("")).getOrElse("")
+    }.getOrElse("").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .filter(df.columns.contains)
+    val aggCols = ((fcount(flit(1)).as("n") +: partTypes.map { case (c, dt) =>
       ffirst(fcol(s"__p_$c").cast(dt)).as(c)
     }) ++ statCols.flatMap(c => Seq(
       org.apache.spark.sql.functions.min(fcol(c)).as(s"__mn_$c"),
       org.apache.spark.sql.functions.max(fcol(c)).as(s"__mx_$c"),
       org.apache.spark.sql.functions.sum(
         org.apache.spark.sql.functions.when(fcol(c).isNull, flit(1L)).otherwise(flit(0L)))
-        .as(s"__nl_$c")))
+        .as(s"__nl_$c")))) ++
+      bloomCols.map(c => graft.operators.BloomOps
+        .bloomAgg(org.apache.spark.sql.functions.xxhash64(fcol(c)), 1000000L, 1024L * 1024)
+        .as(s"__bl_$c"))
     // key by STAGE-RELATIVE path, not file name: partitionBy names files
     // per task, and one task writing several partition dirs reuses the
     // same name in each — a name-keyed map silently mixes their stats
     val stageRoot = stage.toRealPath().toString
-    val perFile: Map[String, (Long, Seq[Any], Map[String, (Any, Any, Long)])] = readBack
+    val aggRows = readBack
       .groupBy(input_file_name().as("f")).agg(aggCols.head, aggCols.tail: _*)
       .collect()
-      .map { r =>
+    def relOf(r: org.apache.spark.sql.Row): String = {
+      // decode Hadoop-Path URI escapes (space → %20 etc.) so the key
+      // matches the literal on-disk relative path the walk produces
+      val full = DeltaRead.pctDecode(
+        new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath)
+      full.stripPrefix(stageRoot).stripPrefix("/")
+    }
+    val perFile: Map[String, (Long, Seq[Any], Map[String, (Any, Any, Long)])] =
+      aggRows.map { r =>
         val values = partTypes.indices.map { i =>
           r.get(i + 2) match {
             case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt // spec: epoch days
@@ -352,11 +371,13 @@ object IcebergWrite {
         val stats = statCols.map { c =>
           c -> (r.getAs[Any](s"__mn_$c"), r.getAs[Any](s"__mx_$c"), r.getAs[Long](s"__nl_$c"))
         }.toMap
-        // decode Hadoop-Path URI escapes (space → %20 etc.) so the key
-        // matches the literal on-disk relative path the walk produces
-        val full = DeltaRead.pctDecode(
-          new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath)
-        (full.stripPrefix(stageRoot).stripPrefix("/"), (r.getLong(1), values, stats))
+        (relOf(r), (r.getLong(1), values, stats))
+      }.toMap
+    val bloomsByRel: Map[String, Map[String, Array[Byte]]] =
+      if (bloomCols.isEmpty) Map.empty
+      else aggRows.map { r =>
+        relOf(r) -> bloomCols.flatMap(c =>
+          Option(r.getAs[Array[Byte]](s"__bl_$c")).map(c -> _)).toMap
       }.toMap
 
     def walk(dir: java.io.File): Seq[java.io.File] =
@@ -364,6 +385,7 @@ object IcebergWrite {
         if (f.isDirectory) walk(f)
         else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
       }
+    val sidecar = Map.newBuilder[String, Map[String, Array[Byte]]]
     val dataFiles = walk(stage.toFile).flatMap { f =>
       val rel = stage.toRealPath().relativize(f.toPath.toRealPath()).toString
       perFile.get(rel) match {
@@ -371,8 +393,26 @@ object IcebergWrite {
         case Some((n, values, stats)) =>
           val dest = dataDir(table).resolve(s"${java.util.UUID.randomUUID()}-${f.getName}")
           Files.move(f.toPath, dest)
+          bloomsByRel.get(rel).filter(_.nonEmpty)
+            .foreach(b => sidecar += dest.toRealPath().toString -> b)
           Some((dest, n, values, stats))
       }
+    }
+    val sidecarMap = sidecar.result()
+    if (sidecarMap.nonEmpty) {
+      // one sidecar json per staged batch: {"<abs file path>": {col: b64}}
+      // — orphaned entries (files later rewritten away) are harmless, the
+      // reader joins by live file path only
+      val om = mapper
+      val root = om.createObjectNode()
+      sidecarMap.foreach { case (p, byCol) =>
+        val n = root.putObject(p)
+        byCol.foreach { case (c, blob) =>
+          n.put(c, java.util.Base64.getEncoder.encodeToString(blob)) }
+      }
+      val out = metaDir(table).resolve(
+        s"blooms-${java.util.UUID.randomUUID()}.json")
+      Files.writeString(out, om.writeValueAsString(root))
     }
     def rmr(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr); f.delete()

@@ -1386,7 +1386,8 @@ object Lake {
         }
       case AlterSetBloom(path, colList) =>
         // opt FUTURE writes into per-file bloom sketches on the named
-        // columns (the extended `graftBloom` stats key): point/IN
+        // columns (Delta: the extended `graftBloom` stats key inside each
+        // add action; Iceberg: metadata/blooms-*.json sidecars): point/IN
         // predicates then prune high-NDV columns whose [min,max] spans
         // the domain. Empty list = drop the opt-in. Existing files keep
         // null sketches (conservative keep) until rewritten (OPTIMIZE).
@@ -1397,9 +1398,13 @@ object Lake {
         detect(spark, path) match {
           case Delta => DeltaWrite.setProperties(spark, path,
             Map("graft.bloom.columns" -> cols.mkString(",")))
-          case other => throw new IllegalArgumentException(
-            "SET BLOOM FILTER persists sketches in Delta add.stats " +
-              s"(graftBloom key) — not supported for $other at $path")
+          case Iceberg =>
+            IcebergWrite.setProperties(spark, path,
+              Map("graft.bloom.columns" -> cols.mkString(",")))
+            versionOf(path)
+          case Parquet => throw new IllegalArgumentException(
+            "SET BLOOM FILTER persists sketches in the table's own " +
+              s"metadata — plain parquet has none at $path")
         }
       case AlterSetSpec(path, fromParen) =>
         val close = matchingParen(fromParen, 0)
@@ -2698,6 +2703,12 @@ object Lake {
     * (EXPLAIN must leave it unchanged; an executed join SELECT moves it). */
   private[sources] val jdpProbeCount = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Largest dim key set [[joinDerivedPrune]] turns into an IN probe —
+    * beyond it the translated survives-expression (one interval+bloom
+    * check per key per file) outgrows its usefulness and the min/max
+    * bounds probe takes over. */
+  private val MaxJdpInKeys = 256
+
   /** JOIN-DERIVED manifest pruning — the skipping tier S11ppm's per-alias
     * conjuncts cannot reach: a selective DIM-side filter never shrinks the
     * FACT side's file set through its own WHERE, so the Q3-shape join
@@ -2801,10 +2812,28 @@ object Lake {
           val dimRows = dim.conjuncts.map(_._2)
             .foldLeft(dim.scan)((d, c) => d.where(c))
           jdpProbeCount.incrementAndGet()
-          val row = dimRows.agg(min(col(dimKey)), max(col(dimKey))).head()
-          if (!row.isNullAt(0) && !row.isNullAt(1)) {
-            val bounds = col(factKey) >= lit(row.get(0)) &&
-              col(factKey) <= lit(row.get(1))
+          // TIGHTER probe first: a small dim key SET feeds `factKey IN
+          // (…)` through the stats translator, whose equality checks
+          // engage per-file BLOOM sketches (S8bl) — that prunes hash
+          // layouts where [min, max] spans the whole domain and a
+          // BETWEEN keeps everything. NULL dim keys drop (EqualTo join
+          // keys never match them). Overflow (> MaxJdpInKeys distinct)
+          // falls back to the one-row bounds agg; both probes are tiny
+          // jobs over the already-pruned broadcast-scale dim.
+          val keys = dimRows.select(col(dimKey))
+            .where(col(dimKey).isNotNull)
+            .distinct().limit(MaxJdpInKeys + 1).collect().map(_.get(0)).toSeq
+          val joinPred: Option[org.apache.spark.sql.Column] =
+            if (keys.isEmpty) None // empty dim: never fabricate FALSE
+            else if (keys.length <= MaxJdpInKeys)
+              Some(col(factKey).isin(keys: _*))
+            else {
+              val row = dimRows.agg(min(col(dimKey)), max(col(dimKey))).head()
+              if (row.isNullAt(0) || row.isNullAt(1)) None
+              else Some(col(factKey) >= lit(row.get(0)) &&
+                col(factKey) <= lit(row.get(1)))
+            }
+          joinPred.foreach { bounds =>
             val pred = (fact.conjuncts.map(_._2) :+ bounds).reduce(_ && _)
             val before = fact.scan.inputFiles.length
             val scan = scanPruned(spark, fact.path, pred, fact.version)._1

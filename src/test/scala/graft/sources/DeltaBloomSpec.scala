@@ -66,4 +66,54 @@ class DeltaBloomSpec extends SparkSpec {
     assert(rewritten.forall(_.stats.exists(_.contains("graftBloom"))),
       "compaction must backfill sketches on rewritten files")
   }
+
+  test("iceberg: sidecar blooms prune point/IN probes on a hash layout") {
+    val t = tmp("graft_ibloom") + "/tbl"
+    val src = (1L to 4000L).map(i => (i, s"K$i", i * 1.5)).toDF("id", "ks", "v")
+      .repartition(8, col("id"))
+    IcebergWrite.append(spark, src.limit(0), t) // schema-only seed
+    Lake.sql(spark, s"ALTER TABLE '$t' SET BLOOM FILTER (ks)")
+    IcebergWrite.append(spark, src, t)
+    assert(IcebergRead.bloomSidecars(t).size === 8,
+      "every staged file needs a sidecar sketch")
+    val (df, kept, total) = IcebergRead.scanPruned(spark, t, col("ks") === "K1234")
+    assert(total === 8L)
+    assert(kept < total, s"sidecar bloom did not prune: kept $kept of $total")
+    assert(df.select("id").as[Long].collect().toSeq === Seq(1234L))
+    // absent key ~0 files; IN stays exact
+    val (dfi, keptI, _) = IcebergRead.scanPruned(spark, t,
+      col("ks").isin("K7", "K3999", "K-ghost"))
+    assert(keptI < 8L)
+    assert(dfi.select("id").as[Long].collect().sorted.toSeq === Seq(7L, 3999L))
+    // the property survives data commits (carried verbatim)
+    IcebergWrite.append(spark, Seq((9999L, "K9999", 0.0)).toDF("id", "ks", "v"), t)
+    assert(IcebergRead.tableProperties(spark, t)
+      .get("graft.bloom.columns").contains("ks"))
+  }
+
+  test("join-derived pruning probes blooms through a small dim key SET") {
+    // hash layout: every fact file's [min,max] on ks spans the domain, so
+    // the old BETWEEN probe keeps all 8 — the dim's ≤256-key IN probe
+    // engages the per-file sketches and cuts to the matching files
+    val root = tmp("graft_dbloom_jdp")
+    val fact = (1L to 4000L).map(i => (i, s"K$i", i * 1.5)).toDF("id", "ks", "v")
+      .repartition(8, col("id"))
+    DeltaWrite.append(spark, fact.limit(0), s"$root/fact")
+    Lake.sql(spark, s"ALTER TABLE '$root/fact' SET BLOOM FILTER (ks)")
+    DeltaWrite.append(spark, fact, s"$root/fact")
+    DeltaWrite.append(spark,
+      Seq(("K7", "a"), ("K3999", "b")).toDF("ks", "tag"), s"$root/dim")
+    val stmt = s"""SELECT f.id, d.tag FROM '$root/fact' f
+        JOIN '$root/dim' d ON f.ks = d.ks"""
+    val ef = Lake.sqlFrame(spark, s"EXPLAIN FILES $stmt").collect()
+      .map(r => r.getString(0).split('/').last -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val (opened, total) = ef("fact")
+    assert(total === 8L)
+    assert(opened <= 2L, s"join-derived bloom prune did not fire: $opened/8")
+    // results identical to the plain API join
+    val got = Lake.sqlFrame(spark, stmt).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(got === Seq((7L, "a"), (3999L, "b")))
+  }
 }
