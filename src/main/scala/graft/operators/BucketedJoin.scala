@@ -29,8 +29,11 @@ import graft.sources.IcebergRead
   * cooperate — callers (and the `bucket_join` SQL TVF) treat that as
   * "use the shuffled plan".
   *
-  * Semantics: INNER equi-join on `key`, NULL keys match nothing (SQL
-  * equality), output = left columns ++ right columns minus the right's
+  * Semantics: equi-join on `key`, NULL keys match nothing (SQL equality).
+  * `joinType` = `inner` (default) | `left` (outer — unmatched left rows
+  * null-fill the right columns) | `left_semi` | `left_anti` (left columns
+  * only); all four are bucket-local decisions, so the zero-shuffle shape
+  * is identical. Output = left columns ++ right columns minus the right's
   * join key (names must not otherwise collide). Row order within a
   * partition follows the left side's file order — callers needing a total
   * order sort downstream, as with any join.
@@ -47,7 +50,13 @@ object BucketedJoin {
     }
 
   def coBucketedJoin(spark: SparkSession, left: String, right: String,
-      key: String): DataFrame = {
+      key: String, joinType: String = "inner"): DataFrame = {
+    val jt = joinType.trim.toLowerCase(java.util.Locale.ROOT)
+    require(Set("inner", "left", "left_outer", "left_semi", "left_anti")(jt),
+      s"coBucketedJoin: unsupported joinType '$joinType' " +
+        "(inner | left | left_semi | left_anti)")
+    val leftOnly = jt == "left_semi" || jt == "left_anti"
+    val outer = jt == "left" || jt == "left_outer"
     val (nL, bucketsL) = IcebergRead.bucketLayout(spark, left, key).getOrElse(
       fail(s"$left is not cleanly bucket(n, $key)-partitioned"))
     val (nR, bucketsR) = IcebergRead.bucketLayout(spark, right, key).getOrElse(
@@ -62,7 +71,10 @@ object BucketedJoin {
     require(schemaL(key).dataType == schemaR(key).dataType,
       s"join key '$key' types differ: ${schemaL(key).dataType} vs " +
         s"${schemaR(key).dataType} (bucket ordinals would not align)")
-    val rightOut = schemaR.fields.toSeq.filterNot(_.name == key)
+    val rightOut =
+      if (leftOnly) Nil
+      else schemaR.fields.toSeq.filterNot(_.name == key)
+        .map(f => if (outer) f.copy(nullable = true) else f)
     val collide = rightOut.map(_.name).toSet intersect schemaL.fieldNames.toSet
     require(collide.isEmpty,
       s"non-key column name collision: ${collide.mkString(",")} — project/" +
@@ -87,11 +99,14 @@ object BucketedJoin {
       })
 
     val keyIdxL = schemaL.fieldIndex(key)
-    val keyIdxR = schemaR.fieldIndex(key)
-    val rightIdx = schemaR.fields.toSeq.zipWithIndex
+    // semi/anti need only the right KEY column — a narrower parquet read
+    val schemaRRead =
+      if (leftOnly) StructType(Seq(schemaR(key))) else schemaR
+    val keyIdxR = schemaRRead.fieldIndex(key)
+    val rightIdx = schemaRRead.fields.toSeq.zipWithIndex
       .collect { case (f, i) if f.name != key => i }
     val joined = side(schemaL, bucketsL).zipPartitions(
-        side(schemaR, bucketsR), preservesPartitioning = false) { (lit, rit) =>
+        side(schemaRRead, bucketsR), preservesPartitioning = false) { (lit, rit) =>
       // build on the right bucket, stream the left (NULL keys drop: SQL =)
       val build = new scala.collection.mutable.HashMap[Any,
         scala.collection.mutable.ArrayBuffer[Row]]()
@@ -100,13 +115,23 @@ object BucketedJoin {
         if (k != null)
           build.getOrElseUpdate(k, scala.collection.mutable.ArrayBuffer.empty) += r
       }
+      val nullTail = Seq.fill(rightIdx.length)(null)
       lit.flatMap { l =>
         val k = l.get(keyIdxL)
-        if (k == null) Iterator.empty
-        else build.get(k) match {
-          case Some(ms) => ms.iterator.map(r =>
-            Row.fromSeq(l.toSeq ++ rightIdx.map(r.get)))
-          case None => Iterator.empty
+        val matched = if (k == null) None else build.get(k)
+        jt match {
+          case "left_semi" => if (matched.isDefined) Iterator.single(l) else Iterator.empty
+          case "left_anti" => if (matched.isEmpty) Iterator.single(l) else Iterator.empty
+          case "inner" => matched match {
+            case Some(ms) => ms.iterator.map(r =>
+              Row.fromSeq(l.toSeq ++ rightIdx.map(r.get)))
+            case None => Iterator.empty
+          }
+          case _ => matched match { // left outer
+            case Some(ms) => ms.iterator.map(r =>
+              Row.fromSeq(l.toSeq ++ rightIdx.map(r.get)))
+            case None => Iterator.single(Row.fromSeq(l.toSeq ++ nullTail))
+          }
         }
       }
     }

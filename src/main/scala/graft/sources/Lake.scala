@@ -418,17 +418,20 @@ object Lake {
       Bridge.logicalPlan(fileStats(spark, str(args.head, "lake_file_stats: path"),
         args.lift(1).map(num(_, "lake_file_stats: version")).getOrElse(-1L)))
     })
-    // SELECT * FROM bucket_join('/left', '/right', 'key'): the
-    // storage-partitioned join over two co-bucketed Iceberg tables —
+    // SELECT * FROM bucket_join('/left', '/right', 'key'[, 'joinType']):
+    // the storage-partitioned join over two co-bucketed Iceberg tables —
     // zero exchanges when both sides are bucket(n, key) with equal n
     // (graft.operators.BucketedJoin; refuses loudly when the layouts
-    // don't cooperate, so a caller falls back to the shuffled JOIN)
+    // don't cooperate, so a caller falls back to the shuffled JOIN).
+    // joinType = inner (default) | left | left_semi | left_anti
     Bridge.registerTableFunction(spark, "bucket_join", { args =>
-      require(args.length == 3, "bucket_join(left_path, right_path, key)")
+      require(args.length == 3 || args.length == 4,
+        "bucket_join(left_path, right_path, key[, join_type])")
       Bridge.logicalPlan(graft.operators.BucketedJoin.coBucketedJoin(spark,
         str(args(0), "bucket_join: left_path"),
         str(args(1), "bucket_join: right_path"),
-        str(args(2), "bucket_join: key")))
+        str(args(2), "bucket_join: key"),
+        args.lift(3).map(str(_, "bucket_join: join_type")).getOrElse("inner")))
     })
   }
 

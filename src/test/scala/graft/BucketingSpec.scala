@@ -82,6 +82,27 @@ class BucketingSpec extends SparkSpec {
     assert(viaSql.getLong(0) === exp.getLong(0))
     assert(math.abs(viaSql.getDouble(1) - exp.getDouble(1)) < 1e-6)
 
+    // left / semi / anti are the same bucket-local decision, still 0-shuffle
+    val l = BucketedJoin.coBucketedJoin(spark,
+      s"$root/orders", s"$root/customer", "o_custkey", "left")
+    val lExp = IcebergRead.snapshot(spark, s"$root/orders")
+      .join(IcebergRead.snapshot(spark, s"$root/customer"), Seq("o_custkey"), "left")
+      .select(l.columns.map(col): _*)
+    assert(!l.rdd.toDebugString.contains("ShuffledRDD"))
+    assert(l.count() === lExp.count())
+    assert(l.exceptAll(lExp).isEmpty && lExp.exceptAll(l).isEmpty)
+    val semi = BucketedJoin.coBucketedJoin(spark,
+      s"$root/orders", s"$root/customer", "o_custkey", "left_semi")
+    val anti = BucketedJoin.coBucketedJoin(spark,
+      s"$root/orders", s"$root/customer", "o_custkey", "left_anti")
+    val nOrders = IcebergRead.snapshot(spark, s"$root/orders").count()
+    assert(semi.count() + anti.count() === nOrders)
+    assert(semi.columns.toSeq ===
+      IcebergRead.snapshot(spark, s"$root/orders").columns.toSeq)
+    val semiExp = IcebergRead.snapshot(spark, s"$root/orders")
+      .join(IcebergRead.snapshot(spark, s"$root/customer"), Seq("o_custkey"), "left_semi")
+    assert(semi.count() === semiExp.count())
+
     // guards: unequal n and deleted rows both refuse (fall back to shuffle)
     IcebergWrite.append(spark, customer, s"$root/cust4",
       partitionBy = Seq("bucket(4, o_custkey)"))
