@@ -86,15 +86,20 @@ object BucketedJoin {
     // union — Spark 4's SQLPartitioningAwareUnionRDD merges same-
     // partitioned children partition-wise, which would collapse all n
     // buckets into one partition; sc.union over partitioner-less children
-    // is a plain concatenation, so partition i stays bucket i.
+    // is a plain concatenation, so partition i stays bucket i. The rows
+    // travel as InternalRow (queryExecution.toRdd — no Row codec): the
+    // whole join runs on unsafe rows, the same currency a shuffled join
+    // would move, minus the exchange.
+    import org.apache.spark.sql.catalyst.InternalRow
     def side(schema: StructType, buckets: Map[Int, Seq[String]])
-        : org.apache.spark.rdd.RDD[Row] =
+        : org.apache.spark.rdd.RDD[InternalRow] =
       spark.sparkContext.union((0 until nL).map { b =>
         buckets.get(b) match {
           case Some(files) =>
-            spark.read.schema(schema).parquet(files: _*).coalesce(1).rdd
+            org.apache.spark.sql.graft.Bridge.toInternalRdd(
+              spark.read.schema(schema).parquet(files: _*).coalesce(1))
           case None => // empty bucket: ONE empty partition keeps alignment
-            spark.sparkContext.parallelize(Seq.empty[Row], 1)
+            spark.sparkContext.parallelize(Seq.empty[InternalRow], 1)
         }
       })
 
@@ -103,39 +108,56 @@ object BucketedJoin {
     val schemaRRead =
       if (leftOnly) StructType(Seq(schemaR(key))) else schemaR
     val keyIdxR = schemaRRead.fieldIndex(key)
-    val rightIdx = schemaRRead.fields.toSeq.zipWithIndex
-      .collect { case (f, i) if f.name != key => i }
+    val keyType = schemaL(key).dataType
+    val rightTypes = schemaRRead.fields.toSeq
     val joined = side(schemaL, bucketsL).zipPartitions(
         side(schemaRRead, bucketsR), preservesPartitioning = false) { (lit, rit) =>
-      // build on the right bucket, stream the left (NULL keys drop: SQL =)
-      val build = new scala.collection.mutable.HashMap[Any,
-        scala.collection.mutable.ArrayBuffer[Row]]()
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection}
+      // build on the right bucket, stream the left (NULL keys drop: SQL
+      // =). Scan rows are REUSED objects — the build side must copy.
+      val build = new java.util.HashMap[Any,
+        scala.collection.mutable.ArrayBuffer[InternalRow]]()
       rit.foreach { r =>
-        val k = r.get(keyIdxR)
-        if (k != null)
-          build.getOrElseUpdate(k, scala.collection.mutable.ArrayBuffer.empty) += r
+        if (!r.isNullAt(keyIdxR)) {
+          val k = InternalRow.copyValue(r.get(keyIdxR, keyType))
+          var buf = build.get(k)
+          if (buf == null) {
+            buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+            build.put(k, buf)
+          }
+          buf += r.copy()
+        }
       }
-      val nullTail = Seq.fill(rightIdx.length)(null)
+      // output projection over JoinedRow(left, right): left fields, then
+      // the right's non-key fields — one UnsafeProjection, created per
+      // partition (codegen'd field copies, no boxing)
+      val nl = schemaL.fields.length
+      val outRefs = schemaL.fields.toSeq.zipWithIndex.map { case (f, i) =>
+        BoundReference(i, f.dataType, f.nullable)
+      } ++ rightTypes.zipWithIndex.collect { case (f, i) if f.name != key =>
+        BoundReference(nl + i, f.dataType, nullable = true)
+      }
+      lazy val proj = UnsafeProjection.create(outRefs)
+      lazy val joinedRow = new JoinedRow
+      lazy val nullRight = new GenericInternalRow(rightTypes.length)
+      val empty: Iterator[InternalRow] = Iterator.empty
       lit.flatMap { l =>
-        val k = l.get(keyIdxL)
-        val matched = if (k == null) None else build.get(k)
+        val matched =
+          if (l.isNullAt(keyIdxL)) null
+          else build.get(l.get(keyIdxL, keyType))
         jt match {
-          case "left_semi" => if (matched.isDefined) Iterator.single(l) else Iterator.empty
-          case "left_anti" => if (matched.isEmpty) Iterator.single(l) else Iterator.empty
-          case "inner" => matched match {
-            case Some(ms) => ms.iterator.map(r =>
-              Row.fromSeq(l.toSeq ++ rightIdx.map(r.get)))
-            case None => Iterator.empty
-          }
-          case _ => matched match { // left outer
-            case Some(ms) => ms.iterator.map(r =>
-              Row.fromSeq(l.toSeq ++ rightIdx.map(r.get)))
-            case None => Iterator.single(Row.fromSeq(l.toSeq ++ nullTail))
-          }
+          case "left_semi" => if (matched != null) Iterator.single(l) else empty
+          case "left_anti" => if (matched == null) Iterator.single(l) else empty
+          case "inner" =>
+            if (matched == null) empty
+            else matched.iterator.map(r => proj(joinedRow(l, r)))
+          case _ => // left outer
+            if (matched == null) Iterator.single(proj(joinedRow(l, nullRight)))
+            else matched.iterator.map(r => proj(joinedRow(l, r)))
         }
       }
     }
-    spark.createDataFrame(joined, outSchema)
+    org.apache.spark.sql.graft.Bridge.internalCreateDataFrame(spark, joined, outSchema)
   }
 
   private def clean(s: StructType): StructType =

@@ -1938,7 +1938,31 @@ object IcebergWrite {
             (n.startsWith("m-") || n.startsWith("snap-")) && n.endsWith(".avro") &&
               !keptManifests(norm(f)) && !keptLists(norm(f))
           }
-        return (dataDeleted ++ metaDeleted).map { f => val p = f.getPath; f.delete(); p }.toSeq
+        val reclaimed =
+          (dataDeleted ++ metaDeleted).map { f => val p = f.getPath; f.delete(); p }.toSeq
+        // bloom sidecar GC rides the same pass, AFTER the data deletes:
+        // drop each blooms-*.json entry whose data file is GONE from disk
+        // (existence, not reference, is the test — an in-flight add's
+        // sidecar entry survives exactly like its staged file does under
+        // the age grace); an emptied sidecar file is deleted. Bounded
+        // metadata work, never touches data files.
+        Option(metaDir(table).toFile.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("blooms-") && f.getName.endsWith(".json"))
+          .foreach { f =>
+            scala.util.Try {
+              val node = mapper.readTree(f)
+                .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+              val dead = node.properties().asScala.map(_.getKey)
+                .filterNot(p => new java.io.File(IcebergRead.localPath(p)).exists())
+                .toSeq
+              if (dead.nonEmpty) {
+                dead.foreach(node.remove)
+                if (node.isEmpty) f.delete()
+                else Files.writeString(f.toPath, mapper.writeValueAsString(node))
+              }
+            }
+          }
+        return reclaimed
       }
       // lost the claim to a concurrent commit: re-derive from the new base
     }

@@ -418,6 +418,24 @@ object Lake {
       Bridge.logicalPlan(fileStats(spark, str(args.head, "lake_file_stats: path"),
         args.lift(1).map(num(_, "lake_file_stats: version")).getOrElse(-1L)))
     })
+    // SELECT * FROM lake_table_stats('/path'): the persisted ANALYZE
+    // TABLE statistics as rows (one per analyzed column, plus a '*'
+    // table-level row) — how an operator checks what the broadcast gate
+    // will see before trusting a plan
+    Bridge.registerTableFunction(spark, "lake_table_stats", { args =>
+      require(args.length == 1, "lake_table_stats(path)")
+      val p = str(args.head, "lake_table_stats: path")
+      import spark.implicits._
+      val rows = tableStats(spark, p) match {
+        case None => Seq.empty[(String, Long, Long, Long, Long)]
+        case Some(st) =>
+          ("*", st.rows, st.bytes, st.version, -1L) +:
+            st.ndv.keys.toSeq.sorted.map(c =>
+              (c, st.ndv(c), st.bytes, st.version, st.nulls.getOrElse(c, 0L)))
+      }
+      Bridge.logicalPlan(
+        rows.toDF("column", "ndv_or_rows", "bytes", "analyzed_version", "nulls"))
+    })
     // SELECT * FROM bucket_join('/left', '/right', 'key'[, 'joinType']):
     // the storage-partitioned join over two co-bucketed Iceberg tables —
     // zero exchanges when both sides are bucket(n, key) with equal n

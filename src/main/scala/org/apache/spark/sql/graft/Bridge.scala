@@ -52,4 +52,19 @@ object Bridge {
       builder: Seq[Expression] => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
+
+  /** A DataFrame's physical rows WITHOUT the InternalRow→Row codec —
+    * the zero-copy input for RDD-level operators (BucketedJoin). */
+  def toInternalRdd(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.queryExecution.toRdd
+
+  /** Wrap an InternalRow RDD as a DataFrame without the Row codec —
+    * the inverse of [[toInternalRdd]]. The rows may be reused objects
+    * (standard source contract: consumers copy when buffering). */
+  def internalCreateDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }

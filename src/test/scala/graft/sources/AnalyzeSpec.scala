@@ -34,7 +34,22 @@ class AnalyzeSpec extends SparkSpec {
       else IcebergWrite.append(spark, df, t)
       val st2 = Lake.tableStats(spark, t).getOrElse(fail(s"$fmt: stats dropped"))
       assert(st2.rows === 1000L && st2.version === head, fmt)
+      // observability TVF: table-level '*' row + one row per column
+      Lake.registerSqlSurface(spark)
+      val rows = spark.sql(s"SELECT * FROM lake_table_stats('$t')").collect()
+      assert(rows.exists(r => r.getString(0) == "*" && r.getLong(1) == 1000L), fmt)
+      assert(rows.exists(r => r.getString(0) == "m" && r.getLong(1) == 10L), fmt)
     }
+  }
+
+  test("ANALYZE TABLE resolves a bare name under USE") {
+    val root = tmp("graft_analyze_use")
+    DeltaWrite.append(spark, Seq((1L, 2.0)).toDF("id", "v"), s"$root/ev")
+    Lake.sql(spark, s"USE '$root'")
+    try {
+      Lake.sql(spark, "ANALYZE TABLE ev COMPUTE STATISTICS")
+      assert(Lake.tableStats(spark, s"$root/ev").exists(_.rows == 1L))
+    } finally Lake.sql(spark, "USE DEFAULT")
   }
 
   test("stats flip a delegated join to broadcast where file size says shuffle") {

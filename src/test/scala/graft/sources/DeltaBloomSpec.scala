@@ -89,6 +89,21 @@ class DeltaBloomSpec extends SparkSpec {
     IcebergWrite.append(spark, Seq((9999L, "K9999", 0.0)).toDF("id", "ks", "v"), t)
     assert(IcebergRead.tableProperties(spark, t)
       .get("graft.bloom.columns").contains("ks"))
+
+    // sidecar GC: an overwrite orphans every old file; expiring the old
+    // snapshots (FORCE = no age grace) reclaims them AND their sketches
+    IcebergWrite.overwrite(spark,
+      Seq((1L, "K1", 1.0)).toDF("id", "ks", "v"), t)
+    val entriesBefore = IcebergRead.bloomSidecars(t).size
+    IcebergWrite.expireSnapshots(spark, t, retainLast = 1, minFileAgeMs = 0L)
+    val after = IcebergRead.bloomSidecars(t)
+    assert(after.size < entriesBefore,
+      s"sidecar GC dropped nothing ($entriesBefore -> ${after.size})")
+    // the surviving entries all reference live files
+    assert(after.keys.forall(p => new java.io.File(p).exists()))
+    // and the live table still prunes through what remains
+    val (df2, kept2, total2) = IcebergRead.scanPruned(spark, t, col("ks") === "K1")
+    assert(df2.count() === 1L && kept2 <= total2)
   }
 
   test("join-derived pruning probes blooms through a small dim key SET") {
