@@ -1900,6 +1900,10 @@ object Lake {
     * scan (per-alias WHERE conjuncts riding [[scanPruned]] —
     * [[pruneConjuncts]]) and the whole statement delegates, so MV routing
     * and every other optimizer hook apply to statement-text queries too.
+    * A SELECT with NO lake references at all (temp views, literals, the
+    * registered table functions `bucket_join`/`lake_table_stats`/
+    * `lake_changes`/…) hands to Spark whole — the TVF surface needs no
+    * separate entry point.
     *
     * `VACUUM ...` returns the deleted paths (one `path` row each); every
     * other statement executes via [[sql]] and returns its committed
@@ -2586,10 +2590,17 @@ object Lake {
 
   private def delegateSelect(spark: SparkSession, statement: String): DataFrame = {
     val refs = resolvedRefs(spark, statement)
-    require(refs.nonEmpty,
-      "SELECT over lake paths: no FROM|JOIN '<path>' table reference " +
-        "or USE-catalog table name " +
-        s"found in: $statement")
+    // no lake references at all: the statement speaks only session
+    // objects — temp views and the registered table functions
+    // (bucket_join, lake_table_stats, lake_changes, …) — so hand it to
+    // Spark whole; registration is idempotent and cheap
+    if (refs.isEmpty) {
+      if (!spark.conf.getOption("graft.sqlSurfaceRegistered").contains("1")) {
+        registerSqlSurface(spark)
+        spark.conf.set("graft.sqlSurfaceRegistered", "1")
+      }
+      return spark.sql(statement)
+    }
     // BLOCK-LOCAL pruning: each reference is attributed conjuncts from its
     // OWN query block's WHERE — the statement's for depth-0 refs, the
     // enclosing derived table's/CTE's for nested ones. A block's own WHERE

@@ -72,8 +72,9 @@ class BucketingSpec extends SparkSpec {
     assert(joined.exceptAll(expected).isEmpty && expected.exceptAll(joined).isEmpty)
 
     // SQL surface: the bucket_join TVF plans the same shuffle-free shape
-    Lake.registerSqlSurface(spark)
-    val viaSql = spark.sql(
+    // — through sqlFrame (ref-less SELECTs delegate whole to Spark, TVFs
+    // registered on first use)
+    val viaSql = Lake.sqlFrame(spark,
       s"""SELECT count(*) AS cnt, round(sum(o_totalprice * c_acctbal), 2) AS x
           FROM bucket_join('$root/orders', '$root/customer', 'o_custkey')""")
       .collect().head

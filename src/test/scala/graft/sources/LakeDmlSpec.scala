@@ -526,8 +526,9 @@ class LakeDmlSpec extends SparkSpec {
           s"(SELECT min(value) FROM '$t') AND grp <> ' FROM bogus ' ORDER BY grp")
       .as[String].collect().toSeq === Seq("a", "b"))
 
-    // no table reference at all → loud refusal, not a silent session query
-    intercept[IllegalArgumentException](Lake.sqlFrame(spark, "SELECT 1 AS x"))
+    // no table reference at all → the statement speaks only session
+    // objects (TVFs, temp views, literals): delegate whole to Spark
+    assert(Lake.sqlFrame(spark, "SELECT 1 AS x").as[Int].head() === 1)
 
     // SELF-JOIN ACROSS VERSIONS of one path in one statement — the
     // time-travel diff query (what changed since v0): each reference gets
@@ -722,9 +723,10 @@ class LakeDmlSpec extends SparkSpec {
       s"SELECT EXTRACT(YEAR FROM '2026-01-01') AS y, count(*) AS c FROM '$t' GROUP BY 1")
     assert(out.as[(Int, Long)].collect().toSeq === Seq((2026, 2L)))
     // a statement whose ONLY candidate reference is a non-table literal
-    // still refuses loudly (nothing resolves)
-    intercept[IllegalArgumentException](Lake.sqlFrame(spark,
-      "SELECT EXTRACT(YEAR FROM '2026-01-01') AS y GROUP BY 1"))
+    // has no lake refs — it delegates whole to Spark and evaluates
+    assert(Lake.sqlFrame(spark,
+      "SELECT EXTRACT(YEAR FROM '2026-01-01') AS y GROUP BY 1")
+      .as[Int].head() === 2026)
   }
 
   test("per-alias file-stats pruning reaches BOTH sides of a two-path join") {
@@ -1109,8 +1111,9 @@ class LakeDmlSpec extends SparkSpec {
           "SELECT count(*) AS c FROM ev JOIN graft_use_tv ON 1 = 1")
         .as[Long].collect().toSeq === Seq(3L))
     } finally Lake.sql(spark, "USE DEFAULT")
-    // the catalog is cleared: the bare name no longer resolves
-    intercept[IllegalArgumentException](
+    // the catalog is cleared: the bare name no longer resolves — the
+    // statement now reaches Spark whole and fails ITS name resolution
+    intercept[org.apache.spark.sql.AnalysisException](
       Lake.sqlFrame(spark, "SELECT grp FROM ev GROUP BY grp"))
     // USE of a missing directory is loud
     intercept[IllegalArgumentException](Lake.sql(spark, s"USE '$root/nope'"))
