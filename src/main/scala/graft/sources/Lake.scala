@@ -1312,8 +1312,10 @@ object Lake {
     val CreateSchema =
       """(?is)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?'([^']+)'\s*(\(.*)""".r
     val DropTable = """(?is)DROP\s+TABLE\s+(IF\s+EXISTS\s+)?'([^']+)'\s*""".r
+    // the partition list may itself contain parens (bucket(8, id),
+    // day(ts)) — capture from the open paren and split top-level
     val CreateUsingTail =
-      """(?is)\s*USING\s+(\w+)\s*(?:PARTITIONED\s+BY\s*\(([\w\s,]+)\)\s*)?""".r
+      """(?is)\s*USING\s+(\w+)\s*(?:PARTITIONED\s+BY\s*(\(.*))?""".r
     val ZorderTail = """(?is)\s*BY\s*\(([\w\s,]+)\)\s*""".r
     val MvCreate =
       """(?is)CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+ON\s+'([^']+)'\s+KEYS\s*\(([\w\s,]+)\)\s+MEASURES\s*\(([\w\s,]+)\)\s*""".r
@@ -1518,15 +1520,31 @@ object Lake {
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
           fromParen.substring(1, close))
         val (format, parts) = fromParen.substring(close + 1) match {
-          case CreateUsingTail(fmt, partsOrNull) =>
-            (fmt.toLowerCase(java.util.Locale.ROOT), Option(partsOrNull).toSeq
-              .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+          case CreateUsingTail(fmt, partsParenOrNull) =>
+            val parts = Option(partsParenOrNull).map(_.trim).filter(_.nonEmpty)
+              .map { pp =>
+                val pc = matchingParen(pp, 0)
+                require(pc > 0 && pp.substring(pc + 1).trim.isEmpty,
+                  s"unbalanced PARTITIONED BY parens in: $s")
+                splitTopLevel(pp.substring(1, pc)).map(_.trim).filter(_.nonEmpty)
+              }.getOrElse(Seq.empty)
+            (fmt.toLowerCase(java.util.Locale.ROOT), parts)
           case other => throw new IllegalArgumentException(
             s"CREATE TABLE (schema): expected USING {delta | iceberg} " +
               s"[PARTITIONED BY (...)], got: $other")
         }
-        parts.foreach(p => require(schema.fieldNames.contains(p),
-          s"CREATE TABLE: partition column '$p' not in the declared schema"))
+        // a transform spec (bucket(8, id), day(ts), truncate(4, s)) names
+        // its SOURCE column; identity specs are the column itself. Hidden
+        // transforms are the Iceberg spec's mechanism — Delta partitions
+        // by value only.
+        parts.foreach { p =>
+          val src = scala.util.Try(IcebergTransforms.parse(p).source).getOrElse(p)
+          require(schema.fieldNames.contains(src),
+            s"CREATE TABLE: partition source column '$src' not in the declared schema")
+          require(!p.contains("(") || format == "iceberg",
+            s"CREATE TABLE: transform partitioning '$p' is Iceberg-only " +
+              "(Delta partitions by column value)")
+        }
         val tp = new org.apache.hadoop.fs.Path(path)
         val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val occupied = tfs.exists(tp) && tfs.listStatus(tp).nonEmpty

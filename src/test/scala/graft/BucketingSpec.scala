@@ -104,6 +104,25 @@ class BucketingSpec extends SparkSpec {
       .join(IcebergRead.snapshot(spark, s"$root/customer"), Seq("o_custkey"), "left_semi")
     assert(semi.count() === semiExp.count())
 
+    // PURE-SQL round trip: CREATE bucketed tables by DDL, INSERT, join
+    // through the TVF — the whole SPJ story without touching the API
+    val sqlRoot = java.nio.file.Files.createTempDirectory("graft_spj_sql").toString
+    Lake.sql(spark, s"""CREATE TABLE '$sqlRoot/a' (id BIGINT, v DOUBLE)
+        USING iceberg PARTITIONED BY (bucket(4, id))""")
+    Lake.sql(spark, s"""CREATE TABLE '$sqlRoot/b' (id BIGINT, w DOUBLE)
+        USING iceberg PARTITIONED BY (bucket(4, id))""")
+    Lake.sql(spark, s"INSERT INTO '$sqlRoot/a' SELECT id, id * 1.0 AS v FROM range(1000)")
+    Lake.sql(spark, s"INSERT INTO '$sqlRoot/b' SELECT id, id * 2.0 AS w FROM range(500)")
+    val viaDdl = Lake.sqlFrame(spark,
+      s"""SELECT count(*) AS c, round(sum(v + w), 2) AS s
+          FROM bucket_join('$sqlRoot/a', '$sqlRoot/b', 'id')""").collect().head
+    assert(viaDdl.getLong(0) === 500L)
+    assert(viaDdl.getDouble(1) === (0L until 500L).map(i => i * 3.0).sum)
+    // transform partitioning is Iceberg-only in the DDL
+    intercept[IllegalArgumentException](Lake.sql(spark,
+      s"""CREATE TABLE '$sqlRoot/d' (id BIGINT) USING delta
+          PARTITIONED BY (bucket(4, id))"""))
+
     // guards: unequal n and deleted rows both refuse (fall back to shuffle)
     IcebergWrite.append(spark, customer, s"$root/cust4",
       partitionBy = Seq("bucket(4, o_custkey)"))
