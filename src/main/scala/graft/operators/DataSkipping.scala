@@ -98,6 +98,21 @@ object DataSkipping {
     }
   }
 
+  /** The attribute matched WITHOUT unwrapping any cast — the only shape a
+    * BLOOM probe may engage on: sketches hold xxhash64 over the column's
+    * NATIVE type, and xxhash64 is type-dispatched (hashInt(5) !=
+    * hashLong(5)), so a literal widened through an analyzer cast would
+    * probe with the wrong hash family and prune a file that contains the
+    * value. Interval (min/max) pruning stays available through [[Attr]] —
+    * widening is value-preserving, so bound comparisons remain exact. */
+  private object BareAttr {
+    def unapply(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case u: UnresolvedAttribute => Some(u.name)
+      case _ => None
+    }
+  }
+
   /** Translate a row predicate into a file-survives predicate over the stats
     * columns. Conservative by construction: any sub-expression we cannot
     * reason about maps to `true` (keep the file), so pruning never drops a
@@ -125,15 +140,21 @@ object DataSkipping {
     // is (binary, const-long) per stats row. A null sketch (no non-null
     // values in the file, or stats collected without this bloom) keeps the
     // file — conservative like every unknown shape.
-    def bloomHit(a: String, v: Expression): Column =
-      if (!bloomCols.contains(a)) lit(true)
+    // castFree gates the probe: only a literal compared against the BARE
+    // attribute carries the column's native type, so only then does
+    // xxhash64(literal) land in the same hash family the sketch was built
+    // from. A widened comparison (int col = 5L) keeps interval pruning but
+    // must not bloom-probe — hashLong(5) is not hashInt(5), and a false
+    // negative here would DROP a file that contains the value.
+    def bloomHit(a: String, v: Expression, castFree: Boolean): Column =
+      if (!castFree || !bloomCols.contains(a)) lit(true)
       else {
         val hash = XxHash64(Seq(v), 42L).eval(null).asInstanceOf[Long]
         bloomProbe(col(s"bloom_$a"), lit(hash))
       }
-    def eqCheck(a: String, v: Literal): Column = {
+    def eqCheck(a: String, v: Literal, castFree: Boolean): Column = {
       val iv = if (known(a)) safe(mn(a) <= l(v) && mx(a) >= l(v)) else lit(true)
-      iv && bloomHit(a, v)
+      iv && bloomHit(a, v, castFree)
     }
     // The engine-wide whitespace tokenization as the OPTIMIZER sees it:
     // split(c, " ") with a NON-POSITIVE limit literal (the analyzer fills
@@ -181,8 +202,10 @@ object DataSkipping {
       case And(a, b) => go(a) && go(b)
       case Or(a, b) => go(a) || go(b)
       case ArrayContains(TokensOf(a), Lit(v)) => tokenBloomHit(a, v)
-      case EqualTo(Attr(a), Lit(v)) if known(a) || bloomCols.contains(a) => eqCheck(a, v)
-      case EqualTo(Lit(v), Attr(a)) if known(a) || bloomCols.contains(a) => eqCheck(a, v)
+      case EqualTo(ae @ Attr(a), Lit(v)) if known(a) || bloomCols.contains(a) =>
+        eqCheck(a, v, BareAttr.unapply(ae).isDefined)
+      case EqualTo(Lit(v), ae @ Attr(a)) if known(a) || bloomCols.contains(a) =>
+        eqCheck(a, v, BareAttr.unapply(ae).isDefined)
       case LessThan(Attr(a), Lit(v)) if known(a) => safe(mn(a) < l(v))
       case LessThanOrEqual(Attr(a), Lit(v)) if known(a) => safe(mn(a) <= l(v))
       case GreaterThan(Attr(a), Lit(v)) if known(a) => safe(mx(a) > l(v))
@@ -192,19 +215,23 @@ object DataSkipping {
       case LessThanOrEqual(Lit(v), Attr(a)) if known(a) => safe(mx(a) >= l(v))
       case GreaterThan(Lit(v), Attr(a)) if known(a) => safe(mn(a) < l(v))
       case GreaterThanOrEqual(Lit(v), Attr(a)) if known(a) => safe(mn(a) <= l(v))
-      case In(Attr(a), vs) if (known(a) || bloomCols.contains(a)) &&
+      case In(ae @ Attr(a), vs) if (known(a) || bloomCols.contains(a)) &&
           vs.forall(Lit.unapply(_).isDefined) =>
         // empty IN-list matches nothing; foldLeft keeps that exact (and
         // avoids reduce's crash on Nil)
-        vs.foldLeft(lit(false))((acc, v) => acc || eqCheck(a, Lit.unapply(v).get))
+        val castFree = BareAttr.unapply(ae).isDefined
+        vs.foldLeft(lit(false))((acc, v) =>
+          acc || eqCheck(a, Lit.unapply(v).get, castFree))
       case InSet(child @ Attr(a), hset) if known(a) || bloomCols.contains(a) =>
         // the optimizer rewrites IN-lists longer than
         // spark.sql.optimizer.inSetConversionThreshold (default 10) to
         // InSet over internal values — without this case, exactly the
         // large IN-lists stop pruning. Internal values become typed
-        // Literals of the child's type.
+        // Literals of the child's type (the CAST's type when the attr was
+        // matched through one — interval-safe, but never bloom-safe).
+        val castFree = BareAttr.unapply(child).isDefined
         hset.foldLeft(lit(false)) { (acc, v) =>
-          acc || eqCheck(a, Literal(v, child.dataType))
+          acc || eqCheck(a, Literal(v, child.dataType), castFree)
         }
       case IsNull(Attr(a)) if known(a) => safe(nulls(a) > 0)
       // a file of ONLY nulls can never satisfy IS NOT NULL — the `rows`

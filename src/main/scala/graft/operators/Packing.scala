@@ -46,8 +46,11 @@ object Packing {
       .withColumn("__tokens", tokenCol)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
+    // coalesce: a shard whose __tokens are ALL NULL sums to NULL — it must
+    // contribute a zero offset (withBin's window on the same data likewise
+    // nulls those rows' cum/bin), not crash the totals collect
     val totals = sharded.groupBy(col("__pid"))
-      .agg(sum(col("__tokens")).cast("long").as("__t"))
+      .agg(coalesce(sum(col("__tokens")).cast("long"), lit(0L)).as("__t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // O(shards) rows
     val offsets = (0 until n).map { p =>
       p -> (0 until p).map(totals.getOrElse(_, 0L)).sum

@@ -555,8 +555,63 @@ object IcebergRead {
     if (rows.exists(_.isNullAt(1))) return None // foreign-spec entry: bail
     val byBucket = rows.groupBy(_.getInt(1))
       .map { case (b, rs) => b -> rs.map(_.getString(0)).toSeq }
+    // The per-bucket reader (BucketedJoin) resolves columns BY NAME with
+    // field-id metadata stripped — it bypasses the main reader's field-id
+    // resolution and identity-value injection, so the layout is only
+    // offered when one probe footer confirms name resolution is faithful
+    // (a table's data files share a writer lineage, same probe rule as
+    // snapshotImpl): files carrying parquet field ids must map every id
+    // they share with the current schema to the SAME name (an external
+    // engine's files after a RENAME would silently name-read the column —
+    // possibly the join key — as NULL, vanishing rows from the join), a
+    // schema name present in the footer under a DIFFERENT id must refuse
+    // (a rename that reused the name would read the WRONG column), and
+    // identity-partitioned source columns must exist in the files (the
+    // bucket-local scan performs no manifest value injection).
+    if (!nameReadFaithful(spark, table, byBucket.values.flatten.headOption))
+      return None
     Some((n, byBucket))
   }.toOption.flatten
+
+  /** One-footer probe: is a plain by-name parquet read of `file` guaranteed
+    * to see the same columns the id-aware snapshot reader resolves? */
+  private def nameReadFaithful(spark: SparkSession, table: String,
+      file: Option[String]): Boolean = scala.util.Try {
+    val f = file.getOrElse(return true) // no live files: nothing to misread
+    val meta = mapper.readTree(metadataFile(table))
+    // the CURRENT schema (empty snap node → current-schema-id) — the one
+    // BucketedJoin's snapshot(…).schema read resolves against, which a
+    // metadata-only RENAME moves without touching any snapshot
+    val fields = fieldTriples(schemaNodeFor(meta, mapper.createObjectNode()))
+    val colById = fields.map { case (id, n2, _) => id -> n2 }.toMap
+    val identitySrc: Set[String] = {
+      val specId = meta.path("default-spec-id").asInt(0)
+      meta.path("partition-specs").elements().asScala.toSeq
+        .find(_.path("spec-id").asInt(-1) == specId).toSeq
+        .flatMap(_.path("fields").elements().asScala)
+        .filter(_.path("transform").asText() == "identity")
+        .flatMap(pf => colById.get(pf.path("source-id").asInt(-1)))
+        .toSet
+    }
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f), spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val fs = r.getFileMetaData.getSchema.getFields.asScala
+      val footerNames = fs.map(_.getName).toSet
+      val footerIdName = fs.filter(_.getId != null)
+        .map(pf => pf.getId.intValue() -> pf.getName).toMap
+      val idsOk =
+        if (footerIdName.isEmpty) true
+        else fields.forall { case (id, name, _) =>
+          footerIdName.get(id) match {
+            case Some(fn) => fn == name // shared id must carry the same name
+            case None => !footerNames.contains(name) // name reuse under another id
+          }
+        }
+      idsOk && identitySrc.forall(footerNames.contains)
+    } finally r.close()
+  }.getOrElse(false)
 
   /** [[fileStats]] plus, for every default-spec `bucket[n]` partition
     * field, a hidden `__pb_<sourceCol>` column carrying the file's

@@ -251,6 +251,41 @@ class DataSkippingSpec extends SparkSpec {
     assert(dfOr.count() === f.where(orPred).count())
   }
 
+  test("a widened literal never bloom-probes (wrong hash family) but native probes still prune") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_skip_bloomcast").toString
+    // INT column, hash layout: sketches hold xxhash64-of-INT values. A
+    // comparison against a LONG literal analyzes as Cast(k, bigint) = 5L —
+    // probing the sketch with hashLong would miss (hashInt(v) != hashLong(v))
+    // and silently prune the file that HOLDS the value. The gate must fall
+    // back to interval-only pruning there, and keep full bloom pruning for
+    // the native-typed probe.
+    (0 until 1000).map(i => (i, s"p$i")).toDF("k", "p")
+      .repartition(4, col("k")).write.mode("overwrite").parquet(d)
+    val st = DataSkipping.collectStats(spark, d, Seq("k"),
+      bloomCols = Seq("k"), bloomItems = 10000L).cache()
+
+    // native INT probe: bloom prunes to the one holding file
+    val (dfI, hitI, totalI) = DataSkipping.scan(spark, d, st, col("k") === 707)
+    assert(totalI === 4L)
+    assert(hitI <= 2, s"native probe should bloom-prune, hit $hitI")
+    assert(dfI.count() === 1L)
+
+    // widened LONG literal: the row MUST come back (no false prune)
+    val (dfL, _, _) = DataSkipping.scan(spark, d, st, col("k") === lit(707L))
+    assert(dfL.count() === 1L, "widened equality dropped a matching row")
+
+    // long IN-list over the int column — same gate; and one long enough to
+    // become InSet (threshold 10) whose child is the CAST
+    val (dfIn, _, _) = DataSkipping.scan(spark, d, st,
+      col("k").isin(707L, 9999999L))
+    assert(dfIn.count() === 1L)
+    val bigIn = (0 until 12).map(i => (700L + i): Any)
+    val (dfSet, _, _) = DataSkipping.scan(spark, d, st,
+      col("k").isin(bigIn: _*))
+    assert(dfSet.count() === 12L)
+  }
+
   test("token blooms prune text-search predicates; substring contains never prunes") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft_skip_tok").toString

@@ -124,4 +124,36 @@ class SamplingPackingSpec extends SparkSpec {
       assert(!plan.contains("SinglePartition"), s"shards=$n: ${plan.take(1500)}")
     }
   }
+
+  test("distributed packing survives a shard whose tokens are all NULL") {
+    // ids 1..10 range-shard into two halves; the upper half's tokens are
+    // ALL NULL — its per-shard sum is NULL and must contribute a ZERO
+    // offset (not crash the totals collect), matching the global window's
+    // null cum/bin on those rows
+    val docs = (1 to 10).map(i =>
+      (i.toLong, if (i > 5) null else java.lang.Long.valueOf(40L + i)))
+      .toDF("id", "toks")
+    // bin assignment matches the global window (null tokens → null bin);
+    // __cum itself may differ on a shard's LEADING null rows (the window
+    // sum skips nulls, the local cumsum has nothing yet) — bin is the
+    // contract, and non-null rows' bins pin the offsets were right
+    val exact = Packing.withBin(docs, "id", col("toks"), budget = 100)
+      .select(col("id"), col("bin")).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    val dist = Packing.withBinDistributed(docs, "id", col("toks"), budget = 100, shards = 2)
+      .select(col("id"), col("bin")).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(dist === exact)
+    // an all-null FIRST shard: later shards' offsets must treat it as zero
+    val docs2 = (1 to 10).map(i =>
+      (i.toLong, if (i <= 5) null else java.lang.Long.valueOf(60L + i)))
+      .toDF("id", "toks")
+    val exact2 = Packing.withBin(docs2, "id", col("toks"), budget = 100)
+      .select(col("id"), col("bin")).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    val dist2 = Packing.withBinDistributed(docs2, "id", col("toks"), budget = 100, shards = 2)
+      .select(col("id"), col("bin")).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(dist2 === exact2)
+  }
 }
