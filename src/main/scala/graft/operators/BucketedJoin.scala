@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.types.{Metadata, StructType}
 
 import graft.sources.IcebergRead
@@ -22,23 +22,53 @@ import graft.sources.IcebergRead
   * hash join per bucket. Every dependency is narrow — zero shuffles, zero
   * sorts, confirmed by `rdd.toDebugString` carrying no ShuffledRDD.
   *
-  * At 100 TB: parallelism = n (pick n so a bucket fits an executor — the
-  * same sizing rule Spark's own bucketed tables and Iceberg SPJ follow);
-  * the build side of each local join is the RIGHT table's bucket, so put
-  * the smaller table right. Falls back loudly when the layouts don't
-  * cooperate — callers (and the `bucket_join` SQL TVF) treat that as
-  * "use the shuffled plan".
+  * At 100 TB the per-bucket scan must NOT read every column of a wide
+  * fact: `leftCols`/`rightCols` prune the output to the named columns and
+  * `leftWhere`/`rightWhere` push per-side predicates INSIDE each bucket's
+  * parquet read (plan-level `.where().select()` before the RDD bridge, so
+  * Catalyst drives parquet column pruning + filter pushdown exactly as a
+  * table-level scan would — `PushedFilters`/`ReadSchema` shrink per
+  * bucket). `residual` carries extra non-equi ON conjuncts, evaluated
+  * bucket-locally per candidate pair (codegen'd Catalyst predicate over
+  * the joined row) BEFORE the match decision — so `left`/`left_semi`/
+  * `left_anti` keep exact ON semantics, not a post-join filter.
+  *
+  * Parallelism = n buckets baseline (pick n so a bucket fits an executor
+  * — the same sizing rule Spark's own bucketed tables and Iceberg SPJ
+  * follow). A SKEWED bucket no longer caps at one task: when a bucket's
+  * file bytes exceed `splitBucketBytes`, its LEFT files split across
+  * ⌈bytes/threshold⌉ sub-partitions (size-balanced) and the RIGHT
+  * bucket's build replicates across them — still shuffle-free (the same
+  * replicate-the-build move AQE's skew-join makes, done at plan time from
+  * file sizes the manifest already knows). The build side of each local
+  * join is the RIGHT table's bucket, so put the smaller table right.
+  *
+  * Falls back loudly when the layouts don't cooperate — callers (and the
+  * `bucket_join` SQL TVF, and [[graft.sources.Lake]]'s delegated-SQL
+  * auto-route) treat that as "use the shuffled plan". The layout probe
+  * ([[IcebergRead.bucketLayout]]) also refuses tables whose files a
+  * by-name parquet read would misread (field-id renames, absent
+  * identity-partition columns) — this reader resolves by NAME.
   *
   * Semantics: equi-join on `key`, NULL keys match nothing (SQL equality).
   * `joinType` = `inner` (default) | `left` (outer — unmatched left rows
   * null-fill the right columns) | `left_semi` | `left_anti` (left columns
   * only); all four are bucket-local decisions, so the zero-shuffle shape
   * is identical. Output = left columns ++ right columns minus the right's
-  * join key (names must not otherwise collide). Row order within a
-  * partition follows the left side's file order — callers needing a total
-  * order sort downstream, as with any join.
+  * join key (names must not otherwise collide), pruned to
+  * `leftCols`/`rightCols` when given (schema order; the key is always
+  * read for the join but appears in the output only if selected or no
+  * pruning was requested). Row order within a partition follows the left
+  * side's file order — callers needing a total order sort downstream, as
+  * with any join.
   */
 object BucketedJoin {
+
+  /** Default skew threshold: a bucket beyond this many bytes splits into
+    * size-balanced sub-partitions (right build replicated). 512 MB ≈ 4× the
+    * default `maxPartitionBytes` — below it the extra build replication
+    * costs more than the parallelism buys. */
+  val DefaultSplitBucketBytes: Long = 512L * 1024 * 1024
 
   /** True when [[coBucketedJoin]] would plan shuffle-free for this pair. */
   def coBucketed(spark: SparkSession, left: String, right: String,
@@ -50,7 +80,11 @@ object BucketedJoin {
     }
 
   def coBucketedJoin(spark: SparkSession, left: String, right: String,
-      key: String, joinType: String = "inner"): DataFrame = {
+      key: String, joinType: String = "inner",
+      leftCols: Seq[String] = Nil, rightCols: Seq[String] = Nil,
+      leftWhere: Option[Column] = None, rightWhere: Option[Column] = None,
+      residual: Option[Column] = None,
+      splitBucketBytes: Long = DefaultSplitBucketBytes): DataFrame = {
     val jt = joinType.trim.toLowerCase(java.util.Locale.ROOT)
     require(Set("inner", "left", "left_outer", "left_semi", "left_anti")(jt),
       s"coBucketedJoin: unsupported joinType '$joinType' " +
@@ -71,47 +105,145 @@ object BucketedJoin {
     require(schemaL(key).dataType == schemaR(key).dataType,
       s"join key '$key' types differ: ${schemaL(key).dataType} vs " +
         s"${schemaR(key).dataType} (bucket ordinals would not align)")
-    val rightOut =
+    def validCols(side: String, schema: StructType, cols: Seq[String]): Unit = {
+      val missing = cols.filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"coBucketedJoin: $side column(s) ${missing.mkString(",")} not in " +
+          s"schema ${schema.fieldNames.mkString(",")}")
+    }
+    validCols("left", schemaL, leftCols)
+    validCols("right", schemaR, rightCols)
+
+    // residual ON conjunct: resolve the Column against the joined (left ++
+    // right-minus-key) schema ONCE on the driver — so function names bind
+    // and the determinism check is authoritative — then note which columns
+    // each side must read for its evaluation.
+    val rightNonKeyAll = schemaR.fields.toSeq.filterNot(_.name == key)
+    val residualCond: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+      residual.map { c =>
+        val combined = StructType(schemaL.fields.toSeq ++ rightNonKeyAll)
+        val empty = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), combined)
+        val cond = empty.where(c).queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }.getOrElse(fail("residual predicate did not analyze to a filter"))
+        require(cond.deterministic, "residual predicate must be deterministic")
+        require(cond.find(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]).isEmpty,
+          "residual predicate must not carry a subquery")
+        cond
+      }
+    val residualNames: Set[String] = residualCond.toSeq.flatMap(_.collect {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
+    }).toSet
+
+    // per-side READ layout (schema order): requested columns ∪ join key ∪
+    // residual columns. Output layout: requested columns only (all when no
+    // pruning asked), right side minus its key.
+    def ordered(schema: StructType, names: Set[String]): Seq[String] =
+      schema.fieldNames.toSeq.filter(names.contains)
+    val outLNames = if (leftCols.isEmpty) schemaL.fieldNames.toSeq
+      else ordered(schemaL, leftCols.toSet)
+    val outRNames =
       if (leftOnly) Nil
-      else schemaR.fields.toSeq.filterNot(_.name == key)
-        .map(f => if (outer) f.copy(nullable = true) else f)
-    val collide = rightOut.map(_.name).toSet intersect schemaL.fieldNames.toSet
+      else if (rightCols.isEmpty) rightNonKeyAll.map(_.name)
+      else ordered(schemaR, rightCols.toSet).filterNot(_ == key)
+    val readLNames = ordered(schemaL,
+      outLNames.toSet + key ++ (residualNames intersect schemaL.fieldNames.toSet))
+    val readRNames = ordered(schemaR,
+      (if (leftOnly) Set(key) else outRNames.toSet + key) ++
+        (residualNames intersect rightNonKeyAll.map(_.name).toSet))
+    val readL = StructType(readLNames.map(schemaL(_)))
+    val readR = StructType(readRNames.map(schemaR(_)))
+
+    val rightOutFields = readR.fields.toSeq.filter(f => outRNames.contains(f.name))
+      .map(f => if (outer) f.copy(nullable = true) else f)
+    val collide = rightOutFields.map(_.name).toSet intersect outLNames.toSet
     require(collide.isEmpty,
       s"non-key column name collision: ${collide.mkString(",")} — project/" +
         "rename a side first")
-    val outSchema = StructType(schemaL.fields.toSeq ++ rightOut)
+    val outSchema = StructType(outLNames.map(schemaL(_)) ++ rightOutFields)
 
-    // partition i == bucket i: one narrow coalesced scan per bucket,
+    // SKEW: a left bucket beyond the byte threshold splits its files into
+    // size-balanced chunks; the right bucket replicates across them. The
+    // chunk list fixes partition ordinals for BOTH sides.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def bytesOf(f: String): Long = scala.util.Try {
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(hconf).getFileStatus(p).getLen
+    }.getOrElse(0L)
+    val chunks: Seq[(Int, Seq[String])] = (0 until nL).flatMap { b =>
+      val files = bucketsL.getOrElse(b, Nil)
+      val sized = files.map(f => f -> bytesOf(f))
+      val total = sized.map(_._2).sum
+      val k =
+        if (splitBucketBytes <= 0 || total <= splitBucketBytes || files.size <= 1) 1
+        else math.min(files.size.toLong,
+          (total + splitBucketBytes - 1) / splitBucketBytes).toInt
+      if (k <= 1) Seq((b, files))
+      else {
+        // greedy size-balanced: biggest file into the lightest bin
+        val bins = Array.fill(k)(Seq.newBuilder[String])
+        val loads = Array.fill(k)(0L)
+        sized.sortBy(-_._2).foreach { case (f, sz) =>
+          val i = loads.indices.minBy(loads)
+          bins(i) += f
+          loads(i) += sz
+        }
+        bins.toSeq.map(bb => (b, bb.result())).filter(_._2.nonEmpty)
+      }
+    }
+
+    // partition i == chunk i: one narrow coalesced scan per chunk,
     // concatenated in ordinal order. RDD-level union, NOT DataFrame
     // union — Spark 4's SQLPartitioningAwareUnionRDD merges same-
     // partitioned children partition-wise, which would collapse all n
     // buckets into one partition; sc.union over partitioner-less children
-    // is a plain concatenation, so partition i stays bucket i. The rows
+    // is a plain concatenation, so partition i stays chunk i. The rows
     // travel as InternalRow (queryExecution.toRdd — no Row codec): the
     // whole join runs on unsafe rows, the same currency a shuffled join
-    // would move, minus the exchange.
+    // would move, minus the exchange. Per chunk the pruning/pushdown runs
+    // at the DataFrame level BEFORE the bridge, so the parquet scan reads
+    // only the needed columns and pushes the side's predicate.
     import org.apache.spark.sql.catalyst.InternalRow
-    def side(schema: StructType, buckets: Map[Int, Seq[String]])
+    def side(fullSchema: StructType, readSchema: StructType,
+        where: Option[Column], partFiles: Seq[Seq[String]])
         : org.apache.spark.rdd.RDD[InternalRow] =
-      spark.sparkContext.union((0 until nL).map { b =>
-        buckets.get(b) match {
-          case Some(files) =>
-            org.apache.spark.sql.graft.Bridge.toInternalRdd(
-              spark.read.schema(schema).parquet(files: _*).coalesce(1))
-          case None => // empty bucket: ONE empty partition keeps alignment
-            spark.sparkContext.parallelize(Seq.empty[InternalRow], 1)
-        }
+      spark.sparkContext.union(partFiles.map { files =>
+        if (files.isEmpty) // empty chunk: ONE empty partition keeps alignment
+          spark.sparkContext.parallelize(Seq.empty[InternalRow], 1)
+        else
+          org.apache.spark.sql.graft.Bridge.toInternalRdd(
+            bucketScan(spark, fullSchema, readSchema, where, files).coalesce(1))
       })
 
-    val keyIdxL = schemaL.fieldIndex(key)
-    // semi/anti need only the right KEY column — a narrower parquet read
-    val schemaRRead =
-      if (leftOnly) StructType(Seq(schemaR(key))) else schemaR
-    val keyIdxR = schemaRRead.fieldIndex(key)
+    val leftParts = chunks.map(_._2)
+    val rightParts = chunks.map { case (b, _) => bucketsR.getOrElse(b, Nil) }
+
+    val keyIdxL = readL.fieldIndex(key)
+    val keyIdxR = readR.fieldIndex(key)
     val keyType = schemaL(key).dataType
-    val rightTypes = schemaRRead.fields.toSeq
-    val joined = side(schemaL, bucketsL).zipPartitions(
-        side(schemaRRead, bucketsR), preservesPartitioning = false) { (lit, rit) =>
+    val rightTypes = readR.fields.toSeq
+    val nl = readL.fields.length
+    // bind the residual to the JOINED read layout: left read fields at
+    // 0..nl-1, right read fields at nl.. — by NAME (the key resolves to
+    // the LEFT occurrence; equi-join makes them equal anyway)
+    val boundResidual = residualCond.map { cond =>
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference}
+      cond.transform {
+        case a: AttributeReference =>
+          val li = readL.fieldNames.indexOf(a.name)
+          if (li >= 0) BoundReference(li, readL.fields(li).dataType, readL.fields(li).nullable)
+          else {
+            val ri = readR.fieldNames.indexOf(a.name)
+            require(ri >= 0, s"residual column ${a.name} missing from read layouts")
+            BoundReference(nl + ri, readR.fields(ri).dataType, nullable = true)
+          }
+      }
+    }
+    val joined = side(schemaL, readL, leftWhere, leftParts).zipPartitions(
+        side(schemaR, readR, rightWhere, rightParts),
+        preservesPartitioning = false) { (lit, rit) =>
       import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection}
       // build on the right bucket, stream the left (NULL keys drop: SQL
       // =). Scan rows are REUSED objects — the build side must copy.
@@ -128,36 +260,70 @@ object BucketedJoin {
           buf += r.copy()
         }
       }
-      // output projection over JoinedRow(left, right): left fields, then
-      // the right's non-key fields — one UnsafeProjection, created per
-      // partition (codegen'd field copies, no boxing)
-      val nl = schemaL.fields.length
-      val outRefs = schemaL.fields.toSeq.zipWithIndex.map { case (f, i) =>
-        BoundReference(i, f.dataType, f.nullable)
-      } ++ rightTypes.zipWithIndex.collect { case (f, i) if f.name != key =>
-        BoundReference(nl + i, f.dataType, nullable = true)
+      // output projection over JoinedRow(left, right): the requested left
+      // fields, then the requested right fields — one UnsafeProjection,
+      // created per partition (codegen'd field copies, no boxing)
+      val outRefs = readL.fields.toSeq.zipWithIndex.collect {
+        case (f, i) if outLNames.contains(f.name) =>
+          BoundReference(i, f.dataType, f.nullable)
+      } ++ rightTypes.zipWithIndex.collect {
+        case (f, i) if outRNames.contains(f.name) =>
+          BoundReference(nl + i, f.dataType, nullable = true)
       }
       lazy val proj = UnsafeProjection.create(outRefs)
       lazy val joinedRow = new JoinedRow
+      lazy val residualRow = new JoinedRow
       lazy val nullRight = new GenericInternalRow(rightTypes.length)
+      // the residual ON conjunct as a compiled predicate (codegen with
+      // interpreted fallback); null result = no match, like SQL ON
+      lazy val resPred = boundResidual.map { e =>
+        val p = org.apache.spark.sql.graft.Bridge.createPredicate(e)
+        p.initialize(0)
+        p
+      }
+      def passes(l: InternalRow, r: InternalRow): Boolean = resPred match {
+        case None => true
+        case Some(p) => p.eval(residualRow(l, r))
+      }
       val empty: Iterator[InternalRow] = Iterator.empty
       lit.flatMap { l =>
         val matched =
           if (l.isNullAt(keyIdxL)) null
           else build.get(l.get(keyIdxL, keyType))
         jt match {
-          case "left_semi" => if (matched != null) Iterator.single(l) else empty
-          case "left_anti" => if (matched == null) Iterator.single(l) else empty
+          case "left_semi" =>
+            if (matched != null && matched.exists(passes(l, _))) Iterator.single(proj(joinedRow(l, nullRight)))
+            else empty
+          case "left_anti" =>
+            if (matched == null || !matched.exists(passes(l, _))) Iterator.single(proj(joinedRow(l, nullRight)))
+            else empty
           case "inner" =>
             if (matched == null) empty
-            else matched.iterator.map(r => proj(joinedRow(l, r)))
-          case _ => // left outer
-            if (matched == null) Iterator.single(proj(joinedRow(l, nullRight)))
-            else matched.iterator.map(r => proj(joinedRow(l, r)))
+            else matched.iterator.filter(passes(l, _))
+              .map(r => proj(joinedRow(l, r)))
+          case _ => // left outer: residual-failing pairs null-fill like no match
+            val it = if (matched == null) empty
+              else matched.iterator.filter(passes(l, _))
+                .map(r => proj(joinedRow(l, r)))
+            if (it.hasNext) it
+            else Iterator.single(proj(joinedRow(l, nullRight)))
         }
       }
     }
     org.apache.spark.sql.graft.Bridge.internalCreateDataFrame(spark, joined, outSchema)
+  }
+
+  /** One chunk's pruned, pushed-down scan — package-private so the spec
+    * can assert the parquet `ReadSchema` really shrank to the read layout
+    * and the side predicate reached `PushedFilters`. */
+  private[graft] def bucketScan(spark: SparkSession, fullSchema: StructType,
+      readSchema: StructType, where: Option[Column],
+      files: Seq[String]): DataFrame = {
+    var df = spark.read.schema(fullSchema).parquet(files: _*)
+    where.foreach(p => df = df.where(p))
+    if (readSchema.fieldNames.toSeq != fullSchema.fieldNames.toSeq)
+      df = df.select(readSchema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*)
+    df
   }
 
   private def clean(s: StructType): StructType =

@@ -436,20 +436,37 @@ object Lake {
       Bridge.logicalPlan(
         rows.toDF("column", "ndv_or_rows", "bytes", "analyzed_version", "nulls"))
     })
-    // SELECT * FROM bucket_join('/left', '/right', 'key'[, 'joinType']):
+    // SELECT * FROM bucket_join('/left', '/right', 'key'[, 'joinType'
+    //   [, 'left_cols', 'right_cols'[, 'left_where', 'right_where']]]):
     // the storage-partitioned join over two co-bucketed Iceberg tables —
     // zero exchanges when both sides are bucket(n, key) with equal n
     // (graft.operators.BucketedJoin; refuses loudly when the layouts
     // don't cooperate, so a caller falls back to the shuffled JOIN).
-    // joinType = inner (default) | left | left_semi | left_anti
+    // joinType = inner (default) | left | left_semi | left_anti.
+    // left_cols/right_cols: comma-separated projections ('' = all) —
+    // shrink the per-bucket parquet ReadSchema; left_where/right_where:
+    // per-side predicate texts ('' = none) pushed INSIDE the bucket scans.
     Bridge.registerTableFunction(spark, "bucket_join", { args =>
-      require(args.length == 3 || args.length == 4,
-        "bucket_join(left_path, right_path, key[, join_type])")
+      require(args.length == 3 || args.length == 4 || args.length == 6 ||
+          args.length == 8,
+        "bucket_join(left_path, right_path, key[, join_type" +
+          "[, left_cols, right_cols[, left_where, right_where]]])")
+      def colsArg(i: Int, what: String): Seq[String] =
+        args.lift(i).map(str(_, what).trim).filter(_.nonEmpty)
+          .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+          .getOrElse(Nil)
+      def whereArg(i: Int, what: String): Option[org.apache.spark.sql.Column] =
+        args.lift(i).map(str(_, what).trim).filter(_.nonEmpty)
+          .map(t => Bridge.column(Bridge.parseExpression(spark, t)))
       Bridge.logicalPlan(graft.operators.BucketedJoin.coBucketedJoin(spark,
         str(args(0), "bucket_join: left_path"),
         str(args(1), "bucket_join: right_path"),
         str(args(2), "bucket_join: key"),
-        args.lift(3).map(str(_, "bucket_join: join_type")).getOrElse("inner")))
+        args.lift(3).map(str(_, "bucket_join: join_type")).getOrElse("inner"),
+        leftCols = colsArg(4, "bucket_join: left_cols"),
+        rightCols = colsArg(5, "bucket_join: right_cols"),
+        leftWhere = whereArg(6, "bucket_join: left_where"),
+        rightWhere = whereArg(7, "bucket_join: right_where")))
     })
   }
 
@@ -848,11 +865,16 @@ object Lake {
         !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
     // path@mtime@len: an in-place overwrite is a NEW version (re-ingests);
     // the same bytes at the same path never load twice
-    def fid(st: org.apache.hadoop.fs.FileStatus): String =
+    def md5_16(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
-        .digest(s"${st.getPath.toUri.getPath}@${st.getModificationTime}@${st.getLen}"
-          .getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(16)
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    def fid(st: org.apache.hadoop.fs.FileStatus): String =
+      md5_16(s"${st.getPath.toUri.getPath}@${st.getModificationTime}@${st.getLen}")
+    // ledgers written before the @mtime@len scheme recorded md5(path)
+    // alone — a file is ingested if EITHER id is present, so upgrading
+    // never re-ingests a table's already-copied files
+    def legacyFid(st: org.apache.hadoop.fs.FileStatus): String =
+      md5_16(st.getPath.toUri.getPath)
     val fmtKind = detect(spark, path)
     val ledger: Set[String] = fmtKind match {
       case Delta => DeltaRead.txnVersions(spark, path).keySet
@@ -862,7 +884,8 @@ object Lake {
       case Parquet => throw new IllegalArgumentException(
         s"COPY INTO needs a lake table (the ledger rides its commits), got parquet at $path")
     }
-    val fresh = files.filterNot(st => ledger.contains(fid(st)))
+    val fresh = files.filterNot(st =>
+      ledger.contains(fid(st)) || ledger.contains(legacyFid(st)))
     if (fresh.isEmpty) return (versionOf(spark, path), 0L)
     val names = fresh.map(_.getPath.toString)
     val raw = fmt match {

@@ -59,6 +59,13 @@ object Bridge {
       : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
     df.queryExecution.toRdd
 
+  /** Compile a bound expression to a row predicate (codegen with
+    * interpreted fallback) — the residual-conjunct evaluator for
+    * bucket-local joins. Callers must `initialize(partitionIndex)`. */
+  def createPredicate(e: Expression)
+      : org.apache.spark.sql.catalyst.expressions.BasePredicate =
+    org.apache.spark.sql.catalyst.expressions.Predicate.create(e)
+
   /** Wrap an InternalRow RDD as a DataFrame without the Row codec —
     * the inverse of [[toInternalRdd]]. The rows may be reused objects
     * (standard source contract: consumers copy when buffering). */

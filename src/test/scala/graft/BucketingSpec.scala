@@ -132,4 +132,146 @@ class BucketingSpec extends SparkSpec {
     assert(!BucketedJoin.coBucketed(spark, s"$root/orders", s"$root/customer",
       "o_custkey"))
   }
+
+  test("bucket join prunes columns + pushes predicates into per-bucket scans; residual + skew split stay exact") {
+    import graft.operators.BucketedJoin
+    import graft.sources.{IcebergRead, IcebergWrite}
+    val root = java.nio.file.Files.createTempDirectory("graft_spj_prune").toString
+    val orders = Tables(spark, sf001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"), col("o_orderpriority"))
+    val customer = Tables(spark, sf001, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    IcebergWrite.append(spark, orders, s"$root/orders",
+      partitionBy = Seq("bucket(8, o_custkey)"))
+    IcebergWrite.append(spark, customer, s"$root/customer",
+      partitionBy = Seq("bucket(8, o_custkey)"))
+
+    // the per-bucket scan really shrinks: ReadSchema carries only the read
+    // layout and the side predicate reaches PushedFilters
+    val layout = IcebergRead.bucketLayout(spark, s"$root/orders", "o_custkey").get
+    val files = layout._2.values.flatten.toSeq
+    val full = IcebergRead.snapshot(spark, s"$root/orders").schema
+    val read = org.apache.spark.sql.types.StructType(
+      Seq(full("o_custkey"), full("o_totalprice")))
+    val scan = BucketedJoin.bucketScan(spark, full, read,
+      Some(col("o_totalprice") > 1000.0), files)
+    val plan = scan.queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_custkey") && readSchema.contains("o_totalprice"),
+      readSchema)
+    assert(!readSchema.contains("o_orderstatus") && !readSchema.contains("o_orderpriority"),
+      s"scan still reads unprojected columns: $readSchema")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"),
+      plan.take(2000))
+
+    // pruned + pushed-down join: equal to the shuffled twin on the same
+    // projection/filter; lineage still shuffle-free
+    val pruned = BucketedJoin.coBucketedJoin(spark,
+      s"$root/orders", s"$root/customer", "o_custkey",
+      leftCols = Seq("o_custkey", "o_totalprice"),
+      rightCols = Seq("c_mktsegment"),
+      leftWhere = Some(col("o_totalprice") > 1000.0),
+      rightWhere = Some(col("c_acctbal") > 0.0))
+    assert(pruned.columns.toSeq === Seq("o_custkey", "o_totalprice", "c_mktsegment"))
+    assert(!pruned.rdd.toDebugString.contains("ShuffledRDD"))
+    val twin = IcebergRead.snapshot(spark, s"$root/orders")
+      .where(col("o_totalprice") > 1000.0)
+      .join(IcebergRead.snapshot(spark, s"$root/customer")
+        .where(col("c_acctbal") > 0.0), "o_custkey")
+      .select(col("o_custkey"), col("o_totalprice"), col("c_mktsegment"))
+    assert(pruned.count() === twin.count())
+    assert(pruned.exceptAll(twin).isEmpty && twin.exceptAll(pruned).isEmpty)
+
+    // residual ON conjunct: exact ON semantics for inner AND left outer
+    // (a residual-failing pair must NULL-FILL on the left join, which a
+    // post-join filter gets wrong)
+    val res = col("o_totalprice") > col("c_acctbal")
+    for (jt <- Seq("inner", "left")) {
+      val viaSpj = BucketedJoin.coBucketedJoin(spark,
+        s"$root/orders", s"$root/customer", "o_custkey", jt,
+        leftCols = Seq("o_custkey", "o_totalprice"),
+        rightCols = Seq("c_acctbal"),
+        residual = Some(res))
+      val l = IcebergRead.snapshot(spark, s"$root/orders")
+        .select(col("o_custkey"), col("o_totalprice"))
+      val r = IcebergRead.snapshot(spark, s"$root/customer")
+        .select(col("o_custkey").as("rk"), col("c_acctbal"))
+      val viaSpark = l.join(r, l("o_custkey") === r("rk") && res,
+          if (jt == "inner") "inner" else "left")
+        .select(col("o_custkey"), col("o_totalprice"), col("c_acctbal"))
+      assert(viaSpj.count() === viaSpark.count(), jt)
+      assert(viaSpj.exceptAll(viaSpark).isEmpty &&
+        viaSpark.exceptAll(viaSpj).isEmpty, jt)
+    }
+    // semi/anti with residual partition the left side exactly
+    val semiR = BucketedJoin.coBucketedJoin(spark,
+      s"$root/orders", s"$root/customer", "o_custkey", "left_semi",
+      residual = Some(res))
+    val antiR = BucketedJoin.coBucketedJoin(spark,
+      s"$root/orders", s"$root/customer", "o_custkey", "left_anti",
+      residual = Some(res))
+    val lAll = IcebergRead.snapshot(spark, s"$root/orders")
+    assert(semiR.count() + antiR.count() === lAll.count())
+    val rr = IcebergRead.snapshot(spark, s"$root/customer")
+      .select(col("o_custkey").as("rk"), col("c_acctbal"))
+    val semiExp = lAll.join(rr, lAll("o_custkey") === rr("rk") && res, "left_semi")
+    assert(semiR.count() === semiExp.count())
+
+    // TVF surface: projection + pushdown args compose (before the skew
+    // append below — `twin` pinned this snapshot's file list)
+    val viaTvf = graft.sources.Lake.sqlFrame(spark,
+      s"""SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS s
+          FROM bucket_join('$root/orders', '$root/customer', 'o_custkey',
+            'inner', 'o_custkey,o_totalprice', 'c_mktsegment',
+            'o_totalprice > 1000.0', 'c_acctbal > 0.0')""").collect().head
+    val expTvf = twin.agg(count(lit(1)), round(sum(col("o_totalprice")), 2)).collect().head
+    assert(viaTvf.getLong(0) === expTvf.getLong(0))
+    assert(math.abs(viaTvf.getDouble(1) - expTvf.getDouble(1)) < 1e-6)
+
+    // SKEW SPLIT: a second append gives every bucket ≥2 files; a tiny
+    // byte threshold then forces multi-chunk buckets — strictly more
+    // partitions than buckets, zero shuffles, identical result
+    IcebergWrite.append(spark, orders.where(col("o_orderkey") % 2 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 100000000L),
+      s"$root/orders", partitionBy = Seq("bucket(8, o_custkey)"))
+    val split = BucketedJoin.coBucketedJoin(spark,
+      s"$root/orders", s"$root/customer", "o_custkey",
+      splitBucketBytes = 1L) // every multi-file bucket splits
+    val baseline = BucketedJoin.coBucketedJoin(spark,
+      s"$root/orders", s"$root/customer", "o_custkey")
+    assert(!split.rdd.toDebugString.contains("ShuffledRDD"))
+    assert(split.rdd.getNumPartitions > baseline.rdd.getNumPartitions,
+      s"${split.rdd.getNumPartitions} vs ${baseline.rdd.getNumPartitions}")
+    assert(split.count() === baseline.count())
+    assert(split.exceptAll(baseline).isEmpty && baseline.exceptAll(split).isEmpty)
+  }
+
+  test("a RENAMED column refuses the bucket layout (name-read would null it)") {
+    // our writer stamps parquet field ids; after a metadata-only RENAME the
+    // files' physical names are the OLD ones. The main snapshot reader
+    // resolves by id, but the per-bucket reader reads BY NAME — offering
+    // the layout would silently read the renamed column (here the payload;
+    // a join key is the same hazard) as NULL. bucketLayout must probe one
+    // footer and refuse, so callers fall back to the (correct) shuffled plan.
+    import graft.operators.BucketedJoin
+    import graft.sources.IcebergWrite
+    val root = java.nio.file.Files.createTempDirectory("graft_spj_ren").toString
+    val a = Tables(spark, sf001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val b = Tables(spark, sf001, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_acctbal"))
+    IcebergWrite.append(spark, a, s"$root/a", partitionBy = Seq("bucket(4, o_custkey)"))
+    IcebergWrite.append(spark, b, s"$root/b", partitionBy = Seq("bucket(4, o_custkey)"))
+    assert(BucketedJoin.coBucketed(spark, s"$root/a", s"$root/b", "o_custkey"))
+    IcebergWrite.renameColumn(spark, s"$root/b", "c_acctbal", "balance")
+    // the id-aware snapshot reader still sees real values under the new name
+    val vals = graft.sources.IcebergRead.snapshot(spark, s"$root/b")
+      .where(col("balance").isNotNull)
+    assert(vals.count() > 0)
+    // ...but the name-based bucket layout must refuse on BOTH probes
+    assert(!BucketedJoin.coBucketed(spark, s"$root/a", s"$root/b", "o_custkey"))
+    intercept[IllegalArgumentException](BucketedJoin.coBucketedJoin(spark,
+      s"$root/a", s"$root/b", "o_custkey"))
+  }
 }

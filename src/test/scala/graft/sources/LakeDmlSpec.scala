@@ -983,6 +983,44 @@ class LakeDmlSpec extends SparkSpec {
   }
 
 
+  test("COPY INTO honors LEGACY path-only ledger ids (no one-time re-ingest)") {
+    // a ledger written before the path@mtime@len scheme recorded
+    // md5(path) alone — a file whose LEGACY id is in the ledger must not
+    // re-ingest after the upgrade
+    def legacyId(p: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(p.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    for (fmt <- Seq("delta", "iceberg")) {
+      val root = tmp(s"graft_copy_legacy_$fmt")
+      val t = s"$root/tbl"
+      val inbox = s"$root/inbox"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inbox))
+      Seq((1L, 1.0)).toDF("id", "v").coalesce(1).write.json(s"$root/stage")
+      val part = new java.io.File(s"$root/stage").listFiles()
+        .find(_.getName.endsWith(".json")).get
+      val dest = java.nio.file.Paths.get(s"$inbox/old.json")
+      java.nio.file.Files.move(part.toPath, dest)
+      val lid = legacyId(new org.apache.hadoop.fs.Path(dest.toString).toUri.getPath)
+      // seed the table WITH the legacy ledger entry, as an old version would have
+      val seed = Seq((0L, 0.0)).toDF("id", "v")
+      if (fmt == "delta")
+        DeltaWrite.append(spark, seed, t, txns = Seq((s"graft-copy:$lid", 1L)))
+      else
+        IcebergWrite.append(spark, seed, t,
+          summaryProps = Map("graft.copied" -> lid))
+      Lake.sql(spark, s"COPY INTO '$t' FROM '$inbox' FORMAT json")
+      assert(Lake.read(spark, t).count() === 1L,
+        s"$fmt: legacy-ledgered file re-ingested")
+      // a genuinely NEW file still loads
+      Seq((2L, 2.0)).toDF("id", "v").coalesce(1).write.json(s"$root/stage2")
+      val p2 = new java.io.File(s"$root/stage2").listFiles()
+        .find(_.getName.endsWith(".json")).get
+      java.nio.file.Files.move(p2.toPath, java.nio.file.Paths.get(s"$inbox/new.json"))
+      Lake.sql(spark, s"COPY INTO '$t' FROM '$inbox' FORMAT json")
+      assert(Lake.read(spark, t).count() === 2L, fmt)
+    }
+  }
+
   test("EXPLAIN FILES reports opened-vs-total per referenced table") {
     val t = tmp("graft_explain_files") + "/tbl"
     // two commits with disjoint ranges -> a range WHERE prunes one file
