@@ -157,14 +157,20 @@ object Bench {
       scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
     ).getOrElse(-1.0)
     val loadStart = loadavg1m
+    val cores = Runtime.getRuntime.availableProcessors
+    // nproc-normalized load: 0.15/core ≈ loadavg 4.8 on this 32-way box —
+    // past it the artifact is co-tenancy noise (r16's +56% b1 "regression"
+    // was exactly this), so a HOT START forces the retry unconditionally
+    // and the JSON stamps both the raw and per-core figures
+    val hotStart = loadStart > 0 && loadStart / cores > 0.15
     val pass1 = timedPass()
     def totalOf(p: Seq[(String, Double)]) = p.collect { case (_, v) if v >= 0 => v }.sum
     val envelope = math.min(warmPassSec,
       if (floorSumSec > 0) 1.6 * floorSumSec else warmPassSec)
-    val retried = envelope > 0 && totalOf(pass1) > 1.3 * envelope
+    val retried = (envelope > 0 && totalOf(pass1) > 1.3 * envelope) || hotStart
     val timed = if (!retried) pass1 else {
-      System.err.println(f"[bench] suite ${totalOf(pass1)}%.3f s exceeds " +
-        f"floor envelope $envelope%.3f s by >30%% (loadavg $loadStart) — retrying once")
+      System.err.println(f"[bench] suite ${totalOf(pass1)}%.3f s vs floor " +
+        f"envelope $envelope%.3f s, loadavg $loadStart (hot=$hotStart) — retrying once")
       System.gc()
       pass1.zip(timedPass()).map { case ((n, a), (_, b)) =>
         n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
@@ -193,7 +199,8 @@ object Bench {
     // rounds 1–2 timed the original single-row-group files) so cross-round
     // comparisons don't mistake the re-layout for an engine change.
     val nFailed = timed.count(_._2 < 0)
-    println(f"""{"metric":"suite_total","value":$total%.4f,"unit":"sec","queries":$qs,"floor_ms":$fl,"floor_ratio":$floorRatio%.3f,"warm_pass_sec":$warmPassSec%.4f,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"retried":$retried,"layout_sec":$layoutSec%.4f,"suite_total_uncompacted":$rawTotal%.4f,"n_failed":$nFailed,"protocol":"compacted-layout-r3+","sf":"$sfDir"}""")
+    val loadPerCore = if (loadStart > 0) loadStart / cores else -1.0
+    println(f"""{"metric":"suite_total","value":$total%.4f,"unit":"sec","queries":$qs,"floor_ms":$fl,"floor_ratio":$floorRatio%.3f,"warm_pass_sec":$warmPassSec%.4f,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"loadavg_per_core":$loadPerCore%.3f,"hot_start":$hotStart,"retried":$retried,"layout_sec":$layoutSec%.4f,"suite_total_uncompacted":$rawTotal%.4f,"n_failed":$nFailed,"protocol":"compacted-layout-r3+","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.{Metadata, StructField, StructType}
+
+import graft.sources.IcebergRead
+
+/** BUCKET-LOCAL AGGREGATION over a bucket(n, key)-partitioned Iceberg
+  * table: `GROUP BY` keys that INCLUDE the bucket key need no exchange —
+  * a key value lives in exactly one bucket, so a per-bucket COMPLETE hash
+  * aggregation is globally correct. This is the agg-side twin of
+  * [[BucketedJoin]]: the same layout argument that kills the join shuffle
+  * kills the aggregation shuffle.
+  *
+  * Why it matters at 100 TB: for a HIGH-cardinality group key (the common
+  * fact-table case — GROUP BY customer over billions of rows), Spark's
+  * partial aggregation barely reduces before the exchange (each scan
+  * partition holds mostly-distinct keys), so the shuffle moves nearly the
+  * whole table. Under the bucketed layout each bucket already holds ALL
+  * rows of its keys, so the complete per-bucket aggregation emits final
+  * results with ZERO bytes shuffled.
+  *
+  * Physical shape: the co-partitioned reader (bucket i = partition i, the
+  * [[BucketedJoin]] scan — pruned to the referenced columns, `where`
+  * pushed into the parquet read), then a per-partition hash aggregation
+  * driven by Catalyst's own declarative-aggregate contract: the plan the
+  * equivalent `groupBy(...).agg(...)` would run is ANALYZED once on the
+  * driver, its `AggregateExpression`s are bound to the read layout, and
+  * each partition runs initialize → update (one compiled
+  * `MutableProjection` over buffer ++ input) → evaluate (one compiled
+  * `UnsafeProjection` over groupKey ++ buffer). Codegen'd arithmetic, no
+  * boxing, no Row codec — the same machinery `HashAggregateExec` uses,
+  * minus the exchange.
+  *
+  * Guards (all loud — callers fall back to the shuffled `groupBy`):
+  * the table must expose a clean bucket layout ([[IcebergRead
+  * .bucketLayout]] — current-spec files only, no live deletes, name-read
+  * faithful); `groupCols` must contain `key`; every aggregate must be a
+  * non-distinct, unfiltered [[org.apache.spark.sql.catalyst.expressions
+  * .aggregate.DeclarativeAggregate]] (sum/count/min/max/avg/first…);
+  * grouping expressions must be plain columns. NULL bucket keys: Iceberg's
+  * bucket transform puts null-keyed rows in a null partition value —
+  * those files fail the layout probe, so the NULL-group question never
+  * reaches this operator with a lying layout.
+  *
+  * Skew note: unlike the join, a hot bucket canNOT split here — two
+  * chunks of one bucket would emit two partial groups for the same key.
+  * Parallelism is exactly n; pick n accordingly (same SPJ sizing rule).
+  */
+object BucketedAgg {
+
+  /** True when [[bucketLocalAgg]] would plan exchange-free. */
+  def canAggLocally(spark: SparkSession, table: String, key: String,
+      groupCols: Seq[String]): Boolean =
+    groupCols.contains(key) &&
+      IcebergRead.bucketLayout(spark, table, key).isDefined
+
+  def bucketLocalAgg(spark: SparkSession, table: String, key: String,
+      groupCols: Seq[String], aggs: Seq[Column],
+      where: Option[Column] = None): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, BoundReference, Expression, ExprId, Literal, NamedExpression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, DeclarativeAggregate}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graft.Bridge
+
+    require(groupCols.contains(key),
+      s"bucketLocalAgg: groupCols must include the bucket key '$key' — " +
+        "other groupings spread a group across buckets (use the shuffled groupBy)")
+    require(aggs.nonEmpty, "bucketLocalAgg: no aggregates given")
+    val (n, buckets) = IcebergRead.bucketLayout(spark, table, key).getOrElse(
+      throw new IllegalArgumentException(
+        s"bucketLocalAgg: $table is not cleanly bucket(n, $key)-partitioned " +
+          "— use the shuffled groupBy instead"))
+    val schema = StructType(IcebergRead.snapshot(spark, table).schema
+      .fields.map(_.copy(metadata = Metadata.empty)))
+
+    // analyze the EQUIVALENT shuffled plan once — its Aggregate node is
+    // the semantic contract (resolved functions, typed buffers, coercions)
+    val base = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val analyzed = base.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*).queryExecution.analyzed
+    val aggNode = analyzed.collectFirst { case a: Aggregate => a }.getOrElse(
+      throw new IllegalStateException("groupBy.agg did not analyze to an Aggregate"))
+    aggNode.aggregateExpressions.foreach(_.foreach {
+      case ae: AggregateExpression =>
+        require(!ae.isDistinct && ae.filter.isEmpty,
+          s"bucketLocalAgg: DISTINCT/FILTER aggregates not supported: $ae")
+        require(ae.aggregateFunction.isInstanceOf[DeclarativeAggregate],
+          s"bucketLocalAgg: only declarative aggregates supported, got " +
+            s"${ae.aggregateFunction.getClass.getSimpleName}")
+      case _ =>
+    })
+    val groupingAttrs = aggNode.groupingExpressions.map {
+      case a: AttributeReference => a
+      case other => throw new IllegalArgumentException(
+        s"bucketLocalAgg: grouping must be plain columns, got $other")
+    }
+
+    // READ layout: every child column the aggregation touches, schema order
+    val neededNames: Set[String] = (groupingAttrs.map(_.name) ++
+      aggNode.aggregateExpressions.flatMap(_.collect {
+        case a: AttributeReference => a.name
+      })).toSet
+    val readNames = schema.fieldNames.toSeq.filter(neededNames.contains)
+    val readSchema = StructType(readNames.map(schema(_)))
+    val readIdx: Map[String, Int] = readNames.zipWithIndex.toMap
+
+    // one buffer row holds every function's buffer attributes, concatenated
+    val functions: Seq[DeclarativeAggregate] = aggNode.aggregateExpressions
+      .flatMap(_.collect { case ae: AggregateExpression =>
+        ae.aggregateFunction.asInstanceOf[DeclarativeAggregate] })
+    val bufferAttrs = functions.flatMap(_.aggBufferAttributes)
+    val bufferPos: Map[ExprId, Int] =
+      bufferAttrs.zipWithIndex.map { case (a, i) => a.exprId -> i }.toMap
+    val bufferWidth = bufferAttrs.length
+    val initials: Seq[Any] = functions.flatMap(_.initialValues).map {
+      case l: Literal => l.value
+      case e =>
+        require(e.foldable, s"non-foldable aggregate initial value: $e")
+        e.eval(null)
+    }
+    // UPDATE expressions over JoinedRow(buffer, input): buffer attrs at
+    // their buffer slots, input columns at bufferWidth + read index
+    def bindUpdate(e: Expression): Expression = e.transformUp {
+      case a: AttributeReference if bufferPos.contains(a.exprId) =>
+        BoundReference(bufferPos(a.exprId), a.dataType, a.nullable)
+      case a: AttributeReference =>
+        val i = readIdx.getOrElse(a.name, throw new IllegalStateException(
+          s"update expression references unread column ${a.name}"))
+        BoundReference(bufferWidth + i, readSchema.fields(i).dataType,
+          readSchema.fields(i).nullable)
+    }
+    val updateExprs = functions.flatMap(_.updateExpressions).map(bindUpdate)
+
+    // GROUP-KEY projection over the input row
+    val groupRefs = groupingAttrs.map { a =>
+      val i = readIdx(a.name)
+      BoundReference(i, readSchema.fields(i).dataType, readSchema.fields(i).nullable)
+    }
+    // RESULT expressions over JoinedRow(groupKey, buffer): each
+    // AggregateExpression becomes its function's evaluateExpression bound
+    // to the buffer slots; surviving grouping attrs bind to the key slots
+    val groupPos: Map[ExprId, Int] =
+      groupingAttrs.zipWithIndex.map { case (a, i) => a.exprId -> i }.toMap
+    val gWidth = groupingAttrs.length
+    def bindResult(e: Expression): Expression = e.transformUp {
+      case ae: AggregateExpression =>
+        ae.aggregateFunction.asInstanceOf[DeclarativeAggregate].evaluateExpression
+    } match { case rewritten => rewritten.transformUp {
+      case a: AttributeReference if groupPos.contains(a.exprId) =>
+        BoundReference(groupPos(a.exprId), a.dataType, a.nullable)
+      case a: AttributeReference if bufferPos.contains(a.exprId) =>
+        BoundReference(gWidth + bufferPos(a.exprId), a.dataType, a.nullable)
+    }}
+    val resultExprs: Seq[Expression] = aggNode.aggregateExpressions.map {
+      case Alias(child, _) => bindResult(child)
+      case ne: NamedExpression => bindResult(ne)
+    }
+    val outSchema = StructType(aggNode.aggregateExpressions.map(ne =>
+      StructField(ne.name, ne.dataType, ne.nullable)))
+
+    // the co-partitioned scan (bucket i = partition i), pruned + pushed
+    val rdd = spark.sparkContext.union((0 until n).map { b =>
+      buckets.get(b).filter(_.nonEmpty) match {
+        case Some(files) =>
+          Bridge.toInternalRdd(
+            BucketedJoin.bucketScan(spark, schema, readSchema, where, files)
+              .coalesce(1))
+        case None =>
+          spark.sparkContext.parallelize(Seq.empty[InternalRow], 1)
+      }
+    })
+
+    val aggregated = rdd.mapPartitions { it =>
+      import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection, UnsafeRow}
+      val groupProj = UnsafeProjection.create(groupRefs)
+      val updateProj = Bridge.createMutableProjection(updateExprs)
+      val resultProj = UnsafeProjection.create(resultExprs)
+      val updateInput = new JoinedRow
+      val resultInput = new JoinedRow
+      val groups = new java.util.LinkedHashMap[UnsafeRow, GenericInternalRow]()
+      it.foreach { row =>
+        val k = groupProj(row)
+        var buf = groups.get(k)
+        if (buf == null) {
+          buf = new GenericInternalRow(bufferWidth)
+          var i = 0
+          while (i < bufferWidth) { buf.update(i, initials(i)); i += 1 }
+          groups.put(k.copy(), buf)
+        }
+        updateProj.target(buf)
+        updateProj(updateInput(buf, row))
+      }
+      val entries = groups.entrySet().iterator()
+      new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+        def hasNext: Boolean = entries.hasNext
+        def next(): org.apache.spark.sql.catalyst.InternalRow = {
+          val e = entries.next()
+          resultProj(resultInput(e.getKey, e.getValue))
+        }
+      }
+    }
+    Bridge.internalCreateDataFrame(spark, aggregated, outSchema)
+  }
+}

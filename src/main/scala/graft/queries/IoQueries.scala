@@ -1676,6 +1676,75 @@ object IoQueries {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** SPJ AUTO-ROUTE from plain SQL (SURVEY §2 S9bja): the same co-bucketed
+    * layout as t102, but the join is STATEMENT TEXT — no TVF, no API call.
+    * [[graft.sources.LakeDelegate]] recognizes the single-block equi-join
+    * over two `bucket(8, o_custkey)` Iceberg tables and routes it through
+    * the co-partitioned reader with the statement's per-alias WHERE
+    * conjuncts pushed inside the per-bucket scans and the join view pruned
+    * to the referenced columns (BucketingSpec asserts the plan facts: no
+    * Spark join node, exact view schema). The oracle is the plain DuckDB
+    * join with the same filters. */
+  val tspjAuto = GQuery(
+    "t103_spj_auto",
+    (s, dir) => {
+      val root = tmp("graft_t103_q")
+      graft.sources.IcebergWrite.append(s,
+        Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderstatus")),
+        s"$root/orders", partitionBy = Seq("bucket(8, o_custkey)"))
+      graft.sources.IcebergWrite.append(s,
+        Tables(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+          col("c_acctbal"), col("c_mktsegment")),
+        s"$root/customer", partitionBy = Seq("bucket(8, o_custkey)"))
+      graft.sources.Lake.sqlFrame(s,
+        s"""SELECT c.c_mktsegment, count(*) AS cnt,
+              round(sum(o.o_totalprice), 2) AS revenue
+            FROM '$root/orders' o JOIN '$root/customer' c
+              ON o.o_custkey = c.o_custkey
+            WHERE o.o_totalprice > 1000.0 AND c.c_acctbal > 0.0
+            GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS cnt,
+        round(sum(o_totalprice), 2) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_totalprice > 1000.0 AND c_acctbal > 0.0
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** BUCKET-LOCAL AGGREGATION end-to-end (SURVEY §2 S9ba): orders land in
+    * a `bucket(8, o_custkey)` Iceberg table across TWO appends (so buckets
+    * hold multiple files), then `GROUP BY o_custkey` runs as per-bucket
+    * COMPLETE hash aggregation through [[graft.operators.BucketedAgg]] —
+    * zero exchange (BucketingSpec asserts the lineage), final results
+    * emitted straight from each bucket. The oracle is the plain DuckDB
+    * GROUP BY. At 100 TB this kills the one shuffle a high-cardinality
+    * fact rollup otherwise always pays. */
+  val tbucketAgg = GQuery(
+    "t104_bucket_agg",
+    (s, dir) => {
+      val root = tmp("graft_t104_q")
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.sources.IcebergWrite.append(s,
+        orders.where(col("o_orderkey") % 2 === 0),
+        s"$root/t", partitionBy = Seq("bucket(8, o_custkey)"))
+      graft.sources.IcebergWrite.append(s,
+        orders.where(col("o_orderkey") % 2 === 1),
+        s"$root/t", partitionBy = Seq("bucket(8, o_custkey)"))
+      graft.operators.BucketedAgg.bucketLocalAgg(s, s"$root/t", "o_custkey",
+        Seq("o_custkey"),
+        Seq(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          min(col("o_orderkey")).as("first_order")),
+        where = Some(col("o_totalprice") > 1000.0))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey, count(*) AS cnt,
+        round(sum(o_totalprice), 2) AS total,
+        min(o_orderkey) AS first_order
+      FROM orders WHERE o_totalprice > 1000.0
+      GROUP BY o_custkey ORDER BY o_custkey"""))
+
   /** Catalog VIEWs end-to-end (Lake.sql CREATE VIEW → bare-name
     * expansion): events land in a Delta table under a catalog directory,
     * a VIEW stores the per-type rollup, a second VIEW filters the first,
@@ -2055,7 +2124,7 @@ object IoQueries {
       tdeltaDv, tdeltaUpsert, ticebergPart, ticebergHiddenPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tlakeReplaceWhere, tlakeSqlDml,
       tlakeSqlMaintenance, tlakeSqlSelect, tlakeSqlAgg, tlakeSqlAlterAdd, tlakeTpchSql,
-      tlakeSqlWindow, tlakeCreateTable, tlakeUseCatalog, tlakeMergeFull, tlakeMergeNullCond, tlakeMergeEvolve, tlakeMergeRenamed, tbucketJoin, tlakeViews,
+      tlakeSqlWindow, tlakeCreateTable, tlakeUseCatalog, tlakeMergeFull, tlakeMergeNullCond, tlakeMergeEvolve, tlakeMergeRenamed, tbucketJoin, tspjAuto, tbucketAgg, tlakeViews,
       tcdcApply, tlakeSync, tlakeClone,
       tlakeRestore, tlakeRename, tlakeUniform, tlakeUniformRev, tlakeConvert)
 }

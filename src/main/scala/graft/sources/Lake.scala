@@ -468,6 +468,24 @@ object Lake {
         leftWhere = whereArg(6, "bucket_join: left_where"),
         rightWhere = whereArg(7, "bucket_join: right_where")))
     })
+    // SELECT * FROM bucket_agg('/t', 'key', 'g1[,g2…]', 'sum(x) AS s[, …]'
+    //   [, 'where']): bucket-local GROUP BY over a bucket(n, key) table —
+    // per-bucket COMPLETE hash aggregation, zero exchange, when the group
+    // columns include the bucket key (graft.operators.BucketedAgg; refuses
+    // loudly otherwise so callers fall back to the shuffled groupBy).
+    Bridge.registerTableFunction(spark, "bucket_agg", { args =>
+      require(args.length == 4 || args.length == 5,
+        "bucket_agg(path, key, group_cols, agg_exprs[, where])")
+      val aggTexts = splitTopLevel(str(args(3), "bucket_agg: agg_exprs"))
+      Bridge.logicalPlan(graft.operators.BucketedAgg.bucketLocalAgg(spark,
+        str(args(0), "bucket_agg: path"),
+        str(args(1), "bucket_agg: key"),
+        str(args(2), "bucket_agg: group_cols").split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty),
+        aggTexts.map(t => Bridge.column(Bridge.parseExpression(spark, t))),
+        args.lift(4).map(str(_, "bucket_agg: where").trim).filter(_.nonEmpty)
+          .map(t => Bridge.column(Bridge.parseExpression(spark, t)))))
+    })
   }
 
   /** OPTIMIZE dispatch: bin-pack small files and materialize merge-on-read
@@ -925,9 +943,39 @@ object Lake {
   /** Parsed ANALYZE TABLE statistics of a lake table. `bytes` is the sum
     * of live data-file sizes at analyze time; `ndv` is approximate
     * (HyperLogLog++). `version` records the analyzed snapshot so readers
-    * can judge staleness. */
+    * can judge staleness. `hist` carries an equi-width histogram per
+    * numeric/date/timestamp column (canonical double domain: numeric
+    * value, epoch days, epoch micros) — the range-selectivity source. */
   final case class TableStats(rows: Long, bytes: Long, version: Long,
-      ndv: Map[String, Long], nulls: Map[String, Long])
+      ndv: Map[String, Long], nulls: Map[String, Long],
+      hist: Map[String, ColHistogram] = Map.empty)
+
+  /** Equi-width histogram of one column over [lo, hi] (canonical double
+    * domain), `counts(i)` = non-null rows in bin i. */
+  final case class ColHistogram(lo: Double, hi: Double, counts: Seq[Long]) {
+    /** Estimated fraction of NON-NULL rows in [qlo, qhi] (either bound
+      * may be infinite) — linear interpolation inside partial bins. */
+    def fraction(qlo: Double, qhi: Double): Double = {
+      val total = counts.sum.toDouble
+      if (total <= 0) return 0.0
+      if (qhi < qlo || qhi < lo || qlo > hi) return 0.0
+      if (hi <= lo) return 1.0 // degenerate single-value domain, inside
+      val width = (hi - lo) / counts.length
+      var acc = 0.0
+      var i = 0
+      while (i < counts.length) {
+        val blo = lo + i * width
+        val bhi = if (i == counts.length - 1) hi else blo + width
+        val olo = math.max(blo, qlo)
+        val ohi = math.min(bhi, qhi)
+        if (ohi > olo) acc += counts(i) * ((ohi - olo) / (bhi - blo))
+        else if (olo == ohi && (olo == blo || ohi == bhi || (qlo == qhi && blo <= qlo && qlo <= bhi)))
+          () // zero-width overlap at a bin edge: negligible mass
+        i += 1
+      }
+      math.min(1.0, acc / total)
+    }
+  }
 
   private val statsKey = "graft.stats"
 
@@ -954,11 +1002,63 @@ object Lake {
            org.apache.spark.sql.types.BinaryType => false
       case _ => true
     })
-    val aggs = count(lit(1)).as("__rows") +: cols.flatMap(f => Seq(
+    // canonical double domain for histogram-able columns: numeric value,
+    // DATE → epoch days, TIMESTAMP → epoch micros (the same canonical form
+    // the range-selectivity reader uses for its literals)
+    def canon(f: org.apache.spark.sql.types.StructField): Option[org.apache.spark.sql.Column] =
+      f.dataType match {
+        case _: org.apache.spark.sql.types.NumericType => Some(col(f.name).cast("double"))
+        case org.apache.spark.sql.types.DateType =>
+          Some(org.apache.spark.sql.functions.unix_date(col(f.name)).cast("double"))
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType =>
+          Some(org.apache.spark.sql.functions.unix_micros(
+            col(f.name).cast("timestamp")).cast("double"))
+        case _ => None
+      }
+    val histCols = cols.flatMap(f => canon(f).map(f.name -> _))
+    val aggs = (count(lit(1)).as("__rows") +: cols.flatMap(f => Seq(
       approx_count_distinct(col(f.name)).as(s"__ndv_${f.name}"),
       sum(when(col(f.name).isNull, 1L).otherwise(0L)).cast("long")
-        .as(s"__nulls_${f.name}")))
+        .as(s"__nulls_${f.name}")))) ++ histCols.flatMap { case (n, c) =>
+      Seq(org.apache.spark.sql.functions.min(c).as(s"__lo_$n"),
+        org.apache.spark.sql.functions.max(c).as(s"__hi_$n"))
+    }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    // equi-width HISTOGRAMS (32 bins), second linear pass now that the
+    // bounds are known — map-side combined sums, one tiny result row. The
+    // selectivity these buy: range predicates (BETWEEN/</>) shrink the
+    // planner's row estimates the way equality already does through NDV.
+    val HistBins = 32
+    val histDomain: Seq[(String, Double, Double, org.apache.spark.sql.Column)] =
+      histCols.zipWithIndex.flatMap { case ((n, c), i) =>
+        val base = 1 + 2 * cols.length + 2 * i
+        if (row.isNullAt(base) || row.isNullAt(base + 1)) None
+        else {
+          val lo = row.getDouble(base)
+          val hi = row.getDouble(base + 1)
+          if (hi > lo) Some((n, lo, hi, c)) else None
+        }
+      }
+    val histCounts: Map[String, Seq[Long]] =
+      if (histDomain.isEmpty) Map.empty
+      else {
+        val binAggs = histDomain.flatMap { case (n, lo, hi, c) =>
+          val width = (hi - lo) / HistBins
+          val bucket = org.apache.spark.sql.functions.least(
+            lit(HistBins - 1),
+            org.apache.spark.sql.functions.floor((c - lit(lo)) / lit(width)))
+          (0 until HistBins).map(b =>
+            sum(when(bucket === b, 1L).otherwise(0L)).cast("long")
+              .as(s"__h_${n}_$b"))
+        }
+        val hrow = df.agg(binAggs.head, binAggs.tail: _*).head()
+        histDomain.zipWithIndex.map { case ((n, _, _, _), i) =>
+          n -> (0 until HistBins).map(b =>
+            if (hrow.isNullAt(i * HistBins + b)) 0L
+            else hrow.getLong(i * HistBins + b))
+        }.toMap
+      }
     val bytes = {
       val hconf = spark.sparkContext.hadoopConfiguration
       df.inputFiles.map { p =>
@@ -967,9 +1067,14 @@ object Lake {
       }.sum
     }
     def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val histJson: Map[String, String] = histDomain.map { case (n, lo, hi, _) =>
+      n -> (s""",${jq("hist")}:{${jq("lo")}:$lo,${jq("hi")}:$hi,""" +
+        s"""${jq("counts")}:[${histCounts(n).mkString(",")}]}""")
+    }.toMap
     val colJson = cols.zipWithIndex.map { case (f, i) =>
       val nulls = if (row.isNullAt(2 + 2 * i)) 0L else row.getLong(2 + 2 * i)
-      s"${jq(f.name)}:{${jq("ndv")}:${row.getLong(1 + 2 * i)},${jq("nulls")}:$nulls}"
+      s"${jq(f.name)}:{${jq("ndv")}:${row.getLong(1 + 2 * i)},${jq("nulls")}:$nulls" +
+        histJson.getOrElse(f.name, "") + "}"
     }.mkString("{", ",", "}")
     // version stamp = what versionOf reports right AFTER this statement:
     // Delta's properties commit claims head+1 (a racing interleaved commit
@@ -1006,7 +1111,13 @@ object Lake {
       TableStats(n.path("rows").asLong(0), n.path("bytes").asLong(0),
         n.path("version").asLong(-1),
         cols.map { case (k, v) => k -> v.path("ndv").asLong(0) }.toMap,
-        cols.map { case (k, v) => k -> v.path("nulls").asLong(0) }.toMap)
+        cols.map { case (k, v) => k -> v.path("nulls").asLong(0) }.toMap,
+        cols.flatMap { case (k, v) =>
+          Option(v.get("hist")).map { h =>
+            k -> ColHistogram(h.path("lo").asDouble(0), h.path("hi").asDouble(0),
+              h.path("counts").elements().asScala.map(_.asLong(0)).toSeq)
+          }
+        }.toMap)
     }
   }.toOption.flatten
 

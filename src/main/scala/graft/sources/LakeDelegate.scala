@@ -27,6 +27,12 @@ private[sources] object LakeDelegate {
       }
       return spark.sql(statement)
     }
+    // STORAGE-PARTITIONED-JOIN auto-route: a plain two-table equi-join
+    // over co-bucketed Iceberg tables plans through the shuffle-free
+    // co-partitioned reader — the layout's promise must not require
+    // knowing the bucket_join TVF exists. Any refusal falls through
+    // silently to the ordinary delegated plan.
+    spjAutoRoute(spark, statement, refs).foreach(df => return df)
     // BLOCK-LOCAL pruning: each reference is attributed conjuncts from its
     // OWN query block's WHERE — the statement's for depth-0 refs, the
     // enclosing derived table's/CTE's for nested ones. A block's own WHERE
@@ -60,6 +66,15 @@ private[sources] object LakeDelegate {
           pruneConjuncts(spark, statement.substring(bs + 1, be),
             group.map { case ((r, _, df), i) => (r, i, df) })
         }
+    // STATS-DRIVEN JOIN ORDER: a 3+-table chain of plain INNER JOINs in
+    // textual order can be a 10× plan at scale — when every reference has
+    // fresh ANALYZE stats, rewrite the FROM chain smallest-filtered-first
+    // (greedy, connectivity-preserving) and re-delegate the better text.
+    // One level of recursion only: the reordered statement's own reorder
+    // pass is a no-op (already ordered), so it falls through to planning.
+    joinReorder(spark, statement, resolved, conjuncts).foreach { better =>
+      return delegateSelect(spark, better)
+    }
     val sb = new java.lang.StringBuilder
     var pos = 0
     val registered = Seq.newBuilder[PrunedView]
@@ -129,13 +144,69 @@ private[sources] object LakeDelegate {
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold")))
       .getOrElse(-1L)
     if (threshold <= 0 || stats.bytes <= threshold) return scan // Catalyst's call
+    val s = selectivityOf(spark, stats, conjunctTexts)
+    if (stats.bytes * s <= threshold)
+      org.apache.spark.sql.functions.broadcast(scan)
+    else scan
+  }
+
+  /** Estimated fraction of a table's rows surviving `conjunctTexts`
+    * (Π per-conjunct selectivity, conservative 1.0 for anything the stats
+    * cannot judge): equality/IN through NDV (`1/ndv`, `k/ndv`); range
+    * comparisons and BETWEEN through the ANALYZE histograms (interval
+    * fraction — a same-column AND of two ranges intersects the interval
+    * instead of multiplying, so `BETWEEN` is not double-counted). */
+  private[sources] def selectivityOf(spark: SparkSession, stats: TableStats,
+      conjunctTexts: Seq[String]): Double = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, In, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.types.{DateType, NumericType, StringType, TimestampNTZType, TimestampType}
     def nameOf(e: Expression): Option[String] = e match {
       case a: UnresolvedAttribute => Some(a.nameParts.last)
       case a: AttributeReference => Some(a.name)
+      case c: Cast => nameOf(c.child)
       case _ => None
     }
+    // a literal in the histogram's canonical double domain: numeric value,
+    // DATE → epoch days, TIMESTAMP → epoch micros; a STRING literal that
+    // parses as a date/timestamp maps the same way (the unresolved texts
+    // the planner sees compare date columns against quoted strings)
+    def canonLit(e: Expression): Option[Double] = e match {
+      case Literal(v, _: NumericType) =>
+        Some(v.toString.toDouble)
+      case Literal(d: Int, DateType) => Some(d.toDouble)
+      case Literal(us: Long, TimestampType) => Some(us.toDouble)
+      case Literal(us: Long, TimestampNTZType) => Some(us.toDouble)
+      case Literal(s, StringType) =>
+        val t = String.valueOf(s).trim
+        scala.util.Try(java.time.LocalDate.parse(t).toEpochDay.toDouble).toOption
+          .orElse(scala.util.Try {
+            val iso = if (t.contains("T")) t else t.replace(" ", "T")
+            java.time.LocalDateTime.parse(iso)
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000.0
+          }.toOption)
+      case c: Cast if c.foldable => scala.util.Try(
+        Literal(c.eval(null), c.dataType)).toOption.flatMap(canonLit)
+      case _ => None
+    }
+    val Inf = Double.PositiveInfinity
+    // (column, lo, hi) of a single range comparison — None when not a range
+    def rangeOf(e: Expression): Option[(String, Double, Double)] = e match {
+      case LessThan(a, v) => for (n <- nameOf(a); x <- canonLit(v)) yield (n, -Inf, x)
+      case LessThanOrEqual(a, v) => for (n <- nameOf(a); x <- canonLit(v)) yield (n, -Inf, x)
+      case GreaterThan(a, v) => for (n <- nameOf(a); x <- canonLit(v)) yield (n, x, Inf)
+      case GreaterThanOrEqual(a, v) => for (n <- nameOf(a); x <- canonLit(v)) yield (n, x, Inf)
+      // literal-on-left flips
+      case LessThan(v: Literal, a) => for (n <- nameOf(a); x <- canonLit(v)) yield (n, x, Inf)
+      case LessThanOrEqual(v: Literal, a) => for (n <- nameOf(a); x <- canonLit(v)) yield (n, x, Inf)
+      case GreaterThan(v: Literal, a) => for (n <- nameOf(a); x <- canonLit(v)) yield (n, -Inf, x)
+      case GreaterThanOrEqual(v: Literal, a) => for (n <- nameOf(a); x <- canonLit(v)) yield (n, -Inf, x)
+      case _ => None
+    }
+    def fractionOf(col: String, lo: Double, hi: Double): Option[Double] =
+      stats.hist.get(col).map { h =>
+        h.fraction(math.max(lo, h.lo - 1), math.min(hi, h.hi + 1))
+      }
     def sel(e: Expression): Double = e match {
       case EqualTo(l, _: Literal) =>
         nameOf(l).flatMap(stats.ndv.get).filter(_ > 0).map(1.0 / _).getOrElse(1.0)
@@ -144,17 +215,23 @@ private[sources] object LakeDelegate {
       case In(v, list) if list.forall(_.isInstanceOf[Literal]) =>
         nameOf(v).flatMap(stats.ndv.get).filter(_ > 0)
           .map(n => math.min(1.0, list.size.toDouble / n)).getOrElse(1.0)
-      case And(l, r) => sel(l) * sel(r)
-      case _ => 1.0
+      case And(l, r) =>
+        // same-column range conjunction (BETWEEN) → interval intersection
+        (rangeOf(l), rangeOf(r)) match {
+          case (Some((cl, llo, lhi)), Some((cr, rlo, rhi))) if cl == cr =>
+            fractionOf(cl, math.max(llo, rlo), math.min(lhi, rhi))
+              .getOrElse(sel(l) * sel(r))
+          case _ => sel(l) * sel(r)
+        }
+      case other => rangeOf(other)
+        .flatMap { case (c, lo, hi) => fractionOf(c, lo, hi) }
+        .getOrElse(1.0)
     }
-    val s = conjunctTexts.map { t =>
+    conjunctTexts.map { t =>
       scala.util.Try(sel(
         org.apache.spark.sql.graft.Bridge.parseExpression(spark, t)))
         .getOrElse(1.0)
     }.product
-    if (stats.bytes * s <= threshold)
-      org.apache.spark.sql.functions.broadcast(scan)
-    else scan
   }
 
   /** Count of executed dim-side bounds probes — observability for specs
@@ -433,5 +510,426 @@ private[sources] object LakeDelegate {
     (0 +: bounds.map(_ + 3)).zip(bounds :+ pred.length)
       .map { case (a, b) => pred.substring(a, b).trim }
       .filter(_.nonEmpty)
+  }
+
+  /** STORAGE-PARTITIONED-JOIN auto-route (SURVEY §2 S9bj from plain SQL):
+    * when a statement is a single-block `SELECT … FROM 'L' a JOIN 'R' b
+    * ON a.k = b.k [AND residual…] [WHERE …] [GROUP/ORDER/LIMIT …]` and
+    * both references are Iceberg tables `bucket(n, k)`-partitioned with
+    * equal n, the join plans through [[graft.operators.BucketedJoin]]
+    * instead of the shuffled path — with the statement's per-alias
+    * conjuncts pushed INSIDE the per-bucket parquet reads and the join
+    * view pruned to exactly the columns the statement references.
+    *
+    * Sound by refusal — ANY gate miss returns None and the ordinary
+    * delegated plan runs instead: both refs depth-0, unpinned, not views;
+    * exactly one top-level plain (INNER) JOIN and no other join/set-op
+    * keywords; no nested SELECT (a subquery's own aliases must not be
+    * qualifier-stripped); no star expansion (`*` / `alias.*` — the SPJ
+    * view drops the right key, so expansion would change the column set;
+    * `count(*)`/multiplication stars are fine); every ON conjunct parses,
+    * exactly one is a qualified same-name equality whose column is the
+    * co-bucketed key, the rest ride as bucket-local residuals; every
+    * column token resolves to one side (alias-qualified or unique by
+    * schema membership). The rewritten text names one SPJ view and drops
+    * the alias qualifiers (output column names are unique by the
+    * coBucketedJoin collision check, enforced before the rewrite). */
+  private def spjAutoRoute(spark: SparkSession, statement: String,
+      refs: Seq[TableRef]): Option[DataFrame] = scala.util.Try {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
+    import org.apache.spark.sql.graft.Bridge
+    if (refs.length != 2) return None
+    val Seq(l, r) = refs
+    if (l.depth != 0 || r.depth != 0) return None
+    if (l.version >= 0 || l.atMs >= 0 || r.version >= 0 || r.atMs >= 0) return None
+    if (l.path.endsWith(".view.sql") || r.path.endsWith(".view.sql")) return None
+    if (!statement.trim.toUpperCase(java.util.Locale.ROOT).startsWith("SELECT")) return None
+    // single flat block: exactly one JOIN, no outer/cross/set-op shapes,
+    // no nested SELECT anywhere (subqueries carry their own aliases)
+    if (Seq("LEFT", "RIGHT", "FULL", "CROSS", "NATURAL", "SEMI", "ANTI",
+        "LATERAL", "USING", "UNION", "INTERSECT", "EXCEPT")
+        .exists(kw => topLevelKeyword(statement, kw) >= 0)) return None
+    val joinIdx = topLevelKeyword(statement, "JOIN")
+    if (joinIdx < 0 || topLevelKeyword(statement, "JOIN", joinIdx + 4) >= 0) return None
+    if (nestedSelect(statement)) return None
+    // the text between the refs must be nothing but the left alias (as
+    // recorded) and the JOIN keyword
+    val between = statement.substring(l.end, r.start).trim
+    val aliasPart =
+      if (l.aliasInText) s"(?:AS\\s+)?${java.util.regex.Pattern.quote(l.alias.getOrElse(""))}\\s+"
+      else ""
+    if (!between.matches(s"(?is)^$aliasPart(?:INNER\\s+)?JOIN$$")) return None
+    // the ON clause: from the keyword after the right ref (and its alias)
+    // to the next top-level clause keyword
+    val onIdx = topLevelKeyword(statement, "ON", r.end)
+    if (onIdx < 0) return None
+    val betweenRo = statement.substring(r.end, onIdx).trim
+    val aliasPartR =
+      if (r.aliasInText) s"(?:AS\\s+)?${java.util.regex.Pattern.quote(r.alias.getOrElse(""))}"
+      else ""
+    if (!betweenRo.matches(s"(?is)^$aliasPartR$$")) return None
+    val onEnd = Seq("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "WINDOW", "QUALIFY")
+      .map(kw => topLevelKeyword(statement, kw, onIdx))
+      .filter(_ > onIdx).minOption.getOrElse(statement.length)
+    val onText = statement.substring(onIdx + 2, onEnd).trim
+
+    if (Lake.detect(spark, l.path) != Lake.Iceberg ||
+      Lake.detect(spark, r.path) != Lake.Iceberg) return None
+    val schemaL = IcebergRead.snapshot(spark, l.path).schema
+    val schemaR = IcebergRead.snapshot(spark, r.path).schema
+    val colsL = schemaL.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val colsR = schemaR.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val aliasL = l.alias.map(_.toLowerCase(java.util.Locale.ROOT))
+    val aliasR = r.alias.map(_.toLowerCase(java.util.Locale.ROOT))
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    // side of an attribute: Some(true)=left, Some(false)=right, None=refuse
+    def sideOf(parts: Seq[String]): Option[Boolean] = parts match {
+      case Seq(q, c) if aliasL.contains(lc(q)) && colsL.contains(lc(c)) => Some(true)
+      case Seq(q, c) if aliasR.contains(lc(q)) && colsR.contains(lc(c)) => Some(false)
+      case Seq(c) if colsL.contains(lc(c)) && !colsR.contains(lc(c)) => Some(true)
+      case Seq(c) if colsR.contains(lc(c)) && !colsL.contains(lc(c)) => Some(false)
+      case _ => None
+    }
+    // exact-case column name of a side (statement tokens may differ in case)
+    def colName(schema: org.apache.spark.sql.types.StructType, tok: String): String =
+      schema.fieldNames.find(f => lc(f) == lc(tok)).getOrElse(tok)
+
+    // classify the ON conjuncts: one co-bucketed same-name equality is THE
+    // key; everything else (parsed, attributable) becomes a residual
+    val onConjuncts = splitConjuncts(onText).map(t =>
+      t -> Bridge.parseExpression(spark, t)) // any parse failure → refuse (Try)
+    def stripQual(e: Expression): Expression = e.transform {
+      case a: UnresolvedAttribute if a.nameParts.length == 2 &&
+          (aliasL.contains(lc(a.nameParts.head)) || aliasR.contains(lc(a.nameParts.head))) =>
+        UnresolvedAttribute(a.nameParts.tail)
+    }
+    var key: Option[String] = None
+    val residuals = Seq.newBuilder[Expression]
+    onConjuncts.foreach { case (_, e) =>
+      // every attribute must resolve to exactly one side — an unqualified
+      // name living in both schemas is ambiguous in the original statement
+      val attrs = e.collect { case a: UnresolvedAttribute => a.nameParts }
+      if (attrs.exists(sideOf(_).isEmpty)) return None
+      e match {
+        case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+            if key.isEmpty && lc(a.nameParts.last) == lc(b.nameParts.last) &&
+              sideOf(a.nameParts) != sideOf(b.nameParts) &&
+              graft.operators.BucketedJoin.coBucketed(spark, l.path, r.path,
+                colName(schemaL, a.nameParts.last)) =>
+          key = Some(colName(schemaL, a.nameParts.last))
+        case other => residuals += stripQual(other)
+      }
+    }
+    val k = key.getOrElse(return None)
+
+    // column tokens OUTSIDE the ref spans pick each side's kept columns;
+    // star expansion refuses (count(*) and multiplication are fine)
+    val (chains, expansionStar) = identifierChains(statement)
+    if (expansionStar) return None
+    val keepL = Seq.newBuilder[String]
+    val keepR = Seq.newBuilder[String]
+    chains.foreach {
+      case Seq(q, c) if aliasL.contains(lc(q)) && colsL.contains(lc(c)) =>
+        keepL += colName(schemaL, c)
+      case Seq(q, c) if aliasR.contains(lc(q)) && colsR.contains(lc(c)) =>
+        keepR += colName(schemaR, c)
+      case Seq(q, c) if aliasL.contains(lc(q)) || aliasR.contains(lc(q)) =>
+        return None // alias-qualified but not a column — would break resolve
+      case Seq(c) if colsL.contains(lc(c)) && colsR.contains(lc(c)) =>
+        // shared name: only the join key is unambiguous (one output column)
+        if (lc(c) == lc(k)) keepL += k else return None
+      case Seq(c) if colsL.contains(lc(c)) => keepL += colName(schemaL, c)
+      case Seq(c) if colsR.contains(lc(c)) => keepR += colName(schemaR, c)
+      case parts if parts.length > 2 &&
+          (aliasL.contains(lc(parts.head)) || aliasR.contains(lc(parts.head))) =>
+        return None // alias.struct.field — stripping would mangle it
+      case _ => () // function/keyword/view token — not a column
+    }
+
+    // per-side WHERE conjuncts push INSIDE the bucket scans; the rewritten
+    // statement re-applies the full WHERE (pushdown is an optimization).
+    // Only deterministic, subquery-free, single-side conjuncts push.
+    var whereL: Option[org.apache.spark.sql.Column] = None
+    var whereR: Option[org.apache.spark.sql.Column] = None
+    outerWhereText(statement).toSeq.flatMap(splitConjuncts).foreach { t =>
+      scala.util.Try(Bridge.parseExpression(spark, t)).toOption.foreach { e =>
+        val noSub = e.find(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]).isEmpty
+        val sides = e.collect { case a: UnresolvedAttribute => a.nameParts }
+          .map(sideOf).distinct
+        if (noSub && e.deterministic) sides match {
+          case Seq(Some(true)) =>
+            val c = Bridge.column(stripQual(e))
+            whereL = Some(whereL.map(_ && c).getOrElse(c))
+          case Seq(Some(false)) =>
+            val c = Bridge.column(stripQual(e))
+            whereR = Some(whereR.map(_ && c).getOrElse(c))
+          case _ => ()
+        }
+      }
+    }
+
+    val residual = residuals.result() match {
+      case Seq() => None
+      case rs => Some(Bridge.column(rs.reduce(
+        org.apache.spark.sql.catalyst.expressions.And(_, _))))
+    }
+    // the join itself — collision check and layout gates live inside;
+    // leftCols must carry the key if ANY side's key was referenced
+    val joined = graft.operators.BucketedJoin.coBucketedJoin(spark,
+      l.path, r.path, k,
+      leftCols = (keepL.result() :+ k).distinct,
+      rightCols = keepR.result().distinct :+ k,
+      leftWhere = whereL, rightWhere = whereR, residual = residual)
+    val viewKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(statement.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val view = s"graft_spj_$viewKey"
+    joined.createOrReplaceTempView(view)
+    // rewrite: [left ref .. end of ON] → the view; strip alias qualifiers
+    // everywhere else (the view's column names are unique)
+    def strip(s: String): String = {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      var inStr = false
+      def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (inStr) { sb.append(c); if (c == '\'') inStr = false; i += 1 }
+        else if (c == '\'') { sb.append(c); inStr = true; i += 1 }
+        else if (Character.isLetter(c) && (i == 0 || !isWord(s.charAt(i - 1)))) {
+          var j = i
+          while (j < s.length && isWord(s.charAt(j))) j += 1
+          val w = s.substring(i, j)
+          val isAlias = aliasL.contains(lc(w)) || aliasR.contains(lc(w))
+          if (isAlias && j < s.length && s.charAt(j) == '.' &&
+              j + 1 < s.length && (Character.isLetter(s.charAt(j + 1)) || s.charAt(j + 1) == '_'))
+            i = j + 1 // drop "alias."
+          else { sb.append(w); i = j }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+    val text = strip(statement.substring(0, l.start)) + view + " " +
+      strip(statement.substring(onEnd))
+    Some(spark.sql(text))
+  }.toOption.flatten
+
+  /** STATS-DRIVEN JOIN REORDER for a flat chain of 3+ plain INNER JOINs
+    * over lake references: estimated surviving rows per reference =
+    * ANALYZE rows × [[selectivityOf]] of its own attributed conjuncts;
+    * the chain rebuilds greedily — smallest first, then always the
+    * smallest reference CONNECTED to the built set by some ON conjunct
+    * (connectivity-preserving: never introduces a cross join the original
+    * didn't have). Inner joins are freely reorderable; every gate miss
+    * returns None and the textual order stands: any non-INNER join or
+    * set-op keyword, a nested SELECT, a reference without an alias or
+    * without CURRENT-version stats, an ON conjunct that fails to parse or
+    * attribute, or a already-optimal order. */
+  private def joinReorder(spark: SparkSession, statement: String,
+      resolved: Seq[(TableRef, Long, DataFrame)],
+      conjuncts: Map[Int, Seq[(String, org.apache.spark.sql.Column)]])
+      : Option[String] = scala.util.Try {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.graft.Bridge
+    val refs = resolved.map(_._1)
+    if (refs.length < 3) return None
+    if (refs.exists(r => r.depth != 0 || r.alias.isEmpty ||
+      r.path.endsWith(".view.sql"))) return None
+    if (Seq("LEFT", "RIGHT", "FULL", "CROSS", "NATURAL", "SEMI", "ANTI",
+        "LATERAL", "USING", "UNION", "INTERSECT", "EXCEPT")
+        .exists(kw => topLevelKeyword(statement, kw) >= 0)) return None
+    if (nestedSelect(statement)) return None
+    val n = refs.length
+    // chain shape: n-1 top-level JOINs, each strictly between consecutive
+    // refs; an ON after every ref but the first
+    val joinIdxs = {
+      val b = Seq.newBuilder[Int]
+      var i = topLevelKeyword(statement, "JOIN")
+      while (i >= 0) { b += i; i = topLevelKeyword(statement, "JOIN", i + 4) }
+      b.result()
+    }
+    if (joinIdxs.length != n - 1) return None
+    (0 until n - 1).foreach { i =>
+      if (!(joinIdxs(i) > refs(i).end && joinIdxs(i) < refs(i + 1).start)) return None
+    }
+    val clauseEnd = Seq("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "WINDOW", "QUALIFY")
+      .map(kw => topLevelKeyword(statement, kw, refs.last.end))
+      .filter(_ >= 0).minOption.getOrElse(statement.length)
+    // per-position ON condition text: after ref k (k >= 1) up to the next
+    // JOIN (or the first clause keyword for the last one)
+    val onTexts: Seq[String] = (1 until n).map { k =>
+      val onIdx = topLevelKeyword(statement, "ON", refs(k).end)
+      if (onIdx < 0) return None
+      val end = if (k < n - 1) joinIdxs(k) else clauseEnd
+      if (onIdx >= end) return None
+      // between the ref (plus its alias) and the ON: nothing else
+      val aliasPart =
+        if (refs(k).aliasInText)
+          s"(?:AS\\s+)?${java.util.regex.Pattern.quote(refs(k).alias.get)}"
+        else ""
+      if (!statement.substring(refs(k).end, onIdx).trim
+        .matches(s"(?is)^$aliasPart$$")) return None
+      statement.substring(onIdx + 2, end).trim
+    }
+    // and between ref 0 and the first JOIN: only its alias
+    val alias0Part =
+      if (refs(0).aliasInText)
+        s"(?:AS\\s+)?${java.util.regex.Pattern.quote(refs(0).alias.get)}"
+      else ""
+    if (!statement.substring(refs(0).end, joinIdxs(0)).trim
+      .matches(s"(?is)^$alias0Part$$")) return None
+
+    // every ref needs CURRENT-version stats (stale stats must not order)
+    val stats = resolved.map { case (r, v, _) =>
+      val st = tableStats(spark, r.path).getOrElse(return None)
+      val head = versionOf(spark, r.path)
+      if (st.version != head || (v >= 0 && v != head)) return None
+      st
+    }
+    val estRows: Seq[Double] = resolved.zipWithIndex.map { case ((_, _, _), i) =>
+      math.max(1.0, stats(i).rows *
+        selectivityOf(spark, stats(i), conjuncts.getOrElse(i, Nil).map(_._1)))
+    }
+    // attribute each ON conjunct to the refs it touches (alias-qualified,
+    // or unique schema membership); unattributable → refuse
+    val aliasIdx: Map[String, Int] = refs.zipWithIndex
+      .map { case (r, i) => r.alias.get.toLowerCase(java.util.Locale.ROOT) -> i }.toMap
+    if (aliasIdx.size != n) return None // duplicate aliases
+    val colOwners: Map[String, Seq[Int]] = resolved.zipWithIndex
+      .flatMap { case ((_, _, df), i) =>
+        df.schema.fieldNames.map(c => c.toLowerCase(java.util.Locale.ROOT) -> i) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    def refsOf(text: String): Option[(String, Set[Int])] = {
+      val e = Bridge.parseExpression(spark, text)
+      if (!e.deterministic || e.find(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]).isDefined)
+        return None
+      val owners = e.collect { case a: UnresolvedAttribute => a.nameParts }.map {
+        case Seq(q, _) => aliasIdx.get(q.toLowerCase(java.util.Locale.ROOT))
+        case Seq(c) => colOwners.get(c.toLowerCase(java.util.Locale.ROOT)) match {
+          case Some(Seq(one)) => Some(one)
+          case _ => None
+        }
+        case _ => None
+      }
+      if (owners.exists(_.isEmpty)) None
+      else Some((text, owners.flatten.toSet))
+    }
+    val onConjuncts: Seq[(String, Set[Int])] =
+      onTexts.flatMap(splitConjuncts).map(t => refsOf(t).getOrElse(return None))
+
+    // greedy smallest-first, connected-only
+    val order = Seq.newBuilder[Int]
+    val placed = scala.collection.mutable.Set.empty[Int]
+    val first = estRows.zipWithIndex.minBy(_._1)._2
+    order += first; placed += first
+    while (placed.size < n) {
+      val connected = (0 until n).filterNot(placed.contains).filter { cand =>
+        onConjuncts.exists { case (_, owners) =>
+          owners.contains(cand) && (owners - cand).nonEmpty &&
+            (owners - cand).subsetOf(placed)
+        }
+      }
+      if (connected.isEmpty) return None // would introduce a cross join
+      val next = connected.minBy(estRows)
+      order += next; placed += next
+    }
+    val ordered = order.result()
+    if (ordered == (0 until n)) return None // already optimal
+
+    // rebuild the FROM chain; each conjunct attaches at the FIRST position
+    // where all its refs are present
+    val used = scala.collection.mutable.Set.empty[Int]
+    val chainSb = new java.lang.StringBuilder
+    def refText(i: Int): String = {
+      val r = refs(i)
+      statement.substring(r.start, r.end) + " " + r.alias.get
+    }
+    chainSb.append(refText(ordered.head))
+    val present = scala.collection.mutable.Set(ordered.head)
+    ordered.tail.foreach { i =>
+      present += i
+      val conds = onConjuncts.zipWithIndex.filter { case ((_, owners), ci) =>
+        !used.contains(ci) && owners.subsetOf(present)
+      }
+      if (!conds.exists(_._1._2.contains(i))) return None // no link to i
+      conds.foreach { case (_, ci) => used += ci }
+      chainSb.append(" JOIN ").append(refText(i)).append(" ON ")
+        .append(conds.map { case ((t, _), _) => s"($t)" }.mkString(" AND "))
+    }
+    if (used.size != onConjuncts.length) return None
+    Some(statement.substring(0, refs.head.start) + chainSb.toString + " " +
+      statement.substring(clauseEnd))
+  }.toOption.flatten
+
+  /** Is there a SELECT keyword at paren depth > 0 (a subquery/derived
+    * table)? Quote-aware. */
+  private def nestedSelect(s: String): Boolean = {
+    var depth = 0
+    var inStr = false
+    var i = 0
+    def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { inStr = true; i += 1 }
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (Character.isLetter(c) && (i == 0 || !isWord(s.charAt(i - 1)))) {
+        var j = i
+        while (j < s.length && isWord(s.charAt(j))) j += 1
+        if (depth > 0 &&
+          s.substring(i, j).equalsIgnoreCase("SELECT")) return true
+        i = j
+      } else i += 1
+    }
+    false
+  }
+
+  /** Identifier chains (`a`, `a.b`) outside string literals, plus whether
+    * any `*` is a COLUMN-EXPANSION star. A star expands when its previous
+    * non-space char is `,` or `.` or the previous word is SELECT;
+    * `count(*)` (prev `(`) and multiplication (prev identifier/digit/`)`)
+    * are not expansions. */
+  private def identifierChains(s: String): (Seq[Seq[String]], Boolean) = {
+    val out = Seq.newBuilder[Seq[String]]
+    var sawExpansion = false
+    var inStr = false
+    var i = 0
+    var prevNonSpace = ' '
+    var prevWord = ""
+    def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { inStr = true; prevNonSpace = c; i += 1 }
+      else if (c == '*') {
+        if (prevNonSpace == ',' || prevNonSpace == '.' ||
+          prevWord.equalsIgnoreCase("SELECT")) sawExpansion = true
+        prevNonSpace = c; prevWord = ""; i += 1
+      } else if (Character.isLetter(c) && (i == 0 || (!isWord(s.charAt(i - 1)) && s.charAt(i - 1) != '.'))) {
+        val chain = Seq.newBuilder[String]
+        var j = i
+        var done = false
+        while (!done) {
+          var p = j
+          while (p < s.length && isWord(s.charAt(p))) p += 1
+          chain += s.substring(j, p)
+          if (p < s.length && s.charAt(p) == '.' && p + 1 < s.length &&
+            (Character.isLetter(s.charAt(p + 1)) || s.charAt(p + 1) == '_')) j = p + 1
+          else { j = p; done = true }
+        }
+        val parts = chain.result()
+        out += parts
+        prevWord = parts.last
+        prevNonSpace = s.charAt(j - 1)
+        i = j
+      } else {
+        if (!Character.isWhitespace(c)) { prevNonSpace = c; prevWord = "" }
+        i += 1
+      }
+    }
+    (out.result(), sawExpansion)
   }
 }

@@ -66,6 +66,13 @@ object Bridge {
       : org.apache.spark.sql.catalyst.expressions.BasePredicate =
     org.apache.spark.sql.catalyst.expressions.Predicate.create(e)
 
+  /** Compile PRE-BOUND expressions to a mutable projection (codegen with
+    * interpreted fallback) — the update step of a bucket-local hash
+    * aggregation. Callers `target(buffer)` then feed joined rows. */
+  def createMutableProjection(exprs: Seq[Expression])
+      : org.apache.spark.sql.catalyst.expressions.MutableProjection =
+    org.apache.spark.sql.catalyst.expressions.MutableProjection.create(exprs, Nil)
+
   /** Wrap an InternalRow RDD as a DataFrame without the Row codec —
     * the inverse of [[toInternalRdd]]. The rows may be reused objects
     * (standard source contract: consumers copy when buffering). */

@@ -247,6 +247,151 @@ class BucketingSpec extends SparkSpec {
     assert(split.exceptAll(baseline).isEmpty && baseline.exceptAll(split).isEmpty)
   }
 
+  test("plain delegated SQL auto-routes a co-bucketed equi-join through the SPJ reader") {
+    import graft.sources.{IcebergRead, IcebergWrite, Lake}
+    val root = java.nio.file.Files.createTempDirectory("graft_spj_auto").toString
+    IcebergWrite.append(spark,
+      Tables(spark, sf001, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderstatus")),
+      s"$root/orders", partitionBy = Seq("bucket(8, o_custkey)"))
+    IcebergWrite.append(spark,
+      Tables(spark, sf001, "customer").select(col("c_custkey").as("o_custkey"),
+        col("c_acctbal"), col("c_mktsegment")),
+      s"$root/customer", partitionBy = Seq("bucket(8, o_custkey)"))
+
+    val stmt = s"""SELECT c.c_mktsegment, count(*) AS cnt,
+        round(sum(o.o_totalprice), 2) AS revenue
+      FROM '$root/orders' o JOIN '$root/customer' c ON o.o_custkey = c.o_custkey
+      WHERE o.o_totalprice > 1000.0 AND c.c_acctbal > 0.0
+      GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"""
+    val routed = Lake.sqlFrame(spark, stmt)
+    // (a) the JOIN is gone from the Spark plan — it happened inside the
+    // co-partitioned reader (an ExistingRDD scan); only the agg shuffles
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin") &&
+      !plan.contains("ShuffledHashJoin"), plan.take(2000))
+    // (b) the SPJ view carries exactly the referenced columns
+    val viewCols = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_spj_"))
+      .map(v => spark.table(v).columns.toSet)
+    assert(viewCols.exists(_ == Set("o_custkey", "o_totalprice", "c_acctbal", "c_mktsegment")),
+      viewCols.mkString("; "))
+    // result identical to the shuffled twin
+    val twin = IcebergRead.snapshot(spark, s"$root/orders").as("o")
+      .where(col("o_totalprice") > 1000.0)
+      .join(IcebergRead.snapshot(spark, s"$root/customer").as("c")
+        .where(col("c_acctbal") > 0.0), "o_custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+    assert(routed.collect().toSeq === twin.collect().toSeq)
+
+    // residual ON conjunct rides bucket-locally, same result as Spark
+    val res = Lake.sqlFrame(spark, s"""SELECT count(*) AS cnt
+      FROM '$root/orders' o JOIN '$root/customer' c
+        ON o.o_custkey = c.o_custkey AND o.o_totalprice > c.c_acctbal""")
+    assert(!res.queryExecution.executedPlan.toString.contains("Join"))
+    val resTwin = IcebergRead.snapshot(spark, s"$root/orders")
+      .join(IcebergRead.snapshot(spark, s"$root/customer")
+        .withColumnRenamed("o_custkey", "ck")
+        .withColumnRenamed("c_acctbal", "ab"),
+        col("o_custkey") === col("ck") && col("o_totalprice") > col("ab"))
+      .count()
+    assert(res.collect().head.getLong(0) === resTwin)
+
+    // refusal shapes fall back to the ordinary (joined) delegated plan,
+    // still correct: LEFT JOIN, SELECT *, a subquery, an alias.* star
+    val leftStmt = s"""SELECT count(*) AS cnt
+      FROM '$root/orders' o LEFT JOIN '$root/customer' c ON o.o_custkey = c.o_custkey"""
+    val leftDf = Lake.sqlFrame(spark, leftStmt)
+    assert(leftDf.queryExecution.executedPlan.toString.contains("Join"))
+    assert(leftDf.collect().head.getLong(0) ===
+      IcebergRead.snapshot(spark, s"$root/orders").count())
+    val starDf = Lake.sqlFrame(spark, s"""SELECT * FROM '$root/orders' o
+      JOIN '$root/customer' c ON o.o_custkey = c.o_custkey LIMIT 5""")
+    assert(starDf.queryExecution.executedPlan.toString.contains("Join"))
+    assert(starDf.columns.count(_ == "o_custkey") === 2) // both keys, as Spark would
+    val subqDf = Lake.sqlFrame(spark, s"""SELECT count(*) AS cnt
+      FROM '$root/orders' o JOIN '$root/customer' c ON o.o_custkey = c.o_custkey
+      WHERE o.o_totalprice > (SELECT avg(o_totalprice) FROM '$root/orders')""")
+    assert(subqDf.queryExecution.executedPlan.toString.contains("Join"))
+    assert(subqDf.collect().head.getLong(0) > 0L)
+  }
+
+  test("bucket-local aggregation: GROUP BY the bucket key runs exchange-free, equal to the shuffled twin") {
+    import graft.operators.BucketedAgg
+    import graft.sources.{IcebergRead, IcebergWrite, Lake}
+    val root = java.nio.file.Files.createTempDirectory("graft_bagg").toString
+    // two appends: multiple files per bucket, a key's rows still live in
+    // exactly one bucket — the complete per-bucket agg stays exact
+    val orders = Tables(spark, sf001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+    IcebergWrite.append(spark, orders.where(col("o_orderkey") % 2 === 0),
+      s"$root/t", partitionBy = Seq("bucket(8, o_custkey)"))
+    IcebergWrite.append(spark, orders.where(col("o_orderkey") % 2 === 1),
+      s"$root/t", partitionBy = Seq("bucket(8, o_custkey)"))
+
+    assert(BucketedAgg.canAggLocally(spark, s"$root/t", "o_custkey", Seq("o_custkey")))
+    val local = BucketedAgg.bucketLocalAgg(spark, s"$root/t", "o_custkey",
+      Seq("o_custkey"),
+      Seq(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("s"),
+        min(col("o_orderkey")).as("mn"), avg(col("o_totalprice")).as("a")))
+    // zero exchange anywhere below
+    assert(!local.rdd.toDebugString.contains("ShuffledRDD"),
+      local.rdd.toDebugString.take(2000))
+    assert(local.rdd.getNumPartitions === 8)
+    val twin = IcebergRead.snapshot(spark, s"$root/t")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("s"),
+        min(col("o_orderkey")).as("mn"), avg(col("o_totalprice")).as("a"))
+    assert(local.count() === twin.count())
+    // double sums accumulate in a different order than the shuffled
+    // partial/final merge — compare numerically, not bit-exactly
+    val lRows = local.orderBy(col("o_custkey")).collect()
+    val tRows = twin.orderBy(col("o_custkey")).collect()
+    lRows.zip(tRows).foreach { case (a, b) =>
+      assert(a.getLong(0) === b.getLong(0))
+      assert(a.getLong(1) === b.getLong(1))
+      assert(math.abs(a.getDouble(2) - b.getDouble(2)) < 1e-6)
+      assert(a.getLong(3) === b.getLong(3))
+      assert(math.abs(a.getDouble(4) - b.getDouble(4)) < 1e-9)
+    }
+
+    // multi-column grouping (key + another col) and a pushed-down WHERE
+    val local2 = BucketedAgg.bucketLocalAgg(spark, s"$root/t", "o_custkey",
+      Seq("o_custkey", "o_orderstatus"), Seq(count(lit(1)).as("cnt")),
+      where = Some(col("o_totalprice") > 1000.0))
+    val twin2 = IcebergRead.snapshot(spark, s"$root/t")
+      .where(col("o_totalprice") > 1000.0)
+      .groupBy(col("o_custkey"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(!local2.rdd.toDebugString.contains("ShuffledRDD"))
+    assert(local2.exceptAll(twin2).isEmpty && twin2.exceptAll(local2).isEmpty)
+
+    // SQL surface: the bucket_agg TVF plans the same shape
+    val viaSql = Lake.sqlFrame(spark,
+      s"""SELECT * FROM bucket_agg('$root/t', 'o_custkey', 'o_custkey',
+            'count(*) AS cnt, round(sum(o_totalprice), 2) AS s',
+            'o_totalprice > 1000.0')
+          ORDER BY o_custkey LIMIT 10""")
+    val twinSql = IcebergRead.snapshot(spark, s"$root/t")
+      .where(col("o_totalprice") > 1000.0)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("s"))
+      .orderBy(col("o_custkey")).limit(10)
+    assert(viaSql.collect().toSeq === twinSql.collect().toSeq)
+
+    // guards: grouping without the key, non-bucketed table, DISTINCT agg
+    intercept[IllegalArgumentException](BucketedAgg.bucketLocalAgg(spark,
+      s"$root/t", "o_custkey", Seq("o_orderstatus"), Seq(count(lit(1)).as("c"))))
+    intercept[IllegalArgumentException](BucketedAgg.bucketLocalAgg(spark,
+      s"$root/t", "o_orderkey", Seq("o_orderkey"), Seq(count(lit(1)).as("c"))))
+    intercept[IllegalArgumentException](BucketedAgg.bucketLocalAgg(spark,
+      s"$root/t", "o_custkey", Seq("o_custkey"),
+      Seq(countDistinct(col("o_orderkey")).as("c"))))
+  }
+
   test("a RENAMED column refuses the bucket layout (name-read would null it)") {
     // our writer stamps parquet field ids; after a metadata-only RENAME the
     // files' physical names are the OLD ones. The main snapshot reader

@@ -95,4 +95,90 @@ class AnalyzeSpec extends SparkSpec {
     val stale = Lake.sqlFrame(spark, stmt)
     assert(!stale.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
+
+  test("histogram stats flip a RANGE-filtered dim to broadcast (NDV cannot see ranges)") {
+    val root = tmp("graft_analyze_hist")
+    def big(path: String): Unit =
+      DeltaWrite.append(spark,
+        spark.range(700000).select(xxhash64(col("id")).as("k"), rand(7).as("v")),
+        path)
+    big(s"$root/fact")
+    big(s"$root/dim")
+    // a NARROW band on the uniformly-hashed key: the histogram estimates a
+    // tiny surviving fraction; equality/NDV logic sees selectivity 1.0
+    val lo = Lake.read(spark, s"$root/dim").select("k")
+      .orderBy(col("k")).head().getLong(0)
+    val band = s"d.k BETWEEN ${lo}L AND ${lo + (1L << 48)}L"
+    val stmt = s"""SELECT count(*) AS c FROM '$root/fact' f
+        JOIN '$root/dim' d ON f.k = d.k WHERE $band"""
+    val before = Lake.sqlFrame(spark, stmt)
+    assert(!before.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val rowBefore = before.collect().head
+    Lake.sql(spark, s"ANALYZE TABLE '$root/dim'")
+    // the persisted stats now carry a histogram whose band fraction is tiny
+    val st = Lake.tableStats(spark, s"$root/dim").get
+    val h = st.hist("k")
+    assert(h.counts.length === 32 && h.counts.sum === 700000L)
+    assert(h.fraction(lo.toDouble, (lo + (1L << 48)).toDouble) < 0.01)
+    val after = Lake.sqlFrame(spark, stmt)
+    val rowAfter = after.collect().head
+    assert(after.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      after.queryExecution.executedPlan.toString.take(2000))
+    assert(rowAfter === rowBefore)
+  }
+
+  test("stats-driven join reorder: a worst-ordered 3-chain plans the small dim first") {
+    val root = tmp("graft_analyze_reorder")
+    DeltaWrite.append(spark, spark.range(200000)
+      .select(col("id"), (col("id") % 20000).as("mk"), rand(1).as("v")),
+      s"$root/fact")
+    DeltaWrite.append(spark, spark.range(20000)
+      .select(col("id").as("mk"), (col("id") % 100).as("sk"), rand(2).as("w")),
+      s"$root/mid")
+    DeltaWrite.append(spark, spark.range(100)
+      .select(col("id").as("sk"), rand(3).as("u")),
+      s"$root/small")
+    Seq("fact", "mid", "small").foreach(t =>
+      Lake.sql(spark, s"ANALYZE TABLE '$root/$t'"))
+    // worst textual order: the big fact first
+    val stmt = s"""SELECT count(*) AS c, round(sum(f.v + m.w + s.u), 2) AS x
+        FROM '$root/fact' f JOIN '$root/mid' m ON f.mk = m.mk
+        JOIN '$root/small' s ON m.sk = s.sk"""
+    val df = Lake.sqlFrame(spark, stmt)
+    // the leftmost leaf of the optimized join tree is the SMALL table
+    val leaves = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.head.toUri.getPath
+          case _ => ""
+        }
+    }
+    assert(leaves.nonEmpty && leaves.head.contains("/small/"),
+      s"leaf order: ${leaves.mkString(", ")}")
+    // results identical to the DataFrame twin
+    val twin = Lake.read(spark, s"$root/fact").as("f")
+      .join(Lake.read(spark, s"$root/mid").as("m"), col("f.mk") === col("m.mk"))
+      .join(Lake.read(spark, s"$root/small").as("s"), col("m.sk") === col("s.sk"))
+      .agg(count(lit(1)).as("c"),
+        round(sum(col("f.v") + col("m.w") + col("s.u")), 2).as("x"))
+    assert(df.collect().toSeq === twin.collect().toSeq)
+
+    // a chain with an outer join keeps its textual order (semantics)
+    val outerStmt = s"""SELECT count(*) AS c
+        FROM '$root/fact' f JOIN '$root/mid' m ON f.mk = m.mk
+        LEFT JOIN '$root/small' s ON m.sk = s.sk"""
+    val outerDf = Lake.sqlFrame(spark, outerStmt)
+    val outerLeaves = outerDf.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.head.toUri.getPath
+          case _ => ""
+        }
+    }
+    assert(outerLeaves.head.contains("/fact/"),
+      s"outer-join chain must keep textual order: ${outerLeaves.mkString(", ")}")
+    assert(outerDf.collect().head.getLong(0) === 200000L)
+  }
 }
