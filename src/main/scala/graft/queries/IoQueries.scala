@@ -1745,6 +1745,30 @@ object IoQueries {
       FROM orders WHERE o_totalprice > 1000.0
       GROUP BY o_custkey ORDER BY o_custkey"""))
 
+  /** BUCKET-LOCAL AGG AUTO-ROUTE from plain SQL (SURVEY §2 S9baa): the
+    * t104 layout, but the GROUP BY is STATEMENT TEXT — the delegation
+    * planner detects the single-table bucket-key grouping and plans it
+    * through [[graft.operators.BucketedAgg]] (zero exchange; BucketingSpec
+    * asserts the plan carries no HashAggregate). Oracle = plain DuckDB. */
+  val tbucketAggSql = GQuery(
+    "t105_bucket_agg_sql",
+    (s, dir) => {
+      val root = tmp("graft_t105_q")
+      graft.sources.IcebergWrite.append(s,
+        Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")),
+        s"$root/t", partitionBy = Seq("bucket(8, o_custkey)"))
+      graft.sources.Lake.sqlFrame(s,
+        s"""SELECT o_custkey, count(*) AS cnt,
+              round(sum(o_totalprice), 2) AS total
+            FROM '$root/t' WHERE o_totalprice > 1000.0
+            GROUP BY o_custkey ORDER BY o_custkey""")
+    },
+    Some("""SELECT o_custkey, count(*) AS cnt,
+        round(sum(o_totalprice), 2) AS total
+      FROM orders WHERE o_totalprice > 1000.0
+      GROUP BY o_custkey ORDER BY o_custkey"""))
+
   /** Catalog VIEWs end-to-end (Lake.sql CREATE VIEW → bare-name
     * expansion): events land in a Delta table under a catalog directory,
     * a VIEW stores the per-type rollup, a second VIEW filters the first,
@@ -2124,7 +2148,7 @@ object IoQueries {
       tdeltaDv, tdeltaUpsert, ticebergPart, ticebergHiddenPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tlakeReplaceWhere, tlakeSqlDml,
       tlakeSqlMaintenance, tlakeSqlSelect, tlakeSqlAgg, tlakeSqlAlterAdd, tlakeTpchSql,
-      tlakeSqlWindow, tlakeCreateTable, tlakeUseCatalog, tlakeMergeFull, tlakeMergeNullCond, tlakeMergeEvolve, tlakeMergeRenamed, tbucketJoin, tspjAuto, tbucketAgg, tlakeViews,
+      tlakeSqlWindow, tlakeCreateTable, tlakeUseCatalog, tlakeMergeFull, tlakeMergeNullCond, tlakeMergeEvolve, tlakeMergeRenamed, tbucketJoin, tspjAuto, tbucketAgg, tbucketAggSql, tlakeViews,
       tcdcApply, tlakeSync, tlakeClone,
       tlakeRestore, tlakeRename, tlakeUniform, tlakeUniformRev, tlakeConvert)
 }

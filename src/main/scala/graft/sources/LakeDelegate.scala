@@ -33,6 +33,10 @@ private[sources] object LakeDelegate {
     // knowing the bucket_join TVF exists. Any refusal falls through
     // silently to the ordinary delegated plan.
     spjAutoRoute(spark, statement, refs).foreach(df => return df)
+    // BUCKET-LOCAL-AGGREGATION auto-route: a single-table GROUP BY whose
+    // keys include the bucket key plans as per-bucket complete aggregation
+    // (zero exchange) straight from statement text. Same refusal contract.
+    aggAutoRoute(spark, statement, refs).foreach(df => return df)
     // BLOCK-LOCAL pruning: each reference is attributed conjuncts from its
     // OWN query block's WHERE — the statement's for depth-0 refs, the
     // enclosing derived table's/CTE's for nested ones. A block's own WHERE
@@ -861,6 +865,136 @@ private[sources] object LakeDelegate {
     if (used.size != onConjuncts.length) return None
     Some(statement.substring(0, refs.head.start) + chainSb.toString + " " +
       statement.substring(clauseEnd))
+  }.toOption.flatten
+
+  /** BUCKET-LOCAL-AGGREGATION auto-route (SURVEY §2 S9ba from plain SQL):
+    * when a statement is a single-block `SELECT <items> FROM '/t' [a]
+    * [WHERE …] GROUP BY <cols> [ORDER BY …] [LIMIT n]` over ONE Iceberg
+    * table whose bucket key is among the group columns, the aggregation
+    * plans through [[graft.operators.BucketedAgg]] — per-bucket COMPLETE
+    * hash aggregation, zero exchange — with the WHERE pushed inside the
+    * per-bucket scans. Every SELECT item must be a group column (optional
+    * alias) or an explicitly-aliased aggregate (`sum(x) AS s`) — the view
+    * exposes group columns and aliases, and the remainder (ORDER/LIMIT)
+    * reruns over it. Refusal-based soundness like [[spjAutoRoute]]: pins,
+    * views, joins/set-ops, nested SELECTs, DISTINCT, windows (OVER),
+    * HAVING, stars, unaliased aggregates, unattributable WHERE conjuncts
+    * (the WHERE cannot re-apply after aggregation, so it must push whole),
+    * or a BucketedAgg refusal (DISTINCT aggs, imperative functions, no
+    * clean layout) all fall back silently to the shuffled plan. */
+  private def aggAutoRoute(spark: SparkSession, statement: String,
+      refs: Seq[TableRef]): Option[DataFrame] = scala.util.Try {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.graft.Bridge
+    if (refs.length != 1) return None
+    val r = refs.head
+    if (r.depth != 0 || r.version >= 0 || r.atMs >= 0 ||
+      r.path.endsWith(".view.sql")) return None
+    val up = statement.trim.toUpperCase(java.util.Locale.ROOT)
+    if (!up.startsWith("SELECT") || up.startsWith("SELECT DISTINCT")) return None
+    if (Seq("JOIN", "LEFT", "RIGHT", "FULL", "CROSS", "NATURAL", "SEMI",
+        "ANTI", "LATERAL", "USING", "UNION", "INTERSECT", "EXCEPT",
+        "HAVING", "WINDOW", "QUALIFY", "OVER")
+        .exists(kw => topLevelKeyword(statement, kw) >= 0)) return None
+    if (nestedSelect(statement)) return None
+    val groupIdx = topLevelKeyword(statement, "GROUP")
+    if (groupIdx < 0) return None
+    val byIdx = topLevelKeyword(statement, "BY", groupIdx)
+    if (byIdx < 0) return None
+    val tailIdx = Seq("ORDER", "LIMIT")
+      .map(kw => topLevelKeyword(statement, kw, byIdx))
+      .filter(_ >= 0).minOption.getOrElse(statement.length)
+    if (Lake.detect(spark, r.path) != Lake.Iceberg) return None
+    val schema = IcebergRead.snapshot(spark, r.path).schema
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val alias = r.alias.map(lc)
+    val colByLc = schema.fieldNames.map(f => lc(f) -> f).toMap
+    // a plain (optionally alias-qualified) column reference, exact-cased
+    def plainCol(text: String): Option[String] = {
+      val parts = text.trim.split("\\.").toSeq.map(_.trim)
+      val ident = "^[A-Za-z_][A-Za-z0-9_]*$"
+      parts match {
+        case Seq(c) if c.matches(ident) => colByLc.get(lc(c))
+        case Seq(q, c) if alias.contains(lc(q)) && c.matches(ident) =>
+          colByLc.get(lc(c))
+        case _ => None
+      }
+    }
+    val groupCols = splitTopLevel(statement.substring(byIdx + 2, tailIdx))
+      .map(t => plainCol(t).getOrElse(return None))
+    if (groupCols.isEmpty) return None
+    val key = groupCols.find(c =>
+      graft.operators.BucketedAgg.canAggLocally(spark, r.path, c, groupCols))
+      .getOrElse(return None)
+    // SELECT items: the list between SELECT and the FROM that heads the ref
+    val fromIdx = {
+      var i = topLevelKeyword(statement, "FROM")
+      while (i >= 0 && !(i < r.start &&
+        statement.substring(i + 4, r.start).trim.isEmpty)) {
+        i = topLevelKeyword(statement, "FROM", i + 4)
+      }
+      if (i < 0) return None
+      i
+    }
+    val selStart = topLevelKeyword(statement, "SELECT") + 6
+    def stripQual(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      e.transform {
+        case a: UnresolvedAttribute if a.nameParts.length == 2 &&
+            alias.contains(lc(a.nameParts.head)) =>
+          UnresolvedAttribute(a.nameParts.tail)
+      }
+    // each item: group column [AS out] → passthrough; else aggregate with
+    // a REQUIRED top-level alias → computed in the view, referenced by name
+    val aggCols = Seq.newBuilder[org.apache.spark.sql.Column]
+    val outItems = splitTopLevel(statement.substring(selStart, fromIdx)).map { item =>
+      val asIdx = topLevelKeyword(item, "AS")
+      val (bodyText, aliasOut) =
+        if (asIdx < 0) (item.trim, None)
+        else (item.substring(0, asIdx).trim,
+          Some(item.substring(asIdx + 2).trim).filter(_.matches("^[A-Za-z_][A-Za-z0-9_]*$")))
+      plainCol(bodyText) match {
+        case Some(g) if groupCols.contains(g) =>
+          aliasOut match { case Some(o) => s"$g AS $o"; case None => g }
+        case Some(_) => return None // a non-grouped bare column: invalid SQL
+        case None =>
+          val out = aliasOut.getOrElse(return None) // aggregates need AS
+          val e = stripQual(Bridge.parseExpression(spark, bodyText))
+          if (e.exists(_.isInstanceOf[UnresolvedAttribute]) &&
+            e.collect { case a: UnresolvedAttribute => a.nameParts }
+              .exists(p => p.length != 1 || !colByLc.contains(lc(p.head)))) return None
+          aggCols += Bridge.column(e).as(out)
+          out
+      }
+    }
+    val aggList = aggCols.result()
+    if (aggList.isEmpty) return None // a bare DISTINCT-projection shape
+    // the WHERE must push whole (it cannot re-apply after aggregation)
+    val where = outerWhereText(statement) match {
+      case None => None
+      case Some(w) =>
+        val e = stripQual(Bridge.parseExpression(spark, w))
+        if (!e.deterministic || e.find(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]).isDefined)
+          return None
+        if (e.collect { case a: UnresolvedAttribute => a.nameParts }
+          .exists(p => p.length != 1 || !colByLc.contains(lc(p.head)))) return None
+        Some(Bridge.column(e))
+    }
+    val view = "graft_bagg_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(statement.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    graft.operators.BucketedAgg.bucketLocalAgg(spark, r.path, key,
+      groupCols, aggList, where).createOrReplaceTempView(view)
+    val tail = statement.substring(tailIdx)
+    if (tail.contains("'")) return None // quote-blind tail strip below
+    def stripTail(s: String): String = {
+      // drop "alias." qualifiers in ORDER BY etc. (view columns are bare)
+      alias match {
+        case Some(a) => s.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(a) + "\\.", "")
+        case None => s
+      }
+    }
+    Some(spark.sql(
+      s"SELECT ${outItems.mkString(", ")} FROM $view " + stripTail(tail)))
   }.toOption.flatten
 
   /** Is there a SELECT keyword at paren depth > 0 (a subquery/derived

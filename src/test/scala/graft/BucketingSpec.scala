@@ -392,6 +392,52 @@ class BucketingSpec extends SparkSpec {
       Seq(countDistinct(col("o_orderkey")).as("c"))))
   }
 
+  test("plain delegated SQL auto-routes a bucket-key GROUP BY through the local aggregation") {
+    import graft.sources.{IcebergRead, IcebergWrite, Lake}
+    val root = java.nio.file.Files.createTempDirectory("graft_bagg_auto").toString
+    IcebergWrite.append(spark,
+      Tables(spark, sf001, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderstatus")),
+      s"$root/t", partitionBy = Seq("bucket(8, o_custkey)"))
+
+    val stmt = s"""SELECT t.o_custkey, count(*) AS cnt,
+        round(sum(t.o_totalprice), 2) AS total
+      FROM '$root/t' t WHERE t.o_totalprice > 500.0
+      GROUP BY t.o_custkey ORDER BY t.o_custkey LIMIT 20"""
+    val routed = Lake.sqlFrame(spark, stmt)
+    // the aggregation happened inside the co-partitioned reader: the plan
+    // scans an ExistingRDD and carries NO HashAggregate/Exchange pair for
+    // the rollup (the outer ORDER/LIMIT is a TakeOrdered, no exchange)
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), plan.take(1500))
+    assert(!plan.contains("HashAggregate"), plan.take(2000))
+    val twin = IcebergRead.snapshot(spark, s"$root/t")
+      .where(col("o_totalprice") > 500.0)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_custkey")).limit(20)
+    assert(routed.collect().toSeq === twin.collect().toSeq)
+
+    // refusals fall back to the shuffled agg, still correct: a grouping
+    // without the bucket key; a HAVING; an unaliased aggregate
+    for (fallback <- Seq(
+      s"SELECT o_orderstatus, count(*) AS c FROM '$root/t' GROUP BY o_orderstatus",
+      s"SELECT o_custkey, count(*) AS c FROM '$root/t' GROUP BY o_custkey HAVING count(*) > 1",
+      s"SELECT o_custkey, count(*) FROM '$root/t' GROUP BY o_custkey")) {
+      val df = Lake.sqlFrame(spark, fallback)
+      assert(df.queryExecution.executedPlan.toString.contains("HashAggregate"),
+        fallback)
+      assert(df.count() > 0, fallback)
+    }
+    // fallback results match: the HAVING shape against its direct twin
+    val hav = Lake.sqlFrame(spark,
+      s"SELECT o_custkey, count(*) AS c FROM '$root/t' GROUP BY o_custkey HAVING count(*) > 1")
+    val havTwin = IcebergRead.snapshot(spark, s"$root/t")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
+      .where(col("c") > 1)
+    assert(hav.exceptAll(havTwin).isEmpty && havTwin.exceptAll(hav).isEmpty)
+  }
+
   test("a RENAMED column refuses the bucket layout (name-read would null it)") {
     // our writer stamps parquet field ids; after a metadata-only RENAME the
     // files' physical names are the OLD ones. The main snapshot reader
