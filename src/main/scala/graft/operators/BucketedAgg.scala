@@ -59,8 +59,7 @@ object BucketedAgg {
       groupCols: Seq[String], aggs: Seq[Column],
       where: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.catalyst.InternalRow
-    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, BoundReference, Expression, ExprId, Literal, NamedExpression}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, DeclarativeAggregate}
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.graft.Bridge
@@ -68,22 +67,73 @@ object BucketedAgg {
     require(groupCols.contains(key),
       s"bucketLocalAgg: groupCols must include the bucket key '$key' — " +
         "other groupings spread a group across buckets (use the shuffled groupBy)")
-    require(aggs.nonEmpty, "bucketLocalAgg: no aggregates given")
     val (n, buckets) = IcebergRead.bucketLayout(spark, table, key).getOrElse(
       throw new IllegalArgumentException(
         s"bucketLocalAgg: $table is not cleanly bucket(n, $key)-partitioned " +
           "— use the shuffled groupBy instead"))
     val schema = StructType(IcebergRead.snapshot(spark, table).schema
       .fields.map(_.copy(metadata = Metadata.empty)))
+    // READ layout discovery: analyze the equivalent plan against the full
+    // schema once, keep only the touched columns, and push `where` +
+    // pruning into the per-bucket parquet scans
+    val aggNode = analyzedAggNode(spark, schema, groupCols, aggs)
+    val neededNames: Set[String] = (aggNode.groupingExpressions ++
+      aggNode.aggregateExpressions).flatMap(_.collect {
+        case a: AttributeReference => a.name
+      }).toSet
+    val readNames = schema.fieldNames.toSeq.filter(neededNames.contains)
+    val readSchema = StructType(readNames.map(schema(_)))
+    val rdd = spark.sparkContext.union((0 until n).map { b =>
+      buckets.get(b).filter(_.nonEmpty) match {
+        case Some(files) =>
+          Bridge.toInternalRdd(
+            BucketedJoin.bucketScan(spark, schema, readSchema, where, files)
+              .coalesce(1))
+        case None =>
+          spark.sparkContext.parallelize(Seq.empty[InternalRow], 1)
+      }
+    })
+    aggregatePartitions(spark, rdd, readSchema, groupCols, aggs)
+  }
 
-    // analyze the EQUIVALENT shuffled plan once — its Aggregate node is
-    // the semantic contract (resolved functions, typed buffers, coercions)
+  /** The per-partition COMPLETE aggregation over an ALREADY co-partitioned
+    * frame — the composition hook: a [[BucketedJoin]] output's partition i
+    * is bucket i, so a grouping that includes the join key aggregates here
+    * with zero exchanges ON TOP of the zero-shuffle join. The caller owns
+    * the group-locality guarantee (every group's rows in one partition);
+    * nothing here can check it. */
+  def localAgg(spark: SparkSession, input: DataFrame,
+      groupCols: Seq[String], aggs: Seq[Column]): DataFrame = {
+    val schema = StructType(input.schema.fields.map(_.copy(metadata = Metadata.empty)))
+    aggregatePartitions(spark, input.queryExecution.toRdd, schema, groupCols, aggs)
+  }
+
+  /** The analyzed [[Aggregate]] node of the EQUIVALENT shuffled plan —
+    * the semantic contract (resolved functions, typed buffers, coercions)
+    * the local loop executes. */
+  private def analyzedAggNode(spark: SparkSession,
+      schema: StructType, groupCols: Seq[String], aggs: Seq[Column])
+      : org.apache.spark.sql.catalyst.plans.logical.Aggregate = {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.functions.col
+    require(aggs.nonEmpty, "bucket-local aggregation: no aggregates given")
     val base = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     val analyzed = base.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*).queryExecution.analyzed
-    val aggNode = analyzed.collectFirst { case a: Aggregate => a }.getOrElse(
+    analyzed.collectFirst { case a: Aggregate => a }.getOrElse(
       throw new IllegalStateException("groupBy.agg did not analyze to an Aggregate"))
+  }
+
+  private def aggregatePartitions(spark: SparkSession,
+      input: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      readSchema: StructType, groupCols: Seq[String],
+      aggs: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, BoundReference, Expression, ExprId, Literal, NamedExpression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, DeclarativeAggregate}
+    import org.apache.spark.sql.graft.Bridge
+
+    val aggNode = analyzedAggNode(spark, readSchema, groupCols, aggs)
     aggNode.aggregateExpressions.foreach(_.foreach {
       case ae: AggregateExpression =>
         require(!ae.isDistinct && ae.filter.isEmpty,
@@ -99,14 +149,7 @@ object BucketedAgg {
         s"bucketLocalAgg: grouping must be plain columns, got $other")
     }
 
-    // READ layout: every child column the aggregation touches, schema order
-    val neededNames: Set[String] = (groupingAttrs.map(_.name) ++
-      aggNode.aggregateExpressions.flatMap(_.collect {
-        case a: AttributeReference => a.name
-      })).toSet
-    val readNames = schema.fieldNames.toSeq.filter(neededNames.contains)
-    val readSchema = StructType(readNames.map(schema(_)))
-    val readIdx: Map[String, Int] = readNames.zipWithIndex.toMap
+    val readIdx: Map[String, Int] = readSchema.fieldNames.zipWithIndex.toMap
 
     // one buffer row holds every function's buffer attributes, concatenated
     val functions: Seq[DeclarativeAggregate] = aggNode.aggregateExpressions
@@ -162,19 +205,7 @@ object BucketedAgg {
     val outSchema = StructType(aggNode.aggregateExpressions.map(ne =>
       StructField(ne.name, ne.dataType, ne.nullable)))
 
-    // the co-partitioned scan (bucket i = partition i), pruned + pushed
-    val rdd = spark.sparkContext.union((0 until n).map { b =>
-      buckets.get(b).filter(_.nonEmpty) match {
-        case Some(files) =>
-          Bridge.toInternalRdd(
-            BucketedJoin.bucketScan(spark, schema, readSchema, where, files)
-              .coalesce(1))
-        case None =>
-          spark.sparkContext.parallelize(Seq.empty[InternalRow], 1)
-      }
-    })
-
-    val aggregated = rdd.mapPartitions { it =>
+    val aggregated = input.mapPartitions { it =>
       import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection, UnsafeRow}
       val groupProj = UnsafeProjection.create(groupRefs)
       val updateProj = Bridge.createMutableProjection(updateExprs)

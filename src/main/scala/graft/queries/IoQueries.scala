@@ -1769,6 +1769,40 @@ object IoQueries {
       FROM orders WHERE o_totalprice > 1000.0
       GROUP BY o_custkey ORDER BY o_custkey"""))
 
+  /** SPJ + BUCKET-KEY GROUP BY fusion (SURVEY §2 S9baf): the t103 layout
+    * with the rollup ON the join key — statement text plans the join
+    * through the co-partitioned reader AND the aggregation bucket-locally
+    * on top of it (partition i of the joined frame is bucket i), so the
+    * entire join+rollup runs with ZERO exchanges (BucketingSpec asserts
+    * the plan carries neither a Spark join nor a HashAggregate). To keep
+    * the oracle hash exact the aggregate is integer-only (doubles would
+    * differ in ulps by accumulation order). */
+  val tspjAggFused = GQuery(
+    "t106_spj_agg_fused",
+    (s, dir) => {
+      val root = tmp("graft_t106_q")
+      graft.sources.IcebergWrite.append(s,
+        Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")),
+        s"$root/orders", partitionBy = Seq("bucket(8, o_custkey)"))
+      graft.sources.IcebergWrite.append(s,
+        Tables(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+          col("c_nationkey"), col("c_acctbal")),
+        s"$root/customer", partitionBy = Seq("bucket(8, o_custkey)"))
+      graft.sources.Lake.sqlFrame(s,
+        s"""SELECT o.o_custkey, count(*) AS cnt,
+              min(o.o_orderkey) AS first_order, max(c.c_nationkey) AS nk
+            FROM '$root/orders' o JOIN '$root/customer' c
+              ON o.o_custkey = c.o_custkey
+            WHERE o.o_totalprice > 1000.0
+            GROUP BY o.o_custkey ORDER BY o.o_custkey""")
+    },
+    Some("""SELECT o_custkey, count(*) AS cnt,
+        min(o_orderkey) AS first_order, max(c_nationkey) AS nk
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_totalprice > 1000.0
+      GROUP BY o_custkey ORDER BY o_custkey"""))
+
   /** Catalog VIEWs end-to-end (Lake.sql CREATE VIEW → bare-name
     * expansion): events land in a Delta table under a catalog directory,
     * a VIEW stores the per-type rollup, a second VIEW filters the first,
@@ -2148,7 +2182,7 @@ object IoQueries {
       tdeltaDv, tdeltaUpsert, ticebergPart, ticebergHiddenPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tlakeReplaceWhere, tlakeSqlDml,
       tlakeSqlMaintenance, tlakeSqlSelect, tlakeSqlAgg, tlakeSqlAlterAdd, tlakeTpchSql,
-      tlakeSqlWindow, tlakeCreateTable, tlakeUseCatalog, tlakeMergeFull, tlakeMergeNullCond, tlakeMergeEvolve, tlakeMergeRenamed, tbucketJoin, tspjAuto, tbucketAgg, tbucketAggSql, tlakeViews,
+      tlakeSqlWindow, tlakeCreateTable, tlakeUseCatalog, tlakeMergeFull, tlakeMergeNullCond, tlakeMergeEvolve, tlakeMergeRenamed, tbucketJoin, tspjAuto, tbucketAgg, tbucketAggSql, tspjAggFused, tlakeViews,
       tcdcApply, tlakeSync, tlakeClone,
       tlakeRestore, tlakeRename, tlakeUniform, tlakeUniformRev, tlakeConvert)
 }

@@ -716,7 +716,89 @@ private[sources] object LakeDelegate {
     }
     val text = strip(statement.substring(0, l.start)) + view + " " +
       strip(statement.substring(onEnd))
-    Some(spark.sql(text))
+    // COMPOSITION: a GROUP BY that includes the join key aggregates
+    // bucket-locally ON TOP of the zero-shuffle join (partition i of the
+    // joined frame is bucket i, so key-including groups never span
+    // partitions) — the whole join+rollup then runs with ZERO exchanges.
+    Some(fuseLocalAgg(spark, joined, text, k).getOrElse(spark.sql(text)))
+  }.toOption.flatten
+
+  /** Fuse a bucket-key GROUP BY into an already co-partitioned frame
+    * ([[spjAutoRoute]]'s joined view): `text` is the rewritten statement
+    * (alias qualifiers already stripped, FROM names the SPJ view). Same
+    * item rules as [[aggAutoRoute]] — group columns pass through,
+    * aggregates need an explicit alias; the WHERE (if any) applies to the
+    * joined frame BEFORE aggregation (narrow filter, partitioning kept).
+    * Any gate miss returns None and the caller runs `text` as-is (the
+    * join stays shuffle-free; only the rollup pays its exchange). */
+  private def fuseLocalAgg(spark: SparkSession, joined: DataFrame,
+      text: String, key: String): Option[DataFrame] = scala.util.Try {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.graft.Bridge
+    val up = text.trim.toUpperCase(java.util.Locale.ROOT)
+    if (!up.startsWith("SELECT") || up.startsWith("SELECT DISTINCT")) return None
+    if (Seq("HAVING", "WINDOW", "QUALIFY", "OVER")
+        .exists(kw => topLevelKeyword(text, kw) >= 0)) return None
+    if (nestedSelect(text)) return None
+    val groupIdx = topLevelKeyword(text, "GROUP")
+    if (groupIdx < 0) return None
+    val byIdx = topLevelKeyword(text, "BY", groupIdx)
+    if (byIdx < 0) return None
+    val tailIdx = Seq("ORDER", "LIMIT")
+      .map(kw => topLevelKeyword(text, kw, byIdx))
+      .filter(_ >= 0).minOption.getOrElse(text.length)
+    val tail = text.substring(tailIdx)
+    if (tail.contains("'")) return None
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val colByLc = joined.schema.fieldNames.map(f => lc(f) -> f).toMap
+    def plainCol(t: String): Option[String] = {
+      val c = t.trim
+      if (c.matches("^[A-Za-z_][A-Za-z0-9_]*$")) colByLc.get(lc(c)) else None
+    }
+    val groupCols = splitTopLevel(text.substring(byIdx + 2, tailIdx))
+      .map(t => plainCol(t).getOrElse(return None))
+    if (!groupCols.contains(key)) return None
+    val fromIdx = topLevelKeyword(text, "FROM")
+    if (fromIdx < 0) return None
+    val selStart = topLevelKeyword(text, "SELECT") + 6
+    val aggCols = Seq.newBuilder[org.apache.spark.sql.Column]
+    val outItems = splitTopLevel(text.substring(selStart, fromIdx)).map { item =>
+      val asIdx = topLevelKeyword(item, "AS")
+      val (bodyText, aliasOut) =
+        if (asIdx < 0) (item.trim, None)
+        else (item.substring(0, asIdx).trim,
+          Some(item.substring(asIdx + 2).trim).filter(_.matches("^[A-Za-z_][A-Za-z0-9_]*$")))
+      plainCol(bodyText) match {
+        case Some(g) if groupCols.contains(g) =>
+          aliasOut match { case Some(o) => s"$g AS $o"; case None => g }
+        case Some(_) => return None
+        case None =>
+          val out = aliasOut.getOrElse(return None)
+          val e = Bridge.parseExpression(spark, bodyText)
+          if (e.collect { case a: UnresolvedAttribute => a.nameParts }
+            .exists(p => p.length != 1 || !colByLc.contains(lc(p.head)))) return None
+          aggCols += Bridge.column(e).as(out)
+          out
+      }
+    }
+    val aggList = aggCols.result()
+    if (aggList.isEmpty) return None
+    val input = outerWhereText(text) match {
+      case None => joined
+      case Some(w) =>
+        val e = Bridge.parseExpression(spark, w)
+        if (!e.deterministic || e.find(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]).isDefined)
+          return None
+        if (e.collect { case a: UnresolvedAttribute => a.nameParts }
+          .exists(p => p.length != 1 || !colByLc.contains(lc(p.head)))) return None
+        joined.where(Bridge.column(e))
+    }
+    val view2 = "graft_spjagg_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    graft.operators.BucketedAgg.localAgg(spark, input, groupCols, aggList)
+      .createOrReplaceTempView(view2)
+    Some(spark.sql(s"SELECT ${outItems.mkString(", ")} FROM $view2 $tail"))
   }.toOption.flatten
 
   /** STATS-DRIVEN JOIN REORDER for a flat chain of 3+ plain INNER JOINs

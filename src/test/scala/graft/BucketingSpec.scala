@@ -438,6 +438,63 @@ class BucketingSpec extends SparkSpec {
     assert(hav.exceptAll(havTwin).isEmpty && havTwin.exceptAll(hav).isEmpty)
   }
 
+  test("SPJ + bucket-key GROUP BY fuses: join AND rollup run with zero exchanges") {
+    import graft.sources.{IcebergRead, IcebergWrite, Lake}
+    val root = java.nio.file.Files.createTempDirectory("graft_spj_fuse").toString
+    IcebergWrite.append(spark,
+      Tables(spark, sf001, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice")),
+      s"$root/orders", partitionBy = Seq("bucket(8, o_custkey)"))
+    IcebergWrite.append(spark,
+      Tables(spark, sf001, "customer").select(col("c_custkey").as("o_custkey"),
+        col("c_acctbal"), col("c_mktsegment")),
+      s"$root/customer", partitionBy = Seq("bucket(8, o_custkey)"))
+
+    // GROUP BY the JOIN KEY: the rollup can stay bucket-local on top of
+    // the zero-shuffle join — the entire plan below ORDER/LIMIT carries
+    // neither a Spark join nor a HashAggregate
+    val stmt = s"""SELECT o.o_custkey, count(*) AS cnt,
+        round(sum(o.o_totalprice * c.c_acctbal), 2) AS x
+      FROM '$root/orders' o JOIN '$root/customer' c ON o.o_custkey = c.o_custkey
+      WHERE o.o_totalprice > 500.0
+      GROUP BY o.o_custkey ORDER BY o.o_custkey LIMIT 25"""
+    val fused = Lake.sqlFrame(spark, stmt)
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), plan.take(1500))
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortMergeJoin") &&
+      !plan.contains("BroadcastHashJoin") && !plan.contains("ShuffledHashJoin"),
+      plan.take(2500))
+    val twin = IcebergRead.snapshot(spark, s"$root/orders")
+      .where(col("o_totalprice") > 500.0)
+      .join(IcebergRead.snapshot(spark, s"$root/customer"), "o_custkey")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice") * col("c_acctbal")), 2).as("x"))
+      .orderBy(col("o_custkey")).limit(25)
+    val f = fused.collect()
+    val t = twin.collect()
+    assert(f.length === t.length)
+    f.zip(t).foreach { case (a, b) =>
+      assert(a.getLong(0) === b.getLong(0))
+      assert(a.getLong(1) === b.getLong(1))
+      assert(math.abs(a.getDouble(2) - b.getDouble(2)) < 1e-4,
+        s"${a.getDouble(2)} vs ${b.getDouble(2)}")
+    }
+
+    // GROUP BY a NON-key column: the join stays routed, the rollup falls
+    // back to the ordinary (shuffled) aggregation — still correct
+    val nonKey = Lake.sqlFrame(spark, s"""SELECT c.c_mktsegment, count(*) AS cnt
+      FROM '$root/orders' o JOIN '$root/customer' c ON o.o_custkey = c.o_custkey
+      GROUP BY c.c_mktsegment""")
+    val nkPlan = nonKey.queryExecution.executedPlan.toString
+    assert(nkPlan.contains("ExistingRDD") && nkPlan.contains("HashAggregate"),
+      nkPlan.take(2000))
+    val nkTwin = IcebergRead.snapshot(spark, s"$root/orders")
+      .join(IcebergRead.snapshot(spark, s"$root/customer"), "o_custkey")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("cnt"))
+    assert(nonKey.exceptAll(nkTwin).isEmpty && nkTwin.exceptAll(nonKey).isEmpty)
+  }
+
   test("a RENAMED column refuses the bucket layout (name-read would null it)") {
     // our writer stamps parquet field ids; after a metadata-only RENAME the
     // files' physical names are the OLD ones. The main snapshot reader
