@@ -108,6 +108,71 @@ object BucketedAgg {
     aggregatePartitions(spark, input.queryExecution.toRdd, schema, groupCols, aggs)
   }
 
+  /** BUCKET-LOCAL DISTINCT: `SELECT DISTINCT cols` (or an aggregate-free
+    * `GROUP BY cols`) where `cols` include the bucket key — a per-bucket
+    * hash de-duplication is globally exact, zero exchange, where Spark's
+    * `distinct()` plans partial-agg + exchange + final. Same layout gates
+    * as [[bucketLocalAgg]]; `where` pushes into the per-bucket scans. */
+  def bucketLocalDistinct(spark: SparkSession, table: String, key: String,
+      cols: Seq[String], where: Option[Column] = None): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.graft.Bridge
+    require(cols.contains(key),
+      s"bucketLocalDistinct: cols must include the bucket key '$key'")
+    val (n, buckets) = IcebergRead.bucketLayout(spark, table, key).getOrElse(
+      throw new IllegalArgumentException(
+        s"bucketLocalDistinct: $table is not cleanly bucket(n, $key)-" +
+          "partitioned — use the shuffled distinct instead"))
+    val schema = StructType(IcebergRead.snapshot(spark, table).schema
+      .fields.map(_.copy(metadata = Metadata.empty)))
+    val missing = cols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty, s"bucketLocalDistinct: unknown column(s) " +
+      s"${missing.mkString(",")}")
+    val readSchema = StructType(
+      schema.fieldNames.toSeq.filter(cols.contains).map(schema(_)))
+    val rdd = spark.sparkContext.union((0 until n).map { b =>
+      buckets.get(b).filter(_.nonEmpty) match {
+        case Some(files) =>
+          Bridge.toInternalRdd(
+            BucketedJoin.bucketScan(spark, schema, readSchema, where, files)
+              .coalesce(1))
+        case None =>
+          spark.sparkContext.parallelize(Seq.empty[InternalRow], 1)
+      }
+    })
+    localDistinctRdd(spark, rdd, readSchema)
+  }
+
+  /** Per-partition DISTINCT over an already co-partitioned frame — the
+    * [[localAgg]] twin for de-duplication; the caller owns the guarantee
+    * that equal rows share a partition. */
+  def localDistinct(spark: SparkSession, input: DataFrame): DataFrame = {
+    val schema = StructType(input.schema.fields.map(_.copy(metadata = Metadata.empty)))
+    localDistinctRdd(spark, input.queryExecution.toRdd, schema)
+  }
+
+  private def localDistinctRdd(spark: SparkSession,
+      input: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: StructType): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val types = schema.fields.toSeq
+    val out = input.mapPartitions { it =>
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection, UnsafeRow}
+      val proj = UnsafeProjection.create(types.zipWithIndex.map { case (f, i) =>
+        BoundReference(i, f.dataType, f.nullable)
+      })
+      val seen = new java.util.LinkedHashSet[UnsafeRow]()
+      it.foreach { row => // scan rows are reused objects — copy on insert
+        val u = proj(row)
+        if (!seen.contains(u)) seen.add(u.copy())
+      }
+      import scala.jdk.CollectionConverters._
+      seen.iterator().asScala
+        .map(_.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+    }
+    Bridge.internalCreateDataFrame(spark, out, schema)
+  }
+
   /** The analyzed [[Aggregate]] node of the EQUIVALENT shuffled plan —
     * the semantic contract (resolved functions, typed buffers, coercions)
     * the local loop executes. */

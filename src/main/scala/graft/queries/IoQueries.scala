@@ -1803,6 +1803,34 @@ object IoQueries {
       WHERE o_totalprice > 1000.0
       GROUP BY o_custkey ORDER BY o_custkey"""))
 
+  /** BUCKET-LOCAL DISTINCT from plain SQL (SURVEY §2 S9bd): duplicate
+    * rows land across TWO appends into a `bucket(8, o_custkey)` Iceberg
+    * table, then `SELECT DISTINCT` over key-including columns routes
+    * through the per-bucket hash de-duplication — zero exchange
+    * (BucketingSpec asserts no HashAggregate) — exact because equal rows
+    * share a bucket. Oracle = plain DuckDB DISTINCT over the same
+    * doubled-up rows. */
+  val tbucketDistinct = GQuery(
+    "t107_bucket_distinct",
+    (s, dir) => {
+      val root = tmp("graft_t107_q")
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderstatus"))
+      graft.sources.IcebergWrite.append(s, orders, s"$root/t",
+        partitionBy = Seq("bucket(8, o_custkey)"))
+      graft.sources.IcebergWrite.append(s,
+        orders.where(col("o_custkey") % 3 === 0), s"$root/t",
+        partitionBy = Seq("bucket(8, o_custkey)"))
+      graft.sources.Lake.sqlFrame(s,
+        s"""SELECT DISTINCT o_custkey, o_orderstatus FROM '$root/t'
+            ORDER BY o_custkey, o_orderstatus""")
+    },
+    Some("""SELECT DISTINCT o_custkey, o_orderstatus FROM (
+        SELECT o_custkey, o_orderstatus FROM orders
+        UNION ALL
+        SELECT o_custkey, o_orderstatus FROM orders WHERE o_custkey % 3 = 0)
+      ORDER BY o_custkey, o_orderstatus"""))
+
   /** Catalog VIEWs end-to-end (Lake.sql CREATE VIEW → bare-name
     * expansion): events land in a Delta table under a catalog directory,
     * a VIEW stores the per-type rollup, a second VIEW filters the first,
@@ -2182,7 +2210,7 @@ object IoQueries {
       tdeltaDv, tdeltaUpsert, ticebergPart, ticebergHiddenPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tlakeReplaceWhere, tlakeSqlDml,
       tlakeSqlMaintenance, tlakeSqlSelect, tlakeSqlAgg, tlakeSqlAlterAdd, tlakeTpchSql,
-      tlakeSqlWindow, tlakeCreateTable, tlakeUseCatalog, tlakeMergeFull, tlakeMergeNullCond, tlakeMergeEvolve, tlakeMergeRenamed, tbucketJoin, tspjAuto, tbucketAgg, tbucketAggSql, tspjAggFused, tlakeViews,
+      tlakeSqlWindow, tlakeCreateTable, tlakeUseCatalog, tlakeMergeFull, tlakeMergeNullCond, tlakeMergeEvolve, tlakeMergeRenamed, tbucketJoin, tspjAuto, tbucketAgg, tbucketAggSql, tspjAggFused, tbucketDistinct, tlakeViews,
       tcdcApply, tlakeSync, tlakeClone,
       tlakeRestore, tlakeRename, tlakeUniform, tlakeUniformRev, tlakeConvert)
 }

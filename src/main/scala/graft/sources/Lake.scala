@@ -486,6 +486,20 @@ object Lake {
         args.lift(4).map(str(_, "bucket_agg: where").trim).filter(_.nonEmpty)
           .map(t => Bridge.column(Bridge.parseExpression(spark, t)))))
     })
+    // SELECT * FROM bucket_distinct('/t', 'key', 'c1[,c2…]'[, 'where']):
+    // bucket-local DISTINCT over a bucket(n, key) table — per-bucket hash
+    // de-duplication, zero exchange, when the columns include the key.
+    Bridge.registerTableFunction(spark, "bucket_distinct", { args =>
+      require(args.length == 3 || args.length == 4,
+        "bucket_distinct(path, key, cols[, where])")
+      Bridge.logicalPlan(graft.operators.BucketedAgg.bucketLocalDistinct(spark,
+        str(args(0), "bucket_distinct: path"),
+        str(args(1), "bucket_distinct: key"),
+        str(args(2), "bucket_distinct: cols").split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty),
+        args.lift(3).map(str(_, "bucket_distinct: where").trim).filter(_.nonEmpty)
+          .map(t => Bridge.column(Bridge.parseExpression(spark, t)))))
+    })
   }
 
   /** OPTIMIZE dispatch: bin-pack small files and materialize merge-on-read

@@ -129,6 +129,13 @@ private[sources] object LakeDelegate {
     * promises not to run ANY job, so the probe is skipped under it. */
   val planOnly = new scala.util.DynamicVariable[Boolean](false)
 
+  /** True while EXPLAIN FILES builds its frame: the SPJ/agg auto-routes
+    * read through an opaque RDD whose files `inputFiles` cannot see, so
+    * the opened-vs-total report would claim 0 — the routes are suppressed
+    * and the report describes the ordinary delegated plan (which is also
+    * what a layout-less copy of the data would run). */
+  val routesOff = new scala.util.DynamicVariable[Boolean](false)
+
   /** The [[analyzeTable]]-stats broadcast decision for one delegated
     * reference: estimated surviving bytes = analyzed bytes × Π selectivity
     * of the reference's own equality/IN conjuncts (`1/ndv`, `k/ndv` —
@@ -543,6 +550,7 @@ private[sources] object LakeDelegate {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
     import org.apache.spark.sql.graft.Bridge
+    if (routesOff.value) return None
     if (refs.length != 2) return None
     val Seq(l, r) = refs
     if (l.depth != 0 || r.depth != 0) return None
@@ -968,23 +976,33 @@ private[sources] object LakeDelegate {
       refs: Seq[TableRef]): Option[DataFrame] = scala.util.Try {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.graft.Bridge
+    if (routesOff.value) return None
     if (refs.length != 1) return None
     val r = refs.head
     if (r.depth != 0 || r.version >= 0 || r.atMs >= 0 ||
       r.path.endsWith(".view.sql")) return None
     val up = statement.trim.toUpperCase(java.util.Locale.ROOT)
-    if (!up.startsWith("SELECT") || up.startsWith("SELECT DISTINCT")) return None
+    if (!up.startsWith("SELECT")) return None
+    // SELECT DISTINCT <plain cols incl. the bucket key> routes through the
+    // bucket-local de-duplication (a per-bucket hash distinct is globally
+    // exact); the grouped shape routes through the local aggregation
+    val isDistinct = up.startsWith("SELECT DISTINCT")
     if (Seq("JOIN", "LEFT", "RIGHT", "FULL", "CROSS", "NATURAL", "SEMI",
         "ANTI", "LATERAL", "USING", "UNION", "INTERSECT", "EXCEPT",
         "HAVING", "WINDOW", "QUALIFY", "OVER")
         .exists(kw => topLevelKeyword(statement, kw) >= 0)) return None
     if (nestedSelect(statement)) return None
     val groupIdx = topLevelKeyword(statement, "GROUP")
-    if (groupIdx < 0) return None
-    val byIdx = topLevelKeyword(statement, "BY", groupIdx)
-    if (byIdx < 0) return None
+    if (isDistinct && groupIdx >= 0) return None // DISTINCT-of-groups: fall back
+    if (!isDistinct && groupIdx < 0) return None
+    val byIdx = if (isDistinct) -1 else {
+      val i = topLevelKeyword(statement, "BY", groupIdx)
+      if (i < 0) return None
+      i
+    }
     val tailIdx = Seq("ORDER", "LIMIT")
-      .map(kw => topLevelKeyword(statement, kw, byIdx))
+      .map(kw => topLevelKeyword(statement, kw,
+        if (isDistinct) r.end else byIdx))
       .filter(_ >= 0).minOption.getOrElse(statement.length)
     if (Lake.detect(spark, r.path) != Lake.Iceberg) return None
     val schema = IcebergRead.snapshot(spark, r.path).schema
@@ -1002,13 +1020,8 @@ private[sources] object LakeDelegate {
         case _ => None
       }
     }
-    val groupCols = splitTopLevel(statement.substring(byIdx + 2, tailIdx))
-      .map(t => plainCol(t).getOrElse(return None))
-    if (groupCols.isEmpty) return None
-    val key = groupCols.find(c =>
-      graft.operators.BucketedAgg.canAggLocally(spark, r.path, c, groupCols))
-      .getOrElse(return None)
-    // SELECT items: the list between SELECT and the FROM that heads the ref
+    // SELECT items: the list between SELECT [DISTINCT] and the FROM that
+    // heads the ref
     val fromIdx = {
       var i = topLevelKeyword(statement, "FROM")
       while (i >= 0 && !(i < r.start &&
@@ -1018,7 +1031,24 @@ private[sources] object LakeDelegate {
       if (i < 0) return None
       i
     }
-    val selStart = topLevelKeyword(statement, "SELECT") + 6
+    val selStart =
+      if (isDistinct) topLevelKeyword(statement, "DISTINCT") + 8
+      else topLevelKeyword(statement, "SELECT") + 6
+    // grouping set: the GROUP BY list, or (DISTINCT) the select items'
+    // underlying columns — parsed below, so seed lazily
+    val groupCols: Seq[String] =
+      if (isDistinct)
+        splitTopLevel(statement.substring(selStart, fromIdx)).map { item =>
+          val asIdx = topLevelKeyword(item, "AS")
+          val body = if (asIdx < 0) item.trim else item.substring(0, asIdx).trim
+          plainCol(body).getOrElse(return None) // DISTINCT over expressions: fall back
+        }
+      else splitTopLevel(statement.substring(byIdx + 2, tailIdx))
+        .map(t => plainCol(t).getOrElse(return None))
+    if (groupCols.isEmpty) return None
+    val key = groupCols.find(c =>
+      graft.operators.BucketedAgg.canAggLocally(spark, r.path, c, groupCols))
+      .getOrElse(return None)
     def stripQual(e: org.apache.spark.sql.catalyst.expressions.Expression) =
       e.transform {
         case a: UnresolvedAttribute if a.nameParts.length == 2 &&
@@ -1049,7 +1079,7 @@ private[sources] object LakeDelegate {
       }
     }
     val aggList = aggCols.result()
-    if (aggList.isEmpty) return None // a bare DISTINCT-projection shape
+    if (isDistinct && aggList.nonEmpty) return None // aggregate under DISTINCT
     // the WHERE must push whole (it cannot re-apply after aggregation)
     val where = outerWhereText(statement) match {
       case None => None
@@ -1064,8 +1094,16 @@ private[sources] object LakeDelegate {
     }
     val view = "graft_bagg_" + java.security.MessageDigest.getInstance("MD5")
       .digest(statement.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-    graft.operators.BucketedAgg.bucketLocalAgg(spark, r.path, key,
-      groupCols, aggList, where).createOrReplaceTempView(view)
+    // an aggregate-free grouping (GROUP BY with only passthrough columns,
+    // or SELECT DISTINCT) is a per-bucket DISTINCT over the grouping set
+    val routed =
+      if (aggList.isEmpty)
+        graft.operators.BucketedAgg.bucketLocalDistinct(spark, r.path, key,
+          groupCols, where)
+      else
+        graft.operators.BucketedAgg.bucketLocalAgg(spark, r.path, key,
+          groupCols, aggList, where)
+    routed.createOrReplaceTempView(view)
     val tail = statement.substring(tailIdx)
     if (tail.contains("'")) return None // quote-blind tail strip below
     def stripTail(s: String): String = {

@@ -948,7 +948,8 @@ private[sources] object LakeSql {
           .filterNot(_.path.endsWith(".view.sql"))
         require(refs.nonEmpty,
           s"EXPLAIN FILES: no lake table references found in: $body")
-        val opened = sqlFrame(spark, body).inputFiles
+        val opened =
+          LakeDelegate.routesOff.withValue(true)(sqlFrame(spark, body)).inputFiles
         def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
         val rows = refs.map(r => (r.path, r.version, r.atMs)).distinct
           .map { case (p, ver, atMs) =>

@@ -495,6 +495,79 @@ class BucketingSpec extends SparkSpec {
     assert(nonKey.exceptAll(nkTwin).isEmpty && nkTwin.exceptAll(nonKey).isEmpty)
   }
 
+  test("EXPLAIN FILES suppresses the auto-routes and still reports per-table file counts") {
+    import graft.sources.{IcebergWrite, Lake}
+    val root = java.nio.file.Files.createTempDirectory("graft_spj_explain").toString
+    IcebergWrite.append(spark,
+      Tables(spark, sf001, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice")),
+      s"$root/orders", partitionBy = Seq("bucket(8, o_custkey)"))
+    IcebergWrite.append(spark,
+      Tables(spark, sf001, "customer").select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment")),
+      s"$root/customer", partitionBy = Seq("bucket(8, o_custkey)"))
+    val stmt = s"""SELECT c.c_mktsegment, count(*) AS cnt
+      FROM '$root/orders' o JOIN '$root/customer' c ON o.o_custkey = c.o_custkey
+      GROUP BY c.c_mktsegment"""
+    // the routed execution reads through an opaque RDD — EXPLAIN FILES
+    // must still report real opened/total per table (routes suppressed)
+    val rows = Lake.sqlFrame(spark, s"EXPLAIN FILES $stmt").collect()
+    assert(rows.length === 2, rows.mkString("; "))
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0L && r.getLong(2) > 0L, r.toString)
+      assert(r.getLong(1) <= r.getLong(2), r.toString)
+    }
+    // and the statement itself still routes (plan has no Spark join)
+    val routed = Lake.sqlFrame(spark, stmt)
+    assert(!routed.queryExecution.executedPlan.toString.contains("Join"))
+    assert(routed.count() > 0)
+  }
+
+  test("bucket-local DISTINCT: SELECT DISTINCT over the bucket key runs exchange-free") {
+    import graft.operators.BucketedAgg
+    import graft.sources.{IcebergRead, IcebergWrite, Lake}
+    val root = java.nio.file.Files.createTempDirectory("graft_bdist").toString
+    // duplicate rows across two appends: dedup must cross file boundaries
+    val orders = Tables(spark, sf001, "orders")
+      .select(col("o_custkey"), col("o_orderstatus"))
+    IcebergWrite.append(spark, orders, s"$root/t",
+      partitionBy = Seq("bucket(8, o_custkey)"))
+    IcebergWrite.append(spark, orders.where(col("o_custkey") % 3 === 0),
+      s"$root/t", partitionBy = Seq("bucket(8, o_custkey)"))
+
+    val local = BucketedAgg.bucketLocalDistinct(spark, s"$root/t",
+      "o_custkey", Seq("o_custkey", "o_orderstatus"))
+    assert(!local.rdd.toDebugString.contains("ShuffledRDD"))
+    val twin = IcebergRead.snapshot(spark, s"$root/t")
+      .select(col("o_custkey"), col("o_orderstatus")).distinct()
+    assert(local.count() === twin.count())
+    assert(local.exceptAll(twin).isEmpty && twin.exceptAll(local).isEmpty)
+
+    // plain SQL: SELECT DISTINCT routes (no HashAggregate in the plan);
+    // an aggregate-free GROUP BY routes the same way
+    for (stmt <- Seq(
+      s"SELECT DISTINCT o_custkey, o_orderstatus FROM '$root/t' ORDER BY o_custkey, o_orderstatus LIMIT 30",
+      s"SELECT o_custkey, o_orderstatus FROM '$root/t' GROUP BY o_custkey, o_orderstatus ORDER BY o_custkey, o_orderstatus LIMIT 30")) {
+      val routed = Lake.sqlFrame(spark, stmt)
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("ExistingRDD") && !plan.contains("HashAggregate"),
+        s"$stmt\n${plan.take(2000)}")
+      val exp = twin.orderBy(col("o_custkey"), col("o_orderstatus")).limit(30)
+      assert(routed.collect().toSeq === exp.collect().toSeq, stmt)
+    }
+    // TVF surface + WHERE pushdown
+    val viaTvf = Lake.sqlFrame(spark,
+      s"""SELECT count(*) AS c FROM bucket_distinct('$root/t', 'o_custkey',
+            'o_custkey,o_orderstatus', 'o_custkey % 2 = 0')""").collect().head
+    assert(viaTvf.getLong(0) ===
+      twin.where(col("o_custkey") % 2 === 0).count())
+    // DISTINCT without the bucket key falls back, still exact
+    val fb = Lake.sqlFrame(spark,
+      s"SELECT DISTINCT o_orderstatus FROM '$root/t'")
+    assert(fb.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(fb.count() === twin.select("o_orderstatus").distinct().count())
+  }
+
   test("a RENAMED column refuses the bucket layout (name-read would null it)") {
     // our writer stamps parquet field ids; after a metadata-only RENAME the
     // files' physical names are the OLD ones. The main snapshot reader
