@@ -70,21 +70,28 @@ object BucketedJoin {
     * costs more than the parallelism buys. */
   val DefaultSplitBucketBytes: Long = 512L * 1024 * 1024
 
-  /** True when [[coBucketedJoin]] would plan shuffle-free for this pair. */
+  /** True when [[coBucketedJoin]] would plan shuffle-free for this pair.
+    * `rightKey` defaults to `key` — pass it when the right table buckets
+    * the same values under a DIFFERENT column name (the natural dimension
+    * shape: `orders.o_custkey = customer.c_custkey`). */
   def coBucketed(spark: SparkSession, left: String, right: String,
-      key: String): Boolean =
+      key: String, rightKey: String = ""): Boolean = {
+    val rk = if (rightKey.isEmpty) key else rightKey
     (IcebergRead.bucketLayout(spark, left, key),
-      IcebergRead.bucketLayout(spark, right, key)) match {
+      IcebergRead.bucketLayout(spark, right, rk)) match {
       case (Some((nl, _)), Some((nr, _))) => nl == nr
       case _ => false
     }
+  }
 
   def coBucketedJoin(spark: SparkSession, left: String, right: String,
       key: String, joinType: String = "inner",
       leftCols: Seq[String] = Nil, rightCols: Seq[String] = Nil,
       leftWhere: Option[Column] = None, rightWhere: Option[Column] = None,
       residual: Option[Column] = None,
-      splitBucketBytes: Long = DefaultSplitBucketBytes): DataFrame = {
+      splitBucketBytes: Long = DefaultSplitBucketBytes,
+      rightKey: String = ""): DataFrame = {
+    val rKey = if (rightKey.trim.isEmpty) key else rightKey.trim
     val jt = joinType.trim.toLowerCase(java.util.Locale.ROOT)
     require(Set("inner", "left", "left_outer", "left_semi", "left_anti")(jt),
       s"coBucketedJoin: unsupported joinType '$joinType' " +
@@ -93,18 +100,18 @@ object BucketedJoin {
     val outer = jt == "left" || jt == "left_outer"
     val (nL, bucketsL) = IcebergRead.bucketLayout(spark, left, key).getOrElse(
       fail(s"$left is not cleanly bucket(n, $key)-partitioned"))
-    val (nR, bucketsR) = IcebergRead.bucketLayout(spark, right, key).getOrElse(
-      fail(s"$right is not cleanly bucket(n, $key)-partitioned"))
+    val (nR, bucketsR) = IcebergRead.bucketLayout(spark, right, rKey).getOrElse(
+      fail(s"$right is not cleanly bucket(n, $rKey)-partitioned"))
     require(nL == nR,
       s"bucket counts differ: $left has $nL, $right has $nR — equal keys " +
         "land in different ordinals, a co-partitioned join would be wrong")
     val schemaL = clean(IcebergRead.snapshot(spark, left).schema)
     val schemaR = clean(IcebergRead.snapshot(spark, right).schema)
-    require(schemaL.fieldNames.contains(key) && schemaR.fieldNames.contains(key),
-      s"join key '$key' missing from a side")
-    require(schemaL(key).dataType == schemaR(key).dataType,
-      s"join key '$key' types differ: ${schemaL(key).dataType} vs " +
-        s"${schemaR(key).dataType} (bucket ordinals would not align)")
+    require(schemaL.fieldNames.contains(key), s"join key '$key' missing from $left")
+    require(schemaR.fieldNames.contains(rKey), s"join key '$rKey' missing from $right")
+    require(schemaL(key).dataType == schemaR(rKey).dataType,
+      s"join key types differ: $key ${schemaL(key).dataType} vs " +
+        s"$rKey ${schemaR(rKey).dataType} (bucket ordinals would not align)")
     def validCols(side: String, schema: StructType, cols: Seq[String]): Unit = {
       val missing = cols.filterNot(schema.fieldNames.contains)
       require(missing.isEmpty,
@@ -118,12 +125,14 @@ object BucketedJoin {
     // right-minus-key) schema ONCE on the driver — so function names bind
     // and the determinism check is authoritative — then note which columns
     // each side must read for its evaluation.
-    val rightNonKeyAll = schemaR.fields.toSeq.filterNot(_.name == key)
+    val rightNonKeyAll = schemaR.fields.toSeq.filterNot(_.name == rKey)
     val residualCond: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
       residual.map { c =>
         val combined = StructType(schemaL.fields.toSeq ++ rightNonKeyAll)
         val empty = spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), combined)
+        require(combined.fieldNames.distinct.length == combined.fieldNames.length,
+          "residual predicate over colliding column names — project/rename first")
         val cond = empty.where(c).queryExecution.analyzed.collectFirst {
           case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
         }.getOrElse(fail("residual predicate did not analyze to a filter"))
@@ -147,11 +156,11 @@ object BucketedJoin {
     val outRNames =
       if (leftOnly) Nil
       else if (rightCols.isEmpty) rightNonKeyAll.map(_.name)
-      else ordered(schemaR, rightCols.toSet).filterNot(_ == key)
+      else ordered(schemaR, rightCols.toSet).filterNot(_ == rKey)
     val readLNames = ordered(schemaL,
       outLNames.toSet + key ++ (residualNames intersect schemaL.fieldNames.toSet))
     val readRNames = ordered(schemaR,
-      (if (leftOnly) Set(key) else outRNames.toSet + key) ++
+      (if (leftOnly) Set(rKey) else outRNames.toSet + rKey) ++
         (residualNames intersect rightNonKeyAll.map(_.name).toSet))
     val readL = StructType(readLNames.map(schemaL(_)))
     val readR = StructType(readRNames.map(schemaR(_)))
@@ -221,7 +230,7 @@ object BucketedJoin {
     val rightParts = chunks.map { case (b, _) => bucketsR.getOrElse(b, Nil) }
 
     val keyIdxL = readL.fieldIndex(key)
-    val keyIdxR = readR.fieldIndex(key)
+    val keyIdxR = readR.fieldIndex(rKey)
     val keyType = schemaL(key).dataType
     val rightTypes = readR.fields.toSeq
     val nl = readL.fields.length

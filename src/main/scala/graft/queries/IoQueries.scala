@@ -1831,6 +1831,38 @@ object IoQueries {
         SELECT o_custkey, o_orderstatus FROM orders WHERE o_custkey % 3 = 0)
       ORDER BY o_custkey, o_orderstatus"""))
 
+  /** SPJ with NATURAL (different) key names (SURVEY §2 S9bjk): orders
+    * buckets `o_custkey`, customer buckets its OWN `c_custkey` — no
+    * rename at write time — and the statement's `ON o.o_custkey =
+    * c.c_custkey` still routes through the co-partitioned reader (the
+    * bucket transform hashes VALUES; the names need not match). Oracle =
+    * the plain DuckDB join. */
+  val tspjNatural = GQuery(
+    "t108_spj_natural",
+    (s, dir) => {
+      val root = tmp("graft_t108_q")
+      graft.sources.IcebergWrite.append(s,
+        Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")),
+        s"$root/orders", partitionBy = Seq("bucket(8, o_custkey)"))
+      graft.sources.IcebergWrite.append(s,
+        Tables(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"),
+          col("c_mktsegment")),
+        s"$root/customer", partitionBy = Seq("bucket(8, c_custkey)"))
+      graft.sources.Lake.sqlFrame(s,
+        s"""SELECT c.c_mktsegment, count(*) AS cnt,
+              round(sum(o.o_totalprice), 2) AS revenue
+            FROM '$root/orders' o JOIN '$root/customer' c
+              ON o.o_custkey = c.c_custkey
+            WHERE c.c_acctbal > 0.0
+            GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS cnt,
+        round(sum(o_totalprice), 2) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_acctbal > 0.0
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   /** Catalog VIEWs end-to-end (Lake.sql CREATE VIEW → bare-name
     * expansion): events land in a Delta table under a catalog directory,
     * a VIEW stores the per-type rollup, a second VIEW filters the first,
@@ -2210,7 +2242,7 @@ object IoQueries {
       tdeltaDv, tdeltaUpsert, ticebergPart, ticebergHiddenPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tlakeReplaceWhere, tlakeSqlDml,
       tlakeSqlMaintenance, tlakeSqlSelect, tlakeSqlAgg, tlakeSqlAlterAdd, tlakeTpchSql,
-      tlakeSqlWindow, tlakeCreateTable, tlakeUseCatalog, tlakeMergeFull, tlakeMergeNullCond, tlakeMergeEvolve, tlakeMergeRenamed, tbucketJoin, tspjAuto, tbucketAgg, tbucketAggSql, tspjAggFused, tbucketDistinct, tlakeViews,
+      tlakeSqlWindow, tlakeCreateTable, tlakeUseCatalog, tlakeMergeFull, tlakeMergeNullCond, tlakeMergeEvolve, tlakeMergeRenamed, tbucketJoin, tspjAuto, tbucketAgg, tbucketAggSql, tspjAggFused, tbucketDistinct, tspjNatural, tlakeViews,
       tcdcApply, tlakeSync, tlakeClone,
       tlakeRestore, tlakeRename, tlakeUniform, tlakeUniformRev, tlakeConvert)
 }

@@ -458,15 +458,19 @@ object Lake {
       def whereArg(i: Int, what: String): Option[org.apache.spark.sql.Column] =
         args.lift(i).map(str(_, what).trim).filter(_.nonEmpty)
           .map(t => Bridge.column(Bridge.parseExpression(spark, t)))
+      // 'key' joins same-named columns; 'lkey=rkey' names each side's
+      // column (the natural orders.o_custkey = customer.c_custkey shape)
+      val keyArg = str(args(2), "bucket_join: key").split("=", 2).map(_.trim)
       Bridge.logicalPlan(graft.operators.BucketedJoin.coBucketedJoin(spark,
         str(args(0), "bucket_join: left_path"),
         str(args(1), "bucket_join: right_path"),
-        str(args(2), "bucket_join: key"),
+        keyArg(0),
         args.lift(3).map(str(_, "bucket_join: join_type")).getOrElse("inner"),
         leftCols = colsArg(4, "bucket_join: left_cols"),
         rightCols = colsArg(5, "bucket_join: right_cols"),
         leftWhere = whereArg(6, "bucket_join: left_where"),
-        rightWhere = whereArg(7, "bucket_join: right_where")))
+        rightWhere = whereArg(7, "bucket_join: right_where"),
+        rightKey = keyArg.lift(1).getOrElse("")))
     })
     // SELECT * FROM bucket_agg('/t', 'key', 'g1[,g2…]', 'sum(x) AS s[, …]'
     //   [, 'where']): bucket-local GROUP BY over a bucket(n, key) table —

@@ -616,7 +616,7 @@ private[sources] object LakeDelegate {
           (aliasL.contains(lc(a.nameParts.head)) || aliasR.contains(lc(a.nameParts.head))) =>
         UnresolvedAttribute(a.nameParts.tail)
     }
-    var key: Option[String] = None
+    var key: Option[(String, String)] = None // (left column, right column)
     val residuals = Seq.newBuilder[Expression]
     onConjuncts.foreach { case (_, e) =>
       // every attribute must resolve to exactly one side — an unqualified
@@ -625,20 +625,38 @@ private[sources] object LakeDelegate {
       if (attrs.exists(sideOf(_).isEmpty)) return None
       e match {
         case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
-            if key.isEmpty && lc(a.nameParts.last) == lc(b.nameParts.last) &&
-              sideOf(a.nameParts) != sideOf(b.nameParts) &&
-              graft.operators.BucketedJoin.coBucketed(spark, l.path, r.path,
-                colName(schemaL, a.nameParts.last)) =>
-          key = Some(colName(schemaL, a.nameParts.last))
+            if key.isEmpty && sideOf(a.nameParts) != sideOf(b.nameParts) &&
+              sideOf(a.nameParts).isDefined && sideOf(b.nameParts).isDefined => {
+          // the key columns may carry DIFFERENT names per side (the
+          // natural orders.o_custkey = customer.c_custkey shape)
+          val (lTok, rTok) =
+            if (sideOf(a.nameParts).contains(true)) (a.nameParts.last, b.nameParts.last)
+            else (b.nameParts.last, a.nameParts.last)
+          val (kl, kr) = (colName(schemaL, lTok), colName(schemaR, rTok))
+          if (graft.operators.BucketedJoin.coBucketed(spark, l.path, r.path, kl, kr))
+            key = Some((kl, kr))
+          else residuals += stripQual(e)
+        }
         case other => residuals += stripQual(other)
       }
     }
-    val k = key.getOrElse(return None)
+    val (k, kr) = key.getOrElse(return None)
 
-    // column tokens OUTSIDE the ref spans pick each side's kept columns;
+    // column tokens OUTSIDE the ON clause pick each side's kept columns
+    // (the ON's own columns are read automatically as key/residual inputs);
     // star expansion refuses (count(*) and multiplication are fine)
-    val (chains, expansionStar) = identifierChains(statement)
-    if (expansionStar) return None
+    val (chainsPre, starPre) = identifierChains(statement.substring(0, onIdx))
+    val (chainsPost, starPost) = identifierChains(statement.substring(onEnd))
+    val chains = chainsPre ++ chainsPost
+    if (starPre || starPost) return None
+    // the right KEY column is dropped from the join output (its values
+    // are the left key's) — a reference to it outside the ON clause would
+    // dangle after the rewrite, so refuse and fall back
+    if (kr != k && chains.exists {
+      case Seq(q, c) => aliasR.contains(lc(q)) && lc(c) == lc(kr)
+      case Seq(c) => lc(c) == lc(kr) && colsR.contains(lc(c)) && !colsL.contains(lc(c))
+      case _ => false
+    }) return None
     val keepL = Seq.newBuilder[String]
     val keepR = Seq.newBuilder[String]
     chains.foreach {
@@ -692,8 +710,9 @@ private[sources] object LakeDelegate {
     val joined = graft.operators.BucketedJoin.coBucketedJoin(spark,
       l.path, r.path, k,
       leftCols = (keepL.result() :+ k).distinct,
-      rightCols = keepR.result().distinct :+ k,
-      leftWhere = whereL, rightWhere = whereR, residual = residual)
+      rightCols = keepR.result().distinct :+ kr,
+      leftWhere = whereL, rightWhere = whereR, residual = residual,
+      rightKey = kr)
     val viewKey = java.security.MessageDigest.getInstance("MD5")
       .digest(statement.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     val view = s"graft_spj_$viewKey"

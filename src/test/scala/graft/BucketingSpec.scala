@@ -568,6 +568,65 @@ class BucketingSpec extends SparkSpec {
     assert(fb.count() === twin.select("o_orderstatus").distinct().count())
   }
 
+  test("SPJ joins DIFFERENT key names per side — the natural dimension shape") {
+    import graft.operators.BucketedJoin
+    import graft.sources.{IcebergRead, IcebergWrite, Lake}
+    val root = java.nio.file.Files.createTempDirectory("graft_spj_nat").toString
+    // customer keeps its OWN column name — no rename at write time
+    IcebergWrite.append(spark,
+      Tables(spark, sf001, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice")),
+      s"$root/orders", partitionBy = Seq("bucket(8, o_custkey)"))
+    IcebergWrite.append(spark,
+      Tables(spark, sf001, "customer").select(col("c_custkey"), col("c_acctbal"),
+        col("c_mktsegment")),
+      s"$root/customer", partitionBy = Seq("bucket(8, c_custkey)"))
+
+    assert(BucketedJoin.coBucketed(spark, s"$root/orders", s"$root/customer",
+      "o_custkey", "c_custkey"))
+    val joined = BucketedJoin.coBucketedJoin(spark, s"$root/orders",
+      s"$root/customer", "o_custkey", rightKey = "c_custkey")
+    assert(!joined.rdd.toDebugString.contains("ShuffledRDD"))
+    assert(!joined.columns.contains("c_custkey")) // right key drops, like USING
+    val twin = IcebergRead.snapshot(spark, s"$root/orders")
+      .join(IcebergRead.snapshot(spark, s"$root/customer"),
+        col("o_custkey") === col("c_custkey"))
+      .drop("c_custkey")
+      .select(joined.columns.map(col): _*)
+    assert(joined.count() === twin.count())
+    assert(joined.exceptAll(twin).isEmpty && twin.exceptAll(joined).isEmpty)
+
+    // plain SQL auto-routes the natural ON shape too
+    val stmt = s"""SELECT c.c_mktsegment, count(*) AS cnt,
+        round(sum(o.o_totalprice), 2) AS revenue
+      FROM '$root/orders' o JOIN '$root/customer' c ON o.o_custkey = c.c_custkey
+      WHERE o.o_totalprice > 1000.0
+      GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"""
+    val routed = Lake.sqlFrame(spark, stmt)
+    assert(!routed.queryExecution.executedPlan.toString.contains("Join"))
+    val twinAgg = IcebergRead.snapshot(spark, s"$root/orders")
+      .where(col("o_totalprice") > 1000.0)
+      .join(IcebergRead.snapshot(spark, s"$root/customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+    assert(routed.collect().toSeq === twinAgg.collect().toSeq)
+
+    // a statement that SELECTs the dropped right key falls back (joined)
+    val sel = Lake.sqlFrame(spark, s"""SELECT c.c_custkey, count(*) AS cnt
+      FROM '$root/orders' o JOIN '$root/customer' c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey""")
+    assert(sel.queryExecution.executedPlan.toString.contains("Join"))
+    assert(sel.count() > 0)
+
+    // TVF 'lk=rk' key form
+    val viaTvf = Lake.sqlFrame(spark,
+      s"""SELECT count(*) AS c FROM bucket_join('$root/orders',
+            '$root/customer', 'o_custkey=c_custkey')""").collect().head
+    assert(viaTvf.getLong(0) === twin.count())
+  }
+
   test("a RENAMED column refuses the bucket layout (name-read would null it)") {
     // our writer stamps parquet field ids; after a metadata-only RENAME the
     // files' physical names are the OLD ones. The main snapshot reader
