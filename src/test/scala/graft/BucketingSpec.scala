@@ -627,6 +627,40 @@ class BucketingSpec extends SparkSpec {
     assert(viaTvf.getLong(0) === twin.count())
   }
 
+  test("the SPJ auto-route fires for USE-catalog bare names too") {
+    import graft.sources.{IcebergRead, IcebergWrite, Lake}
+    val root = java.nio.file.Files.createTempDirectory("graft_spj_use").toString
+    IcebergWrite.append(spark,
+      Tables(spark, sf001, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice")),
+      s"$root/orders", partitionBy = Seq("bucket(8, o_custkey)"))
+    IcebergWrite.append(spark,
+      Tables(spark, sf001, "customer").select(col("c_custkey"), col("c_mktsegment")),
+      s"$root/customer", partitionBy = Seq("bucket(8, c_custkey)"))
+    Lake.sql(spark, s"USE '$root'")
+    try {
+      val routed = Lake.sqlFrame(spark,
+        """SELECT customer.c_mktsegment, count(*) AS cnt
+           FROM orders JOIN customer ON orders.o_custkey = customer.c_custkey
+           GROUP BY customer.c_mktsegment ORDER BY customer.c_mktsegment""")
+      assert(!routed.queryExecution.executedPlan.toString.contains("Join"))
+      val twin = IcebergRead.snapshot(spark, s"$root/orders")
+        .join(IcebergRead.snapshot(spark, s"$root/customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("c_mktsegment"))
+      assert(routed.collect().toSeq === twin.collect().toSeq)
+      // bare-name bucket-key GROUP BY routes through the local agg too
+      val agg = Lake.sqlFrame(spark,
+        """SELECT o_custkey, count(*) AS cnt FROM orders
+           GROUP BY o_custkey ORDER BY o_custkey LIMIT 10""")
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(aggPlan.contains("ExistingRDD") && !aggPlan.contains("HashAggregate"),
+        aggPlan.take(1500))
+      assert(agg.count() === 10)
+    } finally Lake.sql(spark, "USE DEFAULT")
+  }
+
   test("a RENAMED column refuses the bucket layout (name-read would null it)") {
     // our writer stamps parquet field ids; after a metadata-only RENAME the
     // files' physical names are the OLD ones. The main snapshot reader

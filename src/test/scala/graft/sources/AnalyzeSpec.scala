@@ -27,6 +27,14 @@ class AnalyzeSpec extends SparkSpec {
       assert(st.ndv("id") > 900L && st.ndv("id") < 1100L, s"$fmt: ${st.ndv}")
       assert(st.ndv("m") === 10L, fmt)
       assert(st.nulls("id") === 0L, fmt)
+      // histograms persist per numeric column on BOTH formats: 32 bins
+      // summing to the rows, with sane interval fractions
+      val h = st.hist("id")
+      assert(h.counts.length === 32 && h.counts.sum === 1000L, fmt)
+      assert(h.lo === 1.0 && h.hi === 1000.0, s"$fmt: ${h.lo}..${h.hi}")
+      val half = h.fraction(Double.NegativeInfinity, 500.0)
+      assert(half > 0.45 && half < 0.55, s"$fmt: $half")
+      assert(st.hist.contains("m") && !st.hist.contains("s"), fmt)
       // stats survive a later data commit (properties/config carry), but
       // are version-stale — the consumer checks the stamped version
       val head = st.version
