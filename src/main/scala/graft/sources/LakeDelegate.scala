@@ -10,9 +10,13 @@ import Lake._
   * text is rewritten to name the views, and the whole statement runs
   * through `spark.sql`. On top of the per-alias pruning tier this object
   * carries the cross-reference planning moves a 100 TB statement needs:
-  * ANALYZE-stats broadcast hints, join-derived manifest pruning (the
-  * file-level analog of DPP), and the storage-partitioned-join auto-route.
-  * Split out of Lake.scala (round 17) — behavior unchanged. */
+  * ANALYZE-stats broadcast hints (histogram range selectivity included),
+  * stats-driven join reordering, join-derived manifest pruning (the
+  * file-level analog of DPP), and the bucket-layout auto-routes —
+  * storage-partitioned join ([[spjAutoRoute]]), bucket-local aggregation
+  * and DISTINCT ([[aggAutoRoute]]), and the join+rollup fusion
+  * ([[fuseLocalAgg]]) — every one refusal-based: a gate miss falls back
+  * silently to the ordinary delegated plan. */
 private[sources] object LakeDelegate {
   def delegateSelect(spark: SparkSession, statement: String): DataFrame = {
     val refs = resolvedRefs(spark, statement)
