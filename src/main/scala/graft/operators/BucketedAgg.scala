@@ -101,7 +101,10 @@ object BucketedAgg {
     * is bucket i, so a grouping that includes the join key aggregates here
     * with zero exchanges ON TOP of the zero-shuffle join. The caller owns
     * the group-locality guarantee (every group's rows in one partition);
-    * nothing here can check it. */
+    * nothing here can check it. In particular a [[BucketedJoin]] input
+    * must be built with `splitBucketBytes = 0` — the skew split spreads
+    * one bucket across partitions, and each chunk would emit its own
+    * complete-looking partial group. */
   def localAgg(spark: SparkSession, input: DataFrame,
       groupCols: Seq[String], aggs: Seq[Column]): DataFrame = {
     val schema = StructType(input.schema.fields.map(_.copy(metadata = Metadata.empty)))
@@ -242,6 +245,25 @@ object BucketedAgg {
           readSchema.fields(i).nullable)
     }
     val updateExprs = functions.flatMap(_.updateExpressions).map(bindUpdate)
+    // buffer slots holding NON-primitive values (UTF8String/binary/array/
+    // struct results of min/max/first/…) must COPY after each update: the
+    // projected value points into the scan's REUSED UnsafeRow buffer, and
+    // the next input row would silently rewrite the "aggregated" bytes.
+    // Primitives (and Decimal, which eval materializes fresh) are values.
+    val copySlots: Array[Int] = bufferAttrs.zipWithIndex.collect {
+      case (a, i) if (a.dataType match {
+        case org.apache.spark.sql.types.BooleanType | org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.FloatType |
+             org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.TimestampNTZType |
+             org.apache.spark.sql.types.NullType => false
+        case _: org.apache.spark.sql.types.DecimalType => false
+        case _ => true
+      }) => i
+    }.toArray
+    val copyTypes: Array[org.apache.spark.sql.types.DataType] =
+      copySlots.map(bufferAttrs(_).dataType)
 
     // GROUP-KEY projection over the input row
     val groupRefs = groupingAttrs.map { a =>
@@ -289,6 +311,14 @@ object BucketedAgg {
         }
         updateProj.target(buf)
         updateProj(updateInput(buf, row))
+        var c = 0
+        while (c < copySlots.length) { // detach row-buffer-backed values
+          val slot = copySlots(c)
+          if (!buf.isNullAt(slot))
+            buf.update(slot, org.apache.spark.sql.catalyst.InternalRow
+              .copyValue(buf.get(slot, copyTypes(c))))
+          c += 1
+        }
       }
       val entries = groups.entrySet().iterator()
       new Iterator[org.apache.spark.sql.catalyst.InternalRow] {

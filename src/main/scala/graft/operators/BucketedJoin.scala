@@ -98,7 +98,9 @@ object BucketedJoin {
         "(inner | left | left_semi | left_anti)")
     val leftOnly = jt == "left_semi" || jt == "left_anti"
     val outer = jt == "left" || jt == "left_outer"
-    val (nL, bucketsL) = IcebergRead.bucketLayout(spark, left, key).getOrElse(
+    // left side sized (manifest file_size_in_bytes — the skew-split input,
+    // zero filesystem calls); right side needs paths only
+    val (nL, bucketsL) = IcebergRead.bucketLayoutSized(spark, left, key).getOrElse(
       fail(s"$left is not cleanly bucket(n, $key)-partitioned"))
     val (nR, bucketsR) = IcebergRead.bucketLayout(spark, right, rKey).getOrElse(
       fail(s"$right is not cleanly bucket(n, $rKey)-partitioned"))
@@ -153,10 +155,16 @@ object BucketedJoin {
       schema.fieldNames.toSeq.filter(names.contains)
     val outLNames = if (leftCols.isEmpty) schemaL.fieldNames.toSeq
       else ordered(schemaL, leftCols.toSet)
+    // the right key is dropped by default (USING semantics — its values
+    // are the left key's). With DISTINCT names, an EXPLICIT rightCols
+    // selection of it is honored: the caller asked for the column by name
+    // and no collision is possible.
+    val keepRightKey = rKey != key && rightCols.contains(rKey)
     val outRNames =
       if (leftOnly) Nil
       else if (rightCols.isEmpty) rightNonKeyAll.map(_.name)
-      else ordered(schemaR, rightCols.toSet).filterNot(_ == rKey)
+      else ordered(schemaR, rightCols.toSet)
+        .filterNot(n => n == rKey && !keepRightKey)
     val readLNames = ordered(schemaL,
       outLNames.toSet + key ++ (residualNames intersect schemaL.fieldNames.toSet))
     val readRNames = ordered(schemaR,
@@ -175,15 +183,11 @@ object BucketedJoin {
 
     // SKEW: a left bucket beyond the byte threshold splits its files into
     // size-balanced chunks; the right bucket replicates across them. The
-    // chunk list fixes partition ordinals for BOTH sides.
-    val hconf = spark.sparkContext.hadoopConfiguration
-    def bytesOf(f: String): Long = scala.util.Try {
-      val p = new org.apache.hadoop.fs.Path(f)
-      p.getFileSystem(hconf).getFileStatus(p).getLen
-    }.getOrElse(0L)
+    // chunk list fixes partition ordinals for BOTH sides. Sizes come from
+    // the manifest (file_size_in_bytes) — no per-file filesystem calls.
     val chunks: Seq[(Int, Seq[String])] = (0 until nL).flatMap { b =>
-      val files = bucketsL.getOrElse(b, Nil)
-      val sized = files.map(f => f -> bytesOf(f))
+      val sized = bucketsL.getOrElse(b, Nil)
+      val files = sized.map(_._1)
       val total = sized.map(_._2).sum
       val k =
         if (splitBucketBytes <= 0 || total <= splitBucketBytes || files.size <= 1) 1

@@ -534,8 +534,7 @@ object IcebergRead {
 
   def fileStats(spark: SparkSession, table: String, snapshotId: Long = -1L): DataFrame = {
     val (df, bucketModuli) = fileStatsFull(spark, table, snapshotId)
-    if (bucketModuli.isEmpty) df
-    else df.drop(bucketModuli.keys.map(src => s"__pb_$src").toSeq: _*)
+    df.drop(bucketModuli.keys.map(src => s"__pb_$src").toSeq :+ "__fsize": _*)
   }
 
   /** Co-bucketed-layout probe for storage-partitioned joins: when the
@@ -545,16 +544,50 @@ object IcebergRead {
     * merge-on-read deletes), returns (n, bucket ordinal → file paths).
     * None on any miss — callers fall back to the shuffled plan. */
   def bucketLayout(spark: SparkSession, table: String, key: String)
-      : Option[(Int, Map[Int, Seq[String]])] = scala.util.Try {
+      : Option[(Int, Map[Int, Seq[String]])] =
+    bucketLayoutSized(spark, table, key).map { case (n, m) =>
+      (n, m.map { case (b, fs) => b -> fs.map(_._1) })
+    }
+
+  /** [[bucketLayout]] with each file's MANIFEST-recorded byte size — the
+    * skew-split sizing source (zero filesystem calls). Results are cached
+    * per (table, key, metadata-version identity): every commit writes a
+    * NEW metadata file, so a hit can never serve a stale layout, and the
+    * statement-planning hot path (route probe + join build) stops paying
+    * repeated manifest replays and footer opens. */
+  def bucketLayoutSized(spark: SparkSession, table: String, key: String)
+      : Option[(Int, Map[Int, Seq[(String, Long)]])] = {
+    val mf = scala.util.Try(metadataFile(table)).getOrElse(return None)
+    val cacheKey = s"$table\u0000$key\u0000${mf.getPath}\u0000" +
+      s"${mf.lastModified}\u0000${mf.length}"
+    val hit = layoutCache.get(cacheKey)
+    if (hit != null) return hit
+    val computed = bucketLayoutSizedImpl(spark, table, key)
+    layoutCache.put(cacheKey, computed)
+    computed
+  }
+
+  private val layoutCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Option[(Int, Map[Int, Seq[(String, Long)]])]](
+        64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Option[(Int, Map[Int, Seq[(String, Long)]])]]): Boolean =
+          size() > 64
+      })
+
+  private def bucketLayoutSizedImpl(spark: SparkSession, table: String, key: String)
+      : Option[(Int, Map[Int, Seq[(String, Long)]])] = scala.util.Try {
     val (_, hasDeletes) = entrySummaries(table, currentSnapshotId(spark, table))
     if (hasDeletes) return None
     val (stats, moduli) = fileStatsFull(spark, table)
     val n = moduli.getOrElse(key, return None)
     val rows = stats.select(org.apache.spark.sql.functions.col("file"),
-      org.apache.spark.sql.functions.col(s"__pb_$key")).collect()
+      org.apache.spark.sql.functions.col(s"__pb_$key"),
+      org.apache.spark.sql.functions.col("__fsize")).collect()
     if (rows.exists(_.isNullAt(1))) return None // foreign-spec entry: bail
     val byBucket = rows.groupBy(_.getInt(1))
-      .map { case (b, rs) => b -> rs.map(_.getString(0)).toSeq }
+      .map { case (b, rs) => b -> rs.map(r => (r.getString(0), r.getLong(2))).toSeq }
     // The per-bucket reader (BucketedJoin) resolves columns BY NAME with
     // field-id metadata stripped — it bypasses the main reader's field-id
     // resolution and identity-value injection, so the layout is only
@@ -568,7 +601,7 @@ object IcebergRead {
     // (a rename that reused the name would read the WRONG column), and
     // identity-partitioned source columns must exist in the files (the
     // bucket-local scan performs no manifest value injection).
-    if (!nameReadFaithful(spark, table, byBucket.values.flatten.headOption))
+    if (!nameReadFaithful(spark, table, byBucket.values.flatten.headOption.map(_._1)))
       return None
     Some((n, byBucket))
   }.toOption.flatten
@@ -583,6 +616,27 @@ object IcebergRead {
     // BucketedJoin's snapshot(…).schema read resolves against, which a
     // metadata-only RENAME moves without touching any snapshot
     val fields = fieldTriples(schemaNodeFor(meta, mapper.createObjectNode()))
+    // MIXED-LINEAGE guard the single-footer probe cannot give: after a
+    // metadata-only RENAME (or retype) the table may hold BOTH pre- and
+    // post-rename files, and probing one footer proves nothing about the
+    // others. If ANY schema in the chain maps a current field id to a
+    // different name or type, some live file may carry the old physical
+    // name — refuse name-reading outright. (Conservative: a renamed table
+    // whose files were all rewritten afterwards still refuses; the caller
+    // falls back to the always-correct shuffled plan.)
+    if (meta.has("schemas")) {
+      val current = fields.map { case (id, n2, dt) => id -> (n2, dt) }.toMap
+      val curId = meta.path("current-schema-id").asInt(0)
+      val drifted = meta.path("schemas").elements().asScala
+        .filter(_.path("schema-id").asInt(-1) != curId)
+        .exists { node =>
+          // an unparseable historical schema cannot be verified → drift
+          scala.util.Try(fieldTriples(node)).toOption.map(_.exists {
+            case (id, n2, dt) => current.get(id).exists(_ != ((n2, dt)))
+          }).getOrElse(true)
+        }
+      if (drifted) return false
+    }
     val colById = fields.map { case (id, n2, _) => id -> n2 }.toMap
     val identitySrc: Set[String] = {
       val specId = meta.path("default-spec-id").asInt(0)
@@ -785,17 +839,21 @@ object IcebergRead {
           }
           Some(org.apache.spark.sql.Row.fromSeq(
             localPath(df.get("file_path").toString) +:
-              df.get("record_count").toString.toLong +: (cells ++ pbCells)))
+              df.get("record_count").toString.toLong +:
+              ((cells ++ pbCells) :+
+                Long.box(scala.util.Try(
+                  df.get("file_size_in_bytes").toString.toLong).getOrElse(0L)))))
         }
       }
     }
     val outSchema = StructType(
       StructField("file", StringType) :: StructField("rows", LongType) ::
-        (statFields.flatMap { case (_, n, dt) => Seq(
+        ((statFields.flatMap { case (_, n, dt) => Seq(
           StructField(s"min_$n", dt), StructField(s"max_$n", dt),
           StructField(s"nulls_$n", LongType)) } ++
           bucketFields.map { case (src, _, _) =>
-            StructField(s"__pb_$src", IntegerType) }).toList)
+            StructField(s"__pb_$src", IntegerType) }) :+
+          StructField("__fsize", LongType)).toList)
     (spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), outSchema),
       bucketModuli)

@@ -979,6 +979,16 @@ object Lake {
       if (qhi < qlo || qhi < lo || qlo > hi) return 0.0
       if (hi <= lo) return 1.0 // degenerate single-value domain, inside
       val width = (hi - lo) / counts.length
+      if (qlo == qhi) {
+        // POINT query (BETWEEN x AND x / a pinned day): linear
+        // interpolation would claim zero mass — estimate the containing
+        // bin's WHOLE fraction instead (a conservative over-estimate: a
+        // point can never select more than its bin holds, so the planner
+        // never under-sizes a broadcast on its account)
+        val i = math.min(counts.length - 1,
+          math.max(0, ((qlo - lo) / width).toInt))
+        return math.min(1.0, counts(i) / total)
+      }
       var acc = 0.0
       var i = 0
       while (i < counts.length) {
@@ -987,8 +997,6 @@ object Lake {
         val olo = math.max(blo, qlo)
         val ohi = math.min(bhi, qhi)
         if (ohi > olo) acc += counts(i) * ((ohi - olo) / (bhi - blo))
-        else if (olo == ohi && (olo == blo || ohi == bhi || (qlo == qhi && blo <= qlo && qlo <= bhi)))
-          () // zero-width overlap at a bin edge: negligible mass
         i += 1
       }
       math.min(1.0, acc / total)

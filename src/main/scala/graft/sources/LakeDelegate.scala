@@ -182,45 +182,59 @@ private[sources] object LakeDelegate {
       case c: Cast => nameOf(c.child)
       case _ => None
     }
-    // a literal in the histogram's canonical double domain: numeric value,
-    // DATE → epoch days, TIMESTAMP → epoch micros; a STRING literal that
-    // parses as a date/timestamp maps the same way (the unresolved texts
-    // the planner sees compare date columns against quoted strings)
-    def canonLit(e: Expression): Option[Double] = e match {
-      case Literal(v, _: NumericType) =>
-        Some(v.toString.toDouble)
-      case Literal(d: Int, DateType) => Some(d.toDouble)
-      case Literal(us: Long, TimestampType) => Some(us.toDouble)
-      case Literal(us: Long, TimestampNTZType) => Some(us.toDouble)
+    // a literal mapped toward the histogram's canonical double domain. A
+    // temporal literal is AMBIGUOUS until the column is known — the same
+    // '2020-01-01' is epoch DAYS against a DATE column's histogram but
+    // epoch MICROS against a TIMESTAMP one, and picking wrong yields a
+    // confident 0 that broadcast-hints a huge scan — so temporals carry
+    // BOTH readings and resolve against the histogram's own scale (day
+    // domains top out ~1e7; micros for any modern instant exceed 1e12).
+    sealed trait Canon
+    case class NumV(v: Double) extends Canon
+    case class TemporalV(days: Double, micros: Double) extends Canon
+    def canonLit(e: Expression): Option[Canon] = e match {
+      case Literal(v, _: NumericType) => Some(NumV(v.toString.toDouble))
+      case Literal(d: Int, DateType) =>
+        Some(TemporalV(d.toDouble, d.toDouble * 86400e6))
+      case Literal(us: Long, TimestampType) =>
+        Some(TemporalV(us / 86400e6, us.toDouble))
+      case Literal(us: Long, TimestampNTZType) =>
+        Some(TemporalV(us / 86400e6, us.toDouble))
       case Literal(s, StringType) =>
         val t = String.valueOf(s).trim
         scala.util.Try(java.time.LocalDate.parse(t).toEpochDay.toDouble).toOption
+          .map(d => TemporalV(d, d * 86400e6))
           .orElse(scala.util.Try {
             val iso = if (t.contains("T")) t else t.replace(" ", "T")
-            java.time.LocalDateTime.parse(iso)
-              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000.0
+            val ms = java.time.LocalDateTime.parse(iso)
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+            TemporalV(ms / 86400e3, ms * 1000.0)
           }.toOption)
       case c: Cast if c.foldable => scala.util.Try(
         Literal(c.eval(null), c.dataType)).toOption.flatMap(canonLit)
       case _ => None
     }
-    val Inf = Double.PositiveInfinity
-    // (column, lo, hi) of a single range comparison — None when not a range
-    def rangeOf(e: Expression): Option[(String, Double, Double)] = e match {
-      case LessThan(a, v) => for (n <- nameOf(a); x <- canonLit(v)) yield (n, -Inf, x)
-      case LessThanOrEqual(a, v) => for (n <- nameOf(a); x <- canonLit(v)) yield (n, -Inf, x)
-      case GreaterThan(a, v) => for (n <- nameOf(a); x <- canonLit(v)) yield (n, x, Inf)
-      case GreaterThanOrEqual(a, v) => for (n <- nameOf(a); x <- canonLit(v)) yield (n, x, Inf)
+    // (column, lo, hi) of a single range comparison — None bound = open
+    def rangeOf(e: Expression): Option[(String, Option[Canon], Option[Canon])] = e match {
+      case LessThan(a, v) => for (n <- nameOf(a); x <- canonLit(v)) yield (n, None, Some(x))
+      case LessThanOrEqual(a, v) => for (n <- nameOf(a); x <- canonLit(v)) yield (n, None, Some(x))
+      case GreaterThan(a, v) => for (n <- nameOf(a); x <- canonLit(v)) yield (n, Some(x), None)
+      case GreaterThanOrEqual(a, v) => for (n <- nameOf(a); x <- canonLit(v)) yield (n, Some(x), None)
       // literal-on-left flips
-      case LessThan(v: Literal, a) => for (n <- nameOf(a); x <- canonLit(v)) yield (n, x, Inf)
-      case LessThanOrEqual(v: Literal, a) => for (n <- nameOf(a); x <- canonLit(v)) yield (n, x, Inf)
-      case GreaterThan(v: Literal, a) => for (n <- nameOf(a); x <- canonLit(v)) yield (n, -Inf, x)
-      case GreaterThanOrEqual(v: Literal, a) => for (n <- nameOf(a); x <- canonLit(v)) yield (n, -Inf, x)
+      case LessThan(v: Literal, a) => for (n <- nameOf(a); x <- canonLit(v)) yield (n, Some(x), None)
+      case LessThanOrEqual(v: Literal, a) => for (n <- nameOf(a); x <- canonLit(v)) yield (n, Some(x), None)
+      case GreaterThan(v: Literal, a) => for (n <- nameOf(a); x <- canonLit(v)) yield (n, None, Some(x))
+      case GreaterThanOrEqual(v: Literal, a) => for (n <- nameOf(a); x <- canonLit(v)) yield (n, None, Some(x))
       case _ => None
     }
-    def fractionOf(col: String, lo: Double, hi: Double): Option[Double] =
+    def resolve(h: ColHistogram, c: Canon): Double = c match {
+      case NumV(v) => v
+      case TemporalV(days, micros) => if (h.hi > 1e10) micros else days
+    }
+    def fractionOf(col: String, lo: Option[Canon], hi: Option[Canon]): Option[Double] =
       stats.hist.get(col).map { h =>
-        h.fraction(math.max(lo, h.lo - 1), math.min(hi, h.hi + 1))
+        h.fraction(lo.map(resolve(h, _)).getOrElse(Double.NegativeInfinity),
+          hi.map(resolve(h, _)).getOrElse(Double.PositiveInfinity))
       }
     def sel(e: Expression): Double = e match {
       case EqualTo(l, _: Literal) =>
@@ -234,8 +248,15 @@ private[sources] object LakeDelegate {
         // same-column range conjunction (BETWEEN) → interval intersection
         (rangeOf(l), rangeOf(r)) match {
           case (Some((cl, llo, lhi)), Some((cr, rlo, rhi))) if cl == cr =>
-            fractionOf(cl, math.max(llo, rlo), math.min(lhi, rhi))
-              .getOrElse(sel(l) * sel(r))
+            stats.hist.get(cl).map { h =>
+              def rv(o: Option[Canon], d: Double) =
+                o.map(resolve(h, _)).getOrElse(d)
+              h.fraction(
+                math.max(rv(llo, Double.NegativeInfinity),
+                  rv(rlo, Double.NegativeInfinity)),
+                math.min(rv(lhi, Double.PositiveInfinity),
+                  rv(rhi, Double.PositiveInfinity)))
+            }.getOrElse(sel(l) * sel(r))
           case _ => sel(l) * sel(r)
         }
       case other => rangeOf(other)
@@ -711,16 +732,22 @@ private[sources] object LakeDelegate {
     }
     // the join itself — collision check and layout gates live inside;
     // leftCols must carry the key if ANY side's key was referenced
-    val joined = graft.operators.BucketedJoin.coBucketedJoin(spark,
-      l.path, r.path, k,
-      leftCols = (keepL.result() :+ k).distinct,
-      rightCols = keepR.result().distinct :+ kr,
-      leftWhere = whereL, rightWhere = whereR, residual = residual,
-      rightKey = kr)
+    // the kr fallback only marks "not ALL columns" when nothing of the
+    // right side is referenced (empty rightCols would mean the full schema)
+    val rightKeep = {
+      val ks = keepR.result().distinct
+      if (ks.isEmpty) Seq(kr) else ks
+    }
+    def buildJoin(splitBytes: Long) =
+      graft.operators.BucketedJoin.coBucketedJoin(spark,
+        l.path, r.path, k,
+        leftCols = (keepL.result() :+ k).distinct,
+        rightCols = rightKeep,
+        leftWhere = whereL, rightWhere = whereR, residual = residual,
+        splitBucketBytes = splitBytes, rightKey = kr)
     val viewKey = java.security.MessageDigest.getInstance("MD5")
       .digest(statement.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     val view = s"graft_spj_$viewKey"
-    joined.createOrReplaceTempView(view)
     // rewrite: [left ref .. end of ON] → the view; strip alias qualifiers
     // everywhere else (the view's column names are unique)
     def strip(s: String): String = {
@@ -751,7 +778,16 @@ private[sources] object LakeDelegate {
     // bucket-locally ON TOP of the zero-shuffle join (partition i of the
     // joined frame is bucket i, so key-including groups never span
     // partitions) — the whole join+rollup then runs with ZERO exchanges.
-    Some(fuseLocalAgg(spark, joined, text, k).getOrElse(spark.sql(text)))
+    // The fused input must be built WITHOUT the skew split (a split
+    // bucket's chunks would each emit a complete-but-partial group —
+    // silent wrong results); the unfused route keeps the split.
+    fuseLocalAgg(spark, buildJoin(0L), text, k) match {
+      case Some(df) => Some(df)
+      case None =>
+        buildJoin(graft.operators.BucketedJoin.DefaultSplitBucketBytes)
+          .createOrReplaceTempView(view)
+        Some(spark.sql(text))
+    }
   }.toOption.flatten
 
   /** Fuse a bucket-key GROUP BY into an already co-partitioned frame

@@ -65,11 +65,12 @@ object BaggCurve {
           .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("s"))
       }
       measure("fused-spj+agg") {
+        // splitBucketBytes = 0: localAgg needs whole buckets per partition
         graft.operators.BucketedAgg.localAgg(spark,
           graft.operators.BucketedJoin.coBucketedJoin(spark, s"$base/li",
             s"$base/ord", "o_orderkey",
             leftCols = Seq("o_orderkey", "l_extendedprice"),
-            rightCols = Seq("o_orderkey")),
+            rightCols = Seq("o_orderkey"), splitBucketBytes = 0L),
           Seq("o_orderkey"),
           Seq(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("s")))
       }

@@ -661,6 +661,69 @@ class BucketingSpec extends SparkSpec {
     } finally Lake.sql(spark, "USE DEFAULT")
   }
 
+  test("review regressions: string aggregates copy buffers; selected right key emits; fused multi-file buckets exact") {
+    import graft.operators.{BucketedAgg, BucketedJoin}
+    import graft.sources.{IcebergRead, IcebergWrite, Lake}
+    val root = java.nio.file.Files.createTempDirectory("graft_rr").toString
+    val orders = Tables(spark, sf001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+    // two appends: multiple files per bucket
+    IcebergWrite.append(spark, orders.where(col("o_orderkey") % 2 === 0),
+      s"$root/t", partitionBy = Seq("bucket(8, o_custkey)"))
+    IcebergWrite.append(spark, orders.where(col("o_orderkey") % 2 === 1),
+      s"$root/t", partitionBy = Seq("bucket(8, o_custkey)"))
+
+    // STRING aggregates: the buffered UTF8String must not alias the scan's
+    // reused row buffer (pre-fix this returned bytes of arbitrary later rows)
+    val sAgg = BucketedAgg.bucketLocalAgg(spark, s"$root/t", "o_custkey",
+      Seq("o_custkey"),
+      Seq(max(col("o_orderpriority")).as("mx"), min(col("o_orderpriority")).as("mn"),
+        first(col("o_orderpriority")).as("f")))
+    val sTwin = IcebergRead.snapshot(spark, s"$root/t")
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderpriority")).as("mx"), min(col("o_orderpriority")).as("mn"))
+    val got = sAgg.select("o_custkey", "mx", "mn").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val exp = sTwin.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === exp)
+
+    // the fused SPJ+agg over MULTI-FILE buckets stays exact: one row per
+    // key (a split bucket would emit partial duplicates)
+    IcebergWrite.append(spark,
+      Tables(spark, sf001, "customer").select(col("c_custkey"), col("c_acctbal")),
+      s"$root/customer", partitionBy = Seq("bucket(8, c_custkey)"))
+    val fused = Lake.sqlFrame(spark, s"""SELECT o_custkey, count(*) AS cnt
+      FROM '$root/t' o JOIN '$root/customer' c ON o.o_custkey = c.c_custkey
+      GROUP BY o_custkey""")
+    assert(!fused.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    val keys = fused.select("o_custkey").collect().map(_.getLong(0))
+    assert(keys.length === keys.distinct.length, "duplicate groups — split leaked into fusion")
+    val fTwin = IcebergRead.snapshot(spark, s"$root/t")
+      .join(IcebergRead.snapshot(spark, s"$root/customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    assert(fused.exceptAll(fTwin).isEmpty && fTwin.exceptAll(fused).isEmpty)
+
+    // an EXPLICITLY selected right key (distinct names) now emits
+    val withRk = BucketedJoin.coBucketedJoin(spark, s"$root/t", s"$root/customer",
+      "o_custkey", rightKey = "c_custkey",
+      leftCols = Seq("o_custkey", "o_totalprice"),
+      rightCols = Seq("c_custkey", "c_acctbal"))
+    assert(withRk.columns.toSeq === Seq("o_custkey", "o_totalprice", "c_custkey", "c_acctbal"))
+    assert(withRk.where(col("o_custkey") =!= col("c_custkey")).count() === 0L)
+
+    // histogram point fraction: BETWEEN x AND x estimates the bin's mass,
+    // never zero (pre-fix a single-day slice broadcast-hinted as empty)
+    Lake.sql(spark, s"ANALYZE TABLE '$root/t'")
+    val st = Lake.tableStats(spark, s"$root/t").get
+    val h = st.hist("o_custkey")
+    val mid = (h.lo + h.hi) / 2
+    assert(h.fraction(mid, mid) > 0.0)
+    assert(h.fraction(mid, mid) <= h.counts.max.toDouble / h.counts.sum + 1e-9)
+  }
+
   test("a RENAMED column refuses the bucket layout (name-read would null it)") {
     // our writer stamps parquet field ids; after a metadata-only RENAME the
     // files' physical names are the OLD ones. The main snapshot reader
@@ -687,5 +750,14 @@ class BucketingSpec extends SparkSpec {
     assert(!BucketedJoin.coBucketed(spark, s"$root/a", s"$root/b", "o_custkey"))
     intercept[IllegalArgumentException](BucketedJoin.coBucketedJoin(spark,
       s"$root/a", s"$root/b", "o_custkey"))
+    // MIXED lineage: new files written AFTER the rename carry the new
+    // name, so a one-footer probe could land on a good file — the layout
+    // must STILL refuse (pre-rename files would name-read the column as
+    // NULL); the schema-chain drift check guarantees it regardless of
+    // which footer the probe samples
+    IcebergWrite.append(spark,
+      b.withColumnRenamed("c_acctbal", "balance").limit(50),
+      s"$root/b", partitionBy = Seq("bucket(4, o_custkey)"))
+    assert(!BucketedJoin.coBucketed(spark, s"$root/a", s"$root/b", "o_custkey"))
   }
 }
