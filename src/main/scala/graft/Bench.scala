@@ -200,7 +200,7 @@ object Bench {
     // comparisons don't mistake the re-layout for an engine change.
     val nFailed = timed.count(_._2 < 0)
     val loadPerCore = if (loadStart > 0) loadStart / cores else -1.0
-    println(f"""{"metric":"suite_total","value":$total%.4f,"unit":"sec","queries":$qs,"floor_ms":$fl,"floor_ratio":$floorRatio%.3f,"warm_pass_sec":$warmPassSec%.4f,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"loadavg_per_core":$loadPerCore%.3f,"hot_start":$hotStart,"retried":$retried,"layout_sec":$layoutSec%.4f,"suite_total_uncompacted":$rawTotal%.4f,"n_failed":$nFailed,"protocol":"compacted-layout-r3+","sf":"$sfDir"}""")
+    println(f"""{"metric":"suite_total","value":$total%.4f,"unit":"sec","queries":$qs,"floor_ms":$fl,"floor_ratio":$floorRatio%.3f,"warm_pass_sec":$warmPassSec%.4f,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"loadavg_per_core":$loadPerCore%.3f,"hot_start":$hotStart,"retried":$retried,"layout_sec":$layoutSec%.4f,"suite_total_uncompacted":$rawTotal%.4f,"n_failed":$nFailed,"protocol":"compacted-layout-r3+/hot-retry-r17+","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -636,6 +636,16 @@ object IcebergRead {
           }).getOrElse(true)
         }
       if (drifted) return false
+    } else {
+      // no 'schemas' history at all (externally written format-version-1
+      // metadata with a bare inline 'schema'): the chain-drift guard above
+      // cannot run, so a renamed v1 table holding BOTH pre- and
+      // post-rename files could pass the single-footer probe and have the
+      // bucket-local reader name-read the join key as NULL — vanishing
+      // rows. Unverifiable lineage refuses name-reading outright (our own
+      // writer always emits the v2 'schemas' array, so this only
+      // downgrades foreign v1 tables to the always-correct shuffled plan).
+      return false
     }
     val colById = fields.map { case (id, n2, _) => id -> n2 }.toMap
     val identitySrc: Set[String] = {

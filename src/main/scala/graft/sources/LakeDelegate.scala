@@ -316,7 +316,14 @@ private[sources] object LakeDelegate {
     val single = views.groupBy(_.view).collect { case (_, Seq(one)) => one }
       .map(v => v.view -> v).toMap
     def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
-    val byPath = single.values.map(v => norm(v.path) -> v).toMap
+    // path → view only when the path is registered by EXACTLY one view:
+    // a role-playing dimension (same path referenced twice with different
+    // per-alias conjuncts) registers two views, and a last-wins map would
+    // attribute BOTH occurrences' attributes to one of them — the bounds/IN
+    // probe would then prune the fact with the wrong occurrence's conjuncts
+    // (silent missing rows). Multi-occurrence paths skip this tier.
+    val byPath = single.values.toSeq.groupBy(v => norm(v.path))
+      .collect { case (p, Seq(one)) => p -> one }.toMap
     // leaf scan of an attribute: the LogicalRelation whose output still
     // carries the attr's exprId (an aliased/derived key never matches)
     def ownerOf(plan: LogicalPlan, a: AttributeReference): Option[PrunedView] =
@@ -1063,6 +1070,10 @@ private[sources] object LakeDelegate {
       .map(kw => topLevelKeyword(statement, kw,
         if (isDistinct) r.end else byIdx))
       .filter(_ >= 0).minOption.getOrElse(statement.length)
+    // the tail re-runs through the quote-blind alias strip below — refuse
+    // quoted tails BEFORE any layout probing or view registration (a late
+    // refusal wasted the probe and leaked a stray graft_bagg_* temp view)
+    if (statement.substring(tailIdx).contains("'")) return None
     if (Lake.detect(spark, r.path) != Lake.Iceberg) return None
     val schema = IcebergRead.snapshot(spark, r.path).schema
     def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
@@ -1164,7 +1175,6 @@ private[sources] object LakeDelegate {
           groupCols, aggList, where)
     routed.createOrReplaceTempView(view)
     val tail = statement.substring(tailIdx)
-    if (tail.contains("'")) return None // quote-blind tail strip below
     def stripTail(s: String): String = {
       // drop "alias." qualifiers in ORDER BY etc. (view columns are bare)
       alias match {
