@@ -46,6 +46,18 @@ import graft.sources.IcebergRead
   * Skew note: unlike the join, a hot bucket canNOT split here — two
   * chunks of one bucket would emit two partial groups for the same key.
   * Parallelism is exactly n; pick n accordingly (same SPJ sizing rule).
+  *
+  * Memory: the per-bucket group map does NOT grow unboundedly. Past
+  * `graft.local.spillRows` groups (default 2M) the partition FLUSHES the
+  * map as a key-sorted run of (group key, buffer) records to executor-
+  * local disk and keeps aggregating into a fresh map; exhausted input
+  * merge-iterates the runs (plus the live map) by key bytes, combining
+  * same-key buffers through the aggregates' own Catalyst
+  * `mergeExpressions` — the same partial-merge contract a shuffled
+  * final aggregation runs, done bucket-locally. Still zero exchanges:
+  * the spill is a task-local file, not a shuffle. So an adversely-sized
+  * layout degrades to disk like `HashAggregateExec`'s sort-based
+  * fallback would, instead of OOMing the executor.
   */
 object BucketedAgg {
 
@@ -159,19 +171,75 @@ object BucketedAgg {
       schema: StructType): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
     val types = schema.fields.toSeq
+    // rows held in heap before a sorted run flushes — same bound (and the
+    // same flush-and-merge degradation) as the aggregation's group map
+    val flushRows = spark.conf.get("graft.local.spillRows", "2097152").toLong
+    val nFields = types.length
     val out = input.mapPartitions { it =>
       import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection, UnsafeRow}
       val proj = UnsafeProjection.create(types.zipWithIndex.map { case (f, i) =>
         BoundReference(i, f.dataType, f.nullable)
       })
       val seen = new java.util.LinkedHashSet[UnsafeRow]()
+      val spills = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => spills.foreach(_.delete())))
+      def flush(): Unit = {
+        val recs = new Array[Array[Byte]](seen.size())
+        val rows = seen.iterator()
+        var i = 0
+        while (rows.hasNext) { recs(i) = rows.next().getBytes; i += 1 }
+        java.util.Arrays.sort(recs,
+          (a: Array[Byte], b: Array[Byte]) =>
+            java.util.Arrays.compareUnsigned(a, b))
+        val f = java.io.File.createTempFile("graft_bdist_spill", ".run")
+        spills += f
+        val dos = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(f), 1 << 16))
+        try recs.foreach { k =>
+          dos.writeInt(k.length); dos.write(k); dos.writeInt(0)
+        } finally dos.close()
+        seen.clear()
+      }
       it.foreach { row => // scan rows are reused objects — copy on insert
         val u = proj(row)
-        if (!seen.contains(u)) seen.add(u.copy())
+        if (!seen.contains(u)) {
+          if (seen.size() >= flushRows) flush()
+          seen.add(u.copy())
+        }
       }
-      import scala.jdk.CollectionConverters._
-      seen.iterator().asScala
-        .map(_.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+      if (spills.isEmpty) {
+        import scala.jdk.CollectionConverters._
+        seen.iterator().asScala
+          .map(_.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+      } else {
+        // merge-dedup the key-sorted runs: equal keys across runs collapse
+        if (!seen.isEmpty) flush()
+        val runs = spills.map(f => new SpillRun(f)).filter(_.advance())
+        val order = new java.util.PriorityQueue[SpillRun](
+          math.max(1, runs.size),
+          (a: SpillRun, b: SpillRun) =>
+            java.util.Arrays.compareUnsigned(a.key, b.key))
+        runs.foreach(order.add)
+        new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+          def hasNext: Boolean = !order.isEmpty
+          def next(): org.apache.spark.sql.catalyst.InternalRow = {
+            val head = order.poll()
+            val keyBytes = head.key
+            if (head.advance()) order.add(head)
+            var same = order.peek()
+            while (same != null &&
+                java.util.Arrays.compareUnsigned(same.key, keyBytes) == 0) {
+              order.poll()
+              if (same.advance()) order.add(same)
+              same = order.peek()
+            }
+            val r = new UnsafeRow(nFields)
+            r.pointTo(keyBytes, keyBytes.length)
+            r
+          }
+        }
+      }
     }
     Bridge.internalCreateDataFrame(spark, out, schema)
   }
@@ -292,6 +360,32 @@ object BucketedAgg {
     val outSchema = StructType(aggNode.aggregateExpressions.map(ne =>
       StructField(ne.name, ne.dataType, ne.nullable)))
 
+    // MERGE expressions over JoinedRow(current buffer, spilled buffer) —
+    // the combine step of the flush-and-merge spill path. A declarative
+    // aggregate's mergeExpressions reference its aggBufferAttributes
+    // (the accumulating side, bound at their buffer slots) and its
+    // inputAggBufferAttributes (the incoming partial, bound past them).
+    val inputBufferAttrs = functions.flatMap(_.inputAggBufferAttributes)
+    val inputBufferPos: Map[ExprId, Int] =
+      inputBufferAttrs.zipWithIndex.map { case (a, i) => a.exprId -> i }.toMap
+    val mergeExprs: Seq[Expression] = functions.flatMap(_.mergeExpressions).map(
+      _.transformUp {
+        case a: AttributeReference if bufferPos.contains(a.exprId) =>
+          BoundReference(bufferPos(a.exprId), a.dataType, a.nullable)
+        case a: AttributeReference if inputBufferPos.contains(a.exprId) =>
+          BoundReference(bufferWidth + inputBufferPos(a.exprId), a.dataType,
+            a.nullable)
+      })
+    // buffer rows serialize through one UnsafeProjection for the spill
+    val bufferRefs = bufferAttrs.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, nullable = true)
+    }
+    val bufferTypes: Array[org.apache.spark.sql.types.DataType] =
+      bufferAttrs.map(_.dataType).toArray
+    // groups held in heap before a sorted run flushes to task-local disk;
+    // the default bounds a wide-buffer map to low hundreds of MB per task
+    val flushRows = spark.conf.get("graft.local.spillRows", "2097152").toLong
+
     val aggregated = input.mapPartitions { it =>
       import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection, UnsafeRow}
       val groupProj = UnsafeProjection.create(groupRefs)
@@ -300,10 +394,37 @@ object BucketedAgg {
       val updateInput = new JoinedRow
       val resultInput = new JoinedRow
       val groups = new java.util.LinkedHashMap[UnsafeRow, GenericInternalRow]()
+      val spills = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => spills.foreach(_.delete())))
+      lazy val bufferSer = UnsafeProjection.create(bufferRefs)
+      def flush(): Unit = {
+        val recs = new Array[(Array[Byte], Array[Byte])](groups.size())
+        val es = groups.entrySet().iterator()
+        var i = 0
+        while (es.hasNext) {
+          val e = es.next()
+          recs(i) = (e.getKey.getBytes, bufferSer(e.getValue).getBytes)
+          i += 1
+        }
+        java.util.Arrays.sort(recs,
+          (a: (Array[Byte], Array[Byte]), b: (Array[Byte], Array[Byte])) =>
+            java.util.Arrays.compareUnsigned(a._1, b._1))
+        val f = java.io.File.createTempFile("graft_bagg_spill", ".run")
+        spills += f
+        val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(f), 1 << 16))
+        try recs.foreach { case (k, b) =>
+          out.writeInt(k.length); out.write(k)
+          out.writeInt(b.length); out.write(b)
+        } finally out.close()
+        groups.clear()
+      }
       it.foreach { row =>
         val k = groupProj(row)
         var buf = groups.get(k)
         if (buf == null) {
+          if (groups.size() >= flushRows) flush() // spill, stay bucket-local
           buf = new GenericInternalRow(bufferWidth)
           var i = 0
           while (i < bufferWidth) { buf.update(i, initials(i)); i += 1 }
@@ -320,15 +441,84 @@ object BucketedAgg {
           c += 1
         }
       }
-      val entries = groups.entrySet().iterator()
-      new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
-        def hasNext: Boolean = entries.hasNext
-        def next(): org.apache.spark.sql.catalyst.InternalRow = {
-          val e = entries.next()
-          resultProj(resultInput(e.getKey, e.getValue))
+      if (spills.isEmpty) {
+        val entries = groups.entrySet().iterator()
+        new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+          def hasNext: Boolean = entries.hasNext
+          def next(): org.apache.spark.sql.catalyst.InternalRow = {
+            val e = entries.next()
+            resultProj(resultInput(e.getKey, e.getValue))
+          }
+        }
+      } else {
+        // merge-iterate the key-sorted runs: same-key partial buffers
+        // combine through the compiled merge projection, then evaluate —
+        // the shuffled plan's final-merge contract, bucket-locally
+        if (!groups.isEmpty) flush()
+        val mergeProj = Bridge.createMutableProjection(mergeExprs)
+        val mergeInput = new JoinedRow
+        val runs = spills.map(f => new SpillRun(f)).filter(_.advance())
+        val order = new java.util.PriorityQueue[SpillRun](
+          math.max(1, runs.size),
+          (a: SpillRun, b: SpillRun) =>
+            java.util.Arrays.compareUnsigned(a.key, b.key))
+        runs.foreach(order.add)
+        new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+          def hasNext: Boolean = !order.isEmpty
+          def next(): org.apache.spark.sql.catalyst.InternalRow = {
+            val head = order.poll()
+            val keyBytes = head.key
+            val cur = new GenericInternalRow(bufferWidth)
+            var i = 0
+            val first = head.bufferRow(bufferWidth)
+            while (i < bufferWidth) {
+              cur.update(i, first.get(i, bufferTypes(i)))
+              i += 1
+            }
+            if (head.advance()) order.add(head)
+            var same = order.peek()
+            while (same != null &&
+                java.util.Arrays.compareUnsigned(same.key, keyBytes) == 0) {
+              order.poll()
+              mergeProj.target(cur)
+              mergeProj(mergeInput(cur, same.bufferRow(bufferWidth)))
+              if (same.advance()) order.add(same)
+              same = order.peek()
+            }
+            val k = new UnsafeRow(gWidth)
+            k.pointTo(keyBytes, keyBytes.length)
+            resultProj(resultInput(k, cur))
+          }
         }
       }
     }
     Bridge.internalCreateDataFrame(spark, aggregated, outSchema)
+  }
+
+  /** One key-sorted spill run of (key bytes, payload bytes) records —
+    * shared by the aggregation (payload = serialized buffer) and distinct
+    * (payload empty) merge paths. */
+  private final class SpillRun(f: java.io.File) {
+    private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(f), 1 << 16))
+    var key: Array[Byte] = _
+    var payload: Array[Byte] = _
+    def advance(): Boolean =
+      try {
+        val kl = in.readInt()
+        key = new Array[Byte](kl); in.readFully(key)
+        val pl = in.readInt()
+        payload = new Array[Byte](pl); in.readFully(payload)
+        true
+      } catch {
+        case _: java.io.EOFException => in.close(); f.delete(); false
+      }
+    /** The payload as an UnsafeRow of `n` fields (fresh backing array per
+      * record — merge targets may retain references without copying). */
+    def bufferRow(n: Int): org.apache.spark.sql.catalyst.expressions.UnsafeRow = {
+      val r = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(n)
+      r.pointTo(payload, payload.length)
+      r
+    }
   }
 }

@@ -555,6 +555,50 @@ private[sources] object LakeDelegate {
       .filter(_.nonEmpty)
   }
 
+  /** A session byte budget (`1g`-style strings accepted), defaulting. */
+  private def budgetBytes(spark: SparkSession, key: String, default: Long): Long =
+    spark.conf.getOption(key)
+      .flatMap(v => scala.util.Try(
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)).toOption)
+      .getOrElse(default)
+
+  /** Manifest bytes of one table's LARGEST bucket — the auto-routes' build/
+    * map sizing input (cached layout replay, zero filesystem calls). */
+  private def maxBucketBytes(spark: SparkSession, path: String, key: String): Long =
+    IcebergRead.bucketLayoutSized(spark, path, key)
+      .map(_._2.values.map(_.map(_._2).sum).maxOption.getOrElse(0L))
+      .getOrElse(0L)
+
+  /** Compressed-parquet manifest bytes → in-heap row bytes, conservative. */
+  private val HeapInflation = 4L
+
+  /** MEMORY GATE for the bucket-local aggregation/DISTINCT auto-routes:
+    * when CURRENT-version ANALYZE stats exist, the per-bucket group map is
+    * estimated as `min(rows, Π ndv(group col)) / n` groups × (group-column
+    * width + per-aggregate buffer + map overhead) and the route REFUSES
+    * (→ the shuffled plan, which Spark spills natively) when the estimate
+    * exceeds `graft.route.aggBudgetBytes` (default 1 GiB). Absent or stale
+    * stats pass the gate — the operator's own flush-and-merge spill then
+    * bounds heap; the gate exists so an auto-route never picks a plan the
+    * stats already say will spill heavily when the ordinary exchange would
+    * not. */
+  private def aggRouteFits(spark: SparkSession, path: String, key: String,
+      schema: org.apache.spark.sql.types.StructType, groupCols: Seq[String],
+      nAggs: Int): Boolean = {
+    val st = tableStats(spark, path).getOrElse(return true)
+    if (st.version != versionOf(spark, path)) return true
+    val n = IcebergRead.bucketLayout(spark, path, key)
+      .map(_._1).getOrElse(return true)
+    val ndvs = groupCols.map(c => st.ndv.get(c).filter(_ > 0)
+      .map(_.toDouble).getOrElse(return true))
+    val groups = math.min(st.rows.toDouble, ndvs.product)
+    val groupWidth = groupCols.map(c =>
+      scala.util.Try(schema(c).dataType.defaultSize.toLong).getOrElse(16L)).sum
+    val perGroup = groupWidth + 32L * nAggs + 64L // buffers + map overhead
+    groups / n * perGroup <=
+      budgetBytes(spark, "graft.route.aggBudgetBytes", 1L << 30)
+  }
+
   /** STORAGE-PARTITIONED-JOIN auto-route (SURVEY §2 S9bj from plain SQL):
     * when a statement is a single-block `SELECT … FROM 'L' a JOIN 'R' b
     * ON a.k = b.k [AND residual…] [WHERE …] [GROUP/ORDER/LIMIT …]` and
@@ -673,6 +717,17 @@ private[sources] object LakeDelegate {
       }
     }
     val (k, kr) = key.getOrElse(return None)
+
+    // MEMORY GATE: the per-bucket local join BUILDS the whole right bucket
+    // in heap (no spill there). Manifest byte sizes are always known —
+    // refuse the auto-route when the largest right bucket, inflated to
+    // in-heap row size, exceeds `graft.route.buildBudgetBytes` (default
+    // 1 GiB); the shuffled plan, which spills natively, runs instead. An
+    // adversely-bucketed layout (n picked for a smaller cluster, a table
+    // that grew 10×) must degrade, never OOM a plain SELECT. The explicit
+    // bucket_join TVF/API keeps its documented sizing contract.
+    if (maxBucketBytes(spark, r.path, kr) * HeapInflation >
+      budgetBytes(spark, "graft.route.buildBudgetBytes", 1L << 30)) return None
 
     // column tokens OUTSIDE the ON clause pick each side's kept columns
     // (the ON's own columns are read automatically as key/residual inputs);
@@ -1150,6 +1205,10 @@ private[sources] object LakeDelegate {
     }
     val aggList = aggCols.result()
     if (isDistinct && aggList.nonEmpty) return None // aggregate under DISTINCT
+    // MEMORY GATE: when current-version stats predict a per-bucket group
+    // map beyond the budget, keep the shuffled plan (see [[aggRouteFits]])
+    if (!aggRouteFits(spark, r.path, key, schema, groupCols,
+      aggList.length)) return None
     // the WHERE must push whole (it cannot re-apply after aggregation)
     val where = outerWhereText(statement) match {
       case None => None

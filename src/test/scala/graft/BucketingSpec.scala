@@ -724,6 +724,95 @@ class BucketingSpec extends SparkSpec {
     assert(h.fraction(mid, mid) <= h.counts.max.toDouble / h.counts.sum + 1e-9)
   }
 
+  test("zero-exchange routes: forced spill stays exact; memory gates refuse to the shuffled plan") {
+    import graft.operators.BucketedAgg
+    import graft.sources.{IcebergRead, IcebergWrite, Lake}
+    val root = java.nio.file.Files.createTempDirectory("graft_spill").toString
+    val orders = Tables(spark, sf001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+    IcebergWrite.append(spark, orders.where(col("o_orderkey") % 2 === 0),
+      s"$root/t", partitionBy = Seq("bucket(8, o_custkey)"))
+    IcebergWrite.append(spark, orders.where(col("o_orderkey") % 2 === 1),
+      s"$root/t", partitionBy = Seq("bucket(8, o_custkey)"))
+    IcebergWrite.append(spark,
+      Tables(spark, sf001, "customer").select(col("c_custkey"), col("c_acctbal"),
+        col("c_mktsegment")),
+      s"$root/customer", partitionBy = Seq("bucket(8, c_custkey)"))
+
+    // FORCED SPILL: a tiny flush threshold makes every bucket write many
+    // sorted runs and merge them — results must stay exactly equal to the
+    // shuffled twin (incl. string buffers crossing the serialize/merge
+    // path and avg's two-slot partial merge), lineage still shuffle-free
+    spark.conf.set("graft.local.spillRows", "7")
+    try {
+      val spilled = BucketedAgg.bucketLocalAgg(spark, s"$root/t", "o_custkey",
+        Seq("o_custkey"),
+        Seq(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("s"),
+          min(col("o_orderpriority")).as("mn"), max(col("o_orderpriority")).as("mx"),
+          avg(col("o_totalprice")).as("a")))
+      assert(!spilled.rdd.toDebugString.contains("ShuffledRDD"))
+      val twin = IcebergRead.snapshot(spark, s"$root/t")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("s"),
+          min(col("o_orderpriority")).as("mn"), max(col("o_orderpriority")).as("mx"),
+          avg(col("o_totalprice")).as("a"))
+      val got = spilled.orderBy(col("o_custkey")).collect()
+      val exp = twin.orderBy(col("o_custkey")).collect()
+      assert(got.length === exp.length)
+      got.zip(exp).foreach { case (a, b) =>
+        assert(a.getLong(0) === b.getLong(0))
+        assert(a.getLong(1) === b.getLong(1))
+        assert(a.getLong(2) === b.getLong(2))
+        assert(a.getString(3) === b.getString(3))
+        assert(a.getString(4) === b.getString(4))
+        assert(math.abs(a.getDouble(5) - b.getDouble(5)) < 1e-9)
+      }
+      // distinct's flush-and-merge dedups across runs exactly
+      val dSpilled = BucketedAgg.bucketLocalDistinct(spark, s"$root/t",
+        "o_custkey", Seq("o_custkey", "o_orderpriority"))
+      assert(!dSpilled.rdd.toDebugString.contains("ShuffledRDD"))
+      val dTwin = IcebergRead.snapshot(spark, s"$root/t")
+        .select(col("o_custkey"), col("o_orderpriority")).distinct()
+      assert(dSpilled.count() === dTwin.count())
+      assert(dSpilled.exceptAll(dTwin).isEmpty && dTwin.exceptAll(dSpilled).isEmpty)
+    } finally spark.conf.unset("graft.local.spillRows")
+
+    // SPJ BUILD GATE: manifest bytes always gate the auto-route — with a
+    // 1-byte budget the statement must keep the ordinary (shuffled) join
+    val joinStmt = s"""SELECT c.c_mktsegment, count(*) AS cnt
+      FROM '$root/t' o JOIN '$root/customer' c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"""
+    spark.conf.set("graft.route.buildBudgetBytes", "1")
+    val gated = try Lake.sqlFrame(spark, joinStmt)
+      finally spark.conf.unset("graft.route.buildBudgetBytes")
+    assert(gated.queryExecution.executedPlan.toString.contains("Join"),
+      "under-budget SPJ auto-route must refuse to the shuffled join")
+    val routed = Lake.sqlFrame(spark, joinStmt)
+    assert(!routed.queryExecution.executedPlan.toString.contains("Join"))
+    assert(gated.collect().toSeq === routed.collect().toSeq)
+
+    // AGG GATE: stats-driven — WITHOUT stats a tiny budget still routes
+    // (the spill bounds memory); WITH current-version ANALYZE stats the
+    // same budget refuses (plan keeps HashAggregate), results unchanged
+    val aggStmt = s"""SELECT o_custkey, count(*) AS cnt FROM '$root/t'
+      GROUP BY o_custkey ORDER BY o_custkey LIMIT 10"""
+    spark.conf.set("graft.route.aggBudgetBytes", "1")
+    try {
+      val noStats = Lake.sqlFrame(spark, aggStmt)
+      assert(!noStats.queryExecution.executedPlan.toString.contains("HashAggregate"),
+        "stats-less route must pass the gate (spill protects it)")
+      Lake.sql(spark, s"ANALYZE TABLE '$root/t'")
+      val refused = Lake.sqlFrame(spark, aggStmt)
+      assert(refused.queryExecution.executedPlan.toString.contains("HashAggregate"),
+        "stats say the group map cannot fit — the route must refuse")
+      assert(refused.collect().toSeq === noStats.collect().toSeq)
+    } finally spark.conf.unset("graft.route.aggBudgetBytes")
+    // with the default budget the analyzed table routes again
+    val again = Lake.sqlFrame(spark, aggStmt)
+    assert(!again.queryExecution.executedPlan.toString.contains("HashAggregate"))
+  }
+
   test("a RENAMED column refuses the bucket layout (name-read would null it)") {
     // our writer stamps parquet field ids; after a metadata-only RENAME the
     // files' physical names are the OLD ones. The main snapshot reader
