@@ -35,10 +35,15 @@ import graft.sources.IcebergRead
   * Guards (all loud — callers fall back to the shuffled `groupBy`):
   * the table must expose a clean bucket layout ([[IcebergRead
   * .bucketLayout]] — current-spec files only, no live deletes, name-read
-  * faithful); `groupCols` must contain `key`; every aggregate must be a
-  * non-distinct, unfiltered [[org.apache.spark.sql.catalyst.expressions
-  * .aggregate.DeclarativeAggregate]] (sum/count/min/max/avg/first…);
-  * grouping expressions must be plain columns. NULL bucket keys: Iceberg's
+  * faithful); `groupCols` must contain `key`; every aggregate must be an
+  * unfiltered [[org.apache.spark.sql.catalyst.expressions.aggregate
+  * .DeclarativeAggregate]] (sum/count/min/max/avg/first…); grouping
+  * expressions must be plain columns. DISTINCT aggregates
+  * (`count(DISTINCT x)` — the dedup-rollup shape an LLM pipeline runs
+  * constantly) are EXACT here, not refused: a group's rows all live in
+  * one bucket, so a per-partition seen-set of (group key, distinct args)
+  * gating the update computes the same answer Spark's Expand + double
+  * shuffle produces, with zero exchanges. NULL bucket keys: Iceberg's
   * bucket transform puts null-keyed rows in a null partition value —
   * those files fail the layout probe, so the NULL-group question never
   * reaches this operator with a lying layout.
@@ -272,8 +277,8 @@ object BucketedAgg {
     val aggNode = analyzedAggNode(spark, readSchema, groupCols, aggs)
     aggNode.aggregateExpressions.foreach(_.foreach {
       case ae: AggregateExpression =>
-        require(!ae.isDistinct && ae.filter.isEmpty,
-          s"bucketLocalAgg: DISTINCT/FILTER aggregates not supported: $ae")
+        require(ae.filter.isEmpty,
+          s"bucketLocalAgg: FILTER aggregates not supported: $ae")
         require(ae.aggregateFunction.isInstanceOf[DeclarativeAggregate],
           s"bucketLocalAgg: only declarative aggregates supported, got " +
             s"${ae.aggregateFunction.getClass.getSimpleName}")
@@ -287,10 +292,17 @@ object BucketedAgg {
 
     val readIdx: Map[String, Int] = readSchema.fieldNames.zipWithIndex.toMap
 
-    // one buffer row holds every function's buffer attributes, concatenated
-    val functions: Seq[DeclarativeAggregate] = aggNode.aggregateExpressions
-      .flatMap(_.collect { case ae: AggregateExpression =>
-        ae.aggregateFunction.asInstanceOf[DeclarativeAggregate] })
+    // one buffer row holds every function's buffer attributes, concatenated.
+    // DISTINCT aggregates are EXACT here — a group lives wholly in one
+    // partition, so a per-partition (group key ++ distinct args) seen-set
+    // gating the update is the whole Expand/re-shuffle dance Spark's
+    // RewriteDistinctAggregates pays, for free. (The seen-set itself stays
+    // in heap — it is the distinct-pair set, which any exact distinct
+    // aggregation must hold somewhere.)
+    val aggExprsFlat: Seq[AggregateExpression] = aggNode.aggregateExpressions
+      .flatMap(_.collect { case ae: AggregateExpression => ae })
+    val functions: Seq[DeclarativeAggregate] =
+      aggExprsFlat.map(_.aggregateFunction.asInstanceOf[DeclarativeAggregate])
     val bufferAttrs = functions.flatMap(_.aggBufferAttributes)
     val bufferPos: Map[ExprId, Int] =
       bufferAttrs.zipWithIndex.map { case (a, i) => a.exprId -> i }.toMap
@@ -312,7 +324,48 @@ object BucketedAgg {
         BoundReference(bufferWidth + i, readSchema.fields(i).dataType,
           readSchema.fields(i).nullable)
     }
-    val updateExprs = functions.flatMap(_.updateExpressions).map(bindUpdate)
+    // an expression bound over the RAW input row (the distinct seen-key)
+    def bindInput(e: Expression): Expression = e.transformUp {
+      case a: AttributeReference =>
+        val i = readIdx.getOrElse(a.name, throw new IllegalStateException(
+          s"distinct argument references unread column ${a.name}"))
+        BoundReference(i, readSchema.fields(i).dataType,
+          readSchema.fields(i).nullable)
+    }
+    // GROUP-KEY projection over the input row (also the seen-key prefix)
+    val groupRefs = groupingAttrs.map { a =>
+      val i = readIdx(a.name)
+      BoundReference(i, readSchema.fields(i).dataType, readSchema.fields(i).nullable)
+    }
+    // per-function slot offsets and identity passthroughs — the selective
+    // projections below must keep untouched slots byte-identical
+    val offsets: Seq[Int] =
+      functions.map(_.aggBufferAttributes.length).scanLeft(0)(_ + _)
+    val identityRefs: IndexedSeq[Expression] =
+      bufferAttrs.toIndexedSeq.zipWithIndex.map { case (a, i) =>
+        BoundReference(i, a.dataType, nullable = true)
+      }
+    def slotRange(fi: Int): Seq[Expression] =
+      identityRefs.slice(offsets(fi), offsets(fi + 1))
+    // the MAIN update fires per row: plain functions update, distinct
+    // functions pass through (their slots move only on unseen pairs)
+    val updateExprs: Seq[Expression] = functions.zipWithIndex.flatMap {
+      case (f, fi) =>
+        if (aggExprsFlat(fi).isDistinct) slotRange(fi)
+        else f.updateExpressions.map(bindUpdate)
+    }
+    // per-distinct-function: a full-width update live only in its slots,
+    // plus the (group key ++ distinct args) seen-key projection exprs
+    val distinctUpdates: Seq[(Seq[Expression], Seq[Expression])] =
+      functions.zipWithIndex.collect {
+        case (f, fi) if aggExprsFlat(fi).isDistinct =>
+          val exprs: Seq[Expression] = functions.zipWithIndex.flatMap {
+            case (g, gi) =>
+              if (gi == fi) g.updateExpressions.map(bindUpdate)
+              else slotRange(gi)
+          }
+          (exprs, (groupRefs ++ f.children.map(bindInput)): Seq[Expression])
+      }
     // buffer slots holding NON-primitive values (UTF8String/binary/array/
     // struct results of min/max/first/…) must COPY after each update: the
     // projected value points into the scan's REUSED UnsafeRow buffer, and
@@ -333,11 +386,6 @@ object BucketedAgg {
     val copyTypes: Array[org.apache.spark.sql.types.DataType] =
       copySlots.map(bufferAttrs(_).dataType)
 
-    // GROUP-KEY projection over the input row
-    val groupRefs = groupingAttrs.map { a =>
-      val i = readIdx(a.name)
-      BoundReference(i, readSchema.fields(i).dataType, readSchema.fields(i).nullable)
-    }
     // RESULT expressions over JoinedRow(groupKey, buffer): each
     // AggregateExpression becomes its function's evaluateExpression bound
     // to the buffer slots; surviving grouping attrs bind to the key slots
@@ -391,6 +439,16 @@ object BucketedAgg {
       val groupProj = UnsafeProjection.create(groupRefs)
       val updateProj = Bridge.createMutableProjection(updateExprs)
       val resultProj = UnsafeProjection.create(resultExprs)
+      // distinct machinery: one seen-set + selective projection per
+      // DISTINCT aggregate; the seen-set gates the update so each
+      // (group, args) pair contributes exactly once — exact because the
+      // group's rows all live in this partition
+      val distinctProjs = distinctUpdates.map { case (exprs, _) =>
+        Bridge.createMutableProjection(exprs) }
+      val seenProjs = distinctUpdates.map { case (_, keyExprs) =>
+        UnsafeProjection.create(keyExprs) }
+      val seens = distinctUpdates.map(_ =>
+        new java.util.HashSet[UnsafeRow]())
       val updateInput = new JoinedRow
       val resultInput = new JoinedRow
       val groups = new java.util.LinkedHashMap[UnsafeRow, GenericInternalRow]()
@@ -432,6 +490,16 @@ object BucketedAgg {
         }
         updateProj.target(buf)
         updateProj(updateInput(buf, row))
+        var d = 0
+        while (d < distinctProjs.length) { // unseen (group, args) only
+          val dk = seenProjs(d)(row)
+          if (!seens(d).contains(dk)) {
+            seens(d).add(dk.copy())
+            distinctProjs(d).target(buf)
+            distinctProjs(d)(updateInput(buf, row))
+          }
+          d += 1
+        }
         var c = 0
         while (c < copySlots.length) { // detach row-buffer-backed values
           val slot = copySlots(c)

@@ -1863,6 +1863,95 @@ object IoQueries {
       WHERE c_acctbal > 0.0
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** MULTI-TABLE SPJ auto-route (SURVEY §2 S9bj3): a 3-table flat INNER
+    * chain — two co-bucketed facts plus a plain dimension — routes the
+    * fact-fact pair through the zero-shuffle co-partitioned reader and
+    * re-joins the dimension against the SPJ view (broadcast-scale), all
+    * from statement text. This is the star shape where the zero-exchange
+    * win is biggest at 100 TB: the fact-fact exchange disappears and only
+    * the tiny dim join remains a Spark join. Oracle = the plain DuckDB
+    * 3-way join. */
+  val tspjThreeTable = GQuery(
+    "t109_spj_three_table",
+    (s, dir) => {
+      val root = tmp("graft_t109_q")
+      graft.sources.IcebergWrite.append(s,
+        Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")),
+        s"$root/orders", partitionBy = Seq("bucket(8, o_custkey)"))
+      graft.sources.IcebergWrite.append(s,
+        Tables(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"),
+          col("c_acctbal")),
+        s"$root/customer", partitionBy = Seq("bucket(8, c_custkey)"))
+      graft.sources.IcebergWrite.append(s,
+        Tables(s, dir, "nation").select(col("n_nationkey"), col("n_name")),
+        s"$root/nation")
+      graft.sources.Lake.sqlFrame(s,
+        s"""SELECT n.n_name, count(*) AS cnt,
+              round(sum(o.o_totalprice), 2) AS rev
+            FROM '$root/orders' o JOIN '$root/customer' c
+              ON o.o_custkey = c.c_custkey
+            JOIN '$root/nation' n ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_totalprice > 1000.0
+            GROUP BY n.n_name ORDER BY n.n_name""")
+    },
+    Some("""SELECT n_name, count(*) AS cnt, round(sum(o_totalprice), 2) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_totalprice > 1000.0
+      GROUP BY n_name ORDER BY n_name"""))
+
+  /** BUCKET-LOCAL count(DISTINCT) (SURVEY §2 S9bcd): under a key-including
+    * grouping every group lives in one bucket, so a distinct aggregate is
+    * bucket-local EXACT — the statement routes with zero exchanges where
+    * Spark's plan pays Expand + two shuffles. The dedup-rollup
+    * (`COUNT(DISTINCT doc) per source`) is the most common aggregate an
+    * LLM-data pipeline runs. Oracle = the plain DuckDB distinct count. */
+  val tbucketCountDistinct = GQuery(
+    "t110_bucket_count_distinct",
+    (s, dir) => {
+      val root = tmp("graft_t110_q")
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      graft.sources.IcebergWrite.append(s,
+        orders.where(col("o_orderkey") % 2 === 0),
+        s"$root/t", partitionBy = Seq("bucket(8, o_custkey)"))
+      graft.sources.IcebergWrite.append(s,
+        orders.where(col("o_orderkey") % 2 === 1),
+        s"$root/t", partitionBy = Seq("bucket(8, o_custkey)"))
+      graft.sources.Lake.sqlFrame(s,
+        s"""SELECT o_custkey, count(DISTINCT o_orderstatus) AS d,
+              count(*) AS cnt
+            FROM '$root/t' GROUP BY o_custkey ORDER BY o_custkey""")
+    },
+    Some("""SELECT o_custkey, count(DISTINCT o_orderstatus) AS d,
+        count(*) AS cnt
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+
+  /** HAVING through the bucket-local agg route (SURVEY §2 S9bah): the
+    * per-bucket aggregation is COMPLETE, so HAVING is a plain filter over
+    * the routed view — including an aggregate the select list does NOT
+    * carry (computed as a hidden column, filtered, projected away). Zero
+    * exchanges end to end. Oracle = the plain DuckDB HAVING. */
+  val tbucketHaving = GQuery(
+    "t111_bucket_having",
+    (s, dir) => {
+      val root = tmp("graft_t111_q")
+      graft.sources.IcebergWrite.append(s,
+        Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")),
+        s"$root/t", partitionBy = Seq("bucket(8, o_custkey)"))
+      graft.sources.Lake.sqlFrame(s,
+        s"""SELECT o_custkey, count(*) AS cnt
+            FROM '$root/t' WHERE o_totalprice > 1000.0
+            GROUP BY o_custkey HAVING sum(o_totalprice) > 150000.0
+            ORDER BY o_custkey""")
+    },
+    Some("""SELECT o_custkey, count(*) AS cnt
+      FROM orders WHERE o_totalprice > 1000.0
+      GROUP BY o_custkey HAVING sum(o_totalprice) > 150000.0
+      ORDER BY o_custkey"""))
+
   /** Catalog VIEWs end-to-end (Lake.sql CREATE VIEW → bare-name
     * expansion): events land in a Delta table under a catalog directory,
     * a VIEW stores the per-type rollup, a second VIEW filters the first,
@@ -2242,7 +2331,7 @@ object IoQueries {
       tdeltaDv, tdeltaUpsert, ticebergPart, ticebergHiddenPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tlakeReplaceWhere, tlakeSqlDml,
       tlakeSqlMaintenance, tlakeSqlSelect, tlakeSqlAgg, tlakeSqlAlterAdd, tlakeTpchSql,
-      tlakeSqlWindow, tlakeCreateTable, tlakeUseCatalog, tlakeMergeFull, tlakeMergeNullCond, tlakeMergeEvolve, tlakeMergeRenamed, tbucketJoin, tspjAuto, tbucketAgg, tbucketAggSql, tspjAggFused, tbucketDistinct, tspjNatural, tlakeViews,
+      tlakeSqlWindow, tlakeCreateTable, tlakeUseCatalog, tlakeMergeFull, tlakeMergeNullCond, tlakeMergeEvolve, tlakeMergeRenamed, tbucketJoin, tspjAuto, tbucketAgg, tbucketAggSql, tspjAggFused, tbucketDistinct, tspjNatural, tspjThreeTable, tbucketCountDistinct, tbucketHaving, tlakeViews,
       tcdcApply, tlakeSync, tlakeClone,
       tlakeRestore, tlakeRename, tlakeUniform, tlakeUniformRev, tlakeConvert)
 }

@@ -20,6 +20,23 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.sqlParser.parseExpression(text)
 
+  /** Parse a full STATEMENT to its unresolved logical plan — the
+    * delegation planner's auto-routes pattern-match this tree instead of
+    * tokenizing statement text themselves. */
+  def parsePlan(spark: SparkSession,
+      text: String): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.sqlParser.parsePlan(text)
+
+  /** Run a (possibly partially unresolved) logical plan through the
+    * session — analysis happens eagerly, so a plan the rewriter got wrong
+    * throws HERE and refusal-based callers can fall back. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Uncorrelated scalar subquery over a one-row/one-column DataFrame —
     * the form expressions like `BloomFilterMightContain` require for their
     * non-literal inputs (executed once, value shipped to every task). */

@@ -382,14 +382,24 @@ class BucketingSpec extends SparkSpec {
       .orderBy(col("o_custkey")).limit(10)
     assert(viaSql.collect().toSeq === twinSql.collect().toSeq)
 
-    // guards: grouping without the key, non-bucketed table, DISTINCT agg
+    // guards: grouping without the key, non-bucketed table
     intercept[IllegalArgumentException](BucketedAgg.bucketLocalAgg(spark,
       s"$root/t", "o_custkey", Seq("o_orderstatus"), Seq(count(lit(1)).as("c"))))
     intercept[IllegalArgumentException](BucketedAgg.bucketLocalAgg(spark,
       s"$root/t", "o_orderkey", Seq("o_orderkey"), Seq(count(lit(1)).as("c"))))
-    intercept[IllegalArgumentException](BucketedAgg.bucketLocalAgg(spark,
-      s"$root/t", "o_custkey", Seq("o_custkey"),
-      Seq(countDistinct(col("o_orderkey")).as("c"))))
+
+    // DISTINCT aggregates are bucket-local EXACT (a group lives in one
+    // bucket) — mixed with plain aggregates in one call, still 0-shuffle
+    val cd = BucketedAgg.bucketLocalAgg(spark, s"$root/t", "o_custkey",
+      Seq("o_custkey"),
+      Seq(countDistinct(col("o_orderstatus")).as("d"), count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("s")))
+    assert(!cd.rdd.toDebugString.contains("ShuffledRDD"))
+    val cdTwin = IcebergRead.snapshot(spark, s"$root/t")
+      .groupBy(col("o_custkey"))
+      .agg(countDistinct(col("o_orderstatus")).as("d"), count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("s"))
+    assert(cd.exceptAll(cdTwin).isEmpty && cdTwin.exceptAll(cd).isEmpty)
   }
 
   test("plain delegated SQL auto-routes a bucket-key GROUP BY through the local aggregation") {
@@ -419,23 +429,51 @@ class BucketingSpec extends SparkSpec {
     assert(routed.collect().toSeq === twin.collect().toSeq)
 
     // refusals fall back to the shuffled agg, still correct: a grouping
-    // without the bucket key; a HAVING; an unaliased aggregate
+    // without the bucket key; an unaliased aggregate
     for (fallback <- Seq(
       s"SELECT o_orderstatus, count(*) AS c FROM '$root/t' GROUP BY o_orderstatus",
-      s"SELECT o_custkey, count(*) AS c FROM '$root/t' GROUP BY o_custkey HAVING count(*) > 1",
       s"SELECT o_custkey, count(*) FROM '$root/t' GROUP BY o_custkey")) {
       val df = Lake.sqlFrame(spark, fallback)
       assert(df.queryExecution.executedPlan.toString.contains("HashAggregate"),
         fallback)
       assert(df.count() > 0, fallback)
     }
-    // fallback results match: the HAVING shape against its direct twin
+    // HAVING routes: the COMPLETE per-bucket aggregation makes it a plain
+    // filter over the routed view — no HashAggregate in the plan, even
+    // when the HAVING mentions an aggregate ABSENT from the select list
+    // (computed as a hidden __hv column and projected away)
+    for (stmt <- Seq(
+      s"SELECT o_custkey, count(*) AS c FROM '$root/t' GROUP BY o_custkey HAVING count(*) > 1",
+      s"SELECT o_custkey, count(*) AS c FROM '$root/t' GROUP BY o_custkey HAVING sum(o_totalprice) > 200000.0")) {
+      val routedH = Lake.sqlFrame(spark, stmt)
+      val planH = routedH.queryExecution.executedPlan.toString
+      assert(planH.contains("ExistingRDD") && !planH.contains("HashAggregate"),
+        s"$stmt\n${planH.take(1500)}")
+    }
     val hav = Lake.sqlFrame(spark,
       s"SELECT o_custkey, count(*) AS c FROM '$root/t' GROUP BY o_custkey HAVING count(*) > 1")
     val havTwin = IcebergRead.snapshot(spark, s"$root/t")
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
       .where(col("c") > 1)
     assert(hav.exceptAll(havTwin).isEmpty && havTwin.exceptAll(hav).isEmpty)
+    val hav2 = Lake.sqlFrame(spark,
+      s"SELECT o_custkey, count(*) AS c FROM '$root/t' GROUP BY o_custkey HAVING sum(o_totalprice) > 200000.0")
+    val hav2Twin = IcebergRead.snapshot(spark, s"$root/t")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("c"), sum(col("o_totalprice")).as("__s"))
+      .where(col("__s") > 200000.0).drop("__s")
+    assert(hav2.exceptAll(hav2Twin).isEmpty && hav2Twin.exceptAll(hav2).isEmpty)
+    // a bucket-key count(DISTINCT) routes too — bucket-local exact
+    val cdStmt = s"""SELECT o_custkey, count(DISTINCT o_orderstatus) AS d,
+        count(*) AS c FROM '$root/t' GROUP BY o_custkey"""
+    val cdRouted = Lake.sqlFrame(spark, cdStmt)
+    val cdPlan = cdRouted.queryExecution.executedPlan.toString
+    assert(cdPlan.contains("ExistingRDD") && !cdPlan.contains("HashAggregate"),
+      cdPlan.take(1500))
+    val cdTwin = IcebergRead.snapshot(spark, s"$root/t")
+      .groupBy(col("o_custkey"))
+      .agg(countDistinct(col("o_orderstatus")).as("d"), count(lit(1)).as("c"))
+    assert(cdRouted.exceptAll(cdTwin).isEmpty && cdTwin.exceptAll(cdRouted).isEmpty)
   }
 
   test("SPJ + bucket-key GROUP BY fuses: join AND rollup run with zero exchanges") {
@@ -613,12 +651,18 @@ class BucketingSpec extends SparkSpec {
       .orderBy(col("c_mktsegment"))
     assert(routed.collect().toSeq === twinAgg.collect().toSeq)
 
-    // a statement that SELECTs the dropped right key falls back (joined)
+    // a statement that SELECTs the right key now ROUTES — distinct names
+    // make the explicit selection unambiguous, so the view keeps c_custkey
     val sel = Lake.sqlFrame(spark, s"""SELECT c.c_custkey, count(*) AS cnt
       FROM '$root/orders' o JOIN '$root/customer' c ON o.o_custkey = c.c_custkey
-      GROUP BY c.c_custkey""")
-    assert(sel.queryExecution.executedPlan.toString.contains("Join"))
-    assert(sel.count() > 0)
+      GROUP BY c.c_custkey ORDER BY c.c_custkey""")
+    assert(!sel.queryExecution.executedPlan.toString.contains("Join"))
+    val selTwin = IcebergRead.snapshot(spark, s"$root/orders")
+      .join(IcebergRead.snapshot(spark, s"$root/customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("c_custkey"))
+    assert(sel.collect().toSeq === selTwin.collect().toSeq)
 
     // TVF 'lk=rk' key form
     val viaTvf = Lake.sqlFrame(spark,
@@ -722,6 +766,71 @@ class BucketingSpec extends SparkSpec {
     val mid = (h.lo + h.hi) / 2
     assert(h.fraction(mid, mid) > 0.0)
     assert(h.fraction(mid, mid) <= h.counts.max.toDouble / h.counts.sum + 1e-9)
+  }
+
+  test("multi-table SPJ: a 3-table INNER chain routes its co-bucketed pair, dims join the view") {
+    import graft.sources.{IcebergRead, IcebergWrite, Lake}
+    val root = java.nio.file.Files.createTempDirectory("graft_spj3").toString
+    IcebergWrite.append(spark,
+      Tables(spark, sf001, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice")),
+      s"$root/orders", partitionBy = Seq("bucket(8, o_custkey)"))
+    IcebergWrite.append(spark,
+      Tables(spark, sf001, "customer").select(col("c_custkey"), col("c_nationkey"),
+        col("c_acctbal")),
+      s"$root/customer", partitionBy = Seq("bucket(8, c_custkey)"))
+    IcebergWrite.append(spark,
+      Tables(spark, sf001, "nation").select(col("n_nationkey"), col("n_name")),
+      s"$root/nation")
+
+    val twin = IcebergRead.snapshot(spark, s"$root/orders")
+      .where(col("o_totalprice") > 1000.0)
+      .join(IcebergRead.snapshot(spark, s"$root/customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(IcebergRead.snapshot(spark, s"$root/nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("rev"))
+      .orderBy(col("n_name"))
+
+    // fact JOIN fact JOIN dim: the co-bucketed pair routes through the
+    // SPJ reader (ExistingRDD, no fact-fact exchange); ONLY the dim join
+    // remains a Spark join — and it broadcasts
+    val stmt = s"""SELECT n.n_name, count(*) AS cnt,
+        round(sum(o.o_totalprice), 2) AS rev
+      FROM '$root/orders' o JOIN '$root/customer' c ON o.o_custkey = c.c_custkey
+        JOIN '$root/nation' n ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_totalprice > 1000.0
+      GROUP BY n.n_name ORDER BY n.n_name"""
+    val routed = Lake.sqlFrame(spark, stmt)
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan.take(2500))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2500)) // the dim join only
+    assert(routed.collect().toSeq === twin.collect().toSeq)
+
+    // the pair need not be textually adjacent: dim joins first in the
+    // text, the fact-fact pair still routes (chain rebuilt around the view)
+    val stmt2 = s"""SELECT n.n_name, count(*) AS cnt,
+        round(sum(o.o_totalprice), 2) AS rev
+      FROM '$root/customer' c JOIN '$root/nation' n ON c.c_nationkey = n.n_nationkey
+        JOIN '$root/orders' o ON o.o_custkey = c.c_custkey
+      WHERE o.o_totalprice > 1000.0
+      GROUP BY n.n_name ORDER BY n.n_name"""
+    val routed2 = Lake.sqlFrame(spark, stmt2)
+    val plan2 = routed2.queryExecution.executedPlan.toString
+    assert(plan2.contains("ExistingRDD"), plan2.take(1500))
+    assert(!plan2.contains("SortMergeJoin") && !plan2.contains("ShuffledHashJoin"),
+      plan2.take(2500))
+    assert(routed2.collect().toSeq === twin.collect().toSeq)
+
+    // an unconnected extra table (would need a cross join) falls back
+    // whole — the ordinary delegated plan runs and is still correct
+    val cross = Lake.sqlFrame(spark, s"""SELECT count(*) AS c
+      FROM '$root/orders' o JOIN '$root/customer' c ON o.o_custkey = c.c_custkey
+        JOIN '$root/nation' n ON n.n_nationkey >= 0""")
+    assert(cross.collect().head.getLong(0) > 0)
   }
 
   test("zero-exchange routes: forced spill stays exact; memory gates refuse to the shuffled plan") {

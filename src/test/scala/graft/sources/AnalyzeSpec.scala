@@ -188,5 +188,32 @@ class AnalyzeSpec extends SparkSpec {
     assert(outerLeaves.head.contains("/fact/"),
       s"outer-join chain must keep textual order: ${outerLeaves.mkString(", ")}")
     assert(outerDf.collect().head.getLong(0) === 200000L)
+
+    // PARTIAL stats: one stats-less small dim no longer abandons the
+    // reorder — its rows estimate falls back to scan bytes / row width,
+    // the small dim still plans first, results unchanged
+    DeltaWrite.append(spark, spark.range(100)
+      .select(col("id").as("sk"), rand(4).as("u")),
+      s"$root/small2") // never ANALYZEd
+    val partialStmt = s"""SELECT count(*) AS c, round(sum(f.v + m.w + s.u), 2) AS x
+        FROM '$root/fact' f JOIN '$root/mid' m ON f.mk = m.mk
+        JOIN '$root/small2' s ON m.sk = s.sk"""
+    val partialDf = Lake.sqlFrame(spark, partialStmt)
+    val pLeaves = partialDf.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.head.toUri.getPath
+          case _ => ""
+        }
+    }
+    assert(pLeaves.nonEmpty && pLeaves.head.contains("/small2/"),
+      s"stats-less dim must still reorder first: ${pLeaves.mkString(", ")}")
+    val pTwin = Lake.read(spark, s"$root/fact").as("f")
+      .join(Lake.read(spark, s"$root/mid").as("m"), col("f.mk") === col("m.mk"))
+      .join(Lake.read(spark, s"$root/small2").as("s"), col("m.sk") === col("s.sk"))
+      .agg(count(lit(1)).as("c"),
+        round(sum(col("f.v") + col("m.w") + col("s.u")), 2).as("x"))
+    assert(partialDf.collect().toSeq === pTwin.collect().toSeq)
   }
 }
