@@ -70,7 +70,7 @@ object BucketedAgg {
   def canAggLocally(spark: SparkSession, table: String, key: String,
       groupCols: Seq[String]): Boolean =
     groupCols.contains(key) &&
-      IcebergRead.bucketLayout(spark, table, key).isDefined
+      graft.sources.Lake.bucketLayout(spark, table, key).isDefined
 
   def bucketLocalAgg(spark: SparkSession, table: String, key: String,
       groupCols: Seq[String], aggs: Seq[Column],
@@ -84,11 +84,11 @@ object BucketedAgg {
     require(groupCols.contains(key),
       s"bucketLocalAgg: groupCols must include the bucket key '$key' — " +
         "other groupings spread a group across buckets (use the shuffled groupBy)")
-    val (n, buckets) = IcebergRead.bucketLayout(spark, table, key).getOrElse(
+    val (n, buckets) = graft.sources.Lake.bucketLayout(spark, table, key).getOrElse(
       throw new IllegalArgumentException(
         s"bucketLocalAgg: $table is not cleanly bucket(n, $key)-partitioned " +
           "— use the shuffled groupBy instead"))
-    val schema = StructType(IcebergRead.snapshot(spark, table).schema
+    val schema = StructType(graft.sources.Lake.tableSchema(spark, table)
       .fields.map(_.copy(metadata = Metadata.empty)))
     // READ layout discovery: analyze the equivalent plan against the full
     // schema once, keep only the touched columns, and push `where` +
@@ -139,11 +139,11 @@ object BucketedAgg {
     import org.apache.spark.sql.graft.Bridge
     require(cols.contains(key),
       s"bucketLocalDistinct: cols must include the bucket key '$key'")
-    val (n, buckets) = IcebergRead.bucketLayout(spark, table, key).getOrElse(
+    val (n, buckets) = graft.sources.Lake.bucketLayout(spark, table, key).getOrElse(
       throw new IllegalArgumentException(
         s"bucketLocalDistinct: $table is not cleanly bucket(n, $key)-" +
           "partitioned — use the shuffled distinct instead"))
-    val schema = StructType(IcebergRead.snapshot(spark, table).schema
+    val schema = StructType(graft.sources.Lake.tableSchema(spark, table)
       .fields.map(_.copy(metadata = Metadata.empty)))
     val missing = cols.filterNot(schema.fieldNames.contains)
     require(missing.isEmpty, s"bucketLocalDistinct: unknown column(s) " +

@@ -77,8 +77,8 @@ object BucketedJoin {
   def coBucketed(spark: SparkSession, left: String, right: String,
       key: String, rightKey: String = ""): Boolean = {
     val rk = if (rightKey.isEmpty) key else rightKey
-    (IcebergRead.bucketLayout(spark, left, key),
-      IcebergRead.bucketLayout(spark, right, rk)) match {
+    (graft.sources.Lake.bucketLayout(spark, left, key),
+      graft.sources.Lake.bucketLayout(spark, right, rk)) match {
       case (Some((nl, _)), Some((nr, _))) => nl == nr
       case _ => false
     }
@@ -100,15 +100,15 @@ object BucketedJoin {
     val outer = jt == "left" || jt == "left_outer"
     // left side sized (manifest file_size_in_bytes — the skew-split input,
     // zero filesystem calls); right side needs paths only
-    val (nL, bucketsL) = IcebergRead.bucketLayoutSized(spark, left, key).getOrElse(
+    val (nL, bucketsL) = graft.sources.Lake.bucketLayoutSized(spark, left, key).getOrElse(
       fail(s"$left is not cleanly bucket(n, $key)-partitioned"))
-    val (nR, bucketsR) = IcebergRead.bucketLayout(spark, right, rKey).getOrElse(
+    val (nR, bucketsR) = graft.sources.Lake.bucketLayout(spark, right, rKey).getOrElse(
       fail(s"$right is not cleanly bucket(n, $rKey)-partitioned"))
     require(nL == nR,
       s"bucket counts differ: $left has $nL, $right has $nR — equal keys " +
         "land in different ordinals, a co-partitioned join would be wrong")
-    val schemaL = clean(IcebergRead.snapshot(spark, left).schema)
-    val schemaR = clean(IcebergRead.snapshot(spark, right).schema)
+    val schemaL = clean(graft.sources.Lake.tableSchema(spark, left))
+    val schemaR = clean(graft.sources.Lake.tableSchema(spark, right))
     require(schemaL.fieldNames.contains(key), s"join key '$key' missing from $left")
     require(schemaR.fieldNames.contains(rKey), s"join key '$rKey' missing from $right")
     require(schemaL(key).dataType == schemaR(rKey).dataType,

@@ -1952,6 +1952,38 @@ object IoQueries {
       GROUP BY o_custkey HAVING sum(o_totalprice) > 150000.0
       ORDER BY o_custkey"""))
 
+  /** DELTA bucket layout (SURVEY §2 S8bk): the t103 shape on DELTA tables
+    * — our Delta writer stamps `bucket(n, key)` as a graft layout
+    * (`__gb=` path prefixes + the `graft.bucketSpec` property, rows
+    * hashed through the engine-pinned Iceberg Murmur3), and the plain-SQL
+    * SPJ auto-route plans the join through the co-partitioned reader with
+    * zero exchanges, exactly as on Iceberg. Oracle = the DuckDB join. */
+  val tdeltaBucketJoin = GQuery(
+    "t112_delta_bucket_join",
+    (s, dir) => {
+      val root = tmp("graft_t112_q")
+      graft.sources.DeltaWrite.append(s,
+        Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")),
+        s"$root/orders", partitionBy = Seq("bucket(8, o_custkey)"))
+      graft.sources.DeltaWrite.append(s,
+        Tables(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"),
+          col("c_mktsegment")),
+        s"$root/customer", partitionBy = Seq("bucket(8, c_custkey)"))
+      graft.sources.Lake.sqlFrame(s,
+        s"""SELECT c.c_mktsegment, count(*) AS cnt,
+              round(sum(o.o_totalprice), 2) AS revenue
+            FROM '$root/orders' o JOIN '$root/customer' c
+              ON o.o_custkey = c.c_custkey
+            WHERE o.o_totalprice > 1000.0 AND c.c_acctbal > 0.0
+            GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS cnt,
+        round(sum(o_totalprice), 2) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_totalprice > 1000.0 AND c_acctbal > 0.0
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   /** Catalog VIEWs end-to-end (Lake.sql CREATE VIEW → bare-name
     * expansion): events land in a Delta table under a catalog directory,
     * a VIEW stores the per-type rollup, a second VIEW filters the first,
@@ -2331,7 +2363,7 @@ object IoQueries {
       tdeltaDv, tdeltaUpsert, ticebergPart, ticebergHiddenPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tlakeReplaceWhere, tlakeSqlDml,
       tlakeSqlMaintenance, tlakeSqlSelect, tlakeSqlAgg, tlakeSqlAlterAdd, tlakeTpchSql,
-      tlakeSqlWindow, tlakeCreateTable, tlakeUseCatalog, tlakeMergeFull, tlakeMergeNullCond, tlakeMergeEvolve, tlakeMergeRenamed, tbucketJoin, tspjAuto, tbucketAgg, tbucketAggSql, tspjAggFused, tbucketDistinct, tspjNatural, tspjThreeTable, tbucketCountDistinct, tbucketHaving, tlakeViews,
+      tlakeSqlWindow, tlakeCreateTable, tlakeUseCatalog, tlakeMergeFull, tlakeMergeNullCond, tlakeMergeEvolve, tlakeMergeRenamed, tbucketJoin, tspjAuto, tbucketAgg, tbucketAggSql, tspjAggFused, tbucketDistinct, tspjNatural, tspjThreeTable, tbucketCountDistinct, tbucketHaving, tdeltaBucketJoin, tlakeViews,
       tcdcApply, tlakeSync, tlakeClone,
       tlakeRestore, tlakeRename, tlakeUniform, tlakeUniformRev, tlakeConvert)
 }

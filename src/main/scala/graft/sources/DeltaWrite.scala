@@ -92,6 +92,15 @@ object DeltaWrite {
 
   private def newTableId(): String = s"graft-${java.util.UUID.randomUUID()}"
 
+  /** Table property stamping a graft bucket layout: `"n,key"`. */
+  private[sources] val bucketSpecKey = "graft.bucketSpec"
+
+  private[sources] def parseBucketSpec(s: String): Option[(Int, String)] =
+    s.split(",", 2) match {
+      case Array(n, c) => n.trim.toIntOption.filter(_ > 0).map(_ -> c.trim)
+      case _ => None
+    }
+
   /** Stage df's rows as parquet files in the table's standard partition
     * layout; returns (relativePath, partitionValues, statsJson) per
     * written file. Stats are the protocol's data-skipping JSON
@@ -280,16 +289,56 @@ object DeltaWrite {
       mergeSchema: Boolean = false,
       txns: Seq[(String, Long)] = Nil): Long = {
     val exists = currentVersions(table).nonEmpty
+    // BUCKET LAYOUT (SURVEY §2 S8bk): `partitionBy = Seq("bucket(n, key)")`
+    // writes a storage-partitioned layout the zero-exchange routes can
+    // read — rows hash through the SAME engine-pinned Murmur3 the Iceberg
+    // bucket transform uses (so cross-format co-bucketed joins align),
+    // each file holds exactly one bucket (staged under a `__gb=<ordinal>`
+    // path prefix — the ordinal rides in the PATH, not the schema), and
+    // the table stamps `graft.bucketSpec = "n,key"`. Delta's metadata
+    // declares NO partition columns: the layout is a graft property, and
+    // stock readers see a plain unpartitioned table. An append to an
+    // already-bucketed table adopts the layout automatically (explicit
+    // spec must match), so INSERT/COPY INTO keep it; rewriting commits
+    // (delete/merge/optimize) drop the prefix and the layout probe then
+    // refuses — conservative, never wrong.
+    val BucketPat =
+      """(?i)^\s*bucket\s*\(\s*(\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*$""".r
+    var bucketSpec: Option[(Int, String)] = partitionBy match {
+      case Seq(BucketPat(n, c)) => Some((n.toInt, c))
+      case _ => None
+    }
+    if (bucketSpec.isEmpty && partitionBy.isEmpty && exists)
+      bucketSpec = DeltaRead.snapshotInfo(spark, table).configuration
+        .get(bucketSpecKey).flatMap(parseBucketSpec)
+    bucketSpec.foreach { case (_, key) =>
+      require(df.schema.fieldNames.contains(key),
+        s"bucket key '$key' missing from the appended frame")
+    }
+    val declaredParts = if (bucketSpec.isDefined) Nil else partitionBy
     var evolvedMeta: Option[String] = None
     // under column mapping the PARQUET FILES (and partition dirs / log
     // partitionValues) carry physical names — stage with them or the read
     // path mis-resolves renamed columns
     var stageDf = df
-    var stageParts = partitionBy
+    var stageParts = declaredParts
     if (exists) {
       val snap = DeltaRead.snapshotInfo(spark, table)
-      require(snap.partitionColumns == partitionBy,
+      require(snap.partitionColumns == declaredParts,
         s"append partitioning $partitionBy does not match table's ${snap.partitionColumns}")
+      bucketSpec.foreach { case (n, key) =>
+        require(snap.columnMappingMode == "none",
+          "bucketed append under column mapping is not supported (the " +
+            "bucket-local reader resolves by name)")
+        // an explicit spec on an existing table must match its stamped
+        // layout — a bucketed table is CREATED bucketed (retro-bucketing
+        // would leave old un-prefixed files the layout probe refuses)
+        if (partitionBy.nonEmpty)
+          require(snap.configuration.get(bucketSpecKey).flatMap(parseBucketSpec)
+            .exists { case (tn, tk) => tn == n && tk.equalsIgnoreCase(key) },
+            s"append bucket($n, $key) does not match the table's stamped " +
+              s"layout (${snap.configuration.getOrElse(bucketSpecKey, "none")})")
+      }
       val tableCols = snap.schema.fieldNames.toSet
       val newCols = df.schema.filterNot(f => tableCols.contains(f.name))
       if (!mergeSchema || newCols.isEmpty) {
@@ -323,24 +372,37 @@ object DeltaWrite {
         val merged = org.apache.spark.sql.types.StructType(
           snap.schema.fields.toSeq ++ newCols.map(f => f.copy(metadata =
             org.apache.spark.sql.types.Metadata.empty)))
-        evolvedMeta = Some(metaAction(merged, partitionBy,
+        evolvedMeta = Some(metaAction(merged, declaredParts,
           if (snap.metaId.nonEmpty) snap.metaId else newTableId(), snap.configuration))
       }
       if (snap.columnMappingMode == "name") {
         val phys = snap.schema.fieldNames.map(n => n -> snap.physicalName(n)).toMap
         stageDf = df.select(snap.schema.fieldNames.toSeq
           .map(n => col(n).as(phys(n))): _*)
-        stageParts = partitionBy.map(phys)
+        stageParts = declaredParts.map(phys)
       }
       enforceConstraints(snap, df)
     }
+    // bucketed staging: the ordinal column exists only during the write —
+    // partitionBy drops it from the file contents, the `__gb=k` path
+    // prefix carries it, and the add records plain (empty) partition values
+    bucketSpec.foreach { case (n, key) =>
+      val dt = df.schema(key).dataType
+      stageDf = stageDf.withColumn("__gb",
+        IcebergTransforms.Bucket(n, key).column(col(key), dt))
+      stageParts = Seq("__gb")
+    }
     val staged = stageFiles(stageDf, table, stageParts)
     val adds = staged.map { case (rel, values, stats) =>
-      addAction(pctEncodePath(rel), values, Files.size(Paths.get(table, rel)), stats = stats)
+      addAction(pctEncodePath(rel),
+        if (bucketSpec.isDefined) Map.empty[String, String] else values,
+        Files.size(Paths.get(table, rel)), stats = stats)
     }
     val header =
       if (exists) evolvedMeta.toSeq
-      else Seq(protocolAction, metaAction(df.schema, partitionBy, newTableId()))
+      else Seq(protocolAction, metaAction(df.schema, declaredParts, newTableId(),
+        bucketSpec.map(bs => Map(bucketSpecKey -> s"${bs._1},${bs._2}"))
+          .getOrElse(Map.empty)))
     val txnAction = (txn.toSeq ++ txns).map { case (appId, v) =>
       s"""{"txn":{"appId":${jsonStr(appId)},"version":$v,"lastUpdated":${System.currentTimeMillis()}}}"""
     }

@@ -1147,6 +1147,35 @@ object Lake {
     }
   }.toOption.flatten
 
+  /** Format-agnostic bucket-layout probe — the zero-exchange routes'
+    * entry: Iceberg spec `bucket[n]` partitioning ([[IcebergRead
+    * .bucketLayoutSized]]) or a Delta table our bucketed writer stamped
+    * ([[DeltaRead.bucketLayoutSized]]). Both hash through the SAME
+    * engine-pinned Murmur3, so cross-format co-bucketed joins align. */
+  def bucketLayoutSized(spark: SparkSession, path: String, key: String)
+      : Option[(Int, Map[Int, Seq[(String, Long)]])] =
+    detect(spark, path) match {
+      case Iceberg => IcebergRead.bucketLayoutSized(spark, path, key)
+      case Delta => DeltaRead.bucketLayoutSized(spark, path, key)
+      case Parquet => None
+    }
+
+  /** [[bucketLayoutSized]] without the sizes. */
+  def bucketLayout(spark: SparkSession, path: String, key: String)
+      : Option[(Int, Map[Int, Seq[String]])] =
+    bucketLayoutSized(spark, path, key).map { case (n, m) =>
+      (n, m.map { case (b, fs) => b -> fs.map(_._1) })
+    }
+
+  /** The schema the bucket-local (by-name) reader resolves against. */
+  def tableSchema(spark: SparkSession, path: String)
+      : org.apache.spark.sql.types.StructType =
+    detect(spark, path) match {
+      case Iceberg => IcebergRead.snapshot(spark, path).schema
+      case Delta => DeltaRead.snapshotInfo(spark, path).schema
+      case Parquet => spark.read.parquet(path).schema
+    }
+
   private[sources] def versionOf(spark: SparkSession, path: String): Long =
     detect(spark, path) match {
       case Delta => DeltaRead.snapshotInfo(spark, path).version

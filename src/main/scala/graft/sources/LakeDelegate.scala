@@ -563,7 +563,7 @@ private[sources] object LakeDelegate {
   /** Manifest bytes of one table's LARGEST bucket — the auto-routes' build/
     * map sizing input (cached layout replay, zero filesystem calls). */
   private def maxBucketBytes(spark: SparkSession, path: String, key: String): Long =
-    IcebergRead.bucketLayoutSized(spark, path, key)
+    bucketLayoutSized(spark, path, key)
       .map(_._2.values.map(_.map(_._2).sum).maxOption.getOrElse(0L))
       .getOrElse(0L)
 
@@ -585,7 +585,7 @@ private[sources] object LakeDelegate {
       nAggs: Int): Boolean = {
     val st = tableStats(spark, path).getOrElse(return true)
     if (st.version != versionOf(spark, path)) return true
-    val n = IcebergRead.bucketLayout(spark, path, key)
+    val n = bucketLayout(spark, path, key)
       .map(_._1).getOrElse(return true)
     val ndvs = groupCols.map(c => st.ndv.get(c).filter(_ > 0)
       .map(_.toDouble).getOrElse(return true))
@@ -639,7 +639,7 @@ private[sources] object LakeDelegate {
     if (refs.isEmpty) return None
     if (refs.exists(r => r.depth != 0 || r.version >= 0 || r.atMs >= 0 ||
       r.path.endsWith(".view.sql"))) return None
-    if (refs.exists(r => Lake.detect(spark, r.path) != Lake.Iceberg)) return None
+    if (refs.exists(r => Lake.detect(spark, r.path) == Lake.Parquet)) return None
     if (!statement.trim.toUpperCase(java.util.Locale.ROOT).startsWith("SELECT"))
       return None
     val sb = new java.lang.StringBuilder
@@ -705,11 +705,11 @@ private[sources] object LakeDelegate {
       }
     def relOf(p: LogicalPlan): Option[RRel] = p match {
       case u: UnresolvedRelation => placeholderIdx(u).map(i =>
-        RRel(i, refs(i), None, p, IcebergRead.snapshot(spark, refs(i).path).schema))
+        RRel(i, refs(i), None, p, tableSchema(spark, refs(i).path)))
       case s: SubqueryAlias => s.child match {
         case u: UnresolvedRelation => placeholderIdx(u).map(i =>
           RRel(i, refs(i), Some(s.alias), p,
-            IcebergRead.snapshot(spark, refs(i).path).schema))
+            tableSchema(spark, refs(i).path)))
         case _ => None
       }
       case _ => None

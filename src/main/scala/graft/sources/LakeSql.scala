@@ -379,14 +379,19 @@ private[sources] object LakeSql {
         // a transform spec (bucket(8, id), day(ts), truncate(4, s)) names
         // its SOURCE column; identity specs are the column itself. Hidden
         // transforms are the Iceberg spec's mechanism — Delta partitions
-        // by value only.
+        // by value only, EXCEPT bucket(n, col), which our Delta writer
+        // stamps as a graft layout (S8bk: `__gb=` path prefixes + the
+        // graft.bucketSpec property) so the zero-exchange routes fire on
+        // Delta too.
         parts.foreach { p =>
           val src = scala.util.Try(IcebergTransforms.parse(p).source).getOrElse(p)
           require(schema.fieldNames.contains(src),
             s"CREATE TABLE: partition source column '$src' not in the declared schema")
-          require(!p.contains("(") || format == "iceberg",
+          require(!p.contains("(") || format == "iceberg" ||
+            p.matches("(?i)^\\s*bucket\\s*\\(.*"),
             s"CREATE TABLE: transform partitioning '$p' is Iceberg-only " +
-              "(Delta partitions by column value)")
+              "(Delta partitions by column value; bucket(n, col) is the " +
+              "one supported Delta transform)")
         }
         val tp = new org.apache.hadoop.fs.Path(path)
         val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -118,10 +118,10 @@ class BucketingSpec extends SparkSpec {
           FROM bucket_join('$sqlRoot/a', '$sqlRoot/b', 'id')""").collect().head
     assert(viaDdl.getLong(0) === 500L)
     assert(viaDdl.getDouble(1) === (0L until 500L).map(i => i * 3.0).sum)
-    // transform partitioning is Iceberg-only in the DDL
+    // bucket(n, col) is the one Delta transform (S8bk); day() still refuses
     intercept[IllegalArgumentException](Lake.sql(spark,
-      s"""CREATE TABLE '$sqlRoot/d' (id BIGINT) USING delta
-          PARTITIONED BY (bucket(4, id))"""))
+      s"""CREATE TABLE '$sqlRoot/d' (id BIGINT, ts TIMESTAMP) USING delta
+          PARTITIONED BY (day(ts))"""))
 
     // guards: unequal n and deleted rows both refuse (fall back to shuffle)
     IcebergWrite.append(spark, customer, s"$root/cust4",
@@ -920,6 +920,102 @@ class BucketingSpec extends SparkSpec {
     // with the default budget the analyzed table routes again
     val again = Lake.sqlFrame(spark, aggStmt)
     assert(!again.queryExecution.executedPlan.toString.contains("HashAggregate"))
+  }
+
+  test("DELTA bucket layouts: same zero-exchange family, cross-format with Iceberg") {
+    import graft.operators.{BucketedAgg, BucketedJoin}
+    import graft.sources.{DeltaRead, DeltaWrite, IcebergWrite, Lake}
+    val root = java.nio.file.Files.createTempDirectory("graft_dbk").toString
+    val orders = Tables(spark, sf001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val customer = Tables(spark, sf001, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    // two appends per table: the second auto-adopts the stamped layout
+    DeltaWrite.append(spark, orders.where(col("o_orderkey") % 2 === 0),
+      s"$root/orders", partitionBy = Seq("bucket(8, o_custkey)"))
+    DeltaWrite.append(spark, orders.where(col("o_orderkey") % 2 === 1),
+      s"$root/orders")
+    DeltaWrite.append(spark, customer, s"$root/customer",
+      partitionBy = Seq("bucket(8, c_custkey)"))
+
+    // the stamped layout reads back; Delta-Delta SPJ is shuffle-free and
+    // exactly equal to the shuffled twin
+    assert(DeltaRead.bucketLayoutSized(spark, s"$root/orders", "o_custkey")
+      .exists(_._1 == 8))
+    assert(BucketedJoin.coBucketed(spark, s"$root/orders", s"$root/customer",
+      "o_custkey", "c_custkey"))
+    val joined = BucketedJoin.coBucketedJoin(spark, s"$root/orders",
+      s"$root/customer", "o_custkey", rightKey = "c_custkey")
+    assert(!joined.rdd.toDebugString.contains("ShuffledRDD"))
+    val twin = DeltaRead.snapshot(spark, s"$root/orders")
+      .join(DeltaRead.snapshot(spark, s"$root/customer"),
+        col("o_custkey") === col("c_custkey"))
+      .drop("c_custkey").select(joined.columns.map(col): _*)
+    assert(joined.count() === twin.count() && joined.count() > 0)
+    assert(joined.exceptAll(twin).isEmpty && twin.exceptAll(joined).isEmpty)
+
+    // CROSS-FORMAT: an Iceberg fact co-buckets with a Delta dimension —
+    // both hash through the same engine-pinned Murmur3
+    IcebergWrite.append(spark, orders, s"$root/orders_ice",
+      partitionBy = Seq("bucket(8, o_custkey)"))
+    assert(BucketedJoin.coBucketed(spark, s"$root/orders_ice",
+      s"$root/customer", "o_custkey", "c_custkey"))
+    val xfmt = BucketedJoin.coBucketedJoin(spark, s"$root/orders_ice",
+      s"$root/customer", "o_custkey", rightKey = "c_custkey")
+    assert(!xfmt.rdd.toDebugString.contains("ShuffledRDD"))
+    val xTwin = Lake.read(spark, s"$root/orders_ice")
+      .join(DeltaRead.snapshot(spark, s"$root/customer"),
+        col("o_custkey") === col("c_custkey"))
+      .drop("c_custkey").select(xfmt.columns.map(col): _*)
+    assert(xfmt.count() === xTwin.count())
+    assert(xfmt.exceptAll(xTwin).isEmpty && xTwin.exceptAll(xfmt).isEmpty)
+
+    // plain SQL auto-routes over Delta tables: SPJ and the bucket-key
+    // GROUP BY both plan exchange-free
+    val stmt = s"""SELECT c.c_mktsegment, count(*) AS cnt,
+        round(sum(o.o_totalprice), 2) AS revenue
+      FROM '$root/orders' o JOIN '$root/customer' c ON o.o_custkey = c.c_custkey
+      WHERE o.o_totalprice > 1000.0
+      GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"""
+    val routed = Lake.sqlFrame(spark, stmt)
+    assert(!routed.queryExecution.executedPlan.toString.contains("Join"))
+    val sTwin = DeltaRead.snapshot(spark, s"$root/orders")
+      .where(col("o_totalprice") > 1000.0)
+      .join(DeltaRead.snapshot(spark, s"$root/customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+    assert(routed.collect().toSeq === sTwin.collect().toSeq)
+    val agg = Lake.sqlFrame(spark,
+      s"""SELECT o_custkey, count(*) AS cnt FROM '$root/orders'
+          GROUP BY o_custkey ORDER BY o_custkey LIMIT 10""")
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(aggPlan.contains("ExistingRDD") && !aggPlan.contains("HashAggregate"),
+      aggPlan.take(1500))
+    assert(agg.count() === 10)
+    assert(BucketedAgg.canAggLocally(spark, s"$root/orders", "o_custkey",
+      Seq("o_custkey")))
+
+    // DDL + INSERT keep the layout (INSERT auto-adopts via the property)
+    Lake.sql(spark, s"""CREATE TABLE '$root/ddl' (id BIGINT, v DOUBLE)
+        USING delta PARTITIONED BY (bucket(4, id))""")
+    Lake.sql(spark, s"INSERT INTO '$root/ddl' SELECT id, id * 1.0 AS v FROM range(100)")
+    assert(DeltaRead.bucketLayoutSized(spark, s"$root/ddl", "id").exists(_._1 == 4))
+
+    // a REWRITING commit (delete) drops the prefix on its staged files —
+    // the layout refuses and callers fall back to the shuffled plan
+    DeltaWrite.deleteWhere(spark, s"$root/customer", col("c_custkey") === 1L)
+    assert(DeltaRead.bucketLayoutSized(spark, s"$root/customer", "c_custkey").isEmpty)
+    assert(!BucketedJoin.coBucketed(spark, s"$root/orders", s"$root/customer",
+      "o_custkey", "c_custkey"))
+    val fb = Lake.sqlFrame(spark, stmt)
+    assert(fb.queryExecution.executedPlan.toString.contains("Join"))
+    assert(fb.collect().length === sTwin.collect().length)
+
+    // a mismatched explicit spec on an existing bucketed table refuses
+    intercept[IllegalArgumentException](DeltaWrite.append(spark, orders,
+      s"$root/orders", partitionBy = Seq("bucket(4, o_custkey)")))
   }
 
   test("a RENAMED column refuses the bucket layout (name-read would null it)") {
