@@ -197,7 +197,8 @@ object BucketedAgg {
         java.util.Arrays.sort(recs,
           (a: Array[Byte], b: Array[Byte]) =>
             java.util.Arrays.compareUnsigned(a, b))
-        val f = java.io.File.createTempFile("graft_bdist_spill", ".run")
+        val f = java.io.File.createTempFile("graft_bdist_spill", ".run",
+          Bridge.localSpillDir())
         spills += f
         val dos = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
           new java.io.FileOutputStream(f), 1 << 16))
@@ -462,13 +463,20 @@ object BucketedAgg {
         var i = 0
         while (es.hasNext) {
           val e = es.next()
-          recs(i) = (e.getKey.getBytes, bufferSer(e.getValue).getBytes)
+          // copy() before getBytes: for an ALL-FIXED-WIDTH buffer schema
+          // the projection's UnsafeRow backing array length equals
+          // sizeInBytes, so getBytes returns the SHARED live array — every
+          // record of the run would alias the last group's buffer (silent
+          // wrong partials). The map keys were copied at insert (own
+          // arrays), so their getBytes is safe.
+          recs(i) = (e.getKey.getBytes, bufferSer(e.getValue).copy().getBytes)
           i += 1
         }
         java.util.Arrays.sort(recs,
           (a: (Array[Byte], Array[Byte]), b: (Array[Byte], Array[Byte])) =>
             java.util.Arrays.compareUnsigned(a._1, b._1))
-        val f = java.io.File.createTempFile("graft_bagg_spill", ".run")
+        val f = java.io.File.createTempFile("graft_bagg_spill", ".run",
+          Bridge.localSpillDir())
         spills += f
         val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
           new java.io.FileOutputStream(f), 1 << 16))

@@ -306,7 +306,14 @@ object DeltaWrite {
       """(?i)^\s*bucket\s*\(\s*(\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*$""".r
     var bucketSpec: Option[(Int, String)] = partitionBy match {
       case Seq(BucketPat(n, c)) => Some((n.toInt, c))
-      case _ => None
+      case _ =>
+        // a bucket transform mixed with identity partitioning has no
+        // staged layout here — refuse loudly instead of letting the
+        // stager fail on a "column" named bucket(8, k)
+        require(!partitionBy.exists(p => BucketPat.findFirstIn(p).isDefined),
+          s"Delta bucket layout must be the SOLE partition spec, got " +
+            s"${partitionBy.mkString(", ")}")
+        None
     }
     if (bucketSpec.isEmpty && partitionBy.isEmpty && exists)
       bucketSpec = DeltaRead.snapshotInfo(spark, table).configuration
@@ -385,11 +392,19 @@ object DeltaWrite {
     }
     // bucketed staging: the ordinal column exists only during the write —
     // partitionBy drops it from the file contents, the `__gb=k` path
-    // prefix carries it, and the add records plain (empty) partition values
+    // prefix carries it, and the add records plain (empty) partition
+    // values. NULL keys land deterministically in ordinal 0 rather than
+    // a null partition value (which would stage an un-decodable
+    // `__HIVE_DEFAULT_PARTITION__` dir and silently brick the layout):
+    // sound for every zero-exchange consumer — the join drops null keys
+    // on both sides (SQL equality), and agg/DISTINCT only need the null
+    // GROUP confined to one bucket, which a constant ordinal guarantees.
     bucketSpec.foreach { case (n, key) =>
       val dt = df.schema(key).dataType
       stageDf = stageDf.withColumn("__gb",
-        IcebergTransforms.Bucket(n, key).column(col(key), dt))
+        org.apache.spark.sql.functions.coalesce(
+          IcebergTransforms.Bucket(n, key).column(col(key), dt),
+          org.apache.spark.sql.functions.lit(0)))
       stageParts = Seq("__gb")
     }
     val staged = stageFiles(stageDf, table, stageParts)

@@ -582,7 +582,7 @@ private[sources] object LakeDelegate {
     * not. */
   private def aggRouteFits(spark: SparkSession, path: String, key: String,
       schema: org.apache.spark.sql.types.StructType, groupCols: Seq[String],
-      nAggs: Int): Boolean = {
+      nAggs: Int, distinctArgs: Seq[Option[Seq[String]]] = Nil): Boolean = {
     val st = tableStats(spark, path).getOrElse(return true)
     if (st.version != versionOf(spark, path)) return true
     val n = bucketLayout(spark, path, key)
@@ -593,7 +593,24 @@ private[sources] object LakeDelegate {
     val groupWidth = groupCols.map(c =>
       scala.util.Try(schema(c).dataType.defaultSize.toLong).getOrElse(16L)).sum
     val perGroup = groupWidth + 32L * nAggs + 64L // buffers + map overhead
-    groups / n * perGroup <=
+    // DISTINCT aggregates additionally hold a (group key, args) seen-set
+    // per partition WITHOUT a spill path — model it: pairs bound by
+    // min(rows, groups × Π ndv(arg)); a non-column argument (or one the
+    // stats cannot judge) bounds at rows, the true worst case.
+    val seenBytes = distinctArgs.map { args =>
+      val pairs = args match {
+        case Some(cols) if cols.nonEmpty &&
+            cols.forall(c => st.ndv.get(c).exists(_ > 0)) =>
+          math.min(st.rows.toDouble,
+            groups * cols.map(c => st.ndv(c).toDouble).product)
+        case _ => st.rows.toDouble
+      }
+      val argWidth = args.getOrElse(Nil).map(c =>
+        scala.util.Try(schema(c).dataType.defaultSize.toLong).getOrElse(16L))
+        .sum max 16L
+      pairs / n * (groupWidth + argWidth + 64L)
+    }.sum
+    groups / n * perGroup + seenBytes <=
       budgetBytes(spark, "graft.route.aggBudgetBytes", 1L << 30)
   }
 
@@ -639,7 +656,12 @@ private[sources] object LakeDelegate {
     if (refs.isEmpty) return None
     if (refs.exists(r => r.depth != 0 || r.version >= 0 || r.atMs >= 0 ||
       r.path.endsWith(".view.sql"))) return None
-    if (refs.exists(r => Lake.detect(spark, r.path) == Lake.Parquet)) return None
+    // a SINGLE parquet ref can never route (no bucket layout) — skip the
+    // parse outright; in a multi-table chain parquet dims are fine (only
+    // the co-bucketed PAIR needs a layout; dims re-join the SPJ view like
+    // any other scan)
+    if (refs.length == 1 &&
+      Lake.detect(spark, refs.head.path) == Lake.Parquet) return None
     if (!statement.trim.toUpperCase(java.util.Locale.ROOT).startsWith("SELECT"))
       return None
     val sb = new java.lang.StringBuilder
@@ -799,11 +821,12 @@ private[sources] object LakeDelegate {
         outItems: Seq[NamedExpression],
         havingCond: Option[Expression],
         whereCol: Option[org.apache.spark.sql.Column],
-        nAggs: Int): Option[DataFrame] = {
+        nAggs: Int,
+        distinctArgs: Seq[Option[Seq[String]]]): Option[DataFrame] = {
       val key = groupCols.find(c => graft.operators.BucketedAgg
         .canAggLocally(spark, rel.ref.path, c, groupCols)).getOrElse(return None)
-      if (!aggRouteFits(spark, rel.ref.path, key, rel.schema, groupCols, nAggs))
-        return None
+      if (!aggRouteFits(spark, rel.ref.path, key, rel.schema, groupCols,
+        nAggs, distinctArgs)) return None
       val view = "graft_bagg_" + md5short(statement)
       val routed =
         if (aggList.isEmpty)
@@ -842,6 +865,18 @@ private[sources] object LakeDelegate {
       var nAggs = 0
       var bodyAlias = Map.empty[String, String] // stripped body text -> out name
       val outItemsB = Seq.newBuilder[NamedExpression]
+      // DISTINCT aggregate arguments (plain columns, or None when the
+      // stats cannot judge them) — the memory gate models their seen-sets
+      val distinctArgsB = Seq.newBuilder[Option[Seq[String]]]
+      def noteDistinct(body: Expression): Unit = body.foreach {
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+            if f.isDistinct =>
+          val cols = f.arguments.map(plainCol)
+          distinctArgsB +=
+            (if (cols.nonEmpty && cols.forall(_.isDefined)) Some(cols.flatten)
+             else None)
+        case _ =>
+      }
       a.aggregateExpressions.foreach {
         case at: UnresolvedAttribute =>
           val g = plainCol(at).getOrElse(return None)
@@ -857,6 +892,7 @@ private[sources] object LakeDelegate {
               if (!colsOnly(body) || !body.deterministic) return None
               aggColsB += Bridge.column(body).as(al.name)
               nAggs += 1
+              noteDistinct(body)
               bodyAlias += body.toString -> al.name
               outItemsB += UnresolvedAttribute(Seq(al.name))
           }
@@ -879,6 +915,7 @@ private[sources] object LakeDelegate {
               hv += 1
               aggColsB += Bridge.column(body).as(out)
               nAggs += 1
+              noteDistinct(body)
               bodyAlias += body.toString -> out
               UnresolvedAttribute(Seq(out))
           }
@@ -887,7 +924,7 @@ private[sources] object LakeDelegate {
       val havingCond = having.map(c => replFn(strip(c)))
       val whereCol = whereColOf(whereOpt)
       run(target, groupCols, aggColsB.result(), outItemsB.result(),
-        havingCond, whereCol, nAggs)
+        havingCond, whereCol, nAggs, distinctArgsB.result())
     }
     aggNode match {
       case h @ UnresolvedHaving(cond, a: Aggregate) => buildAgg(a, Some(cond), h)
@@ -915,7 +952,7 @@ private[sources] object LakeDelegate {
           }
           val whereCol = whereColOf(whereOpt)
           run(d, groupColsB.result().distinct, Nil, outItemsB.result(),
-            None, whereCol, 0)
+            None, whereCol, 0, Nil)
         case _ => None
       }
       case _ => None

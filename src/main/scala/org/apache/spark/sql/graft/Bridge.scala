@@ -90,6 +90,17 @@ object Bridge {
       : org.apache.spark.sql.catalyst.expressions.MutableProjection =
     org.apache.spark.sql.catalyst.expressions.MutableProjection.create(exprs, Nil)
 
+  /** A Spark-configured local scratch directory for task-side spill files
+    * — `spark.local.dir`/YARN dirs via Spark's own resolution, never bare
+    * `java.io.tmpdir` (which may be a small root partition or a
+    * RAM-backed tmpfs, defeating the point of spilling). Executor-side. */
+  def localSpillDir(): java.io.File = {
+    val dir = new java.io.File(
+      org.apache.spark.util.Utils.getLocalDir(org.apache.spark.SparkEnv.get.conf))
+    dir.mkdirs()
+    dir
+  }
+
   /** Wrap an InternalRow RDD as a DataFrame without the Row codec —
     * the inverse of [[toInternalRdd]]. The rows may be reused objects
     * (standard source contract: consumers copy when buffering). */

@@ -831,6 +831,23 @@ class BucketingSpec extends SparkSpec {
       FROM '$root/orders' o JOIN '$root/customer' c ON o.o_custkey = c.c_custkey
         JOIN '$root/nation' n ON n.n_nationkey >= 0""")
     assert(cross.collect().head.getLong(0) > 0)
+
+    // a plain-PARQUET dimension doesn't forfeit the route: only the pair
+    // needs a bucket layout, the parquet dim re-joins the SPJ view
+    Tables(spark, sf001, "nation").select(col("n_nationkey"), col("n_name"))
+      .write.mode("overwrite").parquet(s"$root/nation_pq")
+    val stmtPq = s"""SELECT n.n_name, count(*) AS cnt,
+        round(sum(o.o_totalprice), 2) AS rev
+      FROM '$root/orders' o JOIN '$root/customer' c ON o.o_custkey = c.c_custkey
+        JOIN '$root/nation_pq' n ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_totalprice > 1000.0
+      GROUP BY n.n_name ORDER BY n.n_name"""
+    val routedPq = Lake.sqlFrame(spark, stmtPq)
+    val planPq = routedPq.queryExecution.executedPlan.toString
+    assert(planPq.contains("ExistingRDD"), planPq.take(1500))
+    assert(!planPq.contains("SortMergeJoin") && !planPq.contains("ShuffledHashJoin"),
+      planPq.take(2500))
+    assert(routedPq.collect().toSeq === twin.collect().toSeq)
   }
 
   test("zero-exchange routes: forced spill stays exact; memory gates refuse to the shuffled plan") {
@@ -877,6 +894,18 @@ class BucketingSpec extends SparkSpec {
         assert(a.getString(4) === b.getString(4))
         assert(math.abs(a.getDouble(5) - b.getDouble(5)) < 1e-9)
       }
+      // ALL-FIXED-WIDTH buffers (longs only): spilled records must not
+      // alias the serializer's shared backing array — pre-fix every record
+      // of a run silently held the LAST group's partials (var-length
+      // buffers masked it because their getBytes copies)
+      val fixedSpill = BucketedAgg.bucketLocalAgg(spark, s"$root/t",
+        "o_custkey", Seq("o_custkey"),
+        Seq(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("s")))
+      val fixedTwin = IcebergRead.snapshot(spark, s"$root/t")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("s"))
+      assert(fixedSpill.exceptAll(fixedTwin).isEmpty &&
+        fixedTwin.exceptAll(fixedSpill).isEmpty)
       // distinct's flush-and-merge dedups across runs exactly
       val dSpilled = BucketedAgg.bucketLocalDistinct(spark, s"$root/t",
         "o_custkey", Seq("o_custkey", "o_orderpriority"))
@@ -1016,6 +1045,26 @@ class BucketingSpec extends SparkSpec {
     // a mismatched explicit spec on an existing bucketed table refuses
     intercept[IllegalArgumentException](DeltaWrite.append(spark, orders,
       s"$root/orders", partitionBy = Seq("bucket(4, o_custkey)")))
+
+    // NULL bucket keys land in ordinal 0 — the layout survives (pre-fix a
+    // single null row staged an undecodable dir and silently bricked it);
+    // agg/DISTINCT keep the null group exact, joins drop nulls anyway
+    val withNull = orders.limit(20).withColumn("o_custkey",
+      when(col("o_orderkey") % 2 === 0, col("o_custkey")))
+    DeltaWrite.append(spark, withNull, s"$root/nulls",
+      partitionBy = Seq("bucket(8, o_custkey)"))
+    assert(DeltaRead.bucketLayoutSized(spark, s"$root/nulls", "o_custkey").isDefined)
+    val nd = BucketedAgg.bucketLocalDistinct(spark, s"$root/nulls",
+      "o_custkey", Seq("o_custkey"))
+    val ndTwin = DeltaRead.snapshot(spark, s"$root/nulls")
+      .select(col("o_custkey")).distinct()
+    assert(!nd.rdd.toDebugString.contains("ShuffledRDD"))
+    assert(nd.count() === ndTwin.count()) // the null group included, once
+
+    // mixed bucket + identity partitioning refuses loudly (pre-fix it
+    // crashed downstream on a "column" named bucket(8, k))
+    intercept[IllegalArgumentException](DeltaWrite.append(spark, orders,
+      s"$root/mixed", partitionBy = Seq("bucket(8, o_custkey)", "o_orderkey")))
   }
 
   test("a RENAMED column refuses the bucket layout (name-read would null it)") {
