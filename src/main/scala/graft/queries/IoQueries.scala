@@ -1984,6 +1984,37 @@ object IoQueries {
       WHERE o_totalprice > 1000.0 AND c_acctbal > 0.0
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** CORPUS DEDUP ACCOUNTING through the zero-exchange route (SURVEY §2
+    * S9bcd over the LLM surface): documents land — with duplicates across
+    * two appends — in a `bucket(8, source)` Iceberg table, and the
+    * standard curation rollup `count(*) vs count(DISTINCT md5(text)) per
+    * source` runs bucket-locally from plain SQL: zero exchanges, where
+    * Spark's exact distinct pays Expand + two shuffles of ~the whole
+    * corpus. The distinct argument is an EXPRESSION (the fingerprint),
+    * exercising the seen-set's bound arbitrary children. Oracle = the
+    * DuckDB distinct-md5 rollup over the same doubled rows. */
+  val tbucketDedupRollup = GQuery(
+    "t113_bucket_dedup_rollup",
+    (s, dir) => {
+      val root = tmp("graft_t113_q")
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      graft.sources.IcebergWrite.append(s, docs, s"$root/t",
+        partitionBy = Seq("bucket(8, source)"))
+      graft.sources.IcebergWrite.append(s,
+        docs.where(col("doc_id") % 5 === 0), s"$root/t",
+        partitionBy = Seq("bucket(8, source)"))
+      graft.sources.Lake.sqlFrame(s,
+        s"""SELECT source, count(*) AS total,
+              count(DISTINCT md5(text)) AS uniq
+            FROM '$root/t' GROUP BY source ORDER BY source""")
+    },
+    Some("""SELECT source, count(*) AS total,
+        count(DISTINCT md5(text)) AS uniq
+      FROM (SELECT * FROM documents
+            UNION ALL SELECT * FROM documents WHERE doc_id % 5 = 0)
+      GROUP BY source ORDER BY source"""))
+
   /** Catalog VIEWs end-to-end (Lake.sql CREATE VIEW → bare-name
     * expansion): events land in a Delta table under a catalog directory,
     * a VIEW stores the per-type rollup, a second VIEW filters the first,
@@ -2363,7 +2394,7 @@ object IoQueries {
       tdeltaDv, tdeltaUpsert, ticebergPart, ticebergHiddenPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tlakeReplaceWhere, tlakeSqlDml,
       tlakeSqlMaintenance, tlakeSqlSelect, tlakeSqlAgg, tlakeSqlAlterAdd, tlakeTpchSql,
-      tlakeSqlWindow, tlakeCreateTable, tlakeUseCatalog, tlakeMergeFull, tlakeMergeNullCond, tlakeMergeEvolve, tlakeMergeRenamed, tbucketJoin, tspjAuto, tbucketAgg, tbucketAggSql, tspjAggFused, tbucketDistinct, tspjNatural, tspjThreeTable, tbucketCountDistinct, tbucketHaving, tdeltaBucketJoin, tlakeViews,
+      tlakeSqlWindow, tlakeCreateTable, tlakeUseCatalog, tlakeMergeFull, tlakeMergeNullCond, tlakeMergeEvolve, tlakeMergeRenamed, tbucketJoin, tspjAuto, tbucketAgg, tbucketAggSql, tspjAggFused, tbucketDistinct, tspjNatural, tspjThreeTable, tbucketCountDistinct, tbucketHaving, tdeltaBucketJoin, tbucketDedupRollup, tlakeViews,
       tcdcApply, tlakeSync, tlakeClone,
       tlakeRestore, tlakeRename, tlakeUniform, tlakeUniformRev, tlakeConvert)
 }

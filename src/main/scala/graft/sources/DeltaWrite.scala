@@ -681,10 +681,28 @@ object DeltaWrite {
       // ZORDER is an explicit full re-layout (every in-scope file
       // re-clusters) — deliberately NOT idempotent: the caller asked for a
       // rewrite.
+      // a graft-bucketed table (S8bk) compacts PER BUCKET and re-stages
+      // under the `__gb=` prefixes, so maintenance preserves the
+      // zero-exchange layout instead of silently bricking it; the ordinal
+      // is recomputed from the DATA, so even stray un-prefixed small
+      // files re-enter the layout
+      val bucketSpec =
+        if (zorderBy.nonEmpty || snap.partitionColumns.nonEmpty ||
+          snap.columnMappingMode != "none") None
+        else snap.configuration.get(bucketSpecKey).flatMap(parseBucketSpec)
+          .filter { case (_, k) => snap.schema.fieldNames.contains(k) }
+      def bucketDirOf(p: String): String = {
+        val segs = DeltaRead.pctDecode(p).split('/')
+        if (segs.length >= 2 && segs(segs.length - 2).startsWith("__gb="))
+          segs(segs.length - 2)
+        else ""
+      }
       val scoped = snap.files.filter(inScope)
       val candidates =
         if (zorderBy.nonEmpty) scoped
-        else scoped.groupBy(_.partitionValues).values.flatMap { fs =>
+        else scoped.groupBy(f =>
+          if (bucketSpec.isDefined) Map("__gb" -> bucketDirOf(f.path))
+          else f.partitionValues).values.flatMap { fs =>
           val small = fs.filter(f => f.size < smallFileBytes || f.dv.isDefined)
           if (small.size >= 2 || small.exists(_.dv.isDefined)) small else Nil
         }.toSeq
@@ -701,13 +719,27 @@ object DeltaWrite {
           graft.operators.Layout.hilbertCluster(df, zorderBy, nOut,
             bits = math.min(12, 62 / zorderBy.length))
         else if (zorderBy.nonEmpty) graft.operators.Layout.zcluster(df, zorderBy, nOut)
+        else if (bucketSpec.isDefined) {
+          // recompute the ordinal and bring each bucket's rewritten rows
+          // into one task — one compacted file per (task, bucket)
+          val (n, key) = bucketSpec.get
+          val dt = snap.schema(key).dataType
+          df.withColumn("__gb", org.apache.spark.sql.functions.coalesce(
+            IcebergTransforms.Bucket(n, key).column(fcol(key), dt),
+            org.apache.spark.sql.functions.lit(0)))
+            .repartition(math.max(1, math.min(nOut, n)), fcol("__gb"))
+        }
         else if (snap.partitionColumns.nonEmpty)
           df.repartition(nOut, snap.partitionColumns.map(fcol): _*)
         else df.repartition(nOut)
-      val (sPacked, sParts) = toPhysical(snap, packed)
+      val (sPacked, sParts) =
+        if (bucketSpec.isDefined) (packed, Seq("__gb")) // mapping is none
+        else toPhysical(snap, packed)
       val staged = stageFiles(sPacked, table, sParts)
       val adds = staged.map { case (rel, values, stats) =>
-        addAction(pctEncodePath(rel), values, Files.size(Paths.get(table, rel)),
+        addAction(pctEncodePath(rel),
+          if (bucketSpec.isDefined) Map.empty[String, String] else values,
+          Files.size(Paths.get(table, rel)),
           dataChange = false, stats = stats)
       }
       val removes = candidates.map { f =>

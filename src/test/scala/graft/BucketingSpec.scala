@@ -1032,6 +1032,20 @@ class BucketingSpec extends SparkSpec {
     Lake.sql(spark, s"INSERT INTO '$root/ddl' SELECT id, id * 1.0 AS v FROM range(100)")
     assert(DeltaRead.bucketLayoutSized(spark, s"$root/ddl", "id").exists(_._1 == 4))
 
+    // OPTIMIZE preserves the layout: per-bucket compaction re-stages the
+    // merged files under fresh __gb= prefixes (two appends → ≥2 small
+    // files per bucket → every bucket compacts), routes keep firing
+    val preCompactFiles = DeltaRead.bucketLayoutSized(spark, s"$root/orders",
+      "o_custkey").get._2.values.map(_.length).sum
+    DeltaWrite.compact(spark, s"$root/orders")
+    val postLayout = DeltaRead.bucketLayoutSized(spark, s"$root/orders", "o_custkey")
+    assert(postLayout.exists(_._1 == 8), "compaction must keep the bucket layout")
+    assert(postLayout.get._2.values.map(_.length).sum < preCompactFiles,
+      "compaction must actually merge files")
+    val postCompact = Lake.sqlFrame(spark, stmt)
+    assert(!postCompact.queryExecution.executedPlan.toString.contains("Join"))
+    assert(postCompact.collect().toSeq === sTwin.collect().toSeq)
+
     // a REWRITING commit (delete) drops the prefix on its staged files —
     // the layout refuses and callers fall back to the shuffled plan
     DeltaWrite.deleteWhere(spark, s"$root/customer", col("c_custkey") === 1L)
