@@ -1198,9 +1198,10 @@ private[sources] object LakeDelegate {
     * never span partitions and the COMPLETE per-partition aggregation
     * ([[graft.operators.BucketedAgg.localAgg]] — spill-capable) emits
     * final rows; a WHERE between the grouping and the join applies as a
-    * narrow filter first. Any gate miss returns None and the caller runs
-    * the unfused plan (join still shuffle-free; only the rollup pays its
-    * exchange). HAVING does not fuse — the unfused fallback handles it. */
+    * narrow filter first; a HAVING filters the COMPLETE fused rollup
+    * (absent aggregates as hidden __hvN columns, like the single-table
+    * route). Any gate miss returns None and the caller runs the unfused
+    * plan (join still shuffle-free; only the rollup pays its exchange). */
   private def fusePlan(spark: SparkSession, buildJoin: () => DataFrame,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       viewRel: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
@@ -1209,16 +1210,22 @@ private[sources] object LakeDelegate {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, NamedExpression}
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
     import org.apache.spark.sql.graft.Bridge
-    if (plan.collectFirst { case h: UnresolvedHaving => h }.isDefined) return None
+    // the fused shape: [UnresolvedHaving]? Aggregate([Filter]? viewRel) —
+    // a HAVING becomes a filter over the COMPLETE per-partition rollup,
+    // exactly like the single-table route (absent aggregates as __hvN)
     var target: Option[Aggregate] = None
+    var havingNode: Option[UnresolvedHaving] = None
     var whereCond: Option[Expression] = None
+    def inspect(a: Aggregate, h: Option[UnresolvedHaving]): Unit = a.child match {
+      case f: Filter if f.child eq viewRel =>
+        target = Some(a); havingNode = h; whereCond = Some(f.condition)
+      case c if c eq viewRel => target = Some(a); havingNode = h
+      case _ =>
+    }
     plan.foreach {
-      case a: Aggregate => a.child match {
-        case f: Filter if f.child eq viewRel =>
-          target = Some(a); whereCond = Some(f.condition)
-        case c if c eq viewRel => target = Some(a)
-        case _ =>
-      }
+      case h @ UnresolvedHaving(_, a2: Aggregate) => inspect(a2, Some(h))
+      case a2: Aggregate if !havingNode.exists(_.child eq a2) =>
+        inspect(a2, None)
       case _ =>
     }
     val a = target.getOrElse(return None)
@@ -1239,6 +1246,7 @@ private[sources] object LakeDelegate {
     if (!groupCols.contains(key)) return None
     val aggColsB = Seq.newBuilder[org.apache.spark.sql.Column]
     val outItemsB = Seq.newBuilder[NamedExpression]
+    var bodyAlias = Map.empty[String, String]
     a.aggregateExpressions.foreach {
       case at: UnresolvedAttribute =>
         val g = plainCol(at).getOrElse(return None)
@@ -1252,10 +1260,31 @@ private[sources] object LakeDelegate {
           case None =>
             if (!colsOnly(al.child) || !al.child.deterministic) return None
             aggColsB += Bridge.column(al.child).as(al.name)
+            bodyAlias += al.child.toString -> al.name
             outItemsB += UnresolvedAttribute(Seq(al.name))
         }
       case _ => return None
     }
+    // HAVING aggregate subtrees: reuse a select alias when structurally
+    // identical, else compute as hidden __hvN columns filtered then
+    // dropped by the Project above
+    var hv = 0
+    def replFn(e: Expression): Expression = e match {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        bodyAlias.get(f.toString) match {
+          case Some(out) => UnresolvedAttribute(Seq(out))
+          case None =>
+            if (!colsOnly(f) || !f.deterministic)
+              throw new IllegalArgumentException("non-fusable HAVING")
+            val out = s"__hv$hv"
+            hv += 1
+            aggColsB += Bridge.column(f).as(out)
+            bodyAlias += f.toString -> out
+            UnresolvedAttribute(Seq(out))
+        }
+      case other => other.mapChildren(replFn)
+    }
+    val havingCond = havingNode.map(h => replFn(h.havingCondition))
     val aggList = aggColsB.result()
     if (aggList.isEmpty) return None
     val input = whereCond match {
@@ -1267,8 +1296,11 @@ private[sources] object LakeDelegate {
     val view2 = "graft_spjagg_" + md5short(plan.toString)
     graft.operators.BucketedAgg.localAgg(spark, input, groupCols, aggList)
       .createOrReplaceTempView(view2)
-    val newSub = Project(outItemsB.result(), UnresolvedRelation(Seq(view2)))
-    val newPlan = plan.transformDown { case n if n eq a => newSub }
+    val rel2 = UnresolvedRelation(Seq(view2))
+    val newSub = Project(outItemsB.result(),
+      havingCond.map(Filter(_, rel2)).getOrElse(rel2))
+    val replaceAt: LogicalPlan = havingNode.getOrElse(a)
+    val newPlan = plan.transformDown { case n if n eq replaceAt => newSub }
     try Some(Bridge.ofRows(spark, newPlan))
     catch { case scala.util.control.NonFatal(_) =>
       scala.util.Try(spark.catalog.dropTempView(view2)); None

@@ -519,6 +519,25 @@ class BucketingSpec extends SparkSpec {
         s"${a.getDouble(2)} vs ${b.getDouble(2)}")
     }
 
+    // HAVING fuses too: the per-partition rollup is COMPLETE, so the
+    // HAVING — even over an aggregate absent from the select list — is a
+    // filter over the fused view; still neither a join nor a HashAggregate
+    val havStmt = s"""SELECT o.o_custkey, count(*) AS cnt
+      FROM '$root/orders' o JOIN '$root/customer' c ON o.o_custkey = c.o_custkey
+      GROUP BY o.o_custkey HAVING sum(o.o_totalprice) > 200000.0
+      ORDER BY o.o_custkey"""
+    val havFused = Lake.sqlFrame(spark, havStmt)
+    val havPlan = havFused.queryExecution.executedPlan.toString
+    assert(havPlan.contains("ExistingRDD") && !havPlan.contains("HashAggregate") &&
+      !havPlan.contains("Join"), havPlan.take(2000))
+    val havTwin = IcebergRead.snapshot(spark, s"$root/orders")
+      .join(IcebergRead.snapshot(spark, s"$root/customer"), "o_custkey")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("__s"))
+      .where(col("__s") > 200000.0).drop("__s")
+      .orderBy(col("o_custkey"))
+    assert(havFused.collect().toSeq === havTwin.collect().toSeq)
+
     // GROUP BY a NON-key column: the join stays routed, the rollup falls
     // back to the ordinary (shuffled) aggregation — still correct
     val nonKey = Lake.sqlFrame(spark, s"""SELECT c.c_mktsegment, count(*) AS cnt
