@@ -70,7 +70,7 @@ object BucketedAgg {
   def canAggLocally(spark: SparkSession, table: String, key: String,
       groupCols: Seq[String]): Boolean =
     groupCols.contains(key) &&
-      graft.sources.Lake.bucketLayout(spark, table, key).isDefined
+      graft.sources.Lake.bucketLayoutMoR(spark, table, key).isDefined
 
   def bucketLocalAgg(spark: SparkSession, table: String, key: String,
       groupCols: Seq[String], aggs: Seq[Column],
@@ -84,15 +84,20 @@ object BucketedAgg {
     require(groupCols.contains(key),
       s"bucketLocalAgg: groupCols must include the bucket key '$key' — " +
         "other groupings spread a group across buckets (use the shuffled groupBy)")
-    val (n, buckets) = graft.sources.Lake.bucketLayout(spark, table, key).getOrElse(
-      throw new IllegalArgumentException(
-        s"bucketLocalAgg: $table is not cleanly bucket(n, $key)-partitioned " +
-          "— use the shuffled groupBy instead"))
+    val (n, buckets0, deletes) =
+      graft.sources.Lake.bucketLayoutMoR(spark, table, key).getOrElse(
+        throw new IllegalArgumentException(
+          s"bucketLocalAgg: $table is not cleanly bucket(n, $key)-partitioned " +
+            "— use the shuffled groupBy instead"))
+    // file-stats pruning from the pushed WHERE, like the join's sides
+    val buckets = BucketedJoin.pruneLayout(spark, table, where, buckets0)
+      .map { case (b, fs) => b -> fs.map(_._1) }
     val schema = StructType(graft.sources.Lake.tableSchema(spark, table)
       .fields.map(_.copy(metadata = Metadata.empty)))
     // READ layout discovery: analyze the equivalent plan against the full
     // schema once, keep only the touched columns, and push `where` +
-    // pruning into the per-bucket parquet scans
+    // pruning into the per-bucket parquet scans (merge-on-read masks
+    // applied per chunk — deletes are file-scoped, groups stay confined)
     val aggNode = analyzedAggNode(spark, schema, groupCols, aggs)
     val neededNames: Set[String] = (aggNode.groupingExpressions ++
       aggNode.aggregateExpressions).flatMap(_.collect {
@@ -104,13 +109,59 @@ object BucketedAgg {
       buckets.get(b).filter(_.nonEmpty) match {
         case Some(files) =>
           Bridge.toInternalRdd(
-            BucketedJoin.bucketScan(spark, schema, readSchema, where, files)
-              .coalesce(1))
+            BucketedJoin.bucketScan(spark, schema, readSchema, where, files,
+              deletes).coalesce(1))
         case None =>
           spark.sparkContext.parallelize(Seq.empty[InternalRow], 1)
       }
     })
     aggregatePartitions(spark, rdd, readSchema, groupCols, aggs)
+  }
+
+  /** The co-partitioned reader AS A DATAFRAME that DECLARES its bucket
+    * clustering ([[org.apache.spark.sql.graft.Bridge
+    * .internalCreateDataFrameClustered]]): partition i is bucket i, and
+    * the declared `HashPartitioning(key)` lets Catalyst's
+    * `EnsureRequirements` satisfy any `ClusteredDistribution` over a
+    * key-including column set WITHOUT an exchange — so Spark's OWN
+    * `WindowExec` (any frame, any functions — rank, running sums, lag)
+    * runs bucket-locally: the per-partition sort it needs is narrow
+    * `SortExec` (which spills natively), and the window exchange —
+    * stock Spark's full-fact shuffle for `PARTITION BY key` — is GONE.
+    * `where` pushes into the per-bucket scans (and file-stats-prunes);
+    * merge-on-read masks apply. SINGLE-TABLE consumers only — the
+    * declared hash is nominal (Iceberg Murmur3 placement, not Spark's),
+    * sound for clustering, unsound against a real co-partitioned
+    * exchange. */
+  def clusteredReader(spark: SparkSession, table: String, key: String,
+      cols: Seq[String], where: Option[Column] = None): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.graft.Bridge
+    val (n, buckets0, deletes) =
+      graft.sources.Lake.bucketLayoutMoR(spark, table, key).getOrElse(
+        throw new IllegalArgumentException(
+          s"clusteredReader: $table is not cleanly bucket(n, $key)-partitioned"))
+    val buckets = BucketedJoin.pruneLayout(spark, table, where, buckets0)
+      .map { case (b, fs) => b -> fs.map(_._1) }
+    val schema = StructType(graft.sources.Lake.tableSchema(spark, table)
+      .fields.map(_.copy(metadata = Metadata.empty)))
+    val wanted = (cols :+ key).distinct
+    val missing = wanted.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"clusteredReader: unknown column(s) ${missing.mkString(",")}")
+    val readSchema = StructType(
+      schema.fieldNames.toSeq.filter(wanted.contains).map(schema(_)))
+    val rdd = spark.sparkContext.union((0 until n).map { b =>
+      buckets.get(b).filter(_.nonEmpty) match {
+        case Some(files) =>
+          Bridge.toInternalRdd(
+            BucketedJoin.bucketScan(spark, schema, readSchema, where, files,
+              deletes).coalesce(1))
+        case None =>
+          spark.sparkContext.parallelize(Seq.empty[InternalRow], 1)
+      }
+    })
+    Bridge.internalCreateDataFrameClustered(spark, rdd, readSchema, Seq(key))
   }
 
   /** The per-partition COMPLETE aggregation over an ALREADY co-partitioned
@@ -139,10 +190,14 @@ object BucketedAgg {
     import org.apache.spark.sql.graft.Bridge
     require(cols.contains(key),
       s"bucketLocalDistinct: cols must include the bucket key '$key'")
-    val (n, buckets) = graft.sources.Lake.bucketLayout(spark, table, key).getOrElse(
-      throw new IllegalArgumentException(
-        s"bucketLocalDistinct: $table is not cleanly bucket(n, $key)-" +
-          "partitioned — use the shuffled distinct instead"))
+    val (n, buckets0, deletes) =
+      graft.sources.Lake.bucketLayoutMoR(spark, table, key).getOrElse(
+        throw new IllegalArgumentException(
+          s"bucketLocalDistinct: $table is not cleanly bucket(n, $key)-" +
+            "partitioned — use the shuffled distinct instead"))
+    // file-stats pruning from the pushed WHERE, like the join's sides
+    val buckets = BucketedJoin.pruneLayout(spark, table, where, buckets0)
+      .map { case (b, fs) => b -> fs.map(_._1) }
     val schema = StructType(graft.sources.Lake.tableSchema(spark, table)
       .fields.map(_.copy(metadata = Metadata.empty)))
     val missing = cols.filterNot(schema.fieldNames.contains)
@@ -154,8 +209,8 @@ object BucketedAgg {
       buckets.get(b).filter(_.nonEmpty) match {
         case Some(files) =>
           Bridge.toInternalRdd(
-            BucketedJoin.bucketScan(spark, schema, readSchema, where, files)
-              .coalesce(1))
+            BucketedJoin.bucketScan(spark, schema, readSchema, where, files,
+              deletes).coalesce(1))
         case None =>
           spark.sparkContext.parallelize(Seq.empty[InternalRow], 1)
       }
@@ -187,8 +242,13 @@ object BucketedAgg {
       })
       val seen = new java.util.LinkedHashSet[UnsafeRow]()
       val spills = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+      val openRuns = scala.collection.mutable.ArrayBuffer.empty[SpillRun]
+      // a partially-consumed merge iterator (LIMIT above the route) leaves
+      // runs mid-file: close their streams here, not at GC
       Option(org.apache.spark.TaskContext.get()).foreach(
-        _.addTaskCompletionListener[Unit](_ => spills.foreach(_.delete())))
+        _.addTaskCompletionListener[Unit] { _ =>
+          openRuns.foreach(_.close()); spills.foreach(_.delete())
+        })
       def flush(): Unit = {
         val recs = new Array[Array[Byte]](seen.size())
         val rows = seen.iterator()
@@ -221,7 +281,9 @@ object BucketedAgg {
       } else {
         // merge-dedup the key-sorted runs: equal keys across runs collapse
         if (!seen.isEmpty) flush()
-        val runs = spills.map(f => new SpillRun(f)).filter(_.advance())
+        val runs = spills.map { f =>
+          val r = new SpillRun(f); openRuns += r; r
+        }.filter(_.advance())
         val order = new java.util.PriorityQueue[SpillRun](
           math.max(1, runs.size),
           (a: SpillRun, b: SpillRun) =>
@@ -454,8 +516,12 @@ object BucketedAgg {
       val resultInput = new JoinedRow
       val groups = new java.util.LinkedHashMap[UnsafeRow, GenericInternalRow]()
       val spills = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+      val openRuns = scala.collection.mutable.ArrayBuffer.empty[SpillRun]
+      // close partially-consumed merge streams too, not just delete files
       Option(org.apache.spark.TaskContext.get()).foreach(
-        _.addTaskCompletionListener[Unit](_ => spills.foreach(_.delete())))
+        _.addTaskCompletionListener[Unit] { _ =>
+          openRuns.foreach(_.close()); spills.foreach(_.delete())
+        })
       lazy val bufferSer = UnsafeProjection.create(bufferRefs)
       def flush(): Unit = {
         val recs = new Array[(Array[Byte], Array[Byte])](groups.size())
@@ -533,7 +599,9 @@ object BucketedAgg {
         if (!groups.isEmpty) flush()
         val mergeProj = Bridge.createMutableProjection(mergeExprs)
         val mergeInput = new JoinedRow
-        val runs = spills.map(f => new SpillRun(f)).filter(_.advance())
+        val runs = spills.map { f =>
+          val r = new SpillRun(f); openRuns += r; r
+        }.filter(_.advance())
         val order = new java.util.PriorityQueue[SpillRun](
           math.max(1, runs.size),
           (a: SpillRun, b: SpillRun) =>
@@ -587,8 +655,11 @@ object BucketedAgg {
         payload = new Array[Byte](pl); in.readFully(payload)
         true
       } catch {
-        case _: java.io.EOFException => in.close(); f.delete(); false
+        case _: java.io.EOFException => close(); f.delete(); false
       }
+    /** Idempotent; the task-completion listener calls it for runs a
+      * partially-consumed merge iterator never drained to EOF. */
+    def close(): Unit = scala.util.Try(in.close())
     /** The payload as an UnsafeRow of `n` fields (fresh backing array per
       * record — merge targets may retain references without copying). */
     def bufferRow(n: Int): org.apache.spark.sql.catalyst.expressions.UnsafeRow = {

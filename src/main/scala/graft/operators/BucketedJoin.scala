@@ -70,6 +70,11 @@ object BucketedJoin {
     * costs more than the parallelism buys. */
   val DefaultSplitBucketBytes: Long = 512L * 1024 * 1024
 
+  /** Grace-split cap: a right bucket needing more than this many key-hash
+    * sub-joins is a layout too coarse to serve — the join fails loudly
+    * and callers fall back to the shuffled plan. */
+  val MaxGraceSplits: Int = 64
+
   /** True when [[coBucketedJoin]] would plan shuffle-free for this pair.
     * `rightKey` defaults to `key` — pass it when the right table buckets
     * the same values under a DIFFERENT column name (the natural dimension
@@ -77,20 +82,28 @@ object BucketedJoin {
   def coBucketed(spark: SparkSession, left: String, right: String,
       key: String, rightKey: String = ""): Boolean = {
     val rk = if (rightKey.isEmpty) key else rightKey
-    (graft.sources.Lake.bucketLayout(spark, left, key),
-      graft.sources.Lake.bucketLayout(spark, right, rk)) match {
-      case (Some((nl, _)), Some((nr, _))) => nl == nr
+    (graft.sources.Lake.bucketLayoutMoR(spark, left, key),
+      graft.sources.Lake.bucketLayoutMoR(spark, right, rk)) match {
+      case (Some((nl, _, _)), Some((nr, _, _))) => nl == nr
       case _ => false
     }
   }
 
+  /** `buildBudgetBytes` (0 = off): the largest right-bucket MANIFEST byte
+    * size the per-bucket hash build may hold. A bucket past it GRACE-
+    * SPLITS — BOTH sides of that bucket re-read k = ⌈bytes/budget⌉ times,
+    * each pass filtered to `pmod(hash(key), k) = j`, giving k bucket-local
+    * sub-joins on disjoint key slices (still zero exchange; re-scanning a
+    * pushed-down columnar bucket k times replaces what a classic grace
+    * join pays in spill write+read). Groups stay key-confined, so the
+    * fused rollup composes. k > [[MaxGraceSplits]] fails loudly. */
   def coBucketedJoin(spark: SparkSession, left: String, right: String,
       key: String, joinType: String = "inner",
       leftCols: Seq[String] = Nil, rightCols: Seq[String] = Nil,
       leftWhere: Option[Column] = None, rightWhere: Option[Column] = None,
       residual: Option[Column] = None,
       splitBucketBytes: Long = DefaultSplitBucketBytes,
-      rightKey: String = ""): DataFrame = {
+      rightKey: String = "", buildBudgetBytes: Long = 0L): DataFrame = {
     val rKey = if (rightKey.trim.isEmpty) key else rightKey.trim
     val jt = joinType.trim.toLowerCase(java.util.Locale.ROOT)
     require(Set("inner", "left", "left_outer", "left_semi", "left_anti")(jt),
@@ -99,11 +112,37 @@ object BucketedJoin {
     val leftOnly = jt == "left_semi" || jt == "left_anti"
     val outer = jt == "left" || jt == "left_outer"
     // left side sized (manifest file_size_in_bytes — the skew-split input,
-    // zero filesystem calls); right side needs paths only
-    val (nL, bucketsL) = graft.sources.Lake.bucketLayoutSized(spark, left, key).getOrElse(
-      fail(s"$left is not cleanly bucket(n, $key)-partitioned"))
-    val (nR, bucketsR) = graft.sources.Lake.bucketLayout(spark, right, rKey).getOrElse(
-      fail(s"$right is not cleanly bucket(n, $rKey)-partitioned"))
+    // zero filesystem calls); both sides may carry merge-on-read delete
+    // masks (DVs / position deletes — file-scoped, so bucket confinement
+    // holds), applied inside each chunk's scan below
+    val (nL, bucketsL0, deletesL) =
+      graft.sources.Lake.bucketLayoutMoR(spark, left, key).getOrElse(
+        fail(s"$left is not cleanly bucket(n, $key)-partitioned"))
+    val (nR, bucketsR0, deletesR) =
+      graft.sources.Lake.bucketLayoutMoR(spark, right, rKey).getOrElse(
+        fail(s"$right is not cleanly bucket(n, $rKey)-partitioned"))
+    // FILE-STATS PRUNING: each side's pushed WHERE shrinks its bucket file
+    // lists from the persisted per-file min/max/null/bloom stats — the
+    // same tier the delegated scans apply per alias — BEFORE any parquet
+    // footer opens. A date-filtered routed query no longer reads every
+    // file of every bucket that the fallback plan would have pruned from
+    // the manifest alone.
+    val bucketsL = pruneLayout(spark, left, leftWhere, bucketsL0)
+    val bucketsRSized = pruneLayout(spark, right, rightWhere, bucketsR0)
+    val bucketsR = bucketsRSized.map { case (b, fs) => b -> fs.map(_._1) }
+    // GRACE: right buckets whose build exceeds the budget → k key-hash
+    // sub-joins (both sides re-read k times, disjoint key slices)
+    val graceK: Map[Int, Int] =
+      if (buildBudgetBytes <= 0) Map.empty
+      else bucketsRSized.flatMap { case (b, fs) =>
+        val bytes = fs.map(_._2).sum
+        val k = ((bytes + buildBudgetBytes - 1) / buildBudgetBytes).toInt
+        if (k <= 1) None
+        else if (k > MaxGraceSplits) fail(
+          s"right bucket $b needs $k grace splits (> $MaxGraceSplits) — " +
+            "the bucket layout is too coarse for a local build")
+        else Some(b -> k)
+      }
     require(nL == nR,
       s"bucket counts differ: $left has $nL, $right has $nR — equal keys " +
         "land in different ordinals, a co-partitioned join would be wrong")
@@ -185,27 +224,35 @@ object BucketedJoin {
     // size-balanced chunks; the right bucket replicates across them. The
     // chunk list fixes partition ordinals for BOTH sides. Sizes come from
     // the manifest (file_size_in_bytes) — no per-file filesystem calls.
-    val chunks: Seq[(Int, Seq[String])] = (0 until nL).flatMap { b =>
-      val sized = bucketsL.getOrElse(b, Nil)
-      val files = sized.map(_._1)
-      val total = sized.map(_._2).sum
-      val k =
-        if (splitBucketBytes <= 0 || total <= splitBucketBytes || files.size <= 1) 1
-        else math.min(files.size.toLong,
-          (total + splitBucketBytes - 1) / splitBucketBytes).toInt
-      if (k <= 1) Seq((b, files))
-      else {
-        // greedy size-balanced: biggest file into the lightest bin
-        val bins = Array.fill(k)(Seq.newBuilder[String])
-        val loads = Array.fill(k)(0L)
-        sized.sortBy(-_._2).foreach { case (f, sz) =>
-          val i = loads.indices.minBy(loads)
-          bins(i) += f
-          loads(i) += sz
+    // A grace-split bucket instead contributes k chunks carrying the FULL
+    // file lists of both sides plus a (j, k) key-hash slice — the two
+    // split kinds never combine on one bucket (grace already fans out).
+    val chunks: Seq[(Int, Seq[String], Option[(Int, Int)])] =
+      (0 until nL).flatMap { b =>
+        val sized = bucketsL.getOrElse(b, Nil)
+        val files = sized.map(_._1)
+        graceK.get(b) match {
+          case Some(g) => (0 until g).map(j => (b, files, Some((j, g))))
+          case None =>
+            val total = sized.map(_._2).sum
+            val k =
+              if (splitBucketBytes <= 0 || total <= splitBucketBytes || files.size <= 1) 1
+              else math.min(files.size.toLong,
+                (total + splitBucketBytes - 1) / splitBucketBytes).toInt
+            if (k <= 1) Seq((b, files, None))
+            else {
+              // greedy size-balanced: biggest file into the lightest bin
+              val bins = Array.fill(k)(Seq.newBuilder[String])
+              val loads = Array.fill(k)(0L)
+              sized.sortBy(-_._2).foreach { case (f, sz) =>
+                val i = loads.indices.minBy(loads)
+                bins(i) += f
+                loads(i) += sz
+              }
+              bins.toSeq.map(bb => (b, bb.result(), None)).filter(_._2.nonEmpty)
+            }
         }
-        bins.toSeq.map(bb => (b, bb.result())).filter(_._2.nonEmpty)
       }
-    }
 
     // partition i == chunk i: one narrow coalesced scan per chunk,
     // concatenated in ordinal order. RDD-level union, NOT DataFrame
@@ -220,18 +267,34 @@ object BucketedJoin {
     // only the needed columns and pushes the side's predicate.
     import org.apache.spark.sql.catalyst.InternalRow
     def side(fullSchema: StructType, readSchema: StructType,
-        where: Option[Column], partFiles: Seq[Seq[String]])
+        where: Option[Column], keyName: String,
+        parts: Seq[(Seq[String], Option[(Int, Int)])],
+        deletes: graft.sources.LayoutDeletes)
         : org.apache.spark.rdd.RDD[InternalRow] =
-      spark.sparkContext.union(partFiles.map { files =>
+      spark.sparkContext.union(parts.map { case (files, grace) =>
         if (files.isEmpty) // empty chunk: ONE empty partition keeps alignment
           spark.sparkContext.parallelize(Seq.empty[InternalRow], 1)
-        else
+        else {
+          // grace slice: both sides filter to the same key-hash residue —
+          // Spark's Murmur3 `hash` over equal key values agrees across
+          // sides, so matching rows land in the same sub-join
+          val w = grace match {
+            case None => where
+            case Some((j, g)) =>
+              import org.apache.spark.sql.functions.{col => fcol, hash, lit, pmod}
+              val slice = pmod(hash(fcol(keyName)), lit(g)) === lit(j)
+              Some(where.map(_ && slice).getOrElse(slice))
+          }
           org.apache.spark.sql.graft.Bridge.toInternalRdd(
-            bucketScan(spark, fullSchema, readSchema, where, files).coalesce(1))
+            bucketScan(spark, fullSchema, readSchema, w, files, deletes)
+              .coalesce(1))
+        }
       })
 
-    val leftParts = chunks.map(_._2)
-    val rightParts = chunks.map { case (b, _) => bucketsR.getOrElse(b, Nil) }
+    val leftParts = chunks.map { case (_, files, grace) => (files, grace) }
+    val rightParts = chunks.map { case (b, _, grace) =>
+      (bucketsR.getOrElse(b, Nil), grace)
+    }
 
     val keyIdxL = readL.fieldIndex(key)
     val keyIdxR = readR.fieldIndex(rKey)
@@ -254,8 +317,9 @@ object BucketedJoin {
           }
       }
     }
-    val joined = side(schemaL, readL, leftWhere, leftParts).zipPartitions(
-        side(schemaR, readR, rightWhere, rightParts),
+    val joined = side(schemaL, readL, leftWhere, key, leftParts, deletesL)
+      .zipPartitions(
+        side(schemaR, readR, rightWhere, rKey, rightParts, deletesR),
         preservesPartitioning = false) { (lit, rit) =>
       import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection}
       // build on the right bucket, stream the left (NULL keys drop: SQL
@@ -328,15 +392,97 @@ object BucketedJoin {
 
   /** One chunk's pruned, pushed-down scan — package-private so the spec
     * can assert the parquet `ReadSchema` really shrank to the read layout
-    * and the side predicate reached `PushedFilters`. */
+    * and the side predicate reached `PushedFilters`.
+    *
+    * Merge-on-read masks: files named in `deletes` read with parquet
+    * metadata lineage (`_metadata.file_path`/`row_index`) and anti-join
+    * the deleted (file, pos) set — the SAME application the full snapshot
+    * readers make, done per chunk. The delete side is explicitly
+    * `broadcast()`-hinted (it is the chunk's own delete set — tiny by
+    * construction), so the anti-join plans broadcast-left-anti: no
+    * ShuffledRDD, the zero-exchange contract holds. Unmasked files of a
+    * mixed chunk keep the plain path and union in. */
   private[graft] def bucketScan(spark: SparkSession, fullSchema: StructType,
-      readSchema: StructType, where: Option[Column],
-      files: Seq[String]): DataFrame = {
-    var df = spark.read.schema(fullSchema).parquet(files: _*)
-    where.foreach(p => df = df.where(p))
-    if (readSchema.fieldNames.toSeq != fullSchema.fieldNames.toSeq)
-      df = df.select(readSchema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*)
-    df
+      readSchema: StructType, where: Option[Column], files: Seq[String],
+      deletes: graft.sources.LayoutDeletes = graft.sources.NoDeletes): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def plain(fs: Seq[String]): DataFrame = {
+      var df = spark.read.schema(fullSchema).parquet(fs: _*)
+      where.foreach(p => df = df.where(p))
+      if (readSchema.fieldNames.toSeq != fullSchema.fieldNames.toSeq)
+        df = df.select(readSchema.fieldNames.toSeq.map(col): _*)
+      df
+    }
+    // scheme/authority off, percent-decoded, '+' protected — the DeltaRead
+    // partition-injection idiom, so writer-vs-scan URI spelling can't
+    // mask (or miss) a delete
+    def norm(c: Column): Column =
+      url_decode(regexp_replace(
+        regexp_replace(c, "^[a-zA-Z0-9+.-]+:(//)?", ""), "\\+", "%2B"))
+    def bare(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    def masked(fs: Seq[String], dels: DataFrame): DataFrame = {
+      require(!fullSchema.fieldNames.exists(n =>
+        n == "__graft_file" || n == "__graft_pos"),
+        "bucketScan: column names __graft_file/__graft_pos are reserved " +
+          "for merge-on-read mask application")
+      var df = spark.read.schema(fullSchema).parquet(fs: _*)
+        .withColumn("__graft_file", norm(col("_metadata.file_path")))
+        .withColumn("__graft_pos", col("_metadata.row_index"))
+      where.foreach(p => df = df.where(p))
+      df.join(broadcast(dels), Seq("__graft_file", "__graft_pos"), "left_anti")
+        .select(readSchema.fieldNames.toSeq.map(col): _*)
+    }
+    deletes match {
+      case graft.sources.NoDeletes => plain(files)
+      case graft.sources.LayoutDeletes.Dv(table, byPath) =>
+        val (withDv, without) = files.partition(byPath.contains)
+        if (withDv.isEmpty) plain(files)
+        else {
+          import spark.implicits._
+          // blobs load on the driver (descriptor-sized reads); positions
+          // expand on the executors, exactly like the snapshot reader
+          val blobs = withDv.map(p =>
+            (bare(p), graft.sources.DeletionVectors.load(table, byPath(p))))
+          val dels = spark.createDataset(blobs)
+            .flatMap { case (p, blob) =>
+              graft.sources.DeletionVectors.fromBlob(blob).iterator
+                .map(pos => (p, pos))
+            }
+            .toDF("__graft_file", "__graft_pos")
+          val m = masked(withDv, dels)
+          if (without.isEmpty) m else m.unionByName(plain(without))
+        }
+      case graft.sources.LayoutDeletes.Pos(delFiles) =>
+        if (delFiles.isEmpty) plain(files)
+        else {
+          val chunkSet = files.map(bare)
+          val dels = spark.read.parquet(delFiles: _*)
+            .select(norm(col("file_path")).as("__graft_file"),
+              col("pos").as("__graft_pos"))
+            .where(col("__graft_file").isin(chunkSet: _*))
+          masked(files, dels)
+        }
+    }
+  }
+
+  /** Drop the files a side predicate can never match, by persisted
+    * per-file stats ([[graft.sources.Lake.fileSkipRejects]]). Reject-set
+    * semantics keep this safe under concurrent commits; an empty reject
+    * set (stats missing, predicate untranslatable) keeps every file. */
+  private[graft] def pruneLayout(spark: SparkSession, path: String,
+      where: Option[Column], m: Map[Int, Seq[(String, Long)]])
+      : Map[Int, Seq[(String, Long)]] = where match {
+    case None => m
+    case Some(w) =>
+      val rejects = graft.sources.Lake.fileSkipRejects(spark, path, w)
+      if (rejects.isEmpty) m
+      else {
+        def bare(p: String): String =
+          new org.apache.hadoop.fs.Path(p).toUri.getPath
+        m.map { case (b, fs) =>
+          b -> fs.filterNot { case (p, _) => rejects(bare(p)) }
+        }
+      }
   }
 
   private def clean(s: StructType): StructType =
@@ -344,6 +490,7 @@ object BucketedJoin {
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(
-      s"coBucketedJoin: $msg (no live deletes, every file under the " +
-        "current default spec) — use the shuffled join instead")
+      s"coBucketedJoin: $msg (every file under the current default spec; " +
+        "DVs/position deletes are tolerated, equality deletes are not) — " +
+        "use the shuffled join instead")
 }

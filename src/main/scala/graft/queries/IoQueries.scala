@@ -2015,6 +2015,129 @@ object IoQueries {
             UNION ALL SELECT * FROM documents WHERE doc_id % 5 = 0)
       GROUP BY source ORDER BY source"""))
 
+  /** MERGE-ON-READ TOLERANT ROUTING, Delta (SURVEY §2 S9dv): a row-level
+    * DELETE lands as deletion vectors (file-scoped masks — no row ever
+    * moves between buckets), and the bucket-local aggregation route KEEPS
+    * firing: the per-bucket scans apply the DV masks inline, zero
+    * exchanges, where before r19 one GDPR DELETE silently reverted every
+    * routed query to the full-shuffle plan until OPTIMIZE. Oracle =
+    * DuckDB over the surviving rows. */
+  val tdeltaDvRollup = GQuery(
+    "t114_delta_dv_rollup",
+    (s, dir) => {
+      val root = tmp("graft_t114_q")
+      graft.sources.DeltaWrite.append(s,
+        Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")),
+        s"$root/orders", partitionBy = Seq("bucket(8, o_custkey)"))
+      graft.sources.DeltaWrite.deleteWhere(s, s"$root/orders",
+        col("o_orderkey") % 7 === 0)
+      graft.sources.Lake.sqlFrame(s,
+        s"""SELECT o_custkey, count(*) AS cnt,
+              round(sum(o_totalprice), 2) AS rev
+            FROM '$root/orders' GROUP BY o_custkey ORDER BY o_custkey""")
+    },
+    Some("""SELECT o_custkey, count(*) AS cnt,
+        round(sum(o_totalprice), 2) AS rev
+      FROM orders WHERE NOT (o_orderkey % 7 = 0)
+      GROUP BY o_custkey ORDER BY o_custkey"""))
+
+  /** MERGE-ON-READ TOLERANT ROUTING, Iceberg (SURVEY §2 S9dv): the t112
+    * star shape AFTER a position-delete DELETE — the SPJ route keeps the
+    * zero-exchange fact join, the per-bucket scans anti-join the delete
+    * file's (path, pos) rows, and the WHERE still pushes + file-stat-
+    * prunes. Oracle = DuckDB with the deleted keys filtered out. */
+  val ticebergMorSpj = GQuery(
+    "t115_iceberg_mor_spj",
+    (s, dir) => {
+      val root = tmp("graft_t115_q")
+      graft.sources.IcebergWrite.append(s,
+        Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")),
+        s"$root/orders", partitionBy = Seq("bucket(8, o_custkey)"))
+      graft.sources.IcebergWrite.append(s,
+        Tables(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"),
+          col("c_mktsegment")),
+        s"$root/customer", partitionBy = Seq("bucket(8, c_custkey)"))
+      graft.sources.IcebergWrite.deleteWhere(s, s"$root/orders",
+        col("o_orderkey") % 5 === 0)
+      graft.sources.Lake.sqlFrame(s,
+        s"""SELECT c.c_mktsegment, count(*) AS cnt,
+              round(sum(o.o_totalprice), 2) AS revenue
+            FROM '$root/orders' o JOIN '$root/customer' c
+              ON o.o_custkey = c.c_custkey
+            WHERE o.o_totalprice > 1000.0 AND c.c_acctbal > 0.0
+            GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS cnt,
+        round(sum(o_totalprice), 2) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE NOT (o_orderkey % 5 = 0)
+        AND o_totalprice > 1000.0 AND c_acctbal > 0.0
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** BUCKET-LOCAL WINDOW ROUTE (SURVEY §2 S9bw): a running sum + row
+    * number `PARTITION BY` the bucket key from plain statement text —
+    * Spark's own WindowExec runs over the clustering-declared
+    * co-partitioned reader with its exchange GONE (stock Spark shuffles
+    * the whole fact for this shape). Oracle = DuckDB's identical window
+    * (both ANSI default frames; o_orderkey is unique, so the running sum
+    * is deterministic). */
+  val tbucketWindow = GQuery(
+    "t116_bucket_window",
+    (s, dir) => {
+      val root = tmp("graft_t116_q")
+      graft.sources.IcebergWrite.append(s,
+        Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")),
+        s"$root/t", partitionBy = Seq("bucket(8, o_custkey)"))
+      graft.sources.Lake.sqlFrame(s,
+        s"""SELECT o_orderkey, o_custkey,
+              row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn,
+              round(sum(o_totalprice) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS run
+            FROM '$root/t' WHERE o_totalprice > 1000.0
+            ORDER BY o_custkey, o_orderkey""")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+        row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn,
+        round(sum(o_totalprice) OVER
+          (PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS run
+      FROM orders WHERE o_totalprice > 1000.0
+      ORDER BY o_custkey, o_orderkey"""))
+
+  /** COMPOSITE day+bucket LAYOUT (SURVEY §2 S9cl): the canonical 100 TB
+    * fact layout — `PARTITIONED BY (day(ts), bucket(n, key))` — keeps
+    * BOTH levers: the date WHERE prunes whole days' files from the
+    * manifest's derived day intervals, and the surviving files still join
+    * zero-exchange through the co-partitioned reader. Oracle = the DuckDB
+    * star with the same date cut. */
+  val tcompositeLayout = GQuery(
+    "t117_composite_layout_spj",
+    (s, dir) => {
+      val root = tmp("graft_t117_q")
+      graft.sources.IcebergWrite.append(s,
+        Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderdate")),
+        s"$root/orders",
+        partitionBy = Seq("day(o_orderdate)", "bucket(8, o_custkey)"))
+      graft.sources.IcebergWrite.append(s,
+        Tables(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        s"$root/customer", partitionBy = Seq("bucket(8, c_custkey)"))
+      graft.sources.Lake.sqlFrame(s,
+        s"""SELECT c.c_mktsegment, count(*) AS cnt,
+              round(sum(o.o_totalprice), 2) AS rev
+            FROM '$root/orders' o JOIN '$root/customer' c
+              ON o.o_custkey = c.c_custkey
+            WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+            GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS cnt,
+        round(sum(o_totalprice), 2) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   /** Catalog VIEWs end-to-end (Lake.sql CREATE VIEW → bare-name
     * expansion): events land in a Delta table under a catalog directory,
     * a VIEW stores the per-type rollup, a second VIEW filters the first,
@@ -2394,7 +2517,7 @@ object IoQueries {
       tdeltaDv, tdeltaUpsert, ticebergPart, ticebergHiddenPart, tdeltaChanges, tdeltaEvolve, ticebergEvolve,
       ticebergChanges, tdeltaCdc, tlakeCompact, tlakeReplaceWhere, tlakeSqlDml,
       tlakeSqlMaintenance, tlakeSqlSelect, tlakeSqlAgg, tlakeSqlAlterAdd, tlakeTpchSql,
-      tlakeSqlWindow, tlakeCreateTable, tlakeUseCatalog, tlakeMergeFull, tlakeMergeNullCond, tlakeMergeEvolve, tlakeMergeRenamed, tbucketJoin, tspjAuto, tbucketAgg, tbucketAggSql, tspjAggFused, tbucketDistinct, tspjNatural, tspjThreeTable, tbucketCountDistinct, tbucketHaving, tdeltaBucketJoin, tbucketDedupRollup, tlakeViews,
+      tlakeSqlWindow, tlakeCreateTable, tlakeUseCatalog, tlakeMergeFull, tlakeMergeNullCond, tlakeMergeEvolve, tlakeMergeRenamed, tbucketJoin, tspjAuto, tbucketAgg, tbucketAggSql, tspjAggFused, tbucketDistinct, tspjNatural, tspjThreeTable, tbucketCountDistinct, tbucketHaving, tdeltaBucketJoin, tbucketDedupRollup, tdeltaDvRollup, ticebergMorSpj, tbucketWindow, tcompositeLayout, tlakeViews,
       tcdcApply, tlakeSync, tlakeClone,
       tlakeRestore, tlakeRename, tlakeUniform, tlakeUniformRev, tlakeConvert)
 }

@@ -896,26 +896,30 @@ object DeltaRead {
     * but cannot shrink the file list — this is the 100 TB lever, the same
     * move Delta's own kernel makes with partition predicates. */
   /** Co-bucketed-layout probe for the zero-exchange routes — the Delta
-    * twin of [[IcebergRead.bucketLayoutSized]]. The table must stamp
+    * twin of [[IcebergRead.bucketLayoutMoR]]. The table must stamp
     * `graft.bucketSpec = "n,key"` (our bucketed writer does), run WITHOUT
     * column mapping (the bucket-local reader resolves columns by NAME),
-    * declare no partition columns, hold no live deletion vectors, and
-    * EVERY live file must carry the writer's `__gb=<ordinal>` path prefix.
-    * A rewriting commit (delete/merge/optimize) stages un-prefixed files
-    * and the probe then refuses — conservative: callers fall back to the
-    * always-correct shuffled plan. Ordinals hash through the engine-pinned
-    * Iceberg Murmur3 bucket transform, so a Delta table co-buckets with
-    * an Iceberg table of the same (n, key type) — cross-format SPJ works.
-    * Sizes are the log's recorded file sizes (zero filesystem calls). */
-  def bucketLayoutSized(spark: SparkSession, table: String, key: String)
-      : Option[(Int, Map[Int, Seq[(String, Long)]])] = scala.util.Try {
+    * declare no partition columns, and EVERY live file must carry the
+    * writer's `__gb=<ordinal>` path prefix. A rewriting commit
+    * (merge/optimize without the bucketed staging) stages un-prefixed
+    * files and the probe then refuses — conservative: callers fall back
+    * to the always-correct shuffled plan. Live DELETION VECTORS do NOT
+    * refuse: a DV masks rows of its own file in place (the path — and so
+    * the bucket ordinal — is unchanged), so the layout holds and the
+    * probe returns the per-file descriptors for the bucket-local scans
+    * to apply. Ordinals hash through the engine-pinned Iceberg Murmur3
+    * bucket transform, so a Delta table co-buckets with an Iceberg table
+    * of the same (n, key type) — cross-format SPJ works. Sizes are the
+    * log's recorded file sizes (zero filesystem calls). */
+  def bucketLayoutMoR(spark: SparkSession, table: String, key: String)
+      : Option[(Int, Map[Int, Seq[(String, Long)]], LayoutDeletes)] = scala.util.Try {
     val snap = snapshotInfo(spark, table)
     val (n, col) = snap.configuration.get(DeltaWrite.bucketSpecKey)
       .flatMap(DeltaWrite.parseBucketSpec).getOrElse(return None)
     if (!col.equalsIgnoreCase(key)) return None
     if (snap.columnMappingMode != "none") return None
     if (snap.partitionColumns.nonEmpty) return None
-    if (snap.files.exists(_.dv.isDefined)) return None
+    val dvB = Map.newBuilder[String, DeletionVectors.Descriptor]
     val entries = snap.files.map { f =>
       // the writer stages table/__gb=<ordinal>/part-….parquet — the
       // file's PARENT directory segment carries the ordinal (paths here
@@ -925,10 +929,24 @@ object DeltaRead {
         return None
       val ord = segs(segs.length - 2).substring(5).toIntOption.getOrElse(return None)
       if (ord < 0 || ord >= n) return None
-      ord -> ((resolve(table, f.path), f.size))
+      val resolved = resolve(table, f.path)
+      f.dv.foreach(d => dvB += resolved -> d)
+      ord -> ((resolved, f.size))
     }
-    Some((n, entries.groupBy(_._1).map { case (b, es) => b -> es.map(_._2) }))
+    val dvByPath = dvB.result()
+    val deletes: LayoutDeletes =
+      if (dvByPath.isEmpty) NoDeletes else LayoutDeletes.Dv(table, dvByPath)
+    Some((n, entries.groupBy(_._1).map { case (b, es) => b -> es.map(_._2) },
+      deletes))
   }.toOption.flatten
+
+  /** [[bucketLayoutMoR]] restricted to DV-free snapshots (compatibility
+    * for direct-file consumers that apply no masks). */
+  def bucketLayoutSized(spark: SparkSession, table: String, key: String)
+      : Option[(Int, Map[Int, Seq[(String, Long)]])] =
+    bucketLayoutMoR(spark, table, key).collect {
+      case (n, m, NoDeletes) => (n, m)
+    }
 
   def snapshotPruned(spark: SparkSession, table: String,
       keep: Map[String, String] => Boolean, version: Long = -1L): DataFrame =

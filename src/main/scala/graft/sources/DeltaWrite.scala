@@ -400,6 +400,13 @@ object DeltaWrite {
     // on both sides (SQL equality), and agg/DISTINCT only need the null
     // GROUP confined to one bucket, which a constant ordinal guarantees.
     bucketSpec.foreach { case (n, key) =>
+      // the staging column name is reserved: a user column called __gb
+      // would be silently overwritten with the ordinal and then dropped
+      // from file contents by partitionBy while the schema still declares
+      // it — refuse loudly instead
+      require(!df.schema.fieldNames.contains("__gb"),
+        "bucketed Delta write: column name '__gb' is reserved for the " +
+          "bucket-ordinal staging path — rename the column")
       val dt = df.schema(key).dataType
       stageDf = stageDf.withColumn("__gb",
         org.apache.spark.sql.functions.coalesce(
@@ -723,6 +730,9 @@ object DeltaWrite {
           // recompute the ordinal and bring each bucket's rewritten rows
           // into one task — one compacted file per (task, bucket)
           val (n, key) = bucketSpec.get
+          require(!snap.schema.fieldNames.contains("__gb"),
+            "bucketed Delta compact: column name '__gb' is reserved for " +
+              "the bucket-ordinal staging path")
           val dt = snap.schema(key).dataType
           df.withColumn("__gb", org.apache.spark.sql.functions.coalesce(
             IcebergTransforms.Bucket(n, key).column(fcol(key), dt),

@@ -549,37 +549,81 @@ object IcebergRead {
       (n, m.map { case (b, fs) => b -> fs.map(_._1) })
     }
 
-  /** [[bucketLayout]] with each file's MANIFEST-recorded byte size — the
-    * skew-split sizing source (zero filesystem calls). Results are cached
-    * per (table, key, metadata-version identity): every commit writes a
-    * NEW metadata file, so a hit can never serve a stale layout, and the
-    * statement-planning hot path (route probe + join build) stops paying
-    * repeated manifest replays and footer opens. */
+  /** [[bucketLayoutMoR]] restricted to DELETE-FREE snapshots
+    * (compatibility for direct-file consumers that apply no masks). */
   def bucketLayoutSized(spark: SparkSession, table: String, key: String)
-      : Option[(Int, Map[Int, Seq[(String, Long)]])] = {
+      : Option[(Int, Map[Int, Seq[(String, Long)]])] =
+    bucketLayoutMoR(spark, table, key).collect {
+      case (n, m, NoDeletes) => (n, m)
+    }
+
+  /** The bucket layout with each file's MANIFEST-recorded byte size (the
+    * skew-split sizing source — zero filesystem calls) plus the live
+    * POSITION-DELETE files as [[LayoutDeletes]]: position deletes are
+    * file-scoped — they hide rows but never move one between buckets —
+    * so the layout survives a merge-on-read DELETE and the bucket-local
+    * scans apply the masks per chunk. EQUALITY deletes refuse (their
+    * sequence-number scoping needs the full MoR reader). Results are
+    * cached per (table, key, metadata-version identity): every commit
+    * writes a NEW metadata file, so a hit can never serve a stale
+    * layout, and the statement-planning hot path (route probe + join
+    * build) stops paying repeated manifest replays and footer opens. */
+  def bucketLayoutMoR(spark: SparkSession, table: String, key: String)
+      : Option[(Int, Map[Int, Seq[(String, Long)]], LayoutDeletes)] = {
     val mf = scala.util.Try(metadataFile(table)).getOrElse(return None)
     val cacheKey = s"$table\u0000$key\u0000${mf.getPath}\u0000" +
       s"${mf.lastModified}\u0000${mf.length}"
     val hit = layoutCache.get(cacheKey)
     if (hit != null) return hit
-    val computed = bucketLayoutSizedImpl(spark, table, key)
+    val computed = bucketLayoutMoRImpl(spark, table, key)
     layoutCache.put(cacheKey, computed)
     computed
   }
 
   private val layoutCache =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, Option[(Int, Map[Int, Seq[(String, Long)]])]](
+      new java.util.LinkedHashMap[String, Option[(Int, Map[Int, Seq[(String, Long)]], LayoutDeletes)]](
         64, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[String, Option[(Int, Map[Int, Seq[(String, Long)]])]]): Boolean =
+            e: java.util.Map.Entry[String, Option[(Int, Map[Int, Seq[(String, Long)]], LayoutDeletes)]]): Boolean =
           size() > 64
       })
 
-  private def bucketLayoutSizedImpl(spark: SparkSession, table: String, key: String)
-      : Option[(Int, Map[Int, Seq[(String, Long)]])] = scala.util.Try {
-    val (_, hasDeletes) = entrySummaries(table, currentSnapshotId(spark, table))
-    if (hasDeletes) return None
+  /** Live delete files of a snapshot: Some(position-delete paths), or
+    * None when any EQUALITY delete is live (outside the bucket-local
+    * readers' subset). O(manifests) driver metadata work. */
+  private def liveDeleteFiles(table: String, snapshotId: Long): Option[Seq[String]] = {
+    val meta = mapper.readTree(metadataFile(table))
+    val resolvedId =
+      if (snapshotId >= 0) snapshotId else meta.path("current-snapshot-id").asLong(-1L)
+    val snap = meta.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong(-2L) == resolvedId)
+      .getOrElse(return None)
+    val manifests: Seq[String] =
+      if (snap.has("manifest-list"))
+        avroRecords(snap.path("manifest-list").asText())
+          .map(_.get("manifest_path").toString)
+      else snap.path("manifests").elements().asScala.map(_.asText()).toSeq
+    def opt(r: org.apache.avro.generic.GenericRecord, n: String): Option[AnyRef] =
+      Option(r.getSchema.getField(n)).flatMap(_ => Option(r.get(n)))
+    val posB = Seq.newBuilder[String]
+    manifests.foreach { mp =>
+      avroRecords(mp).foreach { entry =>
+        val status = opt(entry, "status").map(_.toString.toInt).getOrElse(1)
+        val df = entry.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        val content = opt(df, "content").map(_.toString.toInt).getOrElse(0)
+        if (status != 2 && content == 2) return None // live equality delete
+        if (status != 2 && content == 1)
+          posB += localPath(df.get("file_path").toString)
+      }
+    }
+    Some(posB.result())
+  }
+
+  private def bucketLayoutMoRImpl(spark: SparkSession, table: String, key: String)
+      : Option[(Int, Map[Int, Seq[(String, Long)]], LayoutDeletes)] = scala.util.Try {
+    val posDeletes = liveDeleteFiles(table, currentSnapshotId(spark, table))
+      .getOrElse(return None)
     val (stats, moduli) = fileStatsFull(spark, table)
     val n = moduli.getOrElse(key, return None)
     val rows = stats.select(org.apache.spark.sql.functions.col("file"),
@@ -603,7 +647,9 @@ object IcebergRead {
     // bucket-local scan performs no manifest value injection).
     if (!nameReadFaithful(spark, table, byBucket.values.flatten.headOption.map(_._1)))
       return None
-    Some((n, byBucket))
+    val deletes: LayoutDeletes =
+      if (posDeletes.isEmpty) NoDeletes else LayoutDeletes.Pos(posDeletes)
+    Some((n, byBucket, deletes))
   }.toOption.flatten
 
   /** One-footer probe: is a plain by-name parquet read of `file` guaranteed

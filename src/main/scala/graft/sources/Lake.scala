@@ -2,6 +2,31 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** Merge-on-read delete state a bucket layout carries. Both kinds are
+  * FILE-scoped — a mask hides rows of a named data file but never moves a
+  * row between files — so bucket confinement (the whole zero-exchange
+  * argument) is untouched; the bucket-local scans apply them per chunk
+  * ([[graft.operators.BucketedJoin.bucketScan]]). */
+sealed trait LayoutDeletes
+
+/** No live row-level deletes — scans read the files as-is. */
+case object NoDeletes extends LayoutDeletes
+
+object LayoutDeletes {
+  /** Delta deletion vectors: resolved data-file path → DV descriptor
+    * (blob loaded on demand, driver-side, exactly like the main snapshot
+    * reader). */
+  final case class Dv(table: String,
+      byPath: Map[String, DeletionVectors.Descriptor]) extends LayoutDeletes
+
+  /** Iceberg position-delete files. Our writer stages them partition-less
+    * (empty spec — one file may reference any data file), so every bucket
+    * anti-joins against all of them, restricted to its own chunk's file
+    * set; delete files are tiny relative to data and sorted by
+    * (file_path, pos), so the per-chunk read row-group-prunes well. */
+  final case class Pos(files: Seq[String]) extends LayoutDeletes
+}
+
 /** Unified table entry point: detect the table format from its on-disk
   * layout and dispatch to the right reader — a `_delta_log` dir →
   * [[DeltaRead]], `.metadata.json` files under `metadata` →
@@ -1149,15 +1174,35 @@ object Lake {
 
   /** Format-agnostic bucket-layout probe — the zero-exchange routes'
     * entry: Iceberg spec `bucket[n]` partitioning ([[IcebergRead
-    * .bucketLayoutSized]]) or a Delta table our bucketed writer stamped
-    * ([[DeltaRead.bucketLayoutSized]]). Both hash through the SAME
-    * engine-pinned Murmur3, so cross-format co-bucketed joins align. */
+    * .bucketLayoutMoR]]) or a Delta table our bucketed writer stamped
+    * ([[DeltaRead.bucketLayoutMoR]]). Both hash through the SAME
+    * engine-pinned Murmur3, so cross-format co-bucketed joins align.
+    *
+    * MERGE-ON-READ TOLERANT: deletion vectors (Delta) and position
+    * deletes (Iceberg) are FILE-scoped — they can hide a row but never
+    * move it between buckets, so bucket confinement survives a DELETE
+    * and the layout stays offered, carrying the per-file masks the
+    * bucket-local scans apply ([[graft.operators.BucketedJoin
+    * .bucketScan]]). Without this, one GDPR DELETE on a bucketed fact
+    * would silently revert every routed star query to the full-shuffle
+    * plan until OPTIMIZE materializes the deletes. Equality deletes
+    * still refuse (their sequence-number scoping needs the full MoR
+    * reader). */
+  def bucketLayoutMoR(spark: SparkSession, path: String, key: String)
+      : Option[(Int, Map[Int, Seq[(String, Long)]], LayoutDeletes)] =
+    detect(spark, path) match {
+      case Iceberg => IcebergRead.bucketLayoutMoR(spark, path, key)
+      case Delta => DeltaRead.bucketLayoutMoR(spark, path, key)
+      case Parquet => None
+    }
+
+  /** [[bucketLayoutMoR]] restricted to DELETE-FREE snapshots — the
+    * compatibility surface for callers that read the files directly
+    * without applying masks. */
   def bucketLayoutSized(spark: SparkSession, path: String, key: String)
       : Option[(Int, Map[Int, Seq[(String, Long)]])] =
-    detect(spark, path) match {
-      case Iceberg => IcebergRead.bucketLayoutSized(spark, path, key)
-      case Delta => DeltaRead.bucketLayoutSized(spark, path, key)
-      case Parquet => None
+    bucketLayoutMoR(spark, path, key).collect {
+      case (n, m, NoDeletes) => (n, m)
     }
 
   /** [[bucketLayoutSized]] without the sizes. */
@@ -1166,6 +1211,37 @@ object Lake {
     bucketLayoutSized(spark, path, key).map { case (n, m) =>
       (n, m.map { case (b, fs) => b -> fs.map(_._1) })
     }
+
+  /** FILE-STATS PRUNING for the bucket-local scans: the set of live files
+    * `pred` can NEVER match, by the same min/max/null/bloom translation
+    * the delegated scans apply ([[graft.operators.DataSkipping
+    * .fileSurvives]]) over the format's persisted per-file stats. Returns
+    * the REJECTED set (bare URI paths) rather than the keep set so a
+    * concurrent commit between the layout probe and this stats read can
+    * only under-prune, never drop a live file the stats frame missed.
+    * Empty on any refusal — pruning is an optimization; correctness never
+    * depends on it. */
+  def fileSkipRejects(spark: SparkSession, path: String,
+      pred: org.apache.spark.sql.Column): Set[String] = scala.util.Try {
+    val stats = fileStats(spark, path)
+    val statCols = stats.columns.collect {
+      case c if c.startsWith("min_") => c.stripPrefix("min_") }.toSet
+    val bloomCols = stats.columns.collect {
+      case c if c.startsWith("bloom_") => c.stripPrefix("bloom_") }.toSet
+    val schema = tableSchema(spark, path)
+    val cond = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      .where(pred).queryExecution.analyzed
+      .collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.getOrElse(return Set.empty[String])
+    val survives =
+      graft.operators.DataSkipping.fileSurvives(cond, statCols, bloomCols)
+    // NOT(survives): a NULL verdict keeps the file (not rejected)
+    stats.where(!survives).select("file").collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath)
+      .toSet
+  }.getOrElse(Set.empty)
 
   /** The schema the bucket-local (by-name) reader resolves against. */
   def tableSchema(spark: SparkSession, path: String)
@@ -1205,8 +1281,8 @@ object Lake {
       smallFileBytes: Long = 64L << 20, targetFileBytes: Long = 128L << 20,
       zorderBy: Seq[String] = Nil,
       retain: Int = 7, minFileAgeMs: Long = 24L * 3600 * 1000,
-      checkpointEveryCommits: Int = 10): Maintenance =
-    detect(spark, path) match {
+      checkpointEveryCommits: Int = 10, analyze: Boolean = false): Maintenance = {
+    val result = detect(spark, path) match {
       case Delta =>
         val before = DeltaRead.snapshotInfo(spark, path).version
         val v = DeltaWrite.compact(spark, path, smallFileBytes, targetFileBytes, zorderBy)
@@ -1234,6 +1310,20 @@ object Lake {
         s"plain parquet at $path has no transaction log to maintain — " +
           "use Layout.compact for a copy-based re-layout")
     }
+    // ANALYZE FRESHNESS: every commit above (and every append since the
+    // last ANALYZE) silently withdraws the planner inputs keyed to the
+    // stats' version — broadcast hints, join reordering, the agg budget
+    // gate's group estimates. Scheduled maintenance is exactly where
+    // stats should be re-derived, so `analyze = true` re-runs the
+    // one-pass ANALYZE when the recorded stats version is stale (or
+    // absent), restoring routing/hints in the same maintenance window.
+    if (analyze) {
+      val fresh = tableStats(spark, path)
+        .exists(_.version == versionOf(spark, path))
+      if (!fresh) analyzeTable(spark, path)
+    }
+    result
+  }
 
   /** MERGE/UPSERT dispatch: key-matched rows replaced, new keys inserted —
     * Delta as one DV-delete+append commit, Iceberg as equality-delete +

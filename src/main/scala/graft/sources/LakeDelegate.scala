@@ -563,7 +563,7 @@ private[sources] object LakeDelegate {
   /** Manifest bytes of one table's LARGEST bucket — the auto-routes' build/
     * map sizing input (cached layout replay, zero filesystem calls). */
   private def maxBucketBytes(spark: SparkSession, path: String, key: String): Long =
-    bucketLayoutSized(spark, path, key)
+    bucketLayoutMoR(spark, path, key)
       .map(_._2.values.map(_.map(_._2).sum).maxOption.getOrElse(0L))
       .getOrElse(0L)
 
@@ -583,9 +583,18 @@ private[sources] object LakeDelegate {
   private def aggRouteFits(spark: SparkSession, path: String, key: String,
       schema: org.apache.spark.sql.types.StructType, groupCols: Seq[String],
       nAggs: Int, distinctArgs: Seq[Option[Seq[String]]] = Nil): Boolean = {
+    // DISTINCT seen-sets have NO spill path (they must stay complete for
+    // the flush-merge to never double-count), so they need a gate that
+    // works WITHOUT stats: the largest bucket's manifest bytes, inflated
+    // to heap row size, bound the per-partition pair set — refuse past
+    // the budget instead of letting an unanalyzed table OOM where the
+    // shuffled plan it replaced would have spilled.
+    if (distinctArgs.nonEmpty &&
+      maxBucketBytes(spark, path, key) * HeapInflation >
+        budgetBytes(spark, "graft.route.aggBudgetBytes", 1L << 30)) return false
     val st = tableStats(spark, path).getOrElse(return true)
     if (st.version != versionOf(spark, path)) return true
-    val n = bucketLayout(spark, path, key)
+    val n = bucketLayoutMoR(spark, path, key)
       .map(_._1).getOrElse(return true)
     val ndvs = groupCols.map(c => st.ndv.get(c).filter(_ > 0)
       .map(_.toDouble).getOrElse(return true))
@@ -760,9 +769,95 @@ private[sources] object LakeDelegate {
     val aliases = rels.flatMap(_.alias).map(lcs)
     if (aliases.distinct.length != aliases.length) return None
 
-    if (rels.length == 1) aggRoutePlan(spark, statement, plan, core, rels.head)
+    if (rels.length == 1)
+      aggRoutePlan(spark, statement, plan, core, rels.head)
+        .orElse(windowRoutePlan(spark, statement, plan, core, rels.head))
     else spjRoutePlan(spark, statement, plan, core, rels, joins)
   }
+
+  /** BUCKET-LOCAL WINDOW FUNCTIONS: a single-table statement whose EVERY
+    * `OVER` clause partitions by a column set including the bucket key is
+    * bucket-confined for exactly the reason GROUP BY is — so the table
+    * swaps for the clustering-declared co-partitioned reader
+    * ([[graft.operators.BucketedAgg.clusteredReader]]) and Spark's OWN
+    * `WindowExec` plans on top WITHOUT its exchange (the per-partition
+    * sort stays, as a narrow spill-capable SortExec). Stock Spark pays a
+    * full-fact `Exchange hashpartitioning` for the B3 top-k-per-key and
+    * B4 running-sum shapes; here the window moves ZERO bytes. The WHERE
+    * pushes into the per-bucket scans (and file-stats-prunes) and stays
+    * in the plan (idempotent re-filter). Refusals: any Aggregate in the
+    * statement (window-over-rollup input is no longer the table), an
+    * empty PARTITION BY, or no spec covering a bucketable key. */
+  private def windowRoutePlan(spark: SparkSession, statement: String,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      core: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      rel: RRel): Option[DataFrame] = scala.util.Try {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedHaving, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.{Expression, WindowSpecDefinition}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, SubqueryAlias}
+    import org.apache.spark.sql.graft.Bridge
+    if (plan.collectFirst {
+      case a: Aggregate => a
+      case h: UnresolvedHaving => h
+    }.isDefined) return None
+    val allExprs: Seq[Expression] = plan.collect { case n => n.expressions }.flatten
+    val specs = allExprs.flatMap(_.collect { case w: WindowSpecDefinition => w })
+    if (specs.isEmpty) return None
+    if (specs.exists(_.partitionSpec.isEmpty)) return None
+    def plainCol(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => a.nameParts match {
+        case Seq(c) => rel.cols.get(lcs(c))
+        case Seq(q, c) if rel.alias.exists(_.equalsIgnoreCase(q)) =>
+          rel.cols.get(lcs(c))
+        case _ => None
+      }
+      case _ => None
+    }
+    // one key every spec partitions by, with a live bucket layout
+    val candidates = specs.map(_.partitionSpec.flatMap(plainCol).toSet)
+      .reduce(_ intersect _)
+    val key = candidates.toSeq.sorted.find(c =>
+      Lake.bucketLayoutMoR(spark, rel.ref.path, c).isDefined)
+      .getOrElse(return None)
+    // the WHERE directly over the scan pushes (and stays in the plan —
+    // deterministic re-filter is a no-op); other shapes just don't push
+    val whereCol = plan.collectFirst {
+      case f: Filter if f.child eq core => f.condition
+    }.flatMap { c =>
+      val relAliases = rel.alias.map(lcs).toSet
+      val stripped = c.transformUp {
+        case a: UnresolvedAttribute if a.nameParts.length >= 2 &&
+            relAliases.contains(lcs(a.nameParts.head)) =>
+          UnresolvedAttribute(a.nameParts.tail)
+      }
+      val ok = stripped.deterministic && stripped.collect {
+        case a: UnresolvedAttribute => a
+      }.forall(plainCol(_).isDefined)
+      if (ok) Some(Bridge.column(stripped)) else None
+    }
+    val readCols = allExprs.flatMap(_.collect {
+      case a: UnresolvedAttribute => a
+    }).flatMap(plainCol).distinct
+    val reader = graft.operators.BucketedAgg.clusteredReader(
+      spark, rel.ref.path, key, readCols, whereCol)
+    val view = "graft_bwin_" + md5short(statement)
+    reader.createOrReplaceTempView(view)
+    val viewRel = UnresolvedRelation(Seq(view))
+    // the reader PRESERVES column names, so the reference swaps in place
+    // (alias kept — no qualifier stripping needed)
+    val replacement = rel.alias match {
+      case Some(a) => SubqueryAlias(a, viewRel)
+      case None => viewRel
+    }
+    val newPlan = plan.transformDown { case n if n eq rel.node => replacement }
+    try {
+      val df = Bridge.ofRows(spark, newPlan)
+      scala.util.Try(spark.catalog.dropTempView(view))
+      Some(df)
+    } catch { case scala.util.control.NonFatal(_) =>
+      scala.util.Try(spark.catalog.dropTempView(view)); None
+    }
+  }.toOption.flatten
 
   /** The single-table bucket-local aggregation/DISTINCT route over the
     * parsed plan (see [[autoRoute]]). */
@@ -845,8 +940,15 @@ private[sources] object LakeDelegate {
               relAliases.contains(lcs(a.nameParts.head)) =>
             UnresolvedAttribute(a.nameParts.tail)
         }}
-      try Some(Bridge.ofRows(spark, newPlan))
-      catch { case scala.util.control.NonFatal(_) =>
+      // the view exists only to let analysis resolve the routed subtree;
+      // once ofRows has analyzed EAGERLY the DataFrame holds the resolved
+      // plan and needs no catalog entry — drop on success too, or distinct
+      // routed statements accumulate temp views for the session's lifetime
+      try {
+        val df = Bridge.ofRows(spark, newPlan)
+        scala.util.Try(spark.catalog.dropTempView(view))
+        Some(df)
+      } catch { case scala.util.control.NonFatal(_) =>
         scala.util.Try(spark.catalog.dropTempView(view)); None
       }
     }
@@ -1018,12 +1120,17 @@ private[sources] object LakeDelegate {
       }
     }
     val (pairConj, lRel, rRel, lk, rk) = found.getOrElse(return None)
-    // MEMORY GATE: the per-bucket local join BUILDS the whole right bucket
-    // in heap (no spill there). Manifest byte sizes are always known —
-    // refuse when the largest right bucket, inflated to in-heap row size,
-    // exceeds the budget; the shuffled plan (which spills) runs instead.
-    if (maxBucketBytes(spark, rRel.ref.path, rk) * HeapInflation >
-      budgetBytes(spark, "graft.route.buildBudgetBytes", 1L << 30)) return None
+    // MEMORY GATE → GRACE: the per-bucket local join builds the whole
+    // right bucket in heap. Past the budget the route no longer refuses —
+    // oversized buckets GRACE-SPLIT into key-hash sub-joins inside
+    // [[graft.operators.BucketedJoin]] (both sides re-read k times on
+    // disjoint key slices; still zero exchange). Only a layout needing
+    // more than MaxGraceSplits slices refuses to the shuffled plan.
+    val graceBudget = budgetBytes(spark,
+      "graft.route.buildBudgetBytes", 1L << 30) / HeapInflation
+    if (graceBudget <= 0 ||
+      maxBucketBytes(spark, rRel.ref.path, rk) >
+        graceBudget * graft.operators.BucketedJoin.MaxGraceSplits) return None
     val pairIdx = Set(lRel.idx, rRel.idx)
     val pairAliases: Set[String] = Set(lRel.alias, rRel.alias).flatten.map(lcs)
     def strip(e: Expression): Expression = e.transformUp {
@@ -1115,7 +1222,8 @@ private[sources] object LakeDelegate {
       leftCols = (keepL.result() :+ lk).distinct,
       rightCols = rightKeep,
       leftWhere = whereL, rightWhere = whereR, residual = residual,
-      splitBucketBytes = split, rightKey = rk)
+      splitBucketBytes = split, rightKey = rk,
+      buildBudgetBytes = graceBudget)
     val view = "graft_spj_" + md5short(statement)
     val viewRel = UnresolvedRelation(Seq(view))
 
@@ -1186,8 +1294,12 @@ private[sources] object LakeDelegate {
       case None =>
         buildJoin(graft.operators.BucketedJoin.DefaultSplitBucketBytes)
           .createOrReplaceTempView(view)
-        try Some(org.apache.spark.sql.graft.Bridge.ofRows(spark, newPlan))
-        catch { case scala.util.control.NonFatal(_) =>
+        // dropped on success too — see the agg route's rationale
+        try {
+          val df = org.apache.spark.sql.graft.Bridge.ofRows(spark, newPlan)
+          scala.util.Try(spark.catalog.dropTempView(view))
+          Some(df)
+        } catch { case scala.util.control.NonFatal(_) =>
           scala.util.Try(spark.catalog.dropTempView(view)); None
         }
     }
@@ -1301,8 +1413,12 @@ private[sources] object LakeDelegate {
       havingCond.map(Filter(_, rel2)).getOrElse(rel2))
     val replaceAt: LogicalPlan = havingNode.getOrElse(a)
     val newPlan = plan.transformDown { case n if n eq replaceAt => newSub }
-    try Some(Bridge.ofRows(spark, newPlan))
-    catch { case scala.util.control.NonFatal(_) =>
+    // dropped on success too — see the agg route's rationale
+    try {
+      val df = Bridge.ofRows(spark, newPlan)
+      scala.util.Try(spark.catalog.dropTempView(view2))
+      Some(df)
+    } catch { case scala.util.control.NonFatal(_) =>
       scala.util.Try(spark.catalog.dropTempView(view2)); None
     }
   }.toOption.flatten

@@ -1054,6 +1054,10 @@ private[sources] object LakeSql {
     if (cols.isEmpty) return None
     if (cols.head.toUpperCase(java.util.Locale.ROOT).startsWith("DISTINCT"))
       return None // SELECT DISTINCT is the delegated dialect
+    // window functions are the delegated dialect too: the bucket-local
+    // window route (zero-exchange PARTITION BY the bucket key) lives
+    // behind delegateSelect, and selectExpr here would silently bypass it
+    if (cols.exists(c => topLevelKeyword(c, "OVER") >= 0)) return None
     val PathHead = """(?s)\s*'([^']+)'\s*(.*)""".r
     val (path, tail0) = body.substring(fromIdx + 4) match {
       case PathHead(p, t) => (p, t.trim)

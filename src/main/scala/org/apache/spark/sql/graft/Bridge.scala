@@ -109,4 +109,32 @@ object Bridge {
       schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
+
+  /** [[internalCreateDataFrame]] DECLARING a hash-clustered output
+    * partitioning on `clusterCols`: the caller guarantees rows with equal
+    * cluster-column values share an RDD partition (the co-partitioned
+    * bucket reader's invariant), so `EnsureRequirements` satisfies any
+    * `ClusteredDistribution` over a superset of the columns and Spark's
+    * OWN Window/Aggregate operators plan WITHOUT an exchange on top.
+    *
+    * The declared `HashPartitioning` is NOMINAL — the actual placement is
+    * the Iceberg bucket transform, not Spark's hash. Clustering-based
+    * requirements only need co-location of equal values (true), but an
+    * exact-partitioning requirement (co-partitioned join against a real
+    * Spark exchange) would mis-align rows: callers must confine these
+    * frames to SINGLE-TABLE plans. */
+  def internalCreateDataFrameClustered(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType,
+      clusterCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema)
+    val cluster = attrs.filter(a => clusterCols.contains(a.name))
+    require(cluster.nonEmpty, s"no cluster columns $clusterCols in ${schema.fieldNames.mkString(",")}")
+    val partitioning = org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(
+      cluster, math.max(1, rdd.getNumPartitions))
+    org.apache.spark.sql.classic.Dataset.ofRows(session,
+      org.apache.spark.sql.execution.LogicalRDD(attrs, rdd, partitioning,
+        Nil, isStreaming = false)(session))
+  }
 }

@@ -123,14 +123,24 @@ class BucketingSpec extends SparkSpec {
       s"""CREATE TABLE '$sqlRoot/d' (id BIGINT, ts TIMESTAMP) USING delta
           PARTITIONED BY (day(ts))"""))
 
-    // guards: unequal n and deleted rows both refuse (fall back to shuffle)
+    // guards: unequal n refuses (fall back to shuffle); a merge-on-read
+    // DELETE no longer does (r19) — the position-delete mask applies
+    // inside the bucket-local scans and the join stays exact
     IcebergWrite.append(spark, customer, s"$root/cust4",
       partitionBy = Seq("bucket(4, o_custkey)"))
     intercept[IllegalArgumentException](BucketedJoin.coBucketedJoin(spark,
       s"$root/orders", s"$root/cust4", "o_custkey"))
     IcebergWrite.deleteWhere(spark, s"$root/customer", col("o_custkey") === 1L)
-    assert(!BucketedJoin.coBucketed(spark, s"$root/orders", s"$root/customer",
+    assert(BucketedJoin.coBucketed(spark, s"$root/orders", s"$root/customer",
       "o_custkey"))
+    val afterDel = BucketedJoin.coBucketedJoin(spark,
+      s"$root/orders", s"$root/customer", "o_custkey")
+    assert(!afterDel.rdd.toDebugString.contains("ShuffledRDD"))
+    assert(afterDel.where(col("o_custkey") === 1L).count() === 0)
+    val delTwin = IcebergRead.snapshot(spark, s"$root/orders")
+      .join(IcebergRead.snapshot(spark, s"$root/customer"), "o_custkey")
+      .select(afterDel.columns.map(col): _*)
+    assert(afterDel.count() === delTwin.count())
   }
 
   test("bucket join prunes columns + pushes predicates into per-bucket scans; residual + skew split stay exact") {
@@ -271,12 +281,17 @@ class BucketingSpec extends SparkSpec {
     assert(plan.contains("ExistingRDD"), plan.take(1500))
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin") &&
       !plan.contains("ShuffledHashJoin"), plan.take(2000))
-    // (b) the SPJ view carries exactly the referenced columns
-    val viewCols = spark.catalog.listTables().collect()
-      .map(_.name).filter(_.startsWith("graft_spj_"))
-      .map(v => spark.table(v).columns.toSet)
-    assert(viewCols.exists(_ == Set("o_custkey", "o_totalprice", "c_acctbal", "c_mktsegment")),
-      viewCols.mkString("; "))
+    // (b) the routed subtree carries exactly the referenced columns — read
+    // off the embedded LogicalRDD (the temp view itself is DROPPED right
+    // after the plan materializes, so the session catalog stays clean)
+    val rddCols = routed.queryExecution.analyzed.collect {
+      case l if l.getClass.getSimpleName == "LogicalRDD" =>
+        l.output.map(_.name).toSet
+    }
+    assert(rddCols.exists(_ == Set("o_custkey", "o_totalprice", "c_acctbal", "c_mktsegment")),
+      rddCols.mkString("; "))
+    assert(!spark.catalog.listTables().collect().map(_.name)
+      .exists(_.startsWith("graft_spj_")), "routed temp view must be dropped")
     // result identical to the shuffled twin
     val twin = IcebergRead.snapshot(spark, s"$root/orders").as("o")
       .where(col("o_totalprice") > 1000.0)
@@ -1065,15 +1080,25 @@ class BucketingSpec extends SparkSpec {
     assert(!postCompact.queryExecution.executedPlan.toString.contains("Join"))
     assert(postCompact.collect().toSeq === sTwin.collect().toSeq)
 
-    // a REWRITING commit (delete) drops the prefix on its staged files —
-    // the layout refuses and callers fall back to the shuffled plan
+    // a merge-on-read DELETE lands as DVs (paths — and so ordinals —
+    // unchanged): since r19 the layout KEEPS being offered, the masks
+    // apply inside the bucket-local scans, and the route still fires; the
+    // mask-less compat probe is what refuses
     DeltaWrite.deleteWhere(spark, s"$root/customer", col("c_custkey") === 1L)
     assert(DeltaRead.bucketLayoutSized(spark, s"$root/customer", "c_custkey").isEmpty)
-    assert(!BucketedJoin.coBucketed(spark, s"$root/orders", s"$root/customer",
+    assert(DeltaRead.bucketLayoutMoR(spark, s"$root/customer", "c_custkey").isDefined)
+    assert(BucketedJoin.coBucketed(spark, s"$root/orders", s"$root/customer",
       "o_custkey", "c_custkey"))
     val fb = Lake.sqlFrame(spark, stmt)
-    assert(fb.queryExecution.executedPlan.toString.contains("Join"))
-    assert(fb.collect().length === sTwin.collect().length)
+    assert(!fb.queryExecution.executedPlan.toString.contains("Join"))
+    val fbTwin = DeltaRead.snapshot(spark, s"$root/orders")
+      .where(col("o_totalprice") > 1000.0)
+      .join(DeltaRead.snapshot(spark, s"$root/customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+    assert(fb.collect().toSeq === fbTwin.collect().toSeq)
 
     // a mismatched explicit spec on an existing bucketed table refuses
     intercept[IllegalArgumentException](DeltaWrite.append(spark, orders,
@@ -1135,5 +1160,362 @@ class BucketingSpec extends SparkSpec {
       b.withColumnRenamed("c_acctbal", "balance").limit(50),
       s"$root/b", partitionBy = Seq("bucket(4, o_custkey)"))
     assert(!BucketedJoin.coBucketed(spark, s"$root/a", s"$root/b", "o_custkey"))
+  }
+
+  test("merge-on-read deletes keep the bucket layout: DV and position-delete masks apply bucket-locally") {
+    import graft.operators.{BucketedAgg, BucketedJoin}
+    import graft.sources.{DeltaRead, DeltaWrite, IcebergRead, IcebergWrite, Lake, LayoutDeletes, NoDeletes}
+    val root = java.nio.file.Files.createTempDirectory("graft_mor").toString
+    val orders = Tables(spark, sf001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val customer = Tables(spark, sf001, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+
+    // ---- DELTA: a DV delete must NOT forfeit the layout ----
+    DeltaWrite.append(spark, orders, s"$root/d_orders",
+      partitionBy = Seq("bucket(8, o_custkey)"))
+    DeltaWrite.append(spark, customer, s"$root/d_customer",
+      partitionBy = Seq("bucket(8, c_custkey)"))
+    DeltaWrite.deleteWhere(spark, s"$root/d_orders", col("o_orderkey") % 7 === 0)
+    // the delete landed as DVs (paths unchanged), and the MoR probe offers
+    // the layout carrying them; the mask-less compat probe refuses
+    val morD = Lake.bucketLayoutMoR(spark, s"$root/d_orders", "o_custkey")
+    assert(morD.isDefined)
+    assert(morD.get._3.isInstanceOf[LayoutDeletes.Dv],
+      s"expected DV masks, got ${morD.get._3}")
+    assert(Lake.bucketLayoutSized(spark, s"$root/d_orders", "o_custkey").isEmpty)
+
+    // SPJ over the DV-masked fact: zero shuffle, equal to the shuffled
+    // twin (whose snapshot reader applies the DVs independently)
+    val joined = BucketedJoin.coBucketedJoin(spark,
+      s"$root/d_orders", s"$root/d_customer", "o_custkey",
+      rightKey = "c_custkey")
+    assert(!joined.rdd.toDebugString.contains("ShuffledRDD"),
+      joined.rdd.toDebugString.take(2000))
+    val twin = DeltaRead.snapshot(spark, s"$root/d_orders")
+      .join(DeltaRead.snapshot(spark, s"$root/d_customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(joined.columns.map(col): _*)
+    assert(joined.count() === twin.count())
+    assert(joined.exceptAll(twin).isEmpty && twin.exceptAll(joined).isEmpty)
+    // no deleted row survives into the join
+    assert(joined.where(col("o_orderkey") % 7 === 0).count() === 0)
+
+    // bucket-local aggregation over the DV-masked table: counts must see
+    // the deletes (the mask applies inside the per-bucket scans)
+    val agg = BucketedAgg.bucketLocalAgg(spark, s"$root/d_orders",
+      "o_custkey", Seq("o_custkey"),
+      Seq(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("rev")))
+    assert(!agg.rdd.toDebugString.contains("ShuffledRDD"))
+    val aggTwin = DeltaRead.snapshot(spark, s"$root/d_orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("rev"))
+    assert(agg.count() === aggTwin.count())
+    assert(agg.exceptAll(aggTwin).isEmpty && aggTwin.exceptAll(agg).isEmpty)
+
+    // the plain-SQL auto-route still fires post-DELETE (statement surface)
+    val routed = Lake.sqlFrame(spark,
+      s"""SELECT o_custkey, count(*) AS cnt FROM '$root/d_orders'
+          GROUP BY o_custkey ORDER BY o_custkey""")
+    val routedTwin = DeltaRead.snapshot(spark, s"$root/d_orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+      .orderBy("o_custkey")
+    assert(routed.collect().toSeq === routedTwin.collect().toSeq)
+
+    // ---- ICEBERG: a position delete must NOT forfeit the layout ----
+    IcebergWrite.append(spark, orders, s"$root/i_orders",
+      partitionBy = Seq("bucket(8, o_custkey)"))
+    IcebergWrite.append(spark, customer, s"$root/i_customer",
+      partitionBy = Seq("bucket(8, c_custkey)"))
+    IcebergWrite.deleteWhere(spark, s"$root/i_orders", col("o_orderkey") % 5 === 0)
+    val morI = Lake.bucketLayoutMoR(spark, s"$root/i_orders", "o_custkey")
+    assert(morI.isDefined)
+    assert(morI.get._3.isInstanceOf[LayoutDeletes.Pos],
+      s"expected position-delete masks, got ${morI.get._3}")
+    assert(Lake.bucketLayoutSized(spark, s"$root/i_orders", "o_custkey").isEmpty)
+
+    val ij = BucketedJoin.coBucketedJoin(spark,
+      s"$root/i_orders", s"$root/i_customer", "o_custkey",
+      rightKey = "c_custkey",
+      leftWhere = Some(col("o_totalprice") > 1000.0))
+    assert(!ij.rdd.toDebugString.contains("ShuffledRDD"),
+      ij.rdd.toDebugString.take(2000))
+    val ijTwin = IcebergRead.snapshot(spark, s"$root/i_orders")
+      .where(col("o_totalprice") > 1000.0)
+      .join(IcebergRead.snapshot(spark, s"$root/i_customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(ij.columns.map(col): _*)
+    assert(ij.count() === ijTwin.count())
+    assert(ij.exceptAll(ijTwin).isEmpty && ijTwin.exceptAll(ij).isEmpty)
+    assert(ij.where(col("o_orderkey") % 5 === 0).count() === 0)
+
+    // count(DISTINCT …) through the masked scans stays exact
+    val cd = BucketedAgg.bucketLocalAgg(spark, s"$root/i_orders",
+      "o_custkey", Seq("o_custkey"),
+      Seq(countDistinct(col("o_orderkey")).as("uniq")))
+    assert(!cd.rdd.toDebugString.contains("ShuffledRDD"))
+    val cdTwin = IcebergRead.snapshot(spark, s"$root/i_orders")
+      .groupBy("o_custkey").agg(countDistinct(col("o_orderkey")).as("uniq"))
+    assert(cd.exceptAll(cdTwin).isEmpty && cdTwin.exceptAll(cd).isEmpty)
+
+    // ---- EQUALITY deletes still refuse (sequence-number scoping) ----
+    import spark.implicits._
+    IcebergWrite.append(spark, customer, s"$root/i_eq",
+      partitionBy = Seq("bucket(4, c_custkey)"))
+    val keys = IcebergRead.snapshot(spark, s"$root/i_eq")
+      .select("c_custkey").limit(3)
+    IcebergWrite.deleteWhereEquals(spark, s"$root/i_eq", keys)
+    assert(Lake.bucketLayoutMoR(spark, s"$root/i_eq", "c_custkey").isEmpty)
+  }
+
+  test("file-stats pruning shrinks bucket scans under a range WHERE (both formats)") {
+    import graft.operators.BucketedJoin
+    import graft.sources.{DeltaRead, DeltaWrite, IcebergRead, IcebergWrite, Lake}
+    val root = java.nio.file.Files.createTempDirectory("graft_bprune").toString
+    val orders = Tables(spark, sf001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val mid = orders.agg(max(col("o_orderkey"))).head.get(0)
+      .asInstanceOf[Number].longValue / 2
+
+    // two appends with DISJOINT key ranges: every bucket holds files from
+    // both, so a range WHERE must reject the out-of-range half per bucket
+    Seq(
+      ("ice", (df: org.apache.spark.sql.DataFrame, p: String) =>
+        IcebergWrite.append(spark, df, p, partitionBy = Seq("bucket(4, o_custkey)"))),
+      ("delta", (df: org.apache.spark.sql.DataFrame, p: String) =>
+        DeltaWrite.append(spark, df, p, partitionBy = Seq("bucket(4, o_custkey)")): Unit)
+    ).foreach { case (tag, append) =>
+      val p = s"$root/$tag"
+      append(orders.where(col("o_orderkey") <= mid), p)
+      append(orders.where(col("o_orderkey") > mid), p)
+      val layout = Lake.bucketLayoutMoR(spark, p, "o_custkey").get._2
+      val total = layout.values.map(_.size).sum
+      assert(total >= 2, s"$tag: expected multiple files, got $total")
+      val pruned = BucketedJoin.pruneLayout(spark, p,
+        Some(col("o_orderkey") <= mid), layout)
+      val kept = pruned.values.map(_.size).sum
+      assert(kept < total, s"$tag: range WHERE pruned nothing ($kept of $total)")
+      assert(kept >= 1, s"$tag: range WHERE over-pruned")
+      // an impossible predicate rejects EVERY file from the stats alone
+      val none = BucketedJoin.pruneLayout(spark, p,
+        Some(col("o_totalprice") > 1e18), layout)
+      assert(none.values.forall(_.isEmpty), s"$tag: impossible WHERE kept files")
+    }
+
+    // the real join path: pruned scans, results hash-equal to the twin
+    val customer = Tables(spark, sf001, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+    IcebergWrite.append(spark, customer, s"$root/cust",
+      partitionBy = Seq("bucket(4, c_custkey)"))
+    val joined = BucketedJoin.coBucketedJoin(spark,
+      s"$root/ice", s"$root/cust", "o_custkey", rightKey = "c_custkey",
+      leftWhere = Some(col("o_orderkey") <= mid))
+    assert(!joined.rdd.toDebugString.contains("ShuffledRDD"))
+    val twin = IcebergRead.snapshot(spark, s"$root/ice")
+      .where(col("o_orderkey") <= mid)
+      .join(IcebergRead.snapshot(spark, s"$root/cust"),
+        col("o_custkey") === col("c_custkey"))
+      .select(joined.columns.map(col): _*)
+    assert(joined.count() === twin.count())
+    assert(joined.exceptAll(twin).isEmpty && twin.exceptAll(joined).isEmpty)
+
+    // both sides fully pruned: the routed plan opens NO parquet file at
+    // all — the lineage carries no FileScanRDD, only the empty alignment
+    // partitions
+    val empty = BucketedJoin.coBucketedJoin(spark,
+      s"$root/ice", s"$root/cust", "o_custkey", rightKey = "c_custkey",
+      leftWhere = Some(col("o_totalprice") > 1e18),
+      rightWhere = Some(col("c_acctbal") > 1e18))
+    assert(empty.count() === 0)
+    assert(!empty.rdd.toDebugString.contains("FileScanRDD"),
+      empty.rdd.toDebugString.take(2000))
+  }
+
+  test("grace sub-partitioning: an over-budget build splits bucket-locally and stays exact") {
+    import graft.operators.BucketedJoin
+    import graft.sources.{IcebergRead, IcebergWrite, Lake}
+    val root = java.nio.file.Files.createTempDirectory("graft_grace").toString
+    val orders = Tables(spark, sf001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val customer = Tables(spark, sf001, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    IcebergWrite.append(spark, orders, s"$root/orders",
+      partitionBy = Seq("bucket(4, o_custkey)"))
+    IcebergWrite.append(spark, customer, s"$root/customer",
+      partitionBy = Seq("bucket(4, c_custkey)"))
+
+    // budget ≈ a third of the largest right bucket → k ≈ 3 sub-joins per
+    // bucket; the join stays shuffle-free, fans out past n partitions, and
+    // matches the un-graced twin row for row
+    val layout = Lake.bucketLayoutMoR(spark, s"$root/customer", "c_custkey").get._2
+    val maxBytes = layout.values.map(_.map(_._2).sum).max
+    val budget = math.max(1L, maxBytes / 3)
+    val graced = BucketedJoin.coBucketedJoin(spark, s"$root/orders",
+      s"$root/customer", "o_custkey", rightKey = "c_custkey",
+      buildBudgetBytes = budget)
+    assert(!graced.rdd.toDebugString.contains("ShuffledRDD"),
+      graced.rdd.toDebugString.take(2000))
+    assert(graced.rdd.getNumPartitions > 4,
+      s"grace must fan out past n buckets, got ${graced.rdd.getNumPartitions}")
+    val twin = BucketedJoin.coBucketedJoin(spark, s"$root/orders",
+      s"$root/customer", "o_custkey", rightKey = "c_custkey")
+    assert(graced.count() === twin.count() && graced.count() > 0)
+    assert(graced.exceptAll(twin).isEmpty && twin.exceptAll(graced).isEmpty)
+
+    // absurdly small budget: more than MaxGraceSplits slices → loud refusal
+    intercept[IllegalArgumentException](BucketedJoin.coBucketedJoin(spark,
+      s"$root/orders", s"$root/customer", "o_custkey", rightKey = "c_custkey",
+      buildBudgetBytes = 1L))
+
+    // the auto-route with an over-budget build now routes VIA grace
+    // instead of refusing — including the FUSED join+rollup (grace slices
+    // are key-confined, so per-partition groups stay complete)
+    val stmt = s"""SELECT c.c_mktsegment, count(*) AS cnt
+      FROM '$root/orders' o JOIN '$root/customer' c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"""
+    val fusedStmt = s"""SELECT o.o_custkey, count(*) AS cnt,
+        round(sum(o.o_totalprice), 2) AS rev
+      FROM '$root/orders' o JOIN '$root/customer' c ON o.o_custkey = c.c_custkey
+      GROUP BY o.o_custkey ORDER BY o.o_custkey"""
+    val shuffledTwin = Lake.sqlFrame(spark, stmt).collect().toSeq
+    val fusedTwin = Lake.sqlFrame(spark, fusedStmt).collect().toSeq
+    spark.conf.set("graft.route.buildBudgetBytes", (budget * 4).toString)
+    try {
+      val routed = Lake.sqlFrame(spark, stmt)
+      assert(!routed.queryExecution.executedPlan.toString.contains("Join"),
+        "over-budget SPJ must grace-split, not refuse")
+      assert(routed.collect().toSeq === shuffledTwin)
+      val fused = Lake.sqlFrame(spark, fusedStmt)
+      val fusedPlan = fused.queryExecution.executedPlan.toString
+      assert(!fusedPlan.contains("Join") && !fusedPlan.contains("HashAggregate"),
+        fusedPlan.take(2000))
+      assert(fused.collect().toSeq === fusedTwin)
+    } finally spark.conf.unset("graft.route.buildBudgetBytes")
+  }
+
+  test("bucket-local windows: PARTITION BY the bucket key plans without a window exchange") {
+    import graft.sources.{DeltaWrite, IcebergRead, IcebergWrite, Lake}
+    import org.apache.spark.sql.expressions.Window
+    val root = java.nio.file.Files.createTempDirectory("graft_bwin").toString
+    val orders = Tables(spark, sf001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    IcebergWrite.append(spark, orders.where(col("o_orderkey") % 2 === 0),
+      s"$root/t", partitionBy = Seq("bucket(8, o_custkey)"))
+    IcebergWrite.append(spark, orders.where(col("o_orderkey") % 2 === 1),
+      s"$root/t", partitionBy = Seq("bucket(8, o_custkey)"))
+
+    val stmt = s"""SELECT o_orderkey, o_custkey,
+        row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn,
+        round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS run
+      FROM '$root/t' WHERE o_totalprice > 1000.0
+      ORDER BY o_custkey, o_orderkey"""
+    val routed = Lake.sqlFrame(spark, stmt)
+    val plan = routed.queryExecution.executedPlan.toString
+    // the Window runs over the clustering-declared reader: its exchange
+    // (hashpartitioning) is GONE; the statement-tail ORDER BY keeps its
+    // rangepartitioning exchange, as any total sort must
+    assert(plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(2500))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    val twin = IcebergRead.snapshot(spark, s"$root/t")
+      .where(col("o_totalprice") > 1000.0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        row_number().over(w).as("rn"),
+        round(sum(col("o_totalprice")).over(w), 2).as("run"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+    assert(routed.collect().toSeq === twin.collect().toSeq)
+
+    // without the statement tail the whole lineage is shuffle-free
+    val noTail = Lake.sqlFrame(spark,
+      s"""SELECT o_custkey,
+          row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        FROM '$root/t'""")
+    assert(!noTail.rdd.toDebugString.contains("ShuffledRDD"),
+      noTail.rdd.toDebugString.take(2000))
+
+    // PARTITION BY a non-bucket column refuses: the ordinary plan (with
+    // its window exchange) runs, results correct
+    val off = Lake.sqlFrame(spark,
+      s"""SELECT o_orderkey,
+          row_number() OVER (PARTITION BY o_orderkey ORDER BY o_totalprice) AS rn
+        FROM '$root/t' ORDER BY o_orderkey LIMIT 10""")
+    assert(off.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"))
+    assert(off.count() === 10)
+
+    // Delta layouts route the same way (format-agnostic probe)
+    DeltaWrite.append(spark, orders, s"$root/dt",
+      partitionBy = Seq("bucket(8, o_custkey)"))
+    val dRouted = Lake.sqlFrame(spark,
+      s"""SELECT o_custkey,
+          round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS run
+        FROM '$root/dt'""")
+    assert(!dRouted.rdd.toDebugString.contains("ShuffledRDD"))
+    assert(dRouted.count() === orders.count())
+  }
+
+  test("composite day+bucket layouts: date pruning composes with the zero-exchange join") {
+    import graft.operators.BucketedJoin
+    import graft.sources.{IcebergRead, IcebergWrite, Lake}
+    val root = java.nio.file.Files.createTempDirectory("graft_comp").toString
+    val orders = Tables(spark, sf001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+    val customer = Tables(spark, sf001, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    // the canonical 100 TB fact layout: date-partitioned AND bucketed
+    IcebergWrite.append(spark, orders, s"$root/o",
+      partitionBy = Seq("day(o_orderdate)", "bucket(4, o_custkey)"))
+    IcebergWrite.append(spark, customer, s"$root/c",
+      partitionBy = Seq("bucket(4, c_custkey)"))
+
+    // the probe tolerates the sibling day() field: layout offered, many
+    // files per bucket (one per live day)
+    val layout = Lake.bucketLayoutMoR(spark, s"$root/o", "o_custkey")
+    assert(layout.isDefined, "composite day+bucket spec must offer the layout")
+    val total = layout.get._2.values.map(_.size).sum
+    assert(total > 4, s"expected per-day files, got $total")
+
+    // a date-range WHERE prunes whole days' files (the day() transform's
+    // derived intervals feed the same stats translator)
+    val Seq(mnD, mxD) = orders
+      .agg(min(col("o_orderdate")), max(col("o_orderdate"))).head
+      .toSeq.map(_.asInstanceOf[java.sql.Timestamp])
+    val cut = new java.sql.Timestamp((mnD.getTime + mxD.getTime) / 2)
+    val pruned = BucketedJoin.pruneLayout(spark, s"$root/o",
+      Some(col("o_orderdate") >= lit(cut)), layout.get._2)
+    val kept = pruned.values.map(_.size).sum
+    assert(kept < total && kept >= 1, s"date WHERE kept $kept of $total")
+
+    // the routed star query: pruned, masked, ZERO-exchange fact join —
+    // results equal the shuffled twin
+    val cutLit = cut.toString.take(19)
+    val stmt = s"""SELECT c.c_mktsegment, count(*) AS cnt,
+        round(sum(o.o_totalprice), 2) AS rev
+      FROM '$root/o' o JOIN '$root/c' c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderdate >= TIMESTAMP '$cutLit'
+      GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"""
+    val routed = Lake.sqlFrame(spark, stmt)
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD") && !plan.contains("SortMergeJoin") &&
+      !plan.contains("BroadcastHashJoin"), plan.take(2000))
+    val twin = IcebergRead.snapshot(spark, s"$root/o")
+      .where(col("o_orderdate") >= lit(cut))
+      .join(IcebergRead.snapshot(spark, s"$root/c"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("rev"))
+      .orderBy(col("c_mktsegment"))
+    assert(routed.collect().toSeq === twin.collect().toSeq)
+
+    // direct API: the join itself is shuffle-free with the date WHERE
+    val j = BucketedJoin.coBucketedJoin(spark, s"$root/o", s"$root/c",
+      "o_custkey", rightKey = "c_custkey",
+      leftWhere = Some(col("o_orderdate") >= lit(cut)))
+    assert(!j.rdd.toDebugString.contains("ShuffledRDD"))
+    assert(j.count() === IcebergRead.snapshot(spark, s"$root/o")
+      .where(col("o_orderdate") >= lit(cut))
+      .join(IcebergRead.snapshot(spark, s"$root/c"),
+        col("o_custkey") === col("c_custkey")).count())
   }
 }

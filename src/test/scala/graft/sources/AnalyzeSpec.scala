@@ -216,4 +216,33 @@ class AnalyzeSpec extends SparkSpec {
         round(sum(col("f.v") + col("m.w") + col("s.u")), 2).as("x"))
     assert(partialDf.collect().toSeq === pTwin.collect().toSeq)
   }
+
+  test("maintain(analyze = true) restores stats freshness after an append") {
+    for (fmt <- Seq("delta", "iceberg")) {
+      val t = tmp(s"graft_maintain_an_$fmt") + "/tbl"
+      val df = (1L to 500L).map(i => (i, i % 7, i * 1.0)).toDF("id", "m", "v")
+      def append(d: org.apache.spark.sql.DataFrame): Unit =
+        if (fmt == "delta") DeltaWrite.append(spark, d, t)
+        else { IcebergWrite.append(spark, d, t); () }
+      append(df)
+      Lake.sql(spark, s"ANALYZE TABLE '$t' COMPUTE STATISTICS")
+      assert(Lake.tableStats(spark, t)
+        .exists(_.version == Lake.versionOf(spark, t)), s"$fmt: fresh after ANALYZE")
+      // an append stales the stamped version — the planner inputs are
+      // silently withdrawn until someone re-runs ANALYZE
+      append(df)
+      assert(!Lake.tableStats(spark, t)
+        .exists(_.version == Lake.versionOf(spark, t)), s"$fmt: stale after append")
+      // scheduled maintenance with analyze=true re-derives them (and the
+      // rows double, proving a real re-read, not a version re-stamp)
+      Lake.maintain(spark, t, minFileAgeMs = Long.MaxValue, analyze = true)
+      val st = Lake.tableStats(spark, t).getOrElse(fail(s"$fmt: stats gone"))
+      assert(st.version === Lake.versionOf(spark, t), s"$fmt: fresh after maintain")
+      assert(st.rows === 1000L, s"$fmt: re-derived rows, got ${st.rows}")
+      // already-fresh stats are NOT recomputed (version unchanged, no-op)
+      val v = st.version
+      Lake.maintain(spark, t, minFileAgeMs = Long.MaxValue, analyze = true)
+      assert(Lake.tableStats(spark, t).exists(_.version == v), s"$fmt: no-op when fresh")
+    }
+  }
 }

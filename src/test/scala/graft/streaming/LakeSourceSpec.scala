@@ -392,4 +392,50 @@ class LakeSourceSpec extends SparkSpec {
     val df = spark.readStream.format("graft-delta").load(table)
     assert(df.isStreaming && df.schema.fieldNames.toSeq === Seq("id", "v"))
   }
+
+  test("streaming appends keep a bucketed Delta layout; routes and compaction survive") {
+    import graft.sources.Lake
+    val root = tmp("lakesrc_bucketed")
+    val table = s"$root/tbl"
+    val landing = s"$root/landing"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    // seed the table bucketed; the sink's appends then AUTO-ADOPT the
+    // stamped graft.bucketSpec (no partitionBy passed to the sink)
+    DeltaWrite.append(spark, Seq((0L, 0L)).toDF("id", "v"), table,
+      partitionBy = Seq("bucket(4, id)"))
+    // N landing files → N micro-batches (maxFilesPerTrigger = 1)
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, i * 10L), (i + 100L, i * 100L)).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(landing)
+    }
+    graft.streaming.StreamOps.deltaSink(spark, landing, schema, table,
+      appId = "bucketed_sink_spec")
+    // every streamed batch staged under __gb= prefixes: the layout (and
+    // so every zero-exchange route) still offered after N batches
+    val layout = Lake.bucketLayoutMoR(spark, table, "id")
+    assert(layout.exists(_._1 == 4), "streamed-into table must keep its layout")
+    assert(layout.get._2.values.map(_.size).sum >= 4,
+      "per-batch bucket files expected")
+    val routed = Lake.sqlFrame(spark,
+      s"SELECT id, count(*) AS cnt FROM '$table' GROUP BY id ORDER BY id")
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD") && !plan.contains("HashAggregate"),
+      plan.take(1500))
+    assert(routed.count() === 7) // seed + 3 batches × 2 rows
+    // compaction bins PER BUCKET and re-stages prefixed → layout survives,
+    // file count shrinks, the route keeps firing
+    val before = layout.get._2.values.map(_.size).sum
+    DeltaWrite.compact(spark, table)
+    val after = Lake.bucketLayoutMoR(spark, table, "id")
+    assert(after.exists(_._1 == 4), "compaction must keep the layout")
+    assert(after.get._2.values.map(_.size).sum < before,
+      "compaction must merge the per-batch files")
+    assert(Lake.sqlFrame(spark,
+      s"SELECT id, count(*) AS cnt FROM '$table' GROUP BY id ORDER BY id")
+      .count() === 7)
+  }
 }
