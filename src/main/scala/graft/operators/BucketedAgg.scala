@@ -75,25 +75,12 @@ object BucketedAgg {
   def bucketLocalAgg(spark: SparkSession, table: String, key: String,
       groupCols: Seq[String], aggs: Seq[Column],
       where: Option[Column] = None): DataFrame = {
-    import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
-    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
-    import org.apache.spark.sql.functions.col
-    import org.apache.spark.sql.graft.Bridge
 
     require(groupCols.contains(key),
       s"bucketLocalAgg: groupCols must include the bucket key '$key' — " +
         "other groupings spread a group across buckets (use the shuffled groupBy)")
-    val (n, buckets0, deletes) =
-      graft.sources.Lake.bucketLayoutMoR(spark, table, key).getOrElse(
-        throw new IllegalArgumentException(
-          s"bucketLocalAgg: $table is not cleanly bucket(n, $key)-partitioned " +
-            "— use the shuffled groupBy instead"))
-    // file-stats pruning from the pushed WHERE, like the join's sides
-    val buckets = BucketedJoin.pruneLayout(spark, table, where, buckets0)
-      .map { case (b, fs) => b -> fs.map(_._1) }
-    val schema = StructType(graft.sources.Lake.tableSchema(spark, table)
-      .fields.map(_.copy(metadata = Metadata.empty)))
+    val schema = fullSchemaOf(spark, table)
     // READ layout discovery: analyze the equivalent plan against the full
     // schema once, keep only the touched columns, and push `where` +
     // pruning into the per-bucket parquet scans (merge-on-read masks
@@ -105,7 +92,36 @@ object BucketedAgg {
       }).toSet
     val readNames = schema.fieldNames.toSeq.filter(neededNames.contains)
     val readSchema = StructType(readNames.map(schema(_)))
-    val rdd = spark.sparkContext.union((0 until n).map { b =>
+    val rdd = bucketUnionRdd(spark, table, key, schema, readSchema, where,
+      "bucketLocalAgg")
+    aggregatePartitions(spark, rdd, readSchema, groupCols, aggs)
+  }
+
+  /** The full table schema with field metadata stripped — what the
+    * by-name bucket scans resolve against. */
+  private def fullSchemaOf(spark: SparkSession, table: String): StructType =
+    StructType(graft.sources.Lake.tableSchema(spark, table)
+      .fields.map(_.copy(metadata = Metadata.empty)))
+
+  /** The MoR-masked, file-stats-pruned co-partitioned reader as an
+    * InternalRow RDD: partition i = bucket i (empty buckets keep ordinal
+    * alignment). The single scan-plumbing shared by the aggregation,
+    * DISTINCT, and clustered-window readers — a change to the scan
+    * contract lands here once. */
+  private def bucketUnionRdd(spark: SparkSession, table: String, key: String,
+      schema: StructType, readSchema: StructType, where: Option[Column],
+      caller: String)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.graft.Bridge
+    val (n, buckets0, deletes) =
+      graft.sources.Lake.bucketLayoutMoR(spark, table, key).getOrElse(
+        throw new IllegalArgumentException(
+          s"$caller: $table is not cleanly bucket(n, $key)-partitioned " +
+            "— use the shuffled plan instead"))
+    val buckets = BucketedJoin.pruneLayout(spark, table, where, buckets0)
+      .map { case (b, fs) => b -> fs.map(_._1) }
+    spark.sparkContext.union((0 until n).map { b =>
       buckets.get(b).filter(_.nonEmpty) match {
         case Some(files) =>
           Bridge.toInternalRdd(
@@ -115,7 +131,6 @@ object BucketedAgg {
           spark.sparkContext.parallelize(Seq.empty[InternalRow], 1)
       }
     })
-    aggregatePartitions(spark, rdd, readSchema, groupCols, aggs)
   }
 
   /** The co-partitioned reader AS A DATAFRAME that DECLARES its bucket
@@ -135,32 +150,16 @@ object BucketedAgg {
     * exchange. */
   def clusteredReader(spark: SparkSession, table: String, key: String,
       cols: Seq[String], where: Option[Column] = None): DataFrame = {
-    import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.graft.Bridge
-    val (n, buckets0, deletes) =
-      graft.sources.Lake.bucketLayoutMoR(spark, table, key).getOrElse(
-        throw new IllegalArgumentException(
-          s"clusteredReader: $table is not cleanly bucket(n, $key)-partitioned"))
-    val buckets = BucketedJoin.pruneLayout(spark, table, where, buckets0)
-      .map { case (b, fs) => b -> fs.map(_._1) }
-    val schema = StructType(graft.sources.Lake.tableSchema(spark, table)
-      .fields.map(_.copy(metadata = Metadata.empty)))
+    val schema = fullSchemaOf(spark, table)
     val wanted = (cols :+ key).distinct
     val missing = wanted.filterNot(schema.fieldNames.contains)
     require(missing.isEmpty,
       s"clusteredReader: unknown column(s) ${missing.mkString(",")}")
     val readSchema = StructType(
       schema.fieldNames.toSeq.filter(wanted.contains).map(schema(_)))
-    val rdd = spark.sparkContext.union((0 until n).map { b =>
-      buckets.get(b).filter(_.nonEmpty) match {
-        case Some(files) =>
-          Bridge.toInternalRdd(
-            BucketedJoin.bucketScan(spark, schema, readSchema, where, files,
-              deletes).coalesce(1))
-        case None =>
-          spark.sparkContext.parallelize(Seq.empty[InternalRow], 1)
-      }
-    })
+    val rdd = bucketUnionRdd(spark, table, key, schema, readSchema, where,
+      "clusteredReader")
     Bridge.internalCreateDataFrameClustered(spark, rdd, readSchema, Seq(key))
   }
 
@@ -186,35 +185,16 @@ object BucketedAgg {
     * as [[bucketLocalAgg]]; `where` pushes into the per-bucket scans. */
   def bucketLocalDistinct(spark: SparkSession, table: String, key: String,
       cols: Seq[String], where: Option[Column] = None): DataFrame = {
-    import org.apache.spark.sql.catalyst.InternalRow
-    import org.apache.spark.sql.graft.Bridge
     require(cols.contains(key),
       s"bucketLocalDistinct: cols must include the bucket key '$key'")
-    val (n, buckets0, deletes) =
-      graft.sources.Lake.bucketLayoutMoR(spark, table, key).getOrElse(
-        throw new IllegalArgumentException(
-          s"bucketLocalDistinct: $table is not cleanly bucket(n, $key)-" +
-            "partitioned — use the shuffled distinct instead"))
-    // file-stats pruning from the pushed WHERE, like the join's sides
-    val buckets = BucketedJoin.pruneLayout(spark, table, where, buckets0)
-      .map { case (b, fs) => b -> fs.map(_._1) }
-    val schema = StructType(graft.sources.Lake.tableSchema(spark, table)
-      .fields.map(_.copy(metadata = Metadata.empty)))
+    val schema = fullSchemaOf(spark, table)
     val missing = cols.filterNot(schema.fieldNames.contains)
     require(missing.isEmpty, s"bucketLocalDistinct: unknown column(s) " +
       s"${missing.mkString(",")}")
     val readSchema = StructType(
       schema.fieldNames.toSeq.filter(cols.contains).map(schema(_)))
-    val rdd = spark.sparkContext.union((0 until n).map { b =>
-      buckets.get(b).filter(_.nonEmpty) match {
-        case Some(files) =>
-          Bridge.toInternalRdd(
-            BucketedJoin.bucketScan(spark, schema, readSchema, where, files,
-              deletes).coalesce(1))
-        case None =>
-          spark.sparkContext.parallelize(Seq.empty[InternalRow], 1)
-      }
-    })
+    val rdd = bucketUnionRdd(spark, table, key, schema, readSchema, where,
+      "bucketLocalDistinct")
     localDistinctRdd(spark, rdd, readSchema)
   }
 

@@ -452,15 +452,20 @@ object BucketedJoin {
           val m = masked(withDv, dels)
           if (without.isEmpty) m else m.unionByName(plain(without))
         }
-      case graft.sources.LayoutDeletes.Pos(delFiles) =>
-        if (delFiles.isEmpty) plain(files)
+      case pos: graft.sources.LayoutDeletes.Pos =>
+        // the delete set loads ONCE per layout (memoized on the driver);
+        // only chunk files it actually references pay the masked path
+        val byFile = pos.byFile(spark)
+        val (withDel, without) = files.partition(f => byFile.contains(bare(f)))
+        if (withDel.isEmpty) plain(files)
         else {
-          val chunkSet = files.map(bare)
-          val dels = spark.read.parquet(delFiles: _*)
-            .select(norm(col("file_path")).as("__graft_file"),
-              col("pos").as("__graft_pos"))
-            .where(col("__graft_file").isin(chunkSet: _*))
-          masked(files, dels)
+          import spark.implicits._
+          val dels = spark.createDataset(
+            withDel.map(f => (bare(f), byFile(bare(f)))))
+            .flatMap { case (p, ps) => ps.iterator.map(x => (p, x)) }
+            .toDF("__graft_file", "__graft_pos")
+          val m = masked(withDel, dels)
+          if (without.isEmpty) m else m.unionByName(plain(without))
         }
     }
   }

@@ -20,11 +20,29 @@ object LayoutDeletes {
       byPath: Map[String, DeletionVectors.Descriptor]) extends LayoutDeletes
 
   /** Iceberg position-delete files. Our writer stages them partition-less
-    * (empty spec — one file may reference any data file), so every bucket
-    * anti-joins against all of them, restricted to its own chunk's file
-    * set; delete files are tiny relative to data and sorted by
-    * (file_path, pos), so the per-chunk read row-group-prunes well. */
-  final case class Pos(files: Seq[String]) extends LayoutDeletes
+    * (empty spec — one file may reference any data file), so the probe
+    * cannot scope them per bucket; instead [[byFile]] reads the delete
+    * set ONCE on the driver per layout-cache entry (delete files are
+    * tiny relative to data) and every chunk scan masks only the data
+    * files actually referenced — untouched chunks keep the plain scan. */
+  final case class Pos(files: Seq[String]) extends LayoutDeletes {
+    @transient private var memo: Map[String, Array[Long]] = _
+    /** (bare data-file path → sorted deleted positions), memoized — the
+      * driver-side footprint is the table's total deleted rows, the same
+      * order the DV path's blobs carry. */
+    private[graft] def byFile(spark: SparkSession): Map[String, Array[Long]] =
+      synchronized {
+        if (memo == null)
+          memo = spark.read.parquet(files: _*)
+            .select(org.apache.spark.sql.functions.col("file_path"),
+              org.apache.spark.sql.functions.col("pos"))
+            .collect()
+            .groupBy(r => new org.apache.hadoop.fs.Path(r.getString(0))
+              .toUri.getPath)
+            .map { case (f, rs) => f -> rs.map(_.getLong(1)).sorted }
+        memo
+      }
+  }
 }
 
 /** Unified table entry point: detect the table format from its on-disk

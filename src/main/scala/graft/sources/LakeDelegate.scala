@@ -585,11 +585,15 @@ private[sources] object LakeDelegate {
       nAggs: Int, distinctArgs: Seq[Option[Seq[String]]] = Nil): Boolean = {
     // DISTINCT seen-sets have NO spill path (they must stay complete for
     // the flush-merge to never double-count), so they need a gate that
-    // works WITHOUT stats: the largest bucket's manifest bytes, inflated
-    // to heap row size, bound the per-partition pair set — refuse past
-    // the budget instead of letting an unanalyzed table OOM where the
-    // shuffled plan it replaced would have spilled.
+    // works WITHOUT stats: when no CURRENT-version ANALYZE exists, the
+    // largest bucket's manifest bytes, inflated to heap row size, bound
+    // the per-partition pair set — refuse past the budget instead of
+    // letting an unanalyzed table OOM where the shuffled plan it
+    // replaced would have spilled. Fresh stats skip this coarse bound:
+    // the precise NDV seen-set model below takes over (a low-NDV
+    // distinct argument on a big bucket must keep routing).
     if (distinctArgs.nonEmpty &&
+      tableStats(spark, path).forall(_.version != versionOf(spark, path)) &&
       maxBucketBytes(spark, path, key) * HeapInflation >
         budgetBytes(spark, "graft.route.aggBudgetBytes", 1L << 30)) return false
     val st = tableStats(spark, path).getOrElse(return true)
@@ -853,7 +857,16 @@ private[sources] object LakeDelegate {
     try {
       val df = Bridge.ofRows(spark, newPlan)
       scala.util.Try(spark.catalog.dropTempView(view))
-      Some(df)
+      // PARTITIONING BARRIER: the routed plan's nominal HashPartitioning
+      // must not escape into user composition — a later join against this
+      // frame would trust it as genuine Spark-hash placement and shuffle
+      // ONLY the other side, mis-aligning rows (the placement is the
+      // Iceberg bucket transform). Re-wrap the result as a plain
+      // RDD-backed frame with Unknown partitioning; the window still
+      // runs exchange-free INSIDE the wrapped lineage, and any later
+      // consumer pays its own (correct) exchange.
+      Some(Bridge.internalCreateDataFrame(
+        spark, df.queryExecution.toRdd, df.schema))
     } catch { case scala.util.control.NonFatal(_) =>
       scala.util.Try(spark.catalog.dropTempView(view)); None
     }

@@ -1046,6 +1046,28 @@ private[sources] object LakeSql {
     * subqueries in FROM or in the predicate, set ops, expression LIMIT,
     * scalar subqueries in the projection …): the caller then delegates
     * the full statement to Spark SQL via [[delegateSelect]]. */
+  /** Whole-word occurrence of `kw` anywhere outside single-quoted
+    * strings, at ANY paren depth — the OVER detector (window syntax can
+    * sit nested inside a call, where [[Lake.topLevelKeyword]]'s depth-0
+    * restriction is blind by design). */
+  private def wordOutsideStrings(s: String, kw: String): Boolean = {
+    val u = s.toUpperCase(java.util.Locale.ROOT)
+    val k = kw.toUpperCase(java.util.Locale.ROOT)
+    def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (u.startsWith(k, i) && (i == 0 || !isWord(s.charAt(i - 1))) &&
+          (i + k.length == s.length || !isWord(s.charAt(i + k.length))))
+        return true
+      i += 1
+    }
+    false
+  }
+
   private def simpleSelect(spark: SparkSession, body: String): Option[DataFrame] = {
     import org.apache.spark.sql.functions.expr
     val fromIdx = topLevelKeyword(body, "FROM")
@@ -1056,8 +1078,11 @@ private[sources] object LakeSql {
       return None // SELECT DISTINCT is the delegated dialect
     // window functions are the delegated dialect too: the bucket-local
     // window route (zero-exchange PARTITION BY the bucket key) lives
-    // behind delegateSelect, and selectExpr here would silently bypass it
-    if (cols.exists(c => topLevelKeyword(c, "OVER") >= 0)) return None
+    // behind delegateSelect, and selectExpr here would silently bypass
+    // it. The scan must be DEPTH-BLIND — `round(sum(x) OVER (…), 2)`
+    // nests the only OVER inside a call, where topLevelKeyword is blind
+    // by design — but still string-literal-safe.
+    if (wordOutsideStrings(body.substring(0, fromIdx), "OVER")) return None
     val PathHead = """(?s)\s*'([^']+)'\s*(.*)""".r
     val (path, tail0) = body.substring(fromIdx + 4) match {
       case PathHead(p, t) => (p, t.trim)

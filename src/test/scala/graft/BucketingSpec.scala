@@ -983,6 +983,31 @@ class BucketingSpec extends SparkSpec {
     // with the default budget the analyzed table routes again
     val again = Lake.sqlFrame(spark, aggStmt)
     assert(!again.queryExecution.executedPlan.toString.contains("HashAggregate"))
+
+    // STATS-FREE DISTINCT GATE (r19): without ANALYZE a distinct route is
+    // bounded coarsely by manifest bytes (seen-sets have no spill path) —
+    // a budget below the largest bucket ×4 refuses; FRESH stats re-admit
+    // the same budget through the precise NDV seen-set model (tiny-NDV
+    // distinct argument on the same buckets)
+    val dRoot = java.nio.file.Files.createTempDirectory("graft_dgate").toString
+    IcebergWrite.append(spark, orders, s"$dRoot/t",
+      partitionBy = Seq("bucket(8, o_custkey)"))
+    val maxBucket = Lake.bucketLayoutMoR(spark, s"$dRoot/t", "o_custkey")
+      .get._2.values.map(_.map(_._2).sum).max
+    val dStmt = s"""SELECT o_custkey, count(DISTINCT o_orderpriority) AS u
+      FROM '$dRoot/t' GROUP BY o_custkey ORDER BY o_custkey LIMIT 5"""
+    spark.conf.set("graft.route.aggBudgetBytes",
+      (maxBucket * 4 - 1).toString)
+    try {
+      val gatedD = Lake.sqlFrame(spark, dStmt)
+      assert(gatedD.queryExecution.executedPlan.toString.contains("HashAggregate"),
+        "stats-free distinct under the manifest bound must refuse")
+      Lake.sql(spark, s"ANALYZE TABLE '$dRoot/t'")
+      val admitted = Lake.sqlFrame(spark, dStmt)
+      assert(!admitted.queryExecution.executedPlan.toString.contains("HashAggregate"),
+        "fresh stats + tiny NDV must re-admit the distinct route")
+      assert(admitted.collect().toSeq === gatedD.collect().toSeq)
+    } finally spark.conf.unset("graft.route.aggBudgetBytes")
   }
 
   test("DELTA bucket layouts: same zero-exchange family, cross-format with Iceberg") {
@@ -1410,11 +1435,14 @@ class BucketingSpec extends SparkSpec {
       FROM '$root/t' WHERE o_totalprice > 1000.0
       ORDER BY o_custkey, o_orderkey"""
     val routed = Lake.sqlFrame(spark, stmt)
+    // the routed result is a PARTITIONING-ERASED BARRIER over the
+    // window-bearing lineage (the nominal HashPartitioning must never
+    // escape into user composition): the returned frame's Spark plan is
+    // the barrier scan — no Window node, no window exchange — where the
+    // FALLBACK plan carries both (see `off` below)
     val plan = routed.queryExecution.executedPlan.toString
-    // the Window runs over the clustering-declared reader: its exchange
-    // (hashpartitioning) is GONE; the statement-tail ORDER BY keeps its
-    // rangepartitioning exchange, as any total sort must
-    assert(plan.contains("Window"), plan.take(1500))
+    assert(plan.contains("ExistingRDD") && !plan.contains("Window"),
+      plan.take(2000))
     assert(!plan.contains("Exchange hashpartitioning"), plan.take(2500))
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
     val twin = IcebergRead.snapshot(spark, s"$root/t")
@@ -1425,31 +1453,45 @@ class BucketingSpec extends SparkSpec {
       .orderBy(col("o_custkey"), col("o_orderkey"))
     assert(routed.collect().toSeq === twin.collect().toSeq)
 
-    // without the statement tail the whole lineage is shuffle-free
+    // without the statement tail the whole lineage is shuffle-free (the
+    // barrier RDD IS the inner window lineage — one narrow stage)
     val noTail = Lake.sqlFrame(spark,
       s"""SELECT o_custkey,
           row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
         FROM '$root/t'""")
+    assert(!noTail.queryExecution.executedPlan.toString.contains("Window"))
     assert(!noTail.rdd.toDebugString.contains("ShuffledRDD"),
       noTail.rdd.toDebugString.take(2000))
 
+    // the barrier makes the routed frame SAFE to compose: a later join
+    // must NOT trust the nominal bucket hash as Spark placement — both
+    // sides re-exchange and every row finds its match
+    val dim = IcebergRead.snapshot(spark, s"$root/t")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("k"))
+    assert(noTail.join(dim, "o_custkey").count() === noTail.count())
+
     // PARTITION BY a non-bucket column refuses: the ordinary plan (with
-    // its window exchange) runs, results correct
+    // its Window node and window exchange) runs, results correct
     val off = Lake.sqlFrame(spark,
       s"""SELECT o_orderkey,
           row_number() OVER (PARTITION BY o_orderkey ORDER BY o_totalprice) AS rn
         FROM '$root/t' ORDER BY o_orderkey LIMIT 10""")
-    assert(off.queryExecution.executedPlan.toString
-      .contains("Exchange hashpartitioning"))
+    val offPlan = off.queryExecution.executedPlan.toString
+    assert(offPlan.contains("Window") &&
+      offPlan.contains("Exchange hashpartitioning"), offPlan.take(2000))
     assert(off.count() === 10)
 
-    // Delta layouts route the same way (format-agnostic probe)
+    // Delta layouts route the same way — and this statement's ONLY OVER
+    // sits NESTED inside round(...), proving the fast-path OVER guard is
+    // depth-blind (a depth-0-only scan would let selectExpr swallow it
+    // and the full-fact window exchange would come back)
     DeltaWrite.append(spark, orders, s"$root/dt",
       partitionBy = Seq("bucket(8, o_custkey)"))
     val dRouted = Lake.sqlFrame(spark,
       s"""SELECT o_custkey,
           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS run
         FROM '$root/dt'""")
+    assert(!dRouted.queryExecution.executedPlan.toString.contains("Window"))
     assert(!dRouted.rdd.toDebugString.contains("ShuffledRDD"))
     assert(dRouted.count() === orders.count())
   }
