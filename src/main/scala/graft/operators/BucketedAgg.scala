@@ -120,8 +120,10 @@ object BucketedAgg {
           s"$caller: $table is not cleanly bucket(n, $key)-partitioned " +
             "— use the shuffled plan instead"))
     val buckets = BucketedJoin.pruneLayout(spark, table, where, buckets0)
-      .map { case (b, fs) => b -> fs.map(_._1) }
-    spark.sparkContext.union((0 until n).map { b =>
+    // chunks build CONCURRENTLY (BucketedJoin.parallelChunks): the
+    // per-bucket Catalyst pipelines and any merge-on-read broadcast
+    // builds overlap instead of serializing on the driver
+    spark.sparkContext.union(BucketedJoin.parallelChunks(spark, 0 until n) { b =>
       buckets.get(b).filter(_.nonEmpty) match {
         case Some(files) =>
           Bridge.toInternalRdd(

@@ -70,6 +70,50 @@ object BucketedJoin {
     * costs more than the parallelism buys. */
   val DefaultSplitBucketBytes: Long = 512L * 1024 * 1024
 
+  /** Bounded driver pool for PER-CHUNK plan construction (round-19
+    * optimization, guide §1.2/§7.3): each chunk of the co-partitioned
+    * reader is its own small Catalyst pipeline (DataSource resolution,
+    * analyze/optimize/physical, and — under merge-on-read masks — a
+    * blocking broadcast build), all driver-side. Built sequentially, n
+    * chunks serialize n× that latency before the single union job can
+    * start (measured ~30 ms/chunk plain, ~120 ms/chunk masked at sf0.1);
+    * built here, the latency collapses to ~max instead of sum. Daemon
+    * threads, shared across calls — plan construction is short, bursty
+    * work, not worth a pool per query. */
+  private lazy val chunkPool: scala.concurrent.ExecutionContextExecutorService =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(2, math.min(16, Runtime.getRuntime.availableProcessors / 2)),
+        new java.util.concurrent.ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"graft-chunk-build-${n.getAndIncrement()}")
+            t.setDaemon(true)
+            t
+          }
+        }))
+
+  /** Build one RDD per chunk CONCURRENTLY on [[chunkPool]], preserving
+    * order (partition ordinals are bucket ordinals — order is the
+    * contract). Each task runs under `Bridge.withActive` so thread-local
+    * `SQLConf.get`/rule-stack reads resolve to the caller's session. A
+    * failed chunk rethrows to the caller, exactly as the sequential loop
+    * did. */
+  private[operators] def parallelChunks[T](spark: SparkSession, parts: Seq[T])(
+      build: T => org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow])
+      : Seq[org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]] =
+    if (parts.lengthCompare(2) < 0) parts.map(build)
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = chunkPool
+      Await.result(
+        Future.sequence(parts.map(p => Future {
+          org.apache.spark.sql.graft.Bridge.withActive(spark)(build(p))
+        })),
+        Duration.Inf)
+    }
+
   /** Grace-split cap: a right bucket needing more than this many key-hash
     * sub-joins is a layout too coarse to serve — the join fails loudly
     * and callers fall back to the shuffled plan. */
@@ -128,13 +172,12 @@ object BucketedJoin {
     // file of every bucket that the fallback plan would have pruned from
     // the manifest alone.
     val bucketsL = pruneLayout(spark, left, leftWhere, bucketsL0)
-    val bucketsRSized = pruneLayout(spark, right, rightWhere, bucketsR0)
-    val bucketsR = bucketsRSized.map { case (b, fs) => b -> fs.map(_._1) }
+    val bucketsR = pruneLayout(spark, right, rightWhere, bucketsR0)
     // GRACE: right buckets whose build exceeds the budget → k key-hash
     // sub-joins (both sides re-read k times, disjoint key slices)
     val graceK: Map[Int, Int] =
       if (buildBudgetBytes <= 0) Map.empty
-      else bucketsRSized.flatMap { case (b, fs) =>
+      else bucketsR.flatMap { case (b, fs) =>
         val bytes = fs.map(_._2).sum
         val k = ((bytes + buildBudgetBytes - 1) / buildBudgetBytes).toInt
         if (k <= 1) None
@@ -227,26 +270,25 @@ object BucketedJoin {
     // A grace-split bucket instead contributes k chunks carrying the FULL
     // file lists of both sides plus a (j, k) key-hash slice — the two
     // split kinds never combine on one bucket (grace already fans out).
-    val chunks: Seq[(Int, Seq[String], Option[(Int, Int)])] =
+    val chunks: Seq[(Int, Seq[(String, Long)], Option[(Int, Int)])] =
       (0 until nL).flatMap { b =>
         val sized = bucketsL.getOrElse(b, Nil)
-        val files = sized.map(_._1)
         graceK.get(b) match {
-          case Some(g) => (0 until g).map(j => (b, files, Some((j, g))))
+          case Some(g) => (0 until g).map(j => (b, sized, Some((j, g))))
           case None =>
             val total = sized.map(_._2).sum
             val k =
-              if (splitBucketBytes <= 0 || total <= splitBucketBytes || files.size <= 1) 1
-              else math.min(files.size.toLong,
+              if (splitBucketBytes <= 0 || total <= splitBucketBytes || sized.size <= 1) 1
+              else math.min(sized.size.toLong,
                 (total + splitBucketBytes - 1) / splitBucketBytes).toInt
-            if (k <= 1) Seq((b, files, None))
+            if (k <= 1) Seq((b, sized, None))
             else {
               // greedy size-balanced: biggest file into the lightest bin
-              val bins = Array.fill(k)(Seq.newBuilder[String])
+              val bins = Array.fill(k)(Seq.newBuilder[(String, Long)])
               val loads = Array.fill(k)(0L)
               sized.sortBy(-_._2).foreach { case (f, sz) =>
                 val i = loads.indices.minBy(loads)
-                bins(i) += f
+                bins(i) += ((f, sz))
                 loads(i) += sz
               }
               bins.toSeq.map(bb => (b, bb.result(), None)).filter(_._2.nonEmpty)
@@ -268,10 +310,10 @@ object BucketedJoin {
     import org.apache.spark.sql.catalyst.InternalRow
     def side(fullSchema: StructType, readSchema: StructType,
         where: Option[Column], keyName: String,
-        parts: Seq[(Seq[String], Option[(Int, Int)])],
+        parts: Seq[(Seq[(String, Long)], Option[(Int, Int)])],
         deletes: graft.sources.LayoutDeletes)
         : org.apache.spark.rdd.RDD[InternalRow] =
-      spark.sparkContext.union(parts.map { case (files, grace) =>
+      spark.sparkContext.union(parallelChunks(spark, parts) { case (files, grace) =>
         if (files.isEmpty) // empty chunk: ONE empty partition keeps alignment
           spark.sparkContext.parallelize(Seq.empty[InternalRow], 1)
         else {
@@ -403,11 +445,17 @@ object BucketedJoin {
     * ShuffledRDD, the zero-exchange contract holds. Unmasked files of a
     * mixed chunk keep the plain path and union in. */
   private[graft] def bucketScan(spark: SparkSession, fullSchema: StructType,
-      readSchema: StructType, where: Option[Column], files: Seq[String],
+      readSchema: StructType, where: Option[Column], files: Seq[(String, Long)],
       deletes: graft.sources.LayoutDeletes = graft.sources.NoDeletes): DataFrame = {
     import org.apache.spark.sql.functions._
-    def plain(fs: Seq[String]): DataFrame = {
-      var df = spark.read.schema(fullSchema).parquet(fs: _*)
+    // files carry their MANIFEST byte sizes: the scan builds from them
+    // directly (Bridge.parquetScanDf) with zero filesystem calls — the
+    // old spark.read.parquet(paths*) stat'd every path on the driver and
+    // submitted a distributed LISTING job per chunk past 32 paths
+    // (round-19 optimization, guide §6: measured composite-layout build
+    // 3.2 s → 0.7 s at 640 files / 8 chunks)
+    def plain(fs: Seq[(String, Long)]): DataFrame = {
+      var df = org.apache.spark.sql.graft.Bridge.parquetScanDf(spark, fullSchema, fs)
       where.foreach(p => df = df.where(p))
       if (readSchema.fieldNames.toSeq != fullSchema.fieldNames.toSeq)
         df = df.select(readSchema.fieldNames.toSeq.map(col): _*)
@@ -420,35 +468,52 @@ object BucketedJoin {
       url_decode(regexp_replace(
         regexp_replace(c, "^[a-zA-Z0-9+.-]+:(//)?", ""), "\\+", "%2B"))
     def bare(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
-    def masked(fs: Seq[String], dels: DataFrame): DataFrame = {
+    def masked(fs: Seq[(String, Long)], dels: DataFrame): DataFrame = {
       require(!fullSchema.fieldNames.exists(n =>
         n == "__graft_file" || n == "__graft_pos"),
         "bucketScan: column names __graft_file/__graft_pos are reserved " +
           "for merge-on-read mask application")
-      var df = spark.read.schema(fullSchema).parquet(fs: _*)
+      var df = org.apache.spark.sql.graft.Bridge.parquetScanDf(spark, fullSchema, fs)
         .withColumn("__graft_file", norm(col("_metadata.file_path")))
         .withColumn("__graft_pos", col("_metadata.row_index"))
       where.foreach(p => df = df.where(p))
       df.join(broadcast(dels), Seq("__graft_file", "__graft_pos"), "left_anti")
         .select(readSchema.fieldNames.toSeq.map(col): _*)
     }
+    // The chunk's delete set as a DRIVER-LOCAL relation (round-19
+    // optimization, guide §2.6/§7.3): positions expand on the driver into
+    // a LocalRelation, so the broadcast build that follows is a driver-
+    // side collect of local rows — NO executor job per masked chunk. The
+    // old `createDataset(...).flatMap` shape planned a non-local build
+    // whose BroadcastExchange submitted (and blocked on) one cluster job
+    // per chunk — measured ~120 ms apiece at sf0.1, serialized across
+    // chunks. Driver memory is unchanged: the broadcast ALREADY collects
+    // the expanded delete set to the driver to build the hash relation;
+    // this only moves where the expansion happens.
+    def delsDf(pairs: Iterator[(String, Long)]): DataFrame = {
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      pairs.foreach { case (p, x) =>
+        rows.add(org.apache.spark.sql.Row(p, x))
+      }
+      spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__graft_file",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("__graft_pos",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    }
     deletes match {
       case graft.sources.NoDeletes => plain(files)
       case graft.sources.LayoutDeletes.Dv(table, byPath) =>
-        val (withDv, without) = files.partition(byPath.contains)
+        val (withDv, without) = files.partition(f => byPath.contains(f._1))
         if (withDv.isEmpty) plain(files)
         else {
-          import spark.implicits._
-          // blobs load on the driver (descriptor-sized reads); positions
-          // expand on the executors, exactly like the snapshot reader
-          val blobs = withDv.map(p =>
-            (bare(p), graft.sources.DeletionVectors.load(table, byPath(p))))
-          val dels = spark.createDataset(blobs)
-            .flatMap { case (p, blob) =>
-              graft.sources.DeletionVectors.fromBlob(blob).iterator
-                .map(pos => (p, pos))
-            }
-            .toDF("__graft_file", "__graft_pos")
+          // blobs load on the driver (descriptor-sized reads) and expand
+          // here — the broadcast would hold the same positions anyway
+          val dels = delsDf(withDv.iterator.flatMap { case (p, _) =>
+            val blob = graft.sources.DeletionVectors.load(table, byPath(p))
+            graft.sources.DeletionVectors.fromBlob(blob).iterator
+              .map(pos => (bare(p), pos))
+          })
           val m = masked(withDv, dels)
           if (without.isEmpty) m else m.unionByName(plain(without))
         }
@@ -456,14 +521,12 @@ object BucketedJoin {
         // the delete set loads ONCE per layout (memoized on the driver);
         // only chunk files it actually references pay the masked path
         val byFile = pos.byFile(spark)
-        val (withDel, without) = files.partition(f => byFile.contains(bare(f)))
+        val (withDel, without) = files.partition(f => byFile.contains(bare(f._1)))
         if (withDel.isEmpty) plain(files)
         else {
-          import spark.implicits._
-          val dels = spark.createDataset(
-            withDel.map(f => (bare(f), byFile(bare(f)))))
-            .flatMap { case (p, ps) => ps.iterator.map(x => (p, x)) }
-            .toDF("__graft_file", "__graft_pos")
+          val dels = delsDf(withDel.iterator.flatMap { case (f, _) =>
+            byFile(bare(f)).iterator.map(x => (bare(f), x))
+          })
           val m = masked(withDel, dels)
           if (without.isEmpty) m else m.unionByName(plain(without))
         }

@@ -985,7 +985,16 @@ object DeltaRead {
     if (snap.files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
 
-    val data = spark.read.schema(dataSchema).parquet(snap.files.map(_.path): _*)
+    // scan built from the LOG-recorded (path, size) pairs when every add
+    // carried its size (ours always do): zero filesystem calls at plan
+    // time — no per-file driver stats, no distributed listing job past 32
+    // files (round-19 optimization, guide §6). Absent sizes keep the
+    // listing path.
+    val data =
+      if (snap.files.forall(_.size > 0))
+        org.apache.spark.sql.graft.Bridge.parquetScanDf(spark, dataSchema,
+          snap.files.map(f => (f.path, f.size)))
+      else spark.read.schema(dataSchema).parquet(snap.files.map(_.path): _*)
     val dvFiles = snap.files.filter(_.dv.isDefined)
     val needFile = lineage || dvFiles.nonEmpty || snap.partitionColumns.nonEmpty
     val needPos = lineage || dvFiles.nonEmpty

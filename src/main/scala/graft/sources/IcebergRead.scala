@@ -134,6 +134,23 @@ object IcebergRead {
   def currentSnapshotId(spark: SparkSession, table: String): Long =
     mapper.readTree(metadataFile(table)).path("current-snapshot-id").asLong(-1L)
 
+  /** The CURRENT schema from the metadata JSON alone — no manifest
+    * replay, no snapshot DataFrame (round-19 optimization: the routed
+    * planner needs ONLY the schema, and building the full snapshot frame
+    * for `.schema` re-read every manifest and re-listed every data file
+    * per routed statement). Field-id metadata matches [[snapshot]]'s. */
+  def snapshotSchema(table: String): StructType = {
+    val meta = mapper.readTree(metadataFile(table))
+    val schemaNode = schemaNodeFor(meta, mapper.createObjectNode())
+    StructType(schemaNode.path("fields").elements().asScala.map { f =>
+      val md = new MetadataBuilder()
+        .putLong("parquet.field.id", f.path("id").asLong(-1L)).build()
+      StructField(f.path("name").asText(),
+        fieldType(f.path("type"), f.path("name").asText()),
+        nullable = !f.path("required").asBoolean(false), metadata = md)
+    }.toSeq)
+  }
+
   /** The Iceberg table as a DataFrame at `snapshotId` (-1 = current). */
   def snapshot(spark: SparkSession, table: String, snapshotId: Long = -1L): DataFrame =
     snapshotImpl(spark, table, snapshotId, lineage = false)
@@ -1250,7 +1267,7 @@ object IcebergRead {
       } else (snap.path("manifests").elements().asScala.map(_.asText()).toSeq, Seq.empty[String])
 
     case class MEntry(path: String, content: Int, seq: Option[Long], equalityIds: Seq[Int],
-        partition: Map[String, Any] = Map.empty)
+        partition: Map[String, Any] = Map.empty, size: Long = 0L)
 
     // GenericData.Record.get THROWS on fields absent from the writer
     // schema (older/minimal manifests legitimately omit optional ones)
@@ -1309,7 +1326,8 @@ object IcebergRead {
           // delete files always apply, extra ones anti-join to nothing
           val keptPath = !expectData || keepPaths.forall(_(path))
           if (kept && inRange && keptPath)
-            Some(MEntry(path, content, seq, eqIds, partValues))
+            Some(MEntry(path, content, seq, eqIds, partValues,
+              opt(df, "file_size_in_bytes").map(_.toString.toLong).getOrElse(0L)))
           else None
         }
       }
@@ -1356,7 +1374,17 @@ object IcebergRead {
       def norm(c: org.apache.spark.sql.Column) =
         url_decode(regexp_replace(
           regexp_replace(c, "^[a-zA-Z0-9+.-]+:(//)?", ""), "\\+", "%2B"))
-      val base0 = spark.read.schema(readSchema).parquet(liveFiles: _*)
+      // scan built from MANIFEST-recorded (path, size) pairs when the
+      // manifests carried exact sizes (the spec requires them; defensive
+      // fallback keeps the listing path): zero filesystem calls at plan
+      // time — no per-file driver stats, no distributed listing job past
+      // 32 files (round-19 optimization, guide §6)
+      val liveSized = dataEntries.map(e => (e.path, e.size))
+      val scan0 =
+        if (liveSized.forall(_._2 > 0))
+          org.apache.spark.sql.graft.Bridge.parquetScanDf(spark, readSchema, liveSized)
+        else spark.read.schema(readSchema).parquet(liveFiles: _*)
+      val base0 = scan0
         .withColumn("_file", norm(col("_metadata.file_path")))
         .withColumn("_pos", col("_metadata.row_index"))
       // IDENTITY-PARTITION VALUE INJECTION (spec rule for migrated /

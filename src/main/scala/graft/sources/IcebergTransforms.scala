@@ -81,6 +81,11 @@ private[sources] object IcebergTransforms {
 
   def hashString(s: String): Int = murmur3(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
+  /** UTF-8 bytes hashed directly — what [[hashString]] computes, minus the
+    * String round trip (the codegen'd bucket expression hashes Spark's
+    * internal `UTF8String.getBytes`, which ARE the UTF-8 bytes). */
+  def hashBytes(b: Array[Byte]): Int = murmur3(b)
+
   def bucketValue(hash: Int, n: Int): Int = (hash & Int.MaxValue) % n
 
   sealed trait Transform {
@@ -194,21 +199,19 @@ private[sources] object IcebergTransforms {
     def fieldName: String = s"${source}_bucket"
     def transformString = s"bucket[$n]"
     def resultType(srcType: DataType): DataType = IntegerType
-    def column(c: Column, srcType: DataType): Column = {
-      val f = srcType match {
-        case IntegerType => udf((v: java.lang.Integer) =>
-          if (v == null) null else Integer.valueOf(bucketValue(hashLong(v.longValue()), n)))
-        case LongType => udf((v: java.lang.Long) =>
-          if (v == null) null else Integer.valueOf(bucketValue(hashLong(v.longValue()), n)))
-        case DateType => udf((v: java.sql.Date) =>
-          if (v == null) null
-          else Integer.valueOf(bucketValue(hashLong(v.toLocalDate.toEpochDay), n)))
-        case StringType => udf((v: String) =>
-          if (v == null) null else Integer.valueOf(bucketValue(hashString(v), n)))
-        case other => throw new IllegalArgumentException(
-          s"bucket() over $other is outside this writer's subset for '$source'")
-      }
-      f(c)
+    // codegen'd Catalyst expression, not a scala UDF (round-19
+    // optimization, guide §4): the bucket ordinal is computed for EVERY
+    // row of EVERY bucketed write — the UDF form paid
+    // encoder boxing (Int → java.lang.Integer → Int) and an opaque
+    // closure call inside the staging projection; the expression stays
+    // inside whole-stage codegen as a static hash call on the unboxed
+    // value. Same engine-pinned Murmur3, same null → null.
+    def column(c: Column, srcType: DataType): Column = srcType match {
+      case IntegerType | LongType | DateType | StringType =>
+        org.apache.spark.sql.graft.Bridge.column(IcebergBucketExpr(
+          org.apache.spark.sql.graft.Bridge.expression(c), n))
+      case other => throw new IllegalArgumentException(
+        s"bucket() over $other is outside this writer's subset for '$source'")
     }
   }
 

@@ -1240,6 +1240,32 @@ object Lake {
     * Empty on any refusal — pruning is an optimization; correctness never
     * depends on it. */
   def fileSkipRejects(spark: SparkSession, path: String,
+      pred: org.apache.spark.sql.Column): Set[String] = {
+    // Round-19 optimization (guide §1.2): the translation below parses
+    // manifests and analyzes a predicate over the stats frame — tens of
+    // ms of driver work PER ROUTED QUERY EXECUTION, repeated verbatim for
+    // every re-run of the same statement. The reject set is a pure
+    // function of (table version, predicate tree), so memoize on exactly
+    // that: a commit changes the version (new key — a hit can never serve
+    // a stale set), and `pred.toString` is the deterministic render of
+    // the predicate's expression tree.
+    val verKey = scala.util.Try(versionOf(spark, path)).getOrElse(-2L)
+    val cacheKey = s"$path\u0000$verKey\u0000${pred.toString}"
+    val hit = skipRejectCache.get(cacheKey)
+    if (hit != null) return hit
+    val computed = fileSkipRejectsImpl(spark, path, pred)
+    skipRejectCache.put(cacheKey, computed)
+    computed
+  }
+
+  private val skipRejectCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Set[String]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Set[String]]): Boolean = size() > 256
+      })
+
+  private def fileSkipRejectsImpl(spark: SparkSession, path: String,
       pred: org.apache.spark.sql.Column): Set[String] = scala.util.Try {
     val stats = fileStats(spark, path)
     val statCols = stats.columns.collect {
@@ -1265,7 +1291,11 @@ object Lake {
   def tableSchema(spark: SparkSession, path: String)
       : org.apache.spark.sql.types.StructType =
     detect(spark, path) match {
-      case Iceberg => IcebergRead.snapshot(spark, path).schema
+      // metadata-only: building the full snapshot DataFrame for `.schema`
+      // re-read every manifest and re-listed every data file per routed
+      // statement (round-19 optimization — measured seconds per build on
+      // a 640-file composite layout)
+      case Iceberg => IcebergRead.snapshotSchema(path)
       case Delta => DeltaRead.snapshotInfo(spark, path).schema
       case Parquet => spark.read.parquet(path).schema
     }

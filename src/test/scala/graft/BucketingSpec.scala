@@ -159,7 +159,7 @@ class BucketingSpec extends SparkSpec {
 
     // the per-bucket scan really shrinks: ReadSchema carries only the read
     // layout and the side predicate reaches PushedFilters
-    val layout = IcebergRead.bucketLayout(spark, s"$root/orders", "o_custkey").get
+    val layout = IcebergRead.bucketLayoutSized(spark, s"$root/orders", "o_custkey").get
     val files = layout._2.values.flatten.toSeq
     val full = IcebergRead.snapshot(spark, s"$root/orders").schema
     val read = org.apache.spark.sql.types.StructType(

@@ -110,6 +110,33 @@ class IcebergWriteSpec extends SparkSpec {
       (2017239379 & Int.MaxValue) % 16)
   }
 
+  test("codegen'd bucket expression matches the reference hash across types and nulls") {
+    // the write path's per-row ordinal (round-19: scala UDF → codegen'd
+    // IcebergBucketExpr) must agree with the spec-pinned reference for
+    // every supported type, through REAL codegen (a DataFrame projection,
+    // not just interpreted eval), including NULL → NULL
+    import org.apache.spark.sql.functions.col
+    import IcebergTransforms.{Bucket, bucketValue, hashLong, hashString}
+    val df = Seq(
+      (Some(34), Some(34L), Some(java.sql.Date.valueOf("2017-11-16")), Some("iceberg")),
+      (None: Option[Int], None: Option[Long],
+        None: Option[java.sql.Date], None: Option[String])
+    ).toDF("i", "l", "d", "s")
+    val out = df.select(
+      Bucket(16, "i").column(col("i"), org.apache.spark.sql.types.IntegerType).as("bi"),
+      Bucket(16, "l").column(col("l"), org.apache.spark.sql.types.LongType).as("bl"),
+      Bucket(16, "d").column(col("d"), org.apache.spark.sql.types.DateType).as("bd"),
+      Bucket(16, "s").column(col("s"), org.apache.spark.sql.types.StringType).as("bs")
+    ).collect()
+    val r0 = out(0)
+    assert(r0.getInt(0) === bucketValue(hashLong(34L), 16))
+    assert(r0.getInt(1) === bucketValue(hashLong(34L), 16))
+    assert(r0.getInt(2) === bucketValue(hashLong(17486L), 16)) // 2017-11-16 epoch days
+    assert(r0.getInt(3) === bucketValue(hashString("iceberg"), 16))
+    val r1 = out(1)
+    (0 to 3).foreach(i => assert(r1.isNullAt(i), s"null input must stay null at $i"))
+  }
+
   test("transform parse/unparse round-trips and rejects garbage") {
     import IcebergTransforms._
     assert(parse("grp") === Identity("grp"))

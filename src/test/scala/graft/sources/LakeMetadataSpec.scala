@@ -15,6 +15,27 @@ class LakeMetadataSpec extends SparkSpec {
   private def sample = (0L until 300L)
     .map(i => (i, i % 3, s"r$i")).toDF("id", "p", "s")
 
+  test("fileSkipRejects memoization rolls with the table version") {
+    // round-19 optimization: the reject set caches on (path, version,
+    // predicate). A commit must produce a NEW key — the cache can never
+    // serve a reject set that misses files a later append made prunable.
+    val t = tmp("lm_skiprej")
+    IcebergWrite.append(spark,
+      (0L until 100L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    val pred = col("id") >= 1000L
+    val before = Lake.fileSkipRejects(spark, t, pred)
+    assert(before.size === 1, "the only file (ids 0..99) must be rejected for id >= 1000")
+    assert(Lake.fileSkipRejects(spark, t, pred) === before, "same version: stable")
+    // new commit, file with matching ids: its file must NOT be rejected,
+    // and the pre-commit cache entry must not be served
+    IcebergWrite.append(spark,
+      (2000L until 2100L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    val after = Lake.fileSkipRejects(spark, t, pred)
+    assert(after === before,
+      s"after the append exactly the old file still rejects: $after")
+    assert(IcebergRead.fileStats(spark, t).count() === 2L)
+  }
+
   test("rowCount from metadata matches the data on both formats; DVs subtract") {
     val d = tmp("lm_delta")
     DeltaWrite.append(spark, sample, d, partitionBy = Seq("p"))
