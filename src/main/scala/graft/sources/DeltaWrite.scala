@@ -111,7 +111,24 @@ object DeltaWrite {
   private def stageFiles(df: DataFrame, table: String,
       partitionBy: Seq[String]): Seq[(String, Map[String, String], Option[String])] = {
     val stage = Files.createTempDirectory("graft_delta_write").toString
-    val writer = df.write.mode("overwrite")
+    // HASH-DISTRIBUTE by the partition columns before a dynamic-partition
+    // write (round-19 optimization, guide §6 — the same move as Iceberg's
+    // write.distribution-mode=hash): without it every input task writes
+    // into EVERY partition dir it sees rows for — a single-task upstream
+    // (one-row-group parquet) wrote ~19k partition dirs SEQUENTIALLY
+    // (~290 s measured on a day×bucket composite at sf0.1). Distributed,
+    // each partition value is written by one task, in parallel, one file
+    // per partition dir per append. A heavily-skewed single partition
+    // value serializes on its one writer — the old path had the opposite
+    // (and worse) pathology. NUMBERED repartition deliberately: the
+    // column-only form is AQE-coalescible, and a few-MB staging shuffle
+    // coalesces to ONE partition (measured — the single sequential writer
+    // came straight back); a user-specified number is exempt.
+    val distributed =
+      if (partitionBy.isEmpty) df
+      else df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+        partitionBy.map(org.apache.spark.sql.functions.col): _*)
+    val writer = distributed.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).parquet(stage)
     // an empty PARTITIONED write lays down no part file at all (there is
     // no partition value to write under) — nothing staged, and the stats
