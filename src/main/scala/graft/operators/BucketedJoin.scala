@@ -95,23 +95,51 @@ object BucketedJoin {
 
   /** Build one RDD per chunk CONCURRENTLY on [[chunkPool]], preserving
     * order (partition ordinals are bucket ordinals — order is the
-    * contract). Each task runs under `Bridge.withActive` so thread-local
-    * `SQLConf.get`/rule-stack reads resolve to the caller's session. A
-    * failed chunk rethrows to the caller, exactly as the sequential loop
-    * did. */
+    * contract). Each task runs under `Bridge.withActive` (thread-local
+    * `SQLConf.get`/rule-stack reads resolve to the caller's session) AND
+    * the CALLER's SparkContext local properties (job group/description/
+    * scheduler pool — pool threads otherwise keep whatever the first
+    * caller carried, so a broadcast/collect fired inside a chunk build
+    * could attach to a stale or foreign job group and be killed by — or
+    * survive — the wrong cancelJobGroup). A failed chunk rethrows to the
+    * caller, exactly as the sequential loop did.
+    *
+    * Bounded wait: a wedged chunk build (hung filesystem call) no longer
+    * blocks the query thread forever — past
+    * `graft.route.chunkBuildTimeoutSec` (default 600 s; ≤0 = unbounded)
+    * the route fails LOUDLY and refusal-based callers fall back to the
+    * shuffled plan. Reentrancy guard: a build closure that transitively
+    * reaches parallelChunks again runs its inner parts INLINE — awaiting
+    * the shared fixed-size pool from one of its own threads could
+    * otherwise deadlock with every thread parked on an outer await. */
   private[operators] def parallelChunks[T](spark: SparkSession, parts: Seq[T])(
       build: T => org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow])
       : Seq[org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]] =
-    if (parts.lengthCompare(2) < 0) parts.map(build)
+    if (parts.lengthCompare(2) < 0 ||
+        Thread.currentThread().getName.startsWith("graft-chunk-build")) parts.map(build)
     else {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
+      val bridge = org.apache.spark.sql.graft.Bridge
+      val props = bridge.cloneLocalProperties(spark.sparkContext)
+      val timeoutSec = spark.conf.getOption("graft.route.chunkBuildTimeoutSec")
+        .flatMap(_.toLongOption).getOrElse(600L)
+      val wait = if (timeoutSec <= 0) Duration.Inf
+        else Duration(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
       implicit val ec: scala.concurrent.ExecutionContext = chunkPool
-      Await.result(
+      try Await.result(
         Future.sequence(parts.map(p => Future {
-          org.apache.spark.sql.graft.Bridge.withActive(spark)(build(p))
+          bridge.withLocalProperties(spark.sparkContext, props) {
+            bridge.withActive(spark)(build(p))
+          }
         })),
-        Duration.Inf)
+        wait)
+      catch {
+        case _: java.util.concurrent.TimeoutException => fail(
+          s"chunk plan construction exceeded ${timeoutSec}s " +
+            "(graft.route.chunkBuildTimeoutSec) — a filesystem or metadata " +
+            "call is wedged")
+      }
     }
 
   /** Grace-split cap: a right bucket needing more than this many key-hash
@@ -267,14 +295,16 @@ object BucketedJoin {
     // size-balanced chunks; the right bucket replicates across them. The
     // chunk list fixes partition ordinals for BOTH sides. Sizes come from
     // the manifest (file_size_in_bytes) — no per-file filesystem calls.
-    // A grace-split bucket instead contributes k chunks carrying the FULL
-    // file lists of both sides plus a (j, k) key-hash slice — the two
-    // split kinds never combine on one bucket (grace already fans out).
-    val chunks: Seq[(Int, Seq[(String, Long)], Option[(Int, Int)])] =
+    // A grace-split bucket contributes ONE chunk carrying the full file
+    // lists of both sides plus its slice count k — the task reads each
+    // side ONCE and splits rows into k spill-backed runs (round-20; the
+    // old shape planned k chunks that re-scanned BOTH sides k times).
+    // The two split kinds never combine on one bucket.
+    val chunks: Seq[(Int, Seq[(String, Long)], Option[Int])] =
       (0 until nL).flatMap { b =>
         val sized = bucketsL.getOrElse(b, Nil)
         graceK.get(b) match {
-          case Some(g) => (0 until g).map(j => (b, sized, Some((j, g))))
+          case Some(g) => Seq((b, sized, Some(g)))
           case None =>
             val total = sized.map(_._2).sum
             val k =
@@ -309,34 +339,26 @@ object BucketedJoin {
     // only the needed columns and pushes the side's predicate.
     import org.apache.spark.sql.catalyst.InternalRow
     def side(fullSchema: StructType, readSchema: StructType,
-        where: Option[Column], keyName: String,
-        parts: Seq[(Seq[(String, Long)], Option[(Int, Int)])],
+        where: Option[Column],
+        parts: Seq[Seq[(String, Long)]],
         deletes: graft.sources.LayoutDeletes)
         : org.apache.spark.rdd.RDD[InternalRow] =
-      spark.sparkContext.union(parallelChunks(spark, parts) { case (files, grace) =>
+      spark.sparkContext.union(parallelChunks(spark, parts) { files =>
         if (files.isEmpty) // empty chunk: ONE empty partition keeps alignment
           spark.sparkContext.parallelize(Seq.empty[InternalRow], 1)
-        else {
-          // grace slice: both sides filter to the same key-hash residue —
-          // Spark's Murmur3 `hash` over equal key values agrees across
-          // sides, so matching rows land in the same sub-join
-          val w = grace match {
-            case None => where
-            case Some((j, g)) =>
-              import org.apache.spark.sql.functions.{col => fcol, hash, lit, pmod}
-              val slice = pmod(hash(fcol(keyName)), lit(g)) === lit(j)
-              Some(where.map(_ && slice).getOrElse(slice))
-          }
+        else
           org.apache.spark.sql.graft.Bridge.toInternalRdd(
-            bucketScan(spark, fullSchema, readSchema, w, files, deletes)
+            bucketScan(spark, fullSchema, readSchema, where, files, deletes)
               .coalesce(1))
-        }
       })
 
-    val leftParts = chunks.map { case (_, files, grace) => (files, grace) }
-    val rightParts = chunks.map { case (b, _, grace) =>
-      (bucketsR.getOrElse(b, Nil), grace)
-    }
+    val leftParts = chunks.map { case (_, files, _) => files }
+    val rightParts = chunks.map { case (b, _, _) => bucketsR.getOrElse(b, Nil) }
+    // partition ordinal → grace slice count (the join task splits both
+    // sides into k spill runs locally; 1 = the plain build-and-stream)
+    val graceByPart: Map[Int, Int] = chunks.zipWithIndex.collect {
+      case ((_, _, Some(g)), i) => i -> g
+    }.toMap
 
     val keyIdxL = readL.fieldIndex(key)
     val keyIdxR = readR.fieldIndex(rKey)
@@ -359,26 +381,11 @@ object BucketedJoin {
           }
       }
     }
-    val joined = side(schemaL, readL, leftWhere, key, leftParts, deletesL)
+    val joined = side(schemaL, readL, leftWhere, leftParts, deletesL)
       .zipPartitions(
-        side(schemaR, readR, rightWhere, rKey, rightParts, deletesR),
+        side(schemaR, readR, rightWhere, rightParts, deletesR),
         preservesPartitioning = false) { (lit, rit) =>
-      import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection}
-      // build on the right bucket, stream the left (NULL keys drop: SQL
-      // =). Scan rows are REUSED objects — the build side must copy.
-      val build = new java.util.HashMap[Any,
-        scala.collection.mutable.ArrayBuffer[InternalRow]]()
-      rit.foreach { r =>
-        if (!r.isNullAt(keyIdxR)) {
-          val k = InternalRow.copyValue(r.get(keyIdxR, keyType))
-          var buf = build.get(k)
-          if (buf == null) {
-            buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-            build.put(k, buf)
-          }
-          buf += r.copy()
-        }
-      }
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, Murmur3Hash, UnsafeProjection}
       // output projection over JoinedRow(left, right): the requested left
       // fields, then the requested right fields — one UnsafeProjection,
       // created per partition (codegen'd field copies, no boxing)
@@ -404,8 +411,30 @@ object BucketedJoin {
         case None => true
         case Some(p) => p.eval(residualRow(l, r))
       }
+      // build on the right bucket (or a run of it), stream the left (NULL
+      // keys drop: SQL =). `copyRows` for live scan iterators, whose rows
+      // are REUSED objects; spill-run rows own their bytes.
+      def buildFrom(it: Iterator[InternalRow], copyRows: Boolean)
+          : java.util.HashMap[Any, scala.collection.mutable.ArrayBuffer[InternalRow]] = {
+        val build = new java.util.HashMap[Any,
+          scala.collection.mutable.ArrayBuffer[InternalRow]]()
+        it.foreach { r =>
+          if (!r.isNullAt(keyIdxR)) {
+            val k = InternalRow.copyValue(r.get(keyIdxR, keyType))
+            var buf = build.get(k)
+            if (buf == null) {
+              buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+              build.put(k, buf)
+            }
+            buf += (if (copyRows) r.copy() else r)
+          }
+        }
+        build
+      }
       val empty: Iterator[InternalRow] = Iterator.empty
-      lit.flatMap { l =>
+      def stream(ls: Iterator[InternalRow],
+          build: java.util.HashMap[Any, scala.collection.mutable.ArrayBuffer[InternalRow]])
+          : Iterator[InternalRow] = ls.flatMap { l =>
         val matched =
           if (l.isNullAt(keyIdxL)) null
           else build.get(l.get(keyIdxL, keyType))
@@ -428,8 +457,98 @@ object BucketedJoin {
             else Iterator.single(proj(joinedRow(l, nullRight)))
         }
       }
+      val graceK = graceByPart.getOrElse(
+        org.apache.spark.TaskContext.get().partitionId(), 1)
+      if (graceK <= 1) stream(lit, buildFrom(rit, copyRows = true))
+      else {
+        // SINGLE-PASS GRACE (round 20, guide §5/§6): read each side ONCE
+        // and split its rows into k local key-hash spill runs, then run k
+        // bucket-local sub-joins over matching runs. The old shape planned
+        // k chunks whose scans re-read BOTH sides k times behind a
+        // `pmod(hash(key), k) = j` filter that cannot push to parquet —
+        // k× total work for the same memory bound (each build run is
+        // ~bucket/k, exactly the budget that forced the grace). Disk cost:
+        // one sequential write + read of each side on executor-local
+        // spill, the classic grace hash join trade.
+        val bridge = org.apache.spark.sql.graft.Bridge
+        val dir = bridge.localSpillDir()
+        val tc = org.apache.spark.TaskContext.get()
+        val runFiles = Array.tabulate(2, graceK) { (s, j) =>
+          java.io.File.createTempFile(s"graft_grace_s${s}_r$j", ".run", dir)
+        }
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          runFiles.foreach(_.foreach(_.delete()))
+        }
+        // the slice hash needs no cross-engine pin — it only has to agree
+        // between the two passes of THIS task; both sides bind the same
+        // Murmur3 over the same key type
+        def slicer(keyIdx: Int): InternalRow => Int = {
+          val p = bridge.createMutableProjection(Seq(
+            Murmur3Hash(Seq(BoundReference(keyIdx, keyType, nullable = true)), 42)))
+          r => { val h = p(r).getInt(0); ((h % graceK) + graceK) % graceK }
+        }
+        def unsafe(schema: StructType): UnsafeProjection =
+          UnsafeProjection.create(schema.fields.toSeq.zipWithIndex.map {
+            case (f, i) => BoundReference(i, f.dataType, f.nullable)
+          })
+        def spillSide(it: Iterator[InternalRow], schema: StructType,
+            keyIdx: Int, files: Array[java.io.File], nullKeyRun: Int): Unit = {
+          val toUnsafe = unsafe(schema)
+          val slice = slicer(keyIdx)
+          val writers = files.map(new RunWriter(_))
+          try it.foreach { r =>
+            // null-key LEFT rows still carry anti/outer semantics — route
+            // them to run `nullKeyRun` (≥0) where the sub-join's null-key
+            // handling applies; right nulls (-1) never match and drop
+            val j = if (!r.isNullAt(keyIdx)) slice(r) else nullKeyRun
+            if (j >= 0) writers(j).write(toUnsafe(r))
+          } finally writers.foreach(_.close())
+        }
+        spillSide(rit, readR, keyIdxR, runFiles(1), nullKeyRun = -1)
+        spillSide(lit, readL, keyIdxL, runFiles(0), nullKeyRun = 0)
+        val nR = readR.fields.length
+        val nLf = readL.fields.length
+        (0 until graceK).iterator.flatMap { j =>
+          val build = buildFrom(new RunReader(runFiles(1)(j), nR), copyRows = false)
+          stream(new RunReader(runFiles(0)(j), nLf), build)
+        }
+      }
     }
     org.apache.spark.sql.graft.Bridge.internalCreateDataFrame(spark, joined, outSchema)
+  }
+
+  /** Sequential spill run of UnsafeRow payloads (`[len:int][bytes]`*) —
+    * the grace splits' local format; executor-side, deleted on task
+    * completion. */
+  private final class RunWriter(f: java.io.File) {
+    private val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(f), 1 << 16))
+    private val buf = new Array[Byte](4096)
+    def write(u: org.apache.spark.sql.catalyst.expressions.UnsafeRow): Unit = {
+      out.writeInt(u.getSizeInBytes)
+      u.writeToStream(out, buf)
+    }
+    def close(): Unit = out.close()
+  }
+
+  private final class RunReader(f: java.io.File, nFields: Int)
+      extends Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+    private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(f), 1 << 16))
+    private var nextLen = readLen()
+    private def readLen(): Int =
+      try in.readInt()
+      catch { case _: java.io.EOFException => in.close(); -1 }
+    override def hasNext: Boolean = nextLen >= 0
+    override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+      val len = nextLen
+      val bytes = new Array[Byte](len)
+      in.readFully(bytes)
+      nextLen = readLen()
+      val r = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(nFields)
+      r.pointTo(bytes, len)
+      r
+    }
   }
 
   /** One chunk's pruned, pushed-down scan — package-private so the spec
@@ -507,12 +626,14 @@ object BucketedJoin {
         val (withDv, without) = files.partition(f => byPath.contains(f._1))
         if (withDv.isEmpty) plain(files)
         else {
-          // blobs load on the driver (descriptor-sized reads) and expand
-          // here — the broadcast would hold the same positions anyway
+          // expanded positions come from the descriptor-keyed memo
+          // (round-20): the blobs are immutable content, so repeated
+          // routed queries — and the n chunks of ONE query — stop
+          // re-reading and re-decoding them; the broadcast would hold the
+          // same positions anyway
           val dels = delsDf(withDv.iterator.flatMap { case (p, _) =>
-            val blob = graft.sources.DeletionVectors.load(table, byPath(p))
-            graft.sources.DeletionVectors.fromBlob(blob).iterator
-              .map(pos => (bare(p), pos))
+            graft.sources.DeletionVectors.expandedPositions(table, byPath(p))
+              .iterator.map(pos => (bare(p), pos))
           })
           val m = masked(withDv, dels)
           if (without.isEmpty) m else m.unionByName(plain(without))

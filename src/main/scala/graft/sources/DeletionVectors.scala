@@ -253,6 +253,46 @@ object DeletionVectors {
     blob
   }
 
+  /** [[load]] + [[fromBlob]], MEMOIZED per (tableRoot, descriptor) —
+    * round-20 optimization (guide §1.2): every routed query on a
+    * DV-carrying table re-read and re-decoded the same immutable blobs,
+    * once per masked chunk per execution. A descriptor addresses immutable
+    * blob CONTENT (inline bytes, or a file region Delta never rewrites in
+    * place — DV files are append-only and a changed mask gets a new
+    * descriptor), so a hit can never be stale and no version key is
+    * needed: a commit that changes a file's DV changes its descriptor.
+    * LRU-bounded by TOTAL expanded positions (~128 MB of longs), and the
+    * routed readers only reach here under the delete-budget gate
+    * ([[Lake.bucketLayoutMoR]]), which bounds any single table's
+    * expansion. */
+  def expandedPositions(tableRoot: String, d: Descriptor): Array[Long] = {
+    val key = (tableRoot, d)
+    expandCache.synchronized {
+      val hit = expandCache.get(key)
+      if (hit != null) return hit
+    }
+    val computed = fromBlob(load(tableRoot, d))
+    expandCache.synchronized {
+      expandCacheLongs += computed.length.toLong
+      val prev = expandCache.put(key, computed) // a racing compute of the
+      if (prev != null) expandCacheLongs -= prev.length.toLong // same key
+      val it = expandCache.entrySet().iterator()
+      while (expandCacheLongs > MaxCachedPositions && it.hasNext) {
+        val e = it.next()
+        if (!(e.getValue eq computed)) {
+          expandCacheLongs -= e.getValue.length.toLong
+          it.remove()
+        }
+      }
+    }
+    computed
+  }
+
+  private val MaxCachedPositions = 16L * 1024 * 1024 // 128 MB of longs
+  private var expandCacheLongs = 0L
+  private val expandCache =
+    new java.util.LinkedHashMap[(String, Descriptor), Array[Long]](64, 0.75f, true)
+
   /** Resolve a descriptor to its blob bytes (driver-side: blobs are
     * compressed-bitmap sized, like manifests — positions stay unexploded
     * until the distributed apply). */

@@ -1302,7 +1302,7 @@ object DeltaWrite {
         val newPos = DeletionVectors.fromBlob(newBlobs(norm(f.path)))
         val allPos = f.dv match {
           case Some(prev) =>
-            (DeletionVectors.fromBlob(DeletionVectors.load(table, prev)) ++ newPos)
+            (DeletionVectors.expandedPositions(table, prev) ++ newPos)
               .distinct.sorted
           case None => newPos
         }

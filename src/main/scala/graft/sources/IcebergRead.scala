@@ -194,10 +194,15 @@ object IcebergRead {
     val snapNode = meta.path("snapshots").elements().asScala
       .find(_.path("snapshot-id").asLong(-2L) == resolvedId)
       .getOrElse(throw new IllegalArgumentException(s"snapshot $resolvedId not found"))
-    val schema = StructType(fieldTriples(schemaNodeFor(meta, snapNode)).map {
+    // always a current-intent read (the final scan below is -1L): resolve
+    // the CURRENT schema, and pin the stats frame to the resolved snapshot
+    // with current-schema names (round-20 consistency, see fileStatsFull)
+    val schema = StructType(fieldTriples(
+      schemaNodeFor(meta, mapper.createObjectNode())).map {
       case (_, n, dt) => StructField(n, dt)
     })
-    val (stats, bucketModuli) = fileStatsFull(spark, table, resolvedId)
+    val (stats, bucketModuli) =
+      fileStatsFull(spark, table, resolvedId, currentSchema = true)
     val statCols = stats.columns.collect {
       case c if c.startsWith("min_") => c.stripPrefix("min_") }.toSet
     val cond = spark.createDataFrame(
@@ -606,10 +611,13 @@ object IcebergRead {
           size() > 64
       })
 
-  /** Live delete files of a snapshot: Some(position-delete paths), or
-    * None when any EQUALITY delete is live (outside the bucket-local
-    * readers' subset). O(manifests) driver metadata work. */
-  private def liveDeleteFiles(table: String, snapshotId: Long): Option[Seq[String]] = {
+  /** Live delete files of a snapshot with their total MANIFEST-recorded
+    * row count: Some(position-delete paths, Σ record_count — -1 when any
+    * entry lacked it), or None when any EQUALITY delete is live (outside
+    * the bucket-local readers' subset). O(manifests) driver metadata
+    * work; the row count feeds [[Lake.bucketLayoutMoR]]'s delete-budget
+    * gate without opening a single delete file. */
+  private def liveDeleteFiles(table: String, snapshotId: Long): Option[(Seq[String], Long)] = {
     val meta = mapper.readTree(metadataFile(table))
     val resolvedId =
       if (snapshotId >= 0) snapshotId else meta.path("current-snapshot-id").asLong(-1L)
@@ -624,22 +632,29 @@ object IcebergRead {
     def opt(r: org.apache.avro.generic.GenericRecord, n: String): Option[AnyRef] =
       Option(r.getSchema.getField(n)).flatMap(_ => Option(r.get(n)))
     val posB = Seq.newBuilder[String]
+    var rows = 0L
     manifests.foreach { mp =>
       avroRecords(mp).foreach { entry =>
         val status = opt(entry, "status").map(_.toString.toInt).getOrElse(1)
         val df = entry.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
         val content = opt(df, "content").map(_.toString.toInt).getOrElse(0)
         if (status != 2 && content == 2) return None // live equality delete
-        if (status != 2 && content == 1)
+        if (status != 2 && content == 1) {
           posB += localPath(df.get("file_path").toString)
+          if (rows >= 0) rows = opt(df, "record_count")
+            .flatMap(v => v.toString.toLongOption) match {
+            case Some(rc) if rc >= 0 => rows + rc
+            case _ => -1L // unrecorded count: the budget gate must refuse
+          }
+        }
       }
     }
-    Some(posB.result())
+    Some((posB.result(), rows))
   }
 
   private def bucketLayoutMoRImpl(spark: SparkSession, table: String, key: String)
       : Option[(Int, Map[Int, Seq[(String, Long)]], LayoutDeletes)] = scala.util.Try {
-    val posDeletes = liveDeleteFiles(table, currentSnapshotId(spark, table))
+    val (posDeletes, delRows) = liveDeleteFiles(table, currentSnapshotId(spark, table))
       .getOrElse(return None)
     val (stats, moduli) = fileStatsFull(spark, table)
     val n = moduli.getOrElse(key, return None)
@@ -665,7 +680,7 @@ object IcebergRead {
     if (!nameReadFaithful(spark, table, byBucket.values.flatten.headOption.map(_._1)))
       return None
     val deletes: LayoutDeletes =
-      if (posDeletes.isEmpty) NoDeletes else LayoutDeletes.Pos(posDeletes)
+      if (posDeletes.isEmpty) NoDeletes else LayoutDeletes.Pos(posDeletes, delRows)
     Some((n, byBucket, deletes))
   }.toOption.flatten
 
@@ -750,14 +765,25 @@ object IcebergRead {
     * Murmur3 bucket function — the spec's partition-predicate projection
     * for the one transform that yields no [lo, hi] interval. */
   private[sources] def fileStatsFull(spark: SparkSession, table: String,
-      snapshotId: Long = -1L): (DataFrame, Map[String, Int]) = {
+      snapshotId: Long = -1L, currentSchema: Boolean = false): (DataFrame, Map[String, Int]) = {
     val meta = mapper.readTree(metadataFile(table))
     val resolvedId =
       if (snapshotId >= 0) snapshotId else meta.path("current-snapshot-id").asLong(-1L)
     val snap = meta.path("snapshots").elements().asScala
       .find(_.path("snapshot-id").asLong(-2L) == resolvedId)
       .getOrElse(throw new IllegalArgumentException(s"snapshot $resolvedId not found"))
-    val fields = fieldTriples(schemaNodeFor(meta, snap))
+    // CURRENT read → CURRENT schema (round-20 consistency fix): a
+    // metadata-only evolution (rename) adds no snapshot, so the head
+    // snapshot may cite the pre-evolution schema-id — resolving it here
+    // would name the stat/__pb_ columns under the OLD names while the
+    // planner (snapshotSchema/snapshotImpl, same rule below at scanPruned)
+    // uses the new ones, silently de-clawing pruning and the bucket-layout
+    // probe. Time travel keeps the snapshot's recorded schema-id;
+    // `currentSchema` lets a current-intent caller PIN the snapshot id
+    // (concurrent-commit atomicity) while keeping current-schema names.
+    val fields = fieldTriples(
+      if (snapshotId >= 0 && !currentSchema) schemaNodeFor(meta, snap)
+      else schemaNodeFor(meta, mapper.createObjectNode()))
     val statFields = fields.filter { case (_, _, dt) => IcebergBounds.supported(dt) }
     // partition values double as SOURCE-COLUMN intervals when a file
     // carries no bounds for the column: identity → the degenerate [v, v],
@@ -1034,10 +1060,15 @@ object IcebergRead {
     val snapNode = meta.path("snapshots").elements().asScala
       .find(_.path("snapshot-id").asLong(-2L) == resolvedId)
       .getOrElse(throw new IllegalArgumentException(s"snapshot $resolvedId not found"))
-    val schema = StructType(fieldTriples(schemaNodeFor(meta, snapNode)).map {
+    // current read → current schema, matching snapshotImpl/fileStatsFull
+    // (see the round-20 note in fileStatsFull)
+    val schema = StructType(fieldTriples(
+      if (snapshotId >= 0) schemaNodeFor(meta, snapNode)
+      else schemaNodeFor(meta, mapper.createObjectNode())).map {
       case (_, n, dt) => StructField(n, dt)
     })
-    val (stats0, bucketModuli) = fileStatsFull(spark, table, resolvedId)
+    val (stats0, bucketModuli) =
+      fileStatsFull(spark, table, resolvedId, currentSchema = snapshotId < 0)
     val statCols = stats0.columns.collect {
       case c if c.startsWith("min_") => c.stripPrefix("min_") }.toSet
     // sidecar bloom sketches join the stats frame as bloom_<col> columns
@@ -1083,7 +1114,7 @@ object IcebergRead {
     val keep = stats.where(survives && bucketKeep)
       .select("file").collect().map(_.getString(0)).toSet
     val df = snapshotImpl(spark, table, resolvedId, lineage = false,
-      keepPaths = Some(keep)).where(pred)
+      keepPaths = Some(keep), currentSchema = snapshotId < 0).where(pred)
     (df, keep.size.toLong, total)
   }
 
@@ -1217,7 +1248,8 @@ object IcebergRead {
   private def snapshotImpl(spark: SparkSession, table: String, snapshotId: Long,
       lineage: Boolean, prune: Option[Map[String, Any] => Boolean] = None,
       addedIn: Option[Long => Boolean] = None,
-      keepPaths: Option[String => Boolean] = None): DataFrame = {
+      keepPaths: Option[String => Boolean] = None,
+      currentSchema: Boolean = false): DataFrame = {
     val meta = mapper.readTree(metadataFile(table))
     val formatVersion = meta.path("format-version").asInt(1)
     require(formatVersion <= 2, s"unsupported Iceberg format-version $formatVersion")
@@ -1237,9 +1269,12 @@ object IcebergRead {
     // snapshot resolves against ITS recorded schema-id (the spec embeds
     // the id per snapshot so evolution doesn't rewrite history);
     // snapshots without one — or ids the chain no longer carries — fall
-    // back to the current schema.
+    // back to the current schema. `currentSchema` lets a current-intent
+    // caller (scanPruned) PIN the snapshot id against concurrent commits
+    // while still resolving the CURRENT schema, so pruned and unpruned
+    // current reads agree after a metadata-only evolution (round 20).
     val schemaNode =
-      if (snapshotId >= 0) schemaNodeFor(meta, targetSnap)
+      if (snapshotId >= 0 && !currentSchema) schemaNodeFor(meta, targetSnap)
       else schemaNodeFor(meta, mapper.createObjectNode())
     // carry the Iceberg field ids: when the data files were written by a
     // real Iceberg engine their parquet columns have matching ids, and

@@ -24,8 +24,12 @@ object LayoutDeletes {
     * cannot scope them per bucket; instead [[byFile]] reads the delete
     * set ONCE on the driver per layout-cache entry (delete files are
     * tiny relative to data) and every chunk scan masks only the data
-    * files actually referenced — untouched chunks keep the plain scan. */
-  final case class Pos(files: Seq[String]) extends LayoutDeletes {
+    * files actually referenced — untouched chunks keep the plain scan.
+    * `rows` is the MANIFEST-recorded total deleted-position count
+    * (Σ record_count over the live delete files; -1 when any entry
+    * lacked it) — the [[Lake.bucketLayoutMoR]] delete-budget gate's
+    * input, known without opening a single delete file. */
+  final case class Pos(files: Seq[String], rows: Long = -1L) extends LayoutDeletes {
     @transient private var memo: Map[String, Array[Long]] = _
     /** (bare data-file path → sorted deleted positions), memoized — the
       * driver-side footprint is the table's total deleted rows, the same
@@ -1208,10 +1212,50 @@ object Lake {
     * reader). */
   def bucketLayoutMoR(spark: SparkSession, path: String, key: String)
       : Option[(Int, Map[Int, Seq[(String, Long)]], LayoutDeletes)] =
-    detect(spark, path) match {
+    (detect(spark, path) match {
       case Iceberg => IcebergRead.bucketLayoutMoR(spark, path, key)
       case Delta => DeltaRead.bucketLayoutMoR(spark, path, key)
       case Parquet => None
+    }).filter { case (_, _, dels) => deletesWithinBudget(spark, dels) }
+
+  /** Estimated driver-heap bytes per EXPANDED deleted position: the routed
+    * scans collect every live (file, pos) pair to the driver (a Long in
+    * `Pos.byFile`'s arrays, a `Row` in the per-chunk delete relation, an
+    * UnsafeRow + path bytes in the broadcast hash relation) — ~64 B/row,
+    * conservative. */
+  private val DeleteRowBytes = 64L
+
+  /** DELETE-BUDGET GATE for every merge-on-read bucket route: the routed
+    * readers expand the table's live deleted positions ON THE DRIVER
+    * (guide §5 — the driver should do almost no data work), so a
+    * CDC-heavy table with billions of live deletes must NOT be offered
+    * the route at all. The volume is known from metadata alone — Delta DV
+    * descriptors record `cardinality`, Iceberg delete manifests record
+    * `record_count` — so the gate costs zero I/O. Past
+    * `graft.route.deleteBudgetBytes` (default 256 MiB of estimated
+    * expanded driver heap, ≈4M deleted rows; ≤0 disables the gate), or
+    * when the count is unrecorded, the layout is refused and callers fall
+    * back to the full shuffled merge-on-read reader, which applies
+    * deletes distributed. The analogue of the SPJ build gate
+    * (`graft.route.buildBudgetBytes`). */
+  private def deletesWithinBudget(spark: SparkSession, dels: LayoutDeletes): Boolean =
+    dels match {
+      case NoDeletes => true
+      case d =>
+        val budget = spark.conf.getOption("graft.route.deleteBudgetBytes")
+          .flatMap(v => scala.util.Try(
+            org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)).toOption)
+          .getOrElse(256L * 1024 * 1024)
+        if (budget <= 0) true
+        else {
+          val rows = d match {
+            case LayoutDeletes.Dv(_, byPath) => byPath.values.map(_.cardinality).sum
+            case p: LayoutDeletes.Pos => p.rows
+          }
+          // unknown (-1) refuses: an unbounded driver expansion is the one
+          // failure mode this gate exists to prevent
+          rows >= 0 && rows * DeleteRowBytes <= budget
+        }
     }
 
   /** [[bucketLayoutMoR]] restricted to DELETE-FREE snapshots — the

@@ -181,13 +181,43 @@ object Bridge {
     // spark.read force-nullables user schemas on file sources (a file may
     // lack a column / a reader may produce nulls); keep that contract so
     // downstream schema equality is unchanged by this construction
+    // VerifiedParquetFileFormat (round 20): each task stats ITS file and
+    // self-heals the split if the recorded size lied — the plan-time probe
+    // above only covers the first file, and a short-but-positive recorded
+    // size on any OTHER file would silently drop its tail row groups.
+    // Executor-side, one getFileStatus per split; the driver still makes
+    // zero listing calls. The stat's Hadoop conf rides a PER-CONTEXT
+    // memoized broadcast — embedding a SerializableConfiguration in the
+    // reader closure serialized the full Configuration into EVERY task
+    // binary (measured 3–6× on the routed shapes), and a broadcast per
+    // scan would pile up one block per chunk.
     val relation = HadoopFsRelation(index,
       partitionSchema = org.apache.spark.sql.types.StructType(Nil),
       dataSchema = dataSchema.asNullable, bucketSpec = None,
-      fileFormat = new parquet.ParquetFileFormat,
+      fileFormat = new VerifiedParquetFileFormat(hadoopConfBroadcast(session)),
       options = Map.empty)(session)
     org.apache.spark.sql.classic.Dataset.ofRows(session, LogicalRelation(relation))
   }
+
+  /** One broadcast Hadoop conf per SparkContext (the task-time
+    * `getFileStatus` input of [[VerifiedParquetFileFormat]]). Identity-
+    * keyed like Tables.dfCache; entries die with the context. */
+  private val confBcCache =
+    new java.util.IdentityHashMap[org.apache.spark.SparkContext,
+      org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration]]()
+  private def hadoopConfBroadcast(
+      session: org.apache.spark.sql.classic.SparkSession)
+      : org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration] =
+    confBcCache.synchronized {
+      var bc = confBcCache.get(session.sparkContext)
+      if (bc == null) {
+        bc = session.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            session.sessionState.newHadoopConf()))
+        confBcCache.put(session.sparkContext, bc)
+      }
+      bc
+    }
 
   /** Run `body` with `spark` installed as the thread's ACTIVE session —
     * the prerequisite for driver-side Catalyst work submitted from helper
@@ -196,6 +226,25 @@ object Bridge {
   def withActive[T](spark: SparkSession)(body: => T): T =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .withActive(body)
+
+  /** Snapshot the calling thread's SparkContext LOCAL PROPERTIES (job
+    * group, description, scheduler pool — thread-local, inherited only at
+    * thread CREATION). Pool threads created lazily inherit whatever the
+    * first caller carried; any job they later submit (broadcast builds,
+    * collects) would attach to that stale/foreign group — so a
+    * cancelJobGroup from an unrelated query could kill them, or a cancel
+    * of this query could miss them. Pair with [[withLocalProperties]]. */
+  def cloneLocalProperties(sc: org.apache.spark.SparkContext): java.util.Properties =
+    org.apache.spark.util.Utils.cloneProperties(sc.getLocalProperties)
+
+  /** Run `body` with `props` installed as the thread's local properties,
+    * restoring the previous set afterwards. */
+  def withLocalProperties[T](sc: org.apache.spark.SparkContext,
+      props: java.util.Properties)(body: => T): T = {
+    val old = sc.getLocalProperties
+    sc.setLocalProperties(props)
+    try body finally sc.setLocalProperties(old)
+  }
 
   def internalCreateDataFrameClustered(spark: SparkSession,
       rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],

@@ -1293,6 +1293,56 @@ class BucketingSpec extends SparkSpec {
     assert(Lake.bucketLayoutMoR(spark, s"$root/i_eq", "c_custkey").isEmpty)
   }
 
+  test("delete-budget gate: past graft.route.deleteBudgetBytes the MoR route refuses to the shuffled reader") {
+    import graft.sources.{DeltaRead, DeltaWrite, IcebergRead, IcebergWrite, Lake}
+    val root = java.nio.file.Files.createTempDirectory("graft_delbudget").toString
+    val orders = Tables(spark, sf001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    DeltaWrite.append(spark, orders, s"$root/d",
+      partitionBy = Seq("bucket(4, o_custkey)"))
+    DeltaWrite.deleteWhere(spark, s"$root/d", col("o_orderkey") % 7 === 0)
+    IcebergWrite.append(spark, orders, s"$root/i",
+      partitionBy = Seq("bucket(4, o_custkey)"))
+    IcebergWrite.deleteWhere(spark, s"$root/i", col("o_orderkey") % 5 === 0)
+
+    // default budget (256 MiB): these tiny delete sets route
+    assert(Lake.bucketLayoutMoR(spark, s"$root/d", "o_custkey").isDefined)
+    assert(Lake.bucketLayoutMoR(spark, s"$root/i", "o_custkey").isDefined)
+
+    val stmt = (t: String) =>
+      s"""SELECT o_custkey, count(*) AS cnt FROM '$root/$t'
+          GROUP BY o_custkey ORDER BY o_custkey"""
+    val expectD = DeltaRead.snapshot(spark, s"$root/d")
+      .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+      .orderBy("o_custkey").collect().toSeq
+    val expectI = IcebergRead.snapshot(spark, s"$root/i")
+      .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+      .orderBy("o_custkey").collect().toSeq
+
+    spark.conf.set("graft.route.deleteBudgetBytes", "1")
+    try {
+      // 1-byte budget: both formats' manifest-known delete volume exceeds
+      // it — the route must refuse (no driver-side expansion), and the
+      // statement surface must fall back to the shuffled MoR plan with
+      // identical results
+      assert(Lake.bucketLayoutMoR(spark, s"$root/d", "o_custkey").isEmpty)
+      assert(Lake.bucketLayoutMoR(spark, s"$root/i", "o_custkey").isEmpty)
+      assert(Lake.sqlFrame(spark, stmt("d")).collect().toSeq === expectD)
+      assert(Lake.sqlFrame(spark, stmt("i")).collect().toSeq === expectI)
+    } finally spark.conf.unset("graft.route.deleteBudgetBytes")
+
+    // gate off (≤0): unbounded, the old behavior, route offered
+    spark.conf.set("graft.route.deleteBudgetBytes", "0")
+    try assert(Lake.bucketLayoutMoR(spark, s"$root/d", "o_custkey").isDefined)
+    finally spark.conf.unset("graft.route.deleteBudgetBytes")
+    // a delete-free table never consults the budget
+    IcebergWrite.append(spark, orders, s"$root/clean",
+      partitionBy = Seq("bucket(4, o_custkey)"))
+    spark.conf.set("graft.route.deleteBudgetBytes", "1")
+    try assert(Lake.bucketLayoutMoR(spark, s"$root/clean", "o_custkey").isDefined)
+    finally spark.conf.unset("graft.route.deleteBudgetBytes")
+  }
+
   test("file-stats pruning shrinks bucket scans under a range WHERE (both formats)") {
     import graft.operators.BucketedJoin
     import graft.sources.{DeltaRead, DeltaWrite, IcebergRead, IcebergWrite, Lake}
@@ -1370,8 +1420,11 @@ class BucketingSpec extends SparkSpec {
       partitionBy = Seq("bucket(4, c_custkey)"))
 
     // budget ≈ a third of the largest right bucket → k ≈ 3 sub-joins per
-    // bucket; the join stays shuffle-free, fans out past n partitions, and
-    // matches the un-graced twin row for row
+    // bucket; the join stays shuffle-free and matches the un-graced twin
+    // row for row. Round 20: grace is SINGLE-PASS — each graced bucket is
+    // ONE partition whose task reads each side once and splits rows into
+    // k spill runs locally (the old shape planned k chunks re-scanning
+    // both sides k times), so the partition count stays n.
     val layout = Lake.bucketLayoutMoR(spark, s"$root/customer", "c_custkey").get._2
     val maxBytes = layout.values.map(_.map(_._2).sum).max
     val budget = math.max(1L, maxBytes / 3)
@@ -1380,8 +1433,8 @@ class BucketingSpec extends SparkSpec {
       buildBudgetBytes = budget)
     assert(!graced.rdd.toDebugString.contains("ShuffledRDD"),
       graced.rdd.toDebugString.take(2000))
-    assert(graced.rdd.getNumPartitions > 4,
-      s"grace must fan out past n buckets, got ${graced.rdd.getNumPartitions}")
+    assert(graced.rdd.getNumPartitions === 4,
+      s"single-pass grace keeps one partition per bucket, got ${graced.rdd.getNumPartitions}")
     val twin = BucketedJoin.coBucketedJoin(spark, s"$root/orders",
       s"$root/customer", "o_custkey", rightKey = "c_custkey")
     assert(graced.count() === twin.count() && graced.count() > 0)
@@ -1416,6 +1469,42 @@ class BucketingSpec extends SparkSpec {
         fusedPlan.take(2000))
       assert(fused.collect().toSeq === fusedTwin)
     } finally spark.conf.unset("graft.route.buildBudgetBytes")
+  }
+
+  test("single-pass grace keeps join-type and residual semantics through the spill runs") {
+    import graft.operators.BucketedJoin
+    import graft.sources.{IcebergWrite, Lake}
+    val root = java.nio.file.Files.createTempDirectory("graft_grace_jt").toString
+    val orders = Tables(spark, sf001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    // halve the customers so anti/outer legs are non-trivial
+    val customer = Tables(spark, sf001, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .where(col("c_custkey") % 2 === 0)
+    IcebergWrite.append(spark, orders, s"$root/orders",
+      partitionBy = Seq("bucket(4, o_custkey)"))
+    IcebergWrite.append(spark, customer, s"$root/customer",
+      partitionBy = Seq("bucket(4, c_custkey)"))
+    val maxBytes = Lake.bucketLayoutMoR(spark, s"$root/customer", "c_custkey")
+      .get._2.values.map(_.map(_._2).sum).max
+    val budget = math.max(1L, maxBytes / 3)
+    def join(jt: String, budgetBytes: Long, res: Option[org.apache.spark.sql.Column]) =
+      BucketedJoin.coBucketedJoin(spark, s"$root/orders", s"$root/customer",
+        "o_custkey", joinType = jt, rightKey = "c_custkey",
+        residual = res, buildBudgetBytes = budgetBytes)
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+      val graced = join(jt, budget, None)
+      val plain = join(jt, 0L, None)
+      assert(!graced.rdd.toDebugString.contains("ShuffledRDD"))
+      assert(graced.count() === plain.count(), s"joinType=$jt")
+      assert(graced.exceptAll(plain).isEmpty && plain.exceptAll(graced).isEmpty,
+        s"joinType=$jt differs between graced and plain")
+    }
+    // residual ON conjunct evaluated inside each sub-join
+    val res = Some(col("o_totalprice") > col("c_acctbal"))
+    val gr = join("left", budget, res)
+    val pl = join("left", 0L, res)
+    assert(gr.exceptAll(pl).isEmpty && pl.exceptAll(gr).isEmpty)
   }
 
   test("bucket-local windows: PARTITION BY the bucket key plans without a window exchange") {

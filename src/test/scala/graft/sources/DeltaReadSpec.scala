@@ -49,6 +49,41 @@ class DeltaReadSpec extends SparkSpec {
     s"""{"add":{"path":"$path","partitionValues":$pvJson,"size":1,""" +
       s""""modificationTime":0,"dataChange":true}}"""
   }
+
+  test("a lying recorded size on a NON-head file self-heals at task time") {
+    // round-20 hardening: the manifest-backed scan's plan-time probe stats
+    // only the FIRST file. A wrong-but-positive size on a LATER file used
+    // to silently change split coverage ([0, recordedLen)) and drop that
+    // file's tail row groups; VerifiedParquetFileFormat stats each file in
+    // its own task and self-heals the split instead.
+    val table = Files.createTempDirectory("graft_delta_lie").toString
+    val p1 = writePart(table, "part-1.parquet", Seq((1L, "a"), (2L, "b")))
+    val p2 = writePart(table, "part-2.parquet",
+      (3L to 40L).map(i => (i, s"row$i")))
+    val len1 = Files.size(Paths.get(table, p1))
+    val len2 = Files.size(Paths.get(table, p2))
+    def add(path: String, size: Long) =
+      s"""{"add":{"path":"$path","partitionValues":{},"size":$size,""" +
+        s""""modificationTime":0,"dataChange":true}}"""
+    // head file EXACT (the plan-time probe passes → recorded sizes are
+    // trusted); file 2 records a quarter of its real length — its single
+    // row group's midpoint falls OUTSIDE [0, len2/4)
+    commit(table, 0L, Seq(protocolAction, metaAction(Nil),
+      add(p1, len1), add(p2, math.max(1L, len2 / 4))))
+    val ids = DeltaRead.snapshot(spark, table)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids === (1L to 40L), s"got ${ids.length} rows")
+    // and the OVER-recorded direction: file 2 claims twice its length;
+    // splits past the real end return empty, coverage unchanged
+    val table2 = Files.createTempDirectory("graft_delta_lie2").toString
+    val q1 = writePart(table2, "part-1.parquet", Seq((1L, "a")))
+    val q2 = writePart(table2, "part-2.parquet", Seq((2L, "b"), (3L, "c")))
+    commit(table2, 0L, Seq(protocolAction, metaAction(Nil),
+      add(q1, Files.size(Paths.get(table2, q1))),
+      add(q2, 2L * Files.size(Paths.get(table2, q2)))))
+    assert(DeltaRead.snapshot(spark, table2)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+  }
   private def removeAction(path: String): String =
     s"""{"remove":{"path":"$path","deletionTimestamp":0,"dataChange":true}}"""
 

@@ -197,6 +197,66 @@ class IcebergReadSpec extends SparkSpec {
     assert(out.as[(Long, String)].collect().toSeq === Seq((7L, "z")))
   }
 
+  test("metadata-only rename: pruned and plain current reads resolve the SAME (current) schema") {
+    // round-20 consistency fix: a rename is a metadata-only commit — no new
+    // snapshot — so the head snapshot still cites the pre-rename schema-id.
+    // scanPruned/fileStats used to resolve THAT schema for current reads
+    // while snapshot()/snapshotSchema resolved current-schema-id, so the
+    // two disagreed on the column set of the same table.
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.MetadataBuilder
+    val table = Files.createTempDirectory("graft_ice_renmeta").toString
+    // id-carrying data file under the PRE-rename physical names
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val md1 = new MetadataBuilder().putLong("parquet.field.id", 1L).build()
+    val md2 = new MetadataBuilder().putLong("parquet.field.id", 2L).build()
+    val tmp = Files.createTempDirectory("graft_ice_renmeta_part")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+      .select(col("id").as("id", md1), col("name").as("old_label", md2))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles().find(_.getName.endsWith(".parquet")).get
+    val dest = Paths.get(table, "data", "p1.parquet")
+    Files.createDirectories(dest.getParent)
+    Files.move(part.toPath, dest)
+    writeAvro(s"$table/metadata/m0.avro", manifestEntrySchema,
+      Seq(manifestEntry(1, s"file://$dest")))
+    writeAvro(s"$table/metadata/ml.avro", manifestListSchema,
+      Seq(manifestRef(s"$table/metadata/m0.avro")))
+    // snapshot 7 records schema-id 0 (pre-rename); the rename made
+    // schema-id 1 current WITHOUT a new snapshot
+    Files.writeString(Paths.get(table, "metadata", "v2.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"fixture","location":"unused",
+        "current-snapshot-id":7,
+        "schemas":[
+          {"schema-id":0,"type":"struct","fields":[
+            {"id":1,"name":"id","required":false,"type":"long"},
+            {"id":2,"name":"old_label","required":false,"type":"string"}]},
+          {"schema-id":1,"type":"struct","fields":[
+            {"id":1,"name":"id","required":false,"type":"long"},
+            {"id":2,"name":"label","required":false,"type":"string"}]}],
+        "current-schema-id":1,
+        "snapshots":[{"snapshot-id":7,"schema-id":0,"manifest-list":"$table/metadata/ml.avro"}]}"""
+        .replaceAll("\n\\s*", ""))
+    Files.writeString(Paths.get(table, "metadata", "version-hint.text"), "2")
+
+    val plain = IcebergRead.snapshot(spark, table)
+    assert(plain.columns.toSeq === Seq("id", "label"))
+    assert(IcebergRead.snapshotSchema(table).fieldNames.toSeq === Seq("id", "label"))
+    // pruned current read: SAME columns, SAME rows as the plain read
+    val (pruned, kept, total) = IcebergRead.scanPruned(spark, table, col("id") >= 2L)
+    assert(pruned.columns.toSeq === Seq("id", "label"),
+      s"pruned read resolved ${pruned.columns.mkString(",")}")
+    assert(pruned.orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((2L, "b"), (3L, "c")))
+    assert(total === 1L && kept <= total)
+    // the stats frame names its columns under the CURRENT schema too
+    val statCols = IcebergRead.fileStats(spark, table).columns.toSeq
+    assert(statCols.exists(_.endsWith("_label")) || !statCols.exists(_.endsWith("_old_label")),
+      s"stats columns: ${statCols.mkString(",")}")
+    // an explicit TIME TRAVEL to snapshot 7 keeps ITS recorded schema
+    assert(IcebergRead.snapshot(spark, table, 7L).columns.toSeq === Seq("id", "old_label"))
+  }
+
   test("v1 metadata with inline schema parses; unknown column types refused") {
     val table = Files.createTempDirectory("graft_ice_v1").toString
     val p1 = writePart(table, "p1.parquet", Seq((7L, "z")))

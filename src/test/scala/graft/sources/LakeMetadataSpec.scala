@@ -36,6 +36,42 @@ class LakeMetadataSpec extends SparkSpec {
     assert(IcebergRead.fileStats(spark, t).count() === 2L)
   }
 
+  test("DV expansion memoizes per descriptor; a new DELETE commit rolls the key") {
+    // round-20 optimization: routed queries on a DV-carrying table used to
+    // re-read + re-decode the same immutable blobs once per masked chunk
+    // per execution. The memo keys on the descriptor (immutable content
+    // address), so a second query re-reads nothing and a commit that
+    // changes a mask necessarily changes its key.
+    val t = tmp("lm_dvmemo")
+    DeltaWrite.append(spark,
+      (0L until 200L).map(i => (i, i % 7, s"r$i")).toDF("id", "p", "s"),
+      t, partitionBy = Seq("bucket(4, id)"))
+    DeltaWrite.deleteWhere(spark, t, col("id") % 10 === 0)
+    def descs = Lake.bucketLayoutMoR(spark, t, "id").get._3
+      .asInstanceOf[LayoutDeletes.Dv].byPath
+    val d1 = descs
+    assert(d1.nonEmpty)
+    val (p0, desc0) = d1.head
+    val first = DeletionVectors.expandedPositions(t, desc0)
+    // same descriptor: the SAME array instance comes back — no blob
+    // re-read, no re-decode
+    assert(DeletionVectors.expandedPositions(t, desc0) eq first)
+    // routed results stay correct across repeated executions (chunks all
+    // hit the memo)
+    val stmt = s"SELECT count(*) AS n FROM '$t'"
+    val n1 = Lake.sqlFrame(spark, stmt).head.getLong(0)
+    assert(n1 === Lake.sqlFrame(spark, stmt).head.getLong(0))
+    assert(n1 === 180L)
+    // a NEW DELETE on the same file merges masks under a NEW descriptor —
+    // the stale entry is unreachable by key construction
+    DeltaWrite.deleteWhere(spark, t, col("id") % 10 === 1)
+    val d2 = descs
+    assert(d2(p0) !== desc0, "a changed mask must carry a new descriptor")
+    val merged = DeletionVectors.expandedPositions(t, d2(p0))
+    assert(merged.length > first.length)
+    assert(Lake.sqlFrame(spark, stmt).head.getLong(0) === 160L)
+  }
+
   test("rowCount from metadata matches the data on both formats; DVs subtract") {
     val d = tmp("lm_delta")
     DeltaWrite.append(spark, sample, d, partitionBy = Seq("p"))
