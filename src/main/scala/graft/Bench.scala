@@ -55,10 +55,26 @@ object Bench {
         }
       })),
       Duration.Inf)
+    // Round-20 additions' lake tables (bucketed/composite Iceberg copies
+    // of the compacted inputs + one MoR DELETE) — a layout step like the
+    // compaction above, rebuilt from the inputs every invocation and
+    // charged to layout_sec. Failure costs the rb* queries, not b1–b15.
+    try queries.BenchLakeQueries.ensure(spark, benchDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] lake layout failed: ${e.getMessage}")
+    }
     val layoutSec = (System.nanoTime() - t0Layout) / 1e9
     val runDir = benchDir
 
+    // HEADLINE suite (b1–b15): the `value`/floor_ratio/vs-baseline
+    // contract, unchanged since round 3. ROUTED additions (rb1–rb4 and
+    // shuffled twins, round 20): timed and floored identically, reported
+    // as EXTRA `queries`/`floor_ms` keys plus `routed_total` — never
+    // folded into `value`, so cross-round and vs-DuckDB-baseline
+    // comparisons stay apples-to-apples.
     val suite = queries.BenchQueries.headline
+    val routedSuite = queries.BenchLakeQueries.routed
+    val full = suite ++ routedSuite
     // FAULT ISOLATION: one broken query must cost ITS number (-1), never
     // the artifact — an un-caught analysis error in the warm-up zeroed two
     // consecutive rounds' bench output. First failure per query is logged
@@ -75,9 +91,9 @@ object Bench {
     // it is a work-aware upper envelope for the timed section (same
     // queries, same data, less JIT warmth), which the load guard below
     // combines with the structural floors.
-    suite.foreach(q => run(q, runDir))
+    full.foreach(q => run(q, runDir))
     val t0Warm = System.nanoTime()
-    suite.foreach(q => run(q, runDir))
+    full.foreach(q => run(q, runDir))
     val warmPassSec = (System.nanoTime() - t0Warm) / 1e9
     System.gc()
 
@@ -103,7 +119,7 @@ object Bench {
         System.err.println(s"[bench] empty($n) failed: ${e.getMessage}")
       }
     }
-    val floors = suite.map { q =>
+    val floors = full.map { q =>
       val f = scala.util.Try {
         q.build(spark, emptyDir).collect()
         val runs = (1 to 9).map { _ =>
@@ -116,7 +132,13 @@ object Bench {
       q.name -> f
     }
     val fl = floors.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }.mkString("{", ",", "}")
+    val headlineNames = suite.map(_.name).toSet
+    // the retry envelope sums every floored query (it predicts the FULL
+    // timed section); the REPORTED floor_ratio stays headline-only so the
+    // cross-round figure keeps its round-3+ meaning
     val floorSumSec = floors.collect { case (_, v) if v >= 0 => v }.sum / 1000.0
+    val headlineFloorSumSec = floors.collect {
+      case (n, v) if v >= 0 && headlineNames(n) => v }.sum / 1000.0
 
     // Per-query consecutive samples, as in the DuckDB baseline protocol
     // (BASELINE.md: warm-up then median of consecutive timed runs).
@@ -128,7 +150,7 @@ object Bench {
     // half the consecutive samples of whichever query they land on; the
     // plain median then reports the stall, not the query. The lower-trim
     // discards those samples while still requiring 3 agreeing runs.
-    def timedPass(): Seq[(String, Double)] = suite.map { q =>
+    def timedPass(): Seq[(String, Double)] = full.map { q =>
       val t = scala.util.Try {
         val runs = (1 to 9).map { _ =>
           val t0 = System.nanoTime()
@@ -178,10 +200,15 @@ object Bench {
     }
     val loadEnd = loadavg1m
     val qs = timed.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
-    // suite_total sums only queries that produced a number; n_failed makes
-    // a partial total impossible to misread as a faster suite.
-    val total = totalOf(timed)
-    val floorRatio = if (floorSumSec > 0) total / floorSumSec else -1.0
+    // suite_total sums only HEADLINE queries that produced a number (the
+    // round-3+ contract — comparable across rounds and to the DuckDB
+    // baseline); the routed additions disclose under routed_total.
+    // n_failed makes a partial total impossible to misread as faster.
+    val (headlineTimed, routedTimed) = timed.partition(t => headlineNames(t._1))
+    val total = totalOf(headlineTimed)
+    val routedTotal = totalOf(routedTimed)
+    val floorRatio =
+      if (headlineFloorSumSec > 0) total / headlineFloorSumSec else -1.0
 
     // Quantify the layout contribution: one warmed pass over the ORIGINAL
     // (driver-written, single-row-group) files through the identical query
@@ -196,11 +223,14 @@ object Bench {
     val rawTotal = (System.nanoTime() - t0Raw) / 1e9
 
     // "protocol" tags the layout change (rounds ≥3 time compacted tables;
-    // rounds 1–2 timed the original single-row-group files) so cross-round
-    // comparisons don't mistake the re-layout for an engine change.
-    val nFailed = timed.count(_._2 < 0)
+    // rounds 1–2 timed the original single-row-group files) and the
+    // round-20 routed additions, so cross-round comparisons don't mistake
+    // either for an engine change. n_failed keeps its headline-only
+    // meaning; routed failures report separately.
+    val nFailed = headlineTimed.count(_._2 < 0)
+    val routedFailed = routedTimed.count(_._2 < 0)
     val loadPerCore = if (loadStart > 0) loadStart / cores else -1.0
-    println(f"""{"metric":"suite_total","value":$total%.4f,"unit":"sec","queries":$qs,"floor_ms":$fl,"floor_ratio":$floorRatio%.3f,"warm_pass_sec":$warmPassSec%.4f,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"loadavg_per_core":$loadPerCore%.3f,"hot_start":$hotStart,"retried":$retried,"layout_sec":$layoutSec%.4f,"suite_total_uncompacted":$rawTotal%.4f,"n_failed":$nFailed,"protocol":"compacted-layout-r3+/hot-retry-r17+","sf":"$sfDir"}""")
+    println(f"""{"metric":"suite_total","value":$total%.4f,"unit":"sec","queries":$qs,"floor_ms":$fl,"floor_ratio":$floorRatio%.3f,"warm_pass_sec":$warmPassSec%.4f,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"loadavg_per_core":$loadPerCore%.3f,"hot_start":$hotStart,"retried":$retried,"layout_sec":$layoutSec%.4f,"suite_total_uncompacted":$rawTotal%.4f,"n_failed":$nFailed,"routed_total":$routedTotal%.4f,"routed_failed":$routedFailed,"protocol":"compacted-layout-r3+/hot-retry-r17+/routed-adds-r20","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -294,6 +294,16 @@ object IcebergWrite {
     // resolution is what survives column renames, and any real engine's
     // files carry ids — ours now do too
     val df = stampFieldIds(df0, fieldIds)
+    // PARTITIONED writes take the round-20 single-pass path: files land
+    // under data/ directly and per-file stats ride the write tasks — the
+    // staged `partitionBy` + full readback + move planned THREE passes
+    // over the data (write, re-read for stats, driver move) and its
+    // per-file overhead dominated many-partition appends (guide §1.2/§6;
+    // measured on the 19,200-dir day×bucket composite: 92 s → see
+    // OPTIMIZATION_r20.md). Unpartitioned writes keep the plain staged
+    // write (few files; nothing to gain).
+    if (transforms.nonEmpty)
+      return writeDataFilesDirect(spark, df, table, transforms, partTypes)
     val stage = Files.createTempDirectory("graft_iceberg_write")
     val dupCols = transforms.map(t => s"__p_${t.fieldName}")
     val stagedDf =
@@ -314,7 +324,18 @@ object IcebergWrite {
       else stagedDf.repartition(
         stagedDf.sparkSession.sparkContext.defaultParallelism,
         dupCols.map(fcol): _*)
+    // phase log (stderr, opt-in): the many-partition staging write is the
+    // scale-probe hot spot — keep its phases attributable
+    val phaseLog = sys.props.get("graft.write.phaseLog").contains("true") ||
+      sys.env.get("GRAFT_WRITE_PHASELOG").contains("true")
+    var tPhase = System.nanoTime()
+    def phase(name: String): Unit = if (phaseLog) {
+      val now = System.nanoTime()
+      System.err.println(f"[iceberg-write] $name ${(now - tPhase) / 1e6}%.0f ms")
+      tPhase = now
+    }
     distributed.write.mode("overwrite").partitionBy(dupCols: _*).parquet(stage.toString)
+    phase("stage-write")
     Files.createDirectories(dataDir(table))
 
     // an empty PARTITIONED write stages no part file at all (no partition
@@ -366,6 +387,7 @@ object IcebergWrite {
     val aggRows = readBack
       .groupBy(input_file_name().as("f")).agg(aggCols.head, aggCols.tail: _*)
       .collect()
+    phase("readback-stats")
     def relOf(r: org.apache.spark.sql.Row): String = {
       // decode Hadoop-Path URI escapes (space → %20 etc.) so the key
       // matches the literal on-disk relative path the walk produces
@@ -431,7 +453,217 @@ object IcebergWrite {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr); f.delete()
     }
     rmr(stage.toFile)
+    phase("walk-move-cleanup")
     dataFiles
+  }
+
+  /** One written file's task-side record: the final path plus everything
+    * the manifest needs, computed DURING the write. External (java) value
+    * types, so the driver consumes them exactly as the readback rows. */
+  private case class WrittenFile(path: String, rows: Long, values: Seq[Any],
+      stats: Seq[(String, Any, Any, Long)], blooms: Seq[(String, Array[Byte])])
+
+  /** SINGLE-PASS partitioned write (round 20, guide §1.2/§6): hash-
+    * distribute by the transform columns, SORT within tasks so each
+    * partition value is one contiguous run, and write each run's parquet
+    * file DIRECTLY under data/ with Spark's own parquet OutputWriter —
+    * per-file record count, typed partition values, column min/max/null
+    * stats and bloom sketches all computed in the write task as rows
+    * stream through. Replaces three passes (staged partitionBy write →
+    * full readback aggregation → driver-side walk + move) with one.
+    *
+    * Semantics preserved from the staged path: one file per partition
+    * value per append (hash distribution puts a value in exactly one
+    * task; the sort makes it one run), files land flat under data/ with
+    * fresh UUID names, min/max use Spark's own sort orderings
+    * (TypeUtils.getInterpretedOrdering — NaN/UTF8 semantics identical to
+    * the old min()/max() aggregates), and bloom sketches insert
+    * xxhash64(col) per row exactly like BloomOps.bloomAgg. A failed task
+    * attempt can orphan UUID-named files under data/ — never referenced
+    * by any manifest (the commit only cites task results of the
+    * SUCCEEDED attempt), the same exposure the staged path's
+    * moved-then-failed-commit files already had. */
+  private def writeDataFilesDirect(spark: SparkSession, df: DataFrame,
+      table: String, transforms: Seq[IcebergTransforms.Transform],
+      partTypes: Seq[(String, DataType)])
+      : Seq[(java.nio.file.Path, Long, Seq[Any], Map[String, (Any, Any, Long)])] = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    val phaseLog = sys.props.get("graft.write.phaseLog").contains("true") ||
+      sys.env.get("GRAFT_WRITE_PHASELOG").contains("true")
+    val tPhase0 = System.nanoTime()
+    val dupCols = transforms.map(t => s"__p_${t.fieldName}")
+    // cast to the declared result type — the staged path's readback did
+    // `cast(dt)` on recovery, so the recorded values stay byte-identical
+    val stagedDf = df.select(df.columns.map(fcol).toSeq ++
+      transforms.zip(partTypes).map { case (t, (_, dt)) =>
+        t.column(fcol(t.source), df.schema(t.source).dataType).cast(dt)
+          .as(s"__p_${t.fieldName}")
+      }: _*)
+    val distributed = stagedDf.repartition(
+        stagedDf.sparkSession.sparkContext.defaultParallelism,
+        dupCols.map(fcol): _*)
+      .sortWithinPartitions(dupCols.map(fcol): _*)
+    val fullSchema = distributed.schema
+    val nData = df.schema.length
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      fullSchema.fields.take(nData))
+    val statCols: Seq[(String, Int)] = dataSchema.fields.toSeq.zipWithIndex
+      .filter { case (f, _) => IcebergBounds.supported(f.dataType) }
+      .map { case (f, i) => (f.name, i) }
+    val bloomCols: Seq[(String, Int)] = scala.util.Try {
+      readPrior(table).flatMap(p => Option(p.get("properties")))
+        .map(_.path("graft.bloom.columns").asText("")).getOrElse("")
+    }.getOrElse("").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .flatMap(c => dataSchema.fieldNames.zipWithIndex.find(_._1 == c))
+    val (factory, confBc) =
+      org.apache.spark.sql.graft.Bridge.parquetWriteSupport(spark, dataSchema)
+    Files.createDirectories(dataDir(table))
+    val dataDirStr = dataDir(table).toRealPath().toString
+    val partTypesLocal = partTypes
+    val statTypes = statCols.map { case (_, i) => dataSchema.fields(i).dataType }
+
+    val written: Array[WrittenFile] =
+      distributed.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+        import org.apache.spark.sql.catalyst.InternalRow
+        import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection, UnsafeRow, XxHash64}
+        if (!it.hasNext) Iterator.empty
+        else {
+          val conf = confBc.value.value
+          val tac = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(conf,
+            new org.apache.hadoop.mapreduce.TaskAttemptID(
+              "graft", 0, org.apache.hadoop.mapreduce.TaskType.MAP, pid, 0))
+          val ext = factory.getFileExtension(tac)
+          val dataProj = UnsafeProjection.create(
+            dataSchema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+              BoundReference(i, f.dataType, f.nullable)
+            })
+          val keyProj = UnsafeProjection.create(
+            partTypesLocal.zipWithIndex.map { case ((_, dt), i) =>
+              BoundReference(nData + i, dt, nullable = true)
+            })
+          val orderings = statTypes.map(dt =>
+            org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt))
+          val statToExt = statTypes.map(dt =>
+            org.apache.spark.sql.catalyst.CatalystTypeConverters.createToScalaConverter(dt))
+          val partToExt = partTypesLocal.map { case (_, dt) =>
+            org.apache.spark.sql.catalyst.CatalystTypeConverters.createToScalaConverter(dt) }
+          // per-row xxhash64(col), seed 42 — the exact expression
+          // BloomOps.bloomAgg fed (hash of a NULL input is the seed, and
+          // the aggregate inserted it for every row — replicated)
+          val hashProjs = bloomCols.map { case (_, i) =>
+            val dt = dataSchema.fields(i).dataType
+            org.apache.spark.sql.graft.Bridge.createMutableProjection(Seq(
+              new XxHash64(Seq(BoundReference(i, dt, nullable = true)), 42L)))
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[WrittenFile]
+          var writer: org.apache.spark.sql.execution.datasources.OutputWriter = null
+          var curKey: UnsafeRow = null
+          var curKeyRowVals: Seq[Any] = null
+          var path: String = null
+          var rows = 0L
+          var seq = 0
+          val mins = Array.ofDim[Any](statCols.size)
+          val maxs = Array.ofDim[Any](statCols.size)
+          val nulls = Array.ofDim[Long](statCols.size)
+          var blooms: Array[org.apache.spark.util.sketch.BloomFilter] = null
+          def open(row: InternalRow): Unit = {
+            path = s"$dataDirStr/${java.util.UUID.randomUUID()}-part-$pid-$seq$ext"
+            seq += 1
+            writer = factory.newInstance(path, dataSchema, tac)
+            rows = 0L
+            java.util.Arrays.fill(mins.asInstanceOf[Array[AnyRef]], null)
+            java.util.Arrays.fill(maxs.asInstanceOf[Array[AnyRef]], null)
+            java.util.Arrays.fill(nulls, 0L)
+            blooms =
+              if (bloomCols.isEmpty) null
+              else Array.fill(bloomCols.size)(
+                org.apache.spark.util.sketch.BloomFilter.create(1000000L, 1024L * 1024))
+            curKeyRowVals = partTypesLocal.zipWithIndex.map { case ((_, dt), i) =>
+              val idx = nData + i
+              if (row.isNullAt(idx)) null
+              else partToExt(i)(row.get(idx, dt)) match {
+                case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt // spec: epoch days
+                case v => v
+              }
+            }
+          }
+          def closeFile(): Unit = {
+            writer.close()
+            writer = null
+            out += WrittenFile(path, rows, curKeyRowVals,
+              statCols.zipWithIndex.map { case ((c, _), j) =>
+                (c, if (mins(j) == null) null else statToExt(j)(mins(j)),
+                  if (maxs(j) == null) null else statToExt(j)(maxs(j)), nulls(j))
+              },
+              if (blooms == null) Nil
+              else bloomCols.zipWithIndex.map { case ((c, _), j) =>
+                val bos = new java.io.ByteArrayOutputStream()
+                blooms(j).writeTo(bos)
+                (c, bos.toByteArray)
+              })
+          }
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit] { _ =>
+              if (writer != null) scala.util.Try(writer.close()) // failed task: release the stream
+            })
+          it.foreach { row =>
+            val k = keyProj(row)
+            if (curKey == null || k != curKey) {
+              if (writer != null) closeFile()
+              curKey = k.copy()
+              open(row)
+            }
+            writer.write(dataProj(row))
+            rows += 1
+            var j = 0
+            while (j < statCols.size) {
+              val idx = statCols(j)._2
+              if (row.isNullAt(idx)) nulls(j) += 1
+              else {
+                val v = row.get(idx, statTypes(j))
+                val ord = orderings(j)
+                if (mins(j) == null || ord.lt(v, mins(j)))
+                  mins(j) = InternalRow.copyValue(v)
+                if (maxs(j) == null || ord.gt(v, maxs(j)))
+                  maxs(j) = InternalRow.copyValue(v)
+              }
+              j += 1
+            }
+            var b = 0
+            while (b < bloomCols.size) {
+              blooms(b).putLong(hashProjs(b)(row).getLong(0))
+              b += 1
+            }
+          }
+          if (writer != null) closeFile()
+          out.iterator
+        }
+      }.collect()
+    if (phaseLog) System.err.println(
+      f"[iceberg-write] direct-write ${(System.nanoTime() - tPhase0) / 1e6}%.0f ms " +
+        s"(${written.length} files)")
+
+    // bloom sidecar, same format as the staged path: one json per batch,
+    // {"<abs file path>": {col: b64}}
+    val sidecarMap = written.filter(_.blooms.nonEmpty)
+      .map(w => w.path -> w.blooms.toMap).toMap
+    if (sidecarMap.nonEmpty) {
+      val om = mapper
+      val root = om.createObjectNode()
+      sidecarMap.foreach { case (p, byCol) =>
+        val n = root.putObject(p)
+        byCol.foreach { case (c, blob) =>
+          n.put(c, java.util.Base64.getEncoder.encodeToString(blob)) }
+      }
+      val outPath = metaDir(table).resolve(
+        s"blooms-${java.util.UUID.randomUUID()}.json")
+      Files.createDirectories(metaDir(table))
+      Files.writeString(outPath, om.writeValueAsString(root))
+    }
+    written.toSeq.map { w =>
+      (Paths.get(w.path), w.rows, w.values,
+        w.stats.map { case (c, mn, mx, n) => c -> ((mn, mx, n)) }.toMap)
+    }
   }
 
   private def readPrior(table: String): Option[com.fasterxml.jackson.databind.JsonNode] = {

@@ -154,6 +154,9 @@ object Bridge {
     // listing-based read, which ignores recorded sizes entirely.
     def listingFallback(): org.apache.spark.sql.DataFrame =
       spark.read.schema(dataSchema).parquet(files.map(_._1): _*)
+    // kill-switch (measurement/diagnosis): force the listing-based read
+    if (!spark.conf.get("graft.scan.manifestSizes", "true").toBoolean)
+      return listingFallback()
     if (files.exists(_._2 <= 0)) return listingFallback()
     val probeOk = scala.util.Try {
       val p = new org.apache.hadoop.fs.Path(files.head._1)
@@ -197,6 +200,26 @@ object Bridge {
       fileFormat = new VerifiedParquetFileFormat(hadoopConfBroadcast(session)),
       options = Map.empty)(session)
     org.apache.spark.sql.classic.Dataset.ofRows(session, LogicalRelation(relation))
+  }
+
+  /** Driver-side prep for DIRECT parquet writes from task code (the
+    * single-pass staged-write replacement): Spark's own parquet
+    * `OutputWriterFactory` (same WriteSupport, codec, field-id and
+    * timestamp settings as `DataFrameWriter.parquet`) plus a broadcast of
+    * the prepared job conf for task-side `TaskAttemptContext`s. */
+  def parquetWriteSupport(spark: SparkSession,
+      dataSchema: org.apache.spark.sql.types.StructType)
+      : (org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+         org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration]) = {
+    val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      session.sessionState.newHadoopConf())
+    val factory = org.apache.spark.sql.execution.datasources.parquet.ParquetUtils
+      .prepareWrite(session.sessionState.conf, job, dataSchema,
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetOptions(
+          Map.empty[String, String], session.sessionState.conf))
+    (factory, session.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(job.getConfiguration)))
   }
 
   /** One broadcast Hadoop conf per SparkContext (the task-time
