@@ -118,27 +118,39 @@ object BucketedJoin {
     if (parts.lengthCompare(2) < 0 ||
         Thread.currentThread().getName.startsWith("graft-chunk-build")) parts.map(build)
     else {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
       val bridge = org.apache.spark.sql.graft.Bridge
       val props = bridge.cloneLocalProperties(spark.sparkContext)
       val timeoutSec = spark.conf.getOption("graft.route.chunkBuildTimeoutSec")
         .flatMap(_.toLongOption).getOrElse(600L)
-      val wait = if (timeoutSec <= 0) Duration.Inf
-        else Duration(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
-      implicit val ec: scala.concurrent.ExecutionContext = chunkPool
-      try Await.result(
-        Future.sequence(parts.map(p => Future {
-          bridge.withLocalProperties(spark.sparkContext, props) {
+      import java.util.concurrent.{Callable, TimeUnit}
+      val tasks = new java.util.ArrayList[Callable[
+        org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]]]()
+      parts.foreach { p =>
+        tasks.add(() =>
+          // a FRESH clone per task: SQLExecution and friends MUTATE the
+          // thread's properties (execution id) during a build — a shared
+          // instance would race across sibling chunks
+          bridge.withLocalProperties(spark.sparkContext,
+            bridge.cloneProperties(props)) {
             bridge.withActive(spark)(build(p))
-          }
-        })),
-        wait)
-      catch {
-        case _: java.util.concurrent.TimeoutException => fail(
+          })
+      }
+      // invokeAll CANCELS (interrupts) unfinished tasks at the deadline, so
+      // a wedged build cannot park a shared pool thread forever — Await on
+      // plain Futures would abandon them running
+      val done =
+        if (timeoutSec <= 0) chunkPool.invokeAll(tasks)
+        else chunkPool.invokeAll(tasks, timeoutSec, TimeUnit.SECONDS)
+      import scala.jdk.CollectionConverters._
+      done.asScala.toSeq.map { f =>
+        if (f.isCancelled) fail(
           s"chunk plan construction exceeded ${timeoutSec}s " +
             "(graft.route.chunkBuildTimeoutSec) — a filesystem or metadata " +
             "call is wedged")
+        try f.get() // a failed chunk rethrows, as the sequential loop did
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause // unwrap: callers see the build's own exception
+        }
       }
     }
 
@@ -338,27 +350,24 @@ object BucketedJoin {
     // at the DataFrame level BEFORE the bridge, so the parquet scan reads
     // only the needed columns and pushes the side's predicate.
     import org.apache.spark.sql.catalyst.InternalRow
-    def side(fullSchema: StructType, readSchema: StructType,
+    def sideRdds(fullSchema: StructType, readSchema: StructType,
         where: Option[Column],
         parts: Seq[Seq[(String, Long)]],
         deletes: graft.sources.LayoutDeletes)
-        : org.apache.spark.rdd.RDD[InternalRow] =
-      spark.sparkContext.union(parallelChunks(spark, parts) { files =>
+        : Seq[org.apache.spark.rdd.RDD[InternalRow]] =
+      parallelChunks(spark, parts) { files =>
         if (files.isEmpty) // empty chunk: ONE empty partition keeps alignment
           spark.sparkContext.parallelize(Seq.empty[InternalRow], 1)
         else
           org.apache.spark.sql.graft.Bridge.toInternalRdd(
             bucketScan(spark, fullSchema, readSchema, where, files, deletes)
               .coalesce(1))
-      })
+      }
 
     val leftParts = chunks.map { case (_, files, _) => files }
     val rightParts = chunks.map { case (b, _, _) => bucketsR.getOrElse(b, Nil) }
-    // partition ordinal → grace slice count (the join task splits both
-    // sides into k spill runs locally; 1 = the plain build-and-stream)
-    val graceByPart: Map[Int, Int] = chunks.zipWithIndex.collect {
-      case ((_, _, Some(g)), i) => i -> g
-    }.toMap
+    val leftRdds = sideRdds(schemaL, readL, leftWhere, leftParts, deletesL)
+    val rightRdds = sideRdds(schemaR, readR, rightWhere, rightParts, deletesR)
 
     val keyIdxL = readL.fieldIndex(key)
     val keyIdxR = readR.fieldIndex(rKey)
@@ -381,10 +390,15 @@ object BucketedJoin {
           }
       }
     }
-    val joined = side(schemaL, readL, leftWhere, leftParts, deletesL)
-      .zipPartitions(
-        side(schemaR, readR, rightWhere, rightParts, deletesR),
-        preservesPartitioning = false) { (lit, rit) =>
+    // ONE (lit, rit) join function per chunk with that chunk's grace
+    // slice count captured STATICALLY — the earlier partition-id keyed
+    // lookup (TaskContext.partitionId → k) silently resolved k=1 when a
+    // downstream plan shifted partition ids before the first shuffle
+    // (DataFrame union second child, coalesce), voiding the grace memory
+    // bound. Chunks zip pairwise and the zipped RDDs union, so partition
+    // ordinal i is STILL chunk i (same topology, same narrow deps).
+    def joinFun(graceK: Int)(lit: Iterator[InternalRow], rit: Iterator[InternalRow])
+        : Iterator[InternalRow] = {
       import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, Murmur3Hash, UnsafeProjection}
       // output projection over JoinedRow(left, right): the requested left
       // fields, then the requested right fields — one UnsafeProjection,
@@ -457,8 +471,6 @@ object BucketedJoin {
             else Iterator.single(proj(joinedRow(l, nullRight)))
         }
       }
-      val graceK = graceByPart.getOrElse(
-        org.apache.spark.TaskContext.get().partitionId(), 1)
       if (graceK <= 1) stream(lit, buildFrom(rit, copyRows = true))
       else {
         // SINGLE-PASS GRACE (round 20, guide §5/§6): read each side ONCE
@@ -476,7 +488,11 @@ object BucketedJoin {
         val runFiles = Array.tabulate(2, graceK) { (s, j) =>
           java.io.File.createTempFile(s"graft_grace_s${s}_r$j", ".run", dir)
         }
+        // a partially-consumed result (LIMIT above the route) leaves run
+        // readers mid-file: close their streams here, not at GC
+        val openReaders = scala.collection.mutable.ArrayBuffer.empty[RunReader]
         if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          openReaders.foreach(_.close())
           runFiles.foreach(_.foreach(_.delete()))
         }
         // the slice hash needs no cross-engine pin — it only has to agree
@@ -508,12 +524,20 @@ object BucketedJoin {
         spillSide(lit, readL, keyIdxL, runFiles(0), nullKeyRun = 0)
         val nR = readR.fields.length
         val nLf = readL.fields.length
+        def reader(f: java.io.File, n: Int): RunReader = {
+          val r = new RunReader(f, n); openReaders += r; r
+        }
         (0 until graceK).iterator.flatMap { j =>
-          val build = buildFrom(new RunReader(runFiles(1)(j), nR), copyRows = false)
-          stream(new RunReader(runFiles(0)(j), nLf), build)
+          val build = buildFrom(reader(runFiles(1)(j), nR), copyRows = false)
+          stream(reader(runFiles(0)(j), nLf), build)
         }
       }
     }
+    val zipped = chunks.indices.map { i =>
+      leftRdds(i).zipPartitions(rightRdds(i), preservesPartitioning = false)(
+        joinFun(chunks(i)._3.getOrElse(1)))
+    }
+    val joined = spark.sparkContext.union(zipped)
     org.apache.spark.sql.graft.Bridge.internalCreateDataFrame(spark, joined, outSchema)
   }
 
@@ -539,6 +563,12 @@ object BucketedJoin {
     private def readLen(): Int =
       try in.readInt()
       catch { case _: java.io.EOFException => in.close(); -1 }
+    /** Idempotent — EOF already closed the stream; a partially-consumed
+      * reader is closed by the task-completion listener. */
+    def close(): Unit = {
+      if (nextLen >= 0) scala.util.Try(in.close())
+      nextLen = -1
+    }
     override def hasNext: Boolean = nextLen >= 0
     override def next(): org.apache.spark.sql.catalyst.InternalRow = {
       val len = nextLen

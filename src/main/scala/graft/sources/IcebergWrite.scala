@@ -304,28 +304,11 @@ object IcebergWrite {
     // write (few files; nothing to gain).
     if (transforms.nonEmpty)
       return writeDataFilesDirect(spark, df, table, transforms, partTypes)
+    // UNPARTITIONED remainder: plain staged write, one stats readback,
+    // move under data/ — few files, nothing the single-pass path would
+    // improve.
     val stage = Files.createTempDirectory("graft_iceberg_write")
-    val dupCols = transforms.map(t => s"__p_${t.fieldName}")
-    val stagedDf =
-      if (transforms.isEmpty) df
-      else df.select(df.columns.map(fcol).toSeq ++
-        transforms.map(t => t.column(fcol(t.source), df.schema(t.source).dataType)
-          .as(s"__p_${t.fieldName}")): _*)
-    // HASH-DISTRIBUTE by the transform columns before the dynamic-
-    // partition write (round-19 optimization, guide §6 — Iceberg's own
-    // write.distribution-mode=hash): without it every input task writes
-    // into EVERY partition dir it sees rows for — a single-task upstream
-    // (one-row-group parquet) wrote a day×bucket composite's ~19k dirs
-    // SEQUENTIALLY (~290 s at sf0.1). Distributed, each partition value
-    // is written by one task, in parallel. Unpartitioned writes keep the
-    // input's parallelism untouched.
-    val distributed =
-      if (transforms.isEmpty) stagedDf
-      else stagedDf.repartition(
-        stagedDf.sparkSession.sparkContext.defaultParallelism,
-        dupCols.map(fcol): _*)
-    // phase log (stderr, opt-in): the many-partition staging write is the
-    // scale-probe hot spot — keep its phases attributable
+    // phase log (stderr, opt-in): keep the staged phases attributable
     val phaseLog = sys.props.get("graft.write.phaseLog").contains("true") ||
       sys.env.get("GRAFT_WRITE_PHASELOG").contains("true")
     var tPhase = System.nanoTime()
@@ -334,14 +317,13 @@ object IcebergWrite {
       System.err.println(f"[iceberg-write] $name ${(now - tPhase) / 1e6}%.0f ms")
       tPhase = now
     }
-    distributed.write.mode("overwrite").partitionBy(dupCols: _*).parquet(stage.toString)
+    df.write.mode("overwrite").parquet(stage.toString)
     phase("stage-write")
     Files.createDirectories(dataDir(table))
 
-    // an empty PARTITIONED write stages no part file at all (no partition
-    // value to write under): nothing to read back or move — the
-    // schema-only commit (CREATE TABLE (schema), ADD COLUMN) carries just
-    // the evolved metadata
+    // an empty write may stage no part file at all: nothing to read back
+    // or move — the schema-only commit (CREATE TABLE (schema), ADD
+    // COLUMN) carries just the evolved metadata
     def anyStaged(dir: java.io.File): Boolean =
       Option(dir.listFiles()).getOrElse(Array.empty).exists {
         case d if d.isDirectory => anyStaged(d)
@@ -369,9 +351,7 @@ object IcebergWrite {
         .map(_.path("graft.bloom.columns").asText("")).getOrElse("")
     }.getOrElse("").split(",").map(_.trim).filter(_.nonEmpty).toSeq
       .filter(df.columns.contains)
-    val aggCols = ((fcount(flit(1)).as("n") +: partTypes.map { case (c, dt) =>
-      ffirst(fcol(s"__p_$c").cast(dt)).as(c)
-    }) ++ statCols.flatMap(c => Seq(
+    val aggCols = (Seq(fcount(flit(1)).as("n")) ++ statCols.flatMap(c => Seq(
       org.apache.spark.sql.functions.min(fcol(c)).as(s"__mn_$c"),
       org.apache.spark.sql.functions.max(fcol(c)).as(s"__mx_$c"),
       org.apache.spark.sql.functions.sum(
@@ -397,16 +377,10 @@ object IcebergWrite {
     }
     val perFile: Map[String, (Long, Seq[Any], Map[String, (Any, Any, Long)])] =
       aggRows.map { r =>
-        val values = partTypes.indices.map { i =>
-          r.get(i + 2) match {
-            case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt // spec: epoch days
-            case v => v
-          }
-        }
         val stats = statCols.map { c =>
           c -> (r.getAs[Any](s"__mn_$c"), r.getAs[Any](s"__mx_$c"), r.getAs[Long](s"__nl_$c"))
         }.toMap
-        (relOf(r), (r.getLong(1), values, stats))
+        (relOf(r), (r.getLong(1), Seq.empty[Any], stats))
       }.toMap
     val bloomsByRel: Map[String, Map[String, Array[Byte]]] =
       if (bloomCols.isEmpty) Map.empty
@@ -433,28 +407,32 @@ object IcebergWrite {
           Some((dest, n, values, stats))
       }
     }
-    val sidecarMap = sidecar.result()
-    if (sidecarMap.nonEmpty) {
-      // one sidecar json per staged batch: {"<abs file path>": {col: b64}}
-      // — orphaned entries (files later rewritten away) are harmless, the
-      // reader joins by live file path only
-      val om = mapper
-      val root = om.createObjectNode()
-      sidecarMap.foreach { case (p, byCol) =>
-        val n = root.putObject(p)
-        byCol.foreach { case (c, blob) =>
-          n.put(c, java.util.Base64.getEncoder.encodeToString(blob)) }
-      }
-      val out = metaDir(table).resolve(
-        s"blooms-${java.util.UUID.randomUUID()}.json")
-      Files.writeString(out, om.writeValueAsString(root))
-    }
+    writeBloomSidecar(table, sidecar.result())
     def rmr(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr); f.delete()
     }
     rmr(stage.toFile)
     phase("walk-move-cleanup")
     dataFiles
+  }
+
+  /** One bloom-sidecar json per written batch: `{"<abs file path>":
+    * {col: b64}}` — orphaned entries (files later rewritten away) are
+    * harmless, the reader joins by live file path only. */
+  private def writeBloomSidecar(table: String,
+      sidecarMap: Map[String, Map[String, Array[Byte]]]): Unit = {
+    if (sidecarMap.isEmpty) return
+    val om = mapper
+    val root = om.createObjectNode()
+    sidecarMap.foreach { case (p, byCol) =>
+      val n = root.putObject(p)
+      byCol.foreach { case (c, blob) =>
+        n.put(c, java.util.Base64.getEncoder.encodeToString(blob)) }
+    }
+    Files.createDirectories(metaDir(table))
+    val out = metaDir(table).resolve(
+      s"blooms-${java.util.UUID.randomUUID()}.json")
+    Files.writeString(out, om.writeValueAsString(root))
   }
 
   /** One written file's task-side record: the final path plus everything
@@ -643,23 +621,8 @@ object IcebergWrite {
       f"[iceberg-write] direct-write ${(System.nanoTime() - tPhase0) / 1e6}%.0f ms " +
         s"(${written.length} files)")
 
-    // bloom sidecar, same format as the staged path: one json per batch,
-    // {"<abs file path>": {col: b64}}
-    val sidecarMap = written.filter(_.blooms.nonEmpty)
-      .map(w => w.path -> w.blooms.toMap).toMap
-    if (sidecarMap.nonEmpty) {
-      val om = mapper
-      val root = om.createObjectNode()
-      sidecarMap.foreach { case (p, byCol) =>
-        val n = root.putObject(p)
-        byCol.foreach { case (c, blob) =>
-          n.put(c, java.util.Base64.getEncoder.encodeToString(blob)) }
-      }
-      val outPath = metaDir(table).resolve(
-        s"blooms-${java.util.UUID.randomUUID()}.json")
-      Files.createDirectories(metaDir(table))
-      Files.writeString(outPath, om.writeValueAsString(root))
-    }
+    writeBloomSidecar(table, written.filter(_.blooms.nonEmpty)
+      .map(w => w.path -> w.blooms.toMap).toMap)
     written.toSeq.map { w =>
       (Paths.get(w.path), w.rows, w.values,
         w.stats.map { case (c, mn, mx, n) => c -> ((mn, mx, n)) }.toMap)

@@ -154,8 +154,11 @@ object Bridge {
     // listing-based read, which ignores recorded sizes entirely.
     def listingFallback(): org.apache.spark.sql.DataFrame =
       spark.read.schema(dataSchema).parquet(files.map(_._1): _*)
-    // kill-switch (measurement/diagnosis): force the listing-based read
-    if (!spark.conf.get("graft.scan.manifestSizes", "true").toBoolean)
+    // kill-switch (measurement/diagnosis): force the listing-based read.
+    // Tolerant parse — only a literal "false" disables; a typo'd value
+    // must not fail every scan construction.
+    if (spark.conf.get("graft.scan.manifestSizes", "true")
+        .trim.equalsIgnoreCase("false"))
       return listingFallback()
     if (files.exists(_._2 <= 0)) return listingFallback()
     val probeOk = scala.util.Try {
@@ -261,13 +264,18 @@ object Bridge {
     org.apache.spark.util.Utils.cloneProperties(sc.getLocalProperties)
 
   /** Run `body` with `props` installed as the thread's local properties,
-    * restoring the previous set afterwards. */
+    * restoring the previous set afterwards. Callers sharing one snapshot
+    * across threads must install a [[cloneProperties]] copy per thread —
+    * Spark code MUTATES the installed Properties (execution ids). */
   def withLocalProperties[T](sc: org.apache.spark.SparkContext,
       props: java.util.Properties)(body: => T): T = {
     val old = sc.getLocalProperties
     sc.setLocalProperties(props)
     try body finally sc.setLocalProperties(old)
   }
+
+  def cloneProperties(props: java.util.Properties): java.util.Properties =
+    org.apache.spark.util.Utils.cloneProperties(props)
 
   def internalCreateDataFrameClustered(spark: SparkSession,
       rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
